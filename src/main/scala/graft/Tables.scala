@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Table catalog over a scale-factor directory of parquet files.
+  *
+  * The reference tool's data surface is "a file lands, a template
+  * describes it, a job loads it" (/root/reference/import.js:86-140);
+  * here the catalog is the Spark-native equivalent: named tables over
+  * columnar files, read lazily so Catalyst can push filters and prune
+  * columns down to the scan.
+  */
+final case class Tables(spark: SparkSession, dir: String) {
+  def table(name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region: DataFrame     = table("region")
+  def nation: DataFrame     = table("nation")
+  def customer: DataFrame   = table("customer")
+  def supplier: DataFrame   = table("supplier")
+  def part: DataFrame       = table("part")
+  def orders: DataFrame     = table("orders")
+  def lineitem: DataFrame   = table("lineitem")
+  def events: DataFrame     = table("events")
+  def documents: DataFrame  = table("documents")
+  def embeddings: DataFrame = table("embeddings")
+
+  /** Register every table as a temp view so spark.sql works too. */
+  def registerAll(): Unit =
+    Tables.names.foreach(n => table(n).createOrReplaceTempView(n))
+}
+
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+}
