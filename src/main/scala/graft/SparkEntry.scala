@@ -7,7 +7,7 @@ import graft.queries._
 object SparkEntry {
 
   /** All implemented inventory entries, in SURVEY §2 order. */
-  def all: Seq[Entry] = Core.entries
+  def all: Seq[Entry] = Core.entries ++ CoreB.entries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,443 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import Q._
+
+/** Core relational / ETL operators, part 2 (SURVEY.md §2 rows 8–25). */
+object CoreB {
+
+  /** q08: union of heterogeneous sources + dedup — the "many files into
+    * one table" shape of the reference's repeated uploads into one
+    * template (/root/reference/import.js:86).
+    */
+  def q08(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    val c = t.customer.select(col("c_name").as("name"), lit("customer").as("src"))
+    val u = t.supplier.select(col("s_name").as("name"), lit("supplier").as("src"))
+    c.unionByName(u).distinct().orderBy(col("name"), col("src"))
+  }
+
+  val q08Sql: String =
+    """SELECT DISTINCT name, src FROM (
+      |  SELECT c_name AS name, 'customer' AS src FROM customer
+      |  UNION ALL
+      |  SELECT s_name AS name, 'supplier' AS src FROM supplier)
+      |ORDER BY name, src""".stripMargin
+
+  /** q09: pivot — categorical values become columns (conditional agg). */
+  def q09(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    t.orders
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .na.fill(0)
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val q09Sql: String =
+    """SELECT o_orderpriority,
+      |  COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS "F",
+      |  COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS "O",
+      |  COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS "P"
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** q10: unpivot/melt — wide metrics to long rows. */
+  def q10(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    t.part
+      .select(col("p_partkey"),
+        col("p_size").cast("double").as("p_size"),
+        col("p_retailprice"))
+      .unpivot(
+        Array(col("p_partkey")),
+        Array(col("p_size"), col("p_retailprice")),
+        "metric", "value")
+      .orderBy(col("p_partkey"), col("metric"))
+  }
+
+  val q10Sql: String =
+    """SELECT p_partkey, metric, value FROM (
+      |  SELECT p_partkey, CAST(p_size AS DOUBLE) AS p_size, p_retailprice FROM part)
+      |UNPIVOT (value FOR metric IN (p_size, p_retailprice))
+      |ORDER BY p_partkey, metric""".stripMargin
+
+  /** q11: the reference template's column transforms — rename, cast,
+    * trim/upper, null defaults, derived (bucketed) columns — compiled
+    * to one narrow projection (single pass, codegen'd).
+    */
+  def q11(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    t.customer.select(
+      col("c_custkey").as("customer_id"),
+      upper(trim(col("c_name"))).as("customer_name"),
+      coalesce(col("c_mktsegment"), lit("UNKNOWN")).as("segment"),
+      dec(col("c_acctbal")).as("acctbal"),
+      when(col("c_acctbal") >= 7000, "GOLD")
+        .when(col("c_acctbal") >= 3000, "SILVER")
+        .otherwise("BRONZE").as("tier"))
+      .orderBy(col("customer_id"))
+  }
+
+  val q11Sql: String =
+    """SELECT c_custkey AS customer_id,
+      |  UPPER(TRIM(c_name)) AS customer_name,
+      |  COALESCE(c_mktsegment, 'UNKNOWN') AS segment,
+      |  CAST(c_acctbal AS DECIMAL(18,2)) AS acctbal,
+      |  CASE WHEN c_acctbal >= 7000 THEN 'GOLD'
+      |       WHEN c_acctbal >= 3000 THEN 'SILVER'
+      |       ELSE 'BRONZE' END AS tier
+      |FROM customer ORDER BY customer_id""".stripMargin
+
+  /** q12: left-semi (EXISTS) + left-anti (NOT EXISTS) in one result. */
+  def q12(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    val keys = t.orders.select(col("o_custkey"))
+    val semi = t.customer.join(keys, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), lit("has_orders").as("status"))
+    val anti = t.customer.join(keys, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), lit("no_orders").as("status"))
+    semi.unionByName(anti).orderBy(col("c_custkey"))
+  }
+
+  val q12Sql: String =
+    """SELECT c_custkey, status FROM (
+      |  SELECT c_custkey, 'has_orders' AS status FROM customer
+      |  WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |  UNION ALL
+      |  SELECT c_custkey, 'no_orders' AS status FROM customer
+      |  WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey))
+      |ORDER BY c_custkey""".stripMargin
+
+  /** q13: rollup — hierarchical subtotals in one pass. */
+  def q13(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    t.orders
+      .rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), sum(dec(col("o_totalprice"))).as("total"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("prio"),
+        col("n"), col("total"))
+      .orderBy(col("status"), col("prio"))
+  }
+
+  val q13Sql: String =
+    """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+      |  COALESCE(o_orderpriority, 'ALL') AS prio,
+      |  COUNT(*) AS n, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+      |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+      |ORDER BY status, prio""".stripMargin
+
+  /** q14: cube — all grouping-set combinations. */
+  def q14(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    t.orders
+      .withColumn("order_year", year(col("o_orderdate")).cast("bigint"))
+      .cube(col("o_orderstatus"), col("order_year"))
+      .agg(count(lit(1)).as("n"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("order_year"), lit(-1L)).as("order_year"),
+        col("n"))
+      .orderBy(col("status"), col("order_year"))
+  }
+
+  val q14Sql: String =
+    """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+      |  COALESCE(order_year, -1) AS order_year, COUNT(*) AS n
+      |FROM (SELECT o_orderstatus, CAST(year(o_orderdate) AS BIGINT) AS order_year FROM orders)
+      |GROUP BY CUBE(o_orderstatus, order_year)
+      |ORDER BY status, order_year""".stripMargin
+
+  /** q15: running/cumulative window aggregate (frame-based), exact
+    * decimal so partition order cannot perturb the totals.
+    */
+  def q15(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t.orders
+      .withColumn("running_total", sum(dec(col("o_totalprice"))).over(w))
+      .select(col("o_custkey"), col("o_orderkey"), col("running_total"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  val q15Sql: String =
+    """SELECT o_custkey, o_orderkey,
+      |  SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+      |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_total
+      |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin
+
+  /** q16: lag/lead offset window functions over the event stream. */
+  def q16(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    t.events
+      .select(col("user_id"), col("event_id"),
+        lag(col("value"), 1).over(w).as("prev_value"),
+        lead(col("value"), 1).over(w).as("next_value"),
+        lag(col("event_type"), 1).over(w).as("prev_type"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  val q16Sql: String =
+    """SELECT user_id, event_id,
+      |  LAG(value) OVER w AS prev_value,
+      |  LEAD(value) OVER w AS next_value,
+      |  LAG(event_type) OVER w AS prev_type
+      |FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |ORDER BY user_id, event_id""".stripMargin
+
+  /** q17: exact percentiles/median per group (linear interpolation). */
+  def q17(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    t.lineitem
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(expr("percentile(l_quantity, 0.5)"), 4).as("med_qty"),
+        round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90_price"),
+        round(expr("percentile(l_discount, 0.25)"), 4).as("p25_disc"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val q17Sql: String =
+    """SELECT l_returnflag,
+      |  ROUND(quantile_cont(l_quantity, 0.5), 4) AS med_qty,
+      |  ROUND(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price,
+      |  ROUND(quantile_cont(l_discount, 0.25), 4) AS p25_disc
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** q18: conditional aggregation (FILTER / CASE inside agg). */
+  def q18(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    t.lineitem
+      .groupBy(col("l_returnflag"))
+      .agg(
+        sum(when(col("l_discount") > 0.05, dec(col("l_extendedprice"))))
+          .as("hi_disc_rev"),
+        count(when(col("l_quantity") > 25, lit(1))).as("bulk_items"),
+        sum(when(col("l_tax") > 0.04, dec(col("l_extendedprice")))
+          .otherwise(lit(0).cast("decimal(18,2)"))).as("taxed_rev"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val q18Sql: String =
+    """SELECT l_returnflag,
+      |  SUM(CAST(l_extendedprice AS DECIMAL(18,2))) FILTER (WHERE l_discount > 0.05) AS hi_disc_rev,
+      |  COUNT(*) FILTER (WHERE l_quantity > 25) AS bulk_items,
+      |  SUM(CASE WHEN l_tax > 0.04 THEN CAST(l_extendedprice AS DECIMAL(18,2))
+      |           ELSE CAST(0 AS DECIMAL(18,2)) END) AS taxed_rev
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** q19: full-outer join + coalesce null-repair (dim reconciliation). */
+  def q19(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    val c = t.customer.groupBy(col("c_nationkey").as("nk_c"))
+      .agg(count(lit(1)).as("n_cust"))
+    val u = t.supplier.groupBy(col("s_nationkey").as("nk_s"))
+      .agg(count(lit(1)).as("n_supp"))
+    c.join(u, col("nk_c") === col("nk_s"), "full_outer")
+      .select(
+        coalesce(col("nk_c"), col("nk_s")).as("nationkey"),
+        coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+        coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+      .orderBy(col("nationkey"))
+  }
+
+  val q19Sql: String =
+    """SELECT COALESCE(nk_c, nk_s) AS nationkey,
+      |  COALESCE(n_cust, 0) AS n_cust, COALESCE(n_supp, 0) AS n_supp
+      |FROM (SELECT c_nationkey AS nk_c, COUNT(*) AS n_cust FROM customer GROUP BY 1) c
+      |FULL JOIN (SELECT s_nationkey AS nk_s, COUNT(*) AS n_supp FROM supplier GROUP BY 1) s
+      |  ON nk_c = nk_s
+      |ORDER BY nationkey""".stripMargin
+
+  /** q20: range (inequality) join, anchored on an equi-key so the plan
+    * stays a hash join + residual range filter — a pure range join
+    * would be a cross product at 100 TB. Finds line items shipped
+    * within 60 days of their order date.
+    */
+  def q20(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    t.lineitem
+      .join(t.orders,
+        col("l_orderkey") === col("o_orderkey") &&
+        col("l_shipdate") >= col("o_orderdate") &&
+        col("l_shipdate") < col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+      .groupBy(col("o_orderkey"))
+      .agg(count(lit(1)).as("n_early_ships"),
+        sum(dec(col("l_extendedprice"))).as("early_revenue"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  val q20Sql: String =
+    """SELECT o_orderkey, COUNT(*) AS n_early_ships,
+      |  SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS early_revenue
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  AND l_shipdate >= o_orderdate AND l_shipdate < o_orderdate + INTERVAL 60 DAY
+      |GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin
+
+  /** q21: as-of join — for each purchase event, the latest
+    * non-purchase event of the same user at-or-before it. Spark lacks
+    * ASOF JOIN; the scalable composition is union + last(ignoreNulls)
+    * over a single per-key window: ONE shuffle on the key, no per-row
+    * probing, no cross product — survives 100 TB where a correlated
+    * subquery or broadcast-loop would not.
+    */
+  def q21(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    val ev = t.events
+    val others = ev.filter(col("event_type") =!= "purchase").select(
+      col("user_id").as("uid"), col("ts").as("t"),
+      col("event_id").as("ev_id"),
+      lit(null).cast("bigint").as("purchase_id"), lit(0).as("is_anchor"))
+    val buys = ev.filter(col("event_type") === "purchase").select(
+      col("user_id").as("uid"), col("ts").as("t"),
+      lit(null).cast("bigint").as("ev_id"),
+      col("event_id").as("purchase_id"), lit(1).as("is_anchor"))
+    // At equal ts the non-purchase sorts first (is_anchor 0 < 1), so a
+    // same-instant event counts as "at-or-before"; ev_id asc makes
+    // last() pick the max event_id on ts ties — mirroring the oracle's
+    // ORDER BY ts DESC, event_id DESC LIMIT 1.
+    val w = Window.partitionBy(col("uid"))
+      .orderBy(col("t"), col("is_anchor"), col("ev_id"), col("purchase_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    others.unionByName(buys)
+      .withColumn("asof_event_id", last(col("ev_id"), ignoreNulls = true).over(w))
+      .filter(col("is_anchor") === 1)
+      .select(col("purchase_id"), col("uid").as("user_id"), col("asof_event_id"))
+      .orderBy(col("purchase_id"))
+  }
+
+  val q21Sql: String =
+    """SELECT p.event_id AS purchase_id, p.user_id,
+      |  (SELECT e.event_id FROM events e
+      |   WHERE e.user_id = p.user_id AND e.event_type <> 'purchase'
+      |     AND e.ts <= p.ts
+      |   ORDER BY e.ts DESC, e.event_id DESC LIMIT 1) AS asof_event_id
+      |FROM events p WHERE p.event_type = 'purchase'
+      |ORDER BY purchase_id""".stripMargin
+
+  /** q22: sessionization — gap > 30 min starts a new session. Gap math
+    * in integer microseconds (exact in both engines; interval/double
+    * comparisons are not portable at the boundary).
+    */
+  def q22(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t.events
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+      .withColumn("is_new",
+        when(col("prev_us").isNull ||
+          unix_micros(col("ts")) - col("prev_us") > 1800000000L, 1).otherwise(0))
+      .withColumn("session_id", sum(col("is_new")).over(wRun))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("ts")).as("t_start"),
+        max(col("ts")).as("t_end"),
+        sum(dec(col("value"))).as("total_value"))
+      .orderBy(col("user_id"), col("session_id"))
+  }
+
+  val q22Sql: String =
+    """WITH g AS (
+      |  SELECT user_id, event_id, ts, value,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |      OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+      |      THEN 1 ELSE 0 END AS is_new
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |), sess AS (
+      |  SELECT user_id, ts, value,
+      |    CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+      |  FROM g)
+      |SELECT user_id, session_id, COUNT(*) AS n_events,
+      |  MIN(ts) AS t_start, MAX(ts) AS t_end,
+      |  SUM(CAST(value AS DECIMAL(18,2))) AS total_value
+      |FROM sess GROUP BY user_id, session_id
+      |ORDER BY user_id, session_id""".stripMargin
+
+  /** q23: tumbling time-window aggregation — batch mirror of the
+    * streaming windowed agg in graft.streaming.
+    */
+  def q23(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    t.events
+      .groupBy(date_trunc("hour", col("ts")).as("hour_start"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(dec(col("value"))).as("total_value"))
+      .orderBy(col("hour_start"), col("event_type"))
+  }
+
+  val q23Sql: String =
+    """SELECT date_trunc('hour', ts) AS hour_start, event_type,
+      |  COUNT(*) AS n, SUM(CAST(value AS DECIMAL(18,2))) AS total_value
+      |FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin
+
+  /** q24: per-group top-k values as a bounded array. collect_list is
+    * safe here because k and group cardinality are bounded; sorting
+    * happens inside the array, not via a per-group shuffle.
+    */
+  def q24(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    t.customer
+      .groupBy(col("c_mktsegment"))
+      .agg(transform(
+        slice(array_sort(collect_list(struct(
+          (-col("c_acctbal")).as("neg_bal"), col("c_custkey").as("k")))), 1, 3),
+        x => x.getField("k")).as("top3"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  val q24Sql: String =
+    """SELECT c_mktsegment,
+      |  (list(c_custkey ORDER BY c_acctbal DESC, c_custkey))[1:3] AS top3
+      |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  /** q25: latest-record-per-key (SCD compaction / dedup-by-recency). */
+  def q25(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    t.events
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("value"))
+      .orderBy(col("user_id"))
+  }
+
+  val q25Sql: String =
+    """SELECT user_id, event_id, event_type, value FROM (
+      |  SELECT user_id, event_id, event_type, value,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM events) WHERE rn = 1
+      |ORDER BY user_id""".stripMargin
+
+  val entries: Seq[Entry] = Seq(
+    Entry("q08_union_dedup", q08, Some(q08Sql)),
+    Entry("q09_pivot", q09, Some(q09Sql)),
+    Entry("q10_unpivot", q10, Some(q10Sql)),
+    Entry("q11_cast_clean", q11, Some(q11Sql)),
+    Entry("q12_semi_anti", q12, Some(q12Sql)),
+    Entry("q13_rollup", q13, Some(q13Sql)),
+    Entry("q14_cube", q14, Some(q14Sql)),
+    Entry("q15_running_window", q15, Some(q15Sql)),
+    Entry("q16_lag_lead", q16, Some(q16Sql)),
+    Entry("q17_percentiles", q17, Some(q17Sql)),
+    Entry("q18_conditional_agg", q18, Some(q18Sql)),
+    Entry("q19_outer_join_coalesce", q19, Some(q19Sql)),
+    Entry("q20_range_join", q20, Some(q20Sql)),
+    Entry("q21_asof_join", q21, Some(q21Sql)),
+    Entry("q22_sessionize", q22, Some(q22Sql)),
+    Entry("q23_event_window", q23, Some(q23Sql)),
+    Entry("q24_grouped_topk_values", q24, Some(q24Sql)),
+    Entry("q25_scd_latest", q25, Some(q25Sql)),
+  )
+}
