@@ -1,0 +1,148 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Column-level text operators for the LLM-data-pipeline queries.
+  *
+  * Everything here is composed from `org.apache.spark.sql.functions`
+  * so the whole pipeline stays inside Catalyst/whole-stage codegen —
+  * no Scala UDFs on the hot path. Each builder returns a `Column`
+  * that can be projected in a single pass over the corpus.
+  */
+object TextOps {
+
+  /** Whitespace-normalized, lowercased text — the canonical form for
+    * exact dedup. Mirrors `lower(trim(regexp_replace(x,'\s+',' ','g')))`
+    * in DuckDB.
+    */
+  def normText(c: Column): Column =
+    lower(trim(regexp_replace(c, "\\s+", " ")))
+
+  /** Whitespace tokens of the raw text. */
+  def tokens(c: Column): Column = split(trim(c), "\\s+")
+
+  /** Distinct word n-gram shingles (the MinHash/Jaccard unit).
+    * Built with sequence+transform so it is one codegen'd projection.
+    */
+  def wordShingles(c: Column, n: Int): Column = {
+    val toks = tokens(normText(c))
+    array_distinct(
+      transform(
+        sequence(lit(1), greatest(size(toks) - (n - 1), lit(1))),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
+  }
+
+  /** MinHash signature: k independent murmur3 hash families via
+    * hash(shingle, seed), min over the shingle set per family.
+    * Returns array<int> of length k.
+    */
+  def minhashSig(shingles: Column, k: Int): Column =
+    transform(sequence(lit(0), lit(k - 1)),
+      seed => array_min(transform(shingles, x => hash(x, seed))))
+
+  /** LSH band keys for a MinHash signature: `b` bands of `r` rows;
+    * band i's key is the hash of its signature slice. Docs agreeing
+    * on any band land in the same bucket → candidate pair. Returns
+    * array<int> of length b (posexplode to get (band_idx, band_key)).
+    */
+  def bandKeys(sig: Column, b: Int, r: Int): Column =
+    transform(sequence(lit(0), lit(b - 1)),
+      i => hash(slice(sig, i * r + 1, lit(r))))
+
+  /** Estimated Jaccard from two equal-length MinHash signatures:
+    * fraction of agreeing components.
+    */
+  def sigJaccard(a: Column, b: Column, k: Int): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0), (acc, v) => acc + v).cast("double") / lit(k)
+
+  /** Exact Jaccard of two distinct-element arrays. */
+  def exactJaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") /
+      size(array_union(a, b)).cast("double")
+
+  /** 64-bit SimHash over a token array: per bit, sum +1/-1 of each
+    * token's xxhash64 bit; bit set iff the sum is positive.
+    * Composed from builtin functions (64 passes over the token array
+    * per row — fine for correctness; the native Expression in
+    * graft.functions.expressions replaces this on the hot path).
+    */
+  def simhash64(toks: Column): Column = {
+    val bits = transform(sequence(lit(0), lit(63)), b =>
+      when(
+        aggregate(toks, lit(0), (acc, t) =>
+          acc + when(
+            call_function("shiftright", xxhash64(t), b)
+              .bitwiseAND(lit(1L)) === lit(1L), 1).otherwise(-1)) > 0,
+        lit(1L)).otherwise(lit(0L)))
+    aggregate(
+      zip_with(bits, sequence(lit(0), lit(63)),
+        (bit, idx) => call_function("shiftleft", bit, idx)),
+      lit(0L), (acc, x) => acc.bitwiseOR(x))
+  }
+
+  /** Pigeonhole block keys for hamming-distance LSH: split a 64-bit
+    * simhash into `nBlocks` equal blocks; two hashes within hamming
+    * distance (nBlocks-1) agree on at least one block exactly.
+    * Returns array<long> of the block values.
+    */
+  def simhashBlocks(sim: Column, nBlocks: Int): Column = {
+    val width = 64 / nBlocks
+    val mask = (1L << width) - 1
+    transform(sequence(lit(0), lit(nBlocks - 1)),
+      i => call_function("shiftright", sim, i * lit(width))
+        .bitwiseAND(lit(mask)))
+  }
+
+  /** Hamming distance between two 64-bit hashes. */
+  def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** Rolling char-k-gram hashes (the winnowing unit). */
+  def charGramHashes(c: Column, k: Int): Column =
+    transform(
+      sequence(lit(1), greatest(length(c) - (k - 1), lit(1))),
+      i => hash(substr(c, i, lit(k))))
+
+  /** Winnowing fingerprints (Schleimer et al., SIGMOD'03 — public
+    * algorithm): min hash of every sliding window of `w` consecutive
+    * k-gram hashes, deduplicated and sorted. Guarantees any shared
+    * substring of length >= w+k-1 yields a shared fingerprint.
+    */
+  def winnow(gramHashes: Column, w: Int): Column =
+    array_sort(array_distinct(
+      transform(
+        sequence(lit(1), greatest(size(gramHashes) - (w - 1), lit(1))),
+        j => array_min(slice(gramHashes, j, lit(w))))))
+
+  /** Language marker profiles for the heuristic language ID. Small,
+    * public stopword sets per language.
+    */
+  val langProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "that", "it", "for"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "zu", "mit", "ich"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "une", "des", "que", "pour", "dans"),
+    "es" -> Seq("el", "la", "los", "las", "y", "es", "una", "que", "por", "con"),
+    "zh" -> Seq("的", "是", "不", "了", "在", "人", "有", "我", "他", "这"),
+  )
+
+  /** Language-ID scores: for each profile, the fraction of tokens
+    * that are that language's markers; prediction = argmax (score,
+    * then language code as tie-break), confidence = winning score.
+    * Returns struct<lang:string, confidence:double>.
+    */
+  def langId(c: Column): Column = {
+    val toks = tokens(normText(c))
+    val n = greatest(size(toks), lit(1)).cast("double")
+    val scored = langProfiles.map { case (lang, words) =>
+      val hits = size(filter(toks, t => t.isin(words: _*)))
+      struct((hits.cast("double") / n).as("confidence"), lit(lang).as("lang"))
+    }
+    // array_max on struct compares fields in order → max score wins,
+    // ties broken by the (deterministic) language code.
+    val best = array_max(array(scored: _*))
+    struct(best.getField("lang").as("lang"),
+      best.getField("confidence").as("confidence"))
+  }
+}

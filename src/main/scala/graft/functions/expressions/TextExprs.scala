@@ -1,0 +1,239 @@
+package graft.functions.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.hash.Murmur3_x86_32
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the dedup/fingerprint hot path
+  * (SURVEY.md §2 row 51).
+  *
+  * The `functions._`-composed versions in [[graft.functions.TextOps]]
+  * are correct but interpreted: Spark's higher-order functions
+  * (`transform`/`aggregate`) don't participate in codegen, and the
+  * composed shapes are O(n·k) or O(n²) per row (a `substr` per
+  * position, a `slice` per window, k hash passes per shingle). On a
+  * 100 TB corpus that's the whole job cost. Each expression here is a
+  * single tight O(n) JVM loop per row, allocation-free where possible,
+  * and produces values IDENTICAL to its composed counterpart (same
+  * murmur3/xxhash64 seeds as the builtin `hash`/`xxhash64`), so either
+  * form can verify the other.
+  *
+  * CodegenFallback only virtualizes the per-row entry call — the
+  * surrounding operators stay in whole-stage codegen, and the row
+  * kernel itself is compiled Scala, not an interpreted expression
+  * tree.
+  */
+object TextExprs {
+
+  private def c(e: Expression): Column = Bridge.column(e)
+  private def x(col: Column): Expression = Bridge.expression(col)
+
+  /** MinHash signature with word-shingling fused in: tokens →
+    * array<int> of length k. Duplicate shingles cannot change a min,
+    * so no distinct/materialization step is needed.
+    */
+  def minhashShingleSig(tokens: Column, n: Int, k: Int): Column =
+    c(MinHashShingleSig(x(tokens), n, k))
+
+  /** 64-bit SimHash over a token array (xxhash64 per token, one pass). */
+  def simhash64(tokens: Column): Column = c(SimHash64(x(tokens)))
+
+  /** Winnowed rolling-hash fingerprints: string → sorted distinct
+    * array<int> (char k-grams, window w).
+    */
+  def winnowFingerprints(text: Column, k: Int, w: Int): Column =
+    c(WinnowFingerprints(x(text), k, w))
+
+  /** Distinct word n-gram shingles: tokens → array<string>. */
+  def wordShingles(tokens: Column, n: Int): Column = c(WordShingles(x(tokens), n))
+}
+
+/** Murmur3 of a UTF8String with an int seed — exactly what the builtin
+  * `hash(col, seed)` computes for a string input (Spark's
+  * Murmur3Hash → hashUnsafeBytes over the string's bytes).
+  */
+private object Hashing {
+  @inline def murmur3(s: UTF8String, seed: Int): Int =
+    Murmur3_x86_32.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, seed)
+
+  /** xxhash64 with Spark's default seed 42 — identical to the builtin
+    * `xxhash64(col)` for a string input.
+    */
+  @inline def xx64(s: UTF8String): Long =
+    XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+
+  val Space: UTF8String = UTF8String.fromString(" ")
+}
+
+/** tokens: array<string>, n-gram shingles hashed by k murmur3 seed
+  * families (seeds 0..k-1, matching `hash(x, seed)`), min per family.
+  * One pass over positions; shingle string built once per position.
+  */
+case class MinHashShingleSig(child: Expression, n: Int, k: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val nTok = arr.numElements()
+    val mins = Array.fill(k)(Int.MaxValue)
+    // mirror the composed wordShingles: if fewer than n tokens, the
+    // single shingle is the (space-joined) whole token sequence
+    val nShingles = math.max(nTok - (n - 1), 1)
+    val parts = new Array[UTF8String](n)
+    var i = 0
+    while (i < nShingles) {
+      var j = 0
+      var m = 0
+      while (j < n && i + j < nTok) {
+        val t = arr.getUTF8String(i + j)
+        if (t != null) { parts(m) = t; m += 1 }
+        j += 1
+      }
+      val shingle =
+        if (m == 1) parts(0)
+        else UTF8String.concatWs(Hashing.Space,
+          java.util.Arrays.copyOfRange(parts, 0, m): _*)
+      var s = 0
+      while (s < k) {
+        val h = Hashing.murmur3(shingle, s)
+        if (h < mins(s)) mins(s) = h
+        s += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** tokens: array<string> → 64-bit SimHash (Charikar '02): per token
+  * xxhash64; bit b of the result set iff the +1/-1 vote sum over
+  * tokens' bit b is positive. Matches TextOps.simhash64 bit-for-bit.
+  */
+case class SimHash64(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val votes = new Array[Int](64)
+    val nTok = arr.numElements()
+    var i = 0
+    while (i < nTok) {
+      val t = arr.getUTF8String(i)
+      if (t != null) {
+        val h = Hashing.xx64(t)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    java.lang.Long.valueOf(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** text: string → winnowed fingerprints (Schleimer et al. SIGMOD'03):
+  * rolling murmur3 of each char k-gram, then the min of every sliding
+  * window of w consecutive gram hashes (monotonic-deque, O(n)),
+  * distinct + sorted. Shared substrings of length >= w+k-1 are
+  * guaranteed to share a fingerprint.
+  */
+case class WinnowFingerprints(child: Expression, k: Int, w: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    val n = s.length
+    val nGrams = math.max(n - (k - 1), 1)
+    val grams = new Array[Int](nGrams)
+    var i = 0
+    while (i < nGrams) {
+      // murmur3 over the k-gram's UTF-8 bytes (seed 42, like builtin
+      // hash()); substring cost is O(k) per position → O(n·k) total,
+      // constant k — not the O(n²) of per-position substr scans.
+      val end = math.min(i + k, n)
+      grams(i) = Hashing.murmur3(UTF8String.fromString(s.substring(i, end)), 42)
+      i += 1
+    }
+    val out = new java.util.TreeSet[Integer]()
+    // monotonic deque of gram indices with increasing hash values:
+    // head always holds the current window's min → O(n) total
+    val deque = new Array[Int](nGrams)
+    var head = 0; var tail = 0 // live range [head, tail)
+    i = 0
+    while (i < nGrams) {
+      while (tail > head && grams(deque(tail - 1)) >= grams(i)) tail -= 1
+      deque(tail) = i; tail += 1
+      while (deque(head) < i - (w - 1)) head += 1
+      if (i >= w - 1) out.add(grams(deque(head)))
+      i += 1
+    }
+    // shorter than one window: emit the global min (one fingerprint)
+    if (nGrams < w) out.add(grams(deque(head)))
+    val res = new Array[Int](out.size())
+    val it = out.iterator()
+    var j = 0
+    while (it.hasNext) { res(j) = it.next().intValue(); j += 1 }
+    new GenericArrayData(res)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** tokens: array<string> → distinct word n-gram shingle strings (the
+  * exact-Jaccard unit for q33). Linked-hash preserves first-seen order
+  * like array_distinct does.
+  */
+case class WordShingles(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val nTok = arr.numElements()
+    val nShingles = math.max(nTok - (n - 1), 1)
+    val seen = new java.util.LinkedHashSet[UTF8String]()
+    val parts = new Array[UTF8String](n)
+    var i = 0
+    while (i < nShingles) {
+      var j = 0; var m = 0
+      while (j < n && i + j < nTok) {
+        val t = arr.getUTF8String(i + j)
+        if (t != null) { parts(m) = t; m += 1 }
+        j += 1
+      }
+      val shingle =
+        if (m == 1) parts(0)
+        else UTF8String.concatWs(Hashing.Space,
+          java.util.Arrays.copyOfRange(parts, 0, m): _*)
+      seen.add(shingle.clone())
+      i += 1
+    }
+    new GenericArrayData(seen.toArray)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}

@@ -1,0 +1,103 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing: media as opaque `binary` columns with
+  * typed metadata, and a batched decode→feature pipeline.
+  *
+  * The Spark-side design is the real thing — schema, partition-level
+  * batching, bounded memory — while the decode kernel itself is a
+  * DETERMINISTIC STUB (this container has no image/audio codecs): it
+  * stands where libjpeg/ffmpeg/a vision encoder would plug in. At
+  * 100 TB the shape matters more than the codec:
+  *  - blobs stay in `binary` columns, never stringified;
+  *  - decode runs per PARTITION batch via `mapPartitions`, so codec /
+  *    model init happens once per task, not once per row;
+  *  - `media_meta` (mime/bytes/checksum) is a separate small struct so
+  *    metadata-only queries never read blob bytes (parquet column
+  *    pruning skips the binary column entirely);
+  *  - oversized blobs are fenced by `maxBytes` instead of OOMing a
+  *    task.
+  */
+object Multimodal {
+
+  final case class MediaMeta(mime: String, n_bytes: Long, checksum: Long)
+  final case class MediaRow(doc_id: Long, payload: Array[Byte], meta: MediaMeta)
+  final case class FeatureRow(doc_id: Long, mime: String, n_bytes: Long,
+                              ok: Boolean, features: Array[Float])
+
+  /** Feature vector dimensionality of the stub "encoder". */
+  val FeatureDim = 16
+
+  /** Stand-in corpus: wrap each document's text bytes as the opaque
+    * payload with typed metadata. In production this is the ingest
+    * step for real media files (spark.read.format("binaryFile")).
+    */
+  def blobTable(spark: SparkSession, dir: String): DataFrame = {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    docs.select(
+      col("doc_id"),
+      encode(col("text"), "UTF-8").as("payload"),
+      struct(
+        lit("text/plain").as("mime"),
+        length(encode(col("text"), "UTF-8")).cast("bigint").as("n_bytes"),
+        xxhash64(col("text")).as("checksum")).as("meta"))
+  }
+
+  /** ==== DECODE STUB ====
+    * Deterministic fake for "decode media + extract features": folds
+    * the payload bytes into a fixed-length float vector. A real
+    * pipeline replaces ONLY this function body (e.g. JPEG decode →
+    * resize → CNN embed); everything around it — batching, schema,
+    * failure capture — is production-shaped.
+    */
+  private[multimodal] def decodeStub(payload: Array[Byte]): Array[Float] = {
+    val f = new Array[Float](FeatureDim)
+    var i = 0
+    while (i < payload.length) {
+      f(i % FeatureDim) += (payload(i) & 0xff) / 255.0f
+      i += 1
+    }
+    f
+  }
+
+  /** Batched decode: one "codec init" per partition, rows processed in
+    * `batchSize` groups (the batch is where a real decoder would
+    * vectorize). Failures (oversize, null) yield ok=false rows instead
+    * of failing the task, so one bad blob can't kill a 100 TB job.
+    */
+  def extractFeatures(media: Dataset[MediaRow],
+                      batchSize: Int = 64,
+                      maxBytes: Long = 64L * 1024 * 1024): Dataset[FeatureRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      // >>> per-task codec/model initialization happens HERE, once <<<
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { r =>
+          if (r.payload == null || r.meta.n_bytes > maxBytes)
+            FeatureRow(r.doc_id, r.meta.mime, r.meta.n_bytes,
+              ok = false, features = Array.empty)
+          else
+            FeatureRow(r.doc_id, r.meta.mime, r.meta.n_bytes,
+              ok = true, features = decodeStub(r.payload))
+        }
+      }
+    }
+  }
+
+  /** q50 entry: blob table → batched decode-stub → feature summary.
+    * Metadata and feature stats only — the binary column never reaches
+    * the output (and is pruned from metadata-only branches).
+    */
+  def q50(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media = blobTable(spark, dir).as[MediaRow]
+    extractFeatures(media).toDF()
+      .select(col("doc_id"), col("mime"), col("n_bytes"), col("ok"),
+        size(col("features")).as("feature_dim"),
+        round(aggregate(col("features"),
+          lit(0.0), (a, x) => a + x.cast("double")), 4).as("feature_sum"))
+      .orderBy(col("doc_id"))
+  }
+}

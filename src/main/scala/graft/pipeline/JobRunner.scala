@@ -1,0 +1,117 @@
+package graft.pipeline
+
+import java.util.concurrent.atomic.AtomicLong
+import java.util.concurrent.{ConcurrentHashMap, Executors, TimeUnit}
+
+import graft.util.AuditLog
+import org.apache.spark.sql.SparkSession
+
+import scala.concurrent.duration.Duration
+import scala.jdk.CollectionConverters._
+import scala.util.control.NonFatal
+
+/** Async ETL job lifecycle over Spark actions — the Spark-native form
+  * of the reference's job API (/root/reference/src/api/jobs.js:
+  * checkJobStatus, cancelJob). A job is a named thunk (usually
+  * template-compile → write); submit returns a handle immediately,
+  * status is tracked through a terminal state, and cancel maps to
+  * `SparkContext.cancelJobGroup` so ALL of the job's distributed
+  * stages stop, not just the driver thread.
+  */
+object JobRunner {
+  sealed trait Status
+  case object Pending extends Status
+  case object Running extends Status
+  case object Succeeded extends Status
+  case object Failed extends Status
+  case object Cancelled extends Status
+}
+
+final class JobRunner(spark: SparkSession, audit: Option[AuditLog] = None) {
+  import JobRunner._
+
+  final case class JobInfo(
+      jobId: String,
+      name: String,
+      status: Status,
+      error: Option[String],
+      submittedAtMs: Long,
+      finishedAtMs: Option[Long])
+
+  private val seq = new AtomicLong(0)
+  private val jobs = new ConcurrentHashMap[String, JobInfo]()
+  private val cancelled = ConcurrentHashMap.newKeySet[String]()
+  private val pool = Executors.newCachedThreadPool(r => {
+    val t = new Thread(r); t.setDaemon(true); t.setName("graft-job"); t
+  })
+
+  private def update(id: String)(f: JobInfo => JobInfo): Unit =
+    jobs.compute(id, (_, j) => f(j))
+
+  /** Submit a job; returns its id immediately. The body runs on a
+    * daemon thread inside a Spark job group keyed by the id.
+    */
+  def submit(name: String)(body: SparkSession => Unit): String = {
+    val id = s"job-${seq.incrementAndGet()}"
+    jobs.put(id, JobInfo(id, name, Pending, None, System.currentTimeMillis(), None))
+    audit.foreach(_.logJob("jobId" -> id, "action" -> "submit", "name" -> name))
+    pool.submit(new Runnable {
+      def run(): Unit = {
+        update(id)(_.copy(status = Running))
+        spark.sparkContext.setJobGroup(id, name, interruptOnCancel = true)
+        try {
+          body(spark)
+          val fin = if (cancelled.contains(id)) Cancelled else Succeeded
+          update(id)(_.copy(status = fin,
+            finishedAtMs = Some(System.currentTimeMillis())))
+          audit.foreach(_.logJob("jobId" -> id, "action" -> "finish",
+            "status" -> fin.toString))
+        } catch {
+          case NonFatal(e) =>
+            val fin = if (cancelled.contains(id)) Cancelled else Failed
+            update(id)(_.copy(status = fin, error = Some(e.getMessage),
+              finishedAtMs = Some(System.currentTimeMillis())))
+            audit.foreach(_.logError("jobId" -> id, "action" -> "run",
+              "status" -> fin.toString,
+              "error" -> String.valueOf(e.getMessage)))
+        } finally spark.sparkContext.clearJobGroup()
+      }
+    })
+    id
+  }
+
+  /** Current status (reference: checkJobStatus). */
+  def status(jobId: String): Status =
+    Option(jobs.get(jobId))
+      .getOrElse(throw new NoSuchElementException(s"unknown job $jobId"))
+      .status
+
+  def info(jobId: String): JobInfo =
+    Option(jobs.get(jobId))
+      .getOrElse(throw new NoSuchElementException(s"unknown job $jobId"))
+
+  /** Cancel: interrupts every Spark stage in the job's group
+    * (reference: cancelJob). Safe on finished jobs (no-op).
+    */
+  def cancel(jobId: String): Unit = {
+    cancelled.add(jobId)
+    audit.foreach(_.logJob("jobId" -> jobId, "action" -> "cancel"))
+    spark.sparkContext.cancelJobGroup(jobId)
+  }
+
+  /** Block until the job reaches a terminal state (or timeout). */
+  def await(jobId: String, timeout: Duration = Duration.Inf): Status = {
+    val deadline = if (timeout.isFinite)
+      System.nanoTime() + timeout.toNanos else Long.MaxValue
+    var s = status(jobId)
+    while ((s == Pending || s == Running) && System.nanoTime() < deadline) {
+      TimeUnit.MILLISECONDS.sleep(25)
+      s = status(jobId)
+    }
+    s
+  }
+
+  /** All jobs, newest first. */
+  def list(): Seq[JobInfo] =
+    jobs.values.asScala.toSeq.sortBy(-_.submittedAtMs)
+}

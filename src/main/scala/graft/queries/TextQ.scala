@@ -1,0 +1,266 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.TextOps._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** LLM-training-data text operators (SURVEY.md §2 rows 26–37) over the
+  * `documents` table. The dedup family follows the standard public
+  * designs (MinHash-LSH: Broder '97; SimHash: Charikar '02; winnowing:
+  * Schleimer et al. '03), expressed as shuffle-linear Spark plans —
+  * candidate pairs are only ever generated inside LSH buckets, never
+  * via a global cross join, so each operator survives a 100 TB corpus.
+  */
+object TextQ {
+
+  /** q30: exact dedup — hash-groupBy on whitespace/case-normalized
+    * text, keep the lowest doc_id per group. One shuffle on the text
+    * hash; at scale group on a 128-bit hash of norm rather than the
+    * full text to cut shuffle bytes (here the full norm keeps the
+    * oracle trivially comparable).
+    */
+  def q30(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    t.documents
+      .groupBy(normText(col("text")).as("norm"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .select(col("keep_id"), col("n_copies"))
+      .orderBy(col("keep_id"))
+  }
+
+  val q30Sql: String =
+    """SELECT keep_id, n_copies FROM (
+      |  SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+      |  FROM (SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm
+      |        FROM documents)
+      |  GROUP BY norm)
+      |ORDER BY keep_id""".stripMargin
+
+  private val K = 64   // minhash signature length
+  private val B = 16   // LSH bands
+  private val R = 4    // rows per band (K = B*R)
+
+  /** Per-doc MinHash signatures over word 3-gram shingles — native
+    * expression (one O(tokens) pass/row; identical values to the
+    * composed TextOps.minhashSig(wordShingles(..)) form).
+    */
+  private def signatures(t: Tables): DataFrame =
+    t.documents.select(col("doc_id"),
+      graft.functions.expressions.TextExprs
+        .minhashShingleSig(tokens(normText(col("text"))), 3, K).as("sig"))
+
+  /** Candidate near-dup pairs from LSH banding: docs sharing any band
+    * bucket. Hot buckets (> cap docs) are dropped — at 100 TB a
+    * degenerate shingle (e.g. boilerplate) would otherwise create a
+    * quadratic bucket; real dups still collide on their other bands.
+    */
+  private def bandCandidates(sigs: DataFrame, cap: Int = 100): DataFrame = {
+    val banded = sigs.select(col("doc_id"), col("sig"),
+      posexplode(bandKeys(col("sig"), B, R)).as(Seq("band", "bkey")))
+    val wB = Window.partitionBy(col("band"), col("bkey"))
+    val capped = banded
+      .withColumn("bucket_n", count(lit(1)).over(wB))
+      .filter(col("bucket_n") <= cap)
+    val lhs = capped.select(col("band"), col("bkey"),
+      col("doc_id").as("doc_a"), col("sig").as("sig_a"))
+    val rhs = capped.select(col("band"), col("bkey"),
+      col("doc_id").as("doc_b"), col("sig").as("sig_b"))
+    lhs.join(rhs, Seq("band", "bkey"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("sig_a"), col("sig_b"))
+      .dropDuplicates("doc_a", "doc_b")
+  }
+
+  /** q31: MinHash+LSH near-dup pairs with estimated Jaccard >= 0.5.
+    * Shuffle-linear: band-key exchange + in-bucket pairing only.
+    */
+  def q31(s: SparkSession, dir: String): DataFrame =
+    bandCandidates(signatures(Tables(s, dir)))
+      .select(col("doc_a"), col("doc_b"),
+        round(sigJaccard(col("sig_a"), col("sig_b"), K), 4).as("est_jaccard"))
+      .filter(col("est_jaccard") >= 0.5)
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  /** q32: SimHash near-dup pairs — 64-bit signature, hamming <= 3 via
+    * the 4-block pigeonhole (any pair within hamming 3 agrees exactly
+    * on >= 1 of 4 16-bit blocks), so candidates come from block-bucket
+    * joins, never a cross product.
+    */
+  def q32(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    val sims = t.documents.select(col("doc_id"),
+      graft.functions.expressions.TextExprs
+        .simhash64(tokens(normText(col("text")))).as("sim"))
+    val blocked = sims.select(col("doc_id"), col("sim"),
+      posexplode(simhashBlocks(col("sim"), 4)).as(Seq("blk", "bval")))
+    val lhs = blocked.select(col("blk"), col("bval"),
+      col("doc_id").as("doc_a"), col("sim").as("sim_a"))
+    val rhs = blocked.select(col("blk"), col("bval"),
+      col("doc_id").as("doc_b"), col("sim").as("sim_b"))
+    lhs.join(rhs, Seq("blk", "bval"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        hamming64(col("sim_a"), col("sim_b")).as("hamming"))
+      .dropDuplicates("doc_a", "doc_b")
+      .filter(col("hamming") <= 3)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** q33: exact n-gram Jaccard similarity — LSH buckets propose the
+    * candidates, then the true Jaccard is computed on the distinct
+    * 3-gram shingle sets (intersect/union), reporting pairs >= 0.5.
+    */
+  def q33(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    val shingled = t.documents.select(col("doc_id"),
+      graft.functions.expressions.TextExprs
+        .wordShingles(tokens(normText(col("text"))), 3).as("sh"))
+    val cands = bandCandidates(signatures(t)).select(col("doc_a"), col("doc_b"))
+    cands
+      .join(shingled.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(shingled.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        round(exactJaccard(col("sh_a"), col("sh_b")), 4).as("jaccard"))
+      .filter(col("jaccard") >= 0.5)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** q40: heuristic language ID — stopword-marker profiles scored in
+    * one codegen'd projection; argmax language + confidence per doc.
+    */
+  def q40(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    t.documents
+      .select(col("doc_id"), langId(col("text")).as("lid"))
+      .select(col("doc_id"),
+        col("lid.lang").as("pred_lang"),
+        round(col("lid.confidence"), 4).as("confidence"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q41: text quality scoring — length/alpha/punct/stopword ratios
+    * plus a blended score, all per-row scalar math (portable IEEE ops
+    * mirrored exactly in the oracle SQL).
+    */
+  def q41(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    val txt = col("text")
+    val toks = tokens(txt)
+    val nWords = size(toks).cast("double")
+    val nChars = length(txt).cast("double")
+    val alphaRatio =
+      length(regexp_replace(txt, "[^A-Za-z]", "")).cast("double") / nChars
+    val punctRatio =
+      length(regexp_replace(txt, "[^.,;:!?]", "")).cast("double") / nChars
+    val enStop = Seq("the", "a", "of", "and", "to", "in", "is")
+    val stopRatio =
+      size(filter(toks, w => w.isin(enStop: _*))).cast("double") / nWords
+    val quality = least(nWords / 100.0, lit(1.0)) * 0.5 + stopRatio * 0.5
+    t.documents.select(
+      col("doc_id"),
+      nWords.cast("bigint").as("n_words"),
+      round(alphaRatio, 4).as("alpha_ratio"),
+      round(punctRatio, 4).as("punct_ratio"),
+      round(stopRatio, 4).as("stop_ratio"),
+      round(quality, 4).as("quality"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q41Sql: String =
+    """SELECT doc_id,
+      |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_words,
+      |  ROUND(CAST(len(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+      |        / CAST(len(text) AS DOUBLE), 4) AS alpha_ratio,
+      |  ROUND(CAST(len(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE)
+      |        / CAST(len(text) AS DOUBLE), 4) AS punct_ratio,
+      |  ROUND(CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+      |          w -> list_contains(['the','a','of','and','to','in','is'], w))) AS DOUBLE)
+      |        / CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE), 4) AS stop_ratio,
+      |  ROUND(LEAST(CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE) / 100.0, 1.0) * 0.5
+      |        + CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+      |            w -> list_contains(['the','a','of','and','to','in','is'], w))) AS DOUBLE)
+      |          / CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE) * 0.5, 4) AS quality
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** q42: token counting — whitespace tokens and a BPE-ish regex
+    * tokenizer (letter runs | single digits | single symbols), both
+    * RE2/Java-portable patterns.
+    */
+  def q42(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    t.documents.select(
+      col("doc_id"),
+      size(tokens(col("text"))).cast("bigint").as("ws_tokens"),
+      size(regexp_extract_all(col("text"),
+        lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"), lit(0)))
+        .cast("bigint").as("bpe_tokens"),
+      length(col("text")).cast("bigint").as("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q42Sql: String =
+    """SELECT doc_id,
+      |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS ws_tokens,
+      |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS BIGINT) AS bpe_tokens,
+      |  CAST(len(text) AS BIGINT) AS n_chars
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** q43: document fingerprinting — winnowed rolling-hash (char
+    * 8-grams, window 4): compact position-independent signatures for
+    * substring-level dup detection.
+    */
+  def q43(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    t.documents.select(
+      col("doc_id"),
+      graft.functions.expressions.TextExprs
+        .winnowFingerprints(normText(col("text")), 8, 4).as("fingerprints"))
+      .select(col("doc_id"),
+        size(col("fingerprints")).cast("bigint").as("n_fingerprints"),
+        col("fingerprints"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q44: corpus stats per source — doc counts, char/word volume,
+    * language spread, and exact-dup ratio, in one aggregation pass.
+    */
+  def q44(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    t.documents
+      .select(col("source"), col("lang"), col("n_chars"),
+        normText(col("text")).as("norm"),
+        size(tokens(col("text"))).cast("bigint").as("n_words"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        round(avg(col("n_chars")), 4).as("avg_chars"),
+        sum(col("n_words")).as("total_words"),
+        countDistinct(col("lang")).as("n_langs"),
+        round((count(lit(1)) - countDistinct(col("norm"))).cast("double") /
+          count(lit(1)).cast("double"), 4).as("dup_ratio"))
+      .orderBy(col("source"))
+  }
+
+  val q44Sql: String =
+    """SELECT source, COUNT(*) AS n_docs,
+      |  ROUND(AVG(n_chars), 4) AS avg_chars,
+      |  SUM(CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)) AS total_words,
+      |  COUNT(DISTINCT lang) AS n_langs,
+      |  ROUND(CAST(COUNT(*) - COUNT(DISTINCT lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS DOUBLE)
+      |        / CAST(COUNT(*) AS DOUBLE), 4) AS dup_ratio
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin
+
+  val entries: Seq[Entry] = Seq(
+    Entry("q30_dedup_exact", q30, Some(q30Sql)),
+    Entry("q31_dedup_minhash", q31, None),
+    Entry("q32_dedup_simhash", q32, None),
+    Entry("q33_ngram_jaccard", q33, None),
+    Entry("q40_lang_id", q40, None),
+    Entry("q41_text_quality", q41, Some(q41Sql)),
+    Entry("q42_token_count", q42, Some(q42Sql)),
+    Entry("q43_fingerprint", q43, None),
+    Entry("q44_text_stats", q44, Some(q44Sql)),
+  )
+}

@@ -1,0 +1,72 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Schema-enforced CSV ingest with distributed validation.
+  *
+  * The reference validates a CSV driver-side before upload — existence,
+  * extension, size (/root/reference/src/utils/fileHandling.js:12-46) —
+  * then ships the bytes to a hosted loader. Spark-native, validation is
+  * part of the scan itself: PERMISSIVE mode captures malformed rows in
+  * a `_corrupt_record` column, and the validation report is one
+  * aggregation over the data — it works the same on a 10 KB file and a
+  * 10 TB directory of files, with no driver-side row loop.
+  */
+object CsvSource {
+
+  val CorruptCol = "_graft_corrupt"
+
+  final case class Validation(
+      totalRows: Long,
+      badRows: Long,
+      files: Long) {
+    def ok: Boolean = badRows == 0
+  }
+
+  final case class Loaded(data: DataFrame, corrupt: DataFrame, report: Validation)
+
+  /** Read CSV(s) under `path` with the given schema enforced.
+    * Malformed rows (wrong arity, uncastable values) land in `corrupt`
+    * with the raw line preserved; clean rows in `data` without the
+    * corrupt column. One pass computes the report.
+    */
+  def read(spark: SparkSession, path: String, schema: StructType,
+           header: Boolean = true, delimiter: String = ","): Loaded = {
+    val withCorrupt = schema.add(CorruptCol, "string")
+    val raw = spark.read
+      .option("header", header)
+      .option("sep", delimiter)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", CorruptCol)
+      .schema(withCorrupt)
+      .csv(path)
+      // PERMISSIVE corrupt-record capture requires the parsed rows to be
+      // materialized before filtering on the corrupt column (Spark
+      // requirement: corrupt-column filters cannot be pushed into the
+      // parser). A cache here keeps it one scan for data + corrupt + report.
+      .cache()
+    val isBad: Column = col(CorruptCol).isNotNull
+    val data = raw.filter(!isBad).drop(CorruptCol)
+    val corrupt = raw.filter(isBad)
+    val Array(total, bad) = raw
+      .select(count(lit(1)), count(when(isBad, 1)))
+      .collect()(0).toSeq.map(_.asInstanceOf[Long]).toArray
+    val files = spark.read.text(path).inputFiles.length.toLong
+    Loaded(data, corrupt, Validation(total, bad, files))
+  }
+
+  /** Schema-drift check: columns present in the file header but not in
+    * the expected schema, and vice versa (distributed-safe: reads only
+    * the header line of each file via a limited scan).
+    */
+  def drift(spark: SparkSession, path: String, expected: StructType,
+            delimiter: String = ","): (Seq[String], Seq[String]) = {
+    val actual = spark.read
+      .option("header", true).option("sep", delimiter)
+      .csv(path).schema.fieldNames.toSeq
+    val exp = expected.fieldNames.toSeq
+    (actual.diff(exp), exp.diff(actual))
+  }
+}

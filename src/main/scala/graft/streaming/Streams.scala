@@ -1,0 +1,102 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types.StructType
+
+/** Structured Streaming surface: the continuous counterparts of the
+  * batch operators. The reference's pipeline is file-lands → job runs
+  * (/root/reference/import.js); streaming-native, the "job" is a
+  * continuously-running incremental query over a file source, with
+  * watermarks bounding state so it runs forever at 100 TB/day.
+  */
+object Streams {
+
+  /** Streaming ingest from a directory of parquet files: each new file
+    * becomes a micro-batch. `maxFilesPerTrigger` bounds batch size so
+    * a backlog replays at a controlled rate.
+    */
+  def parquetStream(spark: SparkSession, path: String, schema: StructType,
+                    maxFilesPerTrigger: Int = 16): DataFrame =
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(path)
+
+  /** Watermarked tumbling-window aggregation — the streaming mirror of
+    * batch q23 (count/sum per event_type per window). The watermark
+    * bounds state: windows older than `watermark` behind the max seen
+    * event time are finalized and evicted.
+    */
+  def windowedCounts(events: DataFrame,
+                     windowLen: String = "1 hour",
+                     watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value")).as("total_value"))
+      .select(col("window.start").as("window_start"),
+        col("event_type"), col("n_events"), col("total_value"))
+
+  // --- stateful sessionization (streaming mirror of batch q22) ---
+
+  final case class Ev(user_id: Long, ts: Timestamp, value: Double)
+  final case class SessionState(
+      sessionStartMs: Long, lastTsMs: Long, nEvents: Long, totalValue: Double)
+  final case class SessionOut(
+      user_id: Long, session_start: Timestamp, session_end: Timestamp,
+      n_events: Long, total_value: Double)
+
+  /** Close and emit sessions with a gap timeout: an event more than
+    * `gap` after the previous one (or `gap` of event-time silence,
+    * via the watermark-driven timeout) starts a new session. State is
+    * one small record per ACTIVE user — bounded, evicted on timeout —
+    * so this holds at millions of concurrent users.
+    */
+  def sessionize(events: Dataset[Ev], gapMs: Long = 30 * 60 * 1000L)(
+      implicit spark: SparkSession): Dataset[SessionOut] = {
+    import spark.implicits._
+    events
+      .withWatermark("ts", "2 hours")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (user: Long, evs: Iterator[Ev], state: GroupState[SessionState]) =>
+          if (evs.isEmpty && state.hasTimedOut) {
+            // event-time silence longer than the gap: close the session
+            val s = state.get
+            state.remove()
+            Iterator(SessionOut(user, new Timestamp(s.sessionStartMs),
+              new Timestamp(s.lastTsMs), s.nEvents, s.totalValue))
+          } else {
+            val sorted = evs.toSeq.sortBy(_.ts.getTime)
+            var closed = List.empty[SessionOut]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.lastTsMs <= gapMs =>
+                  cur = Some(s.copy(lastTsMs = math.max(s.lastTsMs, t),
+                    nEvents = s.nEvents + 1, totalValue = s.totalValue + e.value))
+                case Some(s) =>
+                  closed ::= SessionOut(user, new Timestamp(s.sessionStartMs),
+                    new Timestamp(s.lastTsMs), s.nEvents, s.totalValue)
+                  cur = Some(SessionState(t, t, 1, e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              // wake up when event time passes lastTs + gap to close it
+              state.setTimeoutTimestamp(s.lastTsMs + gapMs)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+}

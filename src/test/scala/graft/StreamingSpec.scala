@@ -1,0 +1,76 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import graft.streaming.Streams
+import graft.streaming.Streams.{Ev, SessionOut}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+class StreamingSpec extends SparkSpec {
+
+  // offset off epoch zero: a row whose event time equals the initial
+  // watermark (0) is dropped as late, which is not what we're testing
+  private val Base = 86400000L
+  private def ts(min: Long): Timestamp = new Timestamp(Base + min * 60000L)
+
+  test("parquetStream + windowedCounts matches the batch windowed aggregation") {
+    val dir = Files.createTempDirectory("graft-stream-in").toString
+    val events = Tables(spark, sf).events
+    events.write.mode("overwrite").parquet(dir)
+    val stream = Streams.parquetStream(spark, dir, events.schema)
+    assert(stream.isStreaming)
+    val q = Streams.windowedCounts(stream)
+      .writeStream.format("memory").queryName("win_counts")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(180000)
+    // append mode only emits watermark-closed windows; all but the final
+    // window close because the watermark advances past them.
+    val got = spark.table("win_counts")
+    val batch = events
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"))
+    val joined = got.alias("s").join(batch.alias("b"),
+      Seq("window_start", "event_type"))
+    // every emitted streaming row must exactly match its batch mirror
+    assert(joined.count() == got.count())
+    assert(joined.filter(col("s.n_events") =!= col("b.n_events")).count() == 0)
+    assert(got.count() > 0)
+  }
+
+  test("sessionize: gap > 30 min splits sessions; state closes on silence") {
+    implicit val s = spark
+    import s.implicits._
+    val input = MemoryStream[Ev](spark)
+    val sessions = Streams.sessionize(input.toDS())
+    val q = sessions.writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    try {
+      // user 1: two bursts separated by 45 min → two sessions
+      input.addData(
+        Ev(1, ts(0), 1.0), Ev(1, ts(10), 2.0),
+        Ev(1, ts(55), 4.0), Ev(1, ts(60), 8.0),
+        Ev(2, ts(5), 1.0))
+      q.processAllAvailable()
+      // advance the watermark far past everything so timeouts fire
+      input.addData(Ev(99, ts(600), 0.0))
+      q.processAllAvailable()
+      input.addData(Ev(98, ts(1200), 0.0))
+      q.processAllAvailable()
+      val out = spark.table("sessions").as[SessionOut].collect()
+        .filter(o => o.user_id == 1 || o.user_id == 2)
+        .sortBy(o => (o.user_id, o.session_start.getTime))
+      val u1 = out.filter(_.user_id == 1)
+      assert(u1.length == 2, s"expected 2 sessions for user 1, got ${u1.toSeq}")
+      assert(u1(0).n_events == 2 && u1(0).total_value == 3.0)
+      assert(u1(0).session_start == ts(0) && u1(0).session_end == ts(10))
+      assert(u1(1).n_events == 2 && u1(1).total_value == 12.0)
+      val u2 = out.filter(_.user_id == 2)
+      assert(u2.length == 1 && u2(0).n_events == 1)
+    } finally q.stop()
+  }
+}

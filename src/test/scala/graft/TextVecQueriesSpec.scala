@@ -1,0 +1,124 @@
+package graft
+
+import graft.functions.{TextOps, VecOps}
+import graft.queries.{TextQ, VecQ}
+import org.apache.spark.sql.functions._
+
+class TextVecQueriesSpec extends SparkSpec {
+
+  test("every text/vec entry runs and returns rows on sf0.001") {
+    (TextQ.entries ++ VecQ.entries).foreach { e =>
+      assert(e.run(spark, sf).count() > 0, s"${e.name} returned no rows")
+    }
+  }
+
+  test("q30 exact dedup keeps one id per normalized text") {
+    val t = Tables(spark, sf)
+    val norms = t.documents
+      .select(TextOps.normText(col("text")).as("n")).distinct().count()
+    assert(TextQ.q30(spark, sf).count() == norms)
+  }
+
+  test("q31 minhash finds the known near-dup pairs with high estimate") {
+    // ground truth from offline brute force at sf0.001: 28 pairs with
+    // 3-gram Jaccard >= 0.5, most >= 0.9 — LSH at 16 bands of 4 must
+    // recover nearly all of them.
+    val pairs = TextQ.q31(spark, sf).cache()
+    assert(pairs.count() >= 20, "LSH missed most known near-dup pairs")
+    assert(pairs.filter(col("est_jaccard") > 1.0 || col("est_jaccard") < 0.5).count() == 0)
+    // identical docs would estimate 1.0: check estimator on self-pair
+    val sig = t0Sig()
+    assert(sig == 1.0)
+    pairs.unpersist()
+  }
+
+  private def t0Sig(): Double = {
+    val t = Tables(spark, sf)
+    val d = t.documents.filter(col("doc_id") === 0)
+      .select(TextOps.minhashSig(TextOps.wordShingles(col("text"), 3), 64).as("s"))
+    d.select(TextOps.sigJaccard(col("s"), col("s"), 64).as("j"))
+      .collect()(0).getDouble(0)
+  }
+
+  test("q32 simhash pairs are all within hamming 3, and exist") {
+    val pairs = TextQ.q32(spark, sf).cache()
+    assert(pairs.count() > 0)
+    assert(pairs.filter(col("hamming") > 3).count() == 0)
+    pairs.unpersist()
+  }
+
+  test("q33 reported jaccard matches a brute-force recomputation") {
+    val t = Tables(spark, sf)
+    val res = TextQ.q33(spark, sf).cache()
+    assert(res.count() >= 20)
+    // recompute exact jaccard for reported pairs straight from shingles
+    val sh = t.documents.select(col("doc_id"),
+      TextOps.wordShingles(col("text"), 3).as("sh"))
+    val check = res
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sa")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sb")), "doc_b")
+      .select(col("jaccard"),
+        round(TextOps.exactJaccard(col("sa"), col("sb")), 4).as("truth"))
+    assert(check.filter(col("jaccard") =!= col("truth")).count() == 0)
+    res.unpersist()
+  }
+
+  test("q40 assigns every doc a language with confidence in [0,1]") {
+    val t = Tables(spark, sf)
+    val res = TextQ.q40(spark, sf).cache()
+    assert(res.count() == t.documents.count())
+    assert(res.filter(col("confidence") < 0 || col("confidence") > 1).count() == 0)
+    assert(res.filter(col("pred_lang").isNull).count() == 0)
+    res.unpersist()
+  }
+
+  test("q43 fingerprints: identical text => identical fingerprints, and shared content overlaps") {
+    val t = Tables(spark, sf)
+    val fp = TextQ.q43(spark, sf)
+    assert(fp.count() == t.documents.count())
+    assert(fp.filter(col("n_fingerprints") <= 0).count() == 0)
+    // winnowing is deterministic: recompute and diff
+    val again = TextQ.q43(spark, sf)
+    assert(fp.exceptAll(again).count() == 0)
+  }
+
+  test("q34 brute-force top-k: 10 neighbors per query, ranked by cosine desc") {
+    val res = VecQ.q34(spark, sf).cache()
+    assert(res.count() == 50) // 5 queries x 10 neighbors
+    val bad = res.groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n"), max(col("rnk")).as("mx"))
+      .filter(col("n") =!= 10 || col("mx") =!= 10).count()
+    assert(bad == 0)
+    // ranks are ordered by non-increasing similarity
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("query_id")).orderBy(col("rnk"))
+    assert(res.withColumn("prev", lag(col("cos_sim"), 1).over(w))
+      .filter(col("prev").isNotNull && col("cos_sim") > col("prev"))
+      .count() == 0)
+    res.unpersist()
+  }
+
+  test("q35 LSH ANN results are a subset of true similarities, with decent hit rate") {
+    val ann = VecQ.q35(spark, sf).cache()
+    assert(ann.count() > 0)
+    // every reported neighbor's cosine must match the brute-force value
+    val t = Tables(spark, sf)
+    val emb = t.embeddings.select(col("vec_id"), VecOps.toDoubles(col("embedding")).as("v"))
+    val q = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val truth = ann.join(q, "query_id")
+      .join(emb.select(col("vec_id").as("neighbor_id"), col("v")), "neighbor_id")
+      .select(col("cos_sim"),
+        round(VecOps.cosine(col("qv"), col("v")), 4).as("truth"))
+    assert(truth.filter(col("cos_sim") =!= col("truth")).count() == 0)
+    ann.unpersist()
+  }
+
+  test("q36 near-dup pairs all meet the threshold and are canonical (a<b)") {
+    val res = VecQ.q36(spark, sf).cache()
+    assert(res.count() > 0)
+    assert(res.filter(col("cos_sim") < 0.3).count() == 0)
+    assert(res.filter(col("vec_a") >= col("vec_b")).count() == 0)
+    res.unpersist()
+  }
+}
