@@ -51,6 +51,17 @@ object TextExprs {
 
   /** Distinct word n-gram shingles: tokens → array<string>. */
   def wordShingles(tokens: Column, n: Int): Column = c(WordShingles(x(tokens), n))
+
+  /** Fraction of agreeing components of two int-array signatures —
+    * the MinHash Jaccard estimator (identical to TextOps.sigJaccard).
+    */
+  def sigAgree(a: Column, b: Column, k: Int): Column = c(SigAgree(x(a), x(b), k))
+
+  /** LSH band keys of an int-array signature: b bands of r rows,
+    * band i's key = murmur3 fold of its slice (identical values to
+    * TextOps.bandKeys' hash(slice(sig, i*r+1, r))).
+    */
+  def bandKeys(sig: Column, b: Int, r: Int): Column = c(BandKeys(x(sig), b, r))
 }
 
 /** Murmur3 of a UTF8String with an int seed — exactly what the builtin
@@ -100,9 +111,13 @@ case class MinHashShingleSig(child: Expression, n: Int, k: Int)
         if (m == 1) parts(0)
         else UTF8String.concatWs(Hashing.Space,
           java.util.Arrays.copyOfRange(parts, 0, m): _*)
+      // replicate builtin hash(shingle, s): murmur3 bytes at seed 42,
+      // then fold the family index in as a hashed int — one byte-scan
+      // per shingle, k cheap int mixes
+      val h0 = Hashing.murmur3(shingle, 42)
       var s = 0
       while (s < k) {
-        val h = Hashing.murmur3(shingle, s)
+        val h = Murmur3_x86_32.hashInt(s, h0)
         if (h < mins(s)) mins(s) = h
         s += 1
       }
@@ -150,6 +165,62 @@ case class SimHash64(child: Expression)
   }
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Band keys for MinHash-LSH: the signature's b contiguous slices of
+  * r components, each folded with murmur3 exactly like the builtin
+  * `hash()` over an int array (running seed from 42).
+  */
+case class BandKeys(child: Expression, b: Int, r: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val sig = input.asInstanceOf[ArrayData]
+    val keys = new Array[Int](b)
+    var band = 0
+    while (band < b) {
+      var h = 42
+      var j = band * r
+      val end = math.min(j + r, sig.numElements())
+      while (j < end) { h = Murmur3_x86_32.hashInt(sig.getInt(j), h); j += 1 }
+      keys(band) = h
+      band += 1
+    }
+    new GenericArrayData(keys)
+  }
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/** Agreement fraction of two equal-length int signatures: the MinHash
+  * estimate of Jaccard similarity. Evaluated once per candidate pair
+  * inside the LSH bucket join — the single hottest expression of the
+  * dedup pipeline, so it must be a plain loop, not an interpreted
+  * zip_with/aggregate tree.
+  */
+case class SigAgree(left: Expression, right: Expression, k: Int)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with CodegenFallback {
+
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val va = a.asInstanceOf[ArrayData]
+    val vb = b.asInstanceOf[ArrayData]
+    val n = math.min(va.numElements(), vb.numElements())
+    var agree = 0
+    var i = 0
+    while (i < n) {
+      if (va.getInt(i) == vb.getInt(i)) agree += 1
+      i += 1
+    }
+    java.lang.Double.valueOf(agree.toDouble / k)
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
 }
 
 /** text: string → winnowed fingerprints (Schleimer et al. SIGMOD'03):

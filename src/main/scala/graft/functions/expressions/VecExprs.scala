@@ -1,0 +1,107 @@
+package graft.functions.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.hash.Murmur3_x86_32
+
+/** Native Catalyst expressions for the vector hot path (SURVEY.md §2
+  * row 52). The `functions._`-composed forms in
+  * [[graft.functions.VecOps]] stay as the reference semantics; these
+  * produce bit-identical values (same left-to-right double
+  * accumulation, same murmur3-derived hyperplanes) in one tight loop
+  * per row instead of interpreted `aggregate`/`zip_with` trees — the
+  * difference between an ANN candidate pass that takes seconds and one
+  * that takes minutes once pair counts reach the millions.
+  */
+object VecExprs {
+
+  private def c(e: Expression): Column = Bridge.column(e)
+  private def x(col: Column): Expression = Bridge.expression(col)
+
+  /** Dot product of two array<double>, left-to-right accumulation. */
+  def dot(a: Column, b: Column): Column = c(DotProduct(x(a), x(b)))
+
+  /** L2 norm of an array<double>. */
+  def l2(a: Column): Column = c(L2Norm(x(a)))
+
+  /** Random-hyperplane LSH signature (nBits sign bits packed into a
+    * long); identical values to VecOps.rhpSignature.
+    */
+  def rhpSignature(v: Column, nBits: Int): Column = c(RhpSignature(x(v), nBits))
+}
+
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val va = a.asInstanceOf[ArrayData]
+    val vb = b.asInstanceOf[ArrayData]
+    val n = math.min(va.numElements(), vb.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) { acc += va.getDouble(i) * vb.getDouble(i); i += 1 }
+    java.lang.Double.valueOf(acc)
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
+case class L2Norm(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    var acc = 0.0
+    var i = 0
+    val n = v.numElements()
+    while (i < n) { val d = v.getDouble(i); acc += d * d; i += 1 }
+    java.lang.Double.valueOf(math.sqrt(acc))
+  }
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/** Sign-random-projection signature (Charikar '02): bit b of the
+  * result is set iff v · w(b) > 0, where hyperplane component
+  * w(b)(i) = (pmod(murmur3(b, i), 2001) - 1000) / 1000 — the exact
+  * deterministic pseudo-hyperplane VecOps.planeWeight builds, so the
+  * two forms agree bit-for-bit with no RNG state to ship to executors.
+  */
+case class RhpSignature(child: Expression, nBits: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val dim = v.numElements()
+    var sig = 0L
+    var b = 0
+    while (b < nBits) {
+      // replicate builtin hash(b, i): murmur3 int chain from seed 42
+      val hb = Murmur3_x86_32.hashInt(b, 42)
+      var d = 0.0
+      var i = 0
+      while (i < dim) {
+        val h = Murmur3_x86_32.hashInt(i, hb)
+        val m = ((h % 2001) + 2001) % 2001
+        d += v.getDouble(i) * ((m - 1000).toDouble / 1000.0)
+        i += 1
+      }
+      if (d > 0) sig |= (1L << b)
+      b += 1
+    }
+    java.lang.Long.valueOf(sig)
+  }
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}

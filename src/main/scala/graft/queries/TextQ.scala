@@ -45,20 +45,35 @@ object TextQ {
   /** Per-doc MinHash signatures over word 3-gram shingles — native
     * expression (one O(tokens) pass/row; identical values to the
     * composed TextOps.minhashSig(wordShingles(..)) form).
+    *
+    * The trailing repartition is a deliberate materialization barrier:
+    * the LSH pipeline fans this column out into a window, two join
+    * branches and a scoring projection, and without the exchange
+    * Catalyst's projection collapsing would inline the minhash
+    * computation into every consumer (recomputing it per use). The
+    * exchange materializes the 64-int signatures once, and both join
+    * branches read the SAME shuffle output (ReusedExchange).
     */
   private def signatures(t: Tables): DataFrame =
     t.documents.select(col("doc_id"),
       graft.functions.expressions.TextExprs
         .minhashShingleSig(tokens(normText(col("text"))), 3, K).as("sig"))
+      .repartition(col("doc_id"))
 
-  /** Candidate near-dup pairs from LSH banding: docs sharing any band
-    * bucket. Hot buckets (> cap docs) are dropped — at 100 TB a
-    * degenerate shingle (e.g. boilerplate) would otherwise create a
-    * quadratic bucket; real dups still collide on their other bands.
+  /** Candidate near-dup pairs from LSH banding, scored in place: docs
+    * sharing any band bucket, with the MinHash Jaccard estimate
+    * computed natively INSIDE the bucket join projection. Pairs below
+    * `minEst` die before any shuffle — the post-join exchange carries
+    * only (doc_a, doc_b, est) survivors, never signature arrays.
+    * Hot buckets (> cap docs) are dropped — at 100 TB a degenerate
+    * shingle (e.g. boilerplate) would otherwise create a quadratic
+    * bucket; real dups still collide on their other bands.
     */
-  private def bandCandidates(sigs: DataFrame, cap: Int = 100): DataFrame = {
+  private def scoredCandidates(sigs: DataFrame, minEst: Double,
+                               cap: Int = 100): DataFrame = {
     val banded = sigs.select(col("doc_id"), col("sig"),
-      posexplode(bandKeys(col("sig"), B, R)).as(Seq("band", "bkey")))
+      posexplode(graft.functions.expressions.TextExprs
+        .bandKeys(col("sig"), B, R)).as(Seq("band", "bkey")))
     val wB = Window.partitionBy(col("band"), col("bkey"))
     val capped = banded
       .withColumn("bucket_n", count(lit(1)).over(wB))
@@ -69,7 +84,10 @@ object TextQ {
       col("doc_id").as("doc_b"), col("sig").as("sig_b"))
     lhs.join(rhs, Seq("band", "bkey"))
       .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"), col("sig_a"), col("sig_b"))
+      .select(col("doc_a"), col("doc_b"),
+        round(graft.functions.expressions.TextExprs
+          .sigAgree(col("sig_a"), col("sig_b"), K), 4).as("est_jaccard"))
+      .filter(col("est_jaccard") >= minEst)
       .dropDuplicates("doc_a", "doc_b")
   }
 
@@ -77,10 +95,7 @@ object TextQ {
     * Shuffle-linear: band-key exchange + in-bucket pairing only.
     */
   def q31(s: SparkSession, dir: String): DataFrame =
-    bandCandidates(signatures(Tables(s, dir)))
-      .select(col("doc_a"), col("doc_b"),
-        round(sigJaccard(col("sig_a"), col("sig_b"), K), 4).as("est_jaccard"))
-      .filter(col("est_jaccard") >= 0.5)
+    scoredCandidates(signatures(Tables(s, dir)), minEst = 0.5)
       .orderBy(col("doc_a"), col("doc_b"))
 
   /** q32: SimHash near-dup pairs — 64-bit signature, hamming <= 3 via
@@ -90,21 +105,32 @@ object TextQ {
     */
   def q32(s: SparkSession, dir: String): DataFrame = {
     val t = Tables(s, dir)
+    // barrier for the same reason as signatures(): the simhash column
+    // fans out into the block window + both join branches
     val sims = t.documents.select(col("doc_id"),
       graft.functions.expressions.TextExprs
         .simhash64(tokens(normText(col("text")))).as("sim"))
+      .repartition(col("doc_id"))
     val blocked = sims.select(col("doc_id"), col("sim"),
       posexplode(simhashBlocks(col("sim"), 4)).as(Seq("blk", "bval")))
-    val lhs = blocked.select(col("blk"), col("bval"),
+    // cap degenerate blocks (boilerplate-heavy corpora collapse many
+    // docs onto one block value → quadratic bucket); hamming computed
+    // and filtered in-bucket so only real near-dups reach the dedup
+    // exchange
+    val wB = Window.partitionBy(col("blk"), col("bval"))
+    val capped = blocked
+      .withColumn("bucket_n", count(lit(1)).over(wB))
+      .filter(col("bucket_n") <= 1000)
+    val lhs = capped.select(col("blk"), col("bval"),
       col("doc_id").as("doc_a"), col("sim").as("sim_a"))
-    val rhs = blocked.select(col("blk"), col("bval"),
+    val rhs = capped.select(col("blk"), col("bval"),
       col("doc_id").as("doc_b"), col("sim").as("sim_b"))
     lhs.join(rhs, Seq("blk", "bval"))
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"),
         hamming64(col("sim_a"), col("sim_b")).as("hamming"))
-      .dropDuplicates("doc_a", "doc_b")
       .filter(col("hamming") <= 3)
+      .dropDuplicates("doc_a", "doc_b")
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
@@ -117,7 +143,14 @@ object TextQ {
     val shingled = t.documents.select(col("doc_id"),
       graft.functions.expressions.TextExprs
         .wordShingles(tokens(normText(col("text"))), 3).as("sh"))
-    val cands = bandCandidates(signatures(t)).select(col("doc_a"), col("doc_b"))
+    // the candidate set is tiny relative to the corpus — broadcast it
+    // so the shingle table never shuffles (two broadcast-hash joins,
+    // shingles computed in the streaming side's single pass); a low
+    // est floor keeps every plausibly-similar candidate for exact
+    // scoring while still pruning the bucket cross products
+    val cands = broadcast(
+      scoredCandidates(signatures(t), minEst = 0.25)
+        .select(col("doc_a"), col("doc_b")))
     cands
       .join(shingled.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
       .join(shingled.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")

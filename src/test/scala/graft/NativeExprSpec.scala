@@ -1,0 +1,93 @@
+package graft
+
+import graft.functions.{TextOps, VecOps}
+import graft.functions.expressions.{TextExprs, VecExprs}
+import org.apache.spark.sql.functions._
+
+/** The native Catalyst expressions must produce values identical to
+  * their `functions._`-composed reference forms — same hashes, same
+  * IEEE accumulation order — so either implementation can verify the
+  * other (and swapping them into a hot path can never change results).
+  */
+class NativeExprSpec extends SparkSpec {
+
+  private def docs = Tables(spark, sf).documents
+  private def emb = Tables(spark, sf).embeddings
+    .select(col("vec_id"), VecOps.toDoubles(col("embedding")).as("v"))
+
+  test("native minhash+shingle signature == composed minhashSig(wordShingles)") {
+    val toks = TextOps.tokens(TextOps.normText(col("text")))
+    val both = docs.select(
+      TextExprs.minhashShingleSig(toks, 3, 64).as("native"),
+      TextOps.minhashSig(TextOps.wordShingles(col("text"), 3), 64).as("composed"))
+    assert(both.filter(col("native") =!= col("composed")).count() == 0)
+  }
+
+  test("native simhash64 == composed simhash64") {
+    val toks = TextOps.tokens(TextOps.normText(col("text")))
+    val both = docs.select(
+      TextExprs.simhash64(toks).as("native"),
+      TextOps.simhash64(toks).as("composed"))
+    assert(both.filter(col("native") =!= col("composed")).count() == 0)
+  }
+
+  test("native wordShingles == composed wordShingles") {
+    val toks = TextOps.tokens(TextOps.normText(col("text")))
+    val both = docs.select(
+      TextExprs.wordShingles(toks, 3).as("native"),
+      TextOps.wordShingles(col("text"), 3).as("composed"))
+    assert(both.filter(col("native") =!= col("composed")).count() == 0)
+  }
+
+  test("native bandKeys == composed bandKeys") {
+    val toks = TextOps.tokens(TextOps.normText(col("text")))
+    val sig = TextExprs.minhashShingleSig(toks, 3, 64)
+    val both = docs.select(
+      TextExprs.bandKeys(sig, 16, 4).as("native"),
+      TextOps.bandKeys(sig, 16, 4).as("composed"))
+    assert(both.filter(col("native") =!= col("composed")).count() == 0)
+  }
+
+  test("native sigAgree == composed sigJaccard") {
+    val toks = TextOps.tokens(TextOps.normText(col("text")))
+    val sig = TextExprs.minhashShingleSig(toks, 3, 64)
+    val both = docs.select(
+      TextExprs.sigAgree(sig, sig, 64).as("native"),
+      TextOps.sigJaccard(sig, sig, 64).as("composed"))
+    assert(both.filter(col("native") =!= col("composed")).count() == 0)
+  }
+
+  test("native dot/l2 == composed dot/l2 (bit-identical accumulation)") {
+    val a = emb.select(col("vec_id").as("k"), col("v").as("a"))
+    val b = emb.select((col("vec_id") - 1).as("k"), col("v").as("b"))
+    val both = a.join(b, "k").select(
+      VecExprs.dot(col("a"), col("b")).as("nd"),
+      VecOps.dot(col("a"), col("b")).as("cd"),
+      VecExprs.l2(col("a")).as("nl"),
+      VecOps.l2(col("a")).as("cl"))
+    assert(both.count() > 0)
+    assert(both.filter(col("nd") =!= col("cd") || col("nl") =!= col("cl")).count() == 0)
+  }
+
+  test("native rhpSignature == composed rhpSignature") {
+    val both = emb.select(
+      VecExprs.rhpSignature(col("v"), 16).as("native"),
+      VecOps.rhpSignature(col("v"), 16, 64).as("composed"))
+    assert(both.filter(col("native") =!= col("composed")).count() == 0)
+  }
+
+  test("winnow fingerprints: shared long substring => shared fingerprint") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val df = Seq(
+      (1L, s"PREFIX AAA $base SUFFIX BBB"),
+      (2L, s"other start $base different end")).toDF("id", "text")
+    val fps = df.select(col("id"),
+      TextExprs.winnowFingerprints(TextOps.normText(col("text")), 8, 4).as("fp"))
+    val shared = fps.as("a").join(fps.as("b"),
+        col("a.id") < col("b.id"))
+      .select(size(array_intersect(col("a.fp"), col("b.fp"))).as("common"))
+      .collect()(0).getInt(0)
+    assert(shared > 0, "docs sharing a 60-char substring must share fingerprints")
+  }
+}
