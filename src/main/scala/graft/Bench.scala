@@ -4,11 +4,11 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = EngineConf(
+      appName = "graft-bench",
+      master = Some(s"local[$cpus]"),
+      shufflePartitions = Some(cpus.toInt),
+      extraConf = Map("spark.ui.enabled" -> "false")).session()
     spark.sparkContext.setLogLevel("WARN")
     // warm-up: JVM/codegen/scheduler startup must not bill to whichever
     // query happens to run first

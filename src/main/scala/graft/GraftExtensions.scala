@@ -1,0 +1,77 @@
+package graft
+
+import graft.functions.expressions._
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Spark session extensions: registers graft's native Catalyst
+  * expressions as SQL functions, so `spark.sql` users get the same
+  * codegen-adjacent kernels as the DataFrame API
+  * (`SELECT graft_simhash64(tokens) FROM ...`).
+  *
+  * Activate via EngineConf (default) or explicitly:
+  * `spark.sql.extensions=graft.GraftExtensions`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def intArg(e: Expression, what: String): Int = e match {
+    case lit: org.apache.spark.sql.catalyst.expressions.Literal =>
+      lit.value.asInstanceOf[Number].intValue()
+    case other =>
+      throw new IllegalArgumentException(s"$what must be an integer literal, got $other")
+  }
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    def info(name: String, usage: String) =
+      new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage,
+        "", "", "", "", "", "", "scala_udf")
+
+    ext.injectFunction((FunctionIdentifier("graft_minhash_sig"),
+      info("graft_minhash_sig",
+        "graft_minhash_sig(tokens, n, k) - MinHash signature over word n-gram shingles"),
+      (args: Seq[Expression]) =>
+        MinHashShingleSig(args(0), intArg(args(1), "n"), intArg(args(2), "k"))))
+
+    ext.injectFunction((FunctionIdentifier("graft_simhash64"),
+      info("graft_simhash64",
+        "graft_simhash64(tokens) - 64-bit SimHash of a token array"),
+      (args: Seq[Expression]) => SimHash64(args(0))))
+
+    ext.injectFunction((FunctionIdentifier("graft_winnow_fp"),
+      info("graft_winnow_fp",
+        "graft_winnow_fp(text, k, w) - winnowed rolling-hash fingerprints"),
+      (args: Seq[Expression]) =>
+        WinnowFingerprints(args(0), intArg(args(1), "k"), intArg(args(2), "w"))))
+
+    ext.injectFunction((FunctionIdentifier("graft_word_shingles"),
+      info("graft_word_shingles",
+        "graft_word_shingles(tokens, n) - distinct word n-gram shingles"),
+      (args: Seq[Expression]) => WordShingles(args(0), intArg(args(1), "n"))))
+
+    ext.injectFunction((FunctionIdentifier("graft_band_keys"),
+      info("graft_band_keys",
+        "graft_band_keys(sig, b, r) - LSH band keys of a MinHash signature"),
+      (args: Seq[Expression]) =>
+        BandKeys(args(0), intArg(args(1), "b"), intArg(args(2), "r"))))
+
+    ext.injectFunction((FunctionIdentifier("graft_sig_agree"),
+      info("graft_sig_agree",
+        "graft_sig_agree(a, b, k) - agreeing fraction of two MinHash signatures"),
+      (args: Seq[Expression]) =>
+        SigAgree(args(0), args(1), intArg(args(2), "k"))))
+
+    ext.injectFunction((FunctionIdentifier("graft_dot"),
+      info("graft_dot", "graft_dot(a, b) - dot product of two double arrays"),
+      (args: Seq[Expression]) => DotProduct(args(0), args(1))))
+
+    ext.injectFunction((FunctionIdentifier("graft_l2"),
+      info("graft_l2", "graft_l2(a) - L2 norm of a double array"),
+      (args: Seq[Expression]) => L2Norm(args(0))))
+
+    ext.injectFunction((FunctionIdentifier("graft_rhp_sig"),
+      info("graft_rhp_sig",
+        "graft_rhp_sig(v, bits) - random-hyperplane LSH signature of a double array"),
+      (args: Seq[Expression]) => RhpSignature(args(0), intArg(args(1), "bits"))))
+  }
+}

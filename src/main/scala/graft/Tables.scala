@@ -38,9 +38,13 @@ final case class Tables(spark: SparkSession, dir: String) {
   def documents: DataFrame  = table("documents")
   def embeddings: DataFrame = table("embeddings")
 
-  /** Register every table as a temp view so spark.sql works too. */
-  def registerAll(): Unit =
-    Tables.names.foreach(n => table(n).createOrReplaceTempView(n))
+  /** Register every table as a temp view so spark.sql works too
+    * (events goes through the nanos-aware reader, not the raw scan).
+    */
+  def registerAll(): Unit = Tables.names.foreach { n =>
+    val df = if (n == "events") events else table(n)
+    df.createOrReplaceTempView(n)
+  }
 }
 
 object Tables {

@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** The SQL surface of the native expressions, injected by
+  * [[GraftExtensions]] through EngineConf (the shared test session is
+  * built with the extensions on, so plain `spark.sql` sees them).
+  */
+class ExtensionsSpec extends SparkSpec {
+
+  test("extension functions are callable from SQL and match the Column API") {
+    Tables(spark, sf).registerAll()
+    val viaSql = spark.sql(
+      """SELECT doc_id,
+        |  graft_simhash64(split(trim(lower(regexp_replace(text, '\\s+', ' '))), '\\s+')) AS sh,
+        |  graft_minhash_sig(split(trim(lower(regexp_replace(text, '\\s+', ' '))), '\\s+'), 3, 8) AS mh
+        |FROM documents""".stripMargin)
+    val toks = graft.functions.TextOps.tokens(
+      graft.functions.TextOps.normText(col("text")))
+    val viaCol = Tables(spark, sf).documents.select(
+      col("doc_id"),
+      graft.functions.expressions.TextExprs.simhash64(toks).as("sh"),
+      graft.functions.expressions.TextExprs.minhashShingleSig(toks, 3, 8).as("mh"))
+    assert(viaSql.exceptAll(viaCol).count() == 0)
+    assert(viaCol.exceptAll(viaSql).count() == 0)
+  }
+
+  test("vector SQL functions: dot, l2, rhp signature") {
+    val row = spark.sql(
+      """SELECT graft_dot(array(1.0d, 2.0d, 3.0d), array(4.0d, 5.0d, 6.0d)) AS d,
+        |       graft_l2(array(3.0d, 4.0d)) AS n,
+        |       graft_rhp_sig(array(1.0d, 0.0d), 8) AS s""".stripMargin).collect()(0)
+    assert(row.getDouble(0) == 32.0)
+    assert(row.getDouble(1) == 5.0)
+    // signature must be deterministic and within 8 bits
+    assert(row.getLong(2) == spark.sql(
+      "SELECT graft_rhp_sig(array(1.0d, 0.0d), 8)").collect()(0).getLong(0))
+    assert((row.getLong(2) & ~0xffL) == 0L)
+  }
+
+  test("non-literal size argument is rejected with a clear error") {
+    Tables(spark, sf).registerAll()
+    val e = intercept[Exception] {
+      spark.sql("SELECT graft_minhash_sig(split(text, ' '), doc_id, 8) FROM documents")
+        .collect()
+    }
+    assert(e.getMessage.contains("integer literal"))
+  }
+}

@@ -1,0 +1,81 @@
+package graft
+
+import graft.queries.{Core, CoreB}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+
+/** Plan-shape assertions for the properties that decide 100 TB
+  * behavior: filters/projections reaching the parquet scan, dimension
+  * joins broadcasting, no cartesian products where a key join exists.
+  * These are the `.explain` review of SURVEY §5, pinned as tests so a
+  * refactor can't silently regress a plan.
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  /** Physical plan before AQE stage materialization — scans and join
+    * strategies are decided here; the finalized adaptive tree hides
+    * earlier stages behind QueryStage references.
+    */
+  private def planOf(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  /** Plan after AQE finalization — for assertions about what AQE chose
+    * at runtime (e.g. broadcast conversions).
+    */
+  private def finalPlanOf(df: DataFrame): String = {
+    df.collect()
+    df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan.toString
+      case p => p.toString
+    }
+  }
+
+  test("q01: aggregation pushes only referenced columns into the scan") {
+    val plan = planOf(Core.q01(spark, sf))
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate)"),
+      s"filter not pushed:\n$plan")
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!readSchema.contains("l_comment") && !readSchema.contains("l_partkey"),
+      s"scan reads unreferenced columns: $readSchema")
+  }
+
+  test("q02: predicate AND projection push down to parquet") {
+    val plan = planOf(Core.q02(spark, sf))
+    // plan toString truncates long field lists at 100 chars — match a
+    // prefix that survives truncation
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate)"),
+      s"missing pushdown:\n$plan")
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).get
+    assert(readSchema.contains("l_orderkey") && !readSchema.contains("l_tax"),
+      s"projection not pruned: $readSchema")
+  }
+
+  test("q03/q04: dimension joins are broadcast, not shuffled") {
+    val p3 = finalPlanOf(Core.q03(spark, sf))
+    assert(p3.contains("BroadcastHashJoin"), s"q03 dim join not broadcast:\n$p3")
+    assert(!p3.contains("SortMergeJoin"), s"q03 shuffled a dim join:\n$p3")
+    val p4 = finalPlanOf(Core.q04(spark, sf))
+    assert(p4.contains("BroadcastHashJoin"), s"q04 without broadcast:\n$p4")
+  }
+
+  test("q06: global sort+limit is a TakeOrderedAndProject, not a full sort") {
+    val plan = planOf(Core.q06(spark, sf))
+    assert(plan.contains("TakeOrderedAndProject"), s"q06 full-sorts:\n$plan")
+  }
+
+  test("q21 as-of join plans with one shuffle on the key, no cross join") {
+    val plan = finalPlanOf(CoreB.q21(spark, sf))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"as-of join fell back to a product:\n$plan")
+  }
+
+  test("no query plans a cartesian product (except the intentional q34 broadcast)") {
+    val exempt = Set("q34_embed_cosine_topk") // tiny broadcast query set x corpus
+    SparkEntry.all.filterNot(e => exempt(e.name)).foreach { e =>
+      val plan = e.run(spark, sf).queryExecution.sparkPlan.toString
+      assert(!plan.contains("CartesianProduct"),
+        s"${e.name} plans a CartesianProduct")
+    }
+  }
+}

@@ -6,13 +6,11 @@ import org.scalatest.funsuite.AnyFunSuite
 /** Shared local session for all suites (one JVM, forked by sbt). */
 object TestSpark {
   lazy val spark: SparkSession = {
-    val s = SparkSession.builder()
-      .master("local[4]")
-      .appName("graft-test")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val s = EngineConf(
+      appName = "graft-test",
+      master = Some("local[4]"),
+      shufflePartitions = Some(4),
+      extraConf = Map("spark.ui.enabled" -> "false")).session()
     s.sparkContext.setLogLevel("WARN")
     s
   }
