@@ -137,9 +137,82 @@ object VecQ {
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
+  // ---- IVF (inverted-file) ANN: coarse k-means quantizer ----
+
+  /** Nearest-centroid assignment: vectors × broadcast centroids, keep
+    * the `keep` closest clusters per vector (keep=1 builds the index;
+    * keep=nprobe routes queries). Cosine distance.
+    */
+  private def assign(vectors: DataFrame, centroids: DataFrame,
+                     keep: Int): DataFrame = {
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("dist").asc, col("cluster_id"))
+    vectors.crossJoin(broadcast(centroids))
+      .select(col("vec_id"), col("v"), col("nrm"), col("cluster_id"),
+        (lit(1.0) - VecExprs.dot(col("v"), col("cv")) /
+          (col("nrm") * col("cnrm"))).as("dist"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= keep)
+      .drop("rn", "dist")
+  }
+
+  /** Element-wise mean of each cluster's vectors (the Lloyd update):
+    * explode to (cluster, pos, component), average, reassemble.
+    */
+  private def recenter(assigned: DataFrame): DataFrame =
+    assigned
+      .select(col("cluster_id"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col("cluster_id"), col("pos")).agg(avg(col("x")).as("m"))
+      .groupBy(col("cluster_id"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+      .select(col("cluster_id"),
+        transform(col("pm"), e => e.getField("m")).as("cv"))
+      .withColumn("cnrm", VecExprs.l2(col("cv")))
+
+  /** q37: IVF ANN — a k-means coarse quantizer (deterministic seed
+    * vectors, `iters` Lloyd rounds) partitions the corpus into K
+    * inverted lists; each query probes only its `nprobe` nearest
+    * lists, so per-query work is nprobe/K of the corpus instead of a
+    * full scan. The index build is batch-amortized (at 100 TB: built
+    * once, persisted bucketed by cluster_id); recall/latency trades
+    * via nprobe with no plan change.
+    */
+  def q37(s: SparkSession, dir: String, k: Int = 16, nprobe: Int = 4,
+          iters: Int = 3): DataFrame = {
+    val e = emb(Tables(s, dir))
+    // deterministic seeds: the k lowest vec_ids
+    var centroids = e.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cluster_id"), col("v").as("cv"),
+        col("nrm").as("cnrm"))
+    var it = 0
+    while (it < iters) {
+      centroids = recenter(assign(e, centroids, keep = 1))
+      it += 1
+    }
+    val index = assign(e, centroids, keep = 1)
+      .select(col("cluster_id"), col("vec_id"), col("v"), col("nrm"))
+    val probes = assign(
+      e.filter(col("vec_id") < NQueries), centroids, keep = nprobe)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn"), col("cluster_id"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    index.join(broadcast(probes), Seq("cluster_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        (VecExprs.dot(col("qv"), col("v")) / (col("qn") * col("nrm"))).as("sim"))
+      .dropDuplicates("query_id", "vec_id")
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 10)
+      .select(col("query_id"), col("rnk"), col("vec_id").as("neighbor_id"),
+        round(col("sim"), 4).as("cos_sim"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
   val entries: Seq[Entry] = Seq(
     Entry("q34_embed_cosine_topk", q34, Some(q34Sql)),
     Entry("q35_ann_lsh", q35, None),
     Entry("q36_embed_dedup", (s, d) => q36(s, d), None),
+    Entry("q37_ann_ivf", (s, d) => q37(s, d), None),
   )
 }

@@ -42,6 +42,24 @@ object Streams {
       .select(col("window.start").as("window_start"),
         col("event_type"), col("n_events"), col("total_value"))
 
+  /** Streaming exact dedup — the continuous mirror of batch q30: emit
+    * each document once, keyed by the xxhash64 of its normalized text.
+    * `dropDuplicatesWithinWatermark` bounds the seen-keys state to the
+    * watermark horizon, so state stays O(docs-per-horizon) instead of
+    * growing forever — the only shape that runs indefinitely on a
+    * 100 TB/day feed. (Cross-horizon dedup belongs to the batch layer
+    * with a persisted fingerprint table.)
+    */
+  def dedupExact(docs: DataFrame, tsCol: String = "ts",
+                 textCol: String = "text",
+                 watermark: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("_graft_norm_hash",
+        xxhash64(lower(trim(regexp_replace(col(textCol), "\\s+", " ")))))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("_graft_norm_hash")
+      .drop("_graft_norm_hash")
+
   // --- stateful sessionization (streaming mirror of batch q22) ---
 
   final case class Ev(user_id: Long, ts: Timestamp, value: Double)

@@ -10,7 +10,11 @@ object TestSpark {
       appName = "graft-test",
       master = Some("local[4]"),
       shufflePartitions = Some(4),
-      extraConf = Map("spark.ui.enabled" -> "false")).session()
+      extraConf = Map(
+        "spark.ui.enabled" -> "false",
+        "spark.sql.warehouse.dir" ->
+          java.nio.file.Files.createTempDirectory("graft-warehouse").toString
+      )).session()
     s.sparkContext.setLogLevel("WARN")
     s
   }

@@ -42,6 +42,31 @@ class StreamingSpec extends SparkSpec {
     assert(got.count() > 0)
   }
 
+  test("dedupExact: same normalized text within the watermark emits once") {
+    implicit val s = spark
+    import s.implicits._
+    val input = MemoryStream[(Long, Timestamp, String)](spark)
+    val docs = input.toDF().toDF("doc_id", "ts", "text")
+    val q = Streams.dedupExact(docs)
+      .writeStream.format("memory").queryName("dedup_docs")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (1L, ts(0), "hello   world"),
+        (2L, ts(1), "Hello WORLD"),     // same after normalization
+        (3L, ts(2), "something else"),
+        (4L, ts(3), "hello world"))     // dup again
+      q.processAllAvailable()
+      input.addData((5L, ts(10), "a fresh document"))
+      q.processAllAvailable()
+      val out = spark.table("dedup_docs").select("doc_id")
+        .as[Long].collect().sorted
+      assert(out.length == 3, s"expected 3 unique docs, got ${out.toSeq}")
+      // doc 1 kept (first), 2 and 4 deduped, 3 and 5 kept
+      assert(out.contains(1L) && out.contains(3L) && out.contains(5L))
+    } finally q.stop()
+  }
+
   test("sessionize: gap > 30 min splits sessions; state closes on silence") {
     implicit val s = spark
     import s.implicits._

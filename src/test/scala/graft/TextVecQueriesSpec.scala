@@ -114,6 +114,22 @@ class TextVecQueriesSpec extends SparkSpec {
     ann.unpersist()
   }
 
+  test("q37 IVF ANN: 10 correct-cosine neighbors per query, sane recall vs brute force") {
+    val ivf = VecQ.q37(spark, sf).cache()
+    val brute = VecQ.q34(spark, sf).cache()
+    // exactly 10 per query
+    assert(ivf.groupBy("query_id").count()
+      .filter(col("count") =!= 10).count() == 0)
+    // every reported cosine must equal the brute-force value for that pair
+    val joined = ivf.alias("i").join(brute.alias("b"),
+      Seq("query_id", "neighbor_id"))
+    assert(joined.filter(col("i.cos_sim") =!= col("b.cos_sim")).count() == 0)
+    // probing 4/16 lists must still recover a sane share of true top-10
+    val recall = joined.count().toDouble / brute.count()
+    assert(recall >= 0.2, s"IVF recall $recall too low")
+    ivf.unpersist(); brute.unpersist()
+  }
+
   test("q36 near-dup pairs all meet the threshold and are canonical (a<b)") {
     val res = VecQ.q36(spark, sf).cache()
     assert(res.count() > 0)
