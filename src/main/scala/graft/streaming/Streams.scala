@@ -60,6 +60,61 @@ object Streams {
       .dropDuplicatesWithinWatermark("_graft_norm_hash")
       .drop("_graft_norm_hash")
 
+  // --- streaming near-dup detection (continuous mirror of batch q32) ---
+
+  final case class BlockedDoc(blk: Int, bval: Long, doc_id: Long, sim: Long)
+  final case class BlockState(ids: List[Long], sims: List[Long])
+  final case class NearDup(doc_a: Long, doc_b: Long, hamming: Int)
+
+  /** Continuous SimHash near-dup detection: each incoming document's
+    * 64-bit simhash is split into 4 pigeonhole blocks (any pair within
+    * hamming 3 agrees exactly on >= 1 block); per (block, value)
+    * bucket, bounded state holds the last `cap` docs seen, and each
+    * arrival is compared against ONLY its bucket — emitting a NearDup
+    * event per hit. One stateful operator, state O(buckets × cap);
+    * the same pair may be detected via several blocks — consumers (or
+    * a downstream batch dedup) collapse duplicates.
+    *
+    * Input: (doc_id, sim) with sim = simhash64 of the normalized
+    * tokens (compute with TextExprs.simhash64 in the select before
+    * calling — keeping this function narrow keeps the state schema
+    * stable).
+    */
+  def nearDupDetections(docs: Dataset[(Long, Long)], cap: Int = 256,
+                        maxHamming: Int = 3)(
+      implicit spark: SparkSession): Dataset[NearDup] = {
+    import spark.implicits._
+    val blocked = docs.flatMap { case (id, sim) =>
+      (0 until 4).map { b =>
+        BlockedDoc(b, (sim >>> (b * 16)) & 0xffffL, id, sim)
+      }
+    }
+    blocked
+      .groupByKey(d => (d.blk, d.bval))
+      .flatMapGroupsWithState[BlockState, NearDup](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_, ds: Iterator[BlockedDoc], state: GroupState[BlockState]) =>
+          var st = state.getOption.getOrElse(BlockState(Nil, Nil))
+          val out = scala.collection.mutable.ListBuffer.empty[NearDup]
+          ds.foreach { d =>
+            val hits = st.ids.iterator.zip(st.sims.iterator)
+              .filter { case (pid, psim) =>
+                pid != d.doc_id &&
+                  java.lang.Long.bitCount(psim ^ d.sim) <= maxHamming
+              }
+            hits.foreach { case (pid, psim) =>
+              out += NearDup(math.min(pid, d.doc_id), math.max(pid, d.doc_id),
+                java.lang.Long.bitCount(psim ^ d.sim))
+            }
+            // bounded FIFO: newest first, oldest evicted past `cap`
+            st = BlockState((d.doc_id :: st.ids).take(cap),
+              (d.sim :: st.sims).take(cap))
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   // --- stateful sessionization (streaming mirror of batch q22) ---
 
   final case class Ev(user_id: Long, ts: Timestamp, value: Double)

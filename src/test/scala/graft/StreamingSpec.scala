@@ -67,6 +67,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("nearDupDetections: hamming<=3 pairs detected across batches, distant pairs not") {
+    implicit val s = spark
+    import s.implicits._
+    val input = MemoryStream[(Long, Long)](spark)
+    val q = Streams.nearDupDetections(input.toDS())
+      .writeStream.format("memory").queryName("near_dups")
+      .outputMode("append").start()
+    try {
+      val base = 0x0123456789abcdefL
+      input.addData((1L, base), (2L, base ^ 0x7L)) // hamming 3 from base
+      q.processAllAvailable()
+      // cross-batch: doc 3 is hamming 1 from base; doc 4 is far away
+      input.addData((3L, base ^ 0x10L), (4L, ~base))
+      q.processAllAvailable()
+      val out = spark.table("near_dups")
+        .select("doc_a", "doc_b", "hamming").distinct()
+        .as[(Long, Long, Int)].collect().toSet
+      assert(out.contains((1L, 2L, 3)), s"missed same-batch pair: $out")
+      assert(out.contains((1L, 3L, 1)), s"missed cross-batch pair: $out")
+      assert(!out.exists(p => p._1 == 4L || p._2 == 4L),
+        s"false positive with distant doc: $out")
+      // hamming(2,3): base^7 vs base^0x10 = 4 bits -> must NOT be reported
+      assert(!out.contains((2L, 3L, 4)), s"pair beyond threshold reported: $out")
+    } finally q.stop()
+  }
+
   test("sessionize: gap > 30 min splits sessions; state closes on silence") {
     implicit val s = spark
     import s.implicits._
