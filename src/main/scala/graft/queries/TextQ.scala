@@ -173,6 +173,38 @@ object TextQ {
       .orderBy(col("doc_id"))
   }
 
+  /** DuckDB mirror of q40: same stopword profiles, same
+    * greatest(n,1) normalization, and the same argmax semantics —
+    * struct comparison is field-ordered in both engines, so a
+    * confidence tie resolves to the lexicographically largest
+    * language code on both sides.
+    */
+  val q40Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    regexp_split_to_array(trim(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))), '\s+') AS t
+      |  FROM documents),
+      |scored AS (
+      |  SELECT doc_id,
+      |    GREATEST(CAST(len(t) AS DOUBLE), 1.0) AS n,
+      |    CAST(len(list_filter(t, w -> list_contains(['the','a','of','and','to','in','is','that','it','for'], w))) AS DOUBLE) AS h_en,
+      |    CAST(len(list_filter(t, w -> list_contains(['der','die','das','und','ist','nicht','ein','zu','mit','ich'], w))) AS DOUBLE) AS h_de,
+      |    CAST(len(list_filter(t, w -> list_contains(['le','la','les','et','est','une','des','que','pour','dans'], w))) AS DOUBLE) AS h_fr,
+      |    CAST(len(list_filter(t, w -> list_contains(['el','la','los','las','y','es','una','que','por','con'], w))) AS DOUBLE) AS h_es,
+      |    CAST(len(list_filter(t, w -> list_contains(['的','是','不','了','在','人','有','我','他','这'], w))) AS DOUBLE) AS h_zh
+      |  FROM toks),
+      |best AS (
+      |  SELECT doc_id,
+      |    list_max([
+      |      {'confidence': h_en / n, 'lang': 'en'},
+      |      {'confidence': h_de / n, 'lang': 'de'},
+      |      {'confidence': h_fr / n, 'lang': 'fr'},
+      |      {'confidence': h_es / n, 'lang': 'es'},
+      |      {'confidence': h_zh / n, 'lang': 'zh'}]) AS b
+      |  FROM scored)
+      |SELECT doc_id, b.lang AS pred_lang, ROUND(b.confidence, 4) AS confidence
+      |FROM best ORDER BY doc_id""".stripMargin
+
   /** q41: text quality scoring — length/alpha/punct/stopword ratios
     * plus a blended score, all per-row scalar math (portable IEEE ops
     * mirrored exactly in the oracle SQL).
@@ -290,7 +322,7 @@ object TextQ {
     Entry("q31_dedup_minhash", q31, None),
     Entry("q32_dedup_simhash", q32, None),
     Entry("q33_ngram_jaccard", q33, None),
-    Entry("q40_lang_id", q40, None),
+    Entry("q40_lang_id", q40, Some(q40Sql)),
     Entry("q41_text_quality", q41, Some(q41Sql)),
     Entry("q42_token_count", q42, Some(q42Sql)),
     Entry("q43_fingerprint", q43, None),
