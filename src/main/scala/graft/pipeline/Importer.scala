@@ -43,23 +43,34 @@ final class Importer(
       throw new NoSuchElementException(s"template $templateId not registered")
     }
     val loaded = CsvSource.read(spark, csvPath, schema)
-    audit.logUpload(
-      "file" -> csvPath, "templateId" -> templateId,
-      "rows" -> loaded.report.totalRows.toString,
-      "badRows" -> loaded.report.badRows.toString)
-    val compiled = template.compile(loaded.data)
-    val violations = template.check(loaded.data)
-    val jobId = runner.submit(s"import:$csvPath") { _ =>
-      Retry(retry, onRetry = (attempt, e) =>
-        audit.logError("action" -> "import-write", "attempt" -> attempt.toString,
-          "error" -> String.valueOf(e.getMessage))) {
-        if (loaded.report.badRows > 0)
-          loaded.corrupt.write.mode(SaveMode.Overwrite)
-            .json(outPath + "_corrupt")
-        ParquetSource.write(compiled, outPath)
+    try {
+      audit.logUpload(
+        "file" -> csvPath, "templateId" -> templateId,
+        "rows" -> loaded.report.totalRows.toString,
+        "badRows" -> loaded.report.badRows.toString)
+      val compiled = template.compile(loaded.data)
+      val violations = template.check(loaded.data)
+      val jobId = runner.submitWithId(s"import:$csvPath") { (_, id) =>
+        // a deliberately-cancelled write must not be retried to
+        // completion behind the caller's back
+        try Retry(retry,
+          onRetry = (attempt, e) =>
+            audit.logError("action" -> "import-write",
+              "attempt" -> attempt.toString,
+              "error" -> String.valueOf(e.getMessage)),
+          retryIf = _ => !runner.isCancelled(id)) {
+          if (loaded.report.badRows > 0)
+            loaded.corrupt.write.mode(SaveMode.Overwrite)
+              .json(outPath + "_corrupt")
+          ParquetSource.write(compiled, outPath)
+        } finally loaded.release()
       }
+      ImportHandle(jobId, loaded.report, violations)
+    } catch {
+      // compile/check failed before the job owned the cache: release
+      // here or the cached scan leaks with no handle to free it
+      case e: Throwable => loaded.release(); throw e
     }
-    ImportHandle(jobId, loaded.report, violations)
   }
 
   def status(jobId: String): JobRunner.Status = runner.status(jobId)

@@ -51,7 +51,19 @@ final class JobRunner(spark: SparkSession, audit: Option[AuditLog] = None) {
   /** Submit a job; returns its id immediately. The body runs on a
     * daemon thread inside a Spark job group keyed by the id.
     */
-  def submit(name: String)(body: SparkSession => Unit): String = {
+  def submit(name: String)(body: SparkSession => Unit): String =
+    submitWithId(name)((s, _) => body(s))
+
+  /** True once cancel(jobId) has been requested (whether or not the
+    * job has observed it yet) — lets job bodies veto retries of
+    * deliberately-interrupted work.
+    */
+  def isCancelled(jobId: String): Boolean = cancelled.contains(jobId)
+
+  /** Like submit, but the body also receives its own job id (for
+    * cancellation-aware retry logic).
+    */
+  def submitWithId(name: String)(body: (SparkSession, String) => Unit): String = {
     val id = s"job-${seq.incrementAndGet()}"
     jobs.put(id, JobInfo(id, name, Pending, None, System.currentTimeMillis(), None))
     audit.foreach(_.logJob("jobId" -> id, "action" -> "submit", "name" -> name))
@@ -60,7 +72,7 @@ final class JobRunner(spark: SparkSession, audit: Option[AuditLog] = None) {
         update(id)(_.copy(status = Running))
         spark.sparkContext.setJobGroup(id, name, interruptOnCancel = true)
         try {
-          body(spark)
+          body(spark, id)
           val fin = if (cancelled.contains(id)) Cancelled else Succeeded
           update(id)(_.copy(status = fin,
             finishedAtMs = Some(System.currentTimeMillis())))

@@ -175,10 +175,14 @@ object VecQ {
     * lists, so per-query work is nprobe/K of the corpus instead of a
     * full scan. The index build is batch-amortized (at 100 TB: built
     * once, persisted bucketed by cluster_id); recall/latency trades
-    * via nprobe with no plan change.
+    * via nprobe with no plan change. Two Lloyd rounds are the default:
+    * the coarse quantizer only routes probes (exact cosine re-ranks
+    * inside the probed lists), so loose centroids cost a little
+    * recall, never correctness; raise `iters` when recall targets
+    * tighten.
     */
   def q37(s: SparkSession, dir: String, k: Int = 16, nprobe: Int = 4,
-          iters: Int = 3): DataFrame = {
+          iters: Int = 2): DataFrame = {
     val e = emb(Tables(s, dir))
     // deterministic seeds: the k lowest vec_ids
     var centroids = e.filter(col("vec_id") < k)

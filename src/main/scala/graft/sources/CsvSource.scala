@@ -25,7 +25,21 @@ object CsvSource {
     def ok: Boolean = badRows == 0
   }
 
-  final case class Loaded(data: DataFrame, corrupt: DataFrame, report: Validation)
+  final case class Loaded(data: DataFrame, corrupt: DataFrame,
+                          report: Validation,
+                          private val raw: DataFrame) {
+    /** Release the scan cache once `data`/`corrupt` have been consumed
+      * (written out or materialized). A service looping over imports
+      * would otherwise accumulate cached scans.
+      *
+      * Caveat: Spark caches by logical-plan equality, so two
+      * CONCURRENT reads of the same path share one entry and the
+      * first release drops it for both (the second read then
+      * recomputes — correct, just not single-scan). Serialize imports
+      * of the same path if that matters.
+      */
+    def release(): Unit = { raw.unpersist(); () }
+  }
 
   /** Read CSV(s) under `path` with the given schema enforced.
     * Malformed rows (wrong arity, uncastable values) land in `corrupt`
@@ -47,14 +61,20 @@ object CsvSource {
       // requirement: corrupt-column filters cannot be pushed into the
       // parser). A cache here keeps it one scan for data + corrupt + report.
       .cache()
-    val isBad: Column = col(CorruptCol).isNotNull
-    val data = raw.filter(!isBad).drop(CorruptCol)
-    val corrupt = raw.filter(isBad)
-    val Array(total, bad) = raw
-      .select(count(lit(1)), count(when(isBad, 1)))
-      .collect()(0).toSeq.map(_.asInstanceOf[Long]).toArray
-    val files = spark.read.text(path).inputFiles.length.toLong
-    Loaded(data, corrupt, Validation(total, bad, files))
+    try {
+      val isBad: Column = col(CorruptCol).isNotNull
+      val data = raw.filter(!isBad).drop(CorruptCol)
+      val corrupt = raw.filter(isBad)
+      val Array(total, bad) = raw
+        .select(count(lit(1)), count(when(isBad, 1)))
+        .collect()(0).toSeq.map(_.asInstanceOf[Long]).toArray
+      val files = spark.read.text(path).inputFiles.length.toLong
+      Loaded(data, corrupt, Validation(total, bad, files), raw)
+    } catch {
+      // the caller gets no Loaded handle on failure, so the cache must
+      // be freed here or it is pinned with no way to release it
+      case e: Throwable => raw.unpersist(); throw e
+    }
   }
 
   /** Schema-drift check: columns present in the file header but not in

@@ -18,16 +18,19 @@ object Retry {
       maxBackoff: FiniteDuration = 30.seconds)
 
   /** Run `body`, retrying on non-fatal failure with exponential backoff.
-    * `onRetry(attempt, error)` fires before each sleep (audit hook).
+    * `onRetry(attempt, error)` fires before each sleep (audit hook);
+    * `retryIf` can veto a retry (e.g. don't re-run a write whose job
+    * was deliberately cancelled).
     */
   def apply[A](policy: Policy = Policy(),
-               onRetry: (Int, Throwable) => Unit = (_, _) => ())(body: => A): A = {
+               onRetry: (Int, Throwable) => Unit = (_, _) => (),
+               retryIf: Throwable => Boolean = _ => true)(body: => A): A = {
     var backoffMs = policy.firstBackoff.toMillis
     var attempt = 1
     while (true) {
       try return body
       catch {
-        case NonFatal(e) if attempt < policy.attempts =>
+        case NonFatal(e) if attempt < policy.attempts && retryIf(e) =>
           onRetry(attempt, e)
           Thread.sleep(backoffMs)
           backoffMs = math.min((backoffMs * policy.multiplier).toLong,

@@ -22,6 +22,11 @@ object Salt {
   /** Random-but-deterministic salt in [0, factor): derived from the
     * row's whole content hash, not an RNG (re-runs and retries must
     * salt identically).
+    *
+    * Caveat: content salt spreads DISTINCT rows of a hot key; a key
+    * whose volume is bit-identical duplicate rows lands on one salt.
+    * That shape is an exact-dedup problem (q30) — dedup first, then
+    * aggregate.
     */
   def addSalt(df: DataFrame, factor: Int): DataFrame =
     df.withColumn(SaltCol,
