@@ -13,10 +13,13 @@ object Bench {
     // warm-up: JVM/codegen/scheduler startup must not bill to whichever
     // query happens to run first
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
+    // a failed query must not report its (tiny) time-to-failure as a
+    // benchmark result: -1 marks it unmistakably in the JSON
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok = try { fn(spark, sfDir).count(); true }
+               catch { case _: Throwable => false }
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

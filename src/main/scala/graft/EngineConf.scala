@@ -35,9 +35,22 @@ final case class EngineConf(
       .config("spark.sql.session.timeZone", timezone)
       .config("spark.sql.adaptive.enabled", adaptiveEnabled.toString)
       .config("spark.sql.adaptive.skewJoin.enabled", adaptiveEnabled.toString)
+      // engine-level policy, set once and visibly here (not as a hidden
+      // side effect of a table read): TIMESTAMP(NANOS) parquet columns
+      // surface as long, and Tables.events rebuilds TimestampType from
+      // them — without this the vectorized reader rejects such files
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     if (extensionsEnabled)
       b = b.config("spark.sql.extensions", classOf[GraftExtensions].getName)
     extraConf.foreach { case (k, v) => b = b.config(k, v) }
-    b.getOrCreate()
+    val s = b.getOrCreate()
+    // spark.sql.extensions is a STATIC conf: if a session already
+    // existed, getOrCreate returns it untouched and the graft_* SQL
+    // functions are silently missing — surface that loudly
+    if (extensionsEnabled && !s.catalog.functionExists("graft_dot"))
+      System.err.println(
+        "[graft] WARNING: existing SparkSession without GraftExtensions — " +
+          "graft_* SQL functions unavailable (DataFrame API unaffected)")
+    s
   }
 }

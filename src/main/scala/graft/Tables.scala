@@ -27,9 +27,16 @@ final case class Tables(spark: SparkSession, dir: String) {
     * which Spark's vectorized reader rejects. Read nanos as long and
     * rebuild a microsecond TimestampType column (integer DIV — a
     * double division would lose precision above 2^53 ns).
+    *
+    * Requires `spark.sql.legacy.parquet.nanosAsLong=true` — an
+    * EngineConf default; the set below only covers sessions built
+    * elsewhere, and is skipped when already satisfied so a shared
+    * session isn't mutated gratuitously.
     */
   def events: DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if (spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
+          .forall(_ != "true"))
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = table("events")
     if (df.schema("ts").dataType == LongType)
       df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))

@@ -152,6 +152,11 @@ case class SimHash64(child: Expression)
           if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
           b += 1
         }
+      } else {
+        // composed parity: a null token's null bit-test falls into the
+        // otherwise(-1) branch, voting -1 on every bit
+        var b = 0
+        while (b < 64) { votes(b) -= 1; b += 1 }
       }
       i += 1
     }
@@ -236,16 +241,29 @@ case class WinnowFingerprints(child: Expression, k: Int, w: Int)
 
   override def nullSafeEval(input: Any): Any = {
     val s = input.asInstanceOf[UTF8String].toString
-    val n = s.length
-    val nGrams = math.max(n - (k - 1), 1)
+    // grams are CODE-POINT k-grams (matching substr()'s character
+    // semantics, and never splitting a surrogate pair): precompute the
+    // UTF-16 offset of each code point once, O(n)
+    val nCp = s.codePointCount(0, s.length)
+    val cpOff = new Array[Int](nCp + 1)
+    var ci = 0
+    var off = 0
+    while (ci < nCp) {
+      cpOff(ci) = off
+      off = s.offsetByCodePoints(off, 1)
+      ci += 1
+    }
+    cpOff(nCp) = s.length
+    val nGrams = math.max(nCp - (k - 1), 1)
     val grams = new Array[Int](nGrams)
     var i = 0
     while (i < nGrams) {
       // murmur3 over the k-gram's UTF-8 bytes (seed 42, like builtin
       // hash()); substring cost is O(k) per position → O(n·k) total,
       // constant k — not the O(n²) of per-position substr scans.
-      val end = math.min(i + k, n)
-      grams(i) = Hashing.murmur3(UTF8String.fromString(s.substring(i, end)), 42)
+      val end = cpOff(math.min(i + k, nCp))
+      grams(i) = Hashing.murmur3(
+        UTF8String.fromString(s.substring(cpOff(i), end)), 42)
       i += 1
     }
     val out = new java.util.TreeSet[Integer]()

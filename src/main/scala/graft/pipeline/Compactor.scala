@@ -25,9 +25,16 @@ object Compactor {
               targetFileBytes: Long = 128L * 1024 * 1024,
               key: Option[String] = None): Stats = {
     val fs = new Path(inPath).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val files = fs.listStatus(new Path(inPath))
-      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-    val totalBytes = files.map(_.getLen).sum
+    // recursive: partitioned layouts nest files under key=value dirs
+    val it = fs.listFiles(new Path(inPath), true)
+    var nFiles = 0
+    var totalBytes = 0L
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.isFile && f.getPath.getName.endsWith(".parquet")) {
+        nFiles += 1; totalBytes += f.getLen
+      }
+    }
     val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
     val df = spark.read.parquet(inPath)
     val repart = key match {
@@ -35,8 +42,12 @@ object Compactor {
       case None    => df.repartition(nOut)
     }
     repart.write.mode(SaveMode.Overwrite).parquet(outPath)
-    val after = fs.listStatus(new Path(outPath))
-      .count(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-    Stats(files.length, totalBytes, after)
+    var after = 0
+    val outIt = fs.listFiles(new Path(outPath), true)
+    while (outIt.hasNext) {
+      val f = outIt.next()
+      if (f.isFile && f.getPath.getName.endsWith(".parquet")) after += 1
+    }
+    Stats(nFiles, totalBytes, after)
   }
 }

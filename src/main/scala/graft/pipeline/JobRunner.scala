@@ -69,6 +69,15 @@ final class JobRunner(spark: SparkSession, audit: Option[AuditLog] = None) {
     audit.foreach(_.logJob("jobId" -> id, "action" -> "submit", "name" -> name))
     pool.submit(new Runnable {
       def run(): Unit = {
+        // cancel() can arrive while still Pending — cancelJobGroup has
+        // nothing to interrupt then, so honor the flag before starting
+        if (cancelled.contains(id)) {
+          update(id)(_.copy(status = Cancelled,
+            finishedAtMs = Some(System.currentTimeMillis())))
+          audit.foreach(_.logJob("jobId" -> id, "action" -> "finish",
+            "status" -> Cancelled.toString))
+          return
+        }
         update(id)(_.copy(status = Running))
         spark.sparkContext.setJobGroup(id, name, interruptOnCancel = true)
         try {

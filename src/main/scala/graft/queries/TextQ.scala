@@ -140,9 +140,12 @@ object TextQ {
     */
   def q33(s: SparkSession, dir: String): DataFrame = {
     val t = Tables(s, dir)
+    // same barrier rationale as signatures(): shingled feeds BOTH join
+    // branches — without the exchange the scan + shingling run twice
     val shingled = t.documents.select(col("doc_id"),
       graft.functions.expressions.TextExprs
         .wordShingles(tokens(normText(col("text"))), 3).as("sh"))
+      .repartition(col("doc_id"))
     // the candidate set is tiny relative to the corpus — broadcast it
     // so the shingle table never shuffles (two broadcast-hash joins,
     // shingles computed in the streaming side's single pass); a low
@@ -214,7 +217,9 @@ object TextQ {
     val txt = col("text")
     val toks = tokens(txt)
     val nWords = size(toks).cast("double")
-    val nChars = length(txt).cast("double")
+    // floor at 1: Spark yields NULL for 0.0/0.0 while DuckDB yields
+    // NaN — an empty document would silently break oracle parity
+    val nChars = greatest(length(txt), lit(1)).cast("double")
     val alphaRatio =
       length(regexp_replace(txt, "[^A-Za-z]", "")).cast("double") / nChars
     val punctRatio =
@@ -237,9 +242,9 @@ object TextQ {
     """SELECT doc_id,
       |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_words,
       |  ROUND(CAST(len(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
-      |        / CAST(len(text) AS DOUBLE), 4) AS alpha_ratio,
+      |        / CAST(GREATEST(len(text), 1) AS DOUBLE), 4) AS alpha_ratio,
       |  ROUND(CAST(len(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE)
-      |        / CAST(len(text) AS DOUBLE), 4) AS punct_ratio,
+      |        / CAST(GREATEST(len(text), 1) AS DOUBLE), 4) AS punct_ratio,
       |  ROUND(CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
       |          w -> list_contains(['the','a','of','and','to','in','is'], w))) AS DOUBLE)
       |        / CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE), 4) AS stop_ratio,

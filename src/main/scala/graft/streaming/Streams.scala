@@ -153,7 +153,13 @@ object Streams {
               val t = e.ts.getTime
               cur match {
                 case Some(s) if t - s.lastTsMs <= gapMs =>
-                  cur = Some(s.copy(lastTsMs = math.max(s.lastTsMs, t),
+                  // a within-watermark late event can precede the
+                  // session start — extend the window both ways so the
+                  // emitted span always covers its events (matches the
+                  // batch q22 semantics)
+                  cur = Some(s.copy(
+                    sessionStartMs = math.min(s.sessionStartMs, t),
+                    lastTsMs = math.max(s.lastTsMs, t),
                     nEvents = s.nEvents + 1, totalValue = s.totalValue + e.value))
                 case Some(s) =>
                   closed ::= SessionOut(user, new Timestamp(s.sessionStartMs),
