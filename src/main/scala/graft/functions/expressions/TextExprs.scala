@@ -145,18 +145,13 @@ case class SimHash64(child: Expression)
     var i = 0
     while (i < nTok) {
       val t = arr.getUTF8String(i)
-      if (t != null) {
-        val h = Hashing.xx64(t)
-        var b = 0
-        while (b < 64) {
-          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
-          b += 1
-        }
-      } else {
-        // composed parity: a null token's null bit-test falls into the
-        // otherwise(-1) branch, voting -1 on every bit
-        var b = 0
-        while (b < 64) { votes(b) -= 1; b += 1 }
+      // composed parity: Spark hash expressions SKIP null children, so
+      // xxhash64(null) = the seed (42) — a null token votes by 42's bits
+      val h = if (t != null) Hashing.xx64(t) else 42L
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
       }
       i += 1
     }

@@ -76,6 +76,34 @@ class NativeExprSpec extends SparkSpec {
     assert(both.filter(col("native") =!= col("composed")).count() == 0)
   }
 
+  test("native simhash64 matches composed on arrays containing nulls") {
+    import spark.implicits._
+    val df = Seq(Tuple1(Seq("alpha", "beta"))).toDF("t")
+      .select(concat(col("t"), array(lit(null).cast("string"))).as("toks"))
+    val both = df.select(
+      TextExprs.simhash64(col("toks")).as("native"),
+      TextOps.simhash64(col("toks")).as("composed"))
+    assert(both.filter(col("native") =!= col("composed")).count() == 0)
+  }
+
+  test("winnow fingerprints handle non-BMP text (code-point grams, no surrogate splits)") {
+    import spark.implicits._
+    val base = "shared stretch of text long enough to fingerprint reliably"
+    val df = Seq(
+      (1L, s"🎵🎶😀 $base 🚀🌟"),
+      (2L, s"completely different prefix $base and suffix")).toDF("id", "text")
+    val fps = df.select(col("id"),
+      TextExprs.winnowFingerprints(TextOps.normText(col("text")), 8, 4).as("fp"))
+    // deterministic + non-empty on emoji-bearing text
+    val again = df.select(col("id"),
+      TextExprs.winnowFingerprints(TextOps.normText(col("text")), 8, 4).as("fp"))
+    assert(fps.exceptAll(again).count() == 0)
+    val shared = fps.as("a").join(fps.as("b"), col("a.id") < col("b.id"))
+      .select(size(array_intersect(col("a.fp"), col("b.fp"))).as("c"))
+      .collect()(0).getInt(0)
+    assert(shared > 0, "shared substring must still yield shared fingerprints")
+  }
+
   test("winnow fingerprints: shared long substring => shared fingerprint") {
     import spark.implicits._
     val base = "the quick brown fox jumps over the lazy dog again and again"
