@@ -184,13 +184,20 @@ object VecQ {
   def q37(s: SparkSession, dir: String, k: Int = 16, nprobe: Int = 4,
           iters: Int = 2): DataFrame = {
     val e = emb(Tables(s, dir))
+    import s.implicits._
     // deterministic seeds: the k lowest vec_ids
     var centroids = e.filter(col("vec_id") < k)
       .select(col("vec_id").as("cluster_id"), col("v").as("cv"),
         col("nrm").as("cnrm"))
     var it = 0
     while (it < iters) {
-      centroids = recenter(assign(e, centroids, keep = 1))
+      // collect the k tiny centroid rows to the driver each round (the
+      // MLlib pattern): the next iteration starts from a local
+      // relation instead of chaining every previous round's plan into
+      // every downstream consumer
+      val rows = recenter(assign(e, centroids, keep = 1)).collect().toSeq
+        .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
+      centroids = rows.toDF("cluster_id", "cv", "cnrm")
       it += 1
     }
     val index = assign(e, centroids, keep = 1)
