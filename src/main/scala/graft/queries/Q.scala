@@ -28,8 +28,4 @@ object Q {
   def discPrice(price: Column, discount: Column): Column =
     dec(price) * (lit(1).cast("decimal(18,2)") - dec(discount))
 
-  /** Deterministic double: only for per-row scalar math (same IEEE ops
-    * both engines), never for reordered float sums.
-    */
-  def r4(c: Column): Column = round(c, 4)
 }

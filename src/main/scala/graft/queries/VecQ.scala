@@ -24,6 +24,23 @@ object VecQ {
   private val Bands = 8       // LSH bands ...
   private val BandBits = 8    // ... of this many bits each (8x8 = 64)
 
+  /** Shared top-k tail: rank candidates per query by similarity (ties
+    * broken by id), keep k, present (query_id, rnk, neighbor_id,
+    * cos_sim). One definition so the exact baseline (q34) and the ANN
+    * variants it serves as recall oracle for can never drift apart.
+    * Input needs columns query_id, vec_id, sim.
+    */
+  private def topK(scored: DataFrame, k: Int = 10): DataFrame = {
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    scored
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("vec_id").as("neighbor_id"),
+        round(col("sim"), 4).as("cos_sim"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
   /** Corpus projection: doubles + precomputed norm (norms are reused
     * across every pair; recomputing per pair doubles the kernel cost).
     */
@@ -40,17 +57,10 @@ object VecQ {
     val e = emb(Tables(s, dir))
     val queries = e.filter(col("vec_id") < NQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("vec_id"))
-    e.crossJoin(broadcast(queries))
+    topK(e.crossJoin(broadcast(queries))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
-        (VecExprs.dot(col("qv"), col("v")) / (col("qn") * col("nrm"))).as("sim"))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= 10)
-      .select(col("query_id"), col("rnk"), col("vec_id").as("neighbor_id"),
-        round(col("sim"), 4).as("cos_sim"))
-      .orderBy(col("query_id"), col("rnk"))
+        (VecExprs.dot(col("qv"), col("v")) / (col("qn") * col("nrm"))).as("sim")))
   }
 
   val q34Sql: String =
@@ -83,21 +93,14 @@ object VecQ {
     val queries = b.filter(col("vec_id") < NQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("nrm").as("qn"), col("band"), col("bval"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("vec_id"))
     // sim computed BEFORE the dedup shuffle: a multi-band collision
     // recomputes a cheap dot, but the shuffle carries (id, id, sim)
     // rows instead of 2×64 doubles of vector payload per row
-    b.join(broadcast(queries), Seq("band", "bval"))
+    topK(b.join(broadcast(queries), Seq("band", "bval"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
         (VecExprs.dot(col("qv"), col("v")) / (col("qn") * col("nrm"))).as("sim"))
-      .dropDuplicates("query_id", "vec_id")
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= 10)
-      .select(col("query_id"), col("rnk"), col("vec_id").as("neighbor_id"),
-        round(col("sim"), 4).as("cos_sim"))
-      .orderBy(col("query_id"), col("rnk"))
+      .dropDuplicates("query_id", "vec_id"))
   }
 
   /** q36: embedding near-dup pairs above a cosine threshold via LSH
@@ -206,18 +209,11 @@ object VecQ {
       e.filter(col("vec_id") < NQueries), centroids, keep = nprobe)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("nrm").as("qn"), col("cluster_id"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("vec_id"))
-    index.join(broadcast(probes), Seq("cluster_id"))
+    topK(index.join(broadcast(probes), Seq("cluster_id"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
         (VecExprs.dot(col("qv"), col("v")) / (col("qn") * col("nrm"))).as("sim"))
-      .dropDuplicates("query_id", "vec_id")
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= 10)
-      .select(col("query_id"), col("rnk"), col("vec_id").as("neighbor_id"),
-        round(col("sim"), 4).as("cos_sim"))
-      .orderBy(col("query_id"), col("rnk"))
+      .dropDuplicates("query_id", "vec_id"))
   }
 
   val entries: Seq[Entry] = Seq(

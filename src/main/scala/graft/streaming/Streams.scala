@@ -37,8 +37,10 @@ object Streams {
     events
       .withWatermark("ts", watermark)
       .groupBy(window(col("ts"), windowLen), col("event_type"))
+      // decimal sum like batch q23: double addition is partition-order
+      // dependent, decimal is exact — streaming and batch totals match
       .agg(count(lit(1)).as("n_events"),
-        sum(col("value")).as("total_value"))
+        sum(col("value").cast("decimal(18,2)")).as("total_value"))
       .select(col("window.start").as("window_start"),
         col("event_type"), col("n_events"), col("total_value"))
 
@@ -54,8 +56,11 @@ object Streams {
                  textCol: String = "text",
                  watermark: String = "1 hour"): DataFrame =
     docs
+      // the SAME canonical key as batch q30 — if normalization evolves
+      // in TextOps, streaming and batch must keep agreeing on what a
+      // duplicate is
       .withColumn("_graft_norm_hash",
-        xxhash64(lower(trim(regexp_replace(col(textCol), "\\s+", " ")))))
+        xxhash64(graft.functions.TextOps.normText(col(textCol))))
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("_graft_norm_hash")
       .drop("_graft_norm_hash")
@@ -152,15 +157,21 @@ object Streams {
             sorted.foreach { e =>
               val t = e.ts.getTime
               cur match {
-                case Some(s) if t - s.lastTsMs <= gapMs =>
-                  // a within-watermark late event can precede the
-                  // session start — extend the window both ways so the
-                  // emitted span always covers its events (matches the
-                  // batch q22 semantics)
+                // merge iff the event falls inside the session's gap
+                // envelope [start - gap, lastTs + gap]; a late event
+                // can extend the window backward, exactly as batch q22
+                // (which sees the same events fully ordered) would
+                case Some(s) if t >= s.sessionStartMs - gapMs &&
+                    t - s.lastTsMs <= gapMs =>
                   cur = Some(s.copy(
                     sessionStartMs = math.min(s.sessionStartMs, t),
                     lastTsMs = math.max(s.lastTsMs, t),
                     nEvents = s.nEvents + 1, totalValue = s.totalValue + e.value))
+                // earlier than the envelope: a separate PAST session —
+                // emit it closed immediately, keep the current one
+                case Some(s) if t < s.sessionStartMs - gapMs =>
+                  closed ::= SessionOut(user, new Timestamp(t),
+                    new Timestamp(t), 1, e.value)
                 case Some(s) =>
                   closed ::= SessionOut(user, new Timestamp(s.sessionStartMs),
                     new Timestamp(s.lastTsMs), s.nEvents, s.totalValue)
@@ -171,8 +182,12 @@ object Streams {
             }
             cur.foreach { s =>
               state.update(s)
-              // wake up when event time passes lastTs + gap to close it
-              state.setTimeoutTimestamp(s.lastTsMs + gapMs)
+              // wake up when event time passes lastTs + gap to close
+              // it; a very late batch can put that instant behind the
+              // watermark, and an un-clamped timestamp throws and
+              // kills the query
+              state.setTimeoutTimestamp(
+                math.max(s.lastTsMs + gapMs, state.getCurrentWatermarkMs + 1))
             }
             closed.reverseIterator
           }

@@ -67,6 +67,39 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionize: late in-envelope event extends a session backward; far-past event becomes its own session") {
+    implicit val s = spark
+    import s.implicits._
+    val input = MemoryStream[Ev](spark)
+    val q = Streams.sessionize(input.toDS())
+      .writeStream.format("memory").queryName("late_sessions")
+      .outputMode("append").start()
+    try {
+      input.addData(Ev(7, ts(100), 1.0), Ev(8, ts(200), 1.0))
+      q.processAllAvailable()
+      // watermark after batch 1 = 200min - 2h = 80min, so both stay
+      // above it: 95 is inside user 7's envelope (gap 30) and merges
+      // backward; 100 is before user 8's envelope (200-30=170) and
+      // becomes its own closed session
+      input.addData(Ev(7, ts(95), 2.0), Ev(8, ts(100), 4.0))
+      q.processAllAvailable()
+      // advance watermark far ahead so open sessions time out
+      input.addData(Ev(99, ts(2000), 0.0))
+      q.processAllAvailable()
+      input.addData(Ev(98, ts(4000), 0.0))
+      q.processAllAvailable()
+      val out = spark.table("late_sessions").as[SessionOut].collect()
+      val u7 = out.filter(_.user_id == 7)
+      assert(u7.length == 1 && u7(0).session_start == ts(95) &&
+        u7(0).session_end == ts(100) && u7(0).n_events == 2,
+        s"u7 sessions: ${u7.toSeq}")
+      val u8 = out.filter(_.user_id == 8).sortBy(_.session_start.getTime)
+      assert(u8.length == 2, s"u8 sessions: ${u8.toSeq}")
+      assert(u8(0).session_start == ts(100) && u8(0).n_events == 1)
+      assert(u8(1).session_start == ts(200) && u8(1).n_events == 1)
+    } finally q.stop()
+  }
+
   test("nearDupDetections: hamming<=3 pairs detected across batches, distant pairs not") {
     implicit val s = spark
     import s.implicits._
