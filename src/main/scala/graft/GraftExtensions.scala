@@ -16,9 +16,11 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   private def intArg(e: Expression, what: String): Int = e match {
-    case lit: org.apache.spark.sql.catalyst.expressions.Literal =>
-      lit.value.asInstanceOf[Number].intValue()
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Number, _) =>
+      v.intValue()
     case other =>
+      // covers non-literals, NULL literals, and non-numeric literals
+      // with one descriptive error instead of a CCE/NPE
       throw new IllegalArgumentException(s"$what must be an integer literal, got $other")
   }
 

@@ -36,13 +36,17 @@ object Multimodal {
     */
   def blobTable(spark: SparkSession, dir: String): DataFrame = {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
+    // null text coalesces to empty BEFORE encoding: meta.n_bytes maps
+    // to a primitive Long in MediaRow, and a null there kills the
+    // encoder before any downstream fence can run
+    val txt = coalesce(col("text"), lit(""))
     docs.select(
       col("doc_id"),
-      encode(col("text"), "UTF-8").as("payload"),
+      encode(txt, "UTF-8").as("payload"),
       struct(
         lit("text/plain").as("mime"),
-        length(encode(col("text"), "UTF-8")).cast("bigint").as("n_bytes"),
-        xxhash64(col("text")).as("checksum")).as("meta"))
+        length(encode(txt, "UTF-8")).cast("bigint").as("n_bytes"),
+        xxhash64(txt).as("checksum")).as("meta"))
   }
 
   /** ==== DECODE STUB ====
@@ -62,18 +66,33 @@ object Multimodal {
     f
   }
 
-  /** Batched decode: one "codec init" per partition, rows processed in
-    * `batchSize` groups (the batch is where a real decoder would
-    * vectorize). Failures (oversize, null) yield ok=false rows instead
-    * of failing the task, so one bad blob can't kill a 100 TB job.
+  /** Batched decode: one "codec init" per partition, rows batched by
+    * CUMULATIVE BYTES (the batch is where a real decoder would
+    * vectorize) — a count-based batch of near-ceiling blobs would
+    * pin batchSize × maxBytes of payload at once; a byte budget keeps
+    * task memory flat regardless of blob-size distribution. Failures
+    * (oversize, null) yield ok=false rows instead of failing the task,
+    * so one bad blob can't kill a 100 TB job.
     */
   def extractFeatures(media: Dataset[MediaRow],
-                      batchSize: Int = 64,
+                      batchBytes: Long = 128L * 1024 * 1024,
                       maxBytes: Long = 64L * 1024 * 1024): Dataset[FeatureRow] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       // >>> per-task codec/model initialization happens HERE, once <<<
-      rows.grouped(batchSize).flatMap { batch =>
+      new Iterator[Seq[MediaRow]] {
+        def hasNext: Boolean = rows.hasNext
+        def next(): Seq[MediaRow] = {
+          val batch = scala.collection.mutable.ArrayBuffer.empty[MediaRow]
+          var bytes = 0L
+          while (rows.hasNext && (batch.isEmpty || bytes < batchBytes)) {
+            val r = rows.next()
+            batch += r
+            bytes += math.max(r.meta.n_bytes, 0L)
+          }
+          batch.toSeq
+        }
+      }.flatMap { batch =>
         batch.iterator.map { r =>
           if (r.payload == null || r.meta.n_bytes > maxBytes)
             FeatureRow(r.doc_id, r.meta.mime, r.meta.n_bytes,

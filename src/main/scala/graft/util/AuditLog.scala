@@ -11,10 +11,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * / job-history / api-history / error JSONL files, one JSON object per
   * line with an ISO timestamp prepended).
   *
-  * Events append driver-side (tiny, sequential); *reading* a history is
-  * distributed — `history()` hands the JSONL to `spark.read.json`, so a
-  * year of audit events on a cluster is still one scan, not a driver
-  * loop.
+  * Events append driver-side (tiny, sequential) to `dir` on the
+  * DRIVER's filesystem; `history()` reads it back through
+  * `spark.read.json` with an explicit `file:` scheme. On a real
+  * cluster, point `dir` at storage the executors share (NFS mount,
+  * fuse-mounted object store) — with driver-local paths, history()
+  * works in local mode only.
   */
 final class AuditLog(dir: String) {
 
@@ -42,13 +44,15 @@ final class AuditLog(dir: String) {
   def history(spark: SparkSession, kind: String): DataFrame = {
     val p = path(kind)
     require(Files.exists(p), s"no $kind history at $p")
-    spark.read.json(p.toString)
+    // explicit scheme: a bare path would resolve against fs.defaultFS
+    // (HDFS/S3 on a cluster), not the filesystem the log was written to
+    spark.read.json(p.toUri.toString)
   }
 }
 
 object AuditLog {
   /** Minimal JSON string escaping (quote, backslash, control chars). */
-  private[util] def quote(s: String): String =
+  private[graft] def quote(s: String): String =
     "\"" + s.flatMap {
       case '"'  => "\\\""
       case '\\' => "\\\\"

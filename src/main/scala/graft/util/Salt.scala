@@ -28,9 +28,13 @@ object Salt {
     * That shape is an exact-dedup problem (q30) — dedup first, then
     * aggregate.
     */
-  def addSalt(df: DataFrame, factor: Int): DataFrame =
+  def addSalt(df: DataFrame, factor: Int): DataFrame = {
+    require(!df.columns.contains(SaltCol),
+      s"input already has a $SaltCol column — drop or rename it first " +
+        "(withColumn would silently overwrite it and skewJoin would drop it)")
     df.withColumn(SaltCol,
       pmod(hash(df.columns.map(col).toSeq: _*), lit(factor)))
+  }
 
   /** Two-phase skew-safe aggregation: `aggs` must be decomposable
     * (sum/count/min/max — merge of partials == total). Phase 1

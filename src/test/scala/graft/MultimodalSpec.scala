@@ -39,7 +39,7 @@ class MultimodalSpec extends SparkSpec {
       MediaRow(2, null, MediaMeta("text/plain", 0, 0L)),
       MediaRow(3, Array.fill[Byte](128)(7), MediaMeta("video/mp4", 128, 1L)))
     val ds = spark.createDataset(rows)
-    val out = Multimodal.extractFeatures(ds, batchSize = 2, maxBytes = 100)
+    val out = Multimodal.extractFeatures(ds, batchBytes = 16, maxBytes = 100)
       .collect().sortBy(_.doc_id)
     assert(out.map(_.ok).toSeq == Seq(true, false, false))
     assert(out(0).features.length == Multimodal.FeatureDim)
