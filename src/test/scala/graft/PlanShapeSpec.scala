@@ -70,12 +70,15 @@ class PlanShapeSpec extends SparkSpec {
       s"as-of join fell back to a product:\n$plan")
   }
 
-  test("no query plans a cartesian product (except the intentional q34 broadcast)") {
-    val exempt = Set("q34_embed_cosine_topk") // tiny broadcast query set x corpus
+  test("no query plans a cartesian product or nested-loop join (except intentional broadcasts)") {
+    // q34/q37: tiny broadcast query/probe set x corpus — the intended shape
+    val exempt = Set("q34_embed_cosine_topk", "q37_ann_ivf")
     SparkEntry.all.filterNot(e => exempt(e.name)).foreach { e =>
       val plan = e.run(spark, sf).queryExecution.sparkPlan.toString
       assert(!plan.contains("CartesianProduct"),
         s"${e.name} plans a CartesianProduct")
+      assert(!plan.contains("BroadcastNestedLoopJoin"),
+        s"${e.name} plans a BroadcastNestedLoopJoin (no usable equi-key)")
     }
   }
 }
