@@ -33,22 +33,51 @@ object TextOps {
         i => concat_ws(" ", slice(toks, i, lit(n)))))
   }
 
-  /** MinHash signature: k independent murmur3 hash families via
-    * hash(shingle, seed), min over the shingle set per family.
-    * Returns array<int> of length k.
+  /** The minhash modulus: Mersenne prime 2^31-1 (values fit an int;
+    * the arithmetic never overflows DuckDB's checked BIGINT either).
     */
-  def minhashSig(shingles: Column, k: Int): Column =
+  val MinhashM = 2147483647L
+
+  /** The two 60-bit double-hashing bases of a shingle string, from one
+    * md5 digest: x1 = parse(md5hex[1..15]) mod M, x2 =
+    * parse(md5hex[16..30]) mod (M-1) + 1. md5 is engine-portable, so
+    * DuckDB recomputes identical values (the q31/q33 oracles are
+    * exact). Returns struct<x1:bigint, x2:bigint>.
+    */
+  def minhashBases(s: Column): Column = struct(
+    (conv(substring(md5(s.cast("binary")), 1, 15), 16, 10).cast("long")
+      % MinhashM).as("x1"),
+    (conv(substring(md5(s.cast("binary")), 16, 15), 16, 10).cast("long")
+      % (MinhashM - 1) + 1).as("x2"))
+
+  /** MinHash signature: k hash families via Kirsch–Mitzenmacher
+    * double hashing h_j = (x1 + j·x2) mod M over one md5 digest per
+    * shingle; min over the shingle set per family. Returns array<int>
+    * of length k. (Composed form — k interpreted passes; the native
+    * Expression in graft.functions.expressions computes identical
+    * values in one pass.)
+    */
+  def minhashSig(shingles: Column, k: Int): Column = {
+    val bases = transform(shingles, s => minhashBases(s))
     transform(sequence(lit(0), lit(k - 1)),
-      seed => array_min(transform(shingles, x => hash(x, seed))))
+      j => array_min(transform(bases,
+        p => ((p.getField("x1") + j * p.getField("x2")) % MinhashM)
+          .cast("int"))))
+  }
 
   /** LSH band keys for a MinHash signature: `b` bands of `r` rows;
-    * band i's key is the hash of its signature slice. Docs agreeing
-    * on any band land in the same bucket → candidate pair. Returns
-    * array<int> of length b (posexplode to get (band_idx, band_key)).
+    * band i's key is the modular fold h = (h·65539 + v) mod M of its
+    * slice, seeded by the slice's first element (identical to DuckDB's
+    * list_reduce over the same slice). Docs agreeing on any band land
+    * in the same bucket → candidate pair. Returns array<int> of
+    * length b (posexplode to get (band_idx, band_key)).
     */
   def bandKeys(sig: Column, b: Int, r: Int): Column =
     transform(sequence(lit(0), lit(b - 1)),
-      i => hash(slice(sig, i * r + 1, lit(r))))
+      i => aggregate(
+        slice(sig, i * r + 2, lit(r - 1)),
+        element_at(sig, i * r + 1).cast("long"),
+        (h, v) => (h * 65539L + v) % MinhashM).cast("int"))
 
   /** Estimated Jaccard from two equal-length MinHash signatures:
     * fraction of agreeing components.
@@ -63,18 +92,36 @@ object TextOps {
     size(array_intersect(a, b)).cast("double") /
       size(array_union(a, b)).cast("double")
 
+  /** A token's 64-bit portable hash: the md5 digest's lower 8 bytes
+    * little-endian — DuckDB's md5_number_lower(s) reinterpreted as a
+    * signed long (the q32 oracle recomputes it exactly). Assembled
+    * from the hex pairs with shift/or only, so checked (ANSI)
+    * arithmetic can never overflow.
+    */
+  def md5Lower64(s: Column): Column = {
+    val hex = md5(s.cast("binary"))
+    // byte j of the digest (j = 8..15) is hex chars (2j+1, 2j+2) and
+    // occupies bits 8·(j-8)..8·(j-8)+7 of the little-endian value
+    (8 to 15).map { j =>
+      call_function("shiftleft",
+        conv(substring(hex, 2 * j + 1, 2), 16, 10).cast("long"),
+        lit(8 * (j - 8)))
+    }.reduce(_ bitwiseOR _)
+  }
+
   /** 64-bit SimHash over a token array: per bit, sum +1/-1 of each
-    * token's xxhash64 bit; bit set iff the sum is positive.
+    * token's md5Lower64 bit; bit set iff the sum is positive.
     * Composed from builtin functions (64 passes over the token array
     * per row — fine for correctness; the native Expression in
     * graft.functions.expressions replaces this on the hot path).
     */
   def simhash64(toks: Column): Column = {
+    val hashes = transform(toks, t => md5Lower64(t))
     val bits = transform(sequence(lit(0), lit(63)), b =>
       when(
-        aggregate(toks, lit(0), (acc, t) =>
+        aggregate(hashes, lit(0), (acc, h) =>
           acc + when(
-            call_function("shiftright", xxhash64(t), b)
+            call_function("shiftright", h, b)
               .bitwiseAND(lit(1L)) === lit(1L), 1).otherwise(-1)) > 0,
         lit(1L)).otherwise(lit(0L)))
     aggregate(

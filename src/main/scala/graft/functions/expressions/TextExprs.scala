@@ -19,9 +19,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * position, a `slice` per window, k hash passes per shingle). On a
   * 100 TB corpus that's the whole job cost. Each expression here is a
   * single tight O(n) JVM loop per row, allocation-free where possible,
-  * and produces values IDENTICAL to its composed counterpart (same
-  * murmur3/xxhash64 seeds as the builtin `hash`/`xxhash64`), so either
-  * form can verify the other.
+  * and produces values IDENTICAL to its composed counterpart in
+  * [[graft.functions.TextOps]] (the md5-derived portable family for
+  * the minhash/simhash/band kernels; builtin murmur3 for winnowing),
+  * so either form can verify the other — and DuckDB can recompute the
+  * md5-family values exactly for the oracles.
   *
   * CodegenFallback only virtualizes the per-row entry call — the
   * surrounding operators stay in whole-stage codegen, and the row
@@ -64,9 +66,15 @@ object TextExprs {
   def bandKeys(sig: Column, b: Int, r: Int): Column = c(BandKeys(x(sig), b, r))
 }
 
-/** Murmur3 of a UTF8String with an int seed — exactly what the builtin
-  * `hash(col, seed)` computes for a string input (Spark's
-  * Murmur3Hash → hashUnsafeBytes over the string's bytes).
+/** Hash kernels for the dedup expressions.
+  *
+  * The murmur3/xxhash64 kernels mirror Spark's builtin `hash`/
+  * `xxhash64`. The md5-derived kernels are the ENGINE-PORTABLE family
+  * used by the verified queries: md5 is bit-identical in every engine
+  * (DuckDB mirrors these values exactly, so the DuckDB oracles for
+  * q31/q32/q33 are exact), and k hash families come from one digest
+  * via Kirsch–Mitzenmacher double hashing h_j = (x1 + j·x2) mod M —
+  * one digest per shingle, k cheap modular ops.
   */
 private object Hashing {
   @inline def murmur3(s: UTF8String, seed: Int): Int =
@@ -79,11 +87,78 @@ private object Hashing {
     XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
 
   val Space: UTF8String = UTF8String.fromString(" ")
+
+  /** Mersenne prime 2^31-1: every h_j fits an int, and (x1 + 63·x2)
+    * stays far below 2^63 — the same arithmetic never overflows
+    * DuckDB's checked BIGINT either.
+    */
+  val M: Long = 2147483647L
+
+  private val md = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  @inline def md5bytes(s: UTF8String): Array[Byte] = {
+    val d = md.get()
+    d.reset()
+    d.digest(s.getBytes)
+  }
+
+  private val HexDigits = "0123456789abcdef".toCharArray
+
+  /** First 15 hex chars of the digest as a long (60 bits) — equals
+    * DuckDB's parse of substr(md5(s),1,15).
+    */
+  @inline def hexPrefix15(d: Array[Byte]): Long = {
+    // hex chars 1..15 = bytes 0..6 fully + high nibble of byte 7
+    var v = 0L
+    var i = 0
+    while (i < 7) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    (v << 4) | ((d(7) & 0xf0L) >>> 4)
+  }
+
+  /** Hex chars 16..30 of the digest as a long (60 bits) — equals
+    * DuckDB's parse of substr(md5(s),16,15).
+    */
+  @inline def hexMid15(d: Array[Byte]): Long = {
+    var v = d(7) & 0x0fL // hex char 16 = low nibble of byte 7
+    var i = 8
+    while (i < 15) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    v
+  }
+
+  /** Double-hashing bases from one digest: x1 in [0, M), x2 in
+    * [1, M-1] (never 0, so the k families stay distinct).
+    */
+  @inline def doubleHashBases(s: UTF8String): (Long, Long) = {
+    val d = md5bytes(s)
+    (hexPrefix15(d) % M, hexMid15(d) % (M - 1) + 1)
+  }
+
+  /** Lower 8 digest bytes little-endian — exactly DuckDB's
+    * md5_number_lower(s), reinterpreted as a signed long.
+    */
+  @inline def md5Lower64(s: UTF8String): Long = {
+    val d = md5bytes(s)
+    var v = 0L
+    var i = 15
+    while (i >= 8) { v = (v << 8) | (d(i) & 0xffL); i -= 1 }
+    v
+  }
+
+  /** Portable band fold: h0 = first element, h = (h·65539 + v) mod M —
+    * DuckDB's list_reduce(slice, (h,v) -> (h*65539+v) % 2147483647).
+    */
+  val BandMult: Long = 65539L
 }
 
-/** tokens: array<string>, n-gram shingles hashed by k murmur3 seed
-  * families (seeds 0..k-1, matching `hash(x, seed)`), min per family.
+/** tokens: array<string>, n-gram shingles hashed by the md5
+  * double-hashing family (see [[Hashing]]): per shingle one digest →
+  * (x1, x2), family j's value is (x1 + j·x2) mod M, min per family.
   * One pass over positions; shingle string built once per position.
+  * Values are engine-portable — the q31 DuckDB oracle recomputes them
+  * exactly.
   */
 case class MinHashShingleSig(child: Expression, n: Int, k: Int)
     extends UnaryExpression with CodegenFallback {
@@ -111,14 +186,14 @@ case class MinHashShingleSig(child: Expression, n: Int, k: Int)
         if (m == 1) parts(0)
         else UTF8String.concatWs(Hashing.Space,
           java.util.Arrays.copyOfRange(parts, 0, m): _*)
-      // replicate builtin hash(shingle, s): murmur3 bytes at seed 42,
-      // then fold the family index in as a hashed int — one byte-scan
-      // per shingle, k cheap int mixes
-      val h0 = Hashing.murmur3(shingle, 42)
+      val (x1, x2) = Hashing.doubleHashBases(shingle)
       var s = 0
+      var h = x1
       while (s < k) {
-        val h = Murmur3_x86_32.hashInt(s, h0)
-        if (h < mins(s)) mins(s) = h
+        // h = (x1 + s*x2) mod M, computed incrementally
+        if (h < mins(s)) mins(s) = h.toInt
+        h += x2
+        if (h >= Hashing.M) h -= Hashing.M
         s += 1
       }
       i += 1
@@ -130,8 +205,10 @@ case class MinHashShingleSig(child: Expression, n: Int, k: Int)
 }
 
 /** tokens: array<string> → 64-bit SimHash (Charikar '02): per token
-  * xxhash64; bit b of the result set iff the +1/-1 vote sum over
-  * tokens' bit b is positive. Matches TextOps.simhash64 bit-for-bit.
+  * the md5-lower-64 hash (= DuckDB's md5_number_lower, so the q32
+  * oracle is exact); bit b of the result set iff the +1/-1 vote sum
+  * over tokens' bit b is positive. Matches TextOps.simhash64
+  * bit-for-bit.
   */
 case class SimHash64(child: Expression)
     extends UnaryExpression with CodegenFallback {
@@ -145,9 +222,10 @@ case class SimHash64(child: Expression)
     var i = 0
     while (i < nTok) {
       val t = arr.getUTF8String(i)
-      // composed parity: Spark hash expressions SKIP null children, so
-      // xxhash64(null) = the seed (42) — a null token votes by 42's bits
-      val h = if (t != null) Hashing.xx64(t) else 42L
+      // a null token hashes as the empty string (split() never yields
+      // null, but the expression must not NPE on hand-built arrays)
+      val h = Hashing.md5Lower64(
+        if (t != null) t else UTF8String.EMPTY_UTF8)
       var b = 0
       while (b < 64) {
         if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
@@ -168,8 +246,10 @@ case class SimHash64(child: Expression)
 }
 
 /** Band keys for MinHash-LSH: the signature's b contiguous slices of
-  * r components, each folded with murmur3 exactly like the builtin
-  * `hash()` over an int array (running seed from 42).
+  * r components, each folded h = (h·65539 + v) mod M starting from the
+  * slice's first element — exactly DuckDB's
+  * list_reduce(sig[i·r+1 : i·r+r], (h,v) -> (h*65539+v) % 2147483647),
+  * so the q31/q33 oracles rebuild identical bucket keys.
   */
 case class BandKeys(child: Expression, b: Int, r: Int)
     extends UnaryExpression with CodegenFallback {
@@ -181,11 +261,15 @@ case class BandKeys(child: Expression, b: Int, r: Int)
     val keys = new Array[Int](b)
     var band = 0
     while (band < b) {
-      var h = 42
       var j = band * r
       val end = math.min(j + r, sig.numElements())
-      while (j < end) { h = Murmur3_x86_32.hashInt(sig.getInt(j), h); j += 1 }
-      keys(band) = h
+      var h = if (j < end) sig.getInt(j).toLong else 0L
+      j += 1
+      while (j < end) {
+        h = (h * Hashing.BandMult + sig.getInt(j)) % Hashing.M
+        j += 1
+      }
+      keys(band) = h.toInt
       band += 1
     }
     new GenericArrayData(keys)

@@ -75,7 +75,7 @@ object CoreB {
       col("c_custkey").as("customer_id"),
       upper(trim(col("c_name"))).as("customer_name"),
       coalesce(col("c_mktsegment"), lit("UNKNOWN")).as("segment"),
-      dec(col("c_acctbal")).as("acctbal"),
+      dec(col("c_acctbal")).cast("double").as("acctbal"),
       when(col("c_acctbal") >= 7000, "GOLD")
         .when(col("c_acctbal") >= 3000, "SILVER")
         .otherwise("BRONZE").as("tier"))
@@ -86,7 +86,7 @@ object CoreB {
     """SELECT c_custkey AS customer_id,
       |  UPPER(TRIM(c_name)) AS customer_name,
       |  COALESCE(c_mktsegment, 'UNKNOWN') AS segment,
-      |  CAST(c_acctbal AS DECIMAL(18,2)) AS acctbal,
+      |  CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS acctbal,
       |  CASE WHEN c_acctbal >= 7000 THEN 'GOLD'
       |       WHEN c_acctbal >= 3000 THEN 'SILVER'
       |       ELSE 'BRONZE' END AS tier
@@ -117,7 +117,8 @@ object CoreB {
     val t = Tables(s, dir)
     t.orders
       .rollup(col("o_orderstatus"), col("o_orderpriority"))
-      .agg(count(lit(1)).as("n"), sum(dec(col("o_totalprice"))).as("total"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("o_totalprice"))).cast("double").as("total"))
       .select(
         coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
         coalesce(col("o_orderpriority"), lit("ALL")).as("prio"),
@@ -128,7 +129,7 @@ object CoreB {
   val q13Sql: String =
     """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
       |  COALESCE(o_orderpriority, 'ALL') AS prio,
-      |  COUNT(*) AS n, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+      |  COUNT(*) AS n, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
       |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
       |ORDER BY status, prio""".stripMargin
 
@@ -162,16 +163,17 @@ object CoreB {
       .orderBy(col("o_orderdate"), col("o_orderkey"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     t.orders
-      .withColumn("running_total", sum(dec(col("o_totalprice"))).over(w))
+      .withColumn("running_total",
+        sum(dec(col("o_totalprice"))).over(w).cast("double"))
       .select(col("o_custkey"), col("o_orderkey"), col("running_total"))
       .orderBy(col("o_custkey"), col("o_orderkey"))
   }
 
   val q15Sql: String =
     """SELECT o_custkey, o_orderkey,
-      |  SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
       |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_total
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
       |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin
 
   /** q16: lag/lead offset window functions over the event stream. */
@@ -194,24 +196,26 @@ object CoreB {
       |FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
       |ORDER BY user_id, event_id""".stripMargin
 
-  /** q17: exact percentiles/median per group (linear interpolation). */
+  /** q17: exact percentiles/median per group (linear interpolation).
+    * Presentation rounding via the portable [[Q.round4]].
+    */
   def q17(s: SparkSession, dir: String): DataFrame = {
     val t = Tables(s, dir)
     t.lineitem
       .groupBy(col("l_returnflag"))
       .agg(
-        round(expr("percentile(l_quantity, 0.5)"), 4).as("med_qty"),
-        round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90_price"),
-        round(expr("percentile(l_discount, 0.25)"), 4).as("p25_disc"))
+        round4(expr("percentile(l_quantity, 0.5)")).as("med_qty"),
+        round4(expr("percentile(l_extendedprice, 0.9)")).as("p90_price"),
+        round4(expr("percentile(l_discount, 0.25)")).as("p25_disc"))
       .orderBy(col("l_returnflag"))
   }
 
   val q17Sql: String =
-    """SELECT l_returnflag,
-      |  ROUND(quantile_cont(l_quantity, 0.5), 4) AS med_qty,
-      |  ROUND(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price,
-      |  ROUND(quantile_cont(l_discount, 0.25), 4) AS p25_disc
-      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+    s"""SELECT l_returnflag,
+       |  ${round4Sql("quantile_cont(l_quantity, 0.5)")} AS med_qty,
+       |  ${round4Sql("quantile_cont(l_extendedprice, 0.9)")} AS p90_price,
+       |  ${round4Sql("quantile_cont(l_discount, 0.25)")} AS p25_disc
+       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
   /** q18: conditional aggregation (FILTER / CASE inside agg). */
   def q18(s: SparkSession, dir: String): DataFrame = {
@@ -220,19 +224,20 @@ object CoreB {
       .groupBy(col("l_returnflag"))
       .agg(
         sum(when(col("l_discount") > 0.05, dec(col("l_extendedprice"))))
-          .as("hi_disc_rev"),
+          .cast("double").as("hi_disc_rev"),
         count(when(col("l_quantity") > 25, lit(1))).as("bulk_items"),
         sum(when(col("l_tax") > 0.04, dec(col("l_extendedprice")))
-          .otherwise(lit(0).cast("decimal(18,2)"))).as("taxed_rev"))
+          .otherwise(lit(0).cast("decimal(18,2)")))
+          .cast("double").as("taxed_rev"))
       .orderBy(col("l_returnflag"))
   }
 
   val q18Sql: String =
     """SELECT l_returnflag,
-      |  SUM(CAST(l_extendedprice AS DECIMAL(18,2))) FILTER (WHERE l_discount > 0.05) AS hi_disc_rev,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) FILTER (WHERE l_discount > 0.05) AS DOUBLE) AS hi_disc_rev,
       |  COUNT(*) FILTER (WHERE l_quantity > 25) AS bulk_items,
-      |  SUM(CASE WHEN l_tax > 0.04 THEN CAST(l_extendedprice AS DECIMAL(18,2))
-      |           ELSE CAST(0 AS DECIMAL(18,2)) END) AS taxed_rev
+      |  CAST(SUM(CASE WHEN l_tax > 0.04 THEN CAST(l_extendedprice AS DECIMAL(18,2))
+      |           ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS taxed_rev
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
   /** q19: full-outer join + coalesce null-repair (dim reconciliation). */
@@ -272,13 +277,13 @@ object CoreB {
         col("l_shipdate") < col("o_orderdate") + expr("INTERVAL 60 DAYS"))
       .groupBy(col("o_orderkey"))
       .agg(count(lit(1)).as("n_early_ships"),
-        sum(dec(col("l_extendedprice"))).as("early_revenue"))
+        sum(dec(col("l_extendedprice"))).cast("double").as("early_revenue"))
       .orderBy(col("o_orderkey"))
   }
 
   val q20Sql: String =
     """SELECT o_orderkey, COUNT(*) AS n_early_ships,
-      |  SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS early_revenue
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS early_revenue
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |  AND l_shipdate >= o_orderdate AND l_shipdate < o_orderdate + INTERVAL 60 DAY
       |GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin
@@ -343,7 +348,7 @@ object CoreB {
         count(lit(1)).as("n_events"),
         min(col("ts")).as("t_start"),
         max(col("ts")).as("t_end"),
-        sum(dec(col("value"))).as("total_value"))
+        sum(dec(col("value"))).cast("double").as("total_value"))
       .orderBy(col("user_id"), col("session_id"))
   }
 
@@ -361,7 +366,7 @@ object CoreB {
       |  FROM g)
       |SELECT user_id, session_id, COUNT(*) AS n_events,
       |  MIN(ts) AS t_start, MAX(ts) AS t_end,
-      |  SUM(CAST(value AS DECIMAL(18,2))) AS total_value
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
       |FROM sess GROUP BY user_id, session_id
       |ORDER BY user_id, session_id""".stripMargin
 
@@ -372,33 +377,36 @@ object CoreB {
     val t = Tables(s, dir)
     t.events
       .groupBy(date_trunc("hour", col("ts")).as("hour_start"), col("event_type"))
-      .agg(count(lit(1)).as("n"), sum(dec(col("value"))).as("total_value"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("value"))).cast("double").as("total_value"))
       .orderBy(col("hour_start"), col("event_type"))
   }
 
   val q23Sql: String =
     """SELECT date_trunc('hour', ts) AS hour_start, event_type,
-      |  COUNT(*) AS n, SUM(CAST(value AS DECIMAL(18,2))) AS total_value
+      |  COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
       |FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin
 
-  /** q24: per-group top-k values as a bounded array. collect_list is
+  /** q24: per-group top-k values as a bounded list. collect_list is
     * safe here because k and group cardinality are bounded; sorting
-    * happens inside the array, not via a per-group shuffle.
+    * happens inside the array, not via a per-group shuffle. The list
+    * is RENDERED as a comma-joined string (see Q's output convention:
+    * array columns are not comparable by the verification harness).
     */
   def q24(s: SparkSession, dir: String): DataFrame = {
     val t = Tables(s, dir)
     t.customer
       .groupBy(col("c_mktsegment"))
-      .agg(transform(
+      .agg(concat_ws(",", transform(
         slice(array_sort(collect_list(struct(
           (-col("c_acctbal")).as("neg_bal"), col("c_custkey").as("k")))), 1, 3),
-        x => x.getField("k")).as("top3"))
+        x => x.getField("k").cast("string"))).as("top3"))
       .orderBy(col("c_mktsegment"))
   }
 
   val q24Sql: String =
     """SELECT c_mktsegment,
-      |  (list(c_custkey ORDER BY c_acctbal DESC, c_custkey))[1:3] AS top3
+      |  array_to_string((list(c_custkey ORDER BY c_acctbal DESC, c_custkey))[1:3], ',') AS top3
       |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
 
   /** q25: latest-record-per-key (SCD compaction / dedup-by-recency). */

@@ -12,12 +12,38 @@ final case class Entry(
     oracle: Option[String])
 
 object Q {
+  /** Output-type convention for every verified query: aggregate
+    * INTERNALLY in exact decimal (partition-order independent), but
+    * emit the FINAL column as double. The harness compares the string
+    * form of each cell, and a decimal's scale-preserving rendering
+    * ("137431.00") never equals a float's shortest form ("137431.0").
+    * Decimal→double is correctly rounded in both engines, so casting
+    * the same exact decimal yields bit-identical doubles — the cast
+    * must wrap the SUM, never the addends. Likewise no query may emit
+    * an array column (the harness sorts rows on all columns; arrays
+    * are unhashable there) — arrays are rendered via concat_ws — and
+    * integer aggregates must be BIGINT on both sides (DuckDB's
+    * SUM(int) is a HUGEINT, which pandas renders as a float).
+    */
+
   /** Exact-arithmetic money aggregate: cast each addend to decimal
     * BEFORE summing so the result is independent of partitioning /
     * summation order (float addition is not associative; decimal is
     * exact). Oracle side mirrors with CAST(x AS DECIMAL(18,2)).
     */
   def dec(c: Column): Column = c.cast("decimal(18,2)")
+
+  /** Portable 4-decimal presentation rounding: floor(x·10⁴ + 0.5)/10⁴
+    * in BOTH engines. Builtin ROUND(x, 4) is NOT portable: Spark
+    * rounds the double's shortest decimal string (BigDecimal HALF_UP)
+    * while DuckDB rounds the scaled binary value — for a rational
+    * like 81/160 (= "0.50625", binary ≈ 0.50624999…) they disagree.
+    * floor over identical doubles is deterministic in both.
+    */
+  def round4(c: Column): Column = floor(c * 10000 + 0.5) / 10000
+
+  /** The DuckDB mirror of [[round4]] — wrap an expression string. */
+  def round4Sql(e: String): String = s"FLOOR(($e) * 10000 + 0.5) / 10000"
 
   /** Exact discounted price: cast the RAW columns to decimal first,
     * then multiply in decimal. Casting the double product instead is

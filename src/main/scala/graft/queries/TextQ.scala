@@ -85,8 +85,8 @@ object TextQ {
     lhs.join(rhs, Seq("band", "bkey"))
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"),
-        round(graft.functions.expressions.TextExprs
-          .sigAgree(col("sig_a"), col("sig_b"), K), 4).as("est_jaccard"))
+        graft.functions.expressions.TextExprs
+          .sigAgree(col("sig_a"), col("sig_b"), K).as("est_jaccard"))
       .filter(col("est_jaccard") >= minEst)
       .dropDuplicates("doc_a", "doc_b")
   }
@@ -97,6 +97,53 @@ object TextQ {
   def q31(s: SparkSession, dir: String): DataFrame =
     scoredCandidates(signatures(Tables(s, dir)), minEst = 0.5)
       .orderBy(col("doc_a"), col("doc_b"))
+
+  /** Shared oracle-SQL CTE chain rebuilding the minhash pipeline in
+    * DuckDB — byte-identical values (md5 double-hashing, see
+    * [[graft.functions.TextOps.minhashBases]]): tokens → word
+    * 3-shingles → per-shingle (x1,x2) bases → 64-component signature →
+    * 16 band keys → cap-100 buckets → scored in-bucket pairs.
+    */
+  private val candidateCte: String =
+    """toks AS (
+      |  SELECT doc_id,
+      |    regexp_split_to_array(trim(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))), '\s+') AS t
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id, list_transform(range(1, greatest(len(t)-1, 2)),
+      |    i -> array_to_string(t[i:i+2], ' ')) AS sh FROM toks),
+      |bases AS (
+      |  SELECT doc_id, list_transform(sh, s -> [
+      |    list_reduce(list_transform(range(1,16),
+      |      q -> CAST(strpos('0123456789abcdef', substr(md5(s), CAST(q AS INT), 1)) - 1 AS BIGINT)),
+      |      (a,b) -> a*16+b) % 2147483647,
+      |    list_reduce(list_transform(range(16,31),
+      |      q -> CAST(strpos('0123456789abcdef', substr(md5(s), CAST(q AS INT), 1)) - 1 AS BIGINT)),
+      |      (a,b) -> a*16+b) % 2147483646 + 1
+      |  ]) AS ps FROM sh),
+      |sig AS (
+      |  SELECT doc_id, list_transform(range(0,64),
+      |    j -> list_min(list_transform(ps, p -> (p[1] + j*p[2]) % 2147483647))) AS sig
+      |  FROM bases),
+      |banded AS (
+      |  SELECT doc_id, sig, r.j AS band,
+      |    list_reduce(sig[CAST(r.j*4+1 AS INT) : CAST(r.j*4+4 AS INT)],
+      |      (h,v) -> (h*65539+v) % 2147483647) AS bkey
+      |  FROM sig, range(0,16) r(j)),
+      |capped AS (
+      |  SELECT doc_id, sig, band, bkey,
+      |    COUNT(*) OVER (PARTITION BY band, bkey) AS bn
+      |  FROM banded QUALIFY bn <= 100),
+      |scored AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    CAST(len(list_filter(range(1,65), i -> a.sig[CAST(i AS INT)] = b.sig[CAST(i AS INT)])) AS DOUBLE) / 64.0 AS est_jaccard
+      |  FROM capped a JOIN capped b
+      |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)""".stripMargin
+
+  val q31Sql: String =
+    s"""WITH $candidateCte
+       |SELECT doc_a, doc_b, est_jaccard FROM scored
+       |WHERE est_jaccard >= 0.5 ORDER BY doc_a, doc_b""".stripMargin
 
   /** q32: SimHash near-dup pairs — 64-bit signature, hamming <= 3 via
     * the 4-block pigeonhole (any pair within hamming 3 agrees exactly
@@ -128,11 +175,43 @@ object TextQ {
     lhs.join(rhs, Seq("blk", "bval"))
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"),
-        hamming64(col("sim_a"), col("sim_b")).as("hamming"))
+        hamming64(col("sim_a"), col("sim_b")).cast("bigint").as("hamming"))
       .filter(col("hamming") <= 3)
       .dropDuplicates("doc_a", "doc_b")
       .orderBy(col("doc_a"), col("doc_b"))
   }
+
+  /** DuckDB mirror of q32: per-token md5_number_lower (exactly the
+    * native SimHash64's token hash), majority vote per bit, 4×16-bit
+    * pigeonhole blocks, cap-1000 buckets, hamming ≤ 3.
+    */
+  val q32Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    regexp_split_to_array(trim(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))), '\s+') AS t
+      |  FROM documents),
+      |hs AS (
+      |  SELECT doc_id, len(t) AS n,
+      |    list_transform(t, w -> md5_number_lower(w)) AS hs FROM toks),
+      |sims AS (
+      |  SELECT doc_id, CAST(list_sum(list_transform(range(0,64), b ->
+      |    CASE WHEN 2 * len(list_filter(hs, h -> (h >> CAST(b AS INT)) & 1 = 1)) > n
+      |      THEN (CAST(1 AS UBIGINT) << CAST(b AS INT)) ELSE CAST(0 AS UBIGINT) END))
+      |    AS UBIGINT) AS sim
+      |  FROM hs),
+      |blocked AS (
+      |  SELECT doc_id, sim, r.b AS blk, (sim >> CAST(r.b*16 AS INT)) & 65535 AS bval
+      |  FROM sims, range(0,4) r(b)),
+      |capped AS (
+      |  SELECT doc_id, sim, blk, bval, COUNT(*) OVER (PARTITION BY blk, bval) AS bn
+      |  FROM blocked QUALIFY bn <= 1000),
+      |pairs AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    CAST(bit_count(xor(a.sim, b.sim)) AS BIGINT) AS hamming
+      |  FROM capped a JOIN capped b
+      |    ON a.blk = b.blk AND a.bval = b.bval AND a.doc_id < b.doc_id)
+      |SELECT doc_a, doc_b, hamming FROM pairs
+      |WHERE hamming <= 3 ORDER BY doc_a, doc_b""".stripMargin
 
   /** q33: exact n-gram Jaccard similarity — LSH buckets propose the
     * candidates, then the true Jaccard is computed on the distinct
@@ -158,10 +237,27 @@ object TextQ {
       .join(shingled.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
       .join(shingled.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
       .select(col("doc_a"), col("doc_b"),
-        round(exactJaccard(col("sh_a"), col("sh_b")), 4).as("jaccard"))
+        exactJaccard(col("sh_a"), col("sh_b")).as("jaccard"))
       .filter(col("jaccard") >= 0.5)
       .orderBy(col("doc_a"), col("doc_b"))
   }
+
+  /** DuckDB mirror of q33: the q31 candidate chain at est >= 0.25,
+    * then the exact Jaccard on distinct shingle sets.
+    */
+  val q33Sql: String =
+    s"""WITH $candidateCte,
+       |shd AS (SELECT doc_id, list_distinct(sh) AS shd FROM sh),
+       |cand AS (
+       |  SELECT doc_a, doc_b FROM scored WHERE est_jaccard >= 0.25),
+       |exact AS (
+       |  SELECT doc_a, doc_b,
+       |    CAST(len(list_intersect(x.shd, y.shd)) AS DOUBLE) /
+       |    CAST(len(x.shd) + len(y.shd) - len(list_intersect(x.shd, y.shd)) AS DOUBLE) AS jaccard
+       |  FROM cand JOIN shd x ON x.doc_id = cand.doc_a
+       |            JOIN shd y ON y.doc_id = cand.doc_b)
+       |SELECT doc_a, doc_b, jaccard FROM exact
+       |WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b""".stripMargin
 
   /** q40: heuristic language ID — stopword-marker profiles scored in
     * one codegen'd projection; argmax language + confidence per doc.
@@ -172,7 +268,7 @@ object TextQ {
       .select(col("doc_id"), langId(col("text")).as("lid"))
       .select(col("doc_id"),
         col("lid.lang").as("pred_lang"),
-        round(col("lid.confidence"), 4).as("confidence"))
+        Q.round4(col("lid.confidence")).as("confidence"))
       .orderBy(col("doc_id"))
   }
 
@@ -205,7 +301,8 @@ object TextQ {
       |      {'confidence': h_es / n, 'lang': 'es'},
       |      {'confidence': h_zh / n, 'lang': 'zh'}]) AS b
       |  FROM scored)
-      |SELECT doc_id, b.lang AS pred_lang, ROUND(b.confidence, 4) AS confidence
+      |SELECT doc_id, b.lang AS pred_lang,
+      |  FLOOR((b.confidence) * 10000 + 0.5) / 10000 AS confidence
       |FROM best ORDER BY doc_id""".stripMargin
 
   /** q41: text quality scoring — length/alpha/punct/stopword ratios
@@ -231,28 +328,30 @@ object TextQ {
     t.documents.select(
       col("doc_id"),
       nWords.cast("bigint").as("n_words"),
-      round(alphaRatio, 4).as("alpha_ratio"),
-      round(punctRatio, 4).as("punct_ratio"),
-      round(stopRatio, 4).as("stop_ratio"),
-      round(quality, 4).as("quality"))
+      Q.round4(alphaRatio).as("alpha_ratio"),
+      Q.round4(punctRatio).as("punct_ratio"),
+      Q.round4(stopRatio).as("stop_ratio"),
+      Q.round4(quality).as("quality"))
       .orderBy(col("doc_id"))
   }
 
-  val q41Sql: String =
-    """SELECT doc_id,
-      |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_words,
-      |  ROUND(CAST(len(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
-      |        / CAST(GREATEST(len(text), 1) AS DOUBLE), 4) AS alpha_ratio,
-      |  ROUND(CAST(len(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE)
-      |        / CAST(GREATEST(len(text), 1) AS DOUBLE), 4) AS punct_ratio,
-      |  ROUND(CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
-      |          w -> list_contains(['the','a','of','and','to','in','is'], w))) AS DOUBLE)
-      |        / CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE), 4) AS stop_ratio,
-      |  ROUND(LEAST(CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE) / 100.0, 1.0) * 0.5
-      |        + CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
-      |            w -> list_contains(['the','a','of','and','to','in','is'], w))) AS DOUBLE)
-      |          / CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE) * 0.5, 4) AS quality
-      |FROM documents ORDER BY doc_id""".stripMargin
+  val q41Sql: String = {
+    val r4 = Q.round4Sql _
+    s"""SELECT doc_id,
+       |  CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_words,
+       |  ${r4("""CAST(len(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+       |        / CAST(GREATEST(len(text), 1) AS DOUBLE)""")} AS alpha_ratio,
+       |  ${r4("""CAST(len(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE)
+       |        / CAST(GREATEST(len(text), 1) AS DOUBLE)""")} AS punct_ratio,
+       |  ${r4("""CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+       |          w -> list_contains(['the','a','of','and','to','in','is'], w))) AS DOUBLE)
+       |        / CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE)""")} AS stop_ratio,
+       |  ${r4("""LEAST(CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE) / 100.0, 1.0) * 0.5
+       |        + CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+       |            w -> list_contains(['the','a','of','and','to','in','is'], w))) AS DOUBLE)
+       |          / CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE) * 0.5""")} AS quality
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
 
   /** q42: token counting — whitespace tokens and a BPE-ish regex
     * tokenizer (letter runs | single digits | single symbols), both
@@ -277,21 +376,60 @@ object TextQ {
       |  CAST(len(text) AS BIGINT) AS n_chars
       |FROM documents ORDER BY doc_id""".stripMargin
 
-  /** q43: document fingerprinting — winnowed rolling-hash (char
-    * 8-grams, window 4): compact position-independent signatures for
-    * substring-level dup detection.
+  /** q43: document fingerprinting — winnowing (Schleimer et al. '03)
+    * over char 8-grams with window 4: compact position-independent
+    * signatures for substring-level dup detection. The gram hash is
+    * the first 16 hex chars of md5 (engine-portable: min over
+    * fixed-length hex == numeric min, and DuckDB computes the
+    * identical value, so the oracle is exact). One codegen'd
+    * projection per doc; fingerprints render comma-joined (see Q's
+    * output convention — no array columns).
     */
   def q43(s: SparkSession, dir: String): DataFrame = {
     val t = Tables(s, dir)
-    t.documents.select(
-      col("doc_id"),
-      graft.functions.expressions.TextExprs
-        .winnowFingerprints(normText(col("text")), 8, 4).as("fingerprints"))
+    val norm = normText(col("text"))
+    val n = length(norm)
+    val emptyArr = array().cast("array<string>")
+    val grams = when(n >= 8,
+      transform(sequence(lit(1), n - 7),
+        i => substring(md5(substr(norm, i, lit(8)).cast("binary")), 1, 16)))
+      .otherwise(emptyArr)
+    t.documents
+      .select(col("doc_id"), grams.as("grams"))
       .select(col("doc_id"),
-        size(col("fingerprints")).cast("bigint").as("n_fingerprints"),
-        col("fingerprints"))
+        when(size(col("grams")) === 0, emptyArr)
+          .when(size(col("grams")) < 4, array(array_min(col("grams"))))
+          .otherwise(transform(sequence(lit(1), size(col("grams")) - 3),
+            j => array_min(slice(col("grams"), j, lit(4))))).as("wins"))
+      .select(col("doc_id"),
+        array_sort(array_distinct(col("wins"))).as("fps"))
+      .select(col("doc_id"),
+        size(col("fps")).cast("bigint").as("n_fingerprints"),
+        concat_ws(",", col("fps")).as("fingerprints"))
       .orderBy(col("doc_id"))
   }
+
+  /** DuckDB mirror of q43: same norm, same md5-prefix gram hash, same
+    * winnow windows — values are byte-identical, so min/sort/join all
+    * agree.
+    */
+  val q43Sql: String =
+    """WITH nrm AS (
+      |  SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id, list_transform(range(1, length(norm) - 6),
+      |    i -> substr(md5(substr(norm, i, 8)), 1, 16)) AS grams FROM nrm),
+      |w AS (
+      |  SELECT doc_id, CASE
+      |    WHEN len(grams) = 0 THEN []::VARCHAR[]
+      |    WHEN len(grams) < 4 THEN [list_min(grams)]
+      |    ELSE list_transform(range(1, len(grams) - 2), j -> list_min(grams[j:j+3]))
+      |  END AS wins FROM g),
+      |f AS (SELECT doc_id, list_sort(list_distinct(wins)) AS fps FROM w)
+      |SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fingerprints,
+      |  array_to_string(fps, ',') AS fingerprints
+      |FROM f ORDER BY doc_id""".stripMargin
 
   /** q44: corpus stats per source — doc counts, char/word volume,
     * language spread, and exact-dup ratio, in one aggregation pass.
@@ -305,32 +443,32 @@ object TextQ {
       .groupBy(col("source"))
       .agg(
         count(lit(1)).as("n_docs"),
-        round(avg(col("n_chars")), 4).as("avg_chars"),
+        Q.round4(avg(col("n_chars"))).as("avg_chars"),
         sum(col("n_words")).as("total_words"),
         countDistinct(col("lang")).as("n_langs"),
-        round((count(lit(1)) - countDistinct(col("norm"))).cast("double") /
-          count(lit(1)).cast("double"), 4).as("dup_ratio"))
+        Q.round4((count(lit(1)) - countDistinct(col("norm"))).cast("double") /
+          count(lit(1)).cast("double")).as("dup_ratio"))
       .orderBy(col("source"))
   }
 
   val q44Sql: String =
-    """SELECT source, COUNT(*) AS n_docs,
-      |  ROUND(AVG(n_chars), 4) AS avg_chars,
-      |  SUM(CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)) AS total_words,
-      |  COUNT(DISTINCT lang) AS n_langs,
-      |  ROUND(CAST(COUNT(*) - COUNT(DISTINCT lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS DOUBLE)
-      |        / CAST(COUNT(*) AS DOUBLE), 4) AS dup_ratio
-      |FROM documents GROUP BY source ORDER BY source""".stripMargin
+    s"""SELECT source, COUNT(*) AS n_docs,
+       |  ${Q.round4Sql("AVG(n_chars)")} AS avg_chars,
+       |  CAST(SUM(CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)) AS BIGINT) AS total_words,
+       |  COUNT(DISTINCT lang) AS n_langs,
+       |  ${Q.round4Sql("""CAST(COUNT(*) - COUNT(DISTINCT lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS DOUBLE)
+       |        / CAST(COUNT(*) AS DOUBLE)""")} AS dup_ratio
+       |FROM documents GROUP BY source ORDER BY source""".stripMargin
 
   val entries: Seq[Entry] = Seq(
     Entry("q30_dedup_exact", q30, Some(q30Sql)),
-    Entry("q31_dedup_minhash", q31, None),
-    Entry("q32_dedup_simhash", q32, None),
-    Entry("q33_ngram_jaccard", q33, None),
+    Entry("q31_dedup_minhash", q31, Some(q31Sql)),
+    Entry("q32_dedup_simhash", q32, Some(q32Sql)),
+    Entry("q33_ngram_jaccard", q33, Some(q33Sql)),
     Entry("q40_lang_id", q40, Some(q40Sql)),
     Entry("q41_text_quality", q41, Some(q41Sql)),
     Entry("q42_token_count", q42, Some(q42Sql)),
-    Entry("q43_fingerprint", q43, None),
+    Entry("q43_fingerprint", q43, Some(q43Sql)),
     Entry("q44_text_stats", q44, Some(q44Sql)),
   )
 }

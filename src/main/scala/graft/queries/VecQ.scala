@@ -37,7 +37,10 @@ object VecQ {
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select(col("query_id"), col("rnk"), col("vec_id").as("neighbor_id"),
-        round(col("sim"), 4).as("cos_sim"))
+        // RAW double, deliberately: both engines compute the identical
+        // sequential dot product, and builtin ROUND(x,4) is not
+        // portable at half-boundaries (see Q.round4's scaladoc)
+        col("sim").as("cos_sim"))
       .orderBy(col("query_id"), col("rnk"))
   }
 
@@ -74,7 +77,7 @@ object VecQ {
       |r AS (SELECT query_id, vec_id,
       |        ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rnk,
       |        sim FROM s)
-      |SELECT query_id, rnk, vec_id AS neighbor_id, ROUND(sim, 4) AS cos_sim
+      |SELECT query_id, rnk, vec_id AS neighbor_id, sim AS cos_sim
       |FROM r WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin
 
   /** Banded signature exploded to (band, bval) bucket keys. */
@@ -133,8 +136,8 @@ object VecQ {
     lhs.join(rhs, Seq("band", "bval"))
       .filter(col("vec_a") < col("vec_b"))
       .select(col("vec_a"), col("vec_b"),
-        round(VecExprs.dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b")),
-          4).as("cos_sim"))
+        (VecExprs.dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b")))
+          .as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
       .dropDuplicates("vec_a", "vec_b")
       .orderBy(col("vec_a"), col("vec_b"))

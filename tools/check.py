@@ -1,20 +1,25 @@
 #!/usr/bin/env python3
-"""Local replica of the driver's correctness gate.
+"""Local replica of the driver's correctness gate — STRICTER.
 
 Runs each oracle SQL in DuckDB over the same parquet tables, loads the
-Spark result parquet written by graft.Verify, and compares exactly
-(columns sorted by name, rows sorted by all columns, values equal).
+Spark result parquet written by graft.Verify, and compares (columns
+sorted by name, rows sorted, cells compared as (type-name, str(value))).
+
+The cell comparison is deliberately the strictest reasonable form: the
+driver hashes the string form of each cell, so Decimal('4.50') vs
+float 4.5 — equal numerically — must FAIL here (round 1 shipped nine
+such mismatches because this script normalized Decimal→float). Array
+columns fail outright: the driver sorts rows with pandas and numpy
+arrays are unhashable there.
 
 Usage:
   sbt -batch 'runMain graft.Verify /root/testdata/sf0.01 target/verify_out'
   python3 tools/check.py /root/testdata/sf0.01 target/verify_out
 """
-import sys, os, json, glob, math
-from decimal import Decimal
+import sys, os, json, glob
 
 import duckdb
 import pyarrow.parquet as pq
-import pandas as pd
 
 sf_dir, out_dir = sys.argv[1], sys.argv[2]
 
@@ -26,38 +31,39 @@ for f in glob.glob(os.path.join(sf_dir, "*.parquet")):
 
 oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
 
-def norm(v):
-    if v is None:
-        return ("null",)
-    if isinstance(v, Decimal):
-        return ("num", float(v))
-    if isinstance(v, float):
-        if math.isnan(v):
-            return ("nan",)
-        return ("num", v)
-    if isinstance(v, (int,)):
-        return ("num", float(v))
-    if isinstance(v, pd.Timestamp):
-        return ("ts", v.tz_localize(None) if v.tzinfo else v)
-    if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
-        return ("arr", tuple(norm(x) for x in v))
-    return (type(v).__name__, v)
-
 def canon(df):
     df = df.reindex(sorted(df.columns), axis=1)
-    rows = [tuple(norm(v) for v in row) for row in df.itertuples(index=False, name=None)]
+    rows = [tuple((type(v).__name__, str(v)) for v in row)
+            for row in df.itertuples(index=False, name=None)]
     return sorted(df.columns), sorted(rows, key=repr)
 
 fails = 0
-for name in sorted(oracle):
+names = sorted(set(oracle) | {d for d in os.listdir(out_dir)
+                              if os.path.isdir(os.path.join(out_dir, d))})
+for name in names:
     spark_path = os.path.join(out_dir, name)
     if not os.path.isdir(spark_path):
         print(f"FAIL {name}: no spark output"); fails += 1; continue
     try:
         sdf = pq.read_table(spark_path).to_pandas()
+    except Exception as e:
+        print(f"FAIL {name}: unreadable spark output: {e}"); fails += 1; continue
+    arr_cols = [c for c in sdf.columns
+                if sdf[c].dtype == object and len(sdf)
+                and type(sdf[c].iloc[0]).__name__ == "ndarray"]
+    if arr_cols:
+        print(f"FAIL {name}: array column(s) {arr_cols} (driver cannot sort them)")
+        fails += 1
+        continue
+    if name not in oracle:
+        n = len(sdf)
+        print(("OK  " if n > 0 else "FAIL") + f" {name}: rows-only {n}")
+        fails += 0 if n > 0 else 1
+        continue
+    try:
         odf = con.execute(oracle[name]).df()
     except Exception as e:
-        print(f"FAIL {name}: {e}"); fails += 1; continue
+        print(f"FAIL {name}: oracle error: {e}"); fails += 1; continue
     scols, srows = canon(sdf)
     ocols, orows = canon(odf)
     if list(scols) != list(ocols):
@@ -70,14 +76,6 @@ for name in sorted(oracle):
         fails += 1
     else:
         print(f"OK   {name}: {len(srows)} rows")
-
-# queries without an oracle: rows-only check
-for d in sorted(os.listdir(out_dir)):
-    p = os.path.join(out_dir, d)
-    if os.path.isdir(p) and d not in oracle:
-        n = pq.read_table(p).num_rows
-        print(("OK  " if n > 0 else "FAIL") + f" {d}: rows-only {n}")
-        fails += 0 if n > 0 else 1
 
 print(f"\n{'ALL OK' if fails == 0 else f'{fails} FAILURES'}")
 sys.exit(1 if fails else 0)
