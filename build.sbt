@@ -14,9 +14,7 @@ run / fork := true
 // Pass the forked program's stdout straight through instead of routing
 // it through sbt's logger: the benchmark/verify harness parses stdout
 // for a bare JSON line, and the logger's "[info] " prefix breaks that.
-run / outputStrategy := Some(StdoutOutput)
 Compile / run / outputStrategy := Some(StdoutOutput)
-Compile / runMain / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -9,7 +9,8 @@ object SparkEntry {
   /** All implemented inventory entries, in SURVEY §2 order. */
   def all: Seq[Entry] =
     Core.entries ++ CoreB.entries ++ TextQ.entries ++ VecQ.entries ++
-      Seq(Entry("q50_multimodal_meta", graft.multimodal.Multimodal.q50, None))
+      Seq(Entry("q50_multimodal_meta", graft.multimodal.Multimodal.q50,
+        Some(graft.multimodal.Multimodal.q50Sql)))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

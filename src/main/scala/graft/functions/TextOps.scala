@@ -99,7 +99,9 @@ object TextOps {
     * arithmetic can never overflow.
     */
   def md5Lower64(s: Column): Column = {
-    val hex = md5(s.cast("binary"))
+    // a null token hashes as the empty string, matching the native
+    // SimHash64 (md5(NULL) would otherwise null out the whole vote)
+    val hex = md5(coalesce(s, lit("")).cast("binary"))
     // byte j of the digest (j = 8..15) is hex chars (2j+1, 2j+2) and
     // occupies bits 8·(j-8)..8·(j-8)+7 of the little-endian value
     (8 to 15).map { j =>

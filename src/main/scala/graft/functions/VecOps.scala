@@ -26,11 +26,17 @@ object VecOps {
   def cosine(a: Column, b: Column): Column = dot(a, b) / (l2(a) * l2(b))
 
   /** Deterministic pseudo-random hyperplane component w(bit, i):
-    * uniform in [-1, 1] derived from murmur3(bit, i) — reproducible
-    * across runs/executors with no RNG state to ship.
+    * uniform in [-1, 1] derived from md5("bit_i") — reproducible
+    * across runs/executors with no RNG state to ship, and
+    * engine-portable (DuckDB rebuilds the identical plane matrix for
+    * the q35/q36 oracles). The weight depends only on (bit, i), so
+    * executors can precompute the whole matrix once (the native
+    * RhpSignature does).
     */
-  private def planeWeight(bit: Column, i: Column): Column =
-    (pmod(hash(bit, i), lit(2001)) - lit(1000)).cast("double") / 1000.0
+  def planeWeight(bit: Column, i: Column): Column =
+    (conv(substring(md5(concat(bit.cast("string"), lit("_"),
+      i.cast("string")).cast("binary")), 1, 15), 16, 10).cast("long")
+      % 2001 - 1000).cast("double") / 1000.0
 
   /** Random-hyperplane (SRP) LSH signature: `nBits` sign bits of
     * v·w(bit) packed into a long (Charikar '02). Cosine-similar

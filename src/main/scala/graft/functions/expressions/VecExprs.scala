@@ -6,7 +6,6 @@ import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.Bridge
 import org.apache.spark.sql.types._
-import org.apache.spark.unsafe.hash.Murmur3_x86_32
 
 /** Native Catalyst expressions for the vector hot path (SURVEY.md §2
   * row 52). The `functions._`-composed forms in
@@ -72,9 +71,14 @@ case class L2Norm(child: Expression)
 
 /** Sign-random-projection signature (Charikar '02): bit b of the
   * result is set iff v · w(b) > 0, where hyperplane component
-  * w(b)(i) = (pmod(murmur3(b, i), 2001) - 1000) / 1000 — the exact
-  * deterministic pseudo-hyperplane VecOps.planeWeight builds, so the
-  * two forms agree bit-for-bit with no RNG state to ship to executors.
+  * w(b)(i) = (parse15(md5("b_i")) mod 2001 - 1000) / 1000 — the exact
+  * deterministic pseudo-hyperplane VecOps.planeWeight builds (and the
+  * q35/q36 DuckDB oracles rebuild), so all three forms agree
+  * bit-for-bit with no RNG state to ship to executors.
+  *
+  * The matrix depends only on (b, i): it is computed ONCE per
+  * (executor, dim) and cached — the per-row cost is nBits·dim
+  * multiply-adds, with no hashing at all on the hot path.
   */
 case class RhpSignature(child: Expression, nBits: Int)
     extends UnaryExpression with CodegenFallback {
@@ -84,19 +88,14 @@ case class RhpSignature(child: Expression, nBits: Int)
   override def nullSafeEval(input: Any): Any = {
     val v = input.asInstanceOf[ArrayData]
     val dim = v.numElements()
+    val planes = RhpSignature.planes(nBits, dim)
     var sig = 0L
     var b = 0
     while (b < nBits) {
-      // replicate builtin hash(b, i): murmur3 int chain from seed 42
-      val hb = Murmur3_x86_32.hashInt(b, 42)
+      val w = planes(b)
       var d = 0.0
       var i = 0
-      while (i < dim) {
-        val h = Murmur3_x86_32.hashInt(i, hb)
-        val m = ((h % 2001) + 2001) % 2001
-        d += v.getDouble(i) * ((m - 1000).toDouble / 1000.0)
-        i += 1
-      }
+      while (i < dim) { d += v.getDouble(i) * w(i); i += 1 }
       if (d > 0) sig |= (1L << b)
       b += 1
     }
@@ -104,4 +103,23 @@ case class RhpSignature(child: Expression, nBits: Int)
   }
 
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+object RhpSignature {
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int), Array[Array[Double]]]()
+
+  /** w(b)(i) for all b < nBits, i < dim — identical to
+    * VecOps.planeWeight(b, i) and to the oracle SQL's plane CTE.
+    */
+  def planes(nBits: Int, dim: Int): Array[Array[Double]] =
+    cache.computeIfAbsent((nBits, dim), { case (nb, d) =>
+      Array.tabulate(nb, d) { (b, i) =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val hex = md.digest(s"${b}_$i".getBytes("UTF-8"))
+          .map(x => f"$x%02x").mkString
+        ((java.lang.Long.parseLong(hex.substring(0, 15), 16) % 2001)
+          - 1000).toDouble / 1000.0
+      }
+    })
 }

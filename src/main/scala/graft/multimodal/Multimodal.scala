@@ -115,8 +115,39 @@ object Multimodal {
     extractFeatures(media).toDF()
       .select(col("doc_id"), col("mime"), col("n_bytes"), col("ok"),
         size(col("features")).as("feature_dim"),
-        round(aggregate(col("features"),
-          lit(0.0), (a, x) => a + x.cast("double")), 4).as("feature_sum"))
+        graft.queries.Q.round4(aggregate(col("features"),
+          lit(0.0), (a, x) => a + x.cast("double"))).as("feature_sum"))
       .orderBy(col("doc_id"))
   }
+
+  /** DuckDB mirror of q50: the stub decode is deterministic byte math,
+    * so the oracle replays it exactly — UTF-8 bytes via hex(encode()),
+    * per-slot FLOAT accumulation (list positions are 1-based; slot =
+    * (i-1) mod 16), then the slot sum in double. A real codec would
+    * make this rows-only; the plumbing (schema, batching, fencing) is
+    * what the query verifies.
+    */
+  val q50Sql: String =
+    """WITH hx AS (
+      |  SELECT doc_id, hex(encode(coalesce(text,''))) AS h,
+      |         octet_length(encode(coalesce(text,''))) AS nb
+      |  FROM documents),
+      |bts AS (
+      |  SELECT doc_id, nb, list_transform(range(1, nb+1), i ->
+      |    CAST(strpos('0123456789ABCDEF', substr(h, CAST(2*i-1 AS INT), 1)) - 1 AS INT) * 16 +
+      |    CAST(strpos('0123456789ABCDEF', substr(h, CAST(2*i AS INT), 1)) - 1 AS INT)) AS bs
+      |  FROM hx),
+      |feats AS (
+      |  SELECT doc_id, nb, list_transform(range(0, 16), j ->
+      |    list_reduce(
+      |      list_prepend(CAST(0 AS FLOAT),
+      |        list_transform(list_filter(bs, (x, i) -> (i-1) % 16 = j),
+      |          b -> CAST(b AS FLOAT) / CAST(255 AS FLOAT))),
+      |      (a, x) -> a + x)) AS f
+      |  FROM bts)
+      |SELECT doc_id, 'text/plain' AS mime, CAST(nb AS BIGINT) AS n_bytes, TRUE AS ok,
+      |  16 AS feature_dim,
+      |  FLOOR((list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |    list_transform(f, x -> CAST(x AS DOUBLE))), (a,x) -> a+x)) * 10000 + 0.5)/10000 AS feature_sum
+      |FROM feats ORDER BY doc_id""".stripMargin
 }

@@ -86,6 +86,62 @@ object VecQ {
       .select(col("vec_id"), col("v"), col("nrm"),
         posexplode(sigBands(col("sig"), Bands, BandBits)).as(Seq("band", "bval")))
 
+  /** Shared oracle-SQL CTE chain rebuilding the SRP-LSH pipeline in
+    * DuckDB: the md5-derived hyperplane matrix (identical to
+    * VecOps.planeWeight / the native RhpSignature), 64-bit sign
+    * signatures, and 8×8-bit band buckets. All dot products are
+    * sequential double accumulation — bit-identical to VecExprs.
+    */
+  private val srpCte: String =
+    """emb AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings),
+      |d AS (SELECT CAST(max(len(v)) AS INT) AS dim FROM emb),
+      |planes AS (
+      |  SELECT r.b AS b, list_transform(range(0, (SELECT dim FROM d)), i ->
+      |    CAST(list_reduce(list_transform(range(1,16), q -> CAST(strpos('0123456789abcdef',
+      |      substr(md5(CAST(r.b AS VARCHAR) || '_' || CAST(i AS VARCHAR)), CAST(q AS INT), 1)) - 1 AS BIGINT)),
+      |      (a,c) -> a*16+c) % 2001 - 1000 AS DOUBLE) / 1000.0) AS w
+      |  FROM range(0,64) r(b)),
+      |sigs AS (
+      |  SELECT e.vec_id, e.v, sqrt(list_dot_product(e.v, e.v)) AS nrm,
+      |    CAST(SUM(CASE WHEN list_dot_product(e.v, p.w) > 0
+      |      THEN CAST(1 AS UBIGINT) << CAST(p.b AS INT) ELSE CAST(0 AS UBIGINT) END)
+      |      AS UBIGINT) AS sig
+      |  FROM emb e CROSS JOIN planes p GROUP BY e.vec_id, e.v),
+      |bandedv AS (
+      |  SELECT vec_id, v, nrm, sig, CAST(r.band AS INT) AS band,
+      |    (sig >> CAST(r.band*8 AS INT)) & 255 AS bval
+      |  FROM sigs, range(0,8) r(band))""".stripMargin
+
+  val q35Sql: String =
+    s"""WITH $srpCte,
+       |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn, band, bval
+       |      FROM bandedv WHERE vec_id < 5),
+       |cand AS (
+       |  SELECT DISTINCT q.query_id, b.vec_id,
+       |    list_dot_product(q.qv, b.v) / (q.qn * b.nrm) AS sim
+       |  FROM bandedv b JOIN q ON b.band = q.band AND b.bval = q.bval
+       |    AND b.vec_id <> q.query_id),
+       |r AS (SELECT query_id, vec_id, sim,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rnk
+       |  FROM cand)
+       |SELECT query_id, rnk, vec_id AS neighbor_id, sim AS cos_sim
+       |FROM r WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin
+
+  val q36Sql: String =
+    s"""WITH $srpCte,
+       |capped AS (
+       |  SELECT vec_id, v, nrm, band, bval, COUNT(*) OVER (PARTITION BY band, bval) AS bn
+       |  FROM bandedv QUALIFY bn <= 2000),
+       |pairs AS (
+       |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |    list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cos_sim
+       |  FROM capped a JOIN capped b
+       |    ON a.band = b.band AND a.bval = b.bval AND a.vec_id < b.vec_id)
+       |SELECT vec_a, vec_b, cos_sim FROM pairs
+       |WHERE cos_sim >= 0.3 ORDER BY vec_a, vec_b""".stripMargin
+
   /** q35: LSH-bucketed ANN — 64-bit random-hyperplane signatures,
     * banded 8×8; a corpus vector is a candidate iff it shares a band
     * bucket with the query. Only candidates get the exact cosine, so
@@ -163,12 +219,21 @@ object VecQ {
   }
 
   /** Element-wise mean of each cluster's vectors (the Lloyd update):
-    * explode to (cluster, pos, component), average, reassemble.
+    * explode to (cluster, pos, component), average, reassemble. The
+    * mean is EXACT-sum based (decimal accumulate, then one double
+    * division): a plain double avg() depends on partition order, which
+    * would make the index non-deterministic across runs/cluster
+    * layouts — and the mean DuckDB-reproducible for the q37 oracle.
+    * decimal(27,14) holds any |x| < 10^13 addend exactly enough that
+    * no double can land on a rounding tie (a tie at scale 14 needs a
+    * factor 5^14 denominator, which no binary fraction has).
     */
   private def recenter(assigned: DataFrame): DataFrame =
     assigned
       .select(col("cluster_id"), posexplode(col("v")).as(Seq("pos", "x")))
-      .groupBy(col("cluster_id"), col("pos")).agg(avg(col("x")).as("m"))
+      .groupBy(col("cluster_id"), col("pos"))
+      .agg((sum(col("x").cast("decimal(27,14)")).cast("double") /
+        count(lit(1))).as("m"))
       .groupBy(col("cluster_id"))
       .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
       .select(col("cluster_id"),
@@ -219,10 +284,76 @@ object VecQ {
       .dropDuplicates("query_id", "vec_id"))
   }
 
+  /** DuckDB mirror of q37: the whole IVF build is deterministic (seed
+    * centroids = 16 lowest vec_ids; exact-sum Lloyd means; every dot
+    * product sequential double math), so the two unrolled Lloyd
+    * rounds, the index, the nprobe=4 routing and the in-list re-rank
+    * replay exactly.
+    */
+  val q37Sql: String =
+    """WITH e AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+      |    sqrt(list_dot_product(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+      |                          list_transform(embedding, x -> CAST(x AS DOUBLE)))) AS nrm
+      |  FROM embeddings),
+      |c0 AS (SELECT vec_id AS cluster_id, v AS cv, nrm AS cnrm FROM e WHERE vec_id < 16),
+      |a0 AS (
+      |  SELECT vec_id, v, cluster_id FROM (
+      |    SELECT e.vec_id, e.v, c.cluster_id,
+      |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+      |        ORDER BY (1.0 - list_dot_product(e.v, c.cv) / (e.nrm * c.cnrm)), c.cluster_id) AS rn
+      |    FROM e CROSS JOIN c0 c) WHERE rn = 1),
+      |m0 AS (
+      |  SELECT cluster_id, pos,
+      |    CAST(SUM(CAST(x AS DECIMAL(27,14))) AS DOUBLE) / COUNT(*) AS m
+      |  FROM (SELECT cluster_id, unnest(v) AS x, generate_subscripts(v, 1) AS pos FROM a0)
+      |  GROUP BY cluster_id, pos),
+      |c1 AS (
+      |  SELECT cluster_id, list(m ORDER BY pos) AS cv,
+      |    sqrt(list_dot_product(list(m ORDER BY pos), list(m ORDER BY pos))) AS cnrm
+      |  FROM m0 GROUP BY cluster_id),
+      |a1 AS (
+      |  SELECT vec_id, v, cluster_id FROM (
+      |    SELECT e.vec_id, e.v, c.cluster_id,
+      |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+      |        ORDER BY (1.0 - list_dot_product(e.v, c.cv) / (e.nrm * c.cnrm)), c.cluster_id) AS rn
+      |    FROM e CROSS JOIN c1 c) WHERE rn = 1),
+      |m1 AS (
+      |  SELECT cluster_id, pos,
+      |    CAST(SUM(CAST(x AS DECIMAL(27,14))) AS DOUBLE) / COUNT(*) AS m
+      |  FROM (SELECT cluster_id, unnest(v) AS x, generate_subscripts(v, 1) AS pos FROM a1)
+      |  GROUP BY cluster_id, pos),
+      |c2 AS (
+      |  SELECT cluster_id, list(m ORDER BY pos) AS cv,
+      |    sqrt(list_dot_product(list(m ORDER BY pos), list(m ORDER BY pos))) AS cnrm
+      |  FROM m1 GROUP BY cluster_id),
+      |idx AS (
+      |  SELECT cluster_id, vec_id, v, nrm FROM (
+      |    SELECT e.vec_id, e.v, e.nrm, c.cluster_id,
+      |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+      |        ORDER BY (1.0 - list_dot_product(e.v, c.cv) / (e.nrm * c.cnrm)), c.cluster_id) AS rn
+      |    FROM e CROSS JOIN c2 c) WHERE rn = 1),
+      |probes AS (
+      |  SELECT vec_id AS query_id, v AS qv, nrm AS qn, cluster_id FROM (
+      |    SELECT e.vec_id, e.v, e.nrm, c.cluster_id,
+      |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+      |        ORDER BY (1.0 - list_dot_product(e.v, c.cv) / (e.nrm * c.cnrm)), c.cluster_id) AS rn
+      |    FROM e CROSS JOIN c2 c WHERE e.vec_id < 5) WHERE rn <= 4),
+      |cand AS (
+      |  SELECT DISTINCT p.query_id, i.vec_id,
+      |    list_dot_product(p.qv, i.v) / (p.qn * i.nrm) AS sim
+      |  FROM idx i JOIN probes p USING (cluster_id)
+      |  WHERE i.vec_id <> p.query_id),
+      |r AS (SELECT query_id, vec_id, sim,
+      |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rnk
+      |  FROM cand)
+      |SELECT query_id, rnk, vec_id AS neighbor_id, sim AS cos_sim
+      |FROM r WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin
+
   val entries: Seq[Entry] = Seq(
     Entry("q34_embed_cosine_topk", q34, Some(q34Sql)),
-    Entry("q35_ann_lsh", q35, None),
-    Entry("q36_embed_dedup", (s, d) => q36(s, d), None),
-    Entry("q37_ann_ivf", (s, d) => q37(s, d), None),
+    Entry("q35_ann_lsh", q35, Some(q35Sql)),
+    Entry("q36_embed_dedup", (s, d) => q36(s, d), Some(q36Sql)),
+    Entry("q37_ann_ivf", (s, d) => q37(s, d), Some(q37Sql)),
   )
 }

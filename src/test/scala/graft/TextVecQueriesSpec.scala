@@ -58,7 +58,7 @@ class TextVecQueriesSpec extends SparkSpec {
       .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sa")), "doc_a")
       .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sb")), "doc_b")
       .select(col("jaccard"),
-        round(TextOps.exactJaccard(col("sa"), col("sb")), 4).as("truth"))
+        TextOps.exactJaccard(col("sa"), col("sb")).as("truth"))
     assert(check.filter(col("jaccard") =!= col("truth")).count() == 0)
     res.unpersist()
   }
