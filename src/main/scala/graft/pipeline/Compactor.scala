@@ -43,7 +43,12 @@ object Compactor {
     }
     repart.write.mode(SaveMode.Overwrite).parquet(outPath)
     var after = 0
-    val outIt = fs.listFiles(new Path(outPath), true)
+    // outPath may live on a DIFFERENT filesystem than inPath (e.g.
+    // compacting local/HDFS ingest into object storage) — the handle
+    // must come from the output path, not be reused from the input
+    val outFs = new Path(outPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val outIt = outFs.listFiles(new Path(outPath), true)
     while (outIt.hasNext) {
       val f = outIt.next()
       if (f.isFile && f.getPath.getName.endsWith(".parquet")) after += 1

@@ -112,12 +112,36 @@ final class JobRunner(spark: SparkSession, audit: Option[AuditLog] = None) {
       .getOrElse(throw new NoSuchElementException(s"unknown job $jobId"))
 
   /** Cancel: interrupts every Spark stage in the job's group
-    * (reference: cancelJob). Safe on finished jobs (no-op).
+    * (reference: cancelJob). A no-op for unknown or already-terminal
+    * jobs — in a long-lived service a stray cancel must not leave a
+    * flag behind that would pre-cancel a future job reusing the id.
     */
   def cancel(jobId: String): Unit = {
+    val j = jobs.get(jobId)
+    if (j == null || (j.status != Pending && j.status != Running)) return
     cancelled.add(jobId)
     audit.foreach(_.logJob("jobId" -> jobId, "action" -> "cancel"))
     spark.sparkContext.cancelJobGroup(jobId)
+  }
+
+  /** Drop terminal-state jobs older than `retainMs` from the registry
+    * (and their cancel flags). A long-lived service calls this
+    * periodically — otherwise `jobs`/`cancelled` grow without bound.
+    * Returns the number of entries pruned.
+    */
+  def prune(retainMs: Long = 24L * 60 * 60 * 1000): Int = {
+    val cutoff = System.currentTimeMillis() - retainMs
+    var n = 0
+    jobs.values.asScala.toSeq.foreach { j =>
+      val terminal = j.status == Succeeded || j.status == Failed ||
+        j.status == Cancelled
+      if (terminal && j.finishedAtMs.exists(_ < cutoff)) {
+        jobs.remove(j.jobId)
+        cancelled.remove(j.jobId)
+        n += 1
+      }
+    }
+    n
   }
 
   /** Block until the job reaches a terminal state (or timeout). */

@@ -151,33 +151,33 @@ object Streams {
             Iterator(SessionOut(user, new Timestamp(s.sessionStartMs),
               new Timestamp(s.lastTsMs), s.nEvents, s.totalValue))
           } else {
-            val sorted = evs.toSeq.sortBy(_.ts.getTime)
+            // fold the batch's events AND the active session (as an
+            // interval) through ONE gap-merge pass over start-sorted
+            // intervals. This is exactly batch q22's split rule applied
+            // to whatever this operator can see: consecutive late
+            // events within `gap` of each other coalesce into one past
+            // session (not one session per event), a late event within
+            // `gap` of the active session extends it backward, and
+            // anything more than `gap` past the active envelope starts
+            // a fresh session.
+            val all = (state.getOption.toSeq ++ evs.map(e =>
+                SessionState(e.ts.getTime, e.ts.getTime, 1, e.value)))
+              .sortBy(s => (s.sessionStartMs, s.lastTsMs))
             var closed = List.empty[SessionOut]
-            var cur = state.getOption
-            sorted.foreach { e =>
-              val t = e.ts.getTime
+            var cur: Option[SessionState] = None
+            all.foreach { iv =>
               cur match {
-                // merge iff the event falls inside the session's gap
-                // envelope [start - gap, lastTs + gap]; a late event
-                // can extend the window backward, exactly as batch q22
-                // (which sees the same events fully ordered) would
-                case Some(s) if t >= s.sessionStartMs - gapMs &&
-                    t - s.lastTsMs <= gapMs =>
-                  cur = Some(s.copy(
-                    sessionStartMs = math.min(s.sessionStartMs, t),
-                    lastTsMs = math.max(s.lastTsMs, t),
-                    nEvents = s.nEvents + 1, totalValue = s.totalValue + e.value))
-                // earlier than the envelope: a separate PAST session —
-                // emit it closed immediately, keep the current one
-                case Some(s) if t < s.sessionStartMs - gapMs =>
-                  closed ::= SessionOut(user, new Timestamp(t),
-                    new Timestamp(t), 1, e.value)
-                case Some(s) =>
-                  closed ::= SessionOut(user, new Timestamp(s.sessionStartMs),
-                    new Timestamp(s.lastTsMs), s.nEvents, s.totalValue)
-                  cur = Some(SessionState(t, t, 1, e.value))
+                case Some(c) if iv.sessionStartMs - c.lastTsMs <= gapMs =>
+                  cur = Some(SessionState(
+                    math.min(c.sessionStartMs, iv.sessionStartMs),
+                    math.max(c.lastTsMs, iv.lastTsMs),
+                    c.nEvents + iv.nEvents, c.totalValue + iv.totalValue))
+                case Some(c) =>
+                  closed ::= SessionOut(user, new Timestamp(c.sessionStartMs),
+                    new Timestamp(c.lastTsMs), c.nEvents, c.totalValue)
+                  cur = Some(iv)
                 case None =>
-                  cur = Some(SessionState(t, t, 1, e.value))
+                  cur = Some(iv)
               }
             }
             cur.foreach { s =>

@@ -16,9 +16,9 @@ class CoreQueriesSpec extends SparkSpec {
     val rows = Core.q01(spark, sf).collect()
     assert(rows.length > 0)
     rows.foreach { r =>
-      val base = r.getAs[java.math.BigDecimal]("sum_base_price")
-      val disc = r.getAs[java.math.BigDecimal]("sum_disc_price")
-      assert(disc.compareTo(base) <= 0, "discounted <= base")
+      val base = r.getAs[Double]("sum_base_price")
+      val disc = r.getAs[Double]("sum_disc_price")
+      assert(disc <= base, "discounted <= base")
       assert(r.getAs[Long]("count_order") > 0)
     }
   }

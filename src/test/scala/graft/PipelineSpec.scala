@@ -93,6 +93,21 @@ class PipelineSpec extends SparkSpec {
     assert(fin == JobRunner.Cancelled, s"expected Cancelled, got $fin")
   }
 
+  test("JobRunner: cancel of unknown/finished jobs is a no-op; prune drops terminal entries and flags") {
+    val runner = new JobRunner(spark)
+    // unknown id: must not leave a pre-cancel flag behind
+    runner.cancel("job-does-not-exist")
+    assert(!runner.isCancelled("job-does-not-exist"))
+    val id = runner.submit("quick")(_.range(10).count())
+    assert(runner.await(id, 120.seconds) == JobRunner.Succeeded)
+    // finished: cancel is a no-op, status stays Succeeded
+    runner.cancel(id)
+    assert(runner.status(id) == JobRunner.Succeeded && !runner.isCancelled(id))
+    // prune with retain 0 drops the terminal entry
+    assert(runner.prune(retainMs = -1) == 1)
+    intercept[NoSuchElementException](runner.status(id))
+  }
+
   test("Retry backs off and eventually succeeds / rethrows") {
     var calls = 0
     val got = Retry(Retry.Policy(attempts = 3, firstBackoff = 1.milli)) {

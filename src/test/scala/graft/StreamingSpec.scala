@@ -100,6 +100,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionize: consecutive late events within gap merge into ONE past session, as batch q22 would") {
+    implicit val s = spark
+    import s.implicits._
+    val input = MemoryStream[Ev](spark)
+    val q = Streams.sessionize(input.toDS())
+      .writeStream.format("memory").queryName("late_merge_sessions")
+      .outputMode("append").start()
+    try {
+      input.addData(Ev(9, ts(300), 1.0))
+      q.processAllAvailable()
+      // two late events at 200 and 210 (above the watermark 300-120 =
+      // 180, within gap 30 of each other, both > gap before the active
+      // session's envelope 300-30=270): batch q22 over {200, 210, 300}
+      // yields sessions {200,210} and {300} — the late pair must close
+      // as ONE two-event session, not two singletons
+      input.addData(Ev(9, ts(200), 2.0), Ev(9, ts(210), 4.0))
+      q.processAllAvailable()
+      input.addData(Ev(99, ts(2000), 0.0))
+      q.processAllAvailable()
+      input.addData(Ev(98, ts(4000), 0.0))
+      q.processAllAvailable()
+      val u9 = spark.table("late_merge_sessions").as[SessionOut].collect()
+        .filter(_.user_id == 9).sortBy(_.session_start.getTime)
+      assert(u9.length == 2, s"u9 sessions: ${u9.toSeq}")
+      assert(u9(0).session_start == ts(200) && u9(0).session_end == ts(210) &&
+        u9(0).n_events == 2 && u9(0).total_value == 6.0,
+        s"late pair not merged: ${u9.toSeq}")
+      assert(u9(1).session_start == ts(300) && u9(1).n_events == 1)
+    } finally q.stop()
+  }
+
   test("nearDupDetections: hamming<=3 pairs detected across batches, distant pairs not") {
     implicit val s = spark
     import s.implicits._

@@ -109,7 +109,7 @@ class TextVecQueriesSpec extends SparkSpec {
     val truth = ann.join(q, "query_id")
       .join(emb.select(col("vec_id").as("neighbor_id"), col("v")), "neighbor_id")
       .select(col("cos_sim"),
-        round(VecOps.cosine(col("qv"), col("v")), 4).as("truth"))
+        VecOps.cosine(col("qv"), col("v")).as("truth"))
     assert(truth.filter(col("cos_sim") =!= col("truth")).count() == 0)
     ann.unpersist()
   }
