@@ -1,0 +1,227 @@
+package graft.operators
+
+import graft.functions.VecOps
+import graft.functions.expressions.VecExprs
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Persisted IVF (inverted-file) ANN index — the batch-amortized form
+  * of the q37 operator (SURVEY.md §8): build once, store the corpus
+  * PARTITIONED BY cluster id, and answer queries by reading only the
+  * `nprobe` probed partitions. At 10⁹+ vectors this is the difference
+  * between a full-corpus scan per query batch and touching nprobe/k of
+  * the files (the parquet source prunes `cluster_id=` directories at
+  * planning time — visible as PartitionFilters in the scan).
+  *
+  * The coarse quantizer is initialized k-means||-style (Bahmani et
+  * al., VLDB'12): an oversampled candidate set is drawn in O(rounds)
+  * distributed passes weighted by squared distance, then reduced to k
+  * centers on the driver by weighted farthest-first traversal. All
+  * "randomness" is md5-hash-derived from vec_ids (like the rest of
+  * graft's hash family): rebuilding the index on any cluster layout
+  * yields byte-identical centroids — an index is a reproducible
+  * artifact, not a lottery ticket.
+  */
+object IvfIndex {
+
+  final case class BuildInfo(k: Int, dim: Int, nVectors: Long)
+
+  /** Uniform-in-[0,1) hash noise from (vec_id, round) — deterministic
+    * across executors, no RNG state.
+    */
+  private def unif(id: Long, round: Int): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val d = md.digest(s"${id}_r$round".getBytes("UTF-8"))
+    var v = 0L
+    var i = 0
+    while (i < 7) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    (v & ((1L << 53) - 1)).toDouble / (1L << 53).toDouble
+  }
+
+  private val unifUdf = udf(unif _)
+
+  /** Squared cosine-distance of every vector to its nearest center in
+    * `centers` (driver-local array of (id, vector, norm)).
+    */
+  private def minDistSq(e: DataFrame,
+                        centers: Array[(Long, Array[Double], Double)]): DataFrame = {
+    val s = e.sparkSession
+    val cdf = broadcast(
+      s.createDataFrame(centers.toSeq.map(c => (c._1, c._2.toSeq, c._3)))
+        .toDF("cid", "cv", "cnrm"))
+    e.crossJoin(cdf)
+      .select(col("vec_id"), col("v"), col("nrm"),
+        (lit(1.0) - VecExprs.dot(col("v"), col("cv")) /
+          (col("nrm") * col("cnrm"))).as("dist"))
+      .groupBy(col("vec_id"))
+      .agg(first(col("v")).as("v"), first(col("nrm")).as("nrm"),
+        min(col("dist")).as("d"))
+      .withColumn("d2", col("d") * col("d"))
+  }
+
+  private def collectCenters(df: DataFrame): Array[(Long, Array[Double], Double)] =
+    df.collect().map(r => (r.getLong(0),
+      r.getSeq[Double](1).toArray, r.getDouble(2)))
+
+  /** k-means|| oversampling: `rounds` distributed passes, each keeping
+    * vectors with hash-noise below l·d²/Σd², then a driver-side
+    * weighted farthest-first reduction to k centers.
+    */
+  private def initCenters(e: DataFrame, k: Int, rounds: Int): Array[(Long, Array[Double], Double)] = {
+    // seed: the vector whose id hashes lowest (any deterministic pick works)
+    val seed = collectCenters(
+      e.withColumn("u", unifUdf(col("vec_id"), lit(0)))
+        .orderBy(col("u"), col("vec_id")).limit(1)
+        .select(col("vec_id"), col("v"), col("nrm")))
+    var cand = seed
+    val l = 2 * k // oversampling factor per round
+    var r = 1
+    while (r <= rounds) {
+      val scored = minDistSq(e, cand).cache()
+      val total = scored.agg(sum(col("d2"))).collect()(0).getDouble(0)
+      if (total <= 0) { scored.unpersist(); return cand.take(k) } // degenerate: all points on centers
+      val picked = collectCenters(
+        scored
+          .withColumn("u", unifUdf(col("vec_id"), lit(r)))
+          .filter(col("u") < col("d2") * l / total)
+          .select(col("vec_id"), col("v"), col("nrm")))
+      scored.unpersist()
+      val seen = cand.map(_._1).toSet
+      cand = cand ++ picked.filterNot(c => seen.contains(c._1))
+      r += 1
+    }
+    // weight candidates by how many vectors they attract, then reduce
+    // to k by weighted farthest-first traversal (deterministic)
+    val cdf = broadcast(e.sparkSession
+      .createDataFrame(cand.toSeq.map(c => (c._1, c._2.toSeq, c._3)))
+      .toDF("cid", "cv", "cnrm"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("dist").asc, col("cid").asc)
+    val weights = e.crossJoin(cdf)
+      .select(col("vec_id"), col("cid"),
+        (lit(1.0) - VecExprs.dot(col("v"), col("cv")) /
+          (col("nrm") * col("cnrm"))).as("dist"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .groupBy(col("cid")).agg(count(lit(1)).as("weight"))
+      .collect().map(r2 => r2.getLong(0) -> r2.getLong(1)).toMap
+    val byId = cand.map(c => c._1 -> c).toMap
+    val ids = cand.map(_._1)
+    def cos(a: Array[Double], na: Double, b: Array[Double], nb: Double): Double = {
+      var acc = 0.0; var i = 0
+      while (i < math.min(a.length, b.length)) { acc += a(i) * b(i); i += 1 }
+      1.0 - acc / (na * nb)
+    }
+    val chosen = scala.collection.mutable.ArrayBuffer(
+      ids.maxBy(id => (weights.getOrElse(id, 0L), -id))) // heaviest first
+    while (chosen.size < math.min(k, ids.length)) {
+      // farthest-first: maximize weight·(distance to nearest chosen)
+      val next = ids.filterNot(chosen.contains).maxBy { id =>
+        val c = byId(id)
+        val d = chosen.map { cid =>
+          val ch = byId(cid); cos(c._2, c._3, ch._2, ch._3)
+        }.min
+        (weights.getOrElse(id, 0L).toDouble * d, -id.toDouble)
+      }
+      chosen += next
+    }
+    chosen.map(byId).toArray
+  }
+
+  /** Nearest-`keep` cluster assignment against driver-local centroids. */
+  private def assign(e: DataFrame, centroids: DataFrame, keep: Int): DataFrame = {
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("dist").asc, col("cluster_id"))
+    e.crossJoin(broadcast(centroids))
+      .select(col("vec_id"), col("v"), col("nrm"), col("cluster_id"),
+        (lit(1.0) - VecExprs.dot(col("v"), col("cv")) /
+          (col("nrm") * col("cnrm"))).as("dist"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= keep)
+      .drop("rn", "dist")
+  }
+
+  /** Exact-sum Lloyd update (partition-order independent — see
+    * VecQ.recenter's rationale).
+    */
+  private def recenter(assigned: DataFrame): DataFrame =
+    assigned
+      .select(col("cluster_id"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col("cluster_id"), col("pos"))
+      .agg((sum(col("x").cast("decimal(27,14)")).cast("double") /
+        count(lit(1))).as("m"))
+      .groupBy(col("cluster_id"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+      .select(col("cluster_id"),
+        transform(col("pm"), e => e.getField("m")).as("cv"))
+      .withColumn("cnrm", VecExprs.l2(col("cv")))
+
+  private def embProjection(embeddings: DataFrame): DataFrame =
+    embeddings
+      .select(col("vec_id"), VecOps.toDoubles(col("embedding")).as("v"))
+      .withColumn("nrm", VecExprs.l2(col("v")))
+
+  /** Build and persist the index at `path`:
+    *   path/centroids/   — (cluster_id, cv, cnrm), one small file
+    *   path/index/       — (vec_id, embedding) PARTITIONED BY cluster_id
+    */
+  def build(spark: SparkSession, embeddings: DataFrame, path: String,
+            k: Int = 64, initRounds: Int = 2, lloydIters: Int = 2): BuildInfo = {
+    val e = embProjection(embeddings).cache()
+    val init = initCenters(e, k, initRounds)
+    var centroids = spark
+      .createDataFrame(init.zipWithIndex.toSeq
+        .map { case (c, i) => (i.toLong, c._2.toSeq, c._3) })
+      .toDF("cluster_id", "cv", "cnrm")
+    var it = 0
+    while (it < lloydIters) {
+      val rows = recenter(assign(e, centroids, keep = 1)).collect().toSeq
+        .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
+      centroids = spark.createDataFrame(rows).toDF("cluster_id", "cv", "cnrm")
+      it += 1
+    }
+    centroids.coalesce(1).write.mode(SaveMode.Overwrite)
+      .parquet(s"$path/centroids")
+    assign(e, centroids, keep = 1)
+      .select(col("cluster_id"), col("vec_id"), col("v").as("embedding"))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("cluster_id")
+      .parquet(s"$path/index")
+    val n = e.count()
+    val dim = e.select(size(col("v"))).head().getInt(0)
+    e.unpersist()
+    BuildInfo(k, dim, n)
+  }
+
+  /** Top-`topk` neighbors for each query vector, probing `nprobe`
+    * inverted lists. The cluster_id IN (…) filter is a PARTITION
+    * filter: only the probed directories are read.
+    */
+  def query(spark: SparkSession, path: String, queries: DataFrame,
+            nprobe: Int = 8, topk: Int = 10): DataFrame = {
+    val centroids = spark.read.parquet(s"$path/centroids")
+    val q = embProjection(queries)
+      .select(col("vec_id"), col("v"), col("nrm"))
+    val probes = assign(q, centroids, keep = nprobe)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn"), col("cluster_id"))
+    val probedClusters = probes.select(col("cluster_id")).distinct()
+      .collect().map(_.getLong(0))
+    val index = spark.read.parquet(s"$path/index")
+      .filter(col("cluster_id").isin(probedClusters.toSeq: _*))
+      .select(col("cluster_id"), col("vec_id"), col("embedding").as("v"))
+      .withColumn("nrm", VecExprs.l2(col("v")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    index.join(broadcast(probes), Seq("cluster_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        (VecExprs.dot(col("qv"), col("v")) / (col("qn") * col("nrm"))).as("sim"))
+      .dropDuplicates("query_id", "vec_id")
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= topk)
+      .select(col("query_id"), col("rnk"), col("vec_id").as("neighbor_id"),
+        col("sim").as("cos_sim"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+}

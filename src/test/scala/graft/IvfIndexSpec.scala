@@ -1,0 +1,70 @@
+package graft
+
+import graft.operators.IvfIndex
+import graft.queries.VecQ
+import org.apache.spark.sql.functions._
+
+class IvfIndexSpec extends SparkSpec {
+
+  private def embeddings = spark.read.parquet(s"$sf/embeddings.parquet")
+
+  private lazy val indexPath: String = {
+    val p = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    IvfIndex.build(spark, embeddings, p, k = 16, initRounds = 2, lloydIters = 2)
+    p
+  }
+
+  test("build persists centroids and a cluster-partitioned index covering the corpus") {
+    val n = embeddings.count()
+    val idx = spark.read.parquet(s"$indexPath/index")
+    assert(idx.count() == n, "every vector must be in exactly one inverted list")
+    assert(idx.select(col("vec_id")).distinct().count() == n)
+    val k = spark.read.parquet(s"$indexPath/centroids").count()
+    assert(k > 1 && k <= 16)
+    // physically partitioned: cluster_id=… directories on disk
+    val dirs = new java.io.File(s"$indexPath/index").listFiles()
+      .filter(_.isDirectory).map(_.getName)
+    assert(dirs.count(_.startsWith("cluster_id=")) == k.toInt,
+      s"expected $k cluster directories, got ${dirs.toSeq}")
+  }
+
+  test("query prunes to the probed partitions and reaches decent recall vs brute force") {
+    val queries = embeddings.filter(col("vec_id") < 5)
+    val res = IvfIndex.query(spark, indexPath, queries, nprobe = 4, topk = 10)
+    val plan = res.queryExecution.executedPlan.toString
+    // the probe filter must reach the scan as a partition filter, and
+    // it must actually prune (nprobe=4 over 5 queries < 16 clusters)
+    assert(plan.contains("PartitionFilters: [cluster_id"),
+      s"cluster_id not pushed as partition filter:\n$plan")
+    val rows = res.collect()
+    assert(rows.length == 5 * 10)
+    // per-query ranks are 1..10 with cos_sim non-increasing
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getInt(1))
+      assert(sorted.map(_.getInt(1)).toSeq == (1 to 10))
+      val sims = sorted.map(_.getDouble(3)).toSeq
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+    }
+    // recall@10 vs the brute-force baseline — loose floor: the synthetic
+    // corpus is near-uniform, the worst case for IVF routing
+    val brute = VecQ.q34(spark, sf)
+      .select(col("query_id"), col("neighbor_id")).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val got = rows.groupBy(_.getLong(0))
+      .view.mapValues(_.map(_.getLong(2)).toSet).toMap
+    val recall = brute.keys.toSeq.map { q =>
+      (got.getOrElse(q, Set.empty) & brute(q)).size.toDouble / 10.0
+    }.sum / brute.size
+    assert(recall >= 0.3, s"recall@10 $recall too low even for nprobe=4/16")
+  }
+
+  test("index build is deterministic: rebuilding yields identical centroids") {
+    val p2 = java.nio.file.Files.createTempDirectory("graft-ivf2").toString
+    IvfIndex.build(spark, embeddings, p2, k = 16, initRounds = 2, lloydIters = 2)
+    val a = spark.read.parquet(s"$indexPath/centroids")
+      .orderBy("cluster_id").collect().map(_.toString).toSeq
+    val b = spark.read.parquet(s"$p2/centroids")
+      .orderBy("cluster_id").collect().map(_.toString).toSeq
+    assert(a == b, "k-means|| init + exact-sum Lloyd must be reproducible")
+  }
+}
