@@ -1,0 +1,115 @@
+package graft.pipeline
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Keyed upsert/merge into a parquet snapshot — the "apply this batch
+  * of changes to the table" operator (SCD-1 semantics: latest version
+  * per key wins; optional tombstone column for deletes).
+  *
+  * The merge itself is ONE window over the union — no join: both sides
+  * shuffle once on the key, the per-key winner is picked by
+  * (version, source) rank, and ties go to the incoming batch. The
+  * result is written to a sibling temp directory and swapped in with
+  * two renames, so readers never observe a half-written snapshot (the
+  * pre-swap window is the previous complete snapshot).
+  *
+  * Scale path: for a 100 TB table, wrap this with partition pruning —
+  * take the update batch's distinct partition values, rewrite ONLY the
+  * touched `part=`-directories, and leave the rest of the snapshot in
+  * place. The single-snapshot form below is the building block each
+  * touched partition runs.
+  */
+object Merge {
+
+  final case class Stats(
+      targetRows: Long, updateRows: Long, resultRows: Long,
+      inserted: Long, updated: Long, deleted: Long)
+
+  /** Merge `updates` into the snapshot at `targetPath`.
+    *
+    * @param keys       primary-key columns (row identity)
+    * @param versionCol monotone version/timestamp column; per key the
+    *                   highest version wins, updates beating the
+    *                   snapshot on equal versions
+    * @param deleteCol  optional boolean column on `updates`: winning
+    *                   rows with it true are tombstones — the key is
+    *                   dropped from the result (and the column never
+    *                   lands in the snapshot). A tombstone for an
+    *                   absent key is a no-op.
+    */
+  def upsert(spark: SparkSession, targetPath: String, updates: DataFrame,
+             keys: Seq[String], versionCol: String,
+             deleteCol: Option[String] = None): Stats = {
+    require(keys.nonEmpty, "merge needs at least one key column")
+    val fs = new Path(targetPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val exists = fs.exists(new Path(targetPath))
+
+    val del = deleteCol.getOrElse("_graft_delete")
+    val upd = (if (deleteCol.isDefined) updates
+               else updates.withColumn(del, lit(false)))
+      .withColumn("_graft_src", lit(1))
+    val tgt = (if (exists) spark.read.parquet(targetPath)
+               else spark.createDataFrame(
+                 spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+                 updates.drop(deleteCol.toSeq: _*).schema))
+      .withColumn(del, lit(false))
+      .withColumn("_graft_src", lit(0))
+
+    // ONE shuffle on the key: rank picks the winner, the unbounded
+    // max() over the same partitioning records whether the key existed
+    // in the snapshot (for the stats — no extra exchange, the window
+    // partitioning is reused)
+    val wRank = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(versionCol).desc, col("_graft_src").desc)
+    val wKey = Window.partitionBy(keys.map(col): _*)
+    val merged = tgt.unionByName(upd)
+      .withColumn("_graft_rn", row_number().over(wRank))
+      .withColumn("_graft_had_tgt",
+        max(when(col("_graft_src") === 0, 1).otherwise(0)).over(wKey))
+      .filter(col("_graft_rn") === 1)
+      .cache()
+
+    try {
+      val a = merged.groupBy().agg(
+        count(lit(1)).as("winners"),
+        count(when(!col(del), 1)).as("kept"),
+        count(when(col(del) && col("_graft_had_tgt") === 1, 1)).as("deleted"),
+        count(when(col("_graft_src") === 1 && !col(del) &&
+          col("_graft_had_tgt") === 0, 1)).as("inserted"),
+        count(when(col("_graft_src") === 1 && !col(del) &&
+          col("_graft_had_tgt") === 1, 1)).as("updated"),
+        count(when(col("_graft_had_tgt") === 1, 1)).as("target_keys"))
+        .collect()(0)
+
+      val result = merged.filter(!col(del))
+        .drop(del, "_graft_src", "_graft_rn", "_graft_had_tgt")
+
+      // write beside the target, then swap: readers either see the old
+      // complete snapshot or the new one, never a partial directory
+      val tmp = new Path(targetPath + "._graft_tmp")
+      val dst = new Path(targetPath)
+      val old = new Path(targetPath + "._graft_old")
+      result.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+      if (exists) {
+        if (fs.exists(old)) fs.delete(old, true)
+        if (!fs.rename(dst, old))
+          throw new java.io.IOException(s"merge swap: cannot retire $dst")
+      }
+      if (!fs.rename(tmp, dst))
+        throw new java.io.IOException(s"merge swap: cannot publish $tmp")
+      fs.delete(old, true)
+
+      Stats(
+        targetRows = a.getLong(5),
+        updateRows = upd.count(),
+        resultRows = a.getLong(1),
+        inserted = a.getLong(3),
+        updated = a.getLong(4),
+        deleted = a.getLong(2))
+    } finally merged.unpersist()
+  }
+}

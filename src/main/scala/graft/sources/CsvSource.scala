@@ -41,17 +41,41 @@ object CsvSource {
     def release(): Unit = { raw.unpersist(); () }
   }
 
+  /** Dialect knobs beyond header/delimiter — quoted fields with
+    * embedded delimiters/newlines, escape conventions, null markers,
+    * non-UTF8 exports. Defaults match the common RFC-4180-ish CSV.
+    *
+    * Scale note: `multiline = true` disables line-based file SPLITTING
+    * (a quoted newline means record boundaries can't be found without
+    * parsing), so each file becomes one task — keep multiline exports
+    * in many medium files, never one giant one.
+    */
+  final case class Dialect(
+      quote: String = "\"",
+      escape: String = "\\",
+      multiline: Boolean = false,
+      nullValue: String = "",
+      encoding: String = "UTF-8",
+      emptyValue: String = "")
+
   /** Read CSV(s) under `path` with the given schema enforced.
     * Malformed rows (wrong arity, uncastable values) land in `corrupt`
     * with the raw line preserved; clean rows in `data` without the
     * corrupt column. One pass computes the report.
     */
   def read(spark: SparkSession, path: String, schema: StructType,
-           header: Boolean = true, delimiter: String = ","): Loaded = {
+           header: Boolean = true, delimiter: String = ",",
+           dialect: Dialect = Dialect()): Loaded = {
     val withCorrupt = schema.add(CorruptCol, "string")
     val raw = spark.read
       .option("header", header)
       .option("sep", delimiter)
+      .option("quote", dialect.quote)
+      .option("escape", dialect.escape)
+      .option("multiLine", dialect.multiline)
+      .option("nullValue", dialect.nullValue)
+      .option("emptyValue", dialect.emptyValue)
+      .option("encoding", dialect.encoding)
       .option("mode", "PERMISSIVE")
       .option("columnNameOfCorruptRecord", CorruptCol)
       .schema(withCorrupt)

@@ -120,6 +120,65 @@ object Streams {
       }
   }
 
+  final case class DocIn(doc_id: Long, ts: Timestamp, sim: Long)
+  final case class BlockVerdict(doc_id: Long, ts: Timestamp, dup: Boolean)
+
+  /** Streaming near-dup FILTER: ONE verdict row (doc_id, is_dup) per
+    * incoming document — the decision form of [[nearDupDetections]]'s
+    * event stream (SURVEY.md §8). Two chained stateful stages:
+    *
+    *  1. per (block, value) bucket, bounded FIFO state of the last
+    *     `cap` docs; each arrival emits a per-block verdict — did it
+    *     land within `maxHamming` of anything already seen in this
+    *     bucket?
+    *  2. a watermarked tumbling-window aggregation folds a doc's 4
+    *     block verdicts into one row: is_dup = any block hit. The
+    *     verdict finalizes when the watermark passes the window —
+    *     bounded output delay in exchange for exactly one row per doc.
+    *
+    * State is O(buckets × cap) + O(docs per window) — both bounded, so
+    * the filter runs indefinitely on an unbounded feed.
+    */
+  def nearDupFilter(docs: Dataset[DocIn], cap: Int = 256, maxHamming: Int = 3,
+                    watermark: String = "1 hour",
+                    windowLen: String = "10 minutes")(
+      implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val blocked = docs.withWatermark("ts", watermark)
+      .flatMap { d =>
+        (0 until 4).map { b =>
+          (b, (d.sim >>> (b * 16)) & 0xffffL, d.doc_id, d.ts, d.sim)
+        }
+      }.toDF("blk", "bval", "doc_id", "ts", "sim")
+      .as[(Int, Long, Long, Timestamp, Long)]
+    val verdicts = blocked
+      .groupByKey(d => (d._1, d._2))
+      .flatMapGroupsWithState[BlockState, BlockVerdict](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_, ds: Iterator[(Int, Long, Long, Timestamp, Long)],
+         state: GroupState[BlockState]) =>
+          var st = state.getOption.getOrElse(BlockState(Nil, Nil))
+          val out = scala.collection.mutable.ListBuffer.empty[BlockVerdict]
+          // deterministic intra-batch order: first-by-time wins
+          ds.toSeq.sortBy(d => (d._4.getTime, d._3)).foreach { d =>
+            val (id, ts, sim) = (d._3, d._4, d._5)
+            val hit = st.ids.iterator.zip(st.sims.iterator).exists {
+              case (pid, psim) =>
+                pid != id && java.lang.Long.bitCount(psim ^ sim) <= maxHamming
+            }
+            out += BlockVerdict(id, ts, hit)
+            st = BlockState((id :: st.ids).take(cap), (sim :: st.sims).take(cap))
+          }
+          state.update(st)
+          out.iterator
+      }
+    verdicts
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen), col("doc_id"))
+      .agg(max(col("dup")).as("is_dup"))
+      .select(col("doc_id"), col("is_dup"))
+  }
+
   // --- stateful sessionization (streaming mirror of batch q22) ---
 
   final case class Ev(user_id: Long, ts: Timestamp, value: Double)

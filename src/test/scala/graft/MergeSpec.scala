@@ -1,0 +1,63 @@
+package graft
+
+import graft.pipeline.Merge
+import org.apache.spark.sql.functions._
+
+class MergeSpec extends SparkSpec {
+
+  private def tmpDir(): String =
+    java.nio.file.Files.createTempDirectory("graft-merge").toString + "/snap"
+
+  test("upsert: insert + update + delete in one merge, updates win version ties") {
+    import spark.implicits._
+    val path = tmpDir()
+    // bootstrap snapshot: keys 1..4 at version 1
+    val s0 = Merge.upsert(spark, path,
+      Seq((1L, "a", 1L), (2L, "b", 1L), (3L, "c", 1L), (4L, "d", 1L))
+        .toDF("id", "payload", "ver"),
+      keys = Seq("id"), versionCol = "ver")
+    assert(s0.resultRows == 4 && s0.inserted == 4 && s0.updated == 0)
+
+    // batch: update key 2 (higher ver), stale update for key 3 (lower
+    // ver loses), tie on key 4 (update wins), insert key 5, delete key 1,
+    // tombstone for absent key 9 (no-op)
+    val batch = Seq(
+      (2L, "b2", 2L, false),
+      (3L, "stale", 0L, false),
+      (4L, "d2", 1L, false),
+      (5L, "e", 1L, false),
+      (1L, "x", 2L, true),
+      (9L, "x", 2L, true))
+      .toDF("id", "payload", "ver", "is_del")
+    val s = Merge.upsert(spark, path, batch,
+      keys = Seq("id"), versionCol = "ver", deleteCol = Some("is_del"))
+
+    val out = spark.read.parquet(path).orderBy("id")
+      .select("id", "payload").as[(Long, String)].collect().toSeq
+    assert(out == Seq((2L, "b2"), (3L, "c"), (4L, "d2"), (5L, "e")),
+      s"snapshot: $out")
+    assert(s.targetRows == 4 && s.resultRows == 4, s"stats: $s")
+    assert(s.inserted == 1 && s.updated == 2 && s.deleted == 1, s"stats: $s")
+    // the tombstone column never lands in the snapshot
+    assert(!spark.read.parquet(path).columns.contains("is_del"))
+  }
+
+  test("upsert plan: one exchange on the key, no join") {
+    import spark.implicits._
+    val path = tmpDir()
+    Merge.upsert(spark, path,
+      Seq((1L, "a", 1L)).toDF("id", "payload", "ver"),
+      keys = Seq("id"), versionCol = "ver")
+    val upd = Seq((1L, "a2", 2L)).toDF("id", "payload", "ver")
+    val tgt = spark.read.parquet(path)
+    // replicate the merge plan shape (window over union) and check it
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("ver").desc)
+    val plan = tgt.unionByName(upd)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"merge must not join:\n$plan")
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1,
+      s"expected exactly one key exchange:\n$plan")
+  }
+}

@@ -37,6 +37,27 @@ class SourcesSpec extends SparkSpec {
     assert(raw.contains("not-a-long"))
   }
 
+  test("CsvSource dialect: quoted delimiters/newlines, custom escape and null marker") {
+    val dir = Files.createTempDirectory("graft-csv3").toString
+    // embedded delimiter, embedded newline (multiline), escaped quote,
+    // and NULL marker in a numeric column
+    Files.writeString(Paths.get(s"$dir/dialect.csv"),
+      "id,name,amount\n" +
+        "1,\"alpha, the first\",10.5\n" +
+        "2,\"two\nlines\",20.0\n" +
+        "3,\"esc \\\" quote\",1.25\n" +
+        "4,plain,NULL\n")
+    val loaded = CsvSource.read(spark, s"$dir/dialect.csv", schema,
+      dialect = CsvSource.Dialect(multiline = true, nullValue = "NULL"))
+    assert(loaded.report.ok, s"report: ${loaded.report}")
+    val byId = loaded.data.collect().map(r => r.getLong(0) -> r).toMap
+    assert(byId(1L).getString(1) == "alpha, the first")
+    assert(byId(2L).getString(1) == "two\nlines")
+    assert(byId(3L).getString(1) == "esc \" quote")
+    assert(byId(4L).isNullAt(2))
+    loaded.release()
+  }
+
   test("CsvSource.drift reports extra and missing columns") {
     val dir = Files.createTempDirectory("graft-csv3").toString
     Files.writeString(Paths.get(s"$dir/drift.csv"),

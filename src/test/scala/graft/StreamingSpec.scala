@@ -157,6 +157,39 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("nearDupFilter: one finalized verdict per doc; dups flagged, originals and distant docs clean") {
+    implicit val s = spark
+    import s.implicits._
+    val input = MemoryStream[Streams.DocIn](spark)
+    val q = Streams.nearDupFilter(input.toDS(), windowLen = "10 minutes")
+      .writeStream.format("memory").queryName("dup_verdicts")
+      .outputMode("append").start()
+    try {
+      val base = 0x0123456789abcdefL
+      // doc 1 original; doc 2 near-dup (hamming 3); doc 4 distant —
+      // all in one 10-min window
+      input.addData(
+        Streams.DocIn(1, ts(10), base),
+        Streams.DocIn(2, ts(11), base ^ 0x7L),
+        Streams.DocIn(4, ts(12), ~base))
+      q.processAllAvailable()
+      // doc 3 arrives in a LATER window, hamming 1 from base: flagged
+      // against stage-1 bucket state that persists across windows
+      input.addData(Streams.DocIn(3, ts(500), base ^ 0x10L))
+      q.processAllAvailable()
+      // push the watermark far ahead so every window finalizes
+      input.addData(Streams.DocIn(99, ts(5000), 0L))
+      q.processAllAvailable()
+      val out = spark.table("dup_verdicts")
+        .as[(Long, Boolean)].collect().toMap
+      assert(out.keySet == Set(1L, 2L, 3L, 4L), s"verdicts: $out")
+      assert(!out(1L), "original flagged as dup")
+      assert(out(2L), "same-window near-dup not flagged")
+      assert(out(3L), "cross-window near-dup not flagged")
+      assert(!out(4L), "distant doc flagged")
+    } finally q.stop()
+  }
+
   test("sessionize: gap > 30 min splits sessions; state closes on silence") {
     implicit val s = spark
     import s.implicits._
