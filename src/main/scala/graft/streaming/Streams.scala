@@ -56,9 +56,10 @@ object Streams {
                  textCol: String = "text",
                  watermark: String = "1 hour"): DataFrame =
     docs
-      // the SAME canonical key as batch q30 — if normalization evolves
+      // the SAME canonical normalization as batch q30 — if it evolves
       // in TextOps, streaming and batch must keep agreeing on what a
-      // duplicate is
+      // duplicate is (the hash function itself is per-engine: xxhash64
+      // here for speed, md5 in q30 for oracle portability)
       .withColumn("_graft_norm_hash",
         xxhash64(graft.functions.TextOps.normText(col(textCol))))
       .withWatermark(tsCol, watermark)
