@@ -193,6 +193,26 @@ object IvfIndex {
     BuildInfo(k, dim, n)
   }
 
+  /** Incremental update: assign `newVectors` to the EXISTING centroids
+    * and append them to their inverted-list partitions — no rebuild,
+    * no rewrite of resident data (parquet append into the partitioned
+    * layout only adds files to the touched `cluster_id=` dirs). The
+    * trade: centroids drift away from the true means as the corpus
+    * grows — re-run build() periodically (e.g. when appended volume
+    * passes a fraction of the indexed volume) to re-train.
+    */
+  def append(spark: SparkSession, path: String,
+             newVectors: DataFrame): Long = {
+    val centroids = spark.read.parquet(s"$path/centroids")
+    val e = embProjection(newVectors)
+    val assigned = assign(e, centroids, keep = 1)
+      .select(col("cluster_id"), col("vec_id"), col("v").as("embedding"))
+    assigned.write.mode(SaveMode.Append)
+      .partitionBy("cluster_id")
+      .parquet(s"$path/index")
+    newVectors.count()
+  }
+
   /** Top-`topk` neighbors for each query vector, probing `nprobe`
     * inverted lists. The cluster_id IN (…) filter is a PARTITION
     * filter: only the probed directories are read.

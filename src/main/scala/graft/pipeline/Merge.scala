@@ -112,4 +112,38 @@ object Merge {
         deleted = a.getLong(2))
     } finally merged.unpersist()
   }
+
+  /** Partition-pruned merge into a snapshot laid out as
+    * `targetPath/partCol=value/…`: only the partitions the update
+    * batch actually touches are read, merged and swapped — the rest of
+    * a 100 TB snapshot is never opened. Each touched partition runs
+    * the same single-window merge; untouched directories stay as-is.
+    *
+    * Requires every update row to carry its partition value (rows
+    * cannot move between partitions in one merge — changing the
+    * partition value of a key is a delete in one partition plus an
+    * insert in another).
+    */
+  def upsertPartitioned(spark: SparkSession, targetPath: String,
+                        updates: DataFrame, partCol: String,
+                        keys: Seq[String], versionCol: String,
+                        deleteCol: Option[String] = None): Stats = {
+    require(!keys.contains(partCol),
+      "partition column is implicit per-partition; keys must not repeat it")
+    val touched = updates.select(col(partCol)).distinct()
+      .collect().map(_.get(0))
+    val fs = new Path(targetPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new Path(targetPath))
+    touched.foldLeft(Stats(0, 0, 0, 0, 0, 0)) { (acc, v) =>
+      val partPath = s"$targetPath/$partCol=$v"
+      val batch = updates.filter(col(partCol) === lit(v)).drop(partCol)
+      val s = upsert(spark, partPath, batch, keys, versionCol, deleteCol)
+      // a partition whose rows were all tombstoned is an empty-but-
+      // valid snapshot directory; leave it (readers see zero rows)
+      Stats(acc.targetRows + s.targetRows, acc.updateRows + s.updateRows,
+        acc.resultRows + s.resultRows, acc.inserted + s.inserted,
+        acc.updated + s.updated, acc.deleted + s.deleted)
+    }
+  }
 }

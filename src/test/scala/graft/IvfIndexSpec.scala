@@ -58,6 +58,25 @@ class IvfIndexSpec extends SparkSpec {
     assert(recall >= 0.3, s"recall@10 $recall too low even for nprobe=4/16")
   }
 
+  test("append assigns new vectors to existing centroids without touching resident files") {
+    val p = java.nio.file.Files.createTempDirectory("graft-ivf3").toString
+    val head = embeddings.filter(col("vec_id") < 100)
+    val tail = embeddings.filter(col("vec_id") >= 100)
+    IvfIndex.build(spark, head, p, k = 8, initRounds = 1, lloydIters = 1)
+    val centroidsBefore = spark.read.parquet(s"$p/centroids").collect().toSet
+    val n = IvfIndex.append(spark, p, tail)
+    assert(n == tail.count())
+    val idx = spark.read.parquet(s"$p/index")
+    assert(idx.count() == embeddings.count(),
+      "appended index must cover the full corpus")
+    assert(spark.read.parquet(s"$p/centroids").collect().toSet == centroidsBefore,
+      "append must not re-train centroids")
+    // appended vectors are queryable through the same probe path
+    val res = IvfIndex.query(spark, p,
+      embeddings.filter(col("vec_id") < 3), nprobe = 4, topk = 5)
+    assert(res.count() == 15)
+  }
+
   test("index build is deterministic: rebuilding yields identical centroids") {
     val p2 = java.nio.file.Files.createTempDirectory("graft-ivf2").toString
     IvfIndex.build(spark, embeddings, p2, k = 16, initRounds = 2, lloydIters = 2)

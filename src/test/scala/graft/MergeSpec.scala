@@ -42,6 +42,35 @@ class MergeSpec extends SparkSpec {
     assert(!spark.read.parquet(path).columns.contains("is_del"))
   }
 
+  test("upsertPartitioned touches only the updated partitions") {
+    import spark.implicits._
+    val path = tmpDir()
+    // bootstrap two partitions
+    Merge.upsertPartitioned(spark, path,
+      Seq((2024, 1L, "a", 1L), (2024, 2L, "b", 1L), (2025, 3L, "c", 1L))
+        .toDF("year", "id", "payload", "ver"),
+      partCol = "year", keys = Seq("id"), versionCol = "ver")
+    val untouchedFiles = new java.io.File(s"$path/year=2025").listFiles()
+      .map(f => f.getName -> f.lastModified()).toMap
+
+    val s = Merge.upsertPartitioned(spark, path,
+      Seq((2024, 2L, "b2", 2L), (2024, 4L, "d", 1L))
+        .toDF("year", "id", "payload", "ver"),
+      partCol = "year", keys = Seq("id"), versionCol = "ver")
+    assert(s.inserted == 1 && s.updated == 1, s"stats: $s")
+
+    // the whole snapshot reads back as one partitioned table
+    val all = spark.read.parquet(path)
+      .select(col("year"), col("id"), col("payload"))
+      .as[(Int, Long, String)].collect().toSet
+    assert(all == Set((2024, 1L, "a"), (2024, 2L, "b2"), (2024, 4L, "d"),
+      (2025, 3L, "c")), s"snapshot: $all")
+    // the untouched partition's files were not rewritten
+    val after = new java.io.File(s"$path/year=2025").listFiles()
+      .map(f => f.getName -> f.lastModified()).toMap
+    assert(after == untouchedFiles, "untouched partition was rewritten")
+  }
+
   test("upsert plan: one exchange on the key, no join") {
     import spark.implicits._
     val path = tmpDir()
