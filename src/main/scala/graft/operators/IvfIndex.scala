@@ -128,33 +128,13 @@ object IvfIndex {
     chosen.map(byId).toArray
   }
 
-  /** Nearest-`keep` cluster assignment against driver-local centroids. */
-  private def assign(e: DataFrame, centroids: DataFrame, keep: Int): DataFrame = {
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("dist").asc, col("cluster_id"))
-    e.crossJoin(broadcast(centroids))
-      .select(col("vec_id"), col("v"), col("nrm"), col("cluster_id"),
-        (lit(1.0) - VecExprs.dot(col("v"), col("cv")) /
-          (col("nrm") * col("cnrm"))).as("dist"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= keep)
-      .drop("rn", "dist")
-  }
+  // assignment + exact-sum Lloyd update are shared with the verified
+  // q37 query — see VecKmeans
+  private def assign(e: DataFrame, centroids: DataFrame, keep: Int): DataFrame =
+    VecKmeans.assign(e, centroids, keep)
 
-  /** Exact-sum Lloyd update (partition-order independent — see
-    * VecQ.recenter's rationale).
-    */
   private def recenter(assigned: DataFrame): DataFrame =
-    assigned
-      .select(col("cluster_id"), posexplode(col("v")).as(Seq("pos", "x")))
-      .groupBy(col("cluster_id"), col("pos"))
-      .agg((sum(col("x").cast("decimal(27,14)")).cast("double") /
-        count(lit(1))).as("m"))
-      .groupBy(col("cluster_id"))
-      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
-      .select(col("cluster_id"),
-        transform(col("pm"), e => e.getField("m")).as("cv"))
-      .withColumn("cnrm", VecExprs.l2(col("cv")))
+    VecKmeans.recenter(assigned)
 
   private def embProjection(embeddings: DataFrame): DataFrame =
     embeddings
@@ -168,6 +148,9 @@ object IvfIndex {
   def build(spark: SparkSession, embeddings: DataFrame, path: String,
             k: Int = 64, initRounds: Int = 2, lloydIters: Int = 2): BuildInfo = {
     val e = embProjection(embeddings).cache()
+    // fail with a clear message instead of an NPE deep inside the
+    // k-means|| sampling aggregates
+    require(!e.isEmpty, "IvfIndex.build: embeddings input is empty")
     val init = initCenters(e, k, initRounds)
     var centroids = spark
       .createDataFrame(init.zipWithIndex.toSeq
@@ -205,12 +188,19 @@ object IvfIndex {
              newVectors: DataFrame): Long = {
     val centroids = spark.read.parquet(s"$path/centroids")
     val e = embProjection(newVectors)
+    // one materialization: the count must describe the rows actually
+    // written, not a second execution of the caller's plan (which
+    // could differ for a changing source)
     val assigned = assign(e, centroids, keep = 1)
       .select(col("cluster_id"), col("vec_id"), col("v").as("embedding"))
-    assigned.write.mode(SaveMode.Append)
-      .partitionBy("cluster_id")
-      .parquet(s"$path/index")
-    newVectors.count()
+      .cache()
+    try {
+      val n = assigned.count()
+      assigned.write.mode(SaveMode.Append)
+        .partitionBy("cluster_id")
+        .parquet(s"$path/index")
+      n
+    } finally { assigned.unpersist(); () }
   }
 
   /** Top-`topk` neighbors for each query vector, probing `nprobe`

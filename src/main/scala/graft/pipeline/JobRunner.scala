@@ -120,6 +120,16 @@ final class JobRunner(spark: SparkSession, audit: Option[AuditLog] = None) {
     val j = jobs.get(jobId)
     if (j == null || (j.status != Pending && j.status != Running)) return
     cancelled.add(jobId)
+    // check-then-act race: the job may have reached a terminal state
+    // between the status read and the flag add — retract the stale
+    // flag so isCancelled never reports true for a finished job
+    val j2 = jobs.get(jobId)
+    if (j2 == null ||
+        (j2.status != Pending && j2.status != Running &&
+          j2.status != Cancelled)) {
+      cancelled.remove(jobId)
+      return
+    }
     audit.foreach(_.logJob("jobId" -> jobId, "action" -> "cancel"))
     spark.sparkContext.cancelJobGroup(jobId)
   }

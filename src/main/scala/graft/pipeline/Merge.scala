@@ -12,9 +12,13 @@ import org.apache.spark.sql.functions._
   * The merge itself is ONE window over the union — no join: both sides
   * shuffle once on the key, the per-key winner is picked by
   * (version, source) rank, and ties go to the incoming batch. The
-  * result is written to a sibling temp directory and swapped in with
-  * two renames, so readers never observe a half-written snapshot (the
-  * pre-swap window is the previous complete snapshot).
+  * result is written to a sibling temp directory and published with
+  * two renames: readers see the previous complete snapshot until the
+  * publish, then the new one — never a half-written directory. (The
+  * instant between the two renames has no directory at the target; a
+  * reader there fails fast with not-found rather than reading partial
+  * data, and a crash there is repaired by the next upsert, which
+  * reinstates the retired snapshot before merging.)
   *
   * Scale path: for a 100 TB table, wrap this with partition pruning —
   * take the update batch's distinct partition values, rewrite ONLY the
@@ -33,7 +37,10 @@ object Merge {
     * @param keys       primary-key columns (row identity)
     * @param versionCol monotone version/timestamp column; per key the
     *                   highest version wins, updates beating the
-    *                   snapshot on equal versions
+    *                   snapshot on equal versions (two update rows for
+    *                   the same key and version tie-break by full-row
+    *                   hash, so reruns and task retries pick the same
+    *                   winner)
     * @param deleteCol  optional boolean column on `updates`: winning
     *                   rows with it true are tombstones — the key is
     *                   dropped from the result (and the column never
@@ -46,12 +53,25 @@ object Merge {
     require(keys.nonEmpty, "merge needs at least one key column")
     val fs = new Path(targetPath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // crash recovery: a failure between the two publish renames leaves
+    // the previous snapshot retired at `._graft_old` and nothing at the
+    // target — reinstate it before merging, or the bootstrap path below
+    // would silently ignore all existing data
+    val oldP = new Path(targetPath + "._graft_old")
+    if (!fs.exists(new Path(targetPath)) && fs.exists(oldP)) {
+      if (!fs.rename(oldP, new Path(targetPath)))
+        throw new java.io.IOException(
+          s"merge recovery: cannot reinstate $oldP")
+    }
     val exists = fs.exists(new Path(targetPath))
 
     val del = deleteCol.getOrElse("_graft_delete")
+    // one materialization of the caller's plan: it feeds the union AND
+    // the updateRows stat, and may be an expensive computation
     val upd = (if (deleteCol.isDefined) updates
                else updates.withColumn(del, lit(false)))
       .withColumn("_graft_src", lit(1))
+      .cache()
     val tgt = (if (exists) spark.read.parquet(targetPath)
                else spark.createDataFrame(
                  spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
@@ -62,9 +82,14 @@ object Merge {
     // ONE shuffle on the key: rank picks the winner, the unbounded
     // max() over the same partitioning records whether the key existed
     // in the snapshot (for the stats — no extra exchange, the window
-    // partitioning is reused)
+    // partitioning is reused). The full-row hash is the LAST tiebreak:
+    // without it, two same-key same-version update rows would be
+    // ranked by shuffle arrival order and a rerun could publish a
+    // different payload.
+    val dataCols = updates.drop(deleteCol.toSeq: _*).columns.toSeq
     val wRank = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col(versionCol).desc, col("_graft_src").desc)
+      .orderBy(col(versionCol).desc, col("_graft_src").desc,
+        xxhash64(dataCols.map(col): _*).asc)
     val wKey = Window.partitionBy(keys.map(col): _*)
     val merged = tgt.unionByName(upd)
       .withColumn("_graft_rn", row_number().over(wRank))
@@ -110,7 +135,7 @@ object Merge {
         inserted = a.getLong(3),
         updated = a.getLong(4),
         deleted = a.getLong(2))
-    } finally merged.unpersist()
+    } finally { merged.unpersist(); upd.unpersist(); () }
   }
 
   /** Partition-pruned merge into a snapshot laid out as
@@ -130,20 +155,33 @@ object Merge {
                         deleteCol: Option[String] = None): Stats = {
     require(!keys.contains(partCol),
       "partition column is implicit per-partition; keys must not repeat it")
-    val touched = updates.select(col(partCol)).distinct()
-      .collect().map(_.get(0))
-    val fs = new Path(targetPath)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.mkdirs(new Path(targetPath))
-    touched.foldLeft(Stats(0, 0, 0, 0, 0, 0)) { (acc, v) =>
-      val partPath = s"$targetPath/$partCol=$v"
-      val batch = updates.filter(col(partCol) === lit(v)).drop(partCol)
-      val s = upsert(spark, partPath, batch, keys, versionCol, deleteCol)
-      // a partition whose rows were all tombstoned is an empty-but-
-      // valid snapshot directory; leave it (readers see zero rows)
-      Stats(acc.targetRows + s.targetRows, acc.updateRows + s.updateRows,
-        acc.resultRows + s.resultRows, acc.inserted + s.inserted,
-        acc.updated + s.updated, acc.deleted + s.deleted)
-    }
+    val upd = updates.cache() // scanned once per touched partition + distinct
+    try {
+      val touched = upd.select(col(partCol)).distinct()
+        .collect().map(_.get(0))
+      // a null partition value has no `partCol=` directory to live in
+      // (and === never matches null, so its rows would silently merge
+      // NOWHERE) — reject loudly instead of losing data
+      require(!touched.contains(null),
+        s"upsertPartitioned: update batch has rows with null $partCol")
+      val fs = new Path(targetPath)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.mkdirs(new Path(targetPath))
+      touched.foldLeft(Stats(0, 0, 0, 0, 0, 0)) { (acc, v) =>
+        // escape exactly as Spark's partitioned writer does, so values
+        // with '/', '=', '%', … produce the directory names partition
+        // discovery expects (and round-trip to the same value)
+        val dirName = org.apache.spark.sql.catalyst.catalog
+          .ExternalCatalogUtils.escapePathName(v.toString)
+        val partPath = s"$targetPath/$partCol=$dirName"
+        val batch = upd.filter(col(partCol) === lit(v)).drop(partCol)
+        val s = upsert(spark, partPath, batch, keys, versionCol, deleteCol)
+        // a partition whose rows were all tombstoned is an empty-but-
+        // valid snapshot directory; leave it (readers see zero rows)
+        Stats(acc.targetRows + s.targetRows, acc.updateRows + s.updateRows,
+          acc.resultRows + s.resultRows, acc.inserted + s.inserted,
+          acc.updated + s.updated, acc.deleted + s.deleted)
+      }
+    } finally { upd.unpersist(); () }
   }
 }

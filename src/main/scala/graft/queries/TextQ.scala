@@ -388,6 +388,10 @@ object TextQ {
     */
   def q43(s: SparkSession, dir: String): DataFrame = {
     val t = Tables(s, dir)
+    // null text fingerprints as the empty document (0, "") — the
+    // when().otherwise() below already does that on the Spark side;
+    // the oracle coalesces norm to '' so DuckDB's null propagation
+    // (range(NULL) → NULL all the way out) cannot diverge from it
     val norm = normText(col("text"))
     val n = length(norm)
     val emptyArr = array().cast("array<string>")
@@ -416,7 +420,8 @@ object TextQ {
     */
   val q43Sql: String =
     """WITH nrm AS (
-      |  SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm
+      |  SELECT doc_id,
+      |    coalesce(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), '') AS norm
       |  FROM documents),
       |g AS (
       |  SELECT doc_id, list_transform(range(1, length(norm) - 6),
