@@ -40,6 +40,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "graft_simhash64(tokens) - 64-bit SimHash of a token array"),
       (args: Seq[Expression]) => SimHash64(args(0))))
 
+    ext.injectFunction((FunctionIdentifier("graft_md5_lower64"),
+      info("graft_md5_lower64",
+        "graft_md5_lower64(s) - portable 64-bit hash (DuckDB md5_number_lower as signed long)"),
+      (args: Seq[Expression]) => Md5Lower64(args(0))))
+
     ext.injectFunction((FunctionIdentifier("graft_winnow_fp"),
       info("graft_winnow_fp",
         "graft_winnow_fp(text, k, w) - winnowed rolling-hash fingerprints"),

@@ -45,6 +45,15 @@ object TextExprs {
   /** 64-bit SimHash over a token array (xxhash64 per token, one pass). */
   def simhash64(tokens: Column): Column = c(SimHash64(x(tokens)))
 
+  /** Portable 64-bit hash of a string — DuckDB's md5_number_lower as
+    * a signed long; ONE digest per row (the composed
+    * [[graft.functions.TextOps.md5Lower64]] evaluates md5 once per
+    * assembled BYTE — Catalyst does not CSE across its 8 conv/
+    * substring chains, an 8× overhead measured on the q46 filter).
+    * Null hashes as the empty string, like the composed form.
+    */
+  def md5Lower64(s: Column): Column = c(Md5Lower64(x(s)))
+
   /** Winnowed rolling-hash fingerprints: string → sorted distinct
     * array<int> (char k-grams, window w).
     */
@@ -210,6 +219,28 @@ case class MinHashShingleSig(child: Expression, n: Int, k: Int)
   * over tokens' bit b is positive. Matches TextOps.simhash64
   * bit-for-bit.
   */
+/** Lower 8 md5-digest bytes little-endian as a signed long — exactly
+  * DuckDB's md5_number_lower(s) (and byte-identical to the composed
+  * TextOps.md5Lower64, NativeExprSpec-verified). A null input hashes
+  * as the empty string rather than propagating null: the hash feeds
+  * sampling/sharding/HLL decisions where "null row id" must still
+  * land somewhere deterministic.
+  */
+case class Md5Lower64(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = false
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    val s = if (v == null) UTF8String.EMPTY_UTF8 else v.asInstanceOf[UTF8String]
+    java.lang.Long.valueOf(Hashing.md5Lower64(s))
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 case class SimHash64(child: Expression)
     extends UnaryExpression with CodegenFallback {
 

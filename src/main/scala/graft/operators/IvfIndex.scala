@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.functions.VecOps
 import graft.functions.expressions.VecExprs
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -41,34 +42,14 @@ object IvfIndex {
 
   private val unifUdf = udf(unif _)
 
-  /** Squared cosine-distance of every vector to its nearest center in
-    * `centers` (driver-local array of (id, vector, norm)).
-    */
-  private def minDistSq(e: DataFrame,
-                        centers: Array[(Long, Array[Double], Double)]): DataFrame = {
-    val s = e.sparkSession
-    val cdf = broadcast(
-      s.createDataFrame(centers.toSeq.map(c => (c._1, c._2.toSeq, c._3)))
-        .toDF("cid", "cv", "cnrm"))
-    e.crossJoin(cdf)
-      .select(col("vec_id"), col("v"), col("nrm"),
-        (lit(1.0) - VecExprs.dot(col("v"), col("cv")) /
-          (col("nrm") * col("cnrm"))).as("dist"))
-      .groupBy(col("vec_id"))
-      .agg(first(col("v")).as("v"), first(col("nrm")).as("nrm"),
-        min(col("dist")).as("d"))
-      .withColumn("d2", col("d") * col("d"))
-  }
-
-  private def collectCenters(df: DataFrame): Array[(Long, Array[Double], Double)] =
-    df.collect().map(r => (r.getLong(0),
-      r.getSeq[Double](1).toArray, r.getDouble(2)))
+  private def collectCenters(df: DataFrame): Seq[VecKmeans.Center] =
+    VecKmeans.collectCenters(df)
 
   /** k-means|| oversampling: `rounds` distributed passes, each keeping
     * vectors with hash-noise below l·d²/Σd², then a driver-side
     * weighted farthest-first reduction to k centers.
     */
-  private def initCenters(e: DataFrame, k: Int, rounds: Int): Array[(Long, Array[Double], Double)] = {
+  private def initCenters(e: DataFrame, k: Int, rounds: Int): Seq[VecKmeans.Center] = {
     // seed: the vector whose id hashes lowest (any deterministic pick works)
     val seed = collectCenters(
       e.withColumn("u", unifUdf(col("vec_id"), lit(0)))
@@ -78,7 +59,9 @@ object IvfIndex {
     val l = 2 * k // oversampling factor per round
     var r = 1
     while (r <= rounds) {
-      val scored = minDistSq(e, cand).cache()
+      // minDistSq is a pure projection over the scan — nothing worth
+      // caching across the two consumptions below beats re-scanning
+      val scored = VecKmeans.minDistSq(e, cand).cache()
       val total = scored.agg(sum(col("d2"))).collect()(0).getDouble(0)
       if (total <= 0) { scored.unpersist(); return cand.take(k) } // degenerate: all points on centers
       val picked = collectCenters(
@@ -91,23 +74,15 @@ object IvfIndex {
       cand = cand ++ picked.filterNot(c => seen.contains(c._1))
       r += 1
     }
-    // weight candidates by how many vectors they attract, then reduce
-    // to k by weighted farthest-first traversal (deterministic)
-    val cdf = broadcast(e.sparkSession
-      .createDataFrame(cand.toSeq.map(c => (c._1, c._2.toSeq, c._3)))
-      .toDF("cid", "cv", "cnrm"))
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("dist").asc, col("cid").asc)
-    val weights = e.crossJoin(cdf)
-      .select(col("vec_id"), col("cid"),
-        (lit(1.0) - VecExprs.dot(col("v"), col("cv")) /
-          (col("nrm") * col("cnrm"))).as("dist"))
-      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      .groupBy(col("cid")).agg(count(lit(1)).as("weight"))
+    // weight candidates by how many vectors they attract (shuffle-free
+    // nearest-center assignment + a k-row count), then reduce to k by
+    // weighted farthest-first traversal (deterministic)
+    val weights = VecKmeans.assign(e, cand, keep = 1)
+      .groupBy(col("cluster_id")).agg(count(lit(1)).as("weight"))
       .collect().map(r2 => r2.getLong(0) -> r2.getLong(1)).toMap
     val byId = cand.map(c => c._1 -> c).toMap
     val ids = cand.map(_._1)
-    def cos(a: Array[Double], na: Double, b: Array[Double], nb: Double): Double = {
+    def cos(a: Seq[Double], na: Double, b: Seq[Double], nb: Double): Double = {
       var acc = 0.0; var i = 0
       while (i < math.min(a.length, b.length)) { acc += a(i) * b(i); i += 1 }
       1.0 - acc / (na * nb)
@@ -125,16 +100,8 @@ object IvfIndex {
       }
       chosen += next
     }
-    chosen.map(byId).toArray
+    chosen.map(byId).toSeq
   }
-
-  // assignment + exact-sum Lloyd update are shared with the verified
-  // q37 query — see VecKmeans
-  private def assign(e: DataFrame, centroids: DataFrame, keep: Int): DataFrame =
-    VecKmeans.assign(e, centroids, keep)
-
-  private def recenter(assigned: DataFrame): DataFrame =
-    VecKmeans.recenter(assigned)
 
   private def embProjection(embeddings: DataFrame): DataFrame =
     embeddings
@@ -152,20 +119,18 @@ object IvfIndex {
     // k-means|| sampling aggregates
     require(!e.isEmpty, "IvfIndex.build: embeddings input is empty")
     val init = initCenters(e, k, initRounds)
-    var centroids = spark
-      .createDataFrame(init.zipWithIndex.toSeq
-        .map { case (c, i) => (i.toLong, c._2.toSeq, c._3) })
-      .toDF("cluster_id", "cv", "cnrm")
+    var centroids: Seq[VecKmeans.Center] =
+      init.zipWithIndex.map { case (c, i) => (i.toLong, c._2, c._3) }
     var it = 0
     while (it < lloydIters) {
-      val rows = recenter(assign(e, centroids, keep = 1)).collect().toSeq
-        .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
-      centroids = spark.createDataFrame(rows).toDF("cluster_id", "cv", "cnrm")
+      centroids = collectCenters(
+        VecKmeans.recenter(VecKmeans.assign(e, centroids, keep = 1)))
       it += 1
     }
-    centroids.coalesce(1).write.mode(SaveMode.Overwrite)
+    spark.createDataFrame(centroids).toDF("cluster_id", "cv", "cnrm")
+      .coalesce(1).write.mode(SaveMode.Overwrite)
       .parquet(s"$path/centroids")
-    assign(e, centroids, keep = 1)
+    VecKmeans.assign(e, centroids, keep = 1)
       .select(col("cluster_id"), col("vec_id"), col("v").as("embedding"))
       .write.mode(SaveMode.Overwrite)
       .partitionBy("cluster_id")
@@ -173,7 +138,53 @@ object IvfIndex {
     val n = e.count()
     val dim = e.select(size(col("v"))).head().getInt(0)
     e.unpersist()
+    // meta records the BUILT corpus size and build params — the
+    // re-train policy measures appended drift against it
+    spark.createDataFrame(Seq((k, dim, n, initRounds, lloydIters)))
+      .toDF("k", "dim", "nVectors", "initRounds", "lloydIters")
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/meta")
     BuildInfo(k, dim, n)
+  }
+
+  /** Fraction of the index appended since the last build: append()
+    * assigns to FROZEN centroids, so as this grows the centroids drift
+    * from the true cluster means and recall decays.
+    */
+  def appendedFraction(spark: SparkSession, path: String): Double = {
+    val built = spark.read.parquet(s"$path/meta")
+      .head().getAs[Long]("nVectors")
+    val cur = spark.read.parquet(s"$path/index").count()
+    if (built <= 0) Double.PositiveInfinity
+    else (cur - built).toDouble / built
+  }
+
+  /** Re-train policy: when appended volume passes `threshold` of the
+    * built volume, rebuild the quantizer over the FULL current corpus
+    * (resident + appended) with the original build parameters, into a
+    * sibling temp dir, then swap — readers see the old index until the
+    * new one is complete. Returns the new BuildInfo, or None when the
+    * index is still fresh enough.
+    */
+  def retrainIfNeeded(spark: SparkSession, path: String,
+                      threshold: Double = 0.25): Option[BuildInfo] = {
+    if (appendedFraction(spark, path) < threshold) return None
+    val meta = spark.read.parquet(s"$path/meta").head()
+    val tmp = path + "._graft_retrain"
+    val corpus = spark.read.parquet(s"$path/index")
+      .select(col("vec_id"), col("embedding"))
+    val info = build(spark, corpus, tmp,
+      k = meta.getAs[Int]("k"),
+      initRounds = meta.getAs[Int]("initRounds"),
+      lloydIters = meta.getAs[Int]("lloydIters"))
+    val fs = new Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val old = new Path(path + "._graft_old")
+    if (fs.exists(old)) fs.delete(old, true)
+    if (!fs.rename(new Path(path), old) ||
+        !fs.rename(new Path(tmp), new Path(path)))
+      throw new java.io.IOException(s"retrain publish failed for $path")
+    fs.delete(old, true)
+    Some(info)
   }
 
   /** Incremental update: assign `newVectors` to the EXISTING centroids
@@ -186,12 +197,12 @@ object IvfIndex {
     */
   def append(spark: SparkSession, path: String,
              newVectors: DataFrame): Long = {
-    val centroids = spark.read.parquet(s"$path/centroids")
+    val centroids = collectCenters(spark.read.parquet(s"$path/centroids"))
     val e = embProjection(newVectors)
     // one materialization: the count must describe the rows actually
     // written, not a second execution of the caller's plan (which
     // could differ for a changing source)
-    val assigned = assign(e, centroids, keep = 1)
+    val assigned = VecKmeans.assign(e, centroids, keep = 1)
       .select(col("cluster_id"), col("vec_id"), col("v").as("embedding"))
       .cache()
     try {
@@ -209,10 +220,10 @@ object IvfIndex {
     */
   def query(spark: SparkSession, path: String, queries: DataFrame,
             nprobe: Int = 8, topk: Int = 10): DataFrame = {
-    val centroids = spark.read.parquet(s"$path/centroids")
+    val centroids = collectCenters(spark.read.parquet(s"$path/centroids"))
     val q = embProjection(queries)
       .select(col("vec_id"), col("v"), col("nrm"))
-    val probes = assign(q, centroids, keep = nprobe)
+    val probes = VecKmeans.assign(q, centroids, keep = nprobe)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("nrm").as("qn"), col("cluster_id"))
     val probedClusters = probes.select(col("cluster_id")).distinct()

@@ -1,8 +1,7 @@
 package graft.operators
 
 import graft.functions.expressions.VecExprs
-import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** The ONE definition of the k-means building blocks shared by the
@@ -10,24 +9,69 @@ import org.apache.spark.sql.functions._
   * [[IvfIndex]] — assignment ranking and the Lloyd update must never
   * drift between the two, or the persisted index would silently stop
   * matching the oracle-checked semantics.
+  *
+  * Centroids are DRIVER-LOCAL (k·dim doubles — kilobytes even at
+  * k=4096): every Lloyd round collects them anyway, so assignment
+  * embeds them as a literal array of structs and ranks per row with
+  * array_sort — a pure projection. The alternative (crossJoin with a
+  * centroid DataFrame + a row_number window) expands the corpus k×
+  * and SHUFFLES it once per iteration just to rank k candidates per
+  * vector; at 10⁹ vectors that shuffle is the whole job. This is the
+  * MLlib pattern: ship the model to the data, never join against it.
   */
 private[graft] object VecKmeans {
 
-  /** Nearest-centroid assignment: vectors × broadcast centroids
-    * (columns cluster_id, cv, cnrm), keep the `keep` closest clusters
-    * per vector (keep=1 builds an index; keep=nprobe routes queries).
-    * Cosine distance; ties break on cluster_id.
+  /** A driver-local centroid: (cluster_id, vector, L2 norm). */
+  type Center = (Long, Seq[Double], Double)
+
+  /** Collect a (cluster_id, cv, cnrm) DataFrame (e.g. the persisted
+    * `centroids/` parquet, or a recenter result) to driver-local form.
     */
-  def assign(vectors: DataFrame, centroids: DataFrame, keep: Int): DataFrame = {
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("dist").asc, col("cluster_id"))
-    vectors.crossJoin(broadcast(centroids))
-      .select(col("vec_id"), col("v"), col("nrm"), col("cluster_id"),
-        (lit(1.0) - VecExprs.dot(col("v"), col("cv")) /
-          (col("nrm") * col("cnrm"))).as("dist"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= keep)
-      .drop("rn", "dist")
+  def collectCenters(df: DataFrame): Seq[Center] =
+    df.collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
+      .toSeq
+
+  private def centerArray(centroids: Seq[Center]): Column = {
+    require(centroids.nonEmpty, "k-means needs at least one centroid")
+    array(centroids.map { case (id, cv, cn) =>
+      struct(lit(id).as("cluster_id"), typedlit(cv).as("cv"),
+        lit(cn).as("cnrm"))
+    }: _*)
+  }
+
+  /** Cosine distance of row vector (v, nrm) to centroid struct `c` —
+    * the exact arithmetic the DuckDB oracle replays; must not change.
+    */
+  private def cosDist(c: Column): Column =
+    lit(1.0) - VecExprs.dot(col("v"), c.getField("cv")) /
+      (col("nrm") * c.getField("cnrm"))
+
+  /** Nearest-centroid assignment: keep the `keep` closest clusters per
+    * vector (keep=1 builds an index; keep=nprobe routes queries).
+    * Ranking is array_sort over (dist, cluster_id) structs —
+    * lexicographic, so exactly the old ORDER BY dist, cluster_id
+    * tie-break — evaluated per row with no shuffle and no k× blow-up.
+    */
+  def assign(vectors: DataFrame, centroids: Seq[Center],
+             keep: Int): DataFrame = {
+    val ranked = array_sort(transform(centerArray(centroids), c =>
+      struct(cosDist(c).as("dist"),
+        c.getField("cluster_id").as("cluster_id"))))
+    vectors
+      .select(col("vec_id"), col("v"), col("nrm"),
+        explode(slice(ranked, 1, keep)).as("rc"))
+      .select(col("vec_id"), col("v"), col("nrm"),
+        col("rc").getField("cluster_id").as("cluster_id"))
+  }
+
+  /** Squared cosine distance to the NEAREST center, per vector — the
+    * k-means|| sampling weight. One projection, no shuffle.
+    */
+  def minDistSq(vectors: DataFrame, centroids: Seq[Center]): DataFrame = {
+    val dmin = array_min(transform(centerArray(centroids), cosDist(_)))
+    vectors.select(col("vec_id"), col("v"), col("nrm"), dmin.as("d"))
+      .withColumn("d2", col("d") * col("d"))
   }
 
   /** Element-wise mean of each cluster's vectors (the Lloyd update):
@@ -39,6 +83,10 @@ private[graft] object VecKmeans {
     * decimal(27,14) holds any |x| < 10^13 addend exactly enough that
     * no double can land on a rounding tie (a tie at scale 14 needs a
     * factor 5^14 denominator, which no binary fraction has).
+    *
+    * The 64× posexplode expansion combines map-side (partial sum/count
+    * per (cluster, pos)) before the exchange, so the shuffle carries
+    * at most k·dim rows per task regardless of corpus size.
     */
   def recenter(assigned: DataFrame): DataFrame =
     assigned

@@ -1,0 +1,242 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.expressions.TextExprs.md5Lower64
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import Q._
+
+/** Approximate / sketch operators (SURVEY.md §2 rows 55–58): the
+  * scale-path variants behind the exact operators. At 100 TB an exact
+  * COUNT(DISTINCT) is a full shuffle of every distinct value and an
+  * exact quantile is a global sort; the sketches bound both to O(m)
+  * state per group (HLL registers, a fixed-rate hash sample) that
+  * merges associatively across partitions — the shape that survives a
+  * 1000-executor fan-in.
+  *
+  * Unlike builtin approx sketches (Spark HLL++ vs DuckDB's HLL are
+  * different implementations with implementation-defined estimates),
+  * every operator here is built from the engine-portable md5 hash
+  * family ([[graft.functions.TextOps.md5Lower64]]), so the SAME
+  * estimate is computable in ANSI SQL and the DuckDB oracle checks it
+  * EXACTLY — approximate relative to the true value, deterministic
+  * relative to the implementation.
+  *
+  * Reference anchor: the reference tool surfaces row-count/distinct
+  * "profile" stats on uploads (/root/reference/analyze.js:61-77,
+  * measures.js:A1-A30); these are the bounded-memory forms of those
+  * profiles.
+  */
+object SketchQ {
+
+  private val M = 64          // HLL registers (p = 6 index bits)
+  private val WBits = 58      // 64 - 6 remaining hash bits
+  private val RhoMax = WBits + 1
+  // 2^WBits, the per-register scale of the 2^-M_j sum (exact long)
+  private val Scale: Long = 1L << WBits
+  // alpha_64 * m^2 * 2^WBits — every factor is a power of two except
+  // the alpha literal, so the product is EXACT in IEEE double and
+  // identical to DuckDB folding the same expression
+  private val HllNum: Double = 0.709 * 64.0 * 64.0 * Scale.toDouble
+
+  /** q45: HLL approximate COUNT(DISTINCT l_orderkey) per return flag,
+    * alongside the exact count and the relative error.
+    *
+    * Classic HyperLogLog (Flajolet et al. 2007) with m=64 registers:
+    * register j = low 6 bits of the portable 64-bit hash, rho = number
+    * of leading zeros of the remaining 58 bits + 1, estimate
+    * alpha_m·m²/Σ2^−M_j with linear counting below 2.5m. The 2^−M_j
+    * sum is accumulated as the integer Σ2^(58−M_j) in decimal(38,0) —
+    * exact, partition-order independent — and converted to double
+    * once, so Spark and DuckDB compute bit-identical estimates.
+    *
+    * Scale path: the register table is at most m rows per group after
+    * the partial max(rho) combine — a 100 TB scan reduces map-side to
+    * 64 longs per group per task before the one tiny shuffle.
+    */
+  def q45(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    val h = md5Lower64(col("l_orderkey").cast("string"))
+    val w = call_function("shiftrightunsigned", h, lit(6))
+    val rho = when(w === 0, lit(RhoMax))
+      .otherwise(lit(RhoMax) - length(bin(w)))
+    val regs = t.lineitem
+      .select(col("l_returnflag"), h.bitwiseAND(lit(63L)).cast("int").as("reg"),
+        rho.cast("int").as("rho"))
+      .groupBy(col("l_returnflag"), col("reg"))
+      .agg(max(col("rho")).as("mj"))
+    val g = regs.groupBy(col("l_returnflag")).agg(
+      sum(call_function("shiftleft", lit(1L), (lit(WBits) - col("mj")).cast("int"))
+        .cast("decimal(38,0)")).as("sp"),
+      count(lit(1)).as("nb"))
+    val v = (lit(M.toLong) - col("nb"))
+    val sTot = (col("sp") + v.cast("decimal(38,0)") *
+      lit(Scale).cast("decimal(38,0)")).cast("double")
+    val eRaw = lit(HllNum) / sTot
+    // linear-counting correction below 2.5m (ln is the one non-exact
+    // step; it is only reachable for tiny groups — the verified SFs
+    // all take the raw branch, asserted by SketchSpec)
+    val est = when(eRaw <= lit(2.5 * M) && v > 0,
+      lit(M.toDouble) * log(lit(M.toDouble) / v.cast("double")))
+      .otherwise(eRaw)
+    val hll = g.select(col("l_returnflag"),
+      floor(est + 0.5).cast("long").as("est_nd"))
+    val exact = t.lineitem.groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_orderkey")).as("exact_nd"))
+    hll.join(exact, "l_returnflag")
+      .select(col("l_returnflag"), col("est_nd"), col("exact_nd"),
+        round4(abs(col("est_nd") - col("exact_nd")).cast("double") /
+          col("exact_nd").cast("double")).as("rel_err4"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val q45Sql: String =
+    s"""WITH h AS (
+       |  SELECT l_returnflag,
+       |    CAST(md5_number_lower(CAST(l_orderkey AS VARCHAR)) & 63 AS INT) AS reg,
+       |    md5_number_lower(CAST(l_orderkey AS VARCHAR)) >> 6 AS w
+       |  FROM lineitem),
+       |regs AS (
+       |  SELECT l_returnflag, reg,
+       |    MAX(CASE WHEN w = 0 THEN $RhoMax
+       |             ELSE $RhoMax - length(bin(w)) END) AS mj
+       |  FROM h GROUP BY l_returnflag, reg),
+       |g AS (
+       |  SELECT l_returnflag,
+       |    SUM(CAST(CAST(1 AS BIGINT) << CAST($WBits - mj AS INT)
+       |        AS DECIMAL(38,0))) AS sp,
+       |    COUNT(*) AS nb
+       |  FROM regs GROUP BY l_returnflag),
+       |e AS (
+       |  SELECT l_returnflag, $M - nb AS v,
+       |    CAST(sp + CAST($M - nb AS DECIMAL(38,0)) *
+       |      CAST($Scale AS DECIMAL(38,0)) AS DOUBLE) AS st
+       |  FROM g),
+       |est AS (
+       |  SELECT l_returnflag,
+       |    CAST(FLOOR(CASE
+       |      WHEN (0.709 * 64 * 64 * $Scale) / st <= ${2.5 * M} AND v > 0
+       |        THEN 64.0 * ln(64.0 / v)
+       |      ELSE (0.709 * 64 * 64 * $Scale) / st END + 0.5) AS BIGINT) AS est_nd
+       |  FROM e),
+       |x AS (
+       |  SELECT l_returnflag, COUNT(DISTINCT l_orderkey) AS exact_nd
+       |  FROM lineitem GROUP BY l_returnflag)
+       |SELECT est.l_returnflag, est_nd, exact_nd,
+       |  ${round4Sql("CAST(ABS(est_nd - exact_nd) AS DOUBLE) / CAST(exact_nd AS DOUBLE)")} AS rel_err4
+       |FROM est JOIN x USING (l_returnflag) ORDER BY l_returnflag""".stripMargin
+
+  /** q46: quantile sketch — a deterministic ~10% Bernoulli hash sample
+    * (keep iff the row hash's low 10 bits < 102) with the exact
+    * interpolated quantile over the sample. The sample decision is a
+    * pure function of the row key, so it is identical across engines,
+    * retries, and cluster layouts — unlike rand()-based sampling.
+    *
+    * Scale path: the global sort behind an exact quantile shrinks 10×
+    * before it shuffles; the rate is tunable per accuracy target and
+    * composes with per-group stratification (q47's shape).
+    */
+  def q46(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    val h = md5Lower64(concat_ws("-", col("l_orderkey"), col("l_linenumber")))
+    t.lineitem
+      .filter(h.bitwiseAND(lit(1023L)) < 102)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round4(expr("percentile(l_extendedprice, 0.5)")).as("med_price4"),
+        round4(expr("percentile(l_extendedprice, 0.9)")).as("p90_price4"),
+        count(lit(1)).as("n_sample"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val q46Sql: String =
+    s"""SELECT l_returnflag,
+       |  ${round4Sql("quantile_cont(l_extendedprice, 0.5)")} AS med_price4,
+       |  ${round4Sql("quantile_cont(l_extendedprice, 0.9)")} AS p90_price4,
+       |  COUNT(*) AS n_sample
+       |FROM lineitem
+       |WHERE md5_number_lower(CAST(l_orderkey AS VARCHAR) || '-' ||
+       |  CAST(l_linenumber AS VARCHAR)) & 1023 < 102
+       |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** q47: stratified sampling for training-data mixing — downsample
+    * the dominant language hard (en: 256/1024 ≈ 25%) and keep the
+    * long-tail languages at 768/1024 ≈ 75%, deterministically by
+    * doc_id hash. The per-class keep decision is a map-side filter
+    * (no shuffle at all until the reporting agg), which is the only
+    * shape that works when the corpus is 100 TB and the sample is
+    * what fits the trainer.
+    */
+  def q47(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    val kept = graft.operators.Sample
+      .stratified(t.documents, "doc_id", "lang",
+        Map("en" -> 0.25), defaultRate = 0.75)
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_kept"))
+    val total = t.documents.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_total"))
+    total.join(kept, Seq("lang"), "left")
+      .select(col("lang"), col("n_total"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        round4(coalesce(col("n_kept"), lit(0L)).cast("double") /
+          col("n_total").cast("double")).as("rate4"))
+      .orderBy(col("lang"))
+  }
+
+  val q47Sql: String =
+    s"""WITH kept AS (
+       |  SELECT lang, COUNT(*) AS n_kept FROM documents
+       |  WHERE md5_number_lower(CAST(doc_id AS VARCHAR)) & 1023 <
+       |    CASE WHEN lang = 'en' THEN 256 ELSE 768 END
+       |  GROUP BY lang),
+       |total AS (SELECT lang, COUNT(*) AS n_total FROM documents GROUP BY lang)
+       |SELECT total.lang, n_total, COALESCE(n_kept, 0) AS n_kept,
+       |  ${round4Sql("CAST(COALESCE(n_kept, 0) AS DOUBLE) / CAST(n_total AS DOUBLE)")} AS rate4
+       |FROM total LEFT JOIN kept USING (lang) ORDER BY lang""".stripMargin
+
+  /** q48: deterministic training-shard assignment + interleave order —
+    * shard = low 3 hash bits (8 shards), position = rank of the
+    * remaining hash bits within the shard. Hash-ordering is the
+    * standard "global shuffle without a shuffle seed" for training
+    * data: every engine/retry produces the same shard files in the
+    * same order, and the order is uncorrelated with any data column.
+    *
+    * The rank ranks by the UNSIGNED hash: Spark longs are signed, so
+    * the order key is hash >>> 1 (top bit dropped into non-negative
+    * range), which DuckDB's unsigned `>> 1` reproduces bit-for-bit.
+    *
+    * Scale path: one hash-partitioned shuffle on shard (8-way here,
+    * 10k-way at 100 TB), then a within-partition sort — exactly a
+    * `repartition(shard).sortWithinPartitions(...)` write layout.
+    */
+  def q48(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    val h = md5Lower64(col("doc_id").cast("string"))
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("ord"), col("doc_id"))
+    t.documents
+      .select(col("doc_id"), h.bitwiseAND(lit(7L)).as("shard"),
+        call_function("shiftrightunsigned", h, lit(1)).as("ord"))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select(col("doc_id"), col("shard"), col("pos"))
+      .orderBy(col("shard"), col("pos"))
+  }
+
+  val q48Sql: String =
+    """SELECT doc_id,
+      |  CAST(md5_number_lower(CAST(doc_id AS VARCHAR)) & 7 AS BIGINT) AS shard,
+      |  CAST(ROW_NUMBER() OVER (
+      |    PARTITION BY md5_number_lower(CAST(doc_id AS VARCHAR)) & 7
+      |    ORDER BY md5_number_lower(CAST(doc_id AS VARCHAR)) >> 1, doc_id)
+      |    AS BIGINT) AS pos
+      |FROM documents
+      |ORDER BY shard, pos""".stripMargin
+
+  val entries: Seq[Entry] = Seq(
+    Entry("q45_hll_distinct", q45, Some(q45Sql)),
+    Entry("q46_sample_quantile", q46, Some(q46Sql)),
+    Entry("q47_stratified_sample", q47, Some(q47Sql)),
+    Entry("q48_shard_assign", q48, Some(q48Sql)),
+  )
+}

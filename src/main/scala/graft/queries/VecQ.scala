@@ -203,12 +203,8 @@ object VecQ {
   // assignment + exact-sum Lloyd update live in graft.operators
   // .VecKmeans — ONE definition shared with the persisted IvfIndex so
   // the index can never drift from these oracle-verified semantics
-  private def assign(vectors: DataFrame, centroids: DataFrame,
-                     keep: Int): DataFrame =
-    graft.operators.VecKmeans.assign(vectors, centroids, keep)
-
-  private def recenter(assigned: DataFrame): DataFrame =
-    graft.operators.VecKmeans.recenter(assigned)
+  import graft.operators.VecKmeans
+  import VecKmeans.Center
 
   /** q37: IVF ANN — a k-means coarse quantizer (deterministic seed
     * vectors, `iters` Lloyd rounds) partitions the corpus into K
@@ -225,25 +221,21 @@ object VecQ {
   def q37(s: SparkSession, dir: String, k: Int = 16, nprobe: Int = 4,
           iters: Int = 2): DataFrame = {
     val e = emb(Tables(s, dir))
-    import s.implicits._
-    // deterministic seeds: the k lowest vec_ids
-    var centroids = e.filter(col("vec_id") < k)
-      .select(col("vec_id").as("cluster_id"), col("v").as("cv"),
-        col("nrm").as("cnrm"))
+    // deterministic seeds: the k lowest vec_ids (collected to the
+    // driver — centroids live driver-local for the whole build, so
+    // every assignment below is a shuffle-free projection)
+    var centroids: Seq[Center] = VecKmeans.collectCenters(
+      e.filter(col("vec_id") < k)
+        .select(col("vec_id"), col("v"), col("nrm")))
     var it = 0
     while (it < iters) {
-      // collect the k tiny centroid rows to the driver each round (the
-      // MLlib pattern): the next iteration starts from a local
-      // relation instead of chaining every previous round's plan into
-      // every downstream consumer
-      val rows = recenter(assign(e, centroids, keep = 1)).collect().toSeq
-        .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
-      centroids = rows.toDF("cluster_id", "cv", "cnrm")
+      centroids = VecKmeans.collectCenters(
+        VecKmeans.recenter(VecKmeans.assign(e, centroids, keep = 1)))
       it += 1
     }
-    val index = assign(e, centroids, keep = 1)
+    val index = VecKmeans.assign(e, centroids, keep = 1)
       .select(col("cluster_id"), col("vec_id"), col("v"), col("nrm"))
-    val probes = assign(
+    val probes = VecKmeans.assign(
       e.filter(col("vec_id") < NQueries), centroids, keep = nprobe)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("nrm").as("qn"), col("cluster_id"))

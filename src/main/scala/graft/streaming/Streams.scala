@@ -253,4 +253,28 @@ object Streams {
           }
       }
   }
+
+  /** Streaming stratified sampler — the continuous mirror of batch
+    * q47, delegating to the SAME [[graft.operators.Sample]] decision:
+    * a stateless deterministic filter, so it needs no state store, no
+    * watermark, and replaying a micro-batch keeps exactly the same
+    * rows. (A rand()-based sampler would sample a DIFFERENT subset on
+    * every retry — silent non-determinism in the training set.)
+    */
+  def stratifiedSample(docs: DataFrame, idCol: String, classCol: String,
+                       rates: Map[String, Double],
+                       defaultRate: Double): DataFrame =
+    graft.operators.Sample.stratified(docs, idCol, classCol, rates,
+      defaultRate)
+
+  /** Stream-static enrichment: join each micro-batch against a static
+    * dimension with a BROADCAST hash join — no state store (the static
+    * side is re-broadcast per batch, picking up dim refreshes on file
+    * sources) and no stream-side shuffle. The 100 TB-scale shape for
+    * attaching dimension attributes to an event firehose; left join so
+    * unmatched events survive (nulls rather than data loss).
+    */
+  def enrich(stream: DataFrame, dim: DataFrame,
+             keys: Seq[String]): DataFrame =
+    stream.join(broadcast(dim), keys, "left")
 }

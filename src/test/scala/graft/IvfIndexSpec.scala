@@ -77,6 +77,33 @@ class IvfIndexSpec extends SparkSpec {
     assert(res.count() == 15)
   }
 
+  test("retrainIfNeeded: fresh index is left alone; past-threshold drift triggers a full rebuild") {
+    val p = java.nio.file.Files.createTempDirectory("graft-ivf4").toString
+    val head = embeddings.filter(col("vec_id") < 300)
+    val tail = embeddings.filter(col("vec_id") >= 300 && col("vec_id") < 450)
+    IvfIndex.build(spark, head, p, k = 8, initRounds = 1, lloydIters = 1)
+    assert(IvfIndex.appendedFraction(spark, p) == 0.0)
+    assert(IvfIndex.retrainIfNeeded(spark, p, threshold = 0.25).isEmpty,
+      "no appends yet — must not rebuild")
+    IvfIndex.append(spark, p, tail)
+    val frac = IvfIndex.appendedFraction(spark, p)
+    assert(frac > 0.25, s"appended fraction $frac should exceed threshold")
+    val info = IvfIndex.retrainIfNeeded(spark, p, threshold = 0.25)
+    assert(info.nonEmpty, "past-threshold drift must rebuild")
+    assert(info.get.nVectors == head.count() + tail.count(),
+      "rebuild must cover resident + appended vectors")
+    // the swap published a complete index: meta resets the drift
+    // baseline and the re-trained centroids serve queries
+    assert(IvfIndex.appendedFraction(spark, p) == 0.0)
+    assert(IvfIndex.retrainIfNeeded(spark, p, threshold = 0.25).isEmpty)
+    assert(spark.read.parquet(s"$p/index").count() == info.get.nVectors)
+    val res = IvfIndex.query(spark, p,
+      embeddings.filter(col("vec_id") < 3), nprobe = 4, topk = 5)
+    assert(res.count() == 15)
+    assert(!new java.io.File(p + "._graft_retrain").exists())
+    assert(!new java.io.File(p + "._graft_old").exists())
+  }
+
   test("index build is deterministic: rebuilding yields identical centroids") {
     val p2 = java.nio.file.Files.createTempDirectory("graft-ivf2").toString
     IvfIndex.build(spark, embeddings, p2, k = 16, initRounds = 2, lloydIters = 2)

@@ -31,6 +31,21 @@ class NativeExprSpec extends SparkSpec {
     assert(both.filter(col("native") =!= col("composed")).count() == 0)
   }
 
+  test("native md5Lower64 == composed md5Lower64 (text, numbers rendered as strings, null)") {
+    val both = docs.select(
+      TextExprs.md5Lower64(col("text")).as("native"),
+      TextOps.md5Lower64(col("text")).as("composed"))
+    assert(both.filter(col("native") =!= col("composed")).count() == 0)
+    val ids = docs.select(
+      TextExprs.md5Lower64(col("doc_id").cast("string")).as("native"),
+      TextOps.md5Lower64(col("doc_id").cast("string")).as("composed"))
+    assert(ids.filter(col("native") =!= col("composed")).count() == 0)
+    val nulls = docs.select(
+      TextExprs.md5Lower64(lit(null).cast("string")).as("native"),
+      TextOps.md5Lower64(lit(null).cast("string")).as("composed"))
+    assert(nulls.filter(col("native") =!= col("composed")).count() == 0)
+  }
+
   test("native wordShingles == composed wordShingles") {
     val toks = TextOps.tokens(TextOps.normText(col("text")))
     val both = docs.select(

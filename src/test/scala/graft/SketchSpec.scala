@@ -1,0 +1,83 @@
+package graft
+
+import graft.queries.SketchQ
+import org.apache.spark.sql.functions._
+
+class SketchSpec extends SparkSpec {
+
+  test("every sketch entry runs and returns rows on sf0.001") {
+    SketchQ.entries.foreach { e =>
+      assert(e.run(spark, sf).count() > 0, s"${e.name} returned no rows")
+    }
+  }
+
+  test("q45 HLL estimate lands within m=64's error envelope") {
+    // 1.04/sqrt(64) = 13% theoretical RSE; allow 3 sigma
+    SketchQ.q45(spark, sf).collect().foreach { r =>
+      val est = r.getAs[Long]("est_nd")
+      val exact = r.getAs[Long]("exact_nd")
+      assert(exact > 0)
+      assert(math.abs(est - exact).toDouble / exact < 0.4,
+        s"estimate $est too far from exact $exact")
+    }
+  }
+
+  test("q45 stays on the raw-estimate branch at every verified SF") {
+    // the linear-counting fallback divides through ln(), the one step
+    // whose last ulp is not pinned across engines; the oracle gate is
+    // only airtight while the verified data keeps E > 2.5m (i.e. the
+    // per-group distinct count is comfortably above 160)
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      SketchQ.q45(spark, dir).collect().foreach { r =>
+        assert(r.getAs[Long]("exact_nd") > 320,
+          s"$dir group ${r.getString(0)}: distinct count near the " +
+            "linear-counting cutover — oracle portability at risk")
+      }
+    }
+  }
+
+  test("q46 sample rate is ~10% and sampled quantiles track exact ones") {
+    val t = Tables(spark, sf)
+    val total = t.lineitem.count()
+    val df = SketchQ.q46(spark, sf)
+    val sampled = df.agg(sum(col("n_sample"))).collect()(0).getLong(0)
+    val rate = sampled.toDouble / total
+    assert(rate > 0.06 && rate < 0.14, s"sample rate $rate not ~10%")
+    val exact = t.lineitem.groupBy(col("l_returnflag"))
+      .agg(expr("percentile(l_extendedprice, 0.5)").as("med"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    df.collect().foreach { r =>
+      val med = r.getAs[Double]("med_price4")
+      val ex = exact(r.getString(0))
+      assert(math.abs(med - ex) / ex < 0.25,
+        s"sampled median $med vs exact $ex")
+    }
+  }
+
+  test("q47 keeps ~25% of en and ~75% of each other language") {
+    SketchQ.q47(spark, sf).collect().foreach { r =>
+      val rate = r.getAs[Double]("rate4")
+      val want = if (r.getString(0) == "en") 0.25 else 0.75
+      // small per-class populations at sf0.001 → wide tolerance
+      assert(math.abs(rate - want) < 0.25,
+        s"${r.getString(0)} rate $rate, want ~$want")
+      assert(r.getAs[Long]("n_kept") <= r.getAs[Long]("n_total"))
+    }
+  }
+
+  test("q48 positions are dense per shard and the order is deterministic") {
+    val a = SketchQ.q48(spark, sf).collect()
+    val b = SketchQ.q48(spark, sf).collect()
+    assert(a.toSeq == b.toSeq, "shard assignment must be deterministic")
+    assert(a.map(_.getAs[Long]("doc_id")).distinct.length == a.length)
+    a.groupBy(_.getAs[Long]("shard")).foreach { case (shard, rows) =>
+      val pos = rows.map(_.getAs[Long]("pos")).sorted
+      assert(pos.toSeq == (1L to rows.length).toSeq,
+        s"shard $shard positions not dense: ${pos.take(5).toSeq}…")
+    }
+    // 8 shards over a hash: none may be empty or grossly skewed
+    val sizes = a.groupBy(_.getAs[Long]("shard")).map(_._2.length)
+    assert(sizes.size == 8, s"expected 8 shards, got ${sizes.size}")
+    assert(sizes.max < 3 * sizes.min, s"shard skew: $sizes")
+  }
+}

@@ -221,4 +221,54 @@ class StreamingSpec extends SparkSpec {
       assert(u2.length == 1 && u2(0).n_events == 1)
     } finally q.stop()
   }
+
+  test("stratifiedSample: streaming selects exactly the batch q47 subset") {
+    implicit val s = spark
+    import s.implicits._
+    val docs = Tables(spark, sf).documents
+      .select(col("doc_id"), col("lang")).as[(Long, String)].collect().toSeq
+    val input = MemoryStream[(Long, String)](spark)
+    val sampled = Streams.stratifiedSample(
+      input.toDF().toDF("doc_id", "lang"), "doc_id", "lang",
+      Map("en" -> 0.25), defaultRate = 0.75)
+    val q = sampled.writeStream.format("memory").queryName("strat_sample")
+      .outputMode("append").trigger(Trigger.AvailableNow())
+    // split across two batches: the stateless decision must not depend
+    // on batch boundaries
+    input.addData(docs.take(docs.length / 2))
+    input.addData(docs.drop(docs.length / 2))
+    val run = q.start(); run.processAllAvailable(); run.stop()
+    val got = spark.table("strat_sample")
+      .as[(Long, String)].collect().map(_._1).toSet
+    val batch = graft.operators.Sample
+      .stratified(Tables(spark, sf).documents, "doc_id", "lang",
+        Map("en" -> 0.25), defaultRate = 0.75)
+      .select(col("doc_id")).as[Long].collect().toSet
+    assert(got == batch,
+      s"streaming sample diverges from batch: ${(got diff batch).take(5)} / ${(batch diff got).take(5)}")
+    assert(got.nonEmpty && got.size < docs.length)
+  }
+
+  test("enrich: stream-static broadcast join attaches dim attributes, keeps unmatched") {
+    implicit val s = spark
+    import s.implicits._
+    val input = MemoryStream[(Long, Double)](spark)
+    val dim = Seq((1L, "building"), (2L, "automobile"))
+      .toDF("cust_id", "segment")
+    val enriched = Streams.enrich(
+      input.toDF().toDF("cust_id", "amount"), dim, Seq("cust_id"))
+    assert(enriched.isStreaming)
+    val q = enriched.writeStream.format("memory").queryName("enriched")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, 10.0), (2L, 20.0), (7L, 5.0))
+      q.processAllAvailable()
+      val rows = spark.table("enriched")
+        .select(col("cust_id"), col("segment")).collect()
+        .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+      assert(rows(1L).contains("building"))
+      assert(rows(2L).contains("automobile"))
+      assert(rows(7L).isEmpty, "unmatched event must survive with null dim")
+    } finally q.stop()
+  }
 }
