@@ -233,10 +233,77 @@ object SketchQ {
       |FROM documents
       |ORDER BY shard, pos""".stripMargin
 
+  /** q49: count-min frequent items — the top-10 corpus tokens by
+    * count-min-sketch estimate (Cormode & Muthukrishnan 2005), next to
+    * their exact counts. d=4 hash rows × w=1024 buckets, the rows from
+    * the SAME Kirsch–Mitzenmacher double-hashing family as MinHash
+    * (h_j = (x1 + j·x2) mod w from one md5 digest), so the whole
+    * sketch is engine-portable and the oracle replays it exactly.
+    * est_n ≥ exact_n always (collisions only ever add).
+    *
+    * Scale path: the sketch state is d·w counters regardless of corpus
+    * size, accumulated with map-side partial aggregation — the
+    * frequency table a 100 TB corpus can't afford to materialize
+    * exactly is approximated in 16 KB.
+    */
+  def q49(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextOps
+    val t = Tables(s, dir)
+    val J = 4; val W = 1024
+    val counts = t.documents
+      .select(explode(TextOps.tokens(TextOps.normText(col("text")))).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+    val cells = counts
+      .withColumn("b", TextOps.minhashBases(col("tok")))
+      .select(col("tok"), col("n"),
+        explode(array((0 until J).map(lit(_)): _*)).as("j"),
+        col("b"))
+      .withColumn("bucket", (col("b.x1") + col("j") * col("b.x2")) % W)
+      .drop("b")
+    val cm = cells.groupBy(col("j"), col("bucket"))
+      .agg(sum(col("n")).as("cell_n"))
+    cells.join(cm, Seq("j", "bucket"))
+      .groupBy(col("tok"), col("n"))
+      .agg(min(col("cell_n")).as("est_n"))
+      .select(col("tok"), col("est_n"), col("n").as("exact_n"))
+      .orderBy(col("est_n").desc, col("tok"))
+      .limit(10)
+  }
+
+  val q49Sql: String =
+    """WITH toks AS (
+      |  SELECT unnest(regexp_split_to_array(
+      |    trim(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))), '\s+')) AS tok
+      |  FROM documents),
+      |cnt AS (
+      |  SELECT tok, COUNT(*) AS n FROM toks WHERE length(tok) > 0 GROUP BY tok),
+      |bases AS (
+      |  SELECT tok, n,
+      |    list_reduce(list_transform(range(1,16),
+      |      q -> CAST(strpos('0123456789abcdef', substr(md5(tok), CAST(q AS INT), 1)) - 1 AS BIGINT)),
+      |      (a,b) -> a*16+b) % 2147483647 AS x1,
+      |    list_reduce(list_transform(range(16,31),
+      |      q -> CAST(strpos('0123456789abcdef', substr(md5(tok), CAST(q AS INT), 1)) - 1 AS BIGINT)),
+      |      (a,b) -> a*16+b) % 2147483646 + 1 AS x2
+      |  FROM cnt),
+      |cells AS (
+      |  SELECT tok, n, r.j AS j, (x1 + r.j * x2) % 1024 AS bucket
+      |  FROM bases, range(0,4) r(j)),
+      |cm AS (
+      |  SELECT j, bucket, CAST(SUM(n) AS BIGINT) AS cell_n
+      |  FROM cells GROUP BY j, bucket),
+      |est AS (
+      |  SELECT tok, n AS exact_n, MIN(cell_n) AS est_n
+      |  FROM cells JOIN cm USING (j, bucket) GROUP BY tok, n)
+      |SELECT tok, est_n, exact_n FROM est
+      |ORDER BY est_n DESC, tok LIMIT 10""".stripMargin
+
   val entries: Seq[Entry] = Seq(
     Entry("q45_hll_distinct", q45, Some(q45Sql)),
     Entry("q46_sample_quantile", q46, Some(q46Sql)),
     Entry("q47_stratified_sample", q47, Some(q47Sql)),
     Entry("q48_shard_assign", q48, Some(q48Sql)),
+    Entry("q49_freq_topk_cm", q49, Some(q49Sql)),
   )
 }

@@ -65,6 +65,21 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("q49 count-min estimates always dominate exact counts and rank plausibly") {
+    val rows = SketchQ.q49(spark, sf).collect()
+    assert(rows.length == 10)
+    rows.foreach { r =>
+      val est = r.getAs[Long]("est_n")
+      val exact = r.getAs[Long]("exact_n")
+      assert(est >= exact,
+        s"CM can only overcount: ${r.getString(0)} est $est < exact $exact")
+      assert(exact > 0)
+    }
+    // the estimates come back in non-increasing order (ranking key)
+    val ests = rows.map(_.getAs[Long]("est_n")).toSeq
+    assert(ests == ests.sorted.reverse)
+  }
+
   test("q48 positions are dense per shard and the order is deterministic") {
     val a = SketchQ.q48(spark, sf).collect()
     val b = SketchQ.q48(spark, sf).collect()
