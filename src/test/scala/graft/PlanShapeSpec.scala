@@ -70,9 +70,42 @@ class PlanShapeSpec extends SparkSpec {
       s"as-of join fell back to a product:\n$plan")
   }
 
+  test("q37: centroid assignment is a projection — no join of any kind for the k-means phase") {
+    // the literal-centroid-array rewrite removed the crossJoin+window;
+    // the only join left is the probe->inverted-list broadcast equi-join
+    val plan = planOf(graft.queries.VecQ.q37(spark, sf))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"q37 assignment regressed to a product join:\n$plan")
+  }
+
+  test("q45: HLL register aggregation combines map-side before the exchange") {
+    // the scale contract: a task ships at most m register rows per
+    // group, never raw hashes — partial_max(rho) must precede Exchange
+    val plan = planOf(graft.queries.SketchQ.q45(spark, sf))
+    assert(plan.contains("partial_max"),
+      s"q45 register max is not partially aggregated:\n$plan")
+  }
+
+  test("q46: sampled percentile partially aggregates before its exchange") {
+    val plan = planOf(graft.queries.SketchQ.q46(spark, sf))
+    assert(plan.contains("partial_percentile"),
+      s"q46 ships raw sampled rows to the reducer:\n$plan")
+  }
+
+  test("q48: shard assignment shuffles exactly twice (window hash + output sort)") {
+    val plan = planOf(graft.queries.SketchQ.q48(spark, sf))
+    val exchanges = plan.linesIterator.count(_.trim.startsWith("+- Exchange")) +
+      plan.linesIterator.count(_.trim.startsWith("Exchange"))
+    assert(exchanges == 2,
+      s"q48 expected exactly 2 exchanges, found $exchanges:\n$plan")
+  }
+
   test("no query plans a cartesian product or nested-loop join (except intentional broadcasts)") {
-    // q34/q37: tiny broadcast query/probe set x corpus — the intended shape
-    val exempt = Set("q34_embed_cosine_topk", "q37_ann_ivf")
+    // q34: tiny broadcast query set x corpus — the intended brute-force
+    // baseline shape (q37 no longer needs the exemption: its k-means
+    // phase is shuffle-free and its probe join is an equi-join)
+    val exempt = Set("q34_embed_cosine_topk")
     SparkEntry.all.filterNot(e => exempt(e.name)).foreach { e =>
       val plan = e.run(spark, sf).queryExecution.sparkPlan.toString
       assert(!plan.contains("CartesianProduct"),
