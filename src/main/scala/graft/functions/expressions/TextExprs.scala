@@ -213,12 +213,6 @@ case class MinHashShingleSig(child: Expression, n: Int, k: Int)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
-/** tokens: array<string> → 64-bit SimHash (Charikar '02): per token
-  * the md5-lower-64 hash (= DuckDB's md5_number_lower, so the q32
-  * oracle is exact); bit b of the result set iff the +1/-1 vote sum
-  * over tokens' bit b is positive. Matches TextOps.simhash64
-  * bit-for-bit.
-  */
 /** Lower 8 md5-digest bytes little-endian as a signed long — exactly
   * DuckDB's md5_number_lower(s) (and byte-identical to the composed
   * TextOps.md5Lower64, NativeExprSpec-verified). A null input hashes
@@ -241,6 +235,12 @@ case class Md5Lower64(child: Expression)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** tokens: array<string> → 64-bit SimHash (Charikar '02): per token
+  * the md5-lower-64 hash (= DuckDB's md5_number_lower, so the q32
+  * oracle is exact); bit b of the result set iff the +1/-1 vote sum
+  * over tokens' bit b is positive. Matches TextOps.simhash64
+  * bit-for-bit.
+  */
 case class SimHash64(child: Expression)
     extends UnaryExpression with CodegenFallback {
 

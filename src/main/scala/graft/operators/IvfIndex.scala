@@ -146,11 +146,28 @@ object IvfIndex {
     BuildInfo(k, dim, n)
   }
 
+  /** Crash recovery for the retrain publish: a failure between the two
+    * renames leaves the previous index retired at `._graft_old` and
+    * nothing at `path` — reinstate it so the index is never lost.
+    * Called by every read entry point that can follow a retrain.
+    */
+  private def recoverRetrain(spark: SparkSession, path: String): Unit = {
+    val fs = new Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val old = new Path(path + "._graft_old")
+    if (!fs.exists(new Path(path)) && fs.exists(old)) {
+      if (!fs.rename(old, new Path(path)))
+        throw new java.io.IOException(
+          s"retrain recovery: cannot reinstate $old")
+    }
+  }
+
   /** Fraction of the index appended since the last build: append()
     * assigns to FROZEN centroids, so as this grows the centroids drift
     * from the true cluster means and recall decays.
     */
   def appendedFraction(spark: SparkSession, path: String): Double = {
+    recoverRetrain(spark, path)
     val built = spark.read.parquet(s"$path/meta")
       .head().getAs[Long]("nVectors")
     val cur = spark.read.parquet(s"$path/index").count()
@@ -197,6 +214,7 @@ object IvfIndex {
     */
   def append(spark: SparkSession, path: String,
              newVectors: DataFrame): Long = {
+    recoverRetrain(spark, path)
     val centroids = collectCenters(spark.read.parquet(s"$path/centroids"))
     val e = embProjection(newVectors)
     // one materialization: the count must describe the rows actually
@@ -220,6 +238,7 @@ object IvfIndex {
     */
   def query(spark: SparkSession, path: String, queries: DataFrame,
             nprobe: Int = 8, topk: Int = 10): DataFrame = {
+    recoverRetrain(spark, path)
     val centroids = collectCenters(spark.read.parquet(s"$path/centroids"))
     val q = embProjection(queries)
       .select(col("vec_id"), col("v"), col("nrm"))

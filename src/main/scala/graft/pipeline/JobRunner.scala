@@ -68,30 +68,46 @@ final class JobRunner(spark: SparkSession, audit: Option[AuditLog] = None) {
     jobs.put(id, JobInfo(id, name, Pending, None, System.currentTimeMillis(), None))
     audit.foreach(_.logJob("jobId" -> id, "action" -> "submit", "name" -> name))
     pool.submit(new Runnable {
+      // every status transition reads the cancel flag INSIDE the
+      // jobs.compute entry lock — cancel() sets the flag under the
+      // same lock, so a flag can never be added after a job was
+      // observed terminal (nor a terminal state decided against a
+      // stale flag read)
       def run(): Unit = {
         // cancel() can arrive while still Pending — cancelJobGroup has
         // nothing to interrupt then, so honor the flag before starting
-        if (cancelled.contains(id)) {
-          update(id)(_.copy(status = Cancelled,
-            finishedAtMs = Some(System.currentTimeMillis())))
+        var aborted = false
+        update(id) { j =>
+          if (cancelled.contains(id)) {
+            aborted = true
+            j.copy(status = Cancelled,
+              finishedAtMs = Some(System.currentTimeMillis()))
+          } else j.copy(status = Running)
+        }
+        if (aborted) {
           audit.foreach(_.logJob("jobId" -> id, "action" -> "finish",
             "status" -> Cancelled.toString))
           return
         }
-        update(id)(_.copy(status = Running))
         spark.sparkContext.setJobGroup(id, name, interruptOnCancel = true)
         try {
           body(spark, id)
-          val fin = if (cancelled.contains(id)) Cancelled else Succeeded
-          update(id)(_.copy(status = fin,
-            finishedAtMs = Some(System.currentTimeMillis())))
+          var fin: Status = Succeeded
+          update(id) { j =>
+            fin = if (cancelled.contains(id)) Cancelled else Succeeded
+            j.copy(status = fin,
+              finishedAtMs = Some(System.currentTimeMillis()))
+          }
           audit.foreach(_.logJob("jobId" -> id, "action" -> "finish",
             "status" -> fin.toString))
         } catch {
           case NonFatal(e) =>
-            val fin = if (cancelled.contains(id)) Cancelled else Failed
-            update(id)(_.copy(status = fin, error = Some(e.getMessage),
-              finishedAtMs = Some(System.currentTimeMillis())))
+            var fin: Status = Failed
+            update(id) { j =>
+              fin = if (cancelled.contains(id)) Cancelled else Failed
+              j.copy(status = fin, error = Some(e.getMessage),
+                finishedAtMs = Some(System.currentTimeMillis()))
+            }
             audit.foreach(_.logError("jobId" -> id, "action" -> "run",
               "status" -> fin.toString,
               "error" -> String.valueOf(e.getMessage)))
@@ -117,21 +133,22 @@ final class JobRunner(spark: SparkSession, audit: Option[AuditLog] = None) {
     * flag behind that would pre-cancel a future job reusing the id.
     */
   def cancel(jobId: String): Unit = {
-    val j = jobs.get(jobId)
-    if (j == null || (j.status != Pending && j.status != Running)) return
-    cancelled.add(jobId)
-    // check-then-act race: the job may have reached a terminal state
-    // between the status read and the flag add — retract the stale
-    // flag so isCancelled never reports true for a finished job
-    val j2 = jobs.get(jobId)
-    if (j2 == null ||
-        (j2.status != Pending && j2.status != Running &&
-          j2.status != Cancelled)) {
-      cancelled.remove(jobId)
-      return
+    // the status check and flag add happen atomically under the job's
+    // compute entry lock — the worker's terminal transition holds the
+    // same lock and reads the flag inside it, so a Succeeded/Failed
+    // job can never end up flagged cancelled (and vice versa)
+    var requested = false
+    jobs.computeIfPresent(jobId, (_, j) => {
+      if (j.status == Pending || j.status == Running) {
+        cancelled.add(jobId)
+        requested = true
+      }
+      j
+    })
+    if (requested) {
+      audit.foreach(_.logJob("jobId" -> jobId, "action" -> "cancel"))
+      spark.sparkContext.cancelJobGroup(jobId)
     }
-    audit.foreach(_.logJob("jobId" -> jobId, "action" -> "cancel"))
-    spark.sparkContext.cancelJobGroup(jobId)
   }
 
   /** Drop terminal-state jobs older than `retainMs` from the registry

@@ -85,8 +85,10 @@ object Merge {
     // partitioning is reused). The full-row hash is the LAST tiebreak:
     // without it, two same-key same-version update rows would be
     // ranked by shuffle arrival order and a rerun could publish a
-    // different payload.
-    val dataCols = updates.drop(deleteCol.toSeq: _*).columns.toSeq
+    // different payload. The hash must include the delete flag — a
+    // same-key same-version tombstone vs live row is otherwise
+    // hash-equal and the winner would again be arrival order.
+    val dataCols = updates.drop(deleteCol.toSeq: _*).columns.toSeq :+ del
     val wRank = Window.partitionBy(keys.map(col): _*)
       .orderBy(col(versionCol).desc, col("_graft_src").desc,
         xxhash64(dataCols.map(col): _*).asc)

@@ -33,9 +33,13 @@ object SketchQ {
   private val M = 64          // HLL registers (p = 6 index bits)
   private val WBits = 58      // 64 - 6 remaining hash bits
   private val RhoMax = WBits + 1
-  // 2^WBits, the per-register scale of the 2^-M_j sum (exact long)
-  private val Scale: Long = 1L << WBits
-  // alpha_64 * m^2 * 2^WBits — every factor is a power of two except
+  // 2^RhoMax, the per-register scale of the 2^-M_j sum: the largest
+  // register value is RhoMax (an all-zero w), whose scaled term
+  // 2^(RhoMax-RhoMax)=1 must stay a positive integer — scaling by
+  // 2^WBits would make that term 1<<-1 (Long.MIN_VALUE in Spark, a
+  // runtime error in DuckDB)
+  private val Scale: Long = 1L << RhoMax
+  // alpha_64 * m^2 * 2^RhoMax — every factor is a power of two except
   // the alpha literal, so the product is EXACT in IEEE double and
   // identical to DuckDB folding the same expression
   private val HllNum: Double = 0.709 * 64.0 * 64.0 * Scale.toDouble
@@ -47,7 +51,7 @@ object SketchQ {
     * register j = low 6 bits of the portable 64-bit hash, rho = number
     * of leading zeros of the remaining 58 bits + 1, estimate
     * alpha_m·m²/Σ2^−M_j with linear counting below 2.5m. The 2^−M_j
-    * sum is accumulated as the integer Σ2^(58−M_j) in decimal(38,0) —
+    * sum is accumulated as the integer Σ2^(59−M_j) in decimal(38,0) —
     * exact, partition-order independent — and converted to double
     * once, so Spark and DuckDB compute bit-identical estimates.
     *
@@ -67,7 +71,7 @@ object SketchQ {
       .groupBy(col("l_returnflag"), col("reg"))
       .agg(max(col("rho")).as("mj"))
     val g = regs.groupBy(col("l_returnflag")).agg(
-      sum(call_function("shiftleft", lit(1L), (lit(WBits) - col("mj")).cast("int"))
+      sum(call_function("shiftleft", lit(1L), (lit(RhoMax) - col("mj")).cast("int"))
         .cast("decimal(38,0)")).as("sp"),
       count(lit(1)).as("nb"))
     val v = (lit(M.toLong) - col("nb"))
@@ -94,8 +98,8 @@ object SketchQ {
   val q45Sql: String =
     s"""WITH h AS (
        |  SELECT l_returnflag,
-       |    CAST(md5_number_lower(CAST(l_orderkey AS VARCHAR)) & 63 AS INT) AS reg,
-       |    md5_number_lower(CAST(l_orderkey AS VARCHAR)) >> 6 AS w
+       |    CAST(md5_number_lower(coalesce(CAST(l_orderkey AS VARCHAR), '')) & 63 AS INT) AS reg,
+       |    md5_number_lower(coalesce(CAST(l_orderkey AS VARCHAR), '')) >> 6 AS w
        |  FROM lineitem),
        |regs AS (
        |  SELECT l_returnflag, reg,
@@ -104,7 +108,7 @@ object SketchQ {
        |  FROM h GROUP BY l_returnflag, reg),
        |g AS (
        |  SELECT l_returnflag,
-       |    SUM(CAST(CAST(1 AS BIGINT) << CAST($WBits - mj AS INT)
+       |    SUM(CAST(CAST(1 AS BIGINT) << CAST($RhoMax - mj AS INT)
        |        AS DECIMAL(38,0))) AS sp,
        |    COUNT(*) AS nb
        |  FROM regs GROUP BY l_returnflag),
@@ -139,9 +143,12 @@ object SketchQ {
     */
   def q46(s: SparkSession, dir: String): DataFrame = {
     val t = Tables(s, dir)
-    val h = md5Lower64(concat_ws("-", col("l_orderkey"), col("l_linenumber")))
+    // ONE sampling rule (operators.Sample) shared with q47/streaming:
+    // 102/1024 is an exact binary fraction, so floor(rate·1024) = 102
     t.lineitem
-      .filter(h.bitwiseAND(lit(1023L)) < 102)
+      .filter(graft.operators.Sample.keep(
+        concat_ws("-", col("l_orderkey"), col("l_linenumber")),
+        lit(102.0 / 1024)))
       .groupBy(col("l_returnflag"))
       .agg(
         round4(expr("percentile(l_extendedprice, 0.5)")).as("med_price4"),
@@ -156,8 +163,7 @@ object SketchQ {
        |  ${round4Sql("quantile_cont(l_extendedprice, 0.9)")} AS p90_price4,
        |  COUNT(*) AS n_sample
        |FROM lineitem
-       |WHERE md5_number_lower(CAST(l_orderkey AS VARCHAR) || '-' ||
-       |  CAST(l_linenumber AS VARCHAR)) & 1023 < 102
+       |WHERE md5_number_lower(concat_ws('-', l_orderkey, l_linenumber)) & 1023 < 102
        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
   /** q47: stratified sampling for training-data mixing — downsample
@@ -187,7 +193,7 @@ object SketchQ {
   val q47Sql: String =
     s"""WITH kept AS (
        |  SELECT lang, COUNT(*) AS n_kept FROM documents
-       |  WHERE md5_number_lower(CAST(doc_id AS VARCHAR)) & 1023 <
+       |  WHERE md5_number_lower(coalesce(CAST(doc_id AS VARCHAR), '')) & 1023 <
        |    CASE WHEN lang = 'en' THEN 256 ELSE 768 END
        |  GROUP BY lang),
        |total AS (SELECT lang, COUNT(*) AS n_total FROM documents GROUP BY lang)
@@ -225,10 +231,10 @@ object SketchQ {
 
   val q48Sql: String =
     """SELECT doc_id,
-      |  CAST(md5_number_lower(CAST(doc_id AS VARCHAR)) & 7 AS BIGINT) AS shard,
+      |  CAST(md5_number_lower(coalesce(CAST(doc_id AS VARCHAR), '')) & 7 AS BIGINT) AS shard,
       |  CAST(ROW_NUMBER() OVER (
-      |    PARTITION BY md5_number_lower(CAST(doc_id AS VARCHAR)) & 7
-      |    ORDER BY md5_number_lower(CAST(doc_id AS VARCHAR)) >> 1, doc_id)
+      |    PARTITION BY md5_number_lower(coalesce(CAST(doc_id AS VARCHAR), '')) & 7
+      |    ORDER BY md5_number_lower(coalesce(CAST(doc_id AS VARCHAR), '')) >> 1, doc_id)
       |    AS BIGINT) AS pos
       |FROM documents
       |ORDER BY shard, pos""".stripMargin

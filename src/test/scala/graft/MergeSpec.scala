@@ -42,6 +42,26 @@ class MergeSpec extends SparkSpec {
     assert(!spark.read.parquet(path).columns.contains("is_del"))
   }
 
+  test("upsert: same-key same-version tombstone vs live row resolves deterministically") {
+    import spark.implicits._
+    // the delete flag is part of the tie-break hash — three identical
+    // merges must publish the identical outcome, whatever shuffle
+    // order each run produced
+    val outcomes = (1 to 3).map { _ =>
+      val path = tmpDir()
+      Merge.upsert(spark, path,
+        Seq((1L, "seed", 1L)).toDF("id", "payload", "ver"),
+        keys = Seq("id"), versionCol = "ver")
+      Merge.upsert(spark, path,
+        Seq((1L, "p", 5L, false), (1L, "p", 5L, true))
+          .toDF("id", "payload", "ver", "del"),
+        keys = Seq("id"), versionCol = "ver", deleteCol = Some("del"))
+      spark.read.parquet(path).collect().map(_.toString).sorted.toSeq
+    }
+    assert(outcomes.distinct.size == 1,
+      s"tombstone/live tie must resolve identically across reruns: $outcomes")
+  }
+
   test("upsertPartitioned touches only the updated partitions") {
     import spark.implicits._
     val path = tmpDir()
