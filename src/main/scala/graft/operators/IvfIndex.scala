@@ -182,9 +182,58 @@ object IvfIndex {
     * new one is complete. Returns the new BuildInfo, or None when the
     * index is still fresh enough.
     */
+  /** Measured recall of the index against brute-force ground truth on
+    * a deterministic probe sample: `sampleN` corpus vectors (lowest
+    * portable hash of vec_id — uncorrelated with insertion order or
+    * cluster), each queried top-`topk` through the index at `nprobe`,
+    * scored as |ivf ∩ exact| / |exact|. This is the metric the
+    * volume-based re-train threshold is a proxy for — use it directly
+    * via retrainIfNeeded(minRecall = …) when recall SLOs matter more
+    * than rebuild cost (the measurement reads the full corpus once for
+    * the ground truth; cheap next to a rebuild, not free).
+    */
+  def recall(spark: SparkSession, path: String, sampleN: Int = 20,
+             nprobe: Int = 8, topk: Int = 10): Double = {
+    recoverRetrain(spark, path)
+    val corpus = spark.read.parquet(s"$path/index")
+      .select(col("vec_id"), col("embedding"))
+    val sample = corpus
+      .orderBy(graft.functions.expressions.TextExprs
+        .md5Lower64(col("vec_id").cast("string")), col("vec_id"))
+      .limit(sampleN)
+    val ivf = query(spark, path, sample, nprobe, topk)
+      .select(col("query_id"), col("neighbor_id"))
+    // brute-force ground truth over the same corpus, same tie-break
+    // (sim desc, vec_id) and same self-exclusion as query()
+    val e = embProjection(corpus)
+    val q = embProjection(sample)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    val truth = e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        (VecExprs.dot(col("qv"), col("v")) / (col("qn") * col("nrm"))).as("sim"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= topk)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"))
+    val nTruth = truth.count()
+    if (nTruth == 0) return 1.0
+    val hit = ivf.join(truth, Seq("query_id", "neighbor_id")).count()
+    hit.toDouble / nTruth
+  }
+
   def retrainIfNeeded(spark: SparkSession, path: String,
-                      threshold: Double = 0.25): Option[BuildInfo] = {
-    if (appendedFraction(spark, path) < threshold) return None
+                      threshold: Double = 0.25,
+                      minRecall: Option[Double] = None,
+                      recallSampleN: Int = 20): Option[BuildInfo] = {
+    val drifted = appendedFraction(spark, path) >= threshold
+    // recall is the expensive check — only measure when volume alone
+    // hasn't already decided
+    val degraded = !drifted && minRecall.exists(target =>
+      recall(spark, path, sampleN = recallSampleN) < target)
+    if (!drifted && !degraded) return None
     val meta = spark.read.parquet(s"$path/meta").head()
     val tmp = path + "._graft_retrain"
     val corpus = spark.read.parquet(s"$path/index")

@@ -104,6 +104,22 @@ class IvfIndexSpec extends SparkSpec {
     assert(!new java.io.File(p + "._graft_old").exists())
   }
 
+  test("recall measurement: sane bounds, and a recall floor can trigger a rebuild") {
+    val r = IvfIndex.recall(spark, indexPath, sampleN = 10, nprobe = 8, topk = 5)
+    assert(r >= 0.0 && r <= 1.0)
+    // nprobe = half the clusters on a tiny corpus: recall should be strong
+    assert(r > 0.6, s"recall $r implausibly low for nprobe=8 of k=16")
+    // an unreachable recall target forces the rebuild path even with
+    // zero appended drift; a trivial target does not
+    val p = java.nio.file.Files.createTempDirectory("graft-ivf5").toString
+    IvfIndex.build(spark, embeddings.filter(col("vec_id") < 200), p,
+      k = 4, initRounds = 1, lloydIters = 1)
+    assert(IvfIndex.retrainIfNeeded(spark, p, threshold = 0.25,
+      minRecall = Some(0.0)).isEmpty)
+    assert(IvfIndex.retrainIfNeeded(spark, p, threshold = 0.25,
+      minRecall = Some(1.1)).nonEmpty)
+  }
+
   test("index build is deterministic: rebuilding yields identical centroids") {
     val p2 = java.nio.file.Files.createTempDirectory("graft-ivf2").toString
     IvfIndex.build(spark, embeddings, p2, k = 16, initRounds = 2, lloydIters = 2)
