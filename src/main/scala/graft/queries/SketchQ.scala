@@ -30,30 +30,18 @@ import Q._
   */
 object SketchQ {
 
-  private val M = 64          // HLL registers (p = 6 index bits)
-  private val WBits = 58      // 64 - 6 remaining hash bits
-  private val RhoMax = WBits + 1
-  // 2^RhoMax, the per-register scale of the 2^-M_j sum: the largest
-  // register value is RhoMax (an all-zero w), whose scaled term
-  // 2^(RhoMax-RhoMax)=1 must stay a positive integer — scaling by
-  // 2^WBits would make that term 1<<-1 (Long.MIN_VALUE in Spark, a
-  // runtime error in DuckDB)
-  private val Scale: Long = 1L << RhoMax
-  // alpha_64 * m^2 * 2^RhoMax — every factor is a power of two except
-  // the alpha literal, so the product is EXACT in IEEE double and
-  // identical to DuckDB folding the same expression
-  private val HllNum: Double = 0.709 * 64.0 * 64.0 * Scale.toDouble
+  import graft.operators.Hll
+  private val M = Hll.M
+  private val RhoMax = Hll.RhoMax
+  private val Scale = Hll.Scale
 
   /** q45: HLL approximate COUNT(DISTINCT l_orderkey) per return flag,
     * alongside the exact count and the relative error.
     *
-    * Classic HyperLogLog (Flajolet et al. 2007) with m=64 registers:
-    * register j = low 6 bits of the portable 64-bit hash, rho = number
-    * of leading zeros of the remaining 58 bits + 1, estimate
-    * alpha_m·m²/Σ2^−M_j with linear counting below 2.5m. The 2^−M_j
-    * sum is accumulated as the integer Σ2^(59−M_j) in decimal(38,0) —
-    * exact, partition-order independent — and converted to double
-    * once, so Spark and DuckDB compute bit-identical estimates.
+    * The register derivation and estimator live in
+    * [[graft.operators.Hll]] — ONE definition shared with the
+    * streaming windowed mirror, so the continuous estimate can never
+    * drift from this oracle-checked batch form.
     *
     * Scale path: the register table is at most m rows per group after
     * the partial max(rho) combine — a 100 TB scan reduces map-side to
@@ -61,31 +49,13 @@ object SketchQ {
     */
   def q45(s: SparkSession, dir: String): DataFrame = {
     val t = Tables(s, dir)
-    val h = md5Lower64(col("l_orderkey").cast("string"))
-    val w = call_function("shiftrightunsigned", h, lit(6))
-    val rho = when(w === 0, lit(RhoMax))
-      .otherwise(lit(RhoMax) - length(bin(w)))
+    val key = col("l_orderkey").cast("string")
     val regs = t.lineitem
-      .select(col("l_returnflag"), h.bitwiseAND(lit(63L)).cast("int").as("reg"),
-        rho.cast("int").as("rho"))
+      .select(col("l_returnflag"), Hll.reg(key).as("reg"),
+        Hll.rho(key).as("rho"))
       .groupBy(col("l_returnflag"), col("reg"))
       .agg(max(col("rho")).as("mj"))
-    val g = regs.groupBy(col("l_returnflag")).agg(
-      sum(call_function("shiftleft", lit(1L), (lit(RhoMax) - col("mj")).cast("int"))
-        .cast("decimal(38,0)")).as("sp"),
-      count(lit(1)).as("nb"))
-    val v = (lit(M.toLong) - col("nb"))
-    val sTot = (col("sp") + v.cast("decimal(38,0)") *
-      lit(Scale).cast("decimal(38,0)")).cast("double")
-    val eRaw = lit(HllNum) / sTot
-    // linear-counting correction below 2.5m (ln is the one non-exact
-    // step; it is only reachable for tiny groups — the verified SFs
-    // all take the raw branch, asserted by SketchSpec)
-    val est = when(eRaw <= lit(2.5 * M) && v > 0,
-      lit(M.toDouble) * log(lit(M.toDouble) / v.cast("double")))
-      .otherwise(eRaw)
-    val hll = g.select(col("l_returnflag"),
-      floor(est + 0.5).cast("long").as("est_nd"))
+    val hll = Hll.estimate(regs, Seq("l_returnflag"))
     val exact = t.lineitem.groupBy(col("l_returnflag"))
       .agg(countDistinct(col("l_orderkey")).as("exact_nd"))
     hll.join(exact, "l_returnflag")

@@ -277,4 +277,27 @@ object Streams {
   def enrich(stream: DataFrame, dim: DataFrame,
              keys: Seq[String]): DataFrame =
     stream.join(broadcast(dim), keys, "left")
+
+  /** Streaming HLL: approximate COUNT(DISTINCT keyCol) per tumbling
+    * event-time window — the continuous mirror of batch q45, built
+    * from the SAME [[graft.operators.Hll]] register/estimator
+    * definitions. Two chained stateful aggregations (register maxima
+    * per window, then the finalize over each closed window's ≤ m
+    * register rows): state is O(m) longs per open window however many
+    * distinct keys flow through — an exact streaming distinct would
+    * hold every key until the watermark. Append mode: a window's
+    * estimate is emitted exactly once, when the watermark closes it.
+    */
+  def windowedApproxDistinct(events: DataFrame, keyCol: String,
+                             windowLen: String = "1 hour",
+                             watermark: String = "2 hours"): DataFrame = {
+    import graft.operators.Hll
+    val key = col(keyCol).cast("string")
+    val regs = events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen), Hll.reg(key).as("reg"))
+      .agg(max(Hll.rho(key)).as("mj"))
+    Hll.estimate(regs, Seq("window"))
+      .select(col("window.start").as("window_start"), col("est_nd"))
+  }
 }

@@ -249,6 +249,47 @@ class StreamingSpec extends SparkSpec {
     assert(got.nonEmpty && got.size < docs.length)
   }
 
+  test("windowedApproxDistinct: streaming estimate equals the batch Hll estimate per closed window") {
+    implicit val s = spark
+    import s.implicits._
+    val input = MemoryStream[Ev](spark)
+    val q = Streams.windowedApproxDistinct(
+        input.toDF(), keyCol = "user_id", windowLen = "1 hour")
+      .writeStream.format("memory").queryName("win_hll")
+      .outputMode("append").start()
+    try {
+      // window 1: users 1..40 (some repeated); window 2: users 100..110
+      val w1 = (1 to 40).map(u => Ev(u, ts(u % 50), 1.0)) ++
+        (1 to 10).map(u => Ev(u, ts(20), 1.0))
+      val w2 = (100 to 110).map(u => Ev(u, ts(70), 1.0))
+      input.addData(w1 ++ w2: _*)
+      q.processAllAvailable()
+      // advance the watermark far past both windows so they close
+      input.addData(Ev(999, ts(600), 0.0))
+      q.processAllAvailable()
+      val got = spark.table("win_hll")
+        .select(col("window_start"), col("est_nd")).collect()
+        .map(r => r.getTimestamp(0) -> r.getLong(1)).toMap
+      // batch mirror over the same rows through the SAME Hll kernels
+      val batch = {
+        import graft.operators.Hll
+        val df = (w1 ++ w2).toDF("user_id", "ts", "value")
+        val key = col("user_id").cast("string")
+        val regs = df
+          .groupBy(window(col("ts"), "1 hour"), Hll.reg(key).as("reg"))
+          .agg(max(Hll.rho(key)).as("mj"))
+        Hll.estimate(regs, Seq("window"))
+          .select(col("window.start"), col("est_nd")).collect()
+          .map(r => r.getTimestamp(0) -> r.getLong(1)).toMap
+      }
+      assert(got.size == 2, s"expected both windows closed, got $got")
+      got.foreach { case (winStart, est) =>
+        assert(batch(winStart) == est,
+          s"window $winStart: streaming $est != batch ${batch(winStart)}")
+      }
+    } finally q.stop()
+  }
+
   test("enrich: stream-static broadcast join attaches dim attributes, keeps unmatched") {
     implicit val s = spark
     import s.implicits._
