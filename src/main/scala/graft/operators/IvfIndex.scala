@@ -108,6 +108,27 @@ object IvfIndex {
       .select(col("vec_id"), VecOps.toDoubles(col("embedding")).as("v"))
       .withColumn("nrm", VecExprs.l2(col("v")))
 
+  /** Top-`topk` neighbors per query from candidate rows carrying
+    * (query_id, qv, qn, vec_id, v, nrm) — the ONE definition of the
+    * similarity, tie-break (sim desc, vec_id) and self-exclusion,
+    * shared by query() and recall()'s brute-force ground truth so the
+    * recall measurement can never drift from what queries actually
+    * return.
+    */
+  private def rankTopK(cands: DataFrame, topk: Int): DataFrame = {
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    cands
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        (VecExprs.dot(col("qv"), col("v")) / (col("qn") * col("nrm"))).as("sim"))
+      .dropDuplicates("query_id", "vec_id")
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= topk)
+      .select(col("query_id"), col("rnk"), col("vec_id").as("neighbor_id"),
+        col("sim").as("cos_sim"))
+  }
+
   /** Build and persist the index at `path`:
     *   path/centroids/   — (cluster_id, cv, cnrm), one small file
     *   path/index/       — (vec_id, embedding) PARTITIONED BY cluster_id
@@ -197,42 +218,57 @@ object IvfIndex {
     recoverRetrain(spark, path)
     val corpus = spark.read.parquet(s"$path/index")
       .select(col("vec_id"), col("embedding"))
-    val sample = corpus
+    // materialize the sample to the driver (≤ sampleN tiny rows): the
+    // global hash-sort would otherwise re-execute for every one of the
+    // ~4 plans below that consume it
+    val sampleRows = corpus
       .orderBy(graft.functions.expressions.TextExprs
         .md5Lower64(col("vec_id").cast("string")), col("vec_id"))
       .limit(sampleN)
+      .collect().toSeq
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+    val sample = spark.createDataFrame(sampleRows)
+      .toDF("vec_id", "embedding")
     val ivf = query(spark, path, sample, nprobe, topk)
       .select(col("query_id"), col("neighbor_id"))
-    // brute-force ground truth over the same corpus, same tie-break
-    // (sim desc, vec_id) and same self-exclusion as query()
+    // brute-force ground truth over the same corpus through the SAME
+    // rankTopK kernel query() uses (sim, tie-break, self-exclusion)
     val e = embProjection(corpus)
     val q = embProjection(sample)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("nrm").as("qn"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("vec_id"))
-    val truth = e.crossJoin(broadcast(q))
-      .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id"),
-        (VecExprs.dot(col("qv"), col("v")) / (col("qn") * col("nrm"))).as("sim"))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= topk)
-      .select(col("query_id"), col("vec_id").as("neighbor_id"))
+    val truth = rankTopK(e.crossJoin(broadcast(q)), topk)
+      .select(col("query_id"), col("neighbor_id"))
     val nTruth = truth.count()
     if (nTruth == 0) return 1.0
     val hit = ivf.join(truth, Seq("query_id", "neighbor_id")).count()
     hit.toDouble / nTruth
   }
 
+  /** @param minRecall optional recall SLO, measured at the CALLER's
+    *                   query setting (`nprobe`/`topk`) — a floor
+    *                   checked at defaults the workload doesn't use is
+    *                   meaningless (and at nprobe ≥ k recall is
+    *                   identically 1). Only consulted when appends
+    *                   exist: a rebuild re-fits centroids to absorbed
+    *                   drift, it cannot raise a fresh index's
+    *                   INTRINSIC recall — without that guard an index
+    *                   whose intrinsic recall sits below the floor
+    *                   would rebuild on every single call, forever.
+    */
   def retrainIfNeeded(spark: SparkSession, path: String,
                       threshold: Double = 0.25,
                       minRecall: Option[Double] = None,
-                      recallSampleN: Int = 20): Option[BuildInfo] = {
-    val drifted = appendedFraction(spark, path) >= threshold
+                      recallSampleN: Int = 20,
+                      nprobe: Int = 8, topk: Int = 10): Option[BuildInfo] = {
+    val frac = appendedFraction(spark, path)
+    val drifted = frac >= threshold
     // recall is the expensive check — only measure when volume alone
-    // hasn't already decided
-    val degraded = !drifted && minRecall.exists(target =>
-      recall(spark, path, sampleN = recallSampleN) < target)
+    // hasn't already decided, and only when there is drift a rebuild
+    // could actually absorb
+    val degraded = !drifted && frac > 0 && minRecall.exists(target =>
+      recall(spark, path, sampleN = recallSampleN,
+        nprobe = nprobe, topk = topk) < target)
     if (!drifted && !degraded) return None
     val meta = spark.read.parquet(s"$path/meta").head()
     val tmp = path + "._graft_retrain"
@@ -300,17 +336,7 @@ object IvfIndex {
       .filter(col("cluster_id").isin(probedClusters.toSeq: _*))
       .select(col("cluster_id"), col("vec_id"), col("embedding").as("v"))
       .withColumn("nrm", VecExprs.l2(col("v")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("vec_id"))
-    index.join(broadcast(probes), Seq("cluster_id"))
-      .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id"),
-        (VecExprs.dot(col("qv"), col("v")) / (col("qn") * col("nrm"))).as("sim"))
-      .dropDuplicates("query_id", "vec_id")
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= topk)
-      .select(col("query_id"), col("rnk"), col("vec_id").as("neighbor_id"),
-        col("sim").as("cos_sim"))
+    rankTopK(index.join(broadcast(probes), Seq("cluster_id")), topk)
       .orderBy(col("query_id"), col("rnk"))
   }
 }

@@ -109,15 +109,25 @@ class IvfIndexSpec extends SparkSpec {
     assert(r >= 0.0 && r <= 1.0)
     // nprobe = half the clusters on a tiny corpus: recall should be strong
     assert(r > 0.6, s"recall $r implausibly low for nprobe=8 of k=16")
-    // an unreachable recall target forces the rebuild path even with
-    // zero appended drift; a trivial target does not
     val p = java.nio.file.Files.createTempDirectory("graft-ivf5").toString
     IvfIndex.build(spark, embeddings.filter(col("vec_id") < 200), p,
       k = 4, initRounds = 1, lloydIters = 1)
+    // no appended drift: a rebuild cannot raise INTRINSIC recall, so
+    // even an unreachable floor must not trigger one (else an index
+    // below its floor would rebuild on every call, forever)
     assert(IvfIndex.retrainIfNeeded(spark, p, threshold = 0.25,
-      minRecall = Some(0.0)).isEmpty)
+      minRecall = Some(1.1), nprobe = 2).isEmpty)
+    // with drift present (but under the volume threshold), the recall
+    // floor decides — measured at the CALLER's nprobe, not a default
+    IvfIndex.append(spark, p,
+      embeddings.filter(col("vec_id") >= 200 && col("vec_id") < 220))
     assert(IvfIndex.retrainIfNeeded(spark, p, threshold = 0.25,
-      minRecall = Some(1.1)).nonEmpty)
+      minRecall = Some(0.0), nprobe = 2).isEmpty)
+    assert(IvfIndex.retrainIfNeeded(spark, p, threshold = 0.25,
+      minRecall = Some(1.1), nprobe = 2).nonEmpty)
+    // the rebuild absorbed the drift: the same floor no longer fires
+    assert(IvfIndex.retrainIfNeeded(spark, p, threshold = 0.25,
+      minRecall = Some(1.1), nprobe = 2).isEmpty)
   }
 
   test("index build is deterministic: rebuilding yields identical centroids") {
