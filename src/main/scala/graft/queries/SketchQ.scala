@@ -275,11 +275,55 @@ object SketchQ {
       |SELECT tok, est_n, exact_n FROM est
       |ORDER BY est_n DESC, tok LIMIT 10""".stripMargin
 
+  /** q51: repetition/diversity quality signals (the Gopher-rules
+    * class of training-data filters): per document, the distinct-token
+    * ratio and the most-frequent-token fraction — high repetition
+    * (low distinct ratio, high top fraction) marks template/boilerplate
+    * text a training mix usually drops. Composes with q41's
+    * surface-quality scores; thresholding is the caller's policy.
+    *
+    * Scale path: one shuffle on (doc_id, token) with map-side partial
+    * counts, then a per-doc reduce of ≤ vocabulary-size rows.
+    */
+  def q51(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextOps
+    val t = Tables(s, dir)
+    val toks = t.documents
+      .select(col("doc_id"),
+        explode(TextOps.tokens(TextOps.normText(col("text")))).as("tok"))
+      .filter(length(col("tok")) > 0)
+    toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id")).agg(
+        sum(col("c")).as("n_toks"),
+        count(lit(1)).as("n_distinct"),
+        max(col("c")).as("max_c"))
+      .select(col("doc_id"), col("n_toks"),
+        round4(col("n_distinct").cast("double") /
+          col("n_toks").cast("double")).as("distinct_ratio4"),
+        round4(col("max_c").cast("double") /
+          col("n_toks").cast("double")).as("top_tok_frac4"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q51Sql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(regexp_split_to_array(
+       |    trim(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))), '\\s+')) AS tok
+       |  FROM documents),
+       |pt AS (
+       |  SELECT doc_id, tok, COUNT(*) AS c FROM toks
+       |  WHERE length(tok) > 0 GROUP BY doc_id, tok)
+       |SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_toks,
+       |  ${round4Sql("CAST(COUNT(*) AS DOUBLE) / CAST(SUM(c) AS DOUBLE)")} AS distinct_ratio4,
+       |  ${round4Sql("CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE)")} AS top_tok_frac4
+       |FROM pt GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val entries: Seq[Entry] = Seq(
     Entry("q45_hll_distinct", q45, Some(q45Sql)),
     Entry("q46_sample_quantile", q46, Some(q46Sql)),
     Entry("q47_stratified_sample", q47, Some(q47Sql)),
     Entry("q48_shard_assign", q48, Some(q48Sql)),
     Entry("q49_freq_topk_cm", q49, Some(q49Sql)),
+    Entry("q51_repetition", q51, Some(q51Sql)),
   )
 }

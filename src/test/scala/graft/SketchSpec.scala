@@ -80,6 +80,34 @@ class SketchSpec extends SparkSpec {
     assert(ests == ests.sorted.reverse)
   }
 
+  test("q51 repetition signals stay in their envelopes and agree with direct recomputation") {
+    val rows = SketchQ.q51(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_toks")
+      val dr = r.getAs[Double]("distinct_ratio4")
+      val tf = r.getAs[Double]("top_tok_frac4")
+      assert(n > 0)
+      assert(dr > 0.0 && dr <= 1.0, s"distinct ratio $dr out of (0,1]")
+      // the most frequent token accounts for at least its fair share
+      // 1/n and at most everything
+      assert(tf >= 1.0 / n - 1e-4 && tf <= 1.0, s"top fraction $tf vs n=$n")
+      // a doc can't have MORE distinct tokens than repetition allows:
+      // max_c * distinct >= n  =>  tf * dr * n >= ~1
+      assert(tf + dr <= 2.0)
+    }
+    // spot-check one doc against a driver-side recomputation
+    val doc = Tables(spark, sf).documents
+      .select(col("doc_id"), col("text")).head()
+    val toks = doc.getString(1).toLowerCase.trim
+      .split("\\s+").filter(_.nonEmpty)
+    val byTok = toks.groupBy(identity).view.mapValues(_.length)
+    val expect = rows.find(_.getLong(0) == doc.getLong(0)).get
+    assert(expect.getAs[Long]("n_toks") == toks.length)
+    assert(math.abs(expect.getAs[Double]("top_tok_frac4") -
+      math.floor(byTok.values.max.toDouble / toks.length * 10000 + 0.5) / 10000) < 1e-12)
+  }
+
   test("q48 positions are dense per shard and the order is deterministic") {
     val a = SketchQ.q48(spark, sf).collect()
     val b = SketchQ.q48(spark, sf).collect()
