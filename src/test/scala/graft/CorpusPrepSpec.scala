@@ -1,0 +1,56 @@
+package graft
+
+import graft.pipeline.CorpusPrep
+import org.apache.spark.sql.functions._
+
+class CorpusPrepSpec extends SparkSpec {
+
+  private val cfg = CorpusPrep.Config(
+    langRates = Map("en" -> 0.25), defaultRate = 0.75, nShards = 8)
+
+  test("plan: dedup keeps the lowest doc_id per text, sampling and sharding are deterministic") {
+    val docs = Tables(spark, sf).documents
+    val a = CorpusPrep.plan(docs, cfg).collect()
+    val b = CorpusPrep.plan(docs, cfg).collect()
+    assert(a.map(_.toString).sorted.toSeq == b.map(_.toString).sorted.toSeq,
+      "the pipeline must be rerun-identical")
+    // no two output rows share a normalized text
+    val texts = a.map(_.getAs[String]("text")
+      .toLowerCase.trim.replaceAll("\\s+", " "))
+    assert(texts.distinct.length == texts.length, "dup text survived dedup")
+    // every shard id within range; positions dense per shard
+    val byShard = a.groupBy(_.getAs[Long]("shard"))
+    assert(byShard.keySet.forall(s => s >= 0 && s < cfg.nShards))
+    byShard.foreach { case (s, rows) =>
+      val pos = rows.map(_.getAs[Long]("pos")).sorted.toSeq
+      assert(pos == (1L to rows.length).toSeq, s"shard $s positions not dense")
+    }
+  }
+
+  test("run: writes shard-partitioned parquet and reports consistent stage counts") {
+    val docs = Tables(spark, sf).documents
+    val out = java.nio.file.Files.createTempDirectory("graft-corpus").toString
+    val stats = CorpusPrep.run(docs, out, cfg)
+    assert(stats.input >= stats.afterDedup)
+    assert(stats.afterDedup >= stats.afterSample)
+    assert(stats.afterSample > 0)
+    val written = spark.read.parquet(out)
+    assert(written.count() == stats.afterSample)
+    // partition discovery sees shard as a partition column
+    assert(written.columns.contains("shard"))
+    val dirs = new java.io.File(out).listFiles().map(_.getName)
+      .filter(_.startsWith("shard="))
+    assert(dirs.nonEmpty && dirs.length <= cfg.nShards)
+    // the sample respects the per-language mixing rates (loose check:
+    // en is downsampled harder than the rest)
+    val langs = written.groupBy(col("lang_detected")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val full = graft.pipeline.CorpusPrep
+      .plan(docs, cfg.copy(langRates = Map.empty, defaultRate = 1.0))
+      .groupBy(col("lang_detected")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    langs.get("en").zip(full.get("en")).foreach { case (kept, total) =>
+      assert(kept < total, "en must be downsampled")
+    }
+  }
+}
