@@ -19,6 +19,14 @@ object TextOps {
   def normText(c: Column): Column =
     lower(trim(regexp_replace(c, "\\s+", " ")))
 
+  /** The canonical exact-dedup digest: md5 hex of the normalized text
+    * — the ONE definition behind the oracle-verified q30 and every
+    * pipeline that must dedup with identical semantics (CorpusPrep,
+    * streaming dedup keys derive from the same normText). DuckDB
+    * mirror: `md5(lower(trim(regexp_replace(x,'\s+',' ','g'))))`.
+    */
+  def textDigest(c: Column): Column = md5(normText(c).cast("binary"))
+
   /** Whitespace tokens of the raw text. */
   def tokens(c: Column): Column = split(trim(c), "\\s+")
 

@@ -10,23 +10,26 @@ import org.apache.spark.sql.functions._
 /** The end-to-end "prepare a training corpus" job — the composition
   * the individual operators exist for, as ONE declarative plan:
   *
-  *   language filter → exact dedup (keep-first by normalized-text
-  *   hash) → per-language stratified sample → deterministic shard
-  *   assignment → write partitioned by shard, hash-interleaved within.
+  *   exact dedup (keep-lowest-doc_id by normalized-text digest) →
+  *   language tag + per-language stratified sample → deterministic
+  *   shard assignment → write partitioned by shard, hash-interleaved
+  *   within.
   *
-  * Every stage reuses the verified kernel it mirrors (q40 langId, q30
-  * dedup semantics, q47 [[graft.operators.Sample]], q48 sharding), so
-  * the pipeline's behavior is pinned by the same oracles. Every
-  * decision is a pure function of the data — rerunning the job on any
-  * cluster layout, or after any task retry, produces byte-identical
-  * shards (training-set reproducibility is a correctness property,
-  * not a nice-to-have).
+  * Every stage reuses the verified kernel it mirrors (q30's
+  * [[graft.functions.TextOps.textDigest]] dedup, q40 langId, q47
+  * [[graft.operators.Sample]], q48's shard/interleave shape), so the
+  * pipeline's behavior is pinned by the same oracles. Every decision
+  * is a pure function of the data — rerunning the job on any cluster
+  * layout, or after any task retry, produces byte-identical shards
+  * (training-set reproducibility is a correctness property, not a
+  * nice-to-have).
   *
-  * Scale shape: langId + sampling are map-side (no shuffle); dedup is
-  * one shuffle on the 128-bit text digest; sharding is one shuffle on
-  * the shard id with a within-partition sort — `spark.write` of the
-  * result streams straight out of that exchange. Nothing holds more
-  * than a partition in memory.
+  * Scale shape: dedup is one shuffle on the 128-bit text digest;
+  * langId (an interpreted HOF scorer — the expensive stage) runs
+  * AFTER dedup so duplicates never pay it; sampling is a map-side
+  * filter; sharding is one shuffle on the shard id with a
+  * within-partition sort — the write streams straight out of that
+  * exchange. Nothing holds more than a partition in memory.
   */
 object CorpusPrep {
 
@@ -44,29 +47,35 @@ object CorpusPrep {
   final case class Stats(
       input: Long, afterDedup: Long, afterSample: Long)
 
-  private def withLang(docs: DataFrame): DataFrame =
-    docs.withColumn("lang_detected",
-      TextOps.langId(col("text")).getField("lang"))
+  /** Shard-assignment hash. MUST be decorrelated from the sampling
+    * hash: Sample gates on md5Lower64(doc_id) & 1023, so deriving the
+    * shard from those same low bits would let the sample threshold
+    * dictate which shards can receive rows at all (a rate of 5/1024
+    * with 8 shards would leave shards 5–7 structurally EMPTY). A
+    * domain-separated digest ("shard:" prefix) makes the two
+    * decisions independent coin flips.
+    */
+  private def shardHash: org.apache.spark.sql.Column =
+    TextExprs.md5Lower64(concat(lit("shard:"), col("doc_id").cast("string")))
 
-  /** The full plan, unwritten: (doc_id, text, lang_detected, shard,
-    * pos) — pos is the hash-interleave order within the shard.
+  /** The full plan, unwritten: (doc_id, text, …, lang_detected,
+    * shard, pos) — pos is the hash-interleave order within the shard.
     */
   def plan(docs: DataFrame, cfg: Config): DataFrame = {
     require(cfg.nShards > 0 && (cfg.nShards & (cfg.nShards - 1)) == 0,
       s"nShards must be a power of two, got ${cfg.nShards}")
-    val tagged = withLang(docs)
     // exact dedup, q30 semantics: keep the LOWEST doc_id per
     // normalized-text digest (deterministic, not "first seen")
-    val wDup = Window.partitionBy(md5(TextOps.normText(col("text"))
-      .cast("binary")))
+    val wDup = Window.partitionBy(TextOps.textDigest(col("text")))
       .orderBy(col("doc_id"))
-    val deduped = tagged
+    val deduped = docs
       .withColumn("_rn", row_number().over(wDup))
       .filter(col("_rn") === 1).drop("_rn")
-    val sampled = Sample.stratified(deduped, "doc_id", "lang_detected",
+    val tagged = deduped.withColumn("lang_detected",
+      TextOps.langId(col("text")).getField("lang"))
+    val sampled = Sample.stratified(tagged, "doc_id", "lang_detected",
       cfg.langRates, cfg.defaultRate)
-    // q48 sharding: shard = low hash bits, interleave by the rest
-    val h = TextExprs.md5Lower64(col("doc_id").cast("string"))
+    val h = shardHash
     val wShard = Window.partitionBy(col("shard"))
       .orderBy(col("_ord"), col("doc_id"))
     sampled
@@ -77,9 +86,9 @@ object CorpusPrep {
   }
 
   /** Execute and write `outPath/shard=N/` parquet, interleave-ordered
-    * within each shard. Returns per-stage counts (each stage's count
-    * is computed from the SAME materialized result, not by re-running
-    * the upstream plan).
+    * within each shard. Stage counts cost ONE extra source pass (a
+    * combined count + distinct-digest aggregate), never a re-run of
+    * the sampled/sharded plan.
     */
   def run(docs: DataFrame, outPath: String, cfg: Config): Stats = {
     val out = plan(docs, cfg).cache()
@@ -88,13 +97,11 @@ object CorpusPrep {
         .partitionBy("shard")
         .parquet(outPath)
       val afterSample = out.count()
-      // stage counts derived without re-running the expensive stages:
-      // input and post-dedup come from the source + digest distinct
-      val input = docs.count()
-      val afterDedup = docs
-        .select(md5(TextOps.normText(col("text")).cast("binary")).as("h"))
-        .distinct().count()
-      Stats(input, afterDedup, afterSample)
+      val a = docs
+        .select(TextOps.textDigest(col("text")).as("h"))
+        .agg(count(lit(1)).as("n"), count_distinct(col("h")).as("nd"))
+        .head()
+      Stats(a.getLong(0), a.getLong(1), afterSample)
     } finally { out.unpersist(); () }
   }
 }

@@ -25,7 +25,7 @@ object TextQ {
   def q30(s: SparkSession, dir: String): DataFrame = {
     val t = Tables(s, dir)
     t.documents
-      .groupBy(md5(normText(col("text")).cast("binary")).as("h"))
+      .groupBy(graft.functions.TextOps.textDigest(col("text")).as("h"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
       .select(col("keep_id"), col("n_copies"))
       .orderBy(col("keep_id"))

@@ -92,12 +92,15 @@ class SketchSpec extends SparkSpec {
       // the most frequent token accounts for at least its fair share
       // 1/n and at most everything
       assert(tf >= 1.0 / n - 1e-4 && tf <= 1.0, s"top fraction $tf vs n=$n")
-      // a doc can't have MORE distinct tokens than repetition allows:
-      // max_c * distinct >= n  =>  tf * dr * n >= ~1
-      assert(tf + dr <= 2.0)
+      // pigeonhole: max_c * n_distinct >= n_toks => tf * dr * n >= 1
+      // (up to the two round4 floors, each worth <= 5e-5 relative)
+      assert(tf * dr * n >= 1.0 - n * 2e-4,
+        s"pigeonhole violated: tf=$tf dr=$dr n=$n")
     }
-    // spot-check one doc against a driver-side recomputation
+    // spot-check a doc that q51 emitted against a driver recomputation
+    val emitted = rows.map(_.getLong(0)).toSet
     val doc = Tables(spark, sf).documents
+      .filter(col("doc_id").isin(emitted.toSeq.take(50): _*))
       .select(col("doc_id"), col("text")).head()
     val toks = doc.getString(1).toLowerCase.trim
       .split("\\s+").filter(_.nonEmpty)
