@@ -224,19 +224,15 @@ object SketchQ {
     */
   def q49(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.TextOps
+    import graft.operators.Cm
     val t = Tables(s, dir)
-    val J = 4; val W = 1024
     val counts = t.documents
       .select(explode(TextOps.tokens(TextOps.normText(col("text")))).as("tok"))
       .filter(length(col("tok")) > 0)
       .groupBy(col("tok")).agg(count(lit(1)).as("n"))
-    val cells = counts
-      .withColumn("b", TextOps.minhashBases(col("tok")))
-      .select(col("tok"), col("n"),
-        explode(array((0 until J).map(lit(_)): _*)).as("j"),
-        col("b"))
-      .withColumn("bucket", (col("b.x1") + col("j") * col("b.x2")) % W)
-      .drop("b")
+    // cell coordinates via the shared Cm kernel (ONE definition with
+    // the streaming windowed sketch)
+    val cells = Cm.withCells(counts)
     val cm = cells.groupBy(col("j"), col("bucket"))
       .agg(sum(col("n")).as("cell_n"))
     cells.join(cm, Seq("j", "bucket"))

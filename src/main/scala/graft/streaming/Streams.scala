@@ -300,4 +300,31 @@ object Streams {
     Hll.estimate(regs, Seq("window"))
       .select(col("window.start").as("window_start"), col("est_nd"))
   }
+
+  /** Streaming count-min sketch: per tumbling event-time window, the
+    * d×w cell-count table over the tokens of `textCol` — the
+    * continuous mirror of batch q49's sketch phase, built from the
+    * SAME [[graft.operators.Cm]] cell kernel. ONE stateful
+    * aggregation whose state is d·w counters per open window however
+    * many tokens flow through; a closed window's table answers any
+    * later frequency query as min over its d cells (with q49's
+    * est ≥ exact one-sided guarantee). Append mode: each window's
+    * table is emitted exactly once, when the watermark closes it.
+    */
+  def windowedFreqSketch(docs: DataFrame, textCol: String = "text",
+                         windowLen: String = "1 hour",
+                         watermark: String = "2 hours"): DataFrame = {
+    import graft.functions.TextOps
+    import graft.operators.Cm
+    val toks = docs
+      .withWatermark("ts", watermark)
+      .select(col("ts"),
+        explode(TextOps.tokens(TextOps.normText(col(textCol)))).as("tok"))
+      .filter(length(col("tok")) > 0)
+    Cm.withCells(toks)
+      .groupBy(window(col("ts"), windowLen), col("j"), col("bucket"))
+      .agg(count(lit(1)).as("cell_n"))
+      .select(col("window.start").as("window_start"),
+        col("j"), col("bucket"), col("cell_n"))
+  }
 }

@@ -290,6 +290,46 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("windowedFreqSketch: streaming CM cells equal the batch cells per closed window") {
+    implicit val s = spark
+    import s.implicits._
+    val input = MemoryStream[(java.sql.Timestamp, String)](spark)
+    val q = Streams.windowedFreqSketch(
+        input.toDF().toDF("ts", "text"), windowLen = "1 hour")
+      .writeStream.format("memory").queryName("win_cm")
+      .outputMode("append").start()
+    try {
+      val docs = Seq(
+        (ts(1), "spark table scan table"),
+        (ts(30), "spark join scan"),
+        (ts(70), "window agg window"))
+      input.addData(docs: _*)
+      q.processAllAvailable()
+      input.addData((ts(600), "flush"))
+      q.processAllAvailable()
+      val got = spark.table("win_cm")
+        .collect().map(r => (r.getTimestamp(0), r.getInt(1),
+          r.getLong(2), r.getLong(3))).toSet
+      val batch = {
+        import graft.functions.TextOps
+        import graft.operators.Cm
+        val df = docs.toDF("ts", "text")
+          .select(window(col("ts"), "1 hour").as("window"),
+            explode(TextOps.tokens(TextOps.normText(col("text")))).as("tok"))
+          .filter(length(col("tok")) > 0)
+        Cm.withCells(df)
+          .groupBy(col("window"), col("j"), col("bucket"))
+          .agg(count(lit(1)).as("cell_n"))
+          .select(col("window.start"), col("j"), col("bucket"), col("cell_n"))
+          .collect().map(r => (r.getTimestamp(0), r.getInt(1),
+            r.getLong(2), r.getLong(3))).toSet
+      }
+      assert(got == batch,
+        s"streaming cells diverge: ${(got diff batch).take(3)} / ${(batch diff got).take(3)}")
+      assert(got.nonEmpty)
+    } finally q.stop()
+  }
+
   test("enrich: stream-static broadcast join attaches dim attributes, keeps unmatched") {
     implicit val s = spark
     import s.implicits._
