@@ -301,6 +301,36 @@ object Streams {
       .select(col("window.start").as("window_start"), col("est_nd"))
   }
 
+  /** Streaming sampled quantiles: per tumbling event-time window, the
+    * exact interpolated percentiles of `valueCol` over a deterministic
+    * Bernoulli hash sample — the continuous mirror of batch q46, using
+    * the SAME [[graft.operators.Sample]] keep-decision keyed on
+    * `idCols`. The sample gate is a stateless map-side filter, so the
+    * windowed percentile state shrinks by the sample rate; because the
+    * decision is a pure row function, replayed micro-batches sample
+    * identical rows (a rand() gate would silently change the window's
+    * quantiles on every retry).
+    */
+  def windowedSampledQuantile(events: DataFrame, valueCol: String,
+                              idCols: Seq[String], rate: Double,
+                              percentiles: Seq[Double] = Seq(0.5, 0.9),
+                              windowLen: String = "1 hour",
+                              watermark: String = "2 hours"): DataFrame = {
+    import graft.operators.Sample
+    val id = concat_ws("-", idCols.map(col): _*)
+    val aggs = percentiles.map(p =>
+      expr(s"percentile($valueCol, $p)")
+        .as(s"p${(p * 100).round}_$valueCol"))
+    events
+      .withWatermark("ts", watermark)
+      .filter(Sample.keep(id, lit(rate)))
+      .groupBy(window(col("ts"), windowLen))
+      .agg(aggs.head, (aggs.tail :+ count(lit(1)).as("n_sample")): _*)
+      .select(col("window.start").as("window_start") +:
+        (percentiles.map(p => col(s"p${(p * 100).round}_$valueCol")) :+
+          col("n_sample")): _*)
+  }
+
   /** Streaming count-min sketch: per tumbling event-time window, the
     * d×w cell-count table over the tokens of `textCol` — the
     * continuous mirror of batch q49's sketch phase, built from the

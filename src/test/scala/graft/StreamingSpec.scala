@@ -290,6 +290,43 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("windowedSampledQuantile: streaming sampled percentiles equal the batch mirror per closed window") {
+    implicit val s = spark
+    import s.implicits._
+    val input = MemoryStream[Ev](spark)
+    val q = Streams.windowedSampledQuantile(
+        input.toDF(), valueCol = "value",
+        idCols = Seq("user_id", "ts"), rate = 0.5, windowLen = "1 hour")
+      .writeStream.format("memory").queryName("win_q")
+      .outputMode("append").start()
+    try {
+      val evs = (1 to 200).map(i => Ev(i.toLong, ts(i % 55), i.toDouble))
+      input.addData(evs: _*)
+      q.processAllAvailable()
+      input.addData(Ev(998, ts(600), 0.0))
+      q.processAllAvailable()
+      val got = spark.table("win_q").collect()
+        .map(r => (r.getTimestamp(0), r.getDouble(1), r.getDouble(2),
+          r.getLong(3))).toSet
+      val batch = {
+        import graft.operators.Sample
+        evs.toDF("user_id", "ts", "value")
+          .filter(Sample.keep(concat_ws("-", col("user_id"), col("ts")),
+            lit(0.5)))
+          .groupBy(window(col("ts"), "1 hour"))
+          .agg(expr("percentile(value, 0.5)"), expr("percentile(value, 0.9)"),
+            count(lit(1)))
+          .collect().map(r => (r.getStruct(0).getTimestamp(0),
+            r.getDouble(1), r.getDouble(2), r.getLong(3))).toSet
+      }
+      assert(got == batch, s"streaming $got != batch $batch")
+      assert(got.nonEmpty)
+      // the gate really sampled (rate 0.5 of 200 rows, loose bounds)
+      val n = got.toSeq.map(_._4).sum
+      assert(n > 50 && n < 150, s"sample size $n not ~100")
+    } finally q.stop()
+  }
+
   test("windowedFreqSketch: streaming CM cells equal the batch cells per closed window") {
     implicit val s = spark
     import s.implicits._
