@@ -226,17 +226,29 @@ object TextQ {
       graft.functions.expressions.TextExprs
         .wordShingles(tokens(normText(col("text"))), 3).as("sh"))
       .repartition(col("doc_id"))
-    // the candidate set is tiny relative to the corpus — broadcast it
-    // so the shingle table never shuffles (two broadcast-hash joins,
-    // shingles computed in the streaming side's single pass); a low
-    // est floor keeps every plausibly-similar candidate for exact
-    // scoring while still pruning the bucket cross products
-    val cands = broadcast(
-      scoredCandidates(signatures(t), minEst = 0.25)
-        .select(col("doc_a"), col("doc_b")))
+    // candidate pairs, behind their own exchange so the two id-union
+    // branches and the pair join below all read ONE materialization of
+    // the LSH pipeline (ReusedExchange) instead of replanning it 3x.
+    // A low est floor keeps every plausibly-similar candidate for
+    // exact scoring while still pruning the bucket cross products.
+    // NO broadcast hint anywhere: the candidate set is O(near-dup
+    // pairs) — unbounded on a duplicate-heavy corpus — so forcing it
+    // driver-side would be an OOM risk at scale. AQE broadcasts it
+    // while it is small and falls back to shuffle joins past the
+    // threshold.
+    val cands = scoredCandidates(signatures(t), minEst = 0.25)
+      .select(col("doc_a"), col("doc_b"))
+      .repartition(col("doc_a"))
+    // shrink the shingle table to docs appearing in ANY candidate pair
+    // BEFORE the pair joins: the left-semi join means shingle payloads
+    // for the overwhelmingly-non-duplicate corpus never enter a join
+    // exchange — only candidate docs' shingle sets move
+    val candIds = cands.select(col("doc_a").as("doc_id"))
+      .union(cands.select(col("doc_b").as("doc_id")))
+    val candSh = shingled.join(candIds, Seq("doc_id"), "left_semi")
     cands
-      .join(shingled.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
-      .join(shingled.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .join(candSh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(candSh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
       .select(col("doc_a"), col("doc_b"),
         exactJaccard(col("sh_a"), col("sh_b")).as("jaccard"))
       .filter(col("jaccard") >= 0.5)
