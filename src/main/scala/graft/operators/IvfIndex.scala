@@ -29,18 +29,18 @@ object IvfIndex {
   final case class BuildInfo(k: Int, dim: Int, nVectors: Long)
 
   /** Uniform-in-[0,1) hash noise from (vec_id, round) — deterministic
-    * across executors, no RNG state.
+    * across executors, no RNG state. Built on the native
+    * [[graft.functions.expressions.TextExprs.md5Lower64]] expression
+    * (the same portable hash family as the rest of graft) rather than
+    * a Scala UDF: the expression evaluates inline in the projection
+    * with a thread-local digest, where a UDF would add serialization
+    * plumbing and allocate a fresh MessageDigest per row.
     */
-  private def unif(id: Long, round: Int): Double = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val d = md.digest(s"${id}_r$round".getBytes("UTF-8"))
-    var v = 0L
-    var i = 0
-    while (i < 7) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
-    (v & ((1L << 53) - 1)).toDouble / (1L << 53).toDouble
-  }
-
-  private val unifUdf = udf(unif _)
+  private def unifCol(id: org.apache.spark.sql.Column, round: Int): org.apache.spark.sql.Column =
+    graft.functions.expressions.TextExprs
+      .md5Lower64(concat(id.cast("string"), lit(s"_r$round")))
+      .bitwiseAND(lit((1L << 53) - 1))
+      .cast("double") / (1L << 53).toDouble
 
   private def collectCenters(df: DataFrame): Seq[VecKmeans.Center] =
     VecKmeans.collectCenters(df)
@@ -52,7 +52,7 @@ object IvfIndex {
   private def initCenters(e: DataFrame, k: Int, rounds: Int): Seq[VecKmeans.Center] = {
     // seed: the vector whose id hashes lowest (any deterministic pick works)
     val seed = collectCenters(
-      e.withColumn("u", unifUdf(col("vec_id"), lit(0)))
+      e.withColumn("u", unifCol(col("vec_id"), 0))
         .orderBy(col("u"), col("vec_id")).limit(1)
         .select(col("vec_id"), col("v"), col("nrm")))
     var cand = seed
@@ -66,7 +66,7 @@ object IvfIndex {
       if (total <= 0) { scored.unpersist(); return cand.take(k) } // degenerate: all points on centers
       val picked = collectCenters(
         scored
-          .withColumn("u", unifUdf(col("vec_id"), lit(r)))
+          .withColumn("u", unifCol(col("vec_id"), r))
           .filter(col("u") < col("d2") * l / total)
           .select(col("vec_id"), col("v"), col("nrm")))
       scored.unpersist()

@@ -47,7 +47,9 @@ final class Importer(
       audit.logUpload(
         "file" -> csvPath, "templateId" -> templateId,
         "rows" -> loaded.report.totalRows.toString,
-        "badRows" -> loaded.report.badRows.toString)
+        "badRows" -> loaded.report.badRows.toString,
+        "bytes" -> loaded.report.totalBytes.toString,
+        "warnings" -> loaded.report.warnings.mkString("; "))
       val compiled = template.compile(loaded.data)
       val violations = template.check(loaded.data)
       val jobId = runner.submitWithId(s"import:$csvPath") { (_, id) =>

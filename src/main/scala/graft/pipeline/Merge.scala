@@ -72,10 +72,27 @@ object Merge {
                else updates.withColumn(del, lit(false)))
       .withColumn("_graft_src", lit(1))
       .cache()
-    val tgt = (if (exists) spark.read.parquet(targetPath)
-               else spark.createDataFrame(
-                 spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-                 updates.drop(deleteCol.toSeq: _*).schema))
+    // add-column schema evolution: columns NEW in the update batch are
+    // added to the snapshot side as typed nulls, so the published
+    // snapshot carries the evolved schema (existing rows read null for
+    // the new column until an update touches them). The reverse —
+    // updates MISSING a snapshot column — stays an error: silently
+    // null-filling the update side would erase that column's value on
+    // every key the batch touches (SCD-1 winners replace whole rows).
+    val updData = updates.drop(deleteCol.toSeq: _*)
+    val tgtRaw = if (exists) spark.read.parquet(targetPath)
+                 else spark.createDataFrame(
+                   spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+                   updData.schema)
+    val missingInUpd = tgtRaw.columns.toSeq.diff(updData.columns.toSeq)
+    require(missingInUpd.isEmpty,
+      s"merge: update batch is missing snapshot column(s) ${missingInUpd.mkString(", ")}; " +
+        "add-column evolution only goes forward")
+    val newCols = updData.schema.fields
+      .filterNot(f => tgtRaw.columns.contains(f.name))
+    val tgt = newCols.foldLeft(tgtRaw) { (df, f) =>
+        df.withColumn(f.name, lit(null).cast(f.dataType))
+      }
       .withColumn(del, lit(false))
       .withColumn("_graft_src", lit(0))
 

@@ -23,10 +23,11 @@ import Q._
   * EXACTLY — approximate relative to the true value, deterministic
   * relative to the implementation.
   *
-  * Reference anchor: the reference tool surfaces row-count/distinct
-  * "profile" stats on uploads (/root/reference/analyze.js:61-77,
-  * measures.js:A1-A30); these are the bounded-memory forms of those
-  * profiles.
+  * Reference anchor: the reference tool surfaces dataset stats around
+  * uploads — file size (/root/reference/src/utils/fileHandling.js:30-37)
+  * and registry counts (/root/reference/src/api/templates.js:60-66);
+  * these sketches are the bounded-memory forms of such profile stats
+  * computed in-cluster over the data itself.
   */
 object SketchQ {
 

@@ -242,9 +242,14 @@ object TextQ {
     // shrink the shingle table to docs appearing in ANY candidate pair
     // BEFORE the pair joins: the left-semi join means shingle payloads
     // for the overwhelmingly-non-duplicate corpus never enter a join
-    // exchange — only candidate docs' shingle sets move
-    val candIds = cands.select(col("doc_a").as("doc_id"))
-      .union(cands.select(col("doc_b").as("doc_id")))
+    // exchange — only candidate docs' shingle sets move. Built as ONE
+    // explode pass (not a union of two projections): a union branch
+    // would get a doc_a-only projection pushed below the exchange,
+    // canonicalizing it differently from the pair-join consumer and
+    // losing ReusedExchange — with explode every consumer reads the
+    // identical (doc_a, doc_b) materialization.
+    val candIds = cands
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
     val candSh = shingled.join(candIds, Seq("doc_id"), "left_semi")
     cands
       .join(candSh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")

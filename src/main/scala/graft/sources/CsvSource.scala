@@ -21,8 +21,48 @@ object CsvSource {
   final case class Validation(
       totalRows: Long,
       badRows: Long,
-      files: Long) {
+      files: Long,
+      totalBytes: Long = 0L,
+      warnings: Seq[String] = Nil) {
     def ok: Boolean = badRows == 0
+  }
+
+  /** Driver-side pre-flight over the input's FILE METADATA — the
+    * Spark-native form of the reference's pre-upload checks
+    * (/root/reference/src/utils/fileHandling.js:12-38): existence is
+    * fatal (like the reference's `success: false`), a non-`.csv`
+    * extension is a warning ("proceeding anyway", fileHandling.js:25-30),
+    * and the byte size is reported (fileHandling.js:36). Metadata only —
+    * no data bytes are read driver-side; row-level validation stays in
+    * the distributed scan.
+    *
+    * @return (totalBytes, warnings)
+    */
+  def preflight(spark: SparkSession, path: String): (Long, Seq[String]) = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p))
+      throw new java.io.FileNotFoundException(s"File not found: $path")
+    val it = fs.listFiles(p, true)
+    var bytes = 0L
+    var nonCsv = 0L
+    var first: String = null
+    while (it.hasNext) {
+      val st = it.next()
+      bytes += st.getLen
+      val name = st.getPath.getName
+      if (!name.toLowerCase.endsWith(".csv") && !name.startsWith("_") &&
+          !name.startsWith(".")) {
+        nonCsv += 1
+        if (first == null) first = name
+      }
+    }
+    val warnings =
+      if (nonCsv > 0)
+        Seq(s"$nonCsv input file(s) without a .csv extension (e.g. $first). " +
+          "Proceeding anyway, but this might cause issues.")
+      else Nil
+    (bytes, warnings)
   }
 
   final case class Loaded(data: DataFrame, corrupt: DataFrame,
@@ -93,7 +133,8 @@ object CsvSource {
         .select(count(lit(1)), count(when(isBad, 1)))
         .collect()(0).toSeq.map(_.asInstanceOf[Long]).toArray
       val files = spark.read.text(path).inputFiles.length.toLong
-      Loaded(data, corrupt, Validation(total, bad, files), raw)
+      val (bytes, warnings) = preflight(spark, path)
+      Loaded(data, corrupt, Validation(total, bad, files, bytes, warnings), raw)
     } catch {
       // the caller gets no Loaded handle on failure, so the cache must
       // be freed here or it is pinned with no way to release it

@@ -58,6 +58,33 @@ class ImporterSpec extends SparkSpec {
     assert(job.filter(col("jobId") === h.jobId).count() >= 2)
   }
 
+  test("pre-flight: non-.csv extension warns (reference fileHandling.js:25-30), size reported") {
+    val tmp = Files.createTempDirectory("graft-import3").toString
+    Files.writeString(Paths.get(s"$tmp/in.txt"),
+      "id,name,amount\n1,a,1.0\n2,b,2.0\n")
+    val (importer, _, audit) = mkImporter(tmp)
+    val h = importer.importCsv(s"$tmp/in.txt", schema, "t-clean", s"$tmp/out")
+    assert(importer.await(h.jobId, 120.seconds) == JobRunner.Succeeded)
+    // the reference warns but proceeds on a non-.csv extension; so do we
+    assert(h.report.warnings.exists(_.contains(".csv extension")))
+    assert(h.report.totalBytes == Files.size(Paths.get(s"$tmp/in.txt")))
+    assert(h.report.totalRows == 2 && h.report.badRows == 0)
+    // warning lands in the audit trail too
+    assert(audit.history(spark, "upload")
+      .filter(col("warnings").contains(".csv extension")).count() == 1)
+
+    // a .csv input produces no warning
+    Files.writeString(Paths.get(s"$tmp/in2.csv"), "id,name,amount\n1,a,1.0\n")
+    val h2 = importer.importCsv(s"$tmp/in2.csv", schema, "t-clean", s"$tmp/out2")
+    assert(importer.await(h2.jobId, 120.seconds) == JobRunner.Succeeded)
+    assert(h2.report.warnings.isEmpty)
+
+    // a missing path fails fast, like the reference's success:false
+    intercept[java.io.FileNotFoundException] {
+      graft.sources.CsvSource.preflight(spark, s"$tmp/nope.csv")
+    }
+  }
+
   test("importCsv with unknown template fails fast and audits the error") {
     val tmp = Files.createTempDirectory("graft-import2").toString
     Files.writeString(Paths.get(s"$tmp/in.csv"), "id,name,amount\n1,a,1.0\n")

@@ -91,6 +91,43 @@ class MergeSpec extends SparkSpec {
     assert(after == untouchedFiles, "untouched partition was rewritten")
   }
 
+  test("upsert: add-column schema evolution null-fills the snapshot side") {
+    import spark.implicits._
+    val path = tmpDir()
+    Merge.upsert(spark, path,
+      Seq((1L, "a", 1L), (2L, "b", 1L)).toDF("id", "payload", "ver"),
+      keys = Seq("id"), versionCol = "ver")
+
+    // batch carries a NEW column `region`: key 2 updated with a value,
+    // key 3 inserted — key 1 (untouched) reads null for it
+    val s = Merge.upsert(spark, path,
+      Seq((2L, "b2", 2L, "eu"), (3L, "c", 1L, "us"))
+        .toDF("id", "payload", "ver", "region"),
+      keys = Seq("id"), versionCol = "ver")
+    assert(s.inserted == 1 && s.updated == 1, s"stats: $s")
+
+    val out = spark.read.parquet(path).orderBy("id")
+      .select("id", "payload", "region")
+      .as[(Long, String, Option[String])].collect().toSeq
+    assert(out == Seq((1L, "a", None), (2L, "b2", Some("eu")),
+      (3L, "c", Some("us"))), s"evolved snapshot: $out")
+
+    // and the evolved snapshot keeps working through ANOTHER publish
+    // (rename-swap) with the evolved schema
+    val s2 = Merge.upsert(spark, path,
+      Seq((1L, "a2", 2L, "ap")).toDF("id", "payload", "ver", "region"),
+      keys = Seq("id"), versionCol = "ver")
+    assert(s2.updated == 1 && s2.resultRows == 3)
+
+    // going backward — a batch MISSING a snapshot column — fails loudly
+    val e = intercept[IllegalArgumentException] {
+      Merge.upsert(spark, path,
+        Seq((4L, "d", 1L)).toDF("id", "payload", "ver"),
+        keys = Seq("id"), versionCol = "ver")
+    }
+    assert(e.getMessage.contains("region"))
+  }
+
   test("upsert plan: one exchange on the key, no join") {
     import spark.implicits._
     val path = tmpDir()

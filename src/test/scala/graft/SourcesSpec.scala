@@ -19,7 +19,13 @@ class SourcesSpec extends SparkSpec {
     Files.writeString(Paths.get(s"$dir/ok.csv"),
       "id,name,amount\n1,alpha,10.5\n2,beta,20.0\n3,gamma,1.25\n")
     val loaded = CsvSource.read(spark, s"$dir/ok.csv", schema)
-    assert(loaded.report == CsvSource.Validation(3, 0, 1))
+    assert(loaded.report.totalRows == 3 && loaded.report.badRows == 0 &&
+      loaded.report.files == 1)
+    // pre-flight folded into the report: real byte size, no warnings
+    // for a .csv input
+    assert(loaded.report.totalBytes ==
+      Files.size(Paths.get(s"$dir/ok.csv")))
+    assert(loaded.report.warnings.isEmpty)
     assert(loaded.data.count() == 3)
     assert(loaded.corrupt.count() == 0)
     assert(loaded.data.schema("amount").dataType == DoubleType)
