@@ -101,6 +101,28 @@ class PlanShapeSpec extends SparkSpec {
       s"q48 expected exactly 2 exchanges, found $exchanges:\n$plan")
   }
 
+  test("q31/q33: the LSH signature pipeline materializes once — AQE reuses the exchange across the diamond") {
+    // the bucket self-join consumes the signature exchange from BOTH
+    // branches; without reuse the scan+minhash pass (the whole job cost
+    // at corpus scale) runs twice — q33's pair joins would replan it 4x
+    def finalAdaptive(df: DataFrame): String = {
+      df.collect()
+      df.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan.toString
+        case p => p.toString
+      }
+    }
+    val p31 = finalAdaptive(graft.queries.TextQ.q31(spark, sf))
+    assert("minhashshinglesig".r.findAllIn(p31).size == 1,
+      s"q31 computes the minhash signatures more than once:\n$p31")
+    assert(p31.contains("ReusedExchange"), s"q31 lost exchange reuse:\n$p31")
+    val p33 = finalAdaptive(graft.queries.TextQ.q33(spark, sf))
+    assert("minhashshinglesig".r.findAllIn(p33).size == 1,
+      s"q33 computes the minhash signatures more than once:\n$p33")
+    assert("ReusedExchange".r.findAllIn(p33).size >= 3,
+      s"q33 lost exchange reuse across the candidate diamond:\n$p33")
+  }
+
   test("no query plans a cartesian product or nested-loop join (except intentional broadcasts)") {
     // q34: tiny broadcast query set x corpus — the intended brute-force
     // baseline shape (q37 no longer needs the exemption: its k-means
