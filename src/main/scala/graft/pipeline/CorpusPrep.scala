@@ -11,9 +11,10 @@ import org.apache.spark.sql.functions._
   * the individual operators exist for, as ONE declarative plan:
   *
   *   exact dedup (keep-lowest-doc_id by normalized-text digest) →
-  *   language tag + per-language stratified sample → deterministic
-  *   shard assignment → write partitioned by shard, hash-interleaved
-  *   within.
+  *   optional MinHash-LSH near-dup drop ([[graft.operators.NearDup]],
+  *   q31's kernel, keep-lowest) → language tag + per-language
+  *   stratified sample → deterministic shard assignment → write
+  *   partitioned by shard, hash-interleaved within.
   *
   * Every stage reuses the verified kernel it mirrors (q30's
   * [[graft.functions.TextOps.textDigest]] dedup, q40 langId, q47
@@ -38,14 +39,22 @@ object CorpusPrep {
     * @param defaultRate keep-rate for languages not listed
     * @param nShards     output shards (power of two; at 100 TB think
     *                    10k+ so each shard is a sane file size)
+    * @param nearDupMinEst optional MinHash-LSH near-dup stage between
+    *                    exact dedup and sampling: docs whose estimated
+    *                    Jaccard to a LOWER-id doc reaches this
+    *                    threshold are dropped (q31's candidate kernel,
+    *                    [[graft.operators.NearDup]], keep-lowest).
+    *                    None skips the stage (and its two shuffles)
     */
   final case class Config(
       langRates: Map[String, Double],
       defaultRate: Double,
-      nShards: Int = 8)
+      nShards: Int = 8,
+      nearDupMinEst: Option[Double] = None)
 
   final case class Stats(
-      input: Long, afterDedup: Long, afterSample: Long)
+      input: Long, afterDedup: Long, afterSample: Long,
+      nearDupDropped: Long = 0L)
 
   /** Shard-assignment hash. MUST be decorrelated from the sampling
     * hash: Sample gates on md5Lower64(doc_id) & 1023, so deriving the
@@ -58,19 +67,50 @@ object CorpusPrep {
   private def shardHash: org.apache.spark.sql.Column =
     TextExprs.md5Lower64(concat(lit("shard:"), col("doc_id").cast("string")))
 
+  /** Exact dedup, q30 semantics: keep the LOWEST doc_id per
+    * normalized-text digest (deterministic, not "first seen").
+    */
+  private def dedupe(docs: DataFrame): DataFrame = {
+    val wDup = Window.partitionBy(TextOps.textDigest(col("text")))
+      .orderBy(col("doc_id"))
+    docs
+      .withColumn("_rn", row_number().over(wDup))
+      .filter(col("_rn") === 1).drop("_rn")
+  }
+
+  /** doc_ids the optional near-dup stage drops (None when the stage is
+    * off): every doc whose estimated Jaccard to a LOWER-id survivor of
+    * exact dedup reaches the threshold — q31's LSH candidate kernel,
+    * keep-lowest like the exact stage. Runs on the DEDUPED docs so
+    * exact copies never pay the shingle/minhash pass.
+    */
+  def dropsOf(docs: DataFrame, cfg: Config): Option[DataFrame] =
+    cfg.nearDupMinEst.map { minEst =>
+      graft.operators.NearDup
+        .scoredCandidates(
+          graft.operators.NearDup.signatures(dedupe(docs)), minEst)
+        .select(col("doc_b").as("doc_id")).distinct()
+    }
+
   /** The full plan, unwritten: (doc_id, text, …, lang_detected,
     * shard, pos) — pos is the hash-interleave order within the shard.
     */
-  def plan(docs: DataFrame, cfg: Config): DataFrame = {
+  def plan(docs: DataFrame, cfg: Config): DataFrame =
+    planWith(docs, cfg, dropsOf(docs, cfg))
+
+  /** Plan with the near-dup drop set supplied by the caller — run()
+    * caches it so the LSH pipeline executes once for the filter AND
+    * the stats count.
+    */
+  private def planWith(docs: DataFrame, cfg: Config,
+                       drops: Option[DataFrame]): DataFrame = {
     require(cfg.nShards > 0 && (cfg.nShards & (cfg.nShards - 1)) == 0,
       s"nShards must be a power of two, got ${cfg.nShards}")
-    // exact dedup, q30 semantics: keep the LOWEST doc_id per
-    // normalized-text digest (deterministic, not "first seen")
-    val wDup = Window.partitionBy(TextOps.textDigest(col("text")))
-      .orderBy(col("doc_id"))
-    val deduped = docs
-      .withColumn("_rn", row_number().over(wDup))
-      .filter(col("_rn") === 1).drop("_rn")
+    val deduped0 = dedupe(docs)
+    // near-dup stage: anti-join against the (small — O(near-dups))
+    // drop-id set; AQE broadcasts it while it fits
+    val deduped = drops.fold(deduped0)(d =>
+      deduped0.join(d, Seq("doc_id"), "left_anti"))
     val tagged = deduped.withColumn("lang_detected",
       TextOps.langId(col("text")).getField("lang"))
     val sampled = Sample.stratified(tagged, "doc_id", "lang_detected",
@@ -91,7 +131,10 @@ object CorpusPrep {
     * the sampled/sharded plan.
     */
   def run(docs: DataFrame, outPath: String, cfg: Config): Stats = {
-    val out = plan(docs, cfg).cache()
+    // cache the (small) near-dup drop set: it feeds the anti-join AND
+    // the dropped-count stat — the LSH pipeline itself runs once
+    val drops = dropsOf(docs, cfg).map(_.cache())
+    val out = planWith(docs, cfg, drops).cache()
     try {
       out.write.mode(SaveMode.Overwrite)
         .partitionBy("shard")
@@ -101,7 +144,10 @@ object CorpusPrep {
         .select(TextOps.textDigest(col("text")).as("h"))
         .agg(count(lit(1)).as("n"), count_distinct(col("h")).as("nd"))
         .head()
-      Stats(a.getLong(0), a.getLong(1), afterSample)
-    } finally { out.unpersist(); () }
+      Stats(a.getLong(0), a.getLong(1), afterSample,
+        nearDupDropped = drops.map(_.count()).getOrElse(0L))
+    } finally {
+      out.unpersist(); drops.foreach(_.unpersist()); ()
+    }
   }
 }

@@ -39,64 +39,16 @@ object TextQ {
       |  GROUP BY h)
       |ORDER BY keep_id""".stripMargin
 
-  private val K = 64   // minhash signature length
-  private val B = 16   // LSH bands
-  private val R = 4    // rows per band (K = B*R)
-
-  /** Per-doc MinHash signatures over word 3-gram shingles — native
-    * expression (one O(tokens) pass/row; identical values to the
-    * composed TextOps.minhashSig(wordShingles(..)) form).
-    *
-    * The trailing repartition is a deliberate materialization barrier:
-    * the LSH pipeline fans this column out into a window, two join
-    * branches and a scoring projection, and without the exchange
-    * Catalyst's projection collapsing would inline the minhash
-    * computation into every consumer (recomputing it per use). The
-    * exchange materializes the 64-int signatures once, and both join
-    * branches read the SAME shuffle output (ReusedExchange).
-    */
-  private def signatures(t: Tables): DataFrame =
-    t.documents.select(col("doc_id"),
-      graft.functions.expressions.TextExprs
-        .minhashShingleSig(tokens(normText(col("text"))), 3, K).as("sig"))
-      .repartition(col("doc_id"))
-
-  /** Candidate near-dup pairs from LSH banding, scored in place: docs
-    * sharing any band bucket, with the MinHash Jaccard estimate
-    * computed natively INSIDE the bucket join projection. Pairs below
-    * `minEst` die before any shuffle — the post-join exchange carries
-    * only (doc_a, doc_b, est) survivors, never signature arrays.
-    * Hot buckets (> cap docs) are dropped — at 100 TB a degenerate
-    * shingle (e.g. boilerplate) would otherwise create a quadratic
-    * bucket; real dups still collide on their other bands.
-    */
-  private def scoredCandidates(sigs: DataFrame, minEst: Double,
-                               cap: Int = 100): DataFrame = {
-    val banded = sigs.select(col("doc_id"), col("sig"),
-      posexplode(graft.functions.expressions.TextExprs
-        .bandKeys(col("sig"), B, R)).as(Seq("band", "bkey")))
-    val wB = Window.partitionBy(col("band"), col("bkey"))
-    val capped = banded
-      .withColumn("bucket_n", count(lit(1)).over(wB))
-      .filter(col("bucket_n") <= cap)
-    val lhs = capped.select(col("band"), col("bkey"),
-      col("doc_id").as("doc_a"), col("sig").as("sig_a"))
-    val rhs = capped.select(col("band"), col("bkey"),
-      col("doc_id").as("doc_b"), col("sig").as("sig_b"))
-    lhs.join(rhs, Seq("band", "bkey"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"),
-        graft.functions.expressions.TextExprs
-          .sigAgree(col("sig_a"), col("sig_b"), K).as("est_jaccard"))
-      .filter(col("est_jaccard") >= minEst)
-      .dropDuplicates("doc_a", "doc_b")
-  }
+  // the MinHash-LSH kernel lives in graft.operators.NearDup — ONE
+  // definition shared with the CorpusPrep pipeline stage, pinned by
+  // this query's oracle
+  import graft.operators.NearDup.{signatures, scoredCandidates}
 
   /** q31: MinHash+LSH near-dup pairs with estimated Jaccard >= 0.5.
     * Shuffle-linear: band-key exchange + in-bucket pairing only.
     */
   def q31(s: SparkSession, dir: String): DataFrame =
-    scoredCandidates(signatures(Tables(s, dir)), minEst = 0.5)
+    scoredCandidates(signatures(Tables(s, dir).documents), minEst = 0.5)
       .orderBy(col("doc_a"), col("doc_b"))
 
   /** Shared oracle-SQL CTE chain rebuilding the minhash pipeline in
@@ -236,7 +188,7 @@ object TextQ {
     // driver-side would be an OOM risk at scale. AQE broadcasts it
     // while it is small and falls back to shuffle joins past the
     // threshold.
-    val cands = scoredCandidates(signatures(t), minEst = 0.25)
+    val cands = scoredCandidates(signatures(t.documents), minEst = 0.25)
       .select(col("doc_a"), col("doc_b"))
       .repartition(col("doc_a"))
     // shrink the shingle table to docs appearing in ANY candidate pair

@@ -27,6 +27,42 @@ class CorpusPrepSpec extends SparkSpec {
     }
   }
 
+  test("near-dup stage: LSH near-dups collapse to the lowest id, stats count the drops") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog and then " +
+      "runs far away into the deep green forest tonight"
+    val docs = Seq(
+      (10L, base, "en", "a", 1L),
+      // near-dup of 10: one word changed → high estimated Jaccard
+      (11L, base.replace("lazy", "sleepy"), "en", "a", 1L),
+      // another near-dup of 10
+      (12L, base.replace("tonight", "today"), "en", "a", 1L),
+      // unrelated doc — must survive
+      (20L, "completely different content about spark catalyst plans " +
+        "optimizing large distributed analytical queries every day", "en", "a", 1L),
+      // exact dup of 20 — dropped by the EXACT stage, not the near stage
+      (21L, "completely different content about spark catalyst plans " +
+        "optimizing large distributed analytical queries every day", "en", "a", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = java.nio.file.Files.createTempDirectory("graft-neardup").toString
+    val ndCfg = CorpusPrep.Config(langRates = Map.empty, defaultRate = 1.0,
+      nShards = 2, nearDupMinEst = Some(0.5))
+    val stats = CorpusPrep.run(docs, out, ndCfg)
+    val kept = spark.read.parquet(out)
+      .select(col("doc_id")).as[Long].collect().sorted.toSeq
+    assert(kept == Seq(10L, 20L), s"kept: $kept")
+    assert(stats.input == 5 && stats.afterDedup == 4, s"stats: $stats")
+    assert(stats.nearDupDropped == 2, s"stats: $stats")
+    assert(stats.afterSample == 2, s"stats: $stats")
+
+    // stage off: near-dups survive, exact dup still collapses
+    val out2 = java.nio.file.Files.createTempDirectory("graft-neardup2").toString
+    val stats2 = CorpusPrep.run(docs, out2,
+      ndCfg.copy(nearDupMinEst = None))
+    assert(stats2.nearDupDropped == 0 && stats2.afterSample == 4,
+      s"stats: $stats2")
+  }
+
   test("run: writes shard-partitioned parquet and reports consistent stage counts") {
     val docs = Tables(spark, sf).documents
     val out = java.nio.file.Files.createTempDirectory("graft-corpus").toString
