@@ -1,0 +1,219 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.TextOps._
+import graft.functions.expressions.TextExprs
+import graft.operators.NearDup
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-data preparation operators beyond the dedup/similarity
+  * family: PII scrubbing, near-dup cluster resolution (connected
+  * components), and benchmark decontamination. Each is a standard
+  * stage of a large-scale LLM corpus pipeline, expressed Spark-first
+  * and DuckDB-oracle-checked like the rest of SURVEY §2.
+  */
+object PrepQ {
+
+  // ---- q52: PII/contact scrub ----
+
+  /** Conservative, engine-portable patterns (identical leftmost-greedy
+    * semantics in Java regex and DuckDB's RE2 for these forms).
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\b555-[0-9]{4}\\b"
+  val IpRe = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+  /** Scrub chain: one codegen'd projection (builtin regexp_replace),
+    * email → phone → IP. Usable directly as a pipeline stage.
+    */
+  def scrub(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "[EMAIL]"),
+        PhoneRe, "[PHONE]"),
+      IpRe, "[IP]")
+
+  /** q52: PII/contact scrub. The synthetic corpus carries no PII, so
+    * the query first INJECTS deterministic PII-shaped strings derived
+    * from doc_id — the identical arithmetic in both engines, so the
+    * oracle checks the actual scrub behavior, not a no-op — then
+    * counts and scrubs them. Output carries the counts and the md5 of
+    * the scrubbed text (small, totally ordered, array-free).
+    */
+  def q52(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    val id = col("doc_id")
+    val dirty = concat_ws(" ", col("text"), lit("contact"),
+      concat(lit("user"), id.cast("string"), lit("@example.com")),
+      lit("or call"),
+      concat(lit("555-"),
+        lpad(pmod(id * 7, lit(10000)).cast("string"), 4, "0")),
+      lit("from"),
+      concat((pmod(id, lit(223)) + 1).cast("string"), lit(".42.0."),
+        (pmod(id * 3, lit(250)) + 1).cast("string")))
+    t.documents
+      .select(id, dirty.as("dirty"))
+      .select(id,
+        size(regexp_extract_all(col("dirty"), lit(EmailRe), lit(0)))
+          .cast("bigint").as("n_emails"),
+        size(regexp_extract_all(col("dirty"), lit(PhoneRe), lit(0)))
+          .cast("bigint").as("n_phones"),
+        size(regexp_extract_all(col("dirty"), lit(IpRe), lit(0)))
+          .cast("bigint").as("n_ips"),
+        md5(scrub(col("dirty")).cast("binary")).as("scrub_md5"))
+      .orderBy(id)
+  }
+
+  val q52Sql: String =
+    s"""WITH dirtied AS (
+       |  SELECT doc_id,
+       |    coalesce(text, '') || ' contact user' || CAST(doc_id AS VARCHAR)
+       |      || '@example.com or call 555-'
+       |      || lpad(CAST((doc_id*7) % 10000 AS VARCHAR), 4, '0')
+       |      || ' from ' || CAST(doc_id % 223 + 1 AS VARCHAR)
+       |      || '.42.0.' || CAST((doc_id*3) % 250 + 1 AS VARCHAR) AS dirty
+       |  FROM documents)
+       |SELECT doc_id,
+       |  CAST(len(regexp_extract_all(dirty, '$EmailRe')) AS BIGINT) AS n_emails,
+       |  CAST(len(regexp_extract_all(dirty, '$PhoneRe')) AS BIGINT) AS n_phones,
+       |  CAST(len(regexp_extract_all(dirty, '$IpRe')) AS BIGINT) AS n_ips,
+       |  md5(regexp_replace(regexp_replace(regexp_replace(dirty,
+       |    '$EmailRe', '[EMAIL]', 'g'),
+       |    '$PhoneRe', '[PHONE]', 'g'),
+       |    '$IpRe', '[IP]', 'g')) AS scrub_md5
+       |FROM dirtied ORDER BY doc_id""".stripMargin
+
+  // ---- q53: near-dup connected components ----
+
+  /** q53: transitive near-dup cluster resolution — connected
+    * components over the q31 candidate pairs (est_jaccard >= 0.5) by
+    * distributed min-label propagation, plus the canonical
+    * (lowest-id) representative flag per member.
+    *
+    * Scale shape: labels and edges are O(near-dup docs/pairs) — tiny
+    * relative to the corpus; each iteration is one equi-join + one
+    * min-aggregate on the node key (shuffle-linear in |edges|), and
+    * iteration count is the component diameter (near-dup clusters are
+    * shallow). Label state is cached per round and the previous round
+    * unpersisted — no lineage blow-up, no driver-side graph. This is
+    * the standard Spark form of label propagation; the driver only
+    * ever sees a convergence COUNT, never data.
+    */
+  def q53(s: SparkSession, dir: String): DataFrame = {
+    val pairs = NearDup
+      .scoredCandidates(NearDup.signatures(Tables(s, dir).documents),
+        minEst = 0.5)
+      .select(col("doc_a"), col("doc_b"))
+    val edges = pairs
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .cache()
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("lbl", col("node")).cache()
+    try {
+      var changed = 1L
+      var iters = 0
+      while (changed > 0 && iters < 50) {
+        val prop = edges.join(labels, edges("src") === labels("node"))
+          .select(col("dst").as("node"), col("lbl"))
+        val next = labels.select(col("node"), col("lbl")).union(prop)
+          .groupBy(col("node")).agg(min(col("lbl")).as("lbl")).cache()
+        changed = next
+          .join(labels.withColumnRenamed("lbl", "old"), "node")
+          .filter(col("lbl") =!= col("old")).count()
+        labels.unpersist()
+        labels = next
+        iters += 1
+      }
+      labels.select(col("node").as("doc_id"), col("lbl").as("component"),
+        (col("node") === col("lbl")).cast("bigint").as("is_canonical"))
+        .orderBy(col("doc_id"))
+    } finally { edges.unpersist(); () }
+  }
+
+  /** DuckDB mirror of q53: the q31 candidate chain, then a recursive
+    * reachability CTE — min reachable id per node IS the component
+    * (edges are symmetric).
+    */
+  val q53Sql: String =
+    s"""WITH RECURSIVE ${TextQ.candidateCte},
+       |p AS (SELECT doc_a, doc_b FROM scored WHERE est_jaccard >= 0.5),
+       |e AS (SELECT doc_a AS src, doc_b AS dst FROM p
+       |      UNION SELECT doc_b, doc_a FROM p),
+       |n AS (SELECT DISTINCT src AS node FROM e),
+       |r(node, m) AS (
+       |  SELECT node, node FROM n
+       |  UNION
+       |  SELECT e.dst, r.m FROM r JOIN e ON e.src = r.node)
+       |SELECT node AS doc_id, min(m) AS component,
+       |  CAST(node = min(m) AS BIGINT) AS is_canonical
+       |FROM r GROUP BY node ORDER BY doc_id""".stripMargin
+
+  // ---- q54: benchmark decontamination ----
+
+  /** q54: benchmark decontamination — flag corpus documents sharing
+    * any word 8-gram with a held-out "benchmark" set (here: the
+    * deterministic pseudo-benchmark doc_id % 100 == 0, standing in
+    * for an eval suite). The standard contamination filter a training
+    * corpus runs against its eval benchmarks before training.
+    *
+    * Scale shape: both sides join on the 64-bit portable hash of the
+    * 8-gram, so the exchange carries (doc_id, 8 bytes) — never gram
+    * strings or documents. The benchmark side is the distinct gram
+    * set of the (small) benchmark suite — AQE broadcasts it, making
+    * the contamination check a map-side hash probe over the corpus;
+    * past the broadcast threshold it degrades to a shuffle join on
+    * the gram hash, still linear.
+    */
+  def q54(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir).documents
+    def grams(df: DataFrame): DataFrame =
+      df.select(col("doc_id"),
+        explode(TextExprs.wordShingles(tokens(normText(col("text"))), 8))
+          .as("gram"))
+        .select(col("doc_id"), TextExprs.md5Lower64(col("gram")).as("gh"))
+    val isBench = pmod(col("doc_id"), lit(100)) === 0
+    val bench = grams(docs.filter(isBench)).select(col("gh")).distinct()
+    val hits = grams(docs.filter(!isBench))
+      .join(bench, Seq("gh"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_overlap"))
+    docs.filter(!isBench).select(col("doc_id"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        (coalesce(col("n_overlap"), lit(0L)) > 0).cast("bigint")
+          .as("contaminated"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB mirror of q54: same normalization/8-gram math as the q31
+    * shingle chain (clamped tail slices = WordShingles' short-shingle
+    * rule), same md5_number_lower gram hash (signed vs unsigned
+    * reinterpretation is a bijection — join/count behavior identical).
+    */
+  val q54Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    regexp_split_to_array(trim(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))), '\s+') AS t
+      |  FROM documents),
+      |sh8 AS (
+      |  SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(t)-6, 2)),
+      |    i -> array_to_string(t[i:i+7], ' '))) AS sh FROM toks),
+      |g AS (SELECT doc_id, md5_number_lower(unnest(sh)) AS gh FROM sh8),
+      |bg AS (SELECT DISTINCT gh FROM g WHERE doc_id % 100 = 0),
+      |hits AS (
+      |  SELECT doc_id, COUNT(*) AS n FROM g JOIN bg USING (gh)
+      |  WHERE doc_id % 100 <> 0 GROUP BY doc_id)
+      |SELECT d.doc_id,
+      |  CAST(coalesce(h.n, 0) AS BIGINT) AS n_overlap,
+      |  CAST(coalesce(h.n, 0) > 0 AS BIGINT) AS contaminated
+      |FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
+      |WHERE d.doc_id % 100 <> 0 ORDER BY d.doc_id""".stripMargin
+
+  val entries: Seq[Entry] = Seq(
+    Entry("q52_pii_scrub", q52, Some(q52Sql)),
+    Entry("q53_neardup_components", q53, Some(q53Sql)),
+    Entry("q54_decontaminate", q54, Some(q54Sql)),
+  )
+}

@@ -57,7 +57,7 @@ object TextQ {
     * 3-shingles → per-shingle (x1,x2) bases → 64-component signature →
     * 16 band keys → cap-100 buckets → scored in-bucket pairs.
     */
-  private val candidateCte: String =
+  private[queries] val candidateCte: String =
     """toks AS (
       |  SELECT doc_id,
       |    regexp_split_to_array(trim(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))), '\s+') AS t

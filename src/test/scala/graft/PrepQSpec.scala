@@ -1,0 +1,71 @@
+package graft
+
+import graft.queries.{PrepQ, TextQ}
+import org.apache.spark.sql.functions._
+
+class PrepQSpec extends SparkSpec {
+
+  test("q52: injected PII is counted and fully scrubbed") {
+    val rows = PrepQ.q52(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // every doc got at least the injected email/phone/IP
+    assert(rows.forall(_.getAs[Long]("n_emails") >= 1))
+    assert(rows.forall(_.getAs[Long]("n_phones") >= 1))
+    assert(rows.forall(_.getAs[Long]("n_ips") >= 1))
+    // and the scrub column itself leaves no residue: rebuild one doc's
+    // dirty text through the same scrub Column and regex-check it
+    import spark.implicits._
+    val sample = Seq("reach me at jane.doe+x@corp.example.org or 555-0199 " +
+      "from 10.0.0.7 thanks").toDF("t")
+      .select(PrepQ.scrub(col("t")).as("s")).as[String].head()
+    assert(sample == "reach me at [EMAIL] or [PHONE] from [IP] thanks", sample)
+  }
+
+  test("q53: components agree with q31 pairs; one canonical (min id) per component") {
+    val comp = PrepQ.q53(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("component"), r.getAs[Long]("is_canonical"))).toMap
+    val pairs = TextQ.q31(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+    assert(pairs.nonEmpty && comp.nonEmpty)
+    // every paired doc is labeled, and both ends share a component
+    pairs.foreach { case (a, b) =>
+      assert(comp.contains(a) && comp.contains(b), s"pair ($a,$b) unlabeled")
+      assert(comp(a)._1 == comp(b)._1, s"pair ($a,$b) split across components")
+    }
+    // component label IS the minimum member id; exactly one canonical each
+    comp.groupBy(_._2._1).foreach { case (label, members) =>
+      assert(members.keys.min == label,
+        s"component $label label is not its min member")
+      assert(members.values.count(_._2 == 1L) == 1,
+        s"component $label canonical count != 1")
+      assert(members(label)._2 == 1L, s"component $label min not canonical")
+    }
+  }
+
+  test("q54: benchmark docs excluded, flag consistent, overlap matches a brute-force recount") {
+    val rows = PrepQ.q54(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Long]("doc_id") % 100 != 0))
+    assert(rows.forall(r =>
+      (r.getAs[Long]("n_overlap") > 0) == (r.getAs[Long]("contaminated") == 1L)))
+    // brute-force recount on the driver for the flagged docs (cap 20):
+    // distinct word 8-grams shared with the benchmark docs' gram set
+    def grams(t: String): Set[String] = {
+      val toks = t.trim.toLowerCase.replaceAll("\\s+", " ").trim
+        .split("\\s+").toSeq
+      val n = math.max(toks.length - 7, 1)
+      (0 until n).map(i => toks.slice(i, i + 8).mkString(" ")).toSet
+    }
+    val docs = Tables(spark, sf).documents
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    val benchGrams = docs.filter(_._1 % 100 == 0).values.flatMap(grams).toSet
+    rows.filter(_.getAs[Long]("contaminated") == 1L).take(20).foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val expect = grams(docs(id)).count(benchGrams.contains)
+      assert(r.getAs[Long]("n_overlap") == expect,
+        s"doc $id overlap ${r.getAs[Long]("n_overlap")} != brute-force $expect")
+    }
+  }
+}
