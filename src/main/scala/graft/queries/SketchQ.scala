@@ -315,6 +315,44 @@ object SketchQ {
        |  ${round4Sql("CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE)")} AS top_tok_frac4
        |FROM pt GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** q55: deterministic bottom-k sample per stratum — exactly k docs
+    * per language, picked by the k smallest domain-separated hashes
+    * (the deterministic analogue of per-stratum reservoir sampling:
+    * same invariance to order/partitioning/retries as [[q47]], but a
+    * fixed COUNT per class instead of a fixed rate — what a trainer
+    * wants when the mix is specified in examples, not fractions).
+    * The "res:" domain prefix decorrelates the pick from the q47 rate
+    * gate and the q48 shard hash.
+    *
+    * Scale path: one shuffle on the stratum + per-group sort. When one
+    * stratum is most of a 100 TB corpus, pre-thin it with
+    * [[graft.operators.Sample.keep]] at a few×(k/N) first — the
+    * bottom-k of a deterministic-hash subsample that keeps the true
+    * bottom-k is the same bottom-k, and the sort shrinks by the rate.
+    */
+  def q55(s: SparkSession, dir: String, k: Int = 50): DataFrame = {
+    val t = Tables(s, dir)
+    val h = md5Lower64(concat(lit("res:"), col("doc_id").cast("string")))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("ord"), col("doc_id"))
+    t.documents
+      .select(col("doc_id"), col("lang"),
+        call_function("shiftrightunsigned", h, lit(1)).as("ord"))
+      .withColumn("rk", row_number().over(w).cast("bigint"))
+      .filter(col("rk") <= k)
+      .select(col("lang"), col("rk"), col("doc_id"))
+      .orderBy(col("lang"), col("rk"))
+  }
+
+  val q55Sql: String =
+    """SELECT lang, rk, doc_id FROM (
+      |  SELECT lang, doc_id, CAST(ROW_NUMBER() OVER (
+      |    PARTITION BY lang
+      |    ORDER BY md5_number_lower('res:' || CAST(doc_id AS VARCHAR)) >> 1, doc_id)
+      |    AS BIGINT) AS rk
+      |  FROM documents)
+      |WHERE rk <= 50 ORDER BY lang, rk""".stripMargin
+
   val entries: Seq[Entry] = Seq(
     Entry("q45_hll_distinct", q45, Some(q45Sql)),
     Entry("q46_sample_quantile", q46, Some(q46Sql)),
@@ -322,5 +360,6 @@ object SketchQ {
     Entry("q48_shard_assign", q48, Some(q48Sql)),
     Entry("q49_freq_topk_cm", q49, Some(q49Sql)),
     Entry("q51_repetition", q51, Some(q51Sql)),
+    Entry("q55_bottomk_sample", (s, d) => q55(s, d), Some(q55Sql)),
   )
 }

@@ -321,10 +321,76 @@ object VecQ {
       |SELECT query_id, rnk, vec_id AS neighbor_id, sim AS cos_sim
       |FROM r WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin
 
+  /** q56: scalar (int8) embedding quantization — the storage-scale
+    * path for vector corpora: per-dimension symmetric max-abs scales
+    * (the faiss SQ8 form), codes in [-127, 127], 4× smaller than
+    * float32 and 8× smaller than the double working form. Reports
+    * per-vector saturation count and relative reconstruction error.
+    *
+    * The dim scales are collected driver-side (dim doubles — the
+    * ship-model-to-data pattern, like VecKmeans centroids) and
+    * embedded as a literal, so quantization itself is a pure
+    * projection: one corpus pass for the scales, one for the codes,
+    * no joins, no shuffles beyond the dim-row scale aggregate.
+    */
+  def q56(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir).embeddings
+      .select(col("vec_id"), toDoubles(col("embedding")).as("v"))
+    val scales = e.select(posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col("pos")).agg(max(abs(col("x"))).as("s"))
+      .orderBy(col("pos"))
+      .collect().map { r =>
+        val sc = r.getDouble(1)
+        if (sc == 0.0) 1.0 else sc // an all-zero dim quantizes to code 0
+      }.toSeq
+    val sArr = typedlit(scales)
+    val codes = zip_with(col("v"), sArr, (x, sc) =>
+      greatest(lit(-127L), least(lit(127L), floor(x * 127.0 / sc + 0.5))))
+    val dq = zip_with(col("codes"), sArr, (c, sc) => c * sc / 127.0)
+    val diff = zip_with(col("v"), col("dq"), (a, b) => a - b)
+    e.withColumn("codes", codes)
+      .withColumn("dq", dq)
+      .select(col("vec_id"),
+        size(filter(col("codes"), c => abs(c) === 127L))
+          .cast("bigint").as("n_sat"),
+        Q.round4(VecExprs.l2(diff) / VecExprs.l2(col("v"))).as("rel_err4"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** DuckDB mirror of q56: same max-abs scales (max is
+    * order-independent, so exact), same floor(+0.5) rounding, same
+    * sequential-double norms. DuckDB's index lambda is 1-based like
+    * its list indexing.
+    */
+  val q56Sql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |sc0 AS (
+       |  SELECT pos, max(abs(x)) AS s
+       |  FROM (SELECT unnest(v) AS x, generate_subscripts(v, 1) AS pos FROM e)
+       |  GROUP BY pos),
+       |sc AS (SELECT list(CASE WHEN s = 0 THEN 1.0 ELSE s END ORDER BY pos) AS sl
+       |       FROM sc0),
+       |q AS (
+       |  SELECT vec_id, v,
+       |    list_transform(v, (x, i) ->
+       |      greatest(-127.0, least(127.0, floor(x * 127.0 / sl[i] + 0.5)))) AS codes
+       |  FROM e CROSS JOIN sc),
+       |d AS (
+       |  SELECT vec_id, v,
+       |    len(list_filter(codes, c -> abs(c) = 127.0)) AS n_sat,
+       |    list_transform(codes, (c, i) -> v[i] - c * sl[i] / 127.0) AS diff
+       |  FROM q CROSS JOIN sc)
+       |SELECT vec_id, CAST(n_sat AS BIGINT) AS n_sat,
+       |  ${Q.round4Sql("sqrt(list_dot_product(diff, diff)) / sqrt(list_dot_product(v, v))")} AS rel_err4
+       |FROM d ORDER BY vec_id""".stripMargin
+
   val entries: Seq[Entry] = Seq(
     Entry("q34_embed_cosine_topk", q34, Some(q34Sql)),
     Entry("q35_ann_lsh", q35, Some(q35Sql)),
     Entry("q36_embed_dedup", (s, d) => q36(s, d), Some(q36Sql)),
     Entry("q37_ann_ivf", (s, d) => q37(s, d), Some(q37Sql)),
+    Entry("q56_embed_quantize", q56, Some(q56Sql)),
   )
 }

@@ -278,6 +278,39 @@ object Streams {
              keys: Seq[String]): DataFrame =
     stream.join(broadcast(dim), keys, "left")
 
+  /** Streaming benchmark decontamination — the continuous mirror of
+    * batch q54: flag each incoming document sharing any word 8-gram
+    * with the static benchmark set, using the SAME normalization,
+    * shingle and portable-hash kernels, so a doc gets the identical
+    * verdict from either layer.
+    *
+    * Stateless: the benchmark's distinct gram-hash set is collapsed to
+    * ONE array row and broadcast-cross-joined onto the stream, and the
+    * verdict is a per-row array intersection — no state store, no
+    * watermark, verdicts emitted in the arrival micro-batch. Right for
+    * benchmark suites (≤ millions of grams, re-broadcast per batch
+    * picks up refreshes); a contamination source too big to broadcast
+    * belongs to the batch layer's hash join instead.
+    */
+  def decontaminate(stream: DataFrame, benchDocs: DataFrame,
+                    textCol: String = "text"): DataFrame = {
+    import graft.functions.TextOps
+    import graft.functions.expressions.TextExprs
+    def gramHashes(c: org.apache.spark.sql.Column) =
+      transform(TextExprs.wordShingles(TextOps.tokens(TextOps.normText(c)), 8),
+        g => TextExprs.md5Lower64(g))
+    val benchRow = benchDocs
+      .select(explode(gramHashes(col(textCol))).as("gh")).distinct()
+      .agg(collect_set(col("gh")).as("bench_gh"))
+    stream
+      .withColumn("_graft_gh", gramHashes(col(textCol)))
+      .crossJoin(broadcast(benchRow))
+      .withColumn("n_overlap",
+        size(array_intersect(col("_graft_gh"), col("bench_gh"))).cast("bigint"))
+      .withColumn("contaminated", (col("n_overlap") > 0).cast("bigint"))
+      .drop("_graft_gh", "bench_gh")
+  }
+
   /** Streaming HLL: approximate COUNT(DISTINCT keyCol) per tumbling
     * event-time window — the continuous mirror of batch q45, built
     * from the SAME [[graft.operators.Hll]] register/estimator
