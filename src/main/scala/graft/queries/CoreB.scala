@@ -428,6 +428,65 @@ object CoreB {
       |  FROM events) WHERE rn = 1
       |ORDER BY user_id""".stripMargin
 
+  /** q26: set operations — INTERSECT (customers with both finished and
+    * open orders) and EXCEPT (finished-only), labeled and unioned into
+    * one result. Spark plans these as aggregates/anti-joins on the key
+    * — one shuffle each, no materialized distinct lists.
+    */
+  def q26(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    def custsWith(status: String) =
+      t.orders.filter(col("o_orderstatus") === status)
+        .select(col("o_custkey"))
+    val f = custsWith("F")
+    val o = custsWith("O")
+    f.intersect(o).select(lit("both").as("set_op"), col("o_custkey"))
+      .unionAll(
+        f.except(o).select(lit("f_only").as("set_op"), col("o_custkey")))
+      .orderBy(col("set_op"), col("o_custkey"))
+  }
+
+  val q26Sql: String =
+    """SELECT 'both' AS set_op, o_custkey FROM (
+      |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+      |  INTERSECT
+      |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+      |UNION ALL
+      |SELECT 'f_only' AS set_op, o_custkey FROM (
+      |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+      |  EXCEPT
+      |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+      |ORDER BY set_op, o_custkey""".stripMargin
+
+  /** q27: RANGE-frame window — per order, the customer's trailing
+    * 30-day order total (value-based frame over epoch seconds, so all
+    * same-instant rows are in frame regardless of tie order — the
+    * property that makes the result deterministic where a ROWS frame
+    * on a tied key would not be).
+    */
+  def q27(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("od_s"))
+      .rangeBetween(-30L * 86400, 0)
+    t.orders
+      // NTZ → TS is a no-op under the pinned UTC session zone; the
+      // epoch seconds then match DuckDB's epoch() of the naive value
+      .withColumn("od_s",
+        col("o_orderdate").cast("timestamp").cast("long"))
+      .withColumn("trailing30_total",
+        sum(dec(col("o_totalprice"))).over(w).cast("double"))
+      .select(col("o_custkey"), col("o_orderkey"), col("trailing30_total"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  val q27Sql: String =
+    """SELECT o_custkey, o_orderkey,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+      |    PARTITION BY o_custkey ORDER BY CAST(epoch(o_orderdate) AS BIGINT)
+      |    RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW) AS DOUBLE) AS trailing30_total
+      |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin
+
   val entries: Seq[Entry] = Seq(
     Entry("q08_union_dedup", q08, Some(q08Sql)),
     Entry("q09_pivot", q09, Some(q09Sql)),
@@ -447,5 +506,7 @@ object CoreB {
     Entry("q23_event_window", q23, Some(q23Sql)),
     Entry("q24_grouped_topk_values", q24, Some(q24Sql)),
     Entry("q25_scd_latest", q25, Some(q25Sql)),
+    Entry("q26_intersect_except", q26, Some(q26Sql)),
+    Entry("q27_range_frame", q27, Some(q27Sql)),
   )
 }
