@@ -119,9 +119,12 @@ object PrepQ {
           .select(col("dst").as("node"), col("lbl"))
         val next = labels.select(col("node"), col("lbl")).union(prop)
           .groupBy(col("node")).agg(min(col("lbl")).as("lbl")).cache()
-        changed = next
-          .join(labels.withColumnRenamed("lbl", "old"), "node")
-          .filter(col("lbl") =!= col("old")).count()
+        // round 0 always changes something when edges exist — skip its
+        // convergence job (one join+count saved per query)
+        changed = if (iters == 0) 1L
+          else next
+            .join(labels.withColumnRenamed("lbl", "old"), "node")
+            .filter(col("lbl") =!= col("old")).count()
         labels.unpersist()
         labels = next
         iters += 1
