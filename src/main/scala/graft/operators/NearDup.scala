@@ -72,19 +72,23 @@ object NearDup {
       .dropDuplicates("doc_a", "doc_b")
   }
 
-  /** Greedy pairwise near-dup FILTER: drop every doc that appears as
-    * the HIGHER id of any candidate pair (keep-lowest, the pairwise
-    * mirror of q30's exact keep-lowest). Deterministic and one-pass;
-    * for full transitive-closure clustering (a chain A~B~C where A and
-    * C never share a bucket) see the connected-components operator —
+  /** The doc_ids a greedy keep-lowest near-dup pass drops: every doc
+    * appearing as the HIGHER id of any candidate pair (the pairwise
+    * mirror of q30's exact keep-lowest) — ONE definition consumed by
+    * [[dropHigherOfPairs]] and the CorpusPrep stage (which needs the
+    * set separately, for its stats). Deterministic; for full
+    * transitive-closure clustering (a chain A~B~C where A and C never
+    * share a bucket) see the q53 connected-components operator —
     * greedy keeps A and drops B,C here too, but on sparser chains it
     * can keep more than one representative per cluster, which for a
     * training corpus errs on the safe side (keeps data).
     */
-  def dropHigherOfPairs(docs: DataFrame, minEst: Double,
-                        cap: Int = 100): DataFrame = {
-    val drops = scoredCandidates(signatures(docs), minEst, cap)
+  def dropIds(docs: DataFrame, minEst: Double, cap: Int = 100): DataFrame =
+    scoredCandidates(signatures(docs), minEst, cap)
       .select(col("doc_b").as("doc_id")).distinct()
-    docs.join(drops, Seq("doc_id"), "left_anti")
-  }
+
+  /** Greedy pairwise near-dup FILTER over [[dropIds]]. */
+  def dropHigherOfPairs(docs: DataFrame, minEst: Double,
+                        cap: Int = 100): DataFrame =
+    docs.join(dropIds(docs, minEst, cap), Seq("doc_id"), "left_anti")
 }

@@ -79,18 +79,19 @@ object CorpusPrep {
   }
 
   /** doc_ids the optional near-dup stage drops (None when the stage is
-    * off): every doc whose estimated Jaccard to a LOWER-id survivor of
-    * exact dedup reaches the threshold — q31's LSH candidate kernel,
-    * keep-lowest like the exact stage. Runs on the DEDUPED docs so
-    * exact copies never pay the shingle/minhash pass.
+    * off): [[graft.operators.NearDup.dropIds]] — every doc whose
+    * estimated Jaccard to a LOWER-id survivor of exact dedup reaches
+    * the threshold, keep-lowest like the exact stage. Runs on the
+    * DEDUPED docs so exact copies never pay the shingle/minhash pass;
+    * the trade is that the exact-dedup window executes twice when the
+    * stage is on (once inside this lineage, once in the main plan) —
+    * at corpus scale, either pre-materialize the deduped snapshot and
+    * run the two stages over it, or accept paying the minhash pass for
+    * exact copies by running dropIds on the raw corpus.
     */
   def dropsOf(docs: DataFrame, cfg: Config): Option[DataFrame] =
-    cfg.nearDupMinEst.map { minEst =>
-      graft.operators.NearDup
-        .scoredCandidates(
-          graft.operators.NearDup.signatures(dedupe(docs)), minEst)
-        .select(col("doc_b").as("doc_id")).distinct()
-    }
+    cfg.nearDupMinEst.map(minEst =>
+      graft.operators.NearDup.dropIds(dedupe(docs), minEst))
 
   /** The full plan, unwritten: (doc_id, text, …, lang_detected,
     * shard, pos) — pos is the hash-interleave order within the shard.

@@ -44,7 +44,10 @@ object PrepQ {
   def q52(s: SparkSession, dir: String): DataFrame = {
     val t = Tables(s, dir)
     val id = col("doc_id")
-    val dirty = concat_ws(" ", col("text"), lit("contact"),
+    // explicit coalesce: concat_ws would SKIP a null text (no leading
+    // space) while the oracle's '' || ' contact…' keeps one — the q43
+    // null-parity lesson applied here
+    val dirty = concat_ws(" ", coalesce(col("text"), lit("")), lit("contact"),
       concat(lit("user"), id.cast("string"), lit("@example.com")),
       lit("or call"),
       concat(lit("555-"),
@@ -114,11 +117,22 @@ object PrepQ {
     try {
       var changed = 1L
       var iters = 0
-      while (changed > 0 && iters < 50) {
+      val maxIters = 50
+      while (changed > 0 && iters < maxIters) {
+        // neighbor min + label-doubling shortcut (lbl of lbl) in one
+        // round: propagation distance doubles per iteration, so
+        // convergence is O(log diameter) — a 50-round cap covers any
+        // graph that fits on disk
         val prop = edges.join(labels, edges("src") === labels("node"))
           .select(col("dst").as("node"), col("lbl"))
-        val next = labels.select(col("node"), col("lbl")).union(prop)
-          .groupBy(col("node")).agg(min(col("lbl")).as("lbl")).cache()
+        val nbr = labels.select(col("node"), col("lbl")).union(prop)
+          .groupBy(col("node")).agg(min(col("lbl")).as("lbl"))
+        val short = nbr.alias("a")
+          .join(nbr.alias("b"), col("a.lbl") === col("b.node"), "left")
+          .select(col("a.node").as("node"),
+            least(col("a.lbl"), coalesce(col("b.lbl"), col("a.lbl")))
+              .as("lbl"))
+        val next = short.cache()
         // round 0 always changes something when edges exist — skip its
         // convergence job (one join+count saved per query)
         changed = if (iters == 0) 1L
@@ -129,8 +143,17 @@ object PrepQ {
         labels = next
         iters += 1
       }
-      labels.select(col("node").as("doc_id"), col("lbl").as("component"),
-        (col("node") === col("lbl")).cast("bigint").as("is_canonical"))
+      require(changed == 0,
+        s"q53 label propagation did not converge in $maxIters rounds")
+      // truncate the iterative lineage and release the loop cache: the
+      // returned plan must not re-run the whole propagation, and the
+      // final cache must not outlive the query (the checkpointed
+      // blocks are freed by the ContextCleaner once unreferenced)
+      val finalLabels = labels.localCheckpoint(true)
+      labels.unpersist()
+      finalLabels
+        .select(col("node").as("doc_id"), col("lbl").as("component"),
+          (col("node") === col("lbl")).cast("bigint").as("is_canonical"))
         .orderBy(col("doc_id"))
     } finally { edges.unpersist(); () }
   }

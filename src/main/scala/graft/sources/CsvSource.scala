@@ -41,21 +41,34 @@ object CsvSource {
   def preflight(spark: SparkSession, path: String): (Long, Seq[String]) = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p))
+    // globStatus resolves literal paths AND glob patterns — Spark's
+    // reader accepts both, so the pre-flight must too (a bare exists()
+    // would reject /data/batch-*.csv that the scan happily reads)
+    val matched = Option(fs.globStatus(p)).getOrElse(Array.empty)
+    if (matched.isEmpty)
       throw new java.io.FileNotFoundException(s"File not found: $path")
-    val it = fs.listFiles(p, true)
     var bytes = 0L
     var nonCsv = 0L
     var first: String = null
-    while (it.hasNext) {
-      val st = it.next()
-      bytes += st.getLen
-      val name = st.getPath.getName
-      if (!name.toLowerCase.endsWith(".csv") && !name.startsWith("_") &&
-          !name.startsWith(".")) {
-        nonCsv += 1
-        if (first == null) first = name
+    def visit(name: String, len: Long): Unit = {
+      // hidden/marker files (_SUCCESS, .crc) are invisible to Spark's
+      // reader — excluded from BOTH the byte total and the warning
+      if (!name.startsWith("_") && !name.startsWith(".")) {
+        bytes += len
+        if (!name.toLowerCase.endsWith(".csv")) {
+          nonCsv += 1
+          if (first == null) first = name
+        }
       }
+    }
+    matched.foreach { st =>
+      if (st.isDirectory) {
+        val it = fs.listFiles(st.getPath, true)
+        while (it.hasNext) {
+          val f = it.next()
+          visit(f.getPath.getName, f.getLen)
+        }
+      } else visit(st.getPath.getName, st.getLen)
     }
     val warnings =
       if (nonCsv > 0)
@@ -106,6 +119,9 @@ object CsvSource {
   def read(spark: SparkSession, path: String, schema: StructType,
            header: Boolean = true, delimiter: String = ",",
            dialect: Dialect = Dialect()): Loaded = {
+    // pre-flight FIRST: a missing path fails fast here (like the
+    // reference's success:false), before any distributed work
+    val (bytes, warnings) = preflight(spark, path)
     val withCorrupt = schema.add(CorruptCol, "string")
     val raw = spark.read
       .option("header", header)
@@ -133,7 +149,6 @@ object CsvSource {
         .select(count(lit(1)), count(when(isBad, 1)))
         .collect()(0).toSeq.map(_.asInstanceOf[Long]).toArray
       val files = spark.read.text(path).inputFiles.length.toLong
-      val (bytes, warnings) = preflight(spark, path)
       Loaded(data, corrupt, Validation(total, bad, files, bytes, warnings), raw)
     } catch {
       // the caller gets no Loaded handle on failure, so the cache must

@@ -296,8 +296,12 @@ object Streams {
                     textCol: String = "text"): DataFrame = {
     import graft.functions.TextOps
     import graft.functions.expressions.TextExprs
+    // null text must get the batch verdict (n_overlap=0), not a null
+    // verdict — coalesce before shingling like q43 does for norms
     def gramHashes(c: org.apache.spark.sql.Column) =
-      transform(TextExprs.wordShingles(TextOps.tokens(TextOps.normText(c)), 8),
+      transform(
+        TextExprs.wordShingles(
+          TextOps.tokens(TextOps.normText(coalesce(c, lit("")))), 8),
         g => TextExprs.md5Lower64(g))
     val benchRow = benchDocs
       .select(explode(gramHashes(col(textCol))).as("gh")).distinct()

@@ -105,18 +105,11 @@ class PlanShapeSpec extends SparkSpec {
     // the bucket self-join consumes the signature exchange from BOTH
     // branches; without reuse the scan+minhash pass (the whole job cost
     // at corpus scale) runs twice — q33's pair joins would replan it 4x
-    def finalAdaptive(df: DataFrame): String = {
-      df.collect()
-      df.queryExecution.executedPlan match {
-        case a: AdaptiveSparkPlanExec => a.executedPlan.toString
-        case p => p.toString
-      }
-    }
-    val p31 = finalAdaptive(graft.queries.TextQ.q31(spark, sf))
+    val p31 = finalPlanOf(graft.queries.TextQ.q31(spark, sf))
     assert("minhashshinglesig".r.findAllIn(p31).size == 1,
       s"q31 computes the minhash signatures more than once:\n$p31")
     assert(p31.contains("ReusedExchange"), s"q31 lost exchange reuse:\n$p31")
-    val p33 = finalAdaptive(graft.queries.TextQ.q33(spark, sf))
+    val p33 = finalPlanOf(graft.queries.TextQ.q33(spark, sf))
     assert("minhashshinglesig".r.findAllIn(p33).size == 1,
       s"q33 computes the minhash signatures more than once:\n$p33")
     assert("ReusedExchange".r.findAllIn(p33).size >= 3,
