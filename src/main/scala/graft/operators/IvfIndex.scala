@@ -317,6 +317,75 @@ object IvfIndex {
     } finally { assigned.unpersist(); () }
   }
 
+  /** Train a PQ codebook on the indexed corpus and write the PQ
+    * sidecar — `path/pq/codebook/` plus `path/pq/codes/` partitioned
+    * by cluster_id like the index itself. With the sidecar in place,
+    * [[queryPq]] ranks candidates from the m-byte codes instead of the
+    * raw vectors: at 10⁹+ vectors the codes for a whole inverted list
+    * fit in memory where the float32 vectors would not — the IVF-PQ
+    * layout (Jégou et al.).
+    */
+  def buildPq(spark: SparkSession, path: String, m: Int = 8,
+              ksub: Int = 16, iters: Int = 2, sampleN: Int = 2000): Unit = {
+    recoverRetrain(spark, path)
+    val index = spark.read.parquet(s"$path/index")
+    val cb = PqCodec.train(
+      index.select(col("vec_id"), col("embedding")), m, ksub, iters, sampleN)
+    PqCodec.save(spark, cb, s"$path/pq/codebook")
+    PqCodec.encode(index.select(col("vec_id"), col("embedding")), cb)
+      .join(index.select(col("cluster_id"), col("vec_id")), "vec_id")
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("cluster_id")
+      .parquet(s"$path/pq/codes")
+  }
+
+  /** IVF-PQ query: probe `nprobe` inverted lists, shortlist
+    * `rerank` candidates per query by ADC over the PQ codes (m table
+    * lookups per candidate, no vector reads), then re-rank ONLY the
+    * shortlist exactly through the same [[rankTopK]] kernel as
+    * [[query]] — identical output schema and tie-break, so the two
+    * paths are drop-in interchangeable. The ADC shortlist is
+    * L2-based (the PQ metric); the exact re-rank restores the cosine
+    * ranking, so a too-small `rerank` costs recall, never wrong
+    * similarity values.
+    */
+  def queryPq(spark: SparkSession, path: String, queries: DataFrame,
+              nprobe: Int = 8, topk: Int = 10,
+              rerank: Int = 40): DataFrame = {
+    recoverRetrain(spark, path)
+    val cb = PqCodec.load(spark, s"$path/pq/codebook")
+    val centroids = collectCenters(spark.read.parquet(s"$path/centroids"))
+    val q = embProjection(queries)
+    val probes = VecKmeans.assign(q, centroids, keep = nprobe)
+      .select(col("vec_id").as("query_id"), col("cluster_id"))
+    val probedClusters = probes.select(col("cluster_id")).distinct()
+      .collect().map(_.getLong(0))
+    val qt = probes.join(PqCodec.distTable(queries, cb), "query_id")
+    val codes = spark.read.parquet(s"$path/pq/codes")
+      .filter(col("cluster_id").isin(probedClusters.toSeq: _*))
+    val wAdc = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx_dist"), col("vec_id"))
+    val shortlist = codes.join(broadcast(qt), Seq("cluster_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("approx_dist",
+        PqCodec.adcDist(col("codes"), col("tbl")))
+      .dropDuplicates("query_id", "vec_id")
+      .withColumn("rnk", row_number().over(wAdc))
+      .filter(col("rnk") <= rerank)
+      .select(col("query_id"), col("vec_id"))
+    // exact re-rank: read raw vectors ONLY for the shortlist (probed
+    // partitions pruned, then a broadcast semi-join on the shortlist)
+    val raw = spark.read.parquet(s"$path/index")
+      .filter(col("cluster_id").isin(probedClusters.toSeq: _*))
+      .select(col("vec_id"), col("embedding").as("v"))
+      .join(broadcast(shortlist), Seq("vec_id"))
+      .withColumn("nrm", VecExprs.l2(col("v")))
+    val qSide = q.select(col("vec_id").as("query_id"), col("v").as("qv"),
+      col("nrm").as("qn"))
+    rankTopK(raw.join(broadcast(qSide), Seq("query_id")), topk)
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
   /** Top-`topk` neighbors for each query vector, probing `nprobe`
     * inverted lists. The cluster_id IN (…) filter is a PARTITION
     * filter: only the probed directories are read.

@@ -144,15 +144,14 @@ object PqCodec {
         transform(col("jc"), e2 => e2.getField("code")).as("codes"))
   }
 
-  /** ADC (asymmetric distance computation) top-k: per query, the
-    * m×ksub table of exact subspace distances to every center is one
-    * projection over the query row; each candidate's approximate
-    * distance is then m table lookups over its codes — the original
-    * vectors are never read. Queries broadcast; candidates stream.
+  /** Per-query ADC distance table: (query_id, tbl) where tbl[j][k] is
+    * the exact squared L2 distance from the query's j-th subvector to
+    * subspace j's k-th center — m·ksub doubles per query, one
+    * projection. The building block adcTopK and IvfIndex.queryPq rank
+    * candidates with.
     */
-  def adcTopK(codes: DataFrame, cb: Codebook, queries: DataFrame,
-              topk: Int = 10): DataFrame = {
-    val q = queries
+  def distTable(queries: DataFrame, cb: Codebook): DataFrame =
+    queries
       .select(col("vec_id").as("query_id"),
         VecOps.toDoubles(col("embedding")).as("qv"))
       .withColumn("tbl",
@@ -160,18 +159,53 @@ object PqCodec {
           transform(centersJ,
             c => sqDist(slice(col("qv"), j * cb.dsub + 1, lit(cb.dsub)), c))))
       .select(col("query_id"), col("tbl"))
+
+  /** Approximate squared L2 distance of a code row against a distance
+    * table: m table lookups, no vector reads.
+    */
+  def adcDist(codes: Column, tbl: Column): Column =
+    aggregate(zip_with(codes, tbl, (c, row) => element_at(row, c + 1)),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** ADC (asymmetric distance computation) top-k: per query, the
+    * distance table is one projection over the query row; each
+    * candidate costs m table lookups — the original vectors are never
+    * read. Queries broadcast; candidates stream.
+    */
+  def adcTopK(codes: DataFrame, cb: Codebook, queries: DataFrame,
+              topk: Int = 10): DataFrame = {
+    val q = distTable(queries, cb)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("approx_dist"), col("vec_id"))
     codes.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("approx_dist",
-        aggregate(zip_with(col("codes"), col("tbl"),
-          (c, row) => element_at(row, c + 1)),
-          lit(0.0), (acc, v) => acc + v))
+      .withColumn("approx_dist", adcDist(col("codes"), col("tbl")))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= topk)
       .select(col("query_id"), col("rnk"), col("vec_id").as("neighbor_id"),
         col("approx_dist"))
       .orderBy(col("query_id"), col("rnk"))
+  }
+
+  /** Persist a codebook as (j, k, center) rows — tiny, one file. */
+  def save(spark: org.apache.spark.sql.SparkSession, cb: Codebook,
+           path: String): Unit = {
+    val rows = for {
+      j <- 0 until cb.m
+      k <- 0 until cb.ksub
+    } yield (j, k, cb.centers(j)(k))
+    spark.createDataFrame(rows).toDF("j", "k", "center")
+      .coalesce(1).write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(path)
+  }
+
+  def load(spark: org.apache.spark.sql.SparkSession, path: String): Codebook = {
+    val rows = spark.read.parquet(path)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
+    val m = rows.map(_._1).max + 1
+    val ksub = rows.map(_._2).max + 1
+    val byJk = rows.map(r => (r._1, r._2) -> r._3).toMap
+    Codebook(m, ksub, byJk.head._2.length,
+      (0 until m).map(j => (0 until ksub).map(k => byJk((j, k)))))
   }
 }

@@ -14,6 +14,46 @@ class IvfIndexSpec extends SparkSpec {
     p
   }
 
+  test("IVF-PQ: sidecar encodes every indexed vector; queryPq matches query()'s schema with decent agreement") {
+    import spark.implicits._
+    val p = java.nio.file.Files.createTempDirectory("graft-ivfpq").toString
+    IvfIndex.build(spark, embeddings, p, k = 16, initRounds = 2, lloydIters = 2)
+    IvfIndex.buildPq(spark, p, m = 8, ksub = 16, iters = 2, sampleN = 500)
+    // every indexed vector has exactly one m-code row, partition-aligned
+    val codes = spark.read.parquet(s"$p/pq/codes")
+    assert(codes.count() == embeddings.count())
+    assert(codes.filter(size(col("codes")) =!= 8).count() == 0)
+    // codebook round-trips
+    val cb = graft.operators.PqCodec.load(spark, s"$p/pq/codebook")
+    assert(cb.m == 8 && cb.ksub == 16)
+
+    val queries = embeddings.filter(col("vec_id") < 5)
+    val viaPq = IvfIndex.queryPq(spark, p, queries, nprobe = 8, topk = 10,
+      rerank = 40)
+    val viaRaw = IvfIndex.query(spark, p, queries, nprobe = 8, topk = 10)
+    // identical output contract
+    assert(viaPq.columns.toSeq == viaRaw.columns.toSeq)
+    val gotPq = viaPq.select(col("query_id"), col("neighbor_id"))
+      .as[(Long, Long)].collect().toSet
+    val gotRaw = viaRaw.select(col("query_id"), col("neighbor_id"))
+      .as[(Long, Long)].collect().toSet
+    assert(viaPq.groupBy(col("query_id")).count()
+      .filter(col("count") =!= 10).count() == 0, "10 neighbors per query")
+    // the exact re-rank restores most of the raw ranking — the ADC
+    // shortlist only costs recall when the true neighbor falls outside
+    // the rerank window
+    val agree = (gotPq & gotRaw).size.toDouble / gotRaw.size
+    assert(agree >= 0.5, s"IVF-PQ agreement with raw IVF too low: $agree")
+    // returned cosines are exact (same kernel): values for common pairs match
+    val simPq = viaPq.select(col("query_id"), col("neighbor_id"), col("cos_sim"))
+      .as[(Long, Long, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    val simRaw = viaRaw.select(col("query_id"), col("neighbor_id"), col("cos_sim"))
+      .as[(Long, Long, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    (gotPq & gotRaw).foreach { k =>
+      assert(simPq(k) == simRaw(k), s"cosine drift on $k")
+    }
+  }
+
   test("build persists centroids and a cluster-partitioned index covering the corpus") {
     val n = embeddings.count()
     val idx = spark.read.parquet(s"$indexPath/index")
