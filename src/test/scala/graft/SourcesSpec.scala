@@ -88,6 +88,23 @@ class SourcesSpec extends SparkSpec {
     assert(ParquetSource.read(spark, s"$dir/docs").count() == docs.count())
   }
 
+  test("OrcSource: round-trips and prunes partitions like parquet") {
+    val dir = Files.createTempDirectory("graft-orc").toString
+    val docs = Tables(spark, sf).documents
+    sources.OrcSource.writePartitioned(docs, s"$dir/docs", Seq("source"))
+    val sourcesN = docs.select("source").distinct().count()
+    assert(Files.list(Paths.get(s"$dir/docs")).toArray
+      .count(_.toString.contains("source=")) == sourcesN)
+    val back = sources.OrcSource.read(spark, s"$dir/docs")
+    assert(back.count() == docs.count())
+    // same rows, format-agnostic
+    assert(back.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq ==
+      docs.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq)
+    // plain write round-trip
+    sources.OrcSource.write(docs.limit(10), s"$dir/ten")
+    assert(sources.OrcSource.read(spark, s"$dir/ten").count() == 10)
+  }
+
   test("ParquetSource: clustered write co-locates keys (one key → one file)") {
     val dir = Files.createTempDirectory("graft-pq2").toString
     val docs = Tables(spark, sf).documents
