@@ -105,6 +105,69 @@ object Multimodal {
     }
   }
 
+  final case class FrameRow(doc_id: Long, frame_idx: Int, ok: Boolean,
+                            frame: Array[Byte])
+
+  /** Frame-sampling plumbing (the 1→N video shape): the payload viewed
+    * as fixed `frameBytes` frames, every `stride`-th frame emitted as
+    * its own row — downstream per-frame decode/embed then runs as an
+    * ordinary per-row stage over MANY small rows instead of one giant
+    * blob (which is what makes a 2-hour video tractable on a 4 GB
+    * executor). Deterministic: frame boundaries and the stride are
+    * pure functions of the payload, so retries emit identical rows.
+    * Oversize blobs fence to one ok=false row, like extractFeatures.
+    */
+  def sampleFrames(media: Dataset[MediaRow], frameBytes: Int = 256,
+                   stride: Int = 4,
+                   maxBytes: Long = 64L * 1024 * 1024): Dataset[FrameRow] = {
+    import media.sparkSession.implicits._
+    require(frameBytes > 0 && stride > 0, "frameBytes and stride must be > 0")
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        if (r.payload == null || r.meta.n_bytes > maxBytes)
+          Iterator.single(FrameRow(r.doc_id, -1, ok = false, Array.empty))
+        else {
+          val nFrames = (r.payload.length + frameBytes - 1) / frameBytes
+          (0 until nFrames by stride).iterator.map { f =>
+            val from = f * frameBytes
+            val until = math.min(from + frameBytes, r.payload.length)
+            FrameRow(r.doc_id, f, ok = true,
+              java.util.Arrays.copyOfRange(r.payload, from, until))
+          }
+        }
+      }
+    }
+  }
+
+  /** ==== RESIZE STUB ==== downsample plumbing: keep every `factor`-th
+    * payload byte (where a real pipeline decodes, resizes to target
+    * resolution, re-encodes). The meta struct is REBUILT for the new
+    * payload — n_bytes and checksum describe what the row now carries,
+    * never the original (a consumer validating checksums must not see
+    * the pre-resize value). Runs per-partition like the decode stage.
+    */
+  def resize(media: Dataset[MediaRow], factor: Int = 4,
+             maxBytes: Long = 64L * 1024 * 1024): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    require(factor > 0, "factor must be > 0")
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        if (r.payload == null || r.meta.n_bytes > maxBytes)
+          MediaRow(r.doc_id, Array.empty,
+            MediaMeta(r.meta.mime, 0L, 0L))
+        else {
+          val out = new Array[Byte]((r.payload.length + factor - 1) / factor)
+          var i = 0
+          while (i < out.length) { out(i) = r.payload(i * factor); i += 1 }
+          val crc = new java.util.zip.CRC32()
+          crc.update(out)
+          MediaRow(r.doc_id, out,
+            MediaMeta(r.meta.mime, out.length.toLong, crc.getValue))
+        }
+      }
+    }
+  }
+
   /** q50 entry: blob table → batched decode-stub → feature summary.
     * Metadata and feature stats only — the binary column never reaches
     * the output (and is pruned from metadata-only branches).
