@@ -10,11 +10,15 @@ import org.apache.spark.sql.functions._
 /** The end-to-end "prepare a training corpus" job — the composition
   * the individual operators exist for, as ONE declarative plan:
   *
-  *   exact dedup (keep-lowest-doc_id by normalized-text digest) →
-  *   optional MinHash-LSH near-dup drop ([[graft.operators.NearDup]],
-  *   q31's kernel, keep-lowest) → language tag + per-language
-  *   stratified sample → deterministic shard assignment → write
-  *   partitioned by shard, hash-interleaved within.
+  *   optional PII scrub (q52's chain, first — so every later stage
+  *   sees the scrubbed text) → exact dedup (keep-lowest-doc_id by
+  *   normalized-text digest) → optional MinHash-LSH near-dup drop
+  *   ([[graft.operators.NearDup]], q31's kernel, keep-lowest) →
+  *   optional benchmark decontamination (q54's 8-gram-hash kernel) →
+  *   language tag + per-language stratified sample → deterministic
+  *   shard assignment → write partitioned by shard, hash-interleaved
+  *   within. The nearDupDropped/contaminatedDropped stats are each
+  *   stage's own id-set size — a doc in both sets counts in both.
   *
   * Every stage reuses the verified kernel it mirrors (q30's
   * [[graft.functions.TextOps.textDigest]] dedup, q40 langId, q47
@@ -46,15 +50,21 @@ object CorpusPrep {
     *                    [[graft.operators.NearDup]], keep-lowest).
     *                    None skips the stage (and its two shuffles)
     */
+  /** @param scrubPii    scrub emails/phones/IPs from `text` FIRST
+    *                    ([[graft.queries.PrepQ.scrub]], one codegen'd
+    *                    projection) — before dedup, so copies differing
+    *                    only in contact strings collapse together
+    */
   final case class Config(
       langRates: Map[String, Double],
       defaultRate: Double,
       nShards: Int = 8,
-      nearDupMinEst: Option[Double] = None)
+      nearDupMinEst: Option[Double] = None,
+      scrubPii: Boolean = false)
 
   final case class Stats(
       input: Long, afterDedup: Long, afterSample: Long,
-      nearDupDropped: Long = 0L)
+      nearDupDropped: Long = 0L, contaminatedDropped: Long = 0L)
 
   /** Shard-assignment hash. MUST be decorrelated from the sampling
     * hash: Sample gates on md5Lower64(doc_id) & 1023, so deriving the
@@ -91,27 +101,60 @@ object CorpusPrep {
     */
   def dropsOf(docs: DataFrame, cfg: Config): Option[DataFrame] =
     cfg.nearDupMinEst.map(minEst =>
-      graft.operators.NearDup.dropIds(dedupe(docs), minEst))
+      graft.operators.NearDup.dropIds(dedupe(scrubbed(docs, cfg)), minEst))
+
+  /** The scrub stage (when on): q52's codegen'd regex chain over
+    * `text`, FIRST — so dedup digests, shingles and langId all see the
+    * scrubbed form, and copies differing only in contact strings
+    * collapse as duplicates.
+    */
+  private def scrubbed(docs: DataFrame, cfg: Config): DataFrame =
+    if (cfg.scrubPii)
+      docs.withColumn("text", graft.queries.PrepQ.scrub(col("text")))
+    else docs
+
+  /** doc_ids the optional decontamination stage drops: docs sharing
+    * any word 8-gram with `benchmark` — q54's kernel
+    * ([[graft.queries.PrepQ.gramHashes]]), joined on the 64-bit
+    * portable gram hash (benchmark side broadcasts under AQE).
+    */
+  def contaminatedOf(docs: DataFrame, cfg: Config,
+                     benchmark: Option[DataFrame]): Option[DataFrame] =
+    benchmark.map { bench =>
+      val bg = graft.queries.PrepQ.gramHashes(bench)
+        .select(col("gh")).distinct()
+      graft.queries.PrepQ.gramHashes(dedupe(scrubbed(docs, cfg)))
+        .join(bg, Seq("gh"))
+        .select(col("doc_id")).distinct()
+    }
 
   /** The full plan, unwritten: (doc_id, text, …, lang_detected,
     * shard, pos) — pos is the hash-interleave order within the shard.
+    * @param benchmark held-out eval docs (with a `text` column): when
+    *                  given, documents sharing any word 8-gram with
+    *                  them are dropped before sampling
     */
-  def plan(docs: DataFrame, cfg: Config): DataFrame =
-    planWith(docs, cfg, dropsOf(docs, cfg))
+  def plan(docs: DataFrame, cfg: Config,
+           benchmark: Option[DataFrame] = None): DataFrame =
+    planWith(docs, cfg, dropsOf(docs, cfg),
+      contaminatedOf(docs, cfg, benchmark))
 
-  /** Plan with the near-dup drop set supplied by the caller — run()
-    * caches it so the LSH pipeline executes once for the filter AND
-    * the stats count.
+  /** Plan with the drop sets supplied by the caller — run() caches
+    * them so each pipeline executes once for its filter AND its stats
+    * count.
     */
   private def planWith(docs: DataFrame, cfg: Config,
-                       drops: Option[DataFrame]): DataFrame = {
+                       drops: Option[DataFrame],
+                       contaminated: Option[DataFrame]): DataFrame = {
     require(cfg.nShards > 0 && (cfg.nShards & (cfg.nShards - 1)) == 0,
       s"nShards must be a power of two, got ${cfg.nShards}")
-    val deduped0 = dedupe(docs)
-    // near-dup stage: anti-join against the (small — O(near-dups))
-    // drop-id set; AQE broadcasts it while it fits
-    val deduped = drops.fold(deduped0)(d =>
+    val deduped0 = dedupe(scrubbed(docs, cfg))
+    // near-dup + decontamination stages: anti-joins against the
+    // (small — O(drops)) id sets; AQE broadcasts them while they fit
+    val deduped1 = drops.fold(deduped0)(d =>
       deduped0.join(d, Seq("doc_id"), "left_anti"))
+    val deduped = contaminated.fold(deduped1)(c =>
+      deduped1.join(c, Seq("doc_id"), "left_anti"))
     val tagged = deduped.withColumn("lang_detected",
       TextOps.langId(col("text")).getField("lang"))
     val sampled = Sample.stratified(tagged, "doc_id", "lang_detected",
@@ -131,24 +174,28 @@ object CorpusPrep {
     * combined count + distinct-digest aggregate), never a re-run of
     * the sampled/sharded plan.
     */
-  def run(docs: DataFrame, outPath: String, cfg: Config): Stats = {
-    // cache the (small) near-dup drop set: it feeds the anti-join AND
-    // the dropped-count stat — the LSH pipeline itself runs once
+  def run(docs: DataFrame, outPath: String, cfg: Config,
+          benchmark: Option[DataFrame] = None): Stats = {
+    // cache the (small) drop-id sets: each feeds its anti-join AND its
+    // dropped-count stat — the LSH / gram pipelines themselves run once
     val drops = dropsOf(docs, cfg).map(_.cache())
-    val out = planWith(docs, cfg, drops).cache()
+    val contaminated = contaminatedOf(docs, cfg, benchmark).map(_.cache())
+    val out = planWith(docs, cfg, drops, contaminated).cache()
     try {
       out.write.mode(SaveMode.Overwrite)
         .partitionBy("shard")
         .parquet(outPath)
       val afterSample = out.count()
-      val a = docs
+      val a = scrubbed(docs, cfg)
         .select(TextOps.textDigest(col("text")).as("h"))
         .agg(count(lit(1)).as("n"), count_distinct(col("h")).as("nd"))
         .head()
       Stats(a.getLong(0), a.getLong(1), afterSample,
-        nearDupDropped = drops.map(_.count()).getOrElse(0L))
+        nearDupDropped = drops.map(_.count()).getOrElse(0L),
+        contaminatedDropped = contaminated.map(_.count()).getOrElse(0L))
     } finally {
-      out.unpersist(); drops.foreach(_.unpersist()); ()
+      out.unpersist(); drops.foreach(_.unpersist())
+      contaminated.foreach(_.unpersist()); ()
     }
   }
 }

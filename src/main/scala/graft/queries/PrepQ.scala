@@ -192,13 +192,22 @@ object PrepQ {
     * past the broadcast threshold it degrades to a shuffle join on
     * the gram hash, still linear.
     */
+  /** (doc_id, gh) — the 64-bit portable hash of each distinct word
+    * 8-gram per doc: the decontamination join unit, shared by q54 and
+    * the CorpusPrep decontamination stage. A null text yields ZERO
+    * rows (explode of a null array), exactly like the oracle's
+    * unnest(NULL) — do not coalesce here; null-doc verdicts come from
+    * the left join + coalesce downstream.
+    */
+  def gramHashes(df: DataFrame): DataFrame =
+    df.select(col("doc_id"),
+      explode(TextExprs.wordShingles(tokens(normText(col("text"))), 8))
+        .as("gram"))
+      .select(col("doc_id"), TextExprs.md5Lower64(col("gram")).as("gh"))
+
   def q54(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables(s, dir).documents
-    def grams(df: DataFrame): DataFrame =
-      df.select(col("doc_id"),
-        explode(TextExprs.wordShingles(tokens(normText(col("text"))), 8))
-          .as("gram"))
-        .select(col("doc_id"), TextExprs.md5Lower64(col("gram")).as("gh"))
+    def grams(df: DataFrame): DataFrame = gramHashes(df)
     val isBench = pmod(col("doc_id"), lit(100)) === 0
     val bench = grams(docs.filter(isBench)).select(col("gh")).distinct()
     val hits = grams(docs.filter(!isBench))

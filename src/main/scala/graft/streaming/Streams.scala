@@ -296,12 +296,8 @@ object Streams {
                     textCol: String = "text"): DataFrame = {
     import graft.functions.TextOps
     import graft.functions.expressions.TextExprs
-    // null text must get the batch verdict (n_overlap=0), not a null
-    // verdict — coalesce before shingling like q43 does for norms
     def gramHashes(c: org.apache.spark.sql.Column) =
-      transform(
-        TextExprs.wordShingles(
-          TextOps.tokens(TextOps.normText(coalesce(c, lit("")))), 8),
+      transform(TextExprs.wordShingles(TextOps.tokens(TextOps.normText(c)), 8),
         g => TextExprs.md5Lower64(g))
     val benchRow = benchDocs
       .select(explode(gramHashes(col(textCol))).as("gh")).distinct()
@@ -309,8 +305,14 @@ object Streams {
     stream
       .withColumn("_graft_gh", gramHashes(col(textCol)))
       .crossJoin(broadcast(benchRow))
+      // null text → null gram array → null intersect; coalesce AT THE
+      // VERDICT so a null-text doc gets batch q54's 0/0 (where its
+      // zero exploded gram rows fall out of the left join)
       .withColumn("n_overlap",
-        size(array_intersect(col("_graft_gh"), col("bench_gh"))).cast("bigint"))
+        coalesce(
+          size(array_intersect(col("_graft_gh"), col("bench_gh")))
+            .cast("bigint"),
+          lit(0L)))
       .withColumn("contaminated", (col("n_overlap") > 0).cast("bigint"))
       .drop("_graft_gh", "bench_gh")
   }

@@ -63,6 +63,45 @@ class CorpusPrepSpec extends SparkSpec {
       s"stats: $stats2")
   }
 
+  test("scrub + decontamination stages: PII-only variants collapse, benchmark-overlapping docs drop") {
+    import spark.implicits._
+    val story = "the quick brown fox jumps over the lazy dog and then " +
+      "runs far away into the deep green forest tonight again"
+    val leak = "we hold these truths to be self evident that all models " +
+      "are created equal and endowed with certain unalienable benchmarks"
+    val docs = Seq(
+      // identical up to the contact string → scrub makes them EXACT dups
+      (1L, s"$story contact a@x.com", "en", "a", 1L),
+      (2L, s"$story contact b@y.org", "en", "a", 1L),
+      // contains the benchmark text verbatim → contaminated
+      (3L, s"prefix words $leak suffix words", "en", "a", 1L),
+      // clean, unrelated
+      (4L, "completely different content about spark catalyst plans " +
+        "optimizing large distributed analytical queries every day",
+        "en", "a", 1L)).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val bench = Seq((100L, leak)).toDF("doc_id", "text")
+    val out = java.nio.file.Files.createTempDirectory("graft-scrubdecon").toString
+    val cfg = CorpusPrep.Config(langRates = Map.empty, defaultRate = 1.0,
+      nShards = 2, scrubPii = true)
+    val stats = CorpusPrep.run(docs, out, cfg, benchmark = Some(bench))
+    val kept = spark.read.parquet(out)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(kept.keySet == Set(1L, 4L), s"kept: ${kept.keySet}")
+    // the published text is the scrubbed form
+    assert(kept(1L).endsWith("contact [EMAIL]"), kept(1L))
+    assert(stats.input == 4 && stats.afterDedup == 3, s"stats: $stats")
+    assert(stats.contaminatedDropped == 1, s"stats: $stats")
+    assert(stats.afterSample == 2, s"stats: $stats")
+
+    // without the stages: all four docs survive
+    val out2 = java.nio.file.Files.createTempDirectory("graft-scrubdecon2").toString
+    val stats2 = CorpusPrep.run(docs, out2,
+      cfg.copy(scrubPii = false))
+    assert(stats2.afterSample == 4 && stats2.contaminatedDropped == 0,
+      s"stats: $stats2")
+  }
+
   test("run: writes shard-partitioned parquet and reports consistent stage counts") {
     val docs = Tables(spark, sf).documents
     val out = java.nio.file.Files.createTempDirectory("graft-corpus").toString
