@@ -46,7 +46,11 @@ object Multimodal {
       struct(
         lit("text/plain").as("mime"),
         length(encode(txt, "UTF-8")).cast("bigint").as("n_bytes"),
-        xxhash64(txt).as("checksum")).as("meta"))
+        // ONE checksum definition module-wide: xxhash64 (seed 42) of
+        // the PAYLOAD BYTES — resize recomputes the identical function
+        // over its new payload, so "checksum matches payload" holds on
+        // every MediaRow regardless of which stage produced it
+        xxhash64(encode(txt, "UTF-8")).as("checksum")).as("meta"))
   }
 
   /** ==== DECODE STUB ====
@@ -127,7 +131,10 @@ object Multimodal {
         if (r.payload == null || r.meta.n_bytes > maxBytes)
           Iterator.single(FrameRow(r.doc_id, -1, ok = false, Array.empty))
         else {
-          val nFrames = (r.payload.length + frameBytes - 1) / frameBytes
+          // an empty payload is 1 empty frame, not 0 rows — every doc
+          // appears in the output (no silent loss; the module contract)
+          val nFrames = math.max(
+            (r.payload.length + frameBytes - 1) / frameBytes, 1)
           (0 until nFrames by stride).iterator.map { f =>
             val from = f * frameBytes
             val until = math.min(from + frameBytes, r.payload.length)
@@ -142,9 +149,13 @@ object Multimodal {
   /** ==== RESIZE STUB ==== downsample plumbing: keep every `factor`-th
     * payload byte (where a real pipeline decodes, resizes to target
     * resolution, re-encodes). The meta struct is REBUILT for the new
-    * payload — n_bytes and checksum describe what the row now carries,
-    * never the original (a consumer validating checksums must not see
-    * the pre-resize value). Runs per-partition like the decode stage.
+    * payload — n_bytes and checksum (the module-wide xxhash64-of-bytes
+    * definition, identical to blobTable's) describe what the row now
+    * carries, never the original. Rows this stage cannot process
+    * (null payload, over maxBytes) pass through UNCHANGED, so the
+    * downstream decode stage still sees — and fences — the original
+    * failure instead of an ok-looking empty row. Runs per-partition
+    * like the decode stage.
     */
   def resize(media: Dataset[MediaRow], factor: Int = 4,
              maxBytes: Long = 64L * 1024 * 1024): Dataset[MediaRow] = {
@@ -152,21 +163,27 @@ object Multimodal {
     require(factor > 0, "factor must be > 0")
     media.mapPartitions { rows =>
       rows.map { r =>
-        if (r.payload == null || r.meta.n_bytes > maxBytes)
-          MediaRow(r.doc_id, Array.empty,
-            MediaMeta(r.meta.mime, 0L, 0L))
+        if (r.payload == null || r.meta.n_bytes > maxBytes) r
         else {
           val out = new Array[Byte]((r.payload.length + factor - 1) / factor)
           var i = 0
           while (i < out.length) { out(i) = r.payload(i * factor); i += 1 }
-          val crc = new java.util.zip.CRC32()
-          crc.update(out)
           MediaRow(r.doc_id, out,
-            MediaMeta(r.meta.mime, out.length.toLong, crc.getValue))
+            MediaMeta(r.meta.mime, out.length.toLong, payloadChecksum(out)))
         }
       }
     }
   }
+
+  /** The module-wide checksum: xxhash64 (Spark's seed-42 variant) of
+    * the payload bytes — bit-identical to the `xxhash64(binary)`
+    * Column blobTable uses, so a consumer can validate ANY MediaRow
+    * with either form.
+    */
+  private[graft] def payloadChecksum(bytes: Array[Byte]): Long =
+    org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+      bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
+      bytes.length, 42L)
 
   /** q50 entry: blob table → batched decode-stub → feature summary.
     * Metadata and feature stats only — the binary column never reaches

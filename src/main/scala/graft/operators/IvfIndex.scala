@@ -271,6 +271,13 @@ object IvfIndex {
         nprobe = nprobe, topk = topk) < target)
     if (!drifted && !degraded) return None
     val meta = spark.read.parquet(s"$path/meta").head()
+    // a PQ sidecar must survive the rebuild: capture its shape now,
+    // re-train it on the NEW index after the swap (fresh clusters AND
+    // a fresh codebook — appended drift is exactly what both absorb)
+    val pqShape = if (hasPq(spark, path)) {
+      val cb = PqCodec.load(spark, s"$path/pq/codebook")
+      Some((cb.m, cb.ksub))
+    } else None
     val tmp = path + "._graft_retrain"
     val corpus = spark.read.parquet(s"$path/index")
       .select(col("vec_id"), col("embedding"))
@@ -286,6 +293,7 @@ object IvfIndex {
         !fs.rename(new Path(tmp), new Path(path)))
       throw new java.io.IOException(s"retrain publish failed for $path")
     fs.delete(old, true)
+    pqShape.foreach { case (m, ksub) => buildPq(spark, path, m, ksub) }
     Some(info)
   }
 
@@ -313,8 +321,25 @@ object IvfIndex {
       assigned.write.mode(SaveMode.Append)
         .partitionBy("cluster_id")
         .parquet(s"$path/index")
+      // keep the PQ sidecar in lockstep: encode the appended vectors
+      // with the EXISTING codebook (frozen, like the centroids) —
+      // without this, queryPq could never return appended vectors
+      // while query() does
+      if (hasPq(spark, path)) {
+        val cb = PqCodec.load(spark, s"$path/pq/codebook")
+        PqCodec.encode(assigned.select(col("vec_id"), col("embedding")), cb)
+          .join(assigned.select(col("cluster_id"), col("vec_id")), "vec_id")
+          .write.mode(SaveMode.Append)
+          .partitionBy("cluster_id")
+          .parquet(s"$path/pq/codes")
+      }
       n
     } finally { assigned.unpersist(); () }
+  }
+
+  private def hasPq(spark: SparkSession, path: String): Boolean = {
+    val p = new Path(s"$path/pq/codebook")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 
   /** Train a PQ codebook on the indexed corpus and write the PQ
@@ -353,6 +378,8 @@ object IvfIndex {
               nprobe: Int = 8, topk: Int = 10,
               rerank: Int = 40): DataFrame = {
     recoverRetrain(spark, path)
+    require(hasPq(spark, path),
+      s"no PQ sidecar at $path/pq — run IvfIndex.buildPq first")
     val cb = PqCodec.load(spark, s"$path/pq/codebook")
     val centroids = collectCenters(spark.read.parquet(s"$path/centroids"))
     val q = embProjection(queries)
@@ -360,12 +387,15 @@ object IvfIndex {
       .select(col("vec_id").as("query_id"), col("cluster_id"))
     val probedClusters = probes.select(col("cluster_id")).distinct()
       .collect().map(_.getLong(0))
-    val qt = probes.join(PqCodec.distTable(queries, cb), "query_id")
     val codes = spark.read.parquet(s"$path/pq/codes")
       .filter(col("cluster_id").isin(probedClusters.toSeq: _*))
     val wAdc = Window.partitionBy(col("query_id"))
       .orderBy(col("approx_dist"), col("vec_id"))
-    val shortlist = codes.join(broadcast(qt), Seq("cluster_id"))
+    // two separate broadcasts: the (query_id, cluster_id) probe pairs
+    // and the ONE-row-per-query distance table — attaching tbl before
+    // the cluster join would broadcast each m·ksub table nprobe times
+    val shortlist = codes.join(broadcast(probes), Seq("cluster_id"))
+      .join(broadcast(PqCodec.distTable(queries, cb)), Seq("query_id"))
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("approx_dist",
         PqCodec.adcDist(col("codes"), col("tbl")))

@@ -99,10 +99,6 @@ object CorpusPrep {
     * run the two stages over it, or accept paying the minhash pass for
     * exact copies by running dropIds on the raw corpus.
     */
-  def dropsOf(docs: DataFrame, cfg: Config): Option[DataFrame] =
-    cfg.nearDupMinEst.map(minEst =>
-      graft.operators.NearDup.dropIds(dedupe(scrubbed(docs, cfg)), minEst))
-
   /** The scrub stage (when on): q52's codegen'd regex chain over
     * `text`, FIRST — so dedup digests, shingles and langId all see the
     * scrubbed form, and copies differing only in contact strings
@@ -113,26 +109,42 @@ object CorpusPrep {
       docs.withColumn("text", graft.queries.PrepQ.scrub(col("text")))
     else docs
 
+  /** The shared base lineage every downstream stage consumes:
+    * scrub (optional) → exact dedup. ONE definition — but note each
+    * consuming ACTION re-executes it unless the caller materializes
+    * it (up to three executions in run() with both optional stages
+    * on: the near-dup drop set, the contamination drop set, and the
+    * main write). At 100 TB, pre-materialize the deduped snapshot and
+    * feed it back through run() with the dedup already applied.
+    */
+  private def base(docs: DataFrame, cfg: Config): DataFrame =
+    dedupe(scrubbed(docs, cfg))
+
+  def dropsOf(docs: DataFrame, cfg: Config): Option[DataFrame] =
+    cfg.nearDupMinEst.map(minEst =>
+      graft.operators.NearDup.dropIds(base(docs, cfg), minEst))
+
   /** doc_ids the optional decontamination stage drops: docs sharing
-    * any word 8-gram with `benchmark` — q54's kernel
-    * ([[graft.queries.PrepQ.gramHashes]]), joined on the 64-bit
-    * portable gram hash (benchmark side broadcasts under AQE).
+    * any word 8-gram with `benchmark` — q54's kernel, joined on the
+    * 64-bit portable gram hash (benchmark side broadcasts under AQE).
+    * When scrubPii is on, the benchmark text is scrubbed with the
+    * SAME chain as the corpus: contamination spanning a PII token
+    * must still match after both sides are rewritten.
     */
   def contaminatedOf(docs: DataFrame, cfg: Config,
                      benchmark: Option[DataFrame]): Option[DataFrame] =
     benchmark.map { bench =>
-      val bg = graft.queries.PrepQ.gramHashes(bench)
-        .select(col("gh")).distinct()
-      graft.queries.PrepQ.gramHashes(dedupe(scrubbed(docs, cfg)))
+      val bg = graft.queries.PrepQ.benchGramSet(scrubbed(bench, cfg))
+      graft.queries.PrepQ.gramHashes(base(docs, cfg))
         .join(bg, Seq("gh"))
         .select(col("doc_id")).distinct()
     }
 
   /** The full plan, unwritten: (doc_id, text, …, lang_detected,
     * shard, pos) — pos is the hash-interleave order within the shard.
-    * @param benchmark held-out eval docs (with a `text` column): when
-    *                  given, documents sharing any word 8-gram with
-    *                  them are dropped before sampling
+    * @param benchmark held-out eval docs (any frame with a `text`
+    *                  column): when given, documents sharing any word
+    *                  8-gram with them are dropped before sampling
     */
   def plan(docs: DataFrame, cfg: Config,
            benchmark: Option[DataFrame] = None): DataFrame =
@@ -148,7 +160,7 @@ object CorpusPrep {
                        contaminated: Option[DataFrame]): DataFrame = {
     require(cfg.nShards > 0 && (cfg.nShards & (cfg.nShards - 1)) == 0,
       s"nShards must be a power of two, got ${cfg.nShards}")
-    val deduped0 = dedupe(scrubbed(docs, cfg))
+    val deduped0 = base(docs, cfg)
     // near-dup + decontamination stages: anti-joins against the
     // (small — O(drops)) id sets; AQE broadcasts them while they fit
     val deduped1 = drops.fold(deduped0)(d =>

@@ -205,12 +205,21 @@ object PrepQ {
         .as("gram"))
       .select(col("doc_id"), TextExprs.md5Lower64(col("gram")).as("gh"))
 
+  /** The distinct gram-hash set of a benchmark suite — needs only a
+    * `text` column (no doc_id), since the contamination join never
+    * cares WHICH benchmark item matched.
+    */
+  def benchGramSet(df: DataFrame): DataFrame =
+    df.select(
+      explode(TextExprs.wordShingles(tokens(normText(col("text"))), 8))
+        .as("gram"))
+      .select(TextExprs.md5Lower64(col("gram")).as("gh")).distinct()
+
   def q54(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables(s, dir).documents
-    def grams(df: DataFrame): DataFrame = gramHashes(df)
     val isBench = pmod(col("doc_id"), lit(100)) === 0
-    val bench = grams(docs.filter(isBench)).select(col("gh")).distinct()
-    val hits = grams(docs.filter(!isBench))
+    val bench = benchGramSet(docs.filter(isBench))
+    val hits = gramHashes(docs.filter(!isBench))
       .join(bench, Seq("gh"))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_overlap"))
     docs.filter(!isBench).select(col("doc_id"))

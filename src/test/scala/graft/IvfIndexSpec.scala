@@ -54,6 +54,36 @@ class IvfIndexSpec extends SparkSpec {
     }
   }
 
+  test("IVF-PQ lifecycle: append keeps the code sidecar in lockstep; retrain rebuilds it") {
+    val p = java.nio.file.Files.createTempDirectory("graft-ivfpq2").toString
+    val head = embeddings.filter(col("vec_id") < 350)
+    val tail = embeddings.filter(col("vec_id") >= 350)
+    IvfIndex.build(spark, head, p, k = 8, initRounds = 1, lloydIters = 1)
+    IvfIndex.buildPq(spark, p, m = 8, ksub = 16, iters = 1, sampleN = 300)
+    IvfIndex.append(spark, p, tail)
+    // every appended vector got codes with the frozen codebook
+    assert(spark.read.parquet(s"$p/pq/codes").count() == embeddings.count(),
+      "append must encode new vectors into the sidecar")
+    // and queryPq CAN surface appended vectors (generous rerank)
+    val appended = IvfIndex.queryPq(spark, p,
+      embeddings.filter(col("vec_id") < 3), nprobe = 8, topk = 10,
+      rerank = 2000)
+      .filter(col("neighbor_id") >= 350).count()
+    val viaRaw = IvfIndex.query(spark, p,
+      embeddings.filter(col("vec_id") < 3), nprobe = 8, topk = 10)
+      .filter(col("neighbor_id") >= 350).count()
+    assert(appended == viaRaw,
+      s"appended vectors reachable via PQ ($appended) must match raw ($viaRaw)")
+
+    // retrain (volume-triggered) must leave a WORKING sidecar behind
+    assert(IvfIndex.retrainIfNeeded(spark, p, threshold = 0.25).isDefined)
+    assert(spark.read.parquet(s"$p/pq/codes").count() == embeddings.count(),
+      "retrain must rebuild the sidecar over the full corpus")
+    assert(IvfIndex.queryPq(spark, p,
+      embeddings.filter(col("vec_id") < 3), nprobe = 8, topk = 10)
+      .count() == 30)
+  }
+
   test("build persists centroids and a cluster-partitioned index covering the corpus") {
     val n = embeddings.count()
     val idx = spark.read.parquet(s"$indexPath/index")

@@ -84,9 +84,9 @@ class MultimodalSpec extends SparkSpec {
     assert(out.payload.length == 25)
     assert(out.payload.toSeq == (0 until 100 by 4).map(_.toByte))
     assert(out.meta.n_bytes == 25L)
-    val crc = new java.util.zip.CRC32()
-    crc.update(out.payload)
-    assert(out.meta.checksum == crc.getValue, "checksum must match the resized bytes")
+    // the module-wide definition: xxhash64-of-bytes, same as blobTable
+    assert(out.meta.checksum == Multimodal.payloadChecksum(out.payload),
+      "checksum must match the resized bytes")
     // resized output feeds the decode stage unchanged (same row type)
     val feats = Multimodal.extractFeatures(Multimodal.resize(media, 4)).collect()
     assert(feats.length == 1 && feats(0).ok)
