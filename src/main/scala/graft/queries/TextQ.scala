@@ -435,6 +435,65 @@ object TextQ {
        |        / CAST(COUNT(*) AS DOUBLE)""")} AS dup_ratio
        |FROM documents GROUP BY source ORDER BY source""".stripMargin
 
+  /** q57: per-document distinctive terms by TF-IDF — the top-3 tokens
+    * per doc ranked by tf · idf. The idf here is the RATIONAL form
+    * (N+1)/(df+1) rather than its logarithm: log/ln are only
+    * correctly-rounded to within 1 ulp and the two engines' libms may
+    * legitimately disagree on the last bit, which the exact string
+    * comparison would flag — the rational form is a single IEEE
+    * division (exactly rounded, engine-identical) and is order-
+    * isomorphic to log-idf for ranking within a fixed corpus. A
+    * production scorer wanting the log scale applies it AFTER this
+    * operator.
+    *
+    * Scale shape: one (doc, token) count aggregation, one token df
+    * aggregation (both map-side partial), a broadcast-sized (vocab)
+    * join, and a per-doc top-3 window.
+    */
+  def q57(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    val toks = t.documents
+      .select(col("doc_id"),
+        explode(tokens(normText(col("text")))).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val tf = toks.groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val n = t.documents.count()
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("tok"))
+    tf.join(df, "tok")
+      .withColumn("score",
+        col("tf").cast("double") * (lit((n + 1).toDouble) /
+          (col("df").cast("double") + 1.0)))
+      .withColumn("rk", row_number().over(w).cast("bigint"))
+      .filter(col("rk") <= 3)
+      .select(col("doc_id"), col("rk"), col("tok"),
+        Q.round4(col("score")).as("tfidf4"))
+      .orderBy(col("doc_id"), col("rk"))
+  }
+
+  val q57Sql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(regexp_split_to_array(
+       |    trim(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))), '\\s+')) AS tok
+       |  FROM documents),
+       |tf AS (
+       |  SELECT doc_id, tok, COUNT(*) AS tf FROM toks
+       |  WHERE length(tok) > 0 GROUP BY doc_id, tok),
+       |df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+       |n AS (SELECT COUNT(*) AS n FROM documents),
+       |scored AS (
+       |  SELECT doc_id, tok,
+       |    CAST(tf AS DOUBLE) * ((CAST(n AS DOUBLE) + 1.0) / (CAST(df AS DOUBLE) + 1.0)) AS score
+       |  FROM tf JOIN df USING (tok) CROSS JOIN n),
+       |ranked AS (
+       |  SELECT doc_id, tok, score, CAST(ROW_NUMBER() OVER (
+       |    PARTITION BY doc_id ORDER BY score DESC, tok) AS BIGINT) AS rk
+       |  FROM scored)
+       |SELECT doc_id, rk, tok, ${Q.round4Sql("score")} AS tfidf4
+       |FROM ranked WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin
+
   val entries: Seq[Entry] = Seq(
     Entry("q30_dedup_exact", q30, Some(q30Sql)),
     Entry("q31_dedup_minhash", q31, Some(q31Sql)),
@@ -445,5 +504,6 @@ object TextQ {
     Entry("q42_token_count", q42, Some(q42Sql)),
     Entry("q43_fingerprint", q43, Some(q43Sql)),
     Entry("q44_text_stats", q44, Some(q44Sql)),
+    Entry("q57_tfidf_terms", q57, Some(q57Sql)),
   )
 }
