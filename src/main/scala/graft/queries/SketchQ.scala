@@ -353,6 +353,59 @@ object SketchQ {
       |  FROM documents)
       |WHERE rk <= 50 ORDER BY lang, rk""".stripMargin
 
+  /** q58: sequence packing — assign each document a (pack, offset)
+    * inside its training shard under a fixed token budget per packed
+    * sequence: documents are laid out in the shard's hash-interleave
+    * order (q48's), token counts accumulate, and the concatenated
+    * stream is cut every `budget` tokens (the GPT-style "concat and
+    * chunk" layout). pack_id/pack_offset are where the doc STARTS;
+    * a doc may span into the next pack — the trainer's reader handles
+    * the spill, this operator fixes the deterministic layout.
+    *
+    * Scale shape: identical to q48 — one hash-partitioned shuffle on
+    * the shard + a within-shard running sum (ROWS frame); every value
+    * is a pure function of the data, so re-runs lay out byte-identical
+    * epochs.
+    */
+  def q58(s: SparkSession, dir: String, budget: Int = 512): DataFrame = {
+    import graft.functions.TextOps
+    val t = Tables(s, dir)
+    val h = md5Lower64(col("doc_id").cast("string"))
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("ord"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t.documents
+      .select(col("doc_id"),
+        size(TextOps.tokens(col("text"))).cast("bigint").as("n_tok"),
+        h.bitwiseAND(lit(7L)).as("shard"),
+        call_function("shiftrightunsigned", h, lit(1)).as("ord"))
+      .withColumn("cum", sum(col("n_tok")).over(w))
+      .select(col("doc_id"), col("shard"), col("n_tok"),
+        floor((col("cum") - col("n_tok")).cast("double") / budget)
+          .cast("bigint").as("pack_id"),
+        pmod(col("cum") - col("n_tok"), lit(budget.toLong)).as("pack_offset"))
+      .orderBy(col("shard"), col("pack_id"), col("pack_offset"), col("doc_id"))
+  }
+
+  val q58Sql: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tok,
+      |    md5_number_lower(coalesce(CAST(doc_id AS VARCHAR), '')) AS h
+      |  FROM documents),
+      |o AS (
+      |  SELECT doc_id, n_tok, CAST(h & 7 AS BIGINT) AS shard, h >> 1 AS ord
+      |  FROM t),
+      |c AS (
+      |  SELECT doc_id, n_tok, shard,
+      |    SUM(n_tok) OVER (PARTITION BY shard ORDER BY ord, doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |  FROM o)
+      |SELECT doc_id, shard, n_tok,
+      |  CAST(FLOOR(CAST(cum - n_tok AS DOUBLE) / 512) AS BIGINT) AS pack_id,
+      |  CAST((cum - n_tok) % 512 AS BIGINT) AS pack_offset
+      |FROM c ORDER BY shard, pack_id, pack_offset, doc_id""".stripMargin
+
   val entries: Seq[Entry] = Seq(
     Entry("q45_hll_distinct", q45, Some(q45Sql)),
     Entry("q46_sample_quantile", q46, Some(q46Sql)),
@@ -361,5 +414,6 @@ object SketchQ {
     Entry("q49_freq_topk_cm", q49, Some(q49Sql)),
     Entry("q51_repetition", q51, Some(q51Sql)),
     Entry("q55_bottomk_sample", (s, d) => q55(s, d), Some(q55Sql)),
+    Entry("q58_sequence_pack", (s, d) => q58(s, d), Some(q58Sql)),
   )
 }
