@@ -116,6 +116,28 @@ class PlanShapeSpec extends SparkSpec {
       s"q33 lost exchange reuse across the candidate diamond:\n$p33")
   }
 
+  test("q54: contamination join runs on the gram HASH — no gram strings or text reach an exchange") {
+    val plan = finalPlanOf(graft.queries.PrepQ.q54(spark, sf))
+    // the join key must be the 64-bit md5-lower hash column, and the
+    // benchmark side must have become a broadcast at this scale
+    assert(plan.contains("md5lower64"), s"gram hash missing from plan:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"benchmark gram set not broadcast:\n$plan")
+    // no text/gram payload in any exchange's output schema
+    val exchangeLines = plan.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(exchangeLines.forall(l => !l.contains("text") && !l.contains("gram#")),
+      s"an exchange carries text/gram payload:\n${exchangeLines.mkString("\n")}")
+  }
+
+  test("q58: sequence packing shuffles exactly twice, like shard assignment") {
+    val plan = planOf(graft.queries.SketchQ.q58(spark, sf))
+    val exchanges = plan.linesIterator.count(_.trim.startsWith("+- Exchange")) +
+      plan.linesIterator.count(_.trim.startsWith("Exchange"))
+    assert(exchanges == 2,
+      s"q58 expected exactly 2 exchanges (shard hash + output sort), found $exchanges:\n$plan")
+  }
+
   test("no query plans a cartesian product or nested-loop join (except intentional broadcasts)") {
     // q34: tiny broadcast query set x corpus — the intended brute-force
     // baseline shape (q37 no longer needs the exemption: its k-means
