@@ -487,6 +487,87 @@ object CoreB {
       |    RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW) AS DOUBLE) AS trailing30_total
       |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin
 
+  /** q28: moment statistics — per-returnflag sample stddev/variance of
+    * quantity and the price↔discount correlation. NOT the builtin
+    * stddev/corr: Spark's streaming central-moment merge is partition-
+    * order dependent in its float error, so two runs of the same query
+    * can differ in late digits (and DuckDB's algorithm differs again).
+    * Instead the raw power sums are accumulated in EXACT decimal
+    * (associative — any partition order yields the identical sums) and
+    * the closed-form moments are computed from them in one final
+    * double step: deterministic, engine-identical, still one scan and
+    * one map-side-combined aggregation.
+    */
+  def q28(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    // decimal(27,8): quantity < 10^2 with ≤ 2 decimals, price < 10^5
+    // with 2 decimals → squares/products have ≤ 4 decimals and fit
+    def d(c: org.apache.spark.sql.Column) = c.cast("decimal(27,8)")
+    val q = col("l_quantity")
+    val p = col("l_extendedprice")
+    val disc = col("l_discount")
+    t.lineitem
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(d(q)).as("sq"), sum(d(q) * d(q)).as("sqq"),
+        sum(d(p)).as("sp"), sum(d(p) * d(p)).as("spp"),
+        sum(d(disc)).as("sd"), sum(d(disc) * d(disc)).as("sdd"),
+        sum(d(p) * d(disc)).as("spd"))
+      // the SUMS are exact decimal (order-independent); every moment
+      // formula then runs in DOUBLE on the decimal→double casts — NOT
+      // in decimal, whose division scale/rounding rules differ between
+      // engines. Identical inputs + identical IEEE op sequence =
+      // identical doubles.
+      .select(col("l_returnflag"), col("n"),
+        col("sq").cast("double").as("dsq"),
+        col("sqq").cast("double").as("dsqq"),
+        col("sp").cast("double").as("dsp"),
+        col("spp").cast("double").as("dspp"),
+        col("sd").cast("double").as("dsd"),
+        col("sdd").cast("double").as("dsdd"),
+        col("spd").cast("double").as("dspd"),
+        col("n").cast("double").as("dn"))
+      .select(col("l_returnflag"), col("n"),
+        Q.round4((col("dsqq") - col("dsq") * col("dsq") / col("dn")) /
+          (col("dn") - 1.0)).as("var_qty4"),
+        Q.round4(sqrt((col("dsqq") - col("dsq") * col("dsq") / col("dn")) /
+          (col("dn") - 1.0))).as("std_qty4"),
+        Q.round4((col("dspd") - col("dsp") * col("dsd") / col("dn")) /
+          (sqrt(col("dspp") - col("dsp") * col("dsp") / col("dn")) *
+            sqrt(col("dsdd") - col("dsd") * col("dsd") / col("dn"))))
+          .as("corr_price_disc4"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val q28Sql: String = {
+    val r4 = Q.round4Sql _
+    s"""WITH s AS (
+       |  SELECT l_returnflag, COUNT(*) AS n,
+       |    SUM(CAST(l_quantity AS DECIMAL(27,8))) AS sq,
+       |    SUM(CAST(l_quantity AS DECIMAL(27,8)) * CAST(l_quantity AS DECIMAL(27,8))) AS sqq,
+       |    SUM(CAST(l_extendedprice AS DECIMAL(27,8))) AS sp,
+       |    SUM(CAST(l_extendedprice AS DECIMAL(27,8)) * CAST(l_extendedprice AS DECIMAL(27,8))) AS spp,
+       |    SUM(CAST(l_discount AS DECIMAL(27,8))) AS sd,
+       |    SUM(CAST(l_discount AS DECIMAL(27,8)) * CAST(l_discount AS DECIMAL(27,8))) AS sdd,
+       |    SUM(CAST(l_extendedprice AS DECIMAL(27,8)) * CAST(l_discount AS DECIMAL(27,8))) AS spd
+       |  FROM lineitem GROUP BY l_returnflag),
+       |d AS (
+       |  SELECT l_returnflag, n,
+       |    CAST(sq AS DOUBLE) AS dsq, CAST(sqq AS DOUBLE) AS dsqq,
+       |    CAST(sp AS DOUBLE) AS dsp, CAST(spp AS DOUBLE) AS dspp,
+       |    CAST(sd AS DOUBLE) AS dsd, CAST(sdd AS DOUBLE) AS dsdd,
+       |    CAST(spd AS DOUBLE) AS dspd, CAST(n AS DOUBLE) AS dn
+       |  FROM s)
+       |SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+       |  ${r4("(dsqq - dsq * dsq / dn) / (dn - 1.0)")} AS var_qty4,
+       |  ${r4("sqrt((dsqq - dsq * dsq / dn) / (dn - 1.0))")} AS std_qty4,
+       |  ${r4("""(dspd - dsp * dsd / dn) /
+       |    (sqrt(dspp - dsp * dsp / dn) * sqrt(dsdd - dsd * dsd / dn))""")}
+       |    AS corr_price_disc4
+       |FROM d ORDER BY l_returnflag""".stripMargin
+  }
+
   val entries: Seq[Entry] = Seq(
     Entry("q08_union_dedup", q08, Some(q08Sql)),
     Entry("q09_pivot", q09, Some(q09Sql)),
@@ -508,5 +589,6 @@ object CoreB {
     Entry("q25_scd_latest", q25, Some(q25Sql)),
     Entry("q26_intersect_except", q26, Some(q26Sql)),
     Entry("q27_range_frame", q27, Some(q27Sql)),
+    Entry("q28_stats_agg", q28, Some(q28Sql)),
   )
 }
