@@ -528,15 +528,26 @@ object CoreB {
         col("sdd").cast("double").as("dsdd"),
         col("spd").cast("double").as("dspd"),
         col("n").cast("double").as("dn"))
-      .select(col("l_returnflag"), col("n"),
-        Q.round4((col("dsqq") - col("dsq") * col("dsq") / col("dn")) /
-          (col("dn") - 1.0)).as("var_qty4"),
-        Q.round4(sqrt((col("dsqq") - col("dsq") * col("dsq") / col("dn")) /
-          (col("dn") - 1.0))).as("std_qty4"),
-        Q.round4((col("dspd") - col("dsp") * col("dsd") / col("dn")) /
-          (sqrt(col("dspp") - col("dsp") * col("dsp") / col("dn")) *
-            sqrt(col("dsdd") - col("dsd") * col("dsd") / col("dn"))))
-          .as("corr_price_disc4"))
+      .select(Seq(col("l_returnflag"), col("n")) ++ {
+        // degenerate-group guards, mirrored in the oracle: a 1-row
+        // group gets NULL (not NaN-vs-error divergence), sums-of-
+        // squares are floored at 0 before sqrt (float cancellation can
+        // dip epsilon-negative — Spark would NaN, DuckDB would ABORT),
+        // and a zero corr denominator gets NULL (Spark Inf vs DuckDB
+        // NULL otherwise)
+        val ssq = greatest(col("dsqq") - col("dsq") * col("dsq") / col("dn"), lit(0.0))
+        val ssp = greatest(col("dspp") - col("dsp") * col("dsp") / col("dn"), lit(0.0))
+        val ssd = greatest(col("dsdd") - col("dsd") * col("dsd") / col("dn"), lit(0.0))
+        val spd0 = col("dspd") - col("dsp") * col("dsd") / col("dn")
+        val denom = sqrt(ssp) * sqrt(ssd)
+        Seq(
+          Q.round4(when(col("dn") > 1.0, ssq / (col("dn") - 1.0)))
+            .as("var_qty4"),
+          Q.round4(when(col("dn") > 1.0, sqrt(ssq / (col("dn") - 1.0))))
+            .as("std_qty4"),
+          Q.round4(when(col("dn") > 1.0 && denom > 0.0, spd0 / denom))
+            .as("corr_price_disc4"))
+      }: _*)
       .orderBy(col("l_returnflag"))
   }
 
@@ -560,10 +571,14 @@ object CoreB {
        |    CAST(spd AS DOUBLE) AS dspd, CAST(n AS DOUBLE) AS dn
        |  FROM s)
        |SELECT l_returnflag, CAST(n AS BIGINT) AS n,
-       |  ${r4("(dsqq - dsq * dsq / dn) / (dn - 1.0)")} AS var_qty4,
-       |  ${r4("sqrt((dsqq - dsq * dsq / dn) / (dn - 1.0))")} AS std_qty4,
-       |  ${r4("""(dspd - dsp * dsd / dn) /
-       |    (sqrt(dspp - dsp * dsp / dn) * sqrt(dsdd - dsd * dsd / dn))""")}
+       |  ${r4("""CASE WHEN dn > 1.0
+       |    THEN GREATEST(dsqq - dsq * dsq / dn, 0.0) / (dn - 1.0) END""")} AS var_qty4,
+       |  ${r4("""CASE WHEN dn > 1.0
+       |    THEN sqrt(GREATEST(dsqq - dsq * dsq / dn, 0.0) / (dn - 1.0)) END""")} AS std_qty4,
+       |  ${r4("""CASE WHEN dn > 1.0 AND
+       |      sqrt(GREATEST(dspp - dsp * dsp / dn, 0.0)) * sqrt(GREATEST(dsdd - dsd * dsd / dn, 0.0)) > 0.0
+       |    THEN (dspd - dsp * dsd / dn) /
+       |      (sqrt(GREATEST(dspp - dsp * dsp / dn, 0.0)) * sqrt(GREATEST(dsdd - dsd * dsd / dn, 0.0))) END""")}
        |    AS corr_price_disc4
        |FROM d ORDER BY l_returnflag""".stripMargin
   }

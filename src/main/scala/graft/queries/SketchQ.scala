@@ -367,7 +367,12 @@ object SketchQ {
     * is a pure function of the data, so re-runs lay out byte-identical
     * epochs.
     */
-  def q58(s: SparkSession, dir: String, budget: Int = 512): DataFrame = {
+  /** Token budget the registered q58 Entry AND its oracle both use —
+    * callers picking another budget leave the paired q58Sql behind.
+    */
+  val PackBudget = 512
+
+  def q58(s: SparkSession, dir: String, budget: Int = PackBudget): DataFrame = {
     import graft.functions.TextOps
     val t = Tables(s, dir)
     val h = md5Lower64(col("doc_id").cast("string"))
@@ -388,9 +393,9 @@ object SketchQ {
   }
 
   val q58Sql: String =
-    """WITH t AS (
+    s"""WITH t AS (
       |  SELECT doc_id,
-      |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tok,
+      |    CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tok,
       |    md5_number_lower(coalesce(CAST(doc_id AS VARCHAR), '')) AS h
       |  FROM documents),
       |o AS (
@@ -402,8 +407,8 @@ object SketchQ {
       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
       |  FROM o)
       |SELECT doc_id, shard, n_tok,
-      |  CAST(FLOOR(CAST(cum - n_tok AS DOUBLE) / 512) AS BIGINT) AS pack_id,
-      |  CAST((cum - n_tok) % 512 AS BIGINT) AS pack_offset
+      |  CAST(FLOOR(CAST(cum - n_tok AS DOUBLE) / $PackBudget) AS BIGINT) AS pack_id,
+      |  CAST((cum - n_tok) % $PackBudget AS BIGINT) AS pack_offset
       |FROM c ORDER BY shard, pack_id, pack_offset, doc_id""".stripMargin
 
   val entries: Seq[Entry] = Seq(

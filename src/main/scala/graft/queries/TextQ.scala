@@ -435,20 +435,23 @@ object TextQ {
        |        / CAST(COUNT(*) AS DOUBLE)""")} AS dup_ratio
        |FROM documents GROUP BY source ORDER BY source""".stripMargin
 
-  /** q57: per-document distinctive terms by TF-IDF — the top-3 tokens
-    * per doc ranked by tf · idf. The idf here is the RATIONAL form
-    * (N+1)/(df+1) rather than its logarithm: log/ln are only
-    * correctly-rounded to within 1 ulp and the two engines' libms may
-    * legitimately disagree on the last bit, which the exact string
-    * comparison would flag — the rational form is a single IEEE
-    * division (exactly rounded, engine-identical) and is order-
-    * isomorphic to log-idf for ranking within a fixed corpus. A
-    * production scorer wanting the log scale applies it AFTER this
-    * operator.
+  /** q57: per-document distinctive terms — the top-3 tokens per doc by
+    * the TF-IDF-FAMILY score tf · (N+1)/(df+1) (rational idf).
+    *
+    * This is deliberately NOT log-idf TF-IDF, and the two can rank
+    * differently (the log is a monotone transform of the idf FACTOR,
+    * not of the tf·idf product): the rational form is chosen because
+    * log/ln are only correctly-rounded to ~1 ulp and the engines'
+    * libms may disagree in the last bit, which the exact string-
+    * compare oracle would flag — a single IEEE division is exactly
+    * rounded and engine-identical. Same inputs (tf, df, N) as the log
+    * variant; a consumer needing the classic ranking recomputes
+    * tf·ln((N+1)/(df+1)) from the df column of the tf/df aggregates.
     *
     * Scale shape: one (doc, token) count aggregation, one token df
     * aggregation (both map-side partial), a broadcast-sized (vocab)
-    * join, and a per-doc top-3 window.
+    * join, a 1-row corpus-count broadcast (lazy — no driver-side
+    * action at plan-construction time), and a per-doc top-3 window.
     */
   def q57(s: SparkSession, dir: String): DataFrame = {
     val t = Tables(s, dir)
@@ -459,12 +462,14 @@ object TextQ {
     val tf = toks.groupBy(col("doc_id"), col("tok"))
       .agg(count(lit(1)).as("tf"))
     val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-    val n = t.documents.count()
+    val nDf = t.documents.agg(
+      count(lit(1)).cast("double").as("dn"))
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("score").desc, col("tok"))
     tf.join(df, "tok")
+      .crossJoin(broadcast(nDf))
       .withColumn("score",
-        col("tf").cast("double") * (lit((n + 1).toDouble) /
+        col("tf").cast("double") * ((col("dn") + 1.0) /
           (col("df").cast("double") + 1.0)))
       .withColumn("rk", row_number().over(w).cast("bigint"))
       .filter(col("rk") <= 3)

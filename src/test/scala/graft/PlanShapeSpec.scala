@@ -123,11 +123,15 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("md5lower64"), s"gram hash missing from plan:\n$plan")
     assert(plan.contains("BroadcastHashJoin"),
       s"benchmark gram set not broadcast:\n$plan")
-    // no text/gram payload in any exchange's output schema
-    val exchangeLines = plan.linesIterator
-      .filter(_.contains("Exchange hashpartitioning")).toSeq
-    assert(exchangeLines.forall(l => !l.contains("text") && !l.contains("gram#")),
-      s"an exchange carries text/gram payload:\n${exchangeLines.mkString("\n")}")
+    // the contamination join's keys are the HASH column, never the
+    // gram string (exchange lines print only partitioning expressions,
+    // so the join condition is where payload-vs-hash is visible)
+    val joinLines = plan.linesIterator
+      .filter(_.contains("BroadcastHashJoin")).toSeq
+    assert(joinLines.exists(_.contains("gh#")),
+      s"contamination join not keyed on the gram hash:\n${joinLines.mkString("\n")}")
+    assert(joinLines.forall(!_.contains("gram#")),
+      s"contamination join keyed on gram strings:\n${joinLines.mkString("\n")}")
   }
 
   test("q58: sequence packing shuffles exactly twice, like shard assignment") {
@@ -141,8 +145,10 @@ class PlanShapeSpec extends SparkSpec {
   test("no query plans a cartesian product or nested-loop join (except intentional broadcasts)") {
     // q34: tiny broadcast query set x corpus — the intended brute-force
     // baseline shape (q37 no longer needs the exemption: its k-means
-    // phase is shuffle-free and its probe join is an equi-join)
-    val exempt = Set("q34_embed_cosine_topk")
+    // phase is shuffle-free and its probe join is an equi-join);
+    // q57: a ONE-ROW broadcast corpus-count attaches via cross join
+    // (the lazy alternative to a driver-side count() action)
+    val exempt = Set("q34_embed_cosine_topk", "q57_tfidf_terms")
     SparkEntry.all.filterNot(e => exempt(e.name)).foreach { e =>
       val plan = e.run(spark, sf).queryExecution.sparkPlan.toString
       assert(!plan.contains("CartesianProduct"),
