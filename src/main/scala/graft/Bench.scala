@@ -1,9 +1,25 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: every registered query at SPARK_GRAFT_SF_DIR, one JSON line.
+  *
+  * Methodology (round 5): each query is measured REPS (3) times, with the
+  * reps INTERLEAVED across queries — rep 1 of every query, then rep 2 of
+  * every query, then rep 3 — and the per-query number reported is the
+  * MEDIAN of its reps. Rationale: a single cold sample taken in sorted
+  * order lets one GC pause / JIT recompilation own a query (round 4's
+  * driver artifact showed 7 plan-pinned trivial queries at 2.5-6x their
+  * round-3 time while the same-commit local run had them at 0.3-1.6 s);
+  * interleaving spreads any transient machine churn across ALL queries
+  * instead of whichever one was scheduled during the spike, and the
+  * median of 3 rejects a single outlier rep entirely. min/max maps are
+  * emitted alongside so the spread itself is visible in the artifact.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
     val spark = EngineConf(
       appName = "graft-bench",
       master = Some(s"local[$cpus]"),
@@ -28,21 +44,37 @@ object Bench {
         .foreach(q => SparkEntry.queries(q)(spark, sfDir).count())
     } catch { case _: Throwable => () }
     val warmupSec = (System.nanoTime() - wu0) / 1e9
-    // a failed query must not report its (tiny) time-to-failure as a
-    // benchmark result: -1 marks it unmistakably in the JSON
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    // samples(name) = seconds per rep; a failed rep records -1 and the
+    // query's reported time becomes -1 (a failure must never report its
+    // tiny time-to-failure as a benchmark result)
+    val samples = scala.collection.mutable.Map(names.map(_ -> Vector.empty[Double]): _*)
+    for (_ <- 1 to reps; name <- names) {
       val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true }
+      val ok = try { SparkEntry.queries(name)(spark, sfDir).count(); true }
                catch { case _: Throwable => false }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
-    }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+      val sec = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+      samples(name) = samples(name) :+ sec
+    }
+    def median(xs: Vector[Double]): Double = {
+      if (xs.exists(_ < 0)) -1.0
+      else {
+        val s = xs.sorted
+        val n = s.length
+        if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
+      }
+    }
+    val med = names.map(n => n -> median(samples(n))).toMap
+    def jmap(f: String => Double): String =
+      names.map(n => s"\"" + n + "\":" + f(n)).mkString("{", ",", "}")
+    val qs = jmap(med)
+    val qsMin = jmap(n => if (med(n) < 0) -1.0 else samples(n).min)
+    val qsMax = jmap(n => if (med(n) < 0) -1.0 else samples(n).max)
     // failures are flagged, never summed (a -1 sentinel must not make
     // the headline total look faster)
-    val total = results.values.filter(_ >= 0).sum
-    val failed = results.values.count(_ < 0)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"warmup_sec":$warmupSec,"queries":$qs,"sf":"$sfDir"}""")
+    val total = med.values.filter(_ >= 0).sum
+    val failed = med.values.count(_ < 0)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"warmup_sec":$warmupSec,"reps":$reps,"queries":$qs,"queries_min":$qsMin,"queries_max":$qsMax,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -271,12 +271,23 @@ object IvfIndex {
         nprobe = nprobe, topk = topk) < target)
     if (!drifted && !degraded) return None
     val meta = spark.read.parquet(s"$path/meta").head()
-    // a PQ sidecar must survive the rebuild: capture its shape now,
-    // re-train it on the NEW index after the swap (fresh clusters AND
-    // a fresh codebook — appended drift is exactly what both absorb)
-    val pqShape = if (hasPq(spark, path)) {
-      val cb = PqCodec.load(spark, s"$path/pq/codebook")
-      Some((cb.m, cb.ksub))
+    // a PQ sidecar must survive the rebuild: capture its FULL build
+    // params now (m, ksub, iters, sampleN — from the pq/meta the
+    // original buildPq wrote), re-train it on the NEW index after the
+    // swap (fresh clusters AND a fresh codebook — appended drift is
+    // exactly what both absorb). Falling back to shape-only would
+    // silently reset custom iters/sampleN to defaults.
+    val pqParams = if (hasPq(spark, path)) {
+      val metaP = new Path(s"$path/pq/meta")
+      val pfs = metaP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (pfs.exists(metaP)) {
+        val r = spark.read.parquet(s"$path/pq/meta").head()
+        Some((r.getAs[Int]("m"), r.getAs[Int]("ksub"),
+          r.getAs[Int]("iters"), r.getAs[Int]("sampleN")))
+      } else { // sidecar predates pq/meta: shape from the codebook, defaults otherwise
+        val cb = PqCodec.load(spark, s"$path/pq/codebook")
+        Some((cb.m, cb.ksub, 2, 2000))
+      }
     } else None
     val tmp = path + "._graft_retrain"
     val corpus = spark.read.parquet(s"$path/index")
@@ -293,7 +304,8 @@ object IvfIndex {
         !fs.rename(new Path(tmp), new Path(path)))
       throw new java.io.IOException(s"retrain publish failed for $path")
     fs.delete(old, true)
-    pqShape.foreach { case (m, ksub) => buildPq(spark, path, m, ksub) }
+    pqParams.foreach { case (m, ksub, iters, sampleN) =>
+      buildPq(spark, path, m, ksub, iters, sampleN) }
     Some(info)
   }
 
@@ -362,6 +374,12 @@ object IvfIndex {
       .write.mode(SaveMode.Overwrite)
       .partitionBy("cluster_id")
       .parquet(s"$path/pq/codes")
+    // persist the TRAINING params too (not just the codebook shape):
+    // retrainIfNeeded replays them so a rebuild trains the new
+    // codebook exactly the way the original was trained
+    spark.createDataFrame(Seq((m, ksub, iters, sampleN)))
+      .toDF("m", "ksub", "iters", "sampleN")
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/pq/meta")
   }
 
   /** IVF-PQ query: probe `nprobe` inverted lists, shortlist

@@ -55,12 +55,21 @@ object CorpusPrep {
     *                    projection) — before dedup, so copies differing
     *                    only in contact strings collapse together
     */
+  /** @param packBudget  optional sequence-packing stage (q58's layout):
+    *                    emit (pack_id, pack_offset) per doc — where the
+    *                    doc STARTS in the GPT-style concat-and-chunk
+    *                    stream of its shard, cut every `packBudget`
+    *                    tokens. Computed by one more window function
+    *                    over the SAME shard partitioning/ordering as
+    *                    `pos`, so it adds no exchange to the plan
+    */
   final case class Config(
       langRates: Map[String, Double],
       defaultRate: Double,
       nShards: Int = 8,
       nearDupMinEst: Option[Double] = None,
-      scrubPii: Boolean = false)
+      scrubPii: Boolean = false,
+      packBudget: Option[Int] = None)
 
   final case class Stats(
       input: Long, afterDedup: Long, afterSample: Long,
@@ -88,17 +97,6 @@ object CorpusPrep {
       .filter(col("_rn") === 1).drop("_rn")
   }
 
-  /** doc_ids the optional near-dup stage drops (None when the stage is
-    * off): [[graft.operators.NearDup.dropIds]] — every doc whose
-    * estimated Jaccard to a LOWER-id survivor of exact dedup reaches
-    * the threshold, keep-lowest like the exact stage. Runs on the
-    * DEDUPED docs so exact copies never pay the shingle/minhash pass;
-    * the trade is that the exact-dedup window executes twice when the
-    * stage is on (once inside this lineage, once in the main plan) —
-    * at corpus scale, either pre-materialize the deduped snapshot and
-    * run the two stages over it, or accept paying the minhash pass for
-    * exact copies by running dropIds on the raw corpus.
-    */
   /** The scrub stage (when on): q52's codegen'd regex chain over
     * `text`, FIRST — so dedup digests, shingles and langId all see the
     * scrubbed form, and copies differing only in contact strings
@@ -110,19 +108,24 @@ object CorpusPrep {
     else docs
 
   /** The shared base lineage every downstream stage consumes:
-    * scrub (optional) → exact dedup. ONE definition — but note each
-    * consuming ACTION re-executes it unless the caller materializes
-    * it (up to three executions in run() with both optional stages
-    * on: the near-dup drop set, the contamination drop set, and the
-    * main write). At 100 TB, pre-materialize the deduped snapshot and
-    * feed it back through run() with the dedup already applied.
+    * scrub (optional) → exact dedup. ONE definition; run() caches it
+    * whenever more than one action will consume it (near-dup drop
+    * set, contamination drop set, main write), so the scrub+dedup
+    * shuffle executes ONCE regardless of which optional stages are on.
     */
   private def base(docs: DataFrame, cfg: Config): DataFrame =
     dedupe(scrubbed(docs, cfg))
 
-  def dropsOf(docs: DataFrame, cfg: Config): Option[DataFrame] =
+  /** doc_ids the optional near-dup stage drops (None when the stage is
+    * off), computed over the already scrub+deduped base frame:
+    * [[graft.operators.NearDup.dropIds]] — every doc whose estimated
+    * Jaccard to a LOWER-id survivor of exact dedup reaches the
+    * threshold, keep-lowest like the exact stage. Runs on the DEDUPED
+    * docs so exact copies never pay the shingle/minhash pass.
+    */
+  def dropsOf(baseDf: DataFrame, cfg: Config): Option[DataFrame] =
     cfg.nearDupMinEst.map(minEst =>
-      graft.operators.NearDup.dropIds(base(docs, cfg), minEst))
+      graft.operators.NearDup.dropIds(baseDf, minEst))
 
   /** doc_ids the optional decontamination stage drops: docs sharing
     * any word 8-gram with `benchmark` — q54's kernel, joined on the
@@ -131,11 +134,11 @@ object CorpusPrep {
     * SAME chain as the corpus: contamination spanning a PII token
     * must still match after both sides are rewritten.
     */
-  def contaminatedOf(docs: DataFrame, cfg: Config,
+  def contaminatedOf(baseDf: DataFrame, cfg: Config,
                      benchmark: Option[DataFrame]): Option[DataFrame] =
     benchmark.map { bench =>
       val bg = graft.queries.PrepQ.benchGramSet(scrubbed(bench, cfg))
-      graft.queries.PrepQ.gramHashes(base(docs, cfg))
+      graft.queries.PrepQ.gramHashes(baseDf)
         .join(bg, Seq("gh"))
         .select(col("doc_id")).distinct()
     }
@@ -147,24 +150,25 @@ object CorpusPrep {
     *                  8-gram with them are dropped before sampling
     */
   def plan(docs: DataFrame, cfg: Config,
-           benchmark: Option[DataFrame] = None): DataFrame =
-    planWith(docs, cfg, dropsOf(docs, cfg),
-      contaminatedOf(docs, cfg, benchmark))
+           benchmark: Option[DataFrame] = None): DataFrame = {
+    val baseDf = base(docs, cfg)
+    planWith(baseDf, cfg, dropsOf(baseDf, cfg),
+      contaminatedOf(baseDf, cfg, benchmark))
+  }
 
-  /** Plan with the drop sets supplied by the caller — run() caches
-    * them so each pipeline executes once for its filter AND its stats
-    * count.
+  /** Plan over the (possibly cached) base frame, with the drop sets
+    * supplied by the caller — run() caches all three so each pipeline
+    * executes once for its filter AND its stats count.
     */
-  private def planWith(docs: DataFrame, cfg: Config,
+  private def planWith(baseDf: DataFrame, cfg: Config,
                        drops: Option[DataFrame],
                        contaminated: Option[DataFrame]): DataFrame = {
     require(cfg.nShards > 0 && (cfg.nShards & (cfg.nShards - 1)) == 0,
       s"nShards must be a power of two, got ${cfg.nShards}")
-    val deduped0 = base(docs, cfg)
     // near-dup + decontamination stages: anti-joins against the
     // (small — O(drops)) id sets; AQE broadcasts them while they fit
-    val deduped1 = drops.fold(deduped0)(d =>
-      deduped0.join(d, Seq("doc_id"), "left_anti"))
+    val deduped1 = drops.fold(baseDf)(d =>
+      baseDf.join(d, Seq("doc_id"), "left_anti"))
     val deduped = contaminated.fold(deduped1)(c =>
       deduped1.join(c, Seq("doc_id"), "left_anti"))
     val tagged = deduped.withColumn("lang_detected",
@@ -174,11 +178,37 @@ object CorpusPrep {
     val h = shardHash
     val wShard = Window.partitionBy(col("shard"))
       .orderBy(col("_ord"), col("doc_id"))
-    sampled
+    val withOrd = sampled
       .withColumn("shard", h.bitwiseAND(lit(cfg.nShards - 1L)))
       .withColumn("_ord", call_function("shiftrightunsigned", h, lit(1)))
-      .withColumn("pos", row_number().over(wShard).cast("long"))
-      .drop("_ord")
+    // optional q58 packing stage: the running token sum uses the SAME
+    // (partition, order, frame) spec as `pos` and is emitted in the
+    // SAME select, so Catalyst extracts both into ONE Window operator
+    // over the existing shard exchange — pack layout costs zero extra
+    // shuffles (a second select would extract a second Window node
+    // even with an identical spec). pack_id/pack_offset are where the
+    // doc STARTS in the concat-and-chunk token stream (a doc may
+    // spill into the next pack; the trainer's reader handles it).
+    val packed = cfg.packBudget match {
+      case None =>
+        withOrd.withColumn("pos", row_number().over(wShard).cast("long"))
+      case Some(budget) =>
+        val wCum = wShard
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        withOrd
+          .withColumn("_ntok",
+            size(TextOps.tokens(col("text"))).cast("bigint"))
+          .select(col("*"),
+            row_number().over(wShard).cast("long").as("pos"),
+            sum(col("_ntok")).over(wCum).as("_cum"))
+          .withColumn("pack_id",
+            floor((col("_cum") - col("_ntok")).cast("double") / budget)
+              .cast("bigint"))
+          .withColumn("pack_offset",
+            pmod(col("_cum") - col("_ntok"), lit(budget.toLong)))
+          .drop("_ntok", "_cum")
+    }
+    packed.drop("_ord")
   }
 
   /** Execute and write `outPath/shard=N/` parquet, interleave-ordered
@@ -186,13 +216,46 @@ object CorpusPrep {
     * combined count + distinct-digest aggregate), never a re-run of
     * the sampled/sharded plan.
     */
+  /** run()'s executable state, exposed at package level so the spec
+    * can assert the materialization contract (every consumer of the
+    * base lineage reads the cache, not a recompute).
+    */
+  private[graft] final case class Materialized(
+      baseDf: DataFrame, baseCached: Boolean,
+      drops: Option[DataFrame], contaminated: Option[DataFrame],
+      out: DataFrame) {
+    def release(): Unit = {
+      out.unpersist(); drops.foreach(_.unpersist())
+      contaminated.foreach(_.unpersist())
+      if (baseCached) { baseDf.unpersist(); () } else ()
+    }
+  }
+
+  /** Wire up the cached frames run() executes over.
+    *
+    * The scrub+dedup base lineage is materialized (cached) whenever
+    * more than one action consumes it (drop-set pipelines + the main
+    * write): without the cache, each optional stage re-executes the
+    * full-corpus scan and dedup shuffle — at 100 TB that's two
+    * redundant corpus passes. The (small) drop-id sets are cached too:
+    * each feeds its anti-join AND its dropped-count stat — the LSH /
+    * gram pipelines themselves run once.
+    */
+  private[graft] def materialize(docs: DataFrame, cfg: Config,
+      benchmark: Option[DataFrame]): Materialized = {
+    val multiConsumer = cfg.nearDupMinEst.isDefined || benchmark.isDefined
+    val base0 = base(docs, cfg)
+    val baseDf = if (multiConsumer) base0.cache() else base0
+    val drops = dropsOf(baseDf, cfg).map(_.cache())
+    val contaminated = contaminatedOf(baseDf, cfg, benchmark).map(_.cache())
+    Materialized(baseDf, multiConsumer, drops, contaminated,
+      planWith(baseDf, cfg, drops, contaminated).cache())
+  }
+
   def run(docs: DataFrame, outPath: String, cfg: Config,
           benchmark: Option[DataFrame] = None): Stats = {
-    // cache the (small) drop-id sets: each feeds its anti-join AND its
-    // dropped-count stat — the LSH / gram pipelines themselves run once
-    val drops = dropsOf(docs, cfg).map(_.cache())
-    val contaminated = contaminatedOf(docs, cfg, benchmark).map(_.cache())
-    val out = planWith(docs, cfg, drops, contaminated).cache()
+    val m = materialize(docs, cfg, benchmark)
+    val (out, drops, contaminated) = (m.out, m.drops, m.contaminated)
     try {
       out.write.mode(SaveMode.Overwrite)
         .partitionBy("shard")
@@ -205,9 +268,6 @@ object CorpusPrep {
       Stats(a.getLong(0), a.getLong(1), afterSample,
         nearDupDropped = drops.map(_.count()).getOrElse(0L),
         contaminatedDropped = contaminated.map(_.count()).getOrElse(0L))
-    } finally {
-      out.unpersist(); drops.foreach(_.unpersist())
-      contaminated.foreach(_.unpersist()); ()
-    }
+    } finally { m.release() }
   }
 }

@@ -84,12 +84,23 @@ object Merge {
                  else spark.createDataFrame(
                    spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
                    updData.schema)
-    val missingInUpd = tgtRaw.columns.toSeq.diff(updData.columns.toSeq)
+    // name matching follows the session's resolution semantics: Spark
+    // resolves column names per spark.sql.caseSensitive (default
+    // case-INSENSITIVE), so a batch column differing only in case is
+    // the SAME column, not a new one (treating it as new would produce
+    // a duplicate/ambiguous column in the published snapshot)
+    val caseSensitive =
+      spark.conf.get("spark.sql.caseSensitive", "false").toBoolean
+    def norm(n: String): String =
+      if (caseSensitive) n else n.toLowerCase(java.util.Locale.ROOT)
+    val updNames = updData.columns.map(norm).toSet
+    val tgtNames = tgtRaw.columns.map(norm).toSet
+    val missingInUpd = tgtRaw.columns.toSeq.filterNot(c => updNames(norm(c)))
     require(missingInUpd.isEmpty,
       s"merge: update batch is missing snapshot column(s) ${missingInUpd.mkString(", ")}; " +
         "add-column evolution only goes forward")
     val newCols = updData.schema.fields
-      .filterNot(f => tgtRaw.columns.contains(f.name))
+      .filterNot(f => tgtNames(norm(f.name)))
     val tgt = newCols.foldLeft(tgtRaw) { (df, f) =>
         df.withColumn(f.name, lit(null).cast(f.dataType))
       }

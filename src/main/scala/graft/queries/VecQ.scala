@@ -353,7 +353,11 @@ object VecQ {
       .select(col("vec_id"),
         size(filter(col("codes"), c => abs(c) === 127L))
           .cast("bigint").as("n_sat"),
-        Q.round4(VecExprs.l2(diff) / VecExprs.l2(col("v"))).as("rel_err4"))
+        // zero-norm guard: an all-zero vector reconstructs exactly but
+        // 0/0 is NaN with engine-dependent rendering — report NULL (the
+        // q28 degenerate-denominator pattern), mirrored in q56Sql
+        when(VecExprs.l2(col("v")) > 0,
+          Q.round4(VecExprs.l2(diff) / VecExprs.l2(col("v")))).as("rel_err4"))
       .orderBy(col("vec_id"))
   }
 
@@ -383,7 +387,9 @@ object VecQ {
        |    list_transform(codes, (c, i) -> v[i] - c * sl[i] / 127.0) AS diff
        |  FROM q CROSS JOIN sc)
        |SELECT vec_id, CAST(n_sat AS BIGINT) AS n_sat,
-       |  ${Q.round4Sql("sqrt(list_dot_product(diff, diff)) / sqrt(list_dot_product(v, v))")} AS rel_err4
+       |  CASE WHEN list_dot_product(v, v) > 0
+       |       THEN ${Q.round4Sql("sqrt(list_dot_product(diff, diff)) / sqrt(list_dot_product(v, v))")}
+       |  END AS rel_err4
        |FROM d ORDER BY vec_id""".stripMargin
 
   val entries: Seq[Entry] = Seq(

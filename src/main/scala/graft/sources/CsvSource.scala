@@ -38,7 +38,8 @@ object CsvSource {
     *
     * @return (totalBytes, warnings)
     */
-  def preflight(spark: SparkSession, path: String): (Long, Seq[String]) = {
+  def preflight(spark: SparkSession, path: String,
+                recursive: Boolean = false): (Long, Seq[String]) = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // globStatus resolves literal paths AND glob patterns — Spark's
@@ -63,7 +64,12 @@ object CsvSource {
     }
     matched.foreach { st =>
       if (st.isDirectory) {
-        val it = fs.listFiles(st.getPath, true)
+        // list only the depth the scan will consume: Spark's CSV read
+        // of a directory is NOT recursive unless recursiveFileLookup
+        // is set, so a recursive walk here would count nested files
+        // the reader never touches (pass recursive=true to match a
+        // read with that option on)
+        val it = fs.listFiles(st.getPath, recursive)
         while (it.hasNext) {
           val f = it.next()
           visit(f.getPath.getName, f.getLen)

@@ -102,6 +102,84 @@ class CorpusPrepSpec extends SparkSpec {
       s"stats: $stats2")
   }
 
+  test("materialize: every consumer of the base lineage reads the cache, not a recompute") {
+    import spark.implicits._
+    val story = "the quick brown fox jumps over the lazy dog and then " +
+      "runs far away into the deep green forest tonight again"
+    val docs = Seq(
+      (1L, s"$story one", "en", "a", 1L),
+      (2L, s"$story two", "en", "a", 1L),
+      (3L, "completely different content about spark catalyst plans " +
+        "optimizing large distributed analytical queries every day",
+        "en", "a", 1L)).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val bench = Seq((100L, "held out benchmark words that no doc shares"))
+      .toDF("doc_id", "text")
+    val cfg2 = CorpusPrep.Config(langRates = Map.empty, defaultRate = 1.0,
+      nShards = 2, nearDupMinEst = Some(0.5), scrubPii = true)
+    val m = CorpusPrep.materialize(docs, cfg2, Some(bench))
+    try {
+      assert(m.baseCached, "base must be cached when both stages are on")
+      // execute every consumer, then assert each read the cached base:
+      // with the cache, the scrub+dedup window runs ONCE (filling the
+      // cache) instead of once per consuming action
+      Seq(m.drops.get, m.contaminated.get, m.out).foreach { df =>
+        df.collect()
+        val plan = df.queryExecution.executedPlan match {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            a.executedPlan.toString
+          case p => p.toString
+        }
+        assert(plan.contains("InMemoryTableScan"),
+          s"consumer recomputed the base lineage:\n$plan")
+      }
+    } finally m.release()
+  }
+
+  test("packing stage: q58 layout over the shard window, no extra exchange") {
+    import graft.functions.TextOps
+    val docs = Tables(spark, sf).documents
+    val budget = 64
+    val cfgP = cfg.copy(packBudget = Some(budget))
+    val rows = CorpusPrep.plan(docs, cfgP)
+      .select(col("doc_id"), col("shard"), col("pos"),
+        col("pack_id"), col("pack_offset"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n_tok"))
+      .collect()
+    assert(rows.nonEmpty)
+    // the layout is exactly concat-and-chunk: within each shard in pos
+    // order, each doc starts at the running token total, cut every
+    // `budget` tokens
+    rows.groupBy(_.getAs[Long]("shard")).foreach { case (s, rs) =>
+      var cum = 0L
+      rs.sortBy(_.getAs[Long]("pos")).foreach { r =>
+        assert(r.getAs[Long]("pack_id") == cum / budget,
+          s"shard $s doc ${r.getAs[Long]("doc_id")}: bad pack_id")
+        assert(r.getAs[Long]("pack_offset") == cum % budget,
+          s"shard $s doc ${r.getAs[Long]("doc_id")}: bad pack_offset")
+        cum += r.getAs[Long]("n_tok")
+      }
+    }
+    // rerun-identical (deterministic epochs)
+    val again = CorpusPrep.plan(docs, cfgP)
+      .select(col("doc_id"), col("pack_id"), col("pack_offset")).collect()
+      .map(_.toString).sorted.toSeq
+    val first = rows.map(r => org.apache.spark.sql.Row(
+      r.getAs[Long]("doc_id"), r.getAs[Long]("pack_id"),
+      r.getAs[Long]("pack_offset")).toString).sorted.toSeq
+    assert(again == first, "pack layout must be rerun-identical")
+    // the running sum rides the SAME (partition, order) window spec as
+    // pos: packing must add no exchange and no second Window node
+    def nodes(df: org.apache.spark.sql.DataFrame, name: String): Int =
+      df.queryExecution.executedPlan.toString.linesIterator
+        .count(_.matches(s".*(^|\\s|\\+- |:- )$name\\s.*"))
+    val packedPlan = CorpusPrep.plan(docs, cfgP)
+    val plainPlan = CorpusPrep.plan(docs, cfg)
+    assert(nodes(packedPlan, "Exchange") == nodes(plainPlan, "Exchange"),
+      "packing added an exchange")
+    assert(nodes(packedPlan, "Window") == nodes(plainPlan, "Window"),
+      "packing added a Window node (window spec not shared)")
+  }
+
   test("run: writes shard-partitioned parquet and reports consistent stage counts") {
     val docs = Tables(spark, sf).documents
     val out = java.nio.file.Files.createTempDirectory("graft-corpus").toString
