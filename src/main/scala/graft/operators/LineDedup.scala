@@ -1,0 +1,80 @@
+package graft.operators
+
+import graft.functions.TextOps
+import graft.functions.expressions.TextExprs
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Line/paragraph-level dedup — the C4/RefinedWeb-style boilerplate
+  * removal pass: a LINE that occurs in `minDf`-or-more DISTINCT
+  * documents is boilerplate (nav bars, cookie banners, license
+  * headers), and every occurrence is dropped EXCEPT in the lowest
+  * doc_id containing it (keep-lowest, the same deterministic rule as
+  * the whole-document dedup family q30/q31/q53). Whole-document dedup
+  * misses exactly this: boilerplate lines inside otherwise-unique
+  * pages are the most common real-world contamination.
+  *
+  * Segmentation is the caller's: pass any `array<string>` column —
+  * `split(col("text"), "\n")` for newline-structured corpora,
+  * [[wordWindows]] for flat text. Within-doc repetition of a
+  * below-threshold line is NOT touched (that's a repetition-quality
+  * signal, q51's territory, not cross-doc boilerplate).
+  *
+  * Scale shape (all shuffles linear in the corpus): one hash-only
+  * aggregation per distinct line (the exchange carries the 64-bit
+  * portable line hash + doc_id, never line text), a join of the
+  * segments against ONLY the boilerplate subset (df >= minDf — tiny
+  * next to the corpus, AQE broadcasts it while it fits), and the
+  * per-document reassembly groupBy. Line text crosses exactly the
+  * exchanges reassembly forces it through; the frequency statistics
+  * never carry it.
+  */
+object LineDedup {
+
+  /** Flat-text segmentation: non-overlapping `width`-word windows
+    * (the tail window keeps its remainder). For corpora without
+    * newline structure a fixed window is the deterministic stand-in
+    * for "line"; the window either side of a boilerplate span still
+    * matches when the span is window-aligned, which is what the
+    * synthetic corpus provides.
+    */
+  def wordWindows(text: Column, width: Int): Column = {
+    val t = TextOps.tokens(text)
+    when(size(t) > 0,
+      transform(
+        sequence(lit(0), ceil(size(t).cast("double") / width).cast("int") - 1),
+        i => array_join(slice(t, i * width + 1, lit(width)), " ")))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** (doc_id, n_lines, n_kept, text_kept) per document, ordered by
+    * doc_id: text_kept is the surviving lines re-joined with single
+    * spaces in original order ("" when every line was dropped).
+    */
+  def dedupe(docs: DataFrame, lines: Column, minDf: Int): DataFrame = {
+    val seg = docs
+      .select(col("doc_id"), posexplode(lines).as(Seq("seg_no", "line")))
+      .withColumn("lh", TextExprs.md5Lower64(col("line")))
+    // frequency statistics on the HASH only; the join side shrinks to
+    // the boilerplate subset before any line text is involved
+    val boiler = seg.groupBy(col("lh"))
+      .agg(countDistinct(col("doc_id")).as("df"),
+        min(col("doc_id")).as("keeper"))
+      .filter(col("df") >= minDf)
+      .select(col("lh"), col("keeper"))
+    seg.join(boiler, Seq("lh"), "left")
+      .withColumn("kept",
+        col("keeper").isNull || col("keeper") === col("doc_id"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        count(when(col("kept"), 1)).as("n_kept"),
+        array_join(
+          transform(
+            array_sort(collect_list(
+              when(col("kept"), struct(col("seg_no"), col("line"))))),
+            x => x.getField("line")),
+          " ").as("text_kept"))
+      .orderBy(col("doc_id"))
+  }
+}

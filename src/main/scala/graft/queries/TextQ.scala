@@ -499,6 +499,46 @@ object TextQ {
        |SELECT doc_id, rk, tok, ${Q.round4Sql("score")} AS tfidf4
        |FROM ranked WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin
 
+  /** q59: line/paragraph-level boilerplate dedup
+    * ([[graft.operators.LineDedup]], the C4-style pass): lines
+    * occurring in >= 2 distinct documents are dropped everywhere but
+    * the lowest doc_id containing them. The corpus has no newline
+    * structure, so "line" here is the deterministic 8-word window
+    * segmentation ([[graft.operators.LineDedup.wordWindows]]); a
+    * newline-structured corpus passes `split(text, "\n")` instead
+    * (spec-covered).
+    */
+  def q59(s: SparkSession, dir: String): DataFrame =
+    graft.operators.LineDedup.dedupe(
+      Tables(s, dir).documents,
+      graft.operators.LineDedup.wordWindows(col("text"), 8), minDf = 2)
+
+  val q59Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+      |  FROM documents),
+      |s1 AS (
+      |  SELECT doc_id, t,
+      |    unnest(range(0, CAST(ceil(len(t) / 8.0) AS BIGINT))) AS i
+      |  FROM toks WHERE len(t) > 0),
+      |seg AS (
+      |  SELECT doc_id, i AS seg_no,
+      |    array_to_string(t[(i*8+1):(i*8+8)], ' ') AS line
+      |  FROM s1),
+      |st AS (
+      |  SELECT md5_number_lower(line) AS lh,
+      |    count(DISTINCT doc_id) AS df, min(doc_id) AS keeper
+      |  FROM seg GROUP BY 1),
+      |b AS (SELECT lh, keeper FROM st WHERE df >= 2),
+      |m AS (
+      |  SELECT s.doc_id, s.seg_no, s.line,
+      |    (b.keeper IS NULL OR b.keeper = s.doc_id) AS kept
+      |  FROM seg s LEFT JOIN b ON md5_number_lower(s.line) = b.lh)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines,
+      |  CAST(count(*) FILTER (kept) AS BIGINT) AS n_kept,
+      |  coalesce(string_agg(CASE WHEN kept THEN line END, ' ' ORDER BY seg_no), '') AS text_kept
+      |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val entries: Seq[Entry] = Seq(
     Entry("q30_dedup_exact", q30, Some(q30Sql)),
     Entry("q31_dedup_minhash", q31, Some(q31Sql)),
@@ -510,5 +550,6 @@ object TextQ {
     Entry("q43_fingerprint", q43, Some(q43Sql)),
     Entry("q44_text_stats", q44, Some(q44Sql)),
     Entry("q57_tfidf_terms", q57, Some(q57Sql)),
+    Entry("q59_line_dedup", q59, Some(q59Sql)),
   )
 }

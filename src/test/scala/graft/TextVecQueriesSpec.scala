@@ -19,6 +19,43 @@ class TextVecQueriesSpec extends SparkSpec {
     assert(TextQ.q30(spark, sf).count() == norms)
   }
 
+  test("LineDedup: boilerplate lines dropped everywhere but the lowest doc") {
+    import spark.implicits._
+    import graft.operators.LineDedup
+    val banner = "subscribe to our newsletter today"
+    val footer = "copyright example corp all rights reserved"
+    val docs = Seq(
+      (1L, s"unique alpha content\n$banner\n$footer"),
+      (2L, s"$banner\nunique beta content here\n$footer"),
+      (3L, s"unique gamma content entirely\n$banner"),
+      (4L, "totally standalone document"))
+      .toDF("doc_id", "text")
+    val out = LineDedup.dedupe(docs, split(col("text"), "\n"), minDf = 2)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // doc 1 is the lowest id containing each boilerplate line → keeper
+    assert(out(1L).getAs[Long]("n_kept") == 3, out(1L).toString)
+    assert(out(1L).getAs[String]("text_kept") ==
+      s"unique alpha content $banner $footer")
+    // docs 2/3 lose the banner/footer but keep their unique line
+    assert(out(2L).getAs[Long]("n_lines") == 3 &&
+      out(2L).getAs[Long]("n_kept") == 1, out(2L).toString)
+    assert(out(2L).getAs[String]("text_kept") == "unique beta content here")
+    assert(out(3L).getAs[String]("text_kept") == "unique gamma content entirely")
+    // untouched doc passes through whole
+    assert(out(4L).getAs[String]("text_kept") == "totally standalone document")
+  }
+
+  test("LineDedup.wordWindows: non-overlapping windows, tail keeps its remainder") {
+    import spark.implicits._
+    import graft.operators.LineDedup
+    val rows = Seq((1L, "a b c d e f g h i j"), (2L, " "))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), LineDedup.wordWindows(col("text"), 8).as("w"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(rows(1L) == Seq("a b c d e f g h", "i j"))
+    assert(rows(2L).isEmpty || rows(2L) == Seq(""))
+  }
+
   test("q31 minhash finds the known near-dup pairs with high estimate") {
     // ground truth from offline brute force at sf0.001: 28 pairs with
     // 3-gram Jaccard >= 0.5, most >= 0.9 — LSH at 16 bands of 4 must
