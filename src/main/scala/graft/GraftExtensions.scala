@@ -80,5 +80,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("graft_rhp_sig",
         "graft_rhp_sig(v, bits) - random-hyperplane LSH signature of a double array"),
       (args: Seq[Expression]) => RhpSignature(args(0), intArg(args(1), "bits"))))
+
+    ext.injectFunction((FunctionIdentifier("graft_sqdist"),
+      info("graft_sqdist",
+        "graft_sqdist(a, b) - squared L2 distance of two double arrays"),
+      (args: Seq[Expression]) => SqDist(args(0), args(1))))
+
+    ext.injectFunction((FunctionIdentifier("graft_adc"),
+      info("graft_adc",
+        "graft_adc(codes, tbl) - PQ ADC lookup sum: tbl[j][codes[j]] over j"),
+      (args: Seq[Expression]) => AdcDist(args(0), args(1))))
   }
 }

@@ -31,6 +31,20 @@ object VecExprs {
     * long); identical values to VecOps.rhpSignature.
     */
   def rhpSignature(v: Column, nBits: Int): Column = c(RhpSignature(x(v), nBits))
+
+  /** Squared L2 distance of two array<double>, left-to-right
+    * accumulation of squared differences — value-identical to the
+    * composed `aggregate(zip_with(a, b, (x,y) => (x-y)*(x-y)), ...)`
+    * form (same sequential double arithmetic, so the PQ oracles and
+    * specs that pin that form still hold).
+    */
+  def sqDist(a: Column, b: Column): Column = c(SqDist(x(a), x(b)))
+
+  /** ADC lookup sum: codes array<int>, tbl array<array<double>> —
+    * sum over j of tbl[j][codes[j]] (0-based), left-to-right. The PQ
+    * query hot path: m table reads per candidate row.
+    */
+  def adcDist(codes: Column, tbl: Column): Column = c(AdcDist(x(codes), x(tbl)))
 }
 
 case class DotProduct(left: Expression, right: Expression)
@@ -67,6 +81,70 @@ case class L2Norm(child: Expression)
   }
 
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/** Squared L2 distance — the PQ training/encoding kernel
+  * ([[graft.operators.PqCodec]]): one O(dim) JVM loop per row instead
+  * of an interpreted zip_with+aggregate tree. Accumulation order and
+  * IEEE arithmetic match the composed form exactly.
+  */
+case class SqDist(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val va = a.asInstanceOf[ArrayData]
+    val vb = b.asInstanceOf[ArrayData]
+    val n = math.min(va.numElements(), vb.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val d = va.getDouble(i) - vb.getDouble(i)
+      acc += d * d
+      i += 1
+    }
+    java.lang.Double.valueOf(acc)
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
+/** ADC (asymmetric distance computation) lookup sum — the PQ QUERY
+  * hot path ([[graft.operators.PqCodec.adcDist]]): for each candidate
+  * row, m table lookups tbl[j][codes[j]] accumulated left-to-right.
+  * Runs per (candidate × query) pair, so the interpreted-HOF overhead
+  * of the composed form multiplies with the shortlist size — this is
+  * the loop profiles would surface first at billion scale.
+  */
+case class AdcDist(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = DoubleType
+
+  // codes may arrive as array<int> (fresh encode) or array<bigint>
+  // (e.g. read back through an engine that widened them)
+  private lazy val codeAt: (ArrayData, Int) => Int = left.dataType match {
+    case ArrayType(LongType, _) => (a, i) => a.getLong(i).toInt
+    case _ => (a, i) => a.getInt(i)
+  }
+
+  override def nullSafeEval(c: Any, t: Any): Any = {
+    val codes = c.asInstanceOf[ArrayData]
+    val tbl = t.asInstanceOf[ArrayData]
+    val n = math.min(codes.numElements(), tbl.numElements())
+    var acc = 0.0
+    var j = 0
+    while (j < n) {
+      acc += tbl.getArray(j).getDouble(codeAt(codes, j))
+      j += 1
+    }
+    java.lang.Double.valueOf(acc)
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
 }
 
 /** Sign-random-projection signature (Charikar '02): bit b of the

@@ -33,11 +33,13 @@ object PqCodec {
   private def cbLit(cb: Codebook): Column = typedlit(cb.centers)
 
   /** Squared L2 distance between two equal-length double arrays,
-    * sequential accumulation.
+    * sequential accumulation — the native
+    * [[graft.functions.expressions.SqDist]] kernel (one JVM loop per
+    * row; value-identical to the composed zip_with+aggregate form,
+    * which NativeExprSpec pins).
     */
   private def sqDist(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-      lit(0.0), (acc, v) => acc + v)
+    graft.functions.expressions.VecExprs.sqDist(a, b)
 
   /** (vec_id, j, sv) — each vector exploded into its m subvectors. */
   private def subvectors(e: DataFrame, m: Int, dsub: Int): DataFrame =
@@ -161,11 +163,14 @@ object PqCodec {
       .select(col("query_id"), col("tbl"))
 
   /** Approximate squared L2 distance of a code row against a distance
-    * table: m table lookups, no vector reads.
+    * table: m table lookups, no vector reads — the native
+    * [[graft.functions.expressions.AdcDist]] kernel (the composed
+    * `aggregate(zip_with(codes, tbl, (c, row) => element_at(row, c+1)))`
+    * form costs an interpreted HOF tree per candidate×query pair;
+    * NativeExprSpec pins value parity between the two).
     */
   def adcDist(codes: Column, tbl: Column): Column =
-    aggregate(zip_with(codes, tbl, (c, row) => element_at(row, c + 1)),
-      lit(0.0), (acc, v) => acc + v)
+    graft.functions.expressions.VecExprs.adcDist(codes, tbl)
 
   /** ADC (asymmetric distance computation) top-k: per query, the
     * distance table is one projection over the query row; each

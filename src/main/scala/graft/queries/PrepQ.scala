@@ -102,8 +102,16 @@ object PrepQ {
     * unpersisted — no lineage blow-up, no driver-side graph. This is
     * the standard Spark form of label propagation; the driver only
     * ever sees a convergence COUNT, never data.
+    *
+    * @param checkpointDir when set, the converged labels are written
+    *   through a RELIABLE `checkpoint` into this directory instead of
+    *   `localCheckpoint`: localCheckpoint blocks live on executors, so
+    *   on a 1000-node run one lost executor AFTER convergence kills
+    *   the job with no recompute path (the iterative lineage is gone
+    *   by design). Locally the default executor-block path is fine.
     */
-  def q53(s: SparkSession, dir: String): DataFrame = {
+  def q53(s: SparkSession, dir: String,
+          checkpointDir: Option[String] = None): DataFrame = {
     val pairs = NearDup
       .scoredCandidates(NearDup.signatures(Tables(s, dir).documents),
         minEst = 0.5)
@@ -149,7 +157,12 @@ object PrepQ {
       // returned plan must not re-run the whole propagation, and the
       // final cache must not outlive the query (the checkpointed
       // blocks are freed by the ContextCleaner once unreferenced)
-      val finalLabels = labels.localCheckpoint(true)
+      val finalLabels = checkpointDir match {
+        case Some(d) =>
+          s.sparkContext.setCheckpointDir(d)
+          labels.checkpoint(true)
+        case None => labels.localCheckpoint(true)
+      }
       labels.unpersist()
       finalLabels
         .select(col("node").as("doc_id"), col("lbl").as("component"),
@@ -257,7 +270,7 @@ object PrepQ {
 
   val entries: Seq[Entry] = Seq(
     Entry("q52_pii_scrub", q52, Some(q52Sql)),
-    Entry("q53_neardup_components", q53, Some(q53Sql)),
+    Entry("q53_neardup_components", (s, d) => q53(s, d), Some(q53Sql)),
     Entry("q54_decontaminate", q54, Some(q54Sql)),
   )
 }

@@ -38,6 +38,15 @@ class ExtensionsSpec extends SparkSpec {
     assert((row.getLong(2) & ~0xffL) == 0L)
   }
 
+  test("PQ SQL functions: graft_sqdist, graft_adc") {
+    val row = spark.sql(
+      """SELECT graft_sqdist(array(1.0d, 2.0d), array(4.0d, 6.0d)) AS d,
+        |       graft_adc(array(1, 0), array(array(1.5d, 2.5d), array(10.0d, 20.0d))) AS a""".stripMargin)
+      .collect()(0)
+    assert(row.getDouble(0) == 25.0) // 3^2 + 4^2
+    assert(row.getDouble(1) == 12.5) // tbl[0][1] + tbl[1][0]
+  }
+
   test("non-literal size argument is rejected with a clear error") {
     Tables(spark, sf).registerAll()
     val e = intercept[Exception] {

@@ -84,6 +84,46 @@ class NativeExprSpec extends SparkSpec {
     assert(both.filter(col("nd") =!= col("cd") || col("nl") =!= col("cl")).count() == 0)
   }
 
+  test("native sqDist == composed zip_with/aggregate squared distance") {
+    // pair each embedding with a shifted copy of itself so both sides
+    // of the distance are real data
+    val pairs = emb.withColumn("w",
+      transform(col("v"), x => x * 0.5 + 1.0))
+    val composed = aggregate(
+      zip_with(col("v"), col("w"), (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, d) => acc + d)
+    val both = pairs.select(
+      VecExprs.sqDist(col("v"), col("w")).as("native"),
+      composed.as("composed"))
+    assert(both.filter(col("native") =!= col("composed")).count() == 0,
+      "sqDist must be bit-identical to the composed form")
+  }
+
+  test("native adcDist == composed element_at lookup sum") {
+    import spark.implicits._
+    // codes index into per-subspace rows of a distance table
+    val rows = Seq(
+      (Seq(0, 2, 1), Seq(Seq(1.5, 2.5, 3.5), Seq(0.25, 0.5, 0.75), Seq(10.0, 20.0, 30.0))),
+      (Seq(2, 0, 0), Seq(Seq(-1.0, 0.0, 1.0), Seq(0.125, 4.0, 8.0), Seq(7.0, 9.0, 11.0))))
+      .toDF("codes", "tbl")
+    val composed = aggregate(
+      zip_with(col("codes"), col("tbl"), (c, row) => element_at(row, c + 1)),
+      lit(0.0), (acc, v) => acc + v)
+    val both = rows.select(
+      VecExprs.adcDist(col("codes"), col("tbl")).as("native"),
+      composed.as("composed"))
+    assert(both.filter(col("native") =!= col("composed")).count() == 0,
+      "adcDist must be bit-identical to the composed form")
+    // long codes (widened on read-back): the composed form can't even
+    // take them (element_at wants an INT index) — the native kernel
+    // must, and must agree with the int-codes value
+    val bothL = rows.select(
+      VecExprs.adcDist(col("codes").cast("array<bigint>"), col("tbl"))
+        .as("native"),
+      composed.as("composed"))
+    assert(bothL.filter(col("native") =!= col("composed")).count() == 0)
+  }
+
   test("native rhpSignature == composed rhpSignature") {
     val both = emb.select(
       VecExprs.rhpSignature(col("v"), 16).as("native"),

@@ -43,6 +43,22 @@ class PrepQSpec extends SparkSpec {
     }
   }
 
+  test("q53: reliable-checkpoint path writes the dir and returns identical components") {
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-q53-ckpt").toString
+    val reliable = PrepQ.q53(spark, sf, checkpointDir = Some(ckpt))
+      .collect().map(_.toString).sorted.toSeq
+    val local = PrepQ.q53(spark, sf).collect().map(_.toString).sorted.toSeq
+    assert(reliable == local, "checkpoint path changed the result")
+    // the converged labels actually went to reliable storage (a lost
+    // executor can no longer lose them)
+    def files(d: java.io.File): Seq[java.io.File] = {
+      val k = Option(d.listFiles()).map(_.toSeq).getOrElse(Nil)
+      k.filter(_.isFile) ++ k.filter(_.isDirectory).flatMap(files)
+    }
+    assert(files(new java.io.File(ckpt)).nonEmpty,
+      s"no checkpoint files written under $ckpt")
+  }
+
   test("q54: benchmark docs excluded, flag consistent, overlap matches a brute-force recount") {
     val rows = PrepQ.q54(spark, sf).collect()
     assert(rows.nonEmpty)
