@@ -1,0 +1,195 @@
+package graft.functions.expressions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Byte-pair-encoding tokenization (Sennrich et al., ACL 2016) — the
+  * tokenizer-faithful token counter: packing budgets and mixing
+  * weights at training time are denominated in BPE tokens, and a
+  * whitespace count can be off by 2-4x on code or non-English text.
+  *
+  * Two halves, mirroring the PqCodec recipe:
+  *
+  *  - [[Bpe.trainOn]] learns a merge table from a deterministic
+  *    bottom-N hash sample of the corpus, DRIVER-LOCAL (the vocab is
+  *    a model artifact of a few kilobytes, like a PQ codebook or
+  *    k-means centroids — tokenizers are trained on samples in
+  *    practice; 10⁹ documents add nothing past the first few
+  *    thousand). Every choice is deterministic: ties on pair
+  *    frequency break lexicographically, the sample is bottom-N by
+  *    the domain-separated "bpe:" portable hash.
+  *  - [[Bpe.count]] ships the merge table to the data inside a native
+  *    [[BpeCount]] expression (ship-model-to-data): one JVM encode
+  *    loop per row, no joins, no shuffles, no driver involvement.
+  *
+  * Word segmentation is whitespace; each word becomes its Unicode
+  * CODE POINTS (surrogate pairs never split, the TextExprs rule) plus
+  * a terminal "</w>" marker, then merges apply in learned order —
+  * the standard GPT-2-style greedy lowest-rank-first encode.
+  */
+object Bpe {
+
+  /** End-of-word marker symbol (Sennrich's convention). */
+  val EndOfWord = "</w>"
+
+  /** An ordered merge table: earlier = higher priority. */
+  final case class Vocab(merges: Seq[(String, String)])
+
+  private def c(e: Expression): Column = Bridge.column(e)
+
+  /** BPE token count of a text column under `vocab`. Null text counts
+    * as null; empty/blank text counts 0.
+    */
+  def count(text: Column, vocab: Vocab): Column =
+    c(BpeCount(Bridge.expression(text), vocab.merges))
+
+  /** Split a word into code-point symbols + the end marker. */
+  private[expressions] def symbols(word: String): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    var i = 0
+    while (i < word.length) {
+      val cp = word.codePointAt(i)
+      out += new String(Character.toChars(cp))
+      i += Character.charCount(cp)
+    }
+    out += EndOfWord
+    out.result()
+  }
+
+  /** Greedy encode: repeatedly merge the present pair with the LOWEST
+    * rank until none applies (the standard BPE apply loop).
+    */
+  private[expressions] def encode(word: String,
+      rank: Map[(String, String), Int]): Vector[String] = {
+    var syms = symbols(word)
+    var done = syms.length < 2
+    while (!done) {
+      var best = -1
+      var bestRank = Int.MaxValue
+      var i = 0
+      while (i < syms.length - 1) {
+        val r = rank.getOrElse((syms(i), syms(i + 1)), Int.MaxValue)
+        if (r < bestRank) { bestRank = r; best = i }
+        i += 1
+      }
+      if (best < 0) done = true
+      else {
+        // merge EVERY occurrence of the chosen pair, left to right
+        val pair = (syms(best), syms(best + 1))
+        val merged = pair._1 + pair._2
+        val out = Vector.newBuilder[String]
+        var j = 0
+        while (j < syms.length) {
+          if (j < syms.length - 1 && syms(j) == pair._1 &&
+              syms(j + 1) == pair._2) {
+            out += merged; j += 2
+          } else { out += syms(j); j += 1 }
+        }
+        syms = out.result()
+        done = syms.length < 2
+      }
+    }
+    syms
+  }
+
+  /** Train `numMerges` merges on local texts: per round, count symbol
+    * pairs weighted by word frequency, merge the most frequent pair
+    * (ties break to the lexicographically smallest), stop early when
+    * no pair occurs twice.
+    */
+  def train(texts: Seq[String], numMerges: Int): Vocab = {
+    val wordFreq = scala.collection.mutable.Map.empty[String, Long]
+    texts.foreach { t =>
+      Option(t).map(_.trim).filter(_.nonEmpty).foreach {
+        _.split("\\s+").foreach(w => wordFreq(w) = wordFreq.getOrElse(w, 0L) + 1)
+      }
+    }
+    var words: Map[Vector[String], Long] =
+      wordFreq.map { case (w, f) => symbols(w) -> f }.toMap
+    val merges = Seq.newBuilder[(String, String)]
+    var it = 0
+    var exhausted = words.isEmpty
+    while (it < numMerges && !exhausted) {
+      val pairCounts = scala.collection.mutable.Map.empty[(String, String), Long]
+      words.foreach { case (syms, f) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val p = (syms(i), syms(i + 1))
+          pairCounts(p) = pairCounts.getOrElse(p, 0L) + f
+          i += 1
+        }
+      }
+      val best = pairCounts.toSeq
+        .sortBy { case ((a, b), n) => (-n, a, b) }.headOption
+      best match {
+        case Some((pair, n)) if n >= 2 =>
+          merges += pair
+          val merged = pair._1 + pair._2
+          words = words.map { case (syms, f) =>
+            val out = Vector.newBuilder[String]
+            var j = 0
+            while (j < syms.length) {
+              if (j < syms.length - 1 && syms(j) == pair._1 &&
+                  syms(j + 1) == pair._2) {
+                out += merged; j += 2
+              } else { out += syms(j); j += 1 }
+            }
+            out.result() -> f
+          }
+        case _ => exhausted = true // no pair repeats: nothing left to learn
+      }
+      it += 1
+    }
+    Vocab(merges.result())
+  }
+
+  /** Train on the deterministic bottom-`sampleN` hash sample of a
+    * corpus column (domain-separated "bpe:" hash on the row's
+    * `idCol`, uncorrelated with every other sampling decision in the
+    * library). One TakeOrdered collect of `sampleN` texts — the only
+    * driver materialization, bounded by construction.
+    */
+  def trainOn(df: DataFrame, idCol: Column, textCol: Column,
+              numMerges: Int, sampleN: Int = 500): Vocab = {
+    val h = TextExprs.md5Lower64(concat(lit("bpe:"), idCol.cast("string")))
+    val texts = df
+      .select(textCol.as("t"),
+        call_function("shiftrightunsigned", h, lit(1)).as("o"),
+        idCol.as("i"))
+      .orderBy(col("o"), col("i"))
+      .limit(sampleN)
+      .collect().map(_.getString(0)).toSeq
+    train(texts, numMerges)
+  }
+}
+
+/** Native BPE token-count expression: the merge table rides along as
+  * expression state (kilobytes, serialized once per task like literal
+  * centroids), the rank map is built lazily once per
+  * executor-instance, and each row costs one local encode loop.
+  */
+case class BpeCount(child: Expression, merges: Seq[(String, String)])
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+
+  @transient private lazy val rank: Map[(String, String), Int] =
+    merges.zipWithIndex.toMap
+
+  override def nullSafeEval(input: Any): Any = {
+    val text = input.asInstanceOf[UTF8String].toString.trim
+    if (text.isEmpty) java.lang.Long.valueOf(0L)
+    else {
+      var n = 0L
+      text.split("\\s+").foreach { w => n += Bpe.encode(w, rank).length }
+      java.lang.Long.valueOf(n)
+    }
+  }
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}

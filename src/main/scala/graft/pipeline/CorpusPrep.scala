@@ -62,6 +62,12 @@ object CorpusPrep {
     *                    tokens. Computed by one more window function
     *                    over the SAME shard partitioning/ordering as
     *                    `pos`, so it adds no exchange to the plan
+    * @param bpeVocab    when set, the packing budget is denominated in
+    *                    BPE tokens under this merge table
+    *                    ([[graft.functions.expressions.Bpe]]) instead
+    *                    of whitespace tokens — training-time budgets
+    *                    are BPE-token budgets, and a whitespace count
+    *                    can be off by 2-4x on code or non-English text
     */
   final case class Config(
       langRates: Map[String, Double],
@@ -69,7 +75,8 @@ object CorpusPrep {
       nShards: Int = 8,
       nearDupMinEst: Option[Double] = None,
       scrubPii: Boolean = false,
-      packBudget: Option[Int] = None)
+      packBudget: Option[Int] = None,
+      bpeVocab: Option[graft.functions.expressions.Bpe.Vocab] = None)
 
   final case class Stats(
       input: Long, afterDedup: Long, afterSample: Long,
@@ -195,9 +202,12 @@ object CorpusPrep {
       case Some(budget) =>
         val wCum = wShard
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val nTok = cfg.bpeVocab match {
+          case Some(v) => graft.functions.expressions.Bpe.count(col("text"), v)
+          case None => size(TextOps.tokens(col("text"))).cast("bigint")
+        }
         withOrd
-          .withColumn("_ntok",
-            size(TextOps.tokens(col("text"))).cast("bigint"))
+          .withColumn("_ntok", nTok)
           .select(col("*"),
             row_number().over(wShard).cast("long").as("pos"),
             sum(col("_ntok")).over(wCum).as("_cum"))

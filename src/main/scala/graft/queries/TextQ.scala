@@ -539,6 +539,30 @@ object TextQ {
       |  coalesce(string_agg(CASE WHEN kept THEN line END, ' ' ORDER BY seg_no), '') AS text_kept
       |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** q60: tokenizer-faithful token counting — whitespace count (q42's
+    * unit) next to a BPE count under a vocab trained on the corpus
+    * itself ([[graft.functions.expressions.Bpe]]: deterministic
+    * bottom-N-hash sample, lexicographic tie-breaks, ship-the-merge-
+    * table-to-data native expression).
+    *
+    * NO DuckDB oracle BY DESIGN: BPE encoding is an iterative
+    * data-dependent merge loop, not expressible in SQL — the driver
+    * records the weaker rows-only check, and exactness is pinned
+    * instead by BpeSpec's fixture-exact cases (hand-computed merges
+    * and counts) plus the determinism spec (train twice → identical
+    * vocab → identical counts).
+    */
+  def q60(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.expressions.Bpe
+    val docs = Tables(s, dir).documents
+    val vocab = Bpe.trainOn(docs, col("doc_id"), col("text"),
+      numMerges = 200, sampleN = 200)
+    docs.select(col("doc_id"),
+      size(tokens(col("text"))).cast("bigint").as("n_ws_tokens"),
+      Bpe.count(col("text"), vocab).as("n_bpe_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
   val entries: Seq[Entry] = Seq(
     Entry("q30_dedup_exact", q30, Some(q30Sql)),
     Entry("q31_dedup_minhash", q31, Some(q31Sql)),
@@ -551,5 +575,6 @@ object TextQ {
     Entry("q44_text_stats", q44, Some(q44Sql)),
     Entry("q57_tfidf_terms", q57, Some(q57Sql)),
     Entry("q59_line_dedup", q59, Some(q59Sql)),
+    Entry("q60_bpe_tokens", q60, None),
   )
 }

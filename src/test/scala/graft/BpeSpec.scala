@@ -1,0 +1,99 @@
+package graft
+
+import graft.functions.expressions.Bpe
+import graft.queries.TextQ
+import org.apache.spark.sql.functions._
+
+/** BPE has no SQL oracle (an iterative data-dependent merge loop is
+  * not expressible in DuckDB), so exactness is pinned here instead:
+  * hand-computed merge tables and token counts, plus determinism of
+  * the trained vocab.
+  */
+class BpeSpec extends SparkSpec {
+
+  test("train: learns the hand-computed merges with deterministic tie-breaks") {
+    // corpus "ab ab ab": pairs (a,b) and (b,</w>) both occur 3 times;
+    // the lexicographic tie-break picks (a,b); after that merge the
+    // only pair is (ab,</w>)
+    val v = Bpe.train(Seq("ab ab", "ab"), numMerges = 5)
+    assert(v.merges == Seq(("a", "b"), ("ab", Bpe.EndOfWord)),
+      v.merges.toString)
+    // no pair repeats -> nothing learned
+    assert(Bpe.train(Seq("xy"), 5).merges.isEmpty)
+  }
+
+  test("count: fixture-exact token counts under a manual vocab") {
+    import spark.implicits._
+    val vocab = Bpe.Vocab(Seq(("a", "b"), ("ab", "c")))
+    // "abc"  -> [a b c </w>] -> [ab c </w>] -> [abc </w>]      = 2
+    // "abcd" -> [a b c d </w>] -> [ab c d </w>] -> [abc d </w>] = 3
+    // "xyz"  -> [x y z </w>]                                    = 4
+    val rows = Seq((1L, "abc abcd xyz"), (2L, "   "), (3L, "abc"))
+      .toDF("id", "t")
+      .select(col("id"), Bpe.count(col("t"), vocab).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows(1L) == 9L, s"got ${rows(1L)}")
+    assert(rows(2L) == 0L, "blank text must count 0")
+    assert(rows(3L) == 2L)
+    // null text -> null count
+    val nullRow = Seq((4L, null: String)).toDF("id", "t")
+      .select(Bpe.count(col("t"), vocab).as("n")).collect()(0)
+    assert(nullRow.isNullAt(0))
+  }
+
+  test("count: non-BMP text splits on code points, never surrogate halves") {
+    import spark.implicits._
+    // U+1F600 is a surrogate pair in UTF-16: with no merges the word
+    // must count codePoints + 1 (end marker), not utf16 units + 1
+    val n = Seq(("😀😀")).toDF("t")
+      .select(Bpe.count(col("t"), Bpe.Vocab(Nil)).as("n"))
+      .collect()(0).getLong(0)
+    assert(n == 3L, s"got $n (2 code points + </w>)")
+  }
+
+  test("trainOn is deterministic and q60 counts are reproducible") {
+    val docs = Tables(spark, sf).documents
+    val v1 = Bpe.trainOn(docs, col("doc_id"), col("text"), 50, sampleN = 100)
+    val v2 = Bpe.trainOn(docs, col("doc_id"), col("text"), 50, sampleN = 100)
+    assert(v1 == v2, "vocab training must be deterministic")
+    assert(v1.merges.nonEmpty)
+    val a = TextQ.q60(spark, sf).collect().map(_.toString).toSeq
+    val b = TextQ.q60(spark, sf).collect().map(_.toString).toSeq
+    assert(a == b, "q60 must be rerun-identical")
+    // sanity: every doc counted, counts positive, and merges actually
+    // compress relative to raw code points + markers
+    assert(a.nonEmpty)
+    val rows = TextQ.q60(spark, sf).collect()
+    assert(rows.forall(_.getAs[Long]("n_bpe_tokens") > 0))
+    val rawSyms = docs.select(
+      sum(length(regexp_replace(col("text"), "\\s+", "")) +
+        size(split(trim(col("text")), "\\s+"))).as("s"))
+      .collect()(0).getLong(0)
+    val bpeTotal = rows.map(_.getAs[Long]("n_bpe_tokens")).sum
+    assert(bpeTotal < rawSyms,
+      s"merges did not compress: bpe=$bpeTotal raw=$rawSyms")
+  }
+
+  test("CorpusPrep packing under a BPE budget: offsets within budget, deterministic") {
+    val docs = Tables(spark, sf).documents
+    val vocab = Bpe.trainOn(docs, col("doc_id"), col("text"), 50, sampleN = 100)
+    val cfg = graft.pipeline.CorpusPrep.Config(
+      langRates = Map.empty, defaultRate = 1.0, nShards = 4,
+      packBudget = Some(64), bpeVocab = Some(vocab))
+    val rows = graft.pipeline.CorpusPrep.plan(docs, cfg)
+      .select(col("doc_id"), col("shard"), col("pos"),
+        col("pack_id"), col("pack_offset"),
+        graft.functions.expressions.Bpe.count(col("text"), vocab).as("n"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Long]("shard")).foreach { case (s, rs) =>
+      var cum = 0L
+      rs.sortBy(_.getAs[Long]("pos")).foreach { r =>
+        assert(r.getAs[Long]("pack_id") == cum / 64,
+          s"shard $s doc ${r.getAs[Long]("doc_id")}: bad pack_id")
+        assert(r.getAs[Long]("pack_offset") == cum % 64)
+        cum += r.getAs[Long]("n")
+      }
+    }
+  }
+}
