@@ -180,6 +180,72 @@ object Streams {
       .select(col("doc_id"), col("is_dup"))
   }
 
+  // --- streaming line-level boilerplate filter (continuous mirror of batch q59) ---
+
+  final case class LineIn(doc_id: Long, ts: Timestamp, line_hash: Long)
+  final case class LineFreqState(keeper: Long, seen: List[Long])
+  final case class LineVerdict(doc_id: Long, ts: Timestamp, kept: Boolean)
+
+  /** Continuous line-level boilerplate filtering — the ONLINE form of
+    * batch q59 ([[graft.operators.LineDedup]]): per distinct line
+    * (keyed by its 64-bit hash), state tracks the first-seen doc (the
+    * keeper) and up to `minDf` distinct doc ids; once a line has been
+    * seen in `minDf` distinct docs it is boilerplate and every LATER
+    * occurrence outside the keeper doc is dropped.
+    *
+    * Two necessary differences from batch, inherent to one-pass
+    * streaming and stated rather than hidden: (1) the keeper is the
+    * FIRST-SEEN doc, not the globally lowest id — the stream cannot
+    * know about future lower ids; (2) occurrences that arrived BEFORE
+    * the line crossed the threshold were already emitted as kept —
+    * verdicts use knowledge-so-far. A batch q59 pass over the stored
+    * corpus gives the exact retrospective answer; this stage keeps the
+    * bulk of recurring boilerplate out of the live feed.
+    *
+    * State: one entry per distinct line seen, each holding <= minDf
+    * ids — the per-line bound is what makes the entry small; the entry
+    * COUNT grows with distinct lines, so a production deployment sets
+    * a state-store TTL for lines not seen recently (boilerplate by
+    * definition recurs, so eviction only forgets one-off lines).
+    *
+    * Input rows: (doc_id, ts, line_hash) — explode + hash upstream
+    * (TextExprs.md5Lower64 on the segmented line) so the state schema
+    * stays narrow. Output: one finalized (doc_id, n_lines, n_kept) per
+    * doc per window once the watermark passes — the
+    * [[nearDupFilter]] fold pattern.
+    */
+  def lineBoilerplateFilter(lines: Dataset[LineIn], minDf: Int = 2,
+      watermark: String = "1 hour", windowLen: String = "10 minutes")(
+      implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    require(minDf >= 1, s"minDf must be >= 1, got $minDf")
+    val verdicts = lines.withWatermark("ts", watermark)
+      .groupByKey(_.line_hash)
+      .flatMapGroupsWithState[LineFreqState, LineVerdict](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_, ls: Iterator[LineIn], state: GroupState[LineFreqState]) =>
+          var st = state.getOption.getOrElse(LineFreqState(-1L, Nil))
+          val out = scala.collection.mutable.ListBuffer.empty[LineVerdict]
+          // deterministic intra-batch order: first-by-time wins
+          ls.toSeq.sortBy(l => (l.ts.getTime, l.doc_id)).foreach { l =>
+            if (st.seen.isEmpty) st = LineFreqState(l.doc_id, List(l.doc_id))
+            else if (!st.seen.contains(l.doc_id) && st.seen.size < minDf)
+              st = st.copy(seen = l.doc_id :: st.seen)
+            val boiler = st.seen.size >= minDf
+            out += LineVerdict(l.doc_id, l.ts,
+              !boiler || l.doc_id == st.keeper)
+          }
+          state.update(st)
+          out.iterator
+      }
+    verdicts
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen), col("doc_id"))
+      .agg(count(lit(1)).as("n_lines"),
+        count(when(col("kept"), 1)).as("n_kept"))
+      .select(col("doc_id"), col("n_lines"), col("n_kept"))
+  }
+
   // --- stateful sessionization (streaming mirror of batch q22) ---
 
   final case class Ev(user_id: Long, ts: Timestamp, value: Double)

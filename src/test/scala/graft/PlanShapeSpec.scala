@@ -142,6 +142,28 @@ class PlanShapeSpec extends SparkSpec {
       s"q58 expected exactly 2 exchanges (shard hash + output sort), found $exchanges:\n$plan")
   }
 
+  test("q59: frequency stats aggregate on the hash, boilerplate side broadcasts") {
+    val df = graft.queries.TextQ.q59(spark, sf)
+    val plan = finalPlanOf(df)
+    // the anti-boilerplate join must build on the (small) df>=minDf
+    // side, not shuffle the segment payload
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("BuildRight"),
+      s"boilerplate join not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"q59 shuffled the boilerplate join:\n$plan")
+    // the frequency statistics aggregate on the 64-bit line hash and
+    // carry only (lh, doc_id) — line text must never appear in a
+    // stats aggregate (at scale the stats exchange is hash-only; the
+    // sf0.001 single-partition plan elides exchanges entirely, so the
+    // aggregate nodes are where the property is visible)
+    val pre = df.queryExecution.sparkPlan.toString
+    val statLines = pre.linesIterator
+      .filter(_.contains("HashAggregate(keys=[lh")).toSeq
+    assert(statLines.nonEmpty, s"no hash-keyed stats aggregate:\n$pre")
+    assert(statLines.forall(!_.contains("line#")),
+      s"frequency stats carry line text:\n${statLines.mkString("\n")}")
+  }
+
   test("no query plans a cartesian product or nested-loop join (except intentional broadcasts)") {
     // q34: tiny broadcast query set x corpus — the intended brute-force
     // baseline shape (q37 no longer needs the exemption: its k-means

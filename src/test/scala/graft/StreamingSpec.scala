@@ -190,6 +190,43 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("lineBoilerplateFilter: recurring line dropped outside keeper, uniques pass") {
+    implicit val s = spark
+    import s.implicits._
+    val input = MemoryStream[Streams.LineIn](spark)
+    val q = Streams.lineBoilerplateFilter(input.toDS(), minDf = 2,
+      windowLen = "10 minutes")
+      .writeStream.format("memory").queryName("line_verdicts")
+      .outputMode("append").start()
+    try {
+      val banner = 100L
+      input.addData(
+        // doc 1: banner + two unique lines — first sight, all kept
+        Streams.LineIn(1, ts(10), banner),
+        Streams.LineIn(1, ts(10), 1L),
+        Streams.LineIn(1, ts(10), 2L),
+        // doc 2: banner reaches minDf=2 distinct docs -> dropped here
+        Streams.LineIn(2, ts(11), banner),
+        Streams.LineIn(2, ts(11), 3L),
+        // doc 3: banner now established boilerplate -> dropped
+        Streams.LineIn(3, ts(12), banner),
+        Streams.LineIn(3, ts(12), 4L),
+        // the keeper doc repeats its own banner -> kept
+        Streams.LineIn(1, ts(13), banner))
+      q.processAllAvailable()
+      // push the watermark far ahead so the window finalizes
+      input.addData(Streams.LineIn(99, ts(5000), 999L))
+      q.processAllAvailable()
+      val out = spark.table("line_verdicts")
+        .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+      // doc 99 only advanced the watermark; its own window stays open
+      assert(out.keySet == Set(1L, 2L, 3L), s"finalized docs: ${out.keySet}")
+      assert(out(1L) == ((4L, 4L)), s"keeper doc: ${out(1L)}")
+      assert(out(2L) == ((2L, 1L)), s"doc 2: ${out(2L)}")
+      assert(out(3L) == ((2L, 1L)), s"doc 3: ${out(3L)}")
+    } finally q.stop()
+  }
+
   test("sessionize: gap > 30 min splits sessions; state closes on silence") {
     implicit val s = spark
     import s.implicits._
