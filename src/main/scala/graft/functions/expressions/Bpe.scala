@@ -37,6 +37,12 @@ object Bpe {
   /** End-of-word marker symbol (Sennrich's convention). */
   val EndOfWord = "</w>"
 
+  /** Word segmentation regex, compiled ONCE — String.split takes no
+    * fast path for a multi-char pattern and would recompile "\\s+"
+    * per row on the expression hot path.
+    */
+  private[expressions] val Whitespace = java.util.regex.Pattern.compile("\\s+")
+
   /** An ordered merge table: earlier = higher priority. */
   final case class Vocab(merges: Seq[(String, String)])
 
@@ -106,7 +112,8 @@ object Bpe {
     val wordFreq = scala.collection.mutable.Map.empty[String, Long]
     texts.foreach { t =>
       Option(t).map(_.trim).filter(_.nonEmpty).foreach {
-        _.split("\\s+").foreach(w => wordFreq(w) = wordFreq.getOrElse(w, 0L) + 1)
+        Whitespace.split(_).foreach(w =>
+          wordFreq(w) = wordFreq.getOrElse(w, 0L) + 1)
       }
     }
     var words: Map[Vector[String], Long] =
@@ -186,7 +193,7 @@ case class BpeCount(child: Expression, merges: Seq[(String, String)])
     if (text.isEmpty) java.lang.Long.valueOf(0L)
     else {
       var n = 0L
-      text.split("\\s+").foreach { w => n += Bpe.encode(w, rank).length }
+      Bpe.Whitespace.split(text).foreach { w => n += Bpe.encode(w, rank).length }
       java.lang.Long.valueOf(n)
     }
   }

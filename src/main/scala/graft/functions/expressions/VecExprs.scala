@@ -86,17 +86,22 @@ case class L2Norm(child: Expression)
 /** Squared L2 distance — the PQ training/encoding kernel
   * ([[graft.operators.PqCodec]]): one O(dim) JVM loop per row instead
   * of an interpreted zip_with+aggregate tree. Accumulation order and
-  * IEEE arithmetic match the composed form exactly.
+  * IEEE arithmetic match the composed form exactly — INCLUDING the
+  * degenerate cases: unequal lengths yield NULL (zip_with pads the
+  * short side with nulls, which nulls the composed sum), never a
+  * plausible-looking partial distance over the overlapping prefix.
   */
 case class SqDist(left: Expression, right: Expression)
     extends BinaryExpression with CodegenFallback {
 
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val va = a.asInstanceOf[ArrayData]
     val vb = b.asInstanceOf[ArrayData]
-    val n = math.min(va.numElements(), vb.numElements())
+    val n = va.numElements()
+    if (n != vb.numElements()) return null
     var acc = 0.0
     var i = 0
     while (i < n) {
@@ -122,6 +127,7 @@ case class AdcDist(left: Expression, right: Expression)
     extends BinaryExpression with CodegenFallback {
 
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
 
   // codes may arrive as array<int> (fresh encode) or array<bigint>
   // (e.g. read back through an engine that widened them)
@@ -133,11 +139,21 @@ case class AdcDist(left: Expression, right: Expression)
   override def nullSafeEval(c: Any, t: Any): Any = {
     val codes = c.asInstanceOf[ArrayData]
     val tbl = t.asInstanceOf[ArrayData]
-    val n = math.min(codes.numElements(), tbl.numElements())
+    val n = codes.numElements()
+    // degenerate inputs — a codes/codebook shape mismatch (e.g. codes
+    // written under a different ksub or m) or a null code — must
+    // surface as NULL exactly like the composed element_at form, not
+    // as an unchecked UnsafeArrayData read of arbitrary memory
+    if (n != tbl.numElements()) return null
     var acc = 0.0
     var j = 0
     while (j < n) {
-      acc += tbl.getArray(j).getDouble(codeAt(codes, j))
+      if (codes.isNullAt(j) || tbl.isNullAt(j)) return null
+      val row = tbl.getArray(j)
+      val code = codeAt(codes, j)
+      if (code < 0 || code >= row.numElements() || row.isNullAt(code))
+        return null
+      acc += row.getDouble(code)
       j += 1
     }
     java.lang.Double.valueOf(acc)

@@ -286,7 +286,7 @@ object IvfIndex {
           r.getAs[Int]("iters"), r.getAs[Int]("sampleN")))
       } else { // sidecar predates pq/meta: shape from the codebook, defaults otherwise
         val cb = PqCodec.load(spark, s"$path/pq/codebook")
-        Some((cb.m, cb.ksub, 2, 2000))
+        Some((cb.m, cb.ksub, PqCodec.DefaultIters, PqCodec.DefaultSampleN))
       }
     } else None
     val tmp = path + "._graft_retrain"
@@ -296,6 +296,13 @@ object IvfIndex {
       k = meta.getAs[Int]("k"),
       initRounds = meta.getAs[Int]("initRounds"),
       lloydIters = meta.getAs[Int]("lloydIters"))
+    // re-train the PQ sidecar INTO THE TMP TREE, before the swap: the
+    // rename then publishes index + sidecar atomically — a crash at
+    // any point leaves either the complete old index (sidecar intact)
+    // or the complete new one, never an index whose queryPq lost its
+    // codes
+    pqParams.foreach { case (m, ksub, iters, sampleN) =>
+      buildPq(spark, tmp, m, ksub, iters, sampleN) }
     val fs = new Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val old = new Path(path + "._graft_old")
@@ -304,8 +311,6 @@ object IvfIndex {
         !fs.rename(new Path(tmp), new Path(path)))
       throw new java.io.IOException(s"retrain publish failed for $path")
     fs.delete(old, true)
-    pqParams.foreach { case (m, ksub, iters, sampleN) =>
-      buildPq(spark, path, m, ksub, iters, sampleN) }
     Some(info)
   }
 
@@ -363,7 +368,8 @@ object IvfIndex {
     * layout (Jégou et al.).
     */
   def buildPq(spark: SparkSession, path: String, m: Int = 8,
-              ksub: Int = 16, iters: Int = 2, sampleN: Int = 2000): Unit = {
+              ksub: Int = 16, iters: Int = PqCodec.DefaultIters,
+              sampleN: Int = PqCodec.DefaultSampleN): Unit = {
     recoverRetrain(spark, path)
     val index = spark.read.parquet(s"$path/index")
     val cb = PqCodec.train(

@@ -40,7 +40,11 @@ object LineDedup {
     */
   def wordWindows(text: Column, width: Int): Column = {
     val t = TextOps.tokens(text)
-    when(size(t) > 0,
+    // blank/whitespace-only text must yield ZERO segments: split of an
+    // empty trimmed string returns [""], so a size(t) guard would let
+    // one phantom empty line through — and minDf blank docs would then
+    // "dedup" against each other on the empty string
+    when(length(trim(text)) > 0,
       transform(
         sequence(lit(0), ceil(size(t).cast("double") / width).cast("int") - 1),
         i => array_join(slice(t, i * width + 1, lit(width)), " ")))

@@ -24,6 +24,13 @@ import org.apache.spark.sql.functions._
   */
 object PqCodec {
 
+  /** Default training params — referenced by [[train]], by
+    * [[IvfIndex.buildPq]], and by IvfIndex's pre-pq/meta retrain
+    * fallback, so the three can never drift apart.
+    */
+  val DefaultIters = 2
+  val DefaultSampleN = 2000
+
   /** Driver-local codebook: centers(j)(k) is subspace j's k-th center
     * (dsub doubles).
     */
@@ -67,7 +74,8 @@ object PqCodec {
     * previous center.
     */
   def train(embeddings: DataFrame, m: Int = 8, ksub: Int = 16,
-            iters: Int = 2, sampleN: Int = 2000): Codebook = {
+            iters: Int = DefaultIters,
+            sampleN: Int = DefaultSampleN): Codebook = {
     val e0 = embeddings
       .select(col("vec_id"), VecOps.toDoubles(col("embedding")).as("v"))
     val dim = e0.select(size(col("v"))).head().getInt(0)

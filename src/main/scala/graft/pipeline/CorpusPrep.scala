@@ -130,7 +130,11 @@ object CorpusPrep {
     * threshold, keep-lowest like the exact stage. Runs on the DEDUPED
     * docs so exact copies never pay the shingle/minhash pass.
     */
-  def dropsOf(baseDf: DataFrame, cfg: Config): Option[DataFrame] =
+  // private: takes the SCRUB+DEDUPED base frame, not raw docs — the
+  // run()/plan() wiring is the only safe caller (handing it raw docs
+  // would compute drop sets over unscrubbed text and silently let
+  // PII-spanning contamination survive)
+  private def dropsOf(baseDf: DataFrame, cfg: Config): Option[DataFrame] =
     cfg.nearDupMinEst.map(minEst =>
       graft.operators.NearDup.dropIds(baseDf, minEst))
 
@@ -141,8 +145,8 @@ object CorpusPrep {
     * SAME chain as the corpus: contamination spanning a PII token
     * must still match after both sides are rewritten.
     */
-  def contaminatedOf(baseDf: DataFrame, cfg: Config,
-                     benchmark: Option[DataFrame]): Option[DataFrame] =
+  private def contaminatedOf(baseDf: DataFrame, cfg: Config,
+                             benchmark: Option[DataFrame]): Option[DataFrame] =
     benchmark.map { bench =>
       val bg = graft.queries.PrepQ.benchGramSet(scrubbed(bench, cfg))
       graft.queries.PrepQ.gramHashes(baseDf)

@@ -109,6 +109,14 @@ object PrepQ {
     *   on a 1000-node run one lost executor AFTER convergence kills
     *   the job with no recompute path (the iterative lineage is gone
     *   by design). Locally the default executor-block path is fine.
+    *   Lifecycle, stated plainly: the CALLER owns the directory —
+    *   reliable checkpoint files are only auto-deleted when
+    *   `spark.cleaner.referenceTracking.cleanCheckpoints=true`
+    *   (default false), so a long-lived service should point each run
+    *   at a run-scoped subdirectory and delete it once the results
+    *   are consumed. Note also that `setCheckpointDir` is
+    *   SparkContext-GLOBAL: later `checkpoint()` calls anywhere in
+    *   the session write under this directory too.
     */
   def q53(s: SparkSession, dir: String,
           checkpointDir: Option[String] = None): DataFrame = {
@@ -155,8 +163,10 @@ object PrepQ {
         s"q53 label propagation did not converge in $maxIters rounds")
       // truncate the iterative lineage and release the loop cache: the
       // returned plan must not re-run the whole propagation, and the
-      // final cache must not outlive the query (the checkpointed
-      // blocks are freed by the ContextCleaner once unreferenced)
+      // final cache must not outlive the query. localCheckpoint blocks
+      // are freed by the ContextCleaner once unreferenced; RELIABLE
+      // checkpoint files are NOT (see the checkpointDir scaladoc —
+      // the caller owns that directory's lifecycle)
       val finalLabels = checkpointDir match {
         case Some(d) =>
           s.sparkContext.setCheckpointDir(d)

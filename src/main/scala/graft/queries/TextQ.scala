@@ -516,11 +516,11 @@ object TextQ {
   val q59Sql: String =
     """WITH toks AS (
       |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
-      |  FROM documents),
+      |  FROM documents WHERE trim(text) <> ''),
       |s1 AS (
       |  SELECT doc_id, t,
       |    unnest(range(0, CAST(ceil(len(t) / 8.0) AS BIGINT))) AS i
-      |  FROM toks WHERE len(t) > 0),
+      |  FROM toks),
       |seg AS (
       |  SELECT doc_id, i AS seg_no,
       |    array_to_string(t[(i*8+1):(i*8+8)], ' ') AS line
