@@ -51,11 +51,12 @@ object LineDedup {
       .otherwise(array().cast("array<string>"))
   }
 
-  /** (doc_id, n_lines, n_kept, text_kept) per document, ordered by
-    * doc_id: text_kept is the surviving lines re-joined with single
-    * spaces in original order ("" when every line was dropped).
+  /** (doc_id, seg_no, line, kept) — every segment with its verdict:
+    * kept = the line is below the boilerplate threshold OR this doc is
+    * its keeper. The shared first stage of [[dedupe]] (per-doc
+    * reassembly) and span analyses (gaps-and-islands over `kept`).
     */
-  def dedupe(docs: DataFrame, lines: Column, minDf: Int): DataFrame = {
+  def marked(docs: DataFrame, lines: Column, minDf: Int): DataFrame = {
     val seg = docs
       .select(col("doc_id"), posexplode(lines).as(Seq("seg_no", "line")))
       .withColumn("lh", TextExprs.md5Lower64(col("line")))
@@ -69,6 +70,15 @@ object LineDedup {
     seg.join(boiler, Seq("lh"), "left")
       .withColumn("kept",
         col("keeper").isNull || col("keeper") === col("doc_id"))
+      .select(col("doc_id"), col("seg_no"), col("line"), col("kept"))
+  }
+
+  /** (doc_id, n_lines, n_kept, text_kept) per document, ordered by
+    * doc_id: text_kept is the surviving lines re-joined with single
+    * spaces in original order ("" when every line was dropped).
+    */
+  def dedupe(docs: DataFrame, lines: Column, minDf: Int): DataFrame =
+    marked(docs, lines, minDf)
       .groupBy(col("doc_id"))
       .agg(
         count(lit(1)).as("n_lines"),
@@ -79,6 +89,33 @@ object LineDedup {
               when(col("kept"), struct(col("seg_no"), col("line"))))),
             x => x.getField("line")),
           " ").as("text_kept"))
+      .orderBy(col("doc_id"))
+
+  /** Per-doc dropped-SPAN statistics — the paragraph-level view of
+    * boilerplate: maximal runs of consecutive dropped lines counted
+    * as ONE unit each (a 5-line cookie banner is one span, not five
+    * incidents). Classic gaps-and-islands: within a doc's dropped
+    * lines, `seg_no - row_number()` is constant exactly along a
+    * consecutive run, so grouping by it isolates the spans. Output:
+    * (doc_id, n_spans, longest_span, n_dropped) for docs that dropped
+    * at least one line, ordered by doc_id.
+    *
+    * Scale shape: rides [[marked]]'s exchanges; the islands window
+    * and both aggregations all partition by doc_id, so past the
+    * filter there is ONE doc-keyed exchange.
+    */
+  def droppedSpans(docs: DataFrame, lines: Column, minDf: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("seg_no"))
+    marked(docs, lines, minDf)
+      .filter(!col("kept"))
+      .withColumn("grp", col("seg_no") - row_number().over(w))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(count(lit(1)).as("span_len"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        max(col("span_len")).as("longest_span"),
+        sum(col("span_len")).as("n_dropped"))
       .orderBy(col("doc_id"))
   }
 }

@@ -513,8 +513,12 @@ object TextQ {
       Tables(s, dir).documents,
       graft.operators.LineDedup.wordWindows(col("text"), 8), minDf = 2)
 
-  val q59Sql: String =
-    """WITH toks AS (
+  /** Shared oracle CTE chain rebuilding [[graft.operators.LineDedup
+    * .marked]] in DuckDB (8-word windows, minDf=2) — consumed by the
+    * q59 and q61 oracles.
+    */
+  private val lineMarkedCte: String =
+    """toks AS (
       |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
       |  FROM documents WHERE trim(text) <> ''),
       |s1 AS (
@@ -533,11 +537,39 @@ object TextQ {
       |m AS (
       |  SELECT s.doc_id, s.seg_no, s.line,
       |    (b.keeper IS NULL OR b.keeper = s.doc_id) AS kept
-      |  FROM seg s LEFT JOIN b ON md5_number_lower(s.line) = b.lh)
+      |  FROM seg s LEFT JOIN b ON md5_number_lower(s.line) = b.lh)""".stripMargin
+
+  val q59Sql: String =
+    s"""WITH $lineMarkedCte
       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines,
       |  CAST(count(*) FILTER (kept) AS BIGINT) AS n_kept,
       |  coalesce(string_agg(CASE WHEN kept THEN line END, ' ' ORDER BY seg_no), '') AS text_kept
       |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** q61: boilerplate SPAN statistics
+    * ([[graft.operators.LineDedup.droppedSpans]]): maximal runs of
+    * consecutive dropped lines counted as one unit each — the
+    * paragraph-level view of q59's removals (a 5-line cookie banner
+    * is one span, not five incidents), via the classic
+    * gaps-and-islands window pattern (seg_no - row_number constant
+    * along a run).
+    */
+  def q61(s: SparkSession, dir: String): DataFrame =
+    graft.operators.LineDedup.droppedSpans(
+      Tables(s, dir).documents,
+      graft.operators.LineDedup.wordWindows(col("text"), 8), minDf = 2)
+
+  val q61Sql: String =
+    s"""WITH $lineMarkedCte,
+      |d AS (
+      |  SELECT doc_id, seg_no,
+      |    seg_no - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY seg_no) AS grp
+      |  FROM m WHERE NOT kept),
+      |sp AS (SELECT doc_id, grp, count(*) AS span_len FROM d GROUP BY doc_id, grp)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+      |  CAST(max(span_len) AS BIGINT) AS longest_span,
+      |  CAST(sum(span_len) AS BIGINT) AS n_dropped
+      |FROM sp GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   /** q60: tokenizer-faithful token counting — whitespace count (q42's
     * unit) next to a BPE count under a vocab trained on the corpus
@@ -576,5 +608,6 @@ object TextQ {
     Entry("q57_tfidf_terms", q57, Some(q57Sql)),
     Entry("q59_line_dedup", q59, Some(q59Sql)),
     Entry("q60_bpe_tokens", q60, None),
+    Entry("q61_boiler_spans", q61, Some(q61Sql)),
   )
 }

@@ -45,6 +45,24 @@ class TextVecQueriesSpec extends SparkSpec {
     assert(out(4L).getAs[String]("text_kept") == "totally standalone document")
   }
 
+  test("LineDedup.droppedSpans: consecutive dropped lines count as one span") {
+    import spark.implicits._
+    import graft.operators.LineDedup
+    val (b1, b2, b3) = ("banner one here", "banner two here", "banner three here")
+    val docs = Seq(
+      (1L, s"unique alpha\n$b1\n$b2\nunique beta\n$b3"), // keeper of all banners
+      (2L, s"$b1\n$b2\nunique gamma\n$b3\nunique delta"), // spans: [b1,b2], [b3]
+      (3L, "totally unique\nnothing shared"))
+      .toDF("doc_id", "text")
+    val out = LineDedup.droppedSpans(docs, split(col("text"), "\n"), minDf = 2)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_spans"), r.getAs[Long]("longest_span"),
+          r.getAs[Long]("n_dropped"))).toMap
+    // only doc 2 dropped anything: one 2-line run + one isolated line
+    assert(out.keySet == Set(2L), s"docs with spans: ${out.keySet}")
+    assert(out(2L) == ((2L, 2L, 3L)), s"doc 2 spans: ${out(2L)}")
+  }
+
   test("LineDedup.wordWindows: non-overlapping windows, tail keeps its remainder") {
     import spark.implicits._
     import graft.operators.LineDedup
