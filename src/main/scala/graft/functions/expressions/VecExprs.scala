@@ -105,6 +105,9 @@ case class SqDist(left: Expression, right: Expression)
     var acc = 0.0
     var i = 0
     while (i < n) {
+      // a null ELEMENT nulls the whole distance too — getDouble on a
+      // null slot would read 0.0 and produce a plausible wrong number
+      if (va.isNullAt(i) || vb.isNullAt(i)) return null
       val d = va.getDouble(i) - vb.getDouble(i)
       acc += d * d
       i += 1

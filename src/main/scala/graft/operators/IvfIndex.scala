@@ -413,8 +413,11 @@ object IvfIndex {
       .collect().map(_.getLong(0))
     val codes = spark.read.parquet(s"$path/pq/codes")
       .filter(col("cluster_id").isin(probedClusters.toSeq: _*))
+    // nulls LAST: adcDist returns NULL for a corrupt codes/table shape,
+    // and ascending-default would rank NULL first — degenerate rows
+    // must lose shortlist slots, not monopolize them
     val wAdc = Window.partitionBy(col("query_id"))
-      .orderBy(col("approx_dist"), col("vec_id"))
+      .orderBy(col("approx_dist").asc_nulls_last, col("vec_id"))
     // two separate broadcasts: the (query_id, cluster_id) probe pairs
     // and the ONE-row-per-query distance table — attaching tbl before
     // the cluster join would broadcast each m·ksub table nprobe times

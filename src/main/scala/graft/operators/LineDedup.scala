@@ -43,8 +43,10 @@ object LineDedup {
     // blank/whitespace-only text must yield ZERO segments: split of an
     // empty trimmed string returns [""], so a size(t) guard would let
     // one phantom empty line through — and minDf blank docs would then
-    // "dedup" against each other on the empty string
-    when(length(trim(text)) > 0,
+    // "dedup" against each other on the empty string. The guard strips
+    // ALL whitespace classes (trim() removes only ASCII spaces, so a
+    // tab/newline-only doc would sneak past a trim-based check)
+    when(length(regexp_replace(text, "\\s+", "")) > 0,
       transform(
         sequence(lit(0), ceil(size(t).cast("double") / width).cast("int") - 1),
         i => array_join(slice(t, i * width + 1, lit(width)), " ")))

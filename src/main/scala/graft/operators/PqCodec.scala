@@ -48,11 +48,22 @@ object PqCodec {
   private def sqDist(a: Column, b: Column): Column =
     graft.functions.expressions.VecExprs.sqDist(a, b)
 
+  /** Dimension gate: a vector whose length differs from the codebook's
+    * m·dsub must ERROR, not silently slice short subvectors that
+    * SqDist then nulls and argmin resolves to code 0 — corrupt input
+    * producing plausible codes is the worst failure mode.
+    */
+  private def checkedDim(v: Column, expected: Int): Column =
+    when(size(v) === expected, v).otherwise(raise_error(concat(
+      lit(s"PQ dim mismatch: codebook expects $expected, vector has "),
+      size(v).cast("string"))))
+
   /** (vec_id, j, sv) — each vector exploded into its m subvectors. */
   private def subvectors(e: DataFrame, m: Int, dsub: Int): DataFrame =
     e.select(col("vec_id"),
       posexplode(transform(sequence(lit(0), lit(m - 1)),
-        j => slice(col("v"), j * dsub + 1, lit(dsub)))).as(Seq("j", "sv")))
+        j => slice(checkedDim(col("v"), m * dsub), j * dsub + 1, lit(dsub))))
+        .as(Seq("j", "sv")))
 
   /** Nearest-center code per (j, sv) row against the literal codebook:
     * argmin over (sqdist, k) via array_min of structs — lexicographic,
@@ -167,7 +178,8 @@ object PqCodec {
       .withColumn("tbl",
         transform(cbLit(cb), (centersJ, j) =>
           transform(centersJ,
-            c => sqDist(slice(col("qv"), j * cb.dsub + 1, lit(cb.dsub)), c))))
+            c => sqDist(slice(checkedDim(col("qv"), cb.m * cb.dsub),
+              j * cb.dsub + 1, lit(cb.dsub)), c))))
       .select(col("query_id"), col("tbl"))
 
   /** Approximate squared L2 distance of a code row against a distance
@@ -188,8 +200,10 @@ object PqCodec {
   def adcTopK(codes: DataFrame, cb: Codebook, queries: DataFrame,
               topk: Int = 10): DataFrame = {
     val q = distTable(queries, cb)
+    // nulls LAST: a null ADC distance (corrupt codes row) must lose,
+    // not rank first under the ascending default
     val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("approx_dist"), col("vec_id"))
+      .orderBy(col("approx_dist").asc_nulls_last, col("vec_id"))
     codes.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("approx_dist", adcDist(col("codes"), col("tbl")))

@@ -520,7 +520,7 @@ object TextQ {
   private val lineMarkedCte: String =
     """toks AS (
       |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
-      |  FROM documents WHERE trim(text) <> ''),
+      |  FROM documents WHERE regexp_replace(text, '\s+', '', 'g') <> ''),
       |s1 AS (
       |  SELECT doc_id, t,
       |    unnest(range(0, CAST(ceil(len(t) / 8.0) AS BIGINT))) AS i

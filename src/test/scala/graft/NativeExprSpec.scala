@@ -97,6 +97,22 @@ class NativeExprSpec extends SparkSpec {
       composed.as("composed"))
     assert(both.filter(col("native") =!= col("composed")).count() == 0,
       "sqDist must be bit-identical to the composed form")
+    // degenerate parity: a null ELEMENT nulls the distance in the
+    // composed form — the native kernel must agree, never reading the
+    // null slot as 0.0
+    import spark.implicits._
+    val degenerate = Seq(
+      (Seq(Option(1.0), None), Seq(Option(0.0), Option(0.0))), // null element
+      (Seq(Option(1.0)), Seq(Option(0.0), Option(0.0))))       // length mismatch
+      .toDF("v", "w")
+      .select(VecExprs.sqDist(col("v"), col("w")).as("native"),
+        aggregate(zip_with(col("v"), col("w"), (x, y) => (x - y) * (x - y)),
+          lit(0.0), (acc, d) => acc + d).as("composed"))
+      .collect()
+    degenerate.foreach { r =>
+      assert(r.isNullAt(0) && r.isNullAt(1),
+        s"degenerate input must be NULL in both forms: $r")
+    }
   }
 
   test("native adcDist == composed element_at lookup sum") {

@@ -25,6 +25,17 @@ class PqCodecSpec extends SparkSpec {
     assert(bad == 0, "every vector must get m codes in [0, ksub)")
   }
 
+  test("encode raises on dimension mismatch instead of emitting plausible codes") {
+    import spark.implicits._
+    val cb = PqCodec.Codebook(2, 1, 2,
+      Seq(Seq(Seq(0.0, 0.0)), Seq(Seq(0.0, 0.0))))
+    val bad = Seq((1L, Seq(1.0f, 2.0f, 3.0f))).toDF("vec_id", "embedding")
+    def msgs(t: Throwable): String =
+      if (t == null) "" else t.toString + msgs(t.getCause)
+    val ex = intercept[Exception] { PqCodec.encode(bad, cb).collect() }
+    assert(msgs(ex).contains("PQ dim mismatch"), msgs(ex).take(500))
+  }
+
   test("ADC top-k beats random ranking: decent recall vs exact L2 neighbors") {
     import spark.implicits._
     val cb = PqCodec.train(emb, m = 8, ksub = 16, iters = 2, sampleN = 500)

@@ -66,12 +66,14 @@ class TextVecQueriesSpec extends SparkSpec {
   test("LineDedup.wordWindows: non-overlapping windows, tail keeps its remainder") {
     import spark.implicits._
     import graft.operators.LineDedup
-    val rows = Seq((1L, "a b c d e f g h i j"), (2L, " "))
+    val rows = Seq((1L, "a b c d e f g h i j"), (2L, " "), (3L, "\n\t \n"))
       .toDF("doc_id", "text")
       .select(col("doc_id"), LineDedup.wordWindows(col("text"), 8).as("w"))
       .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
     assert(rows(1L) == Seq("a b c d e f g h", "i j"))
     assert(rows(2L).isEmpty, "blank text must yield zero segments")
+    assert(rows(3L).isEmpty,
+      "tab/newline-only text must yield zero segments (trim strips only spaces)")
   }
 
   test("q31 minhash finds the known near-dup pairs with high estimate") {
