@@ -75,12 +75,13 @@ object LineDedup {
       .select(col("doc_id"), col("seg_no"), col("line"), col("kept"))
   }
 
-  /** (doc_id, n_lines, n_kept, text_kept) per document, ordered by
-    * doc_id: text_kept is the surviving lines re-joined with single
-    * spaces in original order ("" when every line was dropped).
+  /** Per-doc reassembly of any marked frame: (doc_id, n_lines,
+    * n_kept, text_kept), ordered by doc_id — text_kept is the
+    * surviving lines re-joined with single spaces in original order
+    * ("" when every line was dropped).
     */
-  def dedupe(docs: DataFrame, lines: Column, minDf: Int): DataFrame =
-    marked(docs, lines, minDf)
+  private def reassemble(markedDf: DataFrame): DataFrame =
+    markedDf
       .groupBy(col("doc_id"))
       .agg(
         count(lit(1)).as("n_lines"),
@@ -92,6 +93,30 @@ object LineDedup {
             x => x.getField("line")),
           " ").as("text_kept"))
       .orderBy(col("doc_id"))
+
+  /** Cross-document boilerplate dedup (see the object doc). */
+  def dedupe(docs: DataFrame, lines: Column, minDf: Int): DataFrame =
+    reassemble(marked(docs, lines, minDf))
+
+  /** WITHIN-document repeated-line removal — the complement of
+    * [[dedupe]]'s cross-doc pass (C4 also dedups spans inside a single
+    * page): every repeat of a line AFTER its first occurrence in the
+    * same doc is dropped; other docs are irrelevant. Same output
+    * contract as [[dedupe]].
+    *
+    * Scale shape: no frequency table and no join at all — one window
+    * over (doc_id, line-hash) marks repeats, then the per-doc
+    * reassembly; both partition under doc_id-compatible keys so the
+    * payload crosses two doc-keyed exchanges and nothing else.
+    */
+  def dedupeWithinDoc(docs: DataFrame, lines: Column): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"), col("lh")).orderBy(col("seg_no"))
+    reassemble(docs
+      .select(col("doc_id"), posexplode(lines).as(Seq("seg_no", "line")))
+      .withColumn("lh", TextExprs.md5Lower64(col("line")))
+      .withColumn("kept", row_number().over(w) === 1))
+  }
 
   /** Per-doc dropped-SPAN statistics — the paragraph-level view of
     * boilerplate: maximal runs of consecutive dropped lines counted

@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Source-mixing rate computation — the planning half of corpus
+  * mixing: given how many tokens each source actually has, compute
+  * the per-source KEEP RATE that realizes a target token distribution
+  * at the maximum feasible corpus size (downsampling only — no source
+  * can contribute more than it has, so the tightest source pins the
+  * total and every other source downsamples to proportion).
+  *
+  * The rates feed [[Sample.stratified]] / CorpusPrep's langRates-style
+  * knobs: this operator turns "I want 30% code, 60% web, 10% books"
+  * into the deterministic per-source probabilities those stages
+  * consume.
+  *
+  * Scale shape: one map-side-combined token aggregation per source
+  * (the only corpus pass); everything after operates on the
+  * sources-sized aggregate (a global window over tens of rows), so
+  * there is nothing to optimize past the first exchange.
+  */
+object Mixer {
+
+  /** Per-source token totals: (source, tokens). `tokenCount` defaults
+    * to the whitespace count; pass
+    * [[graft.functions.expressions.Bpe.count]] under a vocab for
+    * tokenizer-faithful budgets.
+    */
+  def sourceTokens(docs: DataFrame, tokenCount: Column): DataFrame =
+    docs.select(col("source"), tokenCount.cast("bigint").as("n"))
+      .groupBy(col("source")).agg(sum(col("n")).as("tokens"))
+
+  /** Balanced mix: every source contributes the SAME token count —
+    * the smallest source participates fully (rate 1.0) and every
+    * other source downsamples to match it. (source, tokens, rate),
+    * ordered by source.
+    */
+  def balancedRates(docs: DataFrame, tokenCount: Column): DataFrame = {
+    val w = Window.partitionBy() // sources-sized aggregate: tiny by then
+    sourceTokens(docs, tokenCount)
+      .withColumn("rate",
+        min(col("tokens")).over(w).cast("double") / col("tokens"))
+      .orderBy(col("source"))
+  }
+
+  /** Weighted mix: `weights` are target token SHARES (need not sum to
+    * 1 — they are normalized). The feasible maximum total is pinned by
+    * the source whose supply runs out first (min over s of
+    * tokens_s / share_s); every source then keeps
+    * share_s * total / tokens_s of its tokens. Sources absent from
+    * `weights` get share 0 (rate 0 — dropped from the mix).
+    */
+  def targetRates(docs: DataFrame, tokenCount: Column,
+                  weights: Map[String, Double]): DataFrame = {
+    require(weights.nonEmpty && weights.values.forall(_ > 0),
+      "weights must be non-empty and strictly positive")
+    val norm = weights.values.sum
+    val shareCol = weights.foldLeft(lit(0.0)) { case (acc, (s, wt)) =>
+      when(col("source") === s, wt / norm).otherwise(acc)
+    }
+    val w = Window.partitionBy()
+    sourceTokens(docs, tokenCount)
+      .withColumn("share", shareCol)
+      .withColumn("feasible_total",
+        min(when(col("share") > 0, col("tokens").cast("double") / col("share")))
+          .over(w))
+      .withColumn("rate",
+        when(col("share") > 0,
+          col("share") * col("feasible_total") / col("tokens"))
+          .otherwise(lit(0.0)))
+      .select(col("source"), col("tokens"), col("share"), col("rate"))
+      .orderBy(col("source"))
+  }
+}

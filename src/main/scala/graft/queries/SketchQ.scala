@@ -411,6 +411,31 @@ object SketchQ {
       |  CAST((cum - n_tok) % $PackBudget AS BIGINT) AS pack_offset
       |FROM c ORDER BY shard, pack_id, pack_offset, doc_id""".stripMargin
 
+  /** q63: balanced source-mixing rates
+    * ([[graft.operators.Mixer.balancedRates]]): the per-source keep
+    * rate that makes every source contribute the SAME token count —
+    * the smallest source participates fully, everyone else
+    * downsamples to match. The planning step that turns token
+    * supplies into the stratified-sampling probabilities q47 /
+    * CorpusPrep consume. The rate is a single division of exact
+    * integers, so the raw double is engine-identical.
+    */
+  def q63(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextOps
+    graft.operators.Mixer.balancedRates(
+      Tables(s, dir).documents,
+      org.apache.spark.sql.functions.size(TextOps.tokens(col("text"))))
+  }
+
+  val q63Sql: String =
+    """WITH t AS (
+      |  SELECT source,
+      |    CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS tokens
+      |  FROM documents GROUP BY source)
+      |SELECT source, tokens,
+      |  CAST(min(tokens) OVER () AS DOUBLE) / tokens AS rate
+      |FROM t ORDER BY source""".stripMargin
+
   val entries: Seq[Entry] = Seq(
     Entry("q45_hll_distinct", q45, Some(q45Sql)),
     Entry("q46_sample_quantile", q46, Some(q46Sql)),
@@ -420,5 +445,6 @@ object SketchQ {
     Entry("q51_repetition", q51, Some(q51Sql)),
     Entry("q55_bottomk_sample", (s, d) => q55(s, d), Some(q55Sql)),
     Entry("q58_sequence_pack", (s, d) => q58(s, d), Some(q58Sql)),
+    Entry("q63_mix_rates", q63, Some(q63Sql)),
   )
 }

@@ -513,22 +513,29 @@ object TextQ {
       Tables(s, dir).documents,
       graft.operators.LineDedup.wordWindows(col("text"), 8), minDf = 2)
 
+  /** Word-window segmentation CTEs ([[graft.operators.LineDedup
+    * .wordWindows]] in DuckDB) at a given width — shared by every
+    * line-level oracle.
+    */
+  private def segCte(w: Int): String =
+    s"""toks AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+      |  FROM documents WHERE regexp_replace(text, '\\s+', '', 'g') <> ''),
+      |s1 AS (
+      |  SELECT doc_id, t,
+      |    unnest(range(0, CAST(ceil(len(t) / $w.0) AS BIGINT))) AS i
+      |  FROM toks),
+      |seg AS (
+      |  SELECT doc_id, i AS seg_no,
+      |    array_to_string(t[(i*$w+1):(i*$w+$w)], ' ') AS line
+      |  FROM s1)""".stripMargin
+
   /** Shared oracle CTE chain rebuilding [[graft.operators.LineDedup
     * .marked]] in DuckDB (8-word windows, minDf=2) — consumed by the
     * q59 and q61 oracles.
     */
   private val lineMarkedCte: String =
-    """toks AS (
-      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
-      |  FROM documents WHERE regexp_replace(text, '\s+', '', 'g') <> ''),
-      |s1 AS (
-      |  SELECT doc_id, t,
-      |    unnest(range(0, CAST(ceil(len(t) / 8.0) AS BIGINT))) AS i
-      |  FROM toks),
-      |seg AS (
-      |  SELECT doc_id, i AS seg_no,
-      |    array_to_string(t[(i*8+1):(i*8+8)], ' ') AS line
-      |  FROM s1),
+    s"""${segCte(8)},
       |st AS (
       |  SELECT md5_number_lower(line) AS lh,
       |    count(DISTINCT doc_id) AS df, min(doc_id) AS keeper
@@ -571,6 +578,31 @@ object TextQ {
       |  CAST(sum(span_len) AS BIGINT) AS n_dropped
       |FROM sp GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** q62: WITHIN-document repeated-line removal
+    * ([[graft.operators.LineDedup.dedupeWithinDoc]]) — C4 also dedups
+    * spans inside a single page; repeats after the first occurrence in
+    * the same doc drop, other docs are irrelevant. Width 2 here: the
+    * synthetic word-soup corpus repeats 2-word windows within docs but
+    * never longer ones (a real corpus would use newline or sentence
+    * segmentation).
+    */
+  def q62(s: SparkSession, dir: String): DataFrame =
+    graft.operators.LineDedup.dedupeWithinDoc(
+      Tables(s, dir).documents,
+      graft.operators.LineDedup.wordWindows(col("text"), 2))
+
+  val q62Sql: String =
+    s"""WITH ${segCte(2)},
+      |m AS (
+      |  SELECT doc_id, seg_no, line,
+      |    ROW_NUMBER() OVER (PARTITION BY doc_id, md5_number_lower(line)
+      |      ORDER BY seg_no) = 1 AS kept
+      |  FROM seg)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines,
+      |  CAST(count(*) FILTER (kept) AS BIGINT) AS n_kept,
+      |  coalesce(string_agg(CASE WHEN kept THEN line END, ' ' ORDER BY seg_no), '') AS text_kept
+      |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** q60: tokenizer-faithful token counting — whitespace count (q42's
     * unit) next to a BPE count under a vocab trained on the corpus
     * itself ([[graft.functions.expressions.Bpe]]: deterministic
@@ -609,5 +641,6 @@ object TextQ {
     Entry("q59_line_dedup", q59, Some(q59Sql)),
     Entry("q60_bpe_tokens", q60, None),
     Entry("q61_boiler_spans", q61, Some(q61Sql)),
+    Entry("q62_intradoc_dedup", q62, Some(q62Sql)),
   )
 }

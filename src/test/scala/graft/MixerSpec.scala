@@ -1,0 +1,59 @@
+package graft
+
+import graft.operators.Mixer
+import org.apache.spark.sql.functions._
+
+class MixerSpec extends SparkSpec {
+
+  private def tokenCount = size(split(trim(col("text")), "\\s+"))
+
+  test("balancedRates: smallest source keeps everything, others downsample to match") {
+    import spark.implicits._
+    val docs = Seq(
+      ("w w w w", "A"),                          // A: 4 tokens
+      ("w w w w w w w w", "B"),                  // B: 8 tokens
+      ("w w", "B"))                              // B: +2 -> 10 tokens
+      .toDF("text", "source")
+    val out = Mixer.balancedRates(docs, tokenCount)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out("A") == ((4L, 1.0)), out.toString)
+    assert(out("B") == ((10L, 0.4)), out.toString)
+  }
+
+  test("targetRates: tightest source pins the total; absent sources drop; shares realized exactly") {
+    import spark.implicits._
+    val docs = Seq(
+      ("w w w w w w w w w w", "web"),   // 10 tokens
+      ("w w w w w w", "code"),          // 6 tokens
+      ("w w w w", "junk"))              // 4 tokens, not in the target
+      .toDF("text", "source")
+    // target 50/50 web/code: code runs out first (6/0.5 = 12 < 10/0.5 = 20)
+    // -> total 12: code keeps all 6 (rate 1.0), web keeps 6 of 10 (0.6)
+    val out = Mixer.targetRates(docs, tokenCount,
+      Map("web" -> 0.5, "code" -> 0.5))
+      .collect().map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("tokens"), r.getAs[Double]("rate"))).toMap
+    assert(out("code") == ((6L, 1.0)), out.toString)
+    assert(out("web") == ((10L, 0.6)), out.toString)
+    assert(out("junk") == ((4L, 0.0)), out.toString)
+    // realized token shares match the target exactly
+    val realized = out.map { case (s, (t, r)) => s -> t * r }
+    assert(realized("web") == realized("code"))
+    // weights are normalized: scaling them changes nothing
+    val scaled = Mixer.targetRates(docs, tokenCount,
+      Map("web" -> 5.0, "code" -> 5.0))
+      .collect().map(r => r.getAs[String]("source") -> r.getAs[Double]("rate")).toMap
+    assert(scaled("web") == 0.6 && scaled("code") == 1.0)
+  }
+
+  test("targetRates rejects empty or non-positive weights") {
+    import spark.implicits._
+    val docs = Seq(("w", "A")).toDF("text", "source")
+    intercept[IllegalArgumentException] {
+      Mixer.targetRates(docs, tokenCount, Map.empty)
+    }
+    intercept[IllegalArgumentException] {
+      Mixer.targetRates(docs, tokenCount, Map("A" -> -1.0))
+    }
+  }
+}

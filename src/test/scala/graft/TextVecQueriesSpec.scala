@@ -45,6 +45,22 @@ class TextVecQueriesSpec extends SparkSpec {
     assert(out(4L).getAs[String]("text_kept") == "totally standalone document")
   }
 
+  test("LineDedup.dedupeWithinDoc: repeats after the first occurrence drop, other docs irrelevant") {
+    import spark.implicits._
+    import graft.operators.LineDedup
+    val docs = Seq(
+      (1L, "alpha\nbeta\nalpha\ngamma\nalpha"), // alpha x3 -> keep first only
+      (2L, "alpha\ndelta"))                     // doc 1's repeats don't affect doc 2
+      .toDF("doc_id", "text")
+    val out = LineDedup.dedupeWithinDoc(docs, split(col("text"), "\n"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[Long]("n_lines") == 5 &&
+      out(1L).getAs[Long]("n_kept") == 3, out(1L).toString)
+    assert(out(1L).getAs[String]("text_kept") == "alpha beta gamma")
+    assert(out(2L).getAs[Long]("n_kept") == 2 &&
+      out(2L).getAs[String]("text_kept") == "alpha delta", out(2L).toString)
+  }
+
   test("LineDedup.droppedSpans: consecutive dropped lines count as one span") {
     import spark.implicits._
     import graft.operators.LineDedup
