@@ -20,10 +20,19 @@ object Sample {
 
   /** Keep-predicate for one row id at `rate` (a Column so the rate may
     * vary per row, e.g. a CASE over a class column).
+    *
+    * `domain` decorrelates STACKED gates on the same id: two gates
+    * hashing the bare id would keep a row iff h < min(r1, r2) — one
+    * coin flip, not two — so a pipeline chaining e.g. a language gate
+    * and a source-mix gate must give the second a distinct domain
+    * prefix ("" keeps the q47-oracle-pinned legacy hash).
     */
-  def keep(id: Column, rate: Column): Column =
-    md5Lower64(id.cast("string")).bitwiseAND(lit(1023L)) <
+  def keep(id: Column, rate: Column, domain: String = ""): Column = {
+    val key = if (domain.isEmpty) id.cast("string")
+              else concat(lit(domain), id.cast("string"))
+    md5Lower64(key).bitwiseAND(lit(1023L)) <
       floor(rate * 1024).cast("long")
+  }
 
   /** Per-class stratified sample: class `classCol` is kept at
     * `rates(class)` (or `defaultRate`). Works identically on batch and
@@ -31,10 +40,11 @@ object Sample {
     */
   def stratified(df: DataFrame, idCol: String, classCol: String,
                  rates: Map[String, Double],
-                 defaultRate: Double): DataFrame = {
+                 defaultRate: Double,
+                 domain: String = ""): DataFrame = {
     val rate = rates.foldLeft(lit(defaultRate)) { case (acc, (cls, r)) =>
       when(col(classCol) === cls, lit(r)).otherwise(acc)
     }
-    df.filter(keep(col(idCol), rate))
+    df.filter(keep(col(idCol), rate, domain))
   }
 }

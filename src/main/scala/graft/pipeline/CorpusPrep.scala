@@ -68,6 +68,15 @@ object CorpusPrep {
     *                    of whitespace tokens — training-time budgets
     *                    are BPE-token budgets, and a whitespace count
     *                    can be off by 2-4x on code or non-English text
+    * @param sourceRates optional SECOND sampling gate keyed on the
+    *                    `source` column — feed it
+    *                    [[graft.operators.Mixer]] output to realize a
+    *                    target source mix. Sources absent from the map
+    *                    are DROPPED (rate 0, matching Mixer's
+    *                    convention for sources outside the target).
+    *                    Hash-decorrelated from the language gate
+    *                    (domain "mix:"), so the two keep decisions are
+    *                    independent coin flips
     */
   final case class Config(
       langRates: Map[String, Double],
@@ -76,7 +85,8 @@ object CorpusPrep {
       nearDupMinEst: Option[Double] = None,
       scrubPii: Boolean = false,
       packBudget: Option[Int] = None,
-      bpeVocab: Option[graft.functions.expressions.Bpe.Vocab] = None)
+      bpeVocab: Option[graft.functions.expressions.Bpe.Vocab] = None,
+      sourceRates: Option[Map[String, Double]] = None)
 
   final case class Stats(
       input: Long, afterDedup: Long, afterSample: Long,
@@ -184,8 +194,14 @@ object CorpusPrep {
       deduped1.join(c, Seq("doc_id"), "left_anti"))
     val tagged = deduped.withColumn("lang_detected",
       TextOps.langId(col("text")).getField("lang"))
-    val sampled = Sample.stratified(tagged, "doc_id", "lang_detected",
+    val langSampled = Sample.stratified(tagged, "doc_id", "lang_detected",
       cfg.langRates, cfg.defaultRate)
+    // optional source-mix gate (Mixer rates): its own hash domain so
+    // the two gates are independent — stacking on the bare id hash
+    // would keep iff h < min(r1, r2), one coin flip instead of two
+    val sampled = cfg.sourceRates.fold(langSampled)(rates =>
+      Sample.stratified(langSampled, "doc_id", "source",
+        rates, defaultRate = 0.0, domain = "mix:"))
     val h = shardHash
     val wShard = Window.partitionBy(col("shard"))
       .orderBy(col("_ord"), col("doc_id"))

@@ -180,6 +180,32 @@ class CorpusPrepSpec extends SparkSpec {
       "packing added a Window node (window spec not shared)")
   }
 
+  test("source-mix gate: absent sources drop, listed rates apply, decisions deterministic") {
+    import spark.implicits._
+    val docs = (1L to 40L).map { i =>
+      val src = if (i <= 20) "a" else "b"
+      (i, s"unique document number $i with its own distinct words here", "en", src, 1L)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val base = CorpusPrep.Config(langRates = Map.empty, defaultRate = 1.0,
+      nShards = 2)
+    // only source a listed -> every b doc dropped, every a doc kept
+    val keptA = CorpusPrep.plan(docs, base.copy(sourceRates = Some(Map("a" -> 1.0))))
+      .select(col("doc_id"), col("source")).collect()
+    assert(keptA.nonEmpty && keptA.forall(_.getString(1) == "a"),
+      "absent source must drop entirely")
+    assert(keptA.length == 20, "rate-1.0 source must keep every doc")
+    // fractional rate: deterministic proper subset
+    val half1 = CorpusPrep.plan(docs,
+      base.copy(sourceRates = Some(Map("a" -> 1.0, "b" -> 0.5))))
+      .select(col("doc_id")).as[Long].collect().sorted.toSeq
+    val half2 = CorpusPrep.plan(docs,
+      base.copy(sourceRates = Some(Map("a" -> 1.0, "b" -> 0.5))))
+      .select(col("doc_id")).as[Long].collect().sorted.toSeq
+    assert(half1 == half2, "mix gate must be deterministic")
+    assert(half1.count(_ <= 20) == 20 && half1.count(_ > 20) < 20,
+      s"b must be downsampled, a untouched: $half1")
+  }
+
   test("run: writes shard-partitioned parquet and reports consistent stage counts") {
     val docs = Tables(spark, sf).documents
     val out = java.nio.file.Files.createTempDirectory("graft-corpus").toString
