@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.functions.TextOps
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -23,12 +24,16 @@ import org.apache.spark.sql.functions._
   */
 object Mixer {
 
+  /** The default token unit: whitespace tokens. */
+  def whitespaceTokens: Column = size(TextOps.tokens(col("text")))
+
   /** Per-source token totals: (source, tokens). `tokenCount` defaults
     * to the whitespace count; pass
     * [[graft.functions.expressions.Bpe.count]] under a vocab for
     * tokenizer-faithful budgets.
     */
-  def sourceTokens(docs: DataFrame, tokenCount: Column): DataFrame =
+  def sourceTokens(docs: DataFrame,
+                   tokenCount: Column = whitespaceTokens): DataFrame =
     docs.select(col("source"), tokenCount.cast("bigint").as("n"))
       .groupBy(col("source")).agg(sum(col("n")).as("tokens"))
 
@@ -37,7 +42,8 @@ object Mixer {
     * other source downsamples to match it. (source, tokens, rate),
     * ordered by source.
     */
-  def balancedRates(docs: DataFrame, tokenCount: Column): DataFrame = {
+  def balancedRates(docs: DataFrame,
+                    tokenCount: Column = whitespaceTokens): DataFrame = {
     val w = Window.partitionBy() // sources-sized aggregate: tiny by then
     sourceTokens(docs, tokenCount)
       .withColumn("rate",
@@ -51,23 +57,34 @@ object Mixer {
     * tokens_s / share_s); every source then keeps
     * share_s * total / tokens_s of its tokens. Sources absent from
     * `weights` get share 0 (rate 0 — dropped from the mix).
+    *
+    * A WEIGHTED source with no tokens in `docs` (missing, or a typo'd
+    * name) makes the mix INFEASIBLE: it appears in the output with
+    * tokens 0, the feasible total collapses to 0, and every rate is
+    * 0.0 — loud emptiness, never a silently reshaped mix that ignores
+    * the absent source.
     */
   def targetRates(docs: DataFrame, tokenCount: Column,
                   weights: Map[String, Double]): DataFrame = {
     require(weights.nonEmpty && weights.values.forall(_ > 0),
       "weights must be non-empty and strictly positive")
     val norm = weights.values.sum
-    val shareCol = weights.foldLeft(lit(0.0)) { case (acc, (s, wt)) =>
-      when(col("source") === s, wt / norm).otherwise(acc)
-    }
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // weighted sources participate even with zero supply: a full-outer
+    // join keeps them (tokens 0) so the feasibility math sees them
+    val shares = weights.toSeq.map { case (s, wt) => (s, wt / norm) }
+      .toDF("source", "share")
     val w = Window.partitionBy()
     sourceTokens(docs, tokenCount)
-      .withColumn("share", shareCol)
+      .join(shares, Seq("source"), "full_outer")
+      .withColumn("tokens", coalesce(col("tokens"), lit(0L)))
+      .withColumn("share", coalesce(col("share"), lit(0.0)))
       .withColumn("feasible_total",
         min(when(col("share") > 0, col("tokens").cast("double") / col("share")))
           .over(w))
       .withColumn("rate",
-        when(col("share") > 0,
+        when(col("share") > 0 && col("tokens") > 0,
           col("share") * col("feasible_total") / col("tokens"))
           .otherwise(lit(0.0)))
       .select(col("source"), col("tokens"), col("share"), col("rate"))

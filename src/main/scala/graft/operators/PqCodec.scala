@@ -51,19 +51,23 @@ object PqCodec {
   /** Dimension gate: a vector whose length differs from the codebook's
     * m·dsub must ERROR, not silently slice short subvectors that
     * SqDist then nulls and argmin resolves to code 0 — corrupt input
-    * producing plausible codes is the worst failure mode.
+    * producing plausible codes is the worst failure mode. A NULL
+    * vector is named as such (size(NULL) would report -1 and send the
+    * operator hunting for a negative-dim vector). Apply ONCE per row
+    * in a projection, never inside a per-element lambda.
     */
   private def checkedDim(v: Column, expected: Int): Column =
     when(size(v) === expected, v).otherwise(raise_error(concat(
       lit(s"PQ dim mismatch: codebook expects $expected, vector has "),
-      size(v).cast("string"))))
+      when(v.isNull, lit("NULL")).otherwise(size(v).cast("string")))))
 
   /** (vec_id, j, sv) — each vector exploded into its m subvectors. */
   private def subvectors(e: DataFrame, m: Int, dsub: Int): DataFrame =
-    e.select(col("vec_id"),
-      posexplode(transform(sequence(lit(0), lit(m - 1)),
-        j => slice(checkedDim(col("v"), m * dsub), j * dsub + 1, lit(dsub))))
-        .as(Seq("j", "sv")))
+    e.select(col("vec_id"), checkedDim(col("v"), m * dsub).as("v"))
+      .select(col("vec_id"),
+        posexplode(transform(sequence(lit(0), lit(m - 1)),
+          j => slice(col("v"), j * dsub + 1, lit(dsub))))
+          .as(Seq("j", "sv")))
 
   /** Nearest-center code per (j, sv) row against the literal codebook:
     * argmin over (sqdist, k) via array_min of structs — lexicographic,
@@ -175,11 +179,11 @@ object PqCodec {
     queries
       .select(col("vec_id").as("query_id"),
         VecOps.toDoubles(col("embedding")).as("qv"))
+      .withColumn("qv", checkedDim(col("qv"), cb.m * cb.dsub))
       .withColumn("tbl",
         transform(cbLit(cb), (centersJ, j) =>
           transform(centersJ,
-            c => sqDist(slice(checkedDim(col("qv"), cb.m * cb.dsub),
-              j * cb.dsub + 1, lit(cb.dsub)), c))))
+            c => sqDist(slice(col("qv"), j * cb.dsub + 1, lit(cb.dsub)), c))))
       .select(col("query_id"), col("tbl"))
 
   /** Approximate squared L2 distance of a code row against a distance

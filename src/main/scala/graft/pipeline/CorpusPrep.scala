@@ -70,13 +70,22 @@ object CorpusPrep {
     *                    can be off by 2-4x on code or non-English text
     * @param sourceRates optional SECOND sampling gate keyed on the
     *                    `source` column — feed it
-    *                    [[graft.operators.Mixer]] output to realize a
-    *                    target source mix. Sources absent from the map
-    *                    are DROPPED (rate 0, matching Mixer's
-    *                    convention for sources outside the target).
-    *                    Hash-decorrelated from the language gate
-    *                    (domain "mix:"), so the two keep decisions are
-    *                    independent coin flips
+    *                    [[graft.operators.Mixer]] output. Sources
+    *                    absent from the map are DROPPED (rate 0,
+    *                    matching Mixer's convention for sources
+    *                    outside the target). Hash-decorrelated from
+    *                    the language gate (domain "mix:"), so the two
+    *                    keep decisions are independent coin flips.
+    *                    Precision caveat, stated plainly: the gate
+    *                    runs AFTER dedup/decontamination/langRates,
+    *                    so rates computed by Mixer over the RAW
+    *                    corpus realize the target only up to what
+    *                    those upstream stages removed per source (and
+    *                    a per-DOC keep rate realizes a token share in
+    *                    expectation). For exact shares, compute Mixer
+    *                    over the prepared frame (run once without
+    *                    sourceRates, measure, then rerun), or accept
+    *                    the approximation
     */
   final case class Config(
       langRates: Map[String, Double],

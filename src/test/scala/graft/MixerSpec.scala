@@ -46,6 +46,21 @@ class MixerSpec extends SparkSpec {
     assert(scaled("web") == 0.6 && scaled("code") == 1.0)
   }
 
+  test("targetRates: a weighted source with no supply makes the mix loudly infeasible") {
+    import spark.implicits._
+    val docs = Seq(("w w w w w w w w w w", "web")).toDF("text", "source")
+    // "books" is weighted but absent (e.g. a typo'd source name): the
+    // mix must collapse to all-zero rates, never silently become 100% web
+    val out = Mixer.targetRates(docs, tokenCount,
+      Map("web" -> 0.5, "books" -> 0.5))
+      .collect().map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("tokens"), r.getAs[Double]("rate"))).toMap
+    assert(out.keySet == Set("web", "books"), out.toString)
+    assert(out("books") == ((0L, 0.0)), out.toString)
+    assert(out("web")._2 == 0.0,
+      s"infeasible mix must zero every rate, got ${out("web")}")
+  }
+
   test("targetRates rejects empty or non-positive weights") {
     import spark.implicits._
     val docs = Seq(("w", "A")).toDF("text", "source")
