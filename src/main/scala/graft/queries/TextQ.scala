@@ -578,6 +578,67 @@ object TextQ {
       |  CAST(sum(span_len) AS BIGINT) AS n_dropped
       |FROM sp GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** q64: quality FILTER verdict — the decision form of q41's signals
+    * (as q54 is the decision form of gram overlap): Gopher/C4-class
+    * rules, each a named boolean so a pipeline can report WHY a doc
+    * dropped, plus the combined pass flag. Rules: word count in
+    * [20, 10000], mean word length in [2, 12], stopword ratio >= 0.05,
+    * alphabetic ratio >= 0.7. Every signal is the same deterministic
+    * arithmetic as q41, so the threshold comparisons agree
+    * engine-for-engine and the oracle is exact.
+    */
+  def q64(s: SparkSession, dir: String): DataFrame = {
+    val txt = col("text")
+    val toks = tokens(txt)
+    val nWords = size(toks).cast("double")
+    val nChars = greatest(length(txt), lit(1)).cast("double")
+    val alphaRatio =
+      length(regexp_replace(txt, "[^A-Za-z]", "")).cast("double") / nChars
+    val enStop = Seq("the", "a", "of", "and", "to", "in", "is")
+    val stopRatio =
+      size(filter(toks, w => w.isin(enStop: _*))).cast("double") / nWords
+    val meanWordLen =
+      length(regexp_replace(txt, "\\s+", "")).cast("double") / nWords
+    val rLen = nWords >= 20.0 && nWords <= 10000.0
+    val rWordLen = meanWordLen >= 2.0 && meanWordLen <= 12.0
+    val rStop = stopRatio >= 0.05
+    val rAlpha = alphaRatio >= 0.7
+    Tables(s, dir).documents.select(
+      col("doc_id"),
+      rLen.cast("bigint").as("ok_len"),
+      rWordLen.cast("bigint").as("ok_word_len"),
+      rStop.cast("bigint").as("ok_stop"),
+      rAlpha.cast("bigint").as("ok_alpha"),
+      (rLen && rWordLen && rStop && rAlpha).cast("bigint").as("pass"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q64Sql: String =
+    """WITH sig AS (
+      |  SELECT doc_id,
+      |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE) AS n_words,
+      |    CAST(len(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+      |      / CAST(GREATEST(len(text), 1) AS DOUBLE) AS alpha_ratio,
+      |    CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+      |        w -> list_contains(['the','a','of','and','to','in','is'], w))) AS DOUBLE)
+      |      / CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE) AS stop_ratio,
+      |    CAST(len(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE)
+      |      / CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE) AS mean_word_len
+      |  FROM documents),
+      |r AS (
+      |  SELECT doc_id,
+      |    (n_words >= 20.0 AND n_words <= 10000.0) AS ok_len,
+      |    (mean_word_len >= 2.0 AND mean_word_len <= 12.0) AS ok_word_len,
+      |    (stop_ratio >= 0.05) AS ok_stop,
+      |    (alpha_ratio >= 0.7) AS ok_alpha
+      |  FROM sig)
+      |SELECT doc_id, CAST(ok_len AS BIGINT) AS ok_len,
+      |  CAST(ok_word_len AS BIGINT) AS ok_word_len,
+      |  CAST(ok_stop AS BIGINT) AS ok_stop,
+      |  CAST(ok_alpha AS BIGINT) AS ok_alpha,
+      |  CAST(ok_len AND ok_word_len AND ok_stop AND ok_alpha AS BIGINT) AS pass
+      |FROM r ORDER BY doc_id""".stripMargin
+
   /** q62: WITHIN-document repeated-line removal
     * ([[graft.operators.LineDedup.dedupeWithinDoc]]) — C4 also dedups
     * spans inside a single page; repeats after the first occurrence in
@@ -642,5 +703,6 @@ object TextQ {
     Entry("q60_bpe_tokens", q60, None),
     Entry("q61_boiler_spans", q61, Some(q61Sql)),
     Entry("q62_intradoc_dedup", q62, Some(q62Sql)),
+    Entry("q64_quality_filter", q64, Some(q64Sql)),
   )
 }

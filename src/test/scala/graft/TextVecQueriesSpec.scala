@@ -45,6 +45,21 @@ class TextVecQueriesSpec extends SparkSpec {
     assert(out(4L).getAs[String]("text_kept") == "totally standalone document")
   }
 
+  test("q64 verdicts: pass iff every rule passes, and the rules discriminate") {
+    val rows = TextQ.q64(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val flags = Seq("ok_len", "ok_word_len", "ok_stop", "ok_alpha")
+        .map(r.getAs[Long](_))
+      assert(flags.forall(f => f == 0L || f == 1L), r.toString)
+      assert((r.getAs[Long]("pass") == 1L) == flags.forall(_ == 1L),
+        s"pass must be the conjunction of the rules: $r")
+    }
+    assert(rows.exists(_.getAs[Long]("pass") == 1L) &&
+      rows.exists(_.getAs[Long]("pass") == 0L),
+      "thresholds must actually split this corpus")
+  }
+
   test("LineDedup.dedupeWithinDoc: repeats after the first occurrence drop, other docs irrelevant") {
     import spark.implicits._
     import graft.operators.LineDedup
