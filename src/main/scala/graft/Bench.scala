@@ -1,7 +1,17 @@
 package graft
 import org.apache.spark.sql.SparkSession
 
-/** Benchmark main: every registered query at SPARK_GRAFT_SF_DIR, one JSON line.
+/** Benchmark main: every registered query at SPARK_GRAFT_SF_DIR.
+  *
+  * Output contract (round 6): the harvester that collects this output keeps
+  * only the LAST ~2KB of stdout, so the FINAL line printed must be a
+  * complete, self-contained JSON object small enough to survive that
+  * tail-capture — round 5 printed one giant line with the headline fields
+  * first and the official artifact lost its medians to truncation. The
+  * final line therefore carries the headline fields plus the per-query
+  * MEDIANS rounded to 3 decimals (~1.7KB at 61 queries); the full-precision
+  * medians and the min/max spread maps are printed on EARLIER lines (free
+  * to truncate) and also written verbatim to target/bench_full.json.
   *
   * Methodology (round 5): each query is measured REPS (3) times, with the
   * reps INTERLEAVED across queries — rep 1 of every query, then rep 2 of
@@ -39,8 +49,11 @@ object Bench {
     try {
       val t = Tables(spark, sfDir)
       t.lineitem.count(); t.documents.count(); t.embeddings.count()
+      // q59 warms the LineDedup family (q59-q62): round 5 had no
+      // representative, so q62's first measured rep paid the family's
+      // whole-stage codegen inside measurement (one 21.6s driver rep).
       Seq("q01_agg_pricing", "q22_sessionize", "q31_dedup_minhash",
-          "q34_embed_cosine_topk", "q45_hll_distinct")
+          "q34_embed_cosine_topk", "q45_hll_distinct", "q59_line_dedup")
         .foreach(q => SparkEntry.queries(q)(spark, sfDir).count())
     } catch { case _: Throwable => () }
     val warmupSec = (System.nanoTime() - wu0) / 1e9
@@ -67,6 +80,9 @@ object Bench {
     val med = names.map(n => n -> median(samples(n))).toMap
     def jmap(f: String => Double): String =
       names.map(n => s"\"" + n + "\":" + f(n)).mkString("{", ",", "}")
+    // compact variant for the tail-surviving final line: 3-decimal medians
+    def jmapShort(f: String => Double): String =
+      names.map(n => "\"" + n + "\":" + f"${f(n)}%.3f").mkString("{", ",", "}")
     val qs = jmap(med)
     val qsMin = jmap(n => if (med(n) < 0) -1.0 else samples(n).min)
     val qsMax = jmap(n => if (med(n) < 0) -1.0 else samples(n).max)
@@ -74,7 +90,18 @@ object Bench {
     // the headline total look faster)
     val total = med.values.filter(_ >= 0).sum
     val failed = med.values.count(_ < 0)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"warmup_sec":$warmupSec,"reps":$reps,"queries":$qs,"queries_min":$qsMin,"queries_max":$qsMax,"sf":"$sfDir"}""")
+    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"warmup_sec":$warmupSec,"reps":$reps,"queries":$qs,"queries_min":$qsMin,"queries_max":$qsMax,"sf":"$sfDir"}"""
+    // full-precision artifact: on disk (never truncated) + early stdout
+    // lines (may truncate; nothing below depends on them surviving)
+    try {
+      val p = java.nio.file.Paths.get("target/bench_full.json")
+      java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.write(p, fullJson.getBytes("UTF-8"))
+    } catch { case _: Throwable => () }
+    println(fullJson)
+    // FINAL line: headline + rounded medians, self-contained and <2KB so
+    // the driver's tail-capture always parses it whole
+    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","failed":$failed,"warmup_sec":${f"$warmupSec%.3f"},"reps":$reps,"queries":${jmapShort(med)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

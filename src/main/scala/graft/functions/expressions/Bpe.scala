@@ -173,6 +173,90 @@ object Bpe {
       .collect().map(_.getString(0)).toSeq
     train(texts, numMerges)
   }
+
+  /** Distributed trainer: the same merge table as [[train]] run over the
+    * SAME texts, but with every corpus-scale step on executors — the
+    * GPT-2-class path where neither the corpus nor its distinct-word
+    * table need fit on the driver.
+    *
+    * Cost shape (the reason this scales where [[trainOn]]'s
+    * driver-local loop cannot):
+    *
+    *  1. ONE shuffle pass over the corpus builds the distinct-word
+    *     frequency table — shuffle-linear in corpus size, word counts
+    *     combine map-side. It is materialized once (localCheckpoint);
+    *     no later round re-reads the corpus.
+    *  2. Each merge round is one DataFrame aggregation over that
+    *     vocabulary-sized table: explode adjacent symbol pairs
+    *     (transform over array indices — codegen'd, no UDF), sum word
+    *     frequencies, and hand the driver ONLY the 1-row argmax via
+    *     TakeOrdered under the exact [[train]] ordering (-count, a, b)
+    *     — so ties break identically and distributed == local, which
+    *     BpeSpec pins.
+    *  3. The winning pair is applied executor-side as a left-to-right
+    *     non-overlapping fold (`functions.aggregate`): append each
+    *     symbol unless the accumulator's last element is `a` and the
+    *     current is `b`, in which case replace the last with `ab`.
+    *     Because `ab` is strictly longer than `a` it can never
+    *     re-match as the left half in the same scan, making the fold
+    *     exactly the scan-left-skip-two loop in [[encode]]/[[train]].
+    *  4. Lineage re-truncates every `checkpointEvery` merges so round
+    *     r replays at most r % checkpointEvery cheap array folds, not
+    *     the whole merge history. (localCheckpoint: executor-local
+    *     blocks; a long-lived production trainer on preemptible
+    *     executors would swap in reliable `checkpoint` — same shape.)
+    *
+    * Early-stop matches [[train]]: no pair with count >= 2 ends
+    * training before `numMerges`.
+    */
+  def trainDistributed(df: DataFrame, textCol: Column, numMerges: Int,
+      checkpointEvery: Int = 16): Vocab = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val wordFreq = df
+      .select(textCol.cast("string").as("t"))
+      .where(col("t").isNotNull && trim(col("t")) =!= "")
+      .select(explode(split(trim(col("t")), "\\s+")).as("w"))
+      .groupBy("w").agg(sum(lit(1L)).as("freq")) // (functions.count is shadowed by Bpe.count)
+      .as[(String, Long)]
+    // code-point symbolization (surrogate-safe, same symbols() as local);
+    // a typed map on the already-aggregated word table, not the corpus
+    var words = wordFreq
+      .map { case (w, f) => (symbols(w).toArray, f) }
+      .toDF("syms", "freq")
+      .localCheckpoint()
+    val pairExpr = expr(
+      "explode(transform(slice(syms, 1, size(syms) - 1), " +
+        "(x, i) -> named_struct('a', x, 'b', syms[i + 1])))")
+    val merges = Seq.newBuilder[(String, String)]
+    var it = 0
+    var exhausted = false
+    while (it < numMerges && !exhausted) {
+      val top = words
+        .select(pairExpr.as("p"), col("freq"))
+        .select(col("p.a").as("a"), col("p.b").as("b"), col("freq"))
+        .groupBy("a", "b").agg(sum("freq").as("cnt"))
+        .orderBy(col("cnt").desc, col("a"), col("b"))
+        .limit(1)
+        .collect()
+      if (top.isEmpty || top(0).getLong(2) < 2) exhausted = true
+      else {
+        val (a, b) = (top(0).getString(0), top(0).getString(1))
+        merges += ((a, b))
+        val merged = a + b
+        val fold = aggregate(col("syms"), array().cast("array<string>"),
+          (acc, x) =>
+            when(size(acc) === 0, array(x)) // guard: no last element yet
+              .when(element_at(acc, -1) === lit(a) && x === lit(b),
+                concat(slice(acc, lit(1), size(acc) - 1), array(lit(merged))))
+              .otherwise(concat(acc, array(x))))
+        words = words.select(fold.as("syms"), col("freq"))
+        if ((it + 1) % checkpointEvery == 0) words = words.localCheckpoint()
+      }
+      it += 1
+    }
+    Vocab(merges.result())
+  }
 }
 
 /** Native BPE token-count expression: the merge table rides along as

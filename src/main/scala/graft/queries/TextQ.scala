@@ -688,6 +688,30 @@ object TextQ {
       .orderBy(col("doc_id"))
   }
 
+  /** q66: the DISTRIBUTED BPE trainer as a benchable corpus pass —
+    * [[graft.functions.expressions.Bpe.trainDistributed]] learns the
+    * merge table with one shuffle-linear word-frequency pass over the
+    * whole corpus (not a driver sample) and per-round pair counting as
+    * a DataFrame aggregation; the driver takes only each round's 1-row
+    * argmax. Output is the learned merge table itself (rank, left,
+    * right symbol), the model artifact a tokenizer build would publish.
+    *
+    * NO DuckDB oracle BY DESIGN (same status as q60): the per-round
+    * argmax loop is iterative and data-dependent, not expressible in
+    * SQL — the driver records rows-only, and exactness is pinned by
+    * BpeSpec's parity case (trainDistributed == train on identical
+    * texts, including tie-breaks and early stop).
+    */
+  def q66(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.expressions.Bpe
+    import s.implicits._
+    val vocab = Bpe.trainDistributed(
+      Tables(s, dir).documents, col("text"), numMerges = 64)
+    vocab.merges.zipWithIndex
+      .map { case ((a, b), r) => (r.toLong, a, b) }
+      .toDF("rank", "left_sym", "right_sym")
+  }
+
   val entries: Seq[Entry] = Seq(
     Entry("q30_dedup_exact", q30, Some(q30Sql)),
     Entry("q31_dedup_minhash", q31, Some(q31Sql)),
@@ -704,5 +728,6 @@ object TextQ {
     Entry("q61_boiler_spans", q61, Some(q61Sql)),
     Entry("q62_intradoc_dedup", q62, Some(q62Sql)),
     Entry("q64_quality_filter", q64, Some(q64Sql)),
+    Entry("q66_bpe_train", q66, None),
   )
 }

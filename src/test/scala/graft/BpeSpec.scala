@@ -96,4 +96,41 @@ class BpeSpec extends SparkSpec {
       }
     }
   }
+
+  test("trainDistributed == train on identical texts (tie-breaks, early stop)") {
+    import spark.implicits._
+    // hand corpus with a real tie to break and enough repetition to
+    // learn several rounds deep, plus blank/whitespace rows to ignore
+    val texts = Seq("ab ab", "ab", "abc abc abd", "xy xy zz", "  ", "a b ab")
+    val local = Bpe.train(texts, numMerges = 20)
+    val dist = Bpe.trainDistributed(
+      texts.toDF("text"), col("text"), numMerges = 20, checkpointEvery = 4)
+    assert(local.merges.nonEmpty)
+    assert(dist == local,
+      s"distributed ${dist.merges} != local ${local.merges}")
+    // early stop: nothing repeats -> no merges, both paths
+    assert(Bpe.trainDistributed(Seq("xy").toDF("text"), col("text"), 5)
+      == Bpe.train(Seq("xy"), 5))
+  }
+
+  test("trainDistributed parity on real documents + q66 merge table shape") {
+    val docs = Tables(spark, sf).documents
+    // the corpus-scale path must reproduce the driver-local trainer
+    // bit-for-bit when handed the same texts
+    val texts = docs.orderBy(col("doc_id")).limit(60)
+      .select(col("text")).collect().map(_.getString(0)).toSeq
+    val local = Bpe.train(texts, numMerges = 40)
+    val dist = Bpe.trainDistributed(
+      docs.orderBy(col("doc_id")).limit(60).select(col("text")),
+      col("text"), numMerges = 40)
+    assert(dist == local,
+      s"distributed ${dist.merges.take(8)}... != local ${local.merges.take(8)}...")
+    // q66: rank is 0..n-1 in order, symbols non-empty
+    val t = graft.queries.TextQ.q66(spark, sf).collect()
+    assert(t.nonEmpty)
+    assert(t.map(_.getAs[Long]("rank")).toSeq == t.indices.map(_.toLong),
+      "rank must be the dense merge order")
+    assert(t.forall(r => r.getAs[String]("left_sym").nonEmpty &&
+      r.getAs[String]("right_sym").nonEmpty))
+  }
 }
