@@ -118,6 +118,42 @@ object LineDedup {
       .withColumn("kept", row_number().over(w) === 1))
   }
 
+  /** PARAGRAPH-unit boilerplate removal — [[dedupe]]'s line rule with a
+    * run-length gate (the C4 behavior): a boilerplate-marked line is
+    * actually dropped ONLY when it sits inside a maximal run of
+    * `minRun`-or-more CONSECUTIVE marked lines. An isolated marked
+    * line (a sentence that happens to appear on two pages) survives;
+    * a multi-line cookie banner / license header (the thing that is
+    * genuinely boilerplate as a UNIT) goes. `minRun = 1` degenerates
+    * to [[dedupe]] exactly.
+    *
+    * Runs are found without a self-join: a running count of marked
+    * lines per doc makes `seg_no - cum` constant exactly along a
+    * consecutive marked run (the gaps-and-islands key, same as
+    * [[droppedSpans]] but via a conditional cumulative sum so KEPT
+    * rows stay in the frame for reassembly), and a second window over
+    * (doc_id, island) counts only the marked rows in the island —
+    * kept rows can share an island key, so the count must filter.
+    *
+    * Scale shape: rides [[marked]]'s exchanges, then two windows —
+    * one doc-keyed (ordered cumulative sum), one (doc, island)-keyed —
+    * and the doc-keyed reassembly. All keys are doc-prefixed, data
+    * never expands, no joins past the marked stage.
+    */
+  def dedupeSpans(docs: DataFrame, lines: Column,
+      minDf: Int, minRun: Int): DataFrame = {
+    val wCum = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("seg_no"))
+    val wIsland = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"), col("grp"))
+    val markedOne = when(col("kept"), 0L).otherwise(1L)
+    reassemble(marked(docs, lines, minDf)
+      .withColumn("grp", col("seg_no") - sum(markedOne).over(wCum))
+      .withColumn("run_len", sum(markedOne).over(wIsland))
+      .withColumn("kept", col("kept") || col("run_len") < minRun)
+      .select(col("doc_id"), col("seg_no"), col("line"), col("kept")))
+  }
+
   /** Per-doc dropped-SPAN statistics — the paragraph-level view of
     * boilerplate: maximal runs of consecutive dropped lines counted
     * as ONE unit each (a 5-line cookie banner is one span, not five

@@ -578,6 +578,36 @@ object TextQ {
       |  CAST(sum(span_len) AS BIGINT) AS n_dropped
       |FROM sp GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** q65: PARAGRAPH-unit boilerplate removal
+    * ([[graft.operators.LineDedup.dedupeSpans]]): q59's line rule
+    * gated on run length — only maximal runs of >= 2 consecutive
+    * boilerplate lines drop (the multi-line banner as a UNIT); an
+    * isolated cross-doc line survives. The C4 refinement the
+    * line-by-line pass overshoots on.
+    */
+  def q65(s: SparkSession, dir: String): DataFrame =
+    graft.operators.LineDedup.dedupeSpans(
+      Tables(s, dir).documents,
+      graft.operators.LineDedup.wordWindows(col("text"), 8),
+      minDf = 2, minRun = 2)
+
+  val q65Sql: String =
+    s"""WITH $lineMarkedCte,
+      |r AS (
+      |  SELECT doc_id, seg_no, line, kept,
+      |    seg_no - sum(CASE WHEN kept THEN 0 ELSE 1 END)
+      |      OVER (PARTITION BY doc_id ORDER BY seg_no) AS grp
+      |  FROM m),
+      |rl AS (
+      |  SELECT doc_id, seg_no, line,
+      |    (kept OR sum(CASE WHEN kept THEN 0 ELSE 1 END)
+      |      OVER (PARTITION BY doc_id, grp) < 2) AS kept
+      |  FROM r)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines,
+      |  CAST(count(*) FILTER (kept) AS BIGINT) AS n_kept,
+      |  coalesce(string_agg(CASE WHEN kept THEN line END, ' ' ORDER BY seg_no), '') AS text_kept
+      |FROM rl GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** q64: quality FILTER verdict — the decision form of q41's signals
     * (as q54 is the decision form of gram overlap): Gopher/C4-class
     * rules, each a named boolean so a pipeline can report WHY a doc
@@ -728,6 +758,7 @@ object TextQ {
     Entry("q61_boiler_spans", q61, Some(q61Sql)),
     Entry("q62_intradoc_dedup", q62, Some(q62Sql)),
     Entry("q64_quality_filter", q64, Some(q64Sql)),
+    Entry("q65_boiler_spans_drop", q65, Some(q65Sql)),
     Entry("q66_bpe_train", q66, None),
   )
 }

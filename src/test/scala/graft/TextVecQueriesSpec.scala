@@ -94,6 +94,44 @@ class TextVecQueriesSpec extends SparkSpec {
     assert(out(2L) == ((2L, 2L, 3L)), s"doc 2 spans: ${out(2L)}")
   }
 
+  test("LineDedup.dedupeSpans: only runs of >= minRun marked lines drop; minRun=1 == dedupe") {
+    import spark.implicits._
+    import graft.operators.LineDedup
+    val (b1, b2, b3) = ("banner one here", "banner two here", "banner three here")
+    val docs = Seq(
+      (1L, s"unique alpha\n$b1\n$b2\nunique beta\n$b3"), // keeper: drops nothing
+      (2L, s"$b1\n$b2\nunique gamma\n$b3\nunique delta"), // run [b1,b2] drops; isolated b3 SURVIVES
+      (3L, "totally unique\nnothing shared"))
+      .toDF("doc_id", "text")
+    val out = LineDedup.dedupeSpans(docs, split(col("text"), "\n"),
+      minDf = 2, minRun = 2)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[Long]("n_kept") == 5, out(1L).toString)
+    assert(out(2L).getAs[Long]("n_kept") == 3 &&
+      out(2L).getAs[String]("text_kept") ==
+        s"unique gamma $b3 unique delta", out(2L).toString)
+    assert(out(3L).getAs[Long]("n_kept") == 2)
+    // degenerate minRun=1 must be exactly the line-by-line pass
+    val spans1 = LineDedup.dedupeSpans(docs, split(col("text"), "\n"),
+      minDf = 2, minRun = 1).collect().map(_.toString).sorted.toSeq
+    val lineBy = LineDedup.dedupe(docs, split(col("text"), "\n"), minDf = 2)
+      .collect().map(_.toString).sorted.toSeq
+    assert(spans1 == lineBy, "minRun=1 must degenerate to dedupe()")
+    // a marked line at the very START of a doc preceded by nothing and a
+    // run split across kept lines must both gate independently
+    val edge = Seq(
+      (10L, s"$b1\nmiddle text\n$b2"),
+      (11L, s"$b1\nmiddle other\n$b2"))
+      .toDF("doc_id", "text")
+    val e = LineDedup.dedupeSpans(edge, split(col("text"), "\n"),
+      minDf = 2, minRun = 2)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // both shared lines are isolated (separated by a unique middle line)
+    // -> nothing drops in either doc
+    assert(e(10L).getAs[Long]("n_kept") == 3, e(10L).toString)
+    assert(e(11L).getAs[Long]("n_kept") == 3, e(11L).toString)
+  }
+
   test("LineDedup.wordWindows: non-overlapping windows, tail keeps its remainder") {
     import spark.implicits._
     import graft.operators.LineDedup
