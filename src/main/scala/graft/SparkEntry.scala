@@ -10,8 +10,11 @@ object SparkEntry {
   def all: Seq[Entry] =
     Core.entries ++ CoreB.entries ++ TextQ.entries ++ VecQ.entries ++
       SketchQ.entries ++ PrepQ.entries ++
-      Seq(Entry("q50_multimodal_meta", graft.multimodal.Multimodal.q50,
-        Some(graft.multimodal.Multimodal.q50Sql)))
+      Seq(
+        Entry("q50_multimodal_meta", graft.multimodal.Multimodal.q50,
+          Some(graft.multimodal.Multimodal.q50Sql)),
+        Entry("q67_ppm_decode", graft.multimodal.Multimodal.q67,
+          Some(graft.multimodal.Multimodal.q67Sql)))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -6,11 +6,15 @@ import org.apache.spark.sql.functions._
 /** Multimodal column plumbing: media as opaque `binary` columns with
   * typed metadata, and a batched decode→feature pipeline.
   *
-  * The Spark-side design is the real thing — schema, partition-level
-  * batching, bounded memory — while the decode kernel itself is a
-  * DETERMINISTIC STUB (this container has no image/audio codecs): it
-  * stands where libjpeg/ffmpeg/a vision encoder would plug in. At
-  * 100 TB the shape matters more than the codec:
+  * Decode dispatches on `meta.mime`:
+  *  - `image/x-portable-pixmap` rows go through [[Netpbm]], a REAL
+  *    pure-JVM P6 codec — header parse, raster validation,
+  *    nearest-neighbor resize, luma-histogram features, multi-frame
+  *    streams — with malformed payloads fenced to ok=false rows;
+  *  - any other mime falls back to [[decodeStub]], the deterministic
+  *    byte fold standing where libjpeg/ffmpeg/a vision encoder would
+  *    plug in for codecs this container lacks.
+  * At 100 TB the shape matters as much as the codec:
   *  - blobs stay in `binary` columns, never stringified;
   *  - decode runs per PARTITION batch via `mapPartitions`, so codec /
   *    model init happens once per task, not once per row;
@@ -27,8 +31,11 @@ object Multimodal {
   final case class FeatureRow(doc_id: Long, mime: String, n_bytes: Long,
                               ok: Boolean, features: Array[Float])
 
-  /** Feature vector dimensionality of the stub "encoder". */
+  /** Feature vector dimensionality (both encoders). */
   val FeatureDim = 16
+
+  /** Mime routed to the real [[Netpbm]] codec. */
+  val MimePpm = "image/x-portable-pixmap"
 
   /** Stand-in corpus: wrap each document's text bytes as the opaque
     * payload with typed metadata. In production this is the ingest
@@ -53,12 +60,13 @@ object Multimodal {
         xxhash64(encode(txt, "UTF-8")).as("checksum")).as("meta"))
   }
 
-  /** ==== DECODE STUB ====
-    * Deterministic fake for "decode media + extract features": folds
-    * the payload bytes into a fixed-length float vector. A real
-    * pipeline replaces ONLY this function body (e.g. JPEG decode →
-    * resize → CNN embed); everything around it — batching, schema,
-    * failure capture — is production-shaped.
+  /** ==== DECODE STUB (non-image fallback) ====
+    * Deterministic fake for mimes without a JVM codec in this
+    * container: folds the payload bytes into a fixed-length float
+    * vector. Image rows never reach it — [[MimePpm]] dispatches to the
+    * real [[Netpbm]] decode in [[extractFeatures]]/[[resize]]/
+    * [[sampleFrames]]; a production build adds more `mime -> codec`
+    * arms the same way.
     */
   private[multimodal] def decodeStub(payload: Array[Byte]): Array[Float] = {
     val f = new Array[Float](FeatureDim)
@@ -101,6 +109,17 @@ object Multimodal {
           if (r.payload == null || r.meta.n_bytes > maxBytes)
             FeatureRow(r.doc_id, r.meta.mime, r.meta.n_bytes,
               ok = false, features = Array.empty)
+          else if (r.meta.mime == MimePpm)
+            // REAL codec path: P6 decode + 16-bin luma histogram;
+            // malformed image -> fenced row, never an exception
+            Netpbm.decode(r.payload) match {
+              case Some(img) =>
+                FeatureRow(r.doc_id, r.meta.mime, r.meta.n_bytes,
+                  ok = true, features = Netpbm.lumaHistogram(img, FeatureDim))
+              case None =>
+                FeatureRow(r.doc_id, r.meta.mime, r.meta.n_bytes,
+                  ok = false, features = Array.empty)
+            }
           else
             FeatureRow(r.doc_id, r.meta.mime, r.meta.n_bytes,
               ok = true, features = decodeStub(r.payload))
@@ -112,14 +131,21 @@ object Multimodal {
   final case class FrameRow(doc_id: Long, frame_idx: Int, ok: Boolean,
                             frame: Array[Byte])
 
-  /** Frame-sampling plumbing (the 1→N video shape): the payload viewed
-    * as fixed `frameBytes` frames, every `stride`-th frame emitted as
-    * its own row — downstream per-frame decode/embed then runs as an
-    * ordinary per-row stage over MANY small rows instead of one giant
-    * blob (which is what makes a 2-hour video tractable on a 4 GB
-    * executor). Deterministic: frame boundaries and the stride are
-    * pure functions of the payload, so retries emit identical rows.
-    * Oversize blobs fence to one ok=false row, like extractFeatures.
+  /** Frame-sampling plumbing (the 1→N video shape): every `stride`-th
+    * frame of the payload emitted as its own row — downstream
+    * per-frame decode/embed then runs as an ordinary per-row stage
+    * over MANY small rows instead of one giant blob (which is what
+    * makes a 2-hour video tractable on a 4 GB executor).
+    *
+    * [[MimePpm]] payloads are a REAL concatenated-P6 stream (ffmpeg
+    * `image2pipe` output): frames come from the actual decoder, each
+    * emitted re-encoded as a standalone P6 image; a stream with
+    * trailing garbage emits its whole frames then ONE ok=false row at
+    * the bad frame's index (salvage + visible fence, never silent
+    * loss). Other mimes use fixed `frameBytes` windows. Deterministic
+    * either way: frame boundaries are pure functions of the payload,
+    * so retries emit identical rows. Oversize blobs fence to one
+    * ok=false row, like extractFeatures.
     */
   def sampleFrames(media: Dataset[MediaRow], frameBytes: Int = 256,
                    stride: Int = 4,
@@ -130,7 +156,17 @@ object Multimodal {
       rows.flatMap { r =>
         if (r.payload == null || r.meta.n_bytes > maxBytes)
           Iterator.single(FrameRow(r.doc_id, -1, ok = false, Array.empty))
-        else {
+        else if (r.meta.mime == MimePpm) {
+          val (whole, bad) = Netpbm.frames(r.payload) match {
+            case Right(imgs) => (imgs, None)
+            case Left((imgs, _)) => (imgs, Some(imgs.length))
+          }
+          val sampled = (0 until whole.length by stride).iterator.map { f =>
+            FrameRow(r.doc_id, f, ok = true, Netpbm.encodeP6(whole(f)))
+          }
+          sampled ++ bad.iterator.map(f =>
+            FrameRow(r.doc_id, f, ok = false, Array.empty))
+        } else {
           // an empty payload is 1 empty frame, not 0 rows — every doc
           // appears in the output (no silent loss; the module contract)
           val nFrames = math.max(
@@ -146,13 +182,16 @@ object Multimodal {
     }
   }
 
-  /** ==== RESIZE STUB ==== downsample plumbing: keep every `factor`-th
-    * payload byte (where a real pipeline decodes, resizes to target
-    * resolution, re-encodes). The meta struct is REBUILT for the new
-    * payload — n_bytes and checksum (the module-wide xxhash64-of-bytes
-    * definition, identical to blobTable's) describe what the row now
-    * carries, never the original. Rows this stage cannot process
-    * (null payload, over maxBytes) pass through UNCHANGED, so the
+  /** Downsample stage. [[MimePpm]] rows get REAL resampling: P6 decode
+    * → nearest-neighbor by `factor` on both axes → re-encode (the
+    * round-5 stub kept every factor-th payload byte, which tears RGB
+    * channel alignment — the pixel path now goes through [[Netpbm
+    * .resizeNearest]]). Other mimes keep the byte-stride stand-in.
+    * The meta struct is REBUILT for the new payload — n_bytes and
+    * checksum (the module-wide xxhash64-of-bytes definition, identical
+    * to blobTable's) describe what the row now carries, never the
+    * original. Rows this stage cannot process (null payload, over
+    * maxBytes, malformed image) pass through UNCHANGED, so the
     * downstream decode stage still sees — and fences — the original
     * failure instead of an ok-looking empty row. Runs per-partition
     * like the decode stage.
@@ -164,6 +203,14 @@ object Multimodal {
     media.mapPartitions { rows =>
       rows.map { r =>
         if (r.payload == null || r.meta.n_bytes > maxBytes) r
+        else if (r.meta.mime == MimePpm)
+          Netpbm.decode(r.payload) match {
+            case Some(img) =>
+              val out = Netpbm.encodeP6(Netpbm.resizeNearest(img, factor))
+              MediaRow(r.doc_id, out,
+                MediaMeta(r.meta.mime, out.length.toLong, payloadChecksum(out)))
+            case None => r // malformed: downstream fences it
+          }
         else {
           val out = new Array[Byte]((r.payload.length + factor - 1) / factor)
           var i = 0
@@ -184,6 +231,101 @@ object Multimodal {
     org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
       bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
       bytes.length, 42L)
+
+  /** Images-from-documents corpus for the REAL codec path: each doc's
+    * UTF-8 text bytes laid out as the raster of an 8-wide P6 image
+    * (height = ceil(n_bytes/24), min 1; tail zero-padded to fill the
+    * last row), encoded through [[Netpbm.encodeP6]]. The decode side
+    * then runs the real parser over real headers — and because the
+    * pixels are a pure function of the text bytes, DuckDB can replay
+    * the whole round trip exactly (q67's oracle).
+    */
+  def ppmTable(spark: SparkSession, dir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), coalesce(col("text"), lit("")).as("t"))
+      .as[(Long, String)]
+      .map { case (id, t) =>
+        val bytes = t.getBytes("UTF-8")
+        val h = math.max((bytes.length + 23) / 24, 1)
+        val px = java.util.Arrays.copyOf(bytes, 8 * h * 3)
+        val payload = Netpbm.encodeP6(Netpbm.Image(8, h, 255, px))
+        MediaRow(id, payload,
+          MediaMeta(MimePpm, payload.length.toLong, payloadChecksum(payload)))
+      }
+  }
+
+  /** q67 entry: the REAL image decode in the oracle-checked path —
+    * [[ppmTable]] → [[Netpbm.decode]] (actual header parse + raster
+    * read, not byte math) → per-image luma stats. All state stays in
+    * INTEGER longs (pixel count, BT.601 integer-luma sum, dark-pixel
+    * count) until one final double division, so the DuckDB replay is
+    * hash-exact — float feature vectors never touch the compared
+    * output.
+    */
+  def q67(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    ppmTable(spark, dir)
+      .map { r =>
+        Netpbm.decode(r.payload) match {
+          case Some(img) =>
+            var lsum = 0L; var dark = 0L; var i = 0
+            while (i < img.pixels.length) {
+              val l = Netpbm.luma(img.pixels(i) & 0xff,
+                img.pixels(i + 1) & 0xff, img.pixels(i + 2) & 0xff)
+              lsum += l; if (l < 32) dark += 1; i += 3
+            }
+            (r.doc_id, img.width.toLong, img.height.toLong,
+              img.nPixels.toLong, lsum, dark, true)
+          case None => (r.doc_id, 0L, 0L, 0L, 0L, 0L, false)
+        }
+      }
+      .toDF("doc_id", "img_w", "img_h", "n_px", "luma_sum", "n_dark", "ok")
+      .select(col("doc_id"), col("img_w"), col("img_h"), col("n_px"),
+        col("ok"),
+        graft.queries.Q.round4(
+          col("luma_sum").cast("double") / col("n_px")).as("luma_mean4"),
+        graft.queries.Q.round4(
+          col("n_dark").cast("double") / col("n_px")).as("dark_frac4"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB mirror of q67: rebuild the raster (UTF-8 bytes via
+    * hex(encode()), zero-padded to 24*ceil(nb/24), min one 8-pixel
+    * row), BT.601 integer luma per pixel (`//` = the same int
+    * division), aggregate the identical integer state, divide once.
+    */
+  val q67Sql: String =
+    s"""WITH hx AS (
+      |  SELECT doc_id, hex(encode(coalesce(text,''))) AS h,
+      |         octet_length(encode(coalesce(text,''))) AS nb
+      |  FROM documents),
+      |dims AS (
+      |  SELECT doc_id, h, nb,
+      |    GREATEST(CAST(ceil(nb / 24.0) AS BIGINT), 1) AS ih
+      |  FROM hx),
+      |bts AS (
+      |  SELECT doc_id, ih, list_transform(range(1, ih*24 + 1), i ->
+      |    CASE WHEN i <= nb THEN
+      |      (strpos('0123456789ABCDEF', substr(h, CAST(2*i-1 AS INT), 1)) - 1) * 16 +
+      |      (strpos('0123456789ABCDEF', substr(h, CAST(2*i AS INT), 1)) - 1)
+      |    ELSE 0 END) AS bs
+      |  FROM dims),
+      |lum AS (
+      |  SELECT doc_id, ih, list_transform(range(0, ih*8), p ->
+      |    (bs[CAST(3*p+1 AS INT)]*299 + bs[CAST(3*p+2 AS INT)]*587 +
+      |     bs[CAST(3*p+3 AS INT)]*114) // 1000) AS ls
+      |  FROM bts),
+      |px AS (SELECT doc_id, ih, unnest(ls) AS l FROM lum),
+      |agg AS (
+      |  SELECT doc_id, any_value(ih) AS ih, count(*) AS n_px,
+      |         sum(l) AS lsum, count(*) FILTER (l < 32) AS ndark
+      |  FROM px GROUP BY doc_id)
+      |SELECT doc_id, CAST(8 AS BIGINT) AS img_w, CAST(ih AS BIGINT) AS img_h,
+      |  CAST(n_px AS BIGINT) AS n_px, TRUE AS ok,
+      |  ${graft.queries.Q.round4Sql("CAST(lsum AS DOUBLE) / n_px")} AS luma_mean4,
+      |  ${graft.queries.Q.round4Sql("CAST(ndark AS DOUBLE) / n_px")} AS dark_frac4
+      |FROM agg ORDER BY doc_id""".stripMargin
 
   /** q50 entry: blob table → batched decode-stub → feature summary.
     * Metadata and feature stats only — the binary column never reaches

@@ -91,4 +91,122 @@ class MultimodalSpec extends SparkSpec {
     val feats = Multimodal.extractFeatures(Multimodal.resize(media, 4)).collect()
     assert(feats.length == 1 && feats(0).ok)
   }
+
+  // ---- real Netpbm codec path ----
+
+  import graft.multimodal.Netpbm
+
+  /** 2x2 fixture: red, green / blue, white — known pixels, known
+    * BT.601 integer lumas (76, 149, 29, 255).
+    */
+  private def rgbw: Netpbm.Image = Netpbm.Image(2, 2, 255, Array(
+    255, 0, 0, 0, 255, 0,
+    0, 0, 255, 255, 255, 255).map(_.toByte))
+
+  test("Netpbm: encode/decode round trip, header comments, malformed fencing") {
+    val enc = Netpbm.encodeP6(rgbw)
+    val dec = Netpbm.decode(enc).get
+    assert(dec == rgbw.copy(pixels = dec.pixels) &&
+      dec.pixels.toSeq == rgbw.pixels.toSeq, "round trip must be exact")
+    // header grammar: comments and arbitrary whitespace between tokens
+    val commented = ("P6 # ppm fixture\n# another comment\n 2\t2 " +
+      "# trailing\n255\n").getBytes("US-ASCII") ++ rgbw.pixels
+    val dc = Netpbm.decode(commented).get
+    assert(dc.width == 2 && dc.height == 2 &&
+      dc.pixels.toSeq == rgbw.pixels.toSeq)
+    // malformed inputs fence as None, never throw: bad magic, 2-byte
+    // samples (maxval > 255), truncated raster, dimension overflow
+    assert(Netpbm.decode("P5\n2 2\n255\n".getBytes ++ rgbw.pixels).isEmpty)
+    assert(Netpbm.decode("P6\n2 2\n65535\n".getBytes ++ rgbw.pixels).isEmpty)
+    assert(Netpbm.decode(enc.dropRight(1)).isEmpty)
+    assert(Netpbm.decode("P6\n999999999 999999999\n255\n".getBytes).isEmpty)
+    // known lumas -> known 16-bin histogram (bins 1, 4, 9, 15; 0.25 each)
+    val hist = Netpbm.lumaHistogram(rgbw, 16)
+    assert(Seq(1, 4, 9, 15).forall(b => hist(b) == 0.25f), hist.toSeq.toString)
+    assert(hist.sum == 1.0f)
+  }
+
+  test("extractFeatures on PPM mime runs the REAL decoder; malformed image fences") {
+    import spark.implicits._
+    val good = Netpbm.encodeP6(rgbw)
+    val bad = "P6\nnot numbers\n".getBytes("US-ASCII")
+    val media = Seq(
+      MediaRow(1L, good, MediaMeta(Multimodal.MimePpm, good.length.toLong,
+        Multimodal.payloadChecksum(good))),
+      MediaRow(2L, bad, MediaMeta(Multimodal.MimePpm, bad.length.toLong,
+        Multimodal.payloadChecksum(bad)))).toDS()
+    val out = Multimodal.extractFeatures(media).collect().sortBy(_.doc_id)
+    assert(out(0).ok && out(0).features.length == Multimodal.FeatureDim)
+    // the histogram of the fixture, not byte-fold output
+    assert(Seq(1, 4, 9, 15).forall(b => out(0).features(b) == 0.25f),
+      out(0).features.toSeq.toString)
+    assert(!out(1).ok && out(1).features.isEmpty,
+      "malformed image must fence, not throw")
+  }
+
+  test("resize on PPM decodes and RESAMPLES pixels (nearest neighbor), not bytes") {
+    import spark.implicits._
+    val enc = Netpbm.encodeP6(rgbw)
+    val media = Seq(MediaRow(1L, enc,
+      MediaMeta(Multimodal.MimePpm, enc.length.toLong,
+        Multimodal.payloadChecksum(enc)))).toDS()
+    val out = Multimodal.resize(media, factor = 2).collect()(0)
+    val img = Netpbm.decode(out.payload).get
+    // 2x2 / 2 -> 1x1 keeping pixel (0,0) = pure red
+    assert(img.width == 1 && img.height == 1)
+    assert(img.pixels.toSeq == Seq(255.toByte, 0.toByte, 0.toByte))
+    assert(out.meta.n_bytes == out.payload.length.toLong)
+    assert(out.meta.checksum == Multimodal.payloadChecksum(out.payload))
+    // odd dims: 3x1 by factor 2 -> ceil -> 2x1, pixels (0,0) and (2,0)
+    val wide = Netpbm.Image(3, 1, 255,
+      Array[Byte](1, 1, 1, 2, 2, 2, 3, 3, 3))
+    val r = Netpbm.resizeNearest(wide, 2)
+    assert(r.width == 2 && r.height == 1 &&
+      r.pixels.toSeq == Seq[Byte](1, 1, 1, 3, 3, 3))
+  }
+
+  test("sampleFrames on a concatenated P6 stream: real frames; trailing garbage fenced visibly") {
+    import spark.implicits._
+    def solid(r: Int, g: Int, b: Int) = Netpbm.Image(1, 1, 255,
+      Array(r.toByte, g.toByte, b.toByte))
+    val stream = Netpbm.encodeP6(solid(255, 0, 0)) ++
+      Netpbm.encodeP6(solid(0, 255, 0)) ++ Netpbm.encodeP6(solid(0, 0, 255))
+    val dirty = stream ++ "XX".getBytes("US-ASCII")
+    val media = Seq(
+      MediaRow(1L, stream, MediaMeta(Multimodal.MimePpm,
+        stream.length.toLong, Multimodal.payloadChecksum(stream))),
+      MediaRow(2L, dirty, MediaMeta(Multimodal.MimePpm,
+        dirty.length.toLong, Multimodal.payloadChecksum(dirty)))).toDS()
+    val out = Multimodal.sampleFrames(media, stride = 2)
+      .collect().groupBy(_.doc_id)
+    // stride 2 over 3 real frames -> 0 and 2, each a standalone P6
+    assert(out(1L).map(_.frame_idx).sorted.toSeq == Seq(0, 2))
+    val f2 = out(1L).find(_.frame_idx == 2).get
+    assert(Netpbm.decode(f2.frame).get.pixels.toSeq ==
+      Seq(0.toByte, 0.toByte, 255.toByte), "frame 2 must be the blue image")
+    // trailing garbage: whole frames salvaged + ONE visible fence row
+    assert(out(2L).filter(_.ok).map(_.frame_idx).sorted.toSeq == Seq(0, 2))
+    assert(out(2L).filter(!_.ok).map(_.frame_idx).toSeq == Seq(3),
+      "the bad tail must surface as an ok=false row at its frame index")
+  }
+
+  test("q67: real decode end-to-end — dims, luma stats vs a hand-built doc") {
+    val out = Multimodal.q67(spark, sf).cache()
+    val docs = Tables(spark, sf).documents
+    assert(out.count() == docs.count())
+    assert(out.filter(!col("ok")).count() == 0,
+      "every encoded image must decode")
+    assert(out.filter(col("img_w") =!= 8).count() == 0)
+    // height is ceil(utf8_bytes/24) min 1, n_px = 8*h — cross-check on
+    // the real corpus without re-running the codec
+    val bad = out.join(
+      docs.select(col("doc_id"),
+        greatest(ceil(length(encode(coalesce(col("text"), lit("")), "UTF-8"))
+          .cast("double") / 24).cast("bigint"),
+          lit(1L)).as("eh")), // length(binary) = UTF-8 byte count
+      Seq("doc_id"))
+      .filter(col("img_h") =!= col("eh") || col("n_px") =!= col("eh") * 8)
+    assert(bad.count() == 0, "dims must match the encode layout")
+    out.unpersist()
+  }
 }
