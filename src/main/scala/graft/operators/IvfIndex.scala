@@ -290,6 +290,15 @@ object IvfIndex {
       }
     } else None
     val tmp = path + "._graft_retrain"
+    // a previously CRASHED retrain may have left a tmp tree; build()
+    // overwrites only index/meta/centroids, so a stale pq/ sidecar in
+    // it — codes trained against DIFFERENT centroids — would otherwise
+    // be published atomically with the fresh index when the current
+    // index has no sidecar of its own (pqParams None), and queryPq
+    // would silently return wrong shortlists. Start from nothing.
+    val tmpFs = new Path(tmp)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (tmpFs.exists(new Path(tmp))) tmpFs.delete(new Path(tmp), true)
     val corpus = spark.read.parquet(s"$path/index")
       .select(col("vec_id"), col("embedding"))
     val info = build(spark, corpus, tmp,
@@ -354,7 +363,7 @@ object IvfIndex {
     } finally { assigned.unpersist(); () }
   }
 
-  private def hasPq(spark: SparkSession, path: String): Boolean = {
+  private[graft] def hasPq(spark: SparkSession, path: String): Boolean = {
     val p = new Path(s"$path/pq/codebook")
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }

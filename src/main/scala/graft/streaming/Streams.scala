@@ -204,9 +204,27 @@ object Streams {
     *
     * State: one entry per distinct line seen, each holding <= minDf
     * ids — the per-line bound is what makes the entry small; the entry
-    * COUNT grows with distinct lines, so a production deployment sets
-    * a state-store TTL for lines not seen recently (boilerplate by
-    * definition recurs, so eviction only forgets one-off lines).
+    * COUNT is bounded by `stateTtlMs` event-time eviction
+    * (EventTimeTimeout keyed off the watermark): a line not seen for
+    * the TTL is dropped from the store. Boilerplate by definition
+    * recurs — every new occurrence re-arms the timer — so eviction
+    * only forgets one-off lines, whose verdict ("kept") never needed
+    * state anyway. An evicted line that later returns restarts its
+    * distinct-doc count, the unavoidable one-pass trade already
+    * covered by stated-difference (2).
+    *
+    * NOTE (checker): Spark's STATIC correctness check flags ANY
+    * event-time-timeout flatMapGroupsWithState feeding a stateful
+    * aggregation ("possibly emits late rows"), so starting this
+    * query requires
+    * `spark.sql.streaming.statefulOperator.checkCorrectness.enabled=false`.
+    * The flagged scenario cannot occur here: every emitted verdict
+    * carries a ts from the CURRENT batch's input (which the upstream
+    * watermark already bounds), and the timeout branch emits nothing
+    * — eviction only removes state. Event-time eviction is chosen
+    * over a processing-time TTL deliberately: it keys off the
+    * watermark, so replaying the same input evicts identically and
+    * the stage stays rerun-deterministic like the rest of graft.
     *
     * Input rows: (doc_id, ts, line_hash) — explode + hash upstream
     * (TextExprs.md5Lower64 on the segmented line) so the state schema
@@ -215,28 +233,44 @@ object Streams {
     * [[nearDupFilter]] fold pattern.
     */
   def lineBoilerplateFilter(lines: Dataset[LineIn], minDf: Int = 2,
-      watermark: String = "1 hour", windowLen: String = "10 minutes")(
+      watermark: String = "1 hour", windowLen: String = "10 minutes",
+      stateTtlMs: Long = 2L * 3600 * 1000)(
       implicit spark: SparkSession): DataFrame = {
     import spark.implicits._
     require(minDf >= 1, s"minDf must be >= 1, got $minDf")
+    require(stateTtlMs > 0, s"stateTtlMs must be > 0, got $stateTtlMs")
     val verdicts = lines.withWatermark("ts", watermark)
       .groupByKey(_.line_hash)
       .flatMapGroupsWithState[LineFreqState, LineVerdict](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         (_, ls: Iterator[LineIn], state: GroupState[LineFreqState]) =>
-          var st = state.getOption.getOrElse(LineFreqState(-1L, Nil))
-          val out = scala.collection.mutable.ListBuffer.empty[LineVerdict]
-          // deterministic intra-batch order: first-by-time wins
-          ls.toSeq.sortBy(l => (l.ts.getTime, l.doc_id)).foreach { l =>
-            if (st.seen.isEmpty) st = LineFreqState(l.doc_id, List(l.doc_id))
-            else if (!st.seen.contains(l.doc_id) && st.seen.size < minDf)
-              st = st.copy(seen = l.doc_id :: st.seen)
-            val boiler = st.seen.size >= minDf
-            out += LineVerdict(l.doc_id, l.ts,
-              !boiler || l.doc_id == st.keeper)
+          if (state.hasTimedOut) {
+            // TTL passed with no new occurrence: a one-off line —
+            // evict its entry; nothing to emit
+            state.remove()
+            Iterator.empty
+          } else {
+            var st = state.getOption.getOrElse(LineFreqState(-1L, Nil))
+            val out = scala.collection.mutable.ListBuffer.empty[LineVerdict]
+            var maxTsMs = Long.MinValue
+            // deterministic intra-batch order: first-by-time wins
+            ls.toSeq.sortBy(l => (l.ts.getTime, l.doc_id)).foreach { l =>
+              if (st.seen.isEmpty) st = LineFreqState(l.doc_id, List(l.doc_id))
+              else if (!st.seen.contains(l.doc_id) && st.seen.size < minDf)
+                st = st.copy(seen = l.doc_id :: st.seen)
+              val boiler = st.seen.size >= minDf
+              maxTsMs = math.max(maxTsMs, l.ts.getTime)
+              out += LineVerdict(l.doc_id, l.ts,
+                !boiler || l.doc_id == st.keeper)
+            }
+            state.update(st)
+            // re-arm the eviction timer: TTL past this line's newest
+            // occurrence (floored at the watermark — a timeout
+            // timestamp must sit beyond it)
+            state.setTimeoutTimestamp(
+              math.max(maxTsMs, state.getCurrentWatermarkMs()) + stateTtlMs)
+            out.iterator
           }
-          state.update(st)
-          out.iterator
       }
     verdicts
       .withWatermark("ts", watermark)

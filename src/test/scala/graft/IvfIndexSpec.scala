@@ -174,6 +174,29 @@ class IvfIndexSpec extends SparkSpec {
     assert(!new java.io.File(p + "._graft_old").exists())
   }
 
+  test("retrainIfNeeded: a crashed retrain's leftover tmp tree (stale pq sidecar) is wiped, not published") {
+    val p = java.nio.file.Files.createTempDirectory("graft-ivf6").toString
+    val head = embeddings.filter(col("vec_id") < 300)
+    val tail = embeddings.filter(col("vec_id") >= 300 && col("vec_id") < 450)
+    IvfIndex.build(spark, head, p, k = 8, initRounds = 1, lloydIters = 1)
+    // simulate the crash artifact: a prior retrain attempt that built a
+    // PQ sidecar (against old centroids) into tmp and died before the
+    // rename — the CURRENT index has no sidecar, so if the tmp survives
+    // the rebuild, its stale codes get published with the fresh index
+    val tmp = p + "._graft_retrain"
+    IvfIndex.build(spark, head, tmp, k = 8, initRounds = 1, lloydIters = 1)
+    IvfIndex.buildPq(spark, tmp, m = 4, ksub = 8)
+    assert(IvfIndex.hasPq(spark, tmp))
+    IvfIndex.append(spark, p, tail)
+    assert(IvfIndex.retrainIfNeeded(spark, p, threshold = 0.25).nonEmpty)
+    // the published tree contains ONLY what this retrain wrote: the
+    // index had no sidecar, so the result must not have one either
+    assert(!IvfIndex.hasPq(spark, p),
+      "stale pq/ sidecar from the crashed attempt must not be published")
+    assert(!new java.io.File(tmp).exists())
+    assert(spark.read.parquet(s"$p/index").count() == head.count() + tail.count())
+  }
+
   test("recall measurement: sane bounds, and a recall floor can trigger a rebuild") {
     val r = IvfIndex.recall(spark, indexPath, sampleN = 10, nprobe = 8, topk = 5)
     assert(r >= 0.0 && r <= 1.0)

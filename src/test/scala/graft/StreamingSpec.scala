@@ -190,7 +190,23 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("lineBoilerplateFilter: recurring line dropped outside keeper, uniques pass") {
+  /** lineBoilerplateFilter chains an event-time-timeout fmgws into a
+    * windowed aggregation; Spark's STATIC late-row checker flags that
+    * shape unconditionally (see the operator's scaladoc for why the
+    * flagged scenario cannot occur). The conf is read at query START,
+    * so scope it to the start call and restore after.
+    */
+  private def withLateRowCheckOff[T](body: => T): T = {
+    val k = "spark.sql.streaming.statefulOperator.checkCorrectness.enabled"
+    val prev = spark.conf.getOption(k)
+    spark.conf.set(k, "false")
+    try body finally prev match {
+      case Some(v) => spark.conf.set(k, v)
+      case None => spark.conf.unset(k)
+    }
+  }
+
+  test("lineBoilerplateFilter: recurring line dropped outside keeper, uniques pass") { withLateRowCheckOff {
     implicit val s = spark
     import s.implicits._
     val input = MemoryStream[Streams.LineIn](spark)
@@ -225,7 +241,48 @@ class StreamingSpec extends SparkSpec {
       assert(out(2L) == ((2L, 1L)), s"doc 2: ${out(2L)}")
       assert(out(3L) == ((2L, 1L)), s"doc 3: ${out(3L)}")
     } finally q.stop()
-  }
+  } }
+
+  test("lineBoilerplateFilter: event-time TTL evicts one-off line state; long TTL retains it") { withLateRowCheckOff {
+    implicit val s = spark
+    import s.implicits._
+    // Same feed through two TTLs: a line seen once in doc 1, then
+    // nothing for > TTL, then again in doc 2.
+    //  - short TTL: the entry evicts, doc 2 restarts the count -> KEPT
+    //  - long TTL: the entry survives, doc 2 is the minDf-th distinct
+    //    doc -> boilerplate, DROPPED outside the keeper
+    def run(name: String, ttlMs: Long): Map[Long, (Long, Long)] = {
+      val input = MemoryStream[Streams.LineIn](spark)
+      val q = Streams.lineBoilerplateFilter(input.toDS(), minDf = 2,
+        watermark = "1 minute", windowLen = "10 minutes", stateTtlMs = ttlMs)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        val x = 42L
+        input.addData(Streams.LineIn(1, ts(10), x))
+        q.processAllAvailable()
+        // advance the watermark past the short TTL...
+        input.addData(Streams.LineIn(90, ts(60), 900L))
+        q.processAllAvailable()
+        // ...and run a batch where key x has NO data so its timeout fires
+        input.addData(Streams.LineIn(91, ts(61), 901L))
+        q.processAllAvailable()
+        input.addData(Streams.LineIn(2, ts(70), x))
+        q.processAllAvailable()
+        input.addData(Streams.LineIn(99, ts(5000), 999L)) // finalize windows
+        q.processAllAvailable()
+        spark.table(name).as[(Long, Long, Long)]
+          .collect().map(r => r._1 -> (r._2, r._3)).toMap
+      } finally q.stop()
+    }
+    val short = run("line_ttl_short", ttlMs = 10 * 60000L)
+    assert(short(1L) == ((1L, 1L)), s"doc 1: ${short.get(1L)}")
+    assert(short(2L) == ((1L, 1L)),
+      s"evicted entry must restart the count -> doc 2 kept: ${short.get(2L)}")
+    val long = run("line_ttl_long", ttlMs = 10L * 3600 * 1000)
+    assert(long(2L) == ((1L, 0L)),
+      s"retained entry must establish boilerplate -> doc 2 dropped: ${long.get(2L)}")
+  } }
 
   test("sessionize: gap > 30 min splits sessions; state closes on silence") {
     implicit val s = spark
