@@ -164,6 +164,70 @@ class PlanShapeSpec extends SparkSpec {
       s"frequency stats carry line text:\n${statLines.mkString("\n")}")
   }
 
+  test("q62: within-doc dedup plans NO join — a window plus doc-keyed reassembly only") {
+    // the scale claim (LineDedup.dedupeWithinDoc): no frequency table,
+    // no join; one window over (doc_id, line-hash) marks repeats, the
+    // reassembly groups by doc_id, the output sort ranges on doc_id —
+    // so every exchange in the plan must be doc-keyed and no join node
+    // of any kind may appear
+    val pre = graft.queries.TextQ.q62(spark, sf).queryExecution.sparkPlan.toString
+    Seq("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+        "CartesianProduct", "BroadcastNestedLoopJoin").foreach(j =>
+      assert(!pre.contains(j), s"q62 plans a $j:\n$pre"))
+    // the sf0.001 single-partition scan satisfies every distribution,
+    // so exchanges may be elided here — pin the distribution
+    // REQUIREMENTS that become the exchanges at scale: the repeat
+    // window partitions by (doc_id, lh) and the reassembly aggregates
+    // key on doc_id alone; if an exchange IS planned it must be
+    // doc-keyed
+    assert(pre.contains("windowspecdefinition(doc_id") ,
+      s"repeat-marking window not doc-partitioned:\n$pre")
+    assert(pre.linesIterator.exists(l =>
+      l.contains("Aggregate(keys=[doc_id") && l.contains("partial_")),
+      s"reassembly does not partially aggregate under doc_id:\n$pre")
+    val exch = pre.linesIterator.filter(_.contains("Exchange ")).toSeq
+    assert(exch.forall(l => l.contains("hashpartitioning(doc_id") ||
+      l.contains("rangepartitioning(doc_id")),
+      s"q62 has a non-doc-keyed exchange:\n${exch.mkString("\n")}")
+  }
+
+  test("q61: past the boilerplate filter, islands + spans + per-doc stats share ONE doc-keyed hash exchange") {
+    // droppedSpans' window partitions by doc_id; both groupBys
+    // (doc_id, grp) and (doc_id) are then satisfied by the same
+    // partitioning (subset rule), so exactly one hash exchange in the
+    // whole plan is doc_id-first — the stats/marking exchanges key on
+    // the line hash, never the doc
+    val pre = graft.queries.TextQ.q61(spark, sf).queryExecution.sparkPlan.toString
+    // the islands window partitions by doc_id, and BOTH downstream
+    // aggregations — (doc_id, grp) spans and (doc_id) stats — are
+    // satisfied by that same partitioning (hash-subset rule), so the
+    // plan may add AT MOST one doc-keyed hash exchange and must never
+    // repartition on the island key
+    assert(pre.contains("windowspecdefinition(doc_id"),
+      s"islands window not doc-partitioned:\n$pre")
+    assert(pre.linesIterator.exists(l =>
+      l.contains("Aggregate(keys=[doc_id") && l.contains("grp")),
+      s"span grouping (doc_id, grp) missing:\n$pre")
+    val docKeyed = pre.linesIterator
+      .count(_.contains("Exchange hashpartitioning(doc_id"))
+    assert(docKeyed <= 1,
+      s"expected at most 1 doc-keyed hash exchange, found $docKeyed:\n$pre")
+    assert(!pre.linesIterator.exists(l =>
+      l.contains("Exchange") && l.contains("grp#")),
+      s"q61 repartitions on the island key — the subset rule was lost:\n$pre")
+  }
+
+  test("q63: mix-rate planning is ONE corpus pass — single scan, map-side combine, no join") {
+    val pre = graft.queries.SketchQ.q63(spark, sf).queryExecution.sparkPlan.toString
+    val scans = pre.linesIterator.count(_.contains("FileScan parquet"))
+    assert(scans == 1, s"q63 must read the corpus exactly once, found $scans scans:\n$pre")
+    assert(pre.contains("partial_sum"),
+      s"q63 ships raw per-doc counts to the reducer (no map-side combine):\n$pre")
+    Seq("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct",
+        "BroadcastNestedLoopJoin").foreach(j =>
+      assert(!pre.contains(j), s"q63 plans a $j:\n$pre"))
+  }
+
   test("no query plans a cartesian product or nested-loop join (except intentional broadcasts)") {
     // q34: tiny broadcast query set x corpus — the intended brute-force
     // baseline shape (q37 no longer needs the exemption: its k-means
