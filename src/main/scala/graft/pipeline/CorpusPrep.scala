@@ -236,16 +236,20 @@ object CorpusPrep {
           case None => size(TextOps.tokens(col("text"))).cast("bigint")
         }
         withOrd
-          .withColumn("_ntok", nTok)
+          .withColumn("n_tokens", nTok)
           .select(col("*"),
             row_number().over(wShard).cast("long").as("pos"),
-            sum(col("_ntok")).over(wCum).as("_cum"))
+            sum(col("n_tokens")).over(wCum).as("_cum"))
           .withColumn("pack_id",
-            floor((col("_cum") - col("_ntok")).cast("double") / budget)
+            floor((col("_cum") - col("n_tokens")).cast("double") / budget)
               .cast("bigint"))
           .withColumn("pack_offset",
-            pmod(col("_cum") - col("_ntok"), lit(budget.toLong)))
-          .drop("_ntok", "_cum")
+            pmod(col("_cum") - col("n_tokens"), lit(budget.toLong)))
+          .drop("_cum")
+        // n_tokens stays in the output: the trainer's reader needs the
+        // doc's own token length next to (pack_id, pack_offset) to know
+        // how far it spills into the next pack, and the manifest
+        // aggregates it per pack
     }
     packed.drop("_ord")
   }
@@ -291,6 +295,28 @@ object CorpusPrep {
       planWith(baseDf, cfg, drops, contaminated).cache())
   }
 
+  /** Per-pack manifest of a PACKED plan/run output: one row per
+    * (shard, pack_id) with the doc-row range and token total —
+    * everything a trainer's reader needs to seek a pack without
+    * scanning the shard (n_docs for allocation, [pos_first, pos_last]
+    * as the row range, tokens = sum of n_tokens of the docs STARTING
+    * in the pack; a doc may spill past the budget into the next pack,
+    * which the reader sees from pos_last's own n_tokens).
+    */
+  def manifestOf(out: DataFrame): DataFrame =
+    out.groupBy(col("shard"), col("pack_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("pos")).as("pos_first"),
+        max(col("pos")).as("pos_last"),
+        sum(col("n_tokens")).as("tokens"))
+      .orderBy(col("shard"), col("pack_id"))
+
+  /** Where [[run]] writes the manifest: an underscore-prefixed subdir,
+    * which parquet readers treat as hidden — `spark.read.parquet(out)`
+    * over the shards is unaffected by its presence.
+    */
+  def manifestPath(outPath: String): String = s"$outPath/_manifest"
+
   def run(docs: DataFrame, outPath: String, cfg: Config,
           benchmark: Option[DataFrame] = None): Stats = {
     val m = materialize(docs, cfg, benchmark)
@@ -299,6 +325,13 @@ object CorpusPrep {
       out.write.mode(SaveMode.Overwrite)
         .partitionBy("shard")
         .parquet(outPath)
+      // packed runs also publish the pack manifest — aggregated from
+      // the same cached frame the write just streamed out, one tiny
+      // (shards x packs)-sized job, no second corpus pass
+      cfg.packBudget.foreach { _ =>
+        manifestOf(out).coalesce(1).write.mode(SaveMode.Overwrite)
+          .parquet(manifestPath(outPath))
+      }
       val afterSample = out.count()
       val a = scrubbed(docs, cfg)
         .select(TextOps.textDigest(col("text")).as("h"))

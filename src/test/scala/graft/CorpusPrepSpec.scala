@@ -232,4 +232,49 @@ class CorpusPrepSpec extends SparkSpec {
       assert(kept < total, "en must be downsampled")
     }
   }
+
+  test("pack manifest: totals equal the written rows' pack layout; shards readable despite it") {
+    val docs = Tables(spark, sf).documents
+    val out = java.nio.file.Files.createTempDirectory("graft-corpus-m").toString
+    val budget = 256
+    val cfgP = CorpusPrep.Config(langRates = Map.empty, defaultRate = 1.0,
+      nShards = 4, packBudget = Some(budget))
+    val stats = CorpusPrep.run(docs, out, cfgP)
+    // the underscore dir must be invisible to the shard reader
+    val written = spark.read.parquet(out)
+    assert(written.count() == stats.afterSample)
+    assert(new java.io.File(CorpusPrep.manifestPath(out)).exists())
+    val manifest = spark.read.parquet(CorpusPrep.manifestPath(out))
+      .collect().map(r => (r.getAs[Long]("shard"), r.getAs[Long]("pack_id")) ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("pos_first"),
+          r.getAs[Long]("pos_last"), r.getAs[Long]("tokens"))).toMap
+    // recompute the layout from the written rows themselves
+    val rows = written.select(col("shard").cast("long"), col("pack_id"),
+      col("pos"), col("n_tokens")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val expected = rows.groupBy(t => (t._1, t._2)).map { case (k, ts) =>
+      k -> (ts.length.toLong, ts.map(_._3).min, ts.map(_._3).max,
+        ts.map(_._4).sum)
+    }
+    assert(manifest == expected,
+      s"manifest disagrees with written layout:\n$manifest\nvs\n$expected")
+    // every written doc is covered exactly once and token totals add up
+    assert(manifest.values.map(_._1).sum == stats.afterSample)
+    assert(manifest.values.map(_._4).sum == rows.map(_._4).sum)
+    // row ranges within a shard are contiguous: pack p's pos_last + 1
+    // is pack p+1's pos_first (packs are cut from the same stream)
+    manifest.keys.groupBy(_._1).foreach { case (shard, ks) =>
+      val packs = ks.toSeq.sorted
+      packs.sliding(2).foreach {
+        case Seq(a, b) =>
+          assert(manifest(a)._3 + 1 == manifest(b)._2,
+            s"shard $shard: gap between pack $a and $b")
+        case _ => ()
+      }
+    }
+    // unpacked runs write no manifest
+    val out2 = java.nio.file.Files.createTempDirectory("graft-corpus-nm").toString
+    CorpusPrep.run(docs, out2, cfgP.copy(packBudget = None))
+    assert(!new java.io.File(CorpusPrep.manifestPath(out2)).exists())
+  }
 }
