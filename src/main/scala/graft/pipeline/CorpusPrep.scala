@@ -82,10 +82,25 @@ object CorpusPrep {
     *                    corpus realize the target only up to what
     *                    those upstream stages removed per source (and
     *                    a per-DOC keep rate realizes a token share in
-    *                    expectation). For exact shares, compute Mixer
-    *                    over the prepared frame (run once without
-    *                    sourceRates, measure, then rerun), or accept
-    *                    the approximation
+    *                    expectation). For exact shares use
+    *                    `sourceWeights` instead
+    * @param sourceWeights TWO-PASS exact-share mix: target token
+    *                    SHARES (Mixer.targetRates semantics — they are
+    *                    normalized; listed sources only). Instead of
+    *                    caller-supplied rates, the keep rates are
+    *                    computed IN-PLAN over the PREPARED frame (post
+    *                    scrub/dedup/near-dup/decontamination/langRates
+    *                    — exactly what the gate sees), so realized
+    *                    token shares match the target up to per-doc
+    *                    hash-sampling noise and 1/1024 quantization,
+    *                    regardless of how unevenly upstream stages
+    *                    removed sources. Costs one extra aggregation
+    *                    pass over the prepared frame (the "two-pass"),
+    *                    whose sources-sized result broadcast-joins
+    *                    back — run() caches the base lineage so the
+    *                    corpus itself is still read once. Mutually
+    *                    exclusive with `sourceRates`. Token
+    *                    denomination follows `bpeVocab`, like packing
     */
   final case class Config(
       langRates: Map[String, Double],
@@ -95,7 +110,8 @@ object CorpusPrep {
       scrubPii: Boolean = false,
       packBudget: Option[Int] = None,
       bpeVocab: Option[graft.functions.expressions.Bpe.Vocab] = None,
-      sourceRates: Option[Map[String, Double]] = None)
+      sourceRates: Option[Map[String, Double]] = None,
+      sourceWeights: Option[Map[String, Double]] = None)
 
   final case class Stats(
       input: Long, afterDedup: Long, afterSample: Long,
@@ -190,11 +206,23 @@ object CorpusPrep {
     * supplied by the caller — run() caches all three so each pipeline
     * executes once for its filter AND its stats count.
     */
+  /** The token denomination shared by packing and the two-pass mix
+    * gate: BPE under `bpeVocab` when set, whitespace otherwise.
+    */
+  private def tokenCol(cfg: Config): org.apache.spark.sql.Column =
+    cfg.bpeVocab match {
+      case Some(v) => graft.functions.expressions.Bpe.count(col("text"), v)
+      case None => size(TextOps.tokens(col("text"))).cast("bigint")
+    }
+
   private def planWith(baseDf: DataFrame, cfg: Config,
                        drops: Option[DataFrame],
                        contaminated: Option[DataFrame]): DataFrame = {
     require(cfg.nShards > 0 && (cfg.nShards & (cfg.nShards - 1)) == 0,
       s"nShards must be a power of two, got ${cfg.nShards}")
+    require(cfg.sourceRates.isEmpty || cfg.sourceWeights.isEmpty,
+      "sourceRates and sourceWeights are mutually exclusive — " +
+        "rates are either supplied or measured, not both")
     // near-dup + decontamination stages: anti-joins against the
     // (small — O(drops)) id sets; AQE broadcasts them while they fit
     val deduped1 = drops.fold(baseDf)(d =>
@@ -208,9 +236,27 @@ object CorpusPrep {
     // optional source-mix gate (Mixer rates): its own hash domain so
     // the two gates are independent — stacking on the bare id hash
     // would keep iff h < min(r1, r2), one coin flip instead of two
-    val sampled = cfg.sourceRates.fold(langSampled)(rates =>
-      Sample.stratified(langSampled, "doc_id", "source",
-        rates, defaultRate = 0.0, domain = "mix:"))
+    val sampled = (cfg.sourceRates, cfg.sourceWeights) match {
+      case (Some(rates), _) =>
+        Sample.stratified(langSampled, "doc_id", "source",
+          rates, defaultRate = 0.0, domain = "mix:")
+      case (None, Some(weights)) =>
+        // two-pass exact shares: measure per-source supply on THIS
+        // frame (everything upstream already applied), derive the
+        // rates in-plan, broadcast the sources-sized result back onto
+        // the stream, and gate with the same domain-separated hash.
+        // Sources outside the target get no rate row -> rate 0 ->
+        // dropped, Mixer's convention
+        val rates = graft.operators.Mixer
+          .targetRates(langSampled, tokenCol(cfg), weights)
+          .select(col("source"), col("rate"))
+        langSampled
+          .join(broadcast(rates), Seq("source"), "left")
+          .filter(Sample.keep(col("doc_id"),
+            coalesce(col("rate"), lit(0.0)), domain = "mix:"))
+          .drop("rate")
+      case _ => langSampled
+    }
     val h = shardHash
     val wShard = Window.partitionBy(col("shard"))
       .orderBy(col("_ord"), col("doc_id"))
@@ -231,12 +277,8 @@ object CorpusPrep {
       case Some(budget) =>
         val wCum = wShard
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val nTok = cfg.bpeVocab match {
-          case Some(v) => graft.functions.expressions.Bpe.count(col("text"), v)
-          case None => size(TextOps.tokens(col("text"))).cast("bigint")
-        }
         withOrd
-          .withColumn("n_tokens", nTok)
+          .withColumn("n_tokens", tokenCol(cfg))
           .select(col("*"),
             row_number().over(wShard).cast("long").as("pos"),
             sum(col("n_tokens")).over(wCum).as("_cum"))
@@ -286,7 +328,10 @@ object CorpusPrep {
     */
   private[graft] def materialize(docs: DataFrame, cfg: Config,
       benchmark: Option[DataFrame]): Materialized = {
-    val multiConsumer = cfg.nearDupMinEst.isDefined || benchmark.isDefined
+    // sourceWeights' rate measurement is a second consumer of the base
+    // lineage too (its aggregation pass + the gated stream)
+    val multiConsumer = cfg.nearDupMinEst.isDefined || benchmark.isDefined ||
+      cfg.sourceWeights.isDefined
     val base0 = base(docs, cfg)
     val baseDf = if (multiConsumer) base0.cache() else base0
     val drops = dropsOf(baseDf, cfg).map(_.cache())

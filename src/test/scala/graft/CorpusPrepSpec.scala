@@ -206,6 +206,61 @@ class CorpusPrepSpec extends SparkSpec {
       s"b must be downsampled, a untouched: $half1")
   }
 
+  test("sourceWeights two-pass mix: realized token shares hit the target even when dedup guts one source") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, sum, size, split, trim}
+    // source a: 200 unique 10-token docs. source b: 250 docs but only
+    // 50 DISTINCT texts (each repeated 5x) -> exact dedup keeps 50.
+    // Raw supply looks like a=2000 / b=2500 tokens; prepared supply is
+    // a=2000 / b=500 — any rate computed on the raw corpus is blind to
+    // the 4/5 of b that dedup removes.
+    def words(tag: String, i: Long) =
+      (1 to 10).map(k => s"w$tag${i}x$k").mkString(" ")
+    val docs = ((1L to 200L).map(i => (i, words("a", i), "a")) ++
+      (201L to 450L).map(i => (i, words("b", (i - 201) % 50), "b")))
+      .toDF("doc_id", "text", "source")
+    val target = Map("a" -> 0.5, "b" -> 0.5)
+    def shares(out: org.apache.spark.sql.DataFrame): Map[String, Double] = {
+      val t = out
+        .select(col("source"), size(split(trim(col("text")), "\\s+"))
+          .cast("long").as("n"))
+        .groupBy("source").agg(sum("n").as("tok"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val total = t.values.sum.toDouble
+      t.map { case (s, n) => s -> n / total }
+    }
+    val base = CorpusPrep.Config(langRates = Map.empty, defaultRate = 1.0,
+      nShards = 2)
+    // ONE-PASS (rates from the RAW corpus): b's realized share
+    // collapses — the approximation the caveat documents
+    val rawRates = graft.operators.Mixer
+      .targetRates(docs, graft.operators.Mixer.whitespaceTokens, target)
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("rate")).toMap
+    val onePass = shares(CorpusPrep.plan(docs,
+      base.copy(sourceRates = Some(rawRates))))
+    // TWO-PASS (rates measured in-plan on the prepared frame)
+    val twoPass = shares(CorpusPrep.plan(docs,
+      base.copy(sourceWeights = Some(target))))
+    val onePassErr = (onePass("b") - 0.5).abs
+    val twoPassErr = (twoPass("b") - 0.5).abs
+    assert(onePassErr > 0.25,
+      s"fixture must make the one-pass approximation visibly wrong: $onePass")
+    assert(twoPassErr < 0.1,
+      s"two-pass shares off target beyond sampling tolerance: $twoPass")
+    assert(twoPassErr < onePassErr)
+    // determinism: replanning realizes the identical subset
+    val ids1 = CorpusPrep.plan(docs, base.copy(sourceWeights = Some(target)))
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    val ids2 = CorpusPrep.plan(docs, base.copy(sourceWeights = Some(target)))
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(ids1 == ids2)
+    // mutual exclusion is loud
+    intercept[IllegalArgumentException] {
+      CorpusPrep.plan(docs, base.copy(sourceRates = Some(rawRates),
+        sourceWeights = Some(target))).count()
+    }
+  }
+
   test("run: writes shard-partitioned parquet and reports consistent stage counts") {
     val docs = Tables(spark, sf).documents
     val out = java.nio.file.Files.createTempDirectory("graft-corpus").toString
