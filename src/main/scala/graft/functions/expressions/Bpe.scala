@@ -225,6 +225,15 @@ object Bpe {
       .map { case (w, f) => (symbols(w).toArray, f) }
       .toDF("syms", "freq")
       .localCheckpoint()
+    // right-size the loop table: the per-round aggregation runs
+    // numMerges times, and a DISTINCT-WORD table is vocabulary-scale
+    // (a few MB even for web corpora), so 32-way shuffles of a few
+    // hundred KB would dominate every round's wall clock. Collapse a
+    // small table to one partition once (count() reads the
+    // checkpointed blocks, no corpus re-scan); a genuinely huge
+    // distinct-word table keeps its cluster partitioning
+    if (words.count() <= (1L << 20))
+      words = words.repartition(1).localCheckpoint()
     val pairExpr = expr(
       "explode(transform(slice(syms, 1, size(syms) - 1), " +
         "(x, i) -> named_struct('a', x, 'b', syms[i + 1])))")

@@ -731,6 +731,16 @@ object TextQ {
     * SQL — the driver records rows-only, and exactness is pinned by
     * BpeSpec's parity case (trainDistributed == train on identical
     * texts, including tie-breaks and early stop).
+    *
+    * Bench-time shape, stated plainly: at small SF the wall clock is
+    * the Spark JOB-SCHEDULING floor times the round count (64 rounds
+    * x ~0.1s/job — the argmax is one tiny job per round by
+    * construction), NOT data volume; the component that grows with
+    * corpus size is the single word-frequency shuffle, which is what
+    * the "shuffle-linear" claim is about. Sequential argmax is
+    * inherent to Sennrich BPE (each merge changes the next round's
+    * counts), so rounds cannot batch without changing the learned
+    * vocab.
     */
   def q66(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.expressions.Bpe
