@@ -80,9 +80,15 @@ object Bench {
     val med = names.map(n => n -> median(samples(n))).toMap
     def jmap(f: String => Double): String =
       names.map(n => s"\"" + n + "\":" + f(n)).mkString("{", ",", "}")
-    // compact variant for the tail-surviving final line: 3-decimal medians
+    // compact variant for the tail-surviving final line: 3-decimal
+    // medians. Locale.ROOT pinned — the f-interpolator uses the JVM
+    // default locale, and a comma decimal separator (de/fr locales)
+    // would make the one line whose whole job is "always parse" not
+    // be JSON
+    def d3(x: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(x))
     def jmapShort(f: String => Double): String =
-      names.map(n => "\"" + n + "\":" + f"${f(n)}%.3f").mkString("{", ",", "}")
+      names.map(n => "\"" + n + "\":" + d3(f(n))).mkString("{", ",", "}")
     val qs = jmap(med)
     val qsMin = jmap(n => if (med(n) < 0) -1.0 else samples(n).min)
     val qsMax = jmap(n => if (med(n) < 0) -1.0 else samples(n).max)
@@ -101,7 +107,7 @@ object Bench {
     println(fullJson)
     // FINAL line: headline + rounded medians, self-contained and <2KB so
     // the driver's tail-capture always parses it whole
-    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","failed":$failed,"warmup_sec":${f"$warmupSec%.3f"},"reps":$reps,"queries":${jmapShort(med)},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${d3(total)},"unit":"sec","failed":$failed,"warmup_sec":${d3(warmupSec)},"reps":$reps,"queries":${jmapShort(med)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -46,6 +46,31 @@ object Bpe {
   /** An ordered merge table: earlier = higher priority. */
   final case class Vocab(merges: Seq[(String, String)])
 
+  /** Tie-break ordering for merge candidates: CODE-POINT (= UTF-8
+    * binary) lexicographic, NOT Java String's UTF-16 code-unit order.
+    * The two differ exactly when one symbol starts with a
+    * supplementary-plane character and the other with U+E000..U+FFFF
+    * (surrogate units 0xD800.. sort below 0xE000.. in UTF-16 but the
+    * astral code point is the larger) — and Spark's UTF8String
+    * comparison, which [[trainDistributed]]'s orderBy uses, is UTF-8
+    * binary. One definition on both paths keeps distributed == local
+    * on any corpus, emoji included.
+    */
+  private[expressions] val codePointOrder: Ordering[String] =
+    new Ordering[String] {
+      def compare(x: String, y: String): Int = {
+        val a = x.getBytes("UTF-8"); val b = y.getBytes("UTF-8")
+        var i = 0
+        val n = math.min(a.length, b.length)
+        while (i < n) {
+          val c = (a(i) & 0xff) - (b(i) & 0xff)
+          if (c != 0) return c
+          i += 1
+        }
+        a.length - b.length
+      }
+    }
+
   private def c(e: Expression): Column = Bridge.column(e)
 
   /** BPE token count of a text column under `vocab`. Null text counts
@@ -105,8 +130,8 @@ object Bpe {
 
   /** Train `numMerges` merges on local texts: per round, count symbol
     * pairs weighted by word frequency, merge the most frequent pair
-    * (ties break to the lexicographically smallest), stop early when
-    * no pair occurs twice.
+    * (ties break to the smallest in [[codePointOrder]]), stop early
+    * when no pair occurs twice.
     */
   def train(texts: Seq[String], numMerges: Int): Vocab = {
     val wordFreq = scala.collection.mutable.Map.empty[String, Long]
@@ -132,7 +157,9 @@ object Bpe {
         }
       }
       val best = pairCounts.toSeq
-        .sortBy { case ((a, b), n) => (-n, a, b) }.headOption
+        .sortBy { case ((a, b), n) => (-n, a, b) }(
+          Ordering.Tuple3(Ordering.Long, codePointOrder, codePointOrder))
+        .headOption
       best match {
         case Some((pair, n)) if n >= 2 =>
           merges += pair
@@ -211,6 +238,8 @@ object Bpe {
     */
   def trainDistributed(df: DataFrame, textCol: Column, numMerges: Int,
       checkpointEvery: Int = 16): Vocab = {
+    require(checkpointEvery > 0,
+      s"checkpointEvery must be > 0, got $checkpointEvery")
     val spark = df.sparkSession
     import spark.implicits._
     val wordFreq = df

@@ -157,15 +157,32 @@ object Multimodal {
         if (r.payload == null || r.meta.n_bytes > maxBytes)
           Iterator.single(FrameRow(r.doc_id, -1, ok = false, Array.empty))
         else if (r.meta.mime == MimePpm) {
-          val (whole, bad) = Netpbm.frames(r.payload) match {
-            case Right(imgs) => (imgs, None)
-            case Left((imgs, _)) => (imgs, Some(imgs.length))
+          // walk the stream by HEADER parsing, materializing (decode +
+          // re-encode) only the sampled frames — skipped frames cost
+          // one header parse each, never a raster copy, so transient
+          // memory is the sampled subset, not the whole stream
+          val out = scala.collection.mutable.ArrayBuffer.empty[FrameRow]
+          var off = 0
+          var idx = 0
+          var bad = false
+          while (!bad && off < r.payload.length) {
+            if (idx % stride == 0) Netpbm.decodeFrom(r.payload, off) match {
+              case Some((img, next)) =>
+                out += FrameRow(r.doc_id, idx, ok = true, Netpbm.encodeP6(img))
+                off = next; idx += 1
+              case None => bad = true
+            } else Netpbm.nextOffset(r.payload, off) match {
+              case Some(next) => off = next; idx += 1
+              case None => bad = true
+            }
           }
-          val sampled = (0 until whole.length by stride).iterator.map { f =>
-            FrameRow(r.doc_id, f, ok = true, Netpbm.encodeP6(whole(f)))
-          }
-          sampled ++ bad.iterator.map(f =>
-            FrameRow(r.doc_id, f, ok = false, Array.empty))
+          // trailing garbage: whole frames salvaged above + ONE visible
+          // fence row at the bad frame's index (never silent loss)
+          if (bad) out += FrameRow(r.doc_id, idx, ok = false, Array.empty)
+          // an empty stream still yields one row — every doc appears in
+          // the output (the module contract, same as the byte-window arm)
+          if (out.isEmpty) out += FrameRow(r.doc_id, 0, ok = true, Array.empty)
+          out.iterator
         } else {
           // an empty payload is 1 empty frame, not 0 rows — every doc
           // appears in the output (no silent loss; the module contract)

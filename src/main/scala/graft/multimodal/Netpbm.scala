@@ -35,13 +35,15 @@ object Netpbm {
   private def isSpace(b: Byte): Boolean =
     b == ' ' || b == '\t' || b == '\n' || b == '\r' || b == '\f' || b == 0x0b
 
-  /** Parse ONE P6 image starting at `off`; Some((image, nextOffset))
-    * on success — `nextOffset` points just past the raster so a
-    * concatenated stream parses frame-by-frame — None on anything
-    * malformed (bad magic, missing/overflowing dimensions, maxval
-    * outside 1..255, truncated raster).
+  /** One parsed header: dims + where the raster starts/ends. The
+    * header walk shared by [[decodeFrom]] (which copies the raster)
+    * and [[nextOffset]] (which does NOT — frame skipping must not pay
+    * for pixels it discards).
     */
-  def decodeFrom(bytes: Array[Byte], off: Int): Option[(Image, Int)] = {
+  private final case class Header(width: Int, height: Int, maxVal: Int,
+                                  rasterStart: Int, rasterEnd: Int)
+
+  private def parseHeader(bytes: Array[Byte], off: Int): Option[Header] = {
     var i = off
     val n = bytes.length
     // whitespace/comment skipper: '#' eats to end of line (the header
@@ -76,13 +78,30 @@ object Netpbm {
         i += 1
         val raster = w.toLong * h * 3
         if (raster > Int.MaxValue || i + raster > n) None
-        else {
-          val px = java.util.Arrays.copyOfRange(bytes, i, i + raster.toInt)
-          Some((Image(w, h, mv, px), i + raster.toInt))
-        }
+        else Some(Header(w, h, mv, i, i + raster.toInt))
       case _ => None
     }
   }
+
+  /** Parse ONE P6 image starting at `off`; Some((image, nextOffset))
+    * on success — `nextOffset` points just past the raster so a
+    * concatenated stream parses frame-by-frame — None on anything
+    * malformed (bad magic, missing/overflowing dimensions, maxval
+    * outside 1..255, truncated raster).
+    */
+  def decodeFrom(bytes: Array[Byte], off: Int): Option[(Image, Int)] =
+    parseHeader(bytes, off).map { h =>
+      (Image(h.width, h.height, h.maxVal,
+        java.util.Arrays.copyOfRange(bytes, h.rasterStart, h.rasterEnd)),
+        h.rasterEnd)
+    }
+
+  /** Offset just past the frame at `off`, WITHOUT copying its raster —
+    * what a strided frame-sampler uses to skip unsampled frames at
+    * header-parse cost only.
+    */
+  def nextOffset(bytes: Array[Byte], off: Int): Option[Int] =
+    parseHeader(bytes, off).map(_.rasterEnd)
 
   /** Decode a single image (leading frame of the payload). */
   def decode(bytes: Array[Byte]): Option[Image] =

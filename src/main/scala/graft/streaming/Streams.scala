@@ -205,8 +205,9 @@ object Streams {
     * State: one entry per distinct line seen, each holding <= minDf
     * ids — the per-line bound is what makes the entry small; the entry
     * COUNT is bounded by `stateTtlMs` event-time eviction
-    * (EventTimeTimeout keyed off the watermark): a line not seen for
-    * the TTL is dropped from the store. Boilerplate by definition
+    * (EventTimeTimeout keyed off the watermark; `None` disables
+    * eviction and state grows with distinct lines): a line not seen
+    * for the TTL is dropped from the store. Boilerplate by definition
     * recurs — every new occurrence re-arms the timer — so eviction
     * only forgets one-off lines, whose verdict ("kept") never needed
     * state anyway. An evicted line that later returns restarts its
@@ -215,8 +216,8 @@ object Streams {
     *
     * NOTE (checker): Spark's STATIC correctness check flags ANY
     * event-time-timeout flatMapGroupsWithState feeding a stateful
-    * aggregation ("possibly emits late rows"), so starting this
-    * query requires
+    * aggregation ("possibly emits late rows"), so starting the
+    * TTL form requires
     * `spark.sql.streaming.statefulOperator.checkCorrectness.enabled=false`.
     * The flagged scenario cannot occur here: every emitted verdict
     * carries a ts from the CURRENT batch's input (which the upstream
@@ -225,6 +226,13 @@ object Streams {
     * over a processing-time TTL deliberately: it keys off the
     * watermark, so replaying the same input evicts identically and
     * the stage stays rerun-deterministic like the rest of graft.
+    * Because the conf is session-global and easy to miss, this
+    * function FAILS FAST at construction when the TTL is on but the
+    * checker is still enabled (instead of a cryptic AnalysisException
+    * at .start()); pass `stateTtlMs = None` to keep the checker on
+    * and accept unbounded per-distinct-line state (the pre-TTL
+    * behavior — fine for bounded replays, wrong for a long-lived
+    * production stream).
     *
     * Input rows: (doc_id, ts, line_hash) — explode + hash upstream
     * (TextExprs.md5Lower64 on the segmented line) so the state schema
@@ -234,15 +242,26 @@ object Streams {
     */
   def lineBoilerplateFilter(lines: Dataset[LineIn], minDf: Int = 2,
       watermark: String = "1 hour", windowLen: String = "10 minutes",
-      stateTtlMs: Long = 2L * 3600 * 1000)(
+      stateTtlMs: Option[Long] = Some(2L * 3600 * 1000))(
       implicit spark: SparkSession): DataFrame = {
     import spark.implicits._
     require(minDf >= 1, s"minDf must be >= 1, got $minDf")
-    require(stateTtlMs > 0, s"stateTtlMs must be > 0, got $stateTtlMs")
+    stateTtlMs.foreach(t => require(t > 0, s"stateTtlMs must be > 0, got $t"))
+    val checkerConf = "spark.sql.streaming.statefulOperator.checkCorrectness.enabled"
+    require(stateTtlMs.isEmpty ||
+      !spark.conf.get(checkerConf, "true").toBoolean,
+      s"lineBoilerplateFilter with a state TTL chains an event-time-timeout " +
+        s"flatMapGroupsWithState into a stateful aggregation, which Spark's " +
+        s"static late-row checker rejects unconditionally (the scaladoc has " +
+        s"the why-this-pipeline-is-safe analysis). Either set $checkerConf=false " +
+        s"for the session that starts this query, or pass stateTtlMs = None " +
+        s"to keep the checker on with unbounded per-distinct-line state")
+    val timeoutKind = if (stateTtlMs.isDefined)
+      GroupStateTimeout.EventTimeTimeout() else GroupStateTimeout.NoTimeout()
     val verdicts = lines.withWatermark("ts", watermark)
       .groupByKey(_.line_hash)
       .flatMapGroupsWithState[LineFreqState, LineVerdict](
-        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        OutputMode.Append(), timeoutKind) {
         (_, ls: Iterator[LineIn], state: GroupState[LineFreqState]) =>
           if (state.hasTimedOut) {
             // TTL passed with no new occurrence: a one-off line —
@@ -267,8 +286,8 @@ object Streams {
             // re-arm the eviction timer: TTL past this line's newest
             // occurrence (floored at the watermark — a timeout
             // timestamp must sit beyond it)
-            state.setTimeoutTimestamp(
-              math.max(maxTsMs, state.getCurrentWatermarkMs()) + stateTtlMs)
+            stateTtlMs.foreach(ttl => state.setTimeoutTimestamp(
+              math.max(maxTsMs, state.getCurrentWatermarkMs()) + ttl))
             out.iterator
           }
       }

@@ -113,6 +113,28 @@ class BpeSpec extends SparkSpec {
       == Bpe.train(Seq("xy"), 5))
   }
 
+  test("tie-breaks are code-point order on BOTH paths (astral vs U+E000.. would split UTF-16 from UTF-8 order)") {
+    import spark.implicits._
+    // U+1F600 (astral: UTF-16 lead surrogate 0xD83D) vs U+E000
+    // (private use): Java String order puts the surrogate FIRST,
+    // UTF-8/code-point order puts U+E000 first. Every word appears
+    // twice, so (astral,</w>) and (pua,</w>) tie at 2 -- the chosen
+    // merge IS the tie-break, and the two trainers must agree on it.
+    val astral = new String(Character.toChars(0x1F600))
+    val pua = "\uE000"
+    val texts = Seq(s"$astral $pua", s"$astral $pua")
+    val local = Bpe.train(texts, numMerges = 1)
+    assert(local.merges == Seq((pua, Bpe.EndOfWord)),
+      s"local tie-break must be code-point order: ${local.merges}")
+    val dist = Bpe.trainDistributed(texts.toDF("text"), col("text"), 1)
+    assert(dist == local, s"distributed ${dist.merges} != local ${local.merges}")
+    // guard: bad checkpointEvery fails fast, not mid-training
+    intercept[IllegalArgumentException] {
+      Bpe.trainDistributed(texts.toDF("text"), col("text"), 1,
+        checkpointEvery = 0)
+    }
+  }
+
   test("trainDistributed parity on real documents + q66 merge table shape") {
     val docs = Tables(spark, sf).documents
     // the corpus-scale path must reproduce the driver-local trainer

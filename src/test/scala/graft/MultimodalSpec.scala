@@ -188,6 +188,15 @@ class MultimodalSpec extends SparkSpec {
     assert(out(2L).filter(_.ok).map(_.frame_idx).sorted.toSeq == Seq(0, 2))
     assert(out(2L).filter(!_.ok).map(_.frame_idx).toSeq == Seq(3),
       "the bad tail must surface as an ok=false row at its frame index")
+    // an EMPTY stream still yields one row — every doc appears in the
+    // output (the module contract, matching the byte-window arm)
+    val empty = Seq(MediaRow(9L, Array.empty[Byte],
+      MediaMeta(Multimodal.MimePpm, 0L,
+        Multimodal.payloadChecksum(Array.empty[Byte])))).toDS()
+    val er = Multimodal.sampleFrames(empty, stride = 2).collect()
+    assert(er.map(f => (f.doc_id, f.frame_idx, f.ok, f.frame.length)).toSeq ==
+      Seq((9L, 0, true, 0)),
+      s"empty PPM payload must not vanish: ${er.toSeq}")
   }
 
   test("q67: real decode end-to-end — dims, luma stats vs a hand-built doc") {

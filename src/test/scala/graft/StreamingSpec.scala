@@ -254,7 +254,8 @@ class StreamingSpec extends SparkSpec {
     def run(name: String, ttlMs: Long): Map[Long, (Long, Long)] = {
       val input = MemoryStream[Streams.LineIn](spark)
       val q = Streams.lineBoilerplateFilter(input.toDS(), minDf = 2,
-        watermark = "1 minute", windowLen = "10 minutes", stateTtlMs = ttlMs)
+        watermark = "1 minute", windowLen = "10 minutes",
+        stateTtlMs = Some(ttlMs))
         .writeStream.format("memory").queryName(name)
         .outputMode("append").start()
       try {
@@ -283,6 +284,32 @@ class StreamingSpec extends SparkSpec {
     assert(long(2L) == ((1L, 0L)),
       s"retained entry must establish boilerplate -> doc 2 dropped: ${long.get(2L)}")
   } }
+
+  test("lineBoilerplateFilter: TTL + enabled checker fails fast; stateTtlMs=None starts under default conf") {
+    implicit val s = spark
+    import s.implicits._
+    // under the DEFAULT conf (checker on), the TTL form must refuse at
+    // construction with guidance, not die cryptically at .start()
+    val input = MemoryStream[Streams.LineIn](spark)
+    val e = intercept[IllegalArgumentException] {
+      Streams.lineBoilerplateFilter(input.toDS(), minDf = 2)
+    }
+    assert(e.getMessage.contains("checkCorrectness"),
+      s"guard must name the conf: ${e.getMessage}")
+    // the opt-out path (no TTL -> NoTimeout) starts and runs with the
+    // checker untouched — the pre-TTL behavior
+    val q = Streams.lineBoilerplateFilter(input.toDS(), minDf = 2,
+      stateTtlMs = None)
+      .writeStream.format("memory").queryName("line_nottl")
+      .outputMode("append").start()
+    try {
+      input.addData(Streams.LineIn(1, ts(10), 7L))
+      q.processAllAvailable()
+      input.addData(Streams.LineIn(99, ts(5000), 999L))
+      q.processAllAvailable()
+      assert(spark.table("line_nottl").collect().nonEmpty)
+    } finally q.stop()
+  }
 
   test("sessionize: gap > 30 min splits sessions; state closes on silence") {
     implicit val s = spark
