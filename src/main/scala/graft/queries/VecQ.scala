@@ -261,8 +261,14 @@ object VecQ {
     * rounds, the index, the nprobe=4 routing and the in-list re-rank
     * replay exactly.
     */
-  val q37Sql: String =
-    """WITH e AS (
+  /** Shared oracle CTE chain: the fully deterministic k=16 / 2-Lloyd-
+    * round k-means build unrolled in SQL, ending in `idx` =
+    * (cluster_id, vec_id, v, nrm) — consumed by the q37 (IVF probe)
+    * and q68 (semantic dedup) oracles, which differ only in what they
+    * do with the clustered corpus.
+    */
+  private val kmeansIdxCte: String =
+    """e AS (
       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
       |    sqrt(list_dot_product(list_transform(embedding, x -> CAST(x AS DOUBLE)),
       |                          list_transform(embedding, x -> CAST(x AS DOUBLE)))) AS nrm
@@ -303,7 +309,10 @@ object VecQ {
       |    SELECT e.vec_id, e.v, e.nrm, c.cluster_id,
       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
       |        ORDER BY (1.0 - list_dot_product(e.v, c.cv) / (e.nrm * c.cnrm)), c.cluster_id) AS rn
-      |    FROM e CROSS JOIN c2 c) WHERE rn = 1),
+      |    FROM e CROSS JOIN c2 c) WHERE rn = 1)""".stripMargin
+
+  val q37Sql: String =
+    s"""WITH $kmeansIdxCte,
       |probes AS (
       |  SELECT vec_id AS query_id, v AS qv, nrm AS qn, cluster_id FROM (
       |    SELECT e.vec_id, e.v, e.nrm, c.cluster_id,
@@ -320,6 +329,78 @@ object VecQ {
       |  FROM cand)
       |SELECT query_id, rnk, vec_id AS neighbor_id, sim AS cos_sim
       |FROM r WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin
+
+  /** q68: SEMANTIC (embedding-cluster) dedup — the SemDeDup recipe
+    * (Abbas et al., 2023, arXiv:2303.09540): k-means-cluster the
+    * embeddings, then WITHIN each cluster drop every vector whose
+    * cosine to a LOWER-id cluster-mate reaches the threshold
+    * (keep-lowest, the same deterministic survivor rule as the whole
+    * text-dedup family q30/q31/q53). Catches paraphrases and
+    * re-encodings that share no n-grams — the dup class MinHash/
+    * SimHash structurally cannot see.
+    *
+    * Scale shape: the cluster build is q37's (deterministic seeds,
+    * driver-resident centroids, shuffle-free assignment); pair
+    * generation is an equi-join on cluster_id, so the candidate set
+    * is sum-of-cluster-sizes-squared, never corpus² — k scales with N
+    * (SemDeDup runs k=50k on LAION-scale corpora) to keep clusters
+    * bounded, and the pair shuffle carries (id, id, sim) rows only.
+    * Output: every vector with its cluster, its max lower-id
+    * same-cluster cosine (round4'd; NULL when alone/lowest), and the
+    * keep verdict.
+    */
+  def q68(s: SparkSession, dir: String, k: Int = 16, iters: Int = 2,
+          threshold: Double = 0.3): DataFrame = {
+    val e = emb(Tables(s, dir))
+    var centroids: Seq[Center] = VecKmeans.collectCenters(
+      e.filter(col("vec_id") < k)
+        .select(col("vec_id"), col("v"), col("nrm")))
+    var it = 0
+    while (it < iters) {
+      centroids = VecKmeans.collectCenters(
+        VecKmeans.recenter(VecKmeans.assign(e, centroids, keep = 1)))
+      it += 1
+    }
+    val assigned = VecKmeans.assign(e, centroids, keep = 1)
+      .select(col("cluster_id"), col("vec_id"), col("v"), col("nrm"))
+    val lhs = assigned.select(col("cluster_id"), col("vec_id"),
+      col("v"), col("nrm"))
+    val rhs = assigned.select(col("cluster_id"),
+      col("vec_id").as("vec_lo"), col("v").as("v_lo"), col("nrm").as("n_lo"))
+    // max cosine to a lower id in the SAME cluster — sim computed
+    // in-bucket before the per-vector aggregate, so the exchange
+    // carries scalars, not vector payloads
+    val maxLower = lhs.join(rhs, Seq("cluster_id"))
+      .filter(col("vec_lo") < col("vec_id"))
+      .select(col("vec_id"),
+        (VecExprs.dot(col("v"), col("v_lo")) / (col("nrm") * col("n_lo")))
+          .as("sim"))
+      .groupBy(col("vec_id")).agg(max(col("sim")).as("ms"))
+    assigned
+      .join(maxLower, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster_id").cast("bigint").as("cluster_id"),
+        Q.round4(col("ms")).as("max_lower_sim4"),
+        (col("ms").isNull || col("ms") < threshold)
+          .cast("bigint").as("kept"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** DuckDB mirror of q68: the [[kmeansIdxCte]] cluster build, then
+    * the same within-cluster lower-id max-cosine and keep verdict.
+    */
+  val q68Sql: String =
+    s"""WITH $kmeansIdxCte,
+      |lower_sim AS (
+      |  SELECT a.vec_id,
+      |    max(list_dot_product(a.v, b.v) / (a.nrm * b.nrm)) AS ms
+      |  FROM idx a JOIN idx b USING (cluster_id)
+      |  WHERE b.vec_id < a.vec_id
+      |  GROUP BY a.vec_id)
+      |SELECT i.vec_id, CAST(i.cluster_id AS BIGINT) AS cluster_id,
+      |  ${Q.round4Sql("p.ms")} AS max_lower_sim4,
+      |  CAST(p.ms IS NULL OR p.ms < 0.3 AS BIGINT) AS kept
+      |FROM idx i LEFT JOIN lower_sim p ON i.vec_id = p.vec_id
+      |ORDER BY i.vec_id""".stripMargin
 
   /** q56: scalar (int8) embedding quantization — the storage-scale
     * path for vector corpora: per-dimension symmetric max-abs scales
@@ -398,5 +479,6 @@ object VecQ {
     Entry("q36_embed_dedup", (s, d) => q36(s, d), Some(q36Sql)),
     Entry("q37_ann_ivf", (s, d) => q37(s, d), Some(q37Sql)),
     Entry("q56_embed_quantize", q56, Some(q56Sql)),
+    Entry("q68_semantic_dedup", (s, d) => q68(s, d), Some(q68Sql)),
   )
 }

@@ -263,4 +263,46 @@ class TextVecQueriesSpec extends SparkSpec {
     assert(res.filter(col("vec_a") >= col("vec_b")).count() == 0)
     res.unpersist()
   }
+
+  test("q68 semantic dedup: verdicts match a brute-force within-cluster recomputation; keep-lowest holds") {
+    val rows = VecQ.q68(spark, sf).collect()
+    val t = Tables(spark, sf)
+    assert(rows.length == t.embeddings.count(),
+      "every vector gets a verdict")
+    assert(rows.exists(_.getAs[Long]("kept") == 0L) &&
+      rows.exists(_.getAs[Long]("kept") == 1L),
+      "threshold must actually split this corpus")
+    // brute-force ground truth: embeddings + the query's own cluster
+    // assignment (the clustering is the operator's model; what the
+    // spec checks independently is the dedup RULE on top of it)
+    val vecs = t.embeddings.collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getSeq[Float](r.fieldIndex("embedding"))
+          .map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i)*b(i); na += a(i)*a(i); nb += b(i)*b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val byCluster = rows.groupBy(_.getAs[Long]("cluster_id"))
+    byCluster.values.foreach { members =>
+      val ids = members.map(_.getAs[Long]("vec_id")).sorted
+      members.foreach { r =>
+        val id = r.getAs[Long]("vec_id")
+        val lower = ids.filter(_ < id)
+        val maxSim = if (lower.isEmpty) None
+          else Some(lower.map(l => cos(vecs(id), vecs(l))).max)
+        val expectKept = maxSim.forall(_ < 0.3)
+        assert((r.getAs[Long]("kept") == 1L) == expectKept,
+          s"vec $id: kept=${r.getAs[Long]("kept")} but maxLowerSim=$maxSim")
+        maxSim match {
+          case Some(ms) =>
+            val got = r.getAs[Double]("max_lower_sim4")
+            assert(math.abs(got - ms) < 1e-3,
+              s"vec $id: max_lower_sim4=$got vs brute $ms")
+          case None => assert(r.isNullAt(r.fieldIndex("max_lower_sim4")))
+        }
+      }
+    }
+  }
 }
