@@ -14,7 +14,9 @@ object SparkEntry {
         Entry("q50_multimodal_meta", graft.multimodal.Multimodal.q50,
           Some(graft.multimodal.Multimodal.q50Sql)),
         Entry("q67_ppm_decode", graft.multimodal.Multimodal.q67,
-          Some(graft.multimodal.Multimodal.q67Sql)))
+          Some(graft.multimodal.Multimodal.q67Sql)),
+        Entry("q69_wav_decode", graft.multimodal.Multimodal.q69,
+          Some(graft.multimodal.Multimodal.q69Sql)))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

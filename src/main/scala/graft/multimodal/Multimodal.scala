@@ -37,6 +37,9 @@ object Multimodal {
   /** Mime routed to the real [[Netpbm]] codec. */
   val MimePpm = "image/x-portable-pixmap"
 
+  /** Mime routed to the real [[Wav]] codec. */
+  val MimeWav = "audio/x-wav"
+
   /** Stand-in corpus: wrap each document's text bytes as the opaque
     * payload with typed metadata. In production this is the ingest
     * step for real media files (spark.read.format("binaryFile")).
@@ -116,6 +119,29 @@ object Multimodal {
               case Some(img) =>
                 FeatureRow(r.doc_id, r.meta.mime, r.meta.n_bytes,
                   ok = true, features = Netpbm.lumaHistogram(img, FeatureDim))
+              case None =>
+                FeatureRow(r.doc_id, r.meta.mime, r.meta.n_bytes,
+                  ok = false, features = Array.empty)
+            }
+          else if (r.meta.mime == MimeWav)
+            // REAL audio path: RIFF/PCM16 decode + signal summary
+            // (rate, length, peak, rms) padded to the shared dim
+            Wav.decode(r.payload) match {
+              case Some(a) =>
+                var ss = 0.0; var peak = 0f; var i = 0
+                while (i < a.samples.length) {
+                  val v = a.samples(i).toFloat
+                  ss += v.toDouble * v; if (math.abs(v) > peak) peak = math.abs(v)
+                  i += 1
+                }
+                val f = new Array[Float](FeatureDim)
+                f(0) = a.sampleRate.toFloat
+                f(1) = a.samples.length.toFloat
+                f(2) = peak
+                f(3) = if (a.samples.isEmpty) 0f
+                       else math.sqrt(ss / a.samples.length).toFloat
+                FeatureRow(r.doc_id, r.meta.mime, r.meta.n_bytes,
+                  ok = true, features = f)
               case None =>
                 FeatureRow(r.doc_id, r.meta.mime, r.meta.n_bytes,
                   ok = false, features = Array.empty)
@@ -343,6 +369,92 @@ object Multimodal {
       |  ${graft.queries.Q.round4Sql("CAST(lsum AS DOUBLE) / n_px")} AS luma_mean4,
       |  ${graft.queries.Q.round4Sql("CAST(ndark AS DOUBLE) / n_px")} AS dark_frac4
       |FROM agg ORDER BY doc_id""".stripMargin
+
+  /** Audio-from-documents corpus for the WAV arm: each doc's UTF-8
+    * text bytes as centered mono PCM16 samples (sample = (byte - 128)
+    * * 256, 8 kHz), through the real [[Wav.encodePcm16]] — the q69
+    * decode side then walks real RIFF chunks, and the samples being a
+    * pure function of the text bytes lets DuckDB replay the round
+    * trip.
+    */
+  def wavTable(spark: SparkSession, dir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), coalesce(col("text"), lit("")).as("t"))
+      .as[(Long, String)]
+      .map { case (id, t) =>
+        val samples = t.getBytes("UTF-8")
+          .map(b => (((b & 0xff) - 128) * 256).toShort)
+        val payload = Wav.encodePcm16(Wav.Audio(8000, samples))
+        MediaRow(id, payload,
+          MediaMeta(MimeWav, payload.length.toLong, payloadChecksum(payload)))
+      }
+  }
+
+  /** q69 entry: the real AUDIO decode in the oracle-checked path —
+    * [[wavTable]] → [[Wav.decode]] (actual RIFF chunk walk) → signal
+    * stats. Integer state (sample count, peak magnitude, sum of
+    * squares) until the final rms division — DuckDB replays exactly,
+    * the q67 recipe on the audio arm.
+    */
+  def q69(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    wavTable(spark, dir)
+      .map { r =>
+        Wav.decode(r.payload) match {
+          case Some(a) =>
+            var ss = 0L; var peak = 0L; var i = 0
+            while (i < a.samples.length) {
+              val v = a.samples(i).toLong
+              ss += v * v
+              if (math.abs(v) > peak) peak = math.abs(v)
+              i += 1
+            }
+            (r.doc_id, a.sampleRate.toLong, a.samples.length.toLong,
+              a.samples.length.toLong * 1000 / a.sampleRate, peak, ss, true)
+          case None => (r.doc_id, 0L, 0L, 0L, 0L, 0L, false)
+        }
+      }
+      .toDF("doc_id", "sample_rate", "n_samples", "duration_ms",
+        "peak", "sum_sq", "ok")
+      .select(col("doc_id"), col("sample_rate"), col("n_samples"),
+        col("duration_ms"), col("peak"), col("ok"),
+        when(col("n_samples") > 0,
+          graft.queries.Q.round4(
+            sqrt(col("sum_sq").cast("double") / col("n_samples"))))
+          .otherwise(lit(0.0)).as("rms4"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB mirror of q69: rebuild the samples ((byte-128)*256 from
+    * the UTF-8 bytes), aggregate the identical integer state, divide
+    * and sqrt once. The LEFT JOIN keeps zero-sample docs (empty text)
+    * in the output like the Spark side does.
+    */
+  val q69Sql: String =
+    s"""WITH hx AS (
+      |  SELECT doc_id, hex(encode(coalesce(text,''))) AS h,
+      |         octet_length(encode(coalesce(text,''))) AS nb
+      |  FROM documents),
+      |bts AS (
+      |  SELECT doc_id, list_transform(range(1, nb + 1), i ->
+      |    (strpos('0123456789ABCDEF', substr(h, CAST(2*i-1 AS INT), 1)) - 1) * 16 +
+      |    (strpos('0123456789ABCDEF', substr(h, CAST(2*i AS INT), 1)) - 1)) AS bs
+      |  FROM hx),
+      |smp AS (
+      |  SELECT doc_id, unnest(list_transform(bs, b -> (b - 128) * 256)) AS s
+      |  FROM bts),
+      |agg AS (
+      |  SELECT doc_id, count(*) AS n, max(abs(s)) AS pk,
+      |         sum(CAST(s AS BIGINT) * s) AS ss
+      |  FROM smp GROUP BY doc_id)
+      |SELECT h.doc_id, CAST(8000 AS BIGINT) AS sample_rate,
+      |  CAST(coalesce(a.n, 0) AS BIGINT) AS n_samples,
+      |  CAST(coalesce(a.n, 0) * 1000 // 8000 AS BIGINT) AS duration_ms,
+      |  CAST(coalesce(a.pk, 0) AS BIGINT) AS peak, TRUE AS ok,
+      |  CASE WHEN a.n > 0 THEN ${graft.queries.Q.round4Sql(
+           "sqrt(CAST(a.ss AS DOUBLE) / a.n)")} ELSE 0.0 END AS rms4
+      |FROM hx h LEFT JOIN agg a USING (doc_id) ORDER BY doc_id""".stripMargin
 
   /** q50 entry: blob table → batched decode-stub → feature summary.
     * Metadata and feature stats only — the binary column never reaches

@@ -199,6 +199,83 @@ class MultimodalSpec extends SparkSpec {
       s"empty PPM payload must not vanish: ${er.toSeq}")
   }
 
+  // ---- real WAV codec path ----
+
+  import graft.multimodal.Wav
+
+  test("Wav: encode/decode round trip, chunk skipping, malformed/unsupported fencing") {
+    val a = Wav.Audio(8000, Array[Short](0, 1000, -1000, 32767, -32768))
+    val enc = Wav.encodePcm16(a)
+    val dec = Wav.decode(enc).get
+    assert(dec.sampleRate == 8000 && dec.samples.toSeq == a.samples.toSeq)
+    // real-world chunk walking: a LIST chunk (odd size -> pad byte)
+    // between fmt and data must be skipped, not break the parse
+    val listChunk = "LIST".getBytes("US-ASCII") ++
+      Array[Byte](5, 0, 0, 0) ++ "INFOx".getBytes("US-ASCII") ++
+      Array[Byte](0) // pad to even
+    val withList = enc.take(36) ++ listChunk ++ enc.drop(36)
+    // fix the RIFF size field (bytes 4..7, little-endian)
+    val fixed = withList.clone()
+    val riffSize = fixed.length - 8
+    fixed(4) = (riffSize & 0xff).toByte
+    fixed(5) = ((riffSize >> 8) & 0xff).toByte
+    fixed(6) = ((riffSize >> 16) & 0xff).toByte
+    fixed(7) = ((riffSize >> 24) & 0xff).toByte
+    val dl = Wav.decode(fixed).get
+    assert(dl.samples.toSeq == a.samples.toSeq,
+      "LIST chunk between fmt and data must be skipped")
+    // unsupported/malformed inputs fence as None, never throw
+    assert(Wav.decode("RIFFxxxxWAVE".getBytes).isEmpty, "no chunks")
+    assert(Wav.decode(enc.dropRight(3)).isEmpty, "truncated data")
+    val stereo = enc.clone(); stereo(22) = 2 // channels field
+    assert(Wav.decode(stereo).isEmpty, "stereo unsupported -> None")
+    val floatFmt = enc.clone(); floatFmt(20) = 3 // IEEE float format
+    assert(Wav.decode(floatFmt).isEmpty, "float WAV unsupported -> None")
+    // data before fmt: sample layout undefined -> reject
+    val dataFirst = enc.take(12) ++ enc.drop(36) ++ enc.slice(12, 36)
+    assert(Wav.decode(dataFirst).isEmpty)
+  }
+
+  test("extractFeatures on WAV mime runs the real RIFF parser; malformed audio fences") {
+    import spark.implicits._
+    val a = Wav.Audio(8000, Array[Short](300, -400))
+    val good = Wav.encodePcm16(a)
+    val bad = "RIFF????WAVEnot-a-chunk".getBytes("US-ASCII")
+    val media = Seq(
+      MediaRow(1L, good, MediaMeta(Multimodal.MimeWav, good.length.toLong,
+        Multimodal.payloadChecksum(good))),
+      MediaRow(2L, bad, MediaMeta(Multimodal.MimeWav, bad.length.toLong,
+        Multimodal.payloadChecksum(bad)))).toDS()
+    val out = Multimodal.extractFeatures(media).collect().sortBy(_.doc_id)
+    assert(out(0).ok && out(0).features.length == Multimodal.FeatureDim)
+    assert(out(0).features(0) == 8000f && out(0).features(1) == 2f &&
+      out(0).features(2) == 400f, out(0).features.toSeq.toString)
+    // rms of {300, -400} = sqrt((90000 + 160000) / 2) = sqrt(125000)
+    assert(math.abs(out(0).features(3) - math.sqrt(125000.0)) < 0.01)
+    assert(!out(1).ok && out(1).features.isEmpty)
+  }
+
+  test("q69: real audio decode end-to-end — counts, duration, peak vs the encode layout") {
+    val out = Multimodal.q69(spark, sf).cache()
+    val docs = Tables(spark, sf).documents
+    assert(out.count() == docs.count())
+    assert(out.filter(!col("ok")).count() == 0)
+    assert(out.filter(col("sample_rate") =!= 8000L).count() == 0)
+    // one sample per UTF-8 byte; duration = n/8 ms at 8 kHz
+    val bad = out.join(
+      docs.select(col("doc_id"),
+        length(encode(coalesce(col("text"), lit("")), "UTF-8"))
+          .cast("bigint").as("nb")),
+      Seq("doc_id"))
+      .filter(col("n_samples") =!= col("nb") ||
+        // DIV: Spark's `/` on longs is DOUBLE division
+        col("duration_ms") =!= expr("nb * 1000 DIV 8000"))
+    assert(bad.count() == 0, "sample count/duration must match the layout")
+    // peak is bounded by the sample construction: |(b-128)*256| <= 32768
+    assert(out.filter(col("peak") > 32768L).count() == 0)
+    out.unpersist()
+  }
+
   test("q67: real decode end-to-end — dims, luma stats vs a hand-built doc") {
     val out = Multimodal.q67(spark, sf).cache()
     val docs = Tables(spark, sf).documents
