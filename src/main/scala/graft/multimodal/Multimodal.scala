@@ -298,6 +298,22 @@ object Multimodal {
       }
   }
 
+  /** Shared oracle CTE: documents' UTF-8 bytes decoded to an INT list
+    * (`bts.bs`, with `nb` = byte count) via hex() nibble extraction —
+    * the ONE copy of the byte-decode recipe, consumed by the q50, q67
+    * (which pads it to the raster size) and q69 oracles.
+    */
+  private val hexBytesCte: String =
+    """hx AS (
+      |  SELECT doc_id, hex(encode(coalesce(text,''))) AS h,
+      |         octet_length(encode(coalesce(text,''))) AS nb
+      |  FROM documents),
+      |bts AS (
+      |  SELECT doc_id, nb, list_transform(range(1, nb+1), i ->
+      |    CAST(strpos('0123456789ABCDEF', substr(h, CAST(2*i-1 AS INT), 1)) - 1 AS INT) * 16 +
+      |    CAST(strpos('0123456789ABCDEF', substr(h, CAST(2*i AS INT), 1)) - 1 AS INT)) AS bs
+      |  FROM hx)""".stripMargin
+
   /** q67 entry: the REAL image decode in the oracle-checked path —
     * [[ppmTable]] → [[Netpbm.decode]] (actual header parse + raster
     * read, not byte math) → per-image luma stats. All state stays in
@@ -339,26 +355,20 @@ object Multimodal {
     * division), aggregate the identical integer state, divide once.
     */
   val q67Sql: String =
-    s"""WITH hx AS (
-      |  SELECT doc_id, hex(encode(coalesce(text,''))) AS h,
-      |         octet_length(encode(coalesce(text,''))) AS nb
-      |  FROM documents),
+    s"""WITH $hexBytesCte,
       |dims AS (
-      |  SELECT doc_id, h, nb,
-      |    GREATEST(CAST(ceil(nb / 24.0) AS BIGINT), 1) AS ih
+      |  SELECT doc_id, GREATEST(CAST(ceil(nb / 24.0) AS BIGINT), 1) AS ih
       |  FROM hx),
-      |bts AS (
-      |  SELECT doc_id, ih, list_transform(range(1, ih*24 + 1), i ->
-      |    CASE WHEN i <= nb THEN
-      |      (strpos('0123456789ABCDEF', substr(h, CAST(2*i-1 AS INT), 1)) - 1) * 16 +
-      |      (strpos('0123456789ABCDEF', substr(h, CAST(2*i AS INT), 1)) - 1)
-      |    ELSE 0 END) AS bs
-      |  FROM dims),
+      |pad AS (
+      |  SELECT b.doc_id, d.ih,
+      |    list_concat(b.bs,
+      |      list_transform(range(b.nb, d.ih*24), x -> CAST(0 AS INT))) AS bs
+      |  FROM bts b JOIN dims d USING (doc_id)),
       |lum AS (
       |  SELECT doc_id, ih, list_transform(range(0, ih*8), p ->
       |    (bs[CAST(3*p+1 AS INT)]*299 + bs[CAST(3*p+2 AS INT)]*587 +
       |     bs[CAST(3*p+3 AS INT)]*114) // 1000) AS ls
-      |  FROM bts),
+      |  FROM pad),
       |px AS (SELECT doc_id, ih, unnest(ls) AS l FROM lum),
       |agg AS (
       |  SELECT doc_id, any_value(ih) AS ih, count(*) AS n_px,
@@ -432,15 +442,7 @@ object Multimodal {
     * in the output like the Spark side does.
     */
   val q69Sql: String =
-    s"""WITH hx AS (
-      |  SELECT doc_id, hex(encode(coalesce(text,''))) AS h,
-      |         octet_length(encode(coalesce(text,''))) AS nb
-      |  FROM documents),
-      |bts AS (
-      |  SELECT doc_id, list_transform(range(1, nb + 1), i ->
-      |    (strpos('0123456789ABCDEF', substr(h, CAST(2*i-1 AS INT), 1)) - 1) * 16 +
-      |    (strpos('0123456789ABCDEF', substr(h, CAST(2*i AS INT), 1)) - 1)) AS bs
-      |  FROM hx),
+    s"""WITH $hexBytesCte,
       |smp AS (
       |  SELECT doc_id, unnest(list_transform(bs, b -> (b - 128) * 256)) AS s
       |  FROM bts),
@@ -479,15 +481,7 @@ object Multimodal {
     * what the query verifies.
     */
   val q50Sql: String =
-    """WITH hx AS (
-      |  SELECT doc_id, hex(encode(coalesce(text,''))) AS h,
-      |         octet_length(encode(coalesce(text,''))) AS nb
-      |  FROM documents),
-      |bts AS (
-      |  SELECT doc_id, nb, list_transform(range(1, nb+1), i ->
-      |    CAST(strpos('0123456789ABCDEF', substr(h, CAST(2*i-1 AS INT), 1)) - 1 AS INT) * 16 +
-      |    CAST(strpos('0123456789ABCDEF', substr(h, CAST(2*i AS INT), 1)) - 1 AS INT)) AS bs
-      |  FROM hx),
+    s"""WITH $hexBytesCte,
       |feats AS (
       |  SELECT doc_id, nb, list_transform(range(0, 16), j ->
       |    list_reduce(

@@ -227,12 +227,18 @@ object VecQ {
     * recall, never correctness; raise `iters` when recall targets
     * tighten.
     */
-  def q37(s: SparkSession, dir: String, k: Int = 16, nprobe: Int = 4,
-          iters: Int = 2): DataFrame = {
-    val e = emb(Tables(s, dir))
-    // deterministic seeds: the k lowest vec_ids (collected to the
-    // driver — centroids live driver-local for the whole build, so
-    // every assignment below is a shuffle-free projection)
+  /** The deterministic k-means build + full-corpus assignment shared
+    * by q37 (IVF probe) and q68 (semantic dedup) — ONE Scala
+    * definition feeding the ONE SQL mirror ([[kmeansIdxCte]]'s `idx`),
+    * so the two queries cannot drift from each other or from the
+    * oracle. Seeds = the k lowest vec_ids (collected to the driver —
+    * centroids live driver-local for the whole build, so every
+    * assignment is a shuffle-free projection); `iters` exact-sum Lloyd
+    * rounds. Returns (the projected corpus, its cluster assignment,
+    * the final centroids).
+    */
+  private def kmeansIndex(e: DataFrame, k: Int, iters: Int)
+      : (DataFrame, Seq[Center]) = {
     var centroids: Seq[Center] = VecKmeans.collectCenters(
       e.filter(col("vec_id") < k)
         .select(col("vec_id"), col("v"), col("nrm")))
@@ -242,8 +248,15 @@ object VecQ {
         VecKmeans.recenter(VecKmeans.assign(e, centroids, keep = 1)))
       it += 1
     }
-    val index = VecKmeans.assign(e, centroids, keep = 1)
-      .select(col("cluster_id"), col("vec_id"), col("v"), col("nrm"))
+    (VecKmeans.assign(e, centroids, keep = 1)
+      .select(col("cluster_id"), col("vec_id"), col("v"), col("nrm")),
+      centroids)
+  }
+
+  def q37(s: SparkSession, dir: String, k: Int = 16, nprobe: Int = 4,
+          iters: Int = 2): DataFrame = {
+    val e = emb(Tables(s, dir))
+    val (index, centroids) = kmeansIndex(e, k, iters)
     val probes = VecKmeans.assign(
       e.filter(col("vec_id") < NQueries), centroids, keep = nprobe)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
@@ -349,38 +362,38 @@ object VecQ {
     * same-cluster cosine (round4'd; NULL when alone/lowest), and the
     * keep verdict.
     */
-  def q68(s: SparkSession, dir: String, k: Int = 16, iters: Int = 2,
-          threshold: Double = 0.3): DataFrame = {
+  /** q68's dup threshold — ONE constant interpolated into both the
+    * Spark path and [[q68Sql]] (the k=16 / 2-round cluster build is
+    * pinned structurally by [[kmeansIdxCte]]'s unrolled SQL, so those
+    * are not parameters: a different build needs a different oracle).
+    */
+  private val SemDedupThreshold = 0.3
+
+  def q68(s: SparkSession, dir: String): DataFrame = {
     val e = emb(Tables(s, dir))
-    var centroids: Seq[Center] = VecKmeans.collectCenters(
-      e.filter(col("vec_id") < k)
-        .select(col("vec_id"), col("v"), col("nrm")))
-    var it = 0
-    while (it < iters) {
-      centroids = VecKmeans.collectCenters(
-        VecKmeans.recenter(VecKmeans.assign(e, centroids, keep = 1)))
-      it += 1
-    }
-    val assigned = VecKmeans.assign(e, centroids, keep = 1)
-      .select(col("cluster_id"), col("vec_id"), col("v"), col("nrm"))
+    val (assigned, _) = kmeansIndex(e, k = 16, iters = 2)
     val lhs = assigned.select(col("cluster_id"), col("vec_id"),
       col("v"), col("nrm"))
     val rhs = assigned.select(col("cluster_id"),
       col("vec_id").as("vec_lo"), col("v").as("v_lo"), col("nrm").as("n_lo"))
     // max cosine to a lower id in the SAME cluster — sim computed
     // in-bucket before the per-vector aggregate, so the exchange
-    // carries scalars, not vector payloads
+    // carries scalars, not vector payloads. Zero-norm guard (the q56
+    // degenerate-denominator pattern): 0/0 would be NaN here but NULL
+    // in DuckDB — both sides emit NULL, max() ignores it, and an
+    // unmeasurable vector is KEPT, never dropped as a dup of nothing
     val maxLower = lhs.join(rhs, Seq("cluster_id"))
       .filter(col("vec_lo") < col("vec_id"))
       .select(col("vec_id"),
-        (VecExprs.dot(col("v"), col("v_lo")) / (col("nrm") * col("n_lo")))
+        when(col("nrm") * col("n_lo") > 0,
+          VecExprs.dot(col("v"), col("v_lo")) / (col("nrm") * col("n_lo")))
           .as("sim"))
       .groupBy(col("vec_id")).agg(max(col("sim")).as("ms"))
     assigned
       .join(maxLower, Seq("vec_id"), "left")
       .select(col("vec_id"), col("cluster_id").cast("bigint").as("cluster_id"),
         Q.round4(col("ms")).as("max_lower_sim4"),
-        (col("ms").isNull || col("ms") < threshold)
+        (col("ms").isNull || col("ms") < SemDedupThreshold)
           .cast("bigint").as("kept"))
       .orderBy(col("vec_id"))
   }
@@ -392,13 +405,14 @@ object VecQ {
     s"""WITH $kmeansIdxCte,
       |lower_sim AS (
       |  SELECT a.vec_id,
-      |    max(list_dot_product(a.v, b.v) / (a.nrm * b.nrm)) AS ms
+      |    max(CASE WHEN a.nrm * b.nrm > 0
+      |      THEN list_dot_product(a.v, b.v) / (a.nrm * b.nrm) END) AS ms
       |  FROM idx a JOIN idx b USING (cluster_id)
       |  WHERE b.vec_id < a.vec_id
       |  GROUP BY a.vec_id)
       |SELECT i.vec_id, CAST(i.cluster_id AS BIGINT) AS cluster_id,
       |  ${Q.round4Sql("p.ms")} AS max_lower_sim4,
-      |  CAST(p.ms IS NULL OR p.ms < 0.3 AS BIGINT) AS kept
+      |  CAST(p.ms IS NULL OR p.ms < $SemDedupThreshold AS BIGINT) AS kept
       |FROM idx i LEFT JOIN lower_sim p ON i.vec_id = p.vec_id
       |ORDER BY i.vec_id""".stripMargin
 
