@@ -246,6 +246,12 @@ object Bpe {
       .select(textCol.cast("string").as("t"))
       .where(col("t").isNotNull && trim(col("t")) =!= "")
       .select(explode(split(trim(col("t")), "\\s+")).as("w"))
+      // Spark trim() strips only ASCII space while local train uses
+      // Java String.trim (all chars <= U+0020): a leading tab/newline
+      // would leave an empty first token here, and a tab-only doc
+      // would survive the non-empty gate above. Drop empty tokens so
+      // the word-frequency table matches the local trainer exactly.
+      .where(col("w") =!= "")
       .groupBy("w").agg(sum(lit(1L)).as("freq")) // (functions.count is shadowed by Bpe.count)
       .as[(String, Long)]
     // code-point symbolization (surrogate-safe, same symbols() as local);

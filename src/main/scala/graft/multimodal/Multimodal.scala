@@ -136,6 +136,11 @@ object Multimodal {
                 }
                 val f = new Array[Float](FeatureDim)
                 f(0) = a.sampleRate.toFloat
+                // Float holds integers exactly only up to 2^24: a clip
+                // longer than ~16.7M samples (~35 min at 8 kHz) rounds
+                // its length here. Fine for a fixed-dim float feature
+                // vector; readers needing the exact count should take
+                // it from the decoded samples, not this summary.
                 f(1) = a.samples.length.toFloat
                 f(2) = peak
                 f(3) = if (a.samples.isEmpty) 0f

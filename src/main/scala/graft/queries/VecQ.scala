@@ -234,8 +234,8 @@ object VecQ {
     * oracle. Seeds = the k lowest vec_ids (collected to the driver —
     * centroids live driver-local for the whole build, so every
     * assignment is a shuffle-free projection); `iters` exact-sum Lloyd
-    * rounds. Returns (the projected corpus, its cluster assignment,
-    * the final centroids).
+    * rounds. Returns (the projected corpus with its cluster
+    * assignment attached as `idx`, the final centroids).
     */
   private def kmeansIndex(e: DataFrame, k: Int, iters: Int)
       : (DataFrame, Seq[Center]) = {

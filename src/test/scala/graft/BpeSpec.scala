@@ -101,7 +101,12 @@ class BpeSpec extends SparkSpec {
     import spark.implicits._
     // hand corpus with a real tie to break and enough repetition to
     // learn several rounds deep, plus blank/whitespace rows to ignore
-    val texts = Seq("ab ab", "ab", "abc abc abd", "xy xy zz", "  ", "a b ab")
+    // "\tab ab\n" and "\t\n": Spark trim() strips only ASCII space,
+    // Java trim all chars <= U+0020 — the distributed path must drop
+    // the empty tokens a leading tab leaves behind and ignore
+    // tab/newline-only docs, exactly like the local trainer
+    val texts = Seq("ab ab", "ab", "abc abc abd", "xy xy zz", "  ",
+      "a b ab", "\tab ab\n", "\t\n")
     val local = Bpe.train(texts, numMerges = 20)
     val dist = Bpe.trainDistributed(
       texts.toDF("text"), col("text"), numMerges = 20, checkpointEvery = 4)
