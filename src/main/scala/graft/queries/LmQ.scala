@@ -1,0 +1,227 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.TextOps.{normText, tokens}
+import graft.functions.expressions.TextExprs.md5Lower64
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Corpus-model text operators: the quality/shaping passes a training
+  * pipeline runs AFTER dedup — statistical fluency scoring against the
+  * corpus's own n-gram model (the CCNet design, Wenzek et al. 2019,
+  * arXiv:1911.00359), context-window chunking, and cross-document
+  * duplicated-n-gram contamination stats (the "duplicate text
+  * fraction" signal of Gopher/Dolma-style quality suites, Rae et al.
+  * 2021, arXiv:2112.11446).
+  *
+  * House rules apply ([[Q]]): integer/fixed-point arithmetic
+  * end-to-end — BIGINT sums and integral `DIV` are exact and
+  * summation-order-free in both engines, where a sum of float log
+  * probabilities would be neither — and every shuffle keyed on the
+  * portable 64-bit md5 family, never on raw token strings.
+  */
+object LmQ {
+
+  /** Fixed-point scale: scores are nano-units (1e9 = probability 1). */
+  private val Scale = 1000000000L
+
+  /** Shared oracle CTE: the canonical whitespace token array per doc
+    * (the [[graft.functions.TextOps.tokens]]∘normText mirror).
+    */
+  private val arrCte: String =
+    s"""arr AS (
+       |  SELECT doc_id, regexp_split_to_array(
+       |    trim(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))), '\\s+') AS a
+       |  FROM documents)""".stripMargin
+
+  /** q70: bigram-LM fluency score — how typical each document is of
+    * the corpus it sits in, the filterable signal CCNet derives from a
+    * reference LM. Self-scored here: the model IS the corpus's own
+    * bigram table, so every scored bigram has a nonzero count and no
+    * smoothing constant enters the arithmetic.
+    *
+    * Per bigram, p9 = c(ab)·10⁹ DIV c(a·), with c(a·) = occurrences
+    * of `a` as a bigram PREFIX (so each prefix's probabilities sum to
+    * ~1); a document's score is the integer mean of its bigram p9s.
+    * The classic form is a mean of log probabilities, but ln() is
+    * only ~1-ulp correct (engines' libms can disagree in the last
+    * bit — the q57 rationale) and, worse, a float SUM of logs is
+    * summation-order dependent. Integer DIV and BIGINT sums are exact
+    * in both engines; the fixed-point mean ranks fluent text above
+    * token soup exactly as the mean probability does. (The 10⁹ scale
+    * bounds c(ab) < 2⁶³/10⁹ ≈ 9.2e9 before the multiply overflows —
+    * ample for any single bigram below web-scale; a 100 TB run drops
+    * Scale to 10⁶ or widens the multiply to DECIMAL(38,0), both still
+    * exact.)
+    *
+    * Scale shape: bigram extraction is one codegen'd projection
+    * (array transform — no window, no self-join); the model is two
+    * hash aggregates keyed on md5Lower64 of the bigram / its prefix,
+    * so shuffles carry 64-bit keys, never strings; scoring is two
+    * equi-joins back to those Zipf-bounded (≪ corpus) tables plus one
+    * per-doc aggregate. Everything is linear passes + vocabulary-
+    * scale shuffles at 100 TB.
+    */
+  def q70(s: SparkSession, dir: String): DataFrame =
+    lmScore(Tables(s, dir).documents)
+
+  /** The q70 kernel over any `(doc_id, text)` frame. */
+  def lmScore(docs: DataFrame): DataFrame = {
+    val bi = docs
+      .select(col("doc_id"), tokens(normText(col("text"))).as("arr"))
+      .select(col("doc_id"), explode(expr(
+        "transform(slice(arr, 1, size(arr) - 1), " +
+          "(x, i) -> named_struct('a', x, 'b', arr[i + 1]))")).as("bg"))
+      .select(col("doc_id"),
+        md5Lower64(concat_ws("\u001f", col("bg.a"), col("bg.b"))).as("hab"),
+        md5Lower64(col("bg.a")).as("ha"))
+    val cab = bi.groupBy(col("hab")).agg(count(lit(1)).as("c_ab"))
+    val ca = bi.groupBy(col("ha")).agg(count(lit(1)).as("c_a"))
+    val perDoc = bi.join(cab, "hab").join(ca, "ha")
+      .select(col("doc_id"), expr(s"c_ab * ${Scale}L DIV c_a").as("p9"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("p9")).as("sp"))
+    // single-token docs have no bigrams: keep them (score 0) rather
+    // than silently dropping — a filter decides on a visible value
+    docs.select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(expr("sp DIV n_bigrams"), lit(0L)).as("lm_score9"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q70Sql: String =
+    s"""WITH $arrCte,
+       |bi AS (
+       |  SELECT doc_id, bg.hab AS hab, bg.ha AS ha FROM (
+       |    SELECT doc_id, unnest(list_transform(generate_series(1, len(a) - 1),
+       |      i -> struct_pack(
+       |        hab := md5_number_lower(a[i] || chr(31) || a[i + 1]),
+       |        ha := md5_number_lower(a[i])))) AS bg
+       |    FROM arr)),
+       |cab AS (SELECT hab, COUNT(*) AS c_ab FROM bi GROUP BY hab),
+       |ca AS (SELECT ha, COUNT(*) AS c_a FROM bi GROUP BY ha),
+       |sc AS (
+       |  SELECT doc_id, (c_ab * 1000000000) // c_a AS p9
+       |  FROM bi JOIN cab USING (hab) JOIN ca USING (ha)),
+       |pd AS (
+       |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       |    CAST(SUM(p9) AS BIGINT) AS sp
+       |  FROM sc GROUP BY doc_id)
+       |SELECT d.doc_id, coalesce(pd.n_bigrams, 0) AS n_bigrams,
+       |  CAST(coalesce(pd.sp // pd.n_bigrams, 0) AS BIGINT) AS lm_score9
+       |FROM documents d LEFT JOIN pd USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+
+  /** q71: fixed-window token chunking with overlap — the context-
+    * window shaper that turns documents into trainer/RAG units of at
+    * most `width` tokens, consecutive chunks sharing `width - stride`
+    * tokens of context. A start is emitted iff it is the document's
+    * first OR the previous chunk did not already reach the document's
+    * end (start < n + stride - width + 1): every token is covered,
+    * the tail chunk may be short, and no chunk is a suffix-contained
+    * duplicate of its predecessor.
+    *
+    * Scale shape: one codegen'd projection per document
+    * (sequence → filter → explode over the token array) — no join,
+    * no aggregate, no window; the only exchange in the whole plan is
+    * the presentation sort. Chunk identity (doc_id, chunk_id) is a
+    * pure function of the text, so retries and re-runs are stable.
+    */
+  def q71(s: SparkSession, dir: String): DataFrame =
+    chunk(Tables(s, dir).documents)
+
+  /** The q71 kernel over any `(doc_id, text)` frame. */
+  def chunk(docs: DataFrame,
+            width: Int = 32, stride: Int = 24): DataFrame = {
+    require(stride >= 1 && width >= stride,
+      s"need width >= stride >= 1, got width=$width stride=$stride")
+    docs
+      .select(col("doc_id"), tokens(normText(col("text"))).as("arr"))
+      .select(col("doc_id"), size(col("arr")).as("n"), col("arr"),
+        explode(expr(
+          s"filter(sequence(1, size(arr), $stride), " +
+            s"st -> st = 1 OR st < size(arr) + ${stride - width + 1})"))
+          .as("st"))
+      .select(col("doc_id"),
+        expr(s"CAST((st - 1) DIV $stride AS BIGINT)").as("chunk_id"),
+        col("st").cast("bigint").as("start_tok"),
+        least(lit(width.toLong), col("n") - col("st") + 1)
+          .cast("bigint").as("n_tok"),
+        expr(s"concat_ws(' ', slice(arr, st, $width))").as("chunk"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
+
+  val q71Sql: String =
+    s"""WITH $arrCte,
+       |st AS (
+       |  SELECT doc_id, a, len(a) AS n,
+       |    unnest(list_filter(generate_series(1, len(a), 24),
+       |      st -> st = 1 OR st < len(a) + (-7))) AS st
+       |  FROM arr)
+       |SELECT doc_id, CAST((st - 1) // 24 AS BIGINT) AS chunk_id,
+       |  CAST(st AS BIGINT) AS start_tok,
+       |  CAST(least(32, n - st + 1) AS BIGINT) AS n_tok,
+       |  array_to_string(list_slice(a, st, st + 31), ' ') AS chunk
+       |FROM st ORDER BY doc_id, chunk_id""".stripMargin
+
+  /** q72: cross-document duplicated-n-gram fraction — per document,
+    * how much of its (overlapping, per-occurrence) word-5-gram mass
+    * also appears in at least one OTHER document. This is the doc-
+    * level contamination metric (Gopher's duplicate-text fractions;
+    * Dolma's duplicate-paragraph signal) that complements q51 (WITHIN-
+    * doc repetition) and q59 (which rewrites text): here nothing is
+    * rewritten — each doc gets a filterable score.
+    *
+    * Scale shape: shingle extraction is one codegen'd projection; the
+    * global table is a hash aggregate on the shingle's 64-bit
+    * md5Lower64 (COUNT(DISTINCT doc_id) — a standard two-level
+    * aggregate), and the scoring join carries (hash, doc_id) pairs
+    * only. Never all-pairs, never strings on the wire; the dup table
+    * is shingle-vocabulary-scale, ≪ corpus at 100 TB.
+    */
+  def q72(s: SparkSession, dir: String): DataFrame =
+    dupNgrams(Tables(s, dir).documents)
+
+  /** The q72 kernel over any `(doc_id, text)` frame. */
+  def dupNgrams(docs: DataFrame, n: Int = 5): DataFrame = {
+    val sh = docs
+      .select(col("doc_id"), tokens(normText(col("text"))).as("arr"))
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(1, greatest(size(arr) - ${n - 1}, 1)), " +
+          s"i -> concat_ws(' ', slice(arr, i, $n)))")).as("sw"))
+      .select(col("doc_id"), md5Lower64(col("sw")).as("h"))
+    val docsPer = sh.groupBy(col("h"))
+      .agg(count_distinct(col("doc_id")).as("ndocs"))
+    sh.join(docsPer, "h")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("ndocs") >= 2, 1L).otherwise(0L)).as("n_dup"))
+      .select(col("doc_id"), col("n_shingles"), col("n_dup"),
+        expr(s"n_dup * ${Scale}L DIV n_shingles").as("dup_frac9"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q72Sql: String =
+    s"""WITH $arrCte,
+       |sh AS (
+       |  SELECT doc_id, md5_number_lower(sw) AS h FROM (
+       |    SELECT doc_id, unnest(list_transform(
+       |      generate_series(1, greatest(len(a) - 4, 1)),
+       |      i -> array_to_string(list_slice(a, i, i + 4), ' '))) AS sw
+       |    FROM arr)),
+       |dp AS (SELECT h, COUNT(DISTINCT doc_id) AS ndocs FROM sh GROUP BY h),
+       |pd AS (
+       |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+       |    CAST(SUM(CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+       |  FROM sh JOIN dp USING (h) GROUP BY doc_id)
+       |SELECT doc_id, n_shingles, n_dup,
+       |  CAST(n_dup * 1000000000 // n_shingles AS BIGINT) AS dup_frac9
+       |FROM pd ORDER BY doc_id""".stripMargin
+
+  val entries: Seq[Entry] = Seq(
+    Entry("q70_lm_score", q70, Some(q70Sql)),
+    Entry("q71_chunk", q71, Some(q71Sql)),
+    Entry("q72_dup_ngrams", q72, Some(q72Sql)))
+}

@@ -487,6 +487,53 @@ object VecQ {
        |  END AS rel_err4
        |FROM d ORDER BY vec_id""".stripMargin
 
+  /** q73: cluster-quota diversity sampling — a deterministic
+    * `quota`-per-cluster pick over the q37/q68 k-means partition of
+    * the embedding space, the embedding-space analogue of q55's
+    * per-stratum bottom-k: where q55 balances a LABEL (language), this
+    * balances the corpus's own semantic geometry, the standard
+    * cure for "the random sample is 90% the dominant content type"
+    * when curating finetuning/eval subsets.
+    *
+    * Within each cluster the pick is the `quota` smallest
+    * domain-separated hashes ("div:" prefix decorrelates from the
+    * q47/q48/q55 gates), unsigned-compared via the q48 `h >>> 1`
+    * device, so the sample is invariant to partitioning, retries and
+    * row order. Scale shape: the cluster build is q37's (shuffle-free
+    * assignment against literal centroids); the pick is ONE shuffle
+    * on cluster_id + a per-cluster sort of hash scalars — never
+    * vector payloads (v/nrm are projected away before the exchange).
+    */
+  def q73(s: SparkSession, dir: String, quota: Int = 8): DataFrame = {
+    import graft.functions.expressions.TextExprs.md5Lower64
+    val e = emb(Tables(s, dir))
+    val (assigned, _) = kmeansIndex(e, k = 16, iters = 2)
+    val h = md5Lower64(concat(lit("div:"), col("vec_id").cast("string")))
+    val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("ord"), col("vec_id"))
+    assigned
+      .select(col("vec_id"), col("cluster_id").cast("bigint").as("cluster_id"),
+        call_function("shiftrightunsigned", h, lit(1)).as("ord"))
+      .withColumn("rk", row_number().over(w).cast("bigint"))
+      .filter(col("rk") <= quota)
+      .select(col("cluster_id"), col("rk"), col("vec_id"))
+      .orderBy(col("cluster_id"), col("rk"))
+  }
+
+  /** DuckDB mirror of q73: the [[kmeansIdxCte]] cluster build, then
+    * the same per-cluster bottom-`quota` by unsigned domain hash.
+    */
+  val q73Sql: String =
+    s"""WITH $kmeansIdxCte,
+      |r AS (
+      |  SELECT CAST(cluster_id AS BIGINT) AS cluster_id, vec_id,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY cluster_id
+      |      ORDER BY md5_number_lower('div:' || CAST(vec_id AS VARCHAR)) >> 1,
+      |        vec_id) AS BIGINT) AS rk
+      |  FROM idx)
+      |SELECT cluster_id, rk, vec_id FROM r WHERE rk <= 8
+      |ORDER BY cluster_id, rk""".stripMargin
+
   val entries: Seq[Entry] = Seq(
     Entry("q34_embed_cosine_topk", q34, Some(q34Sql)),
     Entry("q35_ann_lsh", q35, Some(q35Sql)),
@@ -494,5 +541,6 @@ object VecQ {
     Entry("q37_ann_ivf", (s, d) => q37(s, d), Some(q37Sql)),
     Entry("q56_embed_quantize", q56, Some(q56Sql)),
     Entry("q68_semantic_dedup", (s, d) => q68(s, d), Some(q68Sql)),
+    Entry("q73_diverse_sample", (s, d) => q73(s, d), Some(q73Sql)),
   )
 }

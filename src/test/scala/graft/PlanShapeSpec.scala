@@ -228,6 +228,73 @@ class PlanShapeSpec extends SparkSpec {
       assert(!pre.contains(j), s"q63 plans a $j:\n$pre"))
   }
 
+  test("q70: no string ever crosses an exchange — model keys and scoring joins are hash-only") {
+    // the scale claim (LmQ.lmScore): bigram/prefix strings exist only
+    // inside the map-side projection; every aggregate groups on the
+    // 64-bit md5 key or doc_id, so every shuffle carries longs. On
+    // sf0.001 some exchanges may be elided — pin BOTH the aggregate
+    // keys (always visible) and any exchange that is planned
+    import org.apache.spark.sql.execution.aggregate.{HashAggregateExec, ObjectHashAggregateExec, SortAggregateExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.types.StringType
+    val plan = graft.queries.LmQ.q70(spark, sf).queryExecution.sparkPlan
+    val groupings = plan.collect {
+      case a: HashAggregateExec => a.groupingExpressions
+      case a: ObjectHashAggregateExec => a.groupingExpressions
+      case a: SortAggregateExec => a.groupingExpressions
+    }
+    assert(groupings.nonEmpty, s"no aggregates found:\n$plan")
+    groupings.foreach(g => assert(!g.exists(_.dataType == StringType),
+      s"a model aggregate groups on a string: $g"))
+    plan.collect { case e: ShuffleExchangeExec => e }.foreach(e =>
+      assert(!e.output.exists(_.dataType == StringType),
+        s"a q70 exchange carries strings: ${e.output}"))
+  }
+
+  test("q71: chunking is one projection — no join, no aggregate, no window") {
+    import org.apache.spark.sql.execution.aggregate.HashAggregateExec
+    import org.apache.spark.sql.execution.joins.{BaseJoinExec, BroadcastNestedLoopJoinExec}
+    import org.apache.spark.sql.execution.window.WindowExec
+    val plan = graft.queries.LmQ.q71(spark, sf).queryExecution.sparkPlan
+    assert(plan.collect { case j: BaseJoinExec => j }.isEmpty &&
+      plan.collect { case j: BroadcastNestedLoopJoinExec => j }.isEmpty,
+      s"q71 plans a join:\n$plan")
+    assert(plan.collect { case a: HashAggregateExec => a }.isEmpty,
+      s"q71 plans an aggregate:\n$plan")
+    assert(plan.collect { case w: WindowExec => w }.isEmpty,
+      s"q71 plans a window:\n$plan")
+  }
+
+  test("q72: shingle strings stay map-side — every exchange and aggregate key is hash/doc-keyed") {
+    import org.apache.spark.sql.execution.aggregate.{HashAggregateExec, ObjectHashAggregateExec, SortAggregateExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.types.StringType
+    val plan = graft.queries.LmQ.q72(spark, sf).queryExecution.sparkPlan
+    val groupings = plan.collect {
+      case a: HashAggregateExec => a.groupingExpressions
+      case a: ObjectHashAggregateExec => a.groupingExpressions
+      case a: SortAggregateExec => a.groupingExpressions
+    }
+    assert(groupings.nonEmpty)
+    groupings.foreach(g => assert(!g.exists(_.dataType == StringType),
+      s"a dup-ngram aggregate groups on a string: $g"))
+    plan.collect { case e: ShuffleExchangeExec => e }.foreach(e =>
+      assert(!e.output.exists(_.dataType == StringType),
+        s"a q72 exchange carries shingle strings: ${e.output}"))
+  }
+
+  test("q73: no vector payload crosses an exchange — the pick shuffles scalars only") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.types.ArrayType
+    val plan = graft.queries.VecQ.q73(spark, sf).queryExecution.sparkPlan
+    plan.collect { case e: ShuffleExchangeExec => e }.foreach(e =>
+      assert(!e.output.exists(_.dataType.isInstanceOf[ArrayType]),
+        s"a q73 exchange carries vectors: ${e.output}"))
+    // the quota window partitions on the cluster, never globally
+    assert(plan.toString.contains("windowspecdefinition(cluster_id"),
+      s"quota window not cluster-partitioned:\n$plan")
+  }
+
   test("no query plans a cartesian product or nested-loop join (except intentional broadcasts)") {
     // q34: tiny broadcast query set x corpus — the intended brute-force
     // baseline shape (q37 no longer needs the exemption: its k-means
