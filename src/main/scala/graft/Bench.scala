@@ -46,16 +46,21 @@ object Bench {
     // plan, codegen-compile their own stages, and execute in full; the
     // warmup seconds are reported separately in the JSON.
     val wu0 = System.nanoTime()
-    try {
-      val t = Tables(spark, sfDir)
-      t.lineitem.count(); t.documents.count(); t.embeddings.count()
-      // q59 warms the LineDedup family (q59-q62): round 5 had no
-      // representative, so q62's first measured rep paid the family's
-      // whole-stage codegen inside measurement (one 21.6s driver rep).
-      Seq("q01_agg_pricing", "q22_sessionize", "q31_dedup_minhash",
-          "q34_embed_cosine_topk", "q45_hll_distinct", "q59_line_dedup")
-        .foreach(q => SparkEntry.queries(q)(spark, sfDir).count())
-    } catch { case _: Throwable => () }
+    // per-item fault isolation (round 7): a single broken warmup entry
+    // (q22 under the NTZ data drift) previously aborted the whole list
+    // inside one try, silently unwarming every entry after it — so part
+    // of the measured medians included the first-run codegen the warmup
+    // exists to exclude. Each item now fails alone.
+    def warm(body: => Unit): Unit =
+      try body catch { case _: Throwable => () }
+    val t = Tables(spark, sfDir)
+    warm(t.lineitem.count()); warm(t.documents.count()); warm(t.embeddings.count())
+    // q59 warms the LineDedup family (q59-q62): round 5 had no
+    // representative, so q62's first measured rep paid the family's
+    // whole-stage codegen inside measurement (one 21.6s driver rep).
+    Seq("q01_agg_pricing", "q22_sessionize", "q31_dedup_minhash",
+        "q34_embed_cosine_topk", "q45_hll_distinct", "q59_line_dedup")
+      .foreach(q => warm(SparkEntry.queries(q)(spark, sfDir).count()))
     val warmupSec = (System.nanoTime() - wu0) / 1e9
     val names = SparkEntry.queries.keys.toSeq.sorted
     // samples(name) = seconds per rep; a failed rep records -1 and the

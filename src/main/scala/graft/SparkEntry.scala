@@ -9,7 +9,7 @@ object SparkEntry {
   /** All implemented inventory entries, in SURVEY §2 order. */
   def all: Seq[Entry] =
     Core.entries ++ CoreB.entries ++ TextQ.entries ++ VecQ.entries ++
-      SketchQ.entries ++ PrepQ.entries ++ LmQ.entries ++
+      SketchQ.entries ++ PrepQ.entries ++ LmQ.entries ++ SubstrQ.entries ++
       Seq(
         Entry("q50_multimodal_meta", graft.multimodal.Multimodal.q50,
           Some(graft.multimodal.Multimodal.q50Sql)),

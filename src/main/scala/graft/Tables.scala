@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Table catalog over a scale-factor directory of parquet files.
   *
@@ -23,24 +23,34 @@ final case class Tables(spark: SparkSession, dir: String) {
   def part: DataFrame       = table("part")
   def orders: DataFrame     = table("orders")
   def lineitem: DataFrame   = table("lineitem")
-  /** The events table carries TIMESTAMP(NANOS) parquet timestamps,
-    * which Spark's vectorized reader rejects. Read nanos as long and
-    * rebuild a microsecond TimestampType column (integer DIV — a
-    * double division would lose precision above 2^53 ns).
+  /** The events table's `ts` physical type has drifted across data
+    * regenerations: TIMESTAMP(NANOS) (which Spark's vectorized reader
+    * rejects — read nanos as long, rebuild micros with integer DIV; a
+    * double division would lose precision above 2^53 ns), then plain
+    * `timestamp[us]` without the UTC-adjusted flag (which Spark reads
+    * as TIMESTAMP_NTZ — useless to `unix_micros`, watermarks, and
+    * window(): all require TIMESTAMP). Normalize every variant to
+    * TimestampType here so downstream code sees ONE type. The
+    * NTZ→TZ cast is value-identical because EngineConf pins the
+    * session timezone to UTC.
     *
-    * Requires `spark.sql.legacy.parquet.nanosAsLong=true` — an
-    * EngineConf default; the set below only covers sessions built
-    * elsewhere, and is skipped when already satisfied so a shared
-    * session isn't mutated gratuitously.
+    * The nanos branch requires `spark.sql.legacy.parquet.nanosAsLong=
+    * true` — an EngineConf default; the set below only covers sessions
+    * built elsewhere, and is skipped when already satisfied so a
+    * shared session isn't mutated gratuitously.
     */
   def events: DataFrame = {
     if (spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
           .forall(_ != "true"))
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = table("events")
-    if (df.schema("ts").dataType == LongType)
-      df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-    else df
+    df.schema("ts").dataType match {
+      case LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
+    }
   }
   def documents: DataFrame  = table("documents")
   def embeddings: DataFrame = table("embeddings")

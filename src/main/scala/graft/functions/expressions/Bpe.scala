@@ -213,31 +213,65 @@ object Bpe {
     *     frequency table — shuffle-linear in corpus size, word counts
     *     combine map-side. It is materialized once (localCheckpoint);
     *     no later round re-reads the corpus.
-    *  2. Each merge round is one DataFrame aggregation over that
-    *     vocabulary-sized table: explode adjacent symbol pairs
-    *     (transform over array indices — codegen'd, no UDF), sum word
-    *     frequencies, and hand the driver ONLY the 1-row argmax via
-    *     TakeOrdered under the exact [[train]] ordering (-count, a, b)
-    *     — so ties break identically and distributed == local, which
-    *     BpeSpec pins.
-    *  3. The winning pair is applied executor-side as a left-to-right
+    *  2. Per-round pair counting is REGIME-SWITCHED on measured
+    *     vocabulary size (override with `incremental`):
+    *     - LARGE vocab (> 2²⁰ distinct words): the adjacent-pair
+    *       count table is aggregated ONCE, then maintained by
+    *       INCREMENTAL (Sennrich-style delta) updates — each round
+    *       touches only the words containing the merged pair, whose
+    *       bag is subtracted pre-merge and re-added post-merge, the
+    *       signed delta folding into the standing table with one
+    *       full-outer join. A 50k-merge production vocabulary costs
+    *       50k × O(affected + |pair table|), not 50k × O(explode the
+    *       whole vocabulary + a vocabulary-scale shuffle) — the
+    *       re-aggregation that dominates the naive loop is gone.
+    *     - SMALL vocab: the standing-table bookkeeping costs MORE
+    *       than it saves (measured: maintaining + rematerializing the
+    *       table per round ran 2× slower than re-aggregating at
+    *       sf0.1), so each round is one full pair aggregation — and
+    *       the loop runs with AQE and wide shuffles OFF (1 shuffle
+    *       partition, restored after): at this size every round is
+    *       scheduling floor, not data, and adaptive re-planning per
+    *       round is pure overhead.
+    *  3. Either way each round hands the driver ONLY the 1-row argmax
+    *     via TakeOrdered under the exact [[train]] ordering
+    *     (-count, a, b) — ties break identically and distributed ==
+    *     local, which BpeSpec pins ON BOTH REGIMES. Delta arithmetic
+    *     is exact integer addition over the same per-occurrence
+    *     (overlap-counting) pair bags the local trainer counts, so
+    *     the maintained table equals a from-scratch recount at every
+    *     round.
+    *  4. The winning pair is applied executor-side as a left-to-right
     *     non-overlapping fold (`functions.aggregate`): append each
     *     symbol unless the accumulator's last element is `a` and the
     *     current is `b`, in which case replace the last with `ab`.
     *     Because `ab` is strictly longer than `a` it can never
     *     re-match as the left half in the same scan, making the fold
     *     exactly the scan-left-skip-two loop in [[encode]]/[[train]].
-    *  4. Lineage re-truncates every `checkpointEvery` merges so round
-    *     r replays at most r % checkpointEvery cheap array folds, not
-    *     the whole merge history. (localCheckpoint: executor-local
-    *     blocks; a long-lived production trainer on preemptible
+    *     The word-table update is the UNCONDITIONAL single-reference
+    *     fold: a `when(hasPair, fold)` gate would reference `syms` 4×
+    *     per round and the un-checkpointed lineage TREE would grow
+    *     4^rounds — exponential analysis cost, measured as a hang.
+    *  5. The word table re-truncates every `checkpointEvery` merges so
+    *     round r replays at most r % checkpointEvery array folds, not
+    *     the whole merge history; the delta regime's standing pair
+    *     table re-materializes every round (it is the argmax input
+    *     and must stay lineage-shallow). (localCheckpoint: executor-
+    *     local blocks; a long-lived production trainer on preemptible
     *     executors would swap in reliable `checkpoint` — same shape.)
     *
     * Early-stop matches [[train]]: no pair with count >= 2 ends
     * training before `numMerges`.
+    *
+    * @param incremental force the pair-counting regime: Some(true) =
+    *   delta-maintained standing table, Some(false) = per-round full
+    *   aggregation, None = auto by vocabulary size. Results are
+    *   identical (BpeSpec parity-pins both); only the cost curve
+    *   differs.
     */
   def trainDistributed(df: DataFrame, textCol: Column, numMerges: Int,
-      checkpointEvery: Int = 16): Vocab = {
+      checkpointEvery: Int = 16,
+      incremental: Option[Boolean] = None): Vocab = {
     require(checkpointEvery > 0,
       s"checkpointEvery must be > 0, got $checkpointEvery")
     val spark = df.sparkSession
@@ -260,44 +294,105 @@ object Bpe {
       .map { case (w, f) => (symbols(w).toArray, f) }
       .toDF("syms", "freq")
       .localCheckpoint()
-    // right-size the loop table: the per-round aggregation runs
-    // numMerges times, and a DISTINCT-WORD table is vocabulary-scale
-    // (a few MB even for web corpora), so 32-way shuffles of a few
-    // hundred KB would dominate every round's wall clock. Collapse a
-    // small table to one partition once (count() reads the
-    // checkpointed blocks, no corpus re-scan); a genuinely huge
-    // distinct-word table keeps its cluster partitioning
-    if (words.count() <= (1L << 20))
-      words = words.repartition(1).localCheckpoint()
+    // right-size the loop tables: the per-round work runs numMerges
+    // times, and a DISTINCT-WORD table is vocabulary-scale (a few MB
+    // even for web corpora), so 32-way shuffles of a few hundred KB
+    // would dominate every round's wall clock. Collapse a small table
+    // to one partition once (count() reads the checkpointed blocks,
+    // no corpus re-scan); a genuinely huge distinct-word table keeps
+    // its cluster partitioning
+    val small = words.count() <= (1L << 20)
+    if (small) words = words.repartition(1).localCheckpoint()
+    val useDelta = incremental.getOrElse(!small)
     val pairExpr = expr(
       "explode(transform(slice(syms, 1, size(syms) - 1), " +
         "(x, i) -> named_struct('a', x, 'b', syms[i + 1])))")
+    // per-occurrence signed pair bag of a word frame (overlap-counting,
+    // exactly the local trainer's adjacent scan), weighted ±freq
+    def pairBag(w: DataFrame, sign: Int): DataFrame =
+      w.select(pairExpr.as("p"), col("freq"))
+        .select(col("p.a").as("a"), col("p.b").as("b"),
+          (col("freq") * lit(sign.toLong)).as("d"))
+    // adjacent-containment gate: does `syms` hold (a, b) side by side?
+    // Built with the Column API (never expr interpolation) — symbols
+    // are corpus text and must not be parsed as SQL.
+    def hasPair(a: String, b: String): Column = {
+      val s = col("syms")
+      exists(
+        transform(slice(s, lit(1), size(s) - 1),
+          (x, i) => x === lit(a) && element_at(s, i + lit(2)) === lit(b)),
+        p => p)
+    }
+    def foldOf(a: String, b: String): Column =
+      aggregate(col("syms"), array().cast("array<string>"),
+        (acc, x) =>
+          when(size(acc) === 0, array(x)) // guard: no last element yet
+            .when(element_at(acc, -1) === lit(a) && x === lit(b),
+              concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+            .otherwise(concat(acc, array(x))))
+    // delta regime only: the standing pair table, aggregated ONCE
+    var pairs: DataFrame =
+      if (useDelta)
+        pairBag(words, 1).groupBy("a", "b").agg(sum("d").as("cnt"))
+          .localCheckpoint()
+      else null
     val merges = Seq.newBuilder[(String, String)]
-    var it = 0
-    var exhausted = false
-    while (it < numMerges && !exhausted) {
-      val top = words
-        .select(pairExpr.as("p"), col("freq"))
-        .select(col("p.a").as("a"), col("p.b").as("b"), col("freq"))
-        .groupBy("a", "b").agg(sum("freq").as("cnt"))
-        .orderBy(col("cnt").desc, col("a"), col("b"))
-        .limit(1)
-        .collect()
-      if (top.isEmpty || top(0).getLong(2) < 2) exhausted = true
-      else {
-        val (a, b) = (top(0).getString(0), top(0).getString(1))
-        merges += ((a, b))
-        val merged = a + b
-        val fold = aggregate(col("syms"), array().cast("array<string>"),
-          (acc, x) =>
-            when(size(acc) === 0, array(x)) // guard: no last element yet
-              .when(element_at(acc, -1) === lit(a) && x === lit(b),
-                concat(slice(acc, lit(1), size(acc) - 1), array(lit(merged))))
-              .otherwise(concat(acc, array(x))))
-        words = words.select(fold.as("syms"), col("freq"))
-        if ((it + 1) % checkpointEvery == 0) words = words.localCheckpoint()
+    // small-vocab regime: every round is a scheduling-floor-bound tiny
+    // job — adaptive re-planning and 32-way shuffles are pure per-round
+    // overhead. Narrow the session to 1 shuffle partition with AQE off
+    // for the loop's duration, restored in the finally (the same
+    // visible-session-mutation contract as Tables' nanosAsLong set).
+    val conf = spark.conf
+    val savedAqe = conf.getOption("spark.sql.adaptive.enabled")
+    val savedParts = conf.getOption("spark.sql.shuffle.partitions")
+    if (small) {
+      conf.set("spark.sql.adaptive.enabled", "false")
+      conf.set("spark.sql.shuffle.partitions", "1")
+    }
+    try {
+      var it = 0
+      var exhausted = false
+      while (it < numMerges && !exhausted) {
+        val top = (
+          if (useDelta) pairs
+          else pairBag(words, 1).groupBy("a", "b").agg(sum("d").as("cnt")))
+          .orderBy(col("cnt").desc, col("a"), col("b"))
+          .limit(1)
+          .collect()
+        if (top.isEmpty || top(0).getLong(2) < 2) exhausted = true
+        else {
+          val (a, b) = (top(0).getString(0), top(0).getString(1))
+          merges += ((a, b))
+          val fold = foldOf(a, b)
+          if (useDelta) {
+            // Sennrich delta: only words containing (a,b) change their
+            // pair bag — subtract it pre-merge, add it post-merge. The
+            // delta frame is O(affected words), ≪ vocabulary after the
+            // first few hundred merges. The filter branches hang OFF
+            // the word-table lineage without growing it (the eager
+            // checkpoint below materializes them this round).
+            val affected = words.filter(hasPair(a, b))
+            val delta = pairBag(affected, -1)
+              .unionByName(pairBag(affected.select(fold.as("syms"), col("freq")), 1))
+              .groupBy("a", "b").agg(sum("d").as("d"))
+            pairs = pairs.join(delta, Seq("a", "b"), "full_outer")
+              .select(col("a"), col("b"),
+                (coalesce(col("cnt"), lit(0L)) + coalesce(col("d"), lit(0L))).as("cnt"))
+              .filter(col("cnt") > 0)
+              .localCheckpoint() // argmax input: must stay lineage-shallow
+          }
+          words = words.select(fold.as("syms"), col("freq"))
+          if ((it + 1) % checkpointEvery == 0) words = words.localCheckpoint()
+        }
+        it += 1
       }
-      it += 1
+    } finally {
+      if (small) {
+        savedAqe.fold(conf.unset("spark.sql.adaptive.enabled"))(
+          v => conf.set("spark.sql.adaptive.enabled", v))
+        savedParts.fold(conf.unset("spark.sql.shuffle.partitions"))(
+          v => conf.set("spark.sql.shuffle.partitions", v))
+      }
     }
     Vocab(merges.result())
   }

@@ -1,0 +1,111 @@
+package graft.operators
+
+import graft.functions.TextOps.normText
+import graft.functions.expressions.TextExprs.md5Lower64
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types.{BooleanType, DataType}
+import org.apache.spark.util.sketch.BloomFilter
+
+/** Cross-snapshot membership dedup — the Dolma-style Bloom sidecar.
+  *
+  * CorpusPrep-style runs dedup WITHIN one run; refreshing a corpus
+  * against last month's trillion-token snapshot must not re-read the
+  * prior corpus as a join side (not 100 TB-viable). Instead the prior
+  * run publishes a compact membership sketch of its canonical doc
+  * digests, and the next run drops re-seen docs with a broadcast-free
+  * FILTER: the serialized sketch rides the stage's task binary (one
+  * torrent broadcast per stage, like literal centroids/merge tables),
+  * and membership is a per-row probe — no shuffle, no join, no second
+  * corpus scan.
+  *
+  * Guarantees, stated the Bloom way: a doc whose digest was added is
+  * ALWAYS dropped (no false negatives — re-seen docs cannot leak
+  * back in); an unseen doc survives except with probability ≤ `fpp`
+  * (a false positive loses a fresh doc, never duplicates one — the
+  * cheap direction for training corpora). Spark's public
+  * `org.apache.spark.util.sketch.BloomFilter` underneath; ~1.2 GB at
+  * n=10⁹ docs / fpp=1e-3, linear in n — sidecar-sized, not
+  * corpus-sized.
+  *
+  * The digest is the SAME canonical md5Lower64∘normText family as
+  * q30's exact dedup (one definition of "same document" everywhere);
+  * sidecar publish is crash-safe (tmp + rename, the IvfIndex rule).
+  */
+object SnapshotBloom {
+
+  /** Canonical 64-bit doc digest — q30's normText under the portable
+    * md5 family, so "seen" here means exactly what exact-dedup means.
+    */
+  def digest(textCol: Column): Column = md5Lower64(normText(coalesce(textCol, lit(""))))
+
+  /** Build the membership sketch of a (finished) corpus run. The only
+    * driver-side object is the filter itself — built by Spark's
+    * distributed `stat.bloomFilter` aggregate, never a collect of ids.
+    */
+  def build(docs: DataFrame, expectedItems: Long, fpp: Double = 1e-3,
+            textCol: Column = col("text")): BloomFilter =
+    docs.select(digest(textCol).as("d")).stat.bloomFilter("d", expectedItems, fpp)
+
+  /** Publish the sidecar: write to `<path>.tmp`, then rename — a
+    * reader never observes a half-written filter (the IvfIndex
+    * crash-safe publish rule). Hadoop FS API so the same code runs on
+    * local disk and on a distributed store.
+    */
+  def save(spark: SparkSession, bf: BloomFilter, path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val tmp = new org.apache.hadoop.fs.Path(path + ".tmp")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(tmp, true)
+    try bf.writeTo(out) finally out.close()
+    if (fs.exists(p)) fs.delete(p, false)
+    if (!fs.rename(tmp, p))
+      throw new java.io.IOException(s"rename $tmp -> $p failed")
+  }
+
+  def load(spark: SparkSession, path: String): BloomFilter = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    try BloomFilter.readFrom(in) finally in.close()
+  }
+
+  /** Membership probe as a boolean column (for counting/reporting). */
+  def seen(bf: BloomFilter, textCol: Column = col("text")): Column = {
+    val bytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos)
+      bos.toByteArray
+    }
+    Bridge.column(BloomSeen(Bridge.expression(digest(textCol)), bytes))
+  }
+
+  /** Drop docs whose digest the prior snapshot (might) contain. Pure
+    * filter — the plan gains a predicate, never a join; the sketch
+    * bytes serialize once into the stage's task binary.
+    */
+  def gate(docs: DataFrame, bf: BloomFilter,
+           textCol: Column = col("text")): DataFrame =
+    docs.filter(!seen(bf, textCol))
+}
+
+/** Membership probe expression: the serialized Bloom filter rides as
+  * expression state (deserialized lazily once per executor instance,
+  * like BpeCount's rank map), each row costs one `mightContainLong`.
+  */
+case class BloomSeen(child: Expression, filterBytes: Array[Byte])
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = BooleanType
+
+  @transient private lazy val bf: BloomFilter =
+    BloomFilter.readFrom(new java.io.ByteArrayInputStream(filterBytes))
+
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Boolean.valueOf(bf.mightContainLong(input.asInstanceOf[Long]))
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}

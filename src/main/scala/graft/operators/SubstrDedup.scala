@@ -1,0 +1,84 @@
+package graft.operators
+
+import graft.functions.TextOps.{normText, tokens}
+import graft.functions.expressions.TextExprs.md5Lower64
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact substring (verbatim-run) deduplication across documents — the
+  * suffix-array pass of Lee et al. 2021 ("Deduplicating Training Data
+  * Makes Language Models Better", arXiv:2107.06499) re-expressed as a
+  * bucketed token-window scan: a 600-token quote embedded verbatim in
+  * two otherwise-distinct pages is exactly the case doc-level (q30),
+  * near-dup (q31/q32), and line-window (q59) granularities all miss,
+  * and the case this operator localizes to the token span.
+  *
+  * Method: every token position opens a `w`-token window; a window
+  * whose w-gram occurs in ≥ 2 distinct documents is a duplicated
+  * anchor. Any shared verbatim run of length L ≥ w tokens is covered
+  * by ALL of its L−w+1 anchors in both documents, so the maximal
+  * island of consecutive duplicated anchors in a document reproduces
+  * the full run [start, last_anchor + w − 1] EXACTLY — no suffix
+  * array needed for runs at or above the window, which is the
+  * published pass's own threshold (Lee et al. use ≥ 50 BPE tokens).
+  * Runs shorter than `w` are below threshold by definition.
+  *
+  * Attribution follows the q59 keep-lowest-doc rule: the minimal
+  * doc_id holding a given w-gram keeps it; anchors are marked only in
+  * higher doc_ids, so one copy of every run survives corpus-wide
+  * (within-doc repeats belong to q62's intra-doc pass).
+  *
+  * Scale shape (the q72 recipe): window strings exist only map-side
+  * inside one codegen'd projection — every exchange carries the
+  * 64-bit md5Lower64 anchor hash or (doc_id, position) pairs, never
+  * text; the gram table is a hash aggregate (map-side combined), the
+  * mark step an equi-join on the hash against the ≥2-doc subset, and
+  * island assembly one doc-keyed window — linear passes plus
+  * vocabulary-scale shuffles at 100 TB, never all-pairs.
+  */
+object SubstrDedup {
+
+  /** Duplicated-run spans per document: (doc_id, span_start, span_end,
+    * n_tok), token positions 1-based inclusive, keep-lowest-doc.
+    */
+  def spans(docs: DataFrame, w: Int,
+            idCol: Column = col("doc_id"),
+            textCol: Column = col("text")): DataFrame = {
+    require(w >= 2, s"window must be >= 2 tokens, got $w")
+    val toks = docs
+      .select(idCol.as("doc_id"),
+        tokens(normText(coalesce(textCol, lit("")))).as("arr"))
+      // a doc under w tokens cannot hold a >= w-token run: no anchors
+      .filter(size(col("arr")) >= w)
+    // one row per anchor position; the window STRING dies inside this
+    // projection — only (doc_id, p, hash) continues
+    val pos = toks
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(1, size(arr) - ${w - 1}), " +
+          s"p -> named_struct('p', p, 'sw', concat_ws(' ', slice(arr, p, $w))))"))
+        .as("x"))
+      .select(col("doc_id"), col("x.p").cast("long").as("p"),
+        md5Lower64(col("x.sw")).as("h"))
+    // grams seen in >= 2 docs, with their keeper (minimal doc)
+    val dup = pos.groupBy(col("h"))
+      .agg(count_distinct(col("doc_id")).as("df"), min(col("doc_id")).as("keeper"))
+      .filter(col("df") >= 2)
+    // duplicated anchors: the gram is shared and this doc is not its keeper
+    val marked = pos.join(dup, "h")
+      .filter(col("doc_id") =!= col("keeper"))
+      .select(col("doc_id"), col("p"))
+    // gaps-and-islands (the q61 device): consecutive anchor positions
+    // share p - row_number(), each island is one maximal verbatim run
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("p"))
+    marked
+      .withColumn("grp", col("p") - row_number().over(byDoc))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(
+        min(col("p")).as("span_start"),
+        (max(col("p")) + lit(w.toLong - 1)).as("span_end"),
+        (max(col("p")) + lit(w.toLong) - min(col("p"))).as("n_tok"))
+      .select(col("doc_id"), col("span_start"), col("span_end"), col("n_tok"))
+      .orderBy(col("doc_id"), col("span_start"))
+  }
+}

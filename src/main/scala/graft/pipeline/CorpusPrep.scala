@@ -101,6 +101,22 @@ object CorpusPrep {
     *                    corpus itself is still read once. Mutually
     *                    exclusive with `sourceRates`. Token
     *                    denomination follows `bpeVocab`, like packing
+    * @param priorSnapshot optional path to a Bloom membership sidecar
+    *                    published by an EARLIER corpus run
+    *                    ([[graft.operators.SnapshotBloom]], the Dolma
+    *                    pattern): docs whose canonical digest the
+    *                    prior snapshot contains are dropped before
+    *                    dedup, as a pure broadcast-free FILTER — the
+    *                    prior corpus is never re-read or joined, the
+    *                    only 100 TB-viable shape for refreshing
+    *                    against a trillion-token history. Gating runs
+    *                    on the SCRUBBED text, matching what a prior
+    *                    run's sidecar was built from
+    * @param publishSnapshot when set (expected doc count for sizing),
+    *                    run() publishes the membership sidecar of this
+    *                    run's KEPT docs at `outPath/_membership.bloom`
+    *                    (underscore-hidden, like the manifest) for the
+    *                    NEXT refresh to gate against
     */
   final case class Config(
       langRates: Map[String, Double],
@@ -111,11 +127,14 @@ object CorpusPrep {
       packBudget: Option[Int] = None,
       bpeVocab: Option[graft.functions.expressions.Bpe.Vocab] = None,
       sourceRates: Option[Map[String, Double]] = None,
-      sourceWeights: Option[Map[String, Double]] = None)
+      sourceWeights: Option[Map[String, Double]] = None,
+      priorSnapshot: Option[String] = None,
+      publishSnapshot: Option[Long] = None)
 
   final case class Stats(
       input: Long, afterDedup: Long, afterSample: Long,
-      nearDupDropped: Long = 0L, contaminatedDropped: Long = 0L)
+      nearDupDropped: Long = 0L, contaminatedDropped: Long = 0L,
+      snapshotDropped: Long = 0L)
 
   /** Shard-assignment hash. MUST be decorrelated from the sampling
     * hash: Sample gates on md5Lower64(doc_id) & 1023, so deriving the
@@ -149,14 +168,27 @@ object CorpusPrep {
       docs.withColumn("text", graft.queries.PrepQ.scrub(col("text")))
     else docs
 
-  /** The shared base lineage every downstream stage consumes:
-    * scrub (optional) → exact dedup. ONE definition; run() caches it
-    * whenever more than one action will consume it (near-dup drop
-    * set, contamination drop set, main write), so the scrub+dedup
-    * shuffle executes ONCE regardless of which optional stages are on.
+  /** The prior-snapshot membership filter, loaded once per plan/run
+    * (driver-side sidecar read; None when the stage is off).
     */
-  private def base(docs: DataFrame, cfg: Config): DataFrame =
-    dedupe(scrubbed(docs, cfg))
+  private def priorFilter(docs: DataFrame, cfg: Config) =
+    cfg.priorSnapshot.map(p =>
+      graft.operators.SnapshotBloom.load(docs.sparkSession, p))
+
+  /** The shared base lineage every downstream stage consumes:
+    * scrub (optional) → cross-snapshot membership gate (optional) →
+    * exact dedup. ONE definition; run() caches it whenever more than
+    * one action will consume it (near-dup drop set, contamination
+    * drop set, main write), so the scrub+dedup shuffle executes ONCE
+    * regardless of which optional stages are on. The membership gate
+    * sits before dedup: a re-seen doc never pays the dedup shuffle.
+    */
+  private def base(docs: DataFrame, cfg: Config): DataFrame = {
+    val s = scrubbed(docs, cfg)
+    val gated = priorFilter(docs, cfg)
+      .map(bf => graft.operators.SnapshotBloom.gate(s, bf)).getOrElse(s)
+    dedupe(gated)
+  }
 
   /** doc_ids the optional near-dup stage drops (None when the stage is
     * off), computed over the already scrub+deduped base frame:
@@ -362,6 +394,11 @@ object CorpusPrep {
     */
   def manifestPath(outPath: String): String = s"$outPath/_manifest"
 
+  /** Where [[run]] publishes the membership sidecar (when
+    * `publishSnapshot` is set) — underscore-hidden like the manifest.
+    */
+  def membershipPath(outPath: String): String = s"$outPath/_membership.bloom"
+
   def run(docs: DataFrame, outPath: String, cfg: Config,
           benchmark: Option[DataFrame] = None): Stats = {
     val m = materialize(docs, cfg, benchmark)
@@ -377,14 +414,26 @@ object CorpusPrep {
         manifestOf(out).coalesce(1).write.mode(SaveMode.Overwrite)
           .parquet(manifestPath(outPath))
       }
+      // publish the membership sidecar of the KEPT docs for the next
+      // refresh — one pass over the already-cached output frame
+      cfg.publishSnapshot.foreach { n =>
+        graft.operators.SnapshotBloom.save(docs.sparkSession,
+          graft.operators.SnapshotBloom.build(out, n),
+          membershipPath(outPath))
+      }
       val afterSample = out.count()
+      val seenCol = priorFilter(docs, cfg)
+        .map(bf => graft.operators.SnapshotBloom.seen(bf, col("text")))
+        .getOrElse(lit(false))
       val a = scrubbed(docs, cfg)
-        .select(TextOps.textDigest(col("text")).as("h"))
-        .agg(count(lit(1)).as("n"), count_distinct(col("h")).as("nd"))
+        .select(TextOps.textDigest(col("text")).as("h"), seenCol.as("s"))
+        .agg(count(lit(1)).as("n"), count_distinct(col("h")).as("nd"),
+          sum(when(col("s"), 1L).otherwise(0L)).as("sdrop"))
         .head()
       Stats(a.getLong(0), a.getLong(1), afterSample,
         nearDupDropped = drops.map(_.count()).getOrElse(0L),
-        contaminatedDropped = contaminated.map(_.count()).getOrElse(0L))
+        contaminatedDropped = contaminated.map(_.count()).getOrElse(0L),
+        snapshotDropped = a.getLong(2))
     } finally { m.release() }
   }
 }

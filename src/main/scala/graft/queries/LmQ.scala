@@ -3,7 +3,7 @@ package graft.queries
 import graft.Tables
 import graft.functions.TextOps.{normText, tokens}
 import graft.functions.expressions.TextExprs.md5Lower64
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Corpus-model text operators: the quality/shaping passes a training
@@ -25,13 +25,28 @@ object LmQ {
   /** Fixed-point scale: scores are nano-units (1e9 = probability 1). */
   private val Scale = 1000000000L
 
+  /** q71's chunking geometry — ONE definition interpolated into both
+    * the Scala defaults and the DuckDB mirror (the SemDedupThreshold
+    * pattern), so the registered query and its oracle cannot drift.
+    */
+  val ChunkWidth: Int  = 32
+  val ChunkStride: Int = 24
+
+  /** NULL-total tokenizer: every kernel here coalesces text to ''
+    * first, so a NULL-text doc behaves exactly like an empty-text doc
+    * (arr = [""]) instead of being silently dropped by explode — the
+    * q70 totality principle ("a filter decides on a visible value")
+    * applied uniformly to q71/q72 as well.
+    */
+  private def toks(c: Column): Column = tokens(normText(coalesce(c, lit(""))))
+
   /** Shared oracle CTE: the canonical whitespace token array per doc
-    * (the [[graft.functions.TextOps.tokens]]∘normText mirror).
+    * (the [[toks]] mirror — same coalesce-to-'' totality).
     */
   private val arrCte: String =
     s"""arr AS (
        |  SELECT doc_id, regexp_split_to_array(
-       |    trim(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))), '\\s+') AS a
+       |    trim(lower(trim(regexp_replace(coalesce(text, ''), '\\s+', ' ', 'g')))), '\\s+') AS a
        |  FROM documents)""".stripMargin
 
   /** q70: bigram-LM fluency score — how typical each document is of
@@ -68,7 +83,7 @@ object LmQ {
   /** The q70 kernel over any `(doc_id, text)` frame. */
   def lmScore(docs: DataFrame): DataFrame = {
     val bi = docs
-      .select(col("doc_id"), tokens(normText(col("text"))).as("arr"))
+      .select(col("doc_id"), toks(col("text")).as("arr"))
       .select(col("doc_id"), explode(expr(
         "transform(slice(arr, 1, size(arr) - 1), " +
           "(x, i) -> named_struct('a', x, 'b', arr[i + 1]))")).as("bg"))
@@ -77,8 +92,15 @@ object LmQ {
         md5Lower64(col("bg.a")).as("ha"))
     val cab = bi.groupBy(col("hab")).agg(count(lit(1)).as("c_ab"))
     val ca = bi.groupBy(col("ha")).agg(count(lit(1)).as("c_a"))
+    // widen the multiply to DECIMAL(38,0): a Long multiply would wrap
+    // silently once one bigram's count passes 2^63/Scale ≈ 9.2e9 — a
+    // hot boilerplate pair at 100 TB scale WILL get there. Decimal
+    // arithmetic + IntegralDivide is still exact in both engines, and
+    // p9 ≤ Scale (c_ab ≤ c_a by construction) so the BIGINT result
+    // cast cannot itself overflow.
     val perDoc = bi.join(cab, "hab").join(ca, "ha")
-      .select(col("doc_id"), expr(s"c_ab * ${Scale}L DIV c_a").as("p9"))
+      .select(col("doc_id"),
+        expr(s"CAST(CAST(c_ab AS DECIMAL(38,0)) * ${Scale}L DIV c_a AS BIGINT)").as("p9"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"), sum(col("p9")).as("sp"))
     // single-token docs have no bigrams: keep them (score 0) rather
@@ -103,7 +125,8 @@ object LmQ {
        |cab AS (SELECT hab, COUNT(*) AS c_ab FROM bi GROUP BY hab),
        |ca AS (SELECT ha, COUNT(*) AS c_a FROM bi GROUP BY ha),
        |sc AS (
-       |  SELECT doc_id, (c_ab * 1000000000) // c_a AS p9
+       |  SELECT doc_id,
+       |    CAST(CAST(c_ab AS HUGEINT) * 1000000000 // c_a AS BIGINT) AS p9
        |  FROM bi JOIN cab USING (hab) JOIN ca USING (ha)),
        |pd AS (
        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
@@ -134,11 +157,11 @@ object LmQ {
 
   /** The q71 kernel over any `(doc_id, text)` frame. */
   def chunk(docs: DataFrame,
-            width: Int = 32, stride: Int = 24): DataFrame = {
+            width: Int = ChunkWidth, stride: Int = ChunkStride): DataFrame = {
     require(stride >= 1 && width >= stride,
       s"need width >= stride >= 1, got width=$width stride=$stride")
     docs
-      .select(col("doc_id"), tokens(normText(col("text"))).as("arr"))
+      .select(col("doc_id"), toks(col("text")).as("arr"))
       .select(col("doc_id"), size(col("arr")).as("n"), col("arr"),
         explode(expr(
           s"filter(sequence(1, size(arr), $stride), " +
@@ -157,13 +180,13 @@ object LmQ {
     s"""WITH $arrCte,
        |st AS (
        |  SELECT doc_id, a, len(a) AS n,
-       |    unnest(list_filter(generate_series(1, len(a), 24),
-       |      st -> st = 1 OR st < len(a) + (-7))) AS st
+       |    unnest(list_filter(generate_series(1, len(a), $ChunkStride),
+       |      st -> st = 1 OR st < len(a) + (${ChunkStride - ChunkWidth + 1}))) AS st
        |  FROM arr)
-       |SELECT doc_id, CAST((st - 1) // 24 AS BIGINT) AS chunk_id,
+       |SELECT doc_id, CAST((st - 1) // $ChunkStride AS BIGINT) AS chunk_id,
        |  CAST(st AS BIGINT) AS start_tok,
-       |  CAST(least(32, n - st + 1) AS BIGINT) AS n_tok,
-       |  array_to_string(list_slice(a, st, st + 31), ' ') AS chunk
+       |  CAST(least($ChunkWidth, n - st + 1) AS BIGINT) AS n_tok,
+       |  array_to_string(list_slice(a, st, st + ${ChunkWidth - 1}), ' ') AS chunk
        |FROM st ORDER BY doc_id, chunk_id""".stripMargin
 
   /** q72: cross-document duplicated-n-gram fraction — per document,
@@ -187,7 +210,7 @@ object LmQ {
   /** The q72 kernel over any `(doc_id, text)` frame. */
   def dupNgrams(docs: DataFrame, n: Int = 5): DataFrame = {
     val sh = docs
-      .select(col("doc_id"), tokens(normText(col("text"))).as("arr"))
+      .select(col("doc_id"), toks(col("text")).as("arr"))
       .select(col("doc_id"), explode(expr(
         s"transform(sequence(1, greatest(size(arr) - ${n - 1}, 1)), " +
           s"i -> concat_ws(' ', slice(arr, i, $n)))")).as("sw"))

@@ -504,7 +504,13 @@ object VecQ {
     * on cluster_id + a per-cluster sort of hash scalars — never
     * vector payloads (v/nrm are projected away before the exchange).
     */
-  def q73(s: SparkSession, dir: String, quota: Int = 8): DataFrame = {
+  /** q73's per-cluster quota — ONE definition interpolated into both
+    * the Scala default and the DuckDB mirror (the SemDedupThreshold
+    * pattern), so the registered query and its oracle cannot drift.
+    */
+  val DiverseQuota: Int = 8
+
+  def q73(s: SparkSession, dir: String, quota: Int = DiverseQuota): DataFrame = {
     import graft.functions.expressions.TextExprs.md5Lower64
     val e = emb(Tables(s, dir))
     val (assigned, _) = kmeansIndex(e, k = 16, iters = 2)
@@ -531,7 +537,7 @@ object VecQ {
       |      ORDER BY md5_number_lower('div:' || CAST(vec_id AS VARCHAR)) >> 1,
       |        vec_id) AS BIGINT) AS rk
       |  FROM idx)
-      |SELECT cluster_id, rk, vec_id FROM r WHERE rk <= 8
+      |SELECT cluster_id, rk, vec_id FROM r WHERE rk <= $DiverseQuota
       |ORDER BY cluster_id, rk""".stripMargin
 
   val entries: Seq[Entry] = Seq(

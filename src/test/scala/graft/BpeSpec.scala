@@ -113,9 +113,19 @@ class BpeSpec extends SparkSpec {
     assert(local.merges.nonEmpty)
     assert(dist == local,
       s"distributed ${dist.merges} != local ${local.merges}")
+    // the Sennrich-delta (incremental standing pair table) regime — the
+    // large-vocab path, forced here on the same fixture — must learn
+    // the identical table: deltas equal a recount at every round
+    val distDelta = Bpe.trainDistributed(
+      texts.toDF("text"), col("text"), numMerges = 20, checkpointEvery = 4,
+      incremental = Some(true))
+    assert(distDelta == local,
+      s"delta regime ${distDelta.merges} != local ${local.merges}")
     // early stop: nothing repeats -> no merges, both paths
     assert(Bpe.trainDistributed(Seq("xy").toDF("text"), col("text"), 5)
       == Bpe.train(Seq("xy"), 5))
+    assert(Bpe.trainDistributed(Seq("xy").toDF("text"), col("text"), 5,
+      incremental = Some(true)) == Bpe.train(Seq("xy"), 5))
   }
 
   test("tie-breaks are code-point order on BOTH paths (astral vs U+E000.. would split UTF-16 from UTF-8 order)") {

@@ -288,6 +288,43 @@ class CorpusPrepSpec extends SparkSpec {
     }
   }
 
+  test("cross-snapshot refresh: run 1 publishes the membership sidecar, run 2 drops exactly the re-seen docs without a join") {
+    import spark.implicits._
+    def doc(id: Long, t: String) = (id, t, "en", "a", t.length.toLong)
+    val keepAll = CorpusPrep.Config(langRates = Map.empty, defaultRate = 1.0,
+      nShards = 2, publishSnapshot = Some(100L))
+    val run1Docs = Seq(
+      doc(1L, "alpha beta gamma delta epsilon zeta"),
+      doc(2L, "one two three four five six seven"))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out1 = java.nio.file.Files.createTempDirectory("graft-snap1").toString
+    CorpusPrep.run(run1Docs, out1, keepAll)
+    val sidecar = CorpusPrep.membershipPath(out1)
+    assert(new java.io.File(sidecar).exists, "sidecar not published")
+
+    // next month's batch: one doc re-seen verbatim, one a whitespace
+    // variant (same canonical digest), one genuinely new
+    val run2Docs = Seq(
+      doc(10L, "alpha beta gamma delta epsilon zeta"),
+      doc(11L, "  one  two three four five six seven "),
+      doc(12L, "fresh new unseen content entirely here"))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val cfg2 = CorpusPrep.Config(langRates = Map.empty, defaultRate = 1.0,
+      nShards = 2, priorSnapshot = Some(sidecar))
+    // the gate is a FILTER: no join against anything in the plan
+    // beyond what the pipeline itself needs (this keep-all config
+    // plans zero joins at all)
+    val plan = CorpusPrep.plan(run2Docs, cfg2).queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("join"),
+      s"membership gate must not join:\n$plan")
+    val out2 = java.nio.file.Files.createTempDirectory("graft-snap2").toString
+    val stats2 = CorpusPrep.run(run2Docs, out2, cfg2)
+    val kept = spark.read.parquet(out2)
+      .select(col("doc_id")).as[Long].collect().sorted.toSeq
+    assert(kept == Seq(12L), s"kept: $kept")
+    assert(stats2.snapshotDropped == 2L, s"stats: $stats2")
+  }
+
   test("pack manifest: totals equal the written rows' pack layout; shards readable despite it") {
     val docs = Tables(spark, sf).documents
     val out = java.nio.file.Files.createTempDirectory("graft-corpus-m").toString

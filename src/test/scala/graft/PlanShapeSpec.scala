@@ -19,6 +19,19 @@ class PlanShapeSpec extends SparkSpec {
   private def planOf(df: DataFrame): String =
     df.queryExecution.executedPlan.toString
 
+  /** Physical plan tree WITH exchanges inserted (EnsureRequirements
+    * has run) but before AQE runtime finalization. `sparkPlan` is the
+    * planner's output BEFORE exchange insertion — collecting
+    * ShuffleExchangeExec from it is vacuously empty, which let three
+    * string-free-exchange pins pass without ever checking an exchange
+    * (caught by q74's nonEmpty guard).
+    */
+  private def physicalOf(df: DataFrame) =
+    df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+
   /** Plan after AQE finalization — for assertions about what AQE chose
     * at runtime (e.g. broadcast conversions).
     */
@@ -246,7 +259,10 @@ class PlanShapeSpec extends SparkSpec {
     assert(groupings.nonEmpty, s"no aggregates found:\n$plan")
     groupings.foreach(g => assert(!g.exists(_.dataType == StringType),
       s"a model aggregate groups on a string: $g"))
-    plan.collect { case e: ShuffleExchangeExec => e }.foreach(e =>
+    val exchanges = physicalOf(graft.queries.LmQ.q70(spark, sf))
+      .collect { case e: ShuffleExchangeExec => e }
+    assert(exchanges.nonEmpty)
+    exchanges.foreach(e =>
       assert(!e.output.exists(_.dataType == StringType),
         s"a q70 exchange carries strings: ${e.output}"))
   }
@@ -278,7 +294,10 @@ class PlanShapeSpec extends SparkSpec {
     assert(groupings.nonEmpty)
     groupings.foreach(g => assert(!g.exists(_.dataType == StringType),
       s"a dup-ngram aggregate groups on a string: $g"))
-    plan.collect { case e: ShuffleExchangeExec => e }.foreach(e =>
+    val exchanges = physicalOf(graft.queries.LmQ.q72(spark, sf))
+      .collect { case e: ShuffleExchangeExec => e }
+    assert(exchanges.nonEmpty)
+    exchanges.foreach(e =>
       assert(!e.output.exists(_.dataType == StringType),
         s"a q72 exchange carries shingle strings: ${e.output}"))
   }
@@ -287,12 +306,29 @@ class PlanShapeSpec extends SparkSpec {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     import org.apache.spark.sql.types.ArrayType
     val plan = graft.queries.VecQ.q73(spark, sf).queryExecution.sparkPlan
-    plan.collect { case e: ShuffleExchangeExec => e }.foreach(e =>
+    val exchanges = physicalOf(graft.queries.VecQ.q73(spark, sf))
+      .collect { case e: ShuffleExchangeExec => e }
+    assert(exchanges.nonEmpty)
+    exchanges.foreach(e =>
       assert(!e.output.exists(_.dataType.isInstanceOf[ArrayType]),
         s"a q73 exchange carries vectors: ${e.output}"))
     // the quota window partitions on the cluster, never globally
     assert(plan.toString.contains("windowspecdefinition(cluster_id"),
       s"quota window not cluster-partitioned:\n$plan")
+  }
+
+  test("q74: window strings stay map-side — exchanges carry hashes/ids only, islands share one doc exchange") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.types.StringType
+    val plan = physicalOf(graft.queries.SubstrQ.q74(spark, sf))
+    val exchanges = plan.collect { case e: ShuffleExchangeExec => e }
+    assert(exchanges.nonEmpty)
+    exchanges.foreach(e =>
+      assert(!e.output.exists(_.dataType == StringType),
+        s"a q74 exchange carries window strings: ${e.output}"))
+    // island assembly is doc-keyed, never a global window
+    assert(plan.toString.contains("windowspecdefinition(doc_id"),
+      s"island window not doc-partitioned:\n$plan")
   }
 
   test("no query plans a cartesian product or nested-loop join (except intentional broadcasts)") {

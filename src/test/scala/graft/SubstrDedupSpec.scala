@@ -1,0 +1,74 @@
+package graft
+
+import graft.operators.SubstrDedup
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+/** Fixture-exact coverage of the verbatim-run span operator (q74). */
+class SubstrDedupSpec extends SparkSpec {
+  import org.apache.spark.sql.DataFrame
+
+  private def docs(rows: (Long, String)*): DataFrame = {
+    import spark.implicits._
+    rows.toSeq.toDF("doc_id", "text")
+  }
+
+  test("a shared run is localized exactly in the non-keeper doc; the keeper is untouched") {
+    val run = "r1 r2 r3 r4 r5 r6"
+    val d = docs(
+      1L -> s"u1 u2 u3 u4 u5 $run u6 u7 u8",
+      2L -> s"v1 v2 $run v3 v4 v5 v6",
+      3L -> "w1 w2 w3 w4 w5 w6 w7 w8 w9 w0")
+    val out = SubstrDedup.spans(d, w = 4).collect()
+    // doc 1 is the keeper of every run gram: no spans there; doc 2's
+    // run occupies tokens 3..8, anchors p=3,4,5 -> one island
+    assert(out.toSeq == Seq(Row(2L, 3L, 8L, 6L)),
+      s"expected exactly the doc-2 run span, got ${out.toSeq}")
+  }
+
+  test("two disjoint shared runs produce two spans; sub-window docs and NULL text produce none") {
+    val a = "a1 a2 a3 a4 a5"
+    val b = "b1 b2 b3 b4 b5 b6 b7"
+    val d = docs(
+      10L -> s"$a x1 x2 x3 x4 x5 x6 $b",
+      20L -> s"y1 $a y2 y3 y4 y5 y6 $b y7",
+      30L -> "a1 a2 a3", // under the window: no anchors even though it echoes run a
+      40L -> null.asInstanceOf[String])
+    val out = SubstrDedup.spans(d, w = 5).collect()
+    // doc 20: run a at tokens 2..6 (anchor p=2), run b at 12..18
+    // (anchors p=12,13,14) — two islands, exact boundaries
+    assert(out.toSeq == Seq(Row(20L, 2L, 6L, 5L), Row(20L, 12L, 18L, 7L)),
+      s"got ${out.toSeq}")
+  }
+
+  test("three-way sharing keeps only the lowest doc; others each get the span") {
+    val run = "s1 s2 s3 s4 s5 s6 s7 s8"
+    val d = docs(
+      5L -> s"p1 p2 $run p3",
+      6L -> s"$run q1 q2 q3",
+      7L -> s"t1 $run t2 t3")
+    val out = SubstrDedup.spans(d, w = 4).collect()
+    assert(out.map(_.getLong(0)).toSet == Set(6L, 7L))
+    // doc 6: run at 1..8 (anchors 1..5); doc 7: run at 2..9 (anchors 2..6)
+    assert(out.toSeq == Seq(Row(6L, 1L, 8L, 8L), Row(7L, 2L, 9L, 8L)),
+      s"got ${out.toSeq}")
+  }
+
+  test("q74 on the real corpus: invariants hold and the window threshold binds") {
+    val out = queries.SubstrQ.q74(spark, sf).collect()
+    val w = queries.SubstrQ.SubstrWindow
+    out.foreach { r =>
+      val (s0, e0, n) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(s0 >= 1 && e0 >= s0 && n == e0 - s0 + 1 && n >= w,
+        s"bad span $r")
+    }
+    // spans within a doc never overlap (islands are maximal)
+    out.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      rs.map(r => (r.getLong(1), r.getLong(2))).sorted.toSeq
+        .sliding(2).foreach {
+          case Seq((_, e1), (s2, _)) => assert(s2 > e1, "overlapping spans")
+          case _ => ()
+        }
+    }
+  }
+}
