@@ -73,6 +73,23 @@ object SnapshotBloom {
     try BloomFilter.readFrom(in) finally in.close()
   }
 
+  /** Chain sidecars across historical runs: load every path and OR
+    * them into one filter, so a refresh gates against N months of
+    * snapshots with a single probe. Requires compatible sizing (same
+    * expectedItems/fpp ⇒ same bit width and hash count — publish runs
+    * should pin one sizing policy); Spark's `mergeInPlace` throws
+    * `IncompatibleMergeException` otherwise, surfaced as-is rather
+    * than silently weakening the guarantee. The merged filter keeps
+    * the no-false-negative property of every constituent; the FP rate
+    * degrades with fill, which is why the sizing policy should budget
+    * for the whole chain.
+    */
+  def loadMerged(spark: SparkSession, paths: Seq[String]): BloomFilter = {
+    require(paths.nonEmpty, "no sidecar paths given")
+    val filters = paths.map(load(spark, _))
+    filters.tail.foldLeft(filters.head)((acc, f) => acc.mergeInPlace(f))
+  }
+
   /** Membership probe as a boolean column (for counting/reporting). */
   def seen(bf: BloomFilter, textCol: Column = col("text")): Column = {
     val bytes = {

@@ -81,4 +81,39 @@ object SubstrDedup {
       .select(col("doc_id"), col("span_start"), col("span_end"), col("n_tok"))
       .orderBy(col("doc_id"), col("span_start"))
   }
+
+  /** The removal form (what the published pass actually does): drop
+    * every token inside a duplicated span and rebuild the text,
+    * q59's output shape (n_tokens, n_kept, text_kept). Keeper docs
+    * and docs without shared runs pass through whole.
+    *
+    * Scale shape: [[spans]]'s passes, then the per-doc span list
+    * (spans per doc are FEW — bounded by runs, not tokens) aggregates
+    * and equi-joins back to the corpus (AQE broadcasts the span side
+    * while it fits), and the drop is ONE projection — a filter lambda
+    * over the token array against the doc's own span list. No
+    * token-level shuffle ever exists; tokens live and die map-side.
+    */
+  def strip(docs: DataFrame, w: Int,
+            idCol: Column = col("doc_id"),
+            textCol: Column = col("text")): DataFrame = {
+    val sp = spans(docs, w, idCol, textCol)
+      .groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("span_start"), col("span_end"))).as("sp"))
+    docs
+      .select(idCol.as("doc_id"),
+        tokens(normText(coalesce(textCol, lit("")))).as("arr"))
+      .join(sp, Seq("doc_id"), "left")
+      .withColumn("sp", coalesce(col("sp"),
+        array().cast("array<struct<span_start:bigint,span_end:bigint>>")))
+      .withColumn("kept", filter(col("arr"), (x, i) =>
+        not(exists(col("sp"), s =>
+          (i + lit(1)).cast("long") >= s.getField("span_start") &&
+            (i + lit(1)).cast("long") <= s.getField("span_end")))))
+      .select(col("doc_id"),
+        size(col("arr")).cast("bigint").as("n_tokens"),
+        size(col("kept")).cast("bigint").as("n_kept"),
+        concat_ws(" ", col("kept")).as("text_kept"))
+      .orderBy(col("doc_id"))
+  }
 }

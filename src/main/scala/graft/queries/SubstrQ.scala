@@ -58,6 +58,59 @@ object SubstrQ {
        |ORDER BY doc_id, span_start""".stripMargin
   }
 
+  /** q75: the REMOVAL form — duplicated runs stripped from the text,
+    * q59's output shape. What the published pass actually ships.
+    */
+  def q75(s: SparkSession, dir: String): DataFrame =
+    graft.operators.SubstrDedup.strip(Tables(s, dir).documents, SubstrWindow)
+
+  val q75Sql: String = {
+    val w = SubstrWindow
+    s"""WITH toks AS (
+       |  SELECT doc_id, regexp_split_to_array(
+       |    trim(lower(trim(regexp_replace(coalesce(text, ''), '\\s+', ' ', 'g')))), '\\s+') AS a
+       |  FROM documents),
+       |pos AS (
+       |  SELECT doc_id, a,
+       |    unnest(generate_series(1, len(a) - ${w - 1})) AS p
+       |  FROM toks WHERE len(a) >= $w),
+       |ph AS (
+       |  SELECT doc_id, p,
+       |    md5_number_lower(array_to_string(list_slice(a, p, p + ${w - 1}), ' ')) AS h
+       |  FROM pos),
+       |dup AS (
+       |  SELECT h, min(doc_id) AS keeper
+       |  FROM ph GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+       |mk AS (
+       |  SELECT ph.doc_id, ph.p
+       |  FROM ph JOIN dup USING (h) WHERE ph.doc_id <> dup.keeper),
+       |isl AS (
+       |  SELECT doc_id, p,
+       |    p - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY p) AS grp
+       |  FROM mk),
+       |sp AS (
+       |  SELECT doc_id, min(p) AS s, max(p) + ${w - 1} AS e
+       |  FROM isl GROUP BY doc_id, grp),
+       |tok AS (
+       |  SELECT doc_id, unnest(a) AS t,
+       |    unnest(generate_series(1, len(a))) AS i
+       |  FROM toks),
+       |k AS (
+       |  SELECT doc_id, i, t FROM tok
+       |  WHERE NOT EXISTS (SELECT 1 FROM sp
+       |    WHERE sp.doc_id = tok.doc_id AND tok.i BETWEEN sp.s AND sp.e)),
+       |kk AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+       |    string_agg(t, ' ' ORDER BY i) AS text_kept
+       |  FROM k GROUP BY doc_id)
+       |SELECT t.doc_id, CAST(len(t.a) AS BIGINT) AS n_tokens,
+       |  CAST(coalesce(kk.n_kept, 0) AS BIGINT) AS n_kept,
+       |  coalesce(kk.text_kept, '') AS text_kept
+       |FROM toks t LEFT JOIN kk USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val entries: Seq[Entry] = Seq(
-    Entry("q74_substr_spans", q74, Some(q74Sql)))
+    Entry("q74_substr_spans", q74, Some(q74Sql)),
+    Entry("q75_substr_strip", q75, Some(q75Sql)))
 }

@@ -436,6 +436,21 @@ object Streams {
       .drop("_graft_gh", "bench_gh")
   }
 
+  /** Streaming cross-snapshot membership gate — the continuous mirror
+    * of [[graft.operators.SnapshotBloom.gate]]: drop incoming docs
+    * whose canonical digest a prior corpus snapshot's Bloom sidecar
+    * (might) contain. STATELESS by construction — the filter
+    * expression carries the serialized sketch, no streaming state, no
+    * watermark, no join — so it composes anywhere in a streaming
+    * pipeline and scales to any feed rate. Same guarantees as batch:
+    * a seen doc never leaks through; an unseen doc is lost only at
+    * the sidecar's FP rate.
+    */
+  def snapshotGate(stream: DataFrame,
+                   bf: org.apache.spark.util.sketch.BloomFilter,
+                   textCol: String = "text"): DataFrame =
+    graft.operators.SnapshotBloom.gate(stream, bf, col(textCol))
+
   /** Streaming HLL: approximate COUNT(DISTINCT keyCol) per tumbling
     * event-time window — the continuous mirror of batch q45, built
     * from the SAME [[graft.operators.Hll]] register/estimator

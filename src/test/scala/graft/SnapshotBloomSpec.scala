@@ -50,6 +50,32 @@ class SnapshotBloomSpec extends SparkSpec {
     assert(out.contains(11L), "unseen doc dropped (fp at n=2 is ~impossible)")
   }
 
+  test("sidecar chaining: merged filters gate against every constituent run; incompatible sizing refuses loudly") {
+    import spark.implicits._
+    val month1 = Seq((1L, "january corpus doc one"), (2L, "january doc two"))
+      .toDF("doc_id", "text")
+    val month2 = Seq((3L, "february corpus doc three")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("bloomchain").toString
+    // one sizing policy across the chain (the documented requirement)
+    SnapshotBloom.save(spark, SnapshotBloom.build(month1, 100), s"$dir/m1.bloom")
+    SnapshotBloom.save(spark, SnapshotBloom.build(month2, 100), s"$dir/m2.bloom")
+    val chained = SnapshotBloom.loadMerged(spark,
+      Seq(s"$dir/m1.bloom", s"$dir/m2.bloom"))
+    val probe = Seq(
+      (10L, "january corpus doc one"),     // seen in m1
+      (11L, "february corpus doc three"),  // seen in m2
+      (12L, "march novel doc")             // unseen
+    ).toDF("doc_id", "text")
+    val out = SnapshotBloom.gate(probe, chained).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(out == Set(12L), s"chained gate must drop both months' docs: $out")
+    // mismatched sizing must throw, not silently weaken the guarantee
+    SnapshotBloom.save(spark, SnapshotBloom.build(month2, 5000), s"$dir/bad.bloom")
+    intercept[Exception] {
+      SnapshotBloom.loadMerged(spark, Seq(s"$dir/m1.bloom", s"$dir/bad.bloom"))
+    }
+  }
+
   test("publish is atomic: a second save overwrites cleanly and loads back equal") {
     import spark.implicits._
     val d1 = Seq((1L, "a a a")).toDF("doc_id", "text")

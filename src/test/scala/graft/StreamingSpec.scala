@@ -488,6 +488,33 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("snapshotGate: streaming survivors equal the batch membership gate, statelessly") {
+    implicit val s = spark
+    import s.implicits._
+    val docs = Tables(spark, sf).documents.select(col("doc_id"), col("text"))
+    val prior = docs.filter(pmod(col("doc_id"), lit(3)) === 0)
+    val bf = graft.operators.SnapshotBloom.build(prior, expectedItems = 1000)
+    val rows = docs.limit(90).as[(Long, String)].collect().toSeq
+    val input = MemoryStream[(Long, String)](spark)
+    val out = Streams.snapshotGate(input.toDF().toDF("doc_id", "text"), bf)
+    assert(out.isStreaming)
+    val q = out.writeStream.format("memory").queryName("snapgate")
+      .outputMode("append").start()
+    try {
+      input.addData(rows.take(45): _*)
+      input.addData(rows.drop(45): _*)
+      q.processAllAvailable()
+      val got = spark.table("snapgate").select(col("doc_id"))
+        .collect().map(_.getLong(0)).toSet
+      val want = graft.operators.SnapshotBloom
+        .gate(rows.toDF("doc_id", "text"), bf)
+        .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+      assert(got == want, s"streaming $got != batch $want")
+      // the gate really dropped the prior-run docs in the slice
+      assert(rows.map(_._1).exists(_ % 3 == 0) && got.forall(_ % 3 != 0))
+    } finally q.stop()
+  }
+
   test("decontaminate: streaming verdicts equal batch q54 for the same docs") {
     implicit val s = spark
     import s.implicits._

@@ -54,6 +54,31 @@ class SubstrDedupSpec extends SparkSpec {
       s"got ${out.toSeq}")
   }
 
+  test("strip removes exactly the span tokens; keeper and clean docs pass through whole") {
+    val run = "r1 r2 r3 r4 r5 r6"
+    val d = docs(
+      1L -> s"u1 u2 u3 u4 u5 $run u6 u7 u8",
+      2L -> s"v1 v2 $run v3 v4 v5 v6",
+      3L -> "w1 w2 w3 w4 w5")
+    val out = SubstrDedup.strip(d, w = 4).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    // doc 1 is keeper: untouched. doc 2: tokens 3..8 (the run) drop.
+    assert(out(1L) == ((14L, 14L, s"u1 u2 u3 u4 u5 $run u6 u7 u8")))
+    assert(out(2L) == ((12L, 6L, "v1 v2 v3 v4 v5 v6")), s"got ${out(2L)}")
+    assert(out(3L) == ((5L, 5L, "w1 w2 w3 w4 w5")))
+  }
+
+  test("q75 agrees with q74: dropped token count equals the span mass per doc") {
+    val spans = queries.SubstrQ.q74(spark, sf).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(3)).sum).toMap
+    val strip = queries.SubstrQ.q75(spark, sf).collect()
+    strip.foreach { r =>
+      val dropped = r.getLong(1) - r.getLong(2)
+      assert(dropped == spans.getOrElse(r.getLong(0), 0L),
+        s"doc ${r.getLong(0)}: dropped $dropped != span mass")
+    }
+  }
+
   test("q74 on the real corpus: invariants hold and the window threshold binds") {
     val out = queries.SubstrQ.q74(spark, sf).collect()
     val w = queries.SubstrQ.SubstrWindow
