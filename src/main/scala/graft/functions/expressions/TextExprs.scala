@@ -54,6 +54,14 @@ object TextExprs {
     */
   def md5Lower64(s: Column): Column = c(Md5Lower64(x(s)))
 
+  /** All w-token window hashes of a token array in one flattened
+    * pass: element i = md5Lower64 of `concat_ws(' ', slice(arr, i+1,
+    * w))` — the q74/q75 anchor kernel. `minOne` gives short docs one
+    * whole-doc hash (the q72 shingle convention).
+    */
+  def windowMd5Hashes(tokens: Column, w: Int, minOne: Boolean = false): Column =
+    c(WindowMd5Hashes(x(tokens), w, minOne))
+
   /** Winnowed rolling-hash fingerprints: string → sorted distinct
     * array<int> (char k-grams, window w).
     */
@@ -145,15 +153,27 @@ private object Hashing {
     (hexPrefix15(d) % M, hexMid15(d) % (M - 1) + 1)
   }
 
-  /** Lower 8 digest bytes little-endian — exactly DuckDB's
-    * md5_number_lower(s), reinterpreted as a signed long.
-    */
-  @inline def md5Lower64(s: UTF8String): Long = {
-    val d = md5bytes(s)
+  @inline def lower64(d: Array[Byte]): Long = {
     var v = 0L
     var i = 15
     while (i >= 8) { v = (v << 8) | (d(i) & 0xffL); i -= 1 }
     v
+  }
+
+  /** Lower 8 digest bytes little-endian — exactly DuckDB's
+    * md5_number_lower(s), reinterpreted as a signed long.
+    */
+  @inline def md5Lower64(s: UTF8String): Long = lower64(md5bytes(s))
+
+  /** md5Lower64 over a byte range of a shared buffer — the window-scan
+    * form: the caller flattens once and hashes n ranges with zero
+    * per-window string construction.
+    */
+  @inline def md5Lower64Range(buf: Array[Byte], off: Int, len: Int): Long = {
+    val d = md.get()
+    d.reset()
+    d.update(buf, off, len)
+    lower64(d.digest())
   }
 
   /** Portable band fold: h0 = first element, h = (h·65539 + v) mod M —
@@ -230,6 +250,108 @@ case class Md5Lower64(child: Expression)
     val v = child.eval(input)
     val s = if (v == null) UTF8String.EMPTY_UTF8 else v.asInstanceOf[UTF8String]
     java.lang.Long.valueOf(Hashing.md5Lower64(s))
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** tokens: array<string> → array<long> of ALL w-token window hashes:
+  * element i (0-based) is md5Lower64 of the space-joined window
+  * `tokens[i .. i+w-1]` — value-identical to
+  * `md5Lower64(concat_ws(' ', slice(arr, i+1, w)))`, which the q74
+  * DuckDB oracle recomputes exactly. Fewer than w tokens → empty
+  * array (the caller's size-filter semantics).
+  *
+  * The composed anchor pass builds, PER POSITION, a `slice` array, a
+  * `named_struct`, and a `concat_ws` string inside a higher-order
+  * `transform` — O(n) short-lived objects per doc just to feed the
+  * digest. Here the token array is flattened ONCE into a byte buffer
+  * with single-space separators (token i starting at off(i)); window
+  * i's bytes are then the contiguous range
+  * [off(i), off(i+w-1)+len(i+w-1)) and each hash is one digest over
+  * that range — zero per-window allocation beyond the output array.
+  *
+  * A null token cannot come from `tokens()` (split never yields null)
+  * but hand-built arrays must not NPE: any null falls back to the
+  * per-window concatWs form, which skips nulls exactly like the
+  * composed concat_ws.
+  *
+  * `minOne = true` mirrors the q72/minhash shingle convention
+  * `sequence(1, greatest(n - w + 1, 1))`: a doc shorter than the
+  * window still yields ONE hash — of all its tokens joined, which is
+  * exactly `concat_ws(' ', slice(arr, 1, w))` since slice truncates.
+  */
+case class WindowMd5Hashes(child: Expression, w: Int, minOne: Boolean = false)
+    extends UnaryExpression with CodegenFallback {
+
+  require(w >= 2, s"window must be >= 2 tokens, got $w")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (n < w && !minOne) return new GenericArrayData(Array.empty[Long])
+    evalWindows(arr, n)
+  }
+
+  private def evalWindows(arr: ArrayData, n: Int): Any = {
+    if (n == 0) // minOne over an empty array: concat_ws of nothing = ""
+      return new GenericArrayData(Array(Hashing.md5Lower64(UTF8String.EMPTY_UTF8)))
+    val toks = new Array[UTF8String](n)
+    var anyNull = false
+    var total = n - 1 // the n-1 separator spaces
+    var i = 0
+    while (i < n) {
+      val t = arr.getUTF8String(i)
+      toks(i) = t
+      if (t == null) anyNull = true else total += t.numBytes
+      i += 1
+    }
+    val nWin = math.max(n - w + 1, 1)
+    val out = new Array[Long](nWin)
+    if (anyNull) {
+      // defensive slow path, byte-identical to concat_ws over the slice
+      val parts = new Array[UTF8String](w)
+      i = 0
+      while (i < nWin) {
+        var j = 0
+        var m = 0
+        while (j < w && i + j < n) {
+          val t = toks(i + j)
+          if (t != null) { parts(m) = t; m += 1 }
+          j += 1
+        }
+        val window =
+          if (m == 0) UTF8String.EMPTY_UTF8
+          else if (m == 1) parts(0)
+          else UTF8String.concatWs(Hashing.Space,
+            java.util.Arrays.copyOfRange(parts, 0, m): _*)
+        out(i) = Hashing.md5Lower64(window)
+        i += 1
+      }
+      return new GenericArrayData(out)
+    }
+    val flat = new Array[Byte](total)
+    val off = new Array[Int](n)
+    var cur = 0
+    i = 0
+    while (i < n) {
+      off(i) = cur
+      val t = toks(i)
+      t.writeToMemory(flat, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + cur)
+      cur += t.numBytes
+      if (i < n - 1) { flat(cur) = ' '; cur += 1 }
+      i += 1
+    }
+    i = 0
+    while (i < nWin) {
+      val last = math.min(i + w - 1, n - 1) // slice truncates short windows
+      val end = off(last) + toks(last).numBytes
+      out(i) = Hashing.md5Lower64Range(flat, off(i), end - off(i))
+      i += 1
+    }
+    new GenericArrayData(out)
   }
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)

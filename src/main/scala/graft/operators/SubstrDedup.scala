@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.TextOps.{normText, tokens}
-import graft.functions.expressions.TextExprs.md5Lower64
+import graft.functions.expressions.TextExprs.windowMd5Hashes
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -51,15 +51,13 @@ object SubstrDedup {
         tokens(normText(coalesce(textCol, lit("")))).as("arr"))
       // a doc under w tokens cannot hold a >= w-token run: no anchors
       .filter(size(col("arr")) >= w)
-    // one row per anchor position; the window STRING dies inside this
-    // projection — only (doc_id, p, hash) continues
+    // one row per anchor position; window BYTES die inside the native
+    // kernel (one flatten + n range-digests per doc, no per-position
+    // slice/concat_ws trees) — only (doc_id, p, hash) continues
     val pos = toks
-      .select(col("doc_id"), explode(expr(
-        s"transform(sequence(1, size(arr) - ${w - 1}), " +
-          s"p -> named_struct('p', p, 'sw', concat_ws(' ', slice(arr, p, $w))))"))
-        .as("x"))
-      .select(col("doc_id"), col("x.p").cast("long").as("p"),
-        md5Lower64(col("x.sw")).as("h"))
+      .select(col("doc_id"),
+        posexplode(windowMd5Hashes(col("arr"), w)).as(Seq("i", "h")))
+      .select(col("doc_id"), (col("i") + 1).cast("long").as("p"), col("h"))
     // grams seen in >= 2 docs, with their keeper (minimal doc)
     val dup = pos.groupBy(col("h"))
       .agg(count_distinct(col("doc_id")).as("df"), min(col("doc_id")).as("keeper"))

@@ -209,12 +209,13 @@ object LmQ {
 
   /** The q72 kernel over any `(doc_id, text)` frame. */
   def dupNgrams(docs: DataFrame, n: Int = 5): DataFrame = {
+    // native window kernel (one flatten + range-digests per doc);
+    // minOne mirrors the greatest(.., 1) whole-doc shingle for short docs
     val sh = docs
       .select(col("doc_id"), toks(col("text")).as("arr"))
-      .select(col("doc_id"), explode(expr(
-        s"transform(sequence(1, greatest(size(arr) - ${n - 1}, 1)), " +
-          s"i -> concat_ws(' ', slice(arr, i, $n)))")).as("sw"))
-      .select(col("doc_id"), md5Lower64(col("sw")).as("h"))
+      .select(col("doc_id"),
+        explode(graft.functions.expressions.TextExprs
+          .windowMd5Hashes(col("arr"), n, minOne = true)).as("h"))
     val docsPer = sh.groupBy(col("h"))
       .agg(count_distinct(col("doc_id")).as("ndocs"))
     sh.join(docsPer, "h")

@@ -46,6 +46,53 @@ class NativeExprSpec extends SparkSpec {
     assert(nulls.filter(col("native") =!= col("composed")).count() == 0)
   }
 
+  test("native windowMd5Hashes == composed per-position slice/concat_ws hashes") {
+    val w = 16
+    val toks = TextOps.tokens(TextOps.normText(col("text")))
+    val paired = docs
+      .select(toks.as("arr"))
+      .filter(size(col("arr")) >= w)
+      .select(TextExprs.windowMd5Hashes(col("arr"), w).as("native"),
+        expr(s"transform(sequence(1, size(arr) - ${w - 1}), " +
+          s"p -> concat_ws(' ', slice(arr, p, $w)))").as("sw"))
+    // same window count per doc (arrays_zip would null-pad a mismatch)
+    assert(paired.filter(size(col("native")) =!= size(col("sw"))).count() == 0)
+    val mismatch = paired
+      .withColumn("z", explode(arrays_zip(col("native"), col("sw"))))
+      .select(col("z.native").as("nh"), TextExprs.md5Lower64(col("z.sw")).as("ch"))
+      .filter(col("nh") =!= col("ch"))
+    assert(mismatch.count() == 0)
+    // short docs (< w tokens) yield an empty array
+    val short = docs.select(toks.as("arr")).filter(size(col("arr")) < w)
+      .select(TextExprs.windowMd5Hashes(col("arr"), w).as("h"))
+      .filter(size(col("h")) =!= 0)
+    assert(short.count() == 0)
+    // minOne mirrors the q72 convention greatest(n - w + 1, 1) on all
+    // docs, including ones shorter than the window (slice truncates)
+    val minOne = docs.select(toks.as("arr"))
+      .select(TextExprs.windowMd5Hashes(col("arr"), w, minOne = true).as("native"),
+        expr(s"transform(sequence(1, greatest(size(arr) - ${w - 1}, 1)), " +
+          s"p -> concat_ws(' ', slice(arr, p, $w)))").as("sw"))
+    assert(minOne.filter(size(col("native")) =!= size(col("sw"))).count() == 0)
+    val minOneMismatch = minOne
+      .withColumn("z", explode(arrays_zip(col("native"), col("sw"))))
+      .select(col("z.native").as("nh"), TextExprs.md5Lower64(col("z.sw")).as("ch"))
+      .filter(col("nh") =!= col("ch"))
+    assert(minOneMismatch.count() == 0)
+    // hand-built array with a null token: falls back to concat_ws
+    // null-skipping semantics
+    import spark.implicits._
+    val handDf = Seq(1).toDF("i").select(
+      expr("array('a', 'b', cast(null as string), 'c')").as("arr"))
+    val hand = handDf.select(
+      TextExprs.windowMd5Hashes(col("arr"), 3).as("native"),
+      expr("transform(sequence(1, 2), p -> concat_ws(' ', slice(arr, p, 3)))")
+        .as("sw"))
+      .withColumn("z", explode(arrays_zip(col("native"), col("sw"))))
+      .select(col("z.native").as("nh"), TextExprs.md5Lower64(col("z.sw")).as("ch"))
+    assert(hand.filter(col("nh") =!= col("ch")).count() == 0)
+  }
+
   test("native wordShingles == composed wordShingles") {
     val toks = TextOps.tokens(TextOps.normText(col("text")))
     val both = docs.select(

@@ -331,6 +331,21 @@ class PlanShapeSpec extends SparkSpec {
       s"island window not doc-partitioned:\n$plan")
   }
 
+  test("q75: token arrays never shuffle — the span side broadcasts; only the output sort carries text") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.types.{ArrayType, StringType}
+    val plan = physicalOf(graft.queries.SubstrQ.q75(spark, sf))
+    val exchanges = plan.collect { case e: ShuffleExchangeExec => e }
+    assert(exchanges.nonEmpty)
+    // the rebuilt text_kept may ride the final range (sort) exchange —
+    // that is output-sized by definition; token ARRAYS must never cross
+    exchanges.foreach(e =>
+      assert(!e.output.exists(a => a.dataType match {
+        case ArrayType(StringType, _) => true
+        case _                        => false
+      }), s"a q75 exchange carries token arrays: ${e.output}"))
+  }
+
   test("no query plans a cartesian product or nested-loop join (except intentional broadcasts)") {
     // q34: tiny broadcast query set x corpus — the intended brute-force
     // baseline shape (q37 no longer needs the exemption: its k-means
