@@ -182,6 +182,114 @@ object Bpe {
     Vocab(merges.result())
   }
 
+  /** The INDEXED local trainer — [[train]]'s exact semantics at the
+    * production cost curve (Sennrich's original fast trainer): instead
+    * of recounting every word's pair bag per round, maintain
+    *
+    *  - the standing pair-count table,
+    *  - an inverted index pair → word-ids containing it, and
+    *  - a lazy max-heap of (count, a, b) candidates,
+    *
+    * so round r touches ONLY the words containing the merged pair:
+    * subtract each affected word's bag, fold, re-add. The heap is
+    * lazily invalidated (every count change pushes a fresh entry; a
+    * popped entry is discarded unless it matches the current count),
+    * which keeps the argmax O(log) amortized without rebuilds.
+    * A 50k-merge vocabulary costs Σ O(affected) — the curve the
+    * per-round-rescan loop in [[train]] cannot give — while the merge
+    * choice, tie-breaks ([[codePointOrder]]), overlap-counting pair
+    * bags, and early stop are IDENTICAL (BpeSpec parity-pins it
+    * against [[train]] on fixtures, ties, and real docs).
+    *
+    * Input is the aggregated (symbolized word, frequency) table —
+    * words must be DISTINCT (frequencies pre-summed).
+    */
+  def trainIndexed(table: Iterable[(Vector[String], Long)],
+                   numMerges: Int): Vocab = {
+    import scala.collection.mutable
+    val syms = mutable.ArrayBuffer.empty[Vector[String]]
+    val freq = mutable.ArrayBuffer.empty[Long]
+    table.foreach { case (s, f) => syms += s; freq += f }
+    val counts = mutable.HashMap.empty[(String, String), Long]
+    val occ = mutable.HashMap.empty[(String, String), mutable.BitSet]
+    // dequeue order must equal train()'s sortBy((-n, a, b)).head: the
+    // heap's max is the LARGEST count, ties to the SMALLEST (a, b)
+    val heapOrd: Ordering[(Long, String, String)] =
+      new Ordering[(Long, String, String)] {
+        def compare(x: (Long, String, String), y: (Long, String, String)): Int = {
+          val c = java.lang.Long.compare(x._1, y._1)
+          if (c != 0) return c
+          val ca = codePointOrder.compare(y._2, x._2) // reversed: smaller a wins
+          if (ca != 0) return ca
+          codePointOrder.compare(y._3, x._3)
+        }
+      }
+    val heap = mutable.PriorityQueue.empty[(Long, String, String)](heapOrd)
+    @inline def bump(p: (String, String), d: Long): Unit = {
+      val n = counts.getOrElse(p, 0L) + d
+      if (n <= 0L) counts.remove(p)
+      else {
+        counts(p) = n
+        heap.enqueue((n, p._1, p._2))
+      }
+    }
+    @inline def eachPair(s: Vector[String])(f: (String, String) => Unit): Unit = {
+      var i = 0
+      while (i < s.length - 1) { f(s(i), s(i + 1)); i += 1 }
+    }
+    var wid = 0
+    while (wid < syms.length) {
+      val s = syms(wid); val f = freq(wid)
+      eachPair(s) { (a, b) =>
+        bump((a, b), f)
+        occ.getOrElseUpdate((a, b), mutable.BitSet.empty) += wid
+      }
+      wid += 1
+    }
+    val merges = Seq.newBuilder[(String, String)]
+    var it = 0
+    var exhausted = false
+    while (it < numMerges && !exhausted) {
+      // pop to the first LIVE entry (count matches the standing table)
+      var best: (String, String) = null
+      var bestN = 0L
+      while (best == null && heap.nonEmpty) {
+        val (n, a, b) = heap.dequeue()
+        if (counts.getOrElse((a, b), 0L) == n) { best = (a, b); bestN = n }
+      }
+      if (best == null || bestN < 2) exhausted = true
+      else {
+        merges += best
+        val (a, b) = best
+        val merged = a + b
+        val affected = occ.getOrElse(best, mutable.BitSet.empty).toArray
+        affected.foreach { w =>
+          val old = syms(w); val f = freq(w)
+          eachPair(old) { (x, y) =>
+            bump((x, y), -f)
+            occ.get((x, y)).foreach(_ -= w)
+          }
+          // the same left-to-right non-overlapping fold as train()
+          val out = Vector.newBuilder[String]
+          var j = 0
+          while (j < old.length) {
+            if (j < old.length - 1 && old(j) == a && old(j + 1) == b) {
+              out += merged; j += 2
+            } else { out += old(j); j += 1 }
+          }
+          val nw = out.result()
+          syms(w) = nw
+          eachPair(nw) { (x, y) =>
+            bump((x, y), f)
+            occ.getOrElseUpdate((x, y), mutable.BitSet.empty) += w
+          }
+        }
+      }
+      it += 1
+    }
+    Vocab(merges.result())
+  }
+
   /** Train on the deterministic bottom-`sampleN` hash sample of a
     * corpus column (domain-separated "bpe:" hash on the row's
     * `idCol`, uncorrelated with every other sampling decision in the
@@ -213,8 +321,18 @@ object Bpe {
     *     frequency table — shuffle-linear in corpus size, word counts
     *     combine map-side. It is materialized once (localCheckpoint);
     *     no later round re-reads the corpus.
-    *  2. Per-round pair counting is REGIME-SWITCHED on measured
-    *     vocabulary size (override with `incremental`):
+    *  2. After that pass the trainer is REGIME-SWITCHED on the
+    *     measured vocabulary size:
+    *     - COLLECT (≤ `collectDriverMax` distinct words, the default
+    *       production path): the word-frequency table — model-scale,
+    *       not corpus-scale — collects to the driver and the INDEXED
+    *       local loop ([[trainIndexed]]: standing pair table +
+    *       inverted index + lazy heap) trains with ZERO per-round
+    *       Spark jobs. 50k merges cost Σ O(affected words), not 50k
+    *       scheduling barriers.
+    *     The distributed per-round loop below handles vocabularies
+    *     beyond driver memory (or `collectDriverMax = 0`; forcing
+    *     `incremental` also selects it), itself switched on size:
     *     - LARGE vocab (> 2²⁰ distinct words): the adjacent-pair
     *       count table is aggregated ONCE, then maintained by
     *       INCREMENTAL (Sennrich-style delta) updates — each round
@@ -271,7 +389,8 @@ object Bpe {
     */
   def trainDistributed(df: DataFrame, textCol: Column, numMerges: Int,
       checkpointEvery: Int = 16,
-      incremental: Option[Boolean] = None): Vocab = {
+      incremental: Option[Boolean] = None,
+      collectDriverMax: Long = 1L << 20): Vocab = {
     require(checkpointEvery > 0,
       s"checkpointEvery must be > 0, got $checkpointEvery")
     val spark = df.sparkSession
@@ -301,7 +420,25 @@ object Bpe {
     // to one partition once (count() reads the checkpointed blocks,
     // no corpus re-scan); a genuinely huge distinct-word table keeps
     // its cluster partitioning
-    val small = words.count() <= (1L << 20)
+    val nWords = words.count()
+    // collect regime: the corpus-scale work (the word-frequency pass)
+    // is already done; when the DISTINCT-WORD table itself fits the
+    // driver — the common case even for web corpora, vocabulary being
+    // morphology-bounded, and exactly how reference tokenizer trainers
+    // operate — hand it to the indexed local loop: zero per-round
+    // Spark jobs, and a 50k-merge production vocab costs Σ O(affected
+    // words) instead of 50k driver-coordinated barriers. Identical
+    // output (BpeSpec parity-pins all regimes); set 0 to force the
+    // fully-distributed loop (e.g. drivers with tight memory).
+    // `incremental = Some(x)` also forces the distributed loop, since
+    // it explicitly selects one of its two regimes.
+    if (incremental.isEmpty && nWords > 0 && nWords <= collectDriverMax) {
+      val table = words.select(col("syms"), col("freq"))
+        .collect()
+        .map(r => (r.getSeq[String](0).toVector, r.getLong(1)))
+      return trainIndexed(table, numMerges)
+    }
+    val small = nWords <= (1L << 20)
     if (small) words = words.repartition(1).localCheckpoint()
     val useDelta = incremental.getOrElse(!small)
     val pairExpr = expr(

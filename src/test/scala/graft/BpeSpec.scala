@@ -108,11 +108,31 @@ class BpeSpec extends SparkSpec {
     val texts = Seq("ab ab", "ab", "abc abc abd", "xy xy zz", "  ",
       "a b ab", "\tab ab\n", "\t\n")
     val local = Bpe.train(texts, numMerges = 20)
+    // default path = the collect regime (indexed local loop)
     val dist = Bpe.trainDistributed(
       texts.toDF("text"), col("text"), numMerges = 20, checkpointEvery = 4)
     assert(local.merges.nonEmpty)
     assert(dist == local,
       s"distributed ${dist.merges} != local ${local.merges}")
+    // the fully-distributed full-aggregation regime, forced
+    val distFull = Bpe.trainDistributed(
+      texts.toDF("text"), col("text"), numMerges = 20, checkpointEvery = 4,
+      incremental = Some(false))
+    assert(distFull == local,
+      s"full-agg regime ${distFull.merges} != local ${local.merges}")
+    // the indexed trainer alone must replay train() exactly on the
+    // same word table (pair bags, tie-breaks, early stop)
+    val wf = scala.collection.mutable.Map.empty[String, Long]
+    texts.foreach(t => Option(t).map(_.trim).filter(_.nonEmpty).foreach(
+      _.split("\\s+").filter(_.nonEmpty).foreach(w =>
+        wf(w) = wf.getOrElse(w, 0L) + 1)))
+    def symsOf(w: String): Vector[String] =
+      (w.codePoints().toArray.toVector.map(cp =>
+        new String(Character.toChars(cp))) :+ Bpe.EndOfWord)
+    val indexed = Bpe.trainIndexed(
+      wf.toSeq.map { case (w, f) => (symsOf(w), f) }, 20)
+    assert(indexed == local,
+      s"indexed ${indexed.merges} != local ${local.merges}")
     // the Sennrich-delta (incremental standing pair table) regime — the
     // large-vocab path, forced here on the same fixture — must learn
     // the identical table: deltas equal a recount at every round
@@ -143,6 +163,12 @@ class BpeSpec extends SparkSpec {
       s"local tie-break must be code-point order: ${local.merges}")
     val dist = Bpe.trainDistributed(texts.toDF("text"), col("text"), 1)
     assert(dist == local, s"distributed ${dist.merges} != local ${local.merges}")
+    // the same tie must break identically in the DISTRIBUTED argmax
+    // (UTF8String orderBy) — the collect regime above never reaches it
+    val distFull = Bpe.trainDistributed(texts.toDF("text"), col("text"), 1,
+      incremental = Some(false))
+    assert(distFull == local,
+      s"distributed argmax tie-break ${distFull.merges} != ${local.merges}")
     // guard: bad checkpointEvery fails fast, not mid-training
     intercept[IllegalArgumentException] {
       Bpe.trainDistributed(texts.toDF("text"), col("text"), 1,
@@ -162,6 +188,12 @@ class BpeSpec extends SparkSpec {
       col("text"), numMerges = 40)
     assert(dist == local,
       s"distributed ${dist.merges.take(8)}... != local ${local.merges.take(8)}...")
+    // the Sennrich-delta distributed regime on real text, forced
+    val distDelta = Bpe.trainDistributed(
+      docs.orderBy(col("doc_id")).limit(60).select(col("text")),
+      col("text"), numMerges = 40, incremental = Some(true))
+    assert(distDelta == local,
+      s"delta regime ${distDelta.merges.take(8)}... != local")
     // q66: rank is 0..n-1 in order, symbols non-empty
     val t = graft.queries.TextQ.q66(spark, sf).collect()
     assert(t.nonEmpty)
