@@ -80,6 +80,42 @@ object SubstrDedup {
       .orderBy(col("doc_id"), col("span_start"))
   }
 
+  /** Per-doc span LISTS of [[spans]] — one row per doc that has any
+    * duplicated run: (doc_id, _sp: array<struct<span_start, span_end>>).
+    * The row count IS the affected-doc count (pipeline stats), and the
+    * frame is runs-bounded — tiny next to the corpus — so it caches
+    * and broadcast-joins cheaply.
+    */
+  def spanLists(docs: DataFrame, w: Int,
+                idCol: Column = col("doc_id"),
+                textCol: Column = col("text")): DataFrame =
+    spans(docs, w, idCol, textCol)
+      .groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("span_start"), col("span_end"))).as("_sp"))
+
+  /** Rewrite `text` IN PLACE on a full-width frame: tokens inside a
+    * duplicated span drop, every other column passes through — the
+    * pipeline-stage form of [[strip]]. `spanListDf` is [[spanLists]]
+    * output (computed on whatever frame defines the dedup scope,
+    * possibly cached).
+    *
+    * Affected docs are rebuilt from their ORIGINAL-case tokens joined
+    * by single spaces (span positions are 1:1 with the original
+    * whitespace-split because normalization only lowercases and
+    * collapses separators — token boundaries are identical);
+    * unaffected docs keep their text byte-for-byte.
+    */
+  def stripColumn(docs: DataFrame, spanListDf: DataFrame): DataFrame =
+    docs.join(spanListDf, Seq("doc_id"), "left")
+      .withColumn("text",
+        when(col("_sp").isNull, col("text"))
+          .otherwise(concat_ws(" ",
+            filter(split(trim(col("text")), "\\s+"), (x, i) =>
+              not(exists(col("_sp"), s =>
+                (i + lit(1)).cast("long") >= s.getField("span_start") &&
+                  (i + lit(1)).cast("long") <= s.getField("span_end")))))))
+      .drop("_sp")
+
   /** The removal form (what the published pass actually does): drop
     * every token inside a duplicated span and rebuild the text,
     * q59's output shape (n_tokens, n_kept, text_kept). Keeper docs
@@ -95,9 +131,7 @@ object SubstrDedup {
   def strip(docs: DataFrame, w: Int,
             idCol: Column = col("doc_id"),
             textCol: Column = col("text")): DataFrame = {
-    val sp = spans(docs, w, idCol, textCol)
-      .groupBy(col("doc_id"))
-      .agg(collect_list(struct(col("span_start"), col("span_end"))).as("sp"))
+    val sp = spanLists(docs, w, idCol, textCol).withColumnRenamed("_sp", "sp")
     docs
       .select(idCol.as("doc_id"),
         tokens(normText(coalesce(textCol, lit("")))).as("arr"))

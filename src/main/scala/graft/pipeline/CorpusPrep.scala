@@ -15,6 +15,8 @@ import org.apache.spark.sql.functions._
   *   normalized-text digest) → optional MinHash-LSH near-dup drop
   *   ([[graft.operators.NearDup]], q31's kernel, keep-lowest) →
   *   optional benchmark decontamination (q54's 8-gram-hash kernel) →
+  *   optional exact-substring strip ([[graft.operators.SubstrDedup]],
+  *   q74/q75's kernel — shared verbatim runs removed in place) →
   *   language tag + per-language stratified sample → deterministic
   *   shard assignment → write partitioned by shard, hash-interleaved
   *   within. The nearDupDropped/contaminatedDropped stats are each
@@ -118,6 +120,24 @@ object CorpusPrep {
     *                    (underscore-hidden, like the manifest) for the
     *                    NEXT refresh to gate against
     */
+  /** @param substrWindow optional EXACT-SUBSTRING dedup stage (the Lee
+    *                    et al. 2021 pass, q74/q75's
+    *                    [[graft.operators.SubstrDedup]] kernel): every
+    *                    verbatim run of at least this many tokens
+    *                    shared with a LOWER-id survivor of exact dedup
+    *                    is stripped from the text in place —
+    *                    keep-lowest keeps one copy corpus-wide.
+    *                    Spans are localized among the exact-dedup
+    *                    SURVIVORS (before the near-dup/contamination
+    *                    anti-joins remove docs): a run shared only
+    *                    with a doc those stages later drop still
+    *                    strips — deliberately conservative for
+    *                    training data, and it lets the runs-bounded
+    *                    span table share the cached base lineage.
+    *                    Downstream stages (langId, token counts,
+    *                    packing, mix measurement) all see the
+    *                    stripped text.
+    */
   final case class Config(
       langRates: Map[String, Double],
       defaultRate: Double,
@@ -129,12 +149,13 @@ object CorpusPrep {
       sourceRates: Option[Map[String, Double]] = None,
       sourceWeights: Option[Map[String, Double]] = None,
       priorSnapshot: Option[String] = None,
-      publishSnapshot: Option[Long] = None)
+      publishSnapshot: Option[Long] = None,
+      substrWindow: Option[Int] = None)
 
   final case class Stats(
       input: Long, afterDedup: Long, afterSample: Long,
       nearDupDropped: Long = 0L, contaminatedDropped: Long = 0L,
-      snapshotDropped: Long = 0L)
+      snapshotDropped: Long = 0L, substrStripped: Long = 0L)
 
   /** Shard-assignment hash. MUST be decorrelated from the sampling
     * hash: Sample gates on md5Lower64(doc_id) & 1023, so deriving the
@@ -205,6 +226,15 @@ object CorpusPrep {
     cfg.nearDupMinEst.map(minEst =>
       graft.operators.NearDup.dropIds(baseDf, minEst))
 
+  /** Per-doc duplicated-run span lists for the optional substring
+    * stage (None when off) — runs-bounded, computed on the scrubbed+
+    * deduped base frame (see the Config scaladoc for why pre-anti-join
+    * scope is the right, conservative choice).
+    */
+  private def substrSpansOf(baseDf: DataFrame, cfg: Config): Option[DataFrame] =
+    cfg.substrWindow.map(w =>
+      graft.operators.SubstrDedup.spanLists(baseDf, w))
+
   /** doc_ids the optional decontamination stage drops: docs sharing
     * any word 8-gram with `benchmark` — q54's kernel, joined on the
     * 64-bit portable gram hash (benchmark side broadcasts under AQE).
@@ -231,7 +261,7 @@ object CorpusPrep {
            benchmark: Option[DataFrame] = None): DataFrame = {
     val baseDf = base(docs, cfg)
     planWith(baseDf, cfg, dropsOf(baseDf, cfg),
-      contaminatedOf(baseDf, cfg, benchmark))
+      contaminatedOf(baseDf, cfg, benchmark), substrSpansOf(baseDf, cfg))
   }
 
   /** Plan over the (possibly cached) base frame, with the drop sets
@@ -249,7 +279,8 @@ object CorpusPrep {
 
   private def planWith(baseDf: DataFrame, cfg: Config,
                        drops: Option[DataFrame],
-                       contaminated: Option[DataFrame]): DataFrame = {
+                       contaminated: Option[DataFrame],
+                       substrSpans: Option[DataFrame] = None): DataFrame = {
     require(cfg.nShards > 0 && (cfg.nShards & (cfg.nShards - 1)) == 0,
       s"nShards must be a power of two, got ${cfg.nShards}")
     require(cfg.sourceRates.isEmpty || cfg.sourceWeights.isEmpty,
@@ -259,8 +290,14 @@ object CorpusPrep {
     // (small — O(drops)) id sets; AQE broadcasts them while they fit
     val deduped1 = drops.fold(baseDf)(d =>
       baseDf.join(d, Seq("doc_id"), "left_anti"))
-    val deduped = contaminated.fold(deduped1)(c =>
+    val deduped2 = contaminated.fold(deduped1)(c =>
       deduped1.join(c, Seq("doc_id"), "left_anti"))
+    // optional substring-dedup stage: spans equi-join back (the span
+    // side is runs-bounded — AQE broadcasts it) and the strip is one
+    // filter-lambda projection; everything downstream sees the
+    // stripped text
+    val deduped = substrSpans.fold(deduped2)(sp =>
+      graft.operators.SubstrDedup.stripColumn(deduped2, sp))
     val tagged = deduped.withColumn("lang_detected",
       TextOps.langId(col("text")).getField("lang"))
     val langSampled = Sample.stratified(tagged, "doc_id", "lang_detected",
@@ -340,10 +377,11 @@ object CorpusPrep {
   private[graft] final case class Materialized(
       baseDf: DataFrame, baseCached: Boolean,
       drops: Option[DataFrame], contaminated: Option[DataFrame],
-      out: DataFrame) {
+      out: DataFrame, substrSpans: Option[DataFrame] = None) {
     def release(): Unit = {
       out.unpersist(); drops.foreach(_.unpersist())
       contaminated.foreach(_.unpersist())
+      substrSpans.foreach(_.unpersist())
       if (baseCached) { baseDf.unpersist(); () } else ()
     }
   }
@@ -363,13 +401,15 @@ object CorpusPrep {
     // sourceWeights' rate measurement is a second consumer of the base
     // lineage too (its aggregation pass + the gated stream)
     val multiConsumer = cfg.nearDupMinEst.isDefined || benchmark.isDefined ||
-      cfg.sourceWeights.isDefined
+      cfg.sourceWeights.isDefined || cfg.substrWindow.isDefined
     val base0 = base(docs, cfg)
     val baseDf = if (multiConsumer) base0.cache() else base0
     val drops = dropsOf(baseDf, cfg).map(_.cache())
     val contaminated = contaminatedOf(baseDf, cfg, benchmark).map(_.cache())
+    val substrSpans = substrSpansOf(baseDf, cfg).map(_.cache())
     Materialized(baseDf, multiConsumer, drops, contaminated,
-      planWith(baseDf, cfg, drops, contaminated).cache())
+      planWith(baseDf, cfg, drops, contaminated, substrSpans).cache(),
+      substrSpans)
   }
 
   /** Per-pack manifest of a PACKED plan/run output: one row per
@@ -433,7 +473,9 @@ object CorpusPrep {
       Stats(a.getLong(0), a.getLong(1), afterSample,
         nearDupDropped = drops.map(_.count()).getOrElse(0L),
         contaminatedDropped = contaminated.map(_.count()).getOrElse(0L),
-        snapshotDropped = a.getLong(2))
+        snapshotDropped = a.getLong(2),
+        // one row per affected doc by construction of spanLists
+        substrStripped = m.substrSpans.map(_.count()).getOrElse(0L))
     } finally { m.release() }
   }
 }

@@ -63,6 +63,36 @@ class CorpusPrepSpec extends SparkSpec {
       s"stats: $stats2")
   }
 
+  test("substring stage: shared verbatim runs strip from non-keepers in place, keepers and clean docs untouched") {
+    import spark.implicits._
+    val run = "r1 r2 r3 r4 r5 r6"
+    val docs = Seq(
+      // keeper of the run (lowest id): text must pass byte-for-byte
+      (1L, s"U1 u2 u3 u4 u5 $run u6 u7 u8", "en", "a", 1L),
+      // non-keeper: the run's tokens drop, ORIGINAL case kept elsewhere
+      (2L, s"V1 v2 $run v3 v4 V5 v6", "en", "a", 1L),
+      // clean doc: untouched
+      (3L, "w1 w2 w3 w4 w5", "en", "a", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = java.nio.file.Files.createTempDirectory("graft-substr").toString
+    val ssCfg = CorpusPrep.Config(langRates = Map.empty, defaultRate = 1.0,
+      nShards = 2, substrWindow = Some(4))
+    val stats = CorpusPrep.run(docs, out, ssCfg)
+    val kept = spark.read.parquet(out)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .collect().toMap
+    assert(kept(1L) == s"U1 u2 u3 u4 u5 $run u6 u7 u8", s"keeper rewritten: ${kept(1L)}")
+    assert(kept(2L) == "V1 v2 v3 v4 V5 v6", s"non-keeper: ${kept(2L)}")
+    assert(kept(3L) == "w1 w2 w3 w4 w5", s"clean doc rewritten: ${kept(3L)}")
+    assert(stats.substrStripped == 1, s"stats: $stats")
+    // stage off: nothing strips, stat is zero
+    val out2 = java.nio.file.Files.createTempDirectory("graft-substr2").toString
+    val stats2 = CorpusPrep.run(docs, out2, ssCfg.copy(substrWindow = None))
+    assert(stats2.substrStripped == 0)
+    assert(spark.read.parquet(out2).filter(col("doc_id") === 2L)
+      .select(col("text")).as[String].head() == s"V1 v2 $run v3 v4 V5 v6")
+  }
+
   test("scrub + decontamination stages: PII-only variants collapse, benchmark-overlapping docs drop") {
     import spark.implicits._
     val story = "the quick brown fox jumps over the lazy dog and then " +
