@@ -143,20 +143,22 @@ object PrepQ {
           .select(col("dst").as("node"), col("lbl"))
         val nbr = labels.select(col("node"), col("lbl")).union(prop)
           .groupBy(col("node")).agg(min(col("lbl")).as("lbl"))
+        // carry the PREVIOUS label through the cached frame: the
+        // convergence check then scans the cache instead of running
+        // its own join job against the old labels every round
         val short = nbr.alias("a")
           .join(nbr.alias("b"), col("a.lbl") === col("b.node"), "left")
           .select(col("a.node").as("node"),
             least(col("a.lbl"), coalesce(col("b.lbl"), col("a.lbl")))
               .as("lbl"))
+          .join(labels.select(col("node"), col("lbl").as("_old")), "node")
         val next = short.cache()
         // round 0 always changes something when edges exist — skip its
-        // convergence job (one join+count saved per query)
+        // convergence job (one count saved per query)
         changed = if (iters == 0) 1L
-          else next
-            .join(labels.withColumnRenamed("lbl", "old"), "node")
-            .filter(col("lbl") =!= col("old")).count()
+          else next.filter(col("lbl") =!= col("_old")).count()
         labels.unpersist()
-        labels = next
+        labels = next.drop("_old")
         iters += 1
       }
       require(changed == 0,

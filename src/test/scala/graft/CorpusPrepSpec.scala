@@ -318,6 +318,59 @@ class CorpusPrepSpec extends SparkSpec {
     }
   }
 
+  test("all stages at once: scrub + snapshot gate + dedup + near-dup + decontaminate + substring strip + weights + BPE packing compose in one run") {
+    import spark.implicits._
+    val docs = Tables(spark, sf).documents
+      .select(col("doc_id"), col("text"), col("lang"), col("source"),
+        col("n_chars"))
+    // a prior snapshot holding a slice of the corpus, so the gate bites
+    val priorDir = java.nio.file.Files.createTempDirectory("graft-all-prior").toString
+    val prior = docs.filter(pmod(col("doc_id"), lit(7)) === 0)
+    graft.operators.SnapshotBloom.save(spark,
+      graft.operators.SnapshotBloom.build(
+        prior.withColumn("text", graft.queries.PrepQ.scrub(col("text"))), 2000),
+      s"$priorDir/prior.bloom")
+    val bench = docs.filter(pmod(col("doc_id"), lit(97)) === 0)
+      .select(col("doc_id"), col("text"))
+    val vocab = graft.functions.expressions.Bpe
+      .trainOn(docs, col("doc_id"), col("text"), 50, sampleN = 100)
+    val sources = docs.select(col("source")).distinct()
+      .as[String].collect().sorted.toSeq
+    val weights = sources.take(2).map(_ -> 0.5).toMap
+    val cfgAll = CorpusPrep.Config(
+      langRates = Map("en" -> 0.8), defaultRate = 0.6, nShards = 4,
+      nearDupMinEst = Some(0.7), scrubPii = true,
+      packBudget = Some(512), bpeVocab = Some(vocab),
+      sourceWeights = Some(weights),
+      priorSnapshot = Some(s"$priorDir/prior.bloom"),
+      publishSnapshot = Some(2000L),
+      substrWindow = Some(16))
+    val out = java.nio.file.Files.createTempDirectory("graft-all").toString
+    val stats = CorpusPrep.run(docs, out, cfgAll, benchmark = Some(bench))
+    // stage accounting is coherent
+    assert(stats.input > 0 && stats.afterDedup <= stats.input)
+    assert(stats.afterSample <= stats.afterDedup)
+    assert(stats.snapshotDropped > 0, s"gate never bit: $stats")
+    // every artifact of the run exists and reads back
+    val written = spark.read.parquet(out)
+    assert(written.count() == stats.afterSample)
+    assert(written.columns.toSet.intersect(
+      Set("pack_id", "pack_offset", "n_tokens")).size == 3)
+    assert(new java.io.File(CorpusPrep.manifestPath(out)).exists())
+    assert(new java.io.File(CorpusPrep.membershipPath(out)).exists())
+    // kept sources are exactly the weighted ones
+    val keptSources = written.select(col("source")).distinct()
+      .as[String].collect().toSet
+    assert(keptSources.subsetOf(weights.keySet), s"kept: $keptSources")
+    // rerun determinism: byte-identical doc sets on a fresh run
+    val out2 = java.nio.file.Files.createTempDirectory("graft-all2").toString
+    CorpusPrep.run(docs, out2, cfgAll, benchmark = Some(bench))
+    val ids1 = written.select(col("doc_id")).as[Long].collect().sorted.toSeq
+    val ids2 = spark.read.parquet(out2)
+      .select(col("doc_id")).as[Long].collect().sorted.toSeq
+    assert(ids1 == ids2, "rerun must be identical")
+  }
+
   test("cross-snapshot refresh: run 1 publishes the membership sidecar, run 2 drops exactly the re-seen docs without a join") {
     import spark.implicits._
     def doc(id: Long, t: String) = (id, t, "en", "a", t.length.toLong)
