@@ -165,7 +165,7 @@ object CorpusPrep {
     * domain-separated digest ("shard:" prefix) makes the two
     * decisions independent coin flips.
     */
-  private def shardHash: org.apache.spark.sql.Column =
+  private[graft] def shardHash: org.apache.spark.sql.Column =
     TextExprs.md5Lower64(concat(lit("shard:"), col("doc_id").cast("string")))
 
   /** Exact dedup, q30 semantics: keep the LOWEST doc_id per

@@ -451,6 +451,88 @@ object Streams {
                    textCol: String = "text"): DataFrame =
     graft.operators.SnapshotBloom.gate(stream, bf, col(textCol))
 
+  /** CONTINUOUS corpus ingestion — the streaming mirror of
+    * [[graft.pipeline.CorpusPrep]], driven by the same `Config` and
+    * composing the same verified kernels in the same stage order:
+    *
+    *   optional PII scrub → optional cross-snapshot membership gate →
+    *   exact dedup (watermarked state) → optional benchmark
+    *   decontamination filter → langId tag + stratified language
+    *   sample → optional source-mix gate → shard assignment,
+    *
+    * so a doc flowing through the stream gets the IDENTICAL keep/drop
+    * decisions and (lang_detected, shard) values it would get from
+    * the batch job — every gate is a pure function of the doc's own
+    * bytes (hash-gated sampling, broadcast benchmark grams, sketch-
+    * carrying membership filter), which is what makes a streaming
+    * mirror possible at all.
+    *
+    * Two deliberate divergences, stated plainly:
+    *  - exact dedup keeps the FIRST-ARRIVING copy within the
+    *    watermark horizon (batch keeps the globally lowest doc_id —
+    *    a total order a stream does not have) and forgets state past
+    *    the watermark: a duplicate arriving later than `watermark`
+    *    after its first copy passes through. Bounded state is the
+    *    price of running forever.
+    *  - batch-ONLY stages refuse loudly rather than silently
+    *    degrading: near-dup clustering, substring strip, two-pass
+    *    sourceWeights, packing, and sidecar publishing all need a
+    *    global view (or a second pass) no unbounded stream has. Use
+    *    [[nearDupFilter]] as a separate windowed stage, and publish
+    *    snapshots from the batch layer.
+    *
+    * Output: the surviving docs with `lang_detected` and `shard`
+    * attached — write-ready for a partitioned streaming sink.
+    */
+  def corpusPrep(stream: DataFrame, cfg: graft.pipeline.CorpusPrep.Config,
+                 benchmark: Option[DataFrame] = None,
+                 tsCol: String = "ts",
+                 watermark: String = "1 hour"): DataFrame = {
+    require(cfg.nearDupMinEst.isEmpty,
+      "near-dup clustering is batch-only: chain Streams.nearDupFilter " +
+        "as its own windowed stage instead")
+    require(cfg.substrWindow.isEmpty,
+      "substring strip is batch-only: span localization needs the " +
+        "whole corpus's anchor table")
+    require(cfg.sourceWeights.isEmpty,
+      "two-pass sourceWeights is batch-only (it measures the prepared " +
+        "frame); supply sourceRates from a Mixer run instead")
+    require(cfg.packBudget.isEmpty && cfg.publishSnapshot.isEmpty,
+      "packing and sidecar publishing are sink-side batch steps")
+    val spark = stream.sparkSession
+    val scrubbed =
+      if (cfg.scrubPii)
+        stream.withColumn("text", graft.queries.PrepQ.scrub(col("text")))
+      else stream
+    val gated = cfg.priorSnapshot
+      .map(p => graft.operators.SnapshotBloom.load(spark, p))
+      .fold(scrubbed)(bf => snapshotGate(scrubbed, bf))
+    val deduped = dedupExact(gated, tsCol = tsCol, watermark = watermark)
+    // the benchmark is scrubbed with the SAME chain as the corpus
+    // (batch contract: contamination spanning a PII token must still
+    // match after both sides are rewritten)
+    val cleaned = benchmark.fold(deduped) { b =>
+      val bs =
+        if (cfg.scrubPii)
+          b.withColumn("text", graft.queries.PrepQ.scrub(col("text")))
+        else b
+      decontaminate(deduped, bs)
+        .filter(col("contaminated") === 0L)
+        .drop("n_overlap", "contaminated")
+    }
+    val tagged = cleaned.withColumn("lang_detected",
+      graft.functions.TextOps.langId(col("text")).getField("lang"))
+    val langSampled = stratifiedSample(tagged, "doc_id", "lang_detected",
+      cfg.langRates, cfg.defaultRate)
+    val mixed = cfg.sourceRates.fold(langSampled)(rates =>
+      graft.operators.Sample.stratified(langSampled, "doc_id", "source",
+        rates, defaultRate = 0.0, domain = "mix:"))
+    // the ONE shard-hash definition shared with the batch job — the
+    // two layers must route a doc to the same shard
+    mixed.withColumn("shard",
+      graft.pipeline.CorpusPrep.shardHash.bitwiseAND(lit(cfg.nShards - 1L)))
+  }
+
   /** Streaming HLL: approximate COUNT(DISTINCT keyCol) per tumbling
     * event-time window — the continuous mirror of batch q45, built
     * from the SAME [[graft.operators.Hll]] register/estimator

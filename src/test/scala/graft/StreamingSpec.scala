@@ -515,6 +515,80 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("corpusPrep: the continuous pipeline reproduces the batch job's keep set, lang tags, and shard routing") {
+    implicit val s = spark
+    import s.implicits._
+    val docs = Tables(spark, sf).documents
+      .select(col("doc_id"), col("text"), col("source"))
+      .limit(120)
+    // a prior snapshot covering a slice, a small benchmark, real text
+    val prior = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+      .withColumn("text", graft.queries.PrepQ.scrub(col("text")))
+    val dir = java.nio.file.Files.createTempDirectory("stream-prep").toString
+    graft.operators.SnapshotBloom.save(spark,
+      graft.operators.SnapshotBloom.build(prior, 1000), s"$dir/p.bloom")
+    val bench = docs.filter(pmod(col("doc_id"), lit(31)) === 0)
+      .select(col("doc_id"), col("text"))
+    val cfg = graft.pipeline.CorpusPrep.Config(
+      langRates = Map("en" -> 0.7), defaultRate = 0.5, nShards = 4,
+      scrubPii = true, priorSnapshot = Some(s"$dir/p.bloom"),
+      sourceRates = Some((0 until 20).map(i => s"src$i" ->
+        (if (i % 3 == 0) 0.9 else 0.6)).toMap - "src7"))
+    // feed in doc_id order so streaming's first-seen dedup and batch's
+    // keep-lowest agree on which copy of a duplicate survives
+    val rows = docs.orderBy(col("doc_id"))
+      .as[(Long, String, String)].collect().toSeq
+      .map { case (id, t, src) =>
+        (id, new java.sql.Timestamp(1700000000000L + id), t, src) }
+    val input = MemoryStream[(Long, java.sql.Timestamp, String, String)](spark)
+    val out = Streams.corpusPrep(
+      input.toDF().toDF("doc_id", "ts", "text", "source"), cfg,
+      benchmark = Some(bench))
+    val q = out.writeStream.format("memory").queryName("streamprep")
+      .outputMode("append").start()
+    try {
+      input.addData(rows.take(60): _*)
+      input.addData(rows.drop(60): _*)
+      q.processAllAvailable()
+      val got = spark.table("streamprep")
+        .select(col("doc_id"), col("lang_detected"), col("shard"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+        .toSet
+      // batch equivalent, stage by stage with the same kernels
+      val scrubbedB = docs
+        .withColumn("text", graft.queries.PrepQ.scrub(col("text")))
+      val gatedB = graft.operators.SnapshotBloom.gate(scrubbedB,
+        graft.operators.SnapshotBloom.load(spark, s"$dir/p.bloom"))
+      val wDup = org.apache.spark.sql.expressions.Window
+        .partitionBy(graft.functions.TextOps.textDigest(col("text")))
+        .orderBy(col("doc_id"))
+      val dedupB = gatedB.withColumn("_rn", row_number().over(wDup))
+        .filter(col("_rn") === 1).drop("_rn")
+      val benchScrubbed = bench
+        .withColumn("text", graft.queries.PrepQ.scrub(col("text")))
+      val cleanB = dedupB.join(
+        graft.queries.PrepQ.gramHashes(dedupB)
+          .join(graft.queries.PrepQ.benchGramSet(benchScrubbed), Seq("gh"))
+          .select(col("doc_id")).distinct(),
+        Seq("doc_id"), "left_anti")
+      val taggedB = cleanB.withColumn("lang_detected",
+        graft.functions.TextOps.langId(col("text")).getField("lang"))
+      val sampledB = graft.operators.Sample.stratified(
+        graft.operators.Sample.stratified(taggedB, "doc_id",
+          "lang_detected", cfg.langRates, cfg.defaultRate),
+        "doc_id", "source", cfg.sourceRates.get, 0.0, domain = "mix:")
+      val want = sampledB
+        .withColumn("shard", graft.pipeline.CorpusPrep.shardHash
+          .bitwiseAND(lit(cfg.nShards - 1L)))
+        .select(col("doc_id"), col("lang_detected"), col("shard"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+        .toSet
+      assert(got == want,
+        s"stream-only: ${got -- want}; batch-only: ${want -- got}")
+      assert(got.nonEmpty)
+    } finally q.stop()
+  }
+
   test("decontaminate: streaming verdicts equal batch q54 for the same docs") {
     implicit val s = spark
     import s.implicits._
