@@ -45,10 +45,28 @@ object SnapshotBloom {
   /** Build the membership sketch of a (finished) corpus run. The only
     * driver-side object is the filter itself — built by Spark's
     * distributed `stat.bloomFilter` aggregate, never a collect of ids.
+    *
+    * Undersizing is refused, not absorbed: a filter built for
+    * `expectedItems` but fed far more degrades its FP rate SILENTLY,
+    * and every extra false positive is a fresh doc the next refresh
+    * silently drops — data loss with no error anywhere. The count
+    * costs one extra pass over the digest projection (cheap next to
+    * the aggregate; sizing correctness is worth a scan), and the
+    * bound is 2× because the FP curve is gentle up to ~2 and cliffs
+    * beyond. Size generously — bits are ~1.4 MB per million docs at
+    * the default fpp — and budget the whole chain when sidecars will
+    * be merged ([[loadMerged]]).
     */
   def build(docs: DataFrame, expectedItems: Long, fpp: Double = 1e-3,
-            textCol: Column = col("text")): BloomFilter =
-    docs.select(digest(textCol).as("d")).stat.bloomFilter("d", expectedItems, fpp)
+            textCol: Column = col("text")): BloomFilter = {
+    val d = docs.select(digest(textCol).as("d"))
+    val n = d.count()
+    require(n <= 2 * expectedItems,
+      s"SnapshotBloom sized for $expectedItems items but fed $n: the FP " +
+        s"rate would silently degrade and the next refresh would silently " +
+        s"drop fresh docs — rebuild with expectedItems >= $n")
+    d.stat.bloomFilter("d", expectedItems, fpp)
+  }
 
   /** Publish the sidecar: write to `<path>.tmp`, then rename — a
     * reader never observes a half-written filter (the IvfIndex

@@ -30,12 +30,24 @@ import org.apache.spark.sql.functions._
   * (within-doc repeats belong to q62's intra-doc pass).
   *
   * Scale shape (the q72 recipe): window strings exist only map-side
-  * inside one codegen'd projection — every exchange carries the
-  * 64-bit md5Lower64 anchor hash or (doc_id, position) pairs, never
-  * text; the gram table is a hash aggregate (map-side combined), the
-  * mark step an equi-join on the hash against the ≥2-doc subset, and
-  * island assembly one doc-keyed window — linear passes plus
-  * vocabulary-scale shuffles at 100 TB, never all-pairs.
+  * inside one native kernel ([[graft.functions.expressions.TextExprs
+  * .windowMd5Hashes]]: one flatten + n range-digests per doc) — every
+  * exchange carries the 64-bit anchor hash or (doc_id, position)
+  * pairs, never text; the gram table is a hash aggregate (map-side
+  * combined), the mark step an equi-join on the hash against the
+  * ≥2-doc subset, and island assembly one doc-keyed window — linear
+  * passes, never all-pairs.
+  *
+  * Shuffle volume, stated honestly: the gram aggregation moves ~24
+  * bytes per corpus TOKEN (hash + doc + pos) — one sort-class pass,
+  * the same order of work as the suffix-array construction the
+  * published pass does, and it runs once per corpus refresh. If that
+  * pass ever dominates, the standard cheapening is winnowing the
+  * anchor windows (content-defined sampling shrinks round 1 by ~2/(W+1)
+  * at the cost of a detection threshold of w+W−1 and a pair-extension
+  * second pass); it changes which sub-threshold runs are noticed, so
+  * it is a different, documented operator — not a drop-in swap for
+  * the exact pass verified here.
   */
 object SubstrDedup {
 

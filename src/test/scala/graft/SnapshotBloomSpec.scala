@@ -76,6 +76,17 @@ class SnapshotBloomSpec extends SparkSpec {
     }
   }
 
+  test("undersized build refuses loudly instead of silently degrading the FP rate") {
+    import spark.implicits._
+    val docs = (1L to 50L).map(i => (i, s"doc number $i body")).toDF("doc_id", "text")
+    val ex = intercept[IllegalArgumentException] {
+      SnapshotBloom.build(docs, expectedItems = 10)
+    }
+    assert(ex.getMessage.contains("silently drop fresh docs"))
+    // at or under 2x the sizing, the build goes through
+    assert(SnapshotBloom.build(docs, expectedItems = 25) != null)
+  }
+
   test("publish is atomic: a second save overwrites cleanly and loads back equal") {
     import spark.implicits._
     val d1 = Seq((1L, "a a a")).toDF("doc_id", "text")
