@@ -79,9 +79,13 @@ object SnapshotBloom {
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = fs.create(tmp, true)
     try bf.writeTo(out) finally out.close()
-    if (fs.exists(p)) fs.delete(p, false)
-    if (!fs.rename(tmp, p))
-      throw new java.io.IOException(s"rename $tmp -> $p failed")
+    // OVERWRITE rename, atomically where the filesystem can: a
+    // delete-then-rename pair would leave NO sidecar if the process
+    // died between the two calls — losing the previous snapshot's
+    // membership is strictly worse than keeping a stale one
+    org.apache.hadoop.fs.FileContext
+      .getFileContext(p.toUri, spark.sparkContext.hadoopConfiguration)
+      .rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
   def load(spark: SparkSession, path: String): BloomFilter = {

@@ -94,9 +94,9 @@ object SubstrDedup {
 
   /** Per-doc span LISTS of [[spans]] — one row per doc that has any
     * duplicated run: (doc_id, _sp: array<struct<span_start, span_end>>).
-    * The row count IS the affected-doc count (pipeline stats), and the
-    * frame is runs-bounded — tiny next to the corpus — so it caches
-    * and broadcast-joins cheaply.
+    * The frame is runs-bounded — tiny next to the corpus — so it
+    * caches and broadcast-joins cheaply (pipeline stats scope its row
+    * count to the docs actually written).
     */
   def spanLists(docs: DataFrame, w: Int,
                 idCol: Column = col("doc_id"),
@@ -112,20 +112,28 @@ object SubstrDedup {
     * possibly cached).
     *
     * Affected docs are rebuilt from their ORIGINAL-case tokens joined
-    * by single spaces (span positions are 1:1 with the original
-    * whitespace-split because normalization only lowercases and
-    * collapses separators — token boundaries are identical);
-    * unaffected docs keep their text byte-for-byte.
+    * by single spaces; unaffected docs keep their text byte-for-byte.
+    * Position alignment is load-bearing: span positions index
+    * `tokens(normText(text))`, so the original-case split must walk
+    * the SAME canonicalization minus the lowercase — collapse all
+    * whitespace to single spaces FIRST, then trim, then split on the
+    * single space. Splitting the raw text instead (e.g.
+    * `split(trim(text), "\\s+")`) is off by one for any doc with
+    * leading non-space whitespace (Spark `trim` strips only ASCII
+    * spaces, and `split` keeps leading/trailing empty tokens), which
+    * would strip an innocent token and keep a duplicated one.
     */
   def stripColumn(docs: DataFrame, spanListDf: DataFrame): DataFrame =
     docs.join(spanListDf, Seq("doc_id"), "left")
       .withColumn("text",
         when(col("_sp").isNull, col("text"))
           .otherwise(concat_ws(" ",
-            filter(split(trim(col("text")), "\\s+"), (x, i) =>
-              not(exists(col("_sp"), s =>
-                (i + lit(1)).cast("long") >= s.getField("span_start") &&
-                  (i + lit(1)).cast("long") <= s.getField("span_end")))))))
+            filter(
+              split(trim(regexp_replace(col("text"), "\\s+", " ")), " "),
+              (x, i) =>
+                not(exists(col("_sp"), s =>
+                  (i + lit(1)).cast("long") >= s.getField("span_start") &&
+                    (i + lit(1)).cast("long") <= s.getField("span_end")))))))
       .drop("_sp")
 
   /** The removal form (what the published pass actually does): drop

@@ -189,8 +189,11 @@ object CorpusPrep {
       docs.withColumn("text", graft.queries.PrepQ.scrub(col("text")))
     else docs
 
-  /** The prior-snapshot membership filter, loaded once per plan/run
-    * (driver-side sidecar read; None when the stage is off).
+  /** The prior-snapshot membership filter, loaded ONCE per plan/run
+    * (driver-side sidecar read; None when the stage is off). run()
+    * threads the loaded filter through [[Materialized]] so the stats
+    * pass probes the same bytes instead of re-reading a sidecar that
+    * is ~1.2 GB at production scale.
     */
   private def priorFilter(docs: DataFrame, cfg: Config) =
     cfg.priorSnapshot.map(p =>
@@ -204,9 +207,11 @@ object CorpusPrep {
     * regardless of which optional stages are on. The membership gate
     * sits before dedup: a re-seen doc never pays the dedup shuffle.
     */
-  private def base(docs: DataFrame, cfg: Config): DataFrame = {
+  private def base(docs: DataFrame, cfg: Config,
+                   prior: Option[org.apache.spark.util.sketch.BloomFilter])
+      : DataFrame = {
     val s = scrubbed(docs, cfg)
-    val gated = priorFilter(docs, cfg)
+    val gated = prior
       .map(bf => graft.operators.SnapshotBloom.gate(s, bf)).getOrElse(s)
     dedupe(gated)
   }
@@ -259,7 +264,7 @@ object CorpusPrep {
     */
   def plan(docs: DataFrame, cfg: Config,
            benchmark: Option[DataFrame] = None): DataFrame = {
-    val baseDf = base(docs, cfg)
+    val baseDf = base(docs, cfg, priorFilter(docs, cfg))
     planWith(baseDf, cfg, dropsOf(baseDf, cfg),
       contaminatedOf(baseDf, cfg, benchmark), substrSpansOf(baseDf, cfg))
   }
@@ -377,7 +382,8 @@ object CorpusPrep {
   private[graft] final case class Materialized(
       baseDf: DataFrame, baseCached: Boolean,
       drops: Option[DataFrame], contaminated: Option[DataFrame],
-      out: DataFrame, substrSpans: Option[DataFrame] = None) {
+      out: DataFrame, substrSpans: Option[DataFrame] = None,
+      prior: Option[org.apache.spark.util.sketch.BloomFilter] = None) {
     def release(): Unit = {
       out.unpersist(); drops.foreach(_.unpersist())
       contaminated.foreach(_.unpersist())
@@ -400,16 +406,20 @@ object CorpusPrep {
       benchmark: Option[DataFrame]): Materialized = {
     // sourceWeights' rate measurement is a second consumer of the base
     // lineage too (its aggregation pass + the gated stream)
+    // publishSnapshot is a base-lineage consumer too: the sidecar is
+    // built from the PRE-strip text of the kept docs (see run())
     val multiConsumer = cfg.nearDupMinEst.isDefined || benchmark.isDefined ||
-      cfg.sourceWeights.isDefined || cfg.substrWindow.isDefined
-    val base0 = base(docs, cfg)
+      cfg.sourceWeights.isDefined || cfg.substrWindow.isDefined ||
+      cfg.publishSnapshot.isDefined
+    val prior = priorFilter(docs, cfg)
+    val base0 = base(docs, cfg, prior)
     val baseDf = if (multiConsumer) base0.cache() else base0
     val drops = dropsOf(baseDf, cfg).map(_.cache())
     val contaminated = contaminatedOf(baseDf, cfg, benchmark).map(_.cache())
     val substrSpans = substrSpansOf(baseDf, cfg).map(_.cache())
     Materialized(baseDf, multiConsumer, drops, contaminated,
       planWith(baseDf, cfg, drops, contaminated, substrSpans).cache(),
-      substrSpans)
+      substrSpans, prior)
   }
 
   /** Per-pack manifest of a PACKED plan/run output: one row per
@@ -455,27 +465,42 @@ object CorpusPrep {
           .parquet(manifestPath(outPath))
       }
       // publish the membership sidecar of the KEPT docs for the next
-      // refresh — one pass over the already-cached output frame
+      // refresh. Digests come from the PRE-strip base frame (cached),
+      // semi-joined on the kept ids — NOT from the written output:
+      // with substrWindow on, the output text is rewritten, and a
+      // sidecar of stripped digests would let a re-crawled copy of a
+      // stripped page sail through the next refresh's gate (the gate
+      // probes the scrubbed RAW text). The no-false-negative contract
+      // is on what the next run SEES, so hash what it will see.
       cfg.publishSnapshot.foreach { n =>
         graft.operators.SnapshotBloom.save(docs.sparkSession,
-          graft.operators.SnapshotBloom.build(out, n),
+          graft.operators.SnapshotBloom.build(
+            m.baseDf.join(out.select(col("doc_id")), Seq("doc_id"),
+              "left_semi"), n),
           membershipPath(outPath))
       }
       val afterSample = out.count()
-      val seenCol = priorFilter(docs, cfg)
+      val seenCol = m.prior
         .map(bf => graft.operators.SnapshotBloom.seen(bf, col("text")))
         .getOrElse(lit(false))
       val a = scrubbed(docs, cfg)
         .select(TextOps.textDigest(col("text")).as("h"), seenCol.as("s"))
-        .agg(count(lit(1)).as("n"), count_distinct(col("h")).as("nd"),
+        .agg(count(lit(1)).as("n"),
+          // distinct digests among docs the gate KEEPS — counting the
+          // gated-out ones would overstate the post-dedup frame
+          count_distinct(when(!col("s"), col("h"))).as("nd"),
           sum(when(col("s"), 1L).otherwise(0L)).as("sdrop"))
         .head()
       Stats(a.getLong(0), a.getLong(1), afterSample,
         nearDupDropped = drops.map(_.count()).getOrElse(0L),
         contaminatedDropped = contaminated.map(_.count()).getOrElse(0L),
         snapshotDropped = a.getLong(2),
-        // one row per affected doc by construction of spanLists
-        substrStripped = m.substrSpans.map(_.count()).getOrElse(0L))
+        // docs actually stripped IN THE OUTPUT: the span table is
+        // computed pre-anti-join/pre-sample, so scope it to written ids
+        substrStripped = m.substrSpans
+          .map(_.join(out.select(col("doc_id")), Seq("doc_id"), "left_semi")
+            .count())
+          .getOrElse(0L))
     } finally { m.release() }
   }
 }

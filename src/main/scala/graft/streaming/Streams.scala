@@ -499,6 +499,10 @@ object Streams {
         "frame); supply sourceRates from a Mixer run instead")
     require(cfg.packBudget.isEmpty && cfg.publishSnapshot.isEmpty,
       "packing and sidecar publishing are sink-side batch steps")
+    // the same guard as batch planWith: a non-power-of-two mask would
+    // silently skew shard routing instead of failing loudly
+    require(cfg.nShards > 0 && (cfg.nShards & (cfg.nShards - 1)) == 0,
+      s"nShards must be a power of two, got ${cfg.nShards}")
     val spark = stream.sparkSession
     val scrubbed =
       if (cfg.scrubPii)

@@ -406,6 +406,41 @@ class CorpusPrepSpec extends SparkSpec {
       .select(col("doc_id")).as[Long].collect().sorted.toSeq
     assert(kept == Seq(12L), s"kept: $kept")
     assert(stats2.snapshotDropped == 2L, s"stats: $stats2")
+    // afterDedup counts digests among docs the GATE keeps: 3 in,
+    // 2 gated out, 1 distinct survivor — not 3
+    assert(stats2.afterDedup == 1L, s"stats: $stats2")
+  }
+
+  test("publishSnapshot with substrWindow hashes the PRE-strip text: a re-crawled stripped page still gates out") {
+    import spark.implicits._
+    def doc(id: Long, t: String) = (id, t, "en", "a", t.length.toLong)
+    val run = "q1 q2 q3 q4 q5 q6 q7 q8 q9 q10 q11 q12 q13 q14 q15 q16"
+    val page = s"intro words here $run closing words"
+    val run1Docs = Seq(
+      doc(1L, s"other doc holding $run and more own content"),
+      doc(2L, page)) // non-keeper: run stripped from ITS output text
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val cfg1 = CorpusPrep.Config(langRates = Map.empty, defaultRate = 1.0,
+      nShards = 2, substrWindow = Some(16), publishSnapshot = Some(100L))
+    val out1 = java.nio.file.Files.createTempDirectory("graft-sp1").toString
+    val stats1 = CorpusPrep.run(run1Docs, out1, cfg1)
+    assert(stats1.substrStripped == 1L, s"stats: $stats1")
+    // doc 2's written text lost the run — so a sidecar built from the
+    // OUTPUT would not recognize the original page
+    val written2 = spark.read.parquet(out1)
+      .filter(col("doc_id") === 2L).select(col("text")).as[String].head()
+    assert(!written2.contains("q1 q2"), s"run not stripped: $written2")
+    // the re-crawled identical page must still be dropped next month
+    val run2Docs = Seq(doc(10L, page), doc(11L, "fresh unseen content"))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val cfg2 = CorpusPrep.Config(langRates = Map.empty, defaultRate = 1.0,
+      nShards = 2, priorSnapshot = Some(CorpusPrep.membershipPath(out1)))
+    val out2 = java.nio.file.Files.createTempDirectory("graft-sp2").toString
+    val stats2 = CorpusPrep.run(run2Docs, out2, cfg2)
+    val kept = spark.read.parquet(out2)
+      .select(col("doc_id")).as[Long].collect().sorted.toSeq
+    assert(kept == Seq(11L), s"re-crawled stripped page leaked: $kept")
+    assert(stats2.snapshotDropped == 1L, s"stats: $stats2")
   }
 
   test("pack manifest: totals equal the written rows' pack layout; shards readable despite it") {

@@ -587,6 +587,12 @@ class StreamingSpec extends SparkSpec {
         s"stream-only: ${got -- want}; batch-only: ${want -- got}")
       assert(got.nonEmpty)
     } finally q.stop()
+    // the batch guard applies here too: a non-power-of-two mask would
+    // silently skew shard routing
+    intercept[IllegalArgumentException] {
+      Streams.corpusPrep(input.toDF().toDF("doc_id", "ts", "text", "source"),
+        cfg.copy(nShards = 6))
+    }
   }
 
   test("decontaminate: streaming verdicts equal batch q54 for the same docs") {

@@ -68,6 +68,26 @@ class SubstrDedupSpec extends SparkSpec {
     assert(out(3L) == ((5L, 5L, "w1 w2 w3 w4 w5")))
   }
 
+  test("stripColumn: leading tabs/newlines do not shift span positions; untouched docs keep bytes") {
+    import spark.implicits._
+    val run = "r1 r2 r3 r4 r5 r6"
+    val d = Seq(
+      (1L, s"u1 u2 u3 u4 u5 $run u6 u7 u8", "keepme"),
+      // leading tab + double spaces + trailing newline: raw split
+      // would be off by one and strip v2 instead of the run
+      (2L, s"\tV1  v2 $run v3\n", "x"),
+      (3L, "w1 w2 w3 w4 w5", "y"))
+      .toDF("doc_id", "text", "extra")
+    val out = SubstrDedup.stripColumn(d,
+      SubstrDedup.spanLists(d, w = 4)).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+    assert(out(2L)._1 == "V1 v2 v3", s"got ${out(2L)._1}")
+    // keeper and clean docs pass through BYTE-identical, extra cols ride
+    assert(out(1L)._1 == s"u1 u2 u3 u4 u5 $run u6 u7 u8")
+    assert(out(3L)._1 == "w1 w2 w3 w4 w5")
+    assert(out(1L)._2 == "keepme" && out(3L)._2 == "y")
+  }
+
   test("q75 agrees with q74: dropped token count equals the span mass per doc") {
     val spans = queries.SubstrQ.q74(spark, sf).collect()
       .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(3)).sum).toMap
