@@ -25,6 +25,14 @@ object JobRunner {
   case object Succeeded extends Status
   case object Failed extends Status
   case object Cancelled extends Status
+
+  /** Job ids double as Spark job-GROUP ids, and cancellation registers
+    * the group for future-job cancellation on the shared SparkContext —
+    * so ids must be unique across every runner on that context, not
+    * just within one instance (two runners both naming their first job
+    * "job-1" would let one runner's cancel pre-cancel the other's).
+    */
+  private val globalSeq = new AtomicLong(0)
 }
 
 final class JobRunner(spark: SparkSession, audit: Option[AuditLog] = None) {
@@ -38,7 +46,6 @@ final class JobRunner(spark: SparkSession, audit: Option[AuditLog] = None) {
       submittedAtMs: Long,
       finishedAtMs: Option[Long])
 
-  private val seq = new AtomicLong(0)
   private val jobs = new ConcurrentHashMap[String, JobInfo]()
   private val cancelled = ConcurrentHashMap.newKeySet[String]()
   private val pool = Executors.newCachedThreadPool(r => {
@@ -64,7 +71,7 @@ final class JobRunner(spark: SparkSession, audit: Option[AuditLog] = None) {
     * cancellation-aware retry logic).
     */
   def submitWithId(name: String)(body: (SparkSession, String) => Unit): String = {
-    val id = s"job-${seq.incrementAndGet()}"
+    val id = s"job-${JobRunner.globalSeq.incrementAndGet()}"
     jobs.put(id, JobInfo(id, name, Pending, None, System.currentTimeMillis(), None))
     audit.foreach(_.logJob("jobId" -> id, "action" -> "submit", "name" -> name))
     pool.submit(new Runnable {
@@ -147,7 +154,14 @@ final class JobRunner(spark: SparkSession, audit: Option[AuditLog] = None) {
     })
     if (requested) {
       audit.foreach(_.logJob("jobId" -> jobId, "action" -> "cancel"))
-      spark.sparkContext.cancelJobGroup(jobId)
+      // AndFutureJobs closes the submit/cancel race: a cancel landing
+      // after the worker flipped to Running but BEFORE its first Spark
+      // job reached the DAGScheduler used to find "no active jobs" and
+      // do nothing — the body then ran to completion uninterrupted.
+      // Registering the group for future-job cancellation makes the
+      // body's first submission fail immediately instead (job ids are
+      // context-unique, so the registration can never hit a bystander).
+      spark.sparkContext.cancelJobGroupAndFutureJobs(jobId)
     }
   }
 

@@ -79,7 +79,9 @@ class PipelineSpec extends SparkSpec {
     val runner = new JobRunner(spark)
     val id = runner.submit("slow") { s =>
       import s.implicits._
-      s.range(0, 1000000, 1, 8)
+      // worst case (cancel misses entirely) is ~50 s per task, not
+      // minutes — a miss must fail THIS test, not starve the next ones
+      s.range(0, 200000, 1, 8)
         .map { i => Thread.sleep(2); i }.count(); ()
     }
     // wait until the job actually starts running, then cancel
