@@ -280,9 +280,176 @@ object PrepQ {
       |FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
       |WHERE d.doc_id % 100 <> 0 ORDER BY d.doc_id""".stripMargin
 
+  // ---- q76: markup strip ----
+
+  /** Engine-portable markup patterns (Java regex and RE2 agree on
+    * these forms; `(?s)` is the inline dotall flag in both, and the
+    * lazy `.*?` keeps one script block from swallowing the next).
+    */
+  val ScriptRe = "(?s)<script[^>]*>.*?</script>"
+  val StyleRe = "(?s)<style[^>]*>.*?</style>"
+  val TagRe = "<[^>]*>"
+  val EntityRe = "&[a-z]+;|&#[0-9]+;"
+
+  /** Markup-strip chain — the raw-web → text extraction stage that
+    * runs BEFORE every text operator in a crawl-fed corpus pipeline
+    * (boilerplate line dedup q59/q61 assumes markup is already gone;
+    * this is the pass that removes it). One codegen'd projection:
+    * script/style blocks die whole (their content is code, not
+    * prose), remaining tags become spaces (so `a</p><p>b` cannot
+    * weld into `ab`), the six portable entities decode (`&amp;`
+    * LAST — decoding it first would re-activate `&amp;lt;` into a
+    * second round of decoding), and whitespace collapses.
+    */
+  def stripMarkup(text: Column): Column = {
+    val noBlocks = regexp_replace(
+      regexp_replace(text, ScriptRe, " "), StyleRe, " ")
+    val noTags = regexp_replace(noBlocks, TagRe, " ")
+    val decoded = replace(
+      replace(
+        replace(
+          replace(
+            replace(
+              replace(noTags, lit("&nbsp;"), lit(" ")),
+              lit("&lt;"), lit("<")),
+            lit("&gt;"), lit(">")),
+          lit("&quot;"), lit("\"")),
+        lit("&#39;"), lit("'")),
+      lit("&amp;"), lit("&"))
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
+  /** q76: markup strip. The synthetic corpus is already plain text,
+    * so (the q52 injection device) the query first WRAPS each doc in
+    * a deterministic HTML page — head/title/style/script blocks,
+    * body tags, entity-encoded footer, all derived from doc_id — and
+    * then strips it, so the oracle checks the actual extraction
+    * behavior character-for-character, not a no-op. Output carries
+    * the tag/entity counts and the full cleaned text (exact string
+    * parity is the whole point of the check).
+    */
+  def q76(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    val id = col("doc_id")
+    val dirty = concat(
+      lit("<html><head><title>Doc "), id.cast("string"),
+      lit("</title><style>p{margin:0}</style>" +
+        "<script type=\"text/javascript\">var id="), id.cast("string"),
+      lit(";track(id);</script></head><body><h1>Doc "), id.cast("string"),
+      lit("</h1><p class=\"body\">"), coalesce(col("text"), lit("")),
+      lit("</p><br/><footer>corp &amp; co &lt;info&gt; &quot;quoted&quot; " +
+        "&#39;q&#39;&nbsp;end</footer></body></html>"))
+    t.documents
+      .select(id, dirty.as("dirty"))
+      .select(id,
+        size(regexp_extract_all(col("dirty"), lit(TagRe), lit(0)))
+          .cast("bigint").as("n_tags"),
+        size(regexp_extract_all(col("dirty"), lit(EntityRe), lit(0)))
+          .cast("bigint").as("n_entities"),
+        stripMarkup(col("dirty")).as("text_clean"))
+      .orderBy(id)
+  }
+
+  val q76Sql: String =
+    s"""WITH dirtied AS (
+       |  SELECT doc_id,
+       |    '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR)
+       |      || '</title><style>p{margin:0}</style>'
+       |      || '<script type="text/javascript">var id=' || CAST(doc_id AS VARCHAR)
+       |      || ';track(id);</script></head><body><h1>Doc ' || CAST(doc_id AS VARCHAR)
+       |      || '</h1><p class="body">' || coalesce(text, '')
+       |      || '</p><br/><footer>corp &amp; co &lt;info&gt; &quot;quoted&quot; '
+       |      || '&#39;q&#39;&nbsp;end</footer></body></html>' AS dirty
+       |  FROM documents)
+       |SELECT doc_id,
+       |  CAST(len(regexp_extract_all(dirty, '$TagRe')) AS BIGINT) AS n_tags,
+       |  CAST(len(regexp_extract_all(dirty, '$EntityRe')) AS BIGINT) AS n_entities,
+       |  trim(regexp_replace(
+       |    replace(replace(replace(replace(replace(replace(
+       |      regexp_replace(regexp_replace(regexp_replace(dirty,
+       |        '$ScriptRe', ' ', 'g'),
+       |        '$StyleRe', ' ', 'g'),
+       |        '$TagRe', ' ', 'g'),
+       |      '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+       |      '&quot;', '"'), '&#39;', chr(39)), '&amp;', '&'),
+       |    '\\s+', ' ', 'g')) AS text_clean
+       |FROM dirtied ORDER BY doc_id""".stripMargin
+
+  // ---- q77: near-dup cluster representative pick ----
+
+  /** q77: quality-argmax canonical pick — for every q53 near-dup
+    * component, keep the BEST member by quality score instead of
+    * q53's structural lowest-id convention (the decision form a real
+    * dedup pipeline wants: of N near-identical pages, retain the one
+    * worth training on). Score is q41's length/stopword blend in
+    * exact fixed-point: least(n_words,100)·5·10⁶ + n_stop·5·10⁸ DIV
+    * n_words — nano-unit integer arithmetic, so both engines rank
+    * identically with no float-tie hazard; ties (near-dups often
+    * score equal) break to the lowest doc_id.
+    *
+    * Scale shape: q53's propagation (labels/edges are O(near-dup
+    * docs), ≪ corpus), one projection for the score, one equi-join
+    * on doc_id, and a window over components — partitions are
+    * cluster-sized (shallow), never corpus-sized.
+    */
+  def q77(s: SparkSession, dir: String): DataFrame = {
+    val labels = q53(s, dir).select(col("doc_id"), col("component"))
+    val txt = coalesce(col("text"), lit(""))
+    val toks = tokens(txt)
+    val nWords = size(toks).cast("long")
+    val enStop = Seq("the", "a", "of", "and", "to", "in", "is")
+    val nStop = size(filter(toks, w => w.isin(enStop: _*))).cast("long")
+    val qual = Tables(s, dir).documents
+      .select(col("doc_id"), nWords.as("_nwords"), nStop.as("_nstop"))
+      .select(col("doc_id"),
+        (least(col("_nwords"), lit(100L)) * 5000000L +
+          expr("_nstop * 500000000L DIV greatest(_nwords, 1L)")).as("quality9"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("component"))
+      .orderBy(col("quality9").desc, col("doc_id"))
+    labels.join(qual, Seq("doc_id"))
+      .withColumn("is_kept",
+        (org.apache.spark.sql.functions.row_number().over(w) === 1)
+          .cast("bigint"))
+      .select(col("doc_id"), col("component"), col("quality9"), col("is_kept"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB mirror of q77: q53's recursive reachability CTE for the
+    * components, the same fixed-point quality blend, the same
+    * (quality DESC, doc_id) argmax.
+    */
+  val q77Sql: String =
+    s"""WITH RECURSIVE ${TextQ.candidateCte},
+       |p AS (SELECT doc_a, doc_b FROM scored WHERE est_jaccard >= 0.5),
+       |e AS (SELECT doc_a AS src, doc_b AS dst FROM p
+       |      UNION SELECT doc_b, doc_a FROM p),
+       |n AS (SELECT DISTINCT src AS node FROM e),
+       |r(node, m) AS (
+       |  SELECT node, node FROM n
+       |  UNION
+       |  SELECT e.dst, r.m FROM r JOIN e ON e.src = r.node),
+       |comp AS (SELECT node AS doc_id, min(m) AS component FROM r GROUP BY node),
+       |qual AS (
+       |  SELECT doc_id,
+       |    CAST(LEAST(len(regexp_split_to_array(trim(coalesce(text, '')), '\\s+')), 100) * 5000000
+       |      + len(list_filter(regexp_split_to_array(trim(coalesce(text, '')), '\\s+'),
+       |          w -> list_contains(['the','a','of','and','to','in','is'], w))) * 500000000
+       |        // GREATEST(len(regexp_split_to_array(trim(coalesce(text, '')), '\\s+')), 1)
+       |      AS BIGINT) AS quality9
+       |  FROM documents)
+       |SELECT doc_id, component, quality9,
+       |  CAST(ROW_NUMBER() OVER (
+       |    PARTITION BY component ORDER BY quality9 DESC, doc_id) = 1
+       |    AS BIGINT) AS is_kept
+       |FROM comp JOIN qual USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+
   val entries: Seq[Entry] = Seq(
     Entry("q52_pii_scrub", q52, Some(q52Sql)),
     Entry("q53_neardup_components", (s, d) => q53(s, d), Some(q53Sql)),
     Entry("q54_decontaminate", q54, Some(q54Sql)),
+    Entry("q76_markup_strip", q76, Some(q76Sql)),
+    Entry("q77_cluster_pick", q77, Some(q77Sql)),
   )
 }

@@ -281,6 +281,20 @@ class PlanShapeSpec extends SparkSpec {
       s"q71 plans a window:\n$plan")
   }
 
+  test("q76: markup strip is one projection — no join, no aggregate, no window") {
+    import org.apache.spark.sql.execution.aggregate.HashAggregateExec
+    import org.apache.spark.sql.execution.joins.{BaseJoinExec, BroadcastNestedLoopJoinExec}
+    import org.apache.spark.sql.execution.window.WindowExec
+    val plan = graft.queries.PrepQ.q76(spark, sf).queryExecution.sparkPlan
+    assert(plan.collect { case j: BaseJoinExec => j }.isEmpty &&
+      plan.collect { case j: BroadcastNestedLoopJoinExec => j }.isEmpty,
+      s"q76 plans a join:\n$plan")
+    assert(plan.collect { case a: HashAggregateExec => a }.isEmpty,
+      s"q76 plans an aggregate:\n$plan")
+    assert(plan.collect { case w: WindowExec => w }.isEmpty,
+      s"q76 plans a window:\n$plan")
+  }
+
   test("q72: shingle strings stay map-side — every exchange and aggregate key is hash/doc-keyed") {
     import org.apache.spark.sql.execution.aggregate.{HashAggregateExec, ObjectHashAggregateExec, SortAggregateExec}
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec

@@ -84,4 +84,53 @@ class PrepQSpec extends SparkSpec {
         s"doc $id overlap ${r.getAs[Long]("n_overlap")} != brute-force $expect")
     }
   }
+
+  test("q76: injected markup is fully stripped, entities decoded, original text preserved") {
+    val docs = Tables(spark, sf).documents
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    val rows = PrepQ.q76(spark, sf).collect()
+    assert(rows.length == docs.size)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val clean = r.getAs[String]("text_clean")
+      // no residual tags or entities in the cleaned text; the literal
+      // '<info>' is DECODED output (from &lt;info&gt;), so check for
+      // tag-shaped residue via the raw markers the injection used
+      assert(!clean.contains("</") && !clean.contains("<p") &&
+        !clean.contains("<html") && !clean.contains("&amp;") &&
+        !clean.contains("&#39;"), s"doc $id residue in: $clean")
+      // script/style content must die whole, not just its tags
+      assert(!clean.contains("track(id)") && !clean.contains("margin:0"),
+        s"doc $id kept script/style content: $clean")
+      // the document's own words survive verbatim (normalized spacing)
+      val body = docs(id).trim.replaceAll("\\s+", " ")
+      assert(clean.contains(body), s"doc $id lost body text")
+      // decoded footer with all six entities resolved
+      assert(clean.endsWith("corp & co <info> \"quoted\" 'q' end"),
+        s"doc $id footer mis-decoded: $clean")
+      // footer entities: &amp; &lt; &gt; 2×&quot; 2×&#39; &nbsp; = 8
+      assert(r.getAs[Long]("n_tags") >= 14 && r.getAs[Long]("n_entities") == 8L)
+    }
+  }
+
+  test("q77: exactly one kept member per component, and it is the quality argmax") {
+    val rows = PrepQ.q77(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("component"),
+        r.getAs[Long]("quality9"), r.getAs[Long]("is_kept")))
+    assert(rows.nonEmpty)
+    // same membership as q53
+    val q53ids = PrepQ.q53(spark, sf).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    assert(rows.map(_._1).toSet == q53ids, "q77 membership diverged from q53")
+    rows.groupBy(_._2).foreach { case (comp, members) =>
+      assert(members.count(_._4 == 1L) == 1,
+        s"component $comp kept count != 1")
+      val kept = members.find(_._4 == 1L).get
+      // argmax by (quality DESC, doc_id ASC)
+      val best = members.minBy(m => (-m._3, m._1))
+      assert(kept._1 == best._1,
+        s"component $comp kept ${kept._1}, argmax is ${best._1}")
+    }
+  }
 }
