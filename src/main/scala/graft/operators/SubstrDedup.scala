@@ -92,6 +92,101 @@ object SubstrDedup {
       .orderBy(col("doc_id"), col("span_start"))
   }
 
+  /** Winnow-selected anchor positions over a hash array — the
+    * Schleimer et al. 2003 fingerprint selection (MOSS), per-window
+    * form: every window of `winnow` consecutive w-gram hashes selects
+    * its minimum (rightmost position on ties), and the anchor set is
+    * the distinct union. The guarantee this buys: the selection for a
+    * window depends ONLY on the window's own hash content, so two
+    * documents sharing any verbatim run of ≥ w + winnow − 1 tokens
+    * (⇒ ≥ `winnow` consecutive shared w-gram hashes ⇒ one full shared
+    * window) select the SAME gram inside it — a shared fingerprint is
+    * certain, while only ~2/(winnow+1) of positions survive.
+    *
+    * Minima compare UNSIGNED (the q48 convention): Spark longs are
+    * signed, so ordering runs on `shiftrightunsigned(h,1)`, which
+    * DuckDB's HUGEINT `>> 1` reproduces bit-for-bit; dropping the low
+    * bit can only merge two hashes into a comparison tie, and the
+    * rightmost-position rule resolves ties identically in both
+    * engines. Docs with fewer hashes than a window get one window
+    * over what they have (→ exactly one anchor).
+    *
+    * Returns positions (1-based) into the hash array as array<long>.
+    * Pure projection: the O(m·winnow) slice-min work happens map-side
+    * inside codegen'd higher-order functions — no shuffle, no UDF.
+    */
+  def winnowSelect(shiftedCol: String, winnow: Int): Column = {
+    require(winnow >= 1, s"winnow window must be >= 1, got $winnow")
+    val hs = shiftedCol
+    // the caller pre-shifts ONCE (`transform(hs, h -> shiftrightunsigned
+    // (h,1))`); inlining the shift here would re-run it per window —
+    // O(m²) per doc instead of O(m·winnow)
+    val win = s"slice($hs, s, least($winnow, size($hs)))"
+    expr(
+      s"""array_distinct(transform(
+         |  sequence(1, greatest(size($hs) - ${winnow - 1}, 1)),
+         |  s -> CAST(s - 1 + least($winnow, size($hs)) + 1
+         |       - array_position(reverse($win), array_min($win)) AS BIGINT)))"""
+        .stripMargin)
+  }
+
+  /** Winnowed (sampled) duplicated-run spans — the scale path of
+    * [[spans]]: anchors are [[winnowSelect]] fingerprints instead of
+    * every position, so round-1 shuffle volume drops to ~2/(winnow+1)
+    * of the exact pass while any run of ≥ w + winnow − 1 tokens is
+    * still detected with certainty (runs in [w, w+winnow−1) MAY be
+    * missed — that is the documented trade; the exact pass exists for
+    * corpora that need them). Output spans are unions of the anchor
+    * windows that fired, merged when overlapping or adjacent — always
+    * contained in the exact pass's spans (a winnowed anchor is a
+    * duplicated w-gram, and its keeper can only be ≥ the exact
+    * keeper, so every marked anchor is marked by the exact pass too).
+    *
+    * Same keep-lowest-doc rule, same (doc_id, span_start, span_end)
+    * contract as [[spans]], plus n_anchors (how many fingerprints
+    * support the span — the confidence column the exact pass doesn't
+    * need).
+    */
+  def winnowedSpans(docs: DataFrame, w: Int, winnow: Int,
+                    idCol: Column = col("doc_id"),
+                    textCol: Column = col("text")): DataFrame = {
+    require(w >= 2, s"window must be >= 2 tokens, got $w")
+    val toks = docs
+      .select(idCol.as("doc_id"),
+        tokens(normText(coalesce(textCol, lit("")))).as("arr"))
+      .filter(size(col("arr")) >= w)
+    val anch = toks
+      .select(col("doc_id"), windowMd5Hashes(col("arr"), w).as("hs"))
+      .withColumn("hw", expr("transform(hs, h -> shiftrightunsigned(h, 1))"))
+      .select(col("doc_id"), col("hs"),
+        explode(winnowSelect("hw", winnow)).as("p"))
+      .select(col("doc_id"), col("p"), element_at(col("hs"), col("p").cast("int")).as("h"))
+    val dup = anch.groupBy(col("h"))
+      .agg(count_distinct(col("doc_id")).as("df"), min(col("doc_id")).as("keeper"))
+      .filter(col("df") >= 2)
+    val marked = anch.join(dup, "h")
+      .filter(col("doc_id") =!= col("keeper"))
+      .select(col("doc_id"), col("p"))
+    // anchors are sparse, so islands merge INTERVALS [p, p+w-1]:
+    // a new span starts when this anchor clears the running max end
+    // by more than adjacency (q61's device generalized to intervals)
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("p"))
+    val cumEnd = max(col("p") + lit(w.toLong - 1))
+      .over(byDoc.rowsBetween(Window.unboundedPreceding, -1))
+    marked
+      .withColumn("new_span",
+        when(cumEnd.isNull || col("p") > cumEnd + 1, 1L).otherwise(0L))
+      .withColumn("grp",
+        sum(col("new_span")).over(byDoc.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(
+        min(col("p")).as("span_start"),
+        (max(col("p")) + lit(w.toLong - 1)).as("span_end"),
+        count(lit(1)).as("n_anchors"))
+      .select(col("doc_id"), col("span_start"), col("span_end"), col("n_anchors"))
+      .orderBy(col("doc_id"), col("span_start"))
+  }
+
   /** Per-doc span LISTS of [[spans]] — one row per doc that has any
     * duplicated run: (doc_id, _sp: array<struct<span_start, span_end>>).
     * The frame is runs-bounded — tiny next to the corpus — so it

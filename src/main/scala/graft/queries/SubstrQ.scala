@@ -110,7 +110,82 @@ object SubstrQ {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** q78's winnow window (hash positions per selection window) — ONE
+    * definition interpolated into both sides. Detection threshold is
+    * [[SubstrWindow]] + WinnowWindow − 1 = 23 tokens: any verbatim
+    * run at least that long is caught with certainty from ~2/(W+1)
+    * of the anchor volume; runs in [16, 23) may be missed — the
+    * documented trade against the exact q74 pass.
+    */
+  val WinnowWindow: Int = 8
+
+  /** q78: winnow-sampled duplicated-run spans — the scale path of
+    * q74 ([[graft.operators.SubstrDedup.winnowedSpans]]): round-1
+    * shuffle volume drops to ~2/(W+1) of the exact pass (the
+    * Schleimer et al. 2003 fingerprint guarantee keeps every run
+    * ≥ 23 tokens detected), at the price of missing sub-threshold
+    * runs and localizing conservatively (anchor-window unions, not
+    * maximal islands).
+    */
+  def q78(s: SparkSession, dir: String): DataFrame =
+    graft.operators.SubstrDedup.winnowedSpans(
+      Tables(s, dir).documents, SubstrWindow, WinnowWindow)
+
+  /** DuckDB mirror of q78: same per-position w-gram hashes as the
+    * q74 oracle, the same unsigned `>> 1` comparison key (the q48
+    * convention), the same rightmost-min-per-window selection played
+    * as list lambdas, and the same interval-union span merge.
+    */
+  val q78Sql: String = {
+    val w = SubstrWindow
+    val ww = WinnowWindow
+    val win = s"list_slice(hw, s, s + least($ww, len(hw)) - 1)"
+    s"""WITH toks AS (
+       |  SELECT doc_id, regexp_split_to_array(
+       |    trim(lower(trim(regexp_replace(coalesce(text, ''), '\\s+', ' ', 'g')))), '\\s+') AS a
+       |  FROM documents),
+       |hsrc AS (
+       |  SELECT doc_id,
+       |    list_transform(generate_series(1, len(a) - ${w - 1}),
+       |      p -> md5_number_lower(array_to_string(list_slice(a, p, p + ${w - 1}), ' '))) AS hs
+       |  FROM toks WHERE len(a) >= $w),
+       |hw2 AS (
+       |  SELECT doc_id, hs, list_transform(hs, h -> h >> 1) AS hw FROM hsrc),
+       |sel AS (
+       |  SELECT doc_id, hs,
+       |    unnest(list_distinct(list_transform(
+       |      generate_series(1, greatest(len(hw) - ${ww - 1}, 1)),
+       |      s -> CAST(s - 1 + least($ww, len(hw)) + 1
+       |           - list_position(list_reverse($win), list_min($win)) AS BIGINT)))) AS p
+       |  FROM hw2),
+       |anch AS (SELECT doc_id, p, hs[p] AS h FROM sel),
+       |dup AS (
+       |  SELECT h, min(doc_id) AS keeper
+       |  FROM anch GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+       |mk AS (
+       |  SELECT anch.doc_id, anch.p
+       |  FROM anch JOIN dup USING (h) WHERE anch.doc_id <> dup.keeper),
+       |fl AS (
+       |  SELECT doc_id, p,
+       |    CASE WHEN max(p + ${w - 1}) OVER (PARTITION BY doc_id ORDER BY p
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+       |         OR p > max(p + ${w - 1}) OVER (PARTITION BY doc_id ORDER BY p
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1
+       |      THEN 1 ELSE 0 END AS new_span
+       |  FROM mk),
+       |g AS (
+       |  SELECT doc_id, p, SUM(new_span) OVER (PARTITION BY doc_id ORDER BY p
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+       |  FROM fl)
+       |SELECT doc_id, CAST(min(p) AS BIGINT) AS span_start,
+       |  CAST(max(p) + ${w - 1} AS BIGINT) AS span_end,
+       |  CAST(count(*) AS BIGINT) AS n_anchors
+       |FROM g GROUP BY doc_id, grp
+       |ORDER BY doc_id, span_start""".stripMargin
+  }
+
   val entries: Seq[Entry] = Seq(
     Entry("q74_substr_spans", q74, Some(q74Sql)),
-    Entry("q75_substr_strip", q75, Some(q75Sql)))
+    Entry("q75_substr_strip", q75, Some(q75Sql)),
+    Entry("q78_substr_winnow", q78, Some(q78Sql)))
 }

@@ -116,4 +116,70 @@ class SubstrDedupSpec extends SparkSpec {
         }
     }
   }
+
+  test("winnowSelect: every window of W hashes holds >= 1 anchor, incl. tie-heavy arrays") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    // random arrays + degenerate all-equal and sawtooth tie patterns
+    val fixtures: Seq[Seq[Long]] =
+      (1 to 20).map(_ => Seq.fill(1 + rnd.nextInt(60))(rnd.nextLong())) ++
+        Seq(Seq.fill(30)(42L), (1 to 30).map(i => (i % 3).toLong), Seq(5L))
+    val W = 6
+    val sel = fixtures.zipWithIndex
+      .map { case (hs, i) => (i.toLong, hs) }.toDF("id", "hs")
+      .withColumn("hw", expr("transform(hs, h -> shiftrightunsigned(h, 1))"))
+      .select(col("id"), SubstrDedup.winnowSelect("hw", W).as("sel"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    fixtures.zipWithIndex.foreach { case (hs, i) =>
+      val picked = sel(i.toLong)
+      assert(picked.forall(p => p >= 1 && p <= hs.length), s"fixture $i out of range")
+      assert(picked.distinct.length == picked.length)
+      // coverage invariant: every full window has an anchor
+      (1 to math.max(hs.length - W + 1, 1)).foreach { s =>
+        val hi = math.min(s + W - 1, hs.length)
+        assert(picked.exists(p => p >= s && p <= hi),
+          s"fixture $i window [$s,$hi] has no anchor among $picked")
+      }
+      // selection depends only on content: re-running is identical is
+      // implied by determinism of the expression; rightmost-tie rule
+      // means an all-equal array selects the END of each window
+      if (hs.nonEmpty && hs.forall(_ == hs.head)) {
+        val expect = (1 to math.max(hs.length - W + 1, 1))
+          .map(s => math.min(s + W - 1, hs.length).toLong).distinct
+        assert(picked.sorted == expect.sorted, s"tie rule broke: $picked")
+      }
+    }
+  }
+
+  test("winnowed spans: certain detection at the threshold, and always a subset of the exact pass") {
+    val run = (1 to 25).map(i => s"r$i").mkString(" ") // 25 >= 16+8-1 tokens
+    val d = docs(
+      1L -> s"u1 u2 u3 $run u4 u5",
+      2L -> s"v1 $run v2 v3 v4 v5 v6",
+      3L -> (1 to 40).map(i => s"w$i").mkString(" "))
+    val winnowed = SubstrDedup.winnowedSpans(d, w = 16, winnow = 8).collect()
+    // the >=23-token shared run MUST be found, in the non-keeper doc only
+    assert(winnowed.nonEmpty && winnowed.forall(_.getLong(0) == 2L),
+      s"got ${winnowed.toSeq}")
+    val exact = SubstrDedup.spans(d, w = 16).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // subset: every winnowed span sits inside an exact span
+    winnowed.foreach { r =>
+      val (id, s0, e0) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(exact.exists { case (xi, xs, xe) => xi == id && xs <= s0 && e0 <= xe },
+        s"winnowed span ($id,$s0,$e0) outside exact spans ${exact.toSeq}")
+    }
+  }
+
+  test("q78 on the real corpus: spans subset q74's, anchors sampled at ~2/(W+1)") {
+    val qw = queries.SubstrQ.q78(spark, sf).collect()
+    val exact = queries.SubstrQ.q74(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    qw.foreach { r =>
+      val (id, s0, e0, n) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(s0 >= 1 && e0 >= s0 && n >= 1, s"bad span $r")
+      assert(exact.exists { case (xi, xs, xe) => xi == id && xs <= s0 && e0 <= xe },
+        s"q78 span ($id,$s0,$e0) not contained in any q74 span")
+    }
+  }
 }
