@@ -138,12 +138,25 @@ object CorpusPrep {
     *                    packing, mix measurement) all see the
     *                    stripped text.
     */
+  /** @param stripMarkup strip HTML/markup from `text` BEFORE even the
+    *                    PII scrub ([[graft.queries.PrepQ.stripMarkup]],
+    *                    q76's chain, one codegen'd projection) — the
+    *                    raw-web → text extraction every downstream
+    *                    text stage assumes has already happened. Runs
+    *                    first so dedup digests, shingles, langId and
+    *                    the PII patterns all see rendered text (an
+    *                    email split by an inline tag is invisible to
+    *                    the scrub until the tag is gone). The
+    *                    benchmark side of decontamination gets the
+    *                    SAME chain, like the scrub contract.
+    */
   final case class Config(
       langRates: Map[String, Double],
       defaultRate: Double,
       nShards: Int = 8,
       nearDupMinEst: Option[Double] = None,
       scrubPii: Boolean = false,
+      stripMarkup: Boolean = false,
       packBudget: Option[Int] = None,
       bpeVocab: Option[graft.functions.expressions.Bpe.Vocab] = None,
       sourceRates: Option[Map[String, Double]] = None,
@@ -189,6 +202,15 @@ object CorpusPrep {
       docs.withColumn("text", graft.queries.PrepQ.scrub(col("text")))
     else docs
 
+  /** The markup-strip stage (when on): q76's extraction chain, before
+    * everything else — see the Config scaladoc. Applied to the corpus
+    * AND the decontamination benchmark (same-rewrite contract).
+    */
+  private def demarked(docs: DataFrame, cfg: Config): DataFrame =
+    if (cfg.stripMarkup)
+      docs.withColumn("text", graft.queries.PrepQ.stripMarkup(col("text")))
+    else docs
+
   /** The prior-snapshot membership filter, loaded ONCE per plan/run
     * (driver-side sidecar read; None when the stage is off). run()
     * threads the loaded filter through [[Materialized]] so the stats
@@ -210,7 +232,7 @@ object CorpusPrep {
   private def base(docs: DataFrame, cfg: Config,
                    prior: Option[org.apache.spark.util.sketch.BloomFilter])
       : DataFrame = {
-    val s = scrubbed(docs, cfg)
+    val s = scrubbed(demarked(docs, cfg), cfg)
     val gated = prior
       .map(bf => graft.operators.SnapshotBloom.gate(s, bf)).getOrElse(s)
     dedupe(gated)
@@ -250,7 +272,7 @@ object CorpusPrep {
   private def contaminatedOf(baseDf: DataFrame, cfg: Config,
                              benchmark: Option[DataFrame]): Option[DataFrame] =
     benchmark.map { bench =>
-      val bg = graft.queries.PrepQ.benchGramSet(scrubbed(bench, cfg))
+      val bg = graft.queries.PrepQ.benchGramSet(scrubbed(demarked(bench, cfg), cfg))
       graft.queries.PrepQ.gramHashes(baseDf)
         .join(bg, Seq("gh"))
         .select(col("doc_id")).distinct()

@@ -504,10 +504,19 @@ object Streams {
     require(cfg.nShards > 0 && (cfg.nShards & (cfg.nShards - 1)) == 0,
       s"nShards must be a power of two, got ${cfg.nShards}")
     val spark = stream.sparkSession
-    val scrubbed =
+    // stateless per-row chains mirror batch exactly: markup extraction
+    // first (when on), then the PII scrub — same order as CorpusPrep's
+    // base lineage, so a doc flows through both engines identically
+    def rewrite(df: DataFrame): DataFrame = {
+      val m =
+        if (cfg.stripMarkup)
+          df.withColumn("text", graft.queries.PrepQ.stripMarkup(col("text")))
+        else df
       if (cfg.scrubPii)
-        stream.withColumn("text", graft.queries.PrepQ.scrub(col("text")))
-      else stream
+        m.withColumn("text", graft.queries.PrepQ.scrub(col("text")))
+      else m
+    }
+    val scrubbed = rewrite(stream)
     val gated = cfg.priorSnapshot
       .map(p => graft.operators.SnapshotBloom.load(spark, p))
       .fold(scrubbed)(bf => snapshotGate(scrubbed, bf))
@@ -516,10 +525,7 @@ object Streams {
     // (batch contract: contamination spanning a PII token must still
     // match after both sides are rewritten)
     val cleaned = benchmark.fold(deduped) { b =>
-      val bs =
-        if (cfg.scrubPii)
-          b.withColumn("text", graft.queries.PrepQ.scrub(col("text")))
-        else b
+      val bs = rewrite(b)
       decontaminate(deduped, bs)
         .filter(col("contaminated") === 0L)
         .drop("n_overlap", "contaminated")

@@ -27,6 +27,32 @@ class CorpusPrepSpec extends SparkSpec {
     }
   }
 
+  test("markup stage: tag-only variants collapse in dedup, output text is rendered, benchmark side gets the same chain") {
+    import spark.implicits._
+    val keepAll = CorpusPrep.Config(
+      langRates = Map.empty, defaultRate = 1.0, nShards = 2,
+      stripMarkup = true)
+    val body = "the quick brown fox jumps over the lazy dog again and again ok"
+    val docs = Seq(
+      (1L, s"<p>$body</p>", "en", "a", 10L),
+      // same rendered text, different markup — must dedup to doc 1
+      (2L, s"<div class=x>$body</div><script>track()</script>", "en", "a", 10L),
+      (3L, "plain text with &amp; entity and no tags at all", "en", "a", 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = CorpusPrep.plan(docs, keepAll).collect()
+    assert(out.map(_.getAs[Long]("doc_id")).sorted.toSeq == Seq(1L, 3L),
+      s"markup variants did not collapse: ${out.toSeq}")
+    val texts = out.map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    assert(texts(1L) == body, s"doc 1 not rendered: ${texts(1L)}")
+    assert(texts(3L) == "plain text with & entity and no tags at all")
+    // decontamination matches across markup: a benchmark doc wrapped in
+    // DIFFERENT tags still knocks out the corpus doc sharing its 8-gram
+    val bench = Seq(Tuple1(s"<b>$body</b>")).toDF("text")
+    val out2 = CorpusPrep.plan(docs, keepAll, benchmark = Some(bench)).collect()
+    assert(out2.map(_.getAs[Long]("doc_id")).toSeq == Seq(3L),
+      s"markup-wrapped benchmark failed to decontaminate: ${out2.toSeq}")
+  }
+
   test("near-dup stage: LSH near-dups collapse to the lowest id, stats count the drops") {
     import spark.implicits._
     val base = "the quick brown fox jumps over the lazy dog and then " +

@@ -518,11 +518,19 @@ class StreamingSpec extends SparkSpec {
   test("corpusPrep: the continuous pipeline reproduces the batch job's keep set, lang tags, and shard routing") {
     implicit val s = spark
     import s.implicits._
-    val docs = Tables(spark, sf).documents
+    val plain = Tables(spark, sf).documents
       .select(col("doc_id"), col("text"), col("source"))
       .limit(120)
+    // half the feed arrives as raw web pages (markup-wrapped): the
+    // stripMarkup stage must render them back to the plain form every
+    // later stage (and the prior snapshot, built from plain text) sees
+    val docs = plain.withColumn("text",
+      when(pmod(col("doc_id"), lit(2)) === 0,
+        concat(lit("<div class=\"page\"><p>"), col("text"),
+          lit("</p><script>t()</script></div>")))
+        .otherwise(col("text")))
     // a prior snapshot covering a slice, a small benchmark, real text
-    val prior = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+    val prior = plain.filter(pmod(col("doc_id"), lit(5)) === 0)
       .withColumn("text", graft.queries.PrepQ.scrub(col("text")))
     val dir = java.nio.file.Files.createTempDirectory("stream-prep").toString
     graft.operators.SnapshotBloom.save(spark,
@@ -531,7 +539,8 @@ class StreamingSpec extends SparkSpec {
       .select(col("doc_id"), col("text"))
     val cfg = graft.pipeline.CorpusPrep.Config(
       langRates = Map("en" -> 0.7), defaultRate = 0.5, nShards = 4,
-      scrubPii = true, priorSnapshot = Some(s"$dir/p.bloom"),
+      scrubPii = true, stripMarkup = true,
+      priorSnapshot = Some(s"$dir/p.bloom"),
       sourceRates = Some((0 until 20).map(i => s"src$i" ->
         (if (i % 3 == 0) 0.9 else 0.6)).toMap - "src7"))
     // feed in doc_id order so streaming's first-seen dedup and batch's
@@ -555,7 +564,10 @@ class StreamingSpec extends SparkSpec {
         .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
         .toSet
       // batch equivalent, stage by stage with the same kernels
+      // (markup extraction first, then the scrub — the rewrite order
+      // both engines pin)
       val scrubbedB = docs
+        .withColumn("text", graft.queries.PrepQ.stripMarkup(col("text")))
         .withColumn("text", graft.queries.PrepQ.scrub(col("text")))
       val gatedB = graft.operators.SnapshotBloom.gate(scrubbedB,
         graft.operators.SnapshotBloom.load(spark, s"$dir/p.bloom"))
@@ -565,6 +577,7 @@ class StreamingSpec extends SparkSpec {
       val dedupB = gatedB.withColumn("_rn", row_number().over(wDup))
         .filter(col("_rn") === 1).drop("_rn")
       val benchScrubbed = bench
+        .withColumn("text", graft.queries.PrepQ.stripMarkup(col("text")))
         .withColumn("text", graft.queries.PrepQ.scrub(col("text")))
       val cleanB = dedupB.join(
         graft.queries.PrepQ.gramHashes(dedupB)
