@@ -115,7 +115,16 @@ object SubstrDedup {
     * Pure projection: the O(m·winnow) slice-min work happens map-side
     * inside codegen'd higher-order functions — no shuffle, no UDF.
     */
-  def winnowSelect(shiftedCol: String, winnow: Int): Column = {
+  def winnowSelect(shiftedCol: String, winnow: Int): Column =
+    graft.functions.expressions.TextExprs.winnowPositions(col(shiftedCol), winnow)
+
+  /** The composed (higher-order-function) form of [[winnowSelect]] —
+    * the literal Spark-SQL transcription of the DuckDB oracle's list
+    * lambdas, kept as the parity reference the native kernel is
+    * spec-checked against (the NativeExprSpec pattern). O(m·winnow)
+    * per doc versus the deque kernel's O(m); not used in query paths.
+    */
+  private[graft] def winnowSelectComposed(shiftedCol: String, winnow: Int): Column = {
     require(winnow >= 1, s"winnow window must be >= 1, got $winnow")
     val hs = shiftedCol
     // the caller pre-shifts ONCE (`transform(hs, h -> shiftrightunsigned

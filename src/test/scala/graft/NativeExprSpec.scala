@@ -236,4 +236,29 @@ class NativeExprSpec extends SparkSpec {
       .collect()(0).getInt(0)
     assert(shared > 0, "docs sharing a 60-char substring must share fingerprints")
   }
+
+  test("native winnowPositions == composed slice/array_position form, incl. tie-heavy arrays") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val fixtures: Seq[Seq[Long]] =
+      (1 to 30).map(_ => Seq.fill(1 + rnd.nextInt(80))(rnd.nextLong())) ++
+        Seq(Seq.fill(25)(7L),                      // all-equal: pure tie rule
+          (1 to 40).map(i => (i % 4).toLong),      // periodic ties
+          (1 to 12).map(_.toLong),                 // ascending
+          (1 to 12).map(i => (13 - i).toLong),     // descending
+          Seq(3L))                                 // single element
+    for (w <- Seq(1, 2, 5, 8)) {
+      val df = fixtures.zipWithIndex.map { case (hs, i) => (i.toLong, hs) }
+        .toDF("id", "hs")
+        .withColumn("hw", expr("transform(hs, h -> shiftrightunsigned(h, 1))"))
+      val both = df.select(col("id"),
+          graft.operators.SubstrDedup.winnowSelect("hw", w).as("nat"),
+          graft.operators.SubstrDedup.winnowSelectComposed("hw", w).as("cmp"))
+        .collect()
+      both.foreach { r =>
+        assert(r.getSeq[Long](1) == r.getSeq[Long](2),
+          s"w=$w id=${r.getLong(0)}: native ${r.getSeq[Long](1)} != composed ${r.getSeq[Long](2)}")
+      }
+    }
+  }
 }
