@@ -51,6 +51,37 @@ object Mixer {
       .orderBy(col("source"))
   }
 
+  /** Temperature mix: the standard softening knob between proportional
+    * (alpha = 1: every source keeps everything) and balanced (alpha = 0:
+    * [[balancedRates]] — equal token contributions). Each source's
+    * contribution goes as tokens^alpha, realized as
+    * rate_s = (min_tokens / tokens_s)^(1−alpha) with the smallest
+    * source at rate 1 — the mC4/XLM-R low-resource-upsampling family
+    * (Conneau et al. 2020, arXiv:1911.02116 §3; they use alpha ≈ 0.3).
+    *
+    * Engine parity, stated precisely: for alpha = 0.5 the power is a
+    * SQUARE ROOT — IEEE-754 sqrt and division are correctly rounded,
+    * so both engines compute bit-identical rates (the registered q79
+    * pins this value). Any other alpha goes through pow(), whose last
+    * ulp is libm-dependent — fine for production mixing, but such a
+    * rate column is not oracle-exact and a caller wiring it into an
+    * oracle-checked path owns that divergence.
+    */
+  def temperatureRates(docs: DataFrame, tokenCount: Column = whitespaceTokens,
+                       alpha: Double = 0.5): DataFrame = {
+    require(alpha >= 0.0 && alpha <= 1.0, s"alpha must be in [0,1], got $alpha")
+    val w = Window.partitionBy() // sources-sized aggregate: tiny by then
+    val ratio = min(col("tokens")).over(w).cast("double") / col("tokens")
+    val rate =
+      if (alpha == 0.5) sqrt(ratio)
+      else if (alpha == 0.0) ratio
+      else if (alpha == 1.0) lit(1.0)
+      else pow(ratio, 1.0 - alpha)
+    sourceTokens(docs, tokenCount)
+      .withColumn("rate", rate)
+      .orderBy(col("source"))
+  }
+
   /** Weighted mix: `weights` are target token SHARES (need not sum to
     * 1 — they are normalized). The feasible maximum total is pinned by
     * the source whose supply runs out first (min over s of

@@ -436,6 +436,33 @@ object SketchQ {
       |  CAST(min(tokens) OVER () AS DOUBLE) / tokens AS rate
       |FROM t ORDER BY source""".stripMargin
 
+  /** q79: temperature source-mixing rates
+    * ([[graft.operators.Mixer.temperatureRates]] at alpha = 0.5): the
+    * softened interpolation between q63's balanced mix and
+    * proportional sampling — contribution ∝ tokens^0.5, the
+    * mC4/XLM-R low-resource-upsampling family. alpha is PINNED at 0.5
+    * in the registered entry because the power is then a square root:
+    * IEEE sqrt and division are correctly rounded, so the raw double
+    * rates are bit-identical in both engines (any other alpha rides
+    * on pow(), whose last ulp is libm-dependent — see the operator
+    * scaladoc).
+    */
+  def q79(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextOps
+    graft.operators.Mixer.temperatureRates(
+      Tables(s, dir).documents,
+      org.apache.spark.sql.functions.size(TextOps.tokens(col("text"))))
+  }
+
+  val q79Sql: String =
+    """WITH t AS (
+      |  SELECT source,
+      |    CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS tokens
+      |  FROM documents GROUP BY source)
+      |SELECT source, tokens,
+      |  sqrt(CAST(min(tokens) OVER () AS DOUBLE) / tokens) AS rate
+      |FROM t ORDER BY source""".stripMargin
+
   val entries: Seq[Entry] = Seq(
     Entry("q45_hll_distinct", q45, Some(q45Sql)),
     Entry("q46_sample_quantile", q46, Some(q46Sql)),
@@ -446,5 +473,6 @@ object SketchQ {
     Entry("q55_bottomk_sample", (s, d) => q55(s, d), Some(q55Sql)),
     Entry("q58_sequence_pack", (s, d) => q58(s, d), Some(q58Sql)),
     Entry("q63_mix_rates", q63, Some(q63Sql)),
+    Entry("q79_mix_temperature", q79, Some(q79Sql)),
   )
 }

@@ -61,6 +61,30 @@ class MixerSpec extends SparkSpec {
       s"infeasible mix must zero every rate, got ${out("web")}")
   }
 
+  test("temperatureRates: alpha interpolates balanced -> proportional; 0.5 is the exact square root") {
+    import spark.implicits._
+    val docs = Seq(
+      ("w w w w", "A"),                          // A: 4 tokens
+      ("w w w w w w w w w w w w w w w w", "B"),  // B: 16 tokens
+      ("w", "C"))                                // C: 1 token
+      .toDF("text", "source")
+    def rates(alpha: Double): Map[String, Double] =
+      Mixer.temperatureRates(docs, tokenCount, alpha).collect()
+        .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    val balanced = Mixer.balancedRates(docs, tokenCount).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(rates(0.0) == balanced, "alpha=0 must equal the balanced mix")
+    assert(rates(1.0).values.forall(_ == 1.0), "alpha=1 keeps everything")
+    val half = rates(0.5)
+    // exact square roots of the balanced ratios: 1/4 -> 1/2, 1/16 -> 1/4
+    assert(half == Map("A" -> 0.5, "B" -> 0.25, "C" -> 1.0), half.toString)
+    // monotone interpolation for every source
+    half.foreach { case (s, r) =>
+      assert(balanced(s) <= r && r <= 1.0, s"source $s rate $r out of band")
+    }
+    intercept[IllegalArgumentException](Mixer.temperatureRates(docs, tokenCount, 1.5))
+  }
+
   test("targetRates rejects empty or non-positive weights") {
     import spark.implicits._
     val docs = Seq(("w", "A")).toDF("text", "source")
