@@ -58,8 +58,12 @@ object Bench {
     // q59 warms the LineDedup family (q59-q62): round 5 had no
     // representative, so q62's first measured rep paid the family's
     // whole-stage codegen inside measurement (one 21.6s driver rep).
+    // q74 warms the substring-dedup family (q74/q75/q78): the window-
+    // hash kernel + HOF span lambdas are its own codegen units, like
+    // the LineDedup family before it
     Seq("q01_agg_pricing", "q22_sessionize", "q31_dedup_minhash",
-        "q34_embed_cosine_topk", "q45_hll_distinct", "q59_line_dedup")
+        "q34_embed_cosine_topk", "q45_hll_distinct", "q59_line_dedup",
+        "q74_substr_spans")
       .foreach(q => warm(SparkEntry.queries(q)(spark, sfDir).count()))
     val warmupSec = (System.nanoTime() - wu0) / 1e9
     val names = SparkEntry.queries.keys.toSeq.sorted
