@@ -290,58 +290,6 @@ case class Md5Lower64(child: Expression)
   * window still yields ONE hash — of all its tokens joined, which is
   * exactly `concat_ws(' ', slice(arr, 1, w))` since slice truncates.
   */
-/** Per-window rightmost-argmin selection over a LongType array — the
-  * q78 winnowing kernel ([[graft.operators.SubstrDedup.winnowSelect]]).
-  * Input is the already-shifted (unsigned-comparable) hash array;
-  * windows are every `w` consecutive elements (one window over the
-  * whole array when it is shorter). Output positions are 1-based,
-  * strictly ascending, each window's selection emitted once.
-  *
-  * The deque invariant is strictly-increasing values front→back:
-  * pushing pops `>=` ties from the back, so among equal minima the
-  * LATEST index survives — exactly the rightmost-tie rule the
-  * composed slice/array_position form implements (and the DuckDB
-  * oracle replays); selections across successive windows are
-  * non-decreasing, so de-dup is one last-emitted check.
-  */
-case class WinnowPositions(child: Expression, w: Int)
-    extends UnaryExpression with CodegenFallback {
-
-  require(w >= 1, s"winnow window must be >= 1, got $w")
-
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
-
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
-    val n = arr.numElements()
-    if (n == 0) return new GenericArrayData(Array.empty[Long])
-    val ww = math.min(w, n)
-    val h = new Array[Long](n)
-    var i = 0
-    while (i < n) { h(i) = arr.getLong(i); i += 1 }
-    val deque = new Array[Int](n)
-    var head = 0
-    var tail = 0 // exclusive
-    val out = new Array[Long](n - ww + 1)
-    var m = 0
-    var last = -1
-    i = 0
-    while (i < n) {
-      while (tail > head && h(deque(tail - 1)) >= h(i)) tail -= 1
-      deque(tail) = i; tail += 1
-      while (deque(head) < i - ww + 1) head += 1
-      if (i >= ww - 1) {
-        val sel = deque(head)
-        if (sel != last) { out(m) = (sel + 1).toLong; m += 1; last = sel }
-      }
-      i += 1
-    }
-    new GenericArrayData(java.util.Arrays.copyOfRange(out, 0, m))
-  }
-
-  override protected def withNewChildInternal(newChild: Expression): WinnowPositions =
-    copy(child = newChild)
-}
 
 case class WindowMd5Hashes(child: Expression, w: Int, minOne: Boolean = false)
     extends UnaryExpression with CodegenFallback {
@@ -417,6 +365,59 @@ case class WindowMd5Hashes(child: Expression, w: Int, minOne: Boolean = false)
   }
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Per-window rightmost-argmin selection over a LongType array — the
+  * q78 winnowing kernel ([[graft.operators.SubstrDedup.winnowSelect]]).
+  * Input is the already-shifted (unsigned-comparable) hash array;
+  * windows are every `w` consecutive elements (one window over the
+  * whole array when it is shorter). Output positions are 1-based,
+  * strictly ascending, each window's selection emitted once.
+  *
+  * The deque invariant is strictly-increasing values front→back:
+  * pushing pops `>=` ties from the back, so among equal minima the
+  * LATEST index survives — exactly the rightmost-tie rule the
+  * composed slice/array_position form implements (and the DuckDB
+  * oracle replays); selections across successive windows are
+  * non-decreasing, so de-dup is one last-emitted check.
+  */
+case class WinnowPositions(child: Expression, w: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(w >= 1, s"winnow window must be >= 1, got $w")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (n == 0) return new GenericArrayData(Array.empty[Long])
+    val ww = math.min(w, n)
+    val h = new Array[Long](n)
+    var i = 0
+    while (i < n) { h(i) = arr.getLong(i); i += 1 }
+    val deque = new Array[Int](n)
+    var head = 0
+    var tail = 0 // exclusive
+    val out = new Array[Long](n - ww + 1)
+    var m = 0
+    var last = -1
+    i = 0
+    while (i < n) {
+      while (tail > head && h(deque(tail - 1)) >= h(i)) tail -= 1
+      deque(tail) = i; tail += 1
+      while (deque(head) < i - ww + 1) head += 1
+      if (i >= ww - 1) {
+        val sel = deque(head)
+        if (sel != last) { out(m) = (sel + 1).toLong; m += 1; last = sel }
+      }
+      i += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOfRange(out, 0, m))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowPositions =
+    copy(child = newChild)
 }
 
 /** tokens: array<string> → 64-bit SimHash (Charikar '02): per token

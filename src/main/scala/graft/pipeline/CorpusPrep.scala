@@ -505,7 +505,12 @@ object CorpusPrep {
       val seenCol = m.prior
         .map(bf => graft.operators.SnapshotBloom.seen(bf, col("text")))
         .getOrElse(lit(false))
-      val a = scrubbed(docs, cfg)
+      // the stats pass must replay base()'s EXACT rewrite chain
+      // (markup strip, then scrub): digesting the raw markup-bearing
+      // text would overcount afterDedup for tag-only variants, and
+      // probing the Bloom (built from demarked digests) with
+      // un-demarked text would miss re-seen re-crawled pages
+      val a = scrubbed(demarked(docs, cfg), cfg)
         .select(TextOps.textDigest(col("text")).as("h"), seenCol.as("s"))
         .agg(count(lit(1)).as("n"),
           // distinct digests among docs the gate KEEPS — counting the

@@ -283,11 +283,16 @@ object PrepQ {
   // ---- q76: markup strip ----
 
   /** Engine-portable markup patterns (Java regex and RE2 agree on
-    * these forms; `(?s)` is the inline dotall flag in both, and the
-    * lazy `.*?` keeps one script block from swallowing the next).
+    * these forms; `(?is)` — inline case-insensitive + dotall, both
+    * engines — catches legacy uppercase `<SCRIPT>`/`<STYLE>` blocks,
+    * and the lazy `.*?` keeps one block from swallowing the next).
+    * An UNCLOSED block (truncated page) does not match, so its tags
+    * strip but its content survives as text — the conservative
+    * failure mode; q41/q64's quality signals are the net for such
+    * pages.
     */
-  val ScriptRe = "(?s)<script[^>]*>.*?</script>"
-  val StyleRe = "(?s)<style[^>]*>.*?</style>"
+  val ScriptRe = "(?is)<script[^>]*>.*?</script>"
+  val StyleRe = "(?is)<style[^>]*>.*?</style>"
   val TagRe = "<[^>]*>"
   val EntityRe = "&[a-z]+;|&#[0-9]+;"
 

@@ -447,12 +447,11 @@ object SketchQ {
     * on pow(), whose last ulp is libm-dependent — see the operator
     * scaladoc).
     */
-  def q79(s: SparkSession, dir: String): DataFrame = {
-    import graft.functions.TextOps
-    graft.operators.Mixer.temperatureRates(
-      Tables(s, dir).documents,
-      org.apache.spark.sql.functions.size(TextOps.tokens(col("text"))))
-  }
+  def q79(s: SparkSession, dir: String): DataFrame =
+    // defaults ARE the registered contract: Mixer.whitespaceTokens is
+    // the q63-oracle-pinned token unit (one definition, no drift) and
+    // alpha = 0.5 the sqrt-exact pin
+    graft.operators.Mixer.temperatureRates(Tables(s, dir).documents)
 
   val q79Sql: String =
     """WITH t AS (

@@ -51,6 +51,12 @@ class CorpusPrepSpec extends SparkSpec {
     val out2 = CorpusPrep.plan(docs, keepAll, benchmark = Some(bench)).collect()
     assert(out2.map(_.getAs[Long]("doc_id")).toSeq == Seq(3L),
       s"markup-wrapped benchmark failed to decontaminate: ${out2.toSeq}")
+    // run()'s stats pass must replay the SAME demark+scrub chain as the
+    // pipeline: the two tag-only variants are ONE doc post-dedup
+    val dir = java.nio.file.Files.createTempDirectory("graft-markup").toString
+    val stats = CorpusPrep.run(docs, dir, keepAll)
+    assert(stats.input == 3L && stats.afterDedup == 2L && stats.afterSample == 2L,
+      s"stats pass diverged from the demarked pipeline: $stats")
   }
 
   test("near-dup stage: LSH near-dups collapse to the lowest id, stats count the drops") {
