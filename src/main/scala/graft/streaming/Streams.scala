@@ -397,6 +397,48 @@ object Streams {
              keys: Seq[String]): DataFrame =
     stream.join(broadcast(dim), keys, "left")
 
+  /** Stream-STREAM interval join — the attribution shape: every
+    * `effect` row matched to the `cause` rows of the same key whose
+    * timestamp precedes it by at most `windowMs` (click→view
+    * attribution, order→quote as-of-window, alert→probe correlation —
+    * the continuous mirror of the batch range join q20). Inner join:
+    * unattributed effects drop; feed the same effects through a
+    * batch anti-join if the unmatched side matters.
+    *
+    * This is the one streaming join that needs SYMMETRIC state, and
+    * the two conditions Spark requires to bound it are both encoded
+    * here rather than left to the caller: BOTH sides carry the event-
+    * time watermark, and the join predicate carries the explicit
+    * time interval — together they let the state store evict every
+    * buffered row once the watermark passes its last possible match,
+    * so state is O(key-rate × (window + watermark)) regardless of
+    * stream length. Without either, Spark either refuses the plan or
+    * buffers forever; with them this runs indefinitely.
+    *
+    * Column hygiene: both frames keep their own columns; `keys` are
+    * equi-join columns (emitted once), and the two timestamp columns
+    * MUST be differently named (`causeTs`/`effectTs`) since both
+    * survive into the output — rename upstream (`withColumnRenamed`)
+    * when both arrive as `ts`.
+    */
+  def intervalJoin(cause: DataFrame, effect: DataFrame, keys: Seq[String],
+                   causeTs: String, effectTs: String,
+                   windowMs: Long = 30 * 60 * 1000L,
+                   watermark: String = "1 hour"): DataFrame = {
+    require(keys.nonEmpty, "interval join needs at least one equi-key")
+    require(causeTs != effectTs,
+      s"cause/effect timestamp columns must be named apart, both are '$causeTs'")
+    require(windowMs > 0, s"windowMs must be positive, got $windowMs")
+    val c = cause.withWatermark(causeTs, watermark)
+    val e = effect.withWatermark(effectTs, watermark)
+    val cond = keys.map(k => c(k) === e(k)).reduce(_ && _) &&
+      col(effectTs) >= col(causeTs) &&
+      col(effectTs) <= col(causeTs) + expr(s"INTERVAL $windowMs MILLISECONDS")
+    // equi-keys appear on both sides of the joined frame: emit each
+    // once (the cause side), like a USING join
+    keys.foldLeft(c.join(e, cond, "inner"))((df, k) => df.drop(e(k)))
+  }
+
   /** Streaming benchmark decontamination — the continuous mirror of
     * batch q54: flag each incoming document sharing any word 8-gram
     * with the static benchmark set, using the SAME normalization,

@@ -643,6 +643,59 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("intervalJoin: stream-stream attribution equals the batch interval join") {
+    implicit val s = spark
+    import s.implicits._
+    val t0 = 1700000000000L
+    def ts(m: Long) = new java.sql.Timestamp(t0 + m * 60000L)
+    // views (cause) and clicks (effect) per user; window 30 min
+    val views = Seq(
+      (1L, ts(0), 100L), (1L, ts(40), 101L), (2L, ts(5), 102L),
+      (3L, ts(10), 103L))
+    val clicks = Seq(
+      (1L, ts(25), 900L),  // attributes to view 100 (25 min later)
+      (1L, ts(55), 901L),  // attributes to view 101 only (100 is 55 min old)
+      (2L, ts(36), 902L),  // 31 min after view 102: outside the window
+      (4L, ts(7), 903L))   // no view at all: inner join drops it
+    val vIn = MemoryStream[(Long, java.sql.Timestamp, Long)](spark)
+    val cIn = MemoryStream[(Long, java.sql.Timestamp, Long)](spark)
+    val out = Streams.intervalJoin(
+      vIn.toDF().toDF("user_id", "view_ts", "view_id"),
+      cIn.toDF().toDF("user_id", "click_ts", "click_id"),
+      keys = Seq("user_id"), causeTs = "view_ts", effectTs = "click_ts",
+      windowMs = 30 * 60000L, watermark = "10 minutes")
+    assert(out.isStreaming)
+    val q = out.writeStream.format("memory").queryName("attrib")
+      .outputMode("append").start()
+    try {
+      vIn.addData(views: _*); cIn.addData(clicks.take(2): _*)
+      q.processAllAvailable()
+      cIn.addData(clicks.drop(2): _*)
+      q.processAllAvailable()
+      val got = spark.table("attrib")
+        .select(col("view_id"), col("click_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // batch reference: the same interval join as a plain DataFrame op
+      val vB = views.toDF("user_id", "view_ts", "view_id")
+      val cB = clicks.toDF("user_id", "click_ts", "click_id")
+      val want = vB.join(cB, vB("user_id") === cB("user_id") &&
+          col("click_ts") >= col("view_ts") &&
+          col("click_ts") <= col("view_ts") + expr("INTERVAL 30 MINUTES"))
+        .select(col("view_id"), col("click_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == want, s"stream-only ${got -- want}; batch-only ${want -- got}")
+      assert(got == Set((100L, 900L), (101L, 901L)), got.toString)
+      // equi-key emitted once, both event times survive
+      assert(out.columns.count(_ == "user_id") == 1 &&
+        out.columns.contains("view_ts") && out.columns.contains("click_ts"))
+    } finally q.stop()
+    // misuse fails loudly, not with an unbounded-state plan
+    intercept[IllegalArgumentException] {
+      Streams.intervalJoin(vIn.toDF().toDF("u", "ts", "a"),
+        cIn.toDF().toDF("u", "ts", "b"), Seq("u"), "ts", "ts")
+    }
+  }
+
   test("enrich: stream-static broadcast join attaches dim attributes, keeps unmatched") {
     implicit val s = spark
     import s.implicits._
