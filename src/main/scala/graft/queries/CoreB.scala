@@ -583,6 +583,63 @@ object CoreB {
        |FROM d ORDER BY l_returnflag""".stripMargin
   }
 
+  /** q80: ordered-funnel analysis — per user, the earliest time each
+    * stage of view → click → purchase was reached IN ORDER (a click
+    * before the first view does not count; the standard product-
+    * analytics funnel). `stage` is how deep the user got (0–3).
+    *
+    * The stage-k time depends on the stage-(k−1) time, which a single
+    * aggregation cannot express; instead three chained per-user
+    * window minima compute t1/t2/t3 — all three share one partition
+    * spec, so the plan carries ONE exchange on user_id and the final
+    * per-user collapse reuses it (no second shuffle). At 100 TB this
+    * is a single user-keyed pass, the same shape as q22.
+    */
+  def q80(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    val w = Window.partitionBy(col("user_id"))
+    t.events
+      .withColumn("t1",
+        min(when(col("event_type") === "view", col("ts"))).over(w))
+      .withColumn("t2",
+        min(when(col("event_type") === "click" && col("ts") >= col("t1"),
+          col("ts"))).over(w))
+      .withColumn("t3",
+        min(when(col("event_type") === "purchase" && col("ts") >= col("t2"),
+          col("ts"))).over(w))
+      .groupBy(col("user_id"))
+      .agg(first(col("t1")).as("t_view"), first(col("t2")).as("t_click"),
+        first(col("t3")).as("t_purchase"))
+      .select(col("user_id"),
+        (when(col("t_purchase").isNotNull, 3L)
+          .when(col("t_click").isNotNull, 2L)
+          .when(col("t_view").isNotNull, 1L)
+          .otherwise(0L)).as("stage"),
+        col("t_view"), col("t_click"), col("t_purchase"))
+      .orderBy(col("user_id"))
+  }
+
+  val q80Sql: String =
+    """WITH a AS (
+      |  SELECT user_id, ts, event_type,
+      |    MIN(CASE WHEN event_type = 'view' THEN ts END)
+      |      OVER (PARTITION BY user_id) AS t1
+      |  FROM events),
+      |b AS (
+      |  SELECT *, MIN(CASE WHEN event_type = 'click' AND ts >= t1 THEN ts END)
+      |    OVER (PARTITION BY user_id) AS t2
+      |  FROM a),
+      |c AS (
+      |  SELECT *, MIN(CASE WHEN event_type = 'purchase' AND ts >= t2 THEN ts END)
+      |    OVER (PARTITION BY user_id) AS t3
+      |  FROM b)
+      |SELECT user_id,
+      |  CAST(CASE WHEN t3 IS NOT NULL THEN 3 WHEN t2 IS NOT NULL THEN 2
+      |    WHEN t1 IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS stage,
+      |  t1 AS t_view, t2 AS t_click, t3 AS t_purchase
+      |FROM c GROUP BY user_id, t1, t2, t3
+      |ORDER BY user_id""".stripMargin
+
   val entries: Seq[Entry] = Seq(
     Entry("q08_union_dedup", q08, Some(q08Sql)),
     Entry("q09_pivot", q09, Some(q09Sql)),
@@ -605,5 +662,6 @@ object CoreB {
     Entry("q26_intersect_except", q26, Some(q26Sql)),
     Entry("q27_range_frame", q27, Some(q27Sql)),
     Entry("q28_stats_agg", q28, Some(q28Sql)),
+    Entry("q80_funnel", q80, Some(q80Sql)),
   )
 }

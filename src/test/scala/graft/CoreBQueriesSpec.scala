@@ -49,4 +49,48 @@ class CoreBQueriesSpec extends SparkSpec {
     val users = t.events.select(col("user_id")).distinct().count()
     assert(CoreB.q25(spark, sf).count() == users)
   }
+
+  test("q80 funnel: stage times are ordered, in-order-only counting verified against a driver replay") {
+    val rows = CoreB.q80(spark, sf).collect()
+    val t = Tables(spark, sf)
+    assert(rows.length == t.events.select(col("user_id")).distinct().count())
+    rows.foreach { r =>
+      val (stage, t1, t2, t3) = (r.getLong(1), r.getTimestamp(2),
+        r.getTimestamp(3), r.getTimestamp(4))
+      // stage k implies times 1..k present and non-decreasing, k+1.. absent
+      assert((stage >= 1) == (t1 != null) && (stage >= 2) == (t2 != null) &&
+        (stage >= 3) == (t3 != null), s"stage/time mismatch: $r")
+      if (t2 != null) assert(!t2.before(t1))
+      if (t3 != null) assert(!t3.before(t2))
+    }
+    // driver replay of the in-order rule on a handful of users
+    val ev = t.events.select(col("user_id"), col("ts"), col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getString(2)))
+      .groupBy(_._1)
+    rows.take(30).foreach { r =>
+      val uid = r.getLong(0)
+      val es = ev(uid).sortBy(_._2.getTime)
+      val v1 = es.filter(_._3 == "view").map(_._2).sorted.headOption
+      val v2 = v1.flatMap(a => es.filter(e => e._3 == "click" &&
+        !e._2.before(a)).map(_._2).sorted.headOption)
+      val v3 = v2.flatMap(a => es.filter(e => e._3 == "purchase" &&
+        !e._2.before(a)).map(_._2).sorted.headOption)
+      assert(r.getTimestamp(2) == v1.orNull && r.getTimestamp(3) == v2.orNull &&
+        r.getTimestamp(4) == v3.orNull, s"user $uid diverges from replay")
+    }
+    // one user-keyed pass: a single hash exchange feeds all three
+    // chained windows and the per-user collapse
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+    val plan = CoreB.q80(spark, sf).queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val hashEx = plan.collect {
+      case e: ShuffleExchangeExec
+        if e.outputPartitioning.isInstanceOf[HashPartitioning] => e
+    }
+    assert(hashEx.length == 1, s"expected ONE user-keyed exchange, got ${hashEx.length}")
+  }
 }
