@@ -421,22 +421,41 @@ object Streams {
     * survive into the output — rename upstream (`withColumnRenamed`)
     * when both arrive as `ts`.
     */
+  /** @param joinType "inner" (default — unattributed effects drop),
+    *                  "left_outer" (every cause survives; causes with
+    *                  no effect emit null effect columns once the
+    *                  watermark rules out a future match), or
+    *                  "right_outer" (every effect survives — the
+    *                  "all clicks, attributed or not" report). Outer
+    *                  rows are emitted LATE by construction: only
+    *                  when the global watermark passes the row's last
+    *                  possible match can Spark prove the null.
+    */
   def intervalJoin(cause: DataFrame, effect: DataFrame, keys: Seq[String],
                    causeTs: String, effectTs: String,
                    windowMs: Long = 30 * 60 * 1000L,
-                   watermark: String = "1 hour"): DataFrame = {
+                   watermark: String = "1 hour",
+                   joinType: String = "inner"): DataFrame = {
     require(keys.nonEmpty, "interval join needs at least one equi-key")
     require(causeTs != effectTs,
       s"cause/effect timestamp columns must be named apart, both are '$causeTs'")
     require(windowMs > 0, s"windowMs must be positive, got $windowMs")
+    require(Set("inner", "left_outer", "right_outer")(joinType),
+      s"joinType must be inner/left_outer/right_outer, got '$joinType'")
     val c = cause.withWatermark(causeTs, watermark)
     val e = effect.withWatermark(effectTs, watermark)
     val cond = keys.map(k => c(k) === e(k)).reduce(_ && _) &&
       col(effectTs) >= col(causeTs) &&
       col(effectTs) <= col(causeTs) + expr(s"INTERVAL $windowMs MILLISECONDS")
     // equi-keys appear on both sides of the joined frame: emit each
-    // once (the cause side), like a USING join
-    keys.foldLeft(c.join(e, cond, "inner"))((df, k) => df.drop(e(k)))
+    // once, coalesced — on an outer join the preserved side's key is
+    // the only non-null one, so dropping one side outright would
+    // null the key of every unmatched row
+    keys.foldLeft(c.join(e, cond, joinType)) { (df, k) =>
+      df.withColumn(s"__$k", coalesce(c(k), e(k)))
+        .drop(c(k)).drop(e(k))
+        .withColumnRenamed(s"__$k", k)
+    }
   }
 
   /** Streaming benchmark decontamination — the continuous mirror of

@@ -694,6 +694,46 @@ class StreamingSpec extends SparkSpec {
       Streams.intervalJoin(vIn.toDF().toDF("u", "ts", "a"),
         cIn.toDF().toDF("u", "ts", "b"), Seq("u"), "ts", "ts")
     }
+    intercept[IllegalArgumentException] {
+      Streams.intervalJoin(vIn.toDF().toDF("u", "ts", "a"),
+        cIn.toDF().toDF("u", "ts2", "b"), Seq("u"), "ts", "ts2",
+        joinType = "full_outer")
+    }
+  }
+
+  test("intervalJoin right_outer: unattributed effects emit with null cause once the watermark proves it") {
+    implicit val s = spark
+    import s.implicits._
+    val t0 = 1700000000000L
+    def ts(m: Long) = new java.sql.Timestamp(t0 + m * 60000L)
+    val vIn = MemoryStream[(Long, java.sql.Timestamp, Long)](spark)
+    val cIn = MemoryStream[(Long, java.sql.Timestamp, Long)](spark)
+    val out = Streams.intervalJoin(
+      vIn.toDF().toDF("user_id", "view_ts", "view_id"),
+      cIn.toDF().toDF("user_id", "click_ts", "click_id"),
+      keys = Seq("user_id"), causeTs = "view_ts", effectTs = "click_ts",
+      windowMs = 30 * 60000L, watermark = "10 minutes",
+      joinType = "right_outer")
+    val q = out.writeStream.format("memory").queryName("attribouter")
+      .outputMode("append").start()
+    try {
+      vIn.addData((1L, ts(0), 100L))
+      cIn.addData((1L, ts(5), 900L), (2L, ts(6), 901L)) // 901: no view ever
+      q.processAllAvailable()
+      // sentinels far in the future advance BOTH watermarks past every
+      // possible match window for the earlier rows
+      vIn.addData((9L, ts(600), 999L)); cIn.addData((9L, ts(700), 998L))
+      q.processAllAvailable()
+      val got = spark.table("attribouter")
+        .select(col("user_id"), col("view_id"), col("click_id"))
+        .collect()
+        .map(r => (r.getLong(0), Option(r.get(1)), r.getLong(2))).toSet
+      assert(got.contains((1L, Some(100L), 900L)), s"matched pair missing: $got")
+      assert(got.contains((2L, None, 901L)),
+        s"unattributed click not emitted with null cause: $got")
+      // the preserved-side key survives the coalesce (never null)
+      assert(spark.table("attribouter").filter(col("user_id").isNull).count() == 0)
+    } finally q.stop()
   }
 
   test("enrich: stream-static broadcast join attaches dim attributes, keeps unmatched") {
