@@ -640,6 +640,72 @@ object CoreB {
       |FROM c GROUP BY user_id, t1, t2, t3
       |ORDER BY user_id""".stripMargin
 
+  /** q81: cohort retention — users bucketed by signup week, and for
+    * each (cohort, weeks-since-signup) cell the count and fraction of
+    * the cohort active that week. The second classic product-
+    * analytics shape next to q80's funnel.
+    *
+    * Weeks are CALENDAR-FREE on purpose: cohort_week is the signup
+    * timestamp's integer 7-day bucket since the epoch and week_offset
+    * the integer 7-day bucket of (event − signup) — pure BIGINT
+    * epoch-microsecond division, exact and identical in both engines,
+    * where date_trunc('week') would drag in calendar/ISO conventions
+    * for no analytic gain. Events before the user's signup (data
+    * noise) are excluded; rate is an exact BIGINT÷BIGINT double.
+    *
+    * Scale shape: one user-keyed aggregation for signup times, one
+    * co-keyed join back to the event stream (both sides hash on
+    * user_id), a distinct on (cohort, offset, user) and the cell
+    * aggregate — shuffles carry ids and 64-bit buckets only; the
+    * cohort-size side is cohort-count rows, broadcast by AQE.
+    */
+  def q81(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    val WeekUs = 604800000000L // 7 * 86400 * 1e6
+    val su = t.events.filter(col("event_type") === "signup")
+      .groupBy(col("user_id"))
+      .agg(min(unix_micros(col("ts"))).as("signup_us"))
+      .withColumn("cohort_week", expr(s"signup_us DIV ${WeekUs}L"))
+    val cohortSize = su.groupBy(col("cohort_week"))
+      .agg(count(lit(1)).as("n_cohort"))
+    val active = t.events
+      .select(col("user_id"), unix_micros(col("ts")).as("ev_us"))
+      .join(su, "user_id")
+      .filter(col("ev_us") >= col("signup_us"))
+      .select(col("cohort_week"),
+        expr(s"(ev_us - signup_us) DIV ${WeekUs}L").as("week_offset"),
+        col("user_id"))
+      .distinct()
+      .groupBy(col("cohort_week"), col("week_offset"))
+      .agg(count(lit(1)).as("n_active"))
+    active.join(cohortSize, "cohort_week")
+      .select(col("cohort_week"), col("week_offset"), col("n_active"),
+        col("n_cohort"),
+        (col("n_active").cast("double") / col("n_cohort")).as("retention"))
+      .orderBy(col("cohort_week"), col("week_offset"))
+  }
+
+  val q81Sql: String =
+    """WITH su AS (
+      |  SELECT user_id, min(epoch_us(ts)) AS signup_us
+      |  FROM events WHERE event_type = 'signup' GROUP BY user_id),
+      |co AS (SELECT user_id, signup_us, signup_us // 604800000000 AS cohort_week FROM su),
+      |cs AS (SELECT cohort_week, COUNT(*) AS n_cohort FROM co GROUP BY cohort_week),
+      |act AS (
+      |  SELECT DISTINCT co.cohort_week,
+      |    (epoch_us(e.ts) - co.signup_us) // 604800000000 AS week_offset,
+      |    e.user_id
+      |  FROM events e JOIN co ON e.user_id = co.user_id
+      |  WHERE epoch_us(e.ts) >= co.signup_us),
+      |cell AS (
+      |  SELECT cohort_week, week_offset, CAST(COUNT(*) AS BIGINT) AS n_active
+      |  FROM act GROUP BY cohort_week, week_offset)
+      |SELECT cell.cohort_week, cell.week_offset, cell.n_active,
+      |  CAST(cs.n_cohort AS BIGINT) AS n_cohort,
+      |  CAST(cell.n_active AS DOUBLE) / cs.n_cohort AS retention
+      |FROM cell JOIN cs USING (cohort_week)
+      |ORDER BY cohort_week, week_offset""".stripMargin
+
   val entries: Seq[Entry] = Seq(
     Entry("q08_union_dedup", q08, Some(q08Sql)),
     Entry("q09_pivot", q09, Some(q09Sql)),
@@ -663,5 +729,6 @@ object CoreB {
     Entry("q27_range_frame", q27, Some(q27Sql)),
     Entry("q28_stats_agg", q28, Some(q28Sql)),
     Entry("q80_funnel", q80, Some(q80Sql)),
+    Entry("q81_retention", q81, Some(q81Sql)),
   )
 }

@@ -93,4 +93,27 @@ class CoreBQueriesSpec extends SparkSpec {
     }
     assert(hashEx.length == 1, s"expected ONE user-keyed exchange, got ${hashEx.length}")
   }
+
+  test("q81 retention: week-0 cells cover every cohort member; rates bounded and consistent") {
+    val rows = CoreB.q81(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, off, nAct, nCoh, rate) =>
+      assert(off >= 0 && nAct >= 1 && nAct <= nCoh,
+        s"impossible cell ($off, $nAct, $nCoh)")
+      assert(math.abs(rate - nAct.toDouble / nCoh) == 0.0)
+    }
+    // every signup is active in its own week 0 (the signup event
+    // itself counts), so the week-0 cell equals the cohort size
+    rows.filter(_._2 == 0L).foreach { case (cw, _, nAct, nCoh, _) =>
+      assert(nAct == nCoh, s"cohort $cw week-0 active $nAct != size $nCoh")
+    }
+    // cohort sizes sum to the signup-user population
+    val t = Tables(spark, sf)
+    val signups = t.events.filter(col("event_type") === "signup")
+      .select(col("user_id")).distinct().count()
+    assert(rows.filter(_._2 == 0L).map(_._4).sum == signups)
+  }
+
 }
