@@ -706,6 +706,50 @@ object CoreB {
       |FROM cell JOIN cs USING (cohort_week)
       |ORDER BY cohort_week, week_offset""".stripMargin
 
+  /** q82: rolling active users — per event day, the distinct users
+    * active that day (DAU) and over the trailing 7 days (WAU). The
+    * third product-analytics staple (q80 funnel, q81 retention,
+    * q82 engagement).
+    *
+    * Distinct-over-a-sliding-window is the classically hard shape at
+    * scale: a naive 7-day self-join re-scans events, and a windowed
+    * count_distinct holds per-window user sets. The scale-correct
+    * decomposition: collapse the corpus ONCE to distinct (day, user)
+    * pairs — users × days, ≪ events — then each pair CONTRIBUTES to
+    * the 7 window-days it can satisfy (explode of a 7-element
+    * sequence on the collapsed frame, not the event stream), distinct
+    * again, and count per day. Days are the q81 integer epoch buckets
+    * (calendar-free, engine-exact); only days with events emit.
+    */
+  def q82(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    val DayUs = 86400000000L
+    val du = t.events
+      .select(expr(s"unix_micros(ts) DIV ${DayUs}L").as("day"), col("user_id"))
+      .distinct()
+    val dau = du.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+    val wau = du
+      .select(explode(expr("sequence(day, day + 6)")).as("day"), col("user_id"))
+      .distinct()
+      .groupBy(col("day")).agg(count(lit(1)).as("wau"))
+    dau.join(wau, "day") // inner: only observed event days emit
+      .select(col("day"), col("dau"), col("wau"))
+      .orderBy(col("day"))
+  }
+
+  val q82Sql: String =
+    """WITH du AS (
+      |  SELECT DISTINCT epoch_us(ts) // 86400000000 AS day, user_id
+      |  FROM events),
+      |dau AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS dau FROM du GROUP BY day),
+      |contrib AS (
+      |  SELECT DISTINCT day + d AS day, user_id
+      |  FROM du, generate_series(0, 6) AS g(d)),
+      |wau AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS wau FROM contrib GROUP BY day)
+      |SELECT dau.day, dau.dau, wau.wau
+      |FROM dau JOIN wau USING (day)
+      |ORDER BY day""".stripMargin
+
   val entries: Seq[Entry] = Seq(
     Entry("q08_union_dedup", q08, Some(q08Sql)),
     Entry("q09_pivot", q09, Some(q09Sql)),
@@ -730,5 +774,6 @@ object CoreB {
     Entry("q28_stats_agg", q28, Some(q28Sql)),
     Entry("q80_funnel", q80, Some(q80Sql)),
     Entry("q81_retention", q81, Some(q81Sql)),
+    Entry("q82_active_users", q82, Some(q82Sql)),
   )
 }

@@ -116,4 +116,26 @@ class CoreBQueriesSpec extends SparkSpec {
     assert(rows.filter(_._2 == 0L).map(_._4).sum == signups)
   }
 
+  test("q82 active users: WAU >= DAU, bounded by population, and matches a driver replay") {
+    val rows = CoreB.q82(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    val t = Tables(spark, sf)
+    val population = t.events.select(col("user_id")).distinct().count()
+    rows.foreach { case (day, dau, wau) =>
+      assert(dau >= 1 && dau <= wau && wau <= population,
+        s"day $day: dau $dau wau $wau population $population")
+    }
+    // driver replay over the (small) distinct day-user set
+    val du = t.events
+      .select(expr("unix_micros(ts) DIV 86400000000L").as("day"), col("user_id"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val byDay = du.groupBy(_._1)
+    rows.foreach { case (day, dau, wau) =>
+      assert(dau == byDay(day).map(_._2).distinct.length)
+      val want = du.filter(p => p._1 >= day - 6 && p._1 <= day)
+        .map(_._2).distinct.length
+      assert(wau == want, s"day $day wau $wau != replay $want")
+    }
+  }
 }
