@@ -750,6 +750,97 @@ object CoreB {
       |FROM dau JOIN wau USING (day)
       |ORDER BY day""".stripMargin
 
+  /** q83: relational quality audit — the constraint-validation heart
+    * of an ETL tool as one query: referential integrity (orphaned
+    * lineitems, orders with unknown customers) and domain rules
+    * (non-positive quantity, discount outside [0,1]), each reported
+    * as (rule, n_checked, n_violations, violation_rate).
+    *
+    * The clean synthetic corpus would make every count 0 and the
+    * oracle vacuous, so (the q52 injection device) the audited frame
+    * is lineitem UNION a deterministic corrupt slice — every 97th row
+    * re-emitted with its order key pushed past the key space, its
+    * quantity negated and its discount bumped past 1 — so both
+    * engines must DETECT the same known violations, not just agree
+    * on zero.
+    *
+    * Scale shape: each referential rule is one left-anti-style
+    * existence join on the key (dim side broadcast under AQE), domain
+    * rules are map-side conditional sums fused into one aggregate
+    * over the audited scan; the output is rules-sized.
+    */
+  def q83(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    val corrupt = t.lineitem
+      .filter(pmod(col("l_orderkey") * 31 + col("l_linenumber"), lit(97)) === 0)
+      .withColumn("l_orderkey", col("l_orderkey") + 1000000000L)
+      .withColumn("l_quantity", -col("l_quantity"))
+      .withColumn("l_discount", col("l_discount") + lit(1.5))
+    val audited = t.lineitem.unionByName(corrupt)
+    val orders = t.orders.select(col("o_orderkey"), col("o_custkey"))
+    val custKeys = t.customer.select(col("c_custkey"))
+    // referential: lineitem -> orders (on the audited frame)
+    val liOrph = audited.select(col("l_orderkey"))
+      .join(orders.select(col("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey"), "left")
+      .agg(count(lit(1)).as("n_checked"),
+        sum(when(col("o_orderkey").isNull, 1L).otherwise(0L)).as("n_violations"))
+      .select(lit("lineitem_orphan_order").as("rule"),
+        col("n_checked"), col("n_violations"))
+    // referential: orders -> customer (the clean dim: expected 0)
+    val ordOrph = orders
+      .join(custKeys, col("o_custkey") === col("c_custkey"), "left")
+      .agg(count(lit(1)).as("n_checked"),
+        sum(when(col("c_custkey").isNull, 1L).otherwise(0L)).as("n_violations"))
+      .select(lit("order_orphan_customer").as("rule"),
+        col("n_checked"), col("n_violations"))
+    // domain rules: one fused aggregate over the audited scan
+    val dom = audited.agg(
+      count(lit(1)).as("n"),
+      sum(when(col("l_quantity") <= 0.0, 1L).otherwise(0L)).as("bad_qty"),
+      sum(when(col("l_discount") < 0.0 || col("l_discount") > 1.0, 1L)
+        .otherwise(0L)).as("bad_disc"))
+    val domRules = dom.select(lit("nonpositive_quantity").as("rule"),
+        col("n").as("n_checked"), col("bad_qty").as("n_violations"))
+      .unionByName(dom.select(lit("discount_out_of_range").as("rule"),
+        col("n").as("n_checked"), col("bad_disc").as("n_violations")))
+    liOrph.unionByName(ordOrph).unionByName(domRules)
+      .select(col("rule"), col("n_checked"), col("n_violations"),
+        (col("n_violations").cast("double") / col("n_checked")).as("violation_rate"))
+      .orderBy(col("rule"))
+  }
+
+  val q83Sql: String =
+    """WITH corrupt AS (
+      |  SELECT l_orderkey + 1000000000 AS l_orderkey, l_linenumber,
+      |    -l_quantity AS l_quantity, l_discount + 1.5 AS l_discount
+      |  FROM lineitem WHERE (l_orderkey * 31 + l_linenumber) % 97 = 0),
+      |audited AS (
+      |  SELECT l_orderkey, l_quantity, l_discount FROM lineitem
+      |  UNION ALL SELECT l_orderkey, l_quantity, l_discount FROM corrupt),
+      |r1 AS (
+      |  SELECT 'lineitem_orphan_order' AS rule,
+      |    CAST(COUNT(*) AS BIGINT) AS n_checked,
+      |    CAST(SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+      |  FROM audited a LEFT JOIN orders o ON a.l_orderkey = o.o_orderkey),
+      |r2 AS (
+      |  SELECT 'order_orphan_customer' AS rule,
+      |    CAST(COUNT(*) AS BIGINT) AS n_checked,
+      |    CAST(SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+      |  FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey),
+      |d AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(CASE WHEN l_quantity <= 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS bad_qty,
+      |    CAST(SUM(CASE WHEN l_discount < 0.0 OR l_discount > 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS bad_disc
+      |  FROM audited),
+      |r3 AS (SELECT 'nonpositive_quantity' AS rule, n AS n_checked, bad_qty AS n_violations FROM d),
+      |r4 AS (SELECT 'discount_out_of_range' AS rule, n AS n_checked, bad_disc AS n_violations FROM d),
+      |allr AS (SELECT * FROM r1 UNION ALL SELECT * FROM r2
+      |  UNION ALL SELECT * FROM r3 UNION ALL SELECT * FROM r4)
+      |SELECT rule, n_checked, n_violations,
+      |  CAST(n_violations AS DOUBLE) / n_checked AS violation_rate
+      |FROM allr ORDER BY rule""".stripMargin
+
   val entries: Seq[Entry] = Seq(
     Entry("q08_union_dedup", q08, Some(q08Sql)),
     Entry("q09_pivot", q09, Some(q09Sql)),
@@ -775,5 +866,6 @@ object CoreB {
     Entry("q80_funnel", q80, Some(q80Sql)),
     Entry("q81_retention", q81, Some(q81Sql)),
     Entry("q82_active_users", q82, Some(q82Sql)),
+    Entry("q83_quality_audit", q83, Some(q83Sql)),
   )
 }

@@ -138,4 +138,28 @@ class CoreBQueriesSpec extends SparkSpec {
       assert(wau == want, s"day $day wau $wau != replay $want")
     }
   }
+
+  test("q83 quality audit: injected violations detected exactly, clean rules report zero") {
+    val rows = CoreB.q83(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(rows.keySet == Set("lineitem_orphan_order", "order_orphan_customer",
+      "nonpositive_quantity", "discount_out_of_range"))
+    val t = Tables(spark, sf)
+    val nLi = t.lineitem.count()
+    val nCorrupt = t.lineitem
+      .filter(pmod(col("l_orderkey") * 31 + col("l_linenumber"), lit(97)) === 0)
+      .count()
+    assert(nCorrupt > 0, "fixture must inject at least one corrupt row")
+    // every injected row violates all three lineitem rules, exactly
+    Seq("lineitem_orphan_order", "nonpositive_quantity",
+        "discount_out_of_range").foreach { rule =>
+      val (checked, viol, rate) = rows(rule)
+      assert(checked == nLi + nCorrupt, s"$rule checked $checked")
+      assert(viol == nCorrupt, s"$rule violations $viol != injected $nCorrupt")
+      assert(rate == viol.toDouble / checked)
+    }
+    // the untouched dimension chain stays clean
+    assert(rows("order_orphan_customer")._2 == 0L)
+  }
 }
