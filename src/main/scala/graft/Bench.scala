@@ -61,9 +61,10 @@ object Bench {
     // q74 warms the substring-dedup family (q74/q75/q78): the window-
     // hash kernel + HOF span lambdas are its own codegen units, like
     // the LineDedup family before it
+    // q86 warms the n-gram-model join family, q84 the url regex chain
     Seq("q01_agg_pricing", "q22_sessionize", "q31_dedup_minhash",
         "q34_embed_cosine_topk", "q45_hll_distinct", "q59_line_dedup",
-        "q74_substr_spans")
+        "q74_substr_spans", "q86_trigram_backoff", "q84_url_normalize")
       .foreach(q => warm(SparkEntry.queries(q)(spark, sfDir).count()))
     val warmupSec = (System.nanoTime() - wu0) / 1e9
     val names = SparkEntry.queries.keys.toSeq.sorted

@@ -45,6 +45,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "graft_md5_lower64(s) - portable 64-bit hash (DuckDB md5_number_lower as signed long)"),
       (args: Seq[Expression]) => Md5Lower64(args(0))))
 
+    ext.injectFunction((FunctionIdentifier("graft_nfc"),
+      info("graft_nfc",
+        "graft_nfc(s) - Unicode NFC canonical composition (DuckDB nfc_normalize)"),
+      (args: Seq[Expression]) => NfcNormalize(args(0))))
+
     ext.injectFunction((FunctionIdentifier("graft_winnow_fp"),
       info("graft_winnow_fp",
         "graft_winnow_fp(text, k, w) - winnowed rolling-hash fingerprints"),

@@ -10,13 +10,16 @@ object SparkEntry {
   def all: Seq[Entry] =
     Core.entries ++ CoreB.entries ++ TextQ.entries ++ VecQ.entries ++
       SketchQ.entries ++ PrepQ.entries ++ LmQ.entries ++ SubstrQ.entries ++
+      WebQ.entries ++
       Seq(
         Entry("q50_multimodal_meta", graft.multimodal.Multimodal.q50,
           Some(graft.multimodal.Multimodal.q50Sql)),
         Entry("q67_ppm_decode", graft.multimodal.Multimodal.q67,
           Some(graft.multimodal.Multimodal.q67Sql)),
         Entry("q69_wav_decode", graft.multimodal.Multimodal.q69,
-          Some(graft.multimodal.Multimodal.q69Sql)))
+          Some(graft.multimodal.Multimodal.q69Sql)),
+        Entry("q91_bmp_decode", graft.multimodal.Multimodal.q91,
+          Some(graft.multimodal.Multimodal.q91Sql)))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -77,6 +77,21 @@ object TextExprs {
   def winnowPositions(hashes: Column, w: Int): Column =
     c(WinnowPositions(x(hashes), w))
 
+  /** Unicode NFC canonical composition of a string (see
+    * [[NfcNormalize]]) — run BEFORE digests/shingles on multilingual
+    * corpora so canonically-equal text hashes equal.
+    */
+  def nfcNormalize(s: Column): Column = c(NfcNormalize(x(s)))
+
+  /** q43's md5-prefix winnow fingerprints as ONE kernel: normalized
+    * text → sorted distinct array of 16-hex-char window minima (char
+    * `gram`-grams, window `win`). Value-identical to the composed
+    * substr/md5/array_min/array_sort chain — see [[WinnowMd5Grams]]
+    * for why the composed form is a latency landmine.
+    */
+  def winnowMd5Grams(norm: Column, gram: Int, win: Int): Column =
+    c(WinnowMd5Grams(x(norm), gram, win))
+
   /** Distinct word n-gram shingles: tokens → array<string>. */
   def wordShingles(tokens: Column, n: Int): Column = c(WordShingles(x(tokens), n))
 
@@ -142,6 +157,31 @@ private object Hashing {
     var i = 0
     while (i < 7) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
     (v << 4) | ((d(7) & 0xf0L) >>> 4)
+  }
+
+  /** First 16 hex chars of the digest as a long (the full first 8
+    * bytes, big-endian): UNSIGNED numeric order of this value equals
+    * byte-wise (UTF8String) order of the 16-char lowercase hex string
+    * — the q43 fingerprint identity.
+    */
+  @inline def hexPrefix16(d: Array[Byte]): Long = {
+    var v = 0L
+    var i = 0
+    while (i < 8) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    v
+  }
+
+  /** The 16-char lowercase hex rendering of [[hexPrefix16]]'s value —
+    * byte-identical to `substring(md5hex, 1, 16)`.
+    */
+  def hex16(x: Long): UTF8String = {
+    val cs = new Array[Byte](16)
+    var j = 0
+    while (j < 16) {
+      cs(j) = HexDigits(((x >>> ((15 - j) * 4)) & 0xfL).toInt).toByte
+      j += 1
+    }
+    UTF8String.fromBytes(cs)
   }
 
   /** Hex chars 16..30 of the digest as a long (60 bits) — equals
@@ -249,6 +289,114 @@ case class MinHashShingleSig(child: Expression, n: Int, k: Int)
   * sampling/sharding/HLL decisions where "null row id" must still
   * land somewhere deterministic.
   */
+/** Unicode NFC normalization (canonical composition) — the text-
+  * canonicalization step a multilingual corpus runs before hashing:
+  * "é" typed as e + COMBINING ACUTE and "é" typed precomposed are the
+  * SAME text to a reader but different bytes to every digest in this
+  * library. JDK `java.text.Normalizer` NFC; DuckDB's `nfc_normalize`
+  * (utf8proc) implements the same Unicode algorithm, so the q90
+  * oracle compares the normalized strings character-for-character.
+  */
+case class NfcNormalize(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = StringType
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    // fast path: Normalizer.isNormalized is a cheap scan and ASCII is
+    // always NFC — avoids the String round-trip allocation per row on
+    // the (dominant) already-normalized corpus
+    if (java.text.Normalizer.isNormalized(s, java.text.Normalizer.Form.NFC))
+      input
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** The q43 fingerprint chain — char 8-grams digested to their 16-hex-
+  * char md5 prefix, sliding-window minima, distinct, sorted — as one
+  * O(n·win) kernel per row.
+  *
+  * The composed `transform(sequence(...), i -> substring(md5(substr
+  * (...))))` chain it replaces is value-correct but QUADRATIC: higher-
+  * order functions evaluate interpreted (they never join whole-stage
+  * codegen and get no subexpression elimination), so the window step's
+  * `array_min(slice(grams, j, win))` re-evaluates the ENTIRE gram
+  * transform — n md5 digests — once per window position j, ~n² digests
+  * per doc. Observed as a 500-doc/300-char corpus burning ~10 minutes
+  * of one core inside the test suite. A native kernel has no such
+  * failure mode: the cost is O(n·win) digests per row, period — the
+  * same lesson as Md5Lower64's 8×-digest fix, one order worse.
+  *
+  * Internals: a gram's 16-char lowercase hex prefix compares (as a
+  * UTF8String) exactly like its first 8 digest bytes compare as an
+  * UNSIGNED long, so minima/distinct/sort all run on a long array and
+  * the hex strings are materialized once, at the end
+  * ([[Hashing.hexPrefix16]]/[[Hashing.hex16]]). NULL input behaves as
+  * the empty document (empty array), matching the composed form's
+  * `when(length(norm) >= gram, ...)` null-to-false branch.
+  */
+case class WinnowMd5Grams(child: Expression, gram: Int, win: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(gram >= 1 && win >= 1, s"need gram/win >= 1, got $gram/$win")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = false
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    val s = if (v == null) UTF8String.EMPTY_UTF8 else v.asInstanceOf[UTF8String]
+    val n = s.numChars()
+    if (n < gram) return new GenericArrayData(Array.empty[Any])
+    val m = n - gram + 1
+    val gs = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      // substringSQL is the Substring expression's own kernel (1-based,
+      // character-indexed), so the bytes digested here are exactly the
+      // composed form's substr(norm, i, gram) cast to binary
+      gs(i) = Hashing.hexPrefix16(
+        Hashing.md5bytes(s.substringSQL(i + 1, gram)))
+      i += 1
+    }
+    val nw = if (m < win) 1 else m - win + 1
+    val wins = new Array[Long](nw)
+    var j = 0
+    while (j < nw) {
+      val lim = math.min(win, m)
+      var mn = gs(j)
+      var k = 1
+      while (k < lim) {
+        if (java.lang.Long.compareUnsigned(gs(j + k), mn) < 0) mn = gs(j + k)
+        k += 1
+      }
+      wins(j) = mn
+      j += 1
+    }
+    // distinct + UNSIGNED ascending == array_sort(array_distinct(hex));
+    // flip the sign bit so the JDK's signed sort orders unsigned
+    val uniq = wins.distinct
+    var f = 0
+    while (f < uniq.length) { uniq(f) = uniq(f) ^ Long.MinValue; f += 1 }
+    java.util.Arrays.sort(uniq)
+    val out = new Array[Any](uniq.length)
+    var o = 0
+    while (o < uniq.length) {
+      out(o) = Hashing.hex16(uniq(o) ^ Long.MinValue)
+      o += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 case class Md5Lower64(child: Expression)
     extends UnaryExpression with CodegenFallback {
 

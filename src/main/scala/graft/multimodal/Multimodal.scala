@@ -40,6 +40,9 @@ object Multimodal {
   /** Mime routed to the real [[Wav]] codec. */
   val MimeWav = "audio/x-wav"
 
+  /** Mime routed to the real [[Bmp]] codec. */
+  val MimeBmp = "image/bmp"
+
   /** Stand-in corpus: wrap each document's text bytes as the opaque
     * payload with typed metadata. In production this is the ingest
     * step for real media files (spark.read.format("binaryFile")).
@@ -116,6 +119,17 @@ object Multimodal {
             // REAL codec path: P6 decode + 16-bin luma histogram;
             // malformed image -> fenced row, never an exception
             Netpbm.decode(r.payload) match {
+              case Some(img) =>
+                FeatureRow(r.doc_id, r.meta.mime, r.meta.n_bytes,
+                  ok = true, features = Netpbm.lumaHistogram(img, FeatureDim))
+              case None =>
+                FeatureRow(r.doc_id, r.meta.mime, r.meta.n_bytes,
+                  ok = false, features = Array.empty)
+            }
+          else if (r.meta.mime == MimeBmp)
+            // REAL codec path #3: BMP decode returns the same
+            // Image type, so the identical histogram kernel applies
+            Bmp.decode(r.payload) match {
               case Some(img) =>
                 FeatureRow(r.doc_id, r.meta.mime, r.meta.n_bytes,
                   ok = true, features = Netpbm.lumaHistogram(img, FeatureDim))
@@ -462,6 +476,96 @@ object Multimodal {
       |  CASE WHEN a.n > 0 THEN ${graft.queries.Q.round4Sql(
            "sqrt(CAST(a.ss AS DOUBLE) / a.n)")} ELSE 0.0 END AS rms4
       |FROM hx h LEFT JOIN agg a USING (doc_id) ORDER BY doc_id""".stripMargin
+
+  /** Documents laid out as WIDTH-10 24-bpp BMPs through the REAL
+    * [[Bmp.encode]] writer — width 10 deliberately makes each file row
+    * 30 bytes, NOT 4-aligned, so every row carries 2 padding bytes and
+    * the decoder's stride arithmetic is actually exercised (width 8
+    * would make padding vacuously zero). Text bytes → RGB top-down,
+    * zero-padded to whole rows; the encoder flips to bottom-up BGR on
+    * disk and [[Bmp.decode]] must flip both back for the stats to
+    * match the oracle's replay of the raw bytes.
+    */
+  def bmpTable(spark: SparkSession, dir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), coalesce(col("text"), lit("")).as("t"))
+      .as[(Long, String)]
+      .map { case (id, t) =>
+        val bytes = t.getBytes("UTF-8")
+        val h = math.max((bytes.length + 29) / 30, 1)
+        val px = java.util.Arrays.copyOf(bytes, 10 * h * 3)
+        val payload = Bmp.encode(Netpbm.Image(10, h, 255, px))
+        MediaRow(id, payload,
+          MediaMeta(MimeBmp, payload.length.toLong, payloadChecksum(payload)))
+      }
+  }
+
+  /** q91 entry: the real BMP decode in the oracle-checked path —
+    * [[bmpTable]] → [[Bmp.decode]] (actual header validation +
+    * bottom-up padded-stride raster read) → the q67 luma stats.
+    * Integer state until one final division, the q67/q69 recipe on
+    * the third codec arm.
+    */
+  def q91(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    bmpTable(spark, dir)
+      .map { r =>
+        Bmp.decode(r.payload) match {
+          case Some(img) =>
+            var lsum = 0L; var dark = 0L; var i = 0
+            while (i < img.pixels.length) {
+              val l = Netpbm.luma(img.pixels(i) & 0xff,
+                img.pixels(i + 1) & 0xff, img.pixels(i + 2) & 0xff)
+              lsum += l; if (l < 32) dark += 1; i += 3
+            }
+            (r.doc_id, img.width.toLong, img.height.toLong,
+              (img.width * img.height).toLong, lsum, dark, true)
+          case None => (r.doc_id, 0L, 0L, 0L, 0L, 0L, false)
+        }
+      }
+      .toDF("doc_id", "img_w", "img_h", "n_px", "luma_sum", "n_dark", "ok")
+      .select(col("doc_id"), col("img_w"), col("img_h"), col("n_px"),
+        col("ok"),
+        graft.queries.Q.round4(
+          col("luma_sum").cast("double") / col("n_px")).as("luma_mean4"),
+        graft.queries.Q.round4(
+          col("n_dark").cast("double") / col("n_px")).as("dark_frac4"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB mirror of q91: rebuild the raster (UTF-8 bytes zero-padded
+    * to 30·ceil(nb/30), min one 10-pixel row), BT.601 integer luma,
+    * identical integer state, one division — the q67 mirror at the
+    * BMP geometry. The file's BGR/bottom-up/padding details cancel:
+    * encode∘decode is the identity on the pixel array, which is the
+    * round trip the query proves.
+    */
+  val q91Sql: String =
+    s"""WITH $hexBytesCte,
+      |dims AS (
+      |  SELECT doc_id, GREATEST(CAST(ceil(nb / 30.0) AS BIGINT), 1) AS ih
+      |  FROM hx),
+      |pad AS (
+      |  SELECT b.doc_id, d.ih,
+      |    list_concat(b.bs,
+      |      list_transform(range(b.nb, d.ih*30), x -> CAST(0 AS INT))) AS bs
+      |  FROM bts b JOIN dims d USING (doc_id)),
+      |lum AS (
+      |  SELECT doc_id, ih, list_transform(range(0, ih*10), p ->
+      |    (bs[CAST(3*p+1 AS INT)]*299 + bs[CAST(3*p+2 AS INT)]*587 +
+      |     bs[CAST(3*p+3 AS INT)]*114) // 1000) AS ls
+      |  FROM pad),
+      |px AS (SELECT doc_id, ih, unnest(ls) AS l FROM lum),
+      |agg AS (
+      |  SELECT doc_id, any_value(ih) AS ih, count(*) AS n_px,
+      |         sum(l) AS lsum, count(*) FILTER (l < 32) AS ndark
+      |  FROM px GROUP BY doc_id)
+      |SELECT doc_id, CAST(10 AS BIGINT) AS img_w, CAST(ih AS BIGINT) AS img_h,
+      |  CAST(n_px AS BIGINT) AS n_px, TRUE AS ok,
+      |  ${graft.queries.Q.round4Sql("CAST(lsum AS DOUBLE) / n_px")} AS luma_mean4,
+      |  ${graft.queries.Q.round4Sql("CAST(ndark AS DOUBLE) / n_px")} AS dark_frac4
+      |FROM agg ORDER BY doc_id""".stripMargin
 
   /** q50 entry: blob table → batched decode-stub → feature summary.
     * Metadata and feature stats only — the binary column never reaches

@@ -150,6 +150,19 @@ object CorpusPrep {
     *                    benchmark side of decontamination gets the
     *                    SAME chain, like the scrub contract.
     */
+  /** @param badWords  optional C4-style wordlist gate (q85's
+    *                   [[graft.queries.WebQ.badWordCount]], zero
+    *                   tolerance: ANY listed token drops the doc
+    *                   whole). Sits after the rewrite chain (markup
+    *                   strip + scrub — the list must match rendered
+    *                   text, not tag-split fragments) and BEFORE the
+    *                   membership gate and dedup: a blocked doc is the
+    *                   cheapest possible drop (one stateless
+    *                   projection), so it never pays the Bloom probe
+    *                   or the dedup shuffle. A pure function of the
+    *                   doc's bytes — the streaming mirror applies the
+    *                   identical filter.
+    */
   final case class Config(
       langRates: Map[String, Double],
       defaultRate: Double,
@@ -163,12 +176,14 @@ object CorpusPrep {
       sourceWeights: Option[Map[String, Double]] = None,
       priorSnapshot: Option[String] = None,
       publishSnapshot: Option[Long] = None,
-      substrWindow: Option[Int] = None)
+      substrWindow: Option[Int] = None,
+      badWords: Option[Seq[String]] = None)
 
   final case class Stats(
       input: Long, afterDedup: Long, afterSample: Long,
       nearDupDropped: Long = 0L, contaminatedDropped: Long = 0L,
-      snapshotDropped: Long = 0L, substrStripped: Long = 0L)
+      snapshotDropped: Long = 0L, substrStripped: Long = 0L,
+      badwordsDropped: Long = 0L)
 
   /** Shard-assignment hash. MUST be decorrelated from the sampling
     * hash: Sample gates on md5Lower64(doc_id) & 1023, so deriving the
@@ -229,10 +244,17 @@ object CorpusPrep {
     * regardless of which optional stages are on. The membership gate
     * sits before dedup: a re-seen doc never pays the dedup shuffle.
     */
+  /** The wordlist gate (when on): q85's zero-tolerance filter over
+    * the REWRITTEN text — see the Config scaladoc for placement.
+    */
+  private def wordGated(docs: DataFrame, cfg: Config): DataFrame =
+    cfg.badWords.fold(docs)(ws =>
+      docs.filter(graft.queries.WebQ.badWordCount(col("text"), ws) === 0L))
+
   private def base(docs: DataFrame, cfg: Config,
                    prior: Option[org.apache.spark.util.sketch.BloomFilter])
       : DataFrame = {
-    val s = scrubbed(demarked(docs, cfg), cfg)
+    val s = wordGated(scrubbed(demarked(docs, cfg), cfg), cfg)
     val gated = prior
       .map(bf => graft.operators.SnapshotBloom.gate(s, bf)).getOrElse(s)
     dedupe(gated)
@@ -510,18 +532,26 @@ object CorpusPrep {
       // text would overcount afterDedup for tag-only variants, and
       // probing the Bloom (built from demarked digests) with
       // un-demarked text would miss re-seen re-crawled pages
+      val badCol = cfg.badWords
+        .map(ws => graft.queries.WebQ.badWordCount(col("text"), ws) > 0L)
+        .getOrElse(lit(false))
       val a = scrubbed(demarked(docs, cfg), cfg)
-        .select(TextOps.textDigest(col("text")).as("h"), seenCol.as("s"))
+        .select(TextOps.textDigest(col("text")).as("h"), seenCol.as("s"),
+          badCol.as("b"))
         .agg(count(lit(1)).as("n"),
-          // distinct digests among docs the gate KEEPS — counting the
+          // distinct digests among docs BOTH gates keep — counting the
           // gated-out ones would overstate the post-dedup frame
-          count_distinct(when(!col("s"), col("h"))).as("nd"),
-          sum(when(col("s"), 1L).otherwise(0L)).as("sdrop"))
+          count_distinct(when(!col("s") && !col("b"), col("h"))).as("nd"),
+          // the wordlist gate runs first, so a blocked doc never
+          // reaches the membership probe — mirror that precedence here
+          sum(when(!col("b") && col("s"), 1L).otherwise(0L)).as("sdrop"),
+          sum(when(col("b"), 1L).otherwise(0L)).as("bdrop"))
         .head()
       Stats(a.getLong(0), a.getLong(1), afterSample,
         nearDupDropped = drops.map(_.count()).getOrElse(0L),
         contaminatedDropped = contaminated.map(_.count()).getOrElse(0L),
         snapshotDropped = a.getLong(2),
+        badwordsDropped = a.getLong(3),
         // docs actually stripped IN THE OUTPUT: the span table is
         // computed pre-anti-join/pre-sample, so scope it to written ids
         substrStripped = m.substrSpans

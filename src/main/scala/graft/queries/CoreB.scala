@@ -841,6 +841,112 @@ object CoreB {
       |  CAST(n_violations AS DOUBLE) / n_checked AS violation_rate
       |FROM allr ORDER BY rule""".stripMargin
 
+  /** q87: Bloom-reduced selective fact↔dim join
+    * ([[graft.operators.RuntimeFilter.bloomReduce]]) — lineitems of
+    * high-value 1996 orders, aggregated by order priority. The build
+    * side (the filtered orders) keeps a small fraction of the key
+    * space, so the runtime filter drops most lineitem rows BEFORE the
+    * join's exchange: at 100 TB the shuffle moves only the ~matching
+    * slice of the fact, not all of it. The oracle is the PLAIN join —
+    * the Bloom prefilter has no false negatives and the join removes
+    * its false positives, so the reduced plan is bit-identical by
+    * construction (that equivalence is the point of the check).
+    *
+    * Scale shape: two sketch-building jobs over the dim (count +
+    * distributed bloom aggregate, driver holds only the filter bits),
+    * then one map-side probe per fact row and an equi-join whose
+    * probe side is pre-thinned; the aggregate is priority-sized.
+    */
+  def q87(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    val hot = t.orders
+      .filter(col("o_totalprice") > 450000.0 &&
+        col("o_orderdate").between("1996-01-01", "1996-12-31"))
+      .select(col("o_orderkey"), col("o_orderpriority"))
+    val li = graft.operators.RuntimeFilter.bloomReduce(
+      t.lineitem, col("l_orderkey"), hot, col("o_orderkey"))
+    li.join(hot, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(Q.dec(col("l_quantity"))).cast("double").as("sum_qty"),
+        sum(Q.discPrice(col("l_extendedprice"), col("l_discount")))
+          .cast("double").as("revenue"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val q87Sql: String =
+    """SELECT o_orderpriority,
+      |  CAST(COUNT(*) AS BIGINT) AS n_items,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+      |    * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+      |    AS DOUBLE) AS revenue
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE o_totalprice > 450000.0
+      |  AND o_orderdate BETWEEN '1996-01-01' AND '1996-12-31'
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  /** q88: time-series gap-fill + forward fill (resample) — the missing-
+    * bucket repair every downstream window/trend computation assumes
+    * has already happened: per event type, the DENSE daily calendar
+    * from its first to its last active day, absent days materialized
+    * with n_events=0 and the metric forward-filled (LOCF) from the
+    * last observed day. Without this stage a trailing-window average
+    * silently skips gap days instead of counting them as zero traffic.
+    *
+    * The filled metric is the day's MAX(value): max over identical
+    * parquet doubles is exact and order-independent in both engines
+    * (a float SUM would be neither — the q28 rationale). Days are the
+    * q82 integer epoch-day convention, calendar-free and engine-exact.
+    *
+    * Scale shape: one keyed daily aggregate (map-side combined), a
+    * types-sized bounds aggregate whose calendar explode is ~days per
+    * type (≪ events), one co-keyed left join back, and ONE window per
+    * type ordered by day for the fill — partitions are type-sized
+    * timelines; nothing is ever all-pairs and the explode output is
+    * bounded by types × days, not by event volume.
+    */
+  def q88(s: SparkSession, dir: String): DataFrame = {
+    // integral DIV (Column./ on longs is a double divide); epoch days
+    // are non-negative here so DIV == floor-divide == DuckDB's //
+    val day = expr("unix_micros(ts) DIV 86400000000").as("day")
+    val daily = Tables(s, dir).events
+      .select(col("event_type"), day, col("value"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n_events"), max(col("value")).as("day_max"))
+    val cal = daily.groupBy(col("event_type"))
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(col("event_type"),
+        explode(sequence(col("d0"), col("d1"))).as("day"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cal.join(daily, Seq("event_type", "day"), "left")
+      .select(col("event_type"), col("day"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        col("n_events").isNull.cast("bigint").as("is_gap"),
+        last(col("day_max"), ignoreNulls = true).over(w).as("filled_max"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  val q88Sql: String =
+    """WITH daily AS (
+      |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+      |    CAST(COUNT(*) AS BIGINT) AS n_events, MAX(value) AS day_max
+      |  FROM events GROUP BY 1, 2),
+      |cal AS (
+      |  SELECT event_type, unnest(generate_series(MIN(day), MAX(day))) AS day
+      |  FROM daily GROUP BY event_type)
+      |SELECT cal.event_type, cal.day,
+      |  coalesce(d.n_events, 0) AS n_events,
+      |  CAST(d.n_events IS NULL AS BIGINT) AS is_gap,
+      |  last_value(d.day_max IGNORE NULLS) OVER (
+      |    PARTITION BY cal.event_type ORDER BY cal.day
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_max
+      |FROM cal LEFT JOIN daily d
+      |  ON d.event_type = cal.event_type AND d.day = cal.day
+      |ORDER BY cal.event_type, cal.day""".stripMargin
+
   val entries: Seq[Entry] = Seq(
     Entry("q08_union_dedup", q08, Some(q08Sql)),
     Entry("q09_pivot", q09, Some(q09Sql)),
@@ -867,5 +973,7 @@ object CoreB {
     Entry("q81_retention", q81, Some(q81Sql)),
     Entry("q82_active_users", q82, Some(q82Sql)),
     Entry("q83_quality_audit", q83, Some(q83Sql)),
+    Entry("q87_bloom_join", q87, Some(q87Sql)),
+    Entry("q88_gapfill", q88, Some(q88Sql)),
   )
 }

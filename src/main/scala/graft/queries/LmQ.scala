@@ -244,8 +244,152 @@ object LmQ {
        |  CAST(n_dup * 1000000000 // n_shingles AS BIGINT) AS dup_frac9
        |FROM pd ORDER BY doc_id""".stripMargin
 
+  /** q86: HELD-OUT trigram LM scoring with stupid backoff — the real
+    * CCNet shape that q70 deliberately simplifies away. q70 self-scores
+    * (model == scored corpus), so every scored n-gram exists and no
+    * backoff path ever runs; here the model trains on a REFERENCE
+    * partition (even doc_ids — the stand-in for "a Wikipedia-trained
+    * KenLM") and scores EVERY doc, so odd docs genuinely hit unseen
+    * trigrams and exercise the full backoff chain (Brants et al. 2007,
+    * "Large Language Models in Machine Translation" — stupid backoff is
+    * THE web-scale scoring recipe precisely because it needs no
+    * discounting pass):
+    *
+    *   S(w3|w1w2) = c3(w1w2w3)·10⁹ DIV c2(w1w2)            if c3 > 0
+    *              = 0.4 · c2(w2w3)·10⁹ DIV c1(w2)          elif c2(w2w3) > 0
+    *              = 0.4² · c1(w3)·10⁹ DIV ctot             elif c1(w3) > 0
+    *              = 0                                       else
+    *
+    * in fixed-point: ·0.4 is ·4 DIV 10, every count product widened to
+    * DECIMAL(38,0) (the q70 hot-n-gram overflow rule), so both engines
+    * compute bit-identical BIGINT scores in any summation order.
+    *
+    * Scale shape: model building is three hash aggregates over the
+    * reference partition keyed on md5Lower64 window hashes (the native
+    * one-pass kernel), all Zipf-bounded ≪ corpus; scoring explodes one
+    * per-position struct row and LEFT-joins the five model tables on
+    * 64-bit keys (broadcast at vocabulary scale), then one per-doc
+    * aggregate; the corpus total attaches as a ONE-ROW broadcast like
+    * q57 (lazy — no driver action at plan time). Strings never cross a
+    * shuffle.
+    */
+  def q86(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir).documents
+    trigramScore(docs, docs.filter(col("doc_id") % 2 === 0))
+  }
+
+  /** The q86 kernel: score `docs` against the trigram model of `ref`. */
+  def trigramScore(docs: DataFrame, ref: DataFrame): DataFrame = {
+    import graft.functions.expressions.TextExprs.{md5Lower64, windowMd5Hashes}
+    def grams(d: DataFrame): DataFrame = d
+      .select(col("doc_id"), toks(col("text")).as("arr"))
+      .select(col("doc_id"),
+        transform(col("arr"), w => md5Lower64(w)).as("h1"),
+        windowMd5Hashes(col("arr"), 2).as("h2"),
+        windowMd5Hashes(col("arr"), 3).as("h3"))
+    val refG = grams(ref)
+    val uni = refG.select(explode(col("h1")).as("h"))
+      .groupBy("h").agg(count(lit(1)).as("c1"))
+    val big = refG.select(explode(col("h2")).as("h"))
+      .groupBy("h").agg(count(lit(1)).as("c2"))
+    val tri = refG.select(explode(col("h3")).as("h"))
+      .groupBy("h").agg(count(lit(1)).as("c3"))
+    val tot = refG.select(explode(col("h1")).as("h"))
+      .agg(count(lit(1)).as("ctot"))
+    // per scored position i (1-based, i ≤ n-2): trigram hash and the
+    // four context/backoff hashes it needs, all read from the three
+    // precomputed hash arrays — one explode, no string re-digesting
+    val pos = grams(docs)
+      .select(col("doc_id"),
+        // transform-with-index over h3 (0-based): empty for docs with
+        // <3 tokens (windowMd5Hashes returns [] below the window width)
+        // — explode drops them here, the final left join restores them
+        explode(expr(
+          "transform(h3, (x, i) -> " +
+            "named_struct('k3', x, 'k12', h2[i], 'k23', h2[i+1], " +
+            "'kw2', h1[i+1], 'kw3', h1[i+2]))")).as("g"))
+      .select(col("doc_id"), col("g.k3").as("k3"), col("g.k12").as("k12"),
+        col("g.k23").as("k23"), col("g.kw2").as("kw2"), col("g.kw3").as("kw3"))
+    val scored = pos
+      .join(tri.withColumnRenamed("h", "k3"), Seq("k3"), "left")
+      .join(big.select(col("h").as("k12"), col("c2").as("c12")), Seq("k12"), "left")
+      .join(big.select(col("h").as("k23"), col("c2").as("c23")), Seq("k23"), "left")
+      .join(uni.select(col("h").as("kw2"), col("c1").as("cw2")), Seq("kw2"), "left")
+      .join(uni.select(col("h").as("kw3"), col("c1").as("cw3")), Seq("kw3"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("doc_id"), expr(
+        s"""CASE
+           |  WHEN c3 IS NOT NULL THEN
+           |    CAST(CAST(c3 AS DECIMAL(38,0)) * ${Scale}L DIV c12 AS BIGINT)
+           |  WHEN c23 IS NOT NULL THEN
+           |    CAST(CAST(c23 AS DECIMAL(38,0)) * ${Scale}L * 4 DIV cw2 DIV 10 AS BIGINT)
+           |  WHEN cw3 IS NOT NULL THEN
+           |    CAST(CAST(cw3 AS DECIMAL(38,0)) * ${Scale}L * 16 DIV ctot DIV 100 AS BIGINT)
+           |  ELSE 0L END""".stripMargin).as("s9"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_trigrams"), sum(col("s9")).as("ss"))
+    docs.select(col("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_trigrams"), lit(0L)).as("n_trigrams"),
+        coalesce(expr("ss DIV n_trigrams"), lit(0L)).as("bo_score9"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q86Sql: String =
+    s"""WITH $arrCte,
+       |ra AS (SELECT doc_id, a FROM arr WHERE doc_id % 2 = 0),
+       |uni AS (
+       |  SELECT md5_number_lower(w) AS h, COUNT(*) AS c1 FROM (
+       |    SELECT unnest(a) AS w FROM ra) GROUP BY 1),
+       |big AS (
+       |  SELECT md5_number_lower(g) AS h, COUNT(*) AS c2 FROM (
+       |    SELECT unnest(list_transform(generate_series(1, len(a) - 1),
+       |      i -> a[i] || ' ' || a[i+1])) AS g FROM ra) GROUP BY 1),
+       |tri AS (
+       |  SELECT md5_number_lower(g) AS h, COUNT(*) AS c3 FROM (
+       |    SELECT unnest(list_transform(generate_series(1, len(a) - 2),
+       |      i -> a[i] || ' ' || a[i+1] || ' ' || a[i+2])) AS g FROM ra)
+       |  GROUP BY 1),
+       |tot AS (SELECT CAST(SUM(len(a)) AS BIGINT) AS ctot FROM ra),
+       |pos AS (
+       |  SELECT doc_id,
+       |    md5_number_lower(a[i] || ' ' || a[i+1] || ' ' || a[i+2]) AS k3,
+       |    md5_number_lower(a[i] || ' ' || a[i+1]) AS k12,
+       |    md5_number_lower(a[i+1] || ' ' || a[i+2]) AS k23,
+       |    md5_number_lower(a[i+1]) AS kw2,
+       |    md5_number_lower(a[i+2]) AS kw3
+       |  FROM (SELECT doc_id, a, unnest(generate_series(1, len(a) - 2)) AS i
+       |        FROM arr)),
+       |sc AS (
+       |  SELECT doc_id,
+       |    CASE
+       |      WHEN t.c3 IS NOT NULL THEN
+       |        CAST(CAST(t.c3 AS HUGEINT) * $Scale // b12.c2 AS BIGINT)
+       |      WHEN b23.c2 IS NOT NULL THEN
+       |        CAST(CAST(b23.c2 AS HUGEINT) * $Scale * 4 // u2.c1 // 10 AS BIGINT)
+       |      WHEN u3.c1 IS NOT NULL THEN
+       |        CAST(CAST(u3.c1 AS HUGEINT) * $Scale * 16 // tot.ctot // 100 AS BIGINT)
+       |      ELSE 0 END AS s9
+       |  FROM pos
+       |  LEFT JOIN tri t ON t.h = pos.k3
+       |  LEFT JOIN big b12 ON b12.h = pos.k12
+       |  LEFT JOIN big b23 ON b23.h = pos.k23
+       |  LEFT JOIN uni u2 ON u2.h = pos.kw2
+       |  LEFT JOIN uni u3 ON u3.h = pos.kw3
+       |  CROSS JOIN tot),
+       |pd AS (
+       |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_trigrams,
+       |    CAST(SUM(s9) AS BIGINT) AS ss
+       |  FROM sc GROUP BY doc_id)
+       |SELECT d.doc_id, coalesce(pd.n_trigrams, 0) AS n_trigrams,
+       |  CAST(coalesce(pd.ss // pd.n_trigrams, 0) AS BIGINT) AS bo_score9
+       |FROM documents d LEFT JOIN pd USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+
   val entries: Seq[Entry] = Seq(
     Entry("q70_lm_score", q70, Some(q70Sql)),
     Entry("q71_chunk", q71, Some(q71Sql)),
-    Entry("q72_dup_ngrams", q72, Some(q72Sql)))
+    Entry("q72_dup_ngrams", q72, Some(q72Sql)),
+    Entry("q86_trigram_backoff", q86, Some(q86Sql)))
 }

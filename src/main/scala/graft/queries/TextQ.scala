@@ -358,29 +358,41 @@ object TextQ {
   def q43(s: SparkSession, dir: String): DataFrame = {
     val t = Tables(s, dir)
     // null text fingerprints as the empty document (0, "") — the
-    // when().otherwise() below already does that on the Spark side;
-    // the oracle coalesces norm to '' so DuckDB's null propagation
-    // (range(NULL) → NULL all the way out) cannot diverge from it
-    val norm = normText(col("text"))
+    // native kernel treats NULL as ''; the oracle coalesces norm to ''
+    // so DuckDB's null propagation (range(NULL) → NULL all the way
+    // out) cannot diverge from it. One O(n·win) kernel per row — the
+    // composed substr/md5/array_min chain it replaces is value-
+    // identical (NativeExprSpec pins it) but quadratic: interpreted
+    // HOFs re-derive the gram transform per window (see WinnowMd5Grams).
+    t.documents
+      .select(col("doc_id"),
+        graft.functions.expressions.TextExprs
+          .winnowMd5Grams(normText(col("text")), 8, 4).as("fps"))
+      .select(col("doc_id"),
+        size(col("fps")).cast("bigint").as("n_fingerprints"),
+        concat_ws(",", col("fps")).as("fingerprints"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The composed-HOF transcription of q43's fingerprint chain — the
+    * parity reference [[graft.functions.expressions.WinnowMd5Grams]]
+    * is spec-checked against (the winnowSelectComposed pattern); not
+    * used in query paths.
+    */
+  private[graft] def q43ComposedFps(textCol: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    val norm = normText(textCol)
     val n = length(norm)
     val emptyArr = array().cast("array<string>")
     val grams = when(n >= 8,
       transform(sequence(lit(1), n - 7),
         i => substring(md5(substr(norm, i, lit(8)).cast("binary")), 1, 16)))
       .otherwise(emptyArr)
-    t.documents
-      .select(col("doc_id"), grams.as("grams"))
-      .select(col("doc_id"),
-        when(size(col("grams")) === 0, emptyArr)
-          .when(size(col("grams")) < 4, array(array_min(col("grams"))))
-          .otherwise(transform(sequence(lit(1), size(col("grams")) - 3),
-            j => array_min(slice(col("grams"), j, lit(4))))).as("wins"))
-      .select(col("doc_id"),
-        array_sort(array_distinct(col("wins"))).as("fps"))
-      .select(col("doc_id"),
-        size(col("fps")).cast("bigint").as("n_fingerprints"),
-        concat_ws(",", col("fps")).as("fingerprints"))
-      .orderBy(col("doc_id"))
+    val wins = when(size(grams) === 0, emptyArr)
+      .when(size(grams) < 4, array(array_min(grams)))
+      .otherwise(transform(sequence(lit(1), size(grams) - 3),
+        j => array_min(slice(grams, j, lit(4)))))
+    array_sort(array_distinct(wins))
   }
 
   /** DuckDB mirror of q43: same norm, same md5-prefix gram hash, same

@@ -1,0 +1,371 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.TextOps.{normText, tokens}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Raw-web hygiene operators: the URL- and wordlist-level gates a
+  * crawl-fed corpus pipeline runs alongside the text-level ones (q76
+  * markup strip, q40 langId, q64 quality rules) — URL canonicalization
+  * for URL-level dedup/blocklisting (the C4/RefinedWeb/Dolma intake
+  * convention) and the C4 "bad words" content filter (Raffel et al.
+  * 2020, arXiv:1910.10683 §2.2: pages containing any blocklisted word
+  * are dropped whole).
+  *
+  * House rules apply ([[Q]]): string surgery is regex/substring
+  * arithmetic both engines implement identically (no locale, no libm),
+  * counts are BIGINT, fractions fixed-point nano-units — so the DuckDB
+  * oracles are exact, character for character.
+  */
+object WebQ {
+
+  private val Scale = 1000000000L
+
+  /** Tracking-parameter prefix (the `utm_*` family) — matched by plain
+    * substring arithmetic, not LIKE: `_` is a LIKE wildcard and escape
+    * syntax differs across engines, while `substr(p,1,4)` is portable.
+    */
+  private val TrackPrefix = "utm_"
+
+  /** Blocklisted registrable domains for q84 — interpolated into both
+    * engines from this ONE definition (the SemDedupThreshold pattern).
+    */
+  val BlockedDomains: Seq[String] = Seq("example2.com", "example5.com")
+
+  /** Blocklisted words for q85, drawn from the synthetic vocabulary so
+    * the filter exercises real hits ("slow", "dup") plus one
+    * never-occurring entry ("stale") proving absent terms cost nothing.
+    */
+  val BadWords: Seq[String] = Seq("slow", "dup", "stale")
+
+  // ---- q84: URL canonicalization + domain blocklist ----
+
+  /** URL normalization chain over a raw URL string column — the
+    * canonical form used for URL-level dedup and domain blocklists:
+    * scheme and host lowercase, a leading `www.` stripped, the
+    * scheme's default port (:80 http / :443 https) dropped while real
+    * ports survive, `utm_*` tracking parameters removed with the
+    * remaining query-string order preserved, and the fragment cut.
+    * Everything is anchored-regex + substring arithmetic; one
+    * codegen'd projection, no join, no shuffle.
+    *
+    * Returns struct(url_norm, host, domain, n_tracking) — domain is
+    * the last two host labels (the registrable-domain convention for
+    * domain-level policy; a production run would consult the public
+    * suffix list, which is a data file, not different plumbing).
+    */
+  def urlNormalize(url: Column): Column = {
+    val scheme = lower(regexp_extract(url, "^([A-Za-z]+)://", 1))
+    val hostport = lower(regexp_extract(url, "^[A-Za-z]+://([^/?#]+)", 1))
+    val path = regexp_extract(url, "^[A-Za-z]+://[^/?#]+([^?#]*)", 1)
+    val qs = regexp_extract(url, "\\?([^#]*)", 1)
+    val host = regexp_replace(
+      regexp_replace(hostport, ":[0-9]+$", ""), "^www\\.", "")
+    val port = regexp_extract(hostport, ":([0-9]+)$", 1)
+    val keepPort = port =!= "" &&
+      !((scheme === "http" && port === "80") ||
+        (scheme === "https" && port === "443"))
+    val params = filter(split(qs, "&"), p => p =!= "")
+    val kept = filter(params, p => substring(p, 1, 4) =!= TrackPrefix)
+    val keptQs = array_join(kept, "&")
+    val urlNorm = concat(
+      scheme, lit("://"), host,
+      when(keepPort, concat(lit(":"), port)).otherwise(lit("")),
+      path,
+      when(keptQs =!= "", concat(lit("?"), keptQs)).otherwise(lit("")))
+    struct(
+      urlNorm.as("url_norm"),
+      host.as("host"),
+      array_join(slice(split(host, "\\."), -2, 2), ".").as("domain"),
+      (size(params) - size(kept)).cast("bigint").as("n_tracking"))
+  }
+
+  /** q84: URL canonicalization + domain blocklist. The synthetic
+    * corpus carries no URL column, so (the q52/q76 injection device)
+    * the query first SYNTHESIZES a deterministically messy URL per doc
+    * — mixed-case scheme and host, an optional `www.`, default and
+    * non-default ports, `utm_*` tracking params interleaved with real
+    * ones, an optional fragment, all derived from doc_id — then
+    * normalizes it, so the oracle checks every normalization rule
+    * character-for-character rather than a no-op. `is_blocked` is the
+    * domain-blocklist verdict a crawl intake applies first.
+    */
+  def q84(s: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val sStr = (m: Column) => m.cast("string")
+    val scheme = when(id % 3 === 0, "HTTP")
+      .when(id % 3 === 1, "https").otherwise("HtTpS")
+    val dirty = concat(
+      scheme, lit("://"),
+      when(id % 2 === 0, "WWW.").otherwise(""),
+      lit("News"), sStr(id % 40), lit(".Example"), sStr(id % 7), lit(".COM"),
+      when(id % 5 === 0, ":443").when(id % 5 === 1, ":80")
+        .when(id % 5 === 2, ":8080").otherwise(""),
+      lit("/art/"), sStr(id),
+      lit("?utm_source=feed"),
+      when(id % 3 === 0, concat(lit("&id="), sStr(id))).otherwise(""),
+      lit("&utm_campaign=x"),
+      when(id % 6 < 3, "&ref=rss").otherwise(""),
+      when(id % 4 === 0, "#top").otherwise(""))
+    val u = urlNormalize(col("url"))
+    Tables(s, dir).documents
+      .select(id, dirty.as("url"))
+      .select(id, col("url"), u.getField("url_norm").as("url_norm"),
+        u.getField("host").as("host"), u.getField("domain").as("domain"),
+        u.getField("n_tracking").as("n_tracking"))
+      .withColumn("is_blocked",
+        col("domain").isin(BlockedDomains: _*).cast("bigint"))
+      .orderBy(id)
+  }
+
+  val q84Sql: String = {
+    val blocked = BlockedDomains.map(d => s"'$d'").mkString(", ")
+    s"""WITH dirty AS (
+       |  SELECT doc_id,
+       |    (CASE doc_id % 3 WHEN 0 THEN 'HTTP' WHEN 1 THEN 'https'
+       |      ELSE 'HtTpS' END)
+       |    || '://'
+       |    || (CASE WHEN doc_id % 2 = 0 THEN 'WWW.' ELSE '' END)
+       |    || 'News' || CAST(doc_id % 40 AS VARCHAR)
+       |    || '.Example' || CAST(doc_id % 7 AS VARCHAR) || '.COM'
+       |    || (CASE doc_id % 5 WHEN 0 THEN ':443' WHEN 1 THEN ':80'
+       |        WHEN 2 THEN ':8080' ELSE '' END)
+       |    || '/art/' || CAST(doc_id AS VARCHAR)
+       |    || '?utm_source=feed'
+       |    || (CASE WHEN doc_id % 3 = 0
+       |        THEN '&id=' || CAST(doc_id AS VARCHAR) ELSE '' END)
+       |    || '&utm_campaign=x'
+       |    || (CASE WHEN doc_id % 6 < 3 THEN '&ref=rss' ELSE '' END)
+       |    || (CASE WHEN doc_id % 4 = 0 THEN '#top' ELSE '' END) AS url
+       |  FROM documents),
+       |parts AS (
+       |  SELECT doc_id, url,
+       |    lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) AS scheme,
+       |    lower(regexp_extract(url, '^[A-Za-z]+://([^/?#]+)', 1)) AS hostport,
+       |    regexp_extract(url, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1) AS pth,
+       |    regexp_extract(url, '\\?([^#]*)', 1) AS qs
+       |  FROM dirty),
+       |norm AS (
+       |  SELECT doc_id, url, scheme, pth,
+       |    regexp_replace(regexp_replace(hostport, ':[0-9]+$$', ''),
+       |      '^www\\.', '') AS host,
+       |    regexp_extract(hostport, ':([0-9]+)$$', 1) AS port,
+       |    list_filter(string_split(qs, '&'), p -> p <> '') AS params,
+       |    list_filter(string_split(qs, '&'),
+       |      p -> p <> '' AND substr(p, 1, 4) <> '$TrackPrefix') AS kept
+       |  FROM parts)
+       |SELECT doc_id, url,
+       |  scheme || '://' || host
+       |    || (CASE WHEN port <> '' AND NOT ((scheme = 'http' AND port = '80')
+       |          OR (scheme = 'https' AND port = '443'))
+       |        THEN ':' || port ELSE '' END)
+       |    || pth
+       |    || (CASE WHEN array_to_string(kept, '&') <> ''
+       |        THEN '?' || array_to_string(kept, '&') ELSE '' END) AS url_norm,
+       |  host,
+       |  array_to_string(list_slice(string_split(host, '.'), -2, -1), '.')
+       |    AS domain,
+       |  CAST(len(params) - len(kept) AS BIGINT) AS n_tracking,
+       |  CAST(array_to_string(list_slice(string_split(host, '.'), -2, -1), '.')
+       |    IN ($blocked) AS BIGINT) AS is_blocked
+       |FROM norm ORDER BY doc_id""".stripMargin
+  }
+
+  // ---- q85: C4 bad-words content filter ----
+
+  /** Blocklisted-token count of a text column — the ONE definition of
+    * "contains a bad word" shared by q85 and the CorpusPrep/Streams
+    * wordlist gate (stateless, NULL-total: a NULL doc counts 0 hits).
+    */
+  def badWordCount(text: Column, words: Seq[String]): Column =
+    size(filter(tokens(normText(coalesce(text, lit("")))),
+      w => w.isin(words: _*))).cast("bigint")
+
+  /** q85: wordlist content filter — per doc, how many tokens sit on
+    * the blocklist and the C4 verdict (ANY hit ⇒ drop). Differs from
+    * q64's quality RULES (threshold signals) in decision semantics:
+    * this is the zero-tolerance list filter C4 applies verbatim.
+    * NULL-total like q70/q71: text coalesces to '' first, so a NULL
+    * doc gets a visible pass=1 row instead of vanishing.
+    *
+    * Scale shape: one codegen'd projection + the presentation sort —
+    * the blocklist is a literal in the plan (a real list is a few
+    * thousand words — still a literal array, or a broadcast join if it
+    * ever outgrows the task binary).
+    */
+  def q85(s: SparkSession, dir: String): DataFrame = {
+    val arr = tokens(normText(coalesce(col("text"), lit(""))))
+    Tables(s, dir).documents
+      .select(col("doc_id"),
+        size(arr).cast("bigint").as("n_words"),
+        badWordCount(col("text"), BadWords).as("n_bad"))
+      .select(col("doc_id"), col("n_words"), col("n_bad"),
+        expr(s"n_bad * ${Scale}L DIV n_words").as("bad_frac9"),
+        (col("n_bad") === 0L).cast("bigint").as("pass"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q85Sql: String = {
+    val bad = BadWords.map(w => s"'$w'").mkString(", ")
+    s"""WITH arr AS (
+       |  SELECT doc_id, regexp_split_to_array(
+       |    trim(lower(trim(regexp_replace(coalesce(text, ''), '\\s+', ' ', 'g')))),
+       |    '\\s+') AS a
+       |  FROM documents),
+       |sig AS (
+       |  SELECT doc_id, CAST(len(a) AS BIGINT) AS n_words,
+       |    CAST(len(list_filter(a, w -> list_contains([$bad], w)))
+       |      AS BIGINT) AS n_bad
+       |  FROM arr)
+       |SELECT doc_id, n_words, n_bad,
+       |  CAST(n_bad * $Scale // n_words AS BIGINT) AS bad_frac9,
+       |  CAST(n_bad = 0 AS BIGINT) AS pass
+       |FROM sig ORDER BY doc_id""".stripMargin
+  }
+
+  // ---- q89: link-graph PageRank (fixed-point, unrolled) ----
+
+  /** PageRank geometry — ONE definition interpolated into both engines
+    * (the SemDedupThreshold pattern). `PrNodes` is part of the edge
+    * INJECTION (doc_id modulus), not a data-derived count: with ≥500
+    * sequential doc_ids every residue class is populated, which the
+    * spec asserts, so N is a constant of the synthetic graph exactly
+    * like q84's host moduli.
+    */
+  val PrNodes = 101
+  val PrIters = 6
+  private val PrBase: Long = // (1-d)/N in nano-units, d = 0.85
+    15L * Scale / (100L * PrNodes)
+
+  /** q89: PageRank over a synthesized link graph — the web-graph
+    * centrality signal crawl pipelines use for crawl scheduling and
+    * quality weighting (the CommonCrawl harmonic/centrality ranking
+    * role; Page et al. 1999). The corpus has no link column, so (the
+    * q84 injection device) each doc contributes one deterministic
+    * edge u → v between `PrNodes` site-nodes derived from doc_id;
+    * multi-edges are real (a site linking twice counts twice), and
+    * the modulus guarantees no dangling nodes at ≥500 docs (spec-
+    * asserted; the operator itself is total either way via the left
+    * join).
+    *
+    * Arithmetic is nano-unit fixed point, the q70/q86 discipline:
+    * per-edge contribution is pr9 DIV outdeg, the damped update is
+    * base + (85 · Σcontrib) DIV 100 with the multiply DECIMAL-widened
+    * — both engines iterate to bit-identical BIGINT ranks, so the
+    * oracle replays the SAME `PrIters` unrolled rounds rather than
+    * "converges somewhere close".
+    *
+    * Scale shape: each round is one equi-join of the (nodes-sized)
+    * rank vector against the edge list plus one keyed aggregate —
+    * the classic distributed PageRank step. Ranks/degrees are
+    * node-table-sized (≪ edges ≪ corpus); AQE broadcasts them while
+    * they fit. Rounds are driver-unrolled like q37's k-means (6
+    * shuffle-stage rounds, no driver data movement); a production
+    * vocab-scale run would checkpoint every few rounds exactly as
+    * q53 does.
+    */
+  def q89(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir).documents
+    val edges = docs.select(
+      (col("doc_id") % PrNodes).as("u"),
+      ((col("doc_id") * 31 + 7) % PrNodes).as("v"))
+    val deg = edges.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+    val nodes = edges.select(col("u").as("node"))
+      .union(edges.select(col("v").as("node"))).distinct()
+    var r = nodes.withColumn("pr9", lit(Scale / PrNodes))
+    for (_ <- 1 to PrIters) {
+      val ins = edges.join(deg, "u")
+        .join(r.withColumnRenamed("node", "u"), "u")
+        .select(col("v"), expr("pr9 DIV deg").as("c"))
+        .groupBy(col("v")).agg(sum(col("c")).as("ins"))
+      r = nodes.join(ins, col("node") === col("v"), "left")
+        .select(col("node"), expr(
+          s"CAST($PrBase + CAST(coalesce(ins, 0) AS DECIMAL(38,0)) " +
+            s"* 85 DIV 100 AS BIGINT)").as("pr9"))
+    }
+    r.orderBy(col("node"))
+  }
+
+  val q89Sql: String = {
+    val base =
+      s"""e AS (SELECT doc_id % $PrNodes AS u,
+         |  (doc_id * 31 + 7) % $PrNodes AS v FROM documents),
+         |deg AS (SELECT u, COUNT(*) AS deg FROM e GROUP BY u),
+         |n AS (SELECT DISTINCT node FROM (
+         |  SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e)),
+         |r0 AS (SELECT node, CAST(${Scale / PrNodes} AS BIGINT) AS pr9 FROM n)"""
+        .stripMargin
+    val rounds = (1 to PrIters).map { k =>
+      s"""r$k AS (
+         |  SELECT n.node,
+         |    CAST($PrBase + CAST(coalesce(s.ins, 0) AS HUGEINT)
+         |      * 85 // 100 AS BIGINT) AS pr9
+         |  FROM n LEFT JOIN (
+         |    SELECT e.v, SUM(r.pr9 // deg.deg) AS ins
+         |    FROM e JOIN deg USING (u) JOIN r${k - 1} r ON r.node = e.u
+         |    GROUP BY e.v) s ON s.v = n.node)""".stripMargin
+    }.mkString(",\n")
+    s"WITH $base,\n$rounds\nSELECT node, pr9 FROM r$PrIters ORDER BY node"
+  }
+
+  // ---- q90: Unicode NFC canonicalization ----
+
+  /** q90: Unicode canonical composition (NFC) — the canonicalization
+    * a multilingual corpus runs BEFORE every digest: "é" as
+    * e + COMBINING ACUTE versus precomposed "é" is the same text to a
+    * reader but different bytes to md5Lower64, so canonically-equal
+    * near-copies silently survive exact dedup without this pass. The
+    * ASCII synthetic corpus normalizes to itself, so (the q84/q76
+    * injection device) each doc gets a deterministic multilingual
+    * suffix — decomposed accents, a precomposed control, the
+    * ANGSTROM SIGN singleton (U+212B composes to U+00C5 with the
+    * codepoint count unchanged), or pure ASCII — and the oracle
+    * compares the normalized strings char-for-char (JDK Normalizer vs
+    * DuckDB's utf8proc, two independent implementations of UAX #15).
+    *
+    * Scale shape: one projection through the native [[graft.functions
+    * .expressions.TextExprs.nfcNormalize]] kernel (with an
+    * isNormalized fast path — ASCII rows allocate nothing) + the
+    * presentation sort. No join, no aggregate.
+    */
+  def q90(s: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val suffix = when(id % 4 === 0, " cafe\u0301")        // e + COMBINING ACUTE
+      .when(id % 4 === 1, " caf\u00e9")         // precomposed, NFC no-op
+      .when(id % 4 === 2, " \u212Bngstr\u00f6m") // ANGSTROM SIGN composes to U+00C5
+      .otherwise(" ascii")
+    val dirty = concat(coalesce(col("text"), lit("")), suffix)
+    val norm = graft.functions.expressions.TextExprs.nfcNormalize(col("dirty"))
+    Tables(s, dir).documents
+      .select(id, dirty.as("dirty"))
+      .select(id,
+        length(col("dirty")).cast("bigint").as("n_cp_before"),
+        length(norm).cast("bigint").as("n_cp_after"),
+        (norm =!= col("dirty")).cast("bigint").as("changed"),
+        norm.as("text_nfc"))
+      .orderBy(id)
+  }
+
+  val q90Sql: String =
+    """WITH dirtied AS (
+      |  SELECT doc_id, coalesce(text, '') ||
+      |    (CASE doc_id % 4
+      |      WHEN 0 THEN ' cafe' || chr(769)
+      |      WHEN 1 THEN ' caf' || chr(233)
+      |      WHEN 2 THEN ' ' || chr(8491) || 'ngstr' || chr(246) || 'm'
+      |      ELSE ' ascii' END) AS dirty
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CAST(length(dirty) AS BIGINT) AS n_cp_before,
+      |  CAST(length(nfc_normalize(dirty)) AS BIGINT) AS n_cp_after,
+      |  CAST(nfc_normalize(dirty) <> dirty AS BIGINT) AS changed,
+      |  nfc_normalize(dirty) AS text_nfc
+      |FROM dirtied ORDER BY doc_id""".stripMargin
+
+  val entries: Seq[Entry] = Seq(
+    Entry("q84_url_normalize", q84, Some(q84Sql)),
+    Entry("q85_badwords", q85, Some(q85Sql)),
+    Entry("q89_pagerank", q89, Some(q89Sql)),
+    Entry("q90_unicode_nfc", q90, Some(q90Sql)))
+}

@@ -578,9 +578,15 @@ object Streams {
       else m
     }
     val scrubbed = rewrite(stream)
+    // wordlist gate (when on): the identical stateless filter as the
+    // batch base lineage, in the identical position — after the
+    // rewrite chain, before the membership probe
+    val worded = cfg.badWords.fold(scrubbed)(ws =>
+      scrubbed.filter(
+        graft.queries.WebQ.badWordCount(col("text"), ws) === 0L))
     val gated = cfg.priorSnapshot
       .map(p => graft.operators.SnapshotBloom.load(spark, p))
-      .fold(scrubbed)(bf => snapshotGate(scrubbed, bf))
+      .fold(worded)(bf => snapshotGate(worded, bf))
     val deduped = dedupExact(gated, tsCol = tsCol, watermark = watermark)
     // the benchmark is scrubbed with the SAME chain as the corpus
     // (batch contract: contamination spanning a PII token must still

@@ -350,6 +350,36 @@ class CorpusPrepSpec extends SparkSpec {
     }
   }
 
+  test("wordlist gate: listed words drop docs whole, stats count them, dedup sees only survivors") {
+    import spark.implicits._
+    val keepAll = CorpusPrep.Config(
+      langRates = Map.empty, defaultRate = 1.0, nShards = 2,
+      badWords = Some(Seq("banned", "verboten")))
+    val docs = Seq(
+      (1L, "a perfectly clean document of reasonable length", "en", "a", 10L),
+      (2L, "this one contains a banned word in the middle", "en", "a", 10L),
+      // duplicate of doc 1 — must still collapse AFTER the gate
+      (3L, "a perfectly clean document of reasonable length", "en", "a", 10L),
+      // the gate tokenizes NORMALIZED text: case/whitespace variants hit
+      (4L, "shouting   VERBOTEN   loudly", "en", "a", 10L),
+      // substring hits must NOT fire — 'banned' inside another word
+      (5L, "unbannedish words are fine", "en", "a", 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = CorpusPrep.plan(docs, keepAll).collect()
+    assert(out.map(_.getAs[Long]("doc_id")).sorted.toSeq == Seq(1L, 5L),
+      s"wordlist gate wrong: ${out.toSeq}")
+    val dir = java.nio.file.Files.createTempDirectory("graft-badwords").toString
+    val stats = CorpusPrep.run(docs, dir, keepAll)
+    assert(stats.badwordsDropped == 2L, stats.toString)
+    assert(stats.input == 5L && stats.afterDedup == 2L, stats.toString)
+    // gate off: badwordsDropped stays 0 and everyone (deduped) survives
+    val statsOff = CorpusPrep.run(docs,
+      java.nio.file.Files.createTempDirectory("graft-badwords-off").toString,
+      keepAll.copy(badWords = None))
+    assert(statsOff.badwordsDropped == 0L && statsOff.afterDedup == 4L,
+      statsOff.toString)
+  }
+
   test("all stages at once: scrub + snapshot gate + dedup + near-dup + decontaminate + substring strip + weights + BPE packing compose in one run") {
     import spark.implicits._
     val docs = Tables(spark, sf).documents

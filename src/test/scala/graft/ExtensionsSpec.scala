@@ -38,6 +38,16 @@ class ExtensionsSpec extends SparkSpec {
     assert((row.getLong(2) & ~0xffL) == 0L)
   }
 
+  test("graft_nfc composes canonically-equivalent text from SQL") {
+    val row = spark.sql(
+      "SELECT graft_nfc('cafe\u0301') AS a, graft_nfc('caf\u00e9') AS b, " +
+        "graft_nfc('ascii') AS c, graft_nfc('\u212b') AS d").collect()(0)
+    assert(row.getString(0) == "caf\u00e9") // decomposed composes
+    assert(row.getString(1) == "caf\u00e9") // precomposed fixed point
+    assert(row.getString(2) == "ascii")     // ascii untouched
+    assert(row.getString(3) == "\u00c5")    // singleton swap
+  }
+
   test("PQ SQL functions: graft_sqdist, graft_adc") {
     val row = spark.sql(
       """SELECT graft_sqdist(array(1.0d, 2.0d), array(4.0d, 6.0d)) AS d,

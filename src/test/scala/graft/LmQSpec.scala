@@ -116,4 +116,46 @@ class LmQSpec extends SparkSpec {
     val again = graft.queries.VecQ.q73(spark, sf).collect()
     assert(out.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
   }
+
+  test("trigramScore: all four backoff branches on hand-computed fixtures") {
+    import spark.implicits._
+    // model (the ref side): unigrams a:2 b:2 c:2 d:1 e:1 (ctot=8),
+    // bigrams "a b":2 "b c":2 "c a":1 "d e":1, trigrams "a b c":2
+    // "b c a":1 "c a b":1
+    val ref = Seq((0L, "a b c a b c"), (2L, "d e")).toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, "a b c"),   // trigram hit: 2e9 DIV 2 = 1e9
+      (3L, "x a b c"), // "x a b" backs off to bigram "a b": 2e9*4 DIV 2 DIV 10 = 4e8; "a b c" = 1e9
+      (5L, "z z d"),   // unigram-only "d": 1e9*16 DIV 8 DIV 100 = 2e7
+      (7L, "q q q"),   // fully unseen: 0
+      (9L, "a")        // no trigram at all: totality row with 0s
+    ).toDF("doc_id", "text")
+    val m = LmQ.trigramScore(docs, ref).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_trigrams"), r.getAs[Long]("bo_score9"))).toMap
+    assert(m(1L) == (1L, 1000000000L), s"trigram branch: ${m(1L)}")
+    assert(m(3L) == (2L, (400000000L + 1000000000L) / 2), s"mixed: ${m(3L)}")
+    assert(m(5L) == (1L, 20000000L), s"unigram branch: ${m(5L)}")
+    assert(m(7L) == (1L, 0L), s"unseen branch: ${m(7L)}")
+    assert(m(9L) == (0L, 0L), s"totality row: ${m(9L)}")
+  }
+
+  test("q86: total over documents, scores in [0, 1e9], seen docs outscore unseen") {
+    val out = LmQ.q86(spark, sf).collect()
+    assert(out.length == Tables(spark, sf).documents.count())
+    out.foreach { r =>
+      val sc = r.getAs[Long]("bo_score9")
+      assert(sc >= 0 && sc <= G, s"score out of range: $r")
+    }
+    // the model's own docs (even ids) score higher on average than the
+    // held-out odd ones — the shared vocabulary keeps odd docs well
+    // above zero, but every even trigram is by construction a model hit
+    val (even, odd) = out.partition(_.getAs[Long]("doc_id") % 2 == 0)
+    def mean(rs: Array[org.apache.spark.sql.Row]): Double = {
+      val xs = rs.filter(_.getAs[Long]("n_trigrams") > 0)
+      xs.map(_.getAs[Long]("bo_score9").toDouble).sum / xs.length
+    }
+    assert(mean(even) > mean(odd),
+      s"model docs must outscore held-out docs: ${mean(even)} vs ${mean(odd)}")
+  }
 }

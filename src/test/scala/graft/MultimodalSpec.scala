@@ -295,4 +295,69 @@ class MultimodalSpec extends SparkSpec {
     assert(bad.count() == 0, "dims must match the encode layout")
     out.unpersist()
   }
+
+  test("Bmp: encode/decode round trip exercises row padding; malformed/unsupported fencing") {
+    import graft.multimodal.{Bmp, Netpbm}
+    // width 10 -> 30-byte rows -> stride 32: 2 REAL pad bytes per row
+    val px = Array.tabulate(10 * 3 * 3)(i => ((i * 37 + 11) % 256).toByte)
+    val img = Netpbm.Image(10, 3, 255, px)
+    val enc = Bmp.encode(img)
+    assert(enc.length == 54 + 32 * 3, "stride must be 4-aligned (30 -> 32)")
+    val dec = Bmp.decode(enc).get
+    assert(dec.width == 10 && dec.height == 3 && dec.maxVal == 255)
+    assert(dec.pixels.toSeq == px.toSeq,
+      "BGR/bottom-up/padding must all cancel in the round trip")
+    // a 4-aligned width (12-byte rows, zero pad) round-trips too
+    val px4 = Array.tabulate(4 * 3 * 2)(i => (i * 13).toByte)
+    assert(Bmp.decode(Bmp.encode(Netpbm.Image(4, 2, 255, px4)))
+      .get.pixels.toSeq == px4.toSeq)
+    // fences: anything outside the uncompressed 24-bpp bottom-up
+    // profile is None, never a throw or a misread
+    assert(Bmp.decode("not a bmp at all".getBytes).isEmpty)
+    assert(Bmp.decode(enc.dropRight(3)).isEmpty, "truncated raster")
+    val comp = enc.clone(); comp(30) = 1 // BI_RLE8
+    assert(Bmp.decode(comp).isEmpty, "compressed -> None")
+    val pal = enc.clone(); pal(28) = 8 // 8-bpp palette
+    assert(Bmp.decode(pal).isEmpty, "palette bpp -> None")
+    val topDown = enc.clone()
+    val hb = java.nio.ByteBuffer.allocate(4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(-3).array()
+    System.arraycopy(hb, 0, topDown, 22, 4)
+    assert(Bmp.decode(topDown).isEmpty, "top-down (negative height) -> None")
+    val v4 = enc.clone(); v4(14) = 108 // BITMAPV4HEADER size
+    assert(Bmp.decode(v4).isEmpty, "non-BITMAPINFOHEADER -> None")
+  }
+
+  test("extractFeatures on BMP mime runs the real decoder; same pixels as PPM give same features") {
+    import spark.implicits._
+    import graft.multimodal.{Bmp, Netpbm}
+    val px = Array.tabulate(10 * 3 * 2)(i => ((i * 29) % 256).toByte)
+    val img = Netpbm.Image(10, 2, 255, px)
+    val bmp = Bmp.encode(img)
+    val ppm = Netpbm.encodeP6(img)
+    val bad = Array[Byte]('B', 'M', 1, 2, 3)
+    val media = Seq(
+      MediaRow(1L, bmp, MediaMeta(Multimodal.MimeBmp, bmp.length.toLong,
+        Multimodal.payloadChecksum(bmp))),
+      MediaRow(2L, ppm, MediaMeta(Multimodal.MimePpm, ppm.length.toLong,
+        Multimodal.payloadChecksum(ppm))),
+      MediaRow(3L, bad, MediaMeta(Multimodal.MimeBmp, bad.length.toLong,
+        Multimodal.payloadChecksum(bad)))).toDS()
+    val out = Multimodal.extractFeatures(media).collect().sortBy(_.doc_id)
+    assert(out(0).ok && out(1).ok && !out(2).ok)
+    assert(out(2).features.isEmpty)
+    // identical pixels through two different containers -> identical
+    // histogram (the decoders converge on the same Image)
+    assert(out(0).features.toSeq == out(1).features.toSeq)
+  }
+
+  test("q91: real BMP decode end-to-end — dims match the 10-wide padded layout") {
+    val out = Multimodal.q91(spark, sf).cache()
+    assert(out.count() == Tables(spark, sf).documents.count())
+    assert(out.filter(!col("ok")).count() == 0,
+      "every encoded BMP must decode")
+    assert(out.filter(col("img_w") =!= 10).count() == 0)
+    assert(out.filter(col("n_px") =!= col("img_h") * 10).count() == 0)
+    out.unpersist()
+  }
 }

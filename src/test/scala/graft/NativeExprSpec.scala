@@ -237,6 +237,33 @@ class NativeExprSpec extends SparkSpec {
     assert(shared > 0, "docs sharing a 60-char substring must share fingerprints")
   }
 
+  test("native winnowMd5Grams == composed substr/md5/array_min chain on real docs + edges") {
+    import spark.implicits._
+    // real corpus rows — capped: the composed side re-evaluates the
+    // gram transform once PER WINDOW (interpreted HOFs get no
+    // subexpression elimination — the exact quadratic landmine the
+    // native kernel exists to remove), so its cost is ~n·win digests
+    // per char and 500 docs cost minutes
+    val docs = Tables(spark, sf).documents.select(col("text")).limit(60)
+    // edge rows: null, empty, below-gram, exactly gram, gram+1, ties
+    // (repeated text makes every window minimum collide), unicode
+    val edges = Seq(null, "", "short", "12345678", "123456789",
+      "aaaaaaaaaaaaaaaaaaaaaaaa", "ababababababab",
+      "café au lait avec du sucre", "中文文本段落一二三四")
+      .map(Tuple1(_)).toDF("text")
+    Seq(docs, edges).foreach { df =>
+      val both = df.select(
+        graft.functions.expressions.TextExprs
+          .winnowMd5Grams(graft.functions.TextOps.normText(col("text")), 8, 4).as("nat"),
+        graft.queries.TextQ.q43ComposedFps(col("text")).as("cmp"))
+        .collect()
+      both.foreach { r =>
+        assert(r.getSeq[String](0) == r.getSeq[String](1),
+          s"native ${r.getSeq[String](0).take(4)}... != composed ${r.getSeq[String](1).take(4)}...")
+      }
+    }
+  }
+
   test("native winnowPositions == composed slice/array_position form, incl. tie-heavy arrays") {
     import spark.implicits._
     val rnd = new scala.util.Random(13)

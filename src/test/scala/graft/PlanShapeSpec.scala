@@ -372,13 +372,56 @@ class PlanShapeSpec extends SparkSpec {
       }), s"a q75 exchange carries token arrays: ${e.output}"))
   }
 
+  test("q84/q85: the url and wordlist chains are single projections — no join, no aggregate, no window") {
+    import org.apache.spark.sql.execution.aggregate.HashAggregateExec
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    Seq("q84" -> graft.queries.WebQ.q84(spark, sf),
+        "q85" -> graft.queries.WebQ.q85(spark, sf)).foreach { case (n, df) =>
+      val plan = df.queryExecution.sparkPlan
+      assert(plan.collect { case j: BaseJoinExec => j }.isEmpty,
+        s"$n plans a join:\n$plan")
+      assert(plan.collect { case a: HashAggregateExec => a }.isEmpty,
+        s"$n plans an aggregate:\n$plan")
+      assert(plan.collect { case w: WindowExec => w }.isEmpty,
+        s"$n plans a window:\n$plan")
+    }
+  }
+
+  test("q86: n-gram strings stay map-side — every exchange and model aggregate is hash-keyed") {
+    import org.apache.spark.sql.execution.aggregate.{HashAggregateExec, ObjectHashAggregateExec, SortAggregateExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.types.StringType
+    val plan = graft.queries.LmQ.q86(spark, sf).queryExecution.sparkPlan
+    val groupings = plan.collect {
+      case a: HashAggregateExec => a.groupingExpressions
+      case a: ObjectHashAggregateExec => a.groupingExpressions
+      case a: SortAggregateExec => a.groupingExpressions
+    }
+    assert(groupings.nonEmpty)
+    groupings.foreach(g => assert(!g.exists(_.dataType == StringType),
+      s"a q86 model aggregate groups on a string: $g"))
+    val exchanges = physicalOf(graft.queries.LmQ.q86(spark, sf))
+      .collect { case e: ShuffleExchangeExec => e }
+    exchanges.foreach(e =>
+      assert(!e.output.exists(_.dataType == StringType),
+        s"a q86 exchange carries n-gram strings: ${e.output}"))
+  }
+
+  test("q88: the fill window is type-partitioned, never global") {
+    val plan = physicalOf(graft.queries.CoreB.q88(spark, sf))
+    assert(plan.toString.contains("windowspecdefinition(event_type"),
+      s"fill window not type-partitioned:\n$plan")
+  }
+
   test("no query plans a cartesian product or nested-loop join (except intentional broadcasts)") {
     // q34: tiny broadcast query set x corpus — the intended brute-force
     // baseline shape (q37 no longer needs the exemption: its k-means
     // phase is shuffle-free and its probe join is an equi-join);
-    // q57: a ONE-ROW broadcast corpus-count attaches via cross join
+    // q57/q86: a ONE-ROW broadcast corpus-count attaches via cross join
     // (the lazy alternative to a driver-side count() action)
-    val exempt = Set("q34_embed_cosine_topk", "q57_tfidf_terms")
+    val exempt = Set("q34_embed_cosine_topk", "q57_tfidf_terms",
+      "q86_trigram_backoff")
     SparkEntry.all.filterNot(e => exempt(e.name)).foreach { e =>
       val plan = e.run(spark, sf).queryExecution.sparkPlan.toString
       assert(!plan.contains("CartesianProduct"),

@@ -540,6 +540,7 @@ class StreamingSpec extends SparkSpec {
     val cfg = graft.pipeline.CorpusPrep.Config(
       langRates = Map("en" -> 0.7), defaultRate = 0.5, nShards = 4,
       scrubPii = true, stripMarkup = true,
+      badWords = Some(Seq("slow")),
       priorSnapshot = Some(s"$dir/p.bloom"),
       sourceRates = Some((0 until 20).map(i => s"src$i" ->
         (if (i % 3 == 0) 0.9 else 0.6)).toMap - "src7"))
@@ -569,7 +570,9 @@ class StreamingSpec extends SparkSpec {
       val scrubbedB = docs
         .withColumn("text", graft.queries.PrepQ.stripMarkup(col("text")))
         .withColumn("text", graft.queries.PrepQ.scrub(col("text")))
-      val gatedB = graft.operators.SnapshotBloom.gate(scrubbedB,
+      val wordedB = scrubbedB.filter(
+        graft.queries.WebQ.badWordCount(col("text"), Seq("slow")) === 0L)
+      val gatedB = graft.operators.SnapshotBloom.gate(wordedB,
         graft.operators.SnapshotBloom.load(spark, s"$dir/p.bloom"))
       val wDup = org.apache.spark.sql.expressions.Window
         .partitionBy(graft.functions.TextOps.textDigest(col("text")))

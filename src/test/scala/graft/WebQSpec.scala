@@ -1,0 +1,131 @@
+package graft
+
+import graft.queries.WebQ
+import org.apache.spark.sql.functions._
+
+/** Semantic pins for the raw-web hygiene operators (q84/q85). The
+  * exactness gate is the DuckDB oracle; these pin the individual
+  * normalization RULES on hand-computed cases the oracle only checks
+  * in aggregate.
+  */
+class WebQSpec extends SparkSpec {
+
+  test("q84: every normalization rule on hand-computed urls") {
+    val rows = WebQ.q84(spark, sf).collect()
+    val byId = rows.map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val nDocs = Tables(spark, sf).documents.count()
+    assert(rows.length == nDocs)
+
+    // doc 0: HTTP + WWW + :443 — scheme lowers, www strips, the
+    // NON-default port for http SURVIVES, utm params die, id/ref stay,
+    // fragment dies
+    val d0 = byId(0L)
+    assert(d0.getAs[String]("url_norm") ==
+      "http://news0.example0.com:443/art/0?id=0&ref=rss", d0.toString)
+    assert(d0.getAs[String]("host") == "news0.example0.com")
+    assert(d0.getAs[String]("domain") == "example0.com")
+    assert(d0.getAs[Long]("n_tracking") == 2L)
+    assert(d0.getAs[Long]("is_blocked") == 0L)
+
+    // doc 10: https + :443 — the scheme's OWN default port strips;
+    // every query param is tracking or absent -> no '?' at all
+    val d10 = byId(10L)
+    assert(d10.getAs[String]("url_norm") ==
+      "https://news10.example3.com/art/10", d10.toString)
+
+    // doc 7: mixed-case host, :8080 survives on https
+    val d7 = byId(7L)
+    assert(d7.getAs[String]("url_norm") ==
+      "https://news7.example0.com:8080/art/7?ref=rss", d7.toString)
+
+    // doc 16: :80 on https is NOT the default -> survives; 16 % 6 = 4
+    // so no ref param and the all-tracking query vanishes whole; domain
+    // example2.com is on the blocklist
+    val d16 = byId(16L)
+    assert(d16.getAs[String]("url_norm") ==
+      "https://news16.example2.com:80/art/16", d16.toString)
+    assert(d16.getAs[Long]("is_blocked") == 1L)
+
+    // global invariants: no fragment, no utm_, lowercase scheme/host,
+    // no www. prefix anywhere
+    rows.foreach { r =>
+      val u = r.getAs[String]("url_norm")
+      assert(!u.contains("#") && !u.contains("utm_"), u)
+      assert(u == u.toLowerCase, u)
+      assert(!r.getAs[String]("host").startsWith("www."), u)
+    }
+    // blocklist verdict consistent with the domain column
+    rows.foreach { r =>
+      val expect = WebQ.BlockedDomains.contains(r.getAs[String]("domain"))
+      assert(r.getAs[Long]("is_blocked") == (if (expect) 1L else 0L))
+    }
+  }
+
+  test("q85: verdict matches a driver-side recount; hits exist both ways") {
+    val out = WebQ.q85(spark, sf).collect()
+    val docs = Tables(spark, sf).documents
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        Option(r.getAs[String]("text")).getOrElse("")).toMap
+    assert(out.length == docs.size)
+    val bad = WebQ.BadWords.toSet
+    out.foreach { r =>
+      val toks = docs(r.getAs[Long]("doc_id")).toLowerCase.trim
+        .split("\\s+", -1).toSeq
+      val nBad = toks.count(bad)
+      assert(r.getAs[Long]("n_words") == toks.length, r.toString)
+      assert(r.getAs[Long]("n_bad") == nBad, r.toString)
+      assert(r.getAs[Long]("pass") == (if (nBad == 0) 1L else 0L))
+      assert(r.getAs[Long]("bad_frac9") ==
+        nBad.toLong * 1000000000L / toks.length)
+    }
+    // the filter must actually fire on this corpus, and also actually pass docs
+    assert(out.exists(_.getAs[Long]("pass") == 0L), "no doc tripped the list")
+    assert(out.exists(_.getAs[Long]("pass") == 1L), "no doc passed the list")
+  }
+
+  test("q90: composition branches behave per-rule; ascii rows untouched") {
+    val rows = WebQ.q90(spark, sf).collect()
+    assert(rows.length == Tables(spark, sf).documents.count())
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val before = r.getAs[Long]("n_cp_before")
+      val after = r.getAs[Long]("n_cp_after")
+      val changed = r.getAs[Long]("changed")
+      val norm = r.getAs[String]("text_nfc")
+      (id % 4) match {
+        case 0 => // decomposed e + U+0301 composes: one codepoint shorter
+          assert(changed == 1L && after == before - 1, r.toString)
+          assert(norm.endsWith(" caf\u00e9"), norm.takeRight(8))
+        case 1 => // precomposed: NFC fixed point
+          assert(changed == 0L && after == before, r.toString)
+        case 2 => // ANGSTROM SIGN is a singleton: codepoint SWAPS, count stays
+          assert(changed == 1L && after == before, r.toString)
+          assert(norm.contains(" \u00c5ngstr\u00f6m"), norm.takeRight(12))
+        case _ => // pure ascii: byte-identical
+          assert(changed == 0L && after == before, r.toString)
+      }
+    }
+  }
+
+  test("q89: injection populates every node, ranks are positive nano-unit mass, runs deterministic") {
+    // the N-constant premise: >= 500 sequential doc_ids cover every
+    // residue class mod 101 (both as sources and as targets)
+    val docs = Tables(spark, sf).documents
+    assert(docs.count() >= WebQ.PrNodes,
+      "injection premise broken: fewer docs than nodes")
+    val out = WebQ.q89(spark, sf).collect()
+    assert(out.length == WebQ.PrNodes, s"expected ${WebQ.PrNodes} nodes")
+    assert(out.map(_.getAs[Long]("node")).sorted.toSeq ==
+      (0L until WebQ.PrNodes).toSeq, "a residue class is missing")
+    out.foreach { r =>
+      val pr = r.getAs[Long]("pr9")
+      assert(pr > 0 && pr < 1000000000L, s"rank out of range: $r")
+    }
+    // total mass stays ~1e9 (each round: N·base + 0.85·prev − DIV dust)
+    val total = out.map(_.getAs[Long]("pr9")).sum
+    assert(total > 900000000L && total <= 1000000000L, s"mass drifted: $total")
+    val again = WebQ.q89(spark, sf).collect()
+    assert(out.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
+}
