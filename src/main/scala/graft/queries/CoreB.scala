@@ -947,6 +947,61 @@ object CoreB {
       |  ON d.event_type = cal.event_type AND d.day = cal.day
       |ORDER BY cal.event_type, cal.day""".stripMargin
 
+  /** q92: hierarchy flattening (transitive closure to the root) — the
+    * recursive-CTE workload (org charts, BOM explosion, category
+    * trees) Spark has no native recursion for, expressed as POINTER
+    * DOUBLING: each round every node's known ancestor pointer jumps
+    * twice as far (join state to itself on `anc = id`, add the
+    * depths), so a hierarchy of depth d flattens in ⌈log₂ d⌉ rounds —
+    * 6 rounds cover depth ≤ 64, far past any real org/BOM tree, and a
+    * corpus-scale taxonomy at 10¹² nodes is still depth ~40 ⇒ the
+    * SAME 6 rounds (the q53 label-doubling discipline; at production
+    * scale each round would localCheckpoint like q53 does).
+    *
+    * The corpus has no parent column, so (the q89 device) a
+    * deterministic FOREST is injected: ids 0–6 are roots, every other
+    * node's parent is `id DIV 3 - 2` (always ≥ 0 and < id, so the
+    * forest is well-founded and spans all docs — spec-asserted).
+    * Roots carry `anc = self, d = 0`: the doubling join is then total
+    * (a root joins itself, adding 0) and needs no null arms.
+    *
+    * Scale shape: 6 self-equi-joins on the id key + one presentation
+    * sort — each round is one co-keyed shuffle of (id, anc, d)
+    * triples; no window, no explode, no driver state at all. The
+    * oracle replays the closure as a DuckDB recursive CTE — exact.
+    */
+  def q92(s: SparkSession, dir: String): DataFrame = {
+    val init = Tables(s, dir).documents.select(
+      col("doc_id").as("id"),
+      when(col("doc_id") < 7, col("doc_id"))
+        .otherwise(expr("doc_id DIV 3 - 2")).as("anc"),
+      when(col("doc_id") < 7, 0L).otherwise(1L).as("d"))
+    var st = init
+    for (_ <- 1 to 6) {
+      val p = st.select(col("id").as("p_id"), col("anc").as("p_anc"),
+        col("d").as("p_d"))
+      st = st.join(p, st("anc") === p("p_id"))
+        .select(col("id"), col("p_anc").as("anc"),
+          (col("d") + col("p_d")).as("d"))
+    }
+    st.select(col("id").as("doc_id"), col("anc").as("root_id"),
+      col("d").cast("bigint").as("depth"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q92Sql: String =
+    """WITH RECURSIVE nodes AS (
+      |  SELECT doc_id AS id,
+      |    CASE WHEN doc_id < 7 THEN NULL ELSE doc_id // 3 - 2 END AS parent
+      |  FROM documents),
+      |r AS (
+      |  SELECT id, id AS root_id, CAST(0 AS BIGINT) AS depth
+      |  FROM nodes WHERE parent IS NULL
+      |  UNION ALL
+      |  SELECT n.id, r.root_id, CAST(r.depth + 1 AS BIGINT)
+      |  FROM nodes n JOIN r ON n.parent = r.id)
+      |SELECT id AS doc_id, root_id, depth FROM r ORDER BY doc_id""".stripMargin
+
   val entries: Seq[Entry] = Seq(
     Entry("q08_union_dedup", q08, Some(q08Sql)),
     Entry("q09_pivot", q09, Some(q09Sql)),
@@ -975,5 +1030,6 @@ object CoreB {
     Entry("q83_quality_audit", q83, Some(q83Sql)),
     Entry("q87_bloom_join", q87, Some(q87Sql)),
     Entry("q88_gapfill", q88, Some(q88Sql)),
+    Entry("q92_hierarchy", q92, Some(q92Sql)),
   )
 }

@@ -689,4 +689,85 @@ object Streams {
       .select(col("window.start").as("window_start"),
         col("j"), col("bucket"), col("cell_n"))
   }
+
+  // ---- exactly-once streaming upsert sink ----
+
+  /** Where [[upsertSink]] records applied micro-batch ids: a sidecar
+    * FILE next to the snapshot directory (never inside it —
+    * [[graft.pipeline.Merge.upsert]] publishes by whole-directory
+    * rename-swap, which would wipe an in-directory ledger on every
+    * batch).
+    */
+  def batchLedgerPath(targetPath: String): String = s"$targetPath._batches"
+
+  private def readLedger(spark: SparkSession, path: String): Set[Long] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Set.empty
+    else {
+      val in = fs.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .filter(_.nonEmpty).map(_.toLong).toSet
+      finally in.close()
+    }
+  }
+
+  private def writeLedger(spark: SparkSession, path: String,
+                          ids: Set[Long]): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val tmp = new org.apache.hadoop.fs.Path(path + ".tmp")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(tmp, true)
+    try out.write(ids.toSeq.sorted.mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+    org.apache.hadoop.fs.FileContext
+      .getFileContext(p.toUri, spark.sparkContext.hadoopConfiguration)
+      .rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
+  /** Apply one micro-batch to the keyed snapshot at `targetPath`
+    * through [[graft.pipeline.Merge.upsert]], idempotently under
+    * Structured Streaming's replay contract (after a crash the engine
+    * re-delivers the last uncommitted batch with the SAME batchId and
+    * contents). Returns false when the ledger says the batch already
+    * applied (replay fast-path: no merge job runs at all).
+    *
+    * The crash WINDOW between the merge publish and the ledger write
+    * is safe without any transaction: Merge.upsert is keyed SCD-1
+    * with deterministic version ordering, so re-merging the identical
+    * batch rows is a NO-OP on the snapshot — the ledger's job is to
+    * skip the cost and make idempotence auditable, not to carry the
+    * correctness (the spec proves both properties separately).
+    */
+  def applyUpsertBatch(batch: DataFrame, batchId: Long, targetPath: String,
+                       keys: Seq[String], versionCol: String,
+                       deleteCol: Option[String] = None): Boolean = {
+    val spark = batch.sparkSession
+    val ledger = batchLedgerPath(targetPath)
+    val applied = readLedger(spark, ledger)
+    if (applied.contains(batchId)) return false
+    graft.pipeline.Merge.upsert(spark, targetPath, batch, keys, versionCol,
+      deleteCol)
+    writeLedger(spark, ledger, applied + batchId)
+    true
+  }
+
+  /** The continuous mirror of the batch [[graft.pipeline.Merge]] load:
+    * a change stream (inserts/updates/tombstones) maintained as a
+    * queryable keyed parquet snapshot, exactly-once under micro-batch
+    * replay. Start with `.start()` (and a checkpointLocation option —
+    * the engine's offset log drives the batchId replay contract the
+    * ledger relies on).
+    */
+  def upsertSink(stream: DataFrame, targetPath: String,
+                 keys: Seq[String], versionCol: String,
+                 deleteCol: Option[String] = None)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream
+      .outputMode(OutputMode.Update())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        applyUpsertBatch(batch.toDF(), id, targetPath, keys, versionCol,
+          deleteCol)
+        ()
+      }
 }

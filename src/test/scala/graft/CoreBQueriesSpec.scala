@@ -162,4 +162,26 @@ class CoreBQueriesSpec extends SparkSpec {
     // the untouched dimension chain stays clean
     assert(rows("order_orphan_customer")._2 == 0L)
   }
+
+  test("q92: pointer-doubled closure equals a driver walk of the injected forest") {
+    val out = CoreB.q92(spark, sf).collect()
+    val n = Tables(spark, sf).documents.count()
+    assert(out.length == n, "closure must be total over the forest")
+    def parent(id: Long): Option[Long] =
+      if (id < 7) None else Some(id / 3 - 2)
+    out.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      // replay the chain on the driver: same root, same depth
+      var cur = id; var d = 0L
+      while (parent(cur).isDefined) { cur = parent(cur).get; d += 1 }
+      assert(r.getAs[Long]("root_id") == cur,
+        s"id=$id root ${r.getAs[Long]("root_id")} != walked $cur")
+      assert(r.getAs[Long]("depth") == d,
+        s"id=$id depth ${r.getAs[Long]("depth")} != walked $d")
+    }
+    // the doubling bound: 6 rounds must dominate the actual max depth
+    val maxDepth = out.map(_.getAs[Long]("depth")).max
+    assert(maxDepth <= 64, s"depth $maxDepth exceeds the 6-round bound")
+    assert(maxDepth >= 3, "fixture too shallow to exercise doubling")
+  }
 }

@@ -611,6 +611,44 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("upsertSink: change stream maintains the keyed snapshot; replay refused; re-merge a no-op") {
+    implicit val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("stream-upsert").toString
+    val target = s"$dir/snapshot"
+    val input = MemoryStream[(Long, Long, String, Boolean)](spark)
+    val stream = input.toDF().toDF("k", "ver", "v", "del")
+    val q = Streams.upsertSink(stream, target, Seq("k"), "ver",
+        deleteCol = Some("del"))
+      .option("checkpointLocation", s"$dir/ckpt").start()
+    try {
+      input.addData((1L, 1L, "a", false), (2L, 1L, "b", false))
+      q.processAllAvailable()
+      input.addData((1L, 2L, "a2", false), (3L, 1L, "c", false),
+        (2L, 2L, "", true))
+      q.processAllAvailable()
+    } finally q.stop()
+    def snap(): Map[Long, String] = spark.read.parquet(target).collect()
+      .map(r => r.getAs[Long]("k") -> r.getAs[String]("v")).toMap
+    val after = snap()
+    assert(after == Map(1L -> "a2", 3L -> "c"),
+      s"update/insert/tombstone merge wrong: $after")
+    // replay fast-path: a ledgered batchId is refused before any merge
+    val poison = Seq((1L, 9L, "MUST NOT LAND", false))
+      .toDF("k", "ver", "v", "del")
+    assert(!Streams.applyUpsertBatch(poison, 1L, target, Seq("k"), "ver",
+      Some("del")), "replayed batchId must be refused")
+    assert(snap() == after, "refused replay must not touch the snapshot")
+    // crash-window idempotence: the ledger write was 'lost' (new id),
+    // but re-merging the SAME batch rows leaves the snapshot identical
+    val sameRows = Seq((1L, 2L, "a2", false), (3L, 1L, "c", false),
+      (2L, 2L, "", true)).toDF("k", "ver", "v", "del")
+    assert(Streams.applyUpsertBatch(sameRows, 99L, target, Seq("k"), "ver",
+      Some("del")), "unseen batchId must apply")
+    assert(snap() == after,
+      "re-merging identical rows must be a no-op (version-ordered SCD-1)")
+  }
+
   test("decontaminate: streaming verdicts equal batch q54 for the same docs") {
     implicit val s = spark
     import s.implicits._
