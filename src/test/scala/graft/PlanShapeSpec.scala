@@ -408,6 +408,26 @@ class PlanShapeSpec extends SparkSpec {
         s"a q86 exchange carries n-gram strings: ${e.output}"))
   }
 
+  test("q86: all model consumers read the cached model — one reference scan, not six") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    val plan = physicalOf(graft.queries.LmQ.q86(spark, sf))
+    // six consumers: five scoring join sides + the corpus total
+    val cacheReads = plan.collect { case s: InMemoryTableScanExec => s }
+    assert(cacheReads.length >= 6,
+      s"model joins must read the cache (got ${cacheReads.length}):\n$plan")
+    // the ONLY live file scans are the scoring side + the totality
+    // join back to documents — the model consumers must not re-scan
+    // the reference partition (column pruning specializes their
+    // aggregates, so without the cache each one plans its own scan;
+    // the FileScan printed INSIDE InMemoryRelation is the cache's
+    // one-time build plan, not a per-consumer scan, and tree
+    // collection correctly does not see it)
+    val fileScans = plan.collect { case f: FileSourceScanExec => f }
+    assert(fileScans.length <= 2,
+      s"model consumers re-scan the corpus (${fileScans.length} scans):\n$plan")
+  }
+
   test("q88: the fill window is type-partitioned, never global") {
     val plan = physicalOf(graft.queries.CoreB.q88(spark, sf))
     assert(plan.toString.contains("windowspecdefinition(event_type"),
