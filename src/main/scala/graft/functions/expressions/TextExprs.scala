@@ -105,6 +105,11 @@ object TextExprs {
     * TextOps.bandKeys' hash(slice(sig, i*r+1, r))).
     */
   def bandKeys(sig: Column, b: Int, r: Int): Column = c(BandKeys(x(sig), b, r))
+
+  /** Fixed-point character-concentration index (q94): floor(10⁹ ·
+    * Σ cnt(c)² / n²) over the string's code points; 0 for empty/NULL.
+    */
+  def charConc9(s: Column): Column = c(CharConcentration(x(s)))
 }
 
 /** Hash kernels for the dedup expressions.
@@ -765,6 +770,86 @@ case class WordShingles(child: Expression, n: Int)
       i += 1
     }
     new GenericArrayData(seen.toArray)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Character-concentration index: the Simpson/Herfindahl index of the
+  * string's code-point distribution, in fixed-point nano-units —
+  * floor(10⁹ · Σ_c cnt(c)² / n²), where n is the code-point count.
+  * A gibberish/repetition quality signal (the collision-probability
+  * face of Rényi-2 entropy): uniform text over k distinct chars
+  * scores ≈10⁹/k, a single repeated char scores 10⁹. Unlike Shannon
+  * entropy it needs NO logarithm, so the value is a ratio of exact
+  * integers and DuckDB recomputes it bit-for-bit (per-char unnest +
+  * HUGEINT arithmetic) — the libm-free exactness rule of Q.scala.
+  *
+  * NULL/empty → 0 (the coalesce-totality convention; every doc keeps
+  * a row and a filter decides on a visible value).
+  *
+  * One O(n) pass per row: an open-addressing probe over a small
+  * power-of-two table keyed by code point (documents hold dozens of
+  * distinct chars, so the table stays in L1; resize doubles on 70%
+  * load). Σ cnt² ≤ n² can reach 10¹⁰ for long docs, so the final
+  * 10⁹-scaling runs in BigInteger — once per row, off the hot loop.
+  */
+case class CharConcentration(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = false
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    val s = if (v == null) "" else v.asInstanceOf[UTF8String].toString
+    val n = s.codePointCount(0, s.length)
+    if (n == 0) return java.lang.Long.valueOf(0L)
+    var cap = 64
+    var keys = new Array[Int](cap)      // code point + 1 (0 = empty slot)
+    var cnts = new Array[Long](cap)
+    var used = 0
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      i += Character.charCount(cp)
+      val k = cp + 1
+      var slot = (k * -1640531527) & (cap - 1) // Knuth multiplicative probe
+      while (keys(slot) != 0 && keys(slot) != k) slot = (slot + 1) & (cap - 1)
+      if (keys(slot) == 0) { keys(slot) = k; used += 1 }
+      cnts(slot) += 1L
+      if (used * 10 > cap * 7) { // resize at 70% load
+        val ok = keys; val oc = cnts; val ocap = cap
+        cap <<= 1
+        keys = new Array[Int](cap); cnts = new Array[Long](cap)
+        var j = 0
+        while (j < ocap) {
+          if (ok(j) != 0) {
+            var t = (ok(j) * -1640531527) & (cap - 1)
+            while (keys(t) != 0) t = (t + 1) & (cap - 1)
+            keys(t) = ok(j); cnts(t) = oc(j)
+          }
+          j += 1
+        }
+      }
+    }
+    var sumSq = java.math.BigInteger.ZERO
+    var acc = 0L // batch exact Long sums, widen only on (rare) risk
+    var j = 0
+    while (j < cap) {
+      if (keys(j) != 0) {
+        val sq = cnts(j) * cnts(j) // cnt ≤ n ≤ 2^31: no Long overflow
+        if (acc > Long.MaxValue - sq) {
+          sumSq = sumSq.add(java.math.BigInteger.valueOf(acc)); acc = 0L
+        }
+        acc += sq
+      }
+      j += 1
+    }
+    sumSq = sumSq.add(java.math.BigInteger.valueOf(acc))
+    val nn = java.math.BigInteger.valueOf(n.toLong).pow(2)
+    val scaled = sumSq.multiply(java.math.BigInteger.valueOf(1000000000L)).divide(nn)
+    java.lang.Long.valueOf(scaled.longValueExact())
   }
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)

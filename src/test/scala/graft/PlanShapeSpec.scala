@@ -434,6 +434,38 @@ class PlanShapeSpec extends SparkSpec {
       s"fill window not type-partitioned:\n$plan")
   }
 
+  test("q93: zorder bucketing is scan -> one hash aggregate; no join, exchange carries bucket+partials only") {
+    import org.apache.spark.sql.execution.aggregate.HashAggregateExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    import org.apache.spark.sql.types.StringType
+    val df = graft.queries.LayoutQ.q93(spark, sf)
+    val plan = df.queryExecution.sparkPlan
+    assert(plan.collect { case j: BaseJoinExec => j }.isEmpty,
+      s"q93 plans a join:\n$plan")
+    // partial + final of ONE aggregate, nothing else
+    assert(plan.collect { case a: HashAggregateExec => a }.size == 2,
+      s"q93 aggregate shape:\n$plan")
+    val exchanges = physicalOf(df).collect { case e: ShuffleExchangeExec => e }
+    assert(exchanges.nonEmpty)
+    exchanges.foreach(e => assert(!e.output.exists(_.dataType == StringType),
+      s"a q93 exchange carries strings: ${e.output}"))
+  }
+
+  test("q94: char concentration is one projection — no join, no aggregate, no window") {
+    import org.apache.spark.sql.execution.aggregate.HashAggregateExec
+    import org.apache.spark.sql.execution.joins.{BaseJoinExec, BroadcastNestedLoopJoinExec}
+    import org.apache.spark.sql.execution.window.WindowExec
+    val plan = graft.queries.LayoutQ.q94(spark, sf).queryExecution.sparkPlan
+    assert(plan.collect { case j: BaseJoinExec => j }.isEmpty &&
+      plan.collect { case j: BroadcastNestedLoopJoinExec => j }.isEmpty,
+      s"q94 plans a join:\n$plan")
+    assert(plan.collect { case a: HashAggregateExec => a }.isEmpty,
+      s"q94 plans an aggregate:\n$plan")
+    assert(plan.collect { case w: WindowExec => w }.isEmpty,
+      s"q94 plans a window:\n$plan")
+  }
+
   test("no query plans a cartesian product or nested-loop join (except intentional broadcasts)") {
     // q34: tiny broadcast query set x corpus — the intended brute-force
     // baseline shape (q37 no longer needs the exemption: its k-means
