@@ -51,18 +51,18 @@ import org.apache.spark.sql.functions._
   */
 object SubstrDedup {
 
-  /** Duplicated-run spans per document: (doc_id, span_start, span_end,
-    * n_tok), token positions 1-based inclusive, keep-lowest-doc.
+  /** Tokenize to the anchor frame both passes share: (doc_id, arr),
+    * docs under w tokens dropped (they cannot hold a ≥ w-token run).
     */
-  def spans(docs: DataFrame, w: Int,
-            idCol: Column = col("doc_id"),
-            textCol: Column = col("text")): DataFrame = {
-    require(w >= 2, s"window must be >= 2 tokens, got $w")
-    val toks = docs
+  private def tokenized(docs: DataFrame, w: Int,
+                        idCol: Column, textCol: Column): DataFrame =
+    docs
       .select(idCol.as("doc_id"),
         tokens(normText(coalesce(textCol, lit("")))).as("arr"))
-      // a doc under w tokens cannot hold a >= w-token run: no anchors
       .filter(size(col("arr")) >= w)
+
+  /** The exact pass over a pre-tokenized frame — see [[spans]]. */
+  private def spansFromToks(toks: DataFrame, w: Int): DataFrame = {
     // one row per anchor position; window BYTES die inside the native
     // kernel (one flatten + n range-digests per doc, no per-position
     // slice/concat_ws trees) — only (doc_id, p, hash) continues
@@ -92,6 +92,16 @@ object SubstrDedup {
       .orderBy(col("doc_id"), col("span_start"))
   }
 
+  /** Duplicated-run spans per document: (doc_id, span_start, span_end,
+    * n_tok), token positions 1-based inclusive, keep-lowest-doc.
+    */
+  def spans(docs: DataFrame, w: Int,
+            idCol: Column = col("doc_id"),
+            textCol: Column = col("text")): DataFrame = {
+    require(w >= 2, s"window must be >= 2 tokens, got $w")
+    spansFromToks(tokenized(docs, w, idCol, textCol), w)
+  }
+
   /** Winnow-selected anchor positions over a hash array — the
     * Schleimer et al. 2003 fingerprint selection (MOSS), per-window
     * form: every window of `winnow` consecutive w-gram hashes selects
@@ -117,6 +127,19 @@ object SubstrDedup {
     */
   def winnowSelect(shiftedCol: String, winnow: Int): Column =
     graft.functions.expressions.TextExprs.winnowPositions(col(shiftedCol), winnow)
+
+  /** The winnow-sampled anchor frame (doc_id, p, h): each doc's
+    * fingerprint positions with the UNSHIFTED w-gram hash at each.
+    * Shared by [[winnowedSpans]] (round-only use) and [[refinedSpans]]
+    * (as the detection round).
+    */
+  private def winnowAnchors(toks: DataFrame, w: Int, winnow: Int): DataFrame =
+    toks
+      .select(col("doc_id"), windowMd5Hashes(col("arr"), w).as("hs"))
+      .withColumn("hw", expr("transform(hs, h -> shiftrightunsigned(h, 1))"))
+      .select(col("doc_id"), col("hs"),
+        explode(winnowSelect("hw", winnow)).as("p"))
+      .select(col("doc_id"), col("p"), element_at(col("hs"), col("p").cast("int")).as("h"))
 
   /** The composed (higher-order-function) form of [[winnowSelect]] —
     * the literal Spark-SQL transcription of the DuckDB oracle's list
@@ -160,16 +183,8 @@ object SubstrDedup {
                     idCol: Column = col("doc_id"),
                     textCol: Column = col("text")): DataFrame = {
     require(w >= 2, s"window must be >= 2 tokens, got $w")
-    val toks = docs
-      .select(idCol.as("doc_id"),
-        tokens(normText(coalesce(textCol, lit("")))).as("arr"))
-      .filter(size(col("arr")) >= w)
-    val anch = toks
-      .select(col("doc_id"), windowMd5Hashes(col("arr"), w).as("hs"))
-      .withColumn("hw", expr("transform(hs, h -> shiftrightunsigned(h, 1))"))
-      .select(col("doc_id"), col("hs"),
-        explode(winnowSelect("hw", winnow)).as("p"))
-      .select(col("doc_id"), col("p"), element_at(col("hs"), col("p").cast("int")).as("h"))
+    val toks = tokenized(docs, w, idCol, textCol)
+    val anch = winnowAnchors(toks, w, winnow)
     val dup = anch.groupBy(col("h"))
       .agg(count_distinct(col("doc_id")).as("df"), min(col("doc_id")).as("keeper"))
       .filter(col("df") >= 2)
@@ -194,6 +209,58 @@ object SubstrDedup {
         count(lit(1)).as("n_anchors"))
       .select(col("doc_id"), col("span_start"), col("span_end"), col("n_anchors"))
       .orderBy(col("doc_id"), col("span_start"))
+  }
+
+  /** Refined (detect-then-localize) duplicated-run spans — the
+    * missing middle between [[winnowedSpans]] (cheap, conservative
+    * boundaries) and [[spans]] (exact, full-corpus cost):
+    *
+    *  - Round 1 DETECTS at winnowed cost: the fingerprint pass marks
+    *    every document involved in any shared fingerprint — certain
+    *    for all runs ≥ w + winnow − 1 tokens (Schleimer's guarantee),
+    *    at ~2/(winnow+1) of the exact pass's shuffle volume.
+    *  - Round 2 LOCALIZES exactly, but only over that cohort: the
+    *    full per-position pass of [[spans]] restricted (left-semi) to
+    *    detected docs recovers maximal-island boundaries identical to
+    *    what the exact pass computes for those docs.
+    *
+    * On a web corpus where duplicate-bearing docs are a few percent,
+    * round 2's full-resolution volume is that few percent of the
+    * corpus — the 100 TB shape the full exact pass lacks.
+    *
+    * Semantics, stated honestly: boundaries and keeper attribution
+    * are computed WITHIN the detected cohort. A doc whose only
+    * overlap is sub-threshold (shares w-grams but never a ≥
+    * w + winnow − 1 run) is invisible to round 1, so (a) its own
+    * short runs are not reported (same blind spot as
+    * [[winnowedSpans]]) and (b) it cannot serve as keeper for grams
+    * it shares with cohort docs — attribution falls to the lowest
+    * COHORT doc. Per doc, refined marks ⊆ exact marks (fewer lower
+    * docs can out-rank) and ⊇ winnowed marks (round 2 sees every
+    * position, not just fingerprints), so each winnowed span is
+    * contained in a refined span and each refined span in an exact
+    * span — the sandwich SubstrDedupSpec pins.
+    */
+  def refinedSpans(docs: DataFrame, w: Int, winnow: Int,
+                   idCol: Column = col("doc_id"),
+                   textCol: Column = col("text")): DataFrame = {
+    require(w >= 2, s"window must be >= 2 tokens, got $w")
+    val toks = tokenized(docs, w, idCol, textCol)
+    val anch = winnowAnchors(toks, w, winnow)
+    // round 1: docs involved in ANY shared fingerprint — keepers AND
+    // non-keepers both; round 2 needs the keeper's positions present
+    // to draw boundaries and attribute ownership
+    val dupF = anch.groupBy(col("h"))
+      .agg(count_distinct(col("doc_id")).as("df"))
+      .filter(col("df") >= 2)
+    val involved = anch.join(dupF, "h").select("doc_id").distinct()
+    // round 2: the exact pass, cohort-only (left-semi keeps the
+    // involved frame on the build side; AQE broadcasts it while
+    // small). `toks` is evaluated by both rounds — a production
+    // corpus run persists it (or lands round 1's cohort ids as a
+    // sidecar) rather than re-tokenizing; at query scope the second
+    // scan is the cheaper, pushdown-pruned read.
+    spansFromToks(toks.join(involved, Seq("doc_id"), "left_semi"), w)
   }
 
   /** Per-doc span LISTS of [[spans]] — one row per doc that has any

@@ -184,8 +184,80 @@ object SubstrQ {
        |ORDER BY doc_id, span_start""".stripMargin
   }
 
+  /** q95: detect-then-localize substring dedup
+    * ([[graft.operators.SubstrDedup.refinedSpans]]) — q78's winnowed
+    * fingerprint pass finds the duplicate-involved cohort at sampled
+    * cost, then q74's exact pass runs over ONLY that cohort, so the
+    * output carries q74's exact maximal-island boundaries (not q78's
+    * anchor-window unions) while the full-resolution volume is the
+    * cohort's share of the corpus, not all of it. Same q74 output
+    * shape; boundaries/keepers computed within the cohort (see the
+    * operator scaladoc for the sub-threshold caveat).
+    */
+  def q95(s: SparkSession, dir: String): DataFrame =
+    graft.operators.SubstrDedup.refinedSpans(
+      Tables(s, dir).documents, SubstrWindow, WinnowWindow)
+
+  /** DuckDB mirror of q95: q78's detection CTEs (through `dup`)
+    * shrink to the involved-doc cohort, then q74's exact chain runs
+    * with its position source restricted to that cohort.
+    */
+  val q95Sql: String = {
+    val w = SubstrWindow
+    val ww = WinnowWindow
+    val win = s"list_slice(hw, s, s + least($ww, len(hw)) - 1)"
+    s"""WITH toks AS (
+       |  SELECT doc_id, regexp_split_to_array(
+       |    trim(lower(trim(regexp_replace(coalesce(text, ''), '\\s+', ' ', 'g')))), '\\s+') AS a
+       |  FROM documents),
+       |hsrc AS (
+       |  SELECT doc_id,
+       |    list_transform(generate_series(1, len(a) - ${w - 1}),
+       |      p -> md5_number_lower(array_to_string(list_slice(a, p, p + ${w - 1}), ' '))) AS hs
+       |  FROM toks WHERE len(a) >= $w),
+       |hw2 AS (
+       |  SELECT doc_id, hs, list_transform(hs, h -> h >> 1) AS hw FROM hsrc),
+       |sel AS (
+       |  SELECT doc_id, hs,
+       |    unnest(list_distinct(list_transform(
+       |      generate_series(1, greatest(len(hw) - ${ww - 1}, 1)),
+       |      s -> CAST(s - 1 + least($ww, len(hw)) + 1
+       |           - list_position(list_reverse($win), list_min($win)) AS BIGINT)))) AS p
+       |  FROM hw2),
+       |anch AS (SELECT doc_id, p, hs[p] AS h FROM sel),
+       |dupf AS (
+       |  SELECT h FROM anch GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+       |inv AS (
+       |  SELECT DISTINCT anch.doc_id FROM anch JOIN dupf USING (h)),
+       |pos AS (
+       |  SELECT doc_id, a,
+       |    unnest(generate_series(1, len(a) - ${w - 1})) AS p
+       |  FROM toks
+       |  WHERE len(a) >= $w AND doc_id IN (SELECT doc_id FROM inv)),
+       |ph AS (
+       |  SELECT doc_id, p,
+       |    md5_number_lower(array_to_string(list_slice(a, p, p + ${w - 1}), ' ')) AS h
+       |  FROM pos),
+       |dup AS (
+       |  SELECT h, min(doc_id) AS keeper
+       |  FROM ph GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+       |mk AS (
+       |  SELECT ph.doc_id, ph.p
+       |  FROM ph JOIN dup USING (h) WHERE ph.doc_id <> dup.keeper),
+       |isl AS (
+       |  SELECT doc_id, p,
+       |    p - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY p) AS grp
+       |  FROM mk)
+       |SELECT doc_id, CAST(min(p) AS BIGINT) AS span_start,
+       |  CAST(max(p) + ${w - 1} AS BIGINT) AS span_end,
+       |  CAST(max(p) + $w - min(p) AS BIGINT) AS n_tok
+       |FROM isl GROUP BY doc_id, grp
+       |ORDER BY doc_id, span_start""".stripMargin
+  }
+
   val entries: Seq[Entry] = Seq(
     Entry("q74_substr_spans", q74, Some(q74Sql)),
     Entry("q75_substr_strip", q75, Some(q75Sql)),
-    Entry("q78_substr_winnow", q78, Some(q78Sql)))
+    Entry("q78_substr_winnow", q78, Some(q78Sql)),
+    Entry("q95_substr_refine", q95, Some(q95Sql)))
 }

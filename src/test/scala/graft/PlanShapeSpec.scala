@@ -307,6 +307,18 @@ class PlanShapeSpec extends SparkSpec {
         s"a q78 exchange carries strings/arrays: ${e.output}"))
   }
 
+  test("q95: both rounds keep text map-side — no exchange carries a string or array") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.types.{ArrayType, StringType}
+    val exchanges = physicalOf(graft.queries.SubstrQ.q95(spark, sf))
+      .collect { case e: ShuffleExchangeExec => e }
+    assert(exchanges.nonEmpty)
+    exchanges.foreach(e =>
+      assert(!e.output.exists(a => a.dataType == StringType ||
+        a.dataType.isInstanceOf[ArrayType]),
+        s"a q95 exchange carries strings/arrays: ${e.output}"))
+  }
+
   test("q72: shingle strings stay map-side — every exchange and aggregate key is hash/doc-keyed") {
     import org.apache.spark.sql.execution.aggregate.{HashAggregateExec, ObjectHashAggregateExec, SortAggregateExec}
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec

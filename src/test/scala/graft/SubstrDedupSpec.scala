@@ -171,6 +171,67 @@ class SubstrDedupSpec extends SparkSpec {
     }
   }
 
+  test("refined spans: exact boundaries for threshold runs; cohort-keeper caveat pinned") {
+    val run = (1 to 25).map(i => s"r$i").mkString(" ") // >= 16+8-1 tokens
+    val d = docs(
+      1L -> s"u1 u2 u3 $run u4 u5",
+      2L -> s"v1 $run v2 v3 v4 v5 v6",
+      3L -> (1 to 40).map(i => s"w$i").mkString(" "))
+    val refined = SubstrDedup.refinedSpans(d, w = 16, winnow = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val exact = SubstrDedup.spans(d, w = 16).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // every doc pair sharing a run here is >= threshold, so the cohort
+    // covers all duplicate docs and refined == exact — boundaries
+    // recovered EXACTLY, unlike q78's anchor-window unions
+    assert(refined.toSeq == exact.toSeq,
+      s"refined ${refined.toSeq} != exact ${exact.toSeq}")
+    // doc 2's run occupies tokens 2..26 exactly
+    assert(refined.toSeq == Seq((2L, 2L, 26L, 25L)), refined.toSeq)
+
+    // the documented caveat: doc 0 shares ONLY a sub-threshold 16-gram
+    // with doc 2 (16 < 23), stays outside the cohort, and so cannot
+    // out-rank doc 1 as keeper — the exact pass WOULD attribute doc
+    // 1's copy to doc 0, the refined pass does not see doc 0 at all
+    val sub = (1 to 16).map(i => s"s$i").mkString(" ")
+    val d2 = docs(
+      0L -> s"z1 z2 $sub z3 z4",
+      1L -> s"u1 u2 u3 $run $sub",
+      2L -> s"v1 $run v2 v3 v4 v5 v6")
+    val ref2 = SubstrDedup.refinedSpans(d2, w = 16, winnow = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val ex2 = SubstrDedup.spans(d2, w = 16).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // exact marks doc 1's sub gram (keeper 0) — refined must not,
+    // but still must carry doc 2's threshold run exactly; and every
+    // refined span must sit inside an exact span (the sandwich)
+    assert(ex2.exists(_._1 == 1L), s"exact lost the caveat case: ${ex2.toSeq}")
+    assert(!ref2.exists(_._1 == 1L), s"refined saw the sub-threshold doc: ${ref2.toSeq}")
+    assert(ref2.exists { case (id, s0, e0, _) => id == 2L && s0 == 2L && e0 == 26L },
+      s"refined lost the threshold run: ${ref2.toSeq}")
+    ref2.foreach { case (id, s0, e0, _) =>
+      assert(ex2.exists { case (xi, xs, xe, _) => xi == id && xs <= s0 && e0 <= xe },
+        s"refined span ($id,$s0,$e0) outside exact ${ex2.toSeq}")
+    }
+  }
+
+  test("q95 on the real corpus: sandwich q78 <= q95 <= q74 holds span-for-span") {
+    val refined = queries.SubstrQ.q95(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val exact = queries.SubstrQ.q74(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val winnowed = queries.SubstrQ.q78(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    refined.foreach { case (id, s0, e0) =>
+      assert(exact.exists { case (xi, xs, xe) => xi == id && xs <= s0 && e0 <= xe },
+        s"q95 span ($id,$s0,$e0) not contained in any q74 span")
+    }
+    winnowed.foreach { case (id, s0, e0) =>
+      assert(refined.exists { case (xi, xs, xe) => xi == id && xs <= s0 && e0 <= xe },
+        s"q78 span ($id,$s0,$e0) not contained in any q95 span")
+    }
+  }
+
   test("q78 on the real corpus: spans subset q74's, anchors sampled at ~2/(W+1)") {
     val qw = queries.SubstrQ.q78(spark, sf).collect()
     val exact = queries.SubstrQ.q74(spark, sf).collect()
