@@ -214,4 +214,172 @@ object Merge {
       }
     } finally { upd.unpersist(); () }
   }
+
+  final case class Scd2Stats(
+      updateRows: Long, inserted: Long, closed: Long, deleted: Long,
+      suppressed: Long, resultRows: Long, currentRows: Long)
+
+  /** SCD-2 (history-keeping) merge: instead of replacing a key's row,
+    * each change CLOSES the key's current validity interval and opens
+    * a new one — the snapshot answers "what did this row look like at
+    * version v" for every v, the dimension-table contract `upsert`'s
+    * SCD-1 semantics discard.
+    *
+    * Snapshot schema = payload columns + `_valid_from` (the version
+    * that opened the interval), `_valid_to` (the version that closed
+    * it; null while open) and `_is_current`. Update rows carry the
+    * payload plus `versionCol` (the effective-from value) and the
+    * optional tombstone column.
+    *
+    * Semantics per key, applied in version order within one merge:
+    *  - a row whose payload DIFFERS from the key's latest surviving
+    *    state closes that state at its version and opens a new
+    *    interval [version, next-change);
+    *  - a payload-identical row is SUPPRESSED (idempotence: re-running
+    *    yesterday's feed inserts nothing and closes nothing);
+    *  - a tombstone closes the open interval and opens none (the key
+    *    has no current row until a later update re-inserts it —
+    *    which is NOT suppressed even if payload-identical, because
+    *    the preceding state is "absent");
+    *  - rows at or below the key's open `_valid_from` are LATE
+    *    duplicates and are dropped (history rewrite is restore-from-
+    *    snapshot territory, not a merge);
+    *  - two update rows with the same key AND version keep one
+    *    deterministic winner (full-row-hash order, the upsert rule).
+    *
+    * Shape: closed history passes through untouched; the key's open
+    * row unions with the batch and ONE window partitioning (shared by
+    * the dedup rank, the change-suppression lag and the interval-
+    * closing lead) does everything — no join anywhere. The publish is
+    * the same two-rename swap as [[upsert]], so readers never see a
+    * half-written snapshot. At 100 TB, wrap with the
+    * [[upsertPartitioned]] pruning device: only partitions the batch
+    * touches are rewritten.
+    */
+  def scd2(spark: SparkSession, targetPath: String, updates: DataFrame,
+           keys: Seq[String], versionCol: String,
+           deleteCol: Option[String] = None): Scd2Stats = {
+    require(keys.nonEmpty, "merge needs at least one key column")
+    val metaCols = Seq("_valid_from", "_valid_to", "_is_current")
+    require(!updates.columns.exists(metaCols.contains),
+      s"scd2: update batch must not carry ${metaCols.mkString("/")}")
+    val fs = new Path(targetPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val oldP = new Path(targetPath + "._graft_old")
+    if (!fs.exists(new Path(targetPath)) && fs.exists(oldP)) {
+      if (!fs.rename(oldP, new Path(targetPath)))
+        throw new java.io.IOException(s"merge recovery: cannot reinstate $oldP")
+    }
+    val exists = fs.exists(new Path(targetPath))
+
+    val del = deleteCol.getOrElse("_graft_delete")
+    val updData = updates.drop(deleteCol.toSeq: _*)
+    val payload = updData.columns.filterNot(c =>
+      keys.contains(c) || c == versionCol).toSeq
+    val upd = (if (deleteCol.isDefined) updates
+               else updates.withColumn(del, lit(false)))
+      .withColumn("_graft_src", lit(1))
+      .cache()
+
+    val tgt = if (exists) spark.read.parquet(targetPath)
+              else spark.createDataFrame(
+                spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+                org.apache.spark.sql.types.StructType(
+                  updData.schema.fields.filterNot(_.name == versionCol) ++
+                    Seq(
+                      updData.schema(versionCol).copy(name = "_valid_from"),
+                      // open intervals store null: nullable regardless
+                      // of the version column's own nullability
+                      updData.schema(versionCol)
+                        .copy(name = "_valid_to", nullable = true),
+                      org.apache.spark.sql.types.StructField(
+                        "_is_current", org.apache.spark.sql.types.BooleanType))))
+    require(tgt.columns.map(_.toLowerCase).sorted.toSeq ==
+      ((keys ++ payload).map(_.toLowerCase) ++ metaCols).sorted,
+      s"scd2: snapshot schema ${tgt.columns.toSeq} does not match batch + metadata")
+
+    val hist = tgt.filter(!col("_is_current"))
+    val active = tgt.filter(col("_is_current"))
+      .select((keys ++ payload).map(col) :+
+        col("_valid_from").as(versionCol): _*)
+      .withColumn(del, lit(false))
+      .withColumn("_graft_src", lit(0))
+
+    // ONE key partitioning drives every step below — Spark reuses the
+    // exchange across the stacked window functions
+    val wKey = Window.partitionBy(keys.map(col): _*)
+    val wSeq = wKey.orderBy(col(versionCol).asc, col("_graft_src").asc,
+      xxhash64((payload :+ del).map(col): _*).asc)
+
+    val unioned = active.unionByName(upd.select(active.columns.map(col): _*))
+      // same-key same-version duplicates: deterministic single winner
+      .withColumn("_dup_rn", row_number().over(
+        Window.partitionBy((keys :+ versionCol).map(col): _*)
+          .orderBy(col("_graft_src").asc,
+            xxhash64((payload :+ del).map(col): _*).asc)))
+      .filter(col("_dup_rn") === 1)
+      // late rows: at or below the open interval's valid_from
+      .withColumn("_actv", max(when(col("_graft_src") === 0,
+        col(versionCol))).over(wKey))
+      .filter(col("_graft_src") === 0 ||
+        col("_actv").isNull || col(versionCol) > col("_actv"))
+
+    val ph = xxhash64(payload.map(col): _*)
+    val staged = unioned
+      .withColumn("_prev_ph", lag(ph, 1).over(wSeq))
+      .withColumn("_prev_tomb", lag(col(del), 1).over(wSeq))
+      // survivors: first-ever live row / re-insert after tombstone /
+      // tombstone of a live state / genuine payload change
+      .withColumn("_keep",
+        (col("_prev_ph").isNull && !col(del)) ||
+          (col("_prev_ph").isNotNull && col("_prev_tomb") && !col(del)) ||
+          (col("_prev_ph").isNotNull && !col("_prev_tomb") && col(del)) ||
+          (col("_prev_ph").isNotNull && !col("_prev_tomb") && !col(del) &&
+            ph =!= col("_prev_ph")))
+      .filter(col("_keep"))
+      // interval close: next SURVIVOR's version (tombstones close and
+      // then vanish); computed over the same key partitioning
+      .withColumn("_valid_to", lead(col(versionCol), 1).over(wSeq))
+      .cache()
+
+    try {
+      val a = staged.groupBy().agg(
+        count(when(!col(del) && col("_graft_src") === 1, 1)).as("inserted"),
+        count(when(col("_valid_to").isNotNull, 1)).as("closed"),
+        count(when(col(del), 1)).as("deleted"),
+        count(when(col("_graft_src") === 1, 1)).as("kept_upd"))
+        .collect()(0)
+
+      val out = staged.filter(!col(del))
+        .select((keys ++ payload).map(col) ++ Seq(
+          col(versionCol).as("_valid_from"),
+          col("_valid_to"),
+          col("_valid_to").isNull.as("_is_current")): _*)
+        .unionByName(hist)
+
+      val tmp = new Path(targetPath + "._graft_tmp")
+      val dst = new Path(targetPath)
+      val old = new Path(targetPath + "._graft_old")
+      out.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+      if (exists) {
+        if (fs.exists(old)) fs.delete(old, true)
+        if (!fs.rename(dst, old))
+          throw new java.io.IOException(s"merge swap: cannot retire $dst")
+      }
+      if (!fs.rename(tmp, dst))
+        throw new java.io.IOException(s"merge swap: cannot publish $tmp")
+      fs.delete(old, true)
+
+      val published = spark.read.parquet(targetPath)
+      val updRows = upd.count()
+      Scd2Stats(
+        updateRows = updRows,
+        inserted = a.getLong(0),
+        closed = a.getLong(1),
+        deleted = a.getLong(2),
+        suppressed = updRows - a.getLong(3),
+        resultRows = published.count(),
+        currentRows = published.filter(col("_is_current")).count())
+    } finally { staged.unpersist(); upd.unpersist(); () }
+  }
 }

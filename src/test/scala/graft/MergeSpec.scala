@@ -128,6 +128,106 @@ class MergeSpec extends SparkSpec {
     assert(e.getMessage.contains("region"))
   }
 
+  test("scd2: change closes the interval, no-change suppresses, delete ends history") {
+    import spark.implicits._
+    val path = tmpDir()
+    // bootstrap: three keys at version 1
+    val s0 = Merge.scd2(spark, path,
+      Seq((1L, "a", 1L), (2L, "b", 1L), (3L, "c", 1L)).toDF("id", "payload", "ver"),
+      keys = Seq("id"), versionCol = "ver")
+    assert(s0.inserted == 3 && s0.closed == 0 && s0.currentRows == 3, s"$s0")
+
+    // batch: key 1 changes (close + open), key 2 unchanged (suppress),
+    // key 3 tombstoned (close, nothing opens), key 4 new
+    val batch = Seq(
+      (1L, "a2", 5L, false),
+      (2L, "b", 5L, false),
+      (3L, "c", 5L, true),
+      (4L, "d", 5L, false)).toDF("id", "payload", "ver", "is_del")
+    val s = Merge.scd2(spark, path, batch,
+      keys = Seq("id"), versionCol = "ver", deleteCol = Some("is_del"))
+    assert(s.inserted == 2 && s.closed == 2 && s.deleted == 1 &&
+      s.suppressed == 1, s"$s")
+
+    val snap = spark.read.parquet(path)
+      .select("id", "payload", "_valid_from", "_valid_to", "_is_current")
+      .as[(Long, String, Long, Option[Long], Boolean)].collect().toSet
+    assert(snap == Set(
+      (1L, "a", 1L, Some(5L), false),   // closed at the change
+      (1L, "a2", 5L, None, true),       // the new open interval
+      (2L, "b", 1L, None, true),        // suppressed: untouched
+      (3L, "c", 1L, Some(5L), false),   // tombstoned: closed, no current
+      (4L, "d", 5L, None, true)), s"snapshot: $snap")
+    assert(s.currentRows == 3 && s.resultRows == 5, s"$s")
+  }
+
+  test("scd2: idempotent re-apply, late rows dropped, re-insert after delete not suppressed") {
+    import spark.implicits._
+    val path = tmpDir()
+    Merge.scd2(spark, path,
+      Seq((1L, "a", 3L)).toDF("id", "payload", "ver"),
+      keys = Seq("id"), versionCol = "ver")
+
+    // re-applying the exact same feed must change NOTHING
+    val again = Merge.scd2(spark, path,
+      Seq((1L, "a", 3L)).toDF("id", "payload", "ver"),
+      keys = Seq("id"), versionCol = "ver")
+    assert(again.inserted == 0 && again.closed == 0 &&
+      again.resultRows == 1, s"$again")
+
+    // a LATE row (version <= open valid_from) is dropped even if it
+    // differs — history rewrite is not a merge
+    val late = Merge.scd2(spark, path,
+      Seq((1L, "z", 2L)).toDF("id", "payload", "ver"),
+      keys = Seq("id"), versionCol = "ver")
+    assert(late.inserted == 0 && late.suppressed == 1, s"$late")
+
+    // delete then payload-identical re-insert IN ONE BATCH: the
+    // re-insert survives (prior state is "absent", not "a")
+    val s = Merge.scd2(spark, path,
+      Seq((1L, "a", 5L, true), (1L, "a", 7L, false))
+        .toDF("id", "payload", "ver", "is_del"),
+      keys = Seq("id"), versionCol = "ver", deleteCol = Some("is_del"))
+    assert(s.inserted == 1 && s.deleted == 1, s"$s")
+    val snap = spark.read.parquet(path)
+      .select("id", "payload", "_valid_from", "_valid_to", "_is_current")
+      .as[(Long, String, Long, Option[Long], Boolean)].collect().toSet
+    assert(snap == Set(
+      (1L, "a", 3L, Some(5L), false),
+      (1L, "a", 7L, None, true)), s"snapshot: $snap")
+  }
+
+  test("scd2: a multi-version batch chains intervals; same-version dup keeps one winner") {
+    import spark.implicits._
+    val path = tmpDir()
+    // one batch carrying a key's whole life: a@1, a@2 (suppressed),
+    // b@4, b@4 dup (one winner), c@9
+    val s = Merge.scd2(spark, path,
+      Seq((1L, "a", 1L), (1L, "a", 2L), (1L, "b", 4L), (1L, "b", 4L),
+        (1L, "c", 9L)).toDF("id", "payload", "ver"),
+      keys = Seq("id"), versionCol = "ver")
+    assert(s.inserted == 3 && s.closed == 2, s"$s")
+    val snap = spark.read.parquet(path)
+      .select("payload", "_valid_from", "_valid_to", "_is_current")
+      .as[(String, Long, Option[Long], Boolean)].collect().toSet
+    assert(snap == Set(
+      ("a", 1L, Some(4L), false),
+      ("b", 4L, Some(9L), false),
+      ("c", 9L, None, true)), s"snapshot: $snap")
+    // closed history is immutable: the next merge passes it through
+    val s2 = Merge.scd2(spark, path,
+      Seq((1L, "d", 11L)).toDF("id", "payload", "ver"),
+      keys = Seq("id"), versionCol = "ver")
+    assert(s2.resultRows == 4 && s2.currentRows == 1, s"$s2")
+    val cur = spark.read.parquet(path).filter(col("_is_current"))
+      .select("payload", "_valid_from").as[(String, Long)].collect().toSeq
+    assert(cur == Seq(("d", 11L)))
+    val closedC = spark.read.parquet(path)
+      .filter(col("payload") === "c").select("_valid_to")
+      .as[Option[Long]].collect().toSeq
+    assert(closedC == Seq(Some(11L)), s"c not closed at 11: $closedC")
+  }
+
   test("upsert plan: one exchange on the key, no join") {
     import spark.implicits._
     val path = tmpDir()
