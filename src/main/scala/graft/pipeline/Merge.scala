@@ -53,17 +53,9 @@ object Merge {
     require(keys.nonEmpty, "merge needs at least one key column")
     val fs = new Path(targetPath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // crash recovery: a failure between the two publish renames leaves
-    // the previous snapshot retired at `._graft_old` and nothing at the
-    // target — reinstate it before merging, or the bootstrap path below
-    // would silently ignore all existing data
-    val oldP = new Path(targetPath + "._graft_old")
-    if (!fs.exists(new Path(targetPath)) && fs.exists(oldP)) {
-      if (!fs.rename(oldP, new Path(targetPath)))
-        throw new java.io.IOException(
-          s"merge recovery: cannot reinstate $oldP")
-    }
-    val exists = fs.exists(new Path(targetPath))
+    // crash recovery first (see [[Snapshot]]): skipping it would treat
+    // a half-published target as a fresh bootstrap and drop data
+    val exists = Snapshot.recoverAndExists(fs, targetPath)
 
     val del = deleteCol.getOrElse("_graft_delete")
     // one materialization of the caller's plan: it feeds the union AND
@@ -143,20 +135,7 @@ object Merge {
       val result = merged.filter(!col(del))
         .drop(del, "_graft_src", "_graft_rn", "_graft_had_tgt")
 
-      // write beside the target, then swap: readers either see the old
-      // complete snapshot or the new one, never a partial directory
-      val tmp = new Path(targetPath + "._graft_tmp")
-      val dst = new Path(targetPath)
-      val old = new Path(targetPath + "._graft_old")
-      result.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-      if (exists) {
-        if (fs.exists(old)) fs.delete(old, true)
-        if (!fs.rename(dst, old))
-          throw new java.io.IOException(s"merge swap: cannot retire $dst")
-      }
-      if (!fs.rename(tmp, dst))
-        throw new java.io.IOException(s"merge swap: cannot publish $tmp")
-      fs.delete(old, true)
+      Snapshot.publish(fs, targetPath, exists, result)
 
       Stats(
         targetRows = a.getLong(5),
@@ -265,12 +244,7 @@ object Merge {
       s"scd2: update batch must not carry ${metaCols.mkString("/")}")
     val fs = new Path(targetPath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val oldP = new Path(targetPath + "._graft_old")
-    if (!fs.exists(new Path(targetPath)) && fs.exists(oldP)) {
-      if (!fs.rename(oldP, new Path(targetPath)))
-        throw new java.io.IOException(s"merge recovery: cannot reinstate $oldP")
-    }
-    val exists = fs.exists(new Path(targetPath))
+    val exists = Snapshot.recoverAndExists(fs, targetPath)
 
     val del = deleteCol.getOrElse("_graft_delete")
     val updData = updates.drop(deleteCol.toSeq: _*)
@@ -357,18 +331,7 @@ object Merge {
           col("_valid_to").isNull.as("_is_current")): _*)
         .unionByName(hist)
 
-      val tmp = new Path(targetPath + "._graft_tmp")
-      val dst = new Path(targetPath)
-      val old = new Path(targetPath + "._graft_old")
-      out.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-      if (exists) {
-        if (fs.exists(old)) fs.delete(old, true)
-        if (!fs.rename(dst, old))
-          throw new java.io.IOException(s"merge swap: cannot retire $dst")
-      }
-      if (!fs.rename(tmp, dst))
-        throw new java.io.IOException(s"merge swap: cannot publish $tmp")
-      fs.delete(old, true)
+      Snapshot.publish(fs, targetPath, exists, out)
 
       val published = spark.read.parquet(targetPath)
       val updRows = upd.count()

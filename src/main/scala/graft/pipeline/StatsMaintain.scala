@@ -1,0 +1,171 @@
+package graft.pipeline
+
+import graft.operators.Hll
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Incremental aggregate-view maintenance: keep a per-group statistics
+  * snapshot (counts, sums, min/max, distinct-count sketch) up to date
+  * by merging each arriving batch's PARTIALS into the snapshot —
+  * never rescanning the corpus. At 100 TB this is the difference
+  * between "nightly stats = nightly full scan" and "nightly stats =
+  * one pass over the day's increment + a merge the size of the group
+  * count".
+  *
+  * Everything stored is a MERGEABLE partial, so maintenance is an
+  * associative fold and the maintained snapshot is bit-identical to
+  * recomputing from all data at once (the StatsMaintainSpec
+  * invariant):
+  *  - `n` — row count (merge: sum);
+  *  - `sum_<c>` — sums in decimal(38,6): exact, partition-order
+  *    independent, overflow-checked (a double sum would drift with
+  *    merge order and the invariant above would be unprovable);
+  *  - `min_<c>` / `max_<c>` — merge: min/max;
+  *  - `hll_<c>` — the [[graft.operators.Hll]] register vector as a
+  *    fixed array<int> of m=64 (index j = max rho seen in register
+  *    j, 0 = never hit); merge: element-wise max. The estimate read
+  *    off the merged vector equals the q45 batch estimate on the
+  *    concatenated data EXACTLY — same registers, same integer sum,
+  *    same one double division.
+  *
+  * What is NOT here, deliberately: non-mergeable aggregates (exact
+  * median, exact distinct). Those need the raw data by definition;
+  * the mergeable stand-ins (q46's sampled quantiles, the HLL here)
+  * are the 100 TB answers.
+  */
+object StatsMaintain {
+
+  /** What to maintain: group keys, sum columns, min/max columns,
+    * distinct-count (HLL) columns.
+    */
+  final case class Spec(
+      keys: Seq[String],
+      sums: Seq[String] = Nil,
+      minMax: Seq[String] = Nil,
+      distincts: Seq[String] = Nil)
+
+  final case class Stats(batchRows: Long, groups: Long, newGroups: Long)
+
+  private def hllCol(c: String) = s"hll_$c"
+
+  /** Per-group mergeable partials of one batch. One row per group:
+    * n, sum_*, min_*, max_*, hll_* (array<int> of m).
+    */
+  def partials(batch: DataFrame, spec: Spec): DataFrame = {
+    require(spec.keys.nonEmpty, "stats need at least one group key")
+    // distinct sketches need a per-(group, register) max first; doing
+    // it in the same aggregate as the sums would need a max-by-key
+    // map merge Spark lacks — so: one aggregate per distinct column
+    // on (keys, reg), then the vector assembly, then ONE equi-join
+    // per sketch back to the scalar partials (group-count-sized
+    // frames; AQE broadcasts them)
+    val scalarAggs: Seq[Column] =
+      Seq(count(lit(1)).as("n")) ++
+        spec.sums.map(c => sum(col(c).cast("decimal(38,6)")).as(s"sum_$c")) ++
+        spec.minMax.flatMap(c =>
+          Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+    val scalars = batch.groupBy(spec.keys.map(col): _*).agg(
+      scalarAggs.head, scalarAggs.tail: _*)
+    spec.distincts.foldLeft(scalars) { (acc, c) =>
+      val regs = batch
+        .filter(col(c).isNotNull)
+        .groupBy(spec.keys.map(col) :+ Hll.reg(col(c)).as("_reg"): _*)
+        .agg(max(Hll.rho(col(c))).as("_mj"))
+      val vec = regs.groupBy(spec.keys.map(col): _*)
+        .agg(map_from_arrays(
+          collect_list(col("_reg")), collect_list(col("_mj"))).as("_m"))
+        .select(spec.keys.map(col) :+
+          expr(s"transform(sequence(0, ${Hll.M - 1}), " +
+            "j -> coalesce(element_at(_m, j), 0))")
+            .cast("array<int>").as(hllCol(c)): _*)
+      // left join: a group whose column is all-null has an empty sketch
+      acc.join(vec, spec.keys, "left")
+        .withColumn(hllCol(c), coalesce(col(hllCol(c)),
+          array_repeat(lit(0), Hll.M)))
+    }
+  }
+
+  /** Merge any number of partial rows per group into one — the
+    * associative fold. Counts/sums add, min/max fold, register
+    * vectors take the element-wise max.
+    */
+  def merge(parts: DataFrame, spec: Spec): DataFrame = {
+    val aggs: Seq[Column] =
+      Seq(sum(col("n")).as("n")) ++
+        spec.sums.map(c => sum(col(s"sum_$c")).as(s"sum_$c")) ++
+        spec.minMax.flatMap(c =>
+          Seq(min(col(s"min_$c")).as(s"min_$c"),
+            max(col(s"max_$c")).as(s"max_$c"))) ++
+        spec.distincts.map { c =>
+          // element-wise max across the group's vectors: fold the
+          // collected list — at most one row per input snapshot/batch
+          // per group, so the list is tiny and max is order-free
+          aggregate(
+            collect_list(col(hllCol(c))),
+            array_repeat(lit(0), Hll.M),
+            (acc, x) => zip_with(acc, x, (a, b) => greatest(a, b)))
+            .as(hllCol(c))
+        }
+    parts.groupBy(spec.keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** The HLL estimate read off a maintained register vector —
+    * IDENTICAL arithmetic to [[graft.operators.Hll.estimate]] (which
+    * consumes one row per occupied register): the same exact integer
+    * Σ2^(RhoMax−mj), the same single double division, the same
+    * linear-counting fallback.
+    */
+  def estimateFromVector(vec: Column): Column = {
+    val sp = aggregate(filter(vec, mj => mj > 0),
+      lit(0L).cast("decimal(38,0)"),
+      (acc, mj) => acc + call_function("shiftleft", lit(1L),
+        (lit(Hll.RhoMax) - mj).cast("int")).cast("decimal(38,0)"))
+    val nb = size(filter(vec, mj => mj > 0)).cast("long")
+    val v = lit(Hll.M.toLong) - nb
+    val sTot = (sp + v.cast("decimal(38,0)") *
+      lit(Hll.Scale).cast("decimal(38,0)")).cast("double")
+    val eRaw = lit(Hll.Num) / sTot
+    val est = when(eRaw <= lit(2.5 * Hll.M) && v > 0,
+      lit(Hll.M.toDouble) * log(lit(Hll.M.toDouble) / v.cast("double")))
+      .otherwise(eRaw)
+    floor(est + 0.5).cast("long")
+  }
+
+  /** Human-readable view of a maintained snapshot: the register
+    * vectors finalized to `nd_<c>` distinct estimates, everything
+    * else passed through.
+    */
+  def report(snapshot: DataFrame, spec: Spec): DataFrame =
+    spec.distincts.foldLeft(snapshot) { (acc, c) =>
+      acc.withColumn(s"nd_$c", estimateFromVector(col(hllCol(c))))
+        .drop(hllCol(c))
+    }
+
+  /** Fold one batch into the stats snapshot at `targetPath` and
+    * publish atomically ([[Snapshot]] two-rename swap). The merge
+    * reads the snapshot (group-count-sized, NOT corpus-sized) and the
+    * batch's partials only.
+    */
+  def maintain(spark: SparkSession, targetPath: String, batch: DataFrame,
+               spec: Spec): Stats = {
+    val fs = new Path(targetPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val exists = Snapshot.recoverAndExists(fs, targetPath)
+    val delta = partials(batch, spec)
+    val merged =
+      if (exists) merge(spark.read.parquet(targetPath).unionByName(delta), spec)
+      else merge(delta, spec)
+    val out = merged.cache()
+    try {
+      val groups = out.count()
+      val newGroups =
+        if (exists)
+          groups - spark.read.parquet(targetPath).select(spec.keys.map(col): _*)
+            .distinct().count()
+        else groups
+      Snapshot.publish(fs, targetPath, exists, out)
+      Stats(batchRows = batch.count(), groups = groups, newGroups = newGroups)
+    } finally { out.unpersist(); () }
+  }
+}
