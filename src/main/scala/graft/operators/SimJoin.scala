@@ -1,0 +1,91 @@
+package graft.operators
+
+import graft.functions.TextOps.{normText, tokens}
+import graft.functions.expressions.TextExprs.{md5Lower64, wordShingles}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** EXACT Jaccard-threshold set-similarity self-join via prefix
+  * filtering — the AllPairs algorithm (Bayardo, Ma, Srikant 2007,
+  * "Scaling Up All Pairs Similarity Search"). The LSH paths (q31
+  * MinHash, q33 banded n-gram) trade recall for volume: a pair can
+  * slip every band. This operator has NO false negatives at any
+  * threshold — the guarantee a contract like "no two near-identical
+  * docs may both ship" needs — while still never forming all pairs.
+  *
+  * The filter: order every doc's shingle set by GLOBAL document
+  * frequency (rarest first; ties by hash — one total order for the
+  * whole corpus). If jac(A, B) ≥ t then |A∩B| ≥ ⌈t·|A|⌉, so A and B
+  * must share a shingle among the first |A| − ⌈t·|A|⌉ + 1 of EACH
+  * side's ordering — the "prefix". Candidates therefore come from an
+  * equi-join on prefix shingles only, and rarest-first ordering makes
+  * prefix buckets the SMALLEST buckets in the corpus (a boilerplate
+  * shingle shared by a million docs sits at the END of every doc's
+  * order and never generates a candidate).
+  *
+  * The threshold is the exact rational tNum/tDen and every compare is
+  * integer (`inter·tDen ≥ tNum·union`, ceil via (a+b−1) DIV b): no
+  * float enters until the presentation-only jac9 fixed-point column,
+  * itself an integer ratio — both engines bit-identical.
+  *
+  * Scale shape: shingle strings die map-side (one projection to the
+  * portable 64-bit hash); every exchange carries (doc_id, hash) or
+  * candidate-pair ids. Verification joins the candidate pairs back to
+  * the full shingle lists — work bounded by candidates × set size,
+  * which the prefix filter (not a sampling knob) keeps small. A
+  * skew-hot prefix shingle is capped only by its document frequency —
+  * by construction the rarest shingles in each doc.
+  */
+object SimJoin {
+
+  /** All pairs (doc_a < doc_b) with shingle-set Jaccard ≥ tNum/tDen:
+    * (doc_a, doc_b, n_inter, n_union, jac9).
+    *
+    * @param n    word-shingle width (distinct n-grams form the set)
+    * @param tNum threshold numerator, tDen denominator (e.g. 3/5)
+    */
+  def joinPairs(docs: DataFrame, n: Int, tNum: Int, tDen: Int,
+                idCol: Column = col("doc_id"),
+                textCol: Column = col("text")): DataFrame = {
+    require(n >= 1 && tNum > 0 && tDen > 0 && tNum <= tDen,
+      s"need n >= 1 and 0 < tNum/tDen <= 1, got $n, $tNum/$tDen")
+    val sh = docs
+      .select(idCol.as("id"),
+        tokens(normText(coalesce(textCol, lit("")))).as("arr"))
+      .filter(size(col("arr")) >= n)
+      .select(col("id"), explode(wordShingles(col("arr"), n)).as("s"))
+      .select(col("id"), md5Lower64(col("s")).as("h"))
+    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("nsz"))
+    val dfreq = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    // one total order: (document frequency asc, hash asc)
+    val wDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("df").asc, col("h").asc)
+    val ranked = sh.join(dfreq, "h")
+      .withColumn("rn", row_number().over(wDoc))
+      .join(sizes, "id")
+    // prefix length |s| - ceil(t|s|) + 1, all-integer ceil
+    val pref = ranked.filter(col("rn") <=
+      col("nsz") - expr(s"(${tNum}L * nsz + ${tDen - 1}) DIV $tDen") + 1)
+      .select(col("id"), col("h"), col("nsz"))
+    // candidates: a prefix shingle in common, canonical orientation
+    val cand = pref.as("a").join(pref.as("b"),
+        col("a.h") === col("b.h") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("ida"), col("b.id").as("idb"),
+        col("a.nsz").as("na"), col("b.nsz").as("nb"))
+      .distinct()
+    // exact verification: count the shared shingles of each candidate
+    val ta = sh.select(col("id").as("ida"), col("h"))
+    val tb = sh.select(col("id").as("idb"), col("h"))
+    val inter = cand.join(ta, "ida").join(tb, Seq("idb", "h"))
+      .groupBy(col("ida"), col("idb"), col("na"), col("nb"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .withColumn("n_union", col("na") + col("nb") - col("n_inter"))
+      .filter(col("n_inter") * tDen >= col("n_union") * tNum)
+      .select(col("ida").as("doc_a"), col("idb").as("doc_b"),
+        col("n_inter").cast("long").as("n_inter"),
+        col("n_union").cast("long").as("n_union"),
+        expr("n_inter * 1000000000 DIV n_union").cast("long").as("jac9"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+}
