@@ -770,4 +770,45 @@ object Streams {
           deleteCol)
         ()
       }
+
+  /** [[applyUpsertBatch]]'s SCD-2 sibling: one micro-batch folded into
+    * the history-keeping snapshot via [[graft.pipeline.Merge.scd2]].
+    * The same two idempotence layers hold: the ledger refuses a
+    * re-delivered batchId before any job runs, and the crash window
+    * between the merge publish and the ledger write is safe because
+    * re-applying the IDENTICAL batch is a provable no-op — every
+    * change row lands at or below the interval it itself opened
+    * (dropped as late), every payload-identical row suppresses, and a
+    * replayed tombstone finds no open interval to close.
+    */
+  def applyScd2Batch(batch: DataFrame, batchId: Long, targetPath: String,
+                     keys: Seq[String], versionCol: String,
+                     deleteCol: Option[String] = None): Boolean = {
+    val spark = batch.sparkSession
+    val ledger = batchLedgerPath(targetPath)
+    val applied = readLedger(spark, ledger)
+    if (applied.contains(batchId)) return false
+    graft.pipeline.Merge.scd2(spark, targetPath, batch, keys, versionCol,
+      deleteCol)
+    writeLedger(spark, ledger, applied + batchId)
+    true
+  }
+
+  /** Continuous SCD-2 history maintenance: a change stream becomes a
+    * queryable validity-interval snapshot (_valid_from/_valid_to/
+    * _is_current), exactly-once under micro-batch replay. The batch
+    * and streaming paths share the [[graft.pipeline.Merge.scd2]]
+    * kernel, so their semantics cannot drift.
+    */
+  def scd2Sink(stream: DataFrame, targetPath: String,
+               keys: Seq[String], versionCol: String,
+               deleteCol: Option[String] = None)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream
+      .outputMode(OutputMode.Update())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        applyScd2Batch(batch.toDF(), id, targetPath, keys, versionCol,
+          deleteCol)
+        ()
+      }
 }

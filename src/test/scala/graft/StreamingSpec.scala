@@ -649,6 +649,52 @@ class StreamingSpec extends SparkSpec {
       "re-merging identical rows must be a no-op (version-ordered SCD-1)")
   }
 
+  test("scd2Sink: change stream maintains interval history; replay refused; re-merge a no-op") {
+    implicit val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("stream-scd2").toString
+    val target = s"$dir/snapshot"
+    val input = MemoryStream[(Long, Long, String, Boolean)](spark)
+    val stream = input.toDF().toDF("k", "ver", "v", "del")
+    val q = Streams.scd2Sink(stream, target, Seq("k"), "ver",
+        deleteCol = Some("del"))
+      .option("checkpointLocation", s"$dir/ckpt").start()
+    try {
+      input.addData((1L, 1L, "a", false), (2L, 1L, "b", false))
+      q.processAllAvailable()
+      input.addData((1L, 5L, "a2", false), (3L, 5L, "c", false),
+        (2L, 5L, "", true))
+      q.processAllAvailable()
+    } finally q.stop()
+    def snap(): Set[(Long, String, Long, Option[Long], Boolean)] =
+      spark.read.parquet(target)
+        .select("k", "v", "_valid_from", "_valid_to", "_is_current")
+        .as[(Long, String, Long, Option[Long], Boolean)].collect().toSet
+    val after = snap()
+    // full history: key 1 changed (closed + open), key 2 tombstoned
+    // (closed, no current), key 3 inserted
+    assert(after == Set(
+      (1L, "a", 1L, Some(5L), false),
+      (1L, "a2", 5L, None, true),
+      (2L, "b", 1L, Some(5L), false),
+      (3L, "c", 5L, None, true)), s"history wrong: $after")
+    // replay fast-path: ledgered batchId refused before any merge
+    val poison = Seq((1L, 9L, "MUST NOT LAND", false))
+      .toDF("k", "ver", "v", "del")
+    assert(!Streams.applyScd2Batch(poison, 1L, target, Seq("k"), "ver",
+      Some("del")), "replayed batchId must be refused")
+    assert(snap() == after, "refused replay must not touch the snapshot")
+    // crash-window idempotence: re-applying the identical rows under a
+    // fresh batchId must change nothing — changes land late, the
+    // tombstone finds no open interval
+    val sameRows = Seq((1L, 5L, "a2", false), (3L, 5L, "c", false),
+      (2L, 5L, "", true)).toDF("k", "ver", "v", "del")
+    assert(Streams.applyScd2Batch(sameRows, 99L, target, Seq("k"), "ver",
+      Some("del")), "unseen batchId must apply")
+    assert(snap() == after,
+      "re-merging identical rows must be a no-op (late-row + tombstone rules)")
+  }
+
   test("decontaminate: streaming verdicts equal batch q54 for the same docs") {
     implicit val s = spark
     import s.implicits._
