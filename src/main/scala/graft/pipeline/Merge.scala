@@ -1,7 +1,7 @@
 package graft.pipeline
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -193,6 +193,21 @@ object Merge {
       }
     } finally { upd.unpersist(); () }
   }
+
+  /** Time travel over an SCD-2 snapshot: the rows as they were AT
+    * version `v` — every interval with `_valid_from ≤ v` and
+    * (`_valid_to` open or `> v`). An interval closed exactly at v is
+    * NOT visible at v (the closing change takes effect at its own
+    * version — the half-open [from, to) convention [[scd2]] writes).
+    * Pure filter + projection: partition/stats pruning applies, no
+    * shuffle.
+    */
+  def asOf(history: DataFrame, v: Column): DataFrame =
+    history
+      .filter(col("_valid_from") <= v &&
+        (col("_valid_to").isNull || col("_valid_to") > v))
+      .drop("_valid_to", "_is_current")
+      .withColumnRenamed("_valid_from", "_as_of_from")
 
   final case class Scd2Stats(
       updateRows: Long, inserted: Long, closed: Long, deleted: Long,

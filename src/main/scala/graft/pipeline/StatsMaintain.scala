@@ -37,17 +37,36 @@ import org.apache.spark.sql.functions._
 object StatsMaintain {
 
   /** What to maintain: group keys, sum columns, min/max columns,
-    * distinct-count (HLL) columns.
+    * distinct-count (HLL) columns, histogram (quantile) columns.
     */
   final case class Spec(
       keys: Seq[String],
       sums: Seq[String] = Nil,
       minMax: Seq[String] = Nil,
-      distincts: Seq[String] = Nil)
+      distincts: Seq[String] = Nil,
+      hists: Seq[String] = Nil)
+
+  /** Log2-histogram bins: bin 0 holds values ≤ 0, bin k (1 ≤ k ≤ 63)
+    * holds [2^(k−1), 2^k) — so a quantile read back off the histogram
+    * is exact to within a factor of 2, the monitoring-grade guarantee
+    * that IS achievable from a mergeable fixed-size state (an exact
+    * quantile needs the raw data by definition; q46's sampled
+    * quantiles are the other trade). Bin counts merge by vector add.
+    */
+  val HistBins = 64
 
   final case class Stats(batchRows: Long, groups: Long, newGroups: Long)
 
   private def hllCol(c: String) = s"hll_$c"
+  private def histCol(c: String) = s"hist_$c"
+
+  /** The bin of one value: 0 for v ≤ 0, else ⌊log2 v⌋ + 1 — computed
+    * as length(bin(v)), the binary-string length (codegen'd, and the
+    * same trick [[graft.operators.Hll.rho]] uses for leading zeros).
+    */
+  private def binOf(v: Column): Column =
+    when(v <= 0, lit(0))
+      .otherwise(length(bin(v.cast("long"))).cast("int"))
 
   /** Per-group mergeable partials of one batch. One row per group:
     * n, sum_*, min_*, max_*, hll_* (array<int> of m).
@@ -67,7 +86,7 @@ object StatsMaintain {
           Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
     val scalars = batch.groupBy(spec.keys.map(col): _*).agg(
       scalarAggs.head, scalarAggs.tail: _*)
-    spec.distincts.foldLeft(scalars) { (acc, c) =>
+    val withHll = spec.distincts.foldLeft(scalars) { (acc, c) =>
       val regs = batch
         .filter(col(c).isNotNull)
         .groupBy(spec.keys.map(col) :+ Hll.reg(col(c)).as("_reg"): _*)
@@ -83,6 +102,22 @@ object StatsMaintain {
       acc.join(vec, spec.keys, "left")
         .withColumn(hllCol(c), coalesce(col(hllCol(c)),
           array_repeat(lit(0), Hll.M)))
+    }
+    spec.hists.foldLeft(withHll) { (acc, c) =>
+      val bins = batch
+        .filter(col(c).isNotNull)
+        .groupBy(spec.keys.map(col) :+ binOf(col(c)).as("_bin"): _*)
+        .agg(count(lit(1)).as("_bc"))
+      val vec = bins.groupBy(spec.keys.map(col): _*)
+        .agg(map_from_arrays(
+          collect_list(col("_bin")), collect_list(col("_bc"))).as("_m"))
+        .select(spec.keys.map(col) :+
+          expr(s"transform(sequence(0, ${HistBins - 1}), " +
+            "j -> coalesce(element_at(_m, j), 0L))")
+            .cast("array<bigint>").as(histCol(c)): _*)
+      acc.join(vec, spec.keys, "left")
+        .withColumn(histCol(c), coalesce(col(histCol(c)),
+          array_repeat(lit(0L), HistBins)))
     }
   }
 
@@ -106,6 +141,14 @@ object StatsMaintain {
             array_repeat(lit(0), Hll.M),
             (acc, x) => zip_with(acc, x, (a, b) => greatest(a, b)))
             .as(hllCol(c))
+        } ++
+        spec.hists.map { c =>
+          // histograms merge by element-wise ADD — order-free likewise
+          aggregate(
+            collect_list(col(histCol(c))),
+            array_repeat(lit(0L), HistBins),
+            (acc, x) => zip_with(acc, x, (a, b) => a + b))
+            .as(histCol(c))
         }
     parts.groupBy(spec.keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
@@ -132,15 +175,49 @@ object StatsMaintain {
     floor(est + 0.5).cast("long")
   }
 
-  /** Human-readable view of a maintained snapshot: the register
-    * vectors finalized to `nd_<c>` distinct estimates, everything
-    * else passed through.
+  /** The q-quantile (q = qNum/qDen) read off a maintained log2
+    * histogram: find the bin where the cumulative count reaches
+    * rank ⌈q·n⌉ and return its inclusive upper bound 2^bin − 1 —
+    * always ≥ the true quantile and < 2× it (bin 0 returns 0). One
+    * integer fold over the 64-length vector, deterministic in any
+    * engine. Empty histogram → 0.
     */
-  def report(snapshot: DataFrame, spec: Spec): DataFrame =
-    spec.distincts.foldLeft(snapshot) { (acc, c) =>
+  def quantileFromHist(h: Column, qNum: Int, qDen: Int): Column = {
+    require(qNum >= 0 && qDen > 0 && qNum <= qDen, s"bad quantile $qNum/$qDen")
+    val n = aggregate(h, lit(0L), (a, x) => a + x)
+    val rank = floor((n * qNum + (qDen - 1)).cast("decimal(38,0)") / qDen)
+      .cast("long")
+    // fold state: (cumulative count, found bin or -1, running index)
+    val folded = aggregate(h,
+      struct(lit(0L).as("cum"), lit(-1).as("bin"), lit(0).as("i")),
+      (acc, x) => struct(
+        (acc.getField("cum") + x).as("cum"),
+        when(acc.getField("bin") >= 0, acc.getField("bin"))
+          .when(acc.getField("cum") + x >= rank, acc.getField("i"))
+          .otherwise(lit(-1)).as("bin"),
+        (acc.getField("i") + 1).as("i")))
+    val bin = folded.getField("bin")
+    when(n === 0 || bin <= 0, lit(0L))
+      .otherwise(call_function("shiftleft", lit(1L), bin) - 1L)
+  }
+
+  /** Human-readable view of a maintained snapshot: register vectors
+    * finalized to `nd_<c>` distinct estimates, histograms to
+    * `p50_<c>`/`p99_<c>` quantile bounds, everything else passed
+    * through ([[quantileFromHist]] serves other ranks).
+    */
+  def report(snapshot: DataFrame, spec: Spec): DataFrame = {
+    val withNd = spec.distincts.foldLeft(snapshot) { (acc, c) =>
       acc.withColumn(s"nd_$c", estimateFromVector(col(hllCol(c))))
         .drop(hllCol(c))
     }
+    spec.hists.foldLeft(withNd) { (acc, c) =>
+      acc
+        .withColumn(s"p50_$c", quantileFromHist(col(histCol(c)), 1, 2))
+        .withColumn(s"p99_$c", quantileFromHist(col(histCol(c)), 99, 100))
+        .drop(histCol(c))
+    }
+  }
 
   /** Fold one batch into the stats snapshot at `targetPath` and
     * publish atomically ([[Snapshot]] two-rename swap). The merge

@@ -228,6 +228,34 @@ class MergeSpec extends SparkSpec {
     assert(closedC == Seq(Some(11L)), s"c not closed at 11: $closedC")
   }
 
+  test("scd2 + asOf: time travel reproduces every historical state, half-open at the edge") {
+    import spark.implicits._
+    val path = tmpDir()
+    Merge.scd2(spark, path,
+      Seq((1L, "a", 1L), (1L, "b", 4L), (1L, "c", 9L), (2L, "x", 4L))
+        .toDF("id", "payload", "ver"),
+      keys = Seq("id"), versionCol = "ver")
+    Merge.scd2(spark, path,
+      Seq((2L, "", 6L, true)).toDF("id", "payload", "ver", "is_del"),
+      keys = Seq("id"), versionCol = "ver", deleteCol = Some("is_del"))
+    val hist = spark.read.parquet(path)
+    def at(v: Long): Set[(Long, String)] =
+      Merge.asOf(hist, lit(v)).select("id", "payload")
+        .as[(Long, String)].collect().toSet
+    assert(at(0L) == Set.empty, s"${at(0L)}")
+    assert(at(1L) == Set(1L -> "a"), s"${at(1L)}")
+    assert(at(3L) == Set(1L -> "a"), s"${at(3L)}")
+    // the closing change takes effect AT its version: half-open edge
+    assert(at(4L) == Set(1L -> "b", 2L -> "x"), s"${at(4L)}")
+    assert(at(5L) == Set(1L -> "b", 2L -> "x"), s"${at(5L)}")
+    assert(at(6L) == Set(1L -> "b"), s"tombstone at 6 must hide key 2: ${at(6L)}")
+    assert(at(9L) == Set(1L -> "c"), s"${at(9L)}")
+    // asOf(latest) == the current rows
+    val cur = hist.filter(col("_is_current"))
+      .select("id", "payload").as[(Long, String)].collect().toSet
+    assert(at(Long.MaxValue) == cur)
+  }
+
   test("upsert plan: one exchange on the key, no join") {
     import spark.implicits._
     val path = tmpDir()

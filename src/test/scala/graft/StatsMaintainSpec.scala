@@ -19,7 +19,8 @@ class StatsMaintainSpec extends SparkSpec {
     keys = Seq("grp"),
     sums = Seq("amount"),
     minMax = Seq("amount"),
-    distincts = Seq("user"))
+    distincts = Seq("user"),
+    hists = Seq("amount"))
 
   private def tmpDir(): String =
     java.nio.file.Files.createTempDirectory("graft-stats").toString + "/stats"
@@ -49,7 +50,8 @@ class StatsMaintainSpec extends SparkSpec {
     def canon(df: DataFrame) = df
       .select(col("grp"), col("n"), col("sum_amount"),
         col("min_amount"), col("max_amount"),
-        concat_ws(",", col("hll_user")).as("vec"))
+        concat_ws(",", col("hll_user")).as("vec"),
+        concat_ws(",", col("hist_amount")).as("hvec"))
       .collect().map(_.toSeq).toSet
     assert(canon(snap(path)) == canon(oneShot),
       s"maintained ${canon(snap(path))} != one-shot ${canon(oneShot)}")
@@ -81,6 +83,40 @@ class StatsMaintainSpec extends SparkSpec {
     val r = StatsMaintain.report(snap(path), spec)
       .select("grp", "n", "nd_user").as[(String, Long, Long)].collect().toSeq
     assert(r == Seq(("x", 1L, 0L)), s"$r")
+  }
+
+  test("histogram quantiles: maintained bound within 2x of truth, reference-exact binning") {
+    val path = tmpDir()
+    // values 1..1000 over two maintenance rounds, one group
+    val r1 = (1L to 500L).map(v => ("g", v, s"u$v"))
+    val r2 = (501L to 1000L).map(v => ("g", v, s"u$v"))
+    StatsMaintain.maintain(spark, path, batch(r1: _*), spec)
+    StatsMaintain.maintain(spark, path, batch(r2: _*), spec)
+    val row = StatsMaintain.report(snap(path), spec)
+      .select("p50_amount", "p99_amount").head
+    val (p50, p99) = (row.getLong(0), row.getLong(1))
+
+    // driver reference of the SAME histogram math: bin = bits(v),
+    // estimate = 2^bin - 1 at rank ceil(q n)
+    def refQ(vals: Seq[Long], num: Int, den: Int): Long = {
+      val bins = vals.map(v => if (v <= 0) 0 else 64 - java.lang.Long.numberOfLeadingZeros(v))
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val n = vals.size.toLong
+      val rank = (n * num + den - 1) / den
+      var cum = 0L
+      (0 until StatsMaintain.HistBins).foreach { b =>
+        val prev = cum; cum += bins.getOrElse(b, 0L)
+        if (prev < rank && cum >= rank && b > 0) return (1L << b) - 1
+      }
+      0L
+    }
+    val all = (1L to 1000L)
+    assert(p50 == refQ(all, 1, 2), s"p50 $p50 != ref ${refQ(all, 1, 2)}")
+    assert(p99 == refQ(all, 99, 100), s"p99 $p99 != ref ${refQ(all, 99, 100)}")
+    // the factor-2 guarantee vs the exact quantiles (500, 991)
+    assert(p50 >= 500 && p50 < 1000, s"p50 $p50 outside [q, 2q)")
+    assert(p99 >= 991 && p99 < 1982, s"p99 $p99 outside [q, 2q)")
+    assert(p50 <= p99)
   }
 
   test("crash between the publish renames is repaired on the next maintain") {
