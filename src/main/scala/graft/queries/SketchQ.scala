@@ -462,7 +462,105 @@ object SketchQ {
       |  sqrt(CAST(min(tokens) OVER () AS DOUBLE) / tokens) AS rate
       |FROM t ORDER BY source""".stripMargin
 
+  /** q97: the [[graft.pipeline.StatsMaintain]] digest as ONE verified
+    * query — count, exact decimal sum, min/max, HLL distinct estimate
+    * and log2-histogram quantile bounds per group, computed through
+    * the SAME partials/report code the incremental maintainer folds
+    * forward (StatsMaintainSpec proves fold == one-shot, so verifying
+    * the one-shot here oracle-verifies the maintained snapshot's
+    * arithmetic too). Group = l_returnflag; distinct over l_suppkey
+    * (hashed as a string, the q45 portable-register convention);
+    * quantiles over floor(l_extendedprice) — integral doubles, so the
+    * long cast is exact in both engines.
+    *
+    * Scale shape: everything is one partial-aggregated groupBy per
+    * stat family on a 3-group key plus the histogram/register
+    * assembly — fixed O(m) state per group, the 1000-executor fan-in
+    * shape this file exists for.
+    */
+  def q97(s: SparkSession, dir: String): DataFrame = {
+    import graft.pipeline.StatsMaintain
+    val spec = StatsMaintain.Spec(
+      keys = Seq("flag"), sums = Seq("qty"), minMax = Seq("qty"),
+      distincts = Seq("supp"), hists = Seq("pf"))
+    val base = Tables(s, dir).lineitem.select(
+      col("l_returnflag").as("flag"),
+      col("l_quantity").as("qty"),
+      col("l_suppkey").cast("string").as("supp"),
+      floor(col("l_extendedprice")).cast("long").as("pf"))
+    StatsMaintain.report(StatsMaintain.partials(base, spec), spec)
+      .select(col("flag"), col("n"),
+        col("sum_qty").cast("double").as("sum_qty"),
+        col("min_qty").cast("long").as("min_qty"),
+        col("max_qty").cast("long").as("max_qty"),
+        col("nd_supp"), col("p50_pf"), col("p99_pf"))
+      .orderBy(col("flag"))
+  }
+
+  val q97Sql: String = {
+    // SketchQ already binds M/RhoMax/Scale to the same Hll values
+    val num = s"(0.709 * 64 * 64 * $Scale)"
+    s"""WITH b AS (
+       |  SELECT l_returnflag AS flag, l_quantity AS qty,
+       |    CAST(l_suppkey AS VARCHAR) AS supp,
+       |    CAST(FLOOR(l_extendedprice) AS BIGINT) AS pf
+       |  FROM lineitem),
+       |sc AS (
+       |  SELECT flag, CAST(count(*) AS BIGINT) AS n,
+       |    CAST(SUM(CAST(qty AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty,
+       |    CAST(min(qty) AS BIGINT) AS min_qty,
+       |    CAST(max(qty) AS BIGINT) AS max_qty
+       |  FROM b GROUP BY flag),
+       |h AS (
+       |  SELECT flag, CAST(md5_number_lower(supp) & 63 AS INT) AS reg,
+       |    md5_number_lower(supp) >> 6 AS w
+       |  FROM b),
+       |regs AS (
+       |  SELECT flag, reg,
+       |    MAX(CASE WHEN w = 0 THEN $RhoMax
+       |             ELSE $RhoMax - length(bin(w)) END) AS mj
+       |  FROM h GROUP BY flag, reg),
+       |g AS (
+       |  SELECT flag,
+       |    SUM(CAST(CAST(1 AS BIGINT) << CAST($RhoMax - mj AS INT)
+       |        AS DECIMAL(38,0))) AS sp,
+       |    COUNT(*) AS nb
+       |  FROM regs GROUP BY flag),
+       |e AS (
+       |  SELECT flag, $M - nb AS v,
+       |    CAST(sp + CAST($M - nb AS DECIMAL(38,0)) *
+       |      CAST($Scale AS DECIMAL(38,0)) AS DOUBLE) AS st
+       |  FROM g),
+       |nd AS (
+       |  SELECT flag, CAST(FLOOR(CASE
+       |    WHEN $num / st <= ${2.5 * M} AND v > 0
+       |      THEN 64.0 * ln(64.0 / v)
+       |    ELSE $num / st END + 0.5) AS BIGINT) AS nd_supp
+       |  FROM e),
+       |hb AS (
+       |  SELECT flag,
+       |    CASE WHEN pf <= 0 THEN 0 ELSE length(bin(pf)) END AS bin,
+       |    count(*) AS c
+       |  FROM b GROUP BY 1, 2),
+       |cm AS (
+       |  SELECT flag, bin, SUM(c) OVER (PARTITION BY flag ORDER BY bin) AS cum,
+       |    SUM(c) OVER (PARTITION BY flag) AS tot
+       |  FROM hb),
+       |q50 AS (
+       |  SELECT flag, CASE WHEN min(bin) <= 0 THEN 0
+       |    ELSE (CAST(1 AS BIGINT) << CAST(min(bin) AS INT)) - 1 END AS p50_pf
+       |  FROM cm WHERE cum >= (tot * 1 + 1) // 2 GROUP BY flag),
+       |q99 AS (
+       |  SELECT flag, CASE WHEN min(bin) <= 0 THEN 0
+       |    ELSE (CAST(1 AS BIGINT) << CAST(min(bin) AS INT)) - 1 END AS p99_pf
+       |  FROM cm WHERE cum >= (tot * 99 + 99) // 100 GROUP BY flag)
+       |SELECT sc.flag, n, sum_qty, min_qty, max_qty, nd_supp, p50_pf, p99_pf
+       |FROM sc JOIN nd USING (flag) JOIN q50 USING (flag) JOIN q99 USING (flag)
+       |ORDER BY sc.flag""".stripMargin
+  }
+
   val entries: Seq[Entry] = Seq(
+    Entry("q97_stats_digest", q97, Some(q97Sql)),
     Entry("q45_hll_distinct", q45, Some(q45Sql)),
     Entry("q46_sample_quantile", q46, Some(q46Sql)),
     Entry("q47_stratified_sample", q47, Some(q47Sql)),
