@@ -69,56 +69,49 @@ object StatsMaintain {
       .otherwise(length(bin(v.cast("long"))).cast("int"))
 
   /** Per-group mergeable partials of one batch. One row per group:
-    * n, sum_*, min_*, max_*, hll_* (array<int> of m).
+    * n, sum_*, min_*, max_*, hll_* (array<int> of m), hist_*
+    * (array<bigint> of [[HistBins]]).
+    *
+    * ONE scan and ONE shuffle for every stat family: sketch vectors
+    * fuse into the same aggregate as the scalars via fixed-width
+    * conditional aggregation — register j of a sketch is
+    * `max(when(_reg = j, _rho))`, bin j of a histogram
+    * `sum(when(_bin = j, 1))` — all commutative, so map-side partial
+    * aggregation applies to everything at once. (The alternative — a
+    * (keys, reg) pre-aggregate per sketch joined back — reads the
+    * batch once PER FAMILY; at corpus scale the extra scans are the
+    * whole cost.) The register/bin derivations are projected BEFORE
+    * the aggregate so each row digests its value exactly once,
+    * whatever the vector width.
     */
   def partials(batch: DataFrame, spec: Spec): DataFrame = {
     require(spec.keys.nonEmpty, "stats need at least one group key")
-    // distinct sketches need a per-(group, register) max first; doing
-    // it in the same aggregate as the sums would need a max-by-key
-    // map merge Spark lacks — so: one aggregate per distinct column
-    // on (keys, reg), then the vector assembly, then ONE equi-join
-    // per sketch back to the scalar partials (group-count-sized
-    // frames; AQE broadcasts them)
-    val scalarAggs: Seq[Column] =
+    val prep = batch.select(
+      spec.keys.map(col) ++
+        spec.sums.map(c => col(c).cast("decimal(38,6)").as(s"_s_$c")) ++
+        spec.minMax.map(c => col(c).as(s"_m_$c")) ++
+        spec.distincts.flatMap(c => Seq(
+          when(col(c).isNotNull, Hll.reg(col(c))).as(s"_reg_$c"),
+          when(col(c).isNotNull, Hll.rho(col(c))).as(s"_rho_$c"))) ++
+        spec.hists.map(c =>
+          when(col(c).isNotNull, binOf(col(c))).as(s"_bin_$c")): _*)
+    val aggs: Seq[Column] =
       Seq(count(lit(1)).as("n")) ++
-        spec.sums.map(c => sum(col(c).cast("decimal(38,6)")).as(s"sum_$c")) ++
+        spec.sums.map(c => sum(col(s"_s_$c")).as(s"sum_$c")) ++
         spec.minMax.flatMap(c =>
-          Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
-    val scalars = batch.groupBy(spec.keys.map(col): _*).agg(
-      scalarAggs.head, scalarAggs.tail: _*)
-    val withHll = spec.distincts.foldLeft(scalars) { (acc, c) =>
-      val regs = batch
-        .filter(col(c).isNotNull)
-        .groupBy(spec.keys.map(col) :+ Hll.reg(col(c)).as("_reg"): _*)
-        .agg(max(Hll.rho(col(c))).as("_mj"))
-      val vec = regs.groupBy(spec.keys.map(col): _*)
-        .agg(map_from_arrays(
-          collect_list(col("_reg")), collect_list(col("_mj"))).as("_m"))
-        .select(spec.keys.map(col) :+
-          expr(s"transform(sequence(0, ${Hll.M - 1}), " +
-            "j -> coalesce(element_at(_m, j), 0))")
-            .cast("array<int>").as(hllCol(c)): _*)
-      // left join: a group whose column is all-null has an empty sketch
-      acc.join(vec, spec.keys, "left")
-        .withColumn(hllCol(c), coalesce(col(hllCol(c)),
-          array_repeat(lit(0), Hll.M)))
-    }
-    spec.hists.foldLeft(withHll) { (acc, c) =>
-      val bins = batch
-        .filter(col(c).isNotNull)
-        .groupBy(spec.keys.map(col) :+ binOf(col(c)).as("_bin"): _*)
-        .agg(count(lit(1)).as("_bc"))
-      val vec = bins.groupBy(spec.keys.map(col): _*)
-        .agg(map_from_arrays(
-          collect_list(col("_bin")), collect_list(col("_bc"))).as("_m"))
-        .select(spec.keys.map(col) :+
-          expr(s"transform(sequence(0, ${HistBins - 1}), " +
-            "j -> coalesce(element_at(_m, j), 0L))")
-            .cast("array<bigint>").as(histCol(c)): _*)
-      acc.join(vec, spec.keys, "left")
-        .withColumn(histCol(c), coalesce(col(histCol(c)),
-          array_repeat(lit(0L), HistBins)))
-    }
+          Seq(min(col(s"_m_$c")).as(s"min_$c"),
+            max(col(s"_m_$c")).as(s"max_$c"))) ++
+        spec.distincts.map { c =>
+          array((0 until Hll.M).map(j =>
+            coalesce(max(when(col(s"_reg_$c") === j, col(s"_rho_$c"))),
+              lit(0))): _*).as(hllCol(c))
+        } ++
+        spec.hists.map { c =>
+          array((0 until HistBins).map(j =>
+            sum(when(col(s"_bin_$c") === j, 1L).otherwise(0L))): _*)
+            .as(histCol(c))
+        }
+    prep.groupBy(spec.keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 
   /** Merge any number of partial rows per group into one — the

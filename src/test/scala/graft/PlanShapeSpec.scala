@@ -478,6 +478,15 @@ class PlanShapeSpec extends SparkSpec {
       s"q94 plans a window:\n$plan")
   }
 
+  test("q97: every stat family fuses into ONE scan and one aggregate — no join") {
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    val plan = graft.queries.SketchQ.q97(spark, sf).queryExecution.sparkPlan
+    assert(plan.collect { case j: BaseJoinExec => j }.isEmpty,
+      s"q97 plans a join:\n$plan")
+    val scans = plan.toString.linesIterator.count(_.contains("FileScan"))
+    assert(scans == 1, s"q97 reads the batch $scans times, want 1:\n$plan")
+  }
+
   test("no query plans a cartesian product or nested-loop join (except intentional broadcasts)") {
     // q34: tiny broadcast query set x corpus — the intended brute-force
     // baseline shape (q37 no longer needs the exemption: its k-means
