@@ -1002,6 +1002,81 @@ object CoreB {
       |  FROM nodes n JOIN r ON n.parent = r.id)
       |SELECT id AS doc_id, root_id, depth FROM r ORDER BY doc_id""".stripMargin
 
+  /** q98: interval-overlap analytics by SWEEP LINE — per event type,
+    * the peak number of simultaneously-open intervals and the first
+    * instant it is reached (capacity planning / max-concurrency, the
+    * classic interval problem a naive self-join answers in O(n²)
+    * pairs). Each event opens a half-open interval
+    * [ts, ts + (event_id mod 7 + 1) minutes) — the deterministic-
+    * injection device (q84/q90): the events table has no duration
+    * column, and the modular spread exercises every overlap shape.
+    *
+    * Sweep line: every interval contributes (+1 at start, −1 at end);
+    * processed in (time, delta) order — the −1 first on ties, which
+    * IS the half-open convention — the running delta sum at each
+    * point is the exact concurrency, its partition max the peak. Tie
+    * groups are identical rows, so every permutation of a
+    * nondeterministic sort-within-ties yields the same prefix-sum
+    * multiset — the output is deterministic even though row order
+    * inside a tie is not. Both engines pin ROWS frames (DuckDB's
+    * default RANGE frame gives peers their group-final value —
+    * same max, but only by accident).
+    *
+    * Scale shape: one explode (2 rows per event), ONE exchange on
+    * event_type reused by both windows and the final aggregate —
+    * epoch-microsecond BIGINTs only.
+    */
+  def q98(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    val MinuteUs = 60000000L
+    val pts = t.events
+      .select(col("event_type"),
+        unix_micros(col("ts")).as("s_us"),
+        (unix_micros(col("ts")) +
+          (pmod(col("event_id"), lit(7)) + 1) * MinuteUs).as("e_us"))
+      .select(col("event_type"), explode(array(
+        struct(col("s_us").as("t"), lit(1L).as("d")),
+        struct(col("e_us").as("t"), lit(-1L).as("d")))).as("p"))
+      .select(col("event_type"), col("p.t").as("t"), col("p.d").as("d"))
+    val wRun = Window.partitionBy(col("event_type"))
+      .orderBy(col("t").asc, col("d").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("event_type"))
+    val run = pts
+      .withColumn("run", sum(col("d")).over(wRun))
+      .withColumn("mx", max(col("run")).over(wAll))
+    run.groupBy(col("event_type"))
+      .agg(
+        (count(lit(1)) / 2).cast("long").as("n_events"),
+        max(col("run")).as("peak_concurrency"),
+        min(when(col("run") === col("mx"), col("t"))).as("first_peak_us"))
+      .orderBy(col("event_type"))
+  }
+
+  val q98Sql: String =
+    """WITH iv AS (
+      |  SELECT event_type, epoch_us(ts) AS s_us,
+      |    epoch_us(ts) + ((event_id % 7) + 1) * 60000000 AS e_us
+      |  FROM events),
+      |pts AS (
+      |  SELECT event_type, s_us AS t, CAST(1 AS BIGINT) AS d FROM iv
+      |  UNION ALL
+      |  SELECT event_type, e_us AS t, CAST(-1 AS BIGINT) AS d FROM iv),
+      |r AS (
+      |  SELECT event_type, t, d,
+      |    SUM(d) OVER (PARTITION BY event_type ORDER BY t, d
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+      |  FROM pts),
+      |m AS (
+      |  SELECT event_type, t, run,
+      |    MAX(run) OVER (PARTITION BY event_type) AS mx
+      |  FROM r)
+      |SELECT event_type,
+      |  CAST(count(*) / 2 AS BIGINT) AS n_events,
+      |  CAST(max(run) AS BIGINT) AS peak_concurrency,
+      |  CAST(min(CASE WHEN run = mx THEN t END) AS BIGINT) AS first_peak_us
+      |FROM m GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val entries: Seq[Entry] = Seq(
     Entry("q08_union_dedup", q08, Some(q08Sql)),
     Entry("q09_pivot", q09, Some(q09Sql)),
@@ -1031,5 +1106,6 @@ object CoreB {
     Entry("q87_bloom_join", q87, Some(q87Sql)),
     Entry("q88_gapfill", q88, Some(q88Sql)),
     Entry("q92_hierarchy", q92, Some(q92Sql)),
+    Entry("q98_concurrency", q98, Some(q98Sql)),
   )
 }

@@ -184,4 +184,33 @@ class CoreBQueriesSpec extends SparkSpec {
     assert(maxDepth <= 64, s"depth $maxDepth exceeds the 6-round bound")
     assert(maxDepth >= 3, "fixture too shallow to exercise doubling")
   }
+
+  test("q98: sweep-line peaks equal a driver replay of the injected intervals") {
+    import org.apache.spark.sql.functions._
+    val got = CoreB.q98(spark, sf).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Long]("n_events"), r.getAs[Long]("peak_concurrency"),
+          r.getAs[Long]("first_peak_us"))).toMap
+    // replay: same half-open sweep, same tie rule, plain Scala
+    val evs = Tables(spark, sf).events
+      .select(col("event_type"), unix_micros(col("ts")).as("s"),
+        col("event_id"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        r.getLong(1) + (r.getLong(2) % 7 + 1) * 60000000L))
+    evs.groupBy(_._1).foreach { case (tpe, iv) =>
+      val pts = iv.flatMap { case (_, s, e) => Seq((s, 1L), (e, -1L)) }
+        .sortBy(p => (p._1, p._2))
+      var run = 0L; var mx = 0L; var first = Long.MaxValue
+      pts.foreach { case (t, d) =>
+        run += d
+        if (run > mx) { mx = run; first = t }
+      }
+      val (n, peak, fp) = got(tpe)
+      assert(n == iv.length.toLong, s"$tpe n")
+      assert(peak == mx, s"$tpe peak $peak != $mx")
+      assert(fp == first, s"$tpe first_peak $fp != $first")
+      assert(peak >= 2, s"$tpe fixture degenerate (no overlap)")
+    }
+  }
 }
