@@ -55,9 +55,15 @@ object SimJoin {
     // the corpus and re-digest every shingle (plan-level reuse cannot
     // fire: each consumer prunes/aggregates differently, so the
     // subtrees stop being identical). The frame is (id, hash) pairs —
-    // shingle-count-sized, far below the corpus — and CacheManager
-    // keys on the canonicalized plan, so repeated invocations share
-    // one copy.
+    // shingle-count-sized, far below the corpus.
+    //
+    // Cache LIFECYCLE is the caller's (the q86 contract): a lazy
+    // DataFrame is returned, so this operator can never know when an
+    // unpersist is safe. CacheManager keys on the canonicalized plan
+    // — repeated invocations over the SAME input share one entry —
+    // but a long-lived session joining many DIFFERENT corpora
+    // accumulates one entry per input and should drop them
+    // (`spark.catalog.clearCache()` or uncache after materializing).
     val sh = docs
       .select(idCol.as("id"),
         tokens(normText(coalesce(textCol, lit("")))).as("arr"))

@@ -80,9 +80,14 @@ object ZOrder {
     * dropped after the in-partition sort (dropping a projection does
     * not disturb row order).
     */
-  def layout(df: DataFrame, a: Column, b: Column, numFiles: Int): DataFrame =
+  def layout(df: DataFrame, a: Column, b: Column, numFiles: Int): DataFrame = {
+    // withColumn would silently REPLACE a caller column of this name
+    // and the final drop would erase it from the output
+    require(!df.columns.contains("_zkey"),
+      "zorder layout: input already has a _zkey column; rename it first")
     df.withColumn("_zkey", zkey(a, b))
       .repartitionByRange(numFiles, col("_zkey"))
       .sortWithinPartitions("_zkey")
       .drop("_zkey")
+  }
 }

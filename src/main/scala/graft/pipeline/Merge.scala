@@ -235,9 +235,12 @@ object Merge {
     *    has no current row until a later update re-inserts it —
     *    which is NOT suppressed even if payload-identical, because
     *    the preceding state is "absent");
-    *  - rows at or below the key's open `_valid_from` are LATE
-    *    duplicates and are dropped (history rewrite is restore-from-
-    *    snapshot territory, not a merge);
+    *  - rows at or below the key's HIGH-WATER MARK — the last version
+    *    that opened or closed ANY of its intervals, tombstone closes
+    *    included — are LATE duplicates and are dropped (history
+    *    rewrite is restore-from-snapshot territory, not a merge; the
+    *    whole-history mark, not just the open interval, is what makes
+    *    a replayed tombstone-ending batch a no-op);
     *  - two update rows with the same key AND version keep one
     *    deterministic winner (full-row-hash order, the upsert rule).
     *
@@ -265,7 +268,11 @@ object Merge {
     val updData = updates.drop(deleteCol.toSeq: _*)
     val payload = updData.columns.filterNot(c =>
       keys.contains(c) || c == versionCol).toSeq
-    val upd = (if (deleteCol.isDefined) updates
+    val upd = (if (deleteCol.isDefined)
+                 // a NULL tombstone flag means "not a tombstone" — and
+                 // downstream lag(del) must be null ONLY at the
+                 // sequence head
+                 updates.withColumn(del, coalesce(col(del), lit(false)))
                else updates.withColumn(del, lit(false)))
       .withColumn("_graft_src", lit(1))
       .cache()
@@ -294,37 +301,54 @@ object Merge {
       .withColumn(del, lit(false))
       .withColumn("_graft_src", lit(0))
 
-    // ONE key partitioning drives every step below — Spark reuses the
-    // exchange across the stacked window functions
+    // the late gate compares against the key's HIGH-WATER MARK over
+    // the WHOLE history — the last version that opened or closed any
+    // interval (coalesce(_valid_to, _valid_from) row-wise, max over
+    // the key). Gating on only the OPEN interval is a hole: a
+    // tombstoned key has no open interval, so a late or replayed row
+    // would sail through and re-open closed history (overlapping
+    // intervals, duplicated rows on crash replay). The hwm frame is
+    // key-count-sized; AQE broadcasts it.
+    val hwm = tgt.groupBy(keys.map(col): _*)
+      .agg(max(coalesce(col("_valid_to"), col("_valid_from"))).as("_hwm"))
+
+    // deterministic total order WITHOUT hashing: Spark's hash family
+    // skips null children, so xxhash64 of a payload cannot tell
+    // (null, "x") from ("x", null) — ordering and equality both run
+    // on the payload COLUMNS themselves (orderable types; interior
+    // nulls compare null-safely in struct/ordering semantics)
+    val orderCols = payload.map(c => col(c).asc) :+ col(del).asc
     val wKey = Window.partitionBy(keys.map(col): _*)
-    val wSeq = wKey.orderBy(col(versionCol).asc, col("_graft_src").asc,
-      xxhash64((payload :+ del).map(col): _*).asc)
+    val wSeq = wKey.orderBy(
+      col(versionCol).asc +: col("_graft_src").asc +: orderCols: _*)
 
     val unioned = active.unionByName(upd.select(active.columns.map(col): _*))
       // same-key same-version duplicates: deterministic single winner
       .withColumn("_dup_rn", row_number().over(
         Window.partitionBy((keys :+ versionCol).map(col): _*)
-          .orderBy(col("_graft_src").asc,
-            xxhash64((payload :+ del).map(col): _*).asc)))
+          .orderBy(col("_graft_src").asc +: orderCols: _*)))
       .filter(col("_dup_rn") === 1)
-      // late rows: at or below the open interval's valid_from
-      .withColumn("_actv", max(when(col("_graft_src") === 0,
-        col(versionCol))).over(wKey))
+      // late rows: at or below the key's whole-history high-water mark
+      .join(hwm, keys, "left")
       .filter(col("_graft_src") === 0 ||
-        col("_actv").isNull || col(versionCol) > col("_actv"))
+        col("_hwm").isNull || col(versionCol) > col("_hwm"))
 
-    val ph = xxhash64(payload.map(col): _*)
+    // payload equality for change suppression: null-safe STRUCT
+    // compare, not a hash — see orderCols. A keys+version-only
+    // dimension (presence tracking) has an empty payload: constant
+    // stands in, so every live row is "payload-identical".
+    val pay = if (payload.nonEmpty) struct(payload.map(col): _*) else lit(0)
     val staged = unioned
-      .withColumn("_prev_ph", lag(ph, 1).over(wSeq))
+      .withColumn("_prev_pay", lag(pay, 1).over(wSeq))
       .withColumn("_prev_tomb", lag(col(del), 1).over(wSeq))
       // survivors: first-ever live row / re-insert after tombstone /
       // tombstone of a live state / genuine payload change
       .withColumn("_keep",
-        (col("_prev_ph").isNull && !col(del)) ||
-          (col("_prev_ph").isNotNull && col("_prev_tomb") && !col(del)) ||
-          (col("_prev_ph").isNotNull && !col("_prev_tomb") && col(del)) ||
-          (col("_prev_ph").isNotNull && !col("_prev_tomb") && !col(del) &&
-            ph =!= col("_prev_ph")))
+        (col("_prev_tomb").isNull && !col(del)) ||
+          (col("_prev_tomb").isNotNull && col("_prev_tomb") && !col(del)) ||
+          (col("_prev_tomb").isNotNull && !col("_prev_tomb") && col(del)) ||
+          (col("_prev_tomb").isNotNull && !col("_prev_tomb") && !col(del) &&
+            !(pay <=> col("_prev_pay"))))
       .filter(col("_keep"))
       // interval close: next SURVIVOR's version (tombstones close and
       // then vanish); computed over the same key partitioning
@@ -332,11 +356,16 @@ object Merge {
       .cache()
 
     try {
+      // every stat derives from the staged frame + a footer-cheap
+      // hist count — no re-read of the published snapshot (the
+      // streaming sink pays this per micro-batch)
       val a = staged.groupBy().agg(
         count(when(!col(del) && col("_graft_src") === 1, 1)).as("inserted"),
         count(when(col("_valid_to").isNotNull, 1)).as("closed"),
         count(when(col(del), 1)).as("deleted"),
-        count(when(col("_graft_src") === 1, 1)).as("kept_upd"))
+        count(when(col("_graft_src") === 1, 1)).as("kept_upd"),
+        count(when(!col(del), 1)).as("kept_out"),
+        count(when(!col(del) && col("_valid_to").isNull, 1)).as("cur"))
         .collect()(0)
 
       val out = staged.filter(!col(del))
@@ -346,9 +375,9 @@ object Merge {
           col("_valid_to").isNull.as("_is_current")): _*)
         .unionByName(hist)
 
+      val histRows = hist.count()
       Snapshot.publish(fs, targetPath, exists, out)
 
-      val published = spark.read.parquet(targetPath)
       val updRows = upd.count()
       Scd2Stats(
         updateRows = updRows,
@@ -356,8 +385,8 @@ object Merge {
         closed = a.getLong(1),
         deleted = a.getLong(2),
         suppressed = updRows - a.getLong(3),
-        resultRows = published.count(),
-        currentRows = published.filter(col("_is_current")).count())
+        resultRows = histRows + a.getLong(4),
+        currentRows = a.getLong(5))
     } finally { staged.unpersist(); upd.unpersist(); () }
   }
 }

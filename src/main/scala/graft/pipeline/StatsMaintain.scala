@@ -222,12 +222,20 @@ object StatsMaintain {
     val fs = new Path(targetPath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val exists = Snapshot.recoverAndExists(fs, targetPath)
-    val delta = partials(batch, spec)
+    // delta is group-count-sized: cache it so the batch (the
+    // corpus-sized side) is scanned exactly ONCE — batchRows reads
+    // off the cached partials, never the batch again
+    val delta = partials(batch, spec).cache()
     val merged =
       if (exists) merge(spark.read.parquet(targetPath).unionByName(delta), spec)
       else merge(delta, spec)
     val out = merged.cache()
     try {
+      val batchRows = delta.agg(sum(col("n"))).head.get(0) match {
+        case null => 0L
+        case v: java.lang.Long => v.longValue
+        case v: java.math.BigDecimal => v.longValueExact
+      }
       val groups = out.count()
       val newGroups =
         if (exists)
@@ -235,7 +243,7 @@ object StatsMaintain {
             .distinct().count()
         else groups
       Snapshot.publish(fs, targetPath, exists, out)
-      Stats(batchRows = batch.count(), groups = groups, newGroups = newGroups)
-    } finally { out.unpersist(); () }
+      Stats(batchRows = batchRows, groups = groups, newGroups = newGroups)
+    } finally { out.unpersist(); delta.unpersist(); () }
   }
 }

@@ -777,9 +777,12 @@ object Streams {
     * re-delivered batchId before any job runs, and the crash window
     * between the merge publish and the ledger write is safe because
     * re-applying the IDENTICAL batch is a provable no-op — every
-    * change row lands at or below the interval it itself opened
-    * (dropped as late), every payload-identical row suppresses, and a
-    * replayed tombstone finds no open interval to close.
+    * replayed row (changes, re-inserts AND tombstones, even for keys
+    * the batch itself tombstoned) lands at or below the key's
+    * whole-history high-water mark and is dropped as late. The mark
+    * covers closed intervals, which is what makes a tombstone-ENDING
+    * replayed batch safe: the key has no open interval, but its close
+    * version still gates.
     */
   def applyScd2Batch(batch: DataFrame, batchId: Long, targetPath: String,
                      keys: Seq[String], versionCol: String,

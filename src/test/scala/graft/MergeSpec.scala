@@ -228,6 +228,88 @@ class MergeSpec extends SparkSpec {
     assert(closedC == Seq(Some(11L)), s"c not closed at 11: $closedC")
   }
 
+  test("scd2: a tombstoned key's closed history gates late and replayed rows (hwm, not open interval)") {
+    import spark.implicits._
+    val path = tmpDir()
+    // batch 1 carries the key's whole life INCLUDING its death:
+    // insert@1, change@3, tombstone@5 — afterwards no open interval
+    val life = Seq((1L, "a", 1L, false), (1L, "b", 3L, false),
+      (1L, "", 5L, true)).toDF("id", "payload", "ver", "is_del")
+    Merge.scd2(spark, path, life,
+      keys = Seq("id"), versionCol = "ver", deleteCol = Some("is_del"))
+    val after = spark.read.parquet(path)
+      .select("id", "payload", "_valid_from", "_valid_to", "_is_current")
+      .as[(Long, String, Long, Option[Long], Boolean)].collect().toSet
+    assert(after == Set(
+      (1L, "a", 1L, Some(3L), false),
+      (1L, "b", 3L, Some(5L), false)), s"$after")
+
+    // crash-window replay of the SAME batch: every row is at or below
+    // the closed history's high-water mark (5) -> provable no-op.
+    // Before the hwm gate this re-opened history and DUPLICATED the
+    // closed rows (the open-interval gate saw no current row at all).
+    val s1 = Merge.scd2(spark, path, life,
+      keys = Seq("id"), versionCol = "ver", deleteCol = Some("is_del"))
+    assert(s1.inserted == 0 && s1.closed == 0 && s1.deleted == 0 &&
+      s1.suppressed == 3, s"replay not a no-op: $s1")
+    val replayed = spark.read.parquet(path)
+      .select("id", "payload", "_valid_from", "_valid_to", "_is_current")
+      .as[(Long, String, Long, Option[Long], Boolean)].collect().toSet
+    assert(replayed == after, s"replay mutated history: $replayed")
+
+    // a LATE row below the close version must not re-open the key
+    val s2 = Merge.scd2(spark, path,
+      Seq((1L, "z", 4L)).toDF("id", "payload", "ver"),
+      keys = Seq("id"), versionCol = "ver")
+    assert(s2.inserted == 0 && s2.suppressed == 1, s"late row applied: $s2")
+    // but a row ABOVE it legitimately resurrects the key
+    val s3 = Merge.scd2(spark, path,
+      Seq((1L, "z", 7L)).toDF("id", "payload", "ver"),
+      keys = Seq("id"), versionCol = "ver")
+    assert(s3.inserted == 1, s"$s3")
+    assert(Merge.asOf(spark.read.parquet(path), lit(7L))
+      .count() == 1L)
+  }
+
+  test("scd2: payloads differing only in which column is null are a REAL change") {
+    import spark.implicits._
+    val path = tmpDir()
+    Merge.scd2(spark, path,
+      Seq((1L, Option.empty[String], Option("x"), 1L)).toDF("id", "a", "b", "ver"),
+      keys = Seq("id"), versionCol = "ver")
+    // null shifts column: a hash that skips null children calls these
+    // equal and silently suppresses the change
+    val s = Merge.scd2(spark, path,
+      Seq((1L, Option("x"), Option.empty[String], 5L)).toDF("id", "a", "b", "ver"),
+      keys = Seq("id"), versionCol = "ver")
+    assert(s.inserted == 1 && s.closed == 1 && s.suppressed == 0,
+      s"null-shifted payload suppressed: $s")
+    val cur = spark.read.parquet(path).filter(col("_is_current"))
+      .select("a", "b").as[(Option[String], Option[String])].collect().toSeq
+    assert(cur == Seq((Some("x"), None)), s"$cur")
+  }
+
+  test("scd2: a keys+version-only dimension (empty payload) tracks presence intervals") {
+    import spark.implicits._
+    val path = tmpDir()
+    // member appears at 1, disappears at 4, reappears at 9
+    Merge.scd2(spark, path,
+      Seq((1L, 1L, false), (1L, 4L, true), (1L, 9L, false))
+        .toDF("id", "ver", "is_del"),
+      keys = Seq("id"), versionCol = "ver", deleteCol = Some("is_del"))
+    val snap = spark.read.parquet(path)
+      .select("id", "_valid_from", "_valid_to", "_is_current")
+      .as[(Long, Long, Option[Long], Boolean)].collect().toSet
+    assert(snap == Set(
+      (1L, 1L, Some(4L), false),
+      (1L, 9L, None, true)), s"$snap")
+    // a live re-send while present is suppressed (payload-identical)
+    val s = Merge.scd2(spark, path,
+      Seq((1L, 11L, false)).toDF("id", "ver", "is_del"),
+      keys = Seq("id"), versionCol = "ver", deleteCol = Some("is_del"))
+    assert(s.inserted == 0 && s.suppressed == 1, s"$s")
+  }
+
   test("scd2 + asOf: time travel reproduces every historical state, half-open at the edge") {
     import spark.implicits._
     val path = tmpDir()
