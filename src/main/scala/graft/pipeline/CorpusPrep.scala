@@ -177,7 +177,8 @@ object CorpusPrep {
       priorSnapshot: Option[String] = None,
       publishSnapshot: Option[Long] = None,
       substrWindow: Option[Int] = None,
-      badWords: Option[Seq[String]] = None)
+      badWords: Option[Seq[String]] = None,
+      statsPath: Option[String] = None)
 
   final case class Stats(
       input: Long, afterDedup: Long, afterSample: Long,
@@ -320,6 +321,15 @@ object CorpusPrep {
   /** The token denomination shared by packing and the two-pass mix
     * gate: BPE under `bpeVocab` when set, whitespace otherwise.
     */
+  /** The `statsPath` snapshot's shape — ONE definition so every run
+    * (and any reader calling [[StatsMaintain.report]]) agrees.
+    */
+  val corpusStatsSpec: StatsMaintain.Spec = StatsMaintain.Spec(
+    keys = Seq("source", "lang"),
+    sums = Seq("n_tokens"),
+    minMax = Seq("n_tokens"),
+    hists = Seq("n_tokens"))
+
   private def tokenCol(cfg: Config): org.apache.spark.sql.Column =
     cfg.bpeVocab match {
       case Some(v) => graft.functions.expressions.Bpe.count(col("text"), v)
@@ -522,6 +532,19 @@ object CorpusPrep {
             m.baseDf.join(out.select(col("doc_id")), Seq("doc_id"),
               "left_semi"), n),
           membershipPath(outPath))
+      }
+      // cross-RUN corpus observability: fold this run's kept docs
+      // into the per-(source, lang) stats snapshot — doc counts,
+      // token totals, min/max and p50/p99 doc-length bounds
+      // accumulate across refreshes without ever rescanning prior
+      // corpora (StatsMaintain's mergeable-partials contract). One
+      // extra group-count-sized merge per run; the corpus-sized side
+      // is the same cached frame the write just streamed.
+      cfg.statsPath.foreach { sp =>
+        StatsMaintain.maintain(docs.sparkSession, sp,
+          out.select(col("source"), col("lang_detected").as("lang"),
+            tokenCol(cfg).as("n_tokens")),
+          corpusStatsSpec)
       }
       val afterSample = out.count()
       val seenCol = m.prior

@@ -350,6 +350,42 @@ class CorpusPrepSpec extends SparkSpec {
     }
   }
 
+  test("statsPath: two runs fold into the per-(source,lang) snapshot exactly") {
+    import graft.pipeline.StatsMaintain
+    val docs = Tables(spark, sf).documents
+    val base = java.nio.file.Files.createTempDirectory("graft-cstats").toString
+    val statsPath = s"$base/stats"
+    // two disjoint halves of the corpus as two refresh runs
+    val half1 = docs.filter(col("doc_id") % 2 === 0)
+    val half2 = docs.filter(col("doc_id") % 2 === 1)
+    val c = cfg.copy(statsPath = Some(statsPath))
+    CorpusPrep.run(half1, s"$base/run1", c)
+    CorpusPrep.run(half2, s"$base/run2", c)
+
+    // the maintained snapshot must equal one-shot partials over the
+    // union of BOTH runs' written outputs (same token column)
+    val kept = spark.read.parquet(s"$base/run1")
+      .unionByName(spark.read.parquet(s"$base/run2"), allowMissingColumns = true)
+      .select(col("source"), col("lang_detected").as("lang"),
+        size(graft.functions.TextOps.tokens(col("text"))).cast("bigint")
+          .as("n_tokens"))
+    val oneShot = StatsMaintain.partials(kept, CorpusPrep.corpusStatsSpec)
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("source"), col("lang"), col("n"), col("sum_n_tokens"),
+        col("min_n_tokens"), col("max_n_tokens"),
+        concat_ws(",", col("hist_n_tokens")).as("h"))
+      .collect().map(_.toSeq).toSet
+    val snap = spark.read.parquet(statsPath)
+    assert(canon(snap) == canon(oneShot),
+      s"maintained ${canon(snap)} != one-shot ${canon(oneShot)}")
+    // and the report view reads sane quantile bounds off it
+    val rep = StatsMaintain.report(snap, CorpusPrep.corpusStatsSpec)
+    rep.collect().foreach { r =>
+      val (p50, p99) = (r.getAs[Long]("p50_n_tokens"), r.getAs[Long]("p99_n_tokens"))
+      assert(p50 > 0 && p50 <= p99, s"bad quantile bounds: $r")
+    }
+  }
+
   test("wordlist gate: listed words drop docs whole, stats count them, dedup sees only survivors") {
     import spark.implicits._
     val keepAll = CorpusPrep.Config(
