@@ -35,13 +35,26 @@ private[pipeline] object Snapshot {
     fs.exists(dst)
   }
 
-  /** Materialize `result` and swap it in as the new snapshot. */
+  /** Materialize `result` and swap it in as the new snapshot.
+    *
+    * `beforeSwap` runs against the fully-written temp directory
+    * BEFORE the renames: anything it adds (sidecar files, applied-
+    * batch ledgers) becomes visible in the same atomic swap as the
+    * data — the hook that lets a NON-idempotent maintainer (e.g.
+    * additive stats) be exactly-once, because "the batch's data" and
+    * "the record that the batch applied" cannot be separated by a
+    * crash. Spark's own `_SUCCESS`/metadata files live in the same
+    * directory already, so an extra `_`-prefixed file is invisible to
+    * parquet readers.
+    */
   def publish(fs: FileSystem, targetPath: String, exists: Boolean,
-              result: DataFrame): Unit = {
+              result: DataFrame,
+              beforeSwap: Path => Unit = _ => ()): Unit = {
     val tmp = tmpPath(targetPath)
     val dst = new Path(targetPath)
     val old = oldPath(targetPath)
     result.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    beforeSwap(tmp)
     if (exists) {
       if (fs.exists(old)) fs.delete(old, true)
       if (!fs.rename(dst, old))

@@ -218,10 +218,56 @@ object StatsMaintain {
     * batch's partials only.
     */
   def maintain(spark: SparkSession, targetPath: String, batch: DataFrame,
-               spec: Spec): Stats = {
+               spec: Spec): Stats =
+    maintainImpl(spark, targetPath, batch, spec, batchId = None).get
+
+  /** [[maintain]] with EXACTLY-ONCE semantics for replayed batches
+    * (the Structured Streaming micro-batch contract): the applied-
+    * batch ledger lives INSIDE the snapshot directory (`_applied`, an
+    * underscore file parquet readers ignore) and is written into the
+    * temp directory BEFORE the atomic swap — so the folded data and
+    * the record of its folding become visible in the same rename and
+    * no crash can separate them. This matters here and not for the
+    * SCD sinks: scd2/upsert re-merges are no-ops by construction,
+    * but stats folding is ADDITIVE — replaying a batch would double-
+    * count, so the sidecar-ledger pattern (external file, written
+    * after publish) has a real double-apply window this design
+    * closes. Returns None when the ledger says the batch already
+    * applied (no job runs).
+    */
+  def maintainBatch(spark: SparkSession, targetPath: String, batch: DataFrame,
+                    spec: Spec, batchId: Long): Option[Stats] =
+    maintainImpl(spark, targetPath, batch, spec, Some(batchId))
+
+  private def appliedFile(dir: String) =
+    new Path(dir, "_applied")
+
+  /** Batch ids already folded into the snapshot at `targetPath`. */
+  def appliedBatches(spark: SparkSession, targetPath: String): Set[Long] = {
+    val p = appliedFile(targetPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Set.empty
+    else {
+      val in = fs.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .filter(_.nonEmpty).map(_.toLong).toSet
+      finally in.close()
+    }
+  }
+
+  private def maintainImpl(spark: SparkSession, targetPath: String,
+                           batch: DataFrame, spec: Spec,
+                           batchId: Option[Long]): Option[Stats] = {
     val fs = new Path(targetPath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val exists = Snapshot.recoverAndExists(fs, targetPath)
+    // the ledger is read (and re-written below) even for un-ledgered
+    // maintain() calls: a mixed sequence — maintainBatch, maintain,
+    // crash, replay — must still find the ids the earlier batches
+    // recorded, or the replay double-applies them
+    val applied =
+      if (exists) appliedBatches(spark, targetPath) else Set.empty[Long]
+    if (batchId.exists(applied.contains)) return None
     // delta is group-count-sized: cache it so the batch (the
     // corpus-sized side) is scanned exactly ONCE — batchRows reads
     // off the cached partials, never the batch again
@@ -242,8 +288,15 @@ object StatsMaintain {
           groups - spark.read.parquet(targetPath).select(spec.keys.map(col): _*)
             .distinct().count()
         else groups
-      Snapshot.publish(fs, targetPath, exists, out)
-      Stats(batchRows = batchRows, groups = groups, newGroups = newGroups)
+      Snapshot.publish(fs, targetPath, exists, out, tmp => {
+        val ids = applied ++ batchId
+        if (ids.nonEmpty) {
+          val o = fs.create(appliedFile(tmp.toString), true)
+          try o.write(ids.toSeq.sorted.mkString("\n").getBytes("UTF-8"))
+          finally o.close()
+        }
+      })
+      Some(Stats(batchRows = batchRows, groups = groups, newGroups = newGroups))
     } finally { out.unpersist(); delta.unpersist(); () }
   }
 }

@@ -814,4 +814,25 @@ object Streams {
           deleteCol)
         ()
       }
+
+  /** Continuous incremental statistics: each micro-batch folds into
+    * the [[graft.pipeline.StatsMaintain]] snapshot EXACTLY once.
+    * Stats folding is ADDITIVE — a replayed batch would double-count,
+    * so the sidecar-ledger pattern the merge sinks use (external
+    * file, written after publish) is NOT safe here: its crash window
+    * would re-apply the batch. Instead the applied-batch ledger rides
+    * INSIDE the snapshot directory and swaps atomically with the data
+    * ([[graft.pipeline.StatsMaintain.maintainBatch]]) — there is no
+    * window, by construction.
+    */
+  def statsSink(stream: DataFrame, targetPath: String,
+                spec: graft.pipeline.StatsMaintain.Spec)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream
+      .outputMode(OutputMode.Update())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        graft.pipeline.StatsMaintain.maintainBatch(
+          batch.sparkSession, targetPath, batch.toDF(), spec, id)
+        ()
+      }
 }

@@ -119,6 +119,64 @@ class StatsMaintainSpec extends SparkSpec {
     assert(p50 <= p99)
   }
 
+  test("maintainBatch: the in-snapshot ledger makes additive folding exactly-once with NO crash window") {
+    val path = tmpDir()
+    val s1 = StatsMaintain.maintainBatch(spark, path, batch(b1: _*), spec, 0L)
+    assert(s1.isDefined && s1.get.batchRows == 3)
+    val before = snap(path).collect().map(_.toString).sorted.toSeq
+    // replay of batchId 0: refused by the ledger INSIDE the published
+    // snapshot — there is no external state whose loss could separate
+    // "data applied" from "batch recorded"
+    val replay = StatsMaintain.maintainBatch(spark, path, batch(b1: _*), spec, 0L)
+    assert(replay.isEmpty, "replayed batch must be refused")
+    assert(snap(path).collect().map(_.toString).sorted.toSeq == before,
+      "refused replay must not change the snapshot")
+    assert(StatsMaintain.appliedBatches(spark, path) == Set(0L))
+    // a fresh id applies, and the ledger accumulates
+    assert(StatsMaintain.maintainBatch(spark, path, batch(b2: _*), spec, 1L).isDefined)
+    assert(StatsMaintain.appliedBatches(spark, path) == Set(0L, 1L))
+    // an UN-ledgered maintain between ledgered ones must PRESERVE the
+    // ledger (else a later replay of 0/1 would double-apply)
+    StatsMaintain.maintain(spark, path, batch(b3: _*), spec)
+    assert(StatsMaintain.appliedBatches(spark, path) == Set(0L, 1L),
+      "plain maintain wiped the in-snapshot ledger")
+    assert(StatsMaintain.maintainBatch(spark, path, batch(b1: _*), spec, 1L).isEmpty)
+    // final state equals the one-shot over all three batches
+    val oneShot = StatsMaintain.partials(batch((b1 ++ b2 ++ b3): _*), spec)
+    def canon(df: DataFrame) = df
+      .select(col("grp"), col("n"), col("sum_amount"),
+        concat_ws(",", col("hll_user")).as("v"),
+        concat_ws(",", col("hist_amount")).as("h"))
+      .collect().map(_.toSeq).toSet
+    assert(canon(snap(path)) == canon(oneShot))
+  }
+
+  test("statsSink: a change stream maintains the stats snapshot exactly-once end-to-end") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("stream-stats").toString
+    val target = s"$dir/stats"
+    val input = MemoryStream[(String, Long, String)](spark)
+    val q = graft.streaming.Streams.statsSink(
+        input.toDF().toDF("grp", "amount", "user"), target, spec)
+      .option("checkpointLocation", s"$dir/ckpt").start()
+    try {
+      input.addData(b1: _*)
+      q.processAllAvailable()
+      input.addData(b2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val oneShot = StatsMaintain.partials(batch((b1 ++ b2): _*), spec)
+    def canon(df: DataFrame) = df
+      .select(col("grp"), col("n"), col("sum_amount"),
+        concat_ws(",", col("hll_user")).as("v"),
+        concat_ws(",", col("hist_amount")).as("h"))
+      .collect().map(_.toSeq).toSet
+    assert(canon(spark.read.parquet(target)) == canon(oneShot))
+    assert(StatsMaintain.appliedBatches(spark, target).nonEmpty)
+  }
+
   test("crash between the publish renames is repaired on the next maintain") {
     val path = tmpDir()
     StatsMaintain.maintain(spark, path, batch(b1: _*), spec)
