@@ -583,4 +583,76 @@ object CorpusPrep {
           .getOrElse(0L))
     } finally { m.release() }
   }
+
+  final case class ForgetStats(
+      idsRequested: Long, shardsTouched: Long, docsDropped: Long)
+
+  /** Right-to-be-forgotten deletion from a written corpus WITHOUT a
+    * full rewrite: the victim ids' shards are recomputed from the
+    * same [[shardHash]] the writer used, so only the `shard=`
+    * directories that can possibly hold a victim are read, filtered
+    * and atomically swapped ([[Snapshot]] per-directory publish) —
+    * at 100 TB with 1024 shards, forgetting a handful of users
+    * rewrites a handful of shards, not the corpus. Untouched shard
+    * directories keep their files byte-for-byte (spec-asserted).
+    *
+    * A packed run's `_manifest` is rebuilt from the surviving rows of
+    * the touched shards plus the untouched shards' existing rows —
+    * the (shards × packs)-sized aggregate, not a corpus pass. Pack
+    * positions keep their original values: a reader seeks by
+    * pos/pack_offset ranges, and re-densifying would silently shift
+    * every doc's training-stream address.
+    *
+    * The membership sidecar is deliberately NOT rewritten: a Bloom
+    * filter cannot unlearn, and for forgetting that is the RIGHT
+    * failure mode — the next refresh's gate keeps dropping re-crawled
+    * copies of the forgotten doc, which is what deletion means
+    * (Bloom membership stores digests, not content).
+    */
+  def forget(spark: org.apache.spark.sql.SparkSession, outPath: String,
+             ids: Seq[Long], nShards: Int): ForgetStats = {
+    require(nShards > 0 && (nShards & (nShards - 1)) == 0,
+      s"shard count must be a power of two, got $nShards")
+    if (ids.isEmpty) return ForgetStats(0L, 0L, 0L)
+    import spark.implicits._
+    val victims = ids.toDF("doc_id")
+    val touched = victims
+      .select((shardHash.bitwiseAND(lit(nShards - 1L))).as("shard"))
+      .distinct().as[Long].collect().sorted
+    var dropped = 0L
+    val fs = new org.apache.hadoop.fs.Path(outPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    touched.foreach { s =>
+      val dir = s"$outPath/shard=$s"
+      if (fs.exists(new org.apache.hadoop.fs.Path(dir))) {
+        val cur = spark.read.parquet(dir)
+        val before = cur.count()
+        // anti-join, not isin: scales to any victim-list size (the
+        // list broadcasts; an isin predicate is O(|ids|) per row)
+        val kept = cur.join(broadcast(victims), Seq("doc_id"), "left_anti")
+          .cache()
+        try {
+          val after = kept.count()
+          if (after < before) {
+            Snapshot.publish(fs, dir, exists = true, kept)
+            dropped += before - after
+          }
+        } finally { kept.unpersist(); () }
+      }
+    }
+    // the session caches parquet file listings per path — swapped
+    // directories would otherwise serve the RETIRED file list to the
+    // next reader (observed as FileNotFound mid-scan)
+    spark.catalog.refreshByPath(outPath)
+    // rebuild the pack manifest from the post-delete corpus (only if
+    // one was published)
+    val mp = new org.apache.hadoop.fs.Path(manifestPath(outPath))
+    if (fs.exists(mp) && dropped > 0) {
+      val refreshed = manifestOf(spark.read.parquet(outPath))
+      Snapshot.publish(fs, manifestPath(outPath), exists = true,
+        refreshed.coalesce(1))
+      spark.catalog.refreshByPath(manifestPath(outPath))
+    }
+    ForgetStats(ids.length.toLong, touched.length.toLong, dropped)
+  }
 }

@@ -350,6 +350,61 @@ class CorpusPrepSpec extends SparkSpec {
     }
   }
 
+  test("forget: victims vanish, only their shards rewrite, manifest refreshes") {
+    val docs = Tables(spark, sf).documents
+    val out = java.nio.file.Files.createTempDirectory("graft-forget").toString + "/corpus"
+    val c = cfg.copy(packBudget = Some(64))
+    CorpusPrep.run(docs, out, c)
+    val before = spark.read.parquet(out)
+    // partition discovery infers shard= dirs as int32, not long
+    val all = before.select("doc_id", "shard").collect()
+      .map(r => r.getLong(0) -> r.getAs[Number]("shard").longValue).toMap
+    // count BEFORE the delete: `before`'s file index is pinned at
+    // creation, so evaluating it after the swap would hit retired files
+    val beforeCount = before.count()
+    // forget three present docs + one absent id (no-op for it)
+    val present = all.keys.toSeq.sorted.take(3)
+    val victims = present :+ 999999L
+    val victimShards = present.map(all).toSet
+
+    // fingerprint every shard file before the delete
+    def fileBytes(): Map[String, Long] =
+      new java.io.File(out).listFiles().filter(_.getName.startsWith("shard="))
+        .flatMap(d => d.listFiles().filter(_.getName.endsWith(".parquet"))
+          .map(f => f.getPath -> f.lastModified()))
+        .toMap
+    val beforeFiles = fileBytes()
+
+    val s = CorpusPrep.forget(spark, out, victims, c.nShards)
+    assert(s.docsDropped == 3L, s"$s")
+    assert(s.shardsTouched >= victimShards.size, s"$s")
+
+    val after = spark.read.parquet(out)
+    val ids = after.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(present.forall(id => !ids.contains(id)), "victim survived")
+    assert(after.count() == beforeCount - 3)
+
+    // untouched shards keep their files untouched (same path + mtime)
+    val afterFiles = fileBytes()
+    beforeFiles.foreach { case (path, mtime) =>
+      val shard = path.split("shard=")(1).split("/")(0).toLong
+      if (!victimShards.contains(shard))
+        assert(afterFiles.get(path).contains(mtime),
+          s"untouched shard file rewritten: $path")
+    }
+    // an empty victim list is a free no-op
+    assert(CorpusPrep.forget(spark, out, Nil, c.nShards).docsDropped == 0L)
+
+    // the manifest agrees with the surviving rows
+    def mkey(r: org.apache.spark.sql.Row) =
+      (r.getAs[Number]("shard").longValue, r.getAs[Number]("pack_id").longValue)
+    val manifest = spark.read.parquet(CorpusPrep.manifestPath(out))
+      .collect().map(r => mkey(r) -> r.getAs[Long]("n_docs")).toMap
+    val derived = CorpusPrep.manifestOf(after)
+      .collect().map(r => mkey(r) -> r.getAs[Long]("n_docs")).toMap
+    assert(manifest == derived, s"manifest stale: $manifest vs $derived")
+  }
+
   test("statsPath: two runs fold into the per-(source,lang) snapshot exactly") {
     import graft.pipeline.StatsMaintain
     val docs = Tables(spark, sf).documents
