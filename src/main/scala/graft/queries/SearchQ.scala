@@ -40,6 +40,79 @@ object SearchQ {
        |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
+  /** q100's conjunctive query terms + the integer idf scale, single-
+    * sourced into both engines.
+    */
+  val RankTerms: Seq[String] = Seq("merge", "join", "batch")
+  val IdfScale = 1000000L
+
+  /** q100: ranked CONJUNCTIVE keyword retrieval — docs containing ALL
+    * query terms, ranked by Σ_t tf(d,t)·idf6(t) where idf6 =
+    * ⌊N·10⁶ / df(t)⌋ — an integer rarity weight (the N/df core of
+    * idf without the logarithm, which is libm and not engine-portable
+    * — the Q.scala exactness rule; the log only compresses the
+    * ordering this corpus's 3-term query doesn't need). Ties break by
+    * doc_id; top 100.
+    *
+    * Scale shape: postings filter to the query terms MAP-SIDE (the
+    * q99 property — exchanges are bounded by the terms' document
+    * frequency); df is a terms-sized aggregate joined back; N
+    * attaches as a one-row broadcast (the q57/q86 lazy-count device,
+    * exempt-listed in PlanShapeSpec); the conjunctive gate is one
+    * per-doc aggregate with count(distinct term) == |terms|.
+    */
+  def q100(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import graft.functions.TextOps.{normText, tokens}
+    val t = Tables(s, dir)
+    val post = t.documents
+      .select(col("doc_id"),
+        explode(tokens(normText(coalesce(col("text"), lit(""))))).as("tok"))
+      .filter(col("tok").isin(RankTerms: _*))
+    val tf = post.groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val nDf = t.documents.agg(count(lit(1)).as("nd"))
+    tf.join(broadcast(dfreq), "tok")
+      .crossJoin(broadcast(nDf))
+      .withColumn("idf6", expr(s"nd * ${IdfScale}L DIV df"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count_distinct(col("tok")).as("nt"),
+        sum(col("tf")).as("tf_total"),
+        sum(col("tf") * col("idf6")).as("score6"))
+      .filter(col("nt") === RankTerms.length)
+      .select(col("doc_id"), col("tf_total"), col("score6"))
+      .orderBy(col("score6").desc, col("doc_id"))
+      .limit(100)
+  }
+
+  val q100Sql: String = {
+    val termList = RankTerms.map(t => s"'$t'").mkString(", ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, regexp_split_to_array(
+       |    trim(lower(trim(regexp_replace(coalesce(text, ''), '\\s+', ' ', 'g')))), '\\s+') AS a
+       |  FROM documents),
+       |post AS (
+       |  SELECT doc_id, unnest(a) AS tok FROM toks),
+       |tf AS (
+       |  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+       |  FROM post WHERE tok IN ($termList) GROUP BY 1, 2),
+       |dfq AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+       |n AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM documents),
+       |sc AS (
+       |  SELECT tf.doc_id,
+       |    count(DISTINCT tf.tok) AS nt,
+       |    CAST(sum(tf.tf) AS BIGINT) AS tf_total,
+       |    CAST(sum(tf.tf * (n.nd * $IdfScale // dfq.df)) AS BIGINT) AS score6
+       |  FROM tf JOIN dfq USING (tok) CROSS JOIN n
+       |  GROUP BY tf.doc_id)
+       |SELECT doc_id, tf_total, score6
+       |FROM sc WHERE nt = ${RankTerms.length}
+       |ORDER BY score6 DESC, doc_id LIMIT 100""".stripMargin
+  }
+
   val entries: Seq[Entry] = Seq(
-    Entry("q99_phrase_search", q99, Some(q99Sql)))
+    Entry("q99_phrase_search", q99, Some(q99Sql)),
+    Entry("q100_ranked_search", q100, Some(q100Sql)))
 }

@@ -493,8 +493,9 @@ class PlanShapeSpec extends SparkSpec {
     // phase is shuffle-free and its probe join is an equi-join);
     // q57/q86: a ONE-ROW broadcast corpus-count attaches via cross join
     // (the lazy alternative to a driver-side count() action)
+    // q100 joins the same one-row corpus count
     val exempt = Set("q34_embed_cosine_topk", "q57_tfidf_terms",
-      "q86_trigram_backoff")
+      "q86_trigram_backoff", "q100_ranked_search")
     SparkEntry.all.filterNot(e => exempt(e.name)).foreach { e =>
       val plan = e.run(spark, sf).queryExecution.sparkPlan.toString
       assert(!plan.contains("CartesianProduct"),
