@@ -33,13 +33,29 @@ object Search {
              idCol: Column = col("doc_id"),
              textCol: Column = col("text")): DataFrame = {
     require(terms.nonEmpty, "phrase needs at least one term")
+    // postings are built from NORMALIZED text, so the query terms must
+    // normalize the same way — a raw "Batch" would match nothing,
+    // silently. A term with interior whitespace can never be one
+    // token: refuse it rather than return an empty result
+    val qs = terms.map(_.trim.toLowerCase)
+    require(qs.forall(t => t.nonEmpty && !t.exists(_.isWhitespace)),
+      s"phrase terms must be single non-empty tokens, got $terms")
+    // CACHED (the q86/SimJoin rationale): one consumer per query term
+    // would otherwise re-scan and re-tokenize the corpus k times for
+    // a k-term phrase (different filters defeat plan-level reuse).
+    // The frame is query-term postings only — document-frequency-
+    // sized. Lifecycle is the caller's, as with SimJoin: CacheManager
+    // dedupes repeated identical queries; a service joining many
+    // different corpora should clear entries after materializing.
     val post = docs
       .select(idCol.as("doc_id"),
         posexplode(tokens(normText(coalesce(textCol, lit(""))))).as(Seq("i", "t")))
       .select(col("doc_id"), (col("i") + 1).cast("long").as("pos"), col("t"))
-    val head = post.filter(col("t") === terms.head)
+      .filter(col("t").isin(qs.distinct: _*))
+      .cache()
+    val head = post.filter(col("t") === qs.head)
       .select(col("doc_id"), col("pos"))
-    val matched = terms.zipWithIndex.drop(1).foldLeft(head) {
+    val matched = qs.zipWithIndex.drop(1).foldLeft(head) {
       case (acc, (term, k)) =>
         // equi-join on BOTH keys (doc, expected position): hash join,
         // never a per-doc postings product

@@ -485,7 +485,10 @@ object CorpusPrep {
     * which the reader sees from pos_last's own n_tokens).
     */
   def manifestOf(out: DataFrame): DataFrame =
-    out.groupBy(col("shard"), col("pack_id"))
+    // shard read back through partition discovery is int32; the
+    // writer's column is int64 — pin the manifest schema to the
+    // writer's so forget()'s rebuild cannot change a reader's type
+    out.groupBy(col("shard").cast("long").as("shard"), col("pack_id"))
       .agg(count(lit(1)).as("n_docs"),
         min(col("pos")).as("pos_first"),
         max(col("pos")).as("pos_last"),
@@ -503,6 +506,13 @@ object CorpusPrep {
     */
   def membershipPath(outPath: String): String = s"$outPath/_membership.bloom"
 
+  /** Where [[run]] records the writer's shard count — the layout fact
+    * [[forget]] must NOT take on trust from a caller (a wrong value
+    * silently routes victims to the wrong directories and deletes
+    * nothing).
+    */
+  def metaPath(outPath: String): String = s"$outPath/_corpus_meta"
+
   def run(docs: DataFrame, outPath: String, cfg: Config,
           benchmark: Option[DataFrame] = None): Stats = {
     val m = materialize(docs, cfg, benchmark)
@@ -511,6 +521,14 @@ object CorpusPrep {
       out.write.mode(SaveMode.Overwrite)
         .partitionBy("shard")
         .parquet(outPath)
+      // layout metadata for maintenance ops (underscore-hidden)
+      locally {
+        val fs = new org.apache.hadoop.fs.Path(outPath)
+          .getFileSystem(docs.sparkSession.sparkContext.hadoopConfiguration)
+        val o = fs.create(new org.apache.hadoop.fs.Path(metaPath(outPath)), true)
+        try o.write(s"nShards=${cfg.nShards}\n".getBytes("UTF-8"))
+        finally o.close()
+      }
       // packed runs also publish the pack manifest — aggregated from
       // the same cached frame the write just streamed out, one tiny
       // (shards x packs)-sized job, no second corpus pass
@@ -541,10 +559,23 @@ object CorpusPrep {
       // extra group-count-sized merge per run; the corpus-sized side
       // is the same cached frame the write just streamed.
       cfg.statsPath.foreach { sp =>
-        StatsMaintain.maintain(docs.sparkSession, sp,
+        // packed runs already carry n_tokens (same tokenCol
+        // expression) — reuse it rather than re-encoding every doc
+        val nTok = if (out.columns.contains("n_tokens")) col("n_tokens")
+                   else tokenCol(cfg)
+        // ledgered fold, keyed on the OUTPUT path: the corpus write
+        // is an idempotent Overwrite, but stats folding is additive —
+        // a retried run() must not count the same corpus twice. Two
+        // runs to the same outPath overwrite one corpus, so one fold
+        // per outPath is exactly the right semantics.
+        StatsMaintain.maintainBatch(docs.sparkSession, sp,
           out.select(col("source"), col("lang_detected").as("lang"),
-            tokenCol(cfg).as("n_tokens")),
-          corpusStatsSpec)
+            nTok.as("n_tokens")),
+          corpusStatsSpec,
+          batchId = java.util.Arrays.hashCode(
+            java.security.MessageDigest.getInstance("MD5")
+              .digest(outPath.getBytes("UTF-8"))).toLong)
+        ()
       }
       val afterSample = out.count()
       val seenCol = m.prior
@@ -608,23 +639,51 @@ object CorpusPrep {
     * failure mode — the next refresh's gate keeps dropping re-crawled
     * copies of the forgotten doc, which is what deletion means
     * (Bloom membership stores digests, not content).
+    *
+    * Crash behavior, stated plainly: each shard swap is atomic, and a
+    * crash between a shard's two renames is repaired by the NEXT
+    * forget (the per-shard recoverAndExists). In the window before
+    * that repair, a reader partition-discovering the corpus root sees
+    * the retired `shard=N._graft_old` directory as a malformed
+    * partition value — at 100 TB run maintenance through a catalog
+    * (or re-run forget immediately) rather than raw discovery.
     */
   def forget(spark: org.apache.spark.sql.SparkSession, outPath: String,
-             ids: Seq[Long], nShards: Int): ForgetStats = {
-    require(nShards > 0 && (nShards & (nShards - 1)) == 0,
-      s"shard count must be a power of two, got $nShards")
+             ids: Seq[Long]): ForgetStats = {
     if (ids.isEmpty) return ForgetStats(0L, 0L, 0L)
     import spark.implicits._
+    val fs = new org.apache.hadoop.fs.Path(outPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // the shard count comes from the WRITER's metadata, never a
+    // caller parameter: a wrong count routes every victim to a
+    // directory that doesn't hold it and the deletion silently
+    // no-ops — the one failure mode a right-to-be-forgotten op must
+    // not have
+    val metaP = new org.apache.hadoop.fs.Path(metaPath(outPath))
+    require(fs.exists(metaP),
+      s"forget: no ${metaPath(outPath)} — not a CorpusPrep.run output")
+    val nShards = {
+      val in = fs.open(metaP)
+      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+                finally in.close()
+      txt.linesIterator.collectFirst {
+        case l if l.startsWith("nShards=") => l.stripPrefix("nShards=").trim.toInt
+      }.getOrElse(throw new IllegalStateException(
+        s"forget: ${metaPath(outPath)} carries no nShards"))
+    }
+    require(nShards > 0 && (nShards & (nShards - 1)) == 0,
+      s"corrupt corpus meta: shard count $nShards not a power of two")
     val victims = ids.toDF("doc_id")
     val touched = victims
       .select((shardHash.bitwiseAND(lit(nShards - 1L))).as("shard"))
       .distinct().as[Long].collect().sorted
     var dropped = 0L
-    val fs = new org.apache.hadoop.fs.Path(outPath)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
     touched.foreach { s =>
       val dir = s"$outPath/shard=$s"
-      if (fs.exists(new org.apache.hadoop.fs.Path(dir))) {
+      // recoverAndExists, not a bare exists: a crash in an EARLIER
+      // forget's swap leaves the shard retired at `._graft_old` — a
+      // bare exists would skip it and the victims would survive
+      if (Snapshot.recoverAndExists(fs, dir)) {
         val cur = spark.read.parquet(dir)
         val before = cur.count()
         // anti-join, not isin: scales to any victim-list size (the

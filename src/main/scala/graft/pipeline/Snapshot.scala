@@ -32,6 +32,10 @@ private[pipeline] object Snapshot {
         throw new java.io.IOException(
           s"snapshot recovery: cannot reinstate ${oldPath(targetPath)}")
     }
+    // a stray tmp dir is garbage from a crashed WRITE (before any
+    // rename) — clear it so it can't linger (inside a partitioned
+    // tree it would otherwise pollute partition discovery forever)
+    if (fs.exists(tmpPath(targetPath))) fs.delete(tmpPath(targetPath), true)
     fs.exists(dst)
   }
 

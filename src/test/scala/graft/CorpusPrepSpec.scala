@@ -375,7 +375,7 @@ class CorpusPrepSpec extends SparkSpec {
         .toMap
     val beforeFiles = fileBytes()
 
-    val s = CorpusPrep.forget(spark, out, victims, c.nShards)
+    val s = CorpusPrep.forget(spark, out, victims)
     assert(s.docsDropped == 3L, s"$s")
     assert(s.shardsTouched >= victimShards.size, s"$s")
 
@@ -393,7 +393,15 @@ class CorpusPrepSpec extends SparkSpec {
           s"untouched shard file rewritten: $path")
     }
     // an empty victim list is a free no-op
-    assert(CorpusPrep.forget(spark, out, Nil, c.nShards).docsDropped == 0L)
+    assert(CorpusPrep.forget(spark, out, Nil).docsDropped == 0L)
+    // a directory without the writer's metadata refuses loudly — a
+    // guessed shard count routing victims nowhere is the one failure
+    // mode a deletion op must not have
+    intercept[IllegalArgumentException] {
+      CorpusPrep.forget(spark,
+        java.nio.file.Files.createTempDirectory("not-a-corpus").toString,
+        Seq(1L))
+    }
 
     // the manifest agrees with the surviving rows
     def mkey(r: org.apache.spark.sql.Row) =
