@@ -46,6 +46,29 @@ class SearchSpec extends SparkSpec {
     assert(got == Map(1L -> (1L, 2L), 3L -> (2L, 1L)), s"$got")
   }
 
+  test("fuzz: phrase counts equal a driver scan over 200 random docs and phrases") {
+    val rnd = new scala.util.Random(99100)
+    val vocab = Vector("a", "b", "c", "d")   // tiny vocab -> dense matches
+    val rows = (1L to 200L).map { id =>
+      id -> (0 until 3 + rnd.nextInt(25))
+        .map(_ => vocab(rnd.nextInt(vocab.length))).mkString(" ")
+    }
+    val d = docs(rows: _*)
+    (1 to 5).foreach { _ =>
+      val plen = 1 + rnd.nextInt(3)
+      val phrase = (0 until plen).map(_ => vocab(rnd.nextInt(vocab.length)))
+      val got = run(d, phrase: _*)
+      val want = rows.flatMap { case (id, text) =>
+        val toks = text.split(" ").toSeq
+        val hits = (0 to toks.length - plen)
+          .filter(i => toks.slice(i, i + plen) == phrase)
+        if (hits.isEmpty) None
+        else Some(id -> (hits.length.toLong, hits.min.toLong + 1))
+      }.toMap
+      assert(got == want, s"phrase $phrase: got $got want $want")
+    }
+  }
+
   test("q99 plan: postings are term-filtered map-side — exchanges carry no strings") {
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
