@@ -209,6 +209,39 @@ object Merge {
       .drop("_valid_to", "_is_current")
       .withColumnRenamed("_valid_from", "_as_of_from")
 
+  /** Temporal (as-of-each-row) join: every fact row joins the
+    * dimension state that was current AT ITS OWN version — the
+    * history-correct enrichment an `asOf(latest)` join silently gets
+    * wrong for late-arriving facts (a January order must see January's
+    * customer tier, not today's). Interval semantics match [[asOf]]:
+    * half-open [from, to), so a fact at exactly the change version
+    * sees the NEW state.
+    *
+    * Shape: ONE equi-join on the keys (both sides hash-partition; the
+    * dimension side is interval rows, typically ≪ facts and
+    * AQE-broadcast) followed by the interval filter — never a range
+    * join over time. A key's intervals never overlap ([[scd2]]'s
+    * construction), so each fact matches AT MOST one row: facts
+    * before the key's first interval, during a tombstone gap, or with
+    * no key at all are kept with null dimension columns when
+    * `keepUnmatched` (the audit-friendly default), dropped otherwise.
+    */
+  def temporalJoin(facts: DataFrame, history: DataFrame, keys: Seq[String],
+                   factVersion: Column,
+                   keepUnmatched: Boolean = true): DataFrame = {
+    val dim = history
+      .withColumnRenamed("_valid_from", "_tj_from")
+      .withColumnRenamed("_valid_to", "_tj_to")
+      .drop("_is_current")
+    val joined = facts.join(dim,
+      keys.map(k => facts(k) === dim(k)).reduce(_ && _) &&
+        dim("_tj_from") <= factVersion &&
+        (dim("_tj_to").isNull || dim("_tj_to") > factVersion),
+      if (keepUnmatched) "left" else "inner")
+    keys.foldLeft(joined)((df, k) => df.drop(dim(k)))
+      .drop("_tj_from", "_tj_to")
+  }
+
   final case class Scd2Stats(
       updateRows: Long, inserted: Long, closed: Long, deleted: Long,
       suppressed: Long, resultRows: Long, currentRows: Long)

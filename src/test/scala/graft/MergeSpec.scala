@@ -338,6 +338,43 @@ class MergeSpec extends SparkSpec {
     assert(at(Long.MaxValue) == cur)
   }
 
+  test("temporalJoin: each fact sees the dimension state at its own version") {
+    import spark.implicits._
+    val path = tmpDir()
+    // customer 1: bronze@1 -> gold@5 -> tombstoned@9; customer 2: flat
+    Merge.scd2(spark, path,
+      Seq((1L, "bronze", 1L, false), (1L, "gold", 5L, false),
+        (1L, "", 9L, true), (2L, "silver", 2L, false))
+        .toDF("cust", "tier", "ver", "is_del"),
+      keys = Seq("cust"), versionCol = "ver", deleteCol = Some("is_del"))
+    val hist = spark.read.parquet(path)
+    val facts = Seq(
+      (100L, 1L, 1L),   // at the opening version -> bronze
+      (101L, 1L, 4L),   // inside [1,5) -> bronze
+      (102L, 1L, 5L),   // half-open edge: change takes effect -> gold
+      (103L, 1L, 9L),   // at the tombstone -> no state
+      (104L, 1L, 0L),   // before any history -> no state
+      (105L, 2L, 7L),   // open interval -> silver
+      (106L, 3L, 3L))   // unknown key -> no state
+      .toDF("order_id", "cust", "ver")
+
+    val out = Merge.temporalJoin(facts, hist, Seq("cust"), col("ver"))
+      .select("order_id", "tier").as[(Long, Option[String])]
+      .collect().toMap
+    assert(out == Map(
+      100L -> Some("bronze"), 101L -> Some("bronze"),
+      102L -> Some("gold"), 103L -> None, 104L -> None,
+      105L -> Some("silver"), 106L -> None), s"$out")
+    // every fact exactly once — intervals never overlap
+    assert(out.size == 7)
+
+    // inner form drops the unmatched
+    val inner = Merge.temporalJoin(facts, hist, Seq("cust"), col("ver"),
+        keepUnmatched = false)
+      .select("order_id").as[Long].collect().sorted.toSeq
+    assert(inner == Seq(100L, 101L, 102L, 105L), s"$inner")
+  }
+
   test("upsert plan: one exchange on the key, no join") {
     import spark.implicits._
     val path = tmpDir()
