@@ -1077,6 +1077,73 @@ object CoreB {
       |  CAST(min(CASE WHEN run = mx THEN t END) AS BIGINT) AS first_peak_us
       |FROM m GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** q101: semi-structured (JSON) property extraction — the events
+    * table's `props` column parsed with a TYPED schema (`from_json`,
+    * Spark's codegen'd Jackson path — the native alternative to
+    * per-field `get_json_object` string probing) and aggregated by
+    * the extracted value. The injection device (q84/q90) corrupts a
+    * deterministic slice so both engines must agree on the THREE
+    * distinct failure shapes, not just the happy path: unparseable
+    * JSON (from_json → null struct / json_valid false), valid JSON
+    * missing the key (null field / null extract), and present values.
+    *
+    * Scale shape: one codegen'd projection (parse + classify) feeding
+    * one hash aggregate on event_type — the parse never repeats per
+    * field the way chained get_json_object calls would.
+    */
+  def q101(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    val dirty = when(pmod(col("event_id"), lit(5)) === 0, lit("not json"))
+      .when(pmod(col("event_id"), lit(5)) === 1, lit("""{"other": 1}"""))
+      .otherwise(col("props"))
+    // PERMISSIVE from_json yields an all-null STRUCT for malformed
+    // input (never a null struct), so "unparseable" must be observed
+    // through the corrupt-record column, not struct nullness
+    val parsed = from_json(dirty,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("_c",
+          org.apache.spark.sql.types.StringType))),
+      Map("columnNameOfCorruptRecord" -> "_c"))
+    t.events
+      .select(col("event_type"), dirty.as("p"), parsed.as("j"))
+      .select(col("event_type"),
+        col("j._c").isNotNull.cast("long").as("bad"),
+        (col("j._c").isNull && col("j.k").isNull).cast("long").as("missing"),
+        col("j.k").as("k"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("bad")).as("n_bad"),
+        sum(col("missing")).as("n_missing"),
+        sum(col("k")).as("sum_k"),
+        max(col("k")).as("max_k"))
+      .orderBy(col("event_type"))
+  }
+
+  val q101Sql: String =
+    """WITH d AS (
+      |  SELECT event_type,
+      |    CASE WHEN event_id % 5 = 0 THEN 'not json'
+      |         WHEN event_id % 5 = 1 THEN '{"other": 1}'
+      |         ELSE props END AS p
+      |  FROM events),
+      |c AS (
+      |  SELECT event_type,
+      |    CASE WHEN NOT json_valid(p) THEN 1 ELSE 0 END AS bad,
+      |    CASE WHEN json_valid(p) AND json_extract(p, '$.k') IS NULL
+      |      THEN 1 ELSE 0 END AS missing,
+      |    CASE WHEN json_valid(p)
+      |      THEN CAST(json_extract(p, '$.k') AS BIGINT) END AS k
+      |  FROM d)
+      |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(bad) AS BIGINT) AS n_bad,
+      |  CAST(sum(missing) AS BIGINT) AS n_missing,
+      |  CAST(sum(k) AS BIGINT) AS sum_k,
+      |  CAST(max(k) AS BIGINT) AS max_k
+      |FROM c GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val entries: Seq[Entry] = Seq(
     Entry("q08_union_dedup", q08, Some(q08Sql)),
     Entry("q09_pivot", q09, Some(q09Sql)),
@@ -1107,5 +1174,6 @@ object CoreB {
     Entry("q88_gapfill", q88, Some(q88Sql)),
     Entry("q92_hierarchy", q92, Some(q92Sql)),
     Entry("q98_concurrency", q98, Some(q98Sql)),
+    Entry("q101_json_extract", q101, Some(q101Sql)),
   )
 }
