@@ -815,6 +815,35 @@ object Streams {
         ()
       }
 
+  /** Continuous history-correct enrichment: each fact micro-batch
+    * joins the SCD-2 history snapshot at `historyPath` through
+    * [[graft.pipeline.Merge.temporalJoin]] — every fact sees the
+    * dimension state AT ITS OWN version, even when facts arrive late
+    * relative to dimension changes (the case a stream-static join
+    * against a latest-only snapshot silently gets wrong).
+    *
+    * The history is RE-READ each micro-batch (a fresh
+    * `spark.read.parquet` inside foreachBatch, listing invalidated
+    * first): the snapshot directory is atomically swapped by
+    * [[scd2Sink]]/[[graft.pipeline.Merge.scd2]], so each batch sees
+    * one complete published history — composing the two sinks gives
+    * a change stream maintaining the dimension while an event stream
+    * enriches against it, each batch atomically consistent.
+    */
+  def temporalEnrich(facts: DataFrame, historyPath: String,
+                     keys: Seq[String], factVersion: org.apache.spark.sql.Column)
+                    (sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    facts.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val spark = batch.sparkSession
+        spark.catalog.refreshByPath(historyPath)
+        val hist = spark.read.parquet(historyPath)
+        sink(graft.pipeline.Merge.temporalJoin(
+          batch.toDF(), hist, keys, factVersion), id)
+      }
+
   /** Continuous incremental statistics: each micro-batch folds into
     * the [[graft.pipeline.StatsMaintain]] snapshot EXACTLY once.
     * Stats folding is ADDITIVE — a replayed batch would double-count,

@@ -695,6 +695,51 @@ class StreamingSpec extends SparkSpec {
       "re-merging identical rows must be a no-op (late-row + tombstone rules)")
   }
 
+  test("temporalEnrich: streamed facts see the history state at their own version") {
+    implicit val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("stream-tj").toString
+    val histPath = s"$dir/hist"
+    // dimension history: tier changes at v5
+    graft.pipeline.Merge.scd2(spark,
+      histPath,
+      Seq((1L, "bronze", 1L), (1L, "gold", 5L), (2L, "silver", 2L))
+        .toDF("cust", "tier", "ver"),
+      keys = Seq("cust"), versionCol = "ver")
+
+    val input = MemoryStream[(Long, Long, Long)](spark)
+    val collected = scala.collection.mutable.ArrayBuffer[(Long, Option[String])]()
+    val q = Streams.temporalEnrich(
+        input.toDF().toDF("order_id", "cust", "ver"),
+        histPath, Seq("cust"), col("ver")) { (enriched, _) =>
+        collected.synchronized {
+          collected ++= enriched.select("order_id", "tier")
+            .as[(Long, Option[String])].collect()
+        }
+        ()
+      }
+      .option("checkpointLocation", s"$dir/ckpt").start()
+    try {
+      input.addData((100L, 1L, 2L), (101L, 1L, 7L), (102L, 3L, 1L))
+      q.processAllAvailable()
+      // dimension changes BETWEEN batches: customer 2 upgrades at v9 —
+      // the next batch must see the newly published history
+      graft.pipeline.Merge.scd2(spark, histPath,
+        Seq((2L, "gold", 9L)).toDF("cust", "tier", "ver"),
+        keys = Seq("cust"), versionCol = "ver")
+      input.addData((103L, 2L, 8L), (104L, 2L, 9L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = collected.toMap
+    assert(got == Map(
+      100L -> Some("bronze"),   // before the v5 change
+      101L -> Some("gold"),     // after it
+      102L -> None,             // unknown key, kept with null
+      103L -> Some("silver"),   // fact at v8: still the old interval
+      104L -> Some("gold")),    // fact at v9: the freshly merged state
+      s"$got")
+  }
+
   test("decontaminate: streaming verdicts equal batch q54 for the same docs") {
     implicit val s = spark
     import s.implicits._
