@@ -1144,6 +1144,43 @@ object CoreB {
       |  CAST(max(k) AS BIGINT) AS max_k
       |FROM c GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** q102: arbitrary GROUPING SETS — the general form q13 (rollup)
+    * and q14 (cube) specialize: an explicit lattice of aggregation
+    * levels including the cross-dimension slices a rollup skips,
+    * computed in ONE pass (Catalyst's Expand: each input row fans to
+    * one row per set, then a single hash aggregate — never one
+    * aggregate per set unioned). The DataFrame API exposes only
+    * rollup/cube, so this query is the `spark.sql` path over a temp
+    * view — exercising the SQL front door the brief names.
+    *
+    * The grouping id is computed EXPLICITLY as
+    * grouping(a)·2 + grouping(b) in both engines rather than relying
+    * on builtin grouping_id() bit conventions agreeing; NULL group
+    * columns at aggregated-away levels render identically.
+    */
+  def q102(s: SparkSession, dir: String): DataFrame = {
+    Tables(s, dir).lineitem.createOrReplaceTempView("graft_q102_lineitem")
+    s.sql(
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT) AS gid,
+        |  count(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM graft_q102_lineitem
+        |GROUP BY GROUPING SETS (
+        |  (l_returnflag, l_linestatus), (l_returnflag), (l_linestatus), ())
+        |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin)
+  }
+
+  val q102Sql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT) AS gid,
+      |  CAST(count(*) AS BIGINT) AS n,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem
+      |GROUP BY GROUPING SETS (
+      |  (l_returnflag, l_linestatus), (l_returnflag), (l_linestatus), ())
+      |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin
+
   val entries: Seq[Entry] = Seq(
     Entry("q08_union_dedup", q08, Some(q08Sql)),
     Entry("q09_pivot", q09, Some(q09Sql)),
@@ -1175,5 +1212,6 @@ object CoreB {
     Entry("q92_hierarchy", q92, Some(q92Sql)),
     Entry("q98_concurrency", q98, Some(q98Sql)),
     Entry("q101_json_extract", q101, Some(q101Sql)),
+    Entry("q102_grouping_sets", q102, Some(q102Sql)),
   )
 }
