@@ -3,15 +3,22 @@ import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: every registered query at SPARK_GRAFT_SF_DIR.
   *
-  * Output contract (round 6): the harvester that collects this output keeps
-  * only the LAST ~2KB of stdout, so the FINAL line printed must be a
-  * complete, self-contained JSON object small enough to survive that
-  * tail-capture — round 5 printed one giant line with the headline fields
-  * first and the official artifact lost its medians to truncation. The
-  * final line therefore carries the headline fields plus the per-query
-  * MEDIANS rounded to 3 decimals (~1.7KB at 61 queries); the full-precision
-  * medians and the min/max spread maps are printed on EARLIER lines (free
-  * to truncate) and also written verbatim to target/bench_full.json.
+  * Output contract (round 9): the harvester that collects this output keeps
+  * only the LAST few KB of stdout, so the FINAL line printed must be a
+  * complete, self-contained JSON object small enough to survive ANY
+  * tail-capture. Round 6 budgeted "<2KB with 3-decimal medians inline" —
+  * at 99 queries that line outgrew the budget (~2.9KB) and BENCH_r08's
+  * official capture cut it mid-stream (parsed:null, 22 queries lost). The
+  * final line is now HEADLINE-ONLY (<300B: total/failed/warmup/reps/
+  * n_queries/sf) and carries NO per-query map, so it can never outgrow a
+  * capture no matter how many queries register. The per-query 3-decimal
+  * medians and the per-query [min,max] rep spread are each printed as
+  * self-contained single-JSON-object lines immediately BEFORE it (newest
+  * content closest to the tail), and the full-precision everything is
+  * written verbatim to target/bench_full.json (never truncated) plus an
+  * early stdout line. Each line is independently parseable: a reader takes
+  * the last line for the headline and scans earlier lines for the
+  * "queries"/"spread" keys it wants.
   *
   * Methodology (round 5): each query is measured REPS (3) times, with the
   * reps INTERLEAVED across queries — rep 1 of every query, then rep 2 of
@@ -115,9 +122,22 @@ object Bench {
       java.nio.file.Files.write(p, fullJson.getBytes("UTF-8"))
     } catch { case _: Throwable => () }
     println(fullJson)
-    // FINAL line: headline + rounded medians, self-contained and <2KB so
-    // the driver's tail-capture always parses it whole
-    println(s"""{"metric":"total","value":${d3(total)},"unit":"sec","failed":$failed,"warmup_sec":${d3(warmupSec)},"reps":$reps,"queries":${jmapShort(med)},"sf":"$sfDir"}""")
+    // rep-spread line: per-query [min,max] at 3 decimals, one
+    // self-contained JSON object, CI-parseable on its own — lets a churn
+    // round (official artifact inflated, code unchanged) be auto-triaged:
+    // a query whose min matches the prior round but whose max is several
+    // x is machine churn, a query whose MIN moved is a real regression
+    val spread = names.map { n =>
+      val (lo, hi) = if (med(n) < 0) (-1.0, -1.0) else (samples(n).min, samples(n).max)
+      "\"" + n + "\":[" + d3(lo) + "," + d3(hi) + "]"
+    }.mkString("{\"spread\":{", ",", "}}")
+    println(spread)
+    // per-query 3-decimal medians: one self-contained JSON object line,
+    // directly above the headline so it sits inside any sane tail-capture
+    println(s"""{"queries":${jmapShort(med)}}""")
+    // FINAL line: HEADLINE ONLY, <300B regardless of query count, so the
+    // driver's tail-capture can never cut it mid-stream again
+    println(s"""{"metric":"total","value":${d3(total)},"unit":"sec","failed":$failed,"warmup_sec":${d3(warmupSec)},"reps":$reps,"n_queries":${names.length},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -38,15 +38,52 @@ import org.apache.spark.sql.functions._
   */
 object SimJoin {
 
+  /** A result frame plus the handle to the internal cache entry that
+    * backs it — the fix for the unsatisfiable "cache lifecycle is the
+    * caller's" contract a bare lazy DataFrame imposes (the caller had
+    * no handle; only session-wide `clearCache()` could free the
+    * entry, nuking unrelated caches). Call [[release]] once `df` is
+    * materialized (written out, checkpointed, collected); using `df`
+    * lazily AFTER release is correct but recomputes the shingle pass.
+    */
+  final case class Scoped(df: DataFrame,
+                          private[graft] val cached: DataFrame) {
+    def release(): Unit = { cached.unpersist(); () }
+  }
+
+  /** The (id, shingle-hash) frame both the join and its cache probe
+    * share — one definition so a test can reconstruct the exact
+    * canonicalized plan the cache entry is keyed on.
+    */
+  private[graft] def shingleFrame(docs: DataFrame, n: Int,
+                                  idCol: Column, textCol: Column): DataFrame =
+    docs
+      .select(idCol.as("id"),
+        tokens(normText(coalesce(textCol, lit("")))).as("arr"))
+      .filter(size(col("arr")) >= n)
+      .select(col("id"), explode(wordShingles(col("arr"), n)).as("s"))
+      .select(col("id"), md5Lower64(col("s")).as("h"))
+
   /** All pairs (doc_a < doc_b) with shingle-set Jaccard ≥ tNum/tDen:
-    * (doc_a, doc_b, n_inter, n_union, jac9).
+    * (doc_a, doc_b, n_inter, n_union, jac9). Lazy-DataFrame form: the
+    * internal cache entry outlives the call (CacheManager keys on the
+    * canonicalized plan, so repeated invocations over the SAME input
+    * share one entry) — a long-lived service joining many DIFFERENT
+    * corpora should use [[joinPairsScoped]] and release each entry
+    * after materializing.
     *
     * @param n    word-shingle width (distinct n-grams form the set)
     * @param tNum threshold numerator, tDen denominator (e.g. 3/5)
     */
   def joinPairs(docs: DataFrame, n: Int, tNum: Int, tDen: Int,
                 idCol: Column = col("doc_id"),
-                textCol: Column = col("text")): DataFrame = {
+                textCol: Column = col("text")): DataFrame =
+    joinPairsScoped(docs, n, tNum, tDen, idCol, textCol).df
+
+  /** [[joinPairs]] with the cache handle returned ([[Scoped]]). */
+  def joinPairsScoped(docs: DataFrame, n: Int, tNum: Int, tDen: Int,
+                      idCol: Column = col("doc_id"),
+                      textCol: Column = col("text")): Scoped = {
     require(n >= 1 && tNum > 0 && tDen > 0 && tNum <= tDen,
       s"need n >= 1 and 0 < tNum/tDen <= 1, got $n, $tNum/$tDen")
     // CACHED (the q86 ship-model-to-data rationale): five consumers
@@ -55,22 +92,9 @@ object SimJoin {
     // the corpus and re-digest every shingle (plan-level reuse cannot
     // fire: each consumer prunes/aggregates differently, so the
     // subtrees stop being identical). The frame is (id, hash) pairs —
-    // shingle-count-sized, far below the corpus.
-    //
-    // Cache LIFECYCLE is the caller's (the q86 contract): a lazy
-    // DataFrame is returned, so this operator can never know when an
-    // unpersist is safe. CacheManager keys on the canonicalized plan
-    // — repeated invocations over the SAME input share one entry —
-    // but a long-lived session joining many DIFFERENT corpora
-    // accumulates one entry per input and should drop them
-    // (`spark.catalog.clearCache()` or uncache after materializing).
-    val sh = docs
-      .select(idCol.as("id"),
-        tokens(normText(coalesce(textCol, lit("")))).as("arr"))
-      .filter(size(col("arr")) >= n)
-      .select(col("id"), explode(wordShingles(col("arr"), n)).as("s"))
-      .select(col("id"), md5Lower64(col("s")).as("h"))
-      .cache()
+    // shingle-count-sized, far below the corpus. Lifecycle: the
+    // returned Scoped.release (see its scaladoc).
+    val sh = shingleFrame(docs, n, idCol, textCol).cache()
     val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("nsz"))
     val dfreq = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
     // one total order: (document frequency asc, hash asc)
@@ -110,7 +134,7 @@ object SimJoin {
     val inter = cand.join(ta, "ida").join(tb, Seq("idb", "h"))
       .groupBy(col("ida"), col("idb"), col("na"), col("nb"))
       .agg(count(lit(1)).as("n_inter"))
-    inter
+    val out = inter
       .withColumn("n_union", col("na") + col("nb") - col("n_inter"))
       .filter(col("n_inter") * tDen >= col("n_union") * tNum)
       .select(col("ida").as("doc_a"), col("idb").as("doc_b"),
@@ -118,5 +142,6 @@ object SimJoin {
         col("n_union").cast("long").as("n_union"),
         expr("n_inter * 1000000000 DIV n_union").cast("long").as("jac9"))
       .orderBy(col("doc_a"), col("doc_b"))
+    Scoped(out, sh)
   }
 }

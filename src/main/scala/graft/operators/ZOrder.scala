@@ -62,13 +62,30 @@ object ZOrder {
       case (e, (sh, mask)) => s"(($e | ($e << $sh)) & $mask)"
     }
 
-  /** 64-bit Morton key of two non-negative 32-bit columns: a's bits on
-    * even positions, b's on odd. Equal-magnitude keys interleave
-    * evenly; a much-wider column simply contributes more high bits
-    * (its natural weight on the curve).
+  /** Loud range guard: [[spread]] masks to the low 32 bits, so a value
+    * outside [0, 2^31) does not error on its own — it silently aliases
+    * onto another curve cell (negative: the sign extension is masked
+    * away; ≥ 2^31 in the SECOND column: bit 31 lands on position 62,
+    * the <<1 pushes it onto the SIGN bit, and the range partitioner
+    * then sorts those rows FIRST — the worst-case layout, produced
+    * silently). Misuse must degrade loudly: any out-of-range value
+    * raises per-row instead of corrupting the clustering. Codegen'd
+    * branch — one compare per row, free next to the spread rounds.
+    */
+  private def checked(c: Column, side: String): Column = {
+    val v = c.cast("long")
+    when(v >= 0 && v < lit(1L << 31), v).otherwise(raise_error(concat(
+      lit(s"zorder: $side value out of [0, 2^31): "), v.cast("string"))))
+  }
+
+  /** 64-bit Morton key of two columns in [0, 2^31): a's bits on even
+    * positions, b's on odd. Equal-magnitude keys interleave evenly; a
+    * much-wider column simply contributes more high bits (its natural
+    * weight on the curve). Out-of-range values raise (see [[checked]])
+    * rather than silently inverting the layout.
     */
   def zkey(a: Column, b: Column): Column =
-    spread(a).bitwiseOR(shiftleft(spread(b), 1))
+    spread(checked(a, "a")).bitwiseOR(shiftleft(spread(checked(b, "b")), 1))
 
   /** DuckDB mirror of [[zkey]]. */
   def zkeySql(a: String, b: String): String =

@@ -184,7 +184,17 @@ object CorpusPrep {
       input: Long, afterDedup: Long, afterSample: Long,
       nearDupDropped: Long = 0L, contaminatedDropped: Long = 0L,
       snapshotDropped: Long = 0L, substrStripped: Long = 0L,
-      badwordsDropped: Long = 0L)
+      badwordsDropped: Long = 0L,
+      /** true when a `statsPath` fold was requested but the ledger
+        * already held this outPath's batch id — i.e. an IN-PLACE
+        * refresh (re-running run() to the same outPath) whose new
+        * corpus was NOT re-folded into the stats snapshot. Surfaced
+        * so the skip is never silent: the caller decides whether that
+        * is a harmless retry (same data) or a stale-stats condition
+        * (changed data to the same path → fold under a fresh
+        * statsPath or rebuild the snapshot).
+        */
+      statsFoldSkipped: Boolean = false)
 
   /** Shard-assignment hash. MUST be decorrelated from the sampling
     * hash: Sample gates on md5Lower64(doc_id) & 1023, so deriving the
@@ -558,7 +568,7 @@ object CorpusPrep {
       // corpora (StatsMaintain's mergeable-partials contract). One
       // extra group-count-sized merge per run; the corpus-sized side
       // is the same cached frame the write just streamed.
-      cfg.statsPath.foreach { sp =>
+      val statsFoldSkipped = cfg.statsPath.exists { sp =>
         // packed runs already carry n_tokens (same tokenCol
         // expression) — reuse it rather than re-encoding every doc
         val nTok = if (out.columns.contains("n_tokens")) col("n_tokens")
@@ -567,15 +577,19 @@ object CorpusPrep {
         // is an idempotent Overwrite, but stats folding is additive —
         // a retried run() must not count the same corpus twice. Two
         // runs to the same outPath overwrite one corpus, so one fold
-        // per outPath is exactly the right semantics.
+        // per outPath is exactly the right semantics. The id is the
+        // FIRST 8 BYTES of the md5 of the path (big-endian long):
+        // 64 bits of entropy, not the 32 Arrays.hashCode kept —
+        // two distinct outPaths feeding one statsPath colliding at
+        // 2^-32 would silently skip a fold. A skipped fold (retried
+        // or in-place-refreshed run) is reported in Stats, not silent.
         StatsMaintain.maintainBatch(docs.sparkSession, sp,
           out.select(col("source"), col("lang_detected").as("lang"),
             nTok.as("n_tokens")),
           corpusStatsSpec,
-          batchId = java.util.Arrays.hashCode(
+          batchId = java.nio.ByteBuffer.wrap(
             java.security.MessageDigest.getInstance("MD5")
-              .digest(outPath.getBytes("UTF-8"))).toLong)
-        ()
+              .digest(outPath.getBytes("UTF-8"))).getLong).isEmpty
       }
       val afterSample = out.count()
       val seenCol = m.prior
@@ -611,7 +625,8 @@ object CorpusPrep {
         substrStripped = m.substrSpans
           .map(_.join(out.select(col("doc_id")), Seq("doc_id"), "left_semi")
             .count())
-          .getOrElse(0L))
+          .getOrElse(0L),
+        statsFoldSkipped = statsFoldSkipped)
     } finally { m.release() }
   }
 

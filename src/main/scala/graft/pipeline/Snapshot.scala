@@ -13,11 +13,47 @@ import org.apache.spark.sql.{DataFrame, SaveMode}
   * rather than reading partial data, and a crash there is repaired by
   * [[recover]] on the next maintenance run, which reinstates the
   * retired snapshot before merging.
+  *
+  * SINGLE-WRITER CONTRACT: the protocol tolerates any number of
+  * readers but exactly ONE maintainer per target path at a time —
+  * readers see atomic swaps, but two concurrent maintainers can
+  * delete each other's in-flight `._graft_tmp` (recovery treats a
+  * stranger's tmp as crash garbage) and interleave the two-rename
+  * swap into a lost update. The contract is ENFORCED best-effort by a
+  * `._graft_lock` marker: [[publish]] atomically creates it (create
+  * with overwrite=false — an existing lock fails the create) and
+  * removes it in a finally, and [[recoverAndExists]] refuses to run
+  * while it exists — so a streaming sink plus an ad-hoc batch
+  * maintain on the same path fails LOUDLY instead of corrupting. A
+  * hard JVM kill mid-publish leaves the lock behind (by design: the
+  * tmp state it guards is also still there); after confirming no live
+  * maintainer, clear it with [[forceUnlock]] and the next
+  * recoverAndExists repairs as usual.
   */
 private[pipeline] object Snapshot {
 
   private def oldPath(targetPath: String) = new Path(targetPath + "._graft_old")
   private def tmpPath(targetPath: String) = new Path(targetPath + "._graft_tmp")
+  private def lockPath(targetPath: String) = new Path(targetPath + "._graft_lock")
+
+  private def acquireLock(fs: FileSystem, targetPath: String): Unit = {
+    val p = lockPath(targetPath)
+    val ok =
+      try { fs.create(p, false).close(); true }
+      catch { case _: java.io.IOException => false }
+    if (!ok) throw new IllegalStateException(
+      s"snapshot maintainer lock already held at $p: another maintainer " +
+        "is publishing to this target (the protocol is single-writer per " +
+        "path), or a previous maintainer was hard-killed mid-publish. " +
+        "Verify no live maintainer runs, then Snapshot.forceUnlock the path.")
+  }
+
+  /** Clear a stale maintainer lock left by a hard-killed publish. Only
+    * safe once no live maintainer targets the path.
+    */
+  def forceUnlock(fs: FileSystem, targetPath: String): Unit = {
+    fs.delete(lockPath(targetPath), false); ()
+  }
 
   /** Repair a crash between the two publish renames (previous
     * snapshot retired at `._graft_old`, nothing at the target) and
@@ -26,6 +62,14 @@ private[pipeline] object Snapshot {
     * fresh bootstrap.
     */
   def recoverAndExists(fs: FileSystem, targetPath: String): Boolean = {
+    // refuse to "repair" while another maintainer holds the lock: its
+    // in-flight tmp is NOT crash garbage, and deleting it (below)
+    // would corrupt that writer mid-publish
+    if (fs.exists(lockPath(targetPath)))
+      throw new IllegalStateException(
+        s"snapshot at $targetPath is locked by an in-flight maintainer " +
+          "(single-writer contract); if that maintainer was hard-killed, " +
+          "Snapshot.forceUnlock the path first.")
     val dst = new Path(targetPath)
     if (!fs.exists(dst) && fs.exists(oldPath(targetPath))) {
       if (!fs.rename(oldPath(targetPath), dst))
@@ -54,19 +98,22 @@ private[pipeline] object Snapshot {
   def publish(fs: FileSystem, targetPath: String, exists: Boolean,
               result: DataFrame,
               beforeSwap: Path => Unit = _ => ()): Unit = {
-    val tmp = tmpPath(targetPath)
-    val dst = new Path(targetPath)
-    val old = oldPath(targetPath)
-    result.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-    beforeSwap(tmp)
-    if (exists) {
-      if (fs.exists(old)) fs.delete(old, true)
-      if (!fs.rename(dst, old))
-        throw new java.io.IOException(s"snapshot swap: cannot retire $dst")
-    }
-    if (!fs.rename(tmp, dst))
-      throw new java.io.IOException(s"snapshot swap: cannot publish $tmp")
-    fs.delete(old, true)
-    ()
+    acquireLock(fs, targetPath)
+    try {
+      val tmp = tmpPath(targetPath)
+      val dst = new Path(targetPath)
+      val old = oldPath(targetPath)
+      result.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+      beforeSwap(tmp)
+      if (exists) {
+        if (fs.exists(old)) fs.delete(old, true)
+        if (!fs.rename(dst, old))
+          throw new java.io.IOException(s"snapshot swap: cannot retire $dst")
+      }
+      if (!fs.rename(tmp, dst))
+        throw new java.io.IOException(s"snapshot swap: cannot publish $tmp")
+      fs.delete(old, true)
+      ()
+    } finally forceUnlock(fs, targetPath)
   }
 }

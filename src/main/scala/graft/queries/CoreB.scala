@@ -1106,11 +1106,18 @@ object CoreB {
         org.apache.spark.sql.types.StructField("_c",
           org.apache.spark.sql.types.StringType))),
       Map("columnNameOfCorruptRecord" -> "_c"))
+    // a NULL props row is mirrored EXPLICITLY as missing (not bad) in
+    // both engines: Spark's from_json(NULL) yields a null struct
+    // (j._c null, j.k null → would land in "missing" by accident),
+    // while DuckDB's json_valid(NULL) is NULL and its CASE arms both
+    // fall to 0 — without the explicit p IS NULL arm the engines
+    // disagree the day the driver regenerates events with null props
     t.events
       .select(col("event_type"), dirty.as("p"), parsed.as("j"))
       .select(col("event_type"),
-        col("j._c").isNotNull.cast("long").as("bad"),
-        (col("j._c").isNull && col("j.k").isNull).cast("long").as("missing"),
+        (col("p").isNotNull && col("j._c").isNotNull).cast("long").as("bad"),
+        (col("p").isNull ||
+          (col("j._c").isNull && col("j.k").isNull)).cast("long").as("missing"),
         col("j.k").as("k"))
       .groupBy(col("event_type"))
       .agg(
@@ -1131,8 +1138,8 @@ object CoreB {
       |  FROM events),
       |c AS (
       |  SELECT event_type,
-      |    CASE WHEN NOT json_valid(p) THEN 1 ELSE 0 END AS bad,
-      |    CASE WHEN json_valid(p) AND json_extract(p, '$.k') IS NULL
+      |    CASE WHEN p IS NOT NULL AND NOT json_valid(p) THEN 1 ELSE 0 END AS bad,
+      |    CASE WHEN p IS NULL OR (json_valid(p) AND json_extract(p, '$.k') IS NULL)
       |      THEN 1 ELSE 0 END AS missing,
       |    CASE WHEN json_valid(p)
       |      THEN CAST(json_extract(p, '$.k') AS BIGINT) END AS k

@@ -15,8 +15,15 @@ object SearchQ {
     */
   val Phrase: Seq[String] = Seq("batch", "stream")
 
-  def q99(s: SparkSession, dir: String): DataFrame =
-    graft.operators.Search.phrase(Tables(s, dir).documents, Phrase)
+  /** Materialize-then-release (the q96 rationale): the postings cache
+    * is scoped to this call via an eager localCheckpoint of the
+    * (match-count-sized) result; plan pins use the lazy operator.
+    */
+  def q99(s: SparkSession, dir: String): DataFrame = {
+    val sc = graft.operators.Search.phraseScoped(
+      Tables(s, dir).documents, Phrase)
+    try sc.df.localCheckpoint() finally sc.release()
+  }
 
   val q99Sql: String = {
     val joins = Phrase.zipWithIndex.drop(1).map { case (t, k) =>
@@ -63,28 +70,17 @@ object SearchQ {
     */
   def q100(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    import graft.functions.TextOps.{normText, tokens}
     val t = Tables(s, dir)
-    val post = t.documents
-      .select(col("doc_id"),
-        explode(tokens(normText(coalesce(col("text"), lit(""))))).as("tok"))
-      .filter(col("tok").isin(RankTerms: _*))
-    val tf = post.groupBy(col("doc_id"), col("tok"))
-      .agg(count(lit(1)).as("tf"))
-    val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-    val nDf = t.documents.agg(count(lit(1)).as("nd"))
-    tf.join(broadcast(dfreq), "tok")
-      .crossJoin(broadcast(nDf))
-      .withColumn("idf6", expr(s"nd * ${IdfScale}L DIV df"))
-      .groupBy(col("doc_id"))
-      .agg(
-        count_distinct(col("tok")).as("nt"),
-        sum(col("tf")).as("tf_total"),
-        sum(col("tf") * col("idf6")).as("score6"))
-      .filter(col("nt") === RankTerms.length)
-      .select(col("doc_id"), col("tf_total"), col("score6"))
-      .orderBy(col("score6").desc, col("doc_id"))
-      .limit(100)
+    // ONE scoring kernel shared with the persisted-index path
+    // (Search.rankedIndexed) — the in-plan face derives postings from
+    // the corpus, the index face reads the term-bucketed table; both
+    // run the same rankedOverPostings (index == in-plan spec-pinned)
+    graft.operators.Search.rankedOverPostings(
+      graft.operators.Search.postingsFrame(
+        t.documents, RankTerms, col("doc_id"), col("text")),
+      RankTerms,
+      t.documents.agg(count(lit(1)).as("nd")),
+      IdfScale, 100)
   }
 
   val q100Sql: String = {

@@ -23,9 +23,19 @@ object SimQ {
   val SimNum = 3
   val SimDen = 5
 
-  def q96(s: SparkSession, dir: String): DataFrame =
-    graft.operators.SimJoin.joinPairs(
+  /** Materialize-then-release (the CsvSource.Loaded pattern): the
+    * operator's internal shingle cache is scoped to THIS call — the
+    * result is eagerly localCheckpoint'd (pair-count-sized) while the
+    * cache is live, then the entry is dropped, so a long-lived
+    * service running the registered query over many corpora does not
+    * grow session cache per distinct input (spec-pinned). Plan-shape
+    * pins use the lazy [[graft.operators.SimJoin.joinPairs]] directly.
+    */
+  def q96(s: SparkSession, dir: String): DataFrame = {
+    val sc = graft.operators.SimJoin.joinPairsScoped(
       Tables(s, dir).documents, SimShingle, SimNum, SimDen)
+    try sc.df.localCheckpoint() finally sc.release()
+  }
 
   val q96Sql: String = {
     val n = SimShingle

@@ -73,16 +73,90 @@ class SearchSpec extends SparkSpec {
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     import org.apache.spark.sql.types.{ArrayType, StringType}
-    val qe = queries.SearchQ.q99(spark, sf).queryExecution
+    // the LAZY operator form (the registered q99 wrapper returns an
+    // eagerly checkpointed frame — LogicalRDD plan)
+    val sc = Search.phraseScoped(Tables(spark, sf).documents,
+      queries.SearchQ.Phrase)
+    try {
+      val qe = sc.df.queryExecution
+      val plan = qe.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      val exchanges = plan.collect { case e: ShuffleExchangeExec => e }
+      assert(exchanges.nonEmpty)
+      exchanges.foreach(e =>
+        assert(!e.output.exists(a => a.dataType == StringType ||
+          a.dataType.isInstanceOf[ArrayType]),
+          s"a q99 exchange carries strings/arrays: ${e.output}"))
+    } finally sc.release()
+  }
+
+  test("scoped cache: release drops the postings entry; the q99 wrapper leaves none behind") {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.storage.StorageLevel
+    val sc = Search.phraseScoped(docs(1L -> "batch stream x"), Seq("batch", "stream"))
+    val out = sc.df.localCheckpoint()
+    assert(sc.cached.storageLevel != StorageLevel.NONE)
+    sc.release()
+    assert(sc.cached.storageLevel == StorageLevel.NONE)
+    assert(out.count() == 1)
+    assert(queries.SearchQ.q99(spark, sf).count() >= 0)
+    val probe = Search.postingsFrame(Tables(spark, sf).documents,
+      queries.SearchQ.Phrase.map(_.trim.toLowerCase),
+      col("doc_id"), col("text"))
+    assert(probe.storageLevel == StorageLevel.NONE,
+      "q99 leaked its postings cache entry into the session")
+  }
+
+  test("persisted index: phraseIndexed == phrase, rankedIndexed == q100, scan is bucket-pruned with no tokenize") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.functions.{col, count, lit}
+    val d = docs(
+      1L -> "x batch stream y batch stream merge",
+      2L -> "batch batch stream",
+      3L -> "stream batch merge join",
+      4L -> "  Batch\tSTREAM extra merge join batch",
+      5L -> "merge join batch nothing else",
+      6L -> "")
+    val table = "graft_searchspec_postings"
+    Search.buildIndex(d, table, 8)
+    // phrase: indexed == in-plan on every term combination exercised
+    for (terms <- Seq(Seq("batch", "stream"), Seq("merge"), Seq("batch", "stream", "merge"))) {
+      val inPlan = run(d, terms: _*)
+      val idx = Search.phraseIndexed(spark, table, terms).collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      assert(idx == inPlan, s"terms $terms: indexed $idx != in-plan $inPlan")
+    }
+    // ranked: indexed == the in-plan kernel over the same corpus
+    val nDocs = d.count()
+    val terms = Seq("merge", "join", "batch")
+    val inPlanRanked = Search.rankedOverPostings(
+      Search.postingsFrame(d, terms, col("doc_id"), col("text")),
+      terms, d.agg(count(lit(1)).as("nd")),
+      queries.SearchQ.IdfScale, 100).collect().map(_.toSeq).toSeq
+    val idxRanked = Search.rankedIndexed(spark, table, terms, nDocs,
+      queries.SearchQ.IdfScale, 100).collect().map(_.toSeq).toSeq
+    assert(idxRanked == inPlanRanked)
+    // plan over the index: the term filter prunes BUCKETS before IO
+    // (SelectedBucketsCount < 8) and nothing re-tokenizes (no Generate)
+    val qe = Search.phraseIndexed(spark, table, Seq("batch", "stream"))
+      .queryExecution
     val plan = qe.executedPlan match {
       case a: AdaptiveSparkPlanExec => a.executedPlan
       case p => p
     }
-    val exchanges = plan.collect { case e: ShuffleExchangeExec => e }
-    assert(exchanges.nonEmpty)
-    exchanges.foreach(e =>
-      assert(!e.output.exists(a => a.dataType == StringType ||
-        a.dataType.isInstanceOf[ArrayType]),
-        s"a q99 exchange carries strings/arrays: ${e.output}"))
+    assert(!plan.exists(_.getClass.getSimpleName.contains("Generate")),
+      "indexed query must not re-tokenize the corpus")
+    val scans = plan.collect { case f: FileSourceScanExec => f }
+    assert(scans.nonEmpty, "no file scan over the index table")
+    scans.foreach { f =>
+      val bs = f.optionalBucketSet
+      assert(bs.isDefined, "bucket pruning did not engage on the term filter")
+      assert(bs.get.cardinality() < 8,
+        s"expected pruned buckets, got ${bs.get.cardinality()} of 8")
+    }
+    spark.sql(s"DROP TABLE IF EXISTS $table")
   }
 }

@@ -38,10 +38,13 @@ class SimJoinSpec extends SparkSpec {
     } yield (ia, ib, inter, union, inter * 1000000000L / union)
   }
 
-  private def run(rows: Seq[(Long, String)], n: Int, tNum: Int, tDen: Int) =
-    SimJoin.joinPairs(docs(rows: _*), n, tNum, tDen).collect()
+  private def run(rows: Seq[(Long, String)], n: Int, tNum: Int, tDen: Int) = {
+    val sc = SimJoin.joinPairsScoped(docs(rows: _*), n, tNum, tDen)
+    try sc.df.collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
       .toSeq
+    finally sc.release()
+  }
 
   test("hand fixture: near-dup pair found with exact counts, distinct doc excluded") {
     val base = "the quick brown fox jumps over the lazy dog again and again"
@@ -102,16 +105,44 @@ class SimJoinSpec extends SparkSpec {
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     import org.apache.spark.sql.types.{ArrayType, StringType}
-    val qe = queries.SimQ.q96(spark, sf).queryExecution
-    val plan = qe.executedPlan match {
-      case a: AdaptiveSparkPlanExec => a.executedPlan
-      case p => p
-    }
-    val exchanges = plan.collect { case e: ShuffleExchangeExec => e }
-    assert(exchanges.nonEmpty)
-    exchanges.foreach(e =>
-      assert(!e.output.exists(a => a.dataType == StringType ||
-        a.dataType.isInstanceOf[ArrayType]),
-        s"a q96 exchange carries strings/arrays: ${e.output}"))
+    // the LAZY operator form: the registered q96 wrapper returns an
+    // eagerly checkpointed frame (its plan is a LogicalRDD scan), so
+    // the plan pin inspects the operator it materializes
+    val sc = SimJoin.joinPairsScoped(Tables(spark, sf).documents,
+      queries.SimQ.SimShingle, queries.SimQ.SimNum, queries.SimQ.SimDen)
+    try {
+      val qe = sc.df.queryExecution
+      val plan = qe.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      val exchanges = plan.collect { case e: ShuffleExchangeExec => e }
+      assert(exchanges.nonEmpty)
+      exchanges.foreach(e =>
+        assert(!e.output.exists(a => a.dataType == StringType ||
+          a.dataType.isInstanceOf[ArrayType]),
+          s"a q96 exchange carries strings/arrays: ${e.output}"))
+    } finally sc.release()
+  }
+
+  test("scoped cache: release drops the shingle entry; the q96 wrapper leaves none behind") {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.storage.StorageLevel
+    val rows = Seq(1L -> "a b c d e f", 2L -> "a b c d e g")
+    val sc = SimJoin.joinPairsScoped(docs(rows: _*), 3, 1, 2)
+    val out = sc.df.localCheckpoint()
+    assert(sc.cached.storageLevel != StorageLevel.NONE, "builder must cache")
+    sc.release()
+    assert(sc.cached.storageLevel == StorageLevel.NONE, "release must drop the entry")
+    assert(out.count() >= 1, "checkpointed result survives the release")
+    // the REGISTERED wrapper: run it, then probe the cache manager with
+    // the exact canonicalized plan its internal cache was keyed on — a
+    // leaked entry would answer the storageLevel lookup (Dataset
+    // .storageLevel resolves through CacheManager by plan equality)
+    assert(queries.SimQ.q96(spark, sf).count() >= 0)
+    val probe = SimJoin.shingleFrame(Tables(spark, sf).documents,
+      queries.SimQ.SimShingle, col("doc_id"), col("text"))
+    assert(probe.storageLevel == StorageLevel.NONE,
+      "q96 leaked its shingle cache entry into the session")
   }
 }

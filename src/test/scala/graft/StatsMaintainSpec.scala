@@ -192,4 +192,27 @@ class StatsMaintainSpec extends SparkSpec {
     val n = snap(path).agg(sum("n")).head.getLong(0)
     assert(n == 6L, s"expected all 6 rows counted, got $n")
   }
+
+  test("single-writer lock: a concurrent maintainer fails loudly; a clean run leaves no lock") {
+    val path = tmpDir()
+    StatsMaintain.maintain(spark, path, batch(b1: _*), spec)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val lock = new org.apache.hadoop.fs.Path(path + "._graft_lock")
+    // a clean publish released its lock
+    assert(!fs.exists(lock), "publish left its maintainer lock behind")
+    // simulate another maintainer mid-publish: its lock is present —
+    // a second maintainer must refuse rather than delete its tmp /
+    // interleave the rename swap (the single-writer contract)
+    fs.create(lock, false).close()
+    val e = intercept[IllegalStateException] {
+      StatsMaintain.maintain(spark, path, batch(b2: _*), spec)
+    }
+    assert(e.getMessage.contains("lock"), e.getMessage)
+    // a hard-killed maintainer's stale lock clears via forceUnlock
+    // (package-private; the operational path is deleting the file)
+    fs.delete(lock, false)
+    val s = StatsMaintain.maintain(spark, path, batch(b2: _*), spec)
+    assert(s.groups == 3, s"post-unlock maintain broken: $s")
+  }
 }
