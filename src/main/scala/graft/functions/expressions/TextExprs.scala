@@ -110,6 +110,46 @@ object TextExprs {
     * Σ cnt(c)² / n²) over the string's code points; 0 for empty/NULL.
     */
   def charConc9(s: Column): Column = c(CharConcentration(x(s)))
+
+  /** Row-object mirror of [[BandKeys]] for typed streaming state
+    * stages (the MinHash band-bucket filter keys its state inside a
+    * flatMapGroupsWithState, where rows are JVM objects, not
+    * InternalRows): the SAME fold and constants, so a streaming
+    * bucket key equals the batch q31 bucket key bit-for-bit —
+    * NativeExprSpec pins the parity.
+    */
+  def bandKeysLocal(sig: Array[Int], b: Int, r: Int): Array[Int] = {
+    val keys = new Array[Int](b)
+    var band = 0
+    while (band < b) {
+      var j = band * r
+      val end = math.min(j + r, sig.length)
+      var h = if (j < end) sig(j).toLong else 0L
+      j += 1
+      while (j < end) {
+        h = (h * Hashing.BandMult + sig(j)) % Hashing.M
+        j += 1
+      }
+      keys(band) = h.toInt
+      band += 1
+    }
+    keys
+  }
+
+  /** Row-object mirror of [[SigAgree]] (same truncation and divisor
+    * conventions) — the streaming band-bucket filter's in-state
+    * estimator, parity-pinned like [[bandKeysLocal]].
+    */
+  def sigAgreeLocal(a: Array[Int], b: Array[Int], k: Int): Double = {
+    val n = math.min(a.length, b.length)
+    var agree = 0
+    var i = 0
+    while (i < n) {
+      if (a(i) == b(i)) agree += 1
+      i += 1
+    }
+    agree.toDouble / k
+  }
 }
 
 /** Hash kernels for the dedup expressions.

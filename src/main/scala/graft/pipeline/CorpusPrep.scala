@@ -119,6 +119,22 @@ object CorpusPrep {
     *                    run's KEPT docs at `outPath/_membership.bloom`
     *                    (underscore-hidden, like the manifest) for the
     *                    NEXT refresh to gate against
+    * @param priorNearSnapshot optional path to a NEAR-membership band
+    *                    sidecar published by an earlier run
+    *                    ([[graft.operators.SnapshotBands]]): docs
+    *                    sharing any q31 LSH band key with the prior
+    *                    run's kept docs are dropped — the paraphrase
+    *                    gap the exact sidecar cannot see (a re-crawled
+    *                    page edited by a few tokens has a fresh digest
+    *                    and the in-run near-dup stage only sees the
+    *                    current batch). Same shape as the exact gate:
+    *                    a pure broadcast-free FILTER on the scrubbed
+    *                    text, never a join against or re-read of the
+    *                    prior corpus. Runs after the exact gate and
+    *                    before dedup
+    * @param publishNearSnapshot when set (expected doc count), run()
+    *                    publishes the band sidecar of this run's KEPT
+    *                    docs at `outPath/_membership_bands.bloom`
     */
   /** @param substrWindow optional EXACT-SUBSTRING dedup stage (the Lee
     *                    et al. 2021 pass, q74/q75's
@@ -176,6 +192,8 @@ object CorpusPrep {
       sourceWeights: Option[Map[String, Double]] = None,
       priorSnapshot: Option[String] = None,
       publishSnapshot: Option[Long] = None,
+      priorNearSnapshot: Option[String] = None,
+      publishNearSnapshot: Option[Long] = None,
       substrWindow: Option[Int] = None,
       badWords: Option[Seq[String]] = None,
       statsPath: Option[String] = None)
@@ -183,7 +201,8 @@ object CorpusPrep {
   final case class Stats(
       input: Long, afterDedup: Long, afterSample: Long,
       nearDupDropped: Long = 0L, contaminatedDropped: Long = 0L,
-      snapshotDropped: Long = 0L, substrStripped: Long = 0L,
+      snapshotDropped: Long = 0L, nearSnapshotDropped: Long = 0L,
+      substrStripped: Long = 0L,
       badwordsDropped: Long = 0L,
       /** true when a `statsPath` fold was requested but the ledger
         * already held this outPath's batch id — i.e. an IN-PLACE
@@ -247,6 +266,13 @@ object CorpusPrep {
     cfg.priorSnapshot.map(p =>
       graft.operators.SnapshotBloom.load(docs.sparkSession, p))
 
+  /** The prior NEAR-membership band sidecar, loaded once like
+    * [[priorFilter]] (same serialized form, different probe).
+    */
+  private def priorNearFilter(docs: DataFrame, cfg: Config) =
+    cfg.priorNearSnapshot.map(p =>
+      graft.operators.SnapshotBands.load(docs.sparkSession, p))
+
   /** The shared base lineage every downstream stage consumes:
     * scrub (optional) → cross-snapshot membership gate (optional) →
     * exact dedup. ONE definition; run() caches it whenever more than
@@ -263,12 +289,19 @@ object CorpusPrep {
       docs.filter(graft.queries.WebQ.badWordCount(col("text"), ws) === 0L))
 
   private def base(docs: DataFrame, cfg: Config,
-                   prior: Option[org.apache.spark.util.sketch.BloomFilter])
+                   prior: Option[org.apache.spark.util.sketch.BloomFilter],
+                   priorNear: Option[org.apache.spark.util.sketch.BloomFilter])
       : DataFrame = {
     val s = wordGated(scrubbed(demarked(docs, cfg), cfg), cfg)
     val gated = prior
       .map(bf => graft.operators.SnapshotBloom.gate(s, bf)).getOrElse(s)
-    dedupe(gated)
+    // the NEAR gate sits after the exact gate (a byte-identical
+    // re-crawl never pays the minhash signature) and before dedup
+    // (a near-seen doc never pays the dedup shuffle) — both are pure
+    // filters, so this ordering is a cost choice, not a semantic one
+    val nearGated = priorNear
+      .map(bf => graft.operators.SnapshotBands.gate(gated, bf)).getOrElse(gated)
+    dedupe(nearGated)
   }
 
   /** doc_ids the optional near-dup stage drops (None when the stage is
@@ -319,7 +352,8 @@ object CorpusPrep {
     */
   def plan(docs: DataFrame, cfg: Config,
            benchmark: Option[DataFrame] = None): DataFrame = {
-    val baseDf = base(docs, cfg, priorFilter(docs, cfg))
+    val baseDf = base(docs, cfg, priorFilter(docs, cfg),
+      priorNearFilter(docs, cfg))
     planWith(baseDf, cfg, dropsOf(baseDf, cfg),
       contaminatedOf(baseDf, cfg, benchmark), substrSpansOf(baseDf, cfg))
   }
@@ -447,7 +481,8 @@ object CorpusPrep {
       baseDf: DataFrame, baseCached: Boolean,
       drops: Option[DataFrame], contaminated: Option[DataFrame],
       out: DataFrame, substrSpans: Option[DataFrame] = None,
-      prior: Option[org.apache.spark.util.sketch.BloomFilter] = None) {
+      prior: Option[org.apache.spark.util.sketch.BloomFilter] = None,
+      priorNear: Option[org.apache.spark.util.sketch.BloomFilter] = None) {
     def release(): Unit = {
       out.unpersist(); drops.foreach(_.unpersist())
       contaminated.foreach(_.unpersist())
@@ -474,16 +509,17 @@ object CorpusPrep {
     // built from the PRE-strip text of the kept docs (see run())
     val multiConsumer = cfg.nearDupMinEst.isDefined || benchmark.isDefined ||
       cfg.sourceWeights.isDefined || cfg.substrWindow.isDefined ||
-      cfg.publishSnapshot.isDefined
+      cfg.publishSnapshot.isDefined || cfg.publishNearSnapshot.isDefined
     val prior = priorFilter(docs, cfg)
-    val base0 = base(docs, cfg, prior)
+    val priorNear = priorNearFilter(docs, cfg)
+    val base0 = base(docs, cfg, prior, priorNear)
     val baseDf = if (multiConsumer) base0.cache() else base0
     val drops = dropsOf(baseDf, cfg).map(_.cache())
     val contaminated = contaminatedOf(baseDf, cfg, benchmark).map(_.cache())
     val substrSpans = substrSpansOf(baseDf, cfg).map(_.cache())
     Materialized(baseDf, multiConsumer, drops, contaminated,
       planWith(baseDf, cfg, drops, contaminated, substrSpans).cache(),
-      substrSpans, prior)
+      substrSpans, prior, priorNear)
   }
 
   /** Per-pack manifest of a PACKED plan/run output: one row per
@@ -515,6 +551,12 @@ object CorpusPrep {
     * `publishSnapshot` is set) — underscore-hidden like the manifest.
     */
   def membershipPath(outPath: String): String = s"$outPath/_membership.bloom"
+
+  /** Where [[run]] publishes the NEAR-membership band sidecar (when
+    * `publishNearSnapshot` is set) — underscore-hidden like the rest.
+    */
+  def nearMembershipPath(outPath: String): String =
+    s"$outPath/_membership_bands.bloom"
 
   /** Where [[run]] records the writer's shard count — the layout fact
     * [[forget]] must NOT take on trust from a caller (a wrong value
@@ -561,6 +603,16 @@ object CorpusPrep {
               "left_semi"), n),
           membershipPath(outPath))
       }
+      // NEAR-membership sidecar: same kept-docs/pre-strip contract as
+      // the exact sidecar above (the next run probes band keys of the
+      // scrubbed RAW text it sees, so hash what it will see)
+      cfg.publishNearSnapshot.foreach { n =>
+        graft.operators.SnapshotBands.save(docs.sparkSession,
+          graft.operators.SnapshotBands.build(
+            m.baseDf.join(out.select(col("doc_id")), Seq("doc_id"),
+              "left_semi"), n),
+          nearMembershipPath(outPath))
+      }
       // cross-RUN corpus observability: fold this run's kept docs
       // into the per-(source, lang) stats snapshot — doc counts,
       // token totals, min/max and p50/p99 doc-length bounds
@@ -603,23 +655,31 @@ object CorpusPrep {
       val badCol = cfg.badWords
         .map(ws => graft.queries.WebQ.badWordCount(col("text"), ws) > 0L)
         .getOrElse(lit(false))
+      val nearSeenCol = m.priorNear
+        .map(bf => graft.operators.SnapshotBands.seen(bf, col("text")))
+        .getOrElse(lit(false))
       val a = scrubbed(demarked(docs, cfg), cfg)
         .select(TextOps.textDigest(col("text")).as("h"), seenCol.as("s"),
-          badCol.as("b"))
+          badCol.as("b"), nearSeenCol.as("ns"))
         .agg(count(lit(1)).as("n"),
-          // distinct digests among docs BOTH gates keep — counting the
+          // distinct digests among docs ALL gates keep — counting the
           // gated-out ones would overstate the post-dedup frame
-          count_distinct(when(!col("s") && !col("b"), col("h"))).as("nd"),
-          // the wordlist gate runs first, so a blocked doc never
-          // reaches the membership probe — mirror that precedence here
+          count_distinct(
+            when(!col("s") && !col("b") && !col("ns"), col("h"))).as("nd"),
+          // the wordlist gate runs first, then the exact membership
+          // probe, then the band probe — mirror base()'s precedence so
+          // each drop bills to the gate that actually fired
           sum(when(!col("b") && col("s"), 1L).otherwise(0L)).as("sdrop"),
-          sum(when(col("b"), 1L).otherwise(0L)).as("bdrop"))
+          sum(when(col("b"), 1L).otherwise(0L)).as("bdrop"),
+          sum(when(!col("b") && !col("s") && col("ns"), 1L)
+            .otherwise(0L)).as("nsdrop"))
         .head()
       Stats(a.getLong(0), a.getLong(1), afterSample,
         nearDupDropped = drops.map(_.count()).getOrElse(0L),
         contaminatedDropped = contaminated.map(_.count()).getOrElse(0L),
         snapshotDropped = a.getLong(2),
         badwordsDropped = a.getLong(3),
+        nearSnapshotDropped = a.getLong(4),
         // docs actually stripped IN THE OUTPUT: the span table is
         // computed pre-anti-join/pre-sample, so scope it to written ids
         substrStripped = m.substrSpans

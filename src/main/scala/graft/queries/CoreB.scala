@@ -969,6 +969,16 @@ object CoreB {
     * sort — each round is one co-keyed shuffle of (id, anc, d)
     * triples; no window, no explode, no driver state at all. The
     * oracle replays the closure as a DuckDB recursive CTE — exact.
+    *
+    * This fixed-depth unroll is the ORACLE FACE of the general
+    * operator: [[graft.operators.Hierarchy.closure]] adds convergence
+    * detection (stops when no pointer moves — unknown depth), a loud
+    * round-budget error (cycles), per-round lineage truncation, and a
+    * row-conservation check for dangling parents — HierarchySpec pins
+    * closure == this unroll on the same forest and covers depth > 64.
+    * Here the depth bound the 6 rounds assume (≤ 64) is enforced
+    * PER ROW: a final ancestor that is not an injected root (id < 7)
+    * raises instead of silently reporting a non-root ancestor.
     */
   def q92(s: SparkSession, dir: String): DataFrame = {
     val init = Tables(s, dir).documents.select(
@@ -984,7 +994,11 @@ object CoreB {
         .select(col("id"), col("p_anc").as("anc"),
           (col("d") + col("p_d")).as("d"))
     }
-    st.select(col("id").as("doc_id"), col("anc").as("root_id"),
+    st.select(col("id").as("doc_id"),
+      when(col("anc") < 7, col("anc")).otherwise(raise_error(concat(
+        lit("q92: depth > 64 — 6 doubling rounds left a non-root ancestor "),
+        col("anc").cast("string"),
+        lit("; use Hierarchy.closure for unknown depth")))).as("root_id"),
       col("d").cast("bigint").as("depth"))
       .orderBy(col("doc_id"))
   }

@@ -180,6 +180,86 @@ object Streams {
       .select(col("doc_id"), col("is_dup"))
   }
 
+  // --- streaming MinHash-LSH near-dup filter (continuous mirror of batch q31) ---
+
+  final case class MinDocIn(doc_id: Long, ts: Timestamp, sig: Array[Int])
+  final case class SigState(ids: List[Long], sigs: List[Array[Int]])
+  final case class SigVerdict(doc_id: Long, ts: Timestamp, dup: Boolean)
+
+  /** Streaming MINHASH near-dup filter — the continuous counterpart
+    * of the batch `nearDupMinEst` stage ([[graft.operators.NearDup]],
+    * q31's kernel), closing the family gap where the streaming filters
+    * above are SimHash-only: a streaming corpus job configured with
+    * MinHash semantics had no mirror with the same similarity measure.
+    *
+    * Same shape as [[nearDupFilter]], same kernel as batch: each doc's
+    * K=64 MinHash signature fans out to its B=16 LSH band keys
+    * (TextExprs.bandKeysLocal — bit-identical to the batch BandKeys
+    * fold, parity-pinned), per (band, key) bucket a bounded FIFO of
+    * the last `cap` (id, sig) pairs is kept, and each arrival scores
+    * [[graft.functions.expressions.TextExprs.sigAgreeLocal]] (the
+    * batch estimator) against ONLY its bucket — dup iff any bucket
+    * mate reaches `minEst`. A watermarked window fold collapses the
+    * B per-band verdicts into ONE finalized (doc_id, is_dup) row.
+    *
+    * Keep-set semantics vs batch, stated plainly: batch keeps the
+    * globally LOWEST id of each candidate pair; the stream keeps the
+    * FIRST-ARRIVING copy (the [[dedupExact]] divergence — a stream
+    * has no total order). Feeding arrivals in id order makes the two
+    * keep sets EQUAL (spec-asserted); state inclusion matches batch
+    * (a dropped doc still enters state, exactly as batch drops doc_b
+    * of every qualifying pair regardless of doc_a's own fate). State
+    * is O(buckets × cap × K) ints + O(docs per window) — bounded.
+    *
+    * Input: (doc_id, ts, sig) with sig = minhashShingleSig(tokens(
+    * normText(text)), 3, NearDup.K) computed in the upstream select —
+    * the [[nearDupDetections]] convention that keeps the state schema
+    * narrow and stable.
+    */
+  def minhashNearDupFilter(docs: Dataset[MinDocIn], minEst: Double,
+                           cap: Int = 256,
+                           watermark: String = "1 hour",
+                           windowLen: String = "10 minutes")(
+      implicit spark: SparkSession): DataFrame = {
+    import graft.functions.expressions.TextExprs
+    import graft.operators.{NearDup => ND}
+    import spark.implicits._
+    require(minEst >= 0.0 && minEst <= 1.0, s"minEst must be in [0,1]: $minEst")
+    val banded = docs.withWatermark("ts", watermark)
+      .flatMap { d =>
+        val keys = TextExprs.bandKeysLocal(d.sig, ND.B, ND.R)
+        keys.indices.map(b => (b, keys(b), d.doc_id, d.ts, d.sig))
+      }.toDF("band", "bkey", "doc_id", "ts", "sig")
+      .as[(Int, Int, Long, Timestamp, Array[Int])]
+    val verdicts = banded
+      .groupByKey(d => (d._1, d._2))
+      .flatMapGroupsWithState[SigState, SigVerdict](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_, ds: Iterator[(Int, Int, Long, Timestamp, Array[Int])],
+         state: GroupState[SigState]) =>
+          var st = state.getOption.getOrElse(SigState(Nil, Nil))
+          val out = scala.collection.mutable.ListBuffer.empty[SigVerdict]
+          // deterministic intra-batch order: first-by-time wins (the
+          // nearDupFilter convention)
+          ds.toSeq.sortBy(d => (d._4.getTime, d._3)).foreach { d =>
+            val (id, ts, sig) = (d._3, d._4, d._5)
+            val hit = st.ids.iterator.zip(st.sigs.iterator).exists {
+              case (pid, psig) =>
+                pid != id && TextExprs.sigAgreeLocal(psig, sig, ND.K) >= minEst
+            }
+            out += SigVerdict(id, ts, hit)
+            st = SigState((id :: st.ids).take(cap), (sig :: st.sigs).take(cap))
+          }
+          state.update(st)
+          out.iterator
+      }
+    verdicts
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen), col("doc_id"))
+      .agg(max(col("dup")).as("is_dup"))
+      .select(col("doc_id"), col("is_dup"))
+  }
+
   // --- streaming line-level boilerplate filter (continuous mirror of batch q59) ---
 
   final case class LineIn(doc_id: Long, ts: Timestamp, line_hash: Long)
@@ -512,14 +592,29 @@ object Streams {
                    textCol: String = "text"): DataFrame =
     graft.operators.SnapshotBloom.gate(stream, bf, col(textCol))
 
+  /** Streaming cross-snapshot NEAR-membership gate — the continuous
+    * mirror of [[graft.operators.SnapshotBands.gate]]: drop incoming
+    * docs sharing any q31 LSH band key with a prior corpus snapshot's
+    * band sidecar (the paraphrase gap [[snapshotGate]]'s exact digest
+    * cannot see). STATELESS like the exact gate — the band probes are
+    * a pure function of the doc's bytes and the sketch rides the
+    * filter expression — so keep/drop verdicts are identical to the
+    * batch gate's on the same docs (spec-asserted).
+    */
+  def nearSnapshotGate(stream: DataFrame,
+                       bf: org.apache.spark.util.sketch.BloomFilter,
+                       textCol: String = "text"): DataFrame =
+    graft.operators.SnapshotBands.gate(stream, bf, col(textCol))
+
   /** CONTINUOUS corpus ingestion — the streaming mirror of
     * [[graft.pipeline.CorpusPrep]], driven by the same `Config` and
     * composing the same verified kernels in the same stage order:
     *
-    *   optional PII scrub → optional cross-snapshot membership gate →
-    *   exact dedup (watermarked state) → optional benchmark
-    *   decontamination filter → langId tag + stratified language
-    *   sample → optional source-mix gate → shard assignment,
+    *   optional PII scrub → optional cross-snapshot membership gates
+    *   (exact digest, then near-dup band keys) → exact dedup
+    *   (watermarked state) → optional benchmark decontamination
+    *   filter → langId tag + stratified language sample → optional
+    *   source-mix gate → shard assignment,
     *
     * so a doc flowing through the stream gets the IDENTICAL keep/drop
     * decisions and (lang_detected, shard) values it would get from
@@ -558,7 +653,8 @@ object Streams {
     require(cfg.sourceWeights.isEmpty,
       "two-pass sourceWeights is batch-only (it measures the prepared " +
         "frame); supply sourceRates from a Mixer run instead")
-    require(cfg.packBudget.isEmpty && cfg.publishSnapshot.isEmpty,
+    require(cfg.packBudget.isEmpty && cfg.publishSnapshot.isEmpty &&
+      cfg.publishNearSnapshot.isEmpty,
       "packing and sidecar publishing are sink-side batch steps")
     // the same guard as batch planWith: a non-power-of-two mask would
     // silently skew shard routing instead of failing loudly
@@ -587,7 +683,12 @@ object Streams {
     val gated = cfg.priorSnapshot
       .map(p => graft.operators.SnapshotBloom.load(spark, p))
       .fold(worded)(bf => snapshotGate(worded, bf))
-    val deduped = dedupExact(gated, tsCol = tsCol, watermark = watermark)
+    // the band gate mirrors base()'s position: after the exact gate,
+    // before dedup — identical verdicts to the batch run
+    val nearGated = cfg.priorNearSnapshot
+      .map(p => graft.operators.SnapshotBands.load(spark, p))
+      .fold(gated)(bf => nearSnapshotGate(gated, bf))
+    val deduped = dedupExact(nearGated, tsCol = tsCol, watermark = watermark)
     // the benchmark is scrubbed with the SAME chain as the corpus
     // (batch contract: contamination spanning a PII token must still
     // match after both sides are rewritten)

@@ -119,6 +119,24 @@ class NativeExprSpec extends SparkSpec {
     assert(both.filter(col("native") =!= col("composed")).count() == 0)
   }
 
+  test("row-object bandKeysLocal/sigAgreeLocal == native expressions (streaming state kernels)") {
+    val toks = TextOps.tokens(TextOps.normText(col("text")))
+    val sig = TextExprs.minhashShingleSig(toks, 3, 64)
+    val rows = docs.select(sig.as("sig"),
+        TextExprs.bandKeys(sig, 16, 4).as("keys"),
+        TextExprs.sigAgree(sig, sig, 64).as("agree"))
+      .limit(50).collect()
+    rows.foreach { r =>
+      val s = r.getSeq[Int](0).toArray
+      assert(TextExprs.bandKeysLocal(s, 16, 4).toSeq == r.getSeq[Int](1),
+        "bandKeysLocal drifted from the native BandKeys fold")
+      assert(TextExprs.sigAgreeLocal(s, s, 64) == r.getDouble(2),
+        "sigAgreeLocal drifted from the native SigAgree")
+    }
+    // truncation convention on unequal lengths matches SigAgree's min()
+    assert(TextExprs.sigAgreeLocal(Array(1, 2, 3), Array(1, 2), 64) == 2.0 / 64)
+  }
+
   test("native dot/l2 == composed dot/l2 (bit-identical accumulation)") {
     val a = emb.select(col("vec_id").as("k"), col("v").as("a"))
     val b = emb.select((col("vec_id") - 1).as("k"), col("v").as("b"))

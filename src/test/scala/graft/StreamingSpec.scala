@@ -190,6 +190,59 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("minhashNearDupFilter: streaming keep set equals batch NearDup.dropIds when arrivals are in id order") {
+    implicit val s = spark
+    import s.implicits._
+    import graft.functions.{TextOps => T}
+    import graft.functions.expressions.{TextExprs => TE}
+    import graft.operators.{NearDup => ND}
+    // hand corpus: distinct paragraphs + near-copies at HIGHER ids, so
+    // batch keep-lowest and streaming first-seen (fed in id order)
+    // must agree; copies differ by one token (sig agreement ~0.9)
+    val originals = (1L to 10L).map(i =>
+      i -> (s"paragraph $i about topic$i with shared words alpha beta " +
+        s"gamma delta token$i epsilon zeta eta theta iota kappa lambda$i"))
+    val copies = Seq(
+      11L -> (originals(0)._2 + " tail"),
+      12L -> (originals(1)._2 + " extra"),
+      13L -> "entirely different content on another unrelated subject matter here")
+    val rows = originals ++ copies
+    val df = rows.toDF("doc_id", "text")
+    val minEst = 0.7
+    val batchDrops = graft.operators.NearDup.dropIds(df, minEst)
+      .as[Long].collect().toSet
+    assert(batchDrops.nonEmpty, "fixture drifted: batch found no near-dups")
+    // same signatures as batch (the one kernel), fed in id order
+    val sigRows = df.select(col("doc_id"),
+        TE.minhashShingleSig(T.tokens(T.normText(col("text"))), 3, ND.K).as("sig"))
+      .orderBy(col("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Int](1).toArray))
+    val input = MemoryStream[Streams.MinDocIn](spark)
+    val q = Streams.minhashNearDupFilter(input.toDS(), minEst,
+        windowLen = "10 minutes")
+      .writeStream.format("memory").queryName("mh_verdicts")
+      .outputMode("append").start()
+    try {
+      // two batches (state must carry across), then a far-future flush
+      // so every window finalizes
+      val docs = sigRows.zipWithIndex.map { case ((id, sig), i) =>
+        Streams.MinDocIn(id, ts(10 + i), sig) }
+      input.addData(docs.take(7): _*)
+      q.processAllAvailable()
+      input.addData(docs.drop(7): _*)
+      q.processAllAvailable()
+      input.addData(Streams.MinDocIn(999L, ts(5000), Array.fill(ND.K)(0)))
+      q.processAllAvailable()
+      val verdicts = spark.table("mh_verdicts")
+        .as[(Long, Boolean)].collect().toMap - 999L
+      assert(verdicts.keySet == rows.map(_._1).toSet, s"verdicts: $verdicts")
+      val streamingDrops = verdicts.filter(_._2).keySet
+      assert(streamingDrops == batchDrops,
+        s"streaming $streamingDrops != batch $batchDrops")
+      assert(!verdicts(13L), "distinct doc flagged")
+    } finally q.stop()
+  }
+
   /** lineBoilerplateFilter chains an event-time-timeout fmgws into a
     * windowed aggregation; Spark's STATIC late-row checker flags that
     * shape unconditionally (see the operator's scaladoc for why the
