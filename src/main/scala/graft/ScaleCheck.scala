@@ -1,0 +1,131 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** sf1 scale validation of the HEAVY operators (q31, q33, q53, q74,
+  * q95, q96) — the queries whose 100 TB cost arguments (bucket caps,
+  * prefix-filter admission, winnow density, cohort share) were only
+  * ever measured at sf0.1. One 10× point exposes a quadratic pocket
+  * before a cluster does: every reported time and candidate count
+  * should scale ~linearly in the corpus (docs ×10 ⇒ time/candidates
+  * ~×10, never ×100).
+  *
+  * The sf1 corpus is derived deterministically from the driver's sf0.1
+  * `documents` table (the testdata dir is read-only and has no sf1):
+  * 10 copies, copy 0 verbatim, copies 1–9 TOKEN-SALTED (every token
+  * suffixed with the copy tag) so their shingles/windows are disjoint
+  * from every other copy — per-bucket densities match the original
+  * corpus and volume scales exactly 10× — except every 20th doc,
+  * which keeps its text plus one appended token: a ~5% cross-copy
+  * NEAR-dup slice, so detection work (not just hashing work) scales
+  * too. Written once under the target dir; reruns reuse it.
+  *
+  * Output: one self-contained JSON line per scale with per-query
+  * seconds + output rows, a candidates line (q31 LSH admissions, q96
+  * prefix-filter admissions) and a final ratio line — plus the whole
+  * report at `target/scale_sf1.json`. Not part of the driver bench
+  * contract; run by hand (`runMain graft.ScaleCheck`).
+  */
+object ScaleCheck {
+
+  val Heavy: Seq[String] = Seq(
+    "q31_dedup_minhash", "q33_ngram_jaccard", "q53_neardup_components",
+    "q74_substr_spans", "q95_substr_refine", "q96_simjoin")
+
+  /** Deterministic 10× documents table at `$dst/documents.parquet`. */
+  def buildSf1(spark: SparkSession, src: String, dst: String): Unit = {
+    val out = new java.io.File(s"$dst/documents.parquet")
+    if (out.exists()) return
+    val d = spark.read.parquet(s"$src/documents.parquet")
+    val copies = (0 until 10).map { k =>
+      if (k == 0) d
+      else {
+        val salted = array_join(
+          transform(split(coalesce(col("text"), lit("")), "\\s+"),
+            t => concat(t, lit(s"x$k"))), " ")
+        val nearDup = concat(coalesce(col("text"), lit("")), lit(s" tag$k"))
+        val text = when(pmod(col("doc_id"), lit(20)) === 0, nearDup)
+          .otherwise(salted)
+        d.select((col("doc_id") + k * 100000000L).as("doc_id"),
+          text.as("text"), col("lang"), col("source"),
+          length(text).cast("long").as("n_chars"))
+      }
+    }
+    copies.reduce(_ unionByName _)
+      .write.mode(SaveMode.Overwrite).parquet(s"$dst/documents.parquet")
+  }
+
+  private def d3(x: Double): String =
+    String.format(java.util.Locale.ROOT, "%.3f", Double.box(x))
+
+  /** (seconds, rows) of the best of `reps` runs — min, not median:
+    * scale RATIOS want the machine-noise floor of each point.
+    */
+  private def time(body: => DataFrame, reps: Int): (Double, Long) = {
+    var best = Double.MaxValue
+    var rows = 0L
+    for (_ <- 1 to reps) {
+      val t0 = System.nanoTime()
+      rows = body.count()
+      best = math.min(best, (System.nanoTime() - t0) / 1e9)
+    }
+    (best, rows)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val src = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val dst = if (args.length > 1) args(1) else "target/scale_sf1"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "2").toInt.max(1)
+    val spark = EngineConf(
+      appName = "graft-scale-check",
+      master = Some(s"local[$cpus]"),
+      shufflePartitions = Some(cpus.toInt),
+      extraConf = Map("spark.ui.enabled" -> "false")).session()
+    spark.sparkContext.setLogLevel("WARN")
+    buildSf1(spark, src, dst)
+
+    val report = new StringBuilder
+    def line(s: String): Unit = { println(s); report.append(s).append('\n') }
+
+    def measure(dir: String, tag: String): Map[String, Double] = {
+      // warm the operator families once so JIT/codegen doesn't bill to
+      // whichever query runs first (the Bench discipline)
+      try { SparkEntry.queries("q31_dedup_minhash")(spark, dir).count() }
+      catch { case _: Throwable => () }
+      val entries = Heavy.map { name =>
+        val (sec, rows) = time(SparkEntry.queries(name)(spark, dir), reps)
+        name -> (sec, rows)
+      }
+      val qs = entries.map { case (n, (s, r)) =>
+        s""""$n":{"sec":${d3(s)},"rows":$r}""" }.mkString(",")
+      // candidate telemetry: the volumes the filter arguments rest on
+      val docs = Tables(spark, dir).documents
+      val lshCand = graft.operators.NearDup.scoredCandidates(
+        graft.operators.NearDup.signatures(docs), minEst = 0.5).count()
+      val sj = graft.operators.SimJoin.joinPairsScoped(docs,
+        graft.queries.SimQ.SimShingle, graft.queries.SimQ.SimNum,
+        graft.queries.SimQ.SimDen)
+      val sjCand = try sj.candidates.count() finally sj.release()
+      line(s"""{"scale":"$tag","dir":"$dir","queries":{$qs},"candidates":{"q31_lsh":$lshCand,"q96_prefix":$sjCand}}""")
+      entries.map { case (n, (s, _)) => n -> s }.toMap ++
+        Map("cand_q31" -> lshCand.toDouble, "cand_q96" -> sjCand.toDouble)
+    }
+
+    val base = measure(src, "sf0.1")
+    val big = measure(dst, "sf1")
+    val ratios = (Heavy ++ Seq("cand_q31", "cand_q96")).map { n =>
+      val r = if (base(n) > 0) big(n) / base(n) else -1.0
+      s""""$n":${d3(r)}"""
+    }.mkString(",")
+    // docs scale 10x: a ratio near 10 is linear; flag anything past 20
+    line(s"""{"scale":"ratio_sf1_over_sf0.1","expect":"~10 (linear)","ratios":{$ratios}}""")
+    try {
+      val p = java.nio.file.Paths.get("target/scale_sf1.json")
+      java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.write(p, report.toString.getBytes("UTF-8"))
+    } catch { case _: Throwable => () }
+    spark.stop()
+  }
+}

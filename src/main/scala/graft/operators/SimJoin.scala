@@ -46,8 +46,14 @@ object SimJoin {
     * materialized (written out, checkpointed, collected); using `df`
     * lazily AFTER release is correct but recomputes the shingle pass.
     */
+  /** `candidates` exposes the post-filter pre-verification pair frame
+    * (ids + sizes only) for scale telemetry — counting it is how a
+    * scale run measures what the prefix/length/positional filters
+    * actually admitted (the number the 100 TB cost argument rests on).
+    */
   final case class Scoped(df: DataFrame,
-                          private[graft] val cached: DataFrame) {
+                          private[graft] val cached: DataFrame,
+                          candidates: DataFrame) {
     def release(): Unit = { cached.unpersist(); () }
   }
 
@@ -142,6 +148,6 @@ object SimJoin {
         col("n_union").cast("long").as("n_union"),
         expr("n_inter * 1000000000 DIV n_union").cast("long").as("jac9"))
       .orderBy(col("doc_a"), col("doc_b"))
-    Scoped(out, sh)
+    Scoped(out, sh, cand)
   }
 }
