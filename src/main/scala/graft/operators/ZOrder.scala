@@ -62,34 +62,63 @@ object ZOrder {
       case (e, (sh, mask)) => s"(($e | ($e << $sh)) & $mask)"
     }
 
-  /** Loud range guard: [[spread]] masks to the low 32 bits, so a value
-    * outside [0, 2^31) does not error on its own — it silently aliases
-    * onto another curve cell (negative: the sign extension is masked
-    * away; ≥ 2^31 in the SECOND column: bit 31 lands on position 62,
-    * the <<1 pushes it onto the SIGN bit, and the range partitioner
-    * then sorts those rows FIRST — the worst-case layout, produced
-    * silently). Misuse must degrade loudly: any out-of-range value
-    * raises per-row instead of corrupting the clustering. Codegen'd
-    * branch — one compare per row, free next to the spread rounds.
+  /** Admissible input domains, PER SIDE — the bound each column's
+    * top bit maps to a sign-safe key position under:
+    *  - column `a` (even positions): bit 31 spreads to position 62,
+    *    below the sign bit — the full unsigned-32 domain [0, 2^32)
+    *    is safe;
+    *  - column `b` (odd positions): bit 31 spreads to position 62 and
+    *    the subsequent `<< 1` pushes it onto the SIGN bit — the key
+    *    goes negative and the range partitioner sorts those rows
+    *    FIRST, the worst-case layout, produced silently. So `b`
+    *    admits only [0, 2^31).
+    * ONE definition interpolated into both engine faces (the
+    * one-definition rule; see [[SpreadRounds]]).
     */
-  private def checked(c: Column, side: String): Column = {
+  val BoundA: Long = 1L << 32
+  val BoundB: Long = 1L << 31
+
+  /** Loud range guard: [[spread]] masks to the low 32 bits, so an
+    * out-of-domain value does not error on its own — it silently
+    * aliases onto another curve cell (a negative's sign extension is
+    * masked away) or inverts the sort (b ≥ 2^31, see [[BoundB]]).
+    * Misuse must degrade loudly: any out-of-range value raises
+    * per-row instead of corrupting the clustering. Codegen'd branch —
+    * one compare per row, free next to the spread rounds.
+    */
+  private def checked(c: Column, side: String, bound: Long): Column = {
     val v = c.cast("long")
-    when(v >= 0 && v < lit(1L << 31), v).otherwise(raise_error(concat(
-      lit(s"zorder: $side value out of [0, 2^31): "), v.cast("string"))))
+    when(v >= 0 && v < lit(bound), v).otherwise(raise_error(concat(
+      lit(s"zorder: $side value out of [0, $bound): "), v.cast("string"))))
   }
 
-  /** 64-bit Morton key of two columns in [0, 2^31): a's bits on even
-    * positions, b's on odd. Equal-magnitude keys interleave evenly; a
-    * much-wider column simply contributes more high bits (its natural
-    * weight on the curve). Out-of-range values raise (see [[checked]])
-    * rather than silently inverting the layout.
+  /** The DuckDB mirror of [[checked]] — same bounds, same loud raise
+    * (`error()`), so both engine faces agree on the whole domain
+    * INCLUDING the rejection of values outside it.
+    */
+  private def checkedSql(v: String, side: String, bound: Long): String =
+    s"(CASE WHEN CAST($v AS BIGINT) BETWEEN 0 AND ${bound - 1} " +
+      s"THEN CAST($v AS BIGINT) ELSE CAST(error(" +
+      s"'zorder: $side value out of [0, $bound): ' || CAST($v AS VARCHAR)" +
+      s") AS BIGINT) END)"
+
+  /** 64-bit Morton key of `a` ∈ [0, [[BoundA]]) and `b` ∈
+    * [0, [[BoundB]]): a's bits on even positions, b's on odd.
+    * Equal-magnitude keys interleave evenly; a much-wider column
+    * simply contributes more high bits (its natural weight on the
+    * curve). Out-of-range values raise (see [[checked]]) rather than
+    * silently inverting the layout.
     */
   def zkey(a: Column, b: Column): Column =
-    spread(checked(a, "a")).bitwiseOR(shiftleft(spread(checked(b, "b")), 1))
+    spread(checked(a, "a", BoundA))
+      .bitwiseOR(shiftleft(spread(checked(b, "b", BoundB)), 1))
 
-  /** DuckDB mirror of [[zkey]]. */
+  /** DuckDB mirror of [[zkey]] — guard included, so the two faces
+    * agree everywhere (same key in-domain, same raise out).
+    */
   def zkeySql(a: String, b: String): String =
-    s"(${spreadSql(a)} | (${spreadSql(b)} << 1))"
+    s"(${spreadSql(checkedSql(a, "a", BoundA))} | " +
+      s"(${spreadSql(checkedSql(b, "b", BoundB))} << 1))"
 
   /** Write-time layout: range-partition on the Morton key into
     * `numFiles` output partitions and sort within each, so per-file

@@ -755,23 +755,27 @@ object CorpusPrep {
     var dropped = 0L
     touched.foreach { s =>
       val dir = s"$outPath/shard=$s"
-      // recoverAndExists, not a bare exists: a crash in an EARLIER
-      // forget's swap leaves the shard retired at `._graft_old` — a
-      // bare exists would skip it and the victims would survive
-      if (Snapshot.recoverAndExists(fs, dir)) {
-        val cur = spark.read.parquet(dir)
-        val before = cur.count()
-        // anti-join, not isin: scales to any victim-list size (the
-        // list broadcasts; an isin predicate is O(|ids|) per row)
-        val kept = cur.join(broadcast(victims), Seq("doc_id"), "left_anti")
-          .cache()
-        try {
-          val after = kept.count()
-          if (after < before) {
-            Snapshot.publish(fs, dir, exists = true, kept)
-            dropped += before - after
-          }
-        } finally { kept.unpersist(); () }
+      // each shard's read-filter-publish runs under its own
+      // maintainer lock (the whole cycle, not just the swap)
+      Snapshot.withMaintainerLock(fs, dir) { lease =>
+        // recoverAndExists, not a bare exists: a crash in an EARLIER
+        // forget's swap leaves the shard retired at `._graft_old` — a
+        // bare exists would skip it and the victims would survive
+        if (Snapshot.recoverAndExists(fs, dir, lease)) {
+          val cur = spark.read.parquet(dir)
+          val before = cur.count()
+          // anti-join, not isin: scales to any victim-list size (the
+          // list broadcasts; an isin predicate is O(|ids|) per row)
+          val kept = cur.join(broadcast(victims), Seq("doc_id"), "left_anti")
+            .cache()
+          try {
+            val after = kept.count()
+            if (after < before) {
+              Snapshot.publish(fs, dir, exists = true, kept, lease)
+              dropped += before - after
+            }
+          } finally { kept.unpersist(); () }
+        }
       }
     }
     // the session caches parquet file listings per path — swapped
@@ -783,8 +787,10 @@ object CorpusPrep {
     val mp = new org.apache.hadoop.fs.Path(manifestPath(outPath))
     if (fs.exists(mp) && dropped > 0) {
       val refreshed = manifestOf(spark.read.parquet(outPath))
-      Snapshot.publish(fs, manifestPath(outPath), exists = true,
-        refreshed.coalesce(1))
+      Snapshot.withMaintainerLock(fs, manifestPath(outPath)) { lease =>
+        Snapshot.publish(fs, manifestPath(outPath), exists = true,
+          refreshed.coalesce(1), lease)
+      }
       spark.catalog.refreshByPath(manifestPath(outPath))
     }
     ForgetStats(ids.length.toLong, touched.length.toLong, dropped)

@@ -53,9 +53,13 @@ object Merge {
     require(keys.nonEmpty, "merge needs at least one key column")
     val fs = new Path(targetPath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // the single-writer lock spans the whole read-merge-write cycle
+    // (not just the swap): a concurrent maintainer publishing between
+    // this read and this publish would be silently overwritten
+    Snapshot.withMaintainerLock(fs, targetPath) { lease =>
     // crash recovery first (see [[Snapshot]]): skipping it would treat
     // a half-published target as a fresh bootstrap and drop data
-    val exists = Snapshot.recoverAndExists(fs, targetPath)
+    val exists = Snapshot.recoverAndExists(fs, targetPath, lease)
 
     val del = deleteCol.getOrElse("_graft_delete")
     // one materialization of the caller's plan: it feeds the union AND
@@ -135,7 +139,7 @@ object Merge {
       val result = merged.filter(!col(del))
         .drop(del, "_graft_src", "_graft_rn", "_graft_had_tgt")
 
-      Snapshot.publish(fs, targetPath, exists, result)
+      Snapshot.publish(fs, targetPath, exists, result, lease)
 
       Stats(
         targetRows = a.getLong(5),
@@ -145,6 +149,7 @@ object Merge {
         updated = a.getLong(4),
         deleted = a.getLong(2))
     } finally { merged.unpersist(); upd.unpersist(); () }
+    }
   }
 
   /** Partition-pruned merge into a snapshot laid out as
@@ -295,7 +300,9 @@ object Merge {
       s"scd2: update batch must not carry ${metaCols.mkString("/")}")
     val fs = new Path(targetPath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val exists = Snapshot.recoverAndExists(fs, targetPath)
+    // lock the whole read-merge-write cycle — see [[upsert]]
+    Snapshot.withMaintainerLock(fs, targetPath) { lease =>
+    val exists = Snapshot.recoverAndExists(fs, targetPath, lease)
 
     val del = deleteCol.getOrElse("_graft_delete")
     val updData = updates.drop(deleteCol.toSeq: _*)
@@ -409,7 +416,7 @@ object Merge {
         .unionByName(hist)
 
       val histRows = hist.count()
-      Snapshot.publish(fs, targetPath, exists, out)
+      Snapshot.publish(fs, targetPath, exists, out, lease)
 
       val updRows = upd.count()
       Scd2Stats(
@@ -421,5 +428,6 @@ object Merge {
         resultRows = histRows + a.getLong(4),
         currentRows = a.getLong(5))
     } finally { staged.unpersist(); upd.unpersist(); () }
+    }
   }
 }

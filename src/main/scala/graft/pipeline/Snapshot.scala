@@ -11,26 +11,36 @@ import org.apache.spark.sql.{DataFrame, SaveMode}
   * half-written directory. The instant between the renames has no
   * directory at the target: a reader there fails fast with not-found
   * rather than reading partial data, and a crash there is repaired by
-  * [[recover]] on the next maintenance run, which reinstates the
-  * retired snapshot before merging.
+  * [[recoverAndExists]] on the next maintenance run, which reinstates
+  * the retired snapshot before merging.
   *
   * SINGLE-WRITER CONTRACT: the protocol tolerates any number of
-  * readers but exactly ONE maintainer per target path at a time —
-  * readers see atomic swaps, but two concurrent maintainers can
-  * delete each other's in-flight `._graft_tmp` (recovery treats a
-  * stranger's tmp as crash garbage) and interleave the two-rename
-  * swap into a lost update. The contract is ENFORCED best-effort by a
-  * `._graft_lock` marker: [[publish]] atomically creates it (create
-  * with overwrite=false — an existing lock fails the create) and
-  * removes it in a finally, and [[recoverAndExists]] refuses to run
-  * while it exists — so a streaming sink plus an ad-hoc batch
-  * maintain on the same path fails LOUDLY instead of corrupting. A
-  * hard JVM kill mid-publish leaves the lock behind (by design: the
-  * tmp state it guards is also still there); after confirming no live
-  * maintainer, clear it with [[forceUnlock]] and the next
-  * recoverAndExists repairs as usual.
+  * readers but exactly ONE maintainer per target path at a time. The
+  * hazard is not only the rename swap — every maintainer is a
+  * read-merge-write cycle, and two maintainers interleaving
+  * read → (other publishes) → publish silently discard the first
+  * publish's merge (a lost update) even when the swaps themselves
+  * never overlap. So the `._graft_lock` marker is held for the WHOLE
+  * cycle, not just the publish: a maintainer calls
+  * [[withMaintainerLock]] FIRST (atomic create with overwrite=false —
+  * an existing lock fails the create and raises loudly), and the
+  * [[Lease]] it receives is the compile-time-required proof of
+  * exclusion that [[recoverAndExists]] and [[publish]] demand. A
+  * streaming sink plus an ad-hoc batch maintain on the same path, or
+  * two interleaved stats folds, fail LOUDLY at lock acquisition
+  * instead of corrupting. A hard JVM kill mid-cycle leaves the lock
+  * behind (by design: the tmp state it guards may also still be
+  * there); after confirming no live maintainer, clear it with
+  * [[forceUnlock]] and the next maintain repairs as usual.
   */
 private[pipeline] object Snapshot {
+
+  /** Proof that the maintainer lock for [[targetPath]] is held —
+    * only mintable by [[withMaintainerLock]], so a read-merge-write
+    * cycle cannot compile without the exclusion that makes its read
+    * still valid at publish time.
+    */
+  final class Lease private[Snapshot] (private[pipeline] val targetPath: String)
 
   private def oldPath(targetPath: String) = new Path(targetPath + "._graft_old")
   private def tmpPath(targetPath: String) = new Path(targetPath + "._graft_tmp")
@@ -43,33 +53,47 @@ private[pipeline] object Snapshot {
       catch { case _: java.io.IOException => false }
     if (!ok) throw new IllegalStateException(
       s"snapshot maintainer lock already held at $p: another maintainer " +
-        "is publishing to this target (the protocol is single-writer per " +
-        "path), or a previous maintainer was hard-killed mid-publish. " +
+        "is mid-cycle on this target (the protocol is single-writer per " +
+        "path), or a previous maintainer was hard-killed. " +
         "Verify no live maintainer runs, then Snapshot.forceUnlock the path.")
   }
 
-  /** Clear a stale maintainer lock left by a hard-killed publish. Only
+  /** Run one whole maintain cycle (recover → read → merge → publish)
+    * under the target's single-writer lock. The lock spans the FULL
+    * critical section: what `body` reads is still the current
+    * snapshot when it publishes, so concurrent maintainers cannot
+    * interleave into a lost update — the second fails at acquisition.
+    */
+  def withMaintainerLock[T](fs: FileSystem, targetPath: String)
+                           (body: Lease => T): T = {
+    acquireLock(fs, targetPath)
+    try body(new Lease(targetPath))
+    finally forceUnlock(fs, targetPath)
+  }
+
+  /** Clear a stale maintainer lock left by a hard-killed cycle. Only
     * safe once no live maintainer targets the path.
     */
   def forceUnlock(fs: FileSystem, targetPath: String): Unit = {
     fs.delete(lockPath(targetPath), false); ()
   }
 
+  private def checkLease(lease: Lease, targetPath: String): Unit =
+    require(lease.targetPath == targetPath,
+      s"snapshot lease for ${lease.targetPath} used against $targetPath — " +
+        "each target needs its own withMaintainerLock")
+
   /** Repair a crash between the two publish renames (previous
     * snapshot retired at `._graft_old`, nothing at the target) and
     * report whether a snapshot now exists. Run BEFORE reading the
     * target — skipping it would silently treat existing data as a
-    * fresh bootstrap.
+    * fresh bootstrap. Requires the caller's [[Lease]]: holding the
+    * lock is what makes a stray tmp dir provably crash garbage (a
+    * LIVE maintainer's tmp can't exist — it would hold the lock).
     */
-  def recoverAndExists(fs: FileSystem, targetPath: String): Boolean = {
-    // refuse to "repair" while another maintainer holds the lock: its
-    // in-flight tmp is NOT crash garbage, and deleting it (below)
-    // would corrupt that writer mid-publish
-    if (fs.exists(lockPath(targetPath)))
-      throw new IllegalStateException(
-        s"snapshot at $targetPath is locked by an in-flight maintainer " +
-          "(single-writer contract); if that maintainer was hard-killed, " +
-          "Snapshot.forceUnlock the path first.")
+  def recoverAndExists(fs: FileSystem, targetPath: String,
+                       lease: Lease): Boolean = {
+    checkLease(lease, targetPath)
     val dst = new Path(targetPath)
     if (!fs.exists(dst) && fs.exists(oldPath(targetPath))) {
       if (!fs.rename(oldPath(targetPath), dst))
@@ -83,7 +107,10 @@ private[pipeline] object Snapshot {
     fs.exists(dst)
   }
 
-  /** Materialize `result` and swap it in as the new snapshot.
+  /** Materialize `result` and swap it in as the new snapshot. Must run
+    * under the same [[Lease]] as the cycle's [[recoverAndExists]] —
+    * the lock held since then is what guarantees the `exists` flag and
+    * everything read from the target are still true here.
     *
     * `beforeSwap` runs against the fully-written temp directory
     * BEFORE the renames: anything it adds (sidecar files, applied-
@@ -96,24 +123,22 @@ private[pipeline] object Snapshot {
     * parquet readers.
     */
   def publish(fs: FileSystem, targetPath: String, exists: Boolean,
-              result: DataFrame,
+              result: DataFrame, lease: Lease,
               beforeSwap: Path => Unit = _ => ()): Unit = {
-    acquireLock(fs, targetPath)
-    try {
-      val tmp = tmpPath(targetPath)
-      val dst = new Path(targetPath)
-      val old = oldPath(targetPath)
-      result.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-      beforeSwap(tmp)
-      if (exists) {
-        if (fs.exists(old)) fs.delete(old, true)
-        if (!fs.rename(dst, old))
-          throw new java.io.IOException(s"snapshot swap: cannot retire $dst")
-      }
-      if (!fs.rename(tmp, dst))
-        throw new java.io.IOException(s"snapshot swap: cannot publish $tmp")
-      fs.delete(old, true)
-      ()
-    } finally forceUnlock(fs, targetPath)
+    checkLease(lease, targetPath)
+    val tmp = tmpPath(targetPath)
+    val dst = new Path(targetPath)
+    val old = oldPath(targetPath)
+    result.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    beforeSwap(tmp)
+    if (exists) {
+      if (fs.exists(old)) fs.delete(old, true)
+      if (!fs.rename(dst, old))
+        throw new java.io.IOException(s"snapshot swap: cannot retire $dst")
+    }
+    if (!fs.rename(tmp, dst))
+      throw new java.io.IOException(s"snapshot swap: cannot publish $tmp")
+    fs.delete(old, true)
+    ()
   }
 }

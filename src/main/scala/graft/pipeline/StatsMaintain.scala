@@ -260,43 +260,51 @@ object StatsMaintain {
                            batchId: Option[Long]): Option[Stats] = {
     val fs = new Path(targetPath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val exists = Snapshot.recoverAndExists(fs, targetPath)
-    // the ledger is read (and re-written below) even for un-ledgered
-    // maintain() calls: a mixed sequence — maintainBatch, maintain,
-    // crash, replay — must still find the ids the earlier batches
-    // recorded, or the replay double-applies them
-    val applied =
-      if (exists) appliedBatches(spark, targetPath) else Set.empty[Long]
-    if (batchId.exists(applied.contains)) return None
-    // delta is group-count-sized: cache it so the batch (the
-    // corpus-sized side) is scanned exactly ONCE — batchRows reads
-    // off the cached partials, never the batch again
-    val delta = partials(batch, spec).cache()
-    val merged =
-      if (exists) merge(spark.read.parquet(targetPath).unionByName(delta), spec)
-      else merge(delta, spec)
-    val out = merged.cache()
-    try {
-      val batchRows = delta.agg(sum(col("n"))).head.get(0) match {
-        case null => 0L
-        case v: java.lang.Long => v.longValue
-        case v: java.math.BigDecimal => v.longValueExact
+    // the lock spans the WHOLE read-merge-write cycle, not just the
+    // publish: stats folding is additive, so a second maintainer
+    // reading the snapshot before this one publishes would silently
+    // discard this fold (lost update) — it must fail at acquisition
+    Snapshot.withMaintainerLock(fs, targetPath) { lease =>
+      val exists = Snapshot.recoverAndExists(fs, targetPath, lease)
+      // the ledger is read (and re-written below) even for un-ledgered
+      // maintain() calls: a mixed sequence — maintainBatch, maintain,
+      // crash, replay — must still find the ids the earlier batches
+      // recorded, or the replay double-applies them
+      val applied =
+        if (exists) appliedBatches(spark, targetPath) else Set.empty[Long]
+      if (batchId.exists(applied.contains)) None
+      else {
+        // delta is group-count-sized: cache it so the batch (the
+        // corpus-sized side) is scanned exactly ONCE — batchRows reads
+        // off the cached partials, never the batch again
+        val delta = partials(batch, spec).cache()
+        val merged =
+          if (exists) merge(spark.read.parquet(targetPath).unionByName(delta), spec)
+          else merge(delta, spec)
+        val out = merged.cache()
+        try {
+          val batchRows = delta.agg(sum(col("n"))).head.get(0) match {
+            case null => 0L
+            case v: java.lang.Long => v.longValue
+            case v: java.math.BigDecimal => v.longValueExact
+          }
+          val groups = out.count()
+          val newGroups =
+            if (exists)
+              groups - spark.read.parquet(targetPath).select(spec.keys.map(col): _*)
+                .distinct().count()
+            else groups
+          Snapshot.publish(fs, targetPath, exists, out, lease, tmp => {
+            val ids = applied ++ batchId
+            if (ids.nonEmpty) {
+              val o = fs.create(appliedFile(tmp.toString), true)
+              try o.write(ids.toSeq.sorted.mkString("\n").getBytes("UTF-8"))
+              finally o.close()
+            }
+          })
+          Some(Stats(batchRows = batchRows, groups = groups, newGroups = newGroups))
+        } finally { out.unpersist(); delta.unpersist(); () }
       }
-      val groups = out.count()
-      val newGroups =
-        if (exists)
-          groups - spark.read.parquet(targetPath).select(spec.keys.map(col): _*)
-            .distinct().count()
-        else groups
-      Snapshot.publish(fs, targetPath, exists, out, tmp => {
-        val ids = applied ++ batchId
-        if (ids.nonEmpty) {
-          val o = fs.create(appliedFile(tmp.toString), true)
-          try o.write(ids.toSeq.sorted.mkString("\n").getBytes("UTF-8"))
-          finally o.close()
-        }
-      })
-      Some(Stats(batchRows = batchRows, groups = groups, newGroups = newGroups))
-    } finally { out.unpersist(); delta.unpersist(); () }
+    }
   }
 }

@@ -27,11 +27,18 @@ class ZOrderSpec extends SparkSpec {
     spreadRef(a) | (spreadRef(b) << 1)
 
   test("spread/zkey: magic-mask chain equals the bit-loop reference on edges and fuzz") {
-    val edge = Seq(0L, 1L, 2L, 9L, 199L, 999L, 19999L, 65535L, 65536L,
-      0x7FFFFFFFL, 0xFFFFFFFFL)
+    // per-side domains (ZOrder.BoundA/BoundB): a admits the full
+    // unsigned-32 range (its bit 31 spreads to the sign-safe position
+    // 62); b admits [0, 2^31) (its bit 31 would land on the sign bit
+    // after the <<1) — edge lists and fuzz masks differ accordingly
+    val edgeA = Seq(0L, 1L, 2L, 9L, 199L, 999L, 19999L, 65535L, 65536L,
+      0x7FFFFFFFL, 0x80000000L, 0xFFFFFFFFL)
+    val edgeB = Seq(0L, 1L, 2L, 9L, 199L, 999L, 19999L, 65535L, 65536L,
+      0x40000000L, 0x7FFFFFFFL, 0x7FFFFFFFL)
     val rnd = new scala.util.Random(93)
-    val vals = edge ++ Seq.fill(200)(rnd.nextLong().abs & 0xFFFFFFFFL)
-    val df = vals.zip(vals.reverse).toDF("a", "b")
+    val aVals = edgeA ++ Seq.fill(200)(rnd.nextLong().abs & 0xFFFFFFFFL)
+    val bVals = edgeB ++ Seq.fill(200)(rnd.nextLong().abs & 0x7FFFFFFFL)
+    val df = aVals.zip(bVals).toDF("a", "b")
       .select(col("a"), col("b"),
         ZOrder.spread(col("a")).as("sa"),
         ZOrder.zkey(col("a"), col("b")).as("z"))
@@ -40,6 +47,30 @@ class ZOrderSpec extends SparkSpec {
       assert(r.getLong(2) == spreadRef(a), s"spread($a)")
       assert(r.getLong(3) == mortonRef(a, b), s"zkey($a,$b)")
     }
+  }
+
+  test("zkey: first out-of-domain value on EACH side raises loudly; in-domain twins pass") {
+    def z(a: Long, b: Long): Long =
+      Seq((a, b)).toDF("a", "b")
+        .select(ZOrder.zkey(col("a"), col("b"))).head.getLong(0)
+    // the raise may surface wrapped (task failure / constant folding)
+    // — search the whole cause chain for the guard's message
+    def messages(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(c => Option(c.getMessage).getOrElse("")).mkString(" | ")
+    // the largest admissible pair computes fine
+    assert(z(0xFFFFFFFFL, 0x7FFFFFFFL) ==
+      mortonRef(0xFFFFFFFFL, 0x7FFFFFFFL))
+    // a = 2^32 (first value past BoundA) raises, naming the side
+    val ea = intercept[Throwable] { z(1L << 32, 0L) }
+    assert(messages(ea).contains("zorder: a value out of"), messages(ea))
+    // b = 2^31 (first value past BoundB — would hit the sign bit)
+    val eb = intercept[Throwable] { z(0L, 1L << 31) }
+    assert(messages(eb).contains("zorder: b value out of"), messages(eb))
+    // negatives raise on either side (their sign extension would be
+    // silently masked away otherwise)
+    val en = intercept[Throwable] { z(-1L, 0L) }
+    assert(messages(en).contains("zorder: a value out of"), messages(en))
   }
 
   test("zkey: de-interleaving recovers both keys exactly (no bit lost or aliased)") {
