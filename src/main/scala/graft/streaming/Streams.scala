@@ -68,56 +68,107 @@ object Streams {
 
   // --- streaming near-dup detection (continuous mirror of batch q32) ---
 
-  final case class BlockedDoc(blk: Int, bval: Long, doc_id: Long, sim: Long)
-  final case class BlockState(ids: List[Long], sims: List[Long])
+  final case class BlockedDoc(
+      blk: Int, bval: Long, doc_id: Long, ts: Timestamp, sim: Long)
+  final case class BlockState(ids: List[Long], sims: List[Long], total: Long)
   final case class NearDup(doc_a: Long, doc_b: Long, hamming: Int)
 
   /** Continuous SimHash near-dup detection: each incoming document's
     * 64-bit simhash is split into 4 pigeonhole blocks (any pair within
     * hamming 3 agrees exactly on >= 1 block); per (block, value)
-    * bucket, bounded state holds the last `cap` docs seen, and each
+    * bucket, bounded state holds the first `cap` docs seen, and each
     * arrival is compared against ONLY its bucket — emitting a NearDup
-    * event per hit. One stateful operator, state O(buckets × cap);
-    * the same pair may be detected via several blocks — consumers (or
-    * a downstream batch dedup) collapse duplicates.
+    * event per hit. One stateful operator; the same pair may be
+    * detected via several blocks — consumers (or a downstream batch
+    * dedup) collapse duplicates.
     *
-    * Input: (doc_id, sim) with sim = simhash64 of the normalized
+    * TOTAL state is bounded by construction, on both axes:
+    *  - per bucket: once a bucket's lifetime arrivals exceed `cap` it
+    *    is OVERFULL — exactly the batch q32 cap-1000 skip (a
+    *    degenerate block value, e.g. boilerplate, would otherwise go
+    *    quadratic); the bucket stops producing detections and its FIFO
+    *    is shed down to a counter. One-pass divergence from batch,
+    *    stated: detections emitted BEFORE the bucket overflowed are
+    *    not retracted, where batch (which sees the final bucket size
+    *    up front) would have skipped the whole bucket. Real dups still
+    *    collide on their other, non-degenerate blocks — batch's own
+    *    argument. Default `cap` matches batch q32's 1000.
+    *  - bucket COUNT: `stateTtlMs` event-time eviction (the
+    *    lineBoilerplateFilter pattern — keyed off the watermark, so
+    *    replays evict identically): a bucket with no arrival for the
+    *    TTL is dropped from the store entirely. Any new arrival
+    *    re-arms its bucket's timer, so only cold buckets are
+    *    forgotten; an evicted bucket that later recurs restarts its
+    *    count (and its overfull status). `None` disables eviction —
+    *    state then grows with distinct block values for the stream's
+    *    lifetime (fine for bounded replays, wrong for production).
+    *
+    * Input: (doc_id, ts, sim) with sim = simhash64 of the normalized
     * tokens (compute with TextExprs.simhash64 in the select before
     * calling — keeping this function narrow keeps the state schema
-    * stable).
+    * stable). No downstream stateful aggregation here, so the
+    * event-time timeout needs no checker opt-out.
     */
-  def nearDupDetections(docs: Dataset[(Long, Long)], cap: Int = 256,
-                        maxHamming: Int = 3)(
+  def nearDupDetections(docs: Dataset[(Long, Timestamp, Long)],
+                        cap: Int = 1000, maxHamming: Int = 3,
+                        watermark: String = "1 hour",
+                        stateTtlMs: Option[Long] = Some(2L * 3600 * 1000))(
       implicit spark: SparkSession): Dataset[NearDup] = {
     import spark.implicits._
-    val blocked = docs.flatMap { case (id, sim) =>
-      (0 until 4).map { b =>
-        BlockedDoc(b, (sim >>> (b * 16)) & 0xffffL, id, sim)
+    stateTtlMs.foreach(t => require(t > 0, s"stateTtlMs must be > 0, got $t"))
+    val timeoutKind = if (stateTtlMs.isDefined)
+      GroupStateTimeout.EventTimeTimeout() else GroupStateTimeout.NoTimeout()
+    // the watermark must be declared on the fMGWS input itself: an
+    // upstream watermark tag does not survive the object-level flatMap
+    // (the serialized ts is a fresh attribute), and EventTimeTimeout
+    // requires one on its immediate input
+    val blocked = docs
+      .flatMap { case (id, ts, sim) =>
+        (0 until 4).map { b =>
+          BlockedDoc(b, (sim >>> (b * 16)) & 0xffffL, id, ts, sim)
+        }
       }
-    }
+      .withWatermark("ts", watermark)
     blocked
       .groupByKey(d => (d.blk, d.bval))
       .flatMapGroupsWithState[BlockState, NearDup](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), timeoutKind) {
         (_, ds: Iterator[BlockedDoc], state: GroupState[BlockState]) =>
-          var st = state.getOption.getOrElse(BlockState(Nil, Nil))
-          val out = scala.collection.mutable.ListBuffer.empty[NearDup]
-          ds.foreach { d =>
-            val hits = st.ids.iterator.zip(st.sims.iterator)
-              .filter { case (pid, psim) =>
-                pid != d.doc_id &&
-                  java.lang.Long.bitCount(psim ^ d.sim) <= maxHamming
+          if (state.hasTimedOut) {
+            // TTL passed with no arrival: a cold bucket — evict
+            state.remove()
+            Iterator.empty
+          } else {
+            var st = state.getOption.getOrElse(BlockState(Nil, Nil, 0L))
+            val out = scala.collection.mutable.ListBuffer.empty[NearDup]
+            var maxTsMs = Long.MinValue
+            ds.foreach { d =>
+              maxTsMs = math.max(maxTsMs, d.ts.getTime)
+              val total = st.total + 1
+              if (total > cap) {
+                // overfull bucket: no detections, shed the FIFO
+                st = BlockState(Nil, Nil, total)
+              } else {
+                val hits = st.ids.iterator.zip(st.sims.iterator)
+                  .filter { case (pid, psim) =>
+                    pid != d.doc_id &&
+                      java.lang.Long.bitCount(psim ^ d.sim) <= maxHamming
+                  }
+                hits.foreach { case (pid, psim) =>
+                  out += NearDup(math.min(pid, d.doc_id),
+                    math.max(pid, d.doc_id),
+                    java.lang.Long.bitCount(psim ^ d.sim))
+                }
+                st = BlockState(d.doc_id :: st.ids, d.sim :: st.sims, total)
               }
-            hits.foreach { case (pid, psim) =>
-              out += NearDup(math.min(pid, d.doc_id), math.max(pid, d.doc_id),
-                java.lang.Long.bitCount(psim ^ d.sim))
             }
-            // bounded FIFO: newest first, oldest evicted past `cap`
-            st = BlockState((d.doc_id :: st.ids).take(cap),
-              (d.sim :: st.sims).take(cap))
+            state.update(st)
+            // re-arm: TTL past this bucket's newest arrival (floored at
+            // the watermark — a timeout timestamp must sit beyond it)
+            stateTtlMs.foreach(ttl => state.setTimeoutTimestamp(
+              math.max(maxTsMs, state.getCurrentWatermarkMs()) + ttl))
+            out.iterator
           }
-          state.update(st)
-          out.iterator
       }
   }
 
@@ -128,50 +179,86 @@ object Streams {
     * incoming document — the decision form of [[nearDupDetections]]'s
     * event stream (SURVEY.md §8). Two chained stateful stages:
     *
-    *  1. per (block, value) bucket, bounded FIFO state of the last
-    *     `cap` docs; each arrival emits a per-block verdict — did it
-    *     land within `maxHamming` of anything already seen in this
-    *     bucket?
+    *  1. per (block, value) bucket, bounded state of the first `cap`
+    *     docs; each arrival emits a per-block verdict — did it land
+    *     within `maxHamming` of anything already seen in this bucket?
     *  2. a watermarked tumbling-window aggregation folds a doc's 4
     *     block verdicts into one row: is_dup = any block hit. The
     *     verdict finalizes when the watermark passes the window —
     *     bounded output delay in exchange for exactly one row per doc.
     *
-    * State is O(buckets × cap) + O(docs per window) — both bounded, so
-    * the filter runs indefinitely on an unbounded feed.
+    * Bucket state is bounded exactly as in [[nearDupDetections]]: the
+    * batch-mirroring overfull skip (a bucket past `cap` lifetime
+    * arrivals stops flagging — its verdicts from this block become
+    * "not dup", matching batch q32 dropping the whole capped bucket —
+    * and sheds its FIFO) plus `stateTtlMs` event-time eviction of
+    * cold buckets (re-armed by every arrival; `None` disables, with
+    * bucket-count growth as stated there). So total state is
+    * O(live buckets × cap) + O(docs per window) and the filter runs
+    * indefinitely on an unbounded feed.
+    *
+    * NOTE (checker): with the TTL on, stage 1 is an event-time-timeout
+    * flatMapGroupsWithState feeding the stage-2 stateful aggregation —
+    * the shape Spark's STATIC late-row checker rejects unconditionally
+    * (see [[lineBoilerplateFilter]] for the full why-this-is-safe
+    * analysis; verdict timestamps come from the CURRENT batch's
+    * watermarked input and the timeout branch emits nothing). Same
+    * contract: fails fast at construction unless
+    * `spark.sql.streaming.statefulOperator.checkCorrectness.enabled=false`
+    * or `stateTtlMs = None`.
     */
-  def nearDupFilter(docs: Dataset[DocIn], cap: Int = 256, maxHamming: Int = 3,
+  def nearDupFilter(docs: Dataset[DocIn], cap: Int = 1000, maxHamming: Int = 3,
                     watermark: String = "1 hour",
-                    windowLen: String = "10 minutes")(
+                    windowLen: String = "10 minutes",
+                    stateTtlMs: Option[Long] = Some(2L * 3600 * 1000))(
       implicit spark: SparkSession): DataFrame = {
     import spark.implicits._
-    val blocked = docs.withWatermark("ts", watermark)
+    requireCheckerOffForTtl(spark, stateTtlMs, "nearDupFilter")
+    val timeoutKind = if (stateTtlMs.isDefined)
+      GroupStateTimeout.EventTimeTimeout() else GroupStateTimeout.NoTimeout()
+    // watermark AFTER the fan-out — see [[nearDupDetections]]
+    val blocked = docs
       .flatMap { d =>
         (0 until 4).map { b =>
           (b, (d.sim >>> (b * 16)) & 0xffffL, d.doc_id, d.ts, d.sim)
         }
       }.toDF("blk", "bval", "doc_id", "ts", "sim")
+      .withWatermark("ts", watermark)
       .as[(Int, Long, Long, Timestamp, Long)]
     val verdicts = blocked
       .groupByKey(d => (d._1, d._2))
       .flatMapGroupsWithState[BlockState, BlockVerdict](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), timeoutKind) {
         (_, ds: Iterator[(Int, Long, Long, Timestamp, Long)],
          state: GroupState[BlockState]) =>
-          var st = state.getOption.getOrElse(BlockState(Nil, Nil))
-          val out = scala.collection.mutable.ListBuffer.empty[BlockVerdict]
-          // deterministic intra-batch order: first-by-time wins
-          ds.toSeq.sortBy(d => (d._4.getTime, d._3)).foreach { d =>
-            val (id, ts, sim) = (d._3, d._4, d._5)
-            val hit = st.ids.iterator.zip(st.sims.iterator).exists {
-              case (pid, psim) =>
-                pid != id && java.lang.Long.bitCount(psim ^ sim) <= maxHamming
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var st = state.getOption.getOrElse(BlockState(Nil, Nil, 0L))
+            val out = scala.collection.mutable.ListBuffer.empty[BlockVerdict]
+            var maxTsMs = Long.MinValue
+            // deterministic intra-batch order: first-by-time wins
+            ds.toSeq.sortBy(d => (d._4.getTime, d._3)).foreach { d =>
+              val (id, ts, sim) = (d._3, d._4, d._5)
+              maxTsMs = math.max(maxTsMs, ts.getTime)
+              val total = st.total + 1
+              if (total > cap) {
+                // overfull bucket (batch q32 skip): never flags
+                out += BlockVerdict(id, ts, dup = false)
+                st = BlockState(Nil, Nil, total)
+              } else {
+                val hit = st.ids.iterator.zip(st.sims.iterator).exists {
+                  case (pid, psim) =>
+                    pid != id && java.lang.Long.bitCount(psim ^ sim) <= maxHamming
+                }
+                out += BlockVerdict(id, ts, hit)
+                st = BlockState(id :: st.ids, sim :: st.sims, total)
+              }
             }
-            out += BlockVerdict(id, ts, hit)
-            st = BlockState((id :: st.ids).take(cap), (sim :: st.sims).take(cap))
+            state.update(st)
+            stateTtlMs.foreach(ttl => state.setTimeoutTimestamp(
+              math.max(maxTsMs, state.getCurrentWatermarkMs()) + ttl))
+            out.iterator
           }
-          state.update(st)
-          out.iterator
       }
     verdicts
       .withWatermark("ts", watermark)
@@ -182,8 +269,35 @@ object Streams {
 
   // --- streaming MinHash-LSH near-dup filter (continuous mirror of batch q31) ---
 
+  /** Shared fail-fast for the TTL'd filter stages that chain an
+    * event-time-timeout flatMapGroupsWithState into a stateful
+    * aggregation — the shape Spark's static late-row checker rejects
+    * unconditionally even though the flagged scenario cannot occur in
+    * these pipelines (every emitted verdict carries a ts from the
+    * CURRENT batch's watermarked input; timeout branches emit
+    * nothing — the full analysis is on [[lineBoilerplateFilter]]).
+    * Refusing at construction with guidance beats a cryptic
+    * AnalysisException at `.start()`.
+    */
+  private def requireCheckerOffForTtl(spark: SparkSession,
+                                      stateTtlMs: Option[Long],
+                                      op: String): Unit = {
+    stateTtlMs.foreach(t => require(t > 0, s"stateTtlMs must be > 0, got $t"))
+    val checkerConf =
+      "spark.sql.streaming.statefulOperator.checkCorrectness.enabled"
+    require(stateTtlMs.isEmpty ||
+      !spark.conf.get(checkerConf, "true").toBoolean,
+      s"$op with a state TTL chains an event-time-timeout " +
+        s"flatMapGroupsWithState into a stateful aggregation, which Spark's " +
+        s"static late-row checker rejects unconditionally (the " +
+        s"lineBoilerplateFilter scaladoc has the why-this-pipeline-is-safe " +
+        s"analysis). Either set $checkerConf=false for the session that " +
+        s"starts this query, or pass stateTtlMs = None to keep the checker " +
+        s"on with unbounded bucket-count state")
+  }
+
   final case class MinDocIn(doc_id: Long, ts: Timestamp, sig: Array[Int])
-  final case class SigState(ids: List[Long], sigs: List[Array[Int]])
+  final case class SigState(ids: List[Long], sigs: List[Array[Int]], total: Long)
   final case class SigVerdict(doc_id: Long, ts: Timestamp, dup: Boolean)
 
   /** Streaming MINHASH near-dup filter — the continuous counterpart
@@ -208,8 +322,28 @@ object Streams {
     * has no total order). Feeding arrivals in id order makes the two
     * keep sets EQUAL (spec-asserted); state inclusion matches batch
     * (a dropped doc still enters state, exactly as batch drops doc_b
-    * of every qualifying pair regardless of doc_a's own fate). State
-    * is O(buckets × cap × K) ints + O(docs per window) — bounded.
+    * of every qualifying pair regardless of doc_a's own fate).
+    *
+    * Bucket state is bounded on both axes, mirroring batch where a
+    * one-pass stream can: a bucket past `cap` LIFETIME arrivals is
+    * overfull — it stops flagging (this band's verdicts become "not
+    * dup", exactly as [[graft.operators.NearDup.scoredCandidates]]
+    * drops a whole > cap bucket; default `cap` matches its 100) and
+    * sheds its signature FIFO down to a counter. One-pass divergence,
+    * stated: verdicts emitted BEFORE the overflow are not retracted,
+    * where batch — seeing the final bucket size up front — would have
+    * skipped the bucket's earlier pairs too; so on a HOT bucket the
+    * stream can flag docs batch would keep, never the reverse, and
+    * real dups still collide on their other bands. Bucket COUNT is
+    * bounded by `stateTtlMs` event-time eviction of cold buckets
+    * ([[nearDupDetections]] semantics: every arrival re-arms; `None`
+    * disables). Total state: O(live buckets × cap × K) ints +
+    * O(docs per window).
+    *
+    * NOTE (checker): same construction-time fail-fast as
+    * [[nearDupFilter]] — the TTL form needs
+    * `spark.sql.streaming.statefulOperator.checkCorrectness.enabled=false`
+    * (analysis on [[lineBoilerplateFilter]]) or `stateTtlMs = None`.
     *
     * Input: (doc_id, ts, sig) with sig = minhashShingleSig(tokens(
     * normText(text)), 3, NearDup.K) computed in the upstream select —
@@ -217,41 +351,61 @@ object Streams {
     * narrow and stable.
     */
   def minhashNearDupFilter(docs: Dataset[MinDocIn], minEst: Double,
-                           cap: Int = 256,
+                           cap: Int = 100,
                            watermark: String = "1 hour",
-                           windowLen: String = "10 minutes")(
+                           windowLen: String = "10 minutes",
+                           stateTtlMs: Option[Long] = Some(2L * 3600 * 1000))(
       implicit spark: SparkSession): DataFrame = {
     import graft.functions.expressions.TextExprs
     import graft.operators.{NearDup => ND}
     import spark.implicits._
     require(minEst >= 0.0 && minEst <= 1.0, s"minEst must be in [0,1]: $minEst")
-    val banded = docs.withWatermark("ts", watermark)
+    requireCheckerOffForTtl(spark, stateTtlMs, "minhashNearDupFilter")
+    val timeoutKind = if (stateTtlMs.isDefined)
+      GroupStateTimeout.EventTimeTimeout() else GroupStateTimeout.NoTimeout()
+    // watermark AFTER the fan-out — see [[nearDupDetections]]
+    val banded = docs
       .flatMap { d =>
         val keys = TextExprs.bandKeysLocal(d.sig, ND.B, ND.R)
         keys.indices.map(b => (b, keys(b), d.doc_id, d.ts, d.sig))
       }.toDF("band", "bkey", "doc_id", "ts", "sig")
+      .withWatermark("ts", watermark)
       .as[(Int, Int, Long, Timestamp, Array[Int])]
     val verdicts = banded
       .groupByKey(d => (d._1, d._2))
       .flatMapGroupsWithState[SigState, SigVerdict](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), timeoutKind) {
         (_, ds: Iterator[(Int, Int, Long, Timestamp, Array[Int])],
          state: GroupState[SigState]) =>
-          var st = state.getOption.getOrElse(SigState(Nil, Nil))
-          val out = scala.collection.mutable.ListBuffer.empty[SigVerdict]
-          // deterministic intra-batch order: first-by-time wins (the
-          // nearDupFilter convention)
-          ds.toSeq.sortBy(d => (d._4.getTime, d._3)).foreach { d =>
-            val (id, ts, sig) = (d._3, d._4, d._5)
-            val hit = st.ids.iterator.zip(st.sigs.iterator).exists {
-              case (pid, psig) =>
-                pid != id && TextExprs.sigAgreeLocal(psig, sig, ND.K) >= minEst
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var st = state.getOption.getOrElse(SigState(Nil, Nil, 0L))
+            val out = scala.collection.mutable.ListBuffer.empty[SigVerdict]
+            var maxTsMs = Long.MinValue
+            // deterministic intra-batch order: first-by-time wins (the
+            // nearDupFilter convention)
+            ds.toSeq.sortBy(d => (d._4.getTime, d._3)).foreach { d =>
+              val (id, ts, sig) = (d._3, d._4, d._5)
+              maxTsMs = math.max(maxTsMs, ts.getTime)
+              val total = st.total + 1
+              if (total > cap) {
+                // overfull bucket (batch scoredCandidates skip)
+                out += SigVerdict(id, ts, dup = false)
+                st = SigState(Nil, Nil, total)
+              } else {
+                val hit = st.ids.iterator.zip(st.sigs.iterator).exists {
+                  case (pid, psig) =>
+                    pid != id && TextExprs.sigAgreeLocal(psig, sig, ND.K) >= minEst
+                }
+                out += SigVerdict(id, ts, hit)
+                st = SigState(id :: st.ids, sig :: st.sigs, total)
+              }
             }
-            out += SigVerdict(id, ts, hit)
-            st = SigState((id :: st.ids).take(cap), (sig :: st.sigs).take(cap))
+            state.update(st)
+            stateTtlMs.foreach(ttl => state.setTimeoutTimestamp(
+              math.max(maxTsMs, state.getCurrentWatermarkMs()) + ttl))
+            out.iterator
           }
-          state.update(st)
-          out.iterator
       }
     verdicts
       .withWatermark("ts", watermark)
@@ -326,16 +480,7 @@ object Streams {
       implicit spark: SparkSession): DataFrame = {
     import spark.implicits._
     require(minDf >= 1, s"minDf must be >= 1, got $minDf")
-    stateTtlMs.foreach(t => require(t > 0, s"stateTtlMs must be > 0, got $t"))
-    val checkerConf = "spark.sql.streaming.statefulOperator.checkCorrectness.enabled"
-    require(stateTtlMs.isEmpty ||
-      !spark.conf.get(checkerConf, "true").toBoolean,
-      s"lineBoilerplateFilter with a state TTL chains an event-time-timeout " +
-        s"flatMapGroupsWithState into a stateful aggregation, which Spark's " +
-        s"static late-row checker rejects unconditionally (the scaladoc has " +
-        s"the why-this-pipeline-is-safe analysis). Either set $checkerConf=false " +
-        s"for the session that starts this query, or pass stateTtlMs = None " +
-        s"to keep the checker on with unbounded per-distinct-line state")
+    requireCheckerOffForTtl(spark, stateTtlMs, "lineBoilerplateFilter")
     val timeoutKind = if (stateTtlMs.isDefined)
       GroupStateTimeout.EventTimeTimeout() else GroupStateTimeout.NoTimeout()
     val verdicts = lines.withWatermark("ts", watermark)

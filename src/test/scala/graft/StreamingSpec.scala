@@ -134,16 +134,17 @@ class StreamingSpec extends SparkSpec {
   test("nearDupDetections: hamming<=3 pairs detected across batches, distant pairs not") {
     implicit val s = spark
     import s.implicits._
-    val input = MemoryStream[(Long, Long)](spark)
+    val input = MemoryStream[(Long, Timestamp, Long)](spark)
     val q = Streams.nearDupDetections(input.toDS())
       .writeStream.format("memory").queryName("near_dups")
       .outputMode("append").start()
     try {
       val base = 0x0123456789abcdefL
-      input.addData((1L, base), (2L, base ^ 0x7L)) // hamming 3 from base
+      // hamming 3 from base
+      input.addData((1L, ts(1), base), (2L, ts(2), base ^ 0x7L))
       q.processAllAvailable()
       // cross-batch: doc 3 is hamming 1 from base; doc 4 is far away
-      input.addData((3L, base ^ 0x10L), (4L, ~base))
+      input.addData((3L, ts(3), base ^ 0x10L), (4L, ts(4), ~base))
       q.processAllAvailable()
       val out = spark.table("near_dups")
         .select("doc_a", "doc_b", "hamming").distinct()
@@ -157,7 +158,61 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("nearDupFilter: one finalized verdict per doc; dups flagged, originals and distant docs clean") {
+  test("nearDupDetections: event-time TTL evicts a cold bucket; arrivals re-arm it; long TTL retains") {
+    implicit val s = spark
+    import s.implicits._
+    val base = 0x0123456789abcdefL
+    // doc 1 at t=1min, then silence in its buckets past the TTL while
+    // distant docs advance the watermark, then a near-copy:
+    //  - short TTL: doc 1's bucket state evicted -> pair NOT detected
+    //  - long TTL: state retained -> pair detected
+    // re-arm: a doc whose bucket keeps receiving arrivals within the
+    // TTL still matches across a span LONGER than the TTL.
+    def run(name: String, ttlMs: Long): Set[(Long, Long)] = {
+      val input = MemoryStream[(Long, Timestamp, Long)](spark)
+      val q = Streams.nearDupDetections(input.toDS(),
+          watermark = "1 minute", stateTtlMs = Some(ttlMs))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        input.addData((1L, ts(1), base))
+        q.processAllAvailable()
+        // re-arm fixture: doc 20 then doc 21 (same buckets, each
+        // within TTL of the previous) bracketing a span > TTL
+        input.addData((20L, ts(2), ~base))
+        q.processAllAvailable()
+        // advance the watermark past doc 1's TTL (wm = 14 - 1 = 13min
+        // > 1min + 10min) and re-arm doc 20's bucket (ts(8) is within
+        // 10min of ts(2))
+        input.addData((90L, ts(14), 0x5555555555555555L),
+          (21L, ts(8), ~base ^ 0x1L))
+        q.processAllAvailable()
+        // a batch with no data in doc 1's bucket lets its timeout fire
+        input.addData((91L, ts(15), 0x5555aaaa5555aaaaL))
+        q.processAllAvailable()
+        // near-copy of doc 1 (hamming 1) after the TTL window
+        input.addData((2L, ts(16), base ^ 0x1L))
+        q.processAllAvailable()
+        // doc 22 matches doc 21 across a total span (2 -> 16 min) far
+        // beyond the 10-min TTL, because every arrival re-armed
+        input.addData((22L, ts(16), ~base ^ 0x3L))
+        q.processAllAvailable()
+        spark.table(name).select("doc_a", "doc_b").distinct()
+          .as[(Long, Long)].collect().toSet
+      } finally q.stop()
+    }
+    val short = run("ndd_ttl_short", ttlMs = 10 * 60000L)
+    assert(!short.contains((1L, 2L)),
+      s"evicted bucket must forget doc 1: $short")
+    assert(short.contains((20L, 21L)), s"re-armed bucket lost doc 20: $short")
+    assert(short.contains((21L, 22L)) && short.contains((20L, 22L)),
+      s"chain across re-armed TTL windows broken: $short")
+    val long = run("ndd_ttl_long", ttlMs = 10L * 3600 * 1000)
+    assert(long.contains((1L, 2L)),
+      s"long TTL must retain doc 1's bucket: $long")
+  }
+
+  test("nearDupFilter: one finalized verdict per doc; dups flagged, originals and distant docs clean") { withLateRowCheckOff {
     implicit val s = spark
     import s.implicits._
     val input = MemoryStream[Streams.DocIn](spark)
@@ -188,9 +243,9 @@ class StreamingSpec extends SparkSpec {
       assert(out(3L), "cross-window near-dup not flagged")
       assert(!out(4L), "distant doc flagged")
     } finally q.stop()
-  }
+  } }
 
-  test("minhashNearDupFilter: streaming keep set equals batch NearDup.dropIds when arrivals are in id order") {
+  test("minhashNearDupFilter: streaming keep set equals batch NearDup.dropIds when arrivals are in id order") { withLateRowCheckOff {
     implicit val s = spark
     import s.implicits._
     import graft.functions.{TextOps => T}
@@ -241,7 +296,43 @@ class StreamingSpec extends SparkSpec {
         s"streaming $streamingDrops != batch $batchDrops")
       assert(!verdicts(13L), "distinct doc flagged")
     } finally q.stop()
-  }
+  } }
+
+  test("minhashNearDupFilter: a bucket past cap stops flagging (batch overfull-skip mirror)") { withLateRowCheckOff {
+    implicit val s = spark
+    import s.implicits._
+    import graft.operators.{NearDup => ND}
+    // identical signatures -> all 16 band buckets fill in lockstep.
+    // cap=2: doc 1 (total 1) clean, doc 2 (total 2, vs doc 1) flagged,
+    // docs 3/4 overflow every bucket -> auto-keep despite being exact
+    // signature dups — exactly batch scoredCandidates dropping a
+    // > cap bucket
+    val sig = Array.tabulate(ND.K)(i => i * 7 + 1)
+    val input = MemoryStream[Streams.MinDocIn](spark)
+    val q = Streams.minhashNearDupFilter(input.toDS(), minEst = 0.7,
+        cap = 2, windowLen = "10 minutes")
+      .writeStream.format("memory").queryName("mh_overfull")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        Streams.MinDocIn(1, ts(1), sig),
+        Streams.MinDocIn(2, ts(2), sig),
+        Streams.MinDocIn(3, ts(3), sig))
+      q.processAllAvailable()
+      // cross-batch: the lifetime count stays overfull
+      input.addData(Streams.MinDocIn(4, ts(4), sig))
+      q.processAllAvailable()
+      input.addData(Streams.MinDocIn(99, ts(5000), Array.fill(ND.K)(0)))
+      q.processAllAvailable()
+      val out = spark.table("mh_overfull")
+        .as[(Long, Boolean)].collect().toMap - 99L
+      assert(out.keySet == Set(1L, 2L, 3L, 4L), s"verdicts: $out")
+      assert(!out(1L), "first doc flagged")
+      assert(out(2L), "in-cap dup not flagged")
+      assert(!out(3L), s"overfull bucket still flagging (same batch): $out")
+      assert(!out(4L), s"overfull bucket still flagging (cross batch): $out")
+    } finally q.stop()
+  } }
 
   /** lineBoilerplateFilter chains an event-time-timeout fmgws into a
     * windowed aggregation; Spark's STATIC late-row checker flags that
