@@ -11,14 +11,15 @@ import org.apache.spark.sql.SparkSession
   * official capture cut it mid-stream (parsed:null, 22 queries lost). The
   * final line is now HEADLINE-ONLY (<300B: total/failed/warmup/reps/
   * n_queries/sf) and carries NO per-query map, so it can never outgrow a
-  * capture no matter how many queries register. The per-query 3-decimal
-  * medians and the per-query [min,max] rep spread are each printed as
-  * self-contained single-JSON-object lines immediately BEFORE it (newest
-  * content closest to the tail), and the full-precision everything is
-  * written verbatim to target/bench_full.json (never truncated) plus an
-  * early stdout line. Each line is independently parseable: a reader takes
-  * the last line for the headline and scans earlier lines for the
-  * "queries"/"spread" keys it wants.
+  * capture no matter how many queries register. Directly above it (round
+  * 10 order — a 2KB tail must hold headline + spread + most medians) sits
+  * the top-10-widest [min,max] rep-spread line, then above that the full
+  * per-query 3-decimal medians line — each a self-contained
+  * single-JSON-object line — and the full-precision everything (including
+  * ALL queries' min/max) is written verbatim to target/bench_full.json
+  * (never truncated) plus an early stdout line. Each line is independently
+  * parseable: a reader takes the last line for the headline and scans
+  * earlier lines for the "queries"/"spread" keys it wants.
   *
   * Methodology (round 5): each query is measured REPS (3) times, with the
   * reps INTERLEAVED across queries — rep 1 of every query, then rep 2 of
@@ -122,19 +123,30 @@ object Bench {
       java.nio.file.Files.write(p, fullJson.getBytes("UTF-8"))
     } catch { case _: Throwable => () }
     println(fullJson)
-    // rep-spread line: per-query [min,max] at 3 decimals, one
-    // self-contained JSON object, CI-parseable on its own — lets a churn
-    // round (official artifact inflated, code unchanged) be auto-triaged:
-    // a query whose min matches the prior round but whose max is several
-    // x is machine churn, a query whose MIN moved is a real regression
-    val spread = names.map { n =>
-      val (lo, hi) = if (med(n) < 0) (-1.0, -1.0) else (samples(n).min, samples(n).max)
-      "\"" + n + "\":[" + d3(lo) + "," + d3(hi) + "]"
-    }.mkString("{\"spread\":{", ",", "}}")
-    println(spread)
-    // per-query 3-decimal medians: one self-contained JSON object line,
-    // directly above the headline so it sits inside any sane tail-capture
+    // per-query 3-decimal medians: one self-contained JSON object line
     println(s"""{"queries":${jmapShort(med)}}""")
+    // rep-spread line: [min,max] at 3 decimals for the TOP-10 widest
+    // spreads only, one self-contained JSON object, CI-parseable on its
+    // own — lets a churn round (official artifact inflated, code
+    // unchanged) be auto-triaged: a query whose min matches the prior
+    // round but whose max is several x is machine churn, a query whose
+    // MIN moved is a real regression. Top-10 (~400B) rather than all
+    // queries (~3.5KB at 99): the round-9 full-spread line sat above
+    // the medians and the driver's 2KB tail-capture ALWAYS cut it —
+    // this line sits directly above the headline and must stay small
+    // enough that the tail holds the headline + spread + most medians.
+    // The full per-query min/max maps live in target/bench_full.json.
+    val spreadTop = names
+      .map { n =>
+        val (lo, hi) = if (med(n) < 0) (-1.0, -1.0)
+                       else (samples(n).min, samples(n).max)
+        (n, lo, hi)
+      }
+      .sortBy { case (_, lo, hi) => -(hi - lo) }
+      .take(10)
+      .map { case (n, lo, hi) => "\"" + n + "\":[" + d3(lo) + "," + d3(hi) + "]" }
+      .mkString("{\"spread\":{", ",", "}}")
+    println(spreadTop)
     // FINAL line: HEADLINE ONLY, <300B regardless of query count, so the
     // driver's tail-capture can never cut it mid-stream again
     println(s"""{"metric":"total","value":${d3(total)},"unit":"sec","failed":$failed,"warmup_sec":${d3(warmupSec)},"reps":$reps,"n_queries":${names.length},"sf":"$sfDir"}""")

@@ -37,8 +37,42 @@ object Hierarchy {
     */
   val CheckpointEvery = 8
 
+  /** The result frame plus the handle that releases its checkpoint
+    * blocks — the SimJoin/Search Scoped convention. `df` is an eager
+    * localCheckpoint (consuming it never re-runs the doubling loop);
+    * its MEMORY_AND_DISK blocks are otherwise pinned until the RDD is
+    * GC'd, which a long-lived service calling closure repeatedly would
+    * accumulate. Call [[release]] once fully done with `df` — a
+    * localCheckpoint has NO lineage to recompute from, so unlike the
+    * cache-backed Scopeds, using `df` after release FAILS rather than
+    * recomputes.
+    */
+  final case class Scoped(df: DataFrame,
+                          private val ckRdd: Option[org.apache.spark.rdd.RDD[_]]) {
+    def release(): Unit = { ckRdd.foreach(_.unpersist()); () }
+  }
+
+  /** The checkpointed RDD backing a localCheckpoint'd frame — the
+    * handle [[Scoped.release]] and the loop's retire path unpersist.
+    * Only called on frames THIS object just checkpointed (a deeper
+    * search over an arbitrary plan could find a LIVE dependency's
+    * checkpoint and free it under a consumer).
+    */
+  private def checkpointRdd(df: DataFrame)
+      : Option[org.apache.spark.rdd.RDD[_]] =
+    df.queryExecution.analyzed.collectFirst {
+      case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd
+    }
+
   /** Flatten `nodes` (one row per node: id + parent, parent NULL for
     * roots) to (id, root_id, depth), ordered by id.
+    *
+    * Lifecycle: intermediate round state is fully released before
+    * returning (caches unpersisted; a retired round's checkpoint
+    * blocks are freed as soon as the NEXT checkpoint truncates the
+    * lineage that could recompute from them). The RETURNED frame's
+    * own checkpoint blocks live until GC — a long-lived caller should
+    * use [[closureScoped]] and release them explicitly.
     *
     * @param maxRounds loud-failure budget: acyclic inputs of depth ≤
     *   2^maxRounds always converge inside it, so the default 64 can
@@ -49,19 +83,60 @@ object Hierarchy {
   def closure(nodes: DataFrame,
               idCol: Column = col("id"),
               parentCol: Column = col("parent"),
-              maxRounds: Int = 64): DataFrame = {
+              maxRounds: Int = 64): DataFrame =
+    closureScoped(nodes, idCol, parentCol, maxRounds).df
+
+  /** [[closure]] with the checkpoint-block handle returned
+    * ([[Scoped]]).
+    */
+  def closureScoped(nodes: DataFrame,
+                    idCol: Column = col("id"),
+                    parentCol: Column = col("parent"),
+                    maxRounds: Int = 64,
+                    loopAqe: Boolean = false): Scoped = {
     require(maxRounds >= 1, s"maxRounds must be >= 1, got $maxRounds")
+    // AQE is scoped OFF for the loop by default: adaptive execution
+    // materializes every exchange as its own query stage and
+    // re-optimizes between them — a driver round trip per exchange,
+    // per round, bought for nothing here (the loop's co-keyed
+    // partitioning is static and the per-round frames don't change
+    // shape). Measured 3.7× on the sf0.01 oracle face. The conf is a
+    // SESSION conf, restored in the finally: a concurrent query
+    // STARTED during the loop window runs without AQE — a perf
+    // wobble, never a correctness one. Pass loopAqe = true to keep
+    // AQE (e.g. for skew-join splitting on a celebrity-parent
+    // hierarchy, where one anc key holds a large share of the rows).
+    val sess = nodes.sparkSession
+    val AqeKey = "spark.sql.adaptive.enabled"
+    val prevAqe = sess.conf.get(AqeKey, "true")
+    if (!loopAqe) sess.conf.set(AqeKey, "false")
     // roots point at themselves with depth 0: the doubling join is
     // then TOTAL (a settled node joins the root's self-row and adds
     // 0) — no null arms, and "moved" is simply "joined a row that
     // still had distance to go" (p_d > 0)
-    var st = nodes.select(
+    // `pinned` is the frame ACTUALLY cached/checkpointed each round;
+    // `st` may be a projection over it. Retiring must unpersist
+    // `pinned` — Dataset.unpersist only uncaches an EXACT plan match,
+    // so calling it on the derived projection is a silent no-op (the
+    // leak the checkpoint-blocks spec pins)
+    var pinned = nodes.select(
         idCol.as("id"),
         coalesce(parentCol, idCol).as("anc"),
         when(parentCol.isNull, 0L).otherwise(1L).as("d"))
       .cache()
+    var st = pinned
     var round = 0
     var moved = 1L
+    // the round checkpoint whose blocks are still NEEDED: cached
+    // rounds after it can recompute from it on cache eviction, so it
+    // is freed only when a newer checkpoint truncates that lineage
+    var liveCkRdd: Option[org.apache.spark.rdd.RDD[_]] = None
+    // rounds pinned but not yet retired: an UNCHECKED round (below)
+    // runs no action, so its predecessor cannot be unpersisted yet —
+    // dropping its cache entry before the successor materializes
+    // would recompute its join TWICE (both branches of the next
+    // self-join read it). Retired wholesale after each checked agg.
+    val pending = scala.collection.mutable.ListBuffer.empty[DataFrame]
     try {
       while (moved > 0) {
         round += 1
@@ -80,22 +155,43 @@ object Hierarchy {
           .select(col("id"), col("p_anc").as("anc"),
             (col("d") + col("p_d")).as("d"),
             (col("p_d") > 0).cast("long").as("_moved"))
-        val ck = if (round % CheckpointEvery == 0) next.localCheckpoint(true)
-                 else next.cache()
-        val agg = ck.agg(sum(col("_moved")), count(lit(1))).head()
-        moved = if (agg.isNullAt(0)) 0L else agg.getLong(0)
-        val before = st
+        val ck = if (round % CheckpointEvery == 0) {
+          val c = next.localCheckpoint(true)
+          // this checkpoint truncates every older round's lineage:
+          // the previous checkpoint's blocks can no longer be needed
+          liveCkRdd.foreach(_.unpersist())
+          liveCkRdd = checkpointRdd(c)
+          c
+        } else next.cache()
+        // convergence is OBSERVED every 2nd round only (plus round 1,
+        // which the row-conservation check and the degenerate inputs —
+        // all-roots, empty — need): each observation is a full Spark
+        // action, and at log₂(depth) total rounds, checking every
+        // round costs as many jobs as the doubling itself. The price
+        // is at most ONE overshoot round past convergence — the same
+        // order as the one observation round a per-round check already
+        // pays.
+        val checked = round == 1 || round % 2 == 0
+        pending += pinned
+        pinned = ck
         st = ck.drop("_moved")
-        val after = agg.getLong(1)
-        if (round == 1) {
-          val n = before.count()
-          if (after != n) {
-            throw new IllegalArgumentException(
-              s"hierarchy closure: $n nodes but $after survived the " +
-                "ancestor join — some parent ids reference missing nodes")
+        if (checked) {
+          val agg = ck.agg(sum(col("_moved")), count(lit(1))).head()
+          moved = if (agg.isNullAt(0)) 0L else agg.getLong(0)
+          if (round == 1) {
+            val n = pending.head.count()
+            if (agg.getLong(1) != n) {
+              throw new IllegalArgumentException(
+                s"hierarchy closure: $n nodes but ${agg.getLong(1)} " +
+                  "survived the ancestor join — some parent ids " +
+                  "reference missing nodes")
+            }
           }
+          // ck is materialized now: every older pinned round is
+          // retirable (later rounds read only ck)
+          pending.foreach(_.unpersist())
+          pending.clear()
         }
-        before.unpersist()
       }
       // truncate the iterative lineage and release the loop cache: the
       // returned plan must not re-run the doubling (q53 discipline)
@@ -104,7 +200,17 @@ object Hierarchy {
           col("d").cast("bigint").as("depth"))
         .orderBy(col("id"))
         .localCheckpoint(true)
-      out
-    } finally { st.unpersist(); () }
+      Scoped(out, checkpointRdd(out))
+    } finally {
+      if (!loopAqe) sess.conf.set(AqeKey, prevAqe)
+      // out (when reached) is already materialized, so every loop
+      // resource — pending rounds, the final round's cache AND the
+      // last in-loop checkpoint — is releasable here, on success or
+      // failure
+      pending.foreach(_.unpersist())
+      pinned.unpersist()
+      liveCkRdd.foreach(_.unpersist())
+      ()
+    }
   }
 }

@@ -122,17 +122,62 @@ object Search {
     */
   def buildIndex(docs: DataFrame, table: String, buckets: Int,
                  idCol: Column = col("doc_id"),
-                 textCol: Column = col("text")): Unit =
+                 textCol: Column = col("text"),
+                 corpusVersion: Option[String] = None): Unit = {
     graft.sources.Bucketed.write(
       postingsFrame(docs, Nil, idCol, textCol), table, "t", buckets)
+    corpusVersion.foreach { v =>
+      require(!v.contains("'"),
+        s"corpusVersion must not contain a quote: $v")
+      docs.sparkSession.sql(
+        s"ALTER TABLE $table SET TBLPROPERTIES ('$VersionProp' = '$v')")
+      ()
+    }
+  }
+
+  /** Table property recording which corpus snapshot a [[buildIndex]]
+    * table was built from — the FRESHNESS CONTRACT: the index is a
+    * point-in-time derivation, and serving queries for a corpus it
+    * does not match silently returns stale hits/misses. The version
+    * string is the CALLER's snapshot identity (e.g. the snapshot
+    * path + publish version, or a manifest digest) — whatever the
+    * deployment uses to name "the corpus as of this index build".
+    */
+  private val VersionProp = "graft.corpus.version"
+
+  /** The corpus version recorded on a [[buildIndex]] table, if any. */
+  def indexVersion(spark: SparkSession, table: String): Option[String] =
+    spark.sql(s"SHOW TBLPROPERTIES $table").collect()
+      .collectFirst { case r if r.getString(0) == VersionProp => r.getString(1) }
+
+  /** Refuse to serve an index that does not match the corpus the
+    * caller is querying: a recorded version different from `want`, or
+    * NO recorded version when the caller demands one (an unverifiable
+    * index is treated as stale, not trusted). `None` skips the check —
+    * the pre-contract behavior for callers that manage freshness
+    * elsewhere.
+    */
+  private def checkVersion(spark: SparkSession, table: String,
+                           expect: Option[String]): Unit =
+    expect.foreach { want =>
+      val got = indexVersion(spark, table)
+      require(got.contains(want),
+        s"search index $table was built from corpus version " +
+          s"${got.getOrElse("<unrecorded>")} but the query expects '$want' " +
+          "— rebuild with Search.buildIndex over the current corpus " +
+          "(stale index hits/misses would otherwise be served silently)")
+    }
 
   /** [[phrase]] served from a [[buildIndex]] table: identical output
     * (spec-pinned), no corpus scan, no tokenize — the scan reads only
-    * the query terms' buckets.
+    * the query terms' buckets. `expectCorpusVersion` enforces the
+    * freshness contract ([[indexVersion]]).
     */
   def phraseIndexed(spark: SparkSession, table: String,
-                    terms: Seq[String]): DataFrame = {
+                    terms: Seq[String],
+                    expectCorpusVersion: Option[String] = None): DataFrame = {
     val qs = normTerms(terms)
+    checkVersion(spark, table, expectCorpusVersion)
     phraseOverPostings(
       spark.table(table).filter(col("t").isin(qs.distinct: _*)), qs)
   }
@@ -167,11 +212,17 @@ object Search {
       .limit(limit)
   }
 
-  /** [[rankedOverPostings]] served from a [[buildIndex]] table. */
+  /** [[rankedOverPostings]] served from a [[buildIndex]] table.
+    * `expectCorpusVersion` enforces the freshness contract
+    * ([[indexVersion]]).
+    */
   def rankedIndexed(spark: SparkSession, table: String,
                     terms: Seq[String], nDocs: Long, idfScale: Long,
-                    limit: Int): DataFrame =
+                    limit: Int,
+                    expectCorpusVersion: Option[String] = None): DataFrame = {
+    checkVersion(spark, table, expectCorpusVersion)
     rankedOverPostings(spark.table(table), terms,
       spark.range(1).select(lit(nDocs).cast("long").as("nd")),
       idfScale, limit)
+  }
 }

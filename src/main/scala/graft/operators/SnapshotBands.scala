@@ -62,16 +62,33 @@ object SnapshotBands {
     * `expectedDocs` is in DOC units; the undersize refusal mirrors
     * [[SnapshotBloom.build]] (a degraded FP rate silently drops fresh
     * docs — data loss with no error anywhere).
+    *
+    * ONE corpus pass: the Bloom fold and the sizing count ride the
+    * same treeAggregate (the exact execution shape
+    * `df.stat.bloomFilter` uses internally — a separate `count()`
+    * would scan and re-shingle the whole kept corpus a second time at
+    * publish). The refusal fires after the fold, before anything is
+    * returned or saved — same observable contract. (Spark's native
+    * BloomFilterAggregate expression is deliberately NOT used: its
+    * size is silently capped by the runtime-filter confs, the exact
+    * degrade-without-error this refusal exists to prevent.)
     */
   def build(docs: DataFrame, expectedDocs: Long, fpp: Double = 1e-3,
             textCol: Column = col("text")): BloomFilter = {
-    val d = docs.select(explode(bandValues(textCol)).as("d"))
-    val n = d.count() / NearDup.B
+    require(expectedDocs > 0, s"expectedDocs must be > 0, got $expectedDocs")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val d = docs.select(explode(bandValues(textCol)).as("d")).as[Long]
+    val (bf, items) = d.rdd.treeAggregate(
+      (BloomFilter.create(expectedDocs * NearDup.B, fpp), 0L))(
+      { case ((b, c), v) => b.putLong(v); (b, c + 1L) },
+      { case ((b1, c1), (b2, c2)) => (b1.mergeInPlace(b2), c1 + c2) })
+    val n = items / NearDup.B
     require(n <= 2 * expectedDocs,
       s"SnapshotBands sized for $expectedDocs docs but fed $n: the FP " +
         "rate would silently degrade and the next refresh would silently " +
         s"drop fresh docs — rebuild with expectedDocs >= $n")
-    d.stat.bloomFilter("d", expectedDocs * NearDup.B, fpp)
+    bf
   }
 
   /** Same serialized form as the exact sidecar — publish/load/chain

@@ -49,23 +49,30 @@ object SnapshotBloom {
     * Undersizing is refused, not absorbed: a filter built for
     * `expectedItems` but fed far more degrades its FP rate SILENTLY,
     * and every extra false positive is a fresh doc the next refresh
-    * silently drops — data loss with no error anywhere. The count
-    * costs one extra pass over the digest projection (cheap next to
-    * the aggregate; sizing correctness is worth a scan), and the
-    * bound is 2× because the FP curve is gentle up to ~2 and cliffs
-    * beyond. Size generously — bits are ~1.4 MB per million docs at
-    * the default fpp — and budget the whole chain when sidecars will
-    * be merged ([[loadMerged]]).
+    * silently drops — data loss with no error anywhere. The sizing
+    * count rides the SAME treeAggregate as the Bloom fold (the
+    * execution shape `df.stat.bloomFilter` uses internally) — ONE
+    * corpus pass, refusal fired before anything is returned or
+    * saved. The bound is 2× because the FP curve is gentle up to ~2
+    * and cliffs beyond. Size generously — bits are ~1.4 MB per
+    * million docs at the default fpp — and budget the whole chain
+    * when sidecars will be merged ([[loadMerged]]).
     */
   def build(docs: DataFrame, expectedItems: Long, fpp: Double = 1e-3,
             textCol: Column = col("text")): BloomFilter = {
-    val d = docs.select(digest(textCol).as("d"))
-    val n = d.count()
+    require(expectedItems > 0, s"expectedItems must be > 0, got $expectedItems")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val d = docs.select(digest(textCol).as("d")).as[Long]
+    val (bf, n) = d.rdd.treeAggregate(
+      (BloomFilter.create(expectedItems, fpp), 0L))(
+      { case ((b, c), v) => b.putLong(v); (b, c + 1L) },
+      { case ((b1, c1), (b2, c2)) => (b1.mergeInPlace(b2), c1 + c2) })
     require(n <= 2 * expectedItems,
       s"SnapshotBloom sized for $expectedItems items but fed $n: the FP " +
         s"rate would silently degrade and the next refresh would silently " +
         s"drop fresh docs — rebuild with expectedItems >= $n")
-    d.stat.bloomFilter("d", expectedItems, fpp)
+    bf
   }
 
   /** Publish the sidecar: write to `<path>.tmp`, then rename — a

@@ -635,13 +635,22 @@ object CorpusPrep {
         // two distinct outPaths feeding one statsPath colliding at
         // 2^-32 would silently skip a fold. A skipped fold (retried
         // or in-place-refreshed run) is reported in Stats, not silent.
-        StatsMaintain.maintainBatch(docs.sparkSession, sp,
+        val md5 = java.security.MessageDigest.getInstance("MD5")
+          .digest(outPath.getBytes("UTF-8"))
+        // UPGRADE COMPAT: ledgers written before the 64-bit widening
+        // recorded Arrays.hashCode(md5) (a 32-bit id) — a replayed
+        // run() over such a snapshot must still be recognized as
+        // applied, or the upgrade itself would double-count this
+        // corpus. The legacy probe inherits the legacy scheme's
+        // 2^-32 collision odds; NEW folds always record the 64-bit id.
+        val legacyId = java.util.Arrays.hashCode(md5).toLong
+        if (StatsMaintain.appliedBatches(docs.sparkSession, sp)
+              .contains(legacyId)) true
+        else StatsMaintain.maintainBatch(docs.sparkSession, sp,
           out.select(col("source"), col("lang_detected").as("lang"),
             nTok.as("n_tokens")),
           corpusStatsSpec,
-          batchId = java.nio.ByteBuffer.wrap(
-            java.security.MessageDigest.getInstance("MD5")
-              .digest(outPath.getBytes("UTF-8"))).getLong).isEmpty
+          batchId = java.nio.ByteBuffer.wrap(md5).getLong).isEmpty
       }
       val afterSample = out.count()
       val seenCol = m.prior

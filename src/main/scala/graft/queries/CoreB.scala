@@ -1202,6 +1202,43 @@ object CoreB {
       |  (l_returnflag, l_linestatus), (l_returnflag), (l_linestatus), ())
       |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin
 
+  /** q103: UNKNOWN-depth hierarchy flattening — the general
+    * [[graft.operators.Hierarchy.closure]] operator (pointer doubling
+    * with convergence detection) under the driver's DuckDB oracle,
+    * on an injection q92's fixed 6-round unroll PROVABLY cannot
+    * answer: deterministic chains of length up to 96 (roots at
+    * doc_id ≡ 0 mod 97, every other node's parent is doc_id − 1), so
+    * depths reach 96 > 64 = 2⁶ and q92's per-row root guard would
+    * raise. closure stops by itself when no pointer moves (⌈log₂ 96⌉
+    * = 7 doubling rounds here — unknown to the query).
+    *
+    * Scale shape: the operator's own — per round ONE co-keyed
+    * self-equi-join exchanging (id, anc, d) triples, round state
+    * cached and retired, lineage truncated; the oracle replays the
+    * closure as a recursive CTE — exact.
+    */
+  def q103(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Hierarchy.closure(
+      Tables(s, dir).documents.select(
+        col("doc_id").as("id"),
+        when(pmod(col("doc_id"), lit(97)) === 0, lit(null).cast("long"))
+          .otherwise(col("doc_id") - 1).as("parent")))
+      .select(col("id").as("doc_id"), col("root_id"), col("depth"))
+      .orderBy(col("doc_id"))
+
+  val q103Sql: String =
+    """WITH RECURSIVE nodes AS (
+      |  SELECT doc_id AS id,
+      |    CASE WHEN doc_id % 97 = 0 THEN NULL ELSE doc_id - 1 END AS parent
+      |  FROM documents),
+      |r AS (
+      |  SELECT id, id AS root_id, CAST(0 AS BIGINT) AS depth
+      |  FROM nodes WHERE parent IS NULL
+      |  UNION ALL
+      |  SELECT n.id, r.root_id, CAST(r.depth + 1 AS BIGINT)
+      |  FROM nodes n JOIN r ON n.parent = r.id)
+      |SELECT id AS doc_id, root_id, depth FROM r ORDER BY doc_id""".stripMargin
+
   val entries: Seq[Entry] = Seq(
     Entry("q08_union_dedup", q08, Some(q08Sql)),
     Entry("q09_pivot", q09, Some(q09Sql)),
@@ -1234,5 +1271,6 @@ object CoreB {
     Entry("q98_concurrency", q98, Some(q98Sql)),
     Entry("q101_json_extract", q101, Some(q101Sql)),
     Entry("q102_grouping_sets", q102, Some(q102Sql)),
+    Entry("q103_closure", q103, Some(q103Sql)),
   )
 }

@@ -128,8 +128,14 @@ object PrepQ {
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .cache()
-    var labels = edges.select(col("src").as("node")).distinct()
+    // `pinned` is the frame ACTUALLY cached each round; `labels` may
+    // be a projection over it — Dataset.unpersist only uncaches an
+    // exact plan match, so retiring the projection would silently
+    // leak every round's cache (the Hierarchy.closure lesson, pinned
+    // by its checkpoint-blocks spec)
+    var pinned = edges.select(col("src").as("node")).distinct()
       .withColumn("lbl", col("node")).cache()
+    var labels = pinned
     try {
       var changed = 1L
       var iters = 0
@@ -157,7 +163,8 @@ object PrepQ {
         // convergence job (one count saved per query)
         changed = if (iters == 0) 1L
           else next.filter(col("lbl") =!= col("_old")).count()
-        labels.unpersist()
+        pinned.unpersist()
+        pinned = next
         labels = next.drop("_old")
         iters += 1
       }
@@ -175,7 +182,7 @@ object PrepQ {
           labels.checkpoint(true)
         case None => labels.localCheckpoint(true)
       }
-      labels.unpersist()
+      pinned.unpersist()
       finalLabels
         .select(col("node").as("doc_id"), col("lbl").as("component"),
           (col("node") === col("lbl")).cast("bigint").as("is_canonical"))

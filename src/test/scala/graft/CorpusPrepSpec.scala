@@ -449,6 +449,37 @@ class CorpusPrepSpec extends SparkSpec {
     }
   }
 
+  test("statsPath: a pre-upgrade LEGACY ledger id still marks its outPath as applied (no double count)") {
+    import graft.pipeline.StatsMaintain
+    val docs = Tables(spark, sf).documents.filter(col("doc_id") < 100)
+    val base = java.nio.file.Files.createTempDirectory("graft-cstats-legacy").toString
+    val statsPath = s"$base/stats"
+    val outPath = s"$base/run1"
+    val c = cfg.copy(statsPath = Some(statsPath))
+    val s1 = CorpusPrep.run(docs, outPath, c)
+    assert(!s1.statsFoldSkipped, "first fold must apply")
+    // simulate a ledger written by the pre-widening scheme: replace
+    // the recorded 64-bit id with Arrays.hashCode(md5(outPath))
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+      .digest(outPath.getBytes("UTF-8"))
+    val legacyId = java.util.Arrays.hashCode(md5).toLong
+    val fs = new org.apache.hadoop.fs.Path(statsPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val ledger = new org.apache.hadoop.fs.Path(statsPath, "_applied")
+    val o = fs.create(ledger, true)
+    try o.write(s"$legacyId".getBytes("UTF-8")) finally o.close()
+    val before = spark.read.parquet(statsPath)
+      .agg(sum(col("n"))).head.getLong(0)
+    // replay the same run: the legacy id must be honored -> skip
+    val s2 = CorpusPrep.run(docs, outPath, c)
+    assert(s2.statsFoldSkipped,
+      "replay over a legacy ledger must skip the fold, not double-count")
+    spark.catalog.refreshByPath(statsPath)
+    val after = spark.read.parquet(statsPath)
+      .agg(sum(col("n"))).head.getLong(0)
+    assert(after == before, s"stats double-counted: $before -> $after")
+  }
+
   test("wordlist gate: listed words drop docs whole, stats count them, dedup sees only survivors") {
     import spark.implicits._
     val keepAll = CorpusPrep.Config(

@@ -80,4 +80,23 @@ class HierarchySpec extends SparkSpec {
     assert(probe.storageLevel == StorageLevel.NONE,
       "closure leaked its init cache entry")
   }
+
+  test("checkpoint blocks: intermediates freed in-loop; Scoped.release frees the result's") {
+    // depth 200 -> 8 doubling rounds -> the round-8 in-loop checkpoint
+    // fires, so BOTH checkpoint lifecycles are exercised
+    val chain = (0L to 200L).map(i => i -> (if (i == 0) None else Some(i - 1)))
+    def persisted: Set[Int] =
+      spark.sparkContext.getPersistentRDDs.keySet.toSet
+    val before = persisted
+    val scoped = Hierarchy.closureScoped(nodes(chain: _*))
+    assert(scoped.df.count() == 201)
+    val held = persisted -- before
+    // everything the loop pinned is gone except the RESULT's own
+    // checkpoint (localCheckpoint registers exactly one persisted RDD)
+    assert(held.size == 1,
+      s"loop left ${held.size} persisted RDDs behind (want 1: the result)")
+    scoped.release()
+    assert((persisted -- before).isEmpty,
+      "Scoped.release did not free the result's checkpoint blocks")
+  }
 }

@@ -43,6 +43,20 @@ class PrepQSpec extends SparkSpec {
     }
   }
 
+  test("q53: loop caches are fully released (no per-round cache leak)") {
+    // the round label frame is a projection over the cached frame —
+    // retiring must unpersist the PINNED frame, or every round leaks
+    // (the Hierarchy.closure lesson); assert via the persistent-RDD
+    // registry, which both caches and localCheckpoints register in
+    val before = spark.sparkContext.getPersistentRDDs.keySet.toSet
+    val out = PrepQ.q53(spark, sf)
+    assert(out.count() > 0)
+    val held = spark.sparkContext.getPersistentRDDs.keySet.toSet -- before
+    // only the result's own localCheckpoint may remain pinned
+    assert(held.size <= 1,
+      s"q53 left ${held.size} persisted RDDs behind (want <= 1: the result)")
+  }
+
   test("q53: reliable-checkpoint path writes the dir and returns identical components") {
     val ckpt = java.nio.file.Files.createTempDirectory("graft-q53-ckpt").toString
     val reliable = PrepQ.q53(spark, sf, checkpointDir = Some(ckpt))

@@ -159,4 +159,44 @@ class SearchSpec extends SparkSpec {
     }
     spark.sql(s"DROP TABLE IF EXISTS $table")
   }
+
+  test("index freshness: recorded version serves; mismatch and unrecorded refuse; None skips") {
+    val d = docs(1L -> "alpha beta", 2L -> "beta gamma")
+    val table = "graft_searchspec_versioned"
+    Search.buildIndex(d, table, 4, corpusVersion = Some("snap-v7"))
+    try {
+      assert(Search.indexVersion(spark, table).contains("snap-v7"))
+      // matching expectation serves normally (both faces)
+      assert(Search.phraseIndexed(spark, table, Seq("beta"),
+        expectCorpusVersion = Some("snap-v7")).count() == 2)
+      assert(Search.rankedIndexed(spark, table, Seq("beta"), 2L,
+        queries.SearchQ.IdfScale, 10,
+        expectCorpusVersion = Some("snap-v7")).count() == 2)
+      // a stale index refuses loudly, naming both versions
+      val e = intercept[IllegalArgumentException] {
+        Search.phraseIndexed(spark, table, Seq("beta"),
+          expectCorpusVersion = Some("snap-v8"))
+      }
+      assert(e.getMessage.contains("snap-v7") && e.getMessage.contains("snap-v8"),
+        e.getMessage)
+      val er = intercept[IllegalArgumentException] {
+        Search.rankedIndexed(spark, table, Seq("beta"), 2L,
+          queries.SearchQ.IdfScale, 10, expectCorpusVersion = Some("snap-v8"))
+      }
+      assert(er.getMessage.contains("rebuild"), er.getMessage)
+    } finally spark.sql(s"DROP TABLE IF EXISTS $table")
+    // an UNVERSIONED index refuses a versioned expectation (cannot be
+    // verified -> treated as stale), but serves with no expectation
+    val t2 = "graft_searchspec_unversioned"
+    Search.buildIndex(d, t2, 4)
+    try {
+      assert(Search.indexVersion(spark, t2).isEmpty)
+      assert(Search.phraseIndexed(spark, t2, Seq("beta")).count() == 2)
+      val e2 = intercept[IllegalArgumentException] {
+        Search.phraseIndexed(spark, t2, Seq("beta"),
+          expectCorpusVersion = Some("snap-v7"))
+      }
+      assert(e2.getMessage.contains("<unrecorded>"), e2.getMessage)
+    } finally spark.sql(s"DROP TABLE IF EXISTS $t2")
+  }
 }
