@@ -16,10 +16,18 @@ import org.apache.spark.sql.functions._
   * 10 copies, copy 0 verbatim, copies 1–9 TOKEN-SALTED (every token
   * suffixed with the copy tag) so their shingles/windows are disjoint
   * from every other copy — per-bucket densities match the original
-  * corpus and volume scales exactly 10× — except every 20th doc,
-  * which keeps its text plus one appended token: a ~5% cross-copy
-  * NEAR-dup slice, so detection work (not just hashing work) scales
-  * too. Written once under the target dir; reruns reuse it.
+  * corpus and volume scales exactly 10× — except a ~5% cross-copy
+  * NEAR-dup slice (every 20th doc), each member of which keeps its
+  * text (plus one appended token) in exactly ONE salted copy, chosen
+  * round-robin by id: the doc forms one (copy 0, copy k) near-dup
+  * PAIR, so true pair count — and with it candidate volume and
+  * detection work — scales LINEARLY with the corpus. (The first cut
+  * of this generator left the slice unsalted in ALL NINE copies:
+  * 10-doc cliques, O(c²)=45 true pairs each, and the candidate ratio
+  * read 54× for 10× docs — a super-linear line that was the CORPUS
+  * being quadratic, not the operator; a scale corpus must grow its
+  * duplicate structure linearly or the telemetry it exists for is
+  * unreadable.) Written once under the target dir; reruns reuse it.
   *
   * Output: one self-contained JSON line per scale with per-query
   * seconds + output rows, a candidates line (q31 LSH admissions, q96
@@ -45,7 +53,11 @@ object ScaleCheck {
           transform(split(coalesce(col("text"), lit("")), "\\s+"),
             t => concat(t, lit(s"x$k"))), " ")
         val nearDup = concat(coalesce(col("text"), lit("")), lit(s" tag$k"))
-        val text = when(pmod(col("doc_id"), lit(20)) === 0, nearDup)
+        // the slice doc stays unsalted in exactly ONE copy (round-robin
+        // by id) — a (copy 0, copy k) PAIR, never a 10-doc clique
+        val text = when(pmod(col("doc_id"), lit(20)) === 0 &&
+            pmod(col("doc_id").divide(lit(20)).cast("long"), lit(9)) === (k - 1),
+            nearDup)
           .otherwise(salted)
         d.select((col("doc_id") + k * 100000000L).as("doc_id"),
           text.as("text"), col("lang"), col("source"),

@@ -128,6 +128,16 @@ object PrepQ {
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .cache()
+    // materialize the LSH candidate stage under the session's own AQE
+    // setting (skew splitting and broadcast conversion genuinely help
+    // that join pipeline), THEN scope AQE off for the propagation
+    // loop — the Hierarchy.closure rationale: adaptive execution
+    // stages every exchange with a driver round trip and re-opt, per
+    // round, over a loop whose co-keyed partitioning is static
+    edges.count()
+    val AqeKey = "spark.sql.adaptive.enabled"
+    val prevAqe = s.conf.get(AqeKey, "true")
+    s.conf.set(AqeKey, "false")
     // `pinned` is the frame ACTUALLY cached each round; `labels` may
     // be a projection over it — Dataset.unpersist only uncaches an
     // exact plan match, so retiring the projection would silently
@@ -187,7 +197,7 @@ object PrepQ {
         .select(col("node").as("doc_id"), col("lbl").as("component"),
           (col("node") === col("lbl")).cast("bigint").as("is_canonical"))
         .orderBy(col("doc_id"))
-    } finally { edges.unpersist(); () }
+    } finally { s.conf.set(AqeKey, prevAqe); edges.unpersist(); () }
   }
 
   /** DuckDB mirror of q53: the q31 candidate chain, then a recursive
