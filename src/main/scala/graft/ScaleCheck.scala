@@ -41,10 +41,30 @@ object ScaleCheck {
     "q31_dedup_minhash", "q33_ngram_jaccard", "q53_neardup_components",
     "q74_substr_spans", "q95_substr_refine", "q96_simjoin")
 
-  /** Deterministic 10× documents table at `$dst/documents.parquet`. */
+  /** Generator version, stamped beside the corpus: a cached dir from
+    * an OLDER generator (e.g. the clique-structured v1) must be
+    * regenerated, not silently reused — stale duplicate structure
+    * makes every ratio below unreadable. Bump on any semantic change
+    * to [[buildSf1]].
+    */
+  val CorpusGen = 2
+
+  /** Deterministic 10× documents table at `$dst/documents.parquet`.
+    * Reused across runs only when its `_gen` marker matches
+    * [[CorpusGen]]; otherwise rebuilt from scratch.
+    */
   def buildSf1(spark: SparkSession, src: String, dst: String): Unit = {
     val out = new java.io.File(s"$dst/documents.parquet")
-    if (out.exists()) return
+    val marker = new java.io.File(s"$dst/_gen")
+    val current = marker.exists() &&
+      scala.io.Source.fromFile(marker).mkString.trim == CorpusGen.toString
+    if (out.exists() && current) return
+    if (out.exists()) {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(out)
+    }
     val d = spark.read.parquet(s"$src/documents.parquet")
     val copies = (0 until 10).map { k =>
       if (k == 0) d
@@ -66,6 +86,8 @@ object ScaleCheck {
     }
     copies.reduce(_ unionByName _)
       .write.mode(SaveMode.Overwrite).parquet(s"$dst/documents.parquet")
+    val w = new java.io.PrintWriter(marker, "UTF-8")
+    try w.print(CorpusGen) finally w.close()
   }
 
   private def d3(x: Double): String =

@@ -95,21 +95,14 @@ object Hierarchy {
                     maxRounds: Int = 64,
                     loopAqe: Boolean = false): Scoped = {
     require(maxRounds >= 1, s"maxRounds must be >= 1, got $maxRounds")
-    // AQE is scoped OFF for the loop by default: adaptive execution
-    // materializes every exchange as its own query stage and
-    // re-optimizes between them — a driver round trip per exchange,
-    // per round, bought for nothing here (the loop's co-keyed
-    // partitioning is static and the per-round frames don't change
-    // shape). Measured 3.7× on the sf0.01 oracle face. The conf is a
-    // SESSION conf, restored in the finally: a concurrent query
-    // STARTED during the loop window runs without AQE — a perf
-    // wobble, never a correctness one. Pass loopAqe = true to keep
-    // AQE (e.g. for skew-join splitting on a celebrity-parent
-    // hierarchy, where one anc key holds a large share of the rows).
-    val sess = nodes.sparkSession
-    val AqeKey = "spark.sql.adaptive.enabled"
-    val prevAqe = sess.conf.get(AqeKey, "true")
-    if (!loopAqe) sess.conf.set(AqeKey, "false")
+    // AQE is scoped OFF for the loop by default ([[graft.util
+    // .AqeScope]] has the full rationale — per-exchange stage
+    // re-planning costs a driver round trip per round over a static
+    // co-keyed partitioning; measured 3.7× on the sf0.01 oracle
+    // face). Pass loopAqe = true to keep AQE (e.g. for skew-join
+    // splitting on a celebrity-parent hierarchy, where one anc key
+    // holds a large share of the rows).
+    graft.util.AqeScope.off(nodes.sparkSession, keepAqe = loopAqe) {
     // roots point at themselves with depth 0: the doubling join is
     // then TOTAL (a settled node joins the root's self-row and adds
     // 0) — no null arms, and "moved" is simply "joined a row that
@@ -165,13 +158,15 @@ object Hierarchy {
         } else next.cache()
         // convergence is OBSERVED every 2nd round only (plus round 1,
         // which the row-conservation check and the degenerate inputs —
-        // all-roots, empty — need): each observation is a full Spark
-        // action, and at log₂(depth) total rounds, checking every
-        // round costs as many jobs as the doubling itself. The price
-        // is at most ONE overshoot round past convergence — the same
-        // order as the one observation round a per-round check already
-        // pays.
-        val checked = round == 1 || round % 2 == 0
+        // all-roots, empty — need, and the FINAL in-budget round: an
+        // acyclic input converging exactly at an odd maxRounds must be
+        // observed there, or the budget check would mis-report it as a
+        // cycle): each observation is a full Spark action, and at
+        // log₂(depth) total rounds, checking every round costs as
+        // many jobs as the doubling itself. The price is at most ONE
+        // overshoot round past convergence — the same order as the
+        // one observation round a per-round check already pays.
+        val checked = round == 1 || round % 2 == 0 || round == maxRounds
         pending += pinned
         pinned = ck
         st = ck.drop("_moved")
@@ -202,7 +197,6 @@ object Hierarchy {
         .localCheckpoint(true)
       Scoped(out, checkpointRdd(out))
     } finally {
-      if (!loopAqe) sess.conf.set(AqeKey, prevAqe)
       // out (when reached) is already materialized, so every loop
       // resource — pending rounds, the final round's cache AND the
       // last in-loop checkpoint — is releasable here, on success or
@@ -211,6 +205,7 @@ object Hierarchy {
       pinned.unpersist()
       liveCkRdd.foreach(_.unpersist())
       ()
+    }
     }
   }
 }

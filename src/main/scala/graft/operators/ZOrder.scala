@@ -94,11 +94,15 @@ object ZOrder {
 
   /** The DuckDB mirror of [[checked]] — same bounds, same loud raise
     * (`error()`), so both engine faces agree on the whole domain
-    * INCLUDING the rejection of values outside it.
+    * INCLUDING the rejection of values outside it. Shaped as a
+    * BIGINT 0 (in-domain) that [[zkeySql]] ORs into the spread —
+    * the OR is an identity, so the guard text appears and evaluates
+    * ONCE per side (wrapping the spread INPUT instead would be
+    * duplicated 2⁵ = 32 times by the doubling fold's interpolation).
     */
-  private def checkedSql(v: String, side: String, bound: Long): String =
+  private def guardSql(v: String, side: String, bound: Long): String =
     s"(CASE WHEN CAST($v AS BIGINT) BETWEEN 0 AND ${bound - 1} " +
-      s"THEN CAST($v AS BIGINT) ELSE CAST(error(" +
+      s"THEN CAST(0 AS BIGINT) ELSE CAST(error(" +
       s"'zorder: $side value out of [0, $bound): ' || CAST($v AS VARCHAR)" +
       s") AS BIGINT) END)"
 
@@ -117,8 +121,8 @@ object ZOrder {
     * agree everywhere (same key in-domain, same raise out).
     */
   def zkeySql(a: String, b: String): String =
-    s"(${spreadSql(checkedSql(a, "a", BoundA))} | " +
-      s"(${spreadSql(checkedSql(b, "b", BoundB))} << 1))"
+    s"((${guardSql(a, "a", BoundA)} | ${spreadSql(a)}) | " +
+      s"((${guardSql(b, "b", BoundB)} | ${spreadSql(b)}) << 1))"
 
   /** Write-time layout: range-partition on the Morton key into
     * `numFiles` output partitions and sort within each, so per-file

@@ -641,16 +641,17 @@ object CorpusPrep {
         // recorded Arrays.hashCode(md5) (a 32-bit id) — a replayed
         // run() over such a snapshot must still be recognized as
         // applied, or the upgrade itself would double-count this
-        // corpus. The legacy probe inherits the legacy scheme's
-        // 2^-32 collision odds; NEW folds always record the 64-bit id.
-        val legacyId = java.util.Arrays.hashCode(md5).toLong
-        if (StatsMaintain.appliedBatches(docs.sparkSession, sp)
-              .contains(legacyId)) true
-        else StatsMaintain.maintainBatch(docs.sparkSession, sp,
+        // corpus. The legacy id is checked by the maintainer ITSELF
+        // (under its lock, after crash recovery — a probe out here
+        // would miss a mid-swap-retired ledger and race concurrent
+        // maintainers); it inherits the legacy scheme's 2^-32
+        // collision odds, and new folds always record the 64-bit id.
+        StatsMaintain.maintainBatch(docs.sparkSession, sp,
           out.select(col("source"), col("lang_detected").as("lang"),
             nTok.as("n_tokens")),
           corpusStatsSpec,
-          batchId = java.nio.ByteBuffer.wrap(md5).getLong).isEmpty
+          batchId = java.nio.ByteBuffer.wrap(md5).getLong,
+          legacyBatchIds = Set(java.util.Arrays.hashCode(md5).toLong)).isEmpty
       }
       val afterSample = out.count()
       val seenCol = m.prior

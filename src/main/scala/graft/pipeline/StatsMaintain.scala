@@ -234,10 +234,20 @@ object StatsMaintain {
     * after publish) has a real double-apply window this design
     * closes. Returns None when the ledger says the batch already
     * applied (no job runs).
+    *
+    * `legacyBatchIds`: ADDITIONAL ids that mean "this batch already
+    * applied" — for ledgers written under a superseded id scheme
+    * (CorpusPrep's pre-widening 32-bit ids). They are checked against
+    * the ledger INSIDE the maintainer lock, after crash recovery —
+    * a caller-side pre-probe would read the ledger without recovery
+    * (a mid-swap crash leaves it under the retired directory → probe
+    * misses → double count) and outside the single-writer exclusion.
+    * Only `batchId` is ever RECORDED; legacy ids are read-only.
     */
   def maintainBatch(spark: SparkSession, targetPath: String, batch: DataFrame,
-                    spec: Spec, batchId: Long): Option[Stats] =
-    maintainImpl(spark, targetPath, batch, spec, Some(batchId))
+                    spec: Spec, batchId: Long,
+                    legacyBatchIds: Set[Long] = Set.empty): Option[Stats] =
+    maintainImpl(spark, targetPath, batch, spec, Some(batchId), legacyBatchIds)
 
   private def appliedFile(dir: String) =
     new Path(dir, "_applied")
@@ -257,7 +267,9 @@ object StatsMaintain {
 
   private def maintainImpl(spark: SparkSession, targetPath: String,
                            batch: DataFrame, spec: Spec,
-                           batchId: Option[Long]): Option[Stats] = {
+                           batchId: Option[Long],
+                           legacyBatchIds: Set[Long] = Set.empty)
+      : Option[Stats] = {
     val fs = new Path(targetPath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     // the lock spans the WHOLE read-merge-write cycle, not just the
@@ -272,7 +284,8 @@ object StatsMaintain {
       // recorded, or the replay double-applies them
       val applied =
         if (exists) appliedBatches(spark, targetPath) else Set.empty[Long]
-      if (batchId.exists(applied.contains)) None
+      if (batchId.exists(applied.contains) ||
+          legacyBatchIds.exists(applied.contains)) None
       else {
         // delta is group-count-sized: cache it so the batch (the
         // corpus-sized side) is scanned exactly ONCE — batchRows reads

@@ -4,6 +4,7 @@ import graft.Tables
 import graft.functions.TextOps._
 import graft.functions.expressions.TextExprs
 import graft.operators.NearDup
+import graft.util.AqeScope
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -131,13 +132,9 @@ object PrepQ {
     // materialize the LSH candidate stage under the session's own AQE
     // setting (skew splitting and broadcast conversion genuinely help
     // that join pipeline), THEN scope AQE off for the propagation
-    // loop — the Hierarchy.closure rationale: adaptive execution
-    // stages every exchange with a driver round trip and re-opt, per
-    // round, over a loop whose co-keyed partitioning is static
+    // loop ([[graft.util.AqeScope]] — the Hierarchy.closure rationale)
     edges.count()
-    val AqeKey = "spark.sql.adaptive.enabled"
-    val prevAqe = s.conf.get(AqeKey, "true")
-    s.conf.set(AqeKey, "false")
+    try AqeScope.off(s) {
     // `pinned` is the frame ACTUALLY cached each round; `labels` may
     // be a projection over it — Dataset.unpersist only uncaches an
     // exact plan match, so retiring the projection would silently
@@ -192,12 +189,15 @@ object PrepQ {
           labels.checkpoint(true)
         case None => labels.localCheckpoint(true)
       }
-      pinned.unpersist()
       finalLabels
         .select(col("node").as("doc_id"), col("lbl").as("component"),
           (col("node") === col("lbl")).cast("bigint").as("is_canonical"))
         .orderBy(col("doc_id"))
-    } finally { s.conf.set(AqeKey, prevAqe); edges.unpersist(); () }
+    // the CURRENT round's cache is released on BOTH paths — a
+    // mid-loop failure (non-convergence, task error) must not leak
+    // the last pinned frame into the session
+    } finally { pinned.unpersist(); () }
+    } finally { edges.unpersist(); () }
   }
 
   /** DuckDB mirror of q53: the q31 candidate chain, then a recursive

@@ -70,7 +70,17 @@ object Streams {
 
   final case class BlockedDoc(
       blk: Int, bval: Long, doc_id: Long, ts: Timestamp, sim: Long)
-  final case class BlockState(ids: List[Long], sims: List[Long], total: Long)
+  /** Per-bucket state: bounded FIFO of (id, sim), plus the census —
+    * `total` arrivals since `winStartMs` (the current census window's
+    * first event time). STATE SCHEMA NOTE: this schema changed in the
+    * TTL/overfull rework (`total`/`winStartMs` added, input gained an
+    * event-time column) — a streaming query checkpointed under the
+    * old schema cannot restart against this build; reset the
+    * checkpoint (the state is a bounded recent-docs cache, not
+    * history — a reset loses at most one bucket-FIFO of lookback).
+    */
+  final case class BlockState(ids: List[Long], sims: List[Long],
+                              total: Long, winStartMs: Long)
   final case class NearDup(doc_a: Long, doc_b: Long, hamming: Int)
 
   /** Continuous SimHash near-dup detection: each incoming document's
@@ -83,16 +93,25 @@ object Streams {
     * dedup) collapse duplicates.
     *
     * TOTAL state is bounded by construction, on both axes:
-    *  - per bucket: once a bucket's lifetime arrivals exceed `cap` it
-    *    is OVERFULL — exactly the batch q32 cap-1000 skip (a
-    *    degenerate block value, e.g. boilerplate, would otherwise go
-    *    quadratic); the bucket stops producing detections and its FIFO
-    *    is shed down to a counter. One-pass divergence from batch,
-    *    stated: detections emitted BEFORE the bucket overflowed are
-    *    not retracted, where batch (which sees the final bucket size
-    *    up front) would have skipped the whole bucket. Real dups still
-    *    collide on their other, non-degenerate blocks — batch's own
-    *    argument. Default `cap` matches batch q32's 1000.
+    *  - per bucket: once a bucket's arrivals WITHIN THE CURRENT CENSUS
+    *    WINDOW exceed `cap` it is OVERFULL — the batch q32 cap-1000
+    *    skip (a degenerate block value, e.g. boilerplate, would
+    *    otherwise go quadratic); the bucket stops producing
+    *    detections and its FIFO is shed down to a counter. Batch's
+    *    census is per CORPUS; an indefinite stream's analogue is one
+    *    `stateTtlMs` horizon of event time — the census count resets
+    *    each horizon (the FIFO, always ≤ cap, is kept), so a bucket
+    *    that was hot recovers instead of staying overfull forever on
+    *    a LIFETIME count (which would silently decay all detection to
+    *    zero as every warm bucket eventually crossed cap). One-pass
+    *    divergences from batch, stated: detections emitted BEFORE the
+    *    overflow are not retracted (batch sees the final bucket size
+    *    up front), and the first post-reset arrival re-seeds an empty
+    *    FIFO after an overfull window. Real dups still collide on
+    *    their other, non-degenerate blocks — batch's own argument.
+    *    Default `cap` matches batch q32's 1000. With `stateTtlMs =
+    *    None` the census never resets (lifetime count — bounded
+    *    replays only).
     *  - bucket COUNT: `stateTtlMs` event-time eviction (the
     *    lineBoilerplateFilter pattern — keyed off the watermark, so
     *    replays evict identically): a bucket with no arrival for the
@@ -139,15 +158,22 @@ object Streams {
             state.remove()
             Iterator.empty
           } else {
-            var st = state.getOption.getOrElse(BlockState(Nil, Nil, 0L))
+            var st = state.getOption
+              .getOrElse(BlockState(Nil, Nil, 0L, Long.MinValue))
             val out = scala.collection.mutable.ListBuffer.empty[NearDup]
             var maxTsMs = Long.MinValue
             ds.foreach { d =>
-              maxTsMs = math.max(maxTsMs, d.ts.getTime)
+              val tsMs = d.ts.getTime
+              maxTsMs = math.max(maxTsMs, tsMs)
+              // census-window roll: one TTL horizon of event time is
+              // this stream's "corpus" for the overfull verdict
+              if (st.winStartMs == Long.MinValue ||
+                  stateTtlMs.exists(t => tsMs >= st.winStartMs + t))
+                st = BlockState(st.ids, st.sims, 0L, tsMs)
               val total = st.total + 1
               if (total > cap) {
                 // overfull bucket: no detections, shed the FIFO
-                st = BlockState(Nil, Nil, total)
+                st = BlockState(Nil, Nil, total, st.winStartMs)
               } else {
                 val hits = st.ids.iterator.zip(st.sims.iterator)
                   .filter { case (pid, psim) =>
@@ -159,7 +185,10 @@ object Streams {
                     math.max(pid, d.doc_id),
                     java.lang.Long.bitCount(psim ^ d.sim))
                 }
-                st = BlockState(d.doc_id :: st.ids, d.sim :: st.sims, total)
+                // FIFO bounded explicitly: the census count resets
+                // each window, so total alone no longer bounds it
+                st = BlockState((d.doc_id :: st.ids).take(cap),
+                  (d.sim :: st.sims).take(cap), total, st.winStartMs)
               }
             }
             state.update(st)
@@ -188,14 +217,17 @@ object Streams {
     *     bounded output delay in exchange for exactly one row per doc.
     *
     * Bucket state is bounded exactly as in [[nearDupDetections]]: the
-    * batch-mirroring overfull skip (a bucket past `cap` lifetime
-    * arrivals stops flagging — its verdicts from this block become
+    * batch-mirroring overfull skip (a bucket past `cap` arrivals
+    * within the current CENSUS WINDOW — one `stateTtlMs` horizon of
+    * event time — stops flagging: its verdicts from this block become
     * "not dup", matching batch q32 dropping the whole capped bucket —
-    * and sheds its FIFO) plus `stateTtlMs` event-time eviction of
-    * cold buckets (re-armed by every arrival; `None` disables, with
+    * and sheds its FIFO; the census resets each horizon so hot
+    * buckets recover) plus `stateTtlMs` event-time eviction of cold
+    * buckets (re-armed by every arrival; `None` disables both, with
     * bucket-count growth as stated there). So total state is
     * O(live buckets × cap) + O(docs per window) and the filter runs
-    * indefinitely on an unbounded feed.
+    * indefinitely on an unbounded feed. State-schema/checkpoint
+    * compatibility note on [[BlockState]].
     *
     * NOTE (checker): with the TTL on, stage 1 is an event-time-timeout
     * flatMapGroupsWithState feeding the stage-2 stateful aggregation —
@@ -233,25 +265,32 @@ object Streams {
          state: GroupState[BlockState]) =>
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else {
-            var st = state.getOption.getOrElse(BlockState(Nil, Nil, 0L))
+            var st = state.getOption
+              .getOrElse(BlockState(Nil, Nil, 0L, Long.MinValue))
             val out = scala.collection.mutable.ListBuffer.empty[BlockVerdict]
             var maxTsMs = Long.MinValue
             // deterministic intra-batch order: first-by-time wins
             ds.toSeq.sortBy(d => (d._4.getTime, d._3)).foreach { d =>
               val (id, ts, sim) = (d._3, d._4, d._5)
-              maxTsMs = math.max(maxTsMs, ts.getTime)
+              val tsMs = ts.getTime
+              maxTsMs = math.max(maxTsMs, tsMs)
+              // census-window roll — see [[nearDupDetections]]
+              if (st.winStartMs == Long.MinValue ||
+                  stateTtlMs.exists(t => tsMs >= st.winStartMs + t))
+                st = BlockState(st.ids, st.sims, 0L, tsMs)
               val total = st.total + 1
               if (total > cap) {
                 // overfull bucket (batch q32 skip): never flags
                 out += BlockVerdict(id, ts, dup = false)
-                st = BlockState(Nil, Nil, total)
+                st = BlockState(Nil, Nil, total, st.winStartMs)
               } else {
                 val hit = st.ids.iterator.zip(st.sims.iterator).exists {
                   case (pid, psim) =>
                     pid != id && java.lang.Long.bitCount(psim ^ sim) <= maxHamming
                 }
                 out += BlockVerdict(id, ts, hit)
-                st = BlockState(id :: st.ids, sim :: st.sims, total)
+                st = BlockState((id :: st.ids).take(cap),
+                  (sim :: st.sims).take(cap), total, st.winStartMs)
               }
             }
             state.update(st)
@@ -297,7 +336,11 @@ object Streams {
   }
 
   final case class MinDocIn(doc_id: Long, ts: Timestamp, sig: Array[Int])
-  final case class SigState(ids: List[Long], sigs: List[Array[Int]], total: Long)
+  /** [[BlockState]]'s shape for MinHash signatures — same census
+    * semantics, same state-schema/checkpoint compatibility note.
+    */
+  final case class SigState(ids: List[Long], sigs: List[Array[Int]],
+                            total: Long, winStartMs: Long)
   final case class SigVerdict(doc_id: Long, ts: Timestamp, dup: Boolean)
 
   /** Streaming MINHASH near-dup filter — the continuous counterpart
@@ -325,20 +368,25 @@ object Streams {
     * of every qualifying pair regardless of doc_a's own fate).
     *
     * Bucket state is bounded on both axes, mirroring batch where a
-    * one-pass stream can: a bucket past `cap` LIFETIME arrivals is
-    * overfull — it stops flagging (this band's verdicts become "not
-    * dup", exactly as [[graft.operators.NearDup.scoredCandidates]]
-    * drops a whole > cap bucket; default `cap` matches its 100) and
-    * sheds its signature FIFO down to a counter. One-pass divergence,
-    * stated: verdicts emitted BEFORE the overflow are not retracted,
-    * where batch — seeing the final bucket size up front — would have
-    * skipped the bucket's earlier pairs too; so on a HOT bucket the
-    * stream can flag docs batch would keep, never the reverse, and
-    * real dups still collide on their other bands. Bucket COUNT is
-    * bounded by `stateTtlMs` event-time eviction of cold buckets
+    * one-pass stream can: a bucket past `cap` arrivals within the
+    * current CENSUS WINDOW (one `stateTtlMs` horizon of event time —
+    * batch's census is the corpus; the census resets each horizon so
+    * hot buckets recover instead of decaying to permanent overfull on
+    * a lifetime count) is overfull — it stops flagging (this band's
+    * verdicts become "not dup", exactly as
+    * [[graft.operators.NearDup.scoredCandidates]] drops a whole > cap
+    * bucket; default `cap` matches its 100) and sheds its signature
+    * FIFO down to a counter. One-pass divergence, stated: verdicts
+    * emitted BEFORE the overflow are not retracted, where batch —
+    * seeing the final bucket size up front — would have skipped the
+    * bucket's earlier pairs too; so on a HOT bucket the stream can
+    * flag docs batch would keep, never the reverse, and real dups
+    * still collide on their other bands. Bucket COUNT is bounded by
+    * `stateTtlMs` event-time eviction of cold buckets
     * ([[nearDupDetections]] semantics: every arrival re-arms; `None`
     * disables). Total state: O(live buckets × cap × K) ints +
-    * O(docs per window).
+    * O(docs per window). State-schema/checkpoint compatibility note
+    * on [[BlockState]]/[[SigState]].
     *
     * NOTE (checker): same construction-time fail-fast as
     * [[nearDupFilter]] — the TTL form needs
@@ -379,26 +427,33 @@ object Streams {
          state: GroupState[SigState]) =>
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else {
-            var st = state.getOption.getOrElse(SigState(Nil, Nil, 0L))
+            var st = state.getOption
+              .getOrElse(SigState(Nil, Nil, 0L, Long.MinValue))
             val out = scala.collection.mutable.ListBuffer.empty[SigVerdict]
             var maxTsMs = Long.MinValue
             // deterministic intra-batch order: first-by-time wins (the
             // nearDupFilter convention)
             ds.toSeq.sortBy(d => (d._4.getTime, d._3)).foreach { d =>
               val (id, ts, sig) = (d._3, d._4, d._5)
-              maxTsMs = math.max(maxTsMs, ts.getTime)
+              val tsMs = ts.getTime
+              maxTsMs = math.max(maxTsMs, tsMs)
+              // census-window roll — see [[nearDupDetections]]
+              if (st.winStartMs == Long.MinValue ||
+                  stateTtlMs.exists(t => tsMs >= st.winStartMs + t))
+                st = SigState(st.ids, st.sigs, 0L, tsMs)
               val total = st.total + 1
               if (total > cap) {
                 // overfull bucket (batch scoredCandidates skip)
                 out += SigVerdict(id, ts, dup = false)
-                st = SigState(Nil, Nil, total)
+                st = SigState(Nil, Nil, total, st.winStartMs)
               } else {
                 val hit = st.ids.iterator.zip(st.sigs.iterator).exists {
                   case (pid, psig) =>
                     pid != id && TextExprs.sigAgreeLocal(psig, sig, ND.K) >= minEst
                 }
                 out += SigVerdict(id, ts, hit)
-                st = SigState(id :: st.ids, sig :: st.sigs, total)
+                st = SigState((id :: st.ids).take(cap),
+                  (sig :: st.sigs).take(cap), total, st.winStartMs)
               }
             }
             state.update(st)

@@ -81,6 +81,17 @@ class HierarchySpec extends SparkSpec {
       "closure leaked its init cache entry")
   }
 
+  test("odd maxRounds: convergence landing exactly on the final in-budget round is observed, not mis-reported as a cycle") {
+    // depth-16 chain: settles at round 4, moved==0 first observable at
+    // round 5 — with maxRounds = 5 (odd), the every-2nd-round schedule
+    // must force a check on the final in-budget round or the budget
+    // guard would throw on a valid acyclic input
+    val chain = (0L to 16L).map(i => i -> (if (i == 0) None else Some(i - 1)))
+    val out = got(Hierarchy.closure(nodes(chain: _*), maxRounds = 5))
+    assert(out == (0L to 16L).map(i => (i, 0L, i)),
+      s"odd-budget closure wrong: ${out.take(5)}...")
+  }
+
   test("checkpoint blocks: intermediates freed in-loop; Scoped.release frees the result's") {
     // depth 200 -> 8 doubling rounds -> the round-8 in-loop checkpoint
     // fires, so BOTH checkpoint lifecycles are exercised

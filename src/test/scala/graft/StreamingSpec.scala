@@ -334,6 +334,45 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   } }
 
+  test("minhashNearDupFilter: the overfull census resets each TTL horizon — a hot bucket recovers") { withLateRowCheckOff {
+    implicit val s = spark
+    import s.implicits._
+    import graft.operators.{NearDup => ND}
+    // cap=2, census horizon 10 min: docs 1-3 overflow the bucket in
+    // window one (doc 3 auto-keeps); doc 4 arrives after the horizon
+    // (12 > 1+10) -> census resets, doc 4 re-seeds the shed FIFO
+    // (kept); doc 5 right after IS flagged again. A LIFETIME count
+    // would leave the bucket overfull forever and doc 5 would slip.
+    val sig = Array.tabulate(ND.K)(i => i * 11 + 3)
+    val input = MemoryStream[Streams.MinDocIn](spark)
+    val q = Streams.minhashNearDupFilter(input.toDS(), minEst = 0.7,
+        cap = 2, watermark = "1 minute", windowLen = "10 minutes",
+        stateTtlMs = Some(10 * 60000L))
+      .writeStream.format("memory").queryName("mh_census")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        Streams.MinDocIn(1, ts(1), sig),
+        Streams.MinDocIn(2, ts(2), sig),
+        Streams.MinDocIn(3, ts(3), sig))
+      q.processAllAvailable()
+      // next horizon: same bucket, before the cold-eviction timer
+      // (armed at 3 + 10 = 13 min) can fire
+      input.addData(
+        Streams.MinDocIn(4, ts(12), sig),
+        Streams.MinDocIn(5, ts(13), sig))
+      q.processAllAvailable()
+      input.addData(Streams.MinDocIn(99, ts(5000), Array.fill(ND.K)(0)))
+      q.processAllAvailable()
+      val out = spark.table("mh_census")
+        .as[(Long, Boolean)].collect().toMap - 99L
+      assert(out.keySet == Set(1L, 2L, 3L, 4L, 5L), s"verdicts: $out")
+      assert(!out(1L) && out(2L) && !out(3L), s"window-one verdicts: $out")
+      assert(!out(4L), s"post-reset re-seed doc flagged: $out")
+      assert(out(5L), s"census did not reset — hot bucket stuck overfull: $out")
+    } finally q.stop()
+  } }
+
   /** lineBoilerplateFilter chains an event-time-timeout fmgws into a
     * windowed aggregation; Spark's STATIC late-row checker flags that
     * shape unconditionally (see the operator's scaladoc for why the
