@@ -124,6 +124,21 @@ object Search {
                  idCol: Column = col("doc_id"),
                  textCol: Column = col("text"),
                  corpusVersion: Option[String] = None): Unit = {
+    val spark = docs.sparkSession
+    // ORPHANED-LOCATION recovery: with the default in-memory catalog,
+    // the catalog dies with the JVM but a managed table's warehouse
+    // directory does not — the next session's create then refuses
+    // with LOCATION_ALREADY_EXISTS. A location the current catalog
+    // has no table for is provably orphaned (nothing can read it
+    // through the catalog), so clear it before the write.
+    if (!spark.catalog.tableExists(table)) {
+      val wh = spark.conf.get("spark.sql.warehouse.dir")
+      val loc = new org.apache.hadoop.fs.Path(
+        new org.apache.hadoop.fs.Path(wh),
+        table.toLowerCase(java.util.Locale.ROOT))
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) { fs.delete(loc, true); () }
+    }
     graft.sources.Bucketed.write(
       postingsFrame(docs, Nil, idCol, textCol), table, "t", buckets)
     corpusVersion.foreach { v =>
