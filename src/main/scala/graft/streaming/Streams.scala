@@ -341,7 +341,87 @@ object Streams {
     */
   final case class SigState(ids: List[Long], sigs: List[Array[Int]],
                             total: Long, winStartMs: Long)
-  final case class SigVerdict(doc_id: Long, ts: Timestamp, dup: Boolean)
+  /** Per-band verdict row with an OPAQUE payload riding along —
+    * null on all but one band row per doc, so a full document
+    * round-trips the verdict stages exactly once (the
+    * [[minhashNearDupDrop]] device); the plain filter face sends
+    * null payloads throughout.
+    */
+  final case class SigVerdictP(doc_id: Long, ts: Timestamp, dup: Boolean,
+                               payload: String)
+
+  /** The ONE per-(band,key)-bucket MinHash verdict kernel both public
+    * faces share ([[minhashNearDupFilter]], [[minhashNearDupDrop]]):
+    * census-bounded overfull skip + TTL eviction exactly as documented
+    * on the filter face. Payload strings pass through untouched.
+    */
+  private def sigBucketVerdicts(
+      banded: Dataset[(Int, Int, Long, Timestamp, Array[Int], String)],
+      minEst: Double, cap: Int, stateTtlMs: Option[Long])(
+      implicit spark: SparkSession): Dataset[SigVerdictP] = {
+    import graft.functions.expressions.TextExprs
+    import graft.operators.{NearDup => ND}
+    import spark.implicits._
+    val timeoutKind = if (stateTtlMs.isDefined)
+      GroupStateTimeout.EventTimeTimeout() else GroupStateTimeout.NoTimeout()
+    banded
+      .groupByKey(d => (d._1, d._2))
+      .flatMapGroupsWithState[SigState, SigVerdictP](
+        OutputMode.Append(), timeoutKind) {
+        (_, ds: Iterator[(Int, Int, Long, Timestamp, Array[Int], String)],
+         state: GroupState[SigState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var st = state.getOption
+              .getOrElse(SigState(Nil, Nil, 0L, Long.MinValue))
+            val out = scala.collection.mutable.ListBuffer.empty[SigVerdictP]
+            var maxTsMs = Long.MinValue
+            // deterministic intra-batch order: first-by-time wins (the
+            // nearDupFilter convention)
+            ds.toSeq.sortBy(d => (d._4.getTime, d._3)).foreach { d =>
+              val (id, ts, sig, pay) = (d._3, d._4, d._5, d._6)
+              val tsMs = ts.getTime
+              maxTsMs = math.max(maxTsMs, tsMs)
+              // census-window roll — see [[nearDupDetections]]
+              if (st.winStartMs == Long.MinValue ||
+                  stateTtlMs.exists(t => tsMs >= st.winStartMs + t))
+                st = SigState(st.ids, st.sigs, 0L, tsMs)
+              val total = st.total + 1
+              if (total > cap) {
+                // overfull bucket (batch scoredCandidates skip)
+                out += SigVerdictP(id, ts, dup = false, pay)
+                st = SigState(Nil, Nil, total, st.winStartMs)
+              } else {
+                val hit = st.ids.iterator.zip(st.sigs.iterator).exists {
+                  case (pid, psig) =>
+                    pid != id && TextExprs.sigAgreeLocal(psig, sig, ND.K) >= minEst
+                }
+                out += SigVerdictP(id, ts, hit, pay)
+                st = SigState((id :: st.ids).take(cap),
+                  (sig :: st.sigs).take(cap), total, st.winStartMs)
+              }
+            }
+            state.update(st)
+            stateTtlMs.foreach(ttl => state.setTimeoutTimestamp(
+              math.max(maxTsMs, state.getCurrentWatermarkMs()) + ttl))
+            out.iterator
+          }
+      }
+  }
+
+  /** The watermarked per-doc collapse both faces share: a doc's B
+    * per-band verdicts fold to one row when the watermark closes its
+    * window — is_dup = any band hit, payload = the one non-null copy.
+    */
+  private def verdictWindowFold(verdicts: Dataset[SigVerdictP],
+                                watermark: String,
+                                windowLen: String): DataFrame =
+    verdicts
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen), col("doc_id"))
+      .agg(max(col("dup")).as("is_dup"),
+        first(col("payload"), ignoreNulls = true).as("payload"))
+      .select(col("doc_id"), col("is_dup"), col("payload"))
 
   /** Streaming MINHASH near-dup filter — the continuous counterpart
     * of the batch `nearDupMinEst` stage ([[graft.operators.NearDup]],
@@ -409,64 +489,104 @@ object Streams {
     import spark.implicits._
     require(minEst >= 0.0 && minEst <= 1.0, s"minEst must be in [0,1]: $minEst")
     requireCheckerOffForTtl(spark, stateTtlMs, "minhashNearDupFilter")
-    val timeoutKind = if (stateTtlMs.isDefined)
-      GroupStateTimeout.EventTimeTimeout() else GroupStateTimeout.NoTimeout()
     // watermark AFTER the fan-out — see [[nearDupDetections]]
     val banded = docs
       .flatMap { d =>
         val keys = TextExprs.bandKeysLocal(d.sig, ND.B, ND.R)
-        keys.indices.map(b => (b, keys(b), d.doc_id, d.ts, d.sig))
-      }.toDF("band", "bkey", "doc_id", "ts", "sig")
+        keys.indices.map(b =>
+          (b, keys(b), d.doc_id, d.ts, d.sig, null: String))
+      }.toDF("band", "bkey", "doc_id", "ts", "sig", "payload")
       .withWatermark("ts", watermark)
-      .as[(Int, Int, Long, Timestamp, Array[Int])]
-    val verdicts = banded
-      .groupByKey(d => (d._1, d._2))
-      .flatMapGroupsWithState[SigState, SigVerdict](
-        OutputMode.Append(), timeoutKind) {
-        (_, ds: Iterator[(Int, Int, Long, Timestamp, Array[Int])],
-         state: GroupState[SigState]) =>
-          if (state.hasTimedOut) { state.remove(); Iterator.empty }
-          else {
-            var st = state.getOption
-              .getOrElse(SigState(Nil, Nil, 0L, Long.MinValue))
-            val out = scala.collection.mutable.ListBuffer.empty[SigVerdict]
-            var maxTsMs = Long.MinValue
-            // deterministic intra-batch order: first-by-time wins (the
-            // nearDupFilter convention)
-            ds.toSeq.sortBy(d => (d._4.getTime, d._3)).foreach { d =>
-              val (id, ts, sig) = (d._3, d._4, d._5)
-              val tsMs = ts.getTime
-              maxTsMs = math.max(maxTsMs, tsMs)
-              // census-window roll — see [[nearDupDetections]]
-              if (st.winStartMs == Long.MinValue ||
-                  stateTtlMs.exists(t => tsMs >= st.winStartMs + t))
-                st = SigState(st.ids, st.sigs, 0L, tsMs)
-              val total = st.total + 1
-              if (total > cap) {
-                // overfull bucket (batch scoredCandidates skip)
-                out += SigVerdict(id, ts, dup = false)
-                st = SigState(Nil, Nil, total, st.winStartMs)
-              } else {
-                val hit = st.ids.iterator.zip(st.sigs.iterator).exists {
-                  case (pid, psig) =>
-                    pid != id && TextExprs.sigAgreeLocal(psig, sig, ND.K) >= minEst
-                }
-                out += SigVerdict(id, ts, hit)
-                st = SigState((id :: st.ids).take(cap),
-                  (sig :: st.sigs).take(cap), total, st.winStartMs)
-              }
-            }
-            state.update(st)
-            stateTtlMs.foreach(ttl => state.setTimeoutTimestamp(
-              math.max(maxTsMs, state.getCurrentWatermarkMs()) + ttl))
-            out.iterator
-          }
-      }
-    verdicts
-      .withWatermark("ts", watermark)
-      .groupBy(window(col("ts"), windowLen), col("doc_id"))
-      .agg(max(col("dup")).as("is_dup"))
+      .as[(Int, Int, Long, Timestamp, Array[Int], String)]
+    verdictWindowFold(
+      sigBucketVerdicts(banded, minEst, cap, stateTtlMs),
+      watermark, windowLen)
       .select(col("doc_id"), col("is_dup"))
+  }
+
+  /** Streaming MinHash near-dup DROP — [[minhashNearDupFilter]]'s
+    * whole-row form and the continuous mirror of the batch
+    * `CorpusPrep` near stage ([[graft.operators.NearDup.dropIds]],
+    * keep-lowest; the stream keeps the first-arriving copy — equal
+    * keep sets when fed in id order, the filter face's spec-pinned
+    * argument): input rows go in, SURVIVING rows come out with their
+    * full schema, finalized once the watermark closes each row's
+    * window.
+    *
+    * The signature is computed in-plan with the batch kernel
+    * (minhashShingleSig over tokens(normText(text)) — no coalesce, so
+    * a null-text doc gets a null signature exactly as batch), and the
+    * whole row rides the verdict stages as ONE opaque JSON payload on
+    * a single band row (never B copies): two exchanges move the
+    * payload once, the other B−1 band rows carry hashes only. A doc
+    * with a NULL signature fans out no band rows — in batch it can
+    * never be a candidate, so here it bypasses the state entirely and
+    * is kept (a synthetic non-dup verdict unions into the fold so the
+    * row still surfaces).
+    *
+    * Default `cap` = 100 = the batch dropIds default. Same checker
+    * fail-fast as the filter face.
+    *
+    * `declareWatermark = false` when the INPUT stream already carries
+    * a watermark on `tsCol` (e.g. corpusPrep's exact-dedup stage
+    * upstream): Spark's watermark propagation rejects a second
+    * declaration over a propagated one as a redefinition, and the
+    * existing tag serves the stage — the band fan-out here is pure
+    * column ops (posexplode of the batch `bandKeys` expression, no
+    * object boundary), precisely so the upstream tag SURVIVES to the
+    * stateful operator's input.
+    */
+  def minhashNearDupDrop(docs: DataFrame, minEst: Double,
+                         cap: Int = 100,
+                         watermark: String = "1 hour",
+                         windowLen: String = "10 minutes",
+                         stateTtlMs: Option[Long] = Some(2L * 3600 * 1000),
+                         idCol: String = "doc_id", tsCol: String = "ts",
+                         textCol: String = "text",
+                         declareWatermark: Boolean = true)(
+      implicit spark: SparkSession): DataFrame = {
+    import graft.functions.TextOps
+    import graft.functions.expressions.TextExprs
+    import graft.operators.{NearDup => ND}
+    import spark.implicits._
+    require(minEst >= 0.0 && minEst <= 1.0, s"minEst must be in [0,1]: $minEst")
+    requireCheckerOffForTtl(spark, stateTtlMs, "minhashNearDupDrop")
+    val schema = docs.schema
+    val base = if (declareWatermark) docs.withWatermark(tsCol, watermark)
+               else docs
+    val prepped = base.select(
+      col(idCol).cast("long").as("_id"), col(tsCol).as("_ts"),
+      // the batch signature expression VERBATIM (NearDup.signatures)
+      TextExprs.minhashShingleSig(
+        TextOps.tokens(TextOps.normText(col(textCol))), 3, ND.K).as("_sig"),
+      to_json(struct(docs.columns.map(col): _*)).as("_pay"))
+    val banded = prepped.filter(col("_sig").isNotNull)
+      .select(col("_id"), col("_ts"), col("_sig"), col("_pay"),
+        posexplode(TextExprs.bandKeys(col("_sig"), ND.B, ND.R))
+          .as(Seq("band", "bkey")))
+      .select(col("band"), col("bkey"), col("_id").as("doc_id"),
+        col("_ts").as("ts"), col("_sig").as("sig"),
+        // payload rides band 0 only — one full-row copy per doc
+        when(col("band") === 0, col("_pay")).as("payload"))
+      .as[(Int, Int, Long, Timestamp, Array[Int], String)]
+    // sig-less docs bypass the bucket state entirely and union in
+    // AFTER the fold as always-kept rows — emitted in their arrival
+    // micro-batch with no window delay. The placement is load-bearing:
+    // unioning them INTO the fold would carry any upstream watermark
+    // (e.g. corpusPrep's dedup watermark) into the fold's own
+    // withWatermark node, which Spark's watermark propagation rejects
+    // as a redefinition (the fMGWS branch is safe — a
+    // flatMapGroupsWithState clears its output watermark).
+    val bypass = prepped.filter(col("_sig").isNull)
+      .select(col("_id").as("doc_id"), lit(false).as("is_dup"),
+        col("_pay").as("payload"))
+    verdictWindowFold(
+      sigBucketVerdicts(banded, minEst, cap, stateTtlMs),
+      watermark, windowLen)
+      .unionByName(bypass)
+      .filter(!col("is_dup"))
+      .select(from_json(col("payload"), schema).as("_r"))
+      .select(col("_r.*"))
   }
 
   // --- streaming line-level boilerplate filter (continuous mirror of batch q59) ---
@@ -812,9 +932,11 @@ object Streams {
     *
     *   optional PII scrub → optional cross-snapshot membership gates
     *   (exact digest, then near-dup band keys) → exact dedup
-    *   (watermarked state) → optional benchmark decontamination
-    *   filter → langId tag + stratified language sample → optional
-    *   source-mix gate → shard assignment,
+    *   (watermarked state) → optional IN-FEED near-dup drop
+    *   ([[minhashNearDupDrop]], the batch `nearDupMinEst` stage's
+    *   continuous mirror in the batch position) → optional benchmark
+    *   decontamination filter → langId tag + stratified language
+    *   sample → optional source-mix gate → shard assignment,
     *
     * so a doc flowing through the stream gets the IDENTICAL keep/drop
     * decisions and (lang_detected, shard) values it would get from
@@ -830,12 +952,17 @@ object Streams {
     *    the watermark: a duplicate arriving later than `watermark`
     *    after its first copy passes through. Bounded state is the
     *    price of running forever.
+    *  - the near-dup stage keeps the FIRST-ARRIVING member of each
+    *    near-dup pair (batch keeps the lowest id — equal keep sets in
+    *    id order) and its verdicts finalize per watermark window
+    *    (bounded output delay); with the default state TTL the
+    *    session must disable the static late-row checker (the stage
+    *    fail-fasts with guidance).
     *  - batch-ONLY stages refuse loudly rather than silently
-    *    degrading: near-dup clustering, substring strip, two-pass
-    *    sourceWeights, packing, and sidecar publishing all need a
-    *    global view (or a second pass) no unbounded stream has. Use
-    *    [[nearDupFilter]] as a separate windowed stage, and publish
-    *    snapshots from the batch layer.
+    *    degrading: substring strip, two-pass sourceWeights, packing,
+    *    and sidecar publishing all need a global view (or a second
+    *    pass) no unbounded stream has. Publish snapshots from the
+    *    batch layer.
     *
     * Output: the surviving docs with `lang_detected` and `shard`
     * attached — write-ready for a partitioned streaming sink.
@@ -843,10 +970,8 @@ object Streams {
   def corpusPrep(stream: DataFrame, cfg: graft.pipeline.CorpusPrep.Config,
                  benchmark: Option[DataFrame] = None,
                  tsCol: String = "ts",
-                 watermark: String = "1 hour"): DataFrame = {
-    require(cfg.nearDupMinEst.isEmpty,
-      "near-dup clustering is batch-only: chain Streams.nearDupFilter " +
-        "as its own windowed stage instead")
+                 watermark: String = "1 hour",
+                 nearWindowLen: String = "10 minutes"): DataFrame = {
     require(cfg.substrWindow.isEmpty,
       "substring strip is batch-only: span localization needs the " +
         "whole corpus's anchor table")
@@ -889,10 +1014,26 @@ object Streams {
       .map(p => graft.operators.SnapshotBands.load(spark, p))
       .fold(gated)(bf => nearSnapshotGate(gated, bf))
     val deduped = dedupExact(nearGated, tsCol = tsCol, watermark = watermark)
+    // IN-FEED near-dup drop (when configured) — the batch position
+    // exactly: between exact dedup and decontamination, the same
+    // kernel ([[minhashNearDupDrop]] mirrors NearDup.dropIds with
+    // the filter face's keep-first/keep-lowest correspondence and
+    // batch's cap). Verdicts finalize when the watermark closes each
+    // doc's window, so this stage adds bounded output delay; with
+    // the default TTL it also needs the late-row checker off
+    // ([[lineBoilerplateFilter]]'s analysis — the stage fail-fasts
+    // with guidance otherwise).
+    val nearDropped = cfg.nearDupMinEst.fold(deduped)(minEst =>
+      // declareWatermark = false: the dedup stage's watermark on
+      // tsCol propagates here, and a second declaration would be a
+      // disallowed redefinition
+      minhashNearDupDrop(deduped, minEst, watermark = watermark,
+        windowLen = nearWindowLen, tsCol = tsCol,
+        declareWatermark = false)(spark))
     // the benchmark is scrubbed with the SAME chain as the corpus
     // (batch contract: contamination spanning a PII token must still
     // match after both sides are rewritten)
-    val cleaned = benchmark.fold(deduped) { b =>
+    val cleaned = benchmark.fold(nearDropped) { b =>
       val bs = rewrite(b)
       decontaminate(deduped, bs)
         .filter(col("contaminated") === 0L)

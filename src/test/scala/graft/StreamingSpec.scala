@@ -334,6 +334,59 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   } }
 
+  test("corpusPrep: the in-feed near-dup stage reproduces batch nearDupMinEst's keep set (incl. null-sig bypass)") { withLateRowCheckOff {
+    implicit val s = spark
+    import s.implicits._
+    // the minhash parity fixture: originals + near-copies at HIGHER
+    // ids (batch keep-lowest == streaming first-seen in id order),
+    // plus a null-text doc — null signature in BOTH engines: batch
+    // can never candidate it, streaming must bypass the bucket state
+    // and still emit the row
+    val originals = (1L to 10L).map(i =>
+      (i, s"paragraph $i about topic$i with shared words alpha beta " +
+        s"gamma delta token$i epsilon zeta eta theta iota kappa lambda$i",
+        "srcA"))
+    val rows = originals ++ Seq(
+      (11L, originals(0)._2 + " tail", "srcA"),
+      (12L, originals(1)._2 + " extra", "srcB"),
+      (13L, "entirely different content on another unrelated subject here",
+        "srcB"),
+      (14L, null: String, "srcA"))
+    val df = rows.toDF("doc_id", "text", "source")
+    val minEst = 0.7
+    val cfg = graft.pipeline.CorpusPrep.Config(
+      langRates = Map.empty, defaultRate = 1.0, nShards = 4,
+      nearDupMinEst = Some(minEst))
+    // batch mirror: texts are pairwise distinct so exact dedup is a
+    // no-op; the near stage is NearDup.dropIds keep-lowest
+    val batchDrops = graft.operators.NearDup.dropIds(df, minEst)
+      .as[Long].collect().toSet
+    assert(batchDrops.nonEmpty, "fixture drifted: batch found no near-dups")
+    val wantKept = rows.map(_._1).toSet -- batchDrops
+    assert(wantKept.contains(14L), "null-text doc must survive in batch")
+    val input = MemoryStream[(Long, java.sql.Timestamp, String, String)](spark)
+    val out = Streams.corpusPrep(
+      input.toDF().toDF("doc_id", "ts", "text", "source"), cfg)
+    val q = out.writeStream.format("memory").queryName("prep_neardup")
+      .outputMode("append").start()
+    try {
+      val feed = rows.sortBy(_._1).map { case (id, t, src) =>
+        (id, new java.sql.Timestamp(1700000000000L + id * 1000), t, src) }
+      input.addData(feed.take(7): _*)
+      q.processAllAvailable()
+      input.addData(feed.drop(7): _*)
+      q.processAllAvailable()
+      // far-future row to finalize every verdict window
+      input.addData((999L,
+        new java.sql.Timestamp(1700000000000L + 10L * 3600 * 1000),
+        "watermark flush row completely unrelated text", "srcA"))
+      q.processAllAvailable()
+      val got = spark.table("prep_neardup").select("doc_id")
+        .as[Long].collect().toSet - 999L
+      assert(got == wantKept, s"streaming kept $got != batch kept $wantKept")
+    } finally q.stop()
+  } }
+
   test("minhashNearDupFilter: the overfull census resets each TTL horizon — a hot bucket recovers") { withLateRowCheckOff {
     implicit val s = spark
     import s.implicits._
