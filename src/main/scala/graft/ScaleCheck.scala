@@ -40,6 +40,13 @@ object ScaleCheck {
   val Heavy: Seq[String] = Seq(
     "q31_dedup_minhash", "q33_ngram_jaccard", "q53_neardup_components",
     "q74_substr_spans", "q95_substr_refine", "q96_simjoin")
+  // NOT here: q103_closure — its chain injection (parent = id − 1,
+  // roots at id ≡ 0 mod 97) assumes CONTIGUOUS-from-0 doc_ids, and
+  // the salted sf1 copies live at id + k·10⁸, so copy-boundary ids
+  // would reference missing parents and the operator (correctly)
+  // refuses. Its scale shape is argued structurally instead: round
+  // count stays ⌈log₂ depth⌉ (depth ≤ 96 at any SF) and each round
+  // is one co-keyed exchange linear in the node count.
 
   /** Generator version, stamped beside the corpus: a cached dir from
     * an OLDER generator (e.g. the clique-structured v1) must be
