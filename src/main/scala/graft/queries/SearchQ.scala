@@ -120,19 +120,43 @@ object SearchQ {
     * table from another corpus triggers a rebuild instead of serving
     * wrong hits.
     */
-  def q104(s: SparkSession, dir: String): DataFrame = {
+  def q104(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Search.phraseIndexed(s, ensureIndex(s, dir), Phrase,
+      expectCorpusVersion = Some(dir))
+
+  /** q105: q100 served from the SAME persisted index as q104 (one
+    * build serves both query faces — the point of a persisted index)
+    * under q100's own oracle: the ranked path's bucket-pruned scan
+    * and shared `rankedOverPostings` kernel get independent driver
+    * verification too. nDocs is the corpus count rankedIndexed needs
+    * (NOT derivable from postings — an empty doc has none); the
+    * count is footer-cheap.
+    */
+  def q105(s: SparkSession, dir: String): DataFrame = {
+    val t = ensureIndex(s, dir)
+    graft.operators.Search.rankedIndexed(s, t, RankTerms,
+      Tables(s, dir).documents.count(), IdfScale, 100,
+      expectCorpusVersion = Some(dir))
+  }
+
+  /** The q104/q105 shared build-once index table for `dir`: built
+    * when absent or version-stamped for another corpus (the
+    * freshness contract validates every reuse — a stale cached table
+    * triggers a rebuild, never wrong hits).
+    */
+  private def ensureIndex(s: SparkSession, dir: String): String = {
     val table = "graft_q104_postings"
     val fresh = s.catalog.tableExists(table) &&
       graft.operators.Search.indexVersion(s, table).contains(dir)
     if (!fresh)
       graft.operators.Search.buildIndex(Tables(s, dir).documents, table, 8,
         corpusVersion = Some(dir))
-    graft.operators.Search.phraseIndexed(s, table, Phrase,
-      expectCorpusVersion = Some(dir))
+    table
   }
 
   val entries: Seq[Entry] = Seq(
     Entry("q99_phrase_search", q99, Some(q99Sql)),
     Entry("q100_ranked_search", q100, Some(q100Sql)),
-    Entry("q104_phrase_indexed", q104, Some(q99Sql)))
+    Entry("q104_phrase_indexed", q104, Some(q99Sql)),
+    Entry("q105_ranked_indexed", q105, Some(q100Sql)))
 }

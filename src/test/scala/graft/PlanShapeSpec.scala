@@ -493,9 +493,10 @@ class PlanShapeSpec extends SparkSpec {
     // phase is shuffle-free and its probe join is an equi-join);
     // q57/q86: a ONE-ROW broadcast corpus-count attaches via cross join
     // (the lazy alternative to a driver-side count() action)
-    // q100 joins the same one-row corpus count
+    // q100/q105 join the same one-row corpus count (q105 is q100's
+    // scoring kernel over the persisted index — same nDocs device)
     val exempt = Set("q34_embed_cosine_topk", "q57_tfidf_terms",
-      "q86_trigram_backoff", "q100_ranked_search")
+      "q86_trigram_backoff", "q100_ranked_search", "q105_ranked_indexed")
     SparkEntry.all.filterNot(e => exempt(e.name)).foreach { e =>
       val plan = e.run(spark, sf).queryExecution.sparkPlan.toString
       assert(!plan.contains("CartesianProduct"),
