@@ -129,9 +129,20 @@ object Search {
     // the catalog dies with the JVM but a managed table's warehouse
     // directory does not — the next session's create then refuses
     // with LOCATION_ALREADY_EXISTS. A location the current catalog
-    // has no table for is provably orphaned (nothing can read it
-    // through the catalog), so clear it before the write.
-    if (!spark.catalog.tableExists(table)) {
+    // has no table for is orphaned WITHIN THIS SESSION'S VIEW, so
+    // clear it before the write — but ONLY in the layout the path
+    // derivation below is actually correct for: an unqualified name
+    // resolved in the `default` database (<warehouse>/<table>). A
+    // qualified name or a non-default current database would make the
+    // string-derived path point at a DIFFERENT table's data — there
+    // we skip the cleanup and let saveAsTable fail with Spark's own
+    // actionable error instead of deleting on a guess. (Like every
+    // index maintainer here, the build assumes a single writer; a
+    // concurrent JVM sharing the warehouse dir must coordinate
+    // externally.)
+    val cleanableLayout = !table.contains(".") &&
+      spark.catalog.currentDatabase == "default"
+    if (cleanableLayout && !spark.catalog.tableExists(table)) {
       val wh = spark.conf.get("spark.sql.warehouse.dir")
       val loc = new org.apache.hadoop.fs.Path(
         new org.apache.hadoop.fs.Path(wh),

@@ -120,9 +120,11 @@ object SearchQ {
     * table from another corpus triggers a rebuild instead of serving
     * wrong hits.
     */
-  def q104(s: SparkSession, dir: String): DataFrame =
-    graft.operators.Search.phraseIndexed(s, ensureIndex(s, dir), Phrase,
-      expectCorpusVersion = Some(dir))
+  def q104(s: SparkSession, dir: String): DataFrame = {
+    val (t, v) = ensureIndex(s, dir)
+    graft.operators.Search.phraseIndexed(s, t, Phrase,
+      expectCorpusVersion = Some(v))
+  }
 
   /** q105: q100 served from the SAME persisted index as q104 (one
     * build serves both query faces — the point of a persisted index)
@@ -133,25 +135,45 @@ object SearchQ {
     * count is footer-cheap.
     */
   def q105(s: SparkSession, dir: String): DataFrame = {
-    val t = ensureIndex(s, dir)
+    val (t, v) = ensureIndex(s, dir)
     graft.operators.Search.rankedIndexed(s, t, RankTerms,
       Tables(s, dir).documents.count(), IdfScale, 100,
-      expectCorpusVersion = Some(dir))
+      expectCorpusVersion = Some(v))
+  }
+
+  /** CONTENT-derived corpus identity: the path plus an md5 over the
+    * parquet file listing (name, length, mtime). A corpus regenerated
+    * IN PLACE at the same path (the driver regenerates /root/testdata
+    * between rounds) changes the fingerprint, so a cached index built
+    * from the old contents fails the freshness check and rebuilds —
+    * the path alone would pass and silently serve stale postings.
+    */
+  private def corpusVersion(s: SparkSession, dir: String): String = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/documents.parquet")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val listing = fs.listStatus(p)
+      .map(st => s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
+      .sorted.mkString("\n")
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+      .digest(listing.getBytes("UTF-8"))
+    dir + "@" + md5.map("%02x".format(_)).mkString.take(16)
   }
 
   /** The q104/q105 shared build-once index table for `dir`: built
-    * when absent or version-stamped for another corpus (the
-    * freshness contract validates every reuse — a stale cached table
-    * triggers a rebuild, never wrong hits).
+    * when absent or version-stamped for another corpus CONTENT
+    * ([[corpusVersion]] — the freshness contract validates every
+    * reuse; a stale cached table triggers a rebuild, never wrong
+    * hits). Returns (table, version).
     */
-  private def ensureIndex(s: SparkSession, dir: String): String = {
+  private def ensureIndex(s: SparkSession, dir: String): (String, String) = {
     val table = "graft_q104_postings"
+    val v = corpusVersion(s, dir)
     val fresh = s.catalog.tableExists(table) &&
-      graft.operators.Search.indexVersion(s, table).contains(dir)
+      graft.operators.Search.indexVersion(s, table).contains(v)
     if (!fresh)
       graft.operators.Search.buildIndex(Tables(s, dir).documents, table, 8,
-        corpusVersion = Some(dir))
-    table
+        corpusVersion = Some(v))
+    (table, v)
   }
 
   val entries: Seq[Entry] = Seq(

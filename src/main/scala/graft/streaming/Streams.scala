@@ -552,6 +552,14 @@ object Streams {
     require(minEst >= 0.0 && minEst <= 1.0, s"minEst must be in [0,1]: $minEst")
     requireCheckerOffForTtl(spark, stateTtlMs, "minhashNearDupDrop")
     val schema = docs.schema
+    // MICROSECOND timestamp format on BOTH json faces: Spark's JSON
+    // default writes milliseconds, so the default round trip would
+    // silently truncate every TimestampType column of a surviving
+    // row — breaking the "rows come out unchanged" contract for any
+    // feed with sub-millisecond event times
+    val jsonOpts = Map(
+      "timestampFormat" -> "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX",
+      "timestampNTZFormat" -> "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
     val base = if (declareWatermark) docs.withWatermark(tsCol, watermark)
                else docs
     val prepped = base.select(
@@ -559,7 +567,7 @@ object Streams {
       // the batch signature expression VERBATIM (NearDup.signatures)
       TextExprs.minhashShingleSig(
         TextOps.tokens(TextOps.normText(col(textCol))), 3, ND.K).as("_sig"),
-      to_json(struct(docs.columns.map(col): _*)).as("_pay"))
+      to_json(struct(docs.columns.map(col): _*), jsonOpts).as("_pay"))
     val banded = prepped.filter(col("_sig").isNotNull)
       .select(col("_id"), col("_ts"), col("_sig"), col("_pay"),
         posexplode(TextExprs.bandKeys(col("_sig"), ND.B, ND.R))
@@ -585,7 +593,7 @@ object Streams {
       watermark, windowLen)
       .unionByName(bypass)
       .filter(!col("is_dup"))
-      .select(from_json(col("payload"), schema).as("_r"))
+      .select(from_json(col("payload"), schema, jsonOpts).as("_r"))
       .select(col("_r.*"))
   }
 
@@ -1035,7 +1043,7 @@ object Streams {
     // match after both sides are rewritten)
     val cleaned = benchmark.fold(nearDropped) { b =>
       val bs = rewrite(b)
-      decontaminate(deduped, bs)
+      decontaminate(nearDropped, bs)
         .filter(col("contaminated") === 0L)
         .drop("n_overlap", "contaminated")
     }

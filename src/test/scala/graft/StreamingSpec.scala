@@ -357,16 +357,24 @@ class StreamingSpec extends SparkSpec {
     val cfg = graft.pipeline.CorpusPrep.Config(
       langRates = Map.empty, defaultRate = 1.0, nShards = 4,
       nearDupMinEst = Some(minEst))
+    // a benchmark overlapping doc 5's text: decontamination must
+    // compose WITH the near stage (both drop sets removed — the
+    // review-caught bug fed the pre-near frame into decontaminate,
+    // resurrecting every near-dup whenever a benchmark was supplied)
+    val bench = df.filter(col("doc_id") === 5L).select(col("doc_id"), col("text"))
     // batch mirror: texts are pairwise distinct so exact dedup is a
-    // no-op; the near stage is NearDup.dropIds keep-lowest
+    // no-op; the near stage is NearDup.dropIds keep-lowest, then the
+    // contaminated doc is removed too (batch planWith: base − drops −
+    // contaminated)
     val batchDrops = graft.operators.NearDup.dropIds(df, minEst)
       .as[Long].collect().toSet
     assert(batchDrops.nonEmpty, "fixture drifted: batch found no near-dups")
-    val wantKept = rows.map(_._1).toSet -- batchDrops
+    val wantKept = rows.map(_._1).toSet -- batchDrops - 5L
     assert(wantKept.contains(14L), "null-text doc must survive in batch")
     val input = MemoryStream[(Long, java.sql.Timestamp, String, String)](spark)
     val out = Streams.corpusPrep(
-      input.toDF().toDF("doc_id", "ts", "text", "source"), cfg)
+      input.toDF().toDF("doc_id", "ts", "text", "source"), cfg,
+      benchmark = Some(bench))
     val q = out.writeStream.format("memory").queryName("prep_neardup")
       .outputMode("append").start()
     try {
