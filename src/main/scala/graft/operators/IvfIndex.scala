@@ -363,6 +363,63 @@ object IvfIndex {
     } finally { assigned.unpersist(); () }
   }
 
+  /** Remove duplicate vec_ids from the index (and the PQ code sidecar
+    * when present), publishing atomically through the retrain swap
+    * machinery — the repair for a HALF-APPLIED [[append]] (parquet
+    * append is not idempotent; a crashed appender's replay can write
+    * rows twice). Duplicates of a vec_id are byte-identical (same
+    * vector, same frozen-centroid assignment, same codebook encoding),
+    * so keep-any is exact. Returns the number of rows removed.
+    *
+    * Crash-safe like retrain: a failure between the two publish
+    * renames is repaired by the next entry point's recovery; a
+    * failure before the swap leaves the old index untouched (the tmp
+    * tree is wiped on the next attempt).
+    */
+  def dedupeVectors(spark: SparkSession, path: String): Long = {
+    recoverRetrain(spark, path)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new Path(path).getFileSystem(conf)
+    val tmp = path + "._graft_tmp"
+    if (fs.exists(new Path(tmp))) fs.delete(new Path(tmp), true)
+    val idx = spark.read.parquet(s"$path/index")
+    val deduped = idx
+      .select(col("cluster_id"), col("vec_id"), col("embedding"))
+      .dropDuplicates("vec_id")
+      .cache()
+    try {
+      val before = idx.count()
+      val after = deduped.count()
+      deduped.write.mode(SaveMode.Overwrite)
+        .partitionBy("cluster_id").parquet(s"$tmp/index")
+      // everything that is NOT per-vector data copies byte-identical
+      org.apache.hadoop.fs.FileUtil.copy(fs, new Path(s"$path/centroids"),
+        fs, new Path(s"$tmp/centroids"), false, conf)
+      org.apache.hadoop.fs.FileUtil.copy(fs, new Path(s"$path/meta"),
+        fs, new Path(s"$tmp/meta"), false, conf)
+      if (hasPq(spark, path)) {
+        org.apache.hadoop.fs.FileUtil.copy(fs, new Path(s"$path/pq"),
+          fs, new Path(s"$tmp/pq"), false, conf)
+        // the codes ARE per-vector: re-publish them deduped too
+        fs.delete(new Path(s"$tmp/pq/codes"), true)
+        spark.read.parquet(s"$path/pq/codes")
+          .dropDuplicates("vec_id")
+          .write.mode(SaveMode.Overwrite)
+          .partitionBy("cluster_id").parquet(s"$tmp/pq/codes")
+      }
+      val old = new Path(path + "._graft_old")
+      if (fs.exists(old)) fs.delete(old, true)
+      if (!fs.rename(new Path(path), old) ||
+          !fs.rename(new Path(tmp), new Path(path)))
+        throw new java.io.IOException(s"dedupe publish failed for $path")
+      fs.delete(old, true)
+      // the session caches parquet file listings per path — the swap
+      // would otherwise serve the retired file list to the next read
+      spark.catalog.refreshByPath(path)
+      before - after
+    } finally { deduped.unpersist(); () }
+  }
+
   private[graft] def hasPq(spark: SparkSession, path: String): Boolean = {
     val p = new Path(s"$path/pq/codebook")
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)

@@ -1314,4 +1314,86 @@ object Streams {
           batch.sparkSession, targetPath, batch.toDF(), spec, id)
         ()
       }
+
+  // --- continuous ANN index maintenance (streaming IvfIndex.append) ---
+
+  private def ivfPendingPath(path: String): String = s"$path._pending_batch"
+
+  /** One embedding micro-batch appended into a persisted
+    * [[graft.operators.IvfIndex]], EXACTLY-ONCE under the micro-batch
+    * replay contract. The hard part, stated plainly: unlike the merge
+    * sinks (re-merge is a no-op) and the stats sink (in-snapshot
+    * ledger), a parquet APPEND is neither idempotent nor atomically
+    * ledgerable — a crash between the append and the ledger write
+    * leaves rows that a replay would duplicate. So the batch id is
+    * recorded in a PENDING marker before any append:
+    *
+    *  - marker present + id in the ledger → the append completed and
+    *    only the marker-clear was lost: clear it and continue;
+    *  - marker present + id == THIS batch → this is the replay of an
+    *    interrupted append: re-append (rows written by the crashed
+    *    attempt are now duplicated) and then repair with
+    *    [[graft.operators.IvfIndex.dedupeVectors]] (duplicates of a
+    *    vec_id are byte-identical, keep-any is exact — and a crash
+    *    mid-repair just re-enters this same branch, which converges);
+    *  - marker present + a DIFFERENT unledgered id → not this query's
+    *    replay (a skipped batch or foreign writer): refuse loudly
+    *    rather than guess.
+    *
+    * Returns false when the ledger refuses a re-delivered batch (no
+    * job runs).
+    */
+  def applyIvfAppendBatch(batch: DataFrame, batchId: Long,
+                          path: String): Boolean = {
+    val spark = batch.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val pending = new org.apache.hadoop.fs.Path(ivfPendingPath(path))
+    val ledger = batchLedgerPath(path)
+    val applied = readLedger(spark, ledger)
+    var healAfterAppend = false
+    if (fs.exists(pending)) {
+      val in = fs.open(pending)
+      val pid = try scala.io.Source.fromInputStream(in, "UTF-8")
+        .mkString.trim.toLong finally in.close()
+      if (applied.contains(pid)) { fs.delete(pending, false); () }
+      else if (pid == batchId) healAfterAppend = true
+      else throw new IllegalStateException(
+        s"ivf append sink: batch $pid was interrupted mid-append at $path " +
+          "and this is not its replay — run " +
+          "IvfIndex.dedupeVectors(path) and delete " +
+          s"${ivfPendingPath(path)} after confirming no live writer")
+    }
+    if (applied.contains(batchId)) return false
+    val o = fs.create(pending, true)
+    try o.write(batchId.toString.getBytes("UTF-8")) finally o.close()
+    graft.operators.IvfIndex.append(spark, path, batch)
+    if (healAfterAppend) {
+      graft.operators.IvfIndex.dedupeVectors(spark, path)
+      ()
+    }
+    writeLedger(spark, ledger, applied + batchId)
+    fs.delete(pending, false)
+    true
+  }
+
+  /** Continuous ANN-index maintenance: an embedding stream
+    * (vec_id, embedding) appended into a persisted IvfIndex built by
+    * the batch layer, exactly-once per micro-batch
+    * ([[applyIvfAppendBatch]] — marker protocol + self-healing
+    * replay). Appends assign to the FROZEN centroids (the batch
+    * append contract), so recall decays as the corpus drifts — run
+    * [[graft.operators.IvfIndex.retrainIfNeeded]] from the batch
+    * layer on its volume/recall policy; retrain's atomic swap and the
+    * per-batch appends compose through the same crash-recovery
+    * entry points.
+    */
+  def ivfAppendSink(stream: DataFrame, path: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        applyIvfAppendBatch(batch.toDF(), id, path)
+        ()
+      }
 }

@@ -395,6 +395,68 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   } }
 
+  test("ivfAppendSink: streamed embeddings land exactly-once; interrupted appends self-heal on replay; foreign markers refuse") {
+    implicit val s = spark
+    import s.implicits._
+    import graft.operators.IvfIndex
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val nAll = emb.count()
+    val p = java.nio.file.Files.createTempDirectory("graft-ivfsink").toString + "/idx"
+    IvfIndex.build(spark, emb.filter(col("vec_id") < 300), p,
+      k = 8, initRounds = 1, lloydIters = 1)
+    val tailRows = emb.filter(col("vec_id") >= 300)
+      .select(col("vec_id"), col("embedding"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val input = MemoryStream[(Long, Array[Float])](spark)
+    val q = Streams.ivfAppendSink(
+      input.toDF().toDF("vec_id", "embedding"), p).start()
+    try {
+      input.addData(tailRows.take(tailRows.length / 2): _*)
+      q.processAllAvailable()
+      input.addData(tailRows.drop(tailRows.length / 2): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val idx = spark.read.parquet(s"$p/index")
+    assert(idx.count() == nAll, "streamed vectors missing or duplicated")
+    assert(idx.select("vec_id").distinct().count() == nAll)
+    // queries reach the streamed vectors like batch-appended ones
+    assert(IvfIndex.query(spark, p, emb.filter(col("vec_id") < 3),
+      nprobe = 8, topk = 10).count() == 30)
+    // ledger refusal: the stream's batch 0 re-delivered -> no job, no change
+    val replay = tailRows.take(3).toSeq.toDF("vec_id", "embedding")
+    assert(!Streams.applyIvfAppendBatch(replay, 0L, p),
+      "re-delivered batch must be refused")
+    assert(spark.read.parquet(s"$p/index").count() == nAll)
+    // interrupted append: the crashed attempt wrote its rows and its
+    // PENDING marker but no ledger entry — the replay must re-append,
+    // heal the duplicates and ledger the batch
+    val fs = new org.apache.hadoop.fs.Path(p)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val pending = new org.apache.hadoop.fs.Path(p + "._pending_batch")
+    val crashRows = emb.limit(2)
+      .select((col("vec_id") + 10000L).as("vec_id"), col("embedding"))
+    val o = fs.create(pending, true)
+    try o.write("7".getBytes("UTF-8")) finally o.close()
+    IvfIndex.append(spark, p, crashRows) // the crashed attempt's rows
+    assert(Streams.applyIvfAppendBatch(crashRows, 7L, p),
+      "replay of the interrupted batch must apply")
+    spark.catalog.refreshByPath(p)
+    val healed = spark.read.parquet(s"$p/index")
+    assert(healed.count() == nAll + 2,
+      s"self-heal left duplicates: ${healed.count()} rows for ${nAll + 2} vectors")
+    assert(!fs.exists(pending), "marker must clear after a healed apply")
+    // a DIFFERENT unledgered interrupted batch is not ours to guess at
+    val o2 = fs.create(pending, true)
+    try o2.write("99".getBytes("UTF-8")) finally o2.close()
+    val e = intercept[IllegalStateException] {
+      Streams.applyIvfAppendBatch(
+        emb.limit(1).select((col("vec_id") + 20000L).as("vec_id"),
+          col("embedding")), 42L, p)
+    }
+    assert(e.getMessage.contains("dedupeVectors"), e.getMessage)
+    fs.delete(pending, false)
+  }
+
   test("minhashNearDupFilter: the overfull census resets each TTL horizon — a hot bucket recovers") { withLateRowCheckOff {
     implicit val s = spark
     import s.implicits._
