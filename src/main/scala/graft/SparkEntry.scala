@@ -11,6 +11,7 @@ object SparkEntry {
     Core.entries ++ CoreB.entries ++ TextQ.entries ++ VecQ.entries ++
       SketchQ.entries ++ PrepQ.entries ++ LmQ.entries ++ SubstrQ.entries ++
       WebQ.entries ++ LayoutQ.entries ++ SimQ.entries ++ SearchQ.entries ++
+      SubQ.entries ++ QualityQ.entries ++
       Seq(
         Entry("q50_multimodal_meta", graft.multimodal.Multimodal.q50,
           Some(graft.multimodal.Multimodal.q50Sql)),

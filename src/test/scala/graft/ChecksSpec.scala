@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+
+import graft.quality.Checks
+import graft.quality.Checks._
+
+/** Constraint-suite semantics on a fixture with KNOWN violations —
+  * every constraint kind exercised on both its pass and fail side,
+  * plus the one-scan plan pin (the q97 fusion rule applied to
+  * validation). DuckDB value parity of the generated SQL face is
+  * covered by q108's oracle row.
+  */
+class ChecksSpec extends SparkSpec {
+  import spark.implicits._
+
+  // id: unique non-null; cat: one null, small domain; score: one
+  // out-of-range; code: one regex violation + the null (regex audits
+  // non-null only); dupKey: duplicates incl. a NULL pair.
+  private lazy val fixture = Seq(
+    (1L, Some("a"), 10.0, Some("X-1"), Some(7L), "x"),
+    (2L, Some("b"), 20.0, Some("X-2"), Some(7L), "y"),
+    (3L, None, 999.0, Some("bad"), None, "x"),
+    (4L, Some("a"), 30.0, None, None, "y")
+  ).toDF("id", "cat", "score", "code", "dupKey", "seg")
+
+  private def resultMap(suite: Seq[Constraint]) =
+    Checks.report(fixture, suite).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getDouble(2), r.getLong(3)))).toMap
+
+  test("each constraint kind: metric value and verdict on pass and fail sides") {
+    val m = resultMap(Seq(
+      NotNull("id"), NotNull("cat"),
+      Unique(Seq("id")), Unique(Seq("dupKey")),
+      Complete("cat", 0.7), Complete("code", 0.9),
+      InRange("score", 0.0, 100.0), InRange("id", 0.0, 10.0),
+      InSet("cat", Seq("a", "b")), InSet("seg", Seq("x", "y")),
+      MatchesRegex("code", "^X-[0-9]$"), MatchesRegex("cat", "^[ab]$"),
+      DistinctBetween("cat", 1, 2), DistinctBetween("id", 1, 10)))
+    assert(m(("not_null", "id")) == ((0.0, 1L)))
+    assert(m(("not_null", "cat")) == ((1.0, 0L)))
+    assert(m(("unique", "id")) == ((0.0, 1L)))
+    // dupKey: values 7,7,NULL,NULL -> 2 distinct structs, 2 dup rows
+    assert(m(("unique", "dupKey")) == ((2.0, 0L)))
+    assert(m(("complete", "cat")) == ((0.75, 1L)))
+    assert(m(("complete", "code")) == ((0.75, 0L)))
+    assert(m(("in_range", "score")) == ((1.0, 0L)))
+    assert(m(("in_range", "id")) == ((0.0, 1L)))
+    // cat: NULL violates in_set
+    assert(m(("in_set", "cat")) == ((1.0, 0L)))
+    assert(m(("in_set", "seg")) == ((0.0, 1L)))
+    // regex audits non-null only: "bad" fails; the NULL does not count
+    assert(m(("matches_regex", "code")) == ((1.0, 0L)))
+    assert(m(("matches_regex", "cat")) == ((0.0, 1L)))
+    // cat distinct structs: a, b, NULL -> 3 (NULL is a value here)
+    assert(m(("distinct_between", "cat")) == ((3.0, 0L)))
+    assert(m(("distinct_between", "id")) == ((4.0, 1L)))
+  }
+
+  test("rows_between: same metric under two thresholds, suite order kept") {
+    val rows = Checks.report(fixture,
+      Seq(RowsBetween(1, 4), RowsBetween(5, 9))).collect()
+    assert(rows.length == 2)
+    assert(rows(0).getLong(3) == 1L && rows(1).getLong(3) == 0L)
+    assert(rows(0).getDouble(2) == 4.0 && rows(1).getDouble(2) == 4.0)
+  }
+
+  test("suite of any size is ONE scan (metrics fused into one aggregate)") {
+    val df = Checks.report(fixture, Seq(
+      NotNull("id"), Unique(Seq("id")), Complete("cat", 0.5),
+      InRange("score", 0, 1000), InSet("cat", Seq("a", "b")),
+      MatchesRegex("code", "^X"), DistinctBetween("cat", 1, 3),
+      RowsBetween(1, 100)))
+    val plan = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan.toString
+      case p => p.toString
+    }
+    val scans = plan.linesIterator.count(l =>
+      l.contains("LocalTableScan") || l.contains("Scan parquet"))
+    assert(scans == 1, s"expected ONE scan:\n$plan")
+  }
+
+  test("generated SQL face mirrors the suite one arm per constraint") {
+    val sql = Checks.reportSql("orders", Seq(
+      NotNull("o_orderkey"), Unique(Seq("o_orderkey", "o_custkey")),
+      InSet("o_orderstatus", Seq("F", "O'Neil"))))
+    assert(sql.contains("COUNT(DISTINCT ROW(o_orderkey, o_custkey))"))
+    assert(sql.contains("'O''Neil'"), "single quotes must be escaped")
+    assert(sql.linesIterator.count(_.startsWith("UNION ALL")) == 2)
+    assert(sql.contains("FROM orders"))
+  }
+
+  test("empty suite refuses loudly") {
+    intercept[IllegalArgumentException] { Checks.report(fixture, Nil) }
+    intercept[IllegalArgumentException] { Checks.reportSql("t", Nil) }
+  }
+}
