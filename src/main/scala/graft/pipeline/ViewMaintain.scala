@@ -1,0 +1,119 @@
+package graft.pipeline
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Incremental maintenance of a MATERIALIZED JOIN VIEW — the join
+  * analogue of [[StatsMaintain]] (which maintains aggregate views).
+  * The reference's hosted pipelines re-run a load end-to-end per job;
+  * at 100 TB a standing `facts ⋈ dim` view cannot be re-joined for
+  * every delta batch — the view must be repaired from the deltas.
+  *
+  * Contract: the view is the INNER equi-join
+  * `left ⋈ right ON left(leftJoinCol) = right(rightJoinCol)` where
+  *  - `leftKey` uniquely identifies left rows (the view inherits it), and
+  *  - `rightJoinCol` uniquely identifies right rows (a dimension).
+  * Both base tables are snapshot-maintained by the caller (e.g.
+  * [[Merge.upsert]]); [[maintain]] is called AFTER the bases are
+  * updated, with the same delta batches, and repairs only the
+  * affected slice:
+  *
+  *   affected = leftKey ∈ keys(ΔL)  ∪  joinCol ∈ keys(ΔR)
+  *   view' = view − affected  ∪  (left' restricted to affected) ⋈ right'
+  *
+  * Because the recompute reads the CURRENT base snapshots, every
+  * delta shape is handled by the same equation: inserts and updates
+  * land in the recomputed slice; a left row whose join key MOVED
+  * leaves its old view row (dropped by the leftKey filter) and joins
+  * its new dimension; tombstones on either base (Merge `deleteCol`)
+  * need no special casing — a deleted left row is absent from
+  * `left'`, a deleted dimension key inner-joins to nothing — provided
+  * the delta batch still CARRIES the tombstoned keys (Merge batches
+  * do). Replaying the same maintain is idempotent (the recompute is a
+  * pure function of the current bases), so no applied-batch ledger is
+  * needed — unlike additive stats.
+  *
+  * Scale shape: the three delta-key probes are expressed as semi/anti
+  * joins against the distinct delta keys, so Catalyst broadcasts them
+  * when small (the common case: the old view and `left'` are each ONE
+  * scan + broadcast anti/semi probe, no shuffle of either), and falls
+  * back to a key-partitioned join for a giant batch. The recompute
+  * join shuffles only delta-sized data when the slice broadcasts;
+  * `right'` is never materialized beyond its matching keys. Publish
+  * is the shared atomic [[Snapshot]] swap under the single-writer
+  * lock, held over the whole read-repair-publish cycle.
+  */
+object ViewMaintain {
+
+  final case class Spec(
+      leftKey: String, leftJoinCol: String, rightJoinCol: String)
+
+  private def joined(left: DataFrame, right: DataFrame, spec: Spec) = {
+    val overlap = left.columns.toSet intersect right.columns.toSet
+    require(overlap.isEmpty,
+      s"view sides share column name(s) ${overlap.mkString(", ")}: " +
+        "the materialized view would be ambiguous — rename one side")
+    left.join(right, left(spec.leftJoinCol) === right(spec.rightJoinCol))
+  }
+
+  /** Initial full materialization (also the bootstrap path
+    * [[maintain]] takes when the view does not exist yet).
+    */
+  def build(spark: SparkSession, viewPath: String,
+            left: DataFrame, right: DataFrame, spec: Spec): Unit = {
+    val fs = new Path(viewPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Snapshot.withMaintainerLock(fs, viewPath) { lease =>
+      val exists = Snapshot.recoverAndExists(fs, viewPath, lease)
+      Snapshot.publish(fs, viewPath, exists, joined(left, right, spec), lease)
+    }
+    // the swap replaced the directory contents: drop any cached file
+    // listing so the next read (often this maintainer's own) sees the
+    // new snapshot, not a retired listing
+    spark.catalog.refreshByPath(viewPath)
+  }
+
+  /** Repair the view after `leftDelta`/`rightDelta` were applied to
+    * the base snapshots. Either delta may be empty. The deltas only
+    * contribute their KEY columns here — payloads are read from the
+    * current bases, which is what makes replay idempotent.
+    */
+  def maintain(spark: SparkSession, viewPath: String,
+               left: DataFrame, right: DataFrame,
+               leftDelta: DataFrame, rightDelta: DataFrame,
+               spec: Spec): Unit = {
+    val fs = new Path(viewPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Snapshot.withMaintainerLock(fs, viewPath) { lease =>
+      val exists = Snapshot.recoverAndExists(fs, viewPath, lease)
+      if (!exists) {
+        // bootstrap: the deltas are already IN the bases
+        Snapshot.publish(fs, viewPath, exists = false,
+          joined(left, right, spec), lease)
+      } else {
+        // distinct delta keys, renamed so probes are unambiguous
+        val dl = leftDelta.select(col(spec.leftKey).as("_vm_lk")).distinct()
+        val dr =
+          rightDelta.select(col(spec.rightJoinCol).as("_vm_jk")).distinct()
+        val old = spark.read.parquet(viewPath)
+        val kept = old
+          .join(dl, old(spec.leftKey) === col("_vm_lk"), "left_anti")
+          .join(dr, old(spec.leftJoinCol) === col("_vm_jk"), "left_anti")
+        // left' slice: rows whose own key OR whose dimension changed.
+        // Two semi probes + union, deduped on the unique leftKey (a
+        // row can qualify both ways).
+        val byOwnKey = left.join(dl, left(spec.leftKey) === col("_vm_lk"),
+          "left_semi")
+        val byDim = left.join(dr, left(spec.leftJoinCol) === col("_vm_jk"),
+          "left_semi")
+        val slice = byOwnKey.unionByName(byDim).dropDuplicates(spec.leftKey)
+        val repaired = joined(slice, right, spec).select(
+          old.columns.map(col).toIndexedSeq: _*)
+        Snapshot.publish(fs, viewPath, exists = true,
+          kept.unionByName(repaired), lease)
+      }
+    }
+    spark.catalog.refreshByPath(viewPath)
+  }
+}
