@@ -70,9 +70,13 @@ object Hierarchy {
     * Lifecycle: intermediate round state is fully released before
     * returning (caches unpersisted; a retired round's checkpoint
     * blocks are freed as soon as the NEXT checkpoint truncates the
-    * lineage that could recompute from them). The RETURNED frame's
-    * own checkpoint blocks live until GC — a long-lived caller should
-    * use [[closureScoped]] and release them explicitly.
+    * lineage that could recompute from them). WARNING — the RETURNED
+    * frame's own localCheckpoint blocks are pinned until the backing
+    * RDD is GC'd: this convenience form DISCARDS the release handle,
+    * so every call leaks those blocks for the JVM's GC to find. Fine
+    * for a one-shot job or spec; a LONG-LIVED SERVICE calling closure
+    * repeatedly accumulates them and must use [[closureScoped]] and
+    * call `release()` once done with the frame.
     *
     * @param maxRounds loud-failure budget: acyclic inputs of depth ≤
     *   2^maxRounds always converge inside it, so the default 64 can

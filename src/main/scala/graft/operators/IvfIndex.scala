@@ -28,6 +28,49 @@ object IvfIndex {
 
   final case class BuildInfo(k: Int, dim: Int, nVectors: Long)
 
+  private def lockFile(path: String) = new Path(path + "._graft_lock")
+
+  /** SINGLE-WRITER exclusion over the whole index tree — the
+    * [[graft.pipeline]] Snapshot maintainer-lock pattern applied to
+    * the IVF layout. Every mutating entry point ([[append]],
+    * [[retrainIfNeeded]], [[dedupeVectors]], [[buildPq]]) runs its
+    * WHOLE read-modify-publish cycle under this lock; without it, a
+    * retrain that reads `index/`, rebuilds for minutes into a tmp
+    * tree and then swaps would silently DROP any append that landed
+    * (and was ledgered) during the rebuild — permanent loss, because
+    * the appender's ledger says the batch applied. The streaming
+    * sink ([[graft.streaming.Streams.applyIvfAppendBatch]]) holds the
+    * same lock across its marker-append-ledger cycle, so batch-layer
+    * retrains and streaming appends serialize instead of interleave.
+    *
+    * Acquisition polls up to `waitMs` (0 = fail immediately, the
+    * batch-maintainer convention) then raises loudly — a held lock
+    * means a live maintainer is mid-cycle, or a hard-killed one left
+    * the marker behind (delete `<path>._graft_lock` after confirming
+    * no live writer).
+    */
+  def withIndexLock[T](spark: SparkSession, path: String,
+                       waitMs: Long = 0L)(body: => T): T = {
+    val fs = new Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val p = lockFile(path)
+    val deadline = System.nanoTime() + waitMs * 1000000L
+    var held = false
+    while (!held) {
+      held = try { fs.create(p, false).close(); true }
+             catch { case _: java.io.IOException => false }
+      if (!held) {
+        if (System.nanoTime() >= deadline) throw new IllegalStateException(
+          s"ivf index maintainer lock already held at $p: another " +
+            "maintainer (append / retrain / dedupe / buildPq) is " +
+            "mid-cycle on this index, or a previous one was hard-killed. " +
+            "Verify no live maintainer runs, then delete the lock file.")
+        Thread.sleep(200)
+      }
+    }
+    try body finally { fs.delete(p, false); () }
+  }
+
   /** Uniform-in-[0,1) hash noise from (vec_id, round) — deterministic
     * across executors, no RNG state. Built on the native
     * [[graft.functions.expressions.TextExprs.md5Lower64]] expression
@@ -134,7 +177,14 @@ object IvfIndex {
     *   path/index/       — (vec_id, embedding) PARTITIONED BY cluster_id
     */
   def build(spark: SparkSession, embeddings: DataFrame, path: String,
-            k: Int = 64, initRounds: Int = 2, lloydIters: Int = 2): BuildInfo = {
+            k: Int = 64, initRounds: Int = 2, lloydIters: Int = 2): BuildInfo =
+    withIndexLock(spark, path) {
+      buildUnlocked(spark, embeddings, path, k, initRounds, lloydIters)
+    }
+
+  private[graft] def buildUnlocked(spark: SparkSession, embeddings: DataFrame,
+                                   path: String, k: Int, initRounds: Int,
+                                   lloydIters: Int): BuildInfo = {
     val e = embProjection(embeddings).cache()
     // fail with a clear message instead of an NPE deep inside the
     // k-means|| sampling aggregates
@@ -171,12 +221,24 @@ object IvfIndex {
     * renames leaves the previous index retired at `._graft_old` and
     * nothing at `path` — reinstate it so the index is never lost.
     * Called by every read entry point that can follow a retrain.
+    *
+    * Lock awareness: when the caller does NOT hold the maintainer
+    * lock (readers) and the lock file is present, a missing target is
+    * a LIVE maintainer mid-swap, not a crash — "repairing" it would
+    * rename the retired tree back under the maintainer's second
+    * rename. Refuse with a retry hint instead of racing.
     */
-  private def recoverRetrain(spark: SparkSession, path: String): Unit = {
+  private def recoverRetrain(spark: SparkSession, path: String,
+                             lockHeld: Boolean = false): Unit = {
     val fs = new Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val old = new Path(path + "._graft_old")
     if (!fs.exists(new Path(path)) && fs.exists(old)) {
+      if (!lockHeld && fs.exists(lockFile(path)))
+        throw new IllegalStateException(
+          s"ivf index at $path is mid-publish (maintainer lock held and " +
+            "the target is between its two swap renames) — retry once " +
+            "the maintainer completes")
       if (!fs.rename(old, new Path(path)))
         throw new java.io.IOException(
           s"retrain recovery: cannot reinstate $old")
@@ -260,7 +322,25 @@ object IvfIndex {
                       threshold: Double = 0.25,
                       minRecall: Option[Double] = None,
                       recallSampleN: Int = 20,
-                      nprobe: Int = 8, topk: Int = 10): Option[BuildInfo] = {
+                      nprobe: Int = 8, topk: Int = 10): Option[BuildInfo] =
+    // the lock spans MEASURE + rebuild + swap: deciding from a read
+    // outside the lock would let an append land between the decision
+    // and the rebuild's corpus read (a smaller lost-update of the
+    // same class the lock exists for)
+    withIndexLock(spark, path) {
+      retrainIfNeededUnlocked(spark, path, threshold, minRecall,
+        recallSampleN, nprobe, topk)
+    }
+
+  private[graft] def retrainIfNeededUnlocked(
+      spark: SparkSession, path: String, threshold: Double,
+      minRecall: Option[Double], recallSampleN: Int,
+      nprobe: Int, topk: Int): Option[BuildInfo] = {
+    // recover under OUR lock before the reader-path helpers run: they
+    // recover with lockHeld = false and would mistake our own lock
+    // for a live foreign maintainer if a prior crash left the target
+    // mid-swap
+    recoverRetrain(spark, path, lockHeld = true)
     val frac = appendedFraction(spark, path)
     val drifted = frac >= threshold
     // recall is the expensive check — only measure when volume alone
@@ -301,7 +381,9 @@ object IvfIndex {
     if (tmpFs.exists(new Path(tmp))) tmpFs.delete(new Path(tmp), true)
     val corpus = spark.read.parquet(s"$path/index")
       .select(col("vec_id"), col("embedding"))
-    val info = build(spark, corpus, tmp,
+    // Unlocked forms: the tmp tree is private to this cycle, and the
+    // LIVE path's lock is already held by the public wrapper
+    val info = buildUnlocked(spark, corpus, tmp,
       k = meta.getAs[Int]("k"),
       initRounds = meta.getAs[Int]("initRounds"),
       lloydIters = meta.getAs[Int]("lloydIters"))
@@ -311,7 +393,7 @@ object IvfIndex {
     // or the complete new one, never an index whose queryPq lost its
     // codes
     pqParams.foreach { case (m, ksub, iters, sampleN) =>
-      buildPq(spark, tmp, m, ksub, iters, sampleN) }
+      buildPqUnlocked(spark, tmp, m, ksub, iters, sampleN) }
     val fs = new Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val old = new Path(path + "._graft_old")
@@ -332,8 +414,16 @@ object IvfIndex {
     * passes a fraction of the indexed volume) to re-train.
     */
   def append(spark: SparkSession, path: String,
-             newVectors: DataFrame): Long = {
-    recoverRetrain(spark, path)
+             newVectors: DataFrame): Long =
+    withIndexLock(spark, path) { appendUnlocked(spark, path, newVectors) }
+
+  /** [[append]] without acquiring the maintainer lock — for callers
+    * that already hold it over a wider cycle (the streaming sink's
+    * marker-append-ledger sequence).
+    */
+  private[graft] def appendUnlocked(spark: SparkSession, path: String,
+                                    newVectors: DataFrame): Long = {
+    recoverRetrain(spark, path, lockHeld = true)
     val centroids = collectCenters(spark.read.parquet(s"$path/centroids"))
     val e = embProjection(newVectors)
     // one materialization: the count must describe the rows actually
@@ -376,8 +466,15 @@ object IvfIndex {
     * failure before the swap leaves the old index untouched (the tmp
     * tree is wiped on the next attempt).
     */
-  def dedupeVectors(spark: SparkSession, path: String): Long = {
-    recoverRetrain(spark, path)
+  def dedupeVectors(spark: SparkSession, path: String): Long =
+    withIndexLock(spark, path) { dedupeVectorsUnlocked(spark, path) }
+
+  /** [[dedupeVectors]] without acquiring the maintainer lock — see
+    * [[appendUnlocked]].
+    */
+  private[graft] def dedupeVectorsUnlocked(spark: SparkSession,
+                                           path: String): Long = {
+    recoverRetrain(spark, path, lockHeld = true)
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = new Path(path).getFileSystem(conf)
     val tmp = path + "._graft_tmp"
@@ -435,8 +532,15 @@ object IvfIndex {
     */
   def buildPq(spark: SparkSession, path: String, m: Int = 8,
               ksub: Int = 16, iters: Int = PqCodec.DefaultIters,
-              sampleN: Int = PqCodec.DefaultSampleN): Unit = {
-    recoverRetrain(spark, path)
+              sampleN: Int = PqCodec.DefaultSampleN): Unit =
+    withIndexLock(spark, path) {
+      buildPqUnlocked(spark, path, m, ksub, iters, sampleN)
+    }
+
+  private[graft] def buildPqUnlocked(spark: SparkSession, path: String,
+                                     m: Int, ksub: Int, iters: Int,
+                                     sampleN: Int): Unit = {
+    recoverRetrain(spark, path, lockHeld = true)
     val index = spark.read.parquet(s"$path/index")
     val cb = PqCodec.train(
       index.select(col("vec_id"), col("embedding")), m, ksub, iters, sampleN)

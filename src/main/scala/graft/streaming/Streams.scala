@@ -162,7 +162,12 @@ object Streams {
               .getOrElse(BlockState(Nil, Nil, 0L, Long.MinValue))
             val out = scala.collection.mutable.ListBuffer.empty[NearDup]
             var maxTsMs = Long.MinValue
-            ds.foreach { d =>
+            // deterministic intra-batch order (the filter faces'
+            // convention): the census roll, overfull shedding and FIFO
+            // contents are all order-sensitive — folding in raw
+            // shuffle-iterator order would let a replayed micro-batch
+            // emit a different detection set and leave different state
+            ds.toSeq.sortBy(d => (d.ts.getTime, d.doc_id)).foreach { d =>
               val tsMs = d.ts.getTime
               maxTsMs = math.max(maxTsMs, tsMs)
               // census-window roll: one TTL horizon of event time is
@@ -1346,6 +1351,15 @@ object Streams {
   def applyIvfAppendBatch(batch: DataFrame, batchId: Long,
                           path: String): Boolean = {
     val spark = batch.sparkSession
+    // the index maintainer lock spans the WHOLE marker-append-ledger
+    // cycle: without it, a batch-layer retrain reading `index/` while
+    // this append lands would swap in a rebuilt tree WITHOUT the
+    // appended (and ledgered) rows — permanent silent loss, since the
+    // ledger blocks the replay that could restore them. The wait
+    // budget rides out a concurrent retrain (minutes at scale) rather
+    // than failing the micro-batch.
+    graft.operators.IvfIndex.withIndexLock(spark, path,
+      waitMs = 10L * 60 * 1000) {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val pending = new org.apache.hadoop.fs.Path(ivfPendingPath(path))
@@ -1354,27 +1368,41 @@ object Streams {
     var healAfterAppend = false
     if (fs.exists(pending)) {
       val in = fs.open(pending)
-      val pid = try scala.io.Source.fromInputStream(in, "UTF-8")
-        .mkString.trim.toLong finally in.close()
-      if (applied.contains(pid)) { fs.delete(pending, false); () }
-      else if (pid == batchId) healAfterAppend = true
-      else throw new IllegalStateException(
-        s"ivf append sink: batch $pid was interrupted mid-append at $path " +
-          "and this is not its replay — run " +
-          "IvfIndex.dedupeVectors(path) and delete " +
-          s"${ivfPendingPath(path)} after confirming no live writer")
+      val raw = try scala.io.Source.fromInputStream(in, "UTF-8")
+        .mkString.trim finally in.close()
+      // an EMPTY/unparsable marker is a crash between fs.create and
+      // the id write: the append itself never started (the marker is
+      // written before any append job), so there is nothing to heal —
+      // overwrite and proceed rather than dying on a bare
+      // NumberFormatException that wedges the query
+      val pidOpt = try { if (raw.isEmpty) None else Some(raw.toLong) }
+                   catch { case _: NumberFormatException => None }
+      pidOpt match {
+        case None => fs.delete(pending, false); ()
+        case Some(pid) =>
+          if (applied.contains(pid)) { fs.delete(pending, false); () }
+          else if (pid == batchId) healAfterAppend = true
+          else throw new IllegalStateException(
+            s"ivf append sink: batch $pid was interrupted mid-append at $path " +
+              "and this is not its replay — run " +
+              "IvfIndex.dedupeVectors(path) and delete " +
+              s"${ivfPendingPath(path)} after confirming no live writer")
+      }
     }
-    if (applied.contains(batchId)) return false
-    val o = fs.create(pending, true)
-    try o.write(batchId.toString.getBytes("UTF-8")) finally o.close()
-    graft.operators.IvfIndex.append(spark, path, batch)
-    if (healAfterAppend) {
-      graft.operators.IvfIndex.dedupeVectors(spark, path)
-      ()
+    if (applied.contains(batchId)) false
+    else {
+      val o = fs.create(pending, true)
+      try o.write(batchId.toString.getBytes("UTF-8")) finally o.close()
+      graft.operators.IvfIndex.appendUnlocked(spark, path, batch)
+      if (healAfterAppend) {
+        graft.operators.IvfIndex.dedupeVectorsUnlocked(spark, path)
+        ()
+      }
+      writeLedger(spark, ledger, applied + batchId)
+      fs.delete(pending, false)
+      true
     }
-    writeLedger(spark, ledger, applied + batchId)
-    fs.delete(pending, false)
-    true
+    }
   }
 
   /** Continuous ANN-index maintenance: an embedding stream
@@ -1384,9 +1412,12 @@ object Streams {
     * replay). Appends assign to the FROZEN centroids (the batch
     * append contract), so recall decays as the corpus drifts — run
     * [[graft.operators.IvfIndex.retrainIfNeeded]] from the batch
-    * layer on its volume/recall policy; retrain's atomic swap and the
-    * per-batch appends compose through the same crash-recovery
-    * entry points.
+    * layer on its volume/recall policy. Retrain and these appends
+    * serialize through the index MAINTAINER LOCK (both hold it for
+    * their whole cycle — [[graft.operators.IvfIndex.withIndexLock]]):
+    * a retrain can no longer swap away rows an append ledgered during
+    * its rebuild window. While a retrain holds the lock, micro-batches
+    * wait (up to the sink's 10-minute budget) instead of failing.
     */
   def ivfAppendSink(stream: DataFrame, path: String)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =

@@ -58,6 +58,26 @@ class ChecksSpec extends SparkSpec {
     assert(m(("distinct_between", "id")) == ((4.0, 1L)))
   }
 
+  test("complete: the gate sees the EXACT ratio while the report rounds — 1 null in 25k rows fails minRatio = 1.0") {
+    import spark.implicits._
+    // ratio 24999/25000 = 0.99996 rounds (round4, half-up) to exactly
+    // 1.0: the PRESENTED metric must read 1.0 while the verdict fails,
+    // or a minRatio = 1.0 audit silently admits violating rows
+    val df = (1 to 25000).map(i => if (i == 1) None else Some(i.toLong))
+      .toDF("v")
+    val rows = Checks.report(df, Seq(Complete("v", 1.0), Complete("v", 0.999)))
+      .collect()
+    assert(rows(0).getDouble(2) == 1.0, "presented metric is round4")
+    assert(rows(0).getLong(3) == 0L, "exact gate must fail minRatio=1.0")
+    assert(rows(1).getLong(3) == 1L, "0.99996 passes minRatio=0.999")
+    // the generated SQL face carries the same split: rounded metric
+    // column, exact gate column
+    val sql = Checks.reportSql("t", Seq(Complete("v", 1.0)))
+    assert(sql.contains("FLOOR((CAST(COUNT(v)"), "presented arm rounds")
+    assert(sql.contains("_g0 >= 1.0") ||
+      sql.contains("WHEN CAST(COUNT(v) AS DOUBLE)"), sql)
+  }
+
   test("rows_between: same metric under two thresholds, suite order kept") {
     val rows = Checks.report(fixture,
       Seq(RowsBetween(1, 4), RowsBetween(5, 9))).collect()

@@ -223,6 +223,47 @@ class IvfIndexSpec extends SparkSpec {
       minRecall = Some(1.1), nprobe = 2).isEmpty)
   }
 
+  test("maintainer lock: a held lock refuses a second writer loudly; a completed cycle leaves no lock behind") {
+    val p = java.nio.file.Files.createTempDirectory("graft-ivflock").toString + "/idx"
+    IvfIndex.build(spark, embeddings.filter(col("vec_id") < 200), p,
+      k = 4, initRounds = 1, lloydIters = 1)
+    val more = embeddings.filter(col("vec_id") >= 200 && col("vec_id") < 210)
+    val lock = new org.apache.hadoop.fs.Path(p + "._graft_lock")
+    val fs = lock.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // while one maintainer's cycle holds the lock, every other mutator
+    // fails at acquisition (waitMs = 0, the batch convention) — the
+    // retrain-swap-drops-a-ledgered-append lost update cannot form
+    IvfIndex.withIndexLock(spark, p) {
+      assert(fs.exists(lock))
+      for (attempt <- Seq(
+          () => IvfIndex.append(spark, p, more),
+          () => IvfIndex.retrainIfNeeded(spark, p, threshold = 0.0),
+          () => IvfIndex.dedupeVectors(spark, p),
+          () => IvfIndex.buildPq(spark, p, m = 4, ksub = 4))) {
+        val e = intercept[IllegalStateException] { attempt(); () }
+        assert(e.getMessage.contains("lock"), e.getMessage)
+      }
+    }
+    // released: mutators run again and clean up after themselves
+    assert(!fs.exists(lock))
+    IvfIndex.append(spark, p, more)
+    assert(!fs.exists(lock), "a completed append must release the lock")
+    assert(spark.read.parquet(s"$p/index").count() == 210)
+    // reader recovery refuses to "repair" a mid-swap target while a
+    // live maintainer holds the lock (it would race the second rename)
+    IvfIndex.withIndexLock(spark, p) {
+      val dst = new org.apache.hadoop.fs.Path(p)
+      val old = new org.apache.hadoop.fs.Path(p + "._graft_old")
+      assert(fs.rename(dst, old))
+      try {
+        val e = intercept[IllegalStateException] {
+          IvfIndex.query(spark, p, embeddings.filter(col("vec_id") < 2))
+        }
+        assert(e.getMessage.contains("mid-publish"), e.getMessage)
+      } finally assert(fs.rename(old, dst))
+    }
+  }
+
   test("index build is deterministic: rebuilding yields identical centroids") {
     val p2 = java.nio.file.Files.createTempDirectory("graft-ivf2").toString
     IvfIndex.build(spark, embeddings, p2, k = 16, initRounds = 2, lloydIters = 2)

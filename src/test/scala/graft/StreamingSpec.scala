@@ -455,6 +455,17 @@ class StreamingSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("dedupeVectors"), e.getMessage)
     fs.delete(pending, false)
+    // an EMPTY marker (crash between fs.create and the id write) means
+    // the append never started: the next apply overwrites it and
+    // proceeds instead of wedging on a bare NumberFormatException
+    fs.create(pending, true).close()
+    val afterEmpty = Streams.applyIvfAppendBatch(
+      emb.limit(1).select((col("vec_id") + 30000L).as("vec_id"),
+        col("embedding")), 43L, p)
+    assert(afterEmpty, "empty marker must not block the next batch")
+    assert(!fs.exists(pending))
+    // the lock is held for the whole apply cycle and released after
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(p + "._graft_lock")))
   }
 
   test("minhashNearDupFilter: the overfull census resets each TTL horizon — a hot bucket recovers") { withLateRowCheckOff {
