@@ -148,16 +148,8 @@ object SearchQ {
     * from the old contents fails the freshness check and rebuilds —
     * the path alone would pass and silently serve stale postings.
     */
-  private def corpusVersion(s: SparkSession, dir: String): String = {
-    val p = new org.apache.hadoop.fs.Path(s"$dir/documents.parquet")
-    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    val listing = fs.listStatus(p)
-      .map(st => s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
-      .sorted.mkString("\n")
-    val md5 = java.security.MessageDigest.getInstance("MD5")
-      .digest(listing.getBytes("UTF-8"))
-    dir + "@" + md5.map("%02x".format(_)).mkString.take(16)
-  }
+  private def corpusVersion(s: SparkSession, dir: String): String =
+    graft.util.ContentVersion.of(s, dir)
 
   /** The q104/q105 shared build-once index table for `dir`: built
     * when absent or version-stamped for another corpus CONTENT
