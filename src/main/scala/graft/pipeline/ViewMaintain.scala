@@ -116,4 +116,103 @@ object ViewMaintain {
     }
     spark.catalog.refreshByPath(viewPath)
   }
+
+  /** Shared partition plumbing for the partitioned layout
+    * `viewPath/partCol=value/…` (the [[Merge.upsertPartitioned]]
+    * shape): validates the spec, escapes values the way Spark's
+    * partitioned writer does, and loops the per-partition body over
+    * the touched values. A null partition value has no directory to
+    * live in — reject loudly instead of losing rows.
+    */
+  private def forEachPartition(spark: SparkSession, viewPath: String,
+                               partCol: String, spec: Spec,
+                               touchedRightCols: Seq[String],
+                               touched: DataFrame)
+                              (body: (Any, String) => Unit): Unit = {
+    require(partCol != spec.leftKey && partCol != spec.leftJoinCol,
+      s"partition column $partCol must not be the left key or join column " +
+        "(it is stored as the directory name, not in the data files)")
+    require(!touchedRightCols.contains(partCol),
+      s"partition column $partCol collides with a right-side column: " +
+        "partition discovery over the view would see it twice")
+    val values = touched.distinct().collect().map(_.get(0))
+    require(!values.contains(null),
+      s"partitioned view maintenance: rows with null $partCol")
+    val fs = new Path(viewPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new Path(viewPath))
+    values.foreach { v =>
+      val dirName = org.apache.spark.sql.catalyst.catalog
+        .ExternalCatalogUtils.escapePathName(v.toString)
+      body(v, s"$viewPath/$partCol=$dirName")
+    }
+  }
+
+  /** Initial full materialization in the PARTITIONED layout: one
+    * [[build]] per distinct `partCol` value of `left`, each an
+    * independently swapped snapshot directory. `partCol` must be a
+    * LEFT column; it is encoded as the directory name (partition
+    * discovery restores it on a whole-view read) and dropped from the
+    * data files.
+    */
+  def buildPartitioned(spark: SparkSession, viewPath: String,
+                       left: DataFrame, right: DataFrame, spec: Spec,
+                       partCol: String): Unit = {
+    val l = left.cache()
+    try forEachPartition(spark, viewPath, partCol, spec,
+      right.columns.toSeq, l.select(col(partCol))) { (v, partPath) =>
+      build(spark, partPath,
+        l.filter(col(partCol) === lit(v)).drop(partCol), right, spec)
+    } finally { l.unpersist(); () }
+  }
+
+  /** Partition-pruned repair — the 100 TB form of [[maintain]]: only
+    * the partitions holding AFFECTED keys are read, repaired and
+    * atomically swapped; every untouched `partCol=` directory's files
+    * are left byte-identical (never opened, never rewritten). The
+    * single-view [[maintain]] rewrites O(|view|) per delta batch —
+    * correct, but at a 100 TB standing view with kilobyte deltas the
+    * publish I/O alone is the bottleneck; this variant's cost is
+    * O(touched partitions), the [[Merge.upsertPartitioned]] +
+    * CorpusPrep.forget shard-swap discipline applied to the view.
+    *
+    * Touched partitions:
+    *  - every partition value carried by `leftDelta` rows (like
+    *    upsertPartitioned, delta rows must carry `partCol`, and a left
+    *    key's partition value must be STABLE — moving a row between
+    *    partitions is a tombstone in one plus an insert in the other);
+    *  - every partition holding a CURRENT left row whose join key is
+    *    in `rightDelta` (one column-pruned scan of `left` + a semi
+    *    probe — a deployment with a dimension-to-partition index can
+    *    skip even that, but correctness only needs the probe).
+    * A dimension key deleted while its old left matches were ALSO
+    * deleted needs no partition at all: those view rows were repaired
+    * by the leftDelta that removed them.
+    *
+    * Per touched partition the repair equation is exactly
+    * [[maintain]]'s, against that partition's slice of the bases; the
+    * full `rightDelta` key set probes every touched partition (only
+    * rows actually matching repair). Replay is idempotent per
+    * partition for the same reason maintain is.
+    */
+  def maintainPartitioned(spark: SparkSession, viewPath: String,
+                          left: DataFrame, right: DataFrame,
+                          leftDelta: DataFrame, rightDelta: DataFrame,
+                          spec: Spec, partCol: String): Unit = {
+    val l = left.cache()
+    try {
+      val drKeys = rightDelta.select(col(spec.rightJoinCol)).distinct()
+      val fromLeft = leftDelta.select(col(partCol))
+      val fromRight = l
+        .join(drKeys, l(spec.leftJoinCol) === drKeys(spec.rightJoinCol),
+          "left_semi")
+        .select(col(partCol))
+      forEachPartition(spark, viewPath, partCol, spec,
+        right.columns.toSeq, fromLeft.unionByName(fromRight)) { (v, partPath) =>
+        maintain(spark, partPath,
+          l.filter(col(partCol) === lit(v)).drop(partCol), right,
+          leftDelta.filter(col(partCol) === lit(v)), rightDelta, spec)
+      }
+    } finally { l.unpersist(); () }
+  }
 }

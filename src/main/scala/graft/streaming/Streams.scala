@@ -1320,6 +1320,82 @@ object Streams {
         ()
       }
 
+  /** One fact-side change micro-batch folded into BOTH the left base
+    * snapshot (exactly-once, via [[applyUpsertBatch]]'s ledger) and
+    * the materialized join view at `viewPath`
+    * ([[graft.pipeline.ViewMaintain.maintain]]). The view step runs
+    * UNCONDITIONALLY — even when the ledger refuses the base upsert as
+    * a re-delivery — and needs NO ledger of its own: unlike additive
+    * stats (whose replay double-counts, forcing the in-snapshot
+    * ledger, see [[statsSink]]), the view repair is a pure function of
+    * the CURRENT bases, so replaying it converges to the same state by
+    * construction. That also closes the crash window between the base
+    * publish and the view repair: the replayed batch skips the base
+    * upsert and still repairs the view.
+    *
+    * `partCol` switches the repair to the partition-pruned layout
+    * ([[graft.pipeline.ViewMaintain.maintainPartitioned]]) — the
+    * 100 TB form, where only partitions holding affected keys are
+    * rewritten per micro-batch.
+    *
+    * Returns whether the base upsert applied (false = ledger refusal;
+    * the view repair still ran).
+    */
+  def applyViewMaintainBatch(batch: DataFrame, batchId: Long,
+                             leftPath: String, rightPath: String,
+                             viewPath: String, keys: Seq[String],
+                             versionCol: String,
+                             spec: graft.pipeline.ViewMaintain.Spec,
+                             deleteCol: Option[String] = None,
+                             partCol: Option[String] = None): Boolean = {
+    val spark = batch.sparkSession
+    val applied = applyUpsertBatch(batch, batchId, leftPath, keys,
+      versionCol, deleteCol)
+    // fresh base reads: both snapshots swap atomically under their own
+    // maintainers; invalidate any cached file listing first
+    spark.catalog.refreshByPath(leftPath)
+    spark.catalog.refreshByPath(rightPath)
+    val left = spark.read.parquet(leftPath)
+    val right = spark.read.parquet(rightPath)
+    // the delta contributes keys (and the partition value) only; the
+    // version/delete columns are base-maintenance concerns
+    val leftDelta = batch.toDF()
+    partCol match {
+      case Some(pc) =>
+        graft.pipeline.ViewMaintain.maintainPartitioned(spark, viewPath,
+          left, right, leftDelta, right.limit(0), spec, pc)
+      case None =>
+        graft.pipeline.ViewMaintain.maintain(spark, viewPath,
+          left, right, leftDelta, right.limit(0), spec)
+    }
+    applied
+  }
+
+  /** Continuous materialized-view maintenance: a fact change stream
+    * (inserts/updates/tombstones) maintains the left BASE snapshot and
+    * the standing `left ⋈ right` VIEW together, exactly-once under
+    * micro-batch replay ([[applyViewMaintainBatch]] — base ledgered,
+    * view repair idempotent by construction). Dimension-side changes
+    * flow through the dimension's own batch maintainer plus a
+    * `ViewMaintain.maintain`/`maintainPartitioned` call with the
+    * right-side delta — the view's single-writer lock serializes the
+    * two maintainers' cycles.
+    */
+  def viewMaintainSink(stream: DataFrame, leftPath: String,
+                       rightPath: String, viewPath: String,
+                       keys: Seq[String], versionCol: String,
+                       spec: graft.pipeline.ViewMaintain.Spec,
+                       deleteCol: Option[String] = None,
+                       partCol: Option[String] = None)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream
+      .outputMode(OutputMode.Update())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        applyViewMaintainBatch(batch.toDF(), id, leftPath, rightPath,
+          viewPath, keys, versionCol, spec, deleteCol, partCol)
+        ()
+      }
+
   // --- continuous ANN index maintenance (streaming IvfIndex.append) ---
 
   private def ivfPendingPath(path: String): String = s"$path._pending_batch"

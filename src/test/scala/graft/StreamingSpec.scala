@@ -1012,6 +1012,108 @@ class StreamingSpec extends SparkSpec {
       "re-merging identical rows must be a no-op (late-row + tombstone rules)")
   }
 
+  test("viewMaintainSink: fact stream maintains base + join view; mid-stream dimension delta; replay is a no-op") {
+    implicit val s = spark
+    import s.implicits._
+    import graft.pipeline.{Merge, ViewMaintain}
+    val dir = Files.createTempDirectory("stream-view").toString
+    val base = s"$dir/facts"; val dim = s"$dir/dim"; val view = s"$dir/view"
+    val vmSpec = ViewMaintain.Spec("k", "ck", "c_ck")
+    // dimension snapshot maintained by its own batch layer
+    Merge.upsert(spark, dim, Seq((10L, "gold", 1L), (20L, "iron", 1L))
+      .toDF("c_ck", "seg", "dver"), Seq("c_ck"), "dver")
+    def viewRows(): Set[(Long, Long, Double, String)] =
+      spark.read.parquet(view).select("k", "ck", "amount", "seg")
+        .as[(Long, Long, Double, String)].collect().toSet
+    def oneShot(): Set[(Long, Long, Double, String)] = {
+      val l = spark.read.parquet(base); val r = spark.read.parquet(dim)
+      l.join(r, l("ck") === r("c_ck")).select("k", "ck", "amount", "seg")
+        .as[(Long, Long, Double, String)].collect().toSet
+    }
+    val input = MemoryStream[(Long, Long, Double, Long, Boolean)](spark)
+    val stream = input.toDF().toDF("k", "ck", "amount", "ver", "del")
+    val q = Streams.viewMaintainSink(stream, base, dim, view,
+        Seq("k"), "ver", vmSpec, deleteCol = Some("del"))
+      .option("checkpointLocation", s"$dir/ckpt").start()
+    try {
+      input.addData((1L, 10L, 5.0, 1L, false), (2L, 20L, 6.0, 1L, false))
+      q.processAllAvailable()
+      assert(viewRows() == oneShot() &&
+        viewRows() == Set((1L, 10L, 5.0, "gold"), (2L, 20L, 6.0, "iron")))
+      // mid-stream DIMENSION delta through the dimension's own batch
+      // maintainer + a right-side view repair — the view lock
+      // serializes this cycle against the sink's micro-batches
+      Merge.upsert(spark, dim,
+        Seq((10L, "plat", 2L)).toDF("c_ck", "seg", "dver"),
+        Seq("c_ck"), "dver")
+      spark.catalog.refreshByPath(base); spark.catalog.refreshByPath(dim)
+      ViewMaintain.maintain(spark, view, spark.read.parquet(base),
+        spark.read.parquet(dim), spark.read.parquet(base).limit(0),
+        Seq(10L).toDF("c_ck"), vmSpec)
+      assert(viewRows() == oneShot())
+      // fact update + key move + tombstone, post-dimension-change
+      input.addData((1L, 20L, 5.5, 2L, false), (3L, 10L, 7.0, 1L, false),
+        (2L, 20L, 0.0, 2L, true))
+      q.processAllAvailable()
+      assert(viewRows() == oneShot() &&
+        viewRows() == Set((1L, 20L, 5.5, "iron"), (3L, 10L, 7.0, "plat")))
+    } finally q.stop()
+    val after = viewRows()
+    // replayed batchId: base upsert refused (ledger), view repair runs
+    // and converges to the same state — no ledger needed for the view
+    val poison = Seq((1L, 10L, 999.0, 9L, false))
+      .toDF("k", "ck", "amount", "ver", "del")
+    assert(!Streams.applyViewMaintainBatch(poison, 1L, base, dim, view,
+      Seq("k"), "ver", vmSpec, Some("del")),
+      "ledgered batchId must refuse the base upsert")
+    assert(viewRows() == after, "replayed batch must leave the view as-is")
+    // crash between base publish and view repair: replaying the same
+    // rows under a fresh id re-merges (no-op) and re-repairs (no-op)
+    val sameRows = Seq((1L, 20L, 5.5, 2L, false), (3L, 10L, 7.0, 1L, false),
+      (2L, 20L, 0.0, 2L, true)).toDF("k", "ck", "amount", "ver", "del")
+    assert(Streams.applyViewMaintainBatch(sameRows, 99L, base, dim, view,
+      Seq("k"), "ver", vmSpec, Some("del")))
+    assert(viewRows() == after && viewRows() == oneShot())
+  }
+
+  test("viewMaintainSink: partCol switches to partition-pruned repair — untouched partitions stay byte-identical across micro-batches") {
+    implicit val s = spark
+    import s.implicits._
+    import graft.pipeline.{Merge, ViewMaintain}
+    val dir = Files.createTempDirectory("stream-viewpart").toString
+    val base = s"$dir/facts"; val dim = s"$dir/dim"; val view = s"$dir/view"
+    val vmSpec = ViewMaintain.Spec("k", "ck", "c_ck")
+    Merge.upsert(spark, dim, Seq((10L, "gold", 1L), (20L, "iron", 1L))
+      .toDF("c_ck", "seg", "dver"), Seq("c_ck"), "dver")
+    val input = MemoryStream[(Long, Long, Double, String, Long, Boolean)](spark)
+    val stream = input.toDF().toDF("k", "ck", "amount", "p", "ver", "del")
+    val q = Streams.viewMaintainSink(stream, base, dim, view,
+        Seq("k"), "ver", vmSpec, deleteCol = Some("del"),
+        partCol = Some("p"))
+      .option("checkpointLocation", s"$dir/ckpt").start()
+    def partFiles(part: String): Map[String, Long] = {
+      val d = new java.io.File(s"$view/p=$part")
+      d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.lastModified()).toMap
+    }
+    try {
+      input.addData((1L, 10L, 5.0, "a", 1L, false),
+        (2L, 20L, 6.0, "b", 1L, false))
+      q.processAllAvailable()
+      val bBefore = partFiles("b")
+      Thread.sleep(1100)
+      // second micro-batch touches only partition a
+      input.addData((3L, 10L, 7.0, "a", 1L, false))
+      q.processAllAvailable()
+      assert(partFiles("b") == bBefore,
+        "a micro-batch touching only partition a must not rewrite b")
+      val got = spark.read.parquet(view).select("k", "seg", "p")
+        .as[(Long, String, String)].collect().toSet
+      assert(got == Set((1L, "gold", "a"), (3L, "gold", "a"),
+        (2L, "iron", "b")))
+    } finally q.stop()
+  }
+
   test("temporalEnrich: streamed facts see the history state at their own version") {
     implicit val s = spark
     import s.implicits._

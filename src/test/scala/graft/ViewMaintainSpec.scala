@@ -78,6 +78,81 @@ class ViewMaintainSpec extends SparkSpec {
     assert(viewRows(path) == oneShot(l3, r3))
   }
 
+  test("maintainPartitioned: untouched partition files stay byte-identical (mtime-pinned); repaired partitions match the one-shot join") {
+    val path = dir()
+    // partition the view by the left row's region (p): three regions,
+    // dimensions shared across them
+    def lp(rows: (Long, Long, Double, String)*): DataFrame =
+      rows.toSeq.toDF("ok", "ck", "amount", "p")
+    val l0 = lp((1L, 10L, 5.0, "a"), (2L, 10L, 6.0, "a"),
+      (3L, 20L, 7.0, "b"), (4L, 30L, 8.0, "c"))
+    val r0 = r((10L, "gold"), (20L, "iron"), (30L, "idle"))
+    ViewMaintain.buildPartitioned(spark, path, l0, r0, spec, "p")
+
+    def partFiles(part: String): Map[String, Long] = {
+      val d = new java.io.File(s"$path/p=$part")
+      d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.lastModified()).toMap
+    }
+    def wholeView: Set[(Long, Long, Double, Long, String, String)] =
+      spark.read.parquet(path)
+        .select("ok", "ck", "amount", "c_ck", "seg", "p")
+        .collect().map(x => (x.getLong(0), x.getLong(1), x.getDouble(2),
+          x.getLong(3), x.getString(4), x.getString(5))).toSet
+    def oneShotP(left: DataFrame, right: DataFrame) =
+      left.join(right, left("ck") === right("c_ck"))
+        .select("ok", "ck", "amount", "c_ck", "seg", "p")
+        .collect().map(x => (x.getLong(0), x.getLong(1), x.getDouble(2),
+          x.getLong(3), x.getString(4), x.getString(5))).toSet
+    assert(wholeView == oneShotP(l0, r0))
+
+    val bBefore = partFiles("b"); val cBefore = partFiles("c")
+    // ΔL touches only region a (update ok=1, insert ok=5): regions b/c
+    // must not be opened, let alone rewritten
+    Thread.sleep(1100) // mtime granularity
+    val l1 = lp((1L, 10L, 50.0, "a"), (2L, 10L, 6.0, "a"),
+      (5L, 20L, 9.0, "a"), (3L, 20L, 7.0, "b"), (4L, 30L, 8.0, "c"))
+    ViewMaintain.maintainPartitioned(spark, path, l1, r0,
+      lp((1L, 10L, 50.0, "a"), (5L, 20L, 9.0, "a")), r0.limit(0), spec, "p")
+    assert(wholeView == oneShotP(l1, r0))
+    assert(partFiles("b") == bBefore, "region b files must be untouched")
+    assert(partFiles("c") == cBefore, "region c files must be untouched")
+
+    // ΔR on ck=20 touches exactly the partitions holding ck=20 left
+    // rows (a via ok=5, b via ok=3) — c stays byte-identical
+    Thread.sleep(1100)
+    val cBefore2 = partFiles("c")
+    val r2 = r((10L, "gold"), (20L, "steel"), (30L, "idle"))
+    ViewMaintain.maintainPartitioned(spark, path, l1, r2,
+      l1.limit(0), Seq(20L).toDF("c_ck"), spec, "p")
+    assert(wholeView == oneShotP(l1, r2))
+    assert(partFiles("c") == cBefore2, "region c files must be untouched")
+
+    // a NEW partition value bootstraps its own directory; tombstones
+    // carried with their partition value repair in place
+    Thread.sleep(1100)
+    val aBefore = partFiles("a")
+    val l3 = lp((1L, 10L, 50.0, "a"), (2L, 10L, 6.0, "a"),
+      (5L, 20L, 9.0, "a"), (6L, 10L, 1.0, "d"))
+    ViewMaintain.maintainPartitioned(spark, path, l3, r2,
+      lp((3L, 20L, 7.0, "b"), (4L, 30L, 8.0, "c"), (6L, 10L, 1.0, "d")),
+      r2.limit(0), spec, "p")
+    assert(wholeView == oneShotP(l3, r2))
+    assert(partFiles("a") == aBefore, "region a files must be untouched")
+
+    // replay of the same partitioned maintain is idempotent
+    ViewMaintain.maintainPartitioned(spark, path, l3, r2,
+      lp((6L, 10L, 1.0, "d")), r2.limit(0), spec, "p")
+    assert(wholeView == oneShotP(l3, r2))
+
+    // a null partition value refuses loudly
+    intercept[IllegalArgumentException] {
+      ViewMaintain.maintainPartitioned(spark, path, l3, r2,
+        Seq((7L, 10L, 1.0, null: String)).toDF("ok", "ck", "amount", "p"),
+        r2.limit(0), spec, "p")
+    }
+  }
+
   test("maintain on a missing view bootstraps the full join") {
     val path = dir()
     val l0 = l((1L, 10L, 5.0))
