@@ -11,7 +11,7 @@ object SparkEntry {
     Core.entries ++ CoreB.entries ++ TextQ.entries ++ VecQ.entries ++
       SketchQ.entries ++ PrepQ.entries ++ LmQ.entries ++ SubstrQ.entries ++
       WebQ.entries ++ LayoutQ.entries ++ SimQ.entries ++ SearchQ.entries ++
-      SubQ.entries ++ QualityQ.entries ++
+      SubQ.entries ++ QualityQ.entries ++ MergeQ.entries ++
       Seq(
         Entry("q50_multimodal_meta", graft.multimodal.Multimodal.q50,
           Some(graft.multimodal.Multimodal.q50Sql)),

@@ -1,0 +1,241 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.pipeline.Merge
+
+/** q109/q110: the MERGE FAMILY under the DuckDB oracle — the
+  * reference's core "load" semantics (import.js upload → job applies
+  * a batch of changes to the hosted table) as driver-verified
+  * queries, not just specs. The q97 recipe applied to
+  * [[graft.pipeline.Merge]]: each face applies a DETERMINISTIC
+  * sequence of merge batches derived from the orders table into a
+  * scratch snapshot, then SELECTs the final state; the oracle
+  * recomputes the same fold with window functions over the union of
+  * all batch rows. Any drift in the engine's winner rule, tombstone
+  * handling, suppression, late-row gate or interval arithmetic
+  * surfaces as a row/hash mismatch.
+  *
+  * Scratch lifecycle: each invocation rebuilds its snapshot from
+  * scratch under `target/` (deleted first), so reruns — the bench
+  * runs every query three times — are deterministic and
+  * self-contained. The cost measured IS the merge cost: three
+  * window-merge-publish cycles over the orders table.
+  */
+object MergeQ {
+
+  /** Fresh scratch snapshot path for one face invocation. */
+  private def scratch(s: SparkSession, tag: String): String = {
+    val path = s"target/graft_${tag}_snapshot"
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    // the previous invocation's tree AND its swap leftovers: a stale
+    // `._graft_old` would otherwise be "recovered" over the fresh run
+    fs.delete(p, true)
+    fs.delete(new org.apache.hadoop.fs.Path(path + "._graft_old"), true)
+    fs.delete(new org.apache.hadoop.fs.Path(path + "._graft_tmp"), true)
+    fs.delete(new org.apache.hadoop.fs.Path(path + "._graft_lock"), false)
+    path
+  }
+
+  private def base(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir).orders.select(
+      col("o_orderkey"), col("o_custkey"),
+      col("o_orderstatus"), col("o_totalprice"))
+
+  // ---- q109: SCD-1 upsert end-state ----
+
+  /** q109: three upsert batches — bootstrap, updates+inserts, then
+    * tombstones + equal-version ties + below-version late rows +
+    * tombstones for absent keys — and the final snapshot under the
+    * oracle. Exercises every [[Merge.upsert]] rule the scaladoc
+    * states: highest version wins; the UPDATE side beats the snapshot
+    * on equal versions (the 'L' rows at the key's current winner
+    * version must land); a below-version row never lands (the 'Z'
+    * rows); a winning tombstone drops the key; a tombstone for an
+    * absent key is a no-op.
+    *
+    * Scale shape: each batch is one window over union + publish (the
+    * operator's own cost); the face adds only column projections.
+    */
+  def q109(s: SparkSession, dir: String): DataFrame = {
+    val t = base(s, dir)
+    val k = col("o_orderkey")
+    val target = scratch(s, "q109")
+    def stamp(df: DataFrame, ver: Long, del: Boolean): DataFrame =
+      df.withColumn("ver", lit(ver)).withColumn("del", lit(del))
+    val b1 = stamp(t, 1L, del = false)
+    val b2 = stamp(
+      t.filter(k % 3 === 0).select(k, col("o_custkey"),
+        lit("X").as("o_orderstatus"),
+        (col("o_totalprice") + 1000.0).as("o_totalprice")),
+      2L, del = false)
+      .unionByName(stamp(
+        t.filter(k % 1000 === 0).select(
+          (k + 100000000L).as("o_orderkey"), col("o_custkey"),
+          lit("N").as("o_orderstatus"), col("o_totalprice")),
+        2L, del = false))
+    val b3 = stamp(t.filter(k % 7 === 0), 3L, del = true)
+      // equal-version tie: ver == the key's current winner version
+      // (2 after the b2 update for k%3 keys, else 1) — the update
+      // side must win the tie
+      .unionByName(
+        t.filter(k % 11 === 0 && k % 7 =!= 0)
+          .select(k, col("o_custkey"), lit("L").as("o_orderstatus"),
+            col("o_totalprice"))
+          .withColumn("ver", when(k % 3 === 0, 2L).otherwise(1L))
+          .withColumn("del", lit(false)))
+      // below every winner: must never land
+      .unionByName(stamp(
+        t.filter(k % 13 === 0 && k % 11 =!= 0 && k % 7 =!= 0)
+          .select(k, col("o_custkey"), lit("Z").as("o_orderstatus"),
+            col("o_totalprice")),
+        0L, del = false))
+      // tombstone for keys that never existed: a no-op
+      .unionByName(stamp(
+        t.filter(k % 5000 === 0).select(
+          (k + 200000000L).as("o_orderkey"), col("o_custkey"),
+          col("o_orderstatus"), col("o_totalprice")),
+        3L, del = true))
+    Merge.upsert(s, target, b1, Seq("o_orderkey"), "ver", Some("del"))
+    Merge.upsert(s, target, b2, Seq("o_orderkey"), "ver", Some("del"))
+    Merge.upsert(s, target, b3, Seq("o_orderkey"), "ver", Some("del"))
+    s.catalog.refreshByPath(target)
+    s.read.parquet(target)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"), col("ver"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** DuckDB mirror of q109: the same batch derivations unioned with a
+    * batch index, winner = ROW_NUMBER over (ver DESC, batch DESC) —
+    * "later batch beats earlier at equal versions" IS the sequential
+    * tie rule (the update side beats the snapshot) — tombstone
+    * winners dropped.
+    */
+  val q109Sql: String =
+    """WITH base AS (
+      |  SELECT o_orderkey k, o_custkey ck, o_orderstatus st, o_totalprice tp
+      |  FROM orders),
+      |rows0 AS (
+      |  SELECT k, ck, st, tp, CAST(1 AS BIGINT) AS ver, 1 AS b, FALSE AS del
+      |  FROM base
+      |  UNION ALL SELECT k, ck, 'X', tp + 1000.0, 2, 2, FALSE
+      |    FROM base WHERE k % 3 = 0
+      |  UNION ALL SELECT k + 100000000, ck, 'N', tp, 2, 2, FALSE
+      |    FROM base WHERE k % 1000 = 0
+      |  UNION ALL SELECT k, ck, st, tp, 3, 3, TRUE
+      |    FROM base WHERE k % 7 = 0
+      |  UNION ALL SELECT k, ck, 'L', tp,
+      |      CASE WHEN k % 3 = 0 THEN 2 ELSE 1 END, 3, FALSE
+      |    FROM base WHERE k % 11 = 0 AND k % 7 <> 0
+      |  UNION ALL SELECT k, ck, 'Z', tp, 0, 3, FALSE
+      |    FROM base WHERE k % 13 = 0 AND k % 11 <> 0 AND k % 7 <> 0
+      |  UNION ALL SELECT k + 200000000, ck, st, tp, 3, 3, TRUE
+      |    FROM base WHERE k % 5000 = 0),
+      |w AS (
+      |  SELECT *, ROW_NUMBER() OVER (
+      |    PARTITION BY k ORDER BY ver DESC, b DESC) AS rn
+      |  FROM rows0)
+      |SELECT k AS o_orderkey, ck AS o_custkey, st AS o_orderstatus,
+      |  tp AS o_totalprice, ver
+      |FROM w WHERE rn = 1 AND NOT del ORDER BY o_orderkey""".stripMargin
+
+  // ---- q110: SCD-2 history end-state ----
+
+  /** q110: four scd2 batches — bootstrap; changes + payload-identical
+    * rows (suppression); tombstones; then post-tombstone re-inserts
+    * and LATE rows — and the final interval history under the oracle.
+    * Exercises [[Merge.scd2]]'s whole semantic matrix: change closes
+    * and opens; payload-identical row suppressed (and leaves NO
+    * high-water-mark trace — the accepted-late case below rests on
+    * that); tombstone closes without opening; re-insert after
+    * tombstone NOT suppressed though payload-identical; a late row at
+    * or below the key's whole-history high-water mark dropped (odd
+    * k%45 keys: tombstoned at 3, so the ver-2 'L' row must die), but
+    * a late row ABOVE a key's mark lands retroactively (odd non-%5
+    * k%9 keys: mark still 1, the ver-2 'L' row must close [1,2) and
+    * open [2,∞)).
+    *
+    * Sequential-equals-one-shot note (what lets a window-function
+    * oracle verify a four-merge sequence): a suppressed row carries
+    * the SAME payload as the surviving state it duplicated, so
+    * comparing any row to its RAW-sequence predecessor — exactly what
+    * the engine's own lag does within one merge — decides keep/drop
+    * identically whether or not suppressed intermediates are present;
+    * and the oracle's (ver, batch) ordering reproduces arrival order
+    * for the one deliberately-late row family.
+    */
+  def q110(s: SparkSession, dir: String): DataFrame = {
+    val t = base(s, dir).drop("o_custkey")
+    val k = col("o_orderkey")
+    val target = scratch(s, "q110")
+    def stamp(df: DataFrame, ver: Long, del: Boolean): DataFrame =
+      df.withColumn("ver", lit(ver)).withColumn("del", lit(del))
+    val b1 = stamp(t, 1L, del = false)
+    val b2 = stamp(
+      t.filter(k % 2 === 0).select(k,
+        when(k % 4 === 0, lit("X")).otherwise(col("o_orderstatus"))
+          .as("o_orderstatus"),
+        col("o_totalprice")),
+      2L, del = false)
+    val b3 = stamp(t.filter(k % 5 === 0), 3L, del = true)
+    val b4 = stamp(t.filter(k % 10 === 0), 4L, del = false)
+      .unionByName(stamp(
+        t.filter(k % 9 === 0 && k % 2 === 1)
+          .select(k, lit("L").as("o_orderstatus"), col("o_totalprice")),
+        2L, del = false))
+    for (b <- Seq(b1, b2, b3, b4))
+      Merge.scd2(s, target, b, Seq("o_orderkey"), "ver", Some("del"))
+    s.catalog.refreshByPath(target)
+    s.read.parquet(target)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+        col("_valid_from"), col("_valid_to"),
+        col("_is_current").cast("bigint").as("_is_current"))
+      .orderBy(col("o_orderkey"), col("_valid_from"))
+  }
+
+  /** DuckDB mirror of q110: union all batch rows (minus the late rows
+    * the engine's high-water-mark gate drops — odd k%45: tombstoned
+    * at ver 3 before the ver-2 row arrived), then ONE per-key fold in
+    * (ver, batch) order: lag over the RAW sequence decides keep/drop
+    * (the engine's own rule), lead over SURVIVORS closes intervals,
+    * tombstones close and vanish.
+    */
+  val q110Sql: String =
+    """WITH base AS (
+      |  SELECT o_orderkey k, o_orderstatus st, o_totalprice tp FROM orders),
+      |rows0 AS (
+      |  SELECT k, st, tp, CAST(1 AS BIGINT) AS ver, 1 AS b, FALSE AS del
+      |  FROM base
+      |  UNION ALL SELECT k, CASE WHEN k % 4 = 0 THEN 'X' ELSE st END, tp,
+      |      2, 2, FALSE
+      |    FROM base WHERE k % 2 = 0
+      |  UNION ALL SELECT k, st, tp, 3, 3, TRUE FROM base WHERE k % 5 = 0
+      |  UNION ALL SELECT k, st, tp, 4, 4, FALSE FROM base WHERE k % 10 = 0
+      |  UNION ALL SELECT k, 'L', tp, 2, 4, FALSE
+      |    FROM base WHERE k % 9 = 0 AND k % 2 = 1 AND k % 5 <> 0),
+      |lagd AS (
+      |  SELECT *,
+      |    LAG(st) OVER w AS p_st, LAG(tp) OVER w AS p_tp,
+      |    LAG(del) OVER w AS p_del
+      |  FROM rows0 WINDOW w AS (PARTITION BY k ORDER BY ver, b)),
+      |kept AS (
+      |  SELECT * FROM lagd
+      |  WHERE CASE WHEN p_del IS NULL OR p_del THEN NOT del
+      |        ELSE del OR st <> p_st OR tp <> p_tp END),
+      |iv AS (
+      |  SELECT k, st, tp, del, ver AS vf,
+      |    LEAD(ver) OVER (PARTITION BY k ORDER BY ver, b) AS vt
+      |  FROM kept)
+      |SELECT k AS o_orderkey, st AS o_orderstatus, tp AS o_totalprice,
+      |  vf AS _valid_from, vt AS _valid_to,
+      |  CAST(vt IS NULL AS BIGINT) AS _is_current
+      |FROM iv WHERE NOT del ORDER BY o_orderkey, _valid_from""".stripMargin
+
+  val entries: Seq[Entry] = Seq(
+    Entry("q109_upsert_face", q109, Some(q109Sql)),
+    Entry("q110_scd2_face", q110, Some(q110Sql)))
+}
