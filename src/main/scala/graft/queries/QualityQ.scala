@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.expr
 
 import graft.Tables
 import graft.quality.Checks
@@ -43,6 +44,41 @@ object QualityQ {
 
   val q108Sql: String = Checks.reportSql("orders", OrdersSuite)
 
+  /** q111: the REFERENTIAL-INTEGRITY face — [[Checks.InForeignKey]]
+    * over orders against the customer dimension, with an injected
+    * orphan slice (every o_orderkey % 100 == 0 row gets a NEGATED
+    * custkey in a derived `cust2` column, absent from customer by
+    * construction) so BOTH arms run under the oracle: the untouched
+    * o_custkey passes (TPC-H referential integrity holds), the
+    * derived column fails with the exact orphan count. The FK metric
+    * is the suite's documented second pass: a broadcast anti-probe
+    * against the distinct customer keys, cross-joined onto the fused
+    * single-scan metrics row — the SQL face keeps the whole suite in
+    * one SELECT via an uncorrelated NOT IN subquery.
+    */
+  val FkInject = "CASE WHEN o_orderkey % 100 = 0 THEN -o_custkey " +
+    "ELSE o_custkey END"
+
+  val FkSuite: Seq[Constraint] = Seq(
+    InForeignKey("o_custkey", "customer", "c_custkey"), // passes
+    InForeignKey("cust2", "customer", "c_custkey"),     // injected orphans
+    NotNull("cust2"),
+    Complete("o_custkey", 1.0))
+
+  def q111(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    val audited = t.orders.withColumn("cust2", expr(FkInject))
+    Checks.report(audited, FkSuite, {
+      case "customer" => t.customer
+      case other => throw new IllegalArgumentException(
+        s"q111 resolver knows only customer, got $other")
+    })
+  }
+
+  val q111Sql: String = Checks.reportSql(
+    s"(SELECT *, $FkInject AS cust2 FROM orders) AS audited", FkSuite)
+
   val entries: Seq[Entry] = Seq(
-    Entry("q108_data_checks", q108, Some(q108Sql)))
+    Entry("q108_data_checks", q108, Some(q108Sql)),
+    Entry("q111_fk_checks", q111, Some(q111Sql)))
 }

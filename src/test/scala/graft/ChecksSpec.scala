@@ -78,6 +78,38 @@ class ChecksSpec extends SparkSpec {
       sql.contains("WHEN CAST(COUNT(v) AS DOUBLE)"), sql)
   }
 
+  test("in_foreign_key: orphans counted, null FKs and null ref keys excluded; plain report() refuses without a resolver") {
+    import spark.implicits._
+    val dim = Seq(Some(7L), Some(8L), None).toDF("ref_id")
+    // dupKey values: 7,7,NULL,NULL -> two non-null refs hit 7; the
+    // NULLs are optional references, not orphans. id 1-4: ids 1,2 are
+    // orphans vs dim {7,8}
+    val rows = Checks.report(fixture, Seq(
+      InForeignKey("dupKey", "dim", "ref_id"),
+      InForeignKey("id", "dim", "ref_id")),
+      { case "dim" => dim })
+      .collect().map(r => r.getString(1) -> ((r.getDouble(2), r.getLong(3))))
+      .toMap
+    assert(rows("dupKey") == ((0.0, 1L)), "non-null 7s match, NULLs skip")
+    assert(rows("id") == ((4.0, 0L)), "all four ids are orphans vs {7,8}")
+    // mixed with scan-fused constraints: same single action, suite order
+    val mixed = Checks.report(fixture,
+      Seq(NotNull("id"), InForeignKey("dupKey", "dim", "ref_id"),
+        RowsBetween(1, 10)), { case "dim" => dim }).collect()
+    assert(mixed.map(_.getString(0)).toSeq ==
+      Seq("not_null", "in_foreign_key", "rows_between"))
+    assert(mixed(1).getLong(3) == 1L)
+    // no resolver -> loud refusal naming the table
+    val e = intercept[IllegalArgumentException] {
+      Checks.report(fixture, Seq(InForeignKey("id", "dim", "ref_id")))
+        .collect()
+    }
+    assert(e.getMessage.contains("dim"), e.getMessage)
+    // generated SQL face: uncorrelated NOT IN with nulls excluded
+    val sql = Checks.reportSql("t", Seq(InForeignKey("a", "d", "b")))
+    assert(sql.contains("a NOT IN (SELECT b FROM d WHERE b IS NOT NULL)"))
+  }
+
   test("rows_between: same metric under two thresholds, suite order kept") {
     val rows = Checks.report(fixture,
       Seq(RowsBetween(1, 4), RowsBetween(5, 9))).collect()
