@@ -12,12 +12,14 @@ import org.apache.spark.sql.SparkSession
   * final line is now HEADLINE-ONLY (<300B: total/failed/warmup/reps/
   * n_queries/sf) and carries NO per-query map, so it can never outgrow a
   * capture no matter how many queries register. Directly above it (round
-  * 10 order — a 2KB tail must hold headline + spread + most medians) sits
-  * the top-10-widest [min,max] rep-spread line, then above that the full
-  * per-query 3-decimal medians line — each a self-contained
-  * single-JSON-object line — and the full-precision everything (including
-  * ALL queries' min/max) is written verbatim to target/bench_full.json
-  * (never truncated) plus an early stdout line. Each line is independently
+  * 11 order — a 2KB tail must hold headline + spread + warmup breakdown
+  * + a tail of the medians) sits the top-10-widest [min,max] rep-spread
+  * line, above that the per-warm-item seconds line (so a warmup jump in
+  * the official artifact is attributable), then the full per-query
+  * 3-decimal medians line — each a self-contained single-JSON-object
+  * line — and the full-precision everything (including ALL queries'
+  * min/max) is written verbatim to target/bench_full.json (never
+  * truncated) plus an early stdout line. Each line is independently
   * parseable: a reader takes the last line for the headline and scans
   * earlier lines for the "queries"/"spread" keys it wants.
   *
@@ -59,10 +61,21 @@ object Bench {
     // inside one try, silently unwarming every entry after it — so part
     // of the measured medians included the first-run codegen the warmup
     // exists to exclude. Each item now fails alone.
-    def warm(body: => Unit): Unit =
+    // Per-item ATTRIBUTION (round 11): warmup was a single
+    // undifferentiated number, so when the official r10 artifact
+    // showed it jumping 26s -> 56s nothing could say which item (or
+    // machine churn) ate the difference. Each item's seconds are
+    // recorded and emitted as their own JSON line below.
+    val warmItems = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+    def warm(label: String)(body: => Unit): Unit = {
+      val t0 = System.nanoTime()
       try body catch { case _: Throwable => () }
+      warmItems += label -> (System.nanoTime() - t0) / 1e9
+    }
     val t = Tables(spark, sfDir)
-    warm(t.lineitem.count()); warm(t.documents.count()); warm(t.embeddings.count())
+    warm("t_lineitem") { t.lineitem.count(); () }
+    warm("t_documents") { t.documents.count(); () }
+    warm("t_embeddings") { t.embeddings.count(); () }
     // q59 warms the LineDedup family (q59-q62): round 5 had no
     // representative, so q62's first measured rep paid the family's
     // whole-stage codegen inside measurement (one 21.6s driver rep).
@@ -73,7 +86,7 @@ object Bench {
     Seq("q01_agg_pricing", "q22_sessionize", "q31_dedup_minhash",
         "q34_embed_cosine_topk", "q45_hll_distinct", "q59_line_dedup",
         "q74_substr_spans", "q86_trigram_backoff", "q84_url_normalize")
-      .foreach(q => warm(SparkEntry.queries(q)(spark, sfDir).count()))
+      .foreach(q => warm(q) { SparkEntry.queries(q)(spark, sfDir).count(); () })
     val warmupSec = (System.nanoTime() - wu0) / 1e9
     val names = SparkEntry.queries.keys.toSeq.sorted
     // samples(name) = seconds per rep; a failed rep records -1 and the
@@ -125,6 +138,15 @@ object Bench {
     println(fullJson)
     // per-query 3-decimal medians: one self-contained JSON object line
     println(s"""{"queries":${jmapShort(med)}}""")
+    // warmup attribution (round 11): one self-contained JSON line of
+    // per-item seconds, sitting between the medians and the spread so
+    // the driver's ~2KB tail-capture holds it — a warmup jump in the
+    // official artifact is then triageable to an item (an index build
+    // landing in warmup, one slow family) vs broad machine churn
+    // (every item uniformly inflated)
+    println(warmItems
+      .map { case (n, s2) => "\"" + n + "\":" + d3(s2) }
+      .mkString("{\"warmup\":{", ",", "}}"))
     // rep-spread line: [min,max] at 3 decimals for the TOP-10 widest
     // spreads only, one self-contained JSON object, CI-parseable on its
     // own — lets a churn round (official artifact inflated, code

@@ -39,22 +39,25 @@ object ScaleCheck {
 
   val Heavy: Seq[String] = Seq(
     "q31_dedup_minhash", "q33_ngram_jaccard", "q53_neardup_components",
-    "q74_substr_spans", "q95_substr_refine", "q96_simjoin")
-  // NOT here: q103_closure — its chain injection (parent = id − 1,
-  // roots at id ≡ 0 mod 97) assumes CONTIGUOUS-from-0 doc_ids, and
-  // the salted sf1 copies live at id + k·10⁸, so copy-boundary ids
-  // would reference missing parents and the operator (correctly)
-  // refuses. Its scale shape is argued structurally instead: round
-  // count stays ⌈log₂ depth⌉ (depth ≤ 96 at any SF) and each round
-  // is one co-keyed exchange linear in the node count.
+    "q74_substr_spans", "q95_substr_refine", "q96_simjoin",
+    // r11 additions, closing the stale-list gap the r10 verdict
+    // flagged: q77 (the registered artifact-served pick — its build
+    // rep embeds q53, the min-of-reps measures the pick stage) and
+    // q103 (its chain injection went slice-local in r11: roots at
+    // (id mod 10⁸) ≡ 0 mod 97, so the salted copies root their first
+    // id instead of dangling a parent into the previous copy).
+    // q68's kernel is measured separately below — its scale knob is
+    // the CLUSTER COUNT, which the oracle-pinned registered entry
+    // cannot move.
+    "q77_cluster_pick", "q103_closure")
 
   /** Generator version, stamped beside the corpus: a cached dir from
     * an OLDER generator (e.g. the clique-structured v1) must be
     * regenerated, not silently reused — stale duplicate structure
     * makes every ratio below unreadable. Bump on any semantic change
-    * to [[buildSf1]].
+    * to [[buildSf1]]. (v3: adds the 10× embeddings table.)
     */
-  val CorpusGen = 2
+  val CorpusGen = 3
 
   /** Deterministic 10× documents table at `$dst/documents.parquet`.
     * Reused across runs only when its `_gen` marker matches
@@ -93,6 +96,20 @@ object ScaleCheck {
     }
     copies.reduce(_ unionByName _)
       .write.mode(SaveMode.Overwrite).parquet(s"$dst/documents.parquet")
+    // 10× embeddings: VERBATIM copies at offset vec_ids. Identical
+    // coordinates are exactly what the semantic-dedup scale check
+    // wants: with k scaled 10× alongside the corpus, k-means splits
+    // the same regions into ~10× spatial cells — each cell covers
+    // ~1/10 the distinct coordinates × 10 copies, so cluster SIZE
+    // stays ~constant and within-cluster pair volume grows ~10×
+    // (linear). A super-linear pair ratio here is therefore the
+    // operator, not the corpus.
+    val e = spark.read.parquet(s"$src/embeddings.parquet")
+    (0 until 10).map { k =>
+      e.select((col("vec_id") + k * 100000000L).as("vec_id"),
+        col("embedding"))
+    }.reduce(_ unionByName _)
+      .write.mode(SaveMode.Overwrite).parquet(s"$dst/embeddings.parquet")
     val w = new java.io.PrintWriter(marker, "UTF-8")
     try w.print(CorpusGen) finally w.close()
   }
@@ -130,7 +147,7 @@ object ScaleCheck {
     val report = new StringBuilder
     def line(s: String): Unit = { println(s); report.append(s).append('\n') }
 
-    def measure(dir: String, tag: String): Map[String, Double] = {
+    def measure(dir: String, tag: String, kSem: Int): Map[String, Double] = {
       // warm the operator families once so JIT/codegen doesn't bill to
       // whichever query runs first (the Bench discipline)
       try { SparkEntry.queries("q31_dedup_minhash")(spark, dir).count() }
@@ -139,7 +156,15 @@ object ScaleCheck {
         val (sec, rows) = time(SparkEntry.queries(name)(spark, dir), reps)
         name -> (sec, rows)
       }
-      val qs = entries.map { case (n, (s, r)) =>
+      // q68's kernel at the SCALED cluster count (k ∝ N — the
+      // operator's own 100 TB contract; the oracle-pinned registered
+      // entry cannot move k, so it is measured via the kernel)
+      val embFrame = graft.queries.VecQ.embProjection(
+        spark.read.parquet(s"$dir/embeddings.parquet"))
+      val (semSec, semRows) = time(
+        graft.queries.VecQ.semanticDedup(embFrame, k = kSem), reps)
+      val all = entries :+ ("q68_semantic_dedup" -> (semSec, semRows))
+      val qs = all.map { case (n, (s, r)) =>
         s""""$n":{"sec":${d3(s)},"rows":$r}""" }.mkString(",")
       // candidate telemetry: the volumes the filter arguments rest on
       val docs = Tables(spark, dir).documents
@@ -149,14 +174,23 @@ object ScaleCheck {
         graft.queries.SimQ.SimShingle, graft.queries.SimQ.SimNum,
         graft.queries.SimQ.SimDen)
       val sjCand = try sj.candidates.count() finally sj.release()
-      line(s"""{"scale":"$tag","dir":"$dir","queries":{$qs},"candidates":{"q31_lsh":$lshCand,"q96_prefix":$sjCand}}""")
-      entries.map { case (n, (s, _)) => n -> s }.toMap ++
-        Map("cand_q31" -> lshCand.toDouble, "cand_q96" -> sjCand.toDouble)
+      // semantic-dedup pair volume: Σ n·(n−1)/2 over the k-means
+      // cluster sizes — the within-cluster join's candidate count
+      val (assigned, _) = graft.queries.VecQ.kmeansIndex(
+        embFrame, k = kSem, iters = 2)
+      val semCand = assigned.groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("n"))
+        .agg(sum(col("n") * (col("n") - 1) / 2)).head().getDouble(0).toLong
+      line(s"""{"scale":"$tag","dir":"$dir","k_sem":$kSem,"queries":{$qs},"candidates":{"q31_lsh":$lshCand,"q96_prefix":$sjCand,"q68_pairs":$semCand}}""")
+      all.map { case (n, (s, _)) => n -> s }.toMap ++
+        Map("cand_q31" -> lshCand.toDouble, "cand_q96" -> sjCand.toDouble,
+          "cand_q68" -> semCand.toDouble)
     }
 
-    val base = measure(src, "sf0.1")
-    val big = measure(dst, "sf1")
-    val ratios = (Heavy ++ Seq("cand_q31", "cand_q96")).map { n =>
+    val base = measure(src, "sf0.1", kSem = 16)
+    val big = measure(dst, "sf1", kSem = 160)
+    val ratios = (Heavy ++ Seq("q68_semantic_dedup",
+      "cand_q31", "cand_q96", "cand_q68")).map { n =>
       val r = if (base(n) > 0) big(n) / base(n) else -1.0
       s""""$n":${d3(r)}"""
     }.mkString(",")

@@ -1206,11 +1206,16 @@ object CoreB {
     * [[graft.operators.Hierarchy.closure]] operator (pointer doubling
     * with convergence detection) under the driver's DuckDB oracle,
     * on an injection q92's fixed 6-round unroll PROVABLY cannot
-    * answer: deterministic chains of length up to 96 (roots at
-    * doc_id ≡ 0 mod 97, every other node's parent is doc_id − 1), so
-    * depths reach 96 > 64 = 2⁶ and q92's per-row root guard would
-    * raise. closure stops by itself when no pointer moves (⌈log₂ 96⌉
-    * = 7 doubling rounds here — unknown to the query).
+    * answer: deterministic chains of length up to 96 (roots where
+    * doc_id mod 10⁸ ≡ 0 mod 97, every other node's parent is
+    * doc_id − 1), so depths reach 96 > 64 = 2⁶ and q92's per-row root
+    * guard would raise. closure stops by itself when no pointer moves
+    * (⌈log₂ 96⌉ = 7 doubling rounds here — unknown to the query).
+    * The root rule is SLICE-LOCAL (mod 10⁸ first — a no-op for every
+    * driver corpus, whose ids sit far below 10⁸) so the ScaleCheck
+    * sf1 corpus, whose salted copies live at id + k·10⁸, roots each
+    * copy's first id instead of dangling its parent into the previous
+    * copy and (correctly) tripping the row-conservation refusal.
     *
     * Scale shape: the operator's own — per round ONE co-keyed
     * self-equi-join exchanging (id, anc, d) triples, round state
@@ -1221,7 +1226,8 @@ object CoreB {
     graft.operators.Hierarchy.closure(
       Tables(s, dir).documents.select(
         col("doc_id").as("id"),
-        when(pmod(col("doc_id"), lit(97)) === 0, lit(null).cast("long"))
+        when(pmod(pmod(col("doc_id"), lit(100000000L)), lit(97)) === 0,
+          lit(null).cast("long"))
           .otherwise(col("doc_id") - 1).as("parent")))
       .select(col("id").as("doc_id"), col("root_id"), col("depth"))
       .orderBy(col("doc_id"))
@@ -1229,7 +1235,8 @@ object CoreB {
   val q103Sql: String =
     """WITH RECURSIVE nodes AS (
       |  SELECT doc_id AS id,
-      |    CASE WHEN doc_id % 97 = 0 THEN NULL ELSE doc_id - 1 END AS parent
+      |    CASE WHEN (doc_id % 100000000) % 97 = 0 THEN NULL
+      |         ELSE doc_id - 1 END AS parent
       |  FROM documents),
       |r AS (
       |  SELECT id, id AS root_id, CAST(0 AS BIGINT) AS depth

@@ -47,9 +47,14 @@ object VecQ {
   /** Corpus projection: doubles + precomputed norm (norms are reused
     * across every pair; recomputing per pair doubles the kernel cost).
     */
-  private def emb(t: Tables): DataFrame =
-    t.embeddings
-      .select(col("vec_id"), toDoubles(col("embedding")).as("v"))
+  private def emb(t: Tables): DataFrame = embProjection(t.embeddings)
+
+  /** The same projection over any (vec_id, embedding) frame —
+    * ScaleCheck's entry into [[semanticDedup]] for its synthetic 10×
+    * embeddings table.
+    */
+  private[graft] def embProjection(raw: DataFrame): DataFrame =
+    raw.select(col("vec_id"), toDoubles(col("embedding")).as("v"))
       .withColumn("nrm", VecExprs.l2(col("v")))
 
   /** q34: brute-force cosine top-k — the exact baseline. The query
@@ -237,7 +242,7 @@ object VecQ {
     * rounds. Returns (the projected corpus with its cluster
     * assignment attached as `idx`, the final centroids).
     */
-  private def kmeansIndex(e: DataFrame, k: Int, iters: Int)
+  private[graft] def kmeansIndex(e: DataFrame, k: Int, iters: Int)
       : (DataFrame, Seq[Center]) = {
     var centroids: Seq[Center] = VecKmeans.collectCenters(
       e.filter(col("vec_id") < k)
@@ -369,9 +374,21 @@ object VecQ {
     */
   private val SemDedupThreshold = 0.3
 
-  def q68(s: SparkSession, dir: String): DataFrame = {
-    val e = emb(Tables(s, dir))
-    val (assigned, _) = kmeansIndex(e, k = 16, iters = 2)
+  def q68(s: SparkSession, dir: String): DataFrame =
+    semanticDedup(emb(Tables(s, dir)), k = 16, iters = 2)
+
+  /** The q68 kernel with the cluster count as a parameter — the
+    * registered entry pins k = 16 (the oracle's unrolled CTE build),
+    * but k IS the scale knob: SemDeDup keeps clusters bounded by
+    * growing k with N (50k at LAION scale), so a 10× corpus runs 10×
+    * the clusters at the SAME cluster size and the within-cluster
+    * pair volume grows linearly, not quadratically. ScaleCheck
+    * measures exactly that: this kernel at sf1 with k scaled 10×.
+    * Input: (vec_id, v, nrm) — the [[emb]] projection.
+    */
+  private[graft] def semanticDedup(e: DataFrame, k: Int,
+                                   iters: Int = 2): DataFrame = {
+    val (assigned, _) = kmeansIndex(e, k = k, iters = iters)
     val lhs = assigned.select(col("cluster_id"), col("vec_id"),
       col("v"), col("nrm"))
     val rhs = assigned.select(col("cluster_id"),
