@@ -235,7 +235,77 @@ object MergeQ {
       |  CAST(vt IS NULL AS BIGINT) AS _is_current
       |FROM iv WHERE NOT del ORDER BY o_orderkey, _valid_from""".stripMargin
 
+  // ---- q112: temporal (as-of-each-fact) join against SCD-2 history ----
+
+  /** q112: [[Merge.temporalJoin]] under the oracle — the stretch face
+    * the r10 verdict asked for. A customer-segment SCD-2 history is
+    * built from three deterministic batches (bootstrap at version 1,
+    * re-segment every c_custkey%3 key to 'S2' at version 3, tombstone
+    * every %7 key at version 5), then every order joins the segment
+    * that was current AT ITS OWN fact version fv = o_orderkey mod 7
+    * (0..6 — spanning BEFORE the first interval, each interval, the
+    * half-open change boundary at exactly 3, and the post-tombstone
+    * gap at ≥5); every %500 order gets a NEGATED key (unknown
+    * dimension). keepUnmatched keeps all five null-seg families as
+    * audit rows. The engine runs the real scd2 fold + interval join;
+    * the oracle is the closed-form truth table the constructed
+    * history implies — any drift in interval arithmetic, the
+    * half-open convention, tombstone gaps or unmatched handling
+    * breaks the hash.
+    *
+    * Scale shape: temporalJoin's own — ONE equi-join on the key
+    * (interval rows ≪ facts, AQE-broadcast) plus the interval
+    * filter; never a range join over time.
+    */
+  def q112(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables(s, dir).customer
+      .select(col("c_custkey"), col("c_mktsegment").as("seg"))
+    val ck = col("c_custkey")
+    val target = scratch(s, "q112")
+    def stamp(df: DataFrame, ver: Long, del: Boolean): DataFrame =
+      df.withColumn("ver", lit(ver)).withColumn("del", lit(del))
+    Merge.scd2(s, target, stamp(c, 1L, del = false),
+      Seq("c_custkey"), "ver", Some("del"))
+    Merge.scd2(s, target,
+      stamp(c.filter(ck % 3 === 0).withColumn("seg", lit("S2")),
+        3L, del = false),
+      Seq("c_custkey"), "ver", Some("del"))
+    Merge.scd2(s, target, stamp(c.filter(ck % 7 === 0), 5L, del = true),
+      Seq("c_custkey"), "ver", Some("del"))
+    s.catalog.refreshByPath(target)
+    val hist = s.read.parquet(target)
+    val k = col("o_orderkey")
+    val facts = Tables(s, dir).orders.select(
+      k,
+      when(k % 500 === 0, -col("o_custkey")).otherwise(col("o_custkey"))
+        .as("c_custkey"),
+      pmod(k, lit(7)).cast("bigint").as("fv"))
+    Merge.temporalJoin(facts, hist, Seq("c_custkey"), col("fv"),
+      keepUnmatched = true)
+      .select(col("o_orderkey"), col("c_custkey"), col("fv"), col("seg"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** DuckDB mirror of q112: the truth table the constructed history
+    * implies, per fact — unknown key, before-first (fv=0),
+    * tombstone gap (%7 keys at fv≥5), half-open re-segment boundary
+    * (%3 keys at fv≥3 see 'S2'), else the original segment.
+    */
+  val q112Sql: String =
+    """SELECT o.o_orderkey,
+      |  CASE WHEN o.o_orderkey % 500 = 0 THEN -o.o_custkey
+      |       ELSE o.o_custkey END AS c_custkey,
+      |  CAST(o.o_orderkey % 7 AS BIGINT) AS fv,
+      |  CASE WHEN o.o_orderkey % 500 = 0 THEN NULL
+      |       WHEN o.o_orderkey % 7 = 0 THEN NULL
+      |       WHEN c.c_custkey % 7 = 0 AND o.o_orderkey % 7 >= 5 THEN NULL
+      |       WHEN c.c_custkey % 3 = 0 AND o.o_orderkey % 7 >= 3 THEN 'S2'
+      |       ELSE c.c_mktsegment END AS seg
+      |FROM orders o LEFT JOIN customer c ON c.c_custkey = o.o_custkey
+      |ORDER BY o.o_orderkey""".stripMargin
+
   val entries: Seq[Entry] = Seq(
     Entry("q109_upsert_face", q109, Some(q109Sql)),
-    Entry("q110_scd2_face", q110, Some(q110Sql)))
+    Entry("q110_scd2_face", q110, Some(q110Sql)),
+    Entry("q112_temporal_face", q112, Some(q112Sql)))
 }

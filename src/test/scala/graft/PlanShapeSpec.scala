@@ -494,9 +494,13 @@ class PlanShapeSpec extends SparkSpec {
     // q57/q86: a ONE-ROW broadcast corpus-count attaches via cross join
     // (the lazy alternative to a driver-side count() action)
     // q100/q105 join the same one-row corpus count (q105 is q100's
-    // scoring kernel over the persisted index — same nDocs device)
+    // scoring kernel over the persisted index — same nDocs device);
+    // q111: each InForeignKey's 1-ROW anti-probe count cross-joins
+    // onto the 1-row fused-metrics aggregate (the documented second
+    // pass — 1-row × 1-row, the same lazy-scalar device as q57/q86)
     val exempt = Set("q34_embed_cosine_topk", "q57_tfidf_terms",
-      "q86_trigram_backoff", "q100_ranked_search", "q105_ranked_indexed")
+      "q86_trigram_backoff", "q100_ranked_search", "q105_ranked_indexed",
+      "q111_fk_checks")
     SparkEntry.all.filterNot(e => exempt(e.name)).foreach { e =>
       val plan = e.run(spark, sf).queryExecution.sparkPlan.toString
       assert(!plan.contains("CartesianProduct"),
