@@ -40,8 +40,18 @@ object MergeQ {
     path
   }
 
+  /** The audited key slice: HALF the orders (o_orderkey % 8 < 4 —
+    * both parities and every residue class mod 3/4/5/7/9/10/11/13
+    * survive, so every semantic family below stays populated) — the
+    * faces verify merge MACHINERY, and each runs 3–4 full
+    * merge-publish cycles per invocation; the full table would let
+    * one scratch job dominate a 109-query bench without adding
+    * coverage. The oracle applies the same slice.
+    */
+  private val KeySlice = "o_orderkey % 8 < 4"
+
   private def base(s: SparkSession, dir: String): DataFrame =
-    Tables(s, dir).orders.select(
+    Tables(s, dir).orders.filter(expr(KeySlice)).select(
       col("o_orderkey"), col("o_custkey"),
       col("o_orderstatus"), col("o_totalprice"))
 
@@ -116,9 +126,9 @@ object MergeQ {
     * winners dropped.
     */
   val q109Sql: String =
-    """WITH base AS (
+    s"""WITH base AS (
       |  SELECT o_orderkey k, o_custkey ck, o_orderstatus st, o_totalprice tp
-      |  FROM orders),
+      |  FROM orders WHERE $KeySlice),
       |rows0 AS (
       |  SELECT k, ck, st, tp, CAST(1 AS BIGINT) AS ver, 1 AS b, FALSE AS del
       |  FROM base
@@ -205,8 +215,9 @@ object MergeQ {
     * tombstones close and vanish.
     */
   val q110Sql: String =
-    """WITH base AS (
-      |  SELECT o_orderkey k, o_orderstatus st, o_totalprice tp FROM orders),
+    s"""WITH base AS (
+      |  SELECT o_orderkey k, o_orderstatus st, o_totalprice tp
+      |  FROM orders WHERE $KeySlice),
       |rows0 AS (
       |  SELECT k, st, tp, CAST(1 AS BIGINT) AS ver, 1 AS b, FALSE AS del
       |  FROM base
@@ -258,7 +269,10 @@ object MergeQ {
     * filter; never a range join over time.
     */
   def q112(s: SparkSession, dir: String): DataFrame = {
+    // even keys only (the KeySlice rationale): odd-key facts become
+    // part of the unknown-dimension family, mirrored in the oracle
     val c = Tables(s, dir).customer
+      .filter(col("c_custkey") % 2 === 0)
       .select(col("c_custkey"), col("c_mktsegment").as("seg"))
     val ck = col("c_custkey")
     val target = scratch(s, "q112")
@@ -301,7 +315,9 @@ object MergeQ {
       |       WHEN c.c_custkey % 7 = 0 AND o.o_orderkey % 7 >= 5 THEN NULL
       |       WHEN c.c_custkey % 3 = 0 AND o.o_orderkey % 7 >= 3 THEN 'S2'
       |       ELSE c.c_mktsegment END AS seg
-      |FROM orders o LEFT JOIN customer c ON c.c_custkey = o.o_custkey
+      |FROM orders o LEFT JOIN
+      |  (SELECT * FROM customer WHERE c_custkey % 2 = 0) c
+      |  ON c.c_custkey = o.o_custkey
       |ORDER BY o.o_orderkey""".stripMargin
 
   val entries: Seq[Entry] = Seq(
