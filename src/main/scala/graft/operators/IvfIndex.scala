@@ -47,7 +47,19 @@ object IvfIndex {
     * batch-maintainer convention) then raises loudly — a held lock
     * means a live maintainer is mid-cycle, or a hard-killed one left
     * the marker behind (delete `<path>._graft_lock` after confirming
-    * no live writer).
+    * no live writer; a streaming sink restarted after a hard kill
+    * needs this BEFORE its replay can self-heal — the lock file
+    * survives the kill by design, exactly like the Snapshot
+    * maintainer lock).
+    *
+    * Atomicity assumption (shared with [[graft.pipeline]]'s Snapshot
+    * lock): `fs.create(overwrite = false)` must be an atomic
+    * create-if-absent. True on HDFS and conditional-put object
+    * stores; RawLocalFileSystem implements it as exists-then-create,
+    * so CROSS-PROCESS exclusion on a plain local/NFS filesystem is
+    * best-effort — two simultaneous acquisitions can both succeed.
+    * Single-process composition (one JVM running the stream and the
+    * batch policy) is exact everywhere.
     */
   def withIndexLock[T](spark: SparkSession, path: String,
                        waitMs: Long = 0L)(body: => T): T = {

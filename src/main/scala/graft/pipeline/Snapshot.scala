@@ -46,27 +46,38 @@ private[pipeline] object Snapshot {
   private def tmpPath(targetPath: String) = new Path(targetPath + "._graft_tmp")
   private def lockPath(targetPath: String) = new Path(targetPath + "._graft_lock")
 
-  private def acquireLock(fs: FileSystem, targetPath: String): Unit = {
+  private def acquireLock(fs: FileSystem, targetPath: String,
+                          waitMs: Long): Unit = {
     val p = lockPath(targetPath)
-    val ok =
-      try { fs.create(p, false).close(); true }
-      catch { case _: java.io.IOException => false }
-    if (!ok) throw new IllegalStateException(
-      s"snapshot maintainer lock already held at $p: another maintainer " +
-        "is mid-cycle on this target (the protocol is single-writer per " +
-        "path), or a previous maintainer was hard-killed. " +
-        "Verify no live maintainer runs, then Snapshot.forceUnlock the path.")
+    val deadline = System.nanoTime() + waitMs * 1000000L
+    var held = false
+    while (!held) {
+      held = try { fs.create(p, false).close(); true }
+             catch { case _: java.io.IOException => false }
+      if (!held) {
+        if (System.nanoTime() >= deadline) throw new IllegalStateException(
+          s"snapshot maintainer lock already held at $p: another maintainer " +
+            "is mid-cycle on this target (the protocol is single-writer per " +
+            "path), or a previous maintainer was hard-killed. " +
+            "Verify no live maintainer runs, then Snapshot.forceUnlock the path.")
+        Thread.sleep(100)
+      }
+    }
   }
 
   /** Run one whole maintain cycle (recover → read → merge → publish)
     * under the target's single-writer lock. The lock spans the FULL
     * critical section: what `body` reads is still the current
     * snapshot when it publishes, so concurrent maintainers cannot
-    * interleave into a lost update — the second fails at acquisition.
+    * interleave into a lost update — the second fails at acquisition
+    * (the batch default, waitMs = 0), or polls up to `waitMs` first
+    * (the streaming-sink composition, where a concurrent batch
+    * maintainer's cycle should be ridden out, not crash the query).
     */
-  def withMaintainerLock[T](fs: FileSystem, targetPath: String)
+  def withMaintainerLock[T](fs: FileSystem, targetPath: String,
+                            waitMs: Long = 0L)
                            (body: Lease => T): T = {
-    acquireLock(fs, targetPath)
+    acquireLock(fs, targetPath, waitMs)
     try body(new Lease(targetPath))
     finally forceUnlock(fs, targetPath)
   }

@@ -82,10 +82,10 @@ object ViewMaintain {
   def maintain(spark: SparkSession, viewPath: String,
                left: DataFrame, right: DataFrame,
                leftDelta: DataFrame, rightDelta: DataFrame,
-               spec: Spec): Unit = {
+               spec: Spec, lockWaitMs: Long = 0L): Unit = {
     val fs = new Path(viewPath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    Snapshot.withMaintainerLock(fs, viewPath) { lease =>
+    Snapshot.withMaintainerLock(fs, viewPath, lockWaitMs) { lease =>
       val exists = Snapshot.recoverAndExists(fs, viewPath, lease)
       if (!exists) {
         // bootstrap: the deltas are already IN the bases
@@ -154,6 +154,19 @@ object ViewMaintain {
     * LEFT column; it is encoded as the directory name (partition
     * discovery restores it on a whole-view read) and dropped from the
     * data files.
+    *
+    * Type caveat (the standard Spark partition-discovery drift, which
+    * this layout inherits): a whole-view `spark.read.parquet(viewPath)`
+    * RE-INFERS partCol's type from the directory names — an int64
+    * partCol reads back int32, and a numeric-LOOKING string value
+    * ('00123') comes back as the integer 123, silently changed.
+    * Consumers that need the exact build-time type must read with an
+    * explicit schema or set
+    * `spark.sql.sources.partitionColumnTypeInference.enabled=false`
+    * (partCol then reads as string); per-partition reads inside
+    * [[maintainPartitioned]] are unaffected (the value never
+    * round-trips through inference there — each repair uses the
+    * caller's typed value directly).
     */
   def buildPartitioned(spark: SparkSession, viewPath: String,
                        left: DataFrame, right: DataFrame, spec: Spec,
@@ -198,7 +211,8 @@ object ViewMaintain {
   def maintainPartitioned(spark: SparkSession, viewPath: String,
                           left: DataFrame, right: DataFrame,
                           leftDelta: DataFrame, rightDelta: DataFrame,
-                          spec: Spec, partCol: String): Unit = {
+                          spec: Spec, partCol: String,
+                          lockWaitMs: Long = 0L): Unit = {
     val l = left.cache()
     try {
       val drKeys = rightDelta.select(col(spec.rightJoinCol)).distinct()
@@ -211,7 +225,8 @@ object ViewMaintain {
         right.columns.toSeq, fromLeft.unionByName(fromRight)) { (v, partPath) =>
         maintain(spark, partPath,
           l.filter(col(partCol) === lit(v)).drop(partCol), right,
-          leftDelta.filter(col(partCol) === lit(v)), rightDelta, spec)
+          leftDelta.filter(col(partCol) === lit(v)), rightDelta, spec,
+          lockWaitMs)
       }
     } finally { l.unpersist(); () }
   }

@@ -520,6 +520,13 @@ object PrepQ {
     * multiply the corpus's most expensive iterative job by its fan-out.
     * q53's own registered entry stays the LIVE propagation — it is
     * the operator under oracle; only consumers share the artifact.
+    *
+    * Single-writer assumption (the Search.buildIndex convention): the
+    * delete-write-stamp sequence is not atomic and takes no lock — a
+    * second JVM racing it could read a partial directory. Fine for
+    * this cache's actual consumers (one sbt invocation at a time, the
+    * repo-wide convention); a shared production artifact would go
+    * through the pipeline Snapshot publish instead.
     */
   private def componentsArtifact(s: SparkSession, dir: String): DataFrame = {
     val base = java.nio.file.Paths.get("target/graft_components_cache")

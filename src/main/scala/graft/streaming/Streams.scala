@@ -1358,15 +1358,23 @@ object Streams {
     val left = spark.read.parquet(leftPath)
     val right = spark.read.parquet(rightPath)
     // the delta contributes keys (and the partition value) only; the
-    // version/delete columns are base-maintenance concerns
+    // version/delete columns are base-maintenance concerns.
+    // lockWaitMs: a concurrent DIMENSION-side repair (the documented
+    // composition) holds the view's maintainer lock for its own
+    // cycle; the micro-batch must ride that out rather than crash the
+    // streaming query — the Snapshot lock refuses immediately by
+    // default (the batch convention), so the wait is explicit here
     val leftDelta = batch.toDF()
+    val wait = 10L * 60 * 1000
     partCol match {
       case Some(pc) =>
         graft.pipeline.ViewMaintain.maintainPartitioned(spark, viewPath,
-          left, right, leftDelta, right.limit(0), spec, pc)
+          left, right, leftDelta, right.limit(0), spec, pc,
+          lockWaitMs = wait)
       case None =>
         graft.pipeline.ViewMaintain.maintain(spark, viewPath,
-          left, right, leftDelta, right.limit(0), spec)
+          left, right, leftDelta, right.limit(0), spec,
+          lockWaitMs = wait)
     }
     applied
   }
@@ -1378,8 +1386,16 @@ object Streams {
     * view repair idempotent by construction). Dimension-side changes
     * flow through the dimension's own batch maintainer plus a
     * `ViewMaintain.maintain`/`maintainPartitioned` call with the
-    * right-side delta — the view's single-writer lock serializes the
-    * two maintainers' cycles.
+    * right-side delta. Serialization against that dimension-side
+    * maintainer: the sink's micro-batches acquire the view lock with
+    * a 10-minute wait budget (riding out a concurrent batch cycle),
+    * while the batch side keeps the fail-fast default — pass a
+    * `lockWaitMs` to its maintain call too if its schedule can
+    * overlap a busy stream. A HARD KILL mid-cycle leaves the view's
+    * `._graft_lock` behind (the Snapshot convention): clear it with
+    * `Snapshot.forceUnlock` semantics (delete the lock file after
+    * confirming no live maintainer) before restarting the stream —
+    * the replayed batch then repairs idempotently.
     */
   def viewMaintainSink(stream: DataFrame, leftPath: String,
                        rightPath: String, viewPath: String,
@@ -1494,6 +1510,14 @@ object Streams {
     * a retrain can no longer swap away rows an append ledgered during
     * its rebuild window. While a retrain holds the lock, micro-batches
     * wait (up to the sink's 10-minute budget) instead of failing.
+    * HARD-KILL runbook: a kill mid-cycle leaves `<path>._graft_lock`
+    * behind (the Snapshot convention — the lock survives because the
+    * partial state it guards may too); delete it after confirming no
+    * live writer, THEN restart the stream — the replayed batch finds
+    * the pending marker and self-heals as documented on
+    * [[applyIvfAppendBatch]]. Without that step the replay waits out
+    * the lock budget and fails with the lock-file guidance rather
+    * than healing.
     */
   def ivfAppendSink(stream: DataFrame, path: String)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
