@@ -62,26 +62,10 @@ object IvfIndex {
     * batch policy) is exact everywhere.
     */
   def withIndexLock[T](spark: SparkSession, path: String,
-                       waitMs: Long = 0L)(body: => T): T = {
-    val fs = new Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val p = lockFile(path)
-    val deadline = System.nanoTime() + waitMs * 1000000L
-    var held = false
-    while (!held) {
-      held = try { fs.create(p, false).close(); true }
-             catch { case _: java.io.IOException => false }
-      if (!held) {
-        if (System.nanoTime() >= deadline) throw new IllegalStateException(
-          s"ivf index maintainer lock already held at $p: another " +
-            "maintainer (append / retrain / dedupe / buildPq) is " +
-            "mid-cycle on this index, or a previous one was hard-killed. " +
-            "Verify no live maintainer runs, then delete the lock file.")
-        Thread.sleep(200)
-      }
-    }
-    try body finally { fs.delete(p, false); () }
-  }
+                       waitMs: Long = 0L)(body: => T): T =
+    graft.util.PathLock.withLock(spark, path, waitMs,
+      what = "ivf index maintainer (append / retrain / dedupe / buildPq)")(
+      body)
 
   /** Uniform-in-[0,1) hash noise from (vec_id, round) — deterministic
     * across executors, no RNG state. Built on the native

@@ -125,110 +125,17 @@ object PrepQ {
       .scoredCandidates(NearDup.signatures(Tables(s, dir).documents),
         minEst = 0.5)
       .select(col("doc_a"), col("doc_b"))
-    val edges = pairs
-      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .cache()
-    // AQE stays ON for this loop, unlike Hierarchy.closure's: there
-    // the rounds are co-keyed self-joins where AQE's per-exchange
-    // driver round trips are pure overhead (measured 3.7×); here each
-    // round's label/neighbor frames are near-dup-graph-sized — tiny at
-    // small SF (AQE converts their joins to broadcasts at runtime,
-    // measured 2.6× faster than static shuffle plans) yet potentially
-    // billions of nodes at 100 TB, where AQE correctly keeps the
-    // shuffle. A static broadcast hint would encode one scale's answer;
-    // AQE re-decides per round from real sizes.
-    // `pinned` is the frame ACTUALLY cached each round; `labels` may
-    // be a projection over it — Dataset.unpersist only uncaches an
-    // exact plan match, so retiring the projection would silently
-    // leak every round's cache (the Hierarchy.closure lesson, pinned
-    // by its checkpoint-blocks spec)
-    var pinned = edges.select(col("src").as("node")).distinct()
-      .withColumn("lbl", col("node")).cache()
-    var labels = pinned
-    // rounds pinned but not yet retired (the Hierarchy.closure
-    // device): an UNOBSERVED round runs no action, so its predecessor
-    // cannot be unpersisted yet — dropping its cache entry before the
-    // successor materializes would recompute its joins for every
-    // branch of the next round that reads it
-    val pendingRounds =
-      scala.collection.mutable.ListBuffer.empty[DataFrame]
-    try {
-      var changed = 1L
-      var iters = 0
-      val maxIters = 50
-      while (changed > 0 && iters < maxIters) {
-        // neighbor min + label-doubling shortcut (lbl of lbl) in one
-        // round: propagation distance doubles per iteration, so
-        // convergence is O(log diameter) — a 50-round cap covers any
-        // graph that fits on disk
-        // the PREVIOUS label rides the aggregation itself (max over
-        // the self rows' tag; prop rows carry null, which max skips) —
-        // no third per-round join just to carry it, and the
-        // convergence check scans the cached frame instead of running
-        // its own join job against the old labels
-        val prop = edges.join(labels, edges("src") === labels("node"))
-          .select(col("dst").as("node"), col("lbl"),
-            lit(null).cast("long").as("_old"))
-        val nbr = labels
-          .select(col("node"), col("lbl"), col("lbl").as("_old"))
-          .union(prop)
-          .groupBy(col("node"))
-          .agg(min(col("lbl")).as("lbl"), max(col("_old")).as("_old"))
-        val short = nbr.alias("a")
-          .join(nbr.alias("b"), col("a.lbl") === col("b.node"), "left")
-          .select(col("a.node").as("node"),
-            least(col("a.lbl"), coalesce(col("b.lbl"), col("a.lbl")))
-              .as("lbl"),
-            col("a._old").as("_old"))
-        val next = short.cache()
-        iters += 1
-        // convergence is OBSERVED every 2nd round only, plus the final
-        // in-budget round (the Hierarchy.closure cadence): each
-        // observation is a full Spark action plus its AQE stage round
-        // trips, and at O(log diameter) total rounds, checking every
-        // round costs as many driver jobs as the propagation itself.
-        // The price is at most ONE overshoot round past convergence.
-        // Round 1 is never observed — it always changes something when
-        // edges exist.
-        val checked = iters % 2 == 0 || iters == maxIters
-        pendingRounds += pinned
-        pinned = next
-        labels = next.drop("_old")
-        if (checked) {
-          changed = next.filter(col("lbl") =!= col("_old")).count()
-          // next is materialized now: every older pinned round is
-          // retirable (later rounds read only next)
-          pendingRounds.foreach(_.unpersist())
-          pendingRounds.clear()
-        }
-      }
-      require(changed == 0,
-        s"q53 label propagation did not converge in $maxIters rounds")
-      // truncate the iterative lineage and release the loop cache: the
-      // returned plan must not re-run the whole propagation, and the
-      // final cache must not outlive the query. localCheckpoint blocks
-      // are freed by the ContextCleaner once unreferenced; RELIABLE
-      // checkpoint files are NOT (see the checkpointDir scaladoc —
-      // the caller owns that directory's lifecycle)
-      val finalLabels = checkpointDir match {
-        case Some(d) =>
-          s.sparkContext.setCheckpointDir(d)
-          labels.checkpoint(true)
-        case None => labels.localCheckpoint(true)
-      }
-      finalLabels
-        .select(col("node").as("doc_id"), col("lbl").as("component"),
-          (col("node") === col("lbl")).cast("bigint").as("is_canonical"))
-        .orderBy(col("doc_id"))
-    // the CURRENT round's cache is released on BOTH paths — a
-    // mid-loop failure (non-convergence, task error) must not leak
-    // the last pinned frame (or any unobserved pending round) into
-    // the session
-    } finally {
-      pendingRounds.foreach(_.unpersist())
-      pinned.unpersist(); edges.unpersist(); ()
-    }
+    // the propagation loop itself (round caching, every-2nd-round
+    // convergence observation, AQE rationale, lineage truncation)
+    // lives in [[graft.operators.LabelProp]] — ONE kernel shared with
+    // the incremental NearDupIndex maintainer, so the two cannot
+    // drift
+    graft.operators.LabelProp.components(pairs, "doc_a", "doc_b",
+        checkpointDir)
+      .select(col("node").as("doc_id"), col("component"),
+        (col("node") === col("component")).cast("bigint")
+          .as("is_canonical"))
+      .orderBy(col("doc_id"))
   }
 
   /** DuckDB mirror of q53: the q31 candidate chain, then a recursive
@@ -552,6 +459,57 @@ object PrepQ {
     s.read.parquet(data).select(col("doc_id"), col("component"))
   }
 
+  /** q113: the INCREMENTAL component index under q53's own oracle —
+    * [[graft.operators.NearDupIndex]] built from HALF the corpus
+    * (even doc_ids) and maintained with the other half, then the
+    * final labels read back. The oracle is exactly [[q53Sql]] (the
+    * one-shot recursive-CTE components over the FULL corpus), so the
+    * driver independently proves build → incremental-maintain →
+    * sharded-labels-read equals one-shot propagation: candidate
+    * parity across the split (old↔new bucket probes), anchor-edge
+    * relabeling, min-decreasing merges, and the partition-pruned
+    * label publish all sit under the hash check. (The only designed
+    * divergence is the hot-bucket cap boundary — a bucket over `cap`
+    * in the full corpus but under it in the build half; no driver
+    * corpus has such a bucket, and on real degenerate buckets both
+    * paths agree — see the operator scaladoc.)
+    */
+  def q113(s: SparkSession, dir: String): DataFrame = {
+    val path = "target/graft_q113_index"
+    // built ONCE per corpus CONTENT (the q104/q105 device — a
+    // persisted index's point is amortization; rebuilding per
+    // invocation would misstate its cost): the version file is
+    // written only after the build+maintain sequence completes, so a
+    // crashed sequence reads as stale and rebuilds
+    val vFile = java.nio.file.Paths.get(path + "._version")
+    val v = graft.util.ContentVersion.of(s, dir)
+    val fresh = java.nio.file.Files.exists(vFile) &&
+      new String(java.nio.file.Files.readAllBytes(vFile), "UTF-8") == v
+    if (!fresh) {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(p, true)
+      fs.delete(new org.apache.hadoop.fs.Path(path + "._graft_lock"), false)
+      java.nio.file.Files.deleteIfExists(vFile)
+      val docs = Tables(s, dir).documents
+      // nShards = 4 for the face: each maintained shard is one
+      // read-merge-publish cycle, and this corpus relabels across
+      // every shard — at 100 TB nShards is sized so a shard fits an
+      // executor, not for a 60k-doc oracle run
+      graft.operators.NearDupIndex.build(s, path,
+        docs.filter(pmod(col("doc_id"), lit(2)) === 0), minEst = 0.5,
+        nShards = 4)
+      graft.operators.NearDupIndex.maintain(s, path,
+        docs.filter(pmod(col("doc_id"), lit(2)) === 1))
+      java.nio.file.Files.write(vFile, v.getBytes("UTF-8"))
+    }
+    graft.operators.NearDupIndex.labels(s, path)
+      .select(col("doc_id"), col("component"),
+        (col("doc_id") === col("component")).cast("bigint")
+          .as("is_canonical"))
+      .orderBy(col("doc_id"))
+  }
+
   val entries: Seq[Entry] = Seq(
     Entry("q52_pii_scrub", q52, Some(q52Sql)),
     Entry("q53_neardup_components", (s, d) => q53(s, d), Some(q53Sql)),
@@ -559,5 +517,6 @@ object PrepQ {
     Entry("q76_markup_strip", q76, Some(q76Sql)),
     Entry("q77_cluster_pick",
       (s, d) => q77(s, d, componentsArtifact(s, d)), Some(q77Sql)),
+    Entry("q113_components_index", q113, Some(q53Sql)),
   )
 }

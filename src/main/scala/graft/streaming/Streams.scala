@@ -1412,6 +1412,47 @@ object Streams {
         ()
       }
 
+  /** One NEW-docs micro-batch folded into the persisted
+    * [[graft.operators.NearDupIndex]], exactly-once under micro-batch
+    * replay: the sidecar ledger refuses re-delivered batchIds before
+    * any job runs, and the crash window between the maintain and the
+    * ledger write is safe because the index's own crash contract IS
+    * "re-run the same batch" — the replay regenerates the same
+    * verified pairs, re-upserts the same labels (convergent) and only
+    * duplicates append-store rows (correctness-neutral bloat, see the
+    * operator scaladoc). Batch-layer maintains on the same index
+    * serialize through the shared [[graft.util.PathLock]]; the sink
+    * waits out a concurrent cycle instead of failing the query.
+    */
+  def applyNearDupIndexBatch(batch: DataFrame, batchId: Long,
+                             path: String): Boolean = {
+    val spark = batch.sparkSession
+    val ledger = batchLedgerPath(path)
+    val applied = readLedger(spark, ledger)
+    if (applied.contains(batchId)) return false
+    graft.operators.NearDupIndex.maintain(spark, path, batch,
+      lockWaitMs = 10L * 60 * 1000)
+    writeLedger(spark, ledger, applied + batchId)
+    true
+  }
+
+  /** Continuous near-dup component-index maintenance: a stream of NEW
+    * corpus docs (doc_id, text — ids disjoint from everything indexed,
+    * the corpus-append contract) keeps the [[graft.operators
+    * .NearDupIndex]] labels current, so downstream consumers (the
+    * cluster-pick, dedup gates, audits) always read fresh components
+    * without any corpus rescan. Build the index from the initial
+    * snapshot with `NearDupIndex.build` first.
+    */
+  def nearDupIndexSink(stream: DataFrame, path: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        applyNearDupIndexBatch(batch.toDF(), id, path)
+        ()
+      }
+
   // --- continuous ANN index maintenance (streaming IvfIndex.append) ---
 
   private def ivfPendingPath(path: String): String = s"$path._pending_batch"

@@ -1,0 +1,137 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.{LabelProp, NearDup, NearDupIndex}
+
+/** NearDupIndex: the incrementally-maintained component index must
+  * equal the one-shot q53-style components over the grown corpus at
+  * every step — new-doc joins, min-decreasing relabels, component
+  * MERGES through a bridging doc, crash re-runs — while rewriting
+  * only the label shards that actually changed.
+  *
+  * Fixture geometry (all deterministic — the minhash family is
+  * md5-seeded, no RNG): families are token sets; X and Y share a
+  * 36-token core plus 24 private tokens each, putting J(x, y) ≈ 0.41
+  * (below the 0.5 threshold → separate components), while the bridge
+  * carries the core plus 12 of each side's private tokens,
+  * J(bridge, ·) ≈ 0.66 to both (above threshold → links both) — the
+  * intransitive chain real near-dup graphs produce as documents
+  * evolve.
+  */
+class NearDupIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def toks(prefix: String, n: Int): Seq[String] =
+    (0 until n).map(i => s"$prefix$i")
+  private val core = toks("t", 36)
+  private val xPriv = toks("x", 24)
+  private val yPriv = toks("y", 24)
+  private def text(ts: Seq[String]): String = ts.mkString(" ")
+
+  private val tX = text(core ++ xPriv)
+  private val tY = text(core ++ yPriv)
+  private val tBridge = text(core ++ xPriv.take(12) ++ yPriv.take(12))
+  private val tC = text(toks("c", 60))
+  private val tD = text(toks("d", 60))
+
+  private def docs(rows: (Long, String)*): DataFrame =
+    rows.toSeq.toDF("doc_id", "text")
+
+  /** One-shot ground truth over the full corpus so far: the same
+    * kernels the index composes (signatures → scored candidates →
+    * label propagation).
+    */
+  private def oneShot(all: DataFrame, minEst: Double): Map[Long, Long] =
+    LabelProp.components(
+      NearDup.scoredCandidates(NearDup.signatures(all), minEst),
+      "doc_a", "doc_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  private def indexed(path: String): Map[Long, Long] =
+    NearDupIndex.labels(spark, path)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("incremental maintains == one-shot at every step: join, min-decrease, merge, crash re-run; untouched shards byte-identical") {
+    val path = Files.createTempDirectory("graft-ndidx").toString + "/idx"
+    val minEst = 0.5
+
+    // slice 1: X-family pair (ids 1,2), Y-family pair (ids 5,6),
+    // C-family pair on shard 7 (ids 7,15 — mod 8), a singleton (3)
+    val s1 = docs(1L -> tX, 2L -> (tX + " extra1"), 5L -> tY,
+      6L -> (tY + " extra2"), 7L -> tC, 15L -> (tC + " extra3"),
+      3L -> tD)
+    val st1 = NearDupIndex.build(spark, path, s1, minEst, nShards = 8)
+    assert(st1.newDocs == 7)
+    val after1 = indexed(path)
+    assert(after1 == oneShot(s1, minEst), s"build drift: $after1")
+    assert(after1 == Map(1L -> 1L, 2L -> 1L, 5L -> 5L, 6L -> 5L,
+      7L -> 7L, 15L -> 7L), s"fixture geometry broke: $after1")
+
+    // slice 2: a new X-member (101), a min-DECREASING Y-member (id 0
+    // < every Y id), a fresh singleton (102)
+    val s2 = docs(101L -> (tX + " extra4"), 0L -> (tY + " extra5"),
+      102L -> text(toks("e", 60)))
+    val st2 = NearDupIndex.maintain(spark, path, s2)
+    assert(st2.newDocs == 3 && st2.verifiedPairs >= 2)
+    val all2 = s1.unionByName(s2)
+    val after2 = indexed(path)
+    assert(after2 == oneShot(all2, minEst), s"maintain-1 drift: $after2")
+    // the Y component's canonical id DROPPED to the new min
+    assert(after2(5L) == 0L && after2(6L) == 0L && after2(0L) == 0L)
+    assert(!after2.contains(102L), "singletons are absent, not stored")
+
+    def shardFiles(k: Int): Map[String, Long] = {
+      val d = new java.io.File(s"$path/labels/shard=$k")
+      d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.lastModified()).toMap
+    }
+    // slice 3: the BRIDGE — links both the X component (min 1) and
+    // the Y component (min 0) without X and Y ever linking directly;
+    // everything relabels to the global min 0. The C family (shard 7)
+    // is untouched: its shard files must stay byte-identical.
+    val c7Before = shardFiles(7)
+    Thread.sleep(1100)
+    val s3 = docs(100L -> tBridge)
+    val st3 = NearDupIndex.maintain(spark, path, s3)
+    assert(st3.verifiedPairs >= 2, s"bridge must link both sides: $st3")
+    val all3 = all2.unionByName(s3)
+    val after3 = indexed(path)
+    assert(after3 == oneShot(all3, minEst), s"merge drift: $after3")
+    assert(Seq(1L, 2L, 5L, 6L, 100L, 101L).forall(after3(_) == 0L),
+      s"bridge must merge X and Y components to min 0: $after3")
+    assert(after3(7L) == 7L && after3(15L) == 7L)
+    assert(shardFiles(7) == c7Before,
+      "untouched component's label shard must not be rewritten")
+
+    // crash contract: re-running the SAME batch converges (duplicate
+    // store rows are correctness-neutral; labels unchanged)
+    NearDupIndex.maintain(spark, path, s3)
+    assert(indexed(path) == after3, "same-batch re-run must be a no-op")
+
+    // a maintain with no near-dup collisions at all: labels untouched
+    val st4 = NearDupIndex.maintain(spark, path,
+      docs(200L -> text(toks("f", 60))))
+    assert(st4.verifiedPairs == 0)
+    assert(indexed(path) == after3)
+  }
+
+  test("maintainer lock: a held lock refuses maintain; completed cycles leave no lock") {
+    val path = Files.createTempDirectory("graft-ndidx2").toString + "/idx"
+    NearDupIndex.build(spark, path, docs(1L -> tX, 2L -> (tX + " z")), 0.5)
+    val lock = new org.apache.hadoop.fs.Path(path + "._graft_lock")
+    val fs = lock.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(lock))
+    graft.util.PathLock.withLock(spark, path) {
+      val e = intercept[IllegalStateException] {
+        NearDupIndex.maintain(spark, path, docs(9L -> tY))
+      }
+      assert(e.getMessage.contains("lock"), e.getMessage)
+    }
+    NearDupIndex.maintain(spark, path, docs(9L -> tY))
+    assert(!fs.exists(lock))
+  }
+}

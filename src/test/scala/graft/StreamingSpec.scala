@@ -1114,6 +1114,49 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("nearDupIndexSink: streamed new docs keep the component index == one-shot; replay refused; crash re-run converges") {
+    implicit val s = spark
+    import s.implicits._
+    import graft.operators.{LabelProp, NearDup, NearDupIndex}
+    val dir = Files.createTempDirectory("stream-ndidx").toString
+    val idx = s"$dir/idx"
+    def toks(p: String, n: Int) = (0 until n).map(i => s"$p$i").mkString(" ")
+    val tA = toks("a", 60); val tB = toks("b", 60)
+    val s1 = Seq((1L, tA), (2L, tA + " x1"), (5L, tB)).toDF("doc_id", "text")
+    NearDupIndex.build(spark, idx, s1, minEst = 0.5, nShards = 4)
+    val input = MemoryStream[(Long, String)](spark)
+    val q = Streams.nearDupIndexSink(
+        input.toDF().toDF("doc_id", "text"), idx)
+      .option("checkpointLocation", s"$dir/ckpt").start()
+    try {
+      input.addData((10L, tA + " x2"), (6L, tB + " y1"))
+      q.processAllAvailable()
+      input.addData((0L, tB + " y2"), (20L, toks("c", 60)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val all = s1.unionByName(Seq((10L, tA + " x2"), (6L, tB + " y1"),
+      (0L, tB + " y2"), (20L, toks("c", 60))).toDF("doc_id", "text"))
+    def labels(): Map[Long, Long] = NearDupIndex.labels(spark, idx)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val oneShot = LabelProp.components(
+      NearDup.scoredCandidates(NearDup.signatures(all), 0.5),
+      "doc_a", "doc_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val after = labels()
+    assert(after == oneShot, s"streamed index drift: $after vs $oneShot")
+    assert(after(5L) == 0L, "min-decreasing streamed member must relabel")
+    // ledger refusal: a re-delivered batchId runs no job
+    val poison = Seq((999L, tA)).toDF("doc_id", "text")
+    assert(!Streams.applyNearDupIndexBatch(poison, 0L, idx))
+    assert(labels() == after)
+    // crash window (maintain done, ledger write lost): replaying the
+    // SAME rows under a fresh id converges — labels unchanged
+    val sameRows = Seq((0L, tB + " y2"), (20L, toks("c", 60)))
+      .toDF("doc_id", "text")
+    assert(Streams.applyNearDupIndexBatch(sameRows, 99L, idx))
+    assert(labels() == after, "same-batch replay must converge")
+  }
+
   test("temporalEnrich: streamed facts see the history state at their own version") {
     implicit val s = spark
     import s.implicits._
