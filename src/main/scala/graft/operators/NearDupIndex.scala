@@ -11,11 +11,17 @@ import org.apache.spark.sql.functions._
   * propagation over the WHOLE corpus per refresh is the O(corpus)
   * re-join the maintainer family exists to kill (StatsMaintain for
   * aggregates, ViewMaintain for joins — this is the same contract for
-  * near-dup clustering). [[maintain]] touches only the NEW docs'
-  * signatures, the LSH buckets they collide into, and the members of
-  * components those collisions reach; everything else — resident
-  * signatures, non-colliding buckets, unaffected label shards' files
-  * — is never read or rewritten.
+  * near-dup clustering). [[maintain]]'s WORK is delta-sized — only
+  * the NEW docs' signatures, the LSH buckets they collide into, and
+  * the members of components those collisions reach generate pairs or
+  * relabels; unaffected label shards' FILES are never rewritten
+  * (mtime-pinned). IO, stated honestly: each maintain runs one
+  * column-pruned scan each of the bands store (semi-probed by the
+  * batch's bucket keys), the sigs store (probed by matched ids) and
+  * the labels tree (row-pruned by touched components) — corpus-
+  * RESCAN-free, linear over the stores; at 100 TB, bucket bands/sigs
+  * by their probe keys so those scans prune to the probed buckets
+  * too.
   *
   * Layout under `path/`:
   *  - `labels/shard=K/…` — (doc_id, component), component = min
@@ -52,11 +58,15 @@ import org.apache.spark.sql.functions._
   * Crash contract (the [[graft.pipeline.Snapshot]] family's): every
   * entry point runs under the whole-cycle [[graft.util.PathLock]]; a
   * crashed maintain MUST be re-run with the SAME batch (the streaming
-  * sink's ledger guarantees this) — re-running converges: a doc's own
-  * duplicate band/sig rows from the crashed attempt can never pair
-  * with themselves (pairs require doc_a < doc_b), the label upsert
-  * re-publishes the same winners, and duplicate store rows only bloat
-  * (correctness-neutral; they re-propose already-deduped candidates).
+  * sink's ledger guarantees this) — re-running converges: the probe
+  * dedupes store rows and treats the batch's ids as purely new again,
+  * the label upsert re-publishes the same winners, and leftover
+  * duplicate store rows only bloat (correctness-neutral — the cap and
+  * candidates see DISTINCT docs). A HARD KILL can leave lock markers
+  * at BOTH levels — `<path>._graft_lock` and, if it died inside the
+  * label publish, a per-shard `labels/shard=K._graft_lock` — delete
+  * every `*._graft_lock` under the tree after confirming no live
+  * writer, then re-run the batch.
   */
 object NearDupIndex {
 
@@ -72,6 +82,10 @@ object NearDupIndex {
                                 ver: Long)
 
   private def readMeta(spark: SparkSession, path: String): Meta = {
+    // another process's maintain overwrote meta/ under the lock we
+    // now hold — drop any cached listing or this read serves (or
+    // trips over) the retired part file
+    spark.catalog.refreshByPath(metaPath(path))
     val r = spark.read.parquet(metaPath(path)).head()
     Meta(r.getAs[Double]("minEst"), r.getAs[Int]("cap"),
       r.getAs[Int]("nShards"), r.getAs[Long]("ver"))
@@ -153,10 +167,22 @@ object NearDupIndex {
         // whole store's buckets) + their signatures
         spark.catalog.refreshByPath(bandsPath(path))
         spark.catalog.refreshByPath(sigsPath(path))
+        // dedupe + exclude current-batch ids: a crashed attempt's
+        // replay leaves duplicate store rows for this batch's docs;
+        // without the dedup each duplicated doc contributes n_bands ×
+        // n_sigs rows and the hot-bucket cap below counts ROWS — a
+        // 40-doc bucket with replay duplicates would read over-cap
+        // forever, silently dropping every future pair in it (the cap
+        // must see DISTINCT docs, exactly like one-shot banding); the
+        // anti join makes a replayed doc purely "new" again
+        val newIds = newRows.select(col("doc_id")).distinct()
         val oldRel = spark.read.parquet(bandsPath(path))
           .join(newRows.select(col("band"), col("bkey")).distinct(),
             Seq("band", "bkey"))
-          .join(spark.read.parquet(sigsPath(path)), Seq("doc_id"))
+          .dropDuplicates("band", "bkey", "doc_id")
+          .join(newIds, Seq("doc_id"), "left_anti")
+          .join(spark.read.parquet(sigsPath(path))
+            .dropDuplicates("doc_id"), Seq("doc_id"))
           .select(col("band"), col("bkey"), col("doc_id"), col("sig"))
           .withColumn("is_new", lit(false))
         // the cap is evaluated over the bucket's FULL population —

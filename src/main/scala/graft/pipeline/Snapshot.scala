@@ -46,24 +46,13 @@ private[pipeline] object Snapshot {
   private def tmpPath(targetPath: String) = new Path(targetPath + "._graft_tmp")
   private def lockPath(targetPath: String) = new Path(targetPath + "._graft_lock")
 
+  // the one lock algorithm lives in util.PathLock (same suffix, same
+  // create-if-absent semantics) — only the failure remedy differs
   private def acquireLock(fs: FileSystem, targetPath: String,
-                          waitMs: Long): Unit = {
-    val p = lockPath(targetPath)
-    val deadline = System.nanoTime() + waitMs * 1000000L
-    var held = false
-    while (!held) {
-      held = try { fs.create(p, false).close(); true }
-             catch { case _: java.io.IOException => false }
-      if (!held) {
-        if (System.nanoTime() >= deadline) throw new IllegalStateException(
-          s"snapshot maintainer lock already held at $p: another maintainer " +
-            "is mid-cycle on this target (the protocol is single-writer per " +
-            "path), or a previous maintainer was hard-killed. " +
-            "Verify no live maintainer runs, then Snapshot.forceUnlock the path.")
-        Thread.sleep(100)
-      }
-    }
-  }
+                          waitMs: Long): Unit =
+    graft.util.PathLock.acquire(fs, targetPath, waitMs,
+      what = "snapshot maintainer",
+      remedy = "then Snapshot.forceUnlock the path.")
 
   /** Run one whole maintain cycle (recover → read → merge → publish)
     * under the target's single-writer lock. The lock spans the FULL

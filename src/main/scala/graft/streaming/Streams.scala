@@ -15,6 +15,17 @@ import org.apache.spark.sql.types.StructType
   */
 object Streams {
 
+  /** The ONE ride-out budget every exactly-once sink uses when its
+    * micro-batch meets a maintainer lock held by a concurrent
+    * batch-layer cycle (view repair vs dimension maintain, IVF append
+    * vs retrain, near-dup index vs batch maintain): long enough for a
+    * full rebuild cycle, finite so a hard-killed maintainer's stale
+    * lock still surfaces as a clear failure with the lock-file
+    * runbook instead of a hang.
+    */
+  private val SinkLockWaitMs = 10L * 60 * 1000
+
+
   /** Streaming ingest from a directory of parquet files: each new file
     * becomes a micro-batch. `maxFilesPerTrigger` bounds batch size so
     * a backlog replays at a controlled rate.
@@ -1365,7 +1376,7 @@ object Streams {
     // streaming query — the Snapshot lock refuses immediately by
     // default (the batch convention), so the wait is explicit here
     val leftDelta = batch.toDF()
-    val wait = 10L * 60 * 1000
+    val wait = SinkLockWaitMs
     partCol match {
       case Some(pc) =>
         graft.pipeline.ViewMaintain.maintainPartitioned(spark, viewPath,
@@ -1431,7 +1442,7 @@ object Streams {
     val applied = readLedger(spark, ledger)
     if (applied.contains(batchId)) return false
     graft.operators.NearDupIndex.maintain(spark, path, batch,
-      lockWaitMs = 10L * 60 * 1000)
+      lockWaitMs = SinkLockWaitMs)
     writeLedger(spark, ledger, applied + batchId)
     true
   }
@@ -1492,7 +1503,7 @@ object Streams {
     // budget rides out a concurrent retrain (minutes at scale) rather
     // than failing the micro-batch.
     graft.operators.IvfIndex.withIndexLock(spark, path,
-      waitMs = 10L * 60 * 1000) {
+      waitMs = SinkLockWaitMs) {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val pending = new org.apache.hadoop.fs.Path(ivfPendingPath(path))

@@ -23,14 +23,15 @@ object PathLock {
   def lockFile(path: String): org.apache.hadoop.fs.Path =
     new org.apache.hadoop.fs.Path(path + "._graft_lock")
 
-  /** Run `body` under the lock. `waitMs` = 0 fails immediately (the
-    * batch-maintainer convention); a streaming sink passes a budget
-    * to ride out a concurrent batch cycle instead of crashing.
+  /** Low-level acquire: create-if-absent with a polling deadline —
+    * the ONE implementation of the lock algorithm (the pipeline
+    * Snapshot lock delegates here too, so fixes land once).
+    * `remedy` tailors the last sentence of the failure message.
     */
-  def withLock[T](spark: SparkSession, path: String, waitMs: Long = 0L,
-                  what: String = "maintainer")(body: => T): T = {
+  def acquire(fs: org.apache.hadoop.fs.FileSystem, path: String,
+              waitMs: Long, what: String,
+              remedy: String = "then delete the lock file."): Unit = {
     val p = lockFile(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val deadline = System.nanoTime() + waitMs * 1000000L
     var held = false
     while (!held) {
@@ -40,10 +41,25 @@ object PathLock {
         if (System.nanoTime() >= deadline) throw new IllegalStateException(
           s"$what lock already held at $p: another maintainer is " +
             "mid-cycle on this path, or a previous one was hard-killed. " +
-            "Verify no live maintainer runs, then delete the lock file.")
-        Thread.sleep(200)
+            s"Verify no live maintainer runs, $remedy")
+        Thread.sleep(100)
       }
     }
-    try body finally { fs.delete(p, false); () }
+  }
+
+  def release(fs: org.apache.hadoop.fs.FileSystem, path: String): Unit = {
+    fs.delete(lockFile(path), false); ()
+  }
+
+  /** Run `body` under the lock. `waitMs` = 0 fails immediately (the
+    * batch-maintainer convention); a streaming sink passes a budget
+    * to ride out a concurrent batch cycle instead of crashing.
+    */
+  def withLock[T](spark: SparkSession, path: String, waitMs: Long = 0L,
+                  what: String = "maintainer")(body: => T): T = {
+    val fs = lockFile(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    acquire(fs, path, waitMs, what)
+    try body finally release(fs, path)
   }
 }
