@@ -187,8 +187,40 @@ object ScaleCheck {
           "cand_q68" -> semCand.toDouble)
     }
 
+    // incremental-maintainer datapoint (r11): the SAME fixed 500-doc
+    // delta folded into a standing NearDupIndex built over the rest of
+    // each corpus. Incrementality's claim is that maintain cost tracks
+    // the DELTA and its collision neighborhoods, not the corpus — the
+    // sf1 point stands a 10× index behind an identical delta, so
+    // maintain_sec should stay far below 10× while build_sec (the
+    // full-corpus signature+propagation pass, q53's work plus the
+    // store writes) scales ~linearly. delta = doc_id < 500 (copy 0 is
+    // verbatim at sf1, so both scales fold the same rows; its %20==0
+    // members have cross-copy near-dup partners at sf1, so the
+    // component-merge path is exercised, not just clean inserts).
+    def indexPoint(dir: String, tag: String): (Double, Double) = {
+      val ipath = s"target/scale_ndx_$tag"
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(ipath))
+      val docs = Tables(spark, dir).documents
+      val t0 = System.nanoTime()
+      graft.operators.NearDupIndex.build(spark, ipath,
+        docs.filter(col("doc_id") >= 500))
+      val buildSec = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      val st = graft.operators.NearDupIndex.maintain(spark, ipath,
+        docs.filter(col("doc_id") < 500))
+      val maintainSec = (System.nanoTime() - t1) / 1e9
+      line(s"""{"scale":"$tag","neardup_index":{"build_sec":${d3(buildSec)},"maintain_sec":${d3(maintainSec)},"delta_docs":500,"delta_sigs":${st.newDocs}}}""")
+      (buildSec, maintainSec)
+    }
+
     val base = measure(src, "sf0.1", kSem = 16)
     val big = measure(dst, "sf1", kSem = 160)
+    val (b0, m0) = indexPoint(src, "sf01")
+    val (b1, m1) = indexPoint(dst, "sf1")
     val ratios = (Heavy ++ Seq("q68_semantic_dedup",
       "cand_q31", "cand_q96", "cand_q68")).map { n =>
       val r = if (base(n) > 0) big(n) / base(n) else -1.0
@@ -196,6 +228,7 @@ object ScaleCheck {
     }.mkString(",")
     // docs scale 10x: a ratio near 10 is linear; flag anything past 20
     line(s"""{"scale":"ratio_sf1_over_sf0.1","expect":"~10 (linear)","ratios":{$ratios}}""")
+    line(s"""{"scale":"ndx_ratio_sf1_over_sf0.1","expect":"build ~10 (linear), maintain well under 10 (delta-scaled)","build":${d3(if (b0 > 0) b1 / b0 else -1.0)},"maintain":${d3(if (m0 > 0) m1 / m0 else -1.0)}}""")
     try {
       val p = java.nio.file.Paths.get("target/scale_sf1.json")
       java.nio.file.Files.createDirectories(p.getParent)

@@ -152,13 +152,7 @@ object Search {
     }
     graft.sources.Bucketed.write(
       postingsFrame(docs, Nil, idCol, textCol), table, "t", buckets)
-    corpusVersion.foreach { v =>
-      require(!v.contains("'"),
-        s"corpusVersion must not contain a quote: $v")
-      docs.sparkSession.sql(
-        s"ALTER TABLE $table SET TBLPROPERTIES ('$VersionProp' = '$v')")
-      ()
-    }
+    corpusVersion.foreach(stampVersion(spark, table, _))
   }
 
   /** Table property recording which corpus snapshot a [[buildIndex]]
@@ -170,6 +164,216 @@ object Search {
     * deployment uses to name "the corpus as of this index build".
     */
   private val VersionProp = "graft.corpus.version"
+
+  /** Stamp (or restamp) the corpus version on an index table. */
+  private def stampVersion(spark: SparkSession, table: String,
+                           v: String): Unit = {
+    require(!v.contains("'"),
+      s"corpusVersion must not contain a quote: $v")
+    spark.sql(
+      s"ALTER TABLE $table SET TBLPROPERTIES ('$VersionProp' = '$v')")
+    ()
+  }
+
+  /** The index table's physical location from the catalog — exact for
+    * any name/database layout (unlike the warehouse-derived guess
+    * [[buildIndex]]'s orphan cleanup is restricted to). The location
+    * anchors the maintainer lock (a SIBLING `._graft_lock` file, so a
+    * table overwrite that recreates the directory never clears a held
+    * lock) and the in-tree sidecars below.
+    */
+  private def tableLocation(spark: SparkSession, table: String): String = {
+    val id = spark.sessionState.sqlParser.parseTableIdentifier(table)
+    new org.apache.hadoop.fs.Path(
+      spark.sessionState.catalog.getTableMetadata(id).location).toString
+  }
+
+  private def bucketCountOf(spark: SparkSession, table: String): Int = {
+    val id = spark.sessionState.sqlParser.parseTableIdentifier(table)
+    spark.sessionState.catalog.getTableMetadata(id).bucketSpec
+      .getOrElse(throw new IllegalStateException(
+        s"$table is not a bucketed index table — was it built by " +
+          "Search.buildIndex?")).numBuckets
+  }
+
+  /** In-tree sidecars: underscore-prefixed names inside the table
+    * location, so Spark's file index never reads them as table data
+    * (the `_SUCCESS` convention). Both die with the location on any
+    * table overwrite — which is exactly right: a rebuild or
+    * compaction starts from a clean ledger.
+    */
+  private def pendingPath(loc: String) = s"$loc/_graft_pending"
+  private def deletedDir(loc: String) = s"$loc/_graft_deleted"
+
+  private def hadoopFs(spark: SparkSession, loc: String) =
+    new org.apache.hadoop.fs.Path(loc)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** The tombstoned doc ids (one `doc_id` BIGINT column), if any doc
+    * was ever [[deleteDocs]]'d since the last build/compaction. The
+    * log is append-only and read distinct — a crashed delete batch
+    * may leave a PARTIAL id set visible, and that is safe because
+    * tombstoning is monotone and idempotent: re-running the same
+    * delete completes it.
+    */
+  def deletedIds(spark: SparkSession, table: String): Option[DataFrame] = {
+    val dir = deletedDir(tableLocation(spark, table))
+    val fs = hadoopFs(spark, dir)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(dir))) None
+    else Some(spark.read.schema("doc_id LONG").parquet(dir).distinct())
+  }
+
+  /** Postings net of tombstones: the one read path every index query
+    * face uses. The tombstone set is delete-list-sized, so the filter
+    * is a broadcast anti-probe — no extra shuffle on the postings
+    * side, and bucket pruning on `t` is untouched.
+    */
+  private def livePostings(spark: SparkSession, table: String): DataFrame = {
+    val post = spark.table(table)
+    deletedIds(spark, table) match {
+      case Some(dead) =>
+        post.join(broadcast(dead), Seq("doc_id"), "left_anti")
+      case None => post
+    }
+  }
+
+  /** INCREMENTALLY maintain a [[buildIndex]] table with NEW documents
+    * — the maintainer form of the index (the StatsMaintain/
+    * NearDupIndex contract applied to postings): tokenize and append
+    * only the delta's postings (one delta-sized bucketing shuffle;
+    * Spark appends per-bucket files and readers union them, so bucket
+    * pruning and the no-corpus-scan query path are unchanged), then
+    * restamp the freshness version. A 100 TB corpus refresh costs the
+    * delta, never a rebuild.
+    *
+    * Contract: `newDocs` must be docs the index has never seen —
+    * re-adding an existing doc_id would double its postings (use
+    * delete + [[compactIndex]] + maintain for updates), and a batch
+    * containing a TOMBSTONED id is refused loudly (the tombstone
+    * filter would silently hide the re-add; compact first).
+    *
+    * Crash contract (the ivfAppendSink marker protocol): parquet
+    * append is not idempotent, so a `_graft_pending` marker carrying
+    * `batchId` brackets the append. Re-running the SAME batch after a
+    * crash self-heals: it re-appends (duplicating whatever the
+    * crashed attempt landed) and compacts — postings rows are exact
+    * duplicates of each other, and a legitimate index never holds two
+    * identical (doc_id, pos, t) rows, so DISTINCT is an exact repair.
+    * A marker from a DIFFERENT batch refuses loudly with the
+    * [[compactIndex]] remedy rather than guessing. Single writer per
+    * index tree, enforced by the whole-cycle location lock (waitMs=0
+    * fails fast, the batch convention).
+    */
+  def maintainIndex(spark: SparkSession, table: String, newDocs: DataFrame,
+                    batchId: String,
+                    idCol: Column = col("doc_id"),
+                    textCol: Column = col("text"),
+                    newVersion: Option[String] = None,
+                    lockWaitMs: Long = 0L): Unit = {
+    require(batchId.nonEmpty && !batchId.exists(c => c == '\n' || c == '\r'),
+      s"batchId must be a non-empty single-line token, got '$batchId'")
+    val loc = tableLocation(spark, table)
+    val buckets = bucketCountOf(spark, table)
+    graft.util.PathLock.withLock(spark, loc, lockWaitMs,
+      what = "search index maintainer") {
+      val fs = hadoopFs(spark, loc)
+      val pending = new org.apache.hadoop.fs.Path(pendingPath(loc))
+      var healAfterAppend = false
+      if (fs.exists(pending)) {
+        val in = fs.open(pending)
+        val raw = try scala.io.Source.fromInputStream(in, "UTF-8")
+          .mkString.trim finally in.close()
+        // empty marker = crash between create and the id write: the
+        // append never started, nothing to heal (the ivf lesson)
+        if (raw.isEmpty) { fs.delete(pending, false); () }
+        else if (raw == batchId) healAfterAppend = true
+        else throw new IllegalStateException(
+          s"search index $table: batch '$raw' was interrupted " +
+            "mid-append and this is not its replay — re-run that " +
+            "batch, or run Search.compactIndex and delete " +
+            s"${pendingPath(loc)} after confirming no live writer")
+      }
+      deletedIds(spark, table).foreach { dead =>
+        val readds = newDocs.select(idCol.cast("long").as("doc_id"))
+          .join(broadcast(dead), Seq("doc_id")).limit(1).count()
+        require(readds == 0L,
+          s"maintainIndex batch '$batchId' re-adds tombstoned doc ids " +
+            s"— the tombstone filter would silently hide them; run " +
+            s"Search.compactIndex($table) first")
+      }
+      val o = fs.create(pending, true)
+      try o.write(batchId.getBytes("UTF-8")) finally o.close()
+      graft.sources.Bucketed.write(
+        postingsFrame(newDocs, Nil, idCol, textCol), table, "t", buckets,
+        mode = org.apache.spark.sql.SaveMode.Append)
+      if (healAfterAppend) compactInPlace(spark, table, buckets)
+      newVersion.foreach(stampVersion(spark, table, _))
+      fs.delete(pending, false)
+      spark.catalog.refreshTable(table)
+      ()
+    }
+  }
+
+  /** Tombstone documents OUT of the index without rewriting it — the
+    * Lucene delete-bitmap shape: ids land in an append-only in-tree
+    * log ([[deletedIds]]) and every query face anti-filters against
+    * it (broadcast probe, no postings shuffle). The postings bytes
+    * stay until [[compactIndex]] reclaims them. Append-only makes the
+    * operation crash-safe by monotonicity: a partial write just
+    * deletes a prefix of the batch, and the re-run completes it.
+    */
+  def deleteDocs(spark: SparkSession, table: String, ids: Seq[Long],
+                 newVersion: Option[String] = None,
+                 lockWaitMs: Long = 0L): Unit = {
+    if (ids.isEmpty) return
+    val loc = tableLocation(spark, table)
+    graft.util.PathLock.withLock(spark, loc, lockWaitMs,
+      what = "search index maintainer") {
+      import spark.implicits._
+      ids.toDF("doc_id").select(col("doc_id").cast("long"))
+        .coalesce(1)
+        .write.mode(org.apache.spark.sql.SaveMode.Append)
+        .parquet(deletedDir(loc))
+      newVersion.foreach(stampVersion(spark, table, _))
+    }
+  }
+
+  /** Rewrite the index net of tombstones and duplicates: applies the
+    * delete log physically, clears it, and repairs any duplicate
+    * postings a crashed append left (DISTINCT is exact — see
+    * [[maintainIndex]]). One full index rewrite — the periodic GC a
+    * delete-bitmap design schedules, never on the query path. The
+    * version property survives (re-stamped after the rewrite);
+    * `newVersion` overrides it.
+    */
+  def compactIndex(spark: SparkSession, table: String,
+                   newVersion: Option[String] = None,
+                   lockWaitMs: Long = 0L): Unit = {
+    val loc = tableLocation(spark, table)
+    val buckets = bucketCountOf(spark, table)
+    graft.util.PathLock.withLock(spark, loc, lockWaitMs,
+      what = "search index maintainer") {
+      val keep = newVersion.orElse(indexVersion(spark, table))
+      compactInPlace(spark, table, buckets)
+      keep.foreach(stampVersion(spark, table, _))
+    }
+  }
+
+  /** The compaction core, already under the caller's lock: pin the
+    * live distinct postings OFF the table's files (eager
+    * localCheckpoint → executor block storage; a deployment whose
+    * index exceeds cluster storage stages through a scratch table
+    * instead), then overwrite — the table recreation also wipes the
+    * in-tree sidecars (tombstone log, pending marker), which is the
+    * point. Version property is dropped by the recreation; callers
+    * restamp.
+    */
+  private def compactInPlace(spark: SparkSession, table: String,
+                             buckets: Int): Unit = {
+    val live = livePostings(spark, table).distinct().localCheckpoint()
+    graft.sources.Bucketed.write(live, table, "t", buckets)
+    spark.catalog.refreshTable(table)
+  }
 
   /** The corpus version recorded on a [[buildIndex]] table, if any. */
   def indexVersion(spark: SparkSession, table: String): Option[String] =
@@ -205,7 +409,7 @@ object Search {
     val qs = normTerms(terms)
     checkVersion(spark, table, expectCorpusVersion)
     phraseOverPostings(
-      spark.table(table).filter(col("t").isin(qs.distinct: _*)), qs)
+      livePostings(spark, table).filter(col("t").isin(qs.distinct: _*)), qs)
   }
 
   /** Ranked conjunctive retrieval over any postings frame — the q100
@@ -247,7 +451,7 @@ object Search {
                     limit: Int,
                     expectCorpusVersion: Option[String] = None): DataFrame = {
     checkVersion(spark, table, expectCorpusVersion)
-    rankedOverPostings(spark.table(table), terms,
+    rankedOverPostings(livePostings(spark, table), terms,
       spark.range(1).select(lit(nDocs).cast("long").as("nd")),
       idfScale, limit)
   }

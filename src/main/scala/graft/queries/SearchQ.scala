@@ -168,9 +168,49 @@ object SearchQ {
     (table, v)
   }
 
+  /** q114: q99 served from an INCREMENTALLY MAINTAINED index — the
+    * [[graft.operators.Search.maintainIndex]] path under q99's own
+    * oracle: the index is BUILT from the even-doc_id half of the
+    * corpus and brought to full coverage by a maintain batch carrying
+    * the odd half (a delta-sized append — no rebuild, no corpus
+    * re-tokenize), then the phrase query runs bucket-pruned against
+    * the maintained table. Exactness of the maintained index ==
+    * one-shot build is thereby driver-verified end-to-end, not just
+    * spec-pinned; the final version stamp is the FULL corpus content
+    * version and the query face demands it, so the freshness contract
+    * covers maintained indexes too. Build+maintain amortize per
+    * corpus CONTENT (the q104 device); tombstone deletion and crash
+    * healing are spec-territory (they change the result set, which
+    * the shared oracle must not).
+    */
+  def q114(s: SparkSession, dir: String): DataFrame = {
+    val (t, v) = ensureMaintainedIndex(s, dir)
+    graft.operators.Search.phraseIndexed(s, t, Phrase,
+      expectCorpusVersion = Some(v))
+  }
+
+  private def ensureMaintainedIndex(s: SparkSession, dir: String): (String, String) = {
+    import org.apache.spark.sql.functions.col
+    val table = "graft_q114_postings"
+    val v = corpusVersion(s, dir)
+    val fresh = s.catalog.tableExists(table) &&
+      graft.operators.Search.indexVersion(s, table).contains(v)
+    if (!fresh) {
+      val docs = Tables(s, dir).documents
+      graft.operators.Search.buildIndex(
+        docs.filter(col("doc_id") % 2 === 0), table, 8,
+        corpusVersion = Some(s"$v:bootstrap-even"))
+      graft.operators.Search.maintainIndex(
+        s, table, docs.filter(col("doc_id") % 2 === 1),
+        batchId = s"$v:odd", newVersion = Some(v))
+    }
+    (table, v)
+  }
+
   val entries: Seq[Entry] = Seq(
     Entry("q99_phrase_search", q99, Some(q99Sql)),
     Entry("q100_ranked_search", q100, Some(q100Sql)),
     Entry("q104_phrase_indexed", q104, Some(q99Sql)),
-    Entry("q105_ranked_indexed", q105, Some(q100Sql)))
+    Entry("q105_ranked_indexed", q105, Some(q100Sql)),
+    Entry("q114_phrase_maintained", q114, Some(q99Sql)))
 }

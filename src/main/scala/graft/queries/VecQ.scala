@@ -557,6 +557,81 @@ object VecQ {
       |SELECT cluster_id, rk, vec_id FROM r WHERE rk <= $DiverseQuota
       |ORDER BY cluster_id, rk""".stripMargin
 
+  /** q115's benchmark membership rule and contamination threshold —
+    * single-sourced into [[q115Sql]]. Benchmark = vec_id ≡ 0 (mod 97):
+    * a held-out slice in the q54 even/odd spirit but sized like a real
+    * eval set (~1% of the corpus). The synthetic embeddings have no
+    * natural near-benchmark corpus vectors (max cosine ≈ 0.50 at
+    * every SF), so — the q54/q83 injection device — the corpus rows
+    * at vec_id ≡ 1 (mod 97) carry a LEAKED copy of their predecessor
+    * benchmark vector (cosine exactly 1.0, a verbatim eval leak):
+    * both engines must DETECT identical known contamination, not
+    * agree on zero, and the 0.92 threshold sits in the wide gap
+    * between the natural ceiling and the leak.
+    */
+  private val DeconMod = 97
+  private[graft] val DeconThreshold = 0.92
+
+  /** q115: SEMANTIC benchmark decontamination — the embedding-space
+    * complement of q54's n-gram overlap test (n-gram decontamination
+    * misses paraphrased eval questions exactly the way MinHash misses
+    * paraphrased near-dups; q68's lesson applied to the train/eval
+    * boundary): every corpus vector's MAX cosine to any held-out
+    * benchmark vector, and the drop verdict at [[DeconThreshold]].
+    *
+    * Scale shape: the BENCHMARK side broadcasts — eval sets are
+    * thousands of rows against a corpus of billions, the q34/q54
+    * invariant — and the corpus streams past it exactly once; the
+    * per-vector max partially aggregates map-side, so the exchange
+    * carries one (vec_id, max_sim) row per corpus vector, never the
+    * |corpus|×|bench| pair set. A benchmark too large to broadcast
+    * switches to the q35 LSH-bucketed candidate path (same kernel,
+    * bucketed pairs) — the knob is explicit, like q74 vs q78. MAX
+    * over an identical double set is order-free, so the raw
+    * similarity is engine-exact (the q34 precedent).
+    */
+  def q115(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(Tables(s, dir))
+    val bench = e.filter(col("vec_id") % DeconMod === 0)
+    // deterministic leak injection (scaladoc above): corpus row
+    // bench_id+1 carries the benchmark vector verbatim — a broadcast
+    // equi-join on the derived id, row-preserving
+    val leaks = bench.select((col("vec_id") + 1).as("vec_id"),
+      col("v").as("lv"), col("nrm").as("ln"))
+    val corp = e.filter(col("vec_id") % DeconMod =!= 0)
+      .join(broadcast(leaks), Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("lv"), col("v")).as("v"),
+        coalesce(col("ln"), col("nrm")).as("nrm"))
+    corp.crossJoin(broadcast(
+        bench.select(col("v").as("bv"), col("nrm").as("bn"))))
+      .select(col("vec_id"),
+        (VecExprs.dot(col("v"), col("bv")) / (col("nrm") * col("bn"))).as("sim"))
+      .groupBy(col("vec_id"))
+      .agg(max(col("sim")).as("max_sim"))
+      .withColumn("contaminated",
+        when(col("max_sim") >= DeconThreshold, 1L).otherwise(0L))
+      .orderBy(col("vec_id"))
+  }
+
+  val q115Sql: String =
+    s"""WITH n AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+       |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+       |                          CAST(embedding AS DOUBLE[]))) AS nrm
+       |  FROM embeddings),
+       |bench AS (SELECT vec_id, v, nrm FROM n WHERE vec_id % $DeconMod = 0),
+       |corp AS (
+       |  SELECT c.vec_id, coalesce(l.v, c.v) AS v, coalesce(l.nrm, c.nrm) AS nrm
+       |  FROM n c LEFT JOIN bench l ON c.vec_id = l.vec_id + 1
+       |  WHERE c.vec_id % $DeconMod <> 0),
+       |s AS (
+       |  SELECT c.vec_id, max(list_dot_product(c.v, b.v) / (c.nrm * b.nrm)) AS max_sim
+       |  FROM corp c CROSS JOIN bench b GROUP BY c.vec_id)
+       |SELECT vec_id, max_sim,
+       |  CAST(CASE WHEN max_sim >= $DeconThreshold THEN 1 ELSE 0 END AS BIGINT) AS contaminated
+       |FROM s ORDER BY vec_id""".stripMargin
+
   val entries: Seq[Entry] = Seq(
     Entry("q34_embed_cosine_topk", q34, Some(q34Sql)),
     Entry("q35_ann_lsh", q35, Some(q35Sql)),
@@ -565,5 +640,6 @@ object VecQ {
     Entry("q56_embed_quantize", q56, Some(q56Sql)),
     Entry("q68_semantic_dedup", (s, d) => q68(s, d), Some(q68Sql)),
     Entry("q73_diverse_sample", (s, d) => q73(s, d), Some(q73Sql)),
+    Entry("q115_semantic_decon", q115, Some(q115Sql)),
   )
 }

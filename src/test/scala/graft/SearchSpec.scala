@@ -160,6 +160,163 @@ class SearchSpec extends SparkSpec {
     spark.sql(s"DROP TABLE IF EXISTS $table")
   }
 
+  // location derivation for the maintenance tests: unqualified name in
+  // the default database (the layout the whole spec uses)
+  private def loc(table: String): String =
+    new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(spark.conf.get("spark.sql.warehouse.dir")),
+      table.toLowerCase(java.util.Locale.ROOT)).toString
+
+  private val fullDocs = Seq(
+    1L -> "x batch stream y batch stream merge",
+    2L -> "batch batch stream",
+    3L -> "stream batch merge join",
+    4L -> "batch stream extra merge join batch",
+    5L -> "merge join batch nothing else",
+    6L -> "batch stream closing")
+
+  test("maintainIndex: build half + two maintain batches == one-shot index, version restamped") {
+    val table = "graft_searchspec_maintained"
+    val d = docs(fullDocs: _*)
+    try {
+      Search.buildIndex(d.filter("doc_id <= 2"), table, 8,
+        corpusVersion = Some("v:bootstrap"))
+      Search.maintainIndex(spark, table, d.filter("doc_id IN (3, 4)"),
+        batchId = "b1", newVersion = Some("v:b1"))
+      Search.maintainIndex(spark, table, d.filter("doc_id >= 5"),
+        batchId = "b2", newVersion = Some("v:b2"))
+      assert(Search.indexVersion(spark, table).contains("v:b2"))
+      for (terms <- Seq(Seq("batch", "stream"), Seq("merge", "join"))) {
+        val inPlan = run(d, terms: _*)
+        val idx = Search.phraseIndexed(spark, table, terms,
+          expectCorpusVersion = Some("v:b2")).collect()
+          .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+        assert(idx == inPlan, s"terms $terms: maintained $idx != in-plan $inPlan")
+      }
+      import org.apache.spark.sql.functions.{col, count, lit}
+      val terms = Seq("merge", "join", "batch")
+      val inPlanRanked = Search.rankedOverPostings(
+        Search.postingsFrame(d, terms, col("doc_id"), col("text")),
+        terms, d.agg(count(lit(1)).as("nd")),
+        queries.SearchQ.IdfScale, 100).collect().map(_.toSeq).toSeq
+      val idxRanked = Search.rankedIndexed(spark, table, terms, d.count(),
+        queries.SearchQ.IdfScale, 100).collect().map(_.toSeq).toSeq
+      assert(idxRanked == inPlanRanked)
+      // a completed maintain leaves no pending marker and no lock
+      val fs = new org.apache.hadoop.fs.Path(loc(table))
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(s"${loc(table)}/_graft_pending")))
+      assert(!fs.exists(graft.util.PathLock.lockFile(loc(table))))
+    } finally spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
+
+  test("deleteDocs tombstones without rewrite; compactIndex applies and clears them, keeping the version") {
+    val table = "graft_searchspec_deleted"
+    val d = docs(fullDocs: _*)
+    try {
+      Search.buildIndex(d, table, 8, corpusVersion = Some("v:full"))
+      Search.deleteDocs(spark, table, Seq(1L, 4L))
+      Search.deleteDocs(spark, table, Seq(4L, 5L))   // monotone accumulation
+      assert(Search.deletedIds(spark, table).get.collect()
+        .map(_.getLong(0)).toSet == Set(1L, 4L, 5L))
+      val live = d.filter("doc_id NOT IN (1, 4, 5)")
+      val want = run(live, "batch", "stream")
+      val got = Search.phraseIndexed(spark, table, Seq("batch", "stream"),
+        expectCorpusVersion = Some("v:full")).collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      assert(got == want, s"tombstoned index $got != live corpus $want")
+      // the ranked face anti-filters too
+      val rg = Search.rankedIndexed(spark, table, Seq("batch"), live.count(),
+        queries.SearchQ.IdfScale, 100).collect().map(_.getLong(0)).toSet
+      assert(!rg.exists(Set(1L, 4L, 5L)), s"ranked served a tombstoned doc: $rg")
+      // compaction: physical removal, log cleared, version survives
+      Search.compactIndex(spark, table)
+      assert(Search.deletedIds(spark, table).isEmpty, "compaction must clear the tombstone log")
+      assert(Search.indexVersion(spark, table).contains("v:full"))
+      val got2 = Search.phraseIndexed(spark, table, Seq("batch", "stream"),
+        expectCorpusVersion = Some("v:full")).collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      assert(got2 == want)
+    } finally spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
+
+  test("maintainIndex crash heal: replaying an interrupted batch dedupes to the one-shot index") {
+    val table = "graft_searchspec_crash"
+    val d = docs(fullDocs: _*)
+    try {
+      Search.buildIndex(d.filter("doc_id <= 4"), table, 8)
+      val batch = d.filter("doc_id >= 5")
+      // simulate the crashed attempt: marker written, PART of the
+      // batch's postings landed (doc 5 only), then death
+      val fs = new org.apache.hadoop.fs.Path(loc(table))
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val pending = new org.apache.hadoop.fs.Path(s"${loc(table)}/_graft_pending")
+      val o = fs.create(pending, true)
+      try o.write("b-crash".getBytes("UTF-8")) finally o.close()
+      import org.apache.spark.sql.functions.col
+      graft.sources.Bucketed.write(
+        Search.postingsFrame(d.filter("doc_id = 5"), Nil,
+          col("doc_id"), col("text")),
+        table, "t", 8, mode = org.apache.spark.sql.SaveMode.Append)
+      // the replay of the SAME batch self-heals (append + distinct)
+      Search.maintainIndex(spark, table, batch, batchId = "b-crash")
+      assert(!fs.exists(pending))
+      val want = run(d, "batch", "stream")
+      val got = Search.phraseIndexed(spark, table, Seq("batch", "stream"))
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      assert(got == want, s"healed index $got != one-shot $want")
+      // postings hold no duplicates at all after the heal
+      val dup = spark.table(table).groupBy("doc_id", "pos", "t")
+        .count().filter("count > 1").count()
+      assert(dup == 0L, s"$dup duplicate postings survived the heal")
+    } finally spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
+
+  test("maintainIndex refusals: foreign marker, tombstoned re-add, held lock; empty marker tolerated") {
+    val table = "graft_searchspec_refuse"
+    val d = docs(fullDocs: _*)
+    try {
+      Search.buildIndex(d.filter("doc_id <= 4"), table, 8)
+      val fs = new org.apache.hadoop.fs.Path(loc(table))
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val pending = new org.apache.hadoop.fs.Path(s"${loc(table)}/_graft_pending")
+      // a marker from a DIFFERENT batch refuses with the remedy
+      val o = fs.create(pending, true)
+      try o.write("someone-else".getBytes("UTF-8")) finally o.close()
+      val e = intercept[IllegalStateException] {
+        Search.maintainIndex(spark, table, d.filter("doc_id = 5"), "mine")
+      }
+      assert(e.getMessage.contains("someone-else") &&
+        e.getMessage.contains("compactIndex"), e.getMessage)
+      // an EMPTY marker is the crashed-before-id-write case: nothing
+      // was appended, so the maintain proceeds
+      val o2 = fs.create(pending, true)
+      o2.close()
+      Search.maintainIndex(spark, table, d.filter("doc_id = 5"), "b5")
+      assert(!fs.exists(pending))
+      // re-adding a tombstoned doc refuses loudly
+      Search.deleteDocs(spark, table, Seq(3L))
+      val e2 = intercept[IllegalArgumentException] {
+        Search.maintainIndex(spark, table, d.filter("doc_id = 3"), "readd")
+      }
+      assert(e2.getMessage.contains("compactIndex"), e2.getMessage)
+      // whole-cycle single-writer: a held location lock fails fast
+      val lfs = graft.util.PathLock.lockFile(loc(table))
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      graft.util.PathLock.acquire(lfs, loc(table), 0L, "test")
+      try {
+        val e3 = intercept[IllegalStateException] {
+          Search.maintainIndex(spark, table, d.filter("doc_id = 6"), "b6")
+        }
+        assert(e3.getMessage.contains("lock"), e3.getMessage)
+        val e4 = intercept[IllegalStateException] {
+          Search.deleteDocs(spark, table, Seq(6L))
+        }
+        assert(e4.getMessage.contains("lock"), e4.getMessage)
+      } finally graft.util.PathLock.release(lfs, loc(table))
+    } finally spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
+
   test("index freshness: recorded version serves; mismatch and unrecorded refuse; None skips") {
     val d = docs(1L -> "alpha beta", 2L -> "beta gamma")
     val table = "graft_searchspec_versioned"
