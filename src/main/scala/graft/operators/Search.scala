@@ -270,49 +270,97 @@ object Search {
                     textCol: Column = col("text"),
                     newVersion: Option[String] = None,
                     lockWaitMs: Long = 0L): Unit = {
+    val loc = tableLocation(spark, table)
+    graft.util.PathLock.withLock(spark, loc, lockWaitMs,
+      what = "search index maintainer") {
+      maintainIndexUnlocked(spark, table, newDocs, batchId, idCol, textCol,
+        newVersion, keepMarker = false)
+    }
+  }
+
+  /** The maintain cycle body, already under the caller's location
+    * lock. `keepMarker = true` leaves the batch's pending marker in
+    * place after a SUCCESSFUL append — the streaming sink's hook: its
+    * applied-batch ledger write happens after this returns, and the
+    * marker must survive until the ledger records the batch, or a
+    * crash in between would replay the batch as "fresh" and
+    * double-append ([[graft.streaming.Streams]] clears it after the
+    * ledger lands; a marker whose id IS ledgered is recognized there
+    * as completed and cleared without healing).
+    */
+  private[graft] def maintainIndexUnlocked(spark: SparkSession, table: String,
+                                           newDocs: DataFrame, batchId: String,
+                                           idCol: Column, textCol: Column,
+                                           newVersion: Option[String],
+                                           keepMarker: Boolean): Unit = {
     require(batchId.nonEmpty && !batchId.exists(c => c == '\n' || c == '\r'),
       s"batchId must be a non-empty single-line token, got '$batchId'")
     val loc = tableLocation(spark, table)
     val buckets = bucketCountOf(spark, table)
-    graft.util.PathLock.withLock(spark, loc, lockWaitMs,
-      what = "search index maintainer") {
-      val fs = hadoopFs(spark, loc)
-      val pending = new org.apache.hadoop.fs.Path(pendingPath(loc))
-      var healAfterAppend = false
-      if (fs.exists(pending)) {
-        val in = fs.open(pending)
-        val raw = try scala.io.Source.fromInputStream(in, "UTF-8")
-          .mkString.trim finally in.close()
-        // empty marker = crash between create and the id write: the
-        // append never started, nothing to heal (the ivf lesson)
-        if (raw.isEmpty) { fs.delete(pending, false); () }
-        else if (raw == batchId) healAfterAppend = true
-        else throw new IllegalStateException(
-          s"search index $table: batch '$raw' was interrupted " +
-            "mid-append and this is not its replay — re-run that " +
-            "batch, or run Search.compactIndex and delete " +
-            s"${pendingPath(loc)} after confirming no live writer")
-      }
-      deletedIds(spark, table).foreach { dead =>
-        val readds = newDocs.select(idCol.cast("long").as("doc_id"))
-          .join(broadcast(dead), Seq("doc_id")).limit(1).count()
-        require(readds == 0L,
-          s"maintainIndex batch '$batchId' re-adds tombstoned doc ids " +
-            s"— the tombstone filter would silently hide them; run " +
-            s"Search.compactIndex($table) first")
-      }
-      val o = fs.create(pending, true)
-      try o.write(batchId.getBytes("UTF-8")) finally o.close()
-      graft.sources.Bucketed.write(
-        postingsFrame(newDocs, Nil, idCol, textCol), table, "t", buckets,
-        mode = org.apache.spark.sql.SaveMode.Append)
-      if (healAfterAppend) compactInPlace(spark, table, buckets)
-      newVersion.foreach(stampVersion(spark, table, _))
-      fs.delete(pending, false)
-      spark.catalog.refreshTable(table)
-      ()
+    val fs = hadoopFs(spark, loc)
+    val pending = new org.apache.hadoop.fs.Path(pendingPath(loc))
+    var healAfterAppend = false
+    pendingBatchId(spark, table) match {
+      case None => ()
+      // empty marker = crash between create and the id write: the
+      // append never started, nothing to heal (the ivf lesson)
+      case Some("") => fs.delete(pending, false); ()
+      case Some(id) if id == batchId => healAfterAppend = true
+      case Some(id) => throw new IllegalStateException(
+        s"search index $table: batch '$id' was interrupted " +
+          "mid-append and this is not its replay — re-run that " +
+          "batch, or run Search.compactIndex and delete " +
+          s"${pendingPath(loc)} after confirming no live writer")
+    }
+    deletedIds(spark, table).foreach { dead =>
+      val readds = newDocs.select(idCol.cast("long").as("doc_id"))
+        .join(broadcast(dead), Seq("doc_id")).limit(1).count()
+      require(readds == 0L,
+        s"maintainIndex batch '$batchId' re-adds tombstoned doc ids " +
+          s"— the tombstone filter would silently hide them; run " +
+          s"Search.compactIndex($table) first")
+    }
+    val o = fs.create(pending, true)
+    try o.write(batchId.getBytes("UTF-8")) finally o.close()
+    graft.sources.Bucketed.write(
+      postingsFrame(newDocs, Nil, idCol, textCol), table, "t", buckets,
+      mode = org.apache.spark.sql.SaveMode.Append)
+    if (healAfterAppend) compactInPlace(spark, table, buckets)
+    newVersion.foreach(stampVersion(spark, table, _))
+    if (!keepMarker) { fs.delete(pending, false); () }
+    spark.catalog.refreshTable(table)
+  }
+
+  /** The pending marker's recorded batch id: None = no marker,
+    * Some("") = created-but-unwritten (crash before the id write).
+    */
+  private[graft] def pendingBatchId(spark: SparkSession,
+                                    table: String): Option[String] = {
+    val loc = tableLocation(spark, table)
+    val fs = hadoopFs(spark, loc)
+    val pending = new org.apache.hadoop.fs.Path(pendingPath(loc))
+    if (!fs.exists(pending)) None
+    else {
+      val in = fs.open(pending)
+      Some(try scala.io.Source.fromInputStream(in, "UTF-8")
+        .mkString.trim finally in.close())
     }
   }
+
+  private[graft] def clearPendingMarker(spark: SparkSession,
+                                        table: String): Unit = {
+    val loc = tableLocation(spark, table)
+    hadoopFs(spark, loc)
+      .delete(new org.apache.hadoop.fs.Path(pendingPath(loc)), false)
+    ()
+  }
+
+  /** The index table's location for sidecar anchoring (the streaming
+    * sink's ledger rides beside it, like every snapshot ledger).
+    */
+  private[graft] def indexLocationOf(spark: SparkSession,
+                                     table: String): String =
+    tableLocation(spark, table)
 
   /** Tombstone documents OUT of the index without rewriting it — the
     * Lucene delete-bitmap shape: ids land in an append-only in-tree

@@ -1579,4 +1579,94 @@ object Streams {
         applyIvfAppendBatch(batch.toDF(), id, path)
         ()
       }
+
+  /** Stream batch-id → the marker token
+    * [[graft.operators.Search.maintainIndexUnlocked]] records, so a
+    * replay can recognize its own interrupted append and a batch-layer
+    * maintain's custom id can never collide with a stream id.
+    */
+  private def searchBatchTag(batchId: Long): String = s"stream-$batchId"
+
+  /** Fold one micro-batch of NEW documents into a persisted
+    * [[graft.operators.Search.buildIndex]] table, exactly-once. Like
+    * the IVF sink, postings append is NOT idempotent (a replayed
+    * append doubles every n_phrase count — silently, since phrase
+    * semantics have no per-row uniqueness to refuse on), so three
+    * layers compose, all under ONE whole-cycle index location lock:
+    *
+    *  - the applied-batch LEDGER (sidecar beside the table location,
+    *    so it survives compaction's table recreation) refuses a
+    *    re-delivered batchId before any job runs;
+    *  - the maintain cycle's own pending MARKER brackets the append,
+    *    and — the keepMarker hook — stays in place until the ledger
+    *    records the batch, closing the append-done-but-unledgered
+    *    crash window: the replay finds its own marker and self-heals
+    *    by re-append + DISTINCT compaction (exact, because a
+    *    legitimate index never holds two identical (doc_id, pos, t)
+    *    rows — [[graft.operators.Search.maintainIndex]]);
+    *  - a marker whose id the ledger already contains is the
+    *    completed-append-lost-marker-clear case: cleared here with no
+    *    healing, no job.
+    *
+    * A marker from a batch-layer maintain (non-`stream-` id, not
+    * ledgered) refuses loudly through the maintain cycle's own
+    * foreign-marker branch. Batch-layer [[graft.operators.Search]]
+    * mutators (maintainIndex/deleteDocs/compactIndex) serialize with
+    * these micro-batches through the same location lock; the sink
+    * waits out a concurrent cycle (10-minute budget) instead of
+    * failing. `versionFor` stamps the freshness version per batch
+    * (None leaves the previous stamp — callers serving
+    * `expectCorpusVersion` queries should stamp every batch).
+    */
+  def applySearchIndexBatch(batch: DataFrame, batchId: Long, table: String,
+                            idCol: org.apache.spark.sql.Column = col("doc_id"),
+                            textCol: org.apache.spark.sql.Column = col("text"),
+                            versionFor: Long => Option[String] = _ => None)
+      : Boolean = {
+    val spark = batch.sparkSession
+    val loc = graft.operators.Search.indexLocationOf(spark, table)
+    graft.util.PathLock.withLock(spark, loc, waitMs = SinkLockWaitMs,
+      what = "search index maintainer") {
+      val ledger = batchLedgerPath(loc)
+      val applied = readLedger(spark, ledger)
+      graft.operators.Search.pendingBatchId(spark, table) match {
+        case Some(id) if id.startsWith("stream-") &&
+            scala.util.Try(id.stripPrefix("stream-").toLong).toOption
+              .exists(applied.contains) =>
+          // completed append whose marker-clear was lost: clear, no heal
+          graft.operators.Search.clearPendingMarker(spark, table)
+        case _ => ()   // absent/empty/same-batch/foreign: the maintain
+                       // cycle's own marker branches handle each
+      }
+      if (applied.contains(batchId)) false
+      else {
+        graft.operators.Search.maintainIndexUnlocked(spark, table, batch,
+          batchId = searchBatchTag(batchId), idCol = idCol, textCol = textCol,
+          newVersion = versionFor(batchId), keepMarker = true)
+        writeLedger(spark, ledger, applied + batchId)
+        graft.operators.Search.clearPendingMarker(spark, table)
+        true
+      }
+    }
+  }
+
+  /** Continuous search-index maintenance: a stream of NEW documents
+    * folded into a persisted positional postings index exactly-once
+    * per micro-batch ([[applySearchIndexBatch]] — ledger + kept
+    * marker + self-healing replay). The batch layer owns deletions
+    * and compaction ([[graft.operators.Search.deleteDocs]]/
+    * `compactIndex`), serialized with these appends by the shared
+    * location lock. Start with `.start()` and a checkpointLocation —
+    * the engine's offset log drives the batchId replay contract the
+    * ledger relies on.
+    */
+  def searchIndexSink(stream: DataFrame, table: String,
+                      versionFor: Long => Option[String] = _ => None)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        applySearchIndexBatch(batch.toDF(), id, table, versionFor = versionFor)
+        ()
+      }
 }

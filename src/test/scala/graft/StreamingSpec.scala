@@ -468,6 +468,98 @@ class StreamingSpec extends SparkSpec {
     assert(!fs.exists(new org.apache.hadoop.fs.Path(p + "._graft_lock")))
   }
 
+  test("searchIndexSink: streamed docs fold into the postings index exactly-once; interrupted appends self-heal; ledgered markers clear") {
+    implicit val s = spark
+    import s.implicits._
+    import graft.operators.Search
+    val all = Seq(
+      1L -> "x batch stream y batch stream merge",
+      2L -> "batch batch stream",
+      3L -> "stream batch merge join",
+      4L -> "batch stream extra merge join batch",
+      5L -> "merge join batch nothing else",
+      6L -> "batch stream closing").toDF("doc_id", "text")
+    val table = "graft_streamspec_search"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    def phraseMap(df: org.apache.spark.sql.DataFrame): Map[Long, (Long, Long)] =
+      df.collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    try {
+      Search.buildIndex(all.filter("doc_id <= 2"), table, 8,
+        corpusVersion = Some("boot"))
+      val rows = all.filter("doc_id >= 3").orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+      val input = MemoryStream[(Long, String)](spark)
+      val q = Streams.searchIndexSink(input.toDF().toDF("doc_id", "text"),
+        table, versionFor = id => Some(s"b$id")).start()
+      try {
+        input.addData(rows.take(2): _*); q.processAllAvailable()
+        input.addData(rows.drop(2): _*); q.processAllAvailable()
+      } finally q.stop()
+      // streamed == one-shot, served under the last stamped version
+      assert(Search.indexVersion(spark, table).contains("b1"))
+      val want = phraseMap(Search.phrase(all, Seq("batch", "stream")))
+      val got = phraseMap(Search.phraseIndexed(spark, table,
+        Seq("batch", "stream"), expectCorpusVersion = Some("b1")))
+      assert(got == want, s"streamed index $got != one-shot $want")
+      // ledger refusal: a re-delivered batch runs no job, changes nothing
+      val before = spark.table(table).count()
+      assert(!Streams.applySearchIndexBatch(
+        all.filter("doc_id = 3"), 0L, table), "re-delivered batch must refuse")
+      assert(spark.table(table).count() == before)
+      // interrupted append: the crashed attempt wrote its marker and
+      // PART of its postings but no ledger entry — the replay of the
+      // SAME batch re-appends, heals the duplicates, ledgers
+      val loc = new org.apache.hadoop.fs.Path(
+        new org.apache.hadoop.fs.Path(spark.conf.get("spark.sql.warehouse.dir")),
+        table.toLowerCase(java.util.Locale.ROOT)).toString
+      val fs = new org.apache.hadoop.fs.Path(loc)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val pending = new org.apache.hadoop.fs.Path(s"$loc/_graft_pending")
+      val batch7 = Seq(7L -> "batch stream seven", 8L -> "merge join eight")
+        .toDF("doc_id", "text")
+      val o = fs.create(pending, true)
+      try o.write("stream-7".getBytes("UTF-8")) finally o.close()
+      graft.sources.Bucketed.write(
+        Search.postingsFrame(batch7.filter("doc_id = 7"), Nil,
+          col("doc_id"), col("text")),
+        table, "t", 8, mode = org.apache.spark.sql.SaveMode.Append)
+      assert(Streams.applySearchIndexBatch(batch7, 7L, table),
+        "replay of the interrupted batch must apply")
+      assert(!fs.exists(pending), "marker must clear after ledgered apply")
+      val allPlus = all.unionByName(batch7)
+      val want2 = phraseMap(Search.phrase(allPlus, Seq("batch", "stream")))
+      val got2 = phraseMap(Search.phraseIndexed(spark, table, Seq("batch", "stream")))
+      assert(got2 == want2, s"healed index $got2 != one-shot $want2")
+      assert(spark.table(table).groupBy("doc_id", "pos", "t").count()
+        .filter("count > 1").count() == 0L, "duplicate postings survived the heal")
+      // completed-append-lost-marker-clear: a marker whose id IS
+      // ledgered clears with no healing and the next batch applies
+      val o2 = fs.create(pending, true)
+      try o2.write("stream-7".getBytes("UTF-8")) finally o2.close()
+      val nBefore = spark.table(table).count()
+      assert(Streams.applySearchIndexBatch(
+        Seq(9L -> "closing batch stream nine").toDF("doc_id", "text"),
+        9L, table))
+      assert(!fs.exists(pending))
+      assert(spark.table(table).filter("doc_id IN (7, 8)").count() ==
+        spark.table(table).filter("doc_id IN (7, 8)").distinct().count() &&
+        spark.table(table).count() > nBefore,
+        "ledgered marker must clear without re-healing batch 7")
+      // a foreign (batch-layer) marker is not ours to guess at
+      val o3 = fs.create(pending, true)
+      try o3.write("manual-load-x".getBytes("UTF-8")) finally o3.close()
+      val e = intercept[IllegalStateException] {
+        Streams.applySearchIndexBatch(
+          Seq(10L -> "ten batch").toDF("doc_id", "text"), 10L, table)
+      }
+      assert(e.getMessage.contains("manual-load-x") &&
+        e.getMessage.contains("compactIndex"), e.getMessage)
+      fs.delete(pending, false)
+      // the location lock releases after every cycle
+      assert(!fs.exists(graft.util.PathLock.lockFile(loc)))
+    } finally spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
+
   test("minhashNearDupFilter: the overfull census resets each TTL horizon — a hot bucket recovers") { withLateRowCheckOff {
     implicit val s = spark
     import s.implicits._
