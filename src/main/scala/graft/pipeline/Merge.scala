@@ -155,8 +155,33 @@ object Merge {
   /** Partition-pruned merge into a snapshot laid out as
     * `targetPath/partCol=value/…`: only the partitions the update
     * batch actually touches are read, merged and swapped — the rest of
-    * a 100 TB snapshot is never opened. Each touched partition runs
-    * the same single-window merge; untouched directories stay as-is.
+    * a 100 TB snapshot is never opened; untouched directories stay
+    * byte-identical (mtime-pinned in the spec).
+    *
+    * FUSED, not serial (r11): all touched partitions merge in ONE
+    * Spark job — the window partitions by (partCol, keys), so each
+    * partition's winners are exactly what its standalone single-window
+    * merge would pick — and the result is written partitioned-by-
+    * partCol to one sibling tmp tree, then swapped per partition with
+    * pure METADATA renames. The first cut ran a full read-merge-publish
+    * cycle per touched partition serially; a delta relabeling docs
+    * across 16 shards paid 16 driver round-trip cycles (~0.7 s each —
+    * measured dominating NearDupIndex.maintain at 14 s for a 500-doc
+    * batch), and at 1000 touched partitions of a real table the
+    * driver-serial loop IS the wall clock. The fused job keeps the
+    * pruning (only touched dirs are read or written) and the per-
+    * partition crash contract (each dir swaps through the same
+    * `._graft_old` two-rename protocol, repaired by the next cycle's
+    * recovery), while the job count stays O(1) in touched partitions.
+    *
+    * All touched partitions' maintainer locks are held for the whole
+    * cycle, acquired in sorted path order (two concurrent fused
+    * maintainers with overlapping sets contend in a consistent order
+    * — the second fails fast at the first contended lock, the
+    * single-writer convention, never deadlocks). A crash mid-swap
+    * leaves some partitions published and some retired at
+    * `._graft_old`; the next maintain's per-partition recovery
+    * reinstates them — same contract as the serial form.
     *
     * Requires every update row to carry its partition value (rows
     * cannot move between partitions in one merge — changing the
@@ -169,7 +194,7 @@ object Merge {
                         deleteCol: Option[String] = None): Stats = {
     require(!keys.contains(partCol),
       "partition column is implicit per-partition; keys must not repeat it")
-    val upd = updates.cache() // scanned once per touched partition + distinct
+    val upd = updates.cache() // feeds the distinct, the union and the count
     try {
       val touched = upd.select(col(partCol)).distinct()
         .collect().map(_.get(0))
@@ -178,25 +203,135 @@ object Merge {
       // NOWHERE) — reject loudly instead of losing data
       require(!touched.contains(null),
         s"upsertPartitioned: update batch has rows with null $partCol")
+      if (touched.isEmpty) return Stats(0, 0, 0, 0, 0, 0)
       val fs = new Path(targetPath)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
       fs.mkdirs(new Path(targetPath))
-      touched.foldLeft(Stats(0, 0, 0, 0, 0, 0)) { (acc, v) =>
-        // escape exactly as Spark's partitioned writer does, so values
-        // with '/', '=', '%', … produce the directory names partition
-        // discovery expects (and round-trip to the same value)
+      // escape exactly as Spark's partitioned writer does, so values
+      // with '/', '=', '%', … produce the directory names partition
+      // discovery expects (and the tmp tree's dirs line up 1:1)
+      val parts = touched.map { v =>
         val dirName = org.apache.spark.sql.catalyst.catalog
           .ExternalCatalogUtils.escapePathName(v.toString)
-        val partPath = s"$targetPath/$partCol=$dirName"
-        val batch = upd.filter(col(partCol) === lit(v)).drop(partCol)
-        val s = upsert(spark, partPath, batch, keys, versionCol, deleteCol)
-        // a partition whose rows were all tombstoned is an empty-but-
-        // valid snapshot directory; leave it (readers see zero rows)
-        Stats(acc.targetRows + s.targetRows, acc.updateRows + s.updateRows,
-          acc.resultRows + s.resultRows, acc.inserted + s.inserted,
-          acc.updated + s.updated, acc.deleted + s.deleted)
-      }
+        (v, dirName, s"$targetPath/$partCol=$dirName")
+      }.sortBy(_._2).toList
+      // acquire every touched partition's lock (sorted order), recover
+      // each, then run the fused cycle with all leases in hand
+      def locked(rest: List[(Any, String, String)],
+                 acc: List[(Any, String, String, Snapshot.Lease, Boolean)]): Stats =
+        rest match {
+          case (v, dn, p) :: tail =>
+            Snapshot.withMaintainerLock(fs, p) { lease =>
+              val exists = Snapshot.recoverAndExists(fs, p, lease)
+              locked(tail, (v, dn, p, lease, exists) :: acc)
+            }
+          case Nil => fusedCycle(spark, fs, targetPath, upd, partCol, keys,
+            versionCol, deleteCol, acc.reverse)
+        }
+      locked(parts, Nil)
     } finally { upd.unpersist(); () }
+  }
+
+  /** The fused merge-and-swap, with every touched partition's lock
+    * held and recovery done ([[upsertPartitioned]]).
+    */
+  private def fusedCycle(spark: SparkSession,
+                         fs: org.apache.hadoop.fs.FileSystem,
+                         targetPath: String, upd: DataFrame, partCol: String,
+                         keys: Seq[String], versionCol: String,
+                         deleteCol: Option[String],
+                         parts: List[(Any, String, String, Snapshot.Lease, Boolean)])
+      : Stats = {
+    val del = deleteCol.getOrElse("_graft_delete")
+    val updData = upd.drop(deleteCol.toSeq: _*)
+    // target side: each existing partition dir read DIRECTLY (no
+    // partition discovery — its value re-attaches as a typed literal,
+    // sidestepping discovery's int32 narrowing), united into one scan
+    // set; partitions written before an add-column evolution read null
+    // for the newer columns (allowMissingColumns), exactly as their
+    // standalone merge would
+    val tgtFrames = parts.collect { case (v, _, p, _, true) =>
+      spark.read.parquet(p).withColumn(partCol, lit(v))
+    }
+    val tgtRaw = if (tgtFrames.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], updData.schema)
+    else tgtFrames.reduce(_.unionByName(_, allowMissingColumns = true))
+    val caseSensitive =
+      spark.conf.get("spark.sql.caseSensitive", "false").toBoolean
+    def norm(n: String): String =
+      if (caseSensitive) n else n.toLowerCase(java.util.Locale.ROOT)
+    val updNames = updData.columns.map(norm).toSet
+    val tgtNames = tgtRaw.columns.map(norm).toSet
+    val missingInUpd = tgtRaw.columns.toSeq.filterNot(c => updNames(norm(c)))
+    require(missingInUpd.isEmpty,
+      s"merge: update batch is missing snapshot column(s) ${missingInUpd.mkString(", ")}; " +
+        "add-column evolution only goes forward")
+    val newCols = updData.schema.fields
+      .filterNot(f => tgtNames(norm(f.name)))
+    val tgt = newCols.foldLeft(tgtRaw) { (df, f) =>
+        df.withColumn(f.name, lit(null).cast(f.dataType))
+      }
+      .withColumn(del, lit(false))
+      .withColumn("_graft_src", lit(0))
+    val updTagged = (if (deleteCol.isDefined) upd
+                     else upd.withColumn(del, lit(false)))
+      .withColumn("_graft_src", lit(1))
+    // the per-partition single-window merge, fused: partCol leads the
+    // window partitioning, so each partition's winners are picked
+    // independently — identical to its standalone merge
+    val grp = (partCol +: keys).map(col)
+    val dataCols = updData.columns.toSeq :+ del
+    val wRank = Window.partitionBy(grp: _*)
+      .orderBy(col(versionCol).desc, col("_graft_src").desc,
+        xxhash64(dataCols.map(col): _*).asc)
+    val wKey = Window.partitionBy(grp: _*)
+    val merged = tgt.unionByName(updTagged)
+      .withColumn("_graft_rn", row_number().over(wRank))
+      .withColumn("_graft_had_tgt",
+        max(when(col("_graft_src") === 0, 1).otherwise(0)).over(wKey))
+      .filter(col("_graft_rn") === 1)
+      .cache()
+    try {
+      val a = merged.groupBy().agg(
+        count(lit(1)).as("winners"),
+        count(when(!col(del), 1)).as("kept"),
+        count(when(col(del) && col("_graft_had_tgt") === 1, 1)).as("deleted"),
+        count(when(col("_graft_src") === 1 && !col(del) &&
+          col("_graft_had_tgt") === 0, 1)).as("inserted"),
+        count(when(col("_graft_src") === 1 && !col(del) &&
+          col("_graft_had_tgt") === 1, 1)).as("updated"),
+        count(when(col("_graft_had_tgt") === 1, 1)).as("target_keys"))
+        .collect()(0)
+      val result = merged.filter(!col(del))
+        .drop(del, "_graft_src", "_graft_rn", "_graft_had_tgt")
+      // ONE write job produces every partition's new contents under a
+      // sibling tmp tree (a stray one is crash garbage — clear it)
+      val tmpRoot = new Path(targetPath + "._graft_ptmp")
+      if (fs.exists(tmpRoot)) fs.delete(tmpRoot, true)
+      result.write.partitionBy(partCol)
+        .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(tmpRoot.toString)
+      // swap each partition in: metadata renames only. A partition
+      // whose rows were ALL tombstoned gets no tmp dir from the writer
+      // — publish an empty-but-valid snapshot directory (readers see
+      // zero rows), matching the serial form's behavior
+      parts.foreach { case (_, dirName, partPath, lease, exists) =>
+        val written = new Path(s"$tmpRoot/$partCol=$dirName")
+        if (!fs.exists(written)) {
+          fs.mkdirs(written)
+          fs.create(new Path(written, "_SUCCESS"), true).close()
+        }
+        Snapshot.publishWritten(fs, partPath, exists, written, lease)
+      }
+      fs.delete(tmpRoot, true)
+      Stats(
+        targetRows = a.getLong(5),
+        updateRows = upd.count(),
+        resultRows = a.getLong(1),
+        inserted = a.getLong(3),
+        updated = a.getLong(4),
+        deleted = a.getLong(2))
+    } finally { merged.unpersist(); () }
   }
 
   /** Time travel over an SCD-2 snapshot: the rows as they were AT

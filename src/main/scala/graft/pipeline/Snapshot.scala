@@ -122,6 +122,30 @@ private[pipeline] object Snapshot {
     * directory already, so an extra `_`-prefixed file is invisible to
     * parquet readers.
     */
+  /** Swap a PRE-WRITTEN directory into place as the new snapshot —
+    * the fused-partition publish: the caller produced MANY partitions'
+    * contents in one write job (outside any single partition's tmp
+    * naming) and swaps each into its own target. Identical two-rename
+    * protocol and crash repair as [[publish]]; the caller owns the
+    * written tree's lifecycle up to this call (after it, the directory
+    * has MOVED to the target).
+    */
+  def publishWritten(fs: FileSystem, targetPath: String, exists: Boolean,
+                     written: Path, lease: Lease): Unit = {
+    checkLease(lease, targetPath)
+    val dst = new Path(targetPath)
+    val old = oldPath(targetPath)
+    if (exists) {
+      if (fs.exists(old)) fs.delete(old, true)
+      if (!fs.rename(dst, old))
+        throw new java.io.IOException(s"snapshot swap: cannot retire $dst")
+    }
+    if (!fs.rename(written, dst))
+      throw new java.io.IOException(s"snapshot swap: cannot publish $written")
+    fs.delete(old, true)
+    ()
+  }
+
   def publish(fs: FileSystem, targetPath: String, exists: Boolean,
               result: DataFrame, lease: Lease,
               beforeSwap: Path => Unit = _ => ()): Unit = {
