@@ -12,6 +12,7 @@ object SparkEntry {
       SketchQ.entries ++ PrepQ.entries ++ LmQ.entries ++ SubstrQ.entries ++
       WebQ.entries ++ LayoutQ.entries ++ SimQ.entries ++ SearchQ.entries ++
       SubQ.entries ++ QualityQ.entries ++ MergeQ.entries ++
+      DeltaQ.entries ++
       Seq(
         Entry("q50_multimodal_meta", graft.multimodal.Multimodal.q50,
           Some(graft.multimodal.Multimodal.q50Sql)),
