@@ -152,6 +152,14 @@ object Search {
     }
     graft.sources.Bucketed.write(
       postingsFrame(docs, Nil, idCol, textCol), table, "t", buckets)
+    // a REBUILD invalidates the streaming sink's applied-batch ledger
+    // (a sidecar BESIDE the location, so compaction can't wipe it —
+    // which also means the rebuild must): a fresh stream restarting
+    // batchIds at 0 against a stale ledger would silently skip its
+    // first batches
+    val loc = tableLocation(spark, table)
+    hadoopFs(spark, loc).delete(new org.apache.hadoop.fs.Path(
+      graft.streaming.Streams.batchLedgerPath(loc)), false)
     corpusVersion.foreach(stampVersion(spark, table, _))
   }
 
@@ -308,9 +316,10 @@ object Search {
       case Some(id) if id == batchId => healAfterAppend = true
       case Some(id) => throw new IllegalStateException(
         s"search index $table: batch '$id' was interrupted " +
-          "mid-append and this is not its replay — re-run that " +
-          "batch, or run Search.compactIndex and delete " +
-          s"${pendingPath(loc)} after confirming no live writer")
+          "mid-append and this is not its replay — re-run that batch " +
+          "(it self-heals); only if it will never be replayed, delete " +
+          s"${pendingPath(loc)} and run Search.compactIndex (the " +
+          "batch's docs stay partially indexed until re-maintained)")
     }
     deletedIds(spark, table).foreach { dead =>
       val readds = newDocs.select(idCol.cast("long").as("doc_id"))
@@ -320,13 +329,30 @@ object Search {
           s"— the tombstone filter would silently hide them; run " +
           s"Search.compactIndex($table) first")
     }
-    val o = fs.create(pending, true)
-    try o.write(batchId.getBytes("UTF-8")) finally o.close()
+    def writeMarker(): Unit = {
+      val o = fs.create(pending, true)
+      try o.write(batchId.getBytes("UTF-8")) finally o.close()
+    }
+    writeMarker()
     graft.sources.Bucketed.write(
       postingsFrame(newDocs, Nil, idCol, textCol), table, "t", buckets,
       mode = org.apache.spark.sql.SaveMode.Append)
-    if (healAfterAppend) compactInPlace(spark, table, buckets)
-    newVersion.foreach(stampVersion(spark, table, _))
+    if (healAfterAppend) {
+      // the compaction recreates the table: the version stamp and the
+      // marker die with the location. Preserve the stamp (newVersion =
+      // None must LEAVE the previous stamp — the documented contract,
+      // and the sink's default), and re-create the kept marker: the
+      // sink's ledger has not recorded this batch yet, and losing the
+      // marker here would let a crash before the ledger write replay
+      // the batch as "fresh" and double-append — the exact window
+      // keepMarker exists to close
+      val keep = newVersion.orElse(indexVersion(spark, table))
+      compactInPlace(spark, table, buckets)
+      keep.foreach(stampVersion(spark, table, _))
+      if (keepMarker) writeMarker()
+    } else {
+      newVersion.foreach(stampVersion(spark, table, _))
+    }
     if (!keepMarker) { fs.delete(pending, false); () }
     spark.catalog.refreshTable(table)
   }
@@ -401,6 +427,23 @@ object Search {
     val buckets = bucketCountOf(spark, table)
     graft.util.PathLock.withLock(spark, loc, lockWaitMs,
       what = "search index maintainer") {
+      // an interrupted batch's marker is NOT compaction's to erase:
+      // compacting now would bake its PARTIAL postings in and destroy
+      // the evidence, so the batch's mandated replay would then find
+      // no marker and append the whole batch on top — silent
+      // duplicates. The batch must replay (self-healing) first; an
+      // empty marker is the crashed-before-id-write case (no append
+      // started) and clears
+      pendingBatchId(spark, table) match {
+        case Some(id) if id.nonEmpty => throw new IllegalStateException(
+          s"search index $table: batch '$id' was interrupted " +
+            "mid-append — re-run that batch (it self-heals) before " +
+            s"compacting; delete ${pendingPath(loc)} first only if it " +
+            "will never be replayed (its docs stay partially indexed " +
+            "until re-maintained)")
+        case Some(_) => clearPendingMarker(spark, table)
+        case None => ()
+      }
       val keep = newVersion.orElse(indexVersion(spark, table))
       compactInPlace(spark, table, buckets)
       keep.foreach(stampVersion(spark, table, _))

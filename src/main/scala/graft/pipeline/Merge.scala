@@ -196,12 +196,22 @@ object Merge {
       "partition column is implicit per-partition; keys must not repeat it")
     val upd = updates.cache() // feeds the distinct, the union and the count
     try {
-      val touched = upd.select(col(partCol)).distinct()
-        .collect().map(_.get(0))
+      // collect each touched value TWICE: the typed value (re-attached
+      // as a literal to the partition reads) and Spark's OWN string
+      // form (`cast(string)` — exactly what the partitioned writer
+      // stringifies before escaping). Deriving the dir name from
+      // v.toString instead would diverge for types whose JVM toString
+      // differs from the SQL cast (java.sql.Timestamp renders a
+      // trailing ".0" the writer does not) — and a name mismatch here
+      // would make the swap below publish a fabricated empty dir over
+      // the real merged output
+      val touched = upd
+        .select(col(partCol), col(partCol).cast("string").as("_str"))
+        .distinct().collect().map(r => (r.get(0), r.getString(1)))
       // a null partition value has no `partCol=` directory to live in
       // (and === never matches null, so its rows would silently merge
       // NOWHERE) — reject loudly instead of losing data
-      require(!touched.contains(null),
+      require(!touched.exists(_._1 == null),
         s"upsertPartitioned: update batch has rows with null $partCol")
       if (touched.isEmpty) return Stats(0, 0, 0, 0, 0, 0)
       val fs = new Path(targetPath)
@@ -210,9 +220,9 @@ object Merge {
       // escape exactly as Spark's partitioned writer does, so values
       // with '/', '=', '%', … produce the directory names partition
       // discovery expects (and the tmp tree's dirs line up 1:1)
-      val parts = touched.map { v =>
+      val parts = touched.map { case (v, str) =>
         val dirName = org.apache.spark.sql.catalyst.catalog
-          .ExternalCatalogUtils.escapePathName(v.toString)
+          .ExternalCatalogUtils.escapePathName(str)
         (v, dirName, s"$targetPath/$partCol=$dirName")
       }.sortBy(_._2).toList
       // acquire every touched partition's lock (sorted order), recover
@@ -313,13 +323,19 @@ object Merge {
         .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(tmpRoot.toString)
       // swap each partition in: metadata renames only. A partition
       // whose rows were ALL tombstoned gets no tmp dir from the writer
-      // — publish an empty-but-valid snapshot directory (readers see
-      // zero rows), matching the serial form's behavior
+      // — publish a ZERO-ROW parquet snapshot (with schema: a bare
+      // _SUCCESS dir would crash the NEXT merge's spark.read with
+      // "unable to infer schema"), matching the serial form, which
+      // published the empty frame through Snapshot.publish
+      lazy val emptySchema = org.apache.spark.sql.types.StructType(
+        result.schema.fields.filterNot(_.name == partCol))
       parts.foreach { case (_, dirName, partPath, lease, exists) =>
         val written = new Path(s"$tmpRoot/$partCol=$dirName")
         if (!fs.exists(written)) {
-          fs.mkdirs(written)
-          fs.create(new Path(written, "_SUCCESS"), true).close()
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], emptySchema)
+            .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+            .parquet(written.toString)
         }
         Snapshot.publishWritten(fs, partPath, exists, written, lease)
       }

@@ -1,7 +1,6 @@
 package graft.queries
 
 import graft.Tables
-import graft.functions.TextOps.tokens
 import graft.functions.expressions.TextExprs.md5Lower64
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -74,33 +73,19 @@ object DeltaQ {
     * stateless-stage shape). Emits every doc with its verdict (the
     * audit form, like q64); a pipeline ships `WHERE kept = 1`.
     */
-  def q117(s: SparkSession, dir: String): DataFrame = {
-    val txt = coalesce(col("text"), lit(""))
-    val toks = tokens(txt)
-    val nWords = size(toks).cast("long")
-    val enStop = Seq("the", "a", "of", "and", "to", "in", "is")
-    val nStop = size(filter(toks, w => w.isin(enStop: _*))).cast("long")
-    Tables(s, dir).documents
-      .select(col("doc_id"), nWords.as("_nwords"), nStop.as("_nstop"))
-      .select(col("doc_id"),
-        (least(col("_nwords"), lit(100L)) * 5000000L +
-          expr("_nstop * 500000000L DIV greatest(_nwords, 1L)")).as("quality9"),
+  def q117(s: SparkSession, dir: String): DataFrame =
+    PrepQ.withQuality9(Tables(s, dir).documents)
+      .select(col("doc_id"), col("quality9"),
         md5Lower64(concat(lit("wq:"), col("doc_id").cast("string")))
           .bitwiseAND(lit((1L << 30) - 1)).as("draw30"))
       .withColumn("kept",
         (col("draw30") * 1000000000L < col("quality9") * 1073741824L)
           .cast("bigint"))
       .orderBy(col("doc_id"))
-  }
 
   val q117Sql: String =
-    """WITH q AS (
-      |  SELECT doc_id,
-      |    CAST(LEAST(len(regexp_split_to_array(trim(coalesce(text, '')), '\s+')), 100) * 5000000
-      |      + len(list_filter(regexp_split_to_array(trim(coalesce(text, '')), '\s+'),
-      |          w -> list_contains(['the','a','of','and','to','in','is'], w))) * 500000000
-      |        // GREATEST(len(regexp_split_to_array(trim(coalesce(text, '')), '\s+')), 1)
-      |      AS BIGINT) AS quality9,
+    s"""WITH q AS (
+      |  SELECT doc_id, ${PrepQ.Quality9Sql} AS quality9,
       |    CAST(md5_number_lower('wq:' || CAST(doc_id AS VARCHAR)) & 1073741823 AS BIGINT) AS draw30
       |  FROM documents)
       |SELECT doc_id, quality9, draw30,

@@ -91,6 +91,55 @@ class MergeSpec extends SparkSpec {
     assert(after == untouchedFiles, "untouched partition was rewritten")
   }
 
+  test("upsertPartitioned: an all-tombstoned partition stays a readable zero-row snapshot") {
+    import spark.implicits._
+    val path = tmpDir()
+    Merge.upsertPartitioned(spark, path,
+      Seq((1, 1L, "a", 1L, false), (1, 2L, "b", 1L, false), (2, 3L, "c", 1L, false))
+        .toDF("shard", "id", "payload", "ver", "del"),
+      partCol = "shard", keys = Seq("id"), versionCol = "ver",
+      deleteCol = Some("del"))
+    // tombstone EVERY row of shard 1: the writer emits no dir for it,
+    // and the published empty partition must still carry a schema
+    Merge.upsertPartitioned(spark, path,
+      Seq((1, 1L, "a", 2L, true), (1, 2L, "b", 2L, true))
+        .toDF("shard", "id", "payload", "ver", "del"),
+      partCol = "shard", keys = Seq("id"), versionCol = "ver",
+      deleteCol = Some("del"))
+    assert(spark.read.parquet(path).select("id").as[Long].collect().toSet
+      == Set(3L), "tombstoned shard must read as zero rows")
+    // the NEXT merge into the emptied partition must be able to read
+    // it (a schema-less _SUCCESS-only dir would crash here)
+    val s = Merge.upsertPartitioned(spark, path,
+      Seq((1, 9L, "z", 3L, false)).toDF("shard", "id", "payload", "ver", "del"),
+      partCol = "shard", keys = Seq("id"), versionCol = "ver",
+      deleteCol = Some("del"))
+    assert(s.inserted == 1, s"stats: $s")
+    assert(spark.read.parquet(path).select("id").as[Long].collect().toSet
+      == Set(3L, 9L))
+  }
+
+  test("upsertPartitioned: typed partition values (timestamp) name directories the writer's way") {
+    import spark.implicits._
+    val path = tmpDir()
+    // java.sql.Timestamp.toString renders a trailing ".0" that Spark's
+    // partitioned writer does NOT — the dir name must come from the
+    // SQL cast, or the swap would publish a fabricated empty dir over
+    // the real merged output and silently drop the partition
+    val t1 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val t2 = java.sql.Timestamp.valueOf("2025-06-15 12:30:00")
+    Merge.upsertPartitioned(spark, path,
+      Seq((t1, 1L, "a", 1L), (t2, 2L, "b", 1L)).toDF("day", "id", "payload", "ver"),
+      partCol = "day", keys = Seq("id"), versionCol = "ver")
+    val s = Merge.upsertPartitioned(spark, path,
+      Seq((t1, 1L, "a2", 2L), (t1, 3L, "c", 1L)).toDF("day", "id", "payload", "ver"),
+      partCol = "day", keys = Seq("id"), versionCol = "ver")
+    assert(s.updated == 1 && s.inserted == 1, s"stats: $s")
+    val got = spark.read.parquet(path).select("id", "payload")
+      .as[(Long, String)].collect().toSet
+    assert(got == Set((1L, "a2"), (2L, "b"), (3L, "c")), s"snapshot: $got")
+  }
+
   test("upsert: add-column schema evolution null-fills the snapshot side") {
     import spark.implicits._
     val path = tmpDir()

@@ -272,6 +272,75 @@ class SearchSpec extends SparkSpec {
     } finally spark.sql(s"DROP TABLE IF EXISTS $table")
   }
 
+  test("compactIndex refuses an interrupted batch's marker; the heal preserves the version stamp") {
+    val table = "graft_searchspec_compactguard"
+    val d = docs(fullDocs: _*)
+    try {
+      Search.buildIndex(d.filter("doc_id <= 4"), table, 8,
+        corpusVersion = Some("v-keep"))
+      val fs = new org.apache.hadoop.fs.Path(loc(table))
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val pending = new org.apache.hadoop.fs.Path(s"${loc(table)}/_graft_pending")
+      val o = fs.create(pending, true)
+      try o.write("b-int".getBytes("UTF-8")) finally o.close()
+      import org.apache.spark.sql.functions.col
+      graft.sources.Bucketed.write(
+        Search.postingsFrame(d.filter("doc_id = 5"), Nil,
+          col("doc_id"), col("text")),
+        table, "t", 8, mode = org.apache.spark.sql.SaveMode.Append)
+      // compaction must NOT bake the partial batch in and erase the
+      // marker — the replay would then double-append
+      val e = intercept[IllegalStateException] {
+        Search.compactIndex(spark, table)
+      }
+      assert(e.getMessage.contains("b-int"), e.getMessage)
+      // the mandated replay heals — and with newVersion = None the
+      // compaction inside the heal must PRESERVE the prior stamp
+      Search.maintainIndex(spark, table, d.filter("doc_id >= 5"),
+        batchId = "b-int")
+      assert(Search.indexVersion(spark, table).contains("v-keep"),
+        s"heal lost the version stamp: ${Search.indexVersion(spark, table)}")
+      val want = run(d, "batch", "stream")
+      val got = Search.phraseIndexed(spark, table, Seq("batch", "stream"),
+        expectCorpusVersion = Some("v-keep")).collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      assert(got == want, s"healed $got != one-shot $want")
+      // an EMPTY marker (append never started) clears and compaction runs
+      fs.create(pending, true).close()
+      Search.compactIndex(spark, table)
+      assert(!fs.exists(pending))
+      assert(Search.indexVersion(spark, table).contains("v-keep"))
+    } finally spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
+
+  test("maintainIndexUnlocked keepMarker: the marker survives the heal's table recreation") {
+    val table = "graft_searchspec_keepmarker"
+    val d = docs(fullDocs: _*)
+    try {
+      Search.buildIndex(d.filter("doc_id <= 4"), table, 8)
+      val fs = new org.apache.hadoop.fs.Path(loc(table))
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val pending = new org.apache.hadoop.fs.Path(s"${loc(table)}/_graft_pending")
+      val o = fs.create(pending, true)
+      try o.write("k1".getBytes("UTF-8")) finally o.close()
+      import org.apache.spark.sql.functions.col
+      graft.sources.Bucketed.write(
+        Search.postingsFrame(d.filter("doc_id = 5"), Nil,
+          col("doc_id"), col("text")),
+        table, "t", 8, mode = org.apache.spark.sql.SaveMode.Append)
+      // the sink's heal path: compaction recreates the table, but the
+      // KEPT marker must be re-created — its ledger entry has not
+      // landed yet, and without the marker a crash before the ledger
+      // write would replay the batch as fresh (double-append)
+      Search.maintainIndexUnlocked(spark, table, d.filter("doc_id >= 5"),
+        batchId = "k1", idCol = col("doc_id"), textCol = col("text"),
+        newVersion = None, keepMarker = true)
+      assert(Search.pendingBatchId(spark, table).contains("k1"),
+        "kept marker must survive the heal compaction")
+      Search.clearPendingMarker(spark, table)
+    } finally spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
+
   test("maintainIndex refusals: foreign marker, tombstoned re-add, held lock; empty marker tolerated") {
     val table = "graft_searchspec_refuse"
     val d = docs(fullDocs: _*)

@@ -555,6 +555,13 @@ class StreamingSpec extends SparkSpec {
       assert(e.getMessage.contains("manual-load-x") &&
         e.getMessage.contains("compactIndex"), e.getMessage)
       fs.delete(pending, false)
+      // a REBUILD clears the stale applied-batch ledger: a fresh
+      // stream restarting batchIds at 0 against the old ledger would
+      // silently skip its first batches
+      Search.buildIndex(all, table, 8)
+      assert(Streams.applySearchIndexBatch(
+        Seq(20L -> "twenty batch stream").toDF("doc_id", "text"), 0L, table),
+        "a rebuilt index must not refuse batch 0 from a stale ledger")
       // the location lock releases after every cycle
       assert(!fs.exists(graft.util.PathLock.lockFile(loc)))
     } finally spark.sql(s"DROP TABLE IF EXISTS $table")
