@@ -196,7 +196,17 @@ object CorpusPrep {
       publishNearSnapshot: Option[Long] = None,
       substrWindow: Option[Int] = None,
       badWords: Option[Seq[String]] = None,
-      statsPath: Option[String] = None)
+      statsPath: Option[String] = None,
+      /** quality-WEIGHTED selection (q117's kernel,
+        * [[graft.operators.QualityWeight.gate]]): each surviving doc
+        * is kept with probability quality9/10⁹ — the soft form of a
+        * hard quality filter (borderline docs survive at reduced
+        * rate). Runs after dedup/decontamination/substring, before
+        * the language gate; stateless and deterministic, so its drops
+        * are recomputable (no dedicated stat). Hash domain "wq:" is
+        * independent of the sampling/mix/shard hashes.
+        */
+      qualityWeighted: Boolean = false)
 
   final case class Stats(
       input: Long, afterDedup: Long, afterSample: Long,
@@ -399,8 +409,13 @@ object CorpusPrep {
     // side is runs-bounded — AQE broadcasts it) and the strip is one
     // filter-lambda projection; everything downstream sees the
     // stripped text
-    val deduped = substrSpans.fold(deduped2)(sp =>
+    val deduped3 = substrSpans.fold(deduped2)(sp =>
       graft.operators.SubstrDedup.stripColumn(deduped2, sp))
+    // quality-weighted gate (when on): q117's stateless kernel, after
+    // every dedup stage (quality should not decide near-dup survival —
+    // q77's argmax owns that) and before the language/mix gates
+    val deduped = if (cfg.qualityWeighted)
+      graft.operators.QualityWeight.gate(deduped3) else deduped3
     val tagged = deduped.withColumn("lang_detected",
       TextOps.langId(col("text")).getField("lang"))
     val langSampled = Sample.stratified(tagged, "doc_id", "lang_detected",

@@ -1,7 +1,6 @@
 package graft.queries
 
 import graft.Tables
-import graft.functions.expressions.TextExprs.md5Lower64
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -73,19 +72,19 @@ object DeltaQ {
     * stateless-stage shape). Emits every doc with its verdict (the
     * audit form, like q64); a pipeline ships `WHERE kept = 1`.
     */
-  def q117(s: SparkSession, dir: String): DataFrame =
-    PrepQ.withQuality9(Tables(s, dir).documents)
+  def q117(s: SparkSession, dir: String): DataFrame = {
+    val qw = graft.operators.QualityWeight
+    qw.withQuality9(Tables(s, dir).documents)
       .select(col("doc_id"), col("quality9"),
-        md5Lower64(concat(lit("wq:"), col("doc_id").cast("string")))
-          .bitwiseAND(lit((1L << 30) - 1)).as("draw30"))
+        qw.draw30(col("doc_id")).as("draw30"))
       .withColumn("kept",
-        (col("draw30") * 1000000000L < col("quality9") * 1073741824L)
-          .cast("bigint"))
+        qw.keeps(col("draw30"), col("quality9")).cast("bigint"))
       .orderBy(col("doc_id"))
+  }
 
   val q117Sql: String =
     s"""WITH q AS (
-      |  SELECT doc_id, ${PrepQ.Quality9Sql} AS quality9,
+      |  SELECT doc_id, ${graft.operators.QualityWeight.Quality9Sql} AS quality9,
       |    CAST(md5_number_lower('wq:' || CAST(doc_id AS VARCHAR)) & 1073741823 AS BIGINT) AS draw30
       |  FROM documents)
       |SELECT doc_id, quality9, draw30,

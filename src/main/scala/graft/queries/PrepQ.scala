@@ -364,41 +364,12 @@ object PrepQ {
     * projection, one equi-join on doc_id and one window over
     * components.
     */
-  /** The q41-class quality blend in exact nano-units ∈ [0, 10⁹] —
-    * least(n_words,100)·5·10⁶ + n_stop·5·10⁸ DIV n_words — as ONE
-    * definition shared by q77 (cluster-pick argmax) and q117
-    * (weighted sampling): (doc_id, quality9) over any documents
-    * frame. [[Quality9Sql]] is its DuckDB face; the two must stay in
-    * lockstep (the one-definition rule).
-    */
-  private[queries] val QualityStops =
-    Seq("the", "a", "of", "and", "to", "in", "is")
-  private[queries] def withQuality9(docs: DataFrame): DataFrame = {
-    val txt = coalesce(col("text"), lit(""))
-    val toks = tokens(txt)
-    val nWords = size(toks).cast("long")
-    val nStop = size(filter(toks, w => w.isin(QualityStops: _*))).cast("long")
-    docs
-      .select(col("doc_id"), nWords.as("_nwords"), nStop.as("_nstop"))
-      .select(col("doc_id"),
-        (least(col("_nwords"), lit(100L)) * 5000000L +
-          expr("_nstop * 500000000L DIV greatest(_nwords, 1L)")).as("quality9"))
-  }
-
-  /** DuckDB rendering of [[withQuality9]]'s blend (a scalar over the
-    * `text` column, stops interpolated from the same list).
-    */
-  private[queries] val Quality9Sql: String = {
-    val stops = QualityStops.map(w => s"'$w'").mkString(",")
-    s"""CAST(LEAST(len(regexp_split_to_array(trim(coalesce(text, '')), '\\s+')), 100) * 5000000
-       |      + len(list_filter(regexp_split_to_array(trim(coalesce(text, '')), '\\s+'),
-       |          w -> list_contains([$stops], w))) * 500000000
-       |        // GREATEST(len(regexp_split_to_array(trim(coalesce(text, '')), '\\s+')), 1)
-       |      AS BIGINT)""".stripMargin
-  }
-
   def q77(s: SparkSession, dir: String, labels: DataFrame): DataFrame = {
-    val qual = withQuality9(Tables(s, dir).documents)
+    // the ONE quality-blend definition (operators.QualityWeight),
+    // shared with q117 and the CorpusPrep/Streams weighted gate
+    val qual = graft.operators.QualityWeight
+      .withQuality9(Tables(s, dir).documents)
+      .select(col("doc_id"), col("quality9"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("component"))
       .orderBy(col("quality9").desc, col("doc_id"))
@@ -426,7 +397,7 @@ object PrepQ {
        |  SELECT e.dst, r.m FROM r JOIN e ON e.src = r.node),
        |comp AS (SELECT node AS doc_id, min(m) AS component FROM r GROUP BY node),
        |qual AS (
-       |  SELECT doc_id, $Quality9Sql AS quality9
+       |  SELECT doc_id, ${graft.operators.QualityWeight.Quality9Sql} AS quality9
        |  FROM documents)
        |SELECT doc_id, component, quality9,
        |  CAST(ROW_NUMBER() OVER (

@@ -1057,12 +1057,17 @@ object Streams {
     // the benchmark is scrubbed with the SAME chain as the corpus
     // (batch contract: contamination spanning a PII token must still
     // match after both sides are rewritten)
-    val cleaned = benchmark.fold(nearDropped) { b =>
+    val cleaned0 = benchmark.fold(nearDropped) { b =>
       val bs = rewrite(b)
       decontaminate(nearDropped, bs)
         .filter(col("contaminated") === 0L)
         .drop("n_overlap", "contaminated")
     }
+    // quality-weighted gate (when on): the identical stateless kernel
+    // in the identical batch position — after every dedup stage,
+    // before the language gate
+    val cleaned = if (cfg.qualityWeighted)
+      graft.operators.QualityWeight.gate(cleaned0) else cleaned0
     val tagged = cleaned.withColumn("lang_detected",
       graft.functions.TextOps.langId(col("text")).getField("lang"))
     val langSampled = stratifiedSample(tagged, "doc_id", "lang_detected",

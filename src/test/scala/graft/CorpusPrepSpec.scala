@@ -27,6 +27,41 @@ class CorpusPrepSpec extends SparkSpec {
     }
   }
 
+  test("qualityWeighted gate: drops exactly the q117-kernel verdicts, flipped once per dedup survivor") {
+    import spark.implicits._
+    val base = CorpusPrep.Config(langRates = Map.empty, defaultRate = 1.0,
+      nShards = 2)
+    val qw = graft.operators.QualityWeight
+    // a quality spread: long stopword-rich docs (quality9 near 1e9,
+    // near-certain keeps) and one-word no-stopword docs (quality9 =
+    // 5e6, near-certain drops); ids 1/2 are EXACT dups — the stage
+    // order pin: dedup first, so the quality coin flips once, for the
+    // surviving id only
+    val rich = "the quick brown fox of the hills and a dog in the barn " +
+      "is to be seen in the morning and the evening of a long day " * 3
+    val docs = ((1L to 2L).map(id => (id, rich, "en", "a", 1L)) ++
+      (10L to 29L).map(id => (id, s"wordy$id", "en", "a", 1L)) ++
+      (30L to 49L).map(id => (id, s"$rich tail$id", "en", "a", 1L)))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val offIds = CorpusPrep.plan(docs, base).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    val onIds = CorpusPrep.plan(docs, base.copy(qualityWeighted = true))
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    // the gate composes: on = off filtered by the ONE kernel
+    val wantIds = qw.gate(docs.filter(col("doc_id").isin(offIds.toSeq: _*)))
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(onIds == wantIds,
+      s"gate-only: ${onIds -- wantIds}; kernel-only: ${wantIds -- onIds}")
+    assert(onIds.subsetOf(offIds) && onIds != offIds,
+      s"gate must drop some docs: on=$onIds off=$offIds")
+    // both verdict classes occur (the fixture exercises the gate, not
+    // a vacuous all-keep/all-drop)
+    assert(onIds.exists(_ >= 30L) && (10L to 29L).exists(!onIds.contains(_)))
+    // schema unchanged by the gate (no quality column leaks out)
+    assert(CorpusPrep.plan(docs, base.copy(qualityWeighted = true)).columns
+      .sameElements(CorpusPrep.plan(docs, base).columns))
+  }
+
   test("markup stage: tag-only variants collapse in dedup, output text is rendered, benchmark side gets the same chain") {
     import spark.implicits._
     val keepAll = CorpusPrep.Config(

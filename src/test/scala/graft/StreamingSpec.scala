@@ -959,7 +959,8 @@ class StreamingSpec extends SparkSpec {
       badWords = Some(Seq("slow")),
       priorSnapshot = Some(s"$dir/p.bloom"),
       sourceRates = Some((0 until 20).map(i => s"src$i" ->
-        (if (i % 3 == 0) 0.9 else 0.6)).toMap - "src7"))
+        (if (i % 3 == 0) 0.9 else 0.6)).toMap - "src7"),
+      qualityWeighted = true)
     // feed in doc_id order so streaming's first-seen dedup and batch's
     // keep-lowest agree on which copy of a duplicate survives
     val rows = docs.orderBy(col("doc_id"))
@@ -1003,7 +1004,10 @@ class StreamingSpec extends SparkSpec {
           .join(graft.queries.PrepQ.benchGramSet(benchScrubbed), Seq("gh"))
           .select(col("doc_id")).distinct(),
         Seq("doc_id"), "left_anti")
-      val taggedB = cleanB.withColumn("lang_detected",
+      // the quality-weighted gate in its batch position: after every
+      // dedup stage, before the language gate
+      val qualityB = graft.operators.QualityWeight.gate(cleanB)
+      val taggedB = qualityB.withColumn("lang_detected",
         graft.functions.TextOps.langId(col("text")).getField("lang"))
       val sampledB = graft.operators.Sample.stratified(
         graft.operators.Sample.stratified(taggedB, "doc_id",
