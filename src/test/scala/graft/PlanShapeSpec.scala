@@ -295,6 +295,38 @@ class PlanShapeSpec extends SparkSpec {
       s"q76 plans a window:\n$plan")
   }
 
+  test("q117: the weighted gate is one projection+filter — no join, no aggregate, no window, no hash exchange") {
+    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+    import org.apache.spark.sql.execution.aggregate.HashAggregateExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    val plan = graft.queries.DeltaQ.q117(spark, sf).queryExecution.sparkPlan
+    assert(plan.collect { case j: BaseJoinExec => j }.isEmpty,
+      s"q117 plans a join:\n$plan")
+    assert(plan.collect { case a: HashAggregateExec => a }.isEmpty,
+      s"q117 plans an aggregate:\n$plan")
+    assert(plan.collect { case w: WindowExec => w }.isEmpty,
+      s"q117 plans a window:\n$plan")
+    // the only exchange is the presentation sort's range partitioning —
+    // the GATE itself is map-side (the stateless-stage claim)
+    plan.collect { case e: ShuffleExchangeExec => e }.foreach(e =>
+      assert(!e.outputPartitioning.isInstanceOf[HashPartitioning],
+        s"q117 hash-shuffles:\n$plan"))
+  }
+
+  test("q116: the diff is one full-outer join and its exchanges carry digests, never text") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    val plan = graft.queries.DeltaQ.q116(spark, sf).queryExecution.sparkPlan
+    val joins = plan.collect { case j: BaseJoinExec => j }
+    assert(joins.length == 1, s"q116 must plan exactly one join:\n$plan")
+    // text dies map-side into digests before anything shuffles
+    plan.collect { case e: ShuffleExchangeExec => e }.foreach(e =>
+      assert(!e.output.exists(_.name == "text"),
+        s"a q116 exchange carries document text: ${e.output}"))
+  }
+
   test("q78: hash arrays die map-side — no exchange carries a string or array") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     import org.apache.spark.sql.types.{ArrayType, StringType}
