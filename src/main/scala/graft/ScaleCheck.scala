@@ -217,10 +217,33 @@ object ScaleCheck {
       (buildSec, maintainSec)
     }
 
+    // the same fixed-delta claim for the SEARCH index (Search.
+    // maintainIndex): postings for 500 new docs append in a
+    // delta-sized bucketing job regardless of the standing index's
+    // size — maintain_sec flat across the 10×, build_sec corpus-scaled
+    def searchPoint(dir: String, tag: String): (Double, Double) = {
+      val table = s"graft_scale_postings_$tag"
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+      val docs = Tables(spark, dir).documents
+      val t0 = System.nanoTime()
+      graft.operators.Search.buildIndex(
+        docs.filter(col("doc_id") >= 500), table, 16)
+      val buildSec = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      graft.operators.Search.maintainIndex(spark, table,
+        docs.filter(col("doc_id") < 500), batchId = s"scale-$tag")
+      val maintainSec = (System.nanoTime() - t1) / 1e9
+      line(s"""{"scale":"$tag","search_index":{"build_sec":${d3(buildSec)},"maintain_sec":${d3(maintainSec)},"delta_docs":500}}""")
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+      (buildSec, maintainSec)
+    }
+
     val base = measure(src, "sf0.1", kSem = 16)
     val big = measure(dst, "sf1", kSem = 160)
     val (b0, m0) = indexPoint(src, "sf01")
     val (b1, m1) = indexPoint(dst, "sf1")
+    val (sb0, sm0) = searchPoint(src, "sf01")
+    val (sb1, sm1) = searchPoint(dst, "sf1")
     val ratios = (Heavy ++ Seq("q68_semantic_dedup",
       "cand_q31", "cand_q96", "cand_q68")).map { n =>
       val r = if (base(n) > 0) big(n) / base(n) else -1.0
@@ -229,6 +252,7 @@ object ScaleCheck {
     // docs scale 10x: a ratio near 10 is linear; flag anything past 20
     line(s"""{"scale":"ratio_sf1_over_sf0.1","expect":"~10 (linear)","ratios":{$ratios}}""")
     line(s"""{"scale":"ndx_ratio_sf1_over_sf0.1","expect":"build ~10 (linear), maintain well under 10 (delta-scaled)","build":${d3(if (b0 > 0) b1 / b0 else -1.0)},"maintain":${d3(if (m0 > 0) m1 / m0 else -1.0)}}""")
+    line(s"""{"scale":"search_ratio_sf1_over_sf0.1","expect":"build ~10 (linear), maintain well under 10 (delta-scaled)","build":${d3(if (sb0 > 0) sb1 / sb0 else -1.0)},"maintain":${d3(if (sm0 > 0) sm1 / sm0 else -1.0)}}""")
     try {
       val p = java.nio.file.Paths.get("target/scale_sf1.json")
       java.nio.file.Files.createDirectories(p.getParent)
