@@ -28,6 +28,17 @@ object QualityWeight {
     * the input columns.
     */
   def withQuality9(docs: DataFrame): DataFrame = {
+    // withColumn REPLACES an existing column of the same name, so a
+    // user frame already carrying a quality9 (say, an upstream model
+    // score) would be silently destroyed — and the gate's .drop would
+    // then remove the user's column entirely. Refuse loudly; the
+    // caller renames theirs (or applies the gate before attaching it).
+    val clash = docs.columns
+      .map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+      .intersect(Set("quality9", "_q_nw", "_q_ns"))
+    require(clash.isEmpty,
+      s"QualityWeight: input frame already carries ${clash.mkString(", ")} " +
+        "— rename the conflicting column(s); the blend computes its own")
     val toks = tokens(coalesce(col("text"), lit("")))
     docs
       .withColumn("_q_nw", size(toks).cast("long"))

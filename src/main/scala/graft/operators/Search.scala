@@ -152,14 +152,16 @@ object Search {
     }
     graft.sources.Bucketed.write(
       postingsFrame(docs, Nil, idCol, textCol), table, "t", buckets)
-    // a REBUILD invalidates the streaming sink's applied-batch ledger
-    // (a sidecar BESIDE the location, so compaction can't wipe it —
-    // which also means the rebuild must): a fresh stream restarting
-    // batchIds at 0 against a stale ledger would silently skip its
-    // first batches
+    // a REBUILD invalidates the SIBLING sidecars (compaction can't
+    // wipe them — which means the rebuild must): the streaming sink's
+    // applied-batch ledger (a fresh stream restarting batchIds at 0
+    // against a stale ledger would silently skip its first batches)
+    // and any pending marker from the replaced index's history
     val loc = tableLocation(spark, table)
-    hadoopFs(spark, loc).delete(new org.apache.hadoop.fs.Path(
+    val lfs = hadoopFs(spark, loc)
+    lfs.delete(new org.apache.hadoop.fs.Path(
       graft.streaming.Streams.batchLedgerPath(loc)), false)
+    lfs.delete(new org.apache.hadoop.fs.Path(pendingPath(loc)), false)
     corpusVersion.foreach(stampVersion(spark, table, _))
   }
 
@@ -204,13 +206,18 @@ object Search {
           "Search.buildIndex?")).numBuckets
   }
 
-  /** In-tree sidecars: underscore-prefixed names inside the table
-    * location, so Spark's file index never reads them as table data
-    * (the `_SUCCESS` convention). Both die with the location on any
-    * table overwrite — which is exactly right: a rebuild or
-    * compaction starts from a clean ledger.
+  /** Sidecar layout. The tombstone log lives IN-TREE (underscore-
+    * prefixed inside the location, invisible to Spark's file index —
+    * the `_SUCCESS` convention) and dies with the location on any
+    * table overwrite, which is exactly right: a rebuild or compaction
+    * starts tombstone-free. The pending marker lives BESIDE the
+    * location (the applied-batch ledger's convention): the heal path
+    * COMPACTS — a table recreation — and a marker that died with the
+    * table would reopen the double-append crash window it exists to
+    * close (a crash between the heal's recreation and the sink's
+    * ledger write would replay the batch as "fresh").
     */
-  private def pendingPath(loc: String) = s"$loc/_graft_pending"
+  private def pendingPath(loc: String) = s"$loc._graft_pending"
   private def deletedDir(loc: String) = s"$loc/_graft_deleted"
 
   private def hadoopFs(spark: SparkSession, loc: String) =
@@ -321,7 +328,13 @@ object Search {
           s"${pendingPath(loc)} and run Search.compactIndex (the " +
           "batch's docs stay partially indexed until re-maintained)")
     }
-    deletedIds(spark, table).foreach { dead =>
+    // tombstoned-id RE-ADDS refuse — except on a heal: the replayed
+    // batch is the SAME add completing, not a re-add, and a tombstone
+    // recorded after its first attempt legitimately hides the doc
+    // (delete-after-add semantics). Without this carve-out the two
+    // refusals would be circular: this message says compact first, and
+    // compactIndex (correctly) refuses while the marker stands.
+    if (!healAfterAppend) deletedIds(spark, table).foreach { dead =>
       val readds = newDocs.select(idCol.cast("long").as("doc_id"))
         .join(broadcast(dead), Seq("doc_id")).limit(1).count()
       require(readds == 0L,
@@ -329,27 +342,20 @@ object Search {
           s"— the tombstone filter would silently hide them; run " +
           s"Search.compactIndex($table) first")
     }
-    def writeMarker(): Unit = {
-      val o = fs.create(pending, true)
-      try o.write(batchId.getBytes("UTF-8")) finally o.close()
-    }
-    writeMarker()
+    val o = fs.create(pending, true)
+    try o.write(batchId.getBytes("UTF-8")) finally o.close()
     graft.sources.Bucketed.write(
       postingsFrame(newDocs, Nil, idCol, textCol), table, "t", buckets,
       mode = org.apache.spark.sql.SaveMode.Append)
     if (healAfterAppend) {
-      // the compaction recreates the table: the version stamp and the
-      // marker die with the location. Preserve the stamp (newVersion =
-      // None must LEAVE the previous stamp — the documented contract,
-      // and the sink's default), and re-create the kept marker: the
-      // sink's ledger has not recorded this batch yet, and losing the
-      // marker here would let a crash before the ledger write replay
-      // the batch as "fresh" and double-append — the exact window
-      // keepMarker exists to close
+      // the compaction recreates the table — the version stamp dies
+      // with it (the marker does NOT: it is a sibling, see
+      // [[pendingPath]]). Preserve the stamp: newVersion = None must
+      // LEAVE the previous stamp (the documented contract, and the
+      // sink's default)
       val keep = newVersion.orElse(indexVersion(spark, table))
       compactInPlace(spark, table, buckets)
       keep.foreach(stampVersion(spark, table, _))
-      if (keepMarker) writeMarker()
     } else {
       newVersion.foreach(stampVersion(spark, table, _))
     }
@@ -455,9 +461,10 @@ object Search {
     * localCheckpoint → executor block storage; a deployment whose
     * index exceeds cluster storage stages through a scratch table
     * instead), then overwrite — the table recreation also wipes the
-    * in-tree sidecars (tombstone log, pending marker), which is the
-    * point. Version property is dropped by the recreation; callers
-    * restamp.
+    * IN-TREE tombstone log, which is the point (the pending marker and
+    * the sink ledger are siblings and deliberately survive — see
+    * [[pendingPath]]). Version property is dropped by the recreation;
+    * callers restamp.
     */
   private def compactInPlace(spark: SparkSession, table: String,
                              buckets: Int): Unit = {

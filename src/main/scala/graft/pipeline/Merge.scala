@@ -192,7 +192,21 @@ object Merge {
                         updates: DataFrame, partCol: String,
                         keys: Seq[String], versionCol: String,
                         deleteCol: Option[String] = None): Stats = {
-    require(!keys.contains(partCol),
+    // resolve the caller's partCol to the frame's OWN attribute case
+    // ONCE (per the session's resolution semantics): the partitioned
+    // writer names directories after the ATTRIBUTE, so a caller-cased
+    // 'Shard' against a 'shard' column would probe `Shard=…` while the
+    // writer wrote `shard=…` — every partition "missing", every swap a
+    // fabricated empty snapshot over the real merged output
+    val caseSensitiveRes =
+      spark.conf.get("spark.sql.caseSensitive", "false").toBoolean
+    def normName(n: String): String =
+      if (caseSensitiveRes) n else n.toLowerCase(java.util.Locale.ROOT)
+    val partColR = updates.columns.find(c => normName(c) == normName(partCol))
+      .getOrElse(throw new IllegalArgumentException(
+        s"upsertPartitioned: partition column $partCol not found in " +
+          s"update batch columns ${updates.columns.mkString(", ")}"))
+    require(!keys.exists(k => normName(k) == normName(partColR)),
       "partition column is implicit per-partition; keys must not repeat it")
     val upd = updates.cache() // feeds the distinct, the union and the count
     try {
@@ -206,7 +220,7 @@ object Merge {
       // would make the swap below publish a fabricated empty dir over
       // the real merged output
       val touched = upd
-        .select(col(partCol), col(partCol).cast("string").as("_str"))
+        .select(col(partColR), col(partColR).cast("string").as("_str"))
         .distinct().collect().map(r => (r.get(0), r.getString(1)))
       // a null partition value has no `partCol=` directory to live in
       // (and === never matches null, so its rows would silently merge
@@ -223,7 +237,7 @@ object Merge {
       val parts = touched.map { case (v, str) =>
         val dirName = org.apache.spark.sql.catalyst.catalog
           .ExternalCatalogUtils.escapePathName(str)
-        (v, dirName, s"$targetPath/$partCol=$dirName")
+        (v, dirName, s"$targetPath/$partColR=$dirName")
       }.sortBy(_._2).toList
       // acquire every touched partition's lock (sorted order), recover
       // each, then run the fused cycle with all leases in hand
@@ -235,7 +249,7 @@ object Merge {
               val exists = Snapshot.recoverAndExists(fs, p, lease)
               locked(tail, (v, dn, p, lease, exists) :: acc)
             }
-          case Nil => fusedCycle(spark, fs, targetPath, upd, partCol, keys,
+          case Nil => fusedCycle(spark, fs, targetPath, upd, partColR, keys,
             versionCol, deleteCol, acc.reverse)
         }
       locked(parts, Nil)
@@ -321,23 +335,39 @@ object Merge {
       if (fs.exists(tmpRoot)) fs.delete(tmpRoot, true)
       result.write.partitionBy(partCol)
         .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(tmpRoot.toString)
-      // swap each partition in: metadata renames only. A partition
-      // whose rows were ALL tombstoned gets no tmp dir from the writer
-      // — publish a ZERO-ROW parquet snapshot (with schema: a bare
-      // _SUCCESS dir would crash the NEXT merge's spark.read with
-      // "unable to infer schema"), matching the serial form, which
-      // published the empty frame through Snapshot.publish
-      lazy val emptySchema = org.apache.spark.sql.types.StructType(
-        result.schema.fields.filterNot(_.name == partCol))
-      parts.foreach { case (_, dirName, partPath, lease, exists) =>
-        val written = new Path(s"$tmpRoot/$partCol=$dirName")
-        if (!fs.exists(written)) {
-          spark.createDataFrame(
-            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], emptySchema)
-            .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-            .parquet(written.toString)
+      // A partition whose rows were ALL tombstoned gets no tmp dir
+      // from the writer — publish a ZERO-ROW parquet snapshot (with
+      // schema: a bare _SUCCESS dir would crash the NEXT merge's
+      // spark.read with "unable to infer schema"), matching the serial
+      // form, which published the empty frame through Snapshot.publish.
+      // The empty snapshot is WRITTEN ONCE and FS-copied per missing
+      // partition — per-partition zero-row write JOBS would re-create
+      // the serial driver-round-trip cost this fused cycle removes
+      // (a retention delta can tombstone hundreds of partitions).
+      // partCol filter uses the same resolution semantics as the
+      // schema checks above (the column name is the caller's frame's
+      // attribute, already case-resolved by upsertPartitioned).
+      val missing = parts.filterNot { case (_, dirName, _, _, _) =>
+        fs.exists(new Path(s"$tmpRoot/$partCol=$dirName")) }
+      if (missing.nonEmpty) {
+        val emptySchema = org.apache.spark.sql.types.StructType(
+          result.schema.fields.filterNot(f => norm(f.name) == norm(partCol)))
+        val emptyDir = new Path(s"$tmpRoot/_graft_empty")
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], emptySchema)
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .parquet(emptyDir.toString)
+        missing.foreach { case (_, dirName, _, _, _) =>
+          org.apache.hadoop.fs.FileUtil.copy(fs, emptyDir, fs,
+            new Path(s"$tmpRoot/$partCol=$dirName"), false,
+            spark.sparkContext.hadoopConfiguration)
+          ()
         }
-        Snapshot.publishWritten(fs, partPath, exists, written, lease)
+      }
+      // swap each partition in: metadata renames only
+      parts.foreach { case (_, dirName, partPath, lease, exists) =>
+        Snapshot.publishWritten(fs, partPath, exists,
+          new Path(s"$tmpRoot/$partCol=$dirName"), lease)
       }
       fs.delete(tmpRoot, true)
       Stats(

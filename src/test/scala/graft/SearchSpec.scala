@@ -205,7 +205,7 @@ class SearchSpec extends SparkSpec {
       // a completed maintain leaves no pending marker and no lock
       val fs = new org.apache.hadoop.fs.Path(loc(table))
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      assert(!fs.exists(new org.apache.hadoop.fs.Path(s"${loc(table)}/_graft_pending")))
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(s"${loc(table)}._graft_pending")))
       assert(!fs.exists(graft.util.PathLock.lockFile(loc(table))))
     } finally spark.sql(s"DROP TABLE IF EXISTS $table")
   }
@@ -250,7 +250,7 @@ class SearchSpec extends SparkSpec {
       // batch's postings landed (doc 5 only), then death
       val fs = new org.apache.hadoop.fs.Path(loc(table))
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val pending = new org.apache.hadoop.fs.Path(s"${loc(table)}/_graft_pending")
+      val pending = new org.apache.hadoop.fs.Path(s"${loc(table)}._graft_pending")
       val o = fs.create(pending, true)
       try o.write("b-crash".getBytes("UTF-8")) finally o.close()
       import org.apache.spark.sql.functions.col
@@ -280,7 +280,7 @@ class SearchSpec extends SparkSpec {
         corpusVersion = Some("v-keep"))
       val fs = new org.apache.hadoop.fs.Path(loc(table))
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val pending = new org.apache.hadoop.fs.Path(s"${loc(table)}/_graft_pending")
+      val pending = new org.apache.hadoop.fs.Path(s"${loc(table)}._graft_pending")
       val o = fs.create(pending, true)
       try o.write("b-int".getBytes("UTF-8")) finally o.close()
       import org.apache.spark.sql.functions.col
@@ -320,7 +320,7 @@ class SearchSpec extends SparkSpec {
       Search.buildIndex(d.filter("doc_id <= 4"), table, 8)
       val fs = new org.apache.hadoop.fs.Path(loc(table))
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val pending = new org.apache.hadoop.fs.Path(s"${loc(table)}/_graft_pending")
+      val pending = new org.apache.hadoop.fs.Path(s"${loc(table)}._graft_pending")
       val o = fs.create(pending, true)
       try o.write("k1".getBytes("UTF-8")) finally o.close()
       import org.apache.spark.sql.functions.col
@@ -348,7 +348,7 @@ class SearchSpec extends SparkSpec {
       Search.buildIndex(d.filter("doc_id <= 4"), table, 8)
       val fs = new org.apache.hadoop.fs.Path(loc(table))
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val pending = new org.apache.hadoop.fs.Path(s"${loc(table)}/_graft_pending")
+      val pending = new org.apache.hadoop.fs.Path(s"${loc(table)}._graft_pending")
       // a marker from a DIFFERENT batch refuses with the remedy
       val o = fs.create(pending, true)
       try o.write("someone-else".getBytes("UTF-8")) finally o.close()

@@ -514,7 +514,7 @@ class StreamingSpec extends SparkSpec {
         table.toLowerCase(java.util.Locale.ROOT)).toString
       val fs = new org.apache.hadoop.fs.Path(loc)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val pending = new org.apache.hadoop.fs.Path(s"$loc/_graft_pending")
+      val pending = new org.apache.hadoop.fs.Path(s"${loc}._graft_pending")
       val batch7 = Seq(7L -> "batch stream seven", 8L -> "merge join eight")
         .toDF("doc_id", "text")
       val o = fs.create(pending, true)
