@@ -21,7 +21,9 @@ object SparkEntry {
         Entry("q69_wav_decode", graft.multimodal.Multimodal.q69,
           Some(graft.multimodal.Multimodal.q69Sql)),
         Entry("q91_bmp_decode", graft.multimodal.Multimodal.q91,
-          Some(graft.multimodal.Multimodal.q91Sql)))
+          Some(graft.multimodal.Multimodal.q91Sql)),
+        Entry("q118_image_dhash", graft.multimodal.Multimodal.q118,
+          Some(graft.multimodal.Multimodal.q118Sql)))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -399,6 +399,67 @@ object Multimodal {
       |  ${graft.queries.Q.round4Sql("CAST(ndark AS DOUBLE) / n_px")} AS dark_frac4
       |FROM agg ORDER BY doc_id""".stripMargin
 
+  /** q118: PERCEPTUAL image fingerprint in the oracle-checked path —
+    * [[ppmTable]] → real [[Netpbm.decode]] → [[Netpbm.dHash64]] (9×8
+    * nearest-neighbor luma grid, adjacent-sample comparison bits).
+    * The hash is emitted as TWO 32-bit halves (dh_hi/dh_lo BIGINT):
+    * bit 63 of a one-column form would need the sign bit, and signed
+    * 64-bit wraparound arithmetic is not portable across engines —
+    * halves are. Image NEAR-DUP rides this exactly like q32 rides
+    * SimHash (same 64-bit Hamming space, same block-rotation buckets
+    * — spec-pinned on near-identical rasters); this query is the
+    * hash kernel's exactness face, DuckDB replaying decode → grid →
+    * luma → comparison bit for bit.
+    */
+  def q118(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    ppmTable(spark, dir)
+      .map { r =>
+        Netpbm.decode(r.payload) match {
+          case Some(img) =>
+            val h = Netpbm.dHash64(img)
+            (r.doc_id, h >>> 32, h & 0xffffffffL, true)
+          case None => (r.doc_id, 0L, 0L, false)
+        }
+      }
+      .toDF("doc_id", "dh_hi", "dh_lo", "ok")
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB mirror of q118: the q67 raster rebuild (padded byte list,
+    * ih rows of 8 pixels), then the SAME integer grid sample
+    * (sx = x·8 DIV 9, sy = y·ih DIV 8), BT.601 luma, and bit k of each
+    * half = g(x) > g(x+1) at (y, x) = ((k + 32·half) DIV 8, k MOD 8).
+    */
+  val q118Sql: String = {
+    def half(h: Int): String =
+      s"""CAST(list_sum(list_transform(range(0, 32), k ->
+         |    CASE WHEN g[CAST(((k + ${32 * h})//8)*9 + (k % 8) + 1 AS INT)] >
+         |              g[CAST(((k + ${32 * h})//8)*9 + (k % 8) + 2 AS INT)]
+         |         THEN (CAST(1 AS BIGINT) << CAST(k AS INT)) ELSE 0 END)) AS BIGINT)"""
+        .stripMargin
+    s"""WITH $hexBytesCte,
+      |dims AS (
+      |  SELECT doc_id, GREATEST(CAST(ceil(nb / 24.0) AS BIGINT), 1) AS ih
+      |  FROM hx),
+      |pad AS (
+      |  SELECT b.doc_id, d.ih,
+      |    list_concat(b.bs,
+      |      list_transform(range(b.nb, d.ih*24), x -> CAST(0 AS INT))) AS bs
+      |  FROM bts b JOIN dims d USING (doc_id)),
+      |grid AS (
+      |  SELECT doc_id, list_transform(range(0, 72), i ->
+      |    (bs[CAST(3*(((i//9)*ih//8)*8 + ((i%9)*8//9)) + 1 AS INT)]*299 +
+      |     bs[CAST(3*(((i//9)*ih//8)*8 + ((i%9)*8//9)) + 2 AS INT)]*587 +
+      |     bs[CAST(3*(((i//9)*ih//8)*8 + ((i%9)*8//9)) + 3 AS INT)]*114) // 1000) AS g
+      |  FROM pad)
+      |SELECT doc_id,
+      |  ${half(1)} AS dh_hi,
+      |  ${half(0)} AS dh_lo,
+      |  TRUE AS ok
+      |FROM grid ORDER BY doc_id""".stripMargin
+  }
+
   /** Audio-from-documents corpus for the WAV arm: each doc's UTF-8
     * text bytes as centered mono PCM16 samples (sample = (byte - 128)
     * * 256, 8 kHz), through the real [[Wav.encodePcm16]] — the q69

@@ -166,6 +166,41 @@ object Netpbm {
     Image(w2, h2, img.maxVal, out)
   }
 
+  /** 64-bit difference hash (dHash, Krawetz's perceptual image
+    * fingerprint): sample a 9×8 luma grid by nearest neighbor
+    * (sx = x·width DIV 9, sy = y·height DIV 8 — integer division, so
+    * the DuckDB oracle replays it exactly), bit (y, x) = 1 iff
+    * g(x, y) > g(x+1, y). Near-identical images (re-encodes, small
+    * crops/edits, brightness shifts — dHash compares ADJACENT samples,
+    * so global level changes cancel) land within a few Hamming bits,
+    * which makes image NEAR-DUP exactly the q32 SimHash problem on a
+    * different 64-bit Hamming space: the same block-rotation bucket
+    * machinery applies verbatim.
+    */
+  def dHash64(img: Image): Long = {
+    var h = 0L
+    val g = new Array[Int](9)
+    var y = 0
+    while (y < 8) {
+      val sy = y * img.height / 8
+      var i = 0
+      while (i < 9) {
+        val sx = i * img.width / 9
+        val p = (sy * img.width + sx) * 3
+        g(i) = luma(img.pixels(p) & 0xff, img.pixels(p + 1) & 0xff,
+          img.pixels(p + 2) & 0xff)
+        i += 1
+      }
+      var x = 0
+      while (x < 8) {
+        if (g(x) > g(x + 1)) h |= 1L << (y * 8 + x)
+        x += 1
+      }
+      y += 1
+    }
+    h
+  }
+
   /** Normalized luma histogram: `bins` equal slices of 0..255 (bin =
     * luma * bins / 256 in int math), each value the FRACTION of pixels
     * in the bin — a zero-pixel image is all-zeros, not NaN.

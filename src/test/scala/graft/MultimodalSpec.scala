@@ -241,6 +241,49 @@ class MultimodalSpec extends SparkSpec {
 
   import graft.multimodal.Wav
 
+  test("dHash64: gradient/uniform fixtures, brightness invariance, near-dup locality vs unrelated distance") {
+    import graft.multimodal.Netpbm
+    def gray(w: Int, h: Int, v: (Int, Int) => Int): Netpbm.Image = {
+      val px = new Array[Byte](w * h * 3)
+      for (y <- 0 until h; x <- 0 until w) {
+        val b = (v(x, y) & 0xff).toByte
+        px((y * w + x) * 3) = b; px((y * w + x) * 3 + 1) = b
+        px((y * w + x) * 3 + 2) = b
+      }
+      Netpbm.Image(w, h, 255, px)
+    }
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    // uniform: every adjacent comparison false -> 0
+    assert(Netpbm.dHash64(gray(9, 8, (_, _) => 100)) == 0L)
+    // luma increasing in x (grid samples land exactly on columns for
+    // width 9): g(x) < g(x+1) everywhere -> 0; decreasing -> all 64 set
+    assert(Netpbm.dHash64(gray(9, 8, (x, _) => x * 20)) == 0L)
+    assert(Netpbm.dHash64(gray(9, 8, (x, _) => (8 - x) * 20)) == -1L)
+    // a deterministic textured image
+    val rnd = new scala.util.Random(1180)
+    val vals = Array.fill(16, 16)(rnd.nextInt(256))
+    val base = gray(16, 16, (x, y) => vals(y)(x))
+    val hBase = Netpbm.dHash64(base)
+    // GLOBAL brightness shift cancels exactly: dHash compares adjacent
+    // samples, and a clamp-free +shift preserves every comparison
+    // (values halved first for headroom so +60 cannot saturate)
+    val vals2 = vals.map(_.map(v => v / 2))
+    val b2 = gray(16, 16, (x, y) => vals2(y)(x))
+    val b2shift = gray(16, 16, (x, y) => vals2(y)(x) + 60)
+    assert(Netpbm.dHash64(b2) == Netpbm.dHash64(b2shift),
+      "a global brightness shift must not move the hash")
+    // one-pixel edit: at most one grid sample moves -> <= 2 bits
+    val oneEdit = gray(16, 16, (x, y) =>
+      if (x == 7 && y == 6) 255 - vals(y)(x) else vals(y)(x))
+    assert(ham(hBase, Netpbm.dHash64(oneEdit)) <= 2,
+      s"one-pixel edit moved ${ham(hBase, Netpbm.dHash64(oneEdit))} bits")
+    // an unrelated texture is far (the bucketing premise)
+    val rnd2 = new scala.util.Random(99118)
+    val other = gray(16, 16, (_, _) => rnd2.nextInt(256))
+    assert(ham(hBase, Netpbm.dHash64(other)) > 10,
+      s"unrelated images too close: ${ham(hBase, Netpbm.dHash64(other))}")
+  }
+
   test("Wav: encode/decode round trip, chunk skipping, malformed/unsupported fencing") {
     val a = Wav.Audio(8000, Array[Short](0, 1000, -1000, 32767, -32768))
     val enc = Wav.encodePcm16(a)
