@@ -23,7 +23,9 @@ object SparkEntry {
         Entry("q91_bmp_decode", graft.multimodal.Multimodal.q91,
           Some(graft.multimodal.Multimodal.q91Sql)),
         Entry("q118_image_dhash", graft.multimodal.Multimodal.q118,
-          Some(graft.multimodal.Multimodal.q118Sql)))
+          Some(graft.multimodal.Multimodal.q118Sql)),
+        Entry("q119_image_neardup", graft.multimodal.Multimodal.q119,
+          Some(graft.multimodal.Multimodal.q119Sql)))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

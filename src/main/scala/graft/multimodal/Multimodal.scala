@@ -460,6 +460,110 @@ object Multimodal {
       |FROM grid ORDER BY doc_id""".stripMargin
   }
 
+  /** q119: IMAGE near-dup PAIRS — q32's SimHash recipe verbatim on
+    * [[Netpbm.dHash64]]'s Hamming space: 4×16-bit pigeonhole blocks
+    * (hamming ≤ 3 ⇒ at least one block equal), per-bucket cap 1000
+    * against degenerate blocks, in-bucket hamming verification — pair
+    * generation is bucketed, never all-pairs (the 100 TB shape, shared
+    * with q32). Because the corpus has no natural image near-dups by
+    * construction, every doc ≡ 0 (mod 83) also enters as a DERIVED
+    * near-copy (id + 10⁹, first raster byte incremented mod 256 — one
+    * grid sample moves, ≤ 2 hash bits): the q54/q115 injection device,
+    * so both engines must DETECT identical known pairs, not agree on
+    * empty. Rasters are built directly (encode∘decode is an identity
+    * on valid images — q67 pins the round trip; the hash kernel is
+    * this query's subject, the decode path is q118's).
+    */
+  def q119(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val hashes = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), coalesce(col("text"), lit("")).as("t"))
+      .as[(Long, String)]
+      .flatMap { case (id, t) =>
+        val bytes = t.getBytes("UTF-8")
+        val h = math.max((bytes.length + 23) / 24, 1)
+        val px = java.util.Arrays.copyOf(bytes, 8 * h * 3)
+        val base = (id, Netpbm.dHash64(Netpbm.Image(8, h, 255, px)))
+        if (id % 83 == 0) {
+          val px2 = px.clone()
+          px2(0) = ((px2(0) + 1) & 0xff).toByte
+          Seq(base,
+            (id + 1000000000L, Netpbm.dHash64(Netpbm.Image(8, h, 255, px2))))
+        } else Seq(base)
+      }
+      .toDF("doc_id", "dh")
+      // barrier (the q32 rationale): the hash column fans out into the
+      // block window and both join branches
+      .repartition(col("doc_id"))
+    val blocked = hashes.select(col("doc_id"), col("dh"),
+      posexplode(graft.functions.TextOps.simhashBlocks(col("dh"), 4))
+        .as(Seq("blk", "bval")))
+    val wB = Window.partitionBy(col("blk"), col("bval"))
+    val capped = blocked
+      .withColumn("bucket_n", count(lit(1)).over(wB))
+      .filter(col("bucket_n") <= 1000)
+    val lhs = capped.select(col("blk"), col("bval"),
+      col("doc_id").as("doc_a"), col("dh").as("dh_a"))
+    val rhs = capped.select(col("blk"), col("bval"),
+      col("doc_id").as("doc_b"), col("dh").as("dh_b"))
+    lhs.join(rhs, Seq("blk", "bval"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        graft.functions.TextOps.hamming64(col("dh_a"), col("dh_b"))
+          .cast("bigint").as("hamming"))
+      .filter(col("hamming") <= 3)
+      .dropDuplicates("doc_a", "doc_b")
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** DuckDB mirror of q119: the q118 grid over base + injected
+    * rasters, the full hash as UBIGINT (logical shifts match Spark's
+    * masked arithmetic shifts), then q32's block/cap/verify chain.
+    */
+  val q119Sql: String =
+    s"""WITH $hexBytesCte,
+      |dims AS (
+      |  SELECT doc_id, GREATEST(CAST(ceil(nb / 24.0) AS BIGINT), 1) AS ih
+      |  FROM hx),
+      |pad AS (
+      |  SELECT b.doc_id, d.ih,
+      |    list_concat(b.bs,
+      |      list_transform(range(b.nb, d.ih*24), x -> CAST(0 AS INT))) AS bs
+      |  FROM bts b JOIN dims d USING (doc_id)),
+      |rast AS (
+      |  SELECT doc_id, ih, bs FROM pad
+      |  UNION ALL
+      |  SELECT doc_id + 1000000000, ih,
+      |    list_concat([CAST((bs[1] + 1) % 256 AS INT)], bs[2:]) AS bs
+      |  FROM pad WHERE doc_id % 83 = 0),
+      |grid AS (
+      |  SELECT doc_id, list_transform(range(0, 72), i ->
+      |    (bs[CAST(3*(((i//9)*ih//8)*8 + ((i%9)*8//9)) + 1 AS INT)]*299 +
+      |     bs[CAST(3*(((i//9)*ih//8)*8 + ((i%9)*8//9)) + 2 AS INT)]*587 +
+      |     bs[CAST(3*(((i//9)*ih//8)*8 + ((i%9)*8//9)) + 3 AS INT)]*114) // 1000) AS g
+      |  FROM rast),
+      |dh AS (
+      |  SELECT doc_id, CAST(list_sum(list_transform(range(0, 64), k ->
+      |    CASE WHEN g[CAST((k//8)*9 + (k%8) + 1 AS INT)] >
+      |              g[CAST((k//8)*9 + (k%8) + 2 AS INT)]
+      |         THEN (CAST(1 AS UBIGINT) << CAST(k AS INT))
+      |         ELSE CAST(0 AS UBIGINT) END)) AS UBIGINT) AS h
+      |  FROM grid),
+      |blocked AS (
+      |  SELECT doc_id, h, r.b AS blk, (h >> CAST(r.b*16 AS INT)) & 65535 AS bval
+      |  FROM dh, range(0,4) r(b)),
+      |capped AS (
+      |  SELECT doc_id, h, blk, bval, COUNT(*) OVER (PARTITION BY blk, bval) AS bn
+      |  FROM blocked QUALIFY bn <= 1000),
+      |pairs AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    CAST(bit_count(xor(a.h, b.h)) AS BIGINT) AS hamming
+      |  FROM capped a JOIN capped b
+      |    ON a.blk = b.blk AND a.bval = b.bval AND a.doc_id < b.doc_id)
+      |SELECT doc_a, doc_b, hamming FROM pairs
+      |WHERE hamming <= 3 ORDER BY doc_a, doc_b""".stripMargin
+
   /** Audio-from-documents corpus for the WAV arm: each doc's UTF-8
     * text bytes as centered mono PCM16 samples (sample = (byte - 128)
     * * 256, 8 kHz), through the real [[Wav.encodePcm16]] — the q69
