@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Column-level text operators for the LLM-data-pipeline queries.
@@ -155,6 +155,45 @@ object TextOps {
 
   /** Hamming distance between two 64-bit hashes. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** The block/cap/verify near-dup chain over any 64-bit Hamming
+    * space — ONE definition shared by q32 (SimHash over tokens) and
+    * q119 (dHash over pixels): hashes (idCol, hashCol) → verified
+    * pairs (doc_a, doc_b, hamming ≤ maxHamming), ordered. Pair
+    * generation only inside [[simhashBlocks]] pigeonhole buckets
+    * (maxHamming ≤ nBlocks−1 keeps candidates complete), degenerate
+    * buckets past `cap` rows skipped (boilerplate-heavy corpora
+    * collapse many docs onto one block value → quadratic bucket), the
+    * hamming computed and filtered IN-bucket so only real near-dups
+    * reach the dedup exchange. `graft.queries.TextQ.hammingPairsSql`
+    * is the DuckDB face.
+    */
+  def hammingPairs(hashes: DataFrame, idCol: String, hashCol: String,
+                   nBlocks: Int = 4, cap: Int = 1000,
+                   maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= nBlocks - 1,
+      s"pigeonhole completeness needs maxHamming <= nBlocks-1, " +
+        s"got $maxHamming vs $nBlocks blocks")
+    val blocked = hashes.select(col(idCol).as("doc_id"),
+      col(hashCol).as("_h"),
+      posexplode(simhashBlocks(col(hashCol), nBlocks)).as(Seq("blk", "bval")))
+    val wB = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("blk"), col("bval"))
+    val capped = blocked
+      .withColumn("bucket_n", count(lit(1)).over(wB))
+      .filter(col("bucket_n") <= cap)
+    val lhs = capped.select(col("blk"), col("bval"),
+      col("doc_id").as("doc_a"), col("_h").as("_h_a"))
+    val rhs = capped.select(col("blk"), col("bval"),
+      col("doc_id").as("doc_b"), col("_h").as("_h_b"))
+    lhs.join(rhs, Seq("blk", "bval"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        hamming64(col("_h_a"), col("_h_b")).cast("bigint").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .dropDuplicates("doc_a", "doc_b")
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
 
   /** Rolling char-k-gram hashes (the winnowing unit). */
   def charGramHashes(c: Column, k: Int): Column =

@@ -302,16 +302,24 @@ object Multimodal {
     * pixels are a pure function of the text bytes, DuckDB can replay
     * the whole round trip exactly (q67's oracle).
     */
+  /** The documents-as-rasters layout contract (8-wide, zero-padded,
+    * height floored at `minH`) — ONE Scala copy, replayed by the
+    * [[rasterCtes]] SQL mirror; ppmTable (q67/q118, minH 1) and q119
+    * (minH 8 — see its scaladoc) must not drift apart.
+    */
+  private[graft] def rasterOf(bytes: Array[Byte],
+                              minH: Int = 1): Netpbm.Image = {
+    val h = math.max((bytes.length + 23) / 24, minH)
+    Netpbm.Image(8, h, 255, java.util.Arrays.copyOf(bytes, 8 * h * 3))
+  }
+
   def ppmTable(spark: SparkSession, dir: String): Dataset[MediaRow] = {
     import spark.implicits._
     spark.read.parquet(s"$dir/documents.parquet")
       .select(col("doc_id"), coalesce(col("text"), lit("")).as("t"))
       .as[(Long, String)]
       .map { case (id, t) =>
-        val bytes = t.getBytes("UTF-8")
-        val h = math.max((bytes.length + 23) / 24, 1)
-        val px = java.util.Arrays.copyOf(bytes, 8 * h * 3)
-        val payload = Netpbm.encodeP6(Netpbm.Image(8, h, 255, px))
+        val payload = Netpbm.encodeP6(rasterOf(t.getBytes("UTF-8")))
         MediaRow(id, payload,
           MediaMeta(MimePpm, payload.length.toLong, payloadChecksum(payload)))
       }
@@ -373,16 +381,36 @@ object Multimodal {
     * row), BT.601 integer luma per pixel (`//` = the same int
     * division), aggregate the identical integer state, divide once.
     */
-  val q67Sql: String =
-    s"""WITH $hexBytesCte,
-      |dims AS (
-      |  SELECT doc_id, GREATEST(CAST(ceil(nb / 24.0) AS BIGINT), 1) AS ih
+  /** DuckDB rendering of [[rasterOf]]'s padded-byte-list layout
+    * (`pad(doc_id, ih, bs)` over the [[hexBytesCte]] bytes) — the ONE
+    * SQL copy of the raster rebuild, consumed by the q67, q118 and
+    * q119 oracles (minH parameterized like the Scala side).
+    */
+  private def rasterCtes(minH: Int): String =
+    s"""dims AS (
+      |  SELECT doc_id, GREATEST(CAST(ceil(nb / 24.0) AS BIGINT), $minH) AS ih
       |  FROM hx),
       |pad AS (
       |  SELECT b.doc_id, d.ih,
       |    list_concat(b.bs,
       |      list_transform(range(b.nb, d.ih*24), x -> CAST(0 AS INT))) AS bs
-      |  FROM bts b JOIN dims d USING (doc_id)),
+      |  FROM bts b JOIN dims d USING (doc_id))""".stripMargin
+
+  /** DuckDB rendering of [[Netpbm.dHash64]]'s 9×8 luma grid over a
+    * raster relation `src(doc_id, ih, bs)` — shared by the q118 and
+    * q119 oracles.
+    */
+  private def gridCte(src: String): String =
+    s"""grid AS (
+      |  SELECT doc_id, list_transform(range(0, 72), i ->
+      |    (bs[CAST(3*(((i//9)*ih//8)*8 + ((i%9)*8//9)) + 1 AS INT)]*299 +
+      |     bs[CAST(3*(((i//9)*ih//8)*8 + ((i%9)*8//9)) + 2 AS INT)]*587 +
+      |     bs[CAST(3*(((i//9)*ih//8)*8 + ((i%9)*8//9)) + 3 AS INT)]*114) // 1000) AS g
+      |  FROM $src)""".stripMargin
+
+  val q67Sql: String =
+    s"""WITH $hexBytesCte,
+      |${rasterCtes(1)},
       |lum AS (
       |  SELECT doc_id, ih, list_transform(range(0, ih*8), p ->
       |    (bs[CAST(3*p+1 AS INT)]*299 + bs[CAST(3*p+2 AS INT)]*587 +
@@ -439,20 +467,8 @@ object Multimodal {
          |         THEN (CAST(1 AS BIGINT) << CAST(k AS INT)) ELSE 0 END)) AS BIGINT)"""
         .stripMargin
     s"""WITH $hexBytesCte,
-      |dims AS (
-      |  SELECT doc_id, GREATEST(CAST(ceil(nb / 24.0) AS BIGINT), 1) AS ih
-      |  FROM hx),
-      |pad AS (
-      |  SELECT b.doc_id, d.ih,
-      |    list_concat(b.bs,
-      |      list_transform(range(b.nb, d.ih*24), x -> CAST(0 AS INT))) AS bs
-      |  FROM bts b JOIN dims d USING (doc_id)),
-      |grid AS (
-      |  SELECT doc_id, list_transform(range(0, 72), i ->
-      |    (bs[CAST(3*(((i//9)*ih//8)*8 + ((i%9)*8//9)) + 1 AS INT)]*299 +
-      |     bs[CAST(3*(((i//9)*ih//8)*8 + ((i%9)*8//9)) + 2 AS INT)]*587 +
-      |     bs[CAST(3*(((i//9)*ih//8)*8 + ((i%9)*8//9)) + 3 AS INT)]*114) // 1000) AS g
-      |  FROM pad)
+      |${rasterCtes(1)},
+      |${gridCte("pad")}
       |SELECT doc_id,
       |  ${half(1)} AS dh_hi,
       |  ${half(0)} AS dh_lo,
@@ -460,89 +476,74 @@ object Multimodal {
       |FROM grid ORDER BY doc_id""".stripMargin
   }
 
-  /** q119: IMAGE near-dup PAIRS — q32's SimHash recipe verbatim on
-    * [[Netpbm.dHash64]]'s Hamming space: 4×16-bit pigeonhole blocks
-    * (hamming ≤ 3 ⇒ at least one block equal), per-bucket cap 1000
-    * against degenerate blocks, in-bucket hamming verification — pair
-    * generation is bucketed, never all-pairs (the 100 TB shape, shared
-    * with q32). Because the corpus has no natural image near-dups by
-    * construction, every doc ≡ 0 (mod 83) also enters as a DERIVED
-    * near-copy (id + 10⁹, first raster byte incremented mod 256 — one
-    * grid sample moves, ≤ 2 hash bits): the q54/q115 injection device,
-    * so both engines must DETECT identical known pairs, not agree on
-    * empty. Rasters are built directly (encode∘decode is an identity
-    * on valid images — q67 pins the round trip; the hash kernel is
-    * this query's subject, the decode path is q118's).
+  /** q119's injection constants, single-sourced into [[q119Sql]]. */
+  private val NearMod = 83
+  private val NearOffset = 1000000000L
+
+  /** q119: IMAGE near-dup PAIRS — q32's recipe verbatim on
+    * [[Netpbm.dHash64]]'s Hamming space through the ONE shared chain
+    * ([[graft.functions.TextOps.hammingPairs]]): 4×16-bit pigeonhole
+    * blocks (hamming ≤ 3 ⇒ at least one block equal), per-bucket cap
+    * 1000, in-bucket hamming verification — pair generation is
+    * bucketed, never all-pairs (the 100 TB shape, shared with q32
+    * down to the cap). Because the corpus has no natural image
+    * near-dups by construction, every doc ≡ 0 (mod [[NearMod]]) also
+    * enters as a DERIVED near-copy (id + [[NearOffset]], first raster
+    * byte incremented mod 256): the q54/q115 injection device — both
+    * engines must DETECT identical known pairs, not agree on empty.
+    * Rasters here floor the height at 8 (unlike q118's q67-parity
+    * layout): with ih ≥ 8 every dHash grid row samples a DISTINCT
+    * pixel row, so the edited byte 0 reaches only grid row 0 — and
+    * there it feeds samples g(0) AND g(1) (sx = x·8 DIV 9 maps x=0,1
+    * to pixel 0), whose mutual comparison cancels — leaving exactly
+    * one comparison (g(1) vs g(2)) that can move: the injected pair
+    * sits at hamming ≤ 1, CERTAIN detection under the ≤ 3 threshold.
+    * (A height-1 raster would repeat that comparison across all 8
+    * grid rows — hamming up to 8, silently past the threshold; the
+    * review's empirical check caught exactly this.) Rasters are built
+    * directly (encode∘decode is an identity on valid images — q67
+    * pins the round trip; the hash kernel is this query's subject,
+    * the decode path is q118's).
     */
   def q119(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    import org.apache.spark.sql.expressions.Window
     val hashes = spark.read.parquet(s"$dir/documents.parquet")
       .select(col("doc_id"), coalesce(col("text"), lit("")).as("t"))
       .as[(Long, String)]
       .flatMap { case (id, t) =>
-        val bytes = t.getBytes("UTF-8")
-        val h = math.max((bytes.length + 23) / 24, 1)
-        val px = java.util.Arrays.copyOf(bytes, 8 * h * 3)
-        val base = (id, Netpbm.dHash64(Netpbm.Image(8, h, 255, px)))
-        if (id % 83 == 0) {
-          val px2 = px.clone()
+        val px = rasterOf(t.getBytes("UTF-8"), minH = 8)
+        val base = (id, Netpbm.dHash64(px))
+        if (id % NearMod == 0) {
+          val px2 = px.pixels.clone()
           px2(0) = ((px2(0) + 1) & 0xff).toByte
-          Seq(base,
-            (id + 1000000000L, Netpbm.dHash64(Netpbm.Image(8, h, 255, px2))))
+          Seq(base, (id + NearOffset,
+            Netpbm.dHash64(Netpbm.Image(px.width, px.height, 255, px2))))
         } else Seq(base)
       }
       .toDF("doc_id", "dh")
       // barrier (the q32 rationale): the hash column fans out into the
-      // block window and both join branches
+      // block window and both join branches of the shared chain
       .repartition(col("doc_id"))
-    val blocked = hashes.select(col("doc_id"), col("dh"),
-      posexplode(graft.functions.TextOps.simhashBlocks(col("dh"), 4))
-        .as(Seq("blk", "bval")))
-    val wB = Window.partitionBy(col("blk"), col("bval"))
-    val capped = blocked
-      .withColumn("bucket_n", count(lit(1)).over(wB))
-      .filter(col("bucket_n") <= 1000)
-    val lhs = capped.select(col("blk"), col("bval"),
-      col("doc_id").as("doc_a"), col("dh").as("dh_a"))
-    val rhs = capped.select(col("blk"), col("bval"),
-      col("doc_id").as("doc_b"), col("dh").as("dh_b"))
-    lhs.join(rhs, Seq("blk", "bval"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"),
-        graft.functions.TextOps.hamming64(col("dh_a"), col("dh_b"))
-          .cast("bigint").as("hamming"))
-      .filter(col("hamming") <= 3)
-      .dropDuplicates("doc_a", "doc_b")
-      .orderBy(col("doc_a"), col("doc_b"))
+    graft.functions.TextOps.hammingPairs(hashes, "doc_id", "dh",
+      nBlocks = 4, cap = 1000, maxHamming = 3)
   }
 
-  /** DuckDB mirror of q119: the q118 grid over base + injected
-    * rasters, the full hash as UBIGINT (logical shifts match Spark's
-    * masked arithmetic shifts), then q32's block/cap/verify chain.
+  /** DuckDB mirror of q119: the shared raster/grid rebuild (height
+    * floor 8) over base + injected rasters, the full hash as UBIGINT
+    * (logical shifts match Spark's masked arithmetic shifts), then
+    * the SAME block/cap/verify tail as q32Sql
+    * ([[graft.queries.TextQ.hammingPairsSql]]).
     */
   val q119Sql: String =
     s"""WITH $hexBytesCte,
-      |dims AS (
-      |  SELECT doc_id, GREATEST(CAST(ceil(nb / 24.0) AS BIGINT), 1) AS ih
-      |  FROM hx),
-      |pad AS (
-      |  SELECT b.doc_id, d.ih,
-      |    list_concat(b.bs,
-      |      list_transform(range(b.nb, d.ih*24), x -> CAST(0 AS INT))) AS bs
-      |  FROM bts b JOIN dims d USING (doc_id)),
+      |${rasterCtes(8)},
       |rast AS (
       |  SELECT doc_id, ih, bs FROM pad
       |  UNION ALL
-      |  SELECT doc_id + 1000000000, ih,
+      |  SELECT doc_id + $NearOffset, ih,
       |    list_concat([CAST((bs[1] + 1) % 256 AS INT)], bs[2:]) AS bs
-      |  FROM pad WHERE doc_id % 83 = 0),
-      |grid AS (
-      |  SELECT doc_id, list_transform(range(0, 72), i ->
-      |    (bs[CAST(3*(((i//9)*ih//8)*8 + ((i%9)*8//9)) + 1 AS INT)]*299 +
-      |     bs[CAST(3*(((i//9)*ih//8)*8 + ((i%9)*8//9)) + 2 AS INT)]*587 +
-      |     bs[CAST(3*(((i//9)*ih//8)*8 + ((i%9)*8//9)) + 3 AS INT)]*114) // 1000) AS g
-      |  FROM rast),
+      |  FROM pad WHERE doc_id % $NearMod = 0),
+      |${gridCte("rast")},
       |dh AS (
       |  SELECT doc_id, CAST(list_sum(list_transform(range(0, 64), k ->
       |    CASE WHEN g[CAST((k//8)*9 + (k%8) + 1 AS INT)] >
@@ -550,19 +551,7 @@ object Multimodal {
       |         THEN (CAST(1 AS UBIGINT) << CAST(k AS INT))
       |         ELSE CAST(0 AS UBIGINT) END)) AS UBIGINT) AS h
       |  FROM grid),
-      |blocked AS (
-      |  SELECT doc_id, h, r.b AS blk, (h >> CAST(r.b*16 AS INT)) & 65535 AS bval
-      |  FROM dh, range(0,4) r(b)),
-      |capped AS (
-      |  SELECT doc_id, h, blk, bval, COUNT(*) OVER (PARTITION BY blk, bval) AS bn
-      |  FROM blocked QUALIFY bn <= 1000),
-      |pairs AS (
-      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-      |    CAST(bit_count(xor(a.h, b.h)) AS BIGINT) AS hamming
-      |  FROM capped a JOIN capped b
-      |    ON a.blk = b.blk AND a.bval = b.bval AND a.doc_id < b.doc_id)
-      |SELECT doc_a, doc_b, hamming FROM pairs
-      |WHERE hamming <= 3 ORDER BY doc_a, doc_b""".stripMargin
+      |${graft.queries.TextQ.hammingPairsSql("dh", "h")}""".stripMargin
 
   /** Audio-from-documents corpus for the WAV arm: each doc's UTF-8
     * text bytes as centered mono PCM16 samples (sample = (byte - 128)

@@ -178,6 +178,12 @@ object Netpbm {
     * machinery applies verbatim.
     */
   def dHash64(img: Image): Long = {
+    // a zero-pixel image is a VALID parse (the header grammar accepts
+    // height 0, like lumaHistogram's guard) — fence it as the empty
+    // hash rather than reading past an empty array: real-file ingest
+    // (BinarySource) feeds arbitrary degenerate media here
+    if (img.width <= 0 || img.height <= 0 || img.pixels.length == 0)
+      return 0L
     var h = 0L
     val g = new Array[Int](9)
     var y = 0

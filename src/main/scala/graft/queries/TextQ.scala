@@ -111,37 +111,42 @@ object TextQ {
       graft.functions.expressions.TextExprs
         .simhash64(tokens(normText(col("text")))).as("sim"))
       .repartition(col("doc_id"))
-    val blocked = sims.select(col("doc_id"), col("sim"),
-      posexplode(simhashBlocks(col("sim"), 4)).as(Seq("blk", "bval")))
-    // cap degenerate blocks (boilerplate-heavy corpora collapse many
-    // docs onto one block value → quadratic bucket); hamming computed
-    // and filtered in-bucket so only real near-dups reach the dedup
-    // exchange
-    val wB = Window.partitionBy(col("blk"), col("bval"))
-    val capped = blocked
-      .withColumn("bucket_n", count(lit(1)).over(wB))
-      .filter(col("bucket_n") <= 1000)
-    val lhs = capped.select(col("blk"), col("bval"),
-      col("doc_id").as("doc_a"), col("sim").as("sim_a"))
-    val rhs = capped.select(col("blk"), col("bval"),
-      col("doc_id").as("doc_b"), col("sim").as("sim_b"))
-    lhs.join(rhs, Seq("blk", "bval"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"),
-        hamming64(col("sim_a"), col("sim_b")).cast("bigint").as("hamming"))
-      .filter(col("hamming") <= 3)
-      .dropDuplicates("doc_a", "doc_b")
-      .orderBy(col("doc_a"), col("doc_b"))
+    // the ONE block/cap/verify chain over a 64-bit Hamming space
+    // (TextOps.hammingPairs — shared verbatim with q119's image dHash)
+    graft.functions.TextOps.hammingPairs(sims, "doc_id", "sim",
+      nBlocks = 4, cap = 1000, maxHamming = 3)
   }
+
+  /** DuckDB rendering of [[graft.functions.TextOps.hammingPairs]]'s
+    * chain over a relation `src(doc_id, <hcol> UBIGINT)` — the tail
+    * (blocked → capped → verified SELECT) shared by q32Sql and the
+    * q119 image-near-dup oracle (one definition; 4 blocks × 16 bits).
+    */
+  private[graft] def hammingPairsSql(src: String, hcol: String,
+                                     cap: Int = 1000,
+                                     maxHamming: Int = 3): String =
+    s"""blocked AS (
+      |  SELECT doc_id, $hcol AS h, r.b AS blk, ($hcol >> CAST(r.b*16 AS INT)) & 65535 AS bval
+      |  FROM $src, range(0,4) r(b)),
+      |capped AS (
+      |  SELECT doc_id, h, blk, bval, COUNT(*) OVER (PARTITION BY blk, bval) AS bn
+      |  FROM blocked QUALIFY bn <= $cap),
+      |pairs AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    CAST(bit_count(xor(a.h, b.h)) AS BIGINT) AS hamming
+      |  FROM capped a JOIN capped b
+      |    ON a.blk = b.blk AND a.bval = b.bval AND a.doc_id < b.doc_id)
+      |SELECT doc_a, doc_b, hamming FROM pairs
+      |WHERE hamming <= $maxHamming ORDER BY doc_a, doc_b""".stripMargin
 
   /** DuckDB mirror of q32: per-token md5_number_lower (exactly the
     * native SimHash64's token hash), majority vote per bit, 4×16-bit
     * pigeonhole blocks, cap-1000 buckets, hamming ≤ 3.
     */
   val q32Sql: String =
-    """WITH toks AS (
+    s"""WITH toks AS (
       |  SELECT doc_id,
-      |    regexp_split_to_array(trim(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))), '\s+') AS t
+      |    regexp_split_to_array(trim(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))), '\\s+') AS t
       |  FROM documents),
       |hs AS (
       |  SELECT doc_id, len(t) AS n,
@@ -152,19 +157,7 @@ object TextQ {
       |      THEN (CAST(1 AS UBIGINT) << CAST(b AS INT)) ELSE CAST(0 AS UBIGINT) END))
       |    AS UBIGINT) AS sim
       |  FROM hs),
-      |blocked AS (
-      |  SELECT doc_id, sim, r.b AS blk, (sim >> CAST(r.b*16 AS INT)) & 65535 AS bval
-      |  FROM sims, range(0,4) r(b)),
-      |capped AS (
-      |  SELECT doc_id, sim, blk, bval, COUNT(*) OVER (PARTITION BY blk, bval) AS bn
-      |  FROM blocked QUALIFY bn <= 1000),
-      |pairs AS (
-      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-      |    CAST(bit_count(xor(a.sim, b.sim)) AS BIGINT) AS hamming
-      |  FROM capped a JOIN capped b
-      |    ON a.blk = b.blk AND a.bval = b.bval AND a.doc_id < b.doc_id)
-      |SELECT doc_a, doc_b, hamming FROM pairs
-      |WHERE hamming <= 3 ORDER BY doc_a, doc_b""".stripMargin
+      |${hammingPairsSql("sims", "sim")}""".stripMargin
 
   /** q33: exact n-gram Jaccard similarity — LSH buckets propose the
     * candidates, then the true Jaccard is computed on the distinct

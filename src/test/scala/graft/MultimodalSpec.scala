@@ -284,6 +284,30 @@ class MultimodalSpec extends SparkSpec {
       s"unrelated images too close: ${ham(hBase, Netpbm.dHash64(other))}")
   }
 
+  test("q119 injection soundness: the derived near-copy sits at hamming <= 1 for ANY text; zero-pixel images fence") {
+    import graft.multimodal.{Multimodal, Netpbm}
+    val rnd = new scala.util.Random(11900)
+    val texts = Seq("", "a", "short text", "x" * 23, "y" * 24, "z" * 200) ++
+      (1 to 40).map(_ => (0 until rnd.nextInt(120))
+        .map(_ => (32 + rnd.nextInt(95)).toChar).mkString)
+    texts.foreach { t =>
+      // the q119 construction verbatim: height-8 floor, first raster
+      // byte incremented mod 256 — the scaladoc's certain-detection
+      // argument (one reachable comparison) must hold for EVERY length
+      // (the height-1 layout repeated the flipped comparison across
+      // all 8 grid rows, hamming up to 8 — past the <=3 threshold)
+      val img = Multimodal.rasterOf(t.getBytes("UTF-8"), minH = 8)
+      val px2 = img.pixels.clone()
+      px2(0) = ((px2(0) + 1) & 0xff).toByte
+      val d = java.lang.Long.bitCount(Netpbm.dHash64(img) ^
+        Netpbm.dHash64(Netpbm.Image(img.width, img.height, 255, px2)))
+      assert(d <= 1, s"len=${t.length}: injected copy at hamming $d")
+    }
+    // a zero-pixel image (valid header 'P6 5 0 255') hashes as 0, not
+    // an executor-killing AIOOBE — BinarySource feeds arbitrary files
+    assert(Netpbm.dHash64(Netpbm.Image(5, 0, 255, Array.empty)) == 0L)
+  }
+
   test("Wav: encode/decode round trip, chunk skipping, malformed/unsupported fencing") {
     val a = Wav.Audio(8000, Array[Short](0, 1000, -1000, 32767, -32768))
     val enc = Wav.encodePcm16(a)
