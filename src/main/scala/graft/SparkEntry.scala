@@ -25,7 +25,9 @@ object SparkEntry {
         Entry("q118_image_dhash", graft.multimodal.Multimodal.q118,
           Some(graft.multimodal.Multimodal.q118Sql)),
         Entry("q119_image_neardup", graft.multimodal.Multimodal.q119,
-          Some(graft.multimodal.Multimodal.q119Sql)))
+          Some(graft.multimodal.Multimodal.q119Sql)),
+        Entry("q120_audio_fingerprint", graft.multimodal.Multimodal.q120,
+          Some(graft.multimodal.Multimodal.q120Sql)))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

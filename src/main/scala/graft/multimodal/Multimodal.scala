@@ -631,6 +631,57 @@ object Multimodal {
            "sqrt(CAST(a.ss AS DOUBLE) / a.n)")} ELSE 0.0 END AS rms4
       |FROM hx h LEFT JOIN agg a USING (doc_id) ORDER BY doc_id""".stripMargin
 
+  /** q120: AUDIO fingerprint in the oracle-checked path — [[wavTable]]
+    * → real [[Wav.decode]] (actual RIFF chunk walk, the q69 path) →
+    * [[Wav.energyHash64]] (65-window energy contour, adjacent-window
+    * comparison bits). Completes the perceptual-fingerprint family:
+    * text (q43 winnowing), image (q118 dHash), audio (this) — each an
+    * exact-integer kernel whose near-dup pair stage is the ONE shared
+    * [[graft.functions.TextOps.hammingPairs]] chain. Emitted as two
+    * 32-bit halves for the q118 portability reason (bit 63 needs the
+    * sign bit; signed wraparound is not engine-portable).
+    */
+  def q120(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    wavTable(spark, dir)
+      .map { r =>
+        Wav.decode(r.payload) match {
+          case Some(a) =>
+            val h = Wav.energyHash64(a)
+            (r.doc_id, h >>> 32, h & 0xffffffffL, true)
+          case None => (r.doc_id, 0L, 0L, false)
+        }
+      }
+      .toDF("doc_id", "eh_hi", "eh_lo", "ok")
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB mirror of q120: samples replayed from the text bytes (the
+    * q69 recipe: s = (b − 128)·256), 65 window energies at the same
+    * integer boundaries (w·n DIV 65, empty windows coalesce to 0 —
+    * and an EMPTY stream to 65 zero energies, matching the kernel's
+    * hash-0 fence), comparison bits per half.
+    */
+  val q120Sql: String = {
+    def half(h: Int): String =
+      s"""CAST(list_sum(list_transform(range(0, 32), k ->
+         |    CASE WHEN e[CAST(k + ${32 * h} + 1 AS INT)] >
+         |              e[CAST(k + ${32 * h} + 2 AS INT)]
+         |         THEN (CAST(1 AS BIGINT) << CAST(k AS INT)) ELSE 0 END)) AS BIGINT)"""
+        .stripMargin
+    s"""WITH $hexBytesCte,
+      |en AS (
+      |  SELECT doc_id, list_transform(range(0, 65), w ->
+      |    coalesce(list_sum(list_transform(range(w*nb//65, (w+1)*nb//65),
+      |      i -> abs((bs[CAST(i + 1 AS INT)] - 128) * 256))), 0)) AS e
+      |  FROM bts)
+      |SELECT doc_id,
+      |  ${half(1)} AS eh_hi,
+      |  ${half(0)} AS eh_lo,
+      |  TRUE AS ok
+      |FROM en ORDER BY doc_id""".stripMargin
+  }
+
   /** Documents laid out as WIDTH-10 24-bpp BMPs through the REAL
     * [[Bmp.encode]] writer — width 10 deliberately makes each file row
     * 30 bytes, NOT 4-aligned, so every row carries 2 padding bytes and

@@ -98,4 +98,37 @@ object Wav {
     while (i < n) { out.putShort(audio.samples(i)); i += 1 }
     out.array()
   }
+
+  /** 64-bit ENERGY-CONTOUR hash — the audio sibling of
+    * [[Netpbm.dHash64]] (the perceptual-fingerprint family without an
+    * FFT dependency): the sample stream partitions into 65 windows
+    * (boundary b(w) = w·n DIV 65 — integer division, so the DuckDB
+    * oracle replays it exactly), window energy e(w) = Σ |sampleᵢ|
+    * (exact Long sums), bit k = e(k) > e(k+1). Adjacent-window
+    * comparison makes a GLOBAL gain change (amplitude scaling that
+    * preserves |s| order, e.g. any positive integer multiplier)
+    * cancel, and a localized edit touches ≤ 1 window → ≤ 2 hash bits
+    * (its two adjacent comparisons) once n ≥ 65 — so audio near-dup
+    * is the q32/q119 block-bucket problem on one more 64-bit Hamming
+    * space. Degenerate audio (no samples) hashes 0.
+    */
+  def energyHash64(a: Audio): Long = {
+    val n = a.samples.length
+    if (n == 0) return 0L
+    val e = new Array[Long](65)
+    var w = 0
+    while (w < 65) {
+      val lo = w * n / 65
+      val hi = (w + 1) * n / 65
+      var s = 0L
+      var i = lo
+      while (i < hi) { s += math.abs(a.samples(i).toLong); i += 1 }
+      e(w) = s
+      w += 1
+    }
+    var h = 0L
+    var k = 0
+    while (k < 64) { if (e(k) > e(k + 1)) h |= 1L << k; k += 1 }
+    h
+  }
 }

@@ -308,6 +308,31 @@ class MultimodalSpec extends SparkSpec {
     assert(Netpbm.dHash64(Netpbm.Image(5, 0, 255, Array.empty)) == 0L)
   }
 
+  test("energyHash64: silence/ramp fixtures, gain invariance, localized-edit locality, empty fence") {
+    import graft.multimodal.Wav
+    def audio(ss: Seq[Int]) = Wav.Audio(8000, ss.map(_.toShort).toArray)
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    // silence and any CONSTANT |sample| level: all windows equal -> 0
+    assert(Wav.energyHash64(audio(Seq.fill(130)(0))) == 0L)
+    assert(Wav.energyHash64(audio(Seq.fill(130)(500))) == 0L)
+    // |energy| strictly increasing per window (2 samples each) -> no
+    // e(k) > e(k+1) -> 0; strictly decreasing -> all 64 set
+    val up = (0 until 130).map(i => (i / 2 + 1) * 10)
+    assert(Wav.energyHash64(audio(up)) == 0L)
+    assert(Wav.energyHash64(audio(up.reverse)) == -1L)
+    // GLOBAL gain cancels exactly (x3, clip-free)
+    val rnd = new scala.util.Random(12000)
+    val tex = (0 until 260).map(_ => rnd.nextInt(2000) - 1000)
+    assert(Wav.energyHash64(audio(tex)) ==
+      Wav.energyHash64(audio(tex.map(_ * 3))))
+    // a localized edit lands in ONE window -> <= 2 hash bits
+    val edited = tex.updated(100, tex(100) + 900)
+    assert(ham(Wav.energyHash64(audio(tex)),
+      Wav.energyHash64(audio(edited))) <= 2)
+    // degenerate audio fences as the empty hash
+    assert(Wav.energyHash64(audio(Seq.empty)) == 0L)
+  }
+
   test("Wav: encode/decode round trip, chunk skipping, malformed/unsupported fencing") {
     val a = Wav.Audio(8000, Array[Short](0, 1000, -1000, 32767, -32768))
     val enc = Wav.encodePcm16(a)
