@@ -671,8 +671,8 @@ object Multimodal {
         .stripMargin
     s"""WITH $hexBytesCte,
       |en AS (
-      |  SELECT doc_id, list_transform(range(0, 65), w ->
-      |    coalesce(list_sum(list_transform(range(w*nb//65, (w+1)*nb//65),
+      |  SELECT doc_id, list_transform(range(0, ${Wav.EnergyWindows}), w ->
+      |    coalesce(list_sum(list_transform(range(w*nb//${Wav.EnergyWindows}, (w+1)*nb//${Wav.EnergyWindows}),
       |      i -> abs((bs[CAST(i + 1 AS INT)] - 128) * 256))), 0)) AS e
       |  FROM bts)
       |SELECT doc_id,

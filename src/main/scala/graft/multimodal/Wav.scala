@@ -112,14 +112,22 @@ object Wav {
     * is the q32/q119 block-bucket problem on one more 64-bit Hamming
     * space. Degenerate audio (no samples) hashes 0.
     */
+  /** Window count (= hash bits + 1) — ONE definition interpolated
+    * into the q120 oracle SQL (the one-definition rule).
+    */
+  val EnergyWindows = 65
+
   def energyHash64(a: Audio): Long = {
     val n = a.samples.length
     if (n == 0) return 0L
-    val e = new Array[Long](65)
+    val e = new Array[Long](EnergyWindows)
     var w = 0
-    while (w < 65) {
-      val lo = w * n / 65
-      val hi = (w + 1) * n / 65
+    while (w < EnergyWindows) {
+      // boundary products in LONG: w·n overflows Int past ~33.5M
+      // samples (a 13-minute 44.1 kHz clip) — a wrap here reads a
+      // negative index or silently diverges from the oracle's 64-bit //
+      val lo = (w.toLong * n / EnergyWindows).toInt
+      val hi = ((w + 1).toLong * n / EnergyWindows).toInt
       var s = 0L
       var i = lo
       while (i < hi) { s += math.abs(a.samples(i).toLong); i += 1 }

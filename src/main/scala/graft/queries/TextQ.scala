@@ -120,14 +120,21 @@ object TextQ {
   /** DuckDB rendering of [[graft.functions.TextOps.hammingPairs]]'s
     * chain over a relation `src(doc_id, <hcol> UBIGINT)` — the tail
     * (blocked → capped → verified SELECT) shared by q32Sql and the
-    * q119 image-near-dup oracle (one definition; 4 blocks × 16 bits).
+    * q119 image-near-dup oracle (one definition). `nBlocks`
+    * parameterized exactly like the Spark face (block width =
+    * 64/nBlocks, the simhashBlocks derivation) so the two faces
+    * cannot silently diverge for a non-default block count.
     */
   private[graft] def hammingPairsSql(src: String, hcol: String,
+                                     nBlocks: Int = 4,
                                      cap: Int = 1000,
-                                     maxHamming: Int = 3): String =
+                                     maxHamming: Int = 3): String = {
+    require(64 % nBlocks == 0, s"nBlocks must divide 64, got $nBlocks")
+    val width = 64 / nBlocks
+    val mask = (1L << width) - 1
     s"""blocked AS (
-      |  SELECT doc_id, $hcol AS h, r.b AS blk, ($hcol >> CAST(r.b*16 AS INT)) & 65535 AS bval
-      |  FROM $src, range(0,4) r(b)),
+      |  SELECT doc_id, $hcol AS h, r.b AS blk, ($hcol >> CAST(r.b*$width AS INT)) & $mask AS bval
+      |  FROM $src, range(0,$nBlocks) r(b)),
       |capped AS (
       |  SELECT doc_id, h, blk, bval, COUNT(*) OVER (PARTITION BY blk, bval) AS bn
       |  FROM blocked QUALIFY bn <= $cap),
@@ -138,6 +145,7 @@ object TextQ {
       |    ON a.blk = b.blk AND a.bval = b.bval AND a.doc_id < b.doc_id)
       |SELECT doc_a, doc_b, hamming FROM pairs
       |WHERE hamming <= $maxHamming ORDER BY doc_a, doc_b""".stripMargin
+  }
 
   /** DuckDB mirror of q32: per-token md5_number_lower (exactly the
     * native SimHash64's token hash), majority vote per bit, 4×16-bit
