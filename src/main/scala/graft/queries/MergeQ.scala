@@ -32,10 +32,13 @@ object MergeQ {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     // the previous build's tree AND its swap leftovers: a stale
-    // `._graft_old` would otherwise be "recovered" over the fresh run
+    // `._graft_old` would otherwise be "recovered" over the fresh run.
+    // (Per-partition markers of a partitioned layout live INSIDE the
+    // tree and go with it; the fused tmp tree is a sibling.)
     fs.delete(p, true)
     fs.delete(new org.apache.hadoop.fs.Path(path + "._graft_old"), true)
     fs.delete(new org.apache.hadoop.fs.Path(path + "._graft_tmp"), true)
+    fs.delete(new org.apache.hadoop.fs.Path(path + "._graft_ptmp"), true)
     fs.delete(new org.apache.hadoop.fs.Path(path + "._graft_lock"), false)
     path
   }
@@ -352,8 +355,119 @@ object MergeQ {
       |  ON c.c_custkey = o.o_custkey
       |ORDER BY o.o_orderkey""".stripMargin
 
+  // ---- q121: maintained JOIN VIEW end-state (ViewMaintain face) ----
+
+  /** q121: the materialized-join-view maintainer
+    * [[graft.pipeline.ViewMaintain]] under the DuckDB oracle — the
+    * last maintainer joining the oracle-faced family (q97 stats,
+    * q109/q110/q112 merge, q113 components, q114 search). Four
+    * partitioned cycles against a view `facts(ok,ck,tp) ⋈
+    * dim(c_ck,seg)` partitioned by `p = 'p' || ok%4` (a STRING value
+    * so the whole-view partition-discovery read cannot re-infer a
+    * narrowed numeric type):
+    *  1. buildPartitioned over the base slice;
+    *  2. ΔL — updates (+1000 for ok%3), inserts (ok+100M for
+    *     ok%1000), tombstones (ok%7 removed from the base);
+    *  3. ΔR — re-segment c_ck%3 to 'S2', delete c_ck%10 (their view
+    *     rows must vanish across every partition holding them);
+    *  4. BOTH sides — late fact updates (+7 for ok%11), tombstones of
+    *     half the inserted keys, dimension re-inserts (c_ck%20 back
+    *     as 'BACK').
+    * The oracle is the closed-form join of the FINAL bases — any
+    * under-repair (a delta key whose partition was not touched, a
+    * stale dimension payload, a surviving tombstoned row) diverges
+    * the hash. The maintains run the FUSED partition-pruned cycle
+    * (one job set + per-partition swaps, ViewMaintain.scala).
+    */
+  def q121(s: SparkSession, dir: String): DataFrame = {
+    val k = col("ok")
+    val ordersL = Tables(s, dir).orders.filter(expr(KeySlice)).select(
+      col("o_orderkey").as("ok"), col("o_custkey").as("ck"),
+      col("o_totalprice").as("tp"))
+    def withP(df: DataFrame): DataFrame = df.withColumn("p",
+      concat(lit("p"), pmod(col("ok"), lit(4L)).cast("string")))
+    val vspec = graft.pipeline.ViewMaintain.Spec("ok", "ck", "c_ck")
+
+    val l0 = withP(ordersL)
+    val ins1 = ordersL.filter(k % 1000 === 0)
+      .withColumn("ok", k + 100000000L)
+    val l1 = withP(ordersL.filter(k % 7 =!= 0)
+      .withColumn("tp",
+        when(k % 3 === 0, col("tp") + 1000.0).otherwise(col("tp")))
+      .unionByName(ins1))
+    val dl1 = withP(
+      ordersL.filter(k % 3 === 0 || k % 7 === 0).select(k)
+        .unionByName(ins1.select(k)))
+
+    val custR = Tables(s, dir).customer.select(
+      col("c_custkey").as("c_ck"), col("c_mktsegment").as("seg"))
+    val c = col("c_ck")
+    val r0 = custR
+    val r2 = custR.filter(c % 10 =!= 0)
+      .withColumn("seg", when(c % 3 === 0, lit("S2")).otherwise(col("seg")))
+    val dr2 = custR.filter(c % 3 === 0 || c % 10 === 0).select(c)
+
+    val ins3 = ordersL.filter(k % 1000 === 0 && k % 2000 =!= 0)
+      .withColumn("ok", k + 100000000L)
+    val l3 = withP(ordersL.filter(k % 7 =!= 0)
+      .withColumn("tp",
+        when(k % 3 === 0, col("tp") + 1000.0).otherwise(col("tp")))
+      .withColumn("tp",
+        when(k % 11 === 0, col("tp") + 7.0).otherwise(col("tp")))
+      .unionByName(ins3))
+    val dl3 = withP(
+      ordersL.filter(k % 11 === 0 && k % 7 =!= 0).select(k)
+        .unionByName(ordersL.filter(k % 1000 === 0 && k % 2000 === 0)
+          .select((k + 100000000L).as("ok"))))
+    val r3 = r2.unionByName(
+      custR.filter(c % 20 === 0).withColumn("seg", lit("BACK")))
+    val dr3 = custR.filter(c % 20 === 0).select(c)
+
+    val target = maintained(s, "q121", dir, Seq("orders", "customer")) { path =>
+      graft.pipeline.ViewMaintain.buildPartitioned(s, path, l0, r0, vspec, "p")
+      graft.pipeline.ViewMaintain.maintainPartitioned(s, path, l1, r0,
+        dl1, r0.limit(0), vspec, "p")
+      graft.pipeline.ViewMaintain.maintainPartitioned(s, path, l1, r2,
+        dl1.limit(0), dr2, vspec, "p")
+      graft.pipeline.ViewMaintain.maintainPartitioned(s, path, l3, r3,
+        dl3, dr3, vspec, "p")
+    }
+    s.read.parquet(target)
+      .select(col("ok"), col("ck"), col("tp"), col("c_ck"), col("seg"),
+        col("p").cast("string").as("p"))
+      .orderBy(col("ok"))
+  }
+
+  /** DuckDB mirror of q121: the closed-form join of the FINAL bases.
+    * tp reproduces the engine's addition order — (tp+1000)+7, adding
+    * 0.0 where a family does not apply (identity in IEEE double for
+    * finite non-negative values, so the bits match).
+    */
+  val q121Sql: String =
+    s"""WITH lfin AS (
+      |  SELECT o_orderkey AS ok, o_custkey AS ck,
+      |    o_totalprice
+      |      + (CASE WHEN o_orderkey % 3 = 0 THEN 1000.0 ELSE 0.0 END)
+      |      + (CASE WHEN o_orderkey % 11 = 0 THEN 7.0 ELSE 0.0 END) AS tp
+      |  FROM orders WHERE $KeySlice AND o_orderkey % 7 <> 0
+      |  UNION ALL
+      |  SELECT o_orderkey + 100000000, o_custkey, o_totalprice
+      |  FROM orders
+      |  WHERE $KeySlice AND o_orderkey % 1000 = 0 AND o_orderkey % 2000 <> 0),
+      |rfin AS (
+      |  SELECT c_custkey AS c_ck,
+      |    CASE WHEN c_custkey % 3 = 0 THEN 'S2' ELSE c_mktsegment END AS seg
+      |  FROM customer WHERE c_custkey % 10 <> 0
+      |  UNION ALL
+      |  SELECT c_custkey, 'BACK' FROM customer WHERE c_custkey % 20 = 0)
+      |SELECT l.ok, l.ck, l.tp, r.c_ck, r.seg,
+      |  'p' || CAST(l.ok % 4 AS VARCHAR) AS p
+      |FROM lfin l JOIN rfin r ON l.ck = r.c_ck
+      |ORDER BY l.ok""".stripMargin
+
   val entries: Seq[Entry] = Seq(
     Entry("q109_upsert_face", q109, Some(q109Sql)),
     Entry("q110_scd2_face", q110, Some(q110Sql)),
-    Entry("q112_temporal_face", q112, Some(q112Sql)))
+    Entry("q112_temporal_face", q112, Some(q112Sql)),
+    Entry("q121_view_face", q121, Some(q121Sql)))
 }

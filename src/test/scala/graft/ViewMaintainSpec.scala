@@ -153,6 +153,50 @@ class ViewMaintainSpec extends SparkSpec {
     }
   }
 
+  test("maintainPartitioned is FUSED: Spark job count is O(1) in touched partitions") {
+    val path = dir()
+    def lp(rows: (Long, Long, Double, String)*): DataFrame =
+      rows.toSeq.toDF("ok", "ck", "amount", "p")
+    // 8 partitions p0..p7, one row each, all joining ck=10
+    val rows0 = (0L until 8L).map(i => (i, 10L, i.toDouble, s"p$i"))
+    val r0 = r((10L, "gold"))
+    ViewMaintain.buildPartitioned(spark, path, lp(rows0: _*), r0, spec, "p")
+
+    // count jobs via a job group: the fused cycle must not grow its
+    // job count with the touched-partition count (the r11 serial loop
+    // paid a full read-repair-publish cycle per partition)
+    def jobsIn(group: String)(body: => Unit): Int = {
+      spark.sparkContext.setJobGroup(group, group)
+      try body finally spark.sparkContext.clearJobGroup()
+      // the status tracker is fed asynchronously — poll until stable
+      var last = -1; var cur = spark.sparkContext.statusTracker
+        .getJobIdsForGroup(group).length
+      while (cur != last) {
+        last = cur; Thread.sleep(200)
+        cur = spark.sparkContext.statusTracker.getJobIdsForGroup(group).length
+      }
+      cur
+    }
+    def touchedDelta(ids: Seq[Long]): DataFrame =
+      lp(ids.map(i => (i, 10L, 100.0 + i, s"p$i")): _*)
+    val l2 = lp(rows0.map { case (i, ck, _, p) =>
+      (i, ck, if (i < 2) 100.0 + i else i.toDouble, p) }: _*)
+    val j2 = jobsIn("vm-fused-2") {
+      ViewMaintain.maintainPartitioned(spark, path, l2, r0,
+        touchedDelta(Seq(0L, 1L)), r0.limit(0), spec, "p")
+    }
+    val l7 = lp(rows0.map { case (i, ck, _, p) =>
+      (i, ck, if (i < 7) 100.0 + i else i.toDouble, p) }: _*)
+    val j7 = jobsIn("vm-fused-7") {
+      ViewMaintain.maintainPartitioned(spark, path, l7, r0,
+        touchedDelta(2L until 7L), r0.limit(0), spec, "p")
+    }
+    assert(j2 > 0, "job-group counting must observe the 2-partition cycle")
+    assert(j7 <= j2 + 1,
+      s"fused maintain touching 5 partitions ran $j7 jobs vs $j2 for 2 — " +
+        "the job count must not scale with touched partitions")
+  }
+
   test("maintain on a missing view bootstraps the full join") {
     val path = dir()
     val l0 = l((1L, 10L, 5.0))
