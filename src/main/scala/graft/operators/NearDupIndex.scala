@@ -15,13 +15,14 @@ import org.apache.spark.sql.functions._
   * the NEW docs' signatures, the LSH buckets they collide into, and
   * the members of components those collisions reach generate pairs or
   * relabels; unaffected label shards' FILES are never rewritten
-  * (mtime-pinned). IO, stated honestly: each maintain runs one
-  * column-pruned scan each of the bands store (semi-probed by the
-  * batch's bucket keys), the sigs store (probed by matched ids) and
-  * the labels tree (row-pruned by touched components) — corpus-
-  * RESCAN-free, linear over the stores; at 100 TB, bucket bands/sigs
-  * by their probe keys so those scans prune to the probed buckets
-  * too.
+  * (mtime-pinned). IO (r12): the stores are PARTITIONED BY THEIR
+  * PROBE KEYS — `bands/pb=K` by a bucket-key hash, `sigs/ps=K` by
+  * doc_id — and every maintain probe filters on the batch's partition
+  * values FIRST (≤ storeParts literals, collected from delta-sized
+  * aggregates), so the collision and signature lookups read only the
+  * probed partitions' files, never the whole store (spec-pinned via
+  * inputFiles; the r11 layout column-pruned-scanned the full store
+  * per maintain).
   *
   * Layout under `path/`:
   *  - `labels/shard=K/…` — (doc_id, component), component = min
@@ -30,13 +31,15 @@ import org.apache.spark.sql.functions._
   *    [[graft.pipeline.Merge.upsertPartitioned]], so a maintain
   *    rewrites ONLY shards holding relabeled docs and each shard
   *    swaps atomically (shard = doc_id mod nShards).
-  *  - `sigs/`, `bands/` — append-only stores of every indexed doc's
-  *    MinHash signature and LSH band rows: what lets a later maintain
-  *    find old↔new collisions WITHOUT re-signaturing the corpus. (At
-  *    100 TB, bucket the bands store by bkey to prune the collision
-  *    probe's IO; the plain layout here costs one column-pruned scan
-  *    + semi join per maintain, still corpus-scan-free.)
-  *  - `meta/` — (minEst, cap, nShards, ver).
+  *  - `sigs/ps=K/`, `bands/pb=K/` — append-only partitioned stores of
+  *    every indexed doc's MinHash signature and LSH band rows: what
+  *    lets a later maintain find old↔new collisions WITHOUT
+  *    re-signaturing the corpus.
+  *  - `deleted/` — append-only tombstone log ([[forget]]), the Lucene
+  *    delete-bitmap shape [[Search.deleteDocs]] uses: probes
+  *    anti-filter against it (broadcast, delete-list-sized) until
+  *    [[compactStores]] reclaims the bytes.
+  *  - `meta/` — (minEst, cap, nShards, storeParts, ver).
   *
   * Incremental relabeling: verified new pairs ∪ one anchor edge
   * (member → its current component id) per member of every TOUCHED
@@ -56,17 +59,21 @@ import org.apache.spark.sql.functions._
   * bucket's full (resident + new) population.
   *
   * Crash contract (the [[graft.pipeline.Snapshot]] family's): every
-  * entry point runs under the whole-cycle [[graft.util.PathLock]]; a
-  * crashed maintain MUST be re-run with the SAME batch (the streaming
-  * sink's ledger guarantees this) — re-running converges: the probe
-  * dedupes store rows and treats the batch's ids as purely new again,
-  * the label upsert re-publishes the same winners, and leftover
-  * duplicate store rows only bloat (correctness-neutral — the cap and
-  * candidates see DISTINCT docs). A HARD KILL can leave lock markers
-  * at BOTH levels — `<path>._graft_lock` and, if it died inside the
-  * label publish, a per-shard `labels/shard=K._graft_lock` — delete
-  * every `*._graft_lock` under the tree after confirming no live
-  * writer, then re-run the batch.
+  * entry point runs under the whole-cycle [[graft.util.PathLock]] and
+  * first repairs any interrupted store swap ([[compactStores]]'s
+  * two-rename protocol); a crashed maintain MUST be re-run with the
+  * SAME batch (the streaming sink's ledger guarantees this) —
+  * re-running converges: the probe dedupes store rows and treats the
+  * batch's ids as purely new again, the label upsert re-publishes the
+  * same winners, and leftover duplicate store rows only bloat
+  * (correctness-neutral — the cap and candidates see DISTINCT docs;
+  * [[compactStores]] GCs them). A crashed [[forget]] re-runs safely
+  * by monotonicity (the log append is prefix-safe, the label
+  * tombstones idempotent). A HARD KILL can leave lock markers at BOTH
+  * levels — `<path>._graft_lock` and, if it died inside the label
+  * publish, a per-shard `labels/shard=K._graft_lock` — delete every
+  * `*._graft_lock` under the tree after confirming no live writer,
+  * then re-run the batch.
   */
 object NearDupIndex {
 
@@ -77,23 +84,31 @@ object NearDupIndex {
   private def labelsPath(path: String) = s"$path/labels"
   private def sigsPath(path: String) = s"$path/sigs"
   private def bandsPath(path: String) = s"$path/bands"
+  private def deletedPath(path: String) = s"$path/deleted"
 
   private final case class Meta(minEst: Double, cap: Int, nShards: Int,
-                                ver: Long)
+                                storeParts: Int, ver: Long)
 
   private def readMeta(spark: SparkSession, path: String): Meta = {
     // another process's maintain overwrote meta/ under the lock we
     // now hold — drop any cached listing or this read serves (or
     // trips over) the retired part file
     spark.catalog.refreshByPath(metaPath(path))
-    val r = spark.read.parquet(metaPath(path)).head()
+    val df = spark.read.parquet(metaPath(path))
+    require(df.columns.contains("storeParts"),
+      s"near-dup index at $path was built by a pre-partitioned-store " +
+        "layout — rebuild it with NearDupIndex.build (the r12 layout " +
+        "partitions sigs/bands by their probe keys)")
+    val r = df.head()
     Meta(r.getAs[Double]("minEst"), r.getAs[Int]("cap"),
-      r.getAs[Int]("nShards"), r.getAs[Long]("ver"))
+      r.getAs[Int]("nShards"), r.getAs[Int]("storeParts"),
+      r.getAs[Long]("ver"))
   }
 
   private def writeMeta(spark: SparkSession, path: String, m: Meta): Unit =
-    spark.createDataFrame(Seq((m.minEst, m.cap, m.nShards, m.ver)))
-      .toDF("minEst", "cap", "nShards", "ver")
+    spark.createDataFrame(
+      Seq((m.minEst, m.cap, m.nShards, m.storeParts, m.ver)))
+      .toDF("minEst", "cap", "nShards", "storeParts", "ver")
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(metaPath(path))
 
   /** Band rows (band, bkey, doc_id, sig) for a signature frame. */
@@ -102,6 +117,119 @@ object NearDupIndex {
       posexplode(TextExprs.bandKeys(col("sig"), NearDup.B, NearDup.R))
         .as(Seq("band", "bkey")))
       .select(col("band"), col("bkey"), col("doc_id"), col("sig"))
+
+  /** Store partition keys: the bands store is probed by (band, bkey)
+    * collisions — a hash of bkey spreads buckets evenly; the sigs
+    * store is probed by matched doc ids. INT-typed on both the write
+    * and the probe literals so partition pruning compares without a
+    * cast (discovery infers int32 from the directory names).
+    */
+  private def pbCol(parts: Int) =
+    pmod(xxhash64(col("bkey")), lit(parts.toLong)).cast("int")
+  private def psCol(parts: Int) =
+    pmod(col("doc_id"), lit(parts.toLong)).cast("int")
+
+  // explicit store schemas: a schema-INFERENCE read costs a footer
+  // job over an arbitrary store file before any partition filter can
+  // prune — the probe must never open an un-probed partition, not
+  // even for a footer (spec pins this by corrupting the rest)
+  private val BandsSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("band",
+      org.apache.spark.sql.types.IntegerType),
+    org.apache.spark.sql.types.StructField("bkey",
+      org.apache.spark.sql.types.IntegerType),
+    org.apache.spark.sql.types.StructField("doc_id",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("pb",
+      org.apache.spark.sql.types.IntegerType)))
+  private val SigsSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("doc_id",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("sig",
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.IntegerType, containsNull = false)),
+    org.apache.spark.sql.types.StructField("ps",
+      org.apache.spark.sql.types.IntegerType)))
+
+  /** The tombstoned doc ids, if any were ever [[forget]]'d since the
+    * last [[compactStores]]. Append-only, read distinct (a crashed
+    * forget leaves a partial id set — safe: tombstoning is monotone
+    * and the re-run completes it).
+    */
+  def deletedIds(spark: SparkSession, path: String): Option[DataFrame] = {
+    val dir = deletedPath(path)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(dir))) None
+    else {
+      spark.catalog.refreshByPath(dir)
+      Some(spark.read.schema("doc_id LONG").parquet(dir).distinct())
+    }
+  }
+
+  private def antiDead(spark: SparkSession, path: String,
+                       df: DataFrame): DataFrame =
+    deletedIds(spark, path) match {
+      case Some(dead) => df.join(broadcast(dead), Seq("doc_id"), "left_anti")
+      case None => df
+    }
+
+  /** The partition-pruned bands probe: only partitions holding the
+    * probed bucket-key hashes are read (`pbs` has at most storeParts
+    * values — the literal list can never explode the way a
+    * per-bucket-key IN would). Net of tombstones. Exposed
+    * private[graft] so the spec can pin the pruning on inputFiles.
+    */
+  private[graft] def prunedBands(spark: SparkSession, path: String,
+                                 pbs: Seq[Int]): DataFrame = {
+    spark.catalog.refreshByPath(bandsPath(path))
+    antiDead(spark, path,
+      spark.read.schema(BandsSchema).parquet(bandsPath(path))
+        .filter(col("pb").isin(pbs: _*)))
+  }
+
+  /** The partition-pruned sigs probe ([[prunedBands]]'s contract for
+    * the signature store, keyed by doc_id mod storeParts).
+    */
+  private[graft] def prunedSigs(spark: SparkSession, path: String,
+                                pss: Seq[Int]): DataFrame = {
+    spark.catalog.refreshByPath(sigsPath(path))
+    antiDead(spark, path,
+      spark.read.schema(SigsSchema).parquet(sigsPath(path))
+        .filter(col("ps").isin(pss: _*)))
+  }
+
+  /** The bands-store partition values a batch's probe filters on —
+    * the ONE pb derivation ([[pbCol]] over [[bandRows]]), exposed so
+    * the spec can corrupt every OTHER partition and pin that a
+    * maintain never opens them.
+    */
+  private[graft] def probeKeysOf(docs: DataFrame,
+                                 storeParts: Int): Seq[Int] =
+    bandRows(NearDup.signatures(docs))
+      .select(pbCol(storeParts).as("pb")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+
+  /** Repair an interrupted [[compactStores]] swap (store retired at
+    * `._graft_old`, nothing at the store root) and clear stray tmp
+    * trees. Runs at every entry point, under the caller's lock.
+    */
+  private def recoverStores(spark: SparkSession, path: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Seq(bandsPath(path), sigsPath(path)).foreach { p =>
+      val dst = new org.apache.hadoop.fs.Path(p)
+      val old = new org.apache.hadoop.fs.Path(p + "._graft_old")
+      val tmp = new org.apache.hadoop.fs.Path(p + "._graft_tmp")
+      if (!fs.exists(dst) && fs.exists(old)) {
+        if (!fs.rename(old, dst)) throw new java.io.IOException(
+          s"near-dup index store recovery: cannot reinstate $old")
+        spark.catalog.refreshByPath(p)
+      }
+      if (fs.exists(dst) && fs.exists(old)) fs.delete(old, true)
+      if (fs.exists(tmp)) fs.delete(tmp, true)
+    }
+  }
 
   /** Publish `labels` (node, component) into the sharded layout at
     * version `ver` — only shards holding relabeled docs are rewritten.
@@ -117,10 +245,14 @@ object NearDupIndex {
     ()
   }
 
-  /** Build the index from the initial corpus snapshot. */
+  /** Build the index from the initial corpus snapshot. `storeParts`
+    * sizes the store partitioning (≈ files a maintain probe opens per
+    * touched partition value; at 100 TB raise it so each partition's
+    * bytes stay scan-able).
+    */
   def build(spark: SparkSession, path: String, docs: DataFrame,
             minEst: Double = 0.5, cap: Int = 100,
-            nShards: Int = 16): Stats =
+            nShards: Int = 16, storeParts: Int = 16): Stats =
     graft.util.PathLock.withLock(spark, path,
       what = "near-dup index maintainer") {
       val sigs = NearDup.signatures(docs).cache()
@@ -142,10 +274,18 @@ object NearDupIndex {
             .mode(SaveMode.Overwrite).parquet(labelsPath(path))
           (pairs.count(), lbl.count())
         } finally { pairs.unpersist(); () }
-        bandRows(sigs).drop("sig")
-          .write.mode(SaveMode.Overwrite).parquet(bandsPath(path))
-        sigs.write.mode(SaveMode.Overwrite).parquet(sigsPath(path))
-        writeMeta(spark, path, Meta(minEst, cap, nShards, ver = 0L))
+        bandRows(sigs).drop("sig").withColumn("pb", pbCol(storeParts))
+          .write.partitionBy("pb")
+          .mode(SaveMode.Overwrite).parquet(bandsPath(path))
+        sigs.withColumn("ps", psCol(storeParts))
+          .write.partitionBy("ps")
+          .mode(SaveMode.Overwrite).parquet(sigsPath(path))
+        // a rebuild starts tombstone-free (the buildIndex convention)
+        val fs = new org.apache.hadoop.fs.Path(path)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(deletedPath(path)), true)
+        writeMeta(spark, path,
+          Meta(minEst, cap, nShards, storeParts, ver = 0L))
         Stats(sigs.count(), nPairs, nLabeled)
       } finally { sigs.unpersist(); () }
     }
@@ -153,21 +293,36 @@ object NearDupIndex {
   /** Fold a batch of NEW docs (ids disjoint from everything indexed —
     * the corpus-snapshot append contract) into the index. Only the
     * batch's signatures, its colliding buckets and the members of
-    * components those collisions reach are touched.
+    * components those collisions reach are touched; the store probes
+    * read only the batch's `pb`/`ps` partitions. A batch carrying a
+    * TOMBSTONED id is refused loudly (the tombstone filter would
+    * silently hide the re-add forever; [[compactStores]] first).
     */
   def maintain(spark: SparkSession, path: String, newDocs: DataFrame,
                lockWaitMs: Long = 0L): Stats =
     graft.util.PathLock.withLock(spark, path, lockWaitMs,
       what = "near-dup index maintainer") {
       val meta = readMeta(spark, path)
+      recoverStores(spark, path)
       val sigsNew = NearDup.signatures(newDocs).cache()
       try {
+        deletedIds(spark, path).foreach { dead =>
+          val readds = sigsNew.select(col("doc_id"))
+            .join(broadcast(dead), Seq("doc_id")).limit(1).count()
+          require(readds == 0L,
+            "near-dup index maintain: batch re-adds tombstoned doc ids " +
+              "— the tombstone filter would silently hide them; run " +
+              "NearDupIndex.compactStores first")
+        }
         val newRows = bandRows(sigsNew).withColumn("is_new", lit(true))
+        // the batch's touched store partitions: ≤ storeParts values,
+        // collected from delta-sized aggregates — the literal lists
+        // the pruned probes filter on
+        val pbs = newRows.select(pbCol(meta.storeParts).as("pb"))
+          .distinct().collect().map(_.getInt(0)).toSeq
         // resident band rows in COLLIDING buckets only (never the
-        // whole store's buckets) + their signatures
-        spark.catalog.refreshByPath(bandsPath(path))
-        spark.catalog.refreshByPath(sigsPath(path))
-        // dedupe + exclude current-batch ids: a crashed attempt's
+        // whole store — the scan reads just the probed pb partitions).
+        // Dedupe + exclude current-batch ids: a crashed attempt's
         // replay leaves duplicate store rows for this batch's docs;
         // without the dedup each duplicated doc contributes n_bands ×
         // n_sigs rows and the hot-bucket cap below counts ROWS — a
@@ -176,13 +331,20 @@ object NearDupIndex {
         // must see DISTINCT docs, exactly like one-shot banding); the
         // anti join makes a replayed doc purely "new" again
         val newIds = newRows.select(col("doc_id")).distinct()
-        val oldRel = spark.read.parquet(bandsPath(path))
+        val matched = prunedBands(spark, path, pbs)
           .join(newRows.select(col("band"), col("bkey")).distinct(),
             Seq("band", "bkey"))
           .dropDuplicates("band", "bkey", "doc_id")
           .join(newIds, Seq("doc_id"), "left_anti")
-          .join(spark.read.parquet(sigsPath(path))
-            .dropDuplicates("doc_id"), Seq("doc_id"))
+          .select(col("band"), col("bkey"), col("doc_id"))
+          .cache()
+        val pss = matched
+          .select(psCol(meta.storeParts).as("ps")).distinct()
+          .collect().map(_.getInt(0)).toSeq
+        val oldRel = matched
+          .join(prunedSigs(spark, path, pss)
+            .select(col("doc_id"), col("sig")).dropDuplicates("doc_id"),
+            Seq("doc_id"))
           .select(col("band"), col("bkey"), col("doc_id"), col("sig"))
           .withColumn("is_new", lit(false))
         // the cap is evaluated over the bucket's FULL population —
@@ -229,8 +391,18 @@ object NearDupIndex {
               .join(affComps, Seq("component"), "left_semi")
               .select(col("doc_id").as("doc_a"),
                 col("component").as("doc_b"))
-            val sub = LabelProp.components(
-              pairs.unionByName(anchors), "doc_a", "doc_b").cache()
+            // anchor edges treat a component ID as a graph NODE (it
+            // is the min member's doc_id) — after a [[forget]] of
+            // that member the id is a correct OPAQUE label value but
+            // must never be re-published as a doc_id ROW, or RTBF
+            // would silently resurrect the forgotten doc in labels
+            val subAll = LabelProp.components(
+              pairs.unionByName(anchors), "doc_a", "doc_b")
+            val sub = (deletedIds(spark, path) match {
+              case Some(dead) => subAll.join(broadcast(dead),
+                subAll("node") === dead("doc_id"), "left_anti")
+              case None => subAll
+            }).cache()
             try {
               val relabeled = sub.count()
               publishLabels(spark, path, sub, meta.nShards, meta.ver + 1)
@@ -242,12 +414,115 @@ object NearDupIndex {
           // the mandatory same-batch re-run repairs (see the crash
           // contract above)
           bandRows(sigsNew).drop("sig")
-            .write.mode(SaveMode.Append).parquet(bandsPath(path))
-          sigsNew.write.mode(SaveMode.Append).parquet(sigsPath(path))
+            .withColumn("pb", pbCol(meta.storeParts))
+            .write.partitionBy("pb")
+            .mode(SaveMode.Append).parquet(bandsPath(path))
+          sigsNew.withColumn("ps", psCol(meta.storeParts))
+            .write.partitionBy("ps")
+            .mode(SaveMode.Append).parquet(sigsPath(path))
           writeMeta(spark, path, meta.copy(ver = meta.ver + 1))
           stats
-        } finally { pairs.unpersist(); allRows.unpersist(); () }
+        } finally {
+          pairs.unpersist(); allRows.unpersist(); matched.unpersist(); ()
+        }
       } finally { sigsNew.unpersist(); () }
+    }
+
+  /** Right-to-be-forgotten for the INDEX — the face that composes
+    * with [[graft.pipeline.CorpusPrep.forget]] so a victim leaves the
+    * derived artifact, not just the corpus (the
+    * [[Search.deleteDocs]] contract mirrored):
+    *  - victim ids land in the append-only `deleted/` log (crash-safe
+    *    by monotonicity — a partial write deletes a prefix, the
+    *    re-run completes it); every store probe anti-filters against
+    *    the log from this moment, so a future batch colliding with a
+    *    victim's bucket can never pair with it;
+    *  - the victims' LABEL rows are physically tombstoned through the
+    *    shard-pruned [[graft.pipeline.Merge.upsertPartitioned]] —
+    *    only shards holding victims rewrite (mtime-pinned), and the
+    *    published labels never show a forgotten doc again.
+    * Store BYTES (sig/band rows) stay until [[compactStores]] — the
+    * delete-bitmap discipline: RTBF visibility is immediate (labels +
+    * probe filter), physical reclaim is scheduled GC. Component ids
+    * equal to a victim's former doc_id may persist as OPAQUE cluster
+    * ids on surviving members; they carry no victim content.
+    */
+  def forget(spark: SparkSession, path: String, ids: Seq[Long],
+             lockWaitMs: Long = 0L): Unit = {
+    if (ids.isEmpty) return
+    graft.util.PathLock.withLock(spark, path, lockWaitMs,
+      what = "near-dup index maintainer") {
+      val meta = readMeta(spark, path)
+      recoverStores(spark, path)
+      import spark.implicits._
+      val victims = ids.toDF("doc_id").select(col("doc_id").cast("long"))
+      victims.coalesce(1)
+        .write.mode(SaveMode.Append).parquet(deletedPath(path))
+      // physical label removal, shard-pruned; a victim in no pair has
+      // no label row — its tombstone is a Merge no-op. Skip entirely
+      // when the index has no labels yet (nothing to tombstone; a
+      // tombstone-only bootstrap would fabricate empty shard dirs)
+      val hasLabels = !labels(spark, path).isEmpty
+      if (hasLabels) {
+        val upd = victims
+          .withColumn("component", lit(null).cast("long"))
+          .withColumn("shard", pmod(col("doc_id"), lit(meta.nShards.toLong)))
+          .withColumn("ver", lit(meta.ver + 1))
+          .withColumn("del", lit(true))
+        graft.pipeline.Merge.upsertPartitioned(spark, labelsPath(path),
+          upd, "shard", Seq("doc_id"), "ver", Some("del"))
+        ()
+      }
+      writeMeta(spark, path, meta.copy(ver = meta.ver + 1))
+    }
+  }
+
+  /** Physically reclaim tombstoned docs and replay-duplicate store
+    * rows: rewrite each store net of `deleted/` with exact-duplicate
+    * rows collapsed (DISTINCT is exact — a legitimate store never
+    * holds two identical rows; replay appends only exact copies),
+    * swap it in with the two-rename protocol (crash repaired by
+    * [[recoverStores]] at the next entry), then clear the log. One
+    * full store rewrite — the scheduled GC a delete-bitmap design
+    * runs off the maintain path, exactly [[Search.compactIndex]].
+    */
+  def compactStores(spark: SparkSession, path: String,
+                    lockWaitMs: Long = 0L): Unit =
+    graft.util.PathLock.withLock(spark, path, lockWaitMs,
+      what = "near-dup index maintainer") {
+      val meta = readMeta(spark, path)
+      recoverStores(spark, path)
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      def compactOne(p: String, partColName: String,
+                     dedupCols: Seq[String]): Unit = {
+        spark.catalog.refreshByPath(p)
+        val live = antiDead(spark, path, spark.read.parquet(p))
+          .dropDuplicates(dedupCols)
+        // a store that would compact to ZERO rows means every indexed
+        // doc is tombstoned — there is no meaningful "empty
+        // partitioned store" layout to publish (and nothing left to
+        // maintain); rebuilding is the honest operation
+        require(!live.isEmpty,
+          s"compactStores would empty $p — every indexed doc is " +
+            "tombstoned; rebuild the index with NearDupIndex.build " +
+            "over the surviving corpus instead")
+        val dst = new org.apache.hadoop.fs.Path(p)
+        val old = new org.apache.hadoop.fs.Path(p + "._graft_old")
+        val tmp = new org.apache.hadoop.fs.Path(p + "._graft_tmp")
+        live.write.partitionBy(partColName)
+          .mode(SaveMode.Overwrite).parquet(tmp.toString)
+        if (!fs.rename(dst, old)) throw new java.io.IOException(
+          s"store compaction: cannot retire $dst")
+        if (!fs.rename(tmp, dst)) throw new java.io.IOException(
+          s"store compaction: cannot publish $tmp")
+        fs.delete(old, true)
+        spark.catalog.refreshByPath(p)
+      }
+      compactOne(bandsPath(path), "pb", Seq("band", "bkey", "doc_id"))
+      compactOne(sigsPath(path), "ps", Seq("doc_id"))
+      fs.delete(new org.apache.hadoop.fs.Path(deletedPath(path)), true)
+      writeMeta(spark, path, meta.copy(ver = meta.ver + 1))
     }
 
   /** Current labels (doc_id, component) — docs in no near-dup pair

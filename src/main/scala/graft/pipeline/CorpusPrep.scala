@@ -747,9 +747,22 @@ object CorpusPrep {
     * the retired `shard=N._graft_old` directory as a malformed
     * partition value — at 100 TB run maintenance through a catalog
     * (or re-run forget immediately) rather than raw discovery.
+    *
+    * `nearDupIndexPath`: a standing
+    * [[graft.operators.NearDupIndex]] over this corpus holds the
+    * victims' labels, signatures and band rows too — pass its path
+    * and the same ids are forgotten THERE in the same call
+    * ([[graft.operators.NearDupIndex.forget]]: label rows tombstoned
+    * shard-pruned, store rows probe-invisible at once and reclaimed
+    * by its compactStores GC). RTBF that deletes the corpus row but
+    * leaves a derived artifact serving the doc's cluster membership
+    * is half a deletion.
     */
   def forget(spark: org.apache.spark.sql.SparkSession, outPath: String,
-             ids: Seq[Long]): ForgetStats = {
+             ids: Seq[Long],
+             nearDupIndexPath: Option[String] = None): ForgetStats = {
+    nearDupIndexPath.foreach(p =>
+      graft.operators.NearDupIndex.forget(spark, p, ids))
     if (ids.isEmpty) return ForgetStats(0L, 0L, 0L)
     import spark.implicits._
     val fs = new org.apache.hadoop.fs.Path(outPath)

@@ -448,6 +448,34 @@ class CorpusPrepSpec extends SparkSpec {
     assert(manifest == derived, s"manifest stale: $manifest vs $derived")
   }
 
+  test("forget composes with a standing NearDupIndex: one call forgets corpus AND index") {
+    val docs = Tables(spark, sf).documents
+    val tmp = java.nio.file.Files.createTempDirectory("graft-forget-ndi")
+    val out = s"$tmp/corpus"
+    CorpusPrep.run(docs, out, cfg.copy(packBudget = Some(64)))
+    val idx = s"$tmp/ndidx"
+    graft.operators.NearDupIndex.build(spark, idx,
+      docs.select("doc_id", "text"), 0.5, nShards = 4, storeParts = 4)
+    val labeled = graft.operators.NearDupIndex.labels(spark, idx)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(labeled.nonEmpty,
+      "documents fixture must yield near-dup components (q31 contract)")
+    // a victim that IS in a component and survived the corpus prep
+    val corpusIds = spark.read.parquet(out).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val victim = (labeled intersect corpusIds).min
+    CorpusPrep.forget(spark, out, Seq(victim),
+      nearDupIndexPath = Some(idx))
+    assert(!spark.read.parquet(out).select("doc_id")
+      .collect().map(_.getLong(0)).contains(victim), "corpus row survived")
+    assert(!graft.operators.NearDupIndex.labels(spark, idx)
+      .select("doc_id").collect().map(_.getLong(0)).contains(victim),
+      "index label survived")
+    assert(graft.operators.NearDupIndex.deletedIds(spark, idx)
+      .exists(_.filter(col("doc_id") === victim).count() == 1L),
+      "victim must be in the index tombstone log")
+  }
+
   test("statsPath: two runs fold into the per-(source,lang) snapshot exactly") {
     import graft.pipeline.StatsMaintain
     val docs = Tables(spark, sf).documents

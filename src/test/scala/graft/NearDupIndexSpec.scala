@@ -119,6 +119,120 @@ class NearDupIndexSpec extends SparkSpec {
     assert(indexed(path) == after3)
   }
 
+  test("maintain's store probes read ONLY the probed partitions (corrupt-the-rest pin)") {
+    val path = Files.createTempDirectory("graft-ndidx3").toString + "/idx"
+    val storeParts = 32
+    // X-family pair (1, 2) + four diverse singletons spreading the
+    // store partitions; ps of the matched docs = {1 mod 32, 2 mod 32}
+    val base = docs(1L -> tX, 2L -> (tX + " extra1"), 40L -> tC,
+      41L -> tD, 42L -> text(toks("g", 60)), 43L -> text(toks("h", 60)))
+    NearDupIndex.build(spark, path, base, 0.5,
+      nShards = 8, storeParts = storeParts)
+
+    val batch = docs(104L -> (tX + " extra9"))
+    val pbs = NearDupIndex.probeKeysOf(batch, storeParts).toSet
+    // overwrite every NON-probed partition's parquet files with
+    // garbage: a scan that opens them dies, so a completing maintain
+    // IS the proof the probe pruned to the batch's partitions (the
+    // byte-level analogue of the label-shard mtime pin)
+    def corrupt(store: String, partCol: String, keep: Set[Int]): Int = {
+      val dirs = new java.io.File(s"$path/$store").listFiles()
+        .filter(d => d.isDirectory && d.getName.startsWith(s"$partCol="))
+        .filterNot(d => keep(d.getName.stripPrefix(s"$partCol=").toInt))
+      dirs.foreach(_.listFiles().filter(_.getName.endsWith(".parquet"))
+        .foreach(f => java.nio.file.Files.write(f.toPath,
+          "garbage-not-parquet".getBytes("UTF-8"))))
+      dirs.length
+    }
+    val corruptedBands = corrupt("bands", "pb", pbs)
+    val corruptedSigs = corrupt("sigs", "ps", Set(1, 2, (104 % 32).toInt))
+    assert(corruptedBands > 0 && corruptedSigs > 0,
+      s"vacuous pin: bands=$corruptedBands sigs=$corruptedSigs corrupted")
+
+    val st = NearDupIndex.maintain(spark, path, batch)
+    assert(st.verifiedPairs >= 1, s"the X collision must verify: $st")
+    val lbl = indexed(path)
+    assert(Seq(1L, 2L, 104L).forall(lbl(_) == 1L), s"relabel drift: $lbl")
+  }
+
+  test("forget + compactStores: RTBF removes the doc from labels, probes and (after compact) store bytes") {
+    val path = Files.createTempDirectory("graft-ndidx4").toString + "/idx"
+    // two components: X = {1, 2} (shard 1, 2), Y = {5, 6} (shard 5, 6)
+    val base = docs(1L -> tX, 2L -> (tX + " extra1"),
+      5L -> tY, 6L -> (tY + " extra2"))
+    NearDupIndex.build(spark, path, base, 0.5,
+      nShards = 8, storeParts = 4)
+    assert(indexed(path) == Map(1L -> 1L, 2L -> 1L, 5L -> 5L, 6L -> 5L))
+
+    def shardFiles(k: Int): Map[String, Long] = {
+      val d = new java.io.File(s"$path/labels/shard=$k")
+      d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.lastModified()).toMap
+    }
+    val s1Before = shardFiles(1); val s2Before = shardFiles(2)
+    Thread.sleep(1100)
+
+    // forget the Y component's MIN member: label row gone at once,
+    // untouched shards byte-identical (the tombstone upsert prunes to
+    // the victim's shard)
+    NearDupIndex.forget(spark, path, Seq(5L))
+    val after = indexed(path)
+    assert(!after.contains(5L), "forgotten doc must leave labels")
+    assert(after(6L) == 5L,
+      "survivors keep their component id (opaque, content-free)")
+    assert(shardFiles(1) == s1Before && shardFiles(2) == s2Before,
+      "shards without victims must not be rewritten")
+
+    // a batch re-adding the tombstoned id refuses loudly
+    val e = intercept[IllegalArgumentException] {
+      NearDupIndex.maintain(spark, path, docs(5L -> tY))
+    }
+    assert(e.getMessage.contains("compactStores"), e.getMessage)
+
+    // a new Y-family doc pairs with the SURVIVOR only — the victim is
+    // probe-invisible — and the anchor relabel must not resurrect a
+    // label row for the forgotten id
+    val st = NearDupIndex.maintain(spark, path, docs(300L -> (tY + " zz")))
+    assert(st.verifiedPairs >= 1, s"survivor collision must verify: $st")
+    val after2 = indexed(path)
+    assert(!after2.contains(5L),
+      "anchor relabel must not re-publish the forgotten id")
+    assert(after2(6L) == after2(300L),
+      s"survivor and newcomer must share a component: $after2")
+
+    // compaction physically reclaims the victim's store rows and
+    // clears the log; maintains keep working afterwards
+    NearDupIndex.compactStores(spark, path)
+    assert(spark.read.parquet(s"$path/sigs")
+      .filter(col("doc_id") === 5L).isEmpty, "sig bytes must be gone")
+    assert(spark.read.parquet(s"$path/bands")
+      .filter(col("doc_id") === 5L).isEmpty, "band bytes must be gone")
+    assert(!new java.io.File(s"$path/deleted").exists(),
+      "compaction clears the tombstone log")
+    // the compact-then-re-add contract: the id may return as a NEW doc
+    val st2 = NearDupIndex.maintain(spark, path, docs(5L -> (tY + " back")))
+    assert(st2.verifiedPairs >= 1)
+    val after3 = indexed(path)
+    assert(Seq(5L, 6L, 300L).map(after3).distinct.size == 1,
+      s"re-added doc joins the Y component: $after3")
+  }
+
+  test("an interrupted store-compaction swap self-heals at the next entry") {
+    val path = Files.createTempDirectory("graft-ndidx5").toString + "/idx"
+    NearDupIndex.build(spark, path,
+      docs(1L -> tX, 2L -> (tX + " z")), 0.5, storeParts = 4)
+    // simulate a crash between the two renames: store retired at
+    // `._graft_old`, nothing at the store root
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(s"$path/bands"),
+      new org.apache.hadoop.fs.Path(s"$path/bands._graft_old")))
+    val st = NearDupIndex.maintain(spark, path, docs(9L -> (tX + " y")))
+    assert(st.verifiedPairs >= 1, s"recovered store must serve the probe: $st")
+    assert(indexed(path).keySet == Set(1L, 2L, 9L))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$path/bands._graft_old")))
+  }
+
   test("maintainer lock: a held lock refuses maintain; completed cycles leave no lock") {
     val path = Files.createTempDirectory("graft-ndidx2").toString + "/idx"
     NearDupIndex.build(spark, path, docs(1L -> tX, 2L -> (tX + " z")), 0.5)
