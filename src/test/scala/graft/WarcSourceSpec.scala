@@ -1,0 +1,169 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.WarcSource
+
+/** WarcSource: record-boundary walk, gzip-member handling, HTTP
+  * envelope splitting, truncation fencing, lying-Content-Type routing
+  * — over fixture archives built byte-for-byte in the spec.
+  */
+class WarcSourceSpec extends SparkSpec {
+
+  private def bytes(s: String): Array[Byte] = s.getBytes("ISO-8859-1")
+
+  /** One framed WARC record: version line, headers (+ the mandatory
+    * Content-Length), blank line, content, trailing CRLF CRLF.
+    */
+  private def rec(headers: Seq[(String, String)],
+                  content: Array[Byte]): Array[Byte] = {
+    val sb = new StringBuilder
+    sb.append("WARC/1.0\r\n")
+    (headers :+ ("Content-Length" -> content.length.toString))
+      .foreach { case (k, v) => sb.append(s"$k: $v\r\n") }
+    sb.append("\r\n")
+    bytes(sb.toString) ++ content ++ bytes("\r\n\r\n")
+  }
+
+  private def httpWrap(ct: String, body: Array[Byte]): Array[Byte] =
+    bytes(s"HTTP/1.1 200 OK\r\nContent-Type: $ct\r\nServer: t\r\n\r\n") ++ body
+
+  private val htmlBody =
+    bytes("<html><body>warc ingest parity test page one</body></html>")
+  // REAL PPM bytes behind a LYING text/html header: 2x2 raster
+  private val ppmBody =
+    bytes("P6\n2 2\n255\n") ++ Array.tabulate[Byte](12)(i => (i * 7).toByte)
+  private val wetText =
+    "warc conversion record plain text for the corpus pipeline"
+
+  private def infoRec = rec(
+    Seq("WARC-Type" -> "warcinfo",
+      "Content-Type" -> "application/warc-fields"),
+    bytes("software: graft-spec\r\n"))
+  private def htmlRec = rec(
+    Seq("WARC-Type" -> "response",
+      "WARC-Target-URI" -> "http://a.example/one",
+      "Content-Type" -> "application/http; msgtype=response"),
+    httpWrap("text/html", htmlBody))
+  private def lyingRec = rec(
+    Seq("WARC-Type" -> "response",
+      "WARC-Target-URI" -> "http://a.example/lying",
+      "Content-Type" -> "application/http; msgtype=response"),
+    httpWrap("text/html", ppmBody))
+  private def wetRec = rec(
+    Seq("WARC-Type" -> "conversion",
+      "WARC-Target-URI" -> "http://a.example/one",
+      "Content-Type" -> "text/plain"),
+    bytes(wetText))
+
+  private def gz(b: Array[Byte]): Array[Byte] = {
+    val bo = new java.io.ByteArrayOutputStream()
+    val g = new java.util.zip.GZIPOutputStream(bo)
+    g.write(b); g.close()
+    bo.toByteArray
+  }
+
+  private def writeDir(): String = {
+    val dir = Files.createTempDirectory("graft-warc").toString
+    Files.write(Paths.get(dir, "plain.warc"),
+      infoRec ++ htmlRec ++ lyingRec ++ wetRec)
+    // the Common-Crawl layout: one gzip MEMBER per record, members
+    // concatenated into one .warc.gz
+    Files.write(Paths.get(dir, "members.warc.gz"),
+      gz(rec(Seq("WARC-Type" -> "conversion",
+        "WARC-Target-URI" -> "http://b.example/two"),
+        bytes("gz member record alpha"))) ++
+        gz(rec(Seq("WARC-Type" -> "conversion",
+          "WARC-Target-URI" -> "http://b.example/three"),
+          bytes("gz member record beta"))))
+    // truncated FINAL record: Content-Length promises more bytes than
+    // the file holds — the earlier record must survive, the partial
+    // one must be dropped, and nothing may crash
+    val good = rec(Seq("WARC-Type" -> "conversion",
+      "WARC-Target-URI" -> "http://c.example/kept"),
+      bytes("record before the truncation point"))
+    val partial = bytes("WARC/1.0\r\nWARC-Type: conversion\r\n" +
+      "WARC-Target-URI: http://c.example/cut\r\nContent-Length: 5000\r\n" +
+      "\r\nonly a few bytes")
+    Files.write(Paths.get(dir, "truncated.warc"), good ++ partial)
+    // framing garbage mid-file: records after the fence are
+    // unattributable and must not be guessed at
+    Files.write(Paths.get(dir, "garbage.warc"),
+      rec(Seq("WARC-Type" -> "conversion",
+        "WARC-Target-URI" -> "http://d.example/first"),
+        bytes("pre garbage record")) ++
+        bytes("NOT-A-WARC-HEADER\r\njunk\r\n") ++ wetRec)
+    dir
+  }
+
+  test("record walk: envelope split, gzip members, truncation + garbage fences") {
+    val dir = writeDir()
+    val recs = WarcSource.records(spark, dir).cache()
+
+    val plain = recs.filter(col("file").endsWith("plain.warc"))
+      .orderBy(col("record_ix")).collect()
+    assert(plain.map(_.getAs[String]("warc_type")).toSeq ==
+      Seq("warcinfo", "response", "response", "conversion"))
+    // the HTTP envelope is OFF the body and its Content-Type surfaced
+    val html = plain(1)
+    assert(html.getAs[String]("http_content_type") == "text/html")
+    assert(html.getAs[Array[Byte]]("body").toSeq == htmlBody.toSeq,
+      "response body must be the payload after the HTTP header block")
+    assert(html.getAs[String]("target_uri") == "http://a.example/one")
+
+    // both gzip members parse (concatenated-member walk)
+    val gzRecs = recs.filter(col("file").endsWith("members.warc.gz"))
+    assert(gzRecs.count() == 2)
+
+    // truncation fence: the promised-5000-byte record is dropped,
+    // its predecessor kept
+    val trunc = recs.filter(col("file").endsWith("truncated.warc")).collect()
+    assert(trunc.length == 1 &&
+      trunc(0).getAs[String]("target_uri") == "http://c.example/kept")
+
+    // garbage fence: nothing after the framing error is guessed at
+    val garb = recs.filter(col("file").endsWith("garbage.warc")).collect()
+    assert(garb.length == 1 &&
+      garb(0).getAs[String]("target_uri") == "http://d.example/first")
+    recs.unpersist()
+  }
+
+  test("routing: documents get text records, media gets magic-sniffed payloads (lying Content-Type)") {
+    val dir = writeDir()
+    val docs = WarcSource.documents(spark, dir).cache()
+    val urls = docs.select("url").collect().map(_.getString(0)).toSet
+    // HTML response + all WET conversions — but NOT the lying record
+    // (its bytes are an image, whatever its header says) and not the
+    // warcinfo block
+    assert(urls.contains("http://a.example/one"))
+    assert(!urls.contains("http://a.example/lying"),
+      "media bytes behind a lying text/html header must not become text")
+    assert(docs.filter(col("text").contains("conversion record plain")).count() == 1)
+    assert(docs.select("doc_id").distinct().count() == docs.count())
+    assert(docs.filter(col("n_chars") <= 0).count() == 0)
+    docs.unpersist()
+
+    val media = WarcSource.media(spark, dir).collect()
+    assert(media.length == 1)
+    val m = media(0).getAs[org.apache.spark.sql.Row]("meta")
+    assert(m.getAs[String]("mime") == graft.multimodal.Multimodal.MimePpm,
+      "routing must follow the magic bytes")
+    assert(m.getAs[String]("declared_mime") == "text/html",
+      "the lying declared type rides along as evidence")
+  }
+
+  test("CorpusPrep runs end-to-end from a WARC directory") {
+    val dir = writeDir()
+    val out = Files.createTempDirectory("graft-warc-corpus").toString + "/corpus"
+    val cfg = graft.pipeline.CorpusPrep.Config(
+      langRates = Map.empty, defaultRate = 1.0, nShards = 4)
+    val stats = graft.pipeline.CorpusPrep.run(
+      WarcSource.documents(spark, dir), out, cfg)
+    assert(stats.afterSample > 0, s"$stats")
+    val outDf = spark.read.parquet(out)
+    assert(outDf.filter(col("text").contains("warc ingest parity")).count() >= 1,
+      "the crawled HTML page must reach the corpus")
+  }
+}
