@@ -12,12 +12,14 @@ import org.apache.spark.sql.SparkSession
   * final line is now HEADLINE-ONLY (<300B: total/failed/warmup/reps/
   * n_queries/sf) and carries NO per-query map, so it can never outgrow a
   * capture no matter how many queries register. Directly above it (round
-  * 11 order — a 2KB tail must hold headline + spread + warmup breakdown
+  * 12 order — a 2KB tail must hold headline + spread + builds + warmup
   * + a tail of the medians) sits the top-10-widest [min,max] rep-spread
-  * line, above that the per-warm-item seconds line (so a warmup jump in
-  * the official artifact is attributable), then the full per-query
-  * 3-decimal medians line — each a self-contained single-JSON-object
-  * line — and the full-precision everything (including ALL queries'
+  * line, above that the amortized-artifact builds line (rep-1 vs median
+  * for every ContentVersion-stamped face, so a 13s q113 max reads as
+  * "rep 1 built the index", not noise), the per-warm-item seconds line
+  * (so a warmup jump in the official artifact is attributable), then
+  * the full per-query 3-decimal medians line — each a self-contained
+  * single-JSON-object line — and the full-precision everything (including ALL queries'
   * min/max) is written verbatim to target/bench_full.json (never
   * truncated) plus an early stdout line. Each line is independently
   * parseable: a reader takes the last line for the headline and scans
@@ -147,6 +149,26 @@ object Bench {
     println(warmItems
       .map { case (n, s2) => "\"" + n + "\":" + d3(s2) }
       .mkString("{\"warmup\":{", ",", "}}"))
+    // BUILDS attribution (round 12): the amortized-artifact faces
+    // (persisted index / maintained-snapshot queries served per
+    // corpus CONTENT — the q104 device) pay their whole build inside
+    // rep 1 when the artifact is stale, which used to be decodable
+    // only from the spread line by a reader who knew the device. One
+    // self-contained line: each amortized face's rep-1 seconds next
+    // to its median — rep1 >> median = that rep BUILT the artifact;
+    // rep1 ~ median = it was served warm. Static list: exactly the
+    // faces that stamp util.ContentVersion on a persisted artifact.
+    val amortized = Seq("q77_cluster_pick", "q104_phrase_indexed",
+      "q105_ranked_indexed", "q109_upsert_face", "q110_scd2_face",
+      "q112_temporal_face", "q113_components_index",
+      "q114_phrase_maintained", "q121_view_face")
+    println(amortized.filter(samples.contains)
+      .map { n =>
+        val r1 = samples(n).headOption.getOrElse(-1.0)
+        "\"" + n + "\":{\"rep1\":" + d3(r1) +
+          ",\"median\":" + d3(med(n)) + "}"
+      }
+      .mkString("{\"builds\":{", ",", "}}"))
     // rep-spread line: [min,max] at 3 decimals for the TOP-10 widest
     // spreads only, one self-contained JSON object, CI-parseable on its
     // own — lets a churn round (official artifact inflated, code
