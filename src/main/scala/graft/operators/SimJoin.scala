@@ -134,12 +134,24 @@ object SimJoin {
       .select(col("a.id").as("ida"), col("b.id").as("idb"),
         col("a.nsz").as("na"), col("b.nsz").as("nb"))
       .distinct()
-    // exact verification: count the shared shingles of each candidate
-    val ta = sh.select(col("id").as("ida"), col("h"))
-    val tb = sh.select(col("id").as("idb"), col("h"))
-    val inter = cand.join(ta, "ida").join(tb, Seq("idb", "h"))
-      .groupBy(col("ida"), col("idb"), col("na"), col("nb"))
-      .agg(count(lit(1)).as("n_inter"))
+    // exact verification: each candidate pair intersects the two
+    // docs' full hash ARRAYS in place — one row per candidate, no
+    // aggregation. The first cut expanded every candidate by ALL of
+    // side A's shingles (candidates × |A| rows through a shuffle +
+    // groupBy); at the sf1 scale point that expansion WAS the verify
+    // cost (SCALE_r11: wall 5.9× at candidates 9.9×). Same bytes ride
+    // the join, ~|doc| fewer rows, and the whole post-join pipeline
+    // is a codegen'd per-row array_intersect (sets — wordShingles
+    // emits distinct shingles, so distinct-intersection matches the
+    // oracle's list_intersect semantics exactly, hash collisions
+    // aside as ever).
+    val lists = sh.groupBy(col("id")).agg(collect_list(col("h")).as("hs"))
+    val inter = cand
+      .join(lists.select(col("id").as("ida"), col("hs").as("ha")), "ida")
+      .join(lists.select(col("id").as("idb"), col("hs").as("hb")), "idb")
+      .select(col("ida"), col("idb"), col("na"), col("nb"),
+        size(array_intersect(col("ha"), col("hb")))
+          .cast("long").as("n_inter"))
     val out = inter
       .withColumn("n_union", col("na") + col("nb") - col("n_inter"))
       .filter(col("n_inter") * tDen >= col("n_union") * tNum)

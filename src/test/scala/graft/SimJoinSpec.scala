@@ -118,10 +118,18 @@ class SimJoinSpec extends SparkSpec {
       }
       val exchanges = plan.collect { case e: ShuffleExchangeExec => e }
       assert(exchanges.nonEmpty)
+      // shingle STRINGS must die map-side (the md5-64 projection);
+      // arrays of LONG hashes are the r12 verify stage's designed
+      // payload (one doc-array row per candidate instead of |doc|
+      // expanded rows) — so the pin forbids strings and string
+      // arrays anywhere in an exchange, and long arrays are expected
       exchanges.foreach(e =>
         assert(!e.output.exists(a => a.dataType == StringType ||
-          a.dataType.isInstanceOf[ArrayType]),
-          s"a q96 exchange carries strings/arrays: ${e.output}"))
+          (a.dataType match {
+            case ArrayType(et, _) => et == StringType
+            case _ => false
+          })),
+          s"a q96 exchange carries shingle strings: ${e.output}"))
     } finally sc.release()
   }
 
