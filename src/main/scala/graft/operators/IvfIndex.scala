@@ -274,7 +274,10 @@ object IvfIndex {
   def recall(spark: SparkSession, path: String, sampleN: Int = 20,
              nprobe: Int = 8, topk: Int = 10): Double = {
     recoverRetrain(spark, path)
-    val corpus = spark.read.parquet(s"$path/index")
+    // net of tombstones on BOTH the sample and the brute-force truth
+    // side, so recall never "misses" a vector no query can return
+    val corpus = antiDeleted(spark, path,
+      spark.read.parquet(s"$path/index"))
       .select(col("vec_id"), col("embedding"))
     // materialize the sample to the driver (≤ sampleN tiny rows): the
     // global hash-sort would otherwise re-execute for every one of the
@@ -375,7 +378,11 @@ object IvfIndex {
     val tmpFs = new Path(tmp)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (tmpFs.exists(new Path(tmp))) tmpFs.delete(new Path(tmp), true)
-    val corpus = spark.read.parquet(s"$path/index")
+    // net of tombstones: the rebuild IS a compaction — the new tree
+    // starts log-free (the in-tree log dies with the retired tree in
+    // the swap) and must not resurrect deleted vectors
+    val corpus = antiDeleted(spark, path,
+      spark.read.parquet(s"$path/index"))
       .select(col("vec_id"), col("embedding"))
     // Unlocked forms: the tmp tree is private to this cycle, and the
     // LIVE path's lock is already held by the public wrapper
@@ -409,6 +416,56 @@ object IvfIndex {
     * grows — re-run build() periodically (e.g. when appended volume
     * passes a fraction of the indexed volume) to re-train.
     */
+  /** The tombstoned vec_ids (one `vec_id` BIGINT column), if any
+    * vector was [[deleteVectors]]'d since the last compaction — the
+    * delete-bitmap face every persisted artifact here carries
+    * (Search.deletedIds, NearDupIndex.deletedIds). Append-only,
+    * read distinct; a crashed delete leaves a partial prefix and the
+    * re-run completes it (monotone).
+    */
+  def deletedIds(spark: SparkSession, path: String): Option[DataFrame] = {
+    val dir = s"$path/deleted"
+    val fs = new Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new Path(dir))) None
+    else {
+      spark.catalog.refreshByPath(dir)
+      Some(spark.read.schema("vec_id LONG").parquet(dir).distinct())
+    }
+  }
+
+  private def antiDeleted(spark: SparkSession, path: String,
+                          df: DataFrame): DataFrame =
+    deletedIds(spark, path) match {
+      case Some(dead) => df.join(broadcast(dead), Seq("vec_id"), "left_anti")
+      case None => df
+    }
+
+  /** Right-to-be-forgotten for the ANN index: tombstone vectors OUT
+    * without rewriting the inverted lists — ids land in the in-tree
+    * append-only `deleted/` log and every query face ([[query]],
+    * [[queryPq]], [[recall]]) anti-filters against it (broadcast,
+    * delete-list-sized — partition pruning on the probed clusters is
+    * untouched). The bytes — raw vectors AND the PQ sidecar's codes —
+    * stay until the next full-tree rewrite reclaims them: both
+    * [[dedupeVectors]] (the scheduled compaction) and a
+    * [[retrainIfNeeded]] rebuild apply the tombstones physically and
+    * start the new tree log-free (the in-tree log dies with the
+    * retired tree in the same atomic swap, so reclaim and log-clear
+    * cannot be separated by a crash).
+    */
+  def deleteVectors(spark: SparkSession, path: String, ids: Seq[Long],
+                    waitMs: Long = 0L): Unit = {
+    if (ids.isEmpty) return
+    withIndexLock(spark, path, waitMs) {
+      recoverRetrain(spark, path, lockHeld = true)
+      import spark.implicits._
+      ids.toDF("vec_id").select(col("vec_id").cast("long"))
+        .coalesce(1)
+        .write.mode(SaveMode.Append).parquet(s"$path/deleted")
+    }
+  }
+
   def append(spark: SparkSession, path: String,
              newVectors: DataFrame): Long =
     withIndexLock(spark, path) { appendUnlocked(spark, path, newVectors) }
@@ -420,6 +477,16 @@ object IvfIndex {
   private[graft] def appendUnlocked(spark: SparkSession, path: String,
                                     newVectors: DataFrame): Long = {
     recoverRetrain(spark, path, lockHeld = true)
+    // tombstoned-id RE-ADDS refuse (the maintainIndex rule): the
+    // delete filter would silently hide the new vector forever
+    deletedIds(spark, path).foreach { dead =>
+      val readds = embProjection(newVectors).select(col("vec_id"))
+        .join(broadcast(dead), Seq("vec_id")).limit(1).count()
+      require(readds == 0L,
+        "IvfIndex.append: batch re-adds tombstoned vec_ids — the " +
+          "delete filter would silently hide them; run " +
+          "IvfIndex.dedupeVectors (the compaction) first")
+    }
     val centroids = collectCenters(spark.read.parquet(s"$path/centroids"))
     val e = embProjection(newVectors)
     // one materialization: the count must describe the rows actually
@@ -449,13 +516,17 @@ object IvfIndex {
     } finally { assigned.unpersist(); () }
   }
 
-  /** Remove duplicate vec_ids from the index (and the PQ code sidecar
-    * when present), publishing atomically through the retrain swap
-    * machinery — the repair for a HALF-APPLIED [[append]] (parquet
-    * append is not idempotent; a crashed appender's replay can write
-    * rows twice). Duplicates of a vec_id are byte-identical (same
+  /** The index's COMPACTION: remove duplicate vec_ids AND
+    * [[deleteVectors]]-tombstoned vectors from the index (and the PQ
+    * code sidecar when present), publishing atomically through the
+    * retrain swap machinery — the repair for a HALF-APPLIED
+    * [[append]] (parquet append is not idempotent; a crashed
+    * appender's replay can write rows twice) and the scheduled RTBF
+    * byte-reclaim. Duplicates of a vec_id are byte-identical (same
     * vector, same frozen-centroid assignment, same codebook encoding),
-    * so keep-any is exact. Returns the number of rows removed.
+    * so keep-any is exact. The in-tree tombstone log dies with the
+    * retired tree in the same swap — reclaim and log-clear are one
+    * atomic event. Returns the number of rows removed.
     *
     * Crash-safe like retrain: a failure between the two publish
     * renames is repaired by the next entry point's recovery; a
@@ -476,7 +547,7 @@ object IvfIndex {
     val tmp = path + "._graft_tmp"
     if (fs.exists(new Path(tmp))) fs.delete(new Path(tmp), true)
     val idx = spark.read.parquet(s"$path/index")
-    val deduped = idx
+    val deduped = antiDeleted(spark, path, idx)
       .select(col("cluster_id"), col("vec_id"), col("embedding"))
       .dropDuplicates("vec_id")
       .cache()
@@ -493,9 +564,10 @@ object IvfIndex {
       if (hasPq(spark, path)) {
         org.apache.hadoop.fs.FileUtil.copy(fs, new Path(s"$path/pq"),
           fs, new Path(s"$tmp/pq"), false, conf)
-        // the codes ARE per-vector: re-publish them deduped too
+        // the codes ARE per-vector: re-publish them deduped and net
+        // of tombstones too (a victim's PQ codes are its bytes)
         fs.delete(new Path(s"$tmp/pq/codes"), true)
-        spark.read.parquet(s"$path/pq/codes")
+        antiDeleted(spark, path, spark.read.parquet(s"$path/pq/codes"))
           .dropDuplicates("vec_id")
           .write.mode(SaveMode.Overwrite)
           .partitionBy("cluster_id").parquet(s"$tmp/pq/codes")
@@ -577,8 +649,9 @@ object IvfIndex {
       .select(col("vec_id").as("query_id"), col("cluster_id"))
     val probedClusters = probes.select(col("cluster_id")).distinct()
       .collect().map(_.getLong(0))
-    val codes = spark.read.parquet(s"$path/pq/codes")
-      .filter(col("cluster_id").isin(probedClusters.toSeq: _*))
+    val codes = antiDeleted(spark, path,
+      spark.read.parquet(s"$path/pq/codes")
+        .filter(col("cluster_id").isin(probedClusters.toSeq: _*)))
     // nulls LAST: adcDist returns NULL for a corrupt codes/table shape,
     // and ascending-default would rank NULL first — degenerate rows
     // must lose shortlist slots, not monopolize them
@@ -624,8 +697,9 @@ object IvfIndex {
         col("nrm").as("qn"), col("cluster_id"))
     val probedClusters = probes.select(col("cluster_id")).distinct()
       .collect().map(_.getLong(0))
-    val index = spark.read.parquet(s"$path/index")
-      .filter(col("cluster_id").isin(probedClusters.toSeq: _*))
+    val index = antiDeleted(spark, path,
+      spark.read.parquet(s"$path/index")
+        .filter(col("cluster_id").isin(probedClusters.toSeq: _*)))
       .select(col("cluster_id"), col("vec_id"), col("embedding").as("v"))
       .withColumn("nrm", VecExprs.l2(col("v")))
     rankTopK(index.join(broadcast(probes), Seq("cluster_id")), topk)

@@ -264,6 +264,70 @@ class IvfIndexSpec extends SparkSpec {
     }
   }
 
+  test("deleteVectors: tombstoned vectors leave every query face at once; compaction reclaims the bytes; re-adds refuse") {
+    import spark.implicits._
+    val p = java.nio.file.Files.createTempDirectory("graft-ivfdel").toString
+    IvfIndex.build(spark, embeddings, p, k = 16, initRounds = 2,
+      lloydIters = 2)
+    IvfIndex.buildPq(spark, p, m = 8, ksub = 16, iters = 2, sampleN = 500)
+    // victim = some query's own top raw neighbor, so its absence is
+    // observable in the result, not just plausible
+    val q1 = embeddings.filter(col("vec_id") === 3L)
+    val victim = IvfIndex.query(spark, p, q1, nprobe = 8, topk = 5)
+      .select(col("neighbor_id")).head().getLong(0)
+    IvfIndex.deleteVectors(spark, p, Seq(victim))
+
+    def neighbors(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.select(col("neighbor_id")).as[Long].collect().toSet
+    val raw = IvfIndex.query(spark, p, q1, nprobe = 8, topk = 5)
+    assert(!neighbors(raw).contains(victim),
+      "tombstoned vector served by query()")
+    assert(raw.count() == 5, "the shortlist must backfill, not shrink")
+    val pq = IvfIndex.queryPq(spark, p, q1, nprobe = 8, topk = 5,
+      rerank = 40)
+    assert(!neighbors(pq).contains(victim),
+      "tombstoned vector served by queryPq()")
+    // recall: truth side is net of tombstones too — must stay sane
+    val r = IvfIndex.recall(spark, p, sampleN = 5, nprobe = 8, topk = 5)
+    assert(r >= 0.0 && r <= 1.0)
+
+    // a batch re-adding the tombstoned id refuses loudly
+    val e = intercept[IllegalArgumentException] {
+      IvfIndex.append(spark, p, embeddings.filter(col("vec_id") === victim))
+    }
+    assert(e.getMessage.contains("dedupeVectors"), e.getMessage)
+
+    // compaction physically reclaims raw bytes AND pq codes, and the
+    // in-tree log dies with the retired tree in the same swap
+    IvfIndex.dedupeVectors(spark, p)
+    assert(spark.read.parquet(s"$p/index")
+      .filter(col("vec_id") === victim).isEmpty, "raw bytes survived")
+    assert(spark.read.parquet(s"$p/pq/codes")
+      .filter(col("vec_id") === victim).isEmpty, "pq codes survived")
+    assert(IvfIndex.deletedIds(spark, p).isEmpty,
+      "compaction must clear the tombstone log")
+    // post-compaction, the id may return as a new vector
+    assert(IvfIndex.append(spark, p,
+      embeddings.filter(col("vec_id") === victim)) == 1L)
+  }
+
+  test("a retrain rebuild applies tombstones physically (the rebuild IS a compaction)") {
+    val p = java.nio.file.Files.createTempDirectory("graft-ivfdel2").toString
+    val head = embeddings.filter(col("vec_id") < 300)
+    IvfIndex.build(spark, head, p, k = 8, initRounds = 2, lloydIters = 2)
+    val victim = 7L
+    IvfIndex.deleteVectors(spark, p, Seq(victim))
+    // push appended fraction past the threshold to force the rebuild
+    IvfIndex.append(spark, p, embeddings.filter(col("vec_id") >= 300))
+    val rebuilt = IvfIndex.retrainIfNeeded(spark, p, threshold = 0.25)
+    assert(rebuilt.isDefined, "drift past threshold must rebuild")
+    assert(spark.read.parquet(s"$p/index")
+      .filter(col("vec_id") === victim).isEmpty,
+      "rebuild must not resurrect a tombstoned vector")
+    assert(IvfIndex.deletedIds(spark, p).isEmpty,
+      "the new tree starts log-free")
+  }
+
   test("index build is deterministic: rebuilding yields identical centroids") {
     val p2 = java.nio.file.Files.createTempDirectory("graft-ivf2").toString
     IvfIndex.build(spark, embeddings, p2, k = 16, initRounds = 2, lloydIters = 2)
