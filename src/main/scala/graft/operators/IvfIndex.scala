@@ -423,23 +423,12 @@ object IvfIndex {
     * read distinct; a crashed delete leaves a partial prefix and the
     * re-run completes it (monotone).
     */
-  def deletedIds(spark: SparkSession, path: String): Option[DataFrame] = {
-    val dir = s"$path/deleted"
-    val fs = new Path(dir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(new Path(dir))) None
-    else {
-      spark.catalog.refreshByPath(dir)
-      Some(spark.read.schema("vec_id LONG").parquet(dir).distinct())
-    }
-  }
+  def deletedIds(spark: SparkSession, path: String): Option[DataFrame] =
+    graft.util.TombstoneLog.ids(spark, s"$path/deleted", "vec_id")
 
   private def antiDeleted(spark: SparkSession, path: String,
                           df: DataFrame): DataFrame =
-    deletedIds(spark, path) match {
-      case Some(dead) => df.join(broadcast(dead), Seq("vec_id"), "left_anti")
-      case None => df
-    }
+    graft.util.TombstoneLog.anti(spark, s"$path/deleted", "vec_id", df)
 
   /** Right-to-be-forgotten for the ANN index: tombstone vectors OUT
     * without rewriting the inverted lists — ids land in the in-tree
@@ -459,10 +448,7 @@ object IvfIndex {
     if (ids.isEmpty) return
     withIndexLock(spark, path, waitMs) {
       recoverRetrain(spark, path, lockHeld = true)
-      import spark.implicits._
-      ids.toDF("vec_id").select(col("vec_id").cast("long"))
-        .coalesce(1)
-        .write.mode(SaveMode.Append).parquet(s"$path/deleted")
+      graft.util.TombstoneLog.append(spark, s"$path/deleted", "vec_id", ids)
     }
   }
 

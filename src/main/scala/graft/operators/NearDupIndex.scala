@@ -133,46 +133,20 @@ object NearDupIndex {
   // job over an arbitrary store file before any partition filter can
   // prune — the probe must never open an un-probed partition, not
   // even for a footer (spec pins this by corrupting the rest)
-  private val BandsSchema = org.apache.spark.sql.types.StructType(Seq(
-    org.apache.spark.sql.types.StructField("band",
-      org.apache.spark.sql.types.IntegerType),
-    org.apache.spark.sql.types.StructField("bkey",
-      org.apache.spark.sql.types.IntegerType),
-    org.apache.spark.sql.types.StructField("doc_id",
-      org.apache.spark.sql.types.LongType),
-    org.apache.spark.sql.types.StructField("pb",
-      org.apache.spark.sql.types.IntegerType)))
-  private val SigsSchema = org.apache.spark.sql.types.StructType(Seq(
-    org.apache.spark.sql.types.StructField("doc_id",
-      org.apache.spark.sql.types.LongType),
-    org.apache.spark.sql.types.StructField("sig",
-      org.apache.spark.sql.types.ArrayType(
-        org.apache.spark.sql.types.IntegerType, containsNull = false)),
-    org.apache.spark.sql.types.StructField("ps",
-      org.apache.spark.sql.types.IntegerType)))
+  private val BandsSchema = "band INT, bkey INT, doc_id LONG, pb INT"
+  private val SigsSchema = "doc_id LONG, sig ARRAY<INT>, ps INT"
 
   /** The tombstoned doc ids, if any were ever [[forget]]'d since the
     * last [[compactStores]]. Append-only, read distinct (a crashed
     * forget leaves a partial id set — safe: tombstoning is monotone
     * and the re-run completes it).
     */
-  def deletedIds(spark: SparkSession, path: String): Option[DataFrame] = {
-    val dir = deletedPath(path)
-    val fs = new org.apache.hadoop.fs.Path(dir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(new org.apache.hadoop.fs.Path(dir))) None
-    else {
-      spark.catalog.refreshByPath(dir)
-      Some(spark.read.schema("doc_id LONG").parquet(dir).distinct())
-    }
-  }
+  def deletedIds(spark: SparkSession, path: String): Option[DataFrame] =
+    graft.util.TombstoneLog.ids(spark, deletedPath(path), "doc_id")
 
   private def antiDead(spark: SparkSession, path: String,
                        df: DataFrame): DataFrame =
-    deletedIds(spark, path) match {
-      case Some(dead) => df.join(broadcast(dead), Seq("doc_id"), "left_anti")
-      case None => df
-    }
+    graft.util.TombstoneLog.anti(spark, deletedPath(path), "doc_id", df)
 
   /** The partition-pruned bands probe: only partitions holding the
     * probed bucket-key hashes are read (`pbs` has at most storeParts
@@ -454,10 +428,9 @@ object NearDupIndex {
       what = "near-dup index maintainer") {
       val meta = readMeta(spark, path)
       recoverStores(spark, path)
+      graft.util.TombstoneLog.append(spark, deletedPath(path), "doc_id", ids)
       import spark.implicits._
       val victims = ids.toDF("doc_id").select(col("doc_id").cast("long"))
-      victims.coalesce(1)
-        .write.mode(SaveMode.Append).parquet(deletedPath(path))
       // physical label removal, shard-pruned; a victim in no pair has
       // no label row — its tombstone is a Merge no-op. Skip entirely
       // when the index has no labels yet (nothing to tombstone; a

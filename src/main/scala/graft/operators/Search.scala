@@ -231,12 +231,9 @@ object Search {
     * tombstoning is monotone and idempotent: re-running the same
     * delete completes it.
     */
-  def deletedIds(spark: SparkSession, table: String): Option[DataFrame] = {
-    val dir = deletedDir(tableLocation(spark, table))
-    val fs = hadoopFs(spark, dir)
-    if (!fs.exists(new org.apache.hadoop.fs.Path(dir))) None
-    else Some(spark.read.schema("doc_id LONG").parquet(dir).distinct())
-  }
+  def deletedIds(spark: SparkSession, table: String): Option[DataFrame] =
+    graft.util.TombstoneLog.ids(spark,
+      deletedDir(tableLocation(spark, table)), "doc_id")
 
   /** Postings net of tombstones: the one read path every index query
     * face uses. The tombstone set is delete-list-sized, so the filter
@@ -409,11 +406,7 @@ object Search {
     val loc = tableLocation(spark, table)
     graft.util.PathLock.withLock(spark, loc, lockWaitMs,
       what = "search index maintainer") {
-      import spark.implicits._
-      ids.toDF("doc_id").select(col("doc_id").cast("long"))
-        .coalesce(1)
-        .write.mode(org.apache.spark.sql.SaveMode.Append)
-        .parquet(deletedDir(loc))
+      graft.util.TombstoneLog.append(spark, deletedDir(loc), "doc_id", ids)
       newVersion.foreach(stampVersion(spark, table, _))
     }
   }

@@ -240,19 +240,16 @@ object Merge {
         (v, dirName, s"$targetPath/$partColR=$dirName")
       }.sortBy(_._2).toList
       // acquire every touched partition's lock (sorted order), recover
-      // each, then run the fused cycle with all leases in hand
-      def locked(rest: List[(Any, String, String)],
-                 acc: List[(Any, String, String, Snapshot.Lease, Boolean)]): Stats =
-        rest match {
-          case (v, dn, p) :: tail =>
-            Snapshot.withMaintainerLock(fs, p) { lease =>
-              val exists = Snapshot.recoverAndExists(fs, p, lease)
-              locked(tail, (v, dn, p, lease, exists) :: acc)
-            }
-          case Nil => fusedCycle(spark, fs, targetPath, upd, partColR, keys,
-            versionCol, deleteCol, acc.reverse)
-        }
-      locked(parts, Nil)
+      // each, then run the fused cycle with all leases in hand — the
+      // iterative multi-lock, so stack depth never tracks the touched
+      // count
+      Snapshot.withMaintainerLocks(fs, parts.map(_._3)) { ls =>
+        fusedCycle(spark, fs, targetPath, upd, partColR, keys,
+          versionCol, deleteCol,
+          parts.zip(ls).map { case ((v, dn, p), (lease, exists)) =>
+            (v, dn, p, lease, exists)
+          })
+      }
     } finally { upd.unpersist(); () }
   }
 

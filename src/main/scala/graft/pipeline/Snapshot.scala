@@ -71,6 +71,31 @@ private[pipeline] object Snapshot {
     finally forceUnlock(fs, targetPath)
   }
 
+  /** Acquire MANY targets' locks for one fused cycle (the caller
+    * supplies them in its consistent contention order), recover each,
+    * and hand the body every (lease, exists) pair; all held locks
+    * release in reverse order on unwind. ITERATIVE by design: a fused
+    * partitioned maintainer can touch thousands of partitions, and
+    * nesting one [[withMaintainerLock]] frame per partition would tie
+    * stack depth to the touched count. Acquisition failure part-way
+    * releases what was already held before re-raising — the
+    * second-of-two-contending-maintainers fail-fast contract.
+    */
+  def withMaintainerLocks[T](fs: FileSystem, targetPaths: Seq[String],
+                             waitMs: Long = 0L)
+                            (body: Seq[(Lease, Boolean)] => T): T = {
+    val held = scala.collection.mutable.ArrayBuffer.empty[String]
+    try {
+      val leases = targetPaths.map { p =>
+        acquireLock(fs, p, waitMs)
+        held += p
+        val lease = new Lease(p)
+        (lease, recoverAndExists(fs, p, lease))
+      }
+      body(leases)
+    } finally held.reverseIterator.foreach(p => forceUnlock(fs, p))
+  }
+
   /** Clear a stale maintainer lock left by a hard-killed cycle. Only
     * safe once no live maintainer targets the path.
     */

@@ -169,25 +169,19 @@ object ViewMaintain {
     * order (two concurrent fused maintainers with overlapping sets
     * contend in a consistent order — the second fails fast at the
     * first contended lock, never deadlocks), recover each, then run
-    * `body` with all leases in hand. Locks release in reverse order on
-    * unwind.
+    * `body` with all leases in hand — the iterative
+    * [[Snapshot.withMaintainerLocks]], so stack depth never tracks
+    * the touched-partition count.
     */
   private def withAllLocks[T](fs: org.apache.hadoop.fs.FileSystem,
                               parts: List[(Any, String, String)],
                               lockWaitMs: Long)
-      (body: List[(Any, String, String, Snapshot.Lease, Boolean)] => T): T = {
-    def loop(rest: List[(Any, String, String)],
-             acc: List[(Any, String, String, Snapshot.Lease, Boolean)]): T =
-      rest match {
-        case (v, dn, p) :: tail =>
-          Snapshot.withMaintainerLock(fs, p, lockWaitMs) { lease =>
-            val exists = Snapshot.recoverAndExists(fs, p, lease)
-            loop(tail, (v, dn, p, lease, exists) :: acc)
-          }
-        case Nil => body(acc.reverse)
-      }
-    loop(parts, Nil)
-  }
+      (body: List[(Any, String, String, Snapshot.Lease, Boolean)] => T): T =
+    Snapshot.withMaintainerLocks(fs, parts.map(_._3), lockWaitMs) { ls =>
+      body(parts.zip(ls).map { case ((v, dn, p), (lease, exists)) =>
+        (v, dn, p, lease, exists)
+      })
+    }
 
   /** The fused publish ([[Merge]]'s `fusedCycle` write-and-swap half):
     * ONE partitioned write job produces every touched partition's new

@@ -24,9 +24,11 @@ import org.apache.spark.sql.functions._
   * envelope's — is metadata from an arbitrary web server and LIES.
   * Routing is by payload magic bytes ([[BinarySource.sniffMime]]):
   * [[media]] takes records whose BYTES are a known media type no
-  * matter what the header claims, [[documents]] takes `conversion`
-  * (WET) records plus non-media `response` payloads. Both faces carry
-  * the declared types along as evidence columns.
+  * matter what the header claims (the declared type rides along in
+  * its meta as evidence), [[documents]] takes `conversion` (WET)
+  * records plus non-media `response` payloads in the exact
+  * corpus-table shape; the declared types stay on the [[records]]
+  * frame for audits.
   *
   * Scale shape: `binaryFile` plans one row per archive and packs
   * archives into tasks by size — the standard one-task-per-WARC
@@ -57,6 +59,13 @@ object WarcSource {
   private final class RecReader(in: InputStream) {
     private val buf = new java.io.BufferedInputStream(in, 1 << 16)
 
+    /** True once a header line exceeded the 1 MB cap: the rest of
+      * that physical line is still in-stream, so continuing to parse
+      * would mis-frame unattributable bytes as fresh header lines —
+      * the caller must FENCE, exactly like a truncation.
+      */
+    var overflowed: Boolean = false
+
     /** The next line without its CRLF; None at EOF. Header lines are
       * ASCII by the WARC spec — bytes map 1:1 via ISO-8859-1.
       */
@@ -67,6 +76,7 @@ object WarcSource {
       while (c >= 0 && c != '\n' && sb.length < (1 << 20)) {
         sb.append(c.toChar); c = buf.read()
       }
+      if (c >= 0 && c != '\n') overflowed = true
       val s = sb.toString
       Some(if (s.endsWith("\r")) s.substring(0, s.length - 1) else s)
     }
@@ -123,8 +133,13 @@ object WarcSource {
       content.length.toLong, content)
   }
 
-  /** Walk one archive's record stream. Fencing, stated precisely:
-    * a malformed version line, a header block cut by EOF, an
+  /** Walk one archive's record stream LAZILY — one record
+    * materialized at a time (a 1 GB .warc.gz decompresses to several
+    * GB; holding every body at once on top of the raw binaryFile row
+    * would size executor heap to the whole archive instead of one
+    * record). Fencing, stated precisely: a malformed version line, a
+    * header block cut by EOF, an over-cap header line (the remainder
+    * of that physical line would mis-frame as fresh headers), an
     * unparsable/negative Content-Length, a content read that comes up
     * short, or an IO error from a dying gzip member all TERMINATE the
     * walk — records before the fence are returned, the partial one is
@@ -132,46 +147,61 @@ object WarcSource {
     * are unattributable).
     */
   private[graft] def parseStream(file: String,
-                                 in: InputStream): Seq[Record] = {
-    val r = new RecReader(in)
-    val out = scala.collection.mutable.ArrayBuffer.empty[Record]
-    var ix = 0
-    var fenced = false
-    try {
-      var line = r.readLine()
-      while (!fenced && line.isDefined) {
-        val l = line.get
-        if (l.isEmpty) line = r.readLine() // inter-record CRLF padding
-        else if (!l.startsWith("WARC/")) fenced = true
-        else {
-          val hdrs = scala.collection.mutable.Map.empty[String, String]
-          var h = r.readLine()
-          while (h.exists(_.nonEmpty)) {
-            val s = h.get
-            val i = s.indexOf(':')
-            if (i > 0)
-              hdrs(s.substring(0, i).trim
-                .toLowerCase(java.util.Locale.ROOT)) = s.substring(i + 1).trim
-            h = r.readLine()
-          }
-          if (h.isEmpty) fenced = true // EOF inside the header block
-          else hdrs.get("content-length")
-            .flatMap(x => scala.util.Try(x.toLong).toOption) match {
-            case Some(n) if n >= 0 =>
-              val content = r.readN(n)
-              if (content.length < n) fenced = true // truncated record
-              else {
-                out += toRecord(file, ix, hdrs.toMap, content)
-                ix += 1
-                line = r.readLine()
+                                 in: InputStream): Iterator[Record] =
+    new scala.collection.AbstractIterator[Record] {
+      private val r = new RecReader(in)
+      private var ix = 0
+      private var fenced = false
+      private var pending: Record = null
+
+      private def advance(): Unit = {
+        try {
+          var line = r.readLine()
+          while (pending == null && !fenced && line.isDefined) {
+            if (r.overflowed) { fenced = true; return }
+            val l = line.get
+            if (l.isEmpty) line = r.readLine() // inter-record padding
+            else if (!l.startsWith("WARC/")) fenced = true
+            else {
+              val hdrs = scala.collection.mutable.Map.empty[String, String]
+              var h = r.readLine()
+              while (!r.overflowed && h.exists(_.nonEmpty)) {
+                val s = h.get
+                val i = s.indexOf(':')
+                if (i > 0)
+                  hdrs(s.substring(0, i).trim
+                    .toLowerCase(java.util.Locale.ROOT)) =
+                    s.substring(i + 1).trim
+                h = r.readLine()
               }
-            case _ => fenced = true // absent/unparsable length
+              if (r.overflowed || h.isEmpty) fenced = true // cut headers
+              else hdrs.get("content-length")
+                .flatMap(x => scala.util.Try(x.toLong).toOption) match {
+                case Some(n) if n >= 0 =>
+                  val content = r.readN(n)
+                  if (content.length < n) fenced = true // truncated
+                  else {
+                    pending = toRecord(file, ix, hdrs.toMap, content)
+                    ix += 1
+                  }
+                case _ => fenced = true // absent/unparsable length
+              }
+            }
           }
+        } catch {
+          case _: java.io.IOException => fenced = true // gzip death
         }
       }
-    } catch { case _: java.io.IOException => () } // gzip mid-member death
-    out.toSeq
-  }
+
+      override def hasNext: Boolean = {
+        if (pending == null && !fenced) advance()
+        pending != null
+      }
+      override def next(): Record = {
+        if (!hasNext) throw new NoSuchElementException("fenced WARC walk")
+        val out = pending; pending = null; out
+      }
+    }
 
   /** All records of every archive under `dir` (recursive; optional
     * glob, e.g. `*.warc.gz`): one frame row per WARC record, HTTP
@@ -191,23 +221,39 @@ object WarcSource {
             new GZIPInputStream(new ByteArrayInputStream(bytes))
           else new ByteArrayInputStream(bytes)
         parseStream(path, in)
-      }.getOrElse(Seq.empty) // unreadable archive: fence whole file
+      }.getOrElse(Iterator.empty) // unreadable archive: fence whole file
     }.toDF()
   }
 
   /** The documents-table face: `conversion` (WET) records plus
     * `response` payloads whose BYTES are not a known media type
     * (magic-sniffed — a media payload behind a lying `text/html`
-    * header routes to [[media]], not here). Columns match the corpus
-    * shape [[graft.pipeline.CorpusPrep.run]] ingests: doc_id (md5-64
-    * of file + record index — deterministic, collision-free across
-    * re-crawls of one URI), url, text (UTF-8, invalid bytes
-    * replaced), lang (n-gram heuristic), source (archive file name),
+    * header routes to [[media]], not here; the declared types stay
+    * available on the [[records]] frame for audits — this face keeps
+    * exactly the corpus-table shape). Columns match what
+    * [[graft.pipeline.CorpusPrep.run]] ingests: doc_id (md5-64 of
+    * file + record index — deterministic, collision-free across
+    * re-crawls of one URI), url, text (UTF-8 with invalid sequences
+    * REPLACED by U+FFFD — a real crawl always carries latin-1 and
+    * truncated-multibyte pages, and Spark 4's `decode` RAISES on
+    * them; binary→string cast is validation-free and
+    * `make_valid_utf8` then repairs, so one bad byte can never fail
+    * the job), lang (n-gram heuristic), source (archive file name),
     * n_chars.
+    *
+    * The `records` overloads let a pipeline consuming BOTH faces
+    * parse each archive once (materialize or cache `records(...)`
+    * and pass it to each — caller-owned lifecycle, the repo's
+    * multi-consumer convention).
     */
   def documents(spark: SparkSession, dir: String,
-                glob: Option[String] = None): DataFrame =
-    records(spark, dir, glob)
+                glob: Option[String]): DataFrame =
+    documents(records(spark, dir, glob))
+  def documents(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir, None)
+
+  def documents(records: DataFrame): DataFrame =
+    records
       .filter(col("warc_type") === "conversion" ||
         (col("warc_type") === "response" &&
           BinarySource.sniffMime(col("body")) === "application/octet-stream"))
@@ -215,7 +261,7 @@ object WarcSource {
         md5Lower64(concat_ws("#", col("file"), col("record_ix")))
           .as("doc_id"),
         col("target_uri").as("url"),
-        decode(col("body"), "UTF-8").as("text"),
+        expr("make_valid_utf8(cast(body as string))").as("text"),
         regexp_extract(col("file"), "([^/]+)$", 1).as("source"))
       .withColumn("lang", TextOps.langId(col("text")))
       .withColumn("n_chars", length(col("text")).cast("long"))
@@ -224,11 +270,16 @@ object WarcSource {
   /** The MediaRow face: `response` payloads whose magic bytes are a
     * known media type (regardless of the declared Content-Type — the
     * lying-header case), in [[BinarySource.read]]'s shape; the
-    * declared types ride along inside meta as evidence.
+    * declared type rides along inside meta as evidence.
     */
   def media(spark: SparkSession, dir: String,
-            glob: Option[String] = None): DataFrame =
-    records(spark, dir, glob)
+            glob: Option[String]): DataFrame =
+    media(records(spark, dir, glob))
+  def media(spark: SparkSession, dir: String): DataFrame =
+    media(spark, dir, None)
+
+  def media(records: DataFrame): DataFrame =
+    records
       .filter(col("warc_type") === "response" &&
         BinarySource.sniffMime(col("body")) =!= "application/octet-stream")
       .select(

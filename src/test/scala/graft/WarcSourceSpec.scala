@@ -95,6 +95,12 @@ class WarcSourceSpec extends SparkSpec {
         "WARC-Target-URI" -> "http://d.example/first"),
         bytes("pre garbage record")) ++
         bytes("NOT-A-WARC-HEADER\r\njunk\r\n") ++ wetRec)
+    // NON-UTF-8 text payload (the latin-1 page every real crawl has):
+    // 0xE9 = 'é' in ISO-8859-1, an invalid UTF-8 continuation byte
+    Files.write(Paths.get(dir, "latin1.warc"),
+      rec(Seq("WARC-Type" -> "conversion",
+        "WARC-Target-URI" -> "http://e.example/latin"),
+        bytes("caf") ++ Array(0xE9.toByte) ++ bytes(" latin one page")))
     dir
   }
 
@@ -152,6 +158,27 @@ class WarcSourceSpec extends SparkSpec {
       "routing must follow the magic bytes")
     assert(m.getAs[String]("declared_mime") == "text/html",
       "the lying declared type rides along as evidence")
+  }
+
+  test("non-UTF-8 text is REPLACED, never a crash; an over-cap header line fences") {
+    val dir = writeDir()
+    // a header line past the 1 MB cap: its remainder would mis-frame
+    // as fresh header lines — the whole walk must fence, dropping the
+    // well-formed record that follows (unattributable bytes)
+    Files.write(Paths.get(dir, "overflow.warc"),
+      bytes("WARC/1.0\r\nX-Big: " + "a" * ((1 << 20) + 64) + "\r\n") ++
+        wetRec)
+    val docs = WarcSource.documents(spark, dir).cache()
+    val latin = docs.filter(col("url") === "http://e.example/latin")
+      .select("text").collect()
+    assert(latin.length == 1, "the latin-1 record must survive as text")
+    assert(latin(0).getString(0).contains("�"),
+      "invalid bytes are replaced with U+FFFD, not raised on")
+    assert(latin(0).getString(0).contains("latin one page"))
+    assert(WarcSource.records(spark, dir)
+      .filter(col("file").endsWith("overflow.warc")).count() == 0,
+      "an over-cap header line must fence the whole walk")
+    docs.unpersist()
   }
 
   test("CorpusPrep runs end-to-end from a WARC directory") {
