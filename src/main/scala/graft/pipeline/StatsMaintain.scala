@@ -249,6 +249,63 @@ object StatsMaintain {
                     legacyBatchIds: Set[Long] = Set.empty): Option[Stats] =
     maintainImpl(spark, targetPath, batch, spec, Some(batchId), legacyBatchIds)
 
+  final case class RetractStats(victimRows: Long, groups: Long,
+                                groupsDropped: Long)
+
+  /** Right-to-be-forgotten for the AGGREGATE view — the retraction
+    * face that completes the RTBF story across the maintainer family
+    * (row-holding artifacts tombstone + compact; an additive view
+    * SUBTRACTS). `victimRows` must be exactly rows previously folded
+    * (CorpusPrep.forget callers have them by definition — the victim
+    * rows are read before deletion); their n/sum/histogram
+    * contributions are reversed EXACTLY (decimal sums, integer
+    * counts — the result is bit-identical to having never folded
+    * them, the same associative-fold invariant maintain() carries),
+    * and a group whose count reaches zero is DROPPED from the
+    * snapshot. A retraction that would drive any group's count
+    * negative refuses loudly (the victims were not all folded here —
+    * continuing would corrupt every later report).
+    *
+    * What CANNOT be retracted, stated plainly: min/max and the HLL
+    * register vectors are max-folds — irreversible by construction
+    * (the information to "un-max" is deliberately not stored; that
+    * is what makes them mergeable at 100 TB). A spec carrying those
+    * families refuses: rebuild the view over the surviving corpus
+    * instead (cheap relative to RTBF cadence), or maintain a
+    * retractable spec alongside. Note the sketches hold only hashes,
+    * never payloads — the refusal is about STALENESS of the stats,
+    * not about victim content surviving.
+    *
+    * Replay: retraction is additive-negative, so a replayed retract
+    * double-subtracts — use [[retractBatch]] (the ledger) under
+    * crash-replay delivery. Ledgered folds and retractions share ONE
+    * id space per snapshot.
+    */
+  def retract(spark: SparkSession, targetPath: String,
+              victimRows: DataFrame, spec: Spec): RetractStats =
+    retractImpl(spark, targetPath, victimRows, spec, batchId = None).get
+
+  /** [[retract]] with exactly-once replay semantics (the
+    * [[maintainBatch]] in-snapshot ledger).
+    */
+  def retractBatch(spark: SparkSession, targetPath: String,
+                   victimRows: DataFrame, spec: Spec,
+                   batchId: Long): Option[RetractStats] =
+    retractImpl(spark, targetPath, victimRows, spec, Some(batchId))
+
+  private def retractImpl(spark: SparkSession, targetPath: String,
+                          victimRows: DataFrame, spec: Spec,
+                          batchId: Option[Long]): Option[RetractStats] = {
+    require(spec.minMax.isEmpty && spec.distincts.isEmpty,
+      "stats retraction: min/max and HLL register vectors are " +
+        "max-folds — irreversible by construction; rebuild the view " +
+        "over the surviving corpus for those families")
+    maintainImpl(spark, targetPath, victimRows, spec, batchId,
+      sign = -1).map(s =>
+      RetractStats(victimRows = s.batchRows, groups = s.groups,
+        groupsDropped = -s.newGroups))
+  }
+
   private def appliedFile(dir: String) =
     new Path(dir, "_applied")
 
@@ -268,7 +325,8 @@ object StatsMaintain {
   private def maintainImpl(spark: SparkSession, targetPath: String,
                            batch: DataFrame, spec: Spec,
                            batchId: Option[Long],
-                           legacyBatchIds: Set[Long] = Set.empty)
+                           legacyBatchIds: Set[Long] = Set.empty,
+                           sign: Int = 1)
       : Option[Stats] = {
     val fs = new Path(targetPath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -290,13 +348,34 @@ object StatsMaintain {
         // delta is group-count-sized: cache it so the batch (the
         // corpus-sized side) is scanned exactly ONCE — batchRows reads
         // off the cached partials, never the batch again
-        val delta = partials(batch, spec).cache()
+        val deltaPos = partials(batch, spec).cache()
+        // retraction (sign < 0): the additive families negate — the
+        // merge then SUBTRACTS them (decimal/integer exact). minMax/
+        // distincts are require()d empty by the retract face.
+        val delta = if (sign >= 0) deltaPos
+        else deltaPos.select(
+          spec.keys.map(col) ++
+            Seq((-col("n")).as("n")) ++
+            spec.sums.map(c => (-col(s"sum_$c")).as(s"sum_$c")) ++
+            spec.hists.map(c =>
+              transform(col(histCol(c)), x => -x).as(histCol(c))): _*)
         val merged =
           if (exists) merge(spark.read.parquet(targetPath).unionByName(delta), spec)
           else merge(delta, spec)
-        val out = merged.cache()
+        val out = (if (sign >= 0) merged
+                   // fully-retracted groups VANISH; driving any group
+                   // negative means the victims were not all folded
+                   // here — refuse before publishing corrupt stats
+                   else merged.filter(col("n") > 0)).cache()
         try {
-          val batchRows = delta.agg(sum(col("n"))).head.get(0) match {
+          if (sign < 0) {
+            val under = merged.filter(col("n") < 0).limit(1).count()
+            require(under == 0L,
+              "stats retraction exceeds the folded contributions for " +
+                "at least one group — victimRows must be exactly rows " +
+                "previously folded into this snapshot")
+          }
+          val batchRows = deltaPos.agg(sum(col("n"))).head.get(0) match {
             case null => 0L
             case v: java.lang.Long => v.longValue
             case v: java.math.BigDecimal => v.longValueExact
@@ -316,7 +395,7 @@ object StatsMaintain {
             }
           })
           Some(Stats(batchRows = batchRows, groups = groups, newGroups = newGroups))
-        } finally { out.unpersist(); delta.unpersist(); () }
+        } finally { out.unpersist(); deltaPos.unpersist(); () }
       }
     }
   }

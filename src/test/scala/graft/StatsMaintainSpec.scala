@@ -177,6 +177,55 @@ class StatsMaintainSpec extends SparkSpec {
     assert(StatsMaintain.appliedBatches(spark, target).nonEmpty)
   }
 
+  test("retract: exactly reverses folded contributions; zeroed groups vanish; over-retraction and max-fold specs refuse; ledger replay no-ops") {
+    val rSpec = Spec(keys = Seq("grp"), sums = Seq("amount"),
+      hists = Seq("amount"))
+    val path = tmpDir()
+    StatsMaintain.maintain(spark, path, batch(b1: _*), rSpec)
+    StatsMaintain.maintain(spark, path, batch(b2: _*), rSpec)
+
+    // forget u1's rows (one in 'a', one in 'b') — the snapshot must be
+    // BIT-IDENTICAL to never having folded them
+    val victims = Seq(("a", 10L, "u1"), ("b", 5L, "u1"))
+    val s = StatsMaintain.retract(spark, path, batch(victims: _*), rSpec)
+    assert(s.victimRows == 2 && s.groupsDropped == 0, s"$s")
+    val expectPath = tmpDir()
+    StatsMaintain.maintain(spark, expectPath,
+      batch((b1 ++ b2).filterNot(victims.contains): _*), rSpec)
+    assert(snap(path).collect().map(_.toString).sorted.toSeq ==
+      snap(expectPath).collect().map(_.toString).sorted.toSeq,
+      "retraction must equal never-folded, bit for bit")
+
+    // retract ALL of c's rows: the group row must vanish
+    val s2 = StatsMaintain.retract(spark, path,
+      batch(("c", 7L, "u4")), rSpec)
+    assert(s2.groupsDropped == 1, s"$s2")
+    assert(snap(path).filter(col("grp") === "c").isEmpty)
+
+    // over-retraction (rows never folded) refuses loudly
+    val e = intercept[IllegalArgumentException] {
+      StatsMaintain.retract(spark, path, batch(("b", 999L, "zz"),
+        ("b", 999L, "zz")), rSpec)
+    }
+    assert(e.getMessage.contains("exceeds"), e.getMessage)
+
+    // a spec carrying max-folds refuses (irreversible by construction)
+    val e2 = intercept[IllegalArgumentException] {
+      StatsMaintain.retract(spark, path, batch(("a", 20L, "u2")), spec)
+    }
+    assert(e2.getMessage.contains("max-folds"), e2.getMessage)
+
+    // ledgered retraction: a replayed id is a no-op (shared id space)
+    val before = snap(path).collect().map(_.toString).sorted.toSeq
+    assert(StatsMaintain.retractBatch(spark, path,
+      batch(("a", 20L, "u2")), rSpec, batchId = 901L).isDefined)
+    assert(StatsMaintain.retractBatch(spark, path,
+      batch(("a", 20L, "u2")), rSpec, batchId = 901L).isEmpty,
+      "replayed retraction must not double-subtract")
+    val after = snap(path).collect().map(_.toString).sorted.toSeq
+    assert(before != after, "the first ledgered retraction must apply")
+  }
+
   test("crash between the publish renames is repaired on the next maintain") {
     val path = tmpDir()
     StatsMaintain.maintain(spark, path, batch(b1: _*), spec)
