@@ -253,28 +253,35 @@ object StatsMaintain {
                                 groupsDropped: Long)
 
   /** Right-to-be-forgotten for the AGGREGATE view — the retraction
-    * face that completes the RTBF story across the maintainer family
-    * (row-holding artifacts tombstone + compact; an additive view
-    * SUBTRACTS). `victimRows` must be exactly rows previously folded
-    * (CorpusPrep.forget callers have them by definition — the victim
-    * rows are read before deletion); their n/sum/histogram
+    * face of the additive families (row-holding artifacts tombstone +
+    * compact; an additive view SUBTRACTS). `victimRows` must be
+    * exactly rows previously folded — their n/sum/histogram
     * contributions are reversed EXACTLY (decimal sums, integer
     * counts — the result is bit-identical to having never folded
     * them, the same associative-fold invariant maintain() carries),
     * and a group whose count reaches zero is DROPPED from the
-    * snapshot. A retraction that would drive any group's count
-    * negative refuses loudly (the victims were not all folded here —
-    * continuing would corrupt every later report).
+    * snapshot. The previously-folded contract is GUARDED as far as
+    * the folded state can tell: a retraction that would drive any
+    * group's count or any histogram bin negative, or that zeroes a
+    * group's count while sums/bins remain nonzero, refuses loudly
+    * before publishing (a value-level mismatch that stays inside
+    * those invariants is indistinguishable from valid input by
+    * construction — only the caller knows which rows were folded).
+    * An empty victim set is a free no-op (no job, no publish, no
+    * fabricated snapshot).
     *
     * What CANNOT be retracted, stated plainly: min/max and the HLL
     * register vectors are max-folds — irreversible by construction
     * (the information to "un-max" is deliberately not stored; that
     * is what makes them mergeable at 100 TB). A spec carrying those
-    * families refuses: rebuild the view over the surviving corpus
-    * instead (cheap relative to RTBF cadence), or maintain a
-    * retractable spec alongside. Note the sketches hold only hashes,
-    * never payloads — the refusal is about STALENESS of the stats,
-    * not about victim content surviving.
+    * families refuses — rebuild the view over the surviving corpus
+    * instead, or maintain a retractable spec alongside. That is also
+    * the honest story for [[CorpusPrep]]'s own stats view: its spec
+    * carries min/max(n_tokens), so corpus RTBF refreshes that view by
+    * rebuild, not retraction — retract() serves views whose spec
+    * stays within the additive families. Note the sketches hold only
+    * hashes, never payloads — the refusal is about STALENESS of the
+    * stats, not about victim content surviving.
     *
     * Replay: retraction is additive-negative, so a replayed retract
     * double-subtracts — use [[retractBatch]] (the ledger) under
@@ -300,6 +307,10 @@ object StatsMaintain {
       "stats retraction: min/max and HLL register vectors are " +
         "max-folds — irreversible by construction; rebuild the view " +
         "over the surviving corpus for those families")
+    // a victim set that turns out empty must not pay a full
+    // read-merge-publish rewrite — or, against a path never
+    // maintained, FABRICATE an empty snapshot out of nothing
+    if (victimRows.isEmpty) return Some(RetractStats(0L, 0L, 0L))
     maintainImpl(spark, targetPath, victimRows, spec, batchId,
       sign = -1).map(s =>
       RetractStats(victimRows = s.batchRows, groups = s.groups,
@@ -359,21 +370,39 @@ object StatsMaintain {
             spec.sums.map(c => (-col(s"sum_$c")).as(s"sum_$c")) ++
             spec.hists.map(c =>
               transform(col(histCol(c)), x => -x).as(histCol(c))): _*)
+        // ONE merge computation: the retraction guard and the output
+        // both derive from this cached frame (group-count-sized)
         val merged =
-          if (exists) merge(spark.read.parquet(targetPath).unionByName(delta), spec)
-          else merge(delta, spec)
-        val out = (if (sign >= 0) merged
-                   // fully-retracted groups VANISH; driving any group
-                   // negative means the victims were not all folded
-                   // here — refuse before publishing corrupt stats
-                   else merged.filter(col("n") > 0)).cache()
+          (if (exists) merge(spark.read.parquet(targetPath).unionByName(delta), spec)
+           else merge(delta, spec)).cache()
+        val out = if (sign >= 0) merged
+                  // fully-retracted groups VANISH (guarded below)
+                  else merged.filter(col("n") > 0)
         try {
           if (sign < 0) {
-            val under = merged.filter(col("n") < 0).limit(1).count()
-            require(under == 0L,
-              "stats retraction exceeds the folded contributions for " +
-                "at least one group — victimRows must be exactly rows " +
-                "previously folded into this snapshot")
+            // every violation the folded state CAN detect, one pass:
+            // a negative count, a negative histogram bin (bin counts
+            // are never legitimately negative), or a zeroed group
+            // with nonzero residue (its row would silently vanish
+            // while logically still holding data) all mean the
+            // victims were not exactly previously-folded rows
+            val arrayHas = org.apache.spark.sql.functions.exists _
+            val histBad = spec.hists.map(c =>
+              arrayHas(col(histCol(c)), x => x < 0L))
+              .foldLeft(lit(false))(_ || _)
+            val sumBad = spec.sums.map(c => col(s"sum_$c") =!= 0)
+              .foldLeft(lit(false))(_ || _)
+            val histNonzero = spec.hists.map(c =>
+              arrayHas(col(histCol(c)), x => x =!= 0L))
+              .foldLeft(lit(false))(_ || _)
+            val bad = col("n") < 0 || histBad ||
+              (col("n") === 0 && (sumBad || histNonzero))
+            require(merged.filter(bad).limit(1).count() == 0L,
+              "stats retraction does not match the folded " +
+                "contributions for at least one group (negative count " +
+                "or histogram bin, or a zeroed group with nonzero " +
+                "residue) — victimRows must be exactly rows previously " +
+                "folded into this snapshot")
           }
           val batchRows = deltaPos.agg(sum(col("n"))).head.get(0) match {
             case null => 0L
@@ -395,7 +424,7 @@ object StatsMaintain {
             }
           })
           Some(Stats(batchRows = batchRows, groups = groups, newGroups = newGroups))
-        } finally { out.unpersist(); deltaPos.unpersist(); () }
+        } finally { merged.unpersist(); deltaPos.unpersist(); () }
       }
     }
   }

@@ -202,12 +202,32 @@ class StatsMaintainSpec extends SparkSpec {
     assert(s2.groupsDropped == 1, s"$s2")
     assert(snap(path).filter(col("grp") === "c").isEmpty)
 
-    // over-retraction (rows never folded) refuses loudly
+    // over-retraction and value-mismatch refuse loudly, each through
+    // the invariant the folded state CAN check: count below zero;
+    // a zeroed group left with nonzero residue (one bogus row
+    // retracted against group b's single real row); a histogram bin
+    // driven negative (999 lands in a bin group a never populated)
     val e = intercept[IllegalArgumentException] {
       StatsMaintain.retract(spark, path, batch(("b", 999L, "zz"),
         ("b", 999L, "zz")), rSpec)
     }
-    assert(e.getMessage.contains("exceeds"), e.getMessage)
+    assert(e.getMessage.contains("does not match"), e.getMessage)
+    val eResidue = intercept[IllegalArgumentException] {
+      StatsMaintain.retract(spark, path, batch(("b", 999L, "zz")), rSpec)
+    }
+    assert(eResidue.getMessage.contains("does not match"), eResidue.getMessage)
+    val eBin = intercept[IllegalArgumentException] {
+      StatsMaintain.retract(spark, path, batch(("a", 999L, "zz")), rSpec)
+    }
+    assert(eBin.getMessage.contains("does not match"), eBin.getMessage)
+
+    // an empty victim set is a FREE no-op — and against a path never
+    // maintained it must not fabricate a snapshot
+    val ghost = tmpDir()
+    val s0 = StatsMaintain.retract(spark, ghost, batch(b1: _*).limit(0), rSpec)
+    assert(s0 == StatsMaintain.RetractStats(0L, 0L, 0L))
+    assert(!new java.io.File(ghost).exists(),
+      "empty retraction must not fabricate a snapshot")
 
     // a spec carrying max-folds refuses (irreversible by construction)
     val e2 = intercept[IllegalArgumentException] {
