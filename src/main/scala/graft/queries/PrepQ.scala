@@ -500,6 +500,82 @@ object PrepQ {
       .orderBy(col("doc_id"))
   }
 
+  /** Victim predicate for the q122 RTBF face, single-sourced into
+    * both engines: every 37th doc_id — hits labeled docs, singletons,
+    * AND component minima (the anchor-resurrection trap's exact
+    * shape), across both the built and the maintained half.
+    */
+  private val ForgetMod = 37
+
+  /** q122: the RTBF delete face under the DuckDB oracle — q113's
+    * index lifecycle (build evens → maintain odds) followed by a
+    * deterministic [[graft.operators.NearDupIndex.forget]] of every
+    * doc_id ≡ 0 mod [[ForgetMod]], then the labels read back. The
+    * oracle is q53's full-corpus recursive-CTE components with the
+    * victims' ROWS excluded from the final select: forget removes the
+    * victims' label rows (shard-pruned tombstones) while survivors
+    * keep their component id — which IS the full-corpus min member,
+    * forgotten or not (the opaque-id contract) — so min-reachable
+    * components restricted to survivors are EXACTLY the engine's
+    * post-forget labels. Under-deletion (a victim row surviving),
+    * over-deletion (a survivor dropped), or resurrection through the
+    * anchor-relabel path all diverge the hash. A distinct scratch
+    * index from q113's: forgetting on a shared artifact would corrupt
+    * the sibling face.
+    */
+  def q122(s: SparkSession, dir: String): DataFrame = {
+    val path = "target/graft_q122_index"
+    val vFile = java.nio.file.Paths.get(path + "._version")
+    val v = graft.util.ContentVersion.of(s, dir)
+    val fresh = java.nio.file.Files.exists(vFile) &&
+      new String(java.nio.file.Files.readAllBytes(vFile), "UTF-8") == v
+    if (!fresh) {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(p, true)
+      fs.delete(new org.apache.hadoop.fs.Path(path + "._graft_lock"), false)
+      java.nio.file.Files.deleteIfExists(vFile)
+      val docs = Tables(s, dir).documents
+      graft.operators.NearDupIndex.build(s, path,
+        docs.filter(pmod(col("doc_id"), lit(2)) === 0), minEst = 0.5,
+        nShards = 4)
+      graft.operators.NearDupIndex.maintain(s, path,
+        docs.filter(pmod(col("doc_id"), lit(2)) === 1))
+      // the victim list is RTBF-request-sized by construction (ids,
+      // not rows) — the one collect a forget face legitimately pays
+      val victims = docs
+        .filter(pmod(col("doc_id"), lit(ForgetMod)) === 0)
+        .select(col("doc_id")).collect().map(_.getLong(0)).toSeq
+      graft.operators.NearDupIndex.forget(s, path, victims)
+      java.nio.file.Files.write(vFile, v.getBytes("UTF-8"))
+    }
+    graft.operators.NearDupIndex.labels(s, path)
+      .select(col("doc_id"), col("component"),
+        (col("doc_id") === col("component")).cast("bigint")
+          .as("is_canonical"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB mirror of q122: [[q53Sql]]'s full-corpus components (the
+    * victims still participate as GRAPH NODES — that is what keeps
+    * survivor component ids stable) with the victims' rows excluded
+    * from the output.
+    */
+  val q122Sql: String =
+    s"""WITH RECURSIVE ${TextQ.candidateCte},
+       |p AS (SELECT doc_a, doc_b FROM scored WHERE est_jaccard >= 0.5),
+       |e AS (SELECT doc_a AS src, doc_b AS dst FROM p
+       |      UNION SELECT doc_b, doc_a FROM p),
+       |n AS (SELECT DISTINCT src AS node FROM e),
+       |r(node, m) AS (
+       |  SELECT node, node FROM n
+       |  UNION
+       |  SELECT e.dst, r.m FROM r JOIN e ON e.src = r.node)
+       |SELECT node AS doc_id, min(m) AS component,
+       |  CAST(node = min(m) AS BIGINT) AS is_canonical
+       |FROM r WHERE node % $ForgetMod <> 0
+       |GROUP BY node ORDER BY doc_id""".stripMargin
+
   val entries: Seq[Entry] = Seq(
     Entry("q52_pii_scrub", q52, Some(q52Sql)),
     Entry("q53_neardup_components", (s, d) => q53(s, d), Some(q53Sql)),
@@ -508,5 +584,6 @@ object PrepQ {
     Entry("q77_cluster_pick",
       (s, d) => q77(s, d, componentsArtifact(s, d)), Some(q77Sql)),
     Entry("q113_components_index", q113, Some(q53Sql)),
+    Entry("q122_forget_face", q122, Some(q122Sql)),
   )
 }
