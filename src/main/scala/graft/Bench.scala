@@ -161,7 +161,8 @@ object Bench {
     val amortized = Seq("q77_cluster_pick", "q104_phrase_indexed",
       "q105_ranked_indexed", "q109_upsert_face", "q110_scd2_face",
       "q112_temporal_face", "q113_components_index",
-      "q114_phrase_maintained", "q121_view_face", "q122_forget_face")
+      "q114_phrase_maintained", "q121_view_face", "q122_forget_face",
+      "q123_search_forget")
     println(amortized.filter(samples.contains)
       .map { n =>
         val r1 = samples(n).headOption.getOrElse(-1.0)

@@ -25,14 +25,18 @@ object SearchQ {
     try sc.df.localCheckpoint() finally sc.release()
   }
 
-  val q99Sql: String = {
+  /** The q99 postings-chain oracle, parameterized by an optional
+    * document predicate (ONE definition serves q99/q104/q114 — empty
+    * predicate — and q123's survivors-only variant).
+    */
+  private def phraseSql(docsWhere: String): String = {
     val joins = Phrase.zipWithIndex.drop(1).map { case (t, k) =>
       s"JOIN p p$k ON p$k.doc_id = p0.doc_id AND p$k.pos = p0.pos + $k AND p$k.t = '$t'"
     }.mkString("\n       |  ")
     s"""WITH toks AS (
        |  SELECT doc_id, regexp_split_to_array(
        |    trim(lower(trim(regexp_replace(coalesce(text, ''), '\\s+', ' ', 'g')))), '\\s+') AS a
-       |  FROM documents),
+       |  FROM documents$docsWhere),
        |p AS (
        |  SELECT doc_id, unnest(a) AS t,
        |    unnest(generate_series(1, len(a))) AS pos
@@ -46,6 +50,8 @@ object SearchQ {
        |  CAST(min(pos) AS BIGINT) AS first_pos
        |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
+
+  val q99Sql: String = phraseSql("")
 
   /** q100's conjunctive query terms + the integer idf scale, single-
     * sourced into both engines.
@@ -207,10 +213,52 @@ object SearchQ {
     (table, v)
   }
 
+  /** Victim predicate for the q123 RTBF face, single-sourced into
+    * both engines (every 37th doc — the q122 convention).
+    */
+  private val ForgetMod = 37
+
+  /** q123: the search index's RTBF path — tombstone THEN physical
+    * reclaim — under q99's oracle: build the full-corpus index,
+    * [[graft.operators.Search.deleteDocs]] every doc_id ≡ 0 mod
+    * [[ForgetMod]], [[graft.operators.Search.compactIndex]] (the
+    * rewrite bakes the deletes in and clears the log), then the
+    * phrase query against the compacted table. Oracle = the q99
+    * postings chain over the SURVIVING docs only — a victim hit
+    * escaping the tombstone filter, a survivor's postings lost by
+    * compaction, or a compaction baking partial state all diverge
+    * the hash. Own scratch table (deleting on q104's/q114's shared
+    * artifacts would corrupt those faces); delete+compact amortize
+    * per corpus content (the q104 device).
+    */
+  def q123(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, pmod, lit}
+    val table = "graft_q123_postings"
+    val v = corpusVersion(s, dir)
+    val fresh = s.catalog.tableExists(table) &&
+      graft.operators.Search.indexVersion(s, table).contains(v)
+    if (!fresh) {
+      val docs = Tables(s, dir).documents
+      graft.operators.Search.buildIndex(docs, table, 8,
+        corpusVersion = Some(s"$v:pre-delete"))
+      // RTBF-request-sized by construction (ids, not rows)
+      val victims = docs
+        .filter(pmod(col("doc_id"), lit(ForgetMod)) === 0)
+        .select(col("doc_id")).collect().map(_.getLong(0)).toSeq
+      graft.operators.Search.deleteDocs(s, table, victims)
+      graft.operators.Search.compactIndex(s, table, newVersion = Some(v))
+    }
+    graft.operators.Search.phraseIndexed(s, table, Phrase,
+      expectCorpusVersion = Some(v))
+  }
+
+  val q123Sql: String = phraseSql(s" WHERE doc_id % $ForgetMod <> 0")
+
   val entries: Seq[Entry] = Seq(
     Entry("q99_phrase_search", q99, Some(q99Sql)),
     Entry("q100_ranked_search", q100, Some(q100Sql)),
     Entry("q104_phrase_indexed", q104, Some(q99Sql)),
     Entry("q105_ranked_indexed", q105, Some(q100Sql)),
-    Entry("q114_phrase_maintained", q114, Some(q99Sql)))
+    Entry("q114_phrase_maintained", q114, Some(q99Sql)),
+    Entry("q123_search_forget", q123, Some(q123Sql)))
 }
