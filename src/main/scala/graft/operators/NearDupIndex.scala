@@ -248,10 +248,18 @@ object NearDupIndex {
             .mode(SaveMode.Overwrite).parquet(labelsPath(path))
           (pairs.count(), lbl.count())
         } finally { pairs.unpersist(); () }
+        // repartition BY THE PARTITION KEY before the partitioned
+        // write: without it every task writes a file into every
+        // pb= dir (tasks x storeParts small files PER WRITE — measured
+        // 1000+ store files after one build+maintain at sf0.1, and at
+        // 100 TB the probe's listing cost grows per maintain); with it
+        // each dir takes one file per write
         bandRows(sigs).drop("sig").withColumn("pb", pbCol(storeParts))
+          .repartition(col("pb"))
           .write.partitionBy("pb")
           .mode(SaveMode.Overwrite).parquet(bandsPath(path))
         sigs.withColumn("ps", psCol(storeParts))
+          .repartition(col("ps"))
           .write.partitionBy("ps")
           .mode(SaveMode.Overwrite).parquet(sigsPath(path))
         // a rebuild starts tombstone-free (the buildIndex convention)
@@ -387,11 +395,16 @@ object NearDupIndex {
           // them leaves labeled-but-not-yet-probe-visible docs, which
           // the mandatory same-batch re-run repairs (see the crash
           // contract above)
+          // one file per touched partition per maintain (see build's
+          // repartition note) — the store file count grows with
+          // MAINTAINS, not tasks x maintains
           bandRows(sigsNew).drop("sig")
             .withColumn("pb", pbCol(meta.storeParts))
+            .repartition(col("pb"))
             .write.partitionBy("pb")
             .mode(SaveMode.Append).parquet(bandsPath(path))
           sigsNew.withColumn("ps", psCol(meta.storeParts))
+            .repartition(col("ps"))
             .write.partitionBy("ps")
             .mode(SaveMode.Append).parquet(sigsPath(path))
           writeMeta(spark, path, meta.copy(ver = meta.ver + 1))
@@ -483,7 +496,8 @@ object NearDupIndex {
         val dst = new org.apache.hadoop.fs.Path(p)
         val old = new org.apache.hadoop.fs.Path(p + "._graft_old")
         val tmp = new org.apache.hadoop.fs.Path(p + "._graft_tmp")
-        live.write.partitionBy(partColName)
+        live.repartition(col(partColName))
+          .write.partitionBy(partColName)
           .mode(SaveMode.Overwrite).parquet(tmp.toString)
         if (!fs.rename(dst, old)) throw new java.io.IOException(
           s"store compaction: cannot retire $dst")
