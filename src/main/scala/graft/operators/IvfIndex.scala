@@ -197,8 +197,14 @@ object IvfIndex {
     spark.createDataFrame(centroids).toDF("cluster_id", "cv", "cnrm")
       .coalesce(1).write.mode(SaveMode.Overwrite)
       .parquet(s"$path/centroids")
+    // repartition BY THE PARTITION KEY before every cluster-
+    // partitioned write (here and in append/dedupe/PQ below): without
+    // it each task writes one file into every cluster dir it holds —
+    // tasks x k files per write, and the APPEND path accumulates that
+    // per micro-batch — with it, one file per touched cluster per write
     VecKmeans.assign(e, centroids, keep = 1)
       .select(col("cluster_id"), col("vec_id"), col("v").as("embedding"))
+      .repartition(col("cluster_id"))
       .write.mode(SaveMode.Overwrite)
       .partitionBy("cluster_id")
       .parquet(s"$path/index")
@@ -483,7 +489,8 @@ object IvfIndex {
       .cache()
     try {
       val n = assigned.count()
-      assigned.write.mode(SaveMode.Append)
+      assigned.repartition(col("cluster_id"))
+        .write.mode(SaveMode.Append)
         .partitionBy("cluster_id")
         .parquet(s"$path/index")
       // keep the PQ sidecar in lockstep: encode the appended vectors
@@ -494,6 +501,7 @@ object IvfIndex {
         val cb = PqCodec.load(spark, s"$path/pq/codebook")
         PqCodec.encode(assigned.select(col("vec_id"), col("embedding")), cb)
           .join(assigned.select(col("cluster_id"), col("vec_id")), "vec_id")
+          .repartition(col("cluster_id"))
           .write.mode(SaveMode.Append)
           .partitionBy("cluster_id")
           .parquet(s"$path/pq/codes")
@@ -540,7 +548,8 @@ object IvfIndex {
     try {
       val before = idx.count()
       val after = deduped.count()
-      deduped.write.mode(SaveMode.Overwrite)
+      deduped.repartition(col("cluster_id"))
+        .write.mode(SaveMode.Overwrite)
         .partitionBy("cluster_id").parquet(s"$tmp/index")
       // everything that is NOT per-vector data copies byte-identical
       org.apache.hadoop.fs.FileUtil.copy(fs, new Path(s"$path/centroids"),
@@ -555,6 +564,7 @@ object IvfIndex {
         fs.delete(new Path(s"$tmp/pq/codes"), true)
         antiDeleted(spark, path, spark.read.parquet(s"$path/pq/codes"))
           .dropDuplicates("vec_id")
+          .repartition(col("cluster_id"))
           .write.mode(SaveMode.Overwrite)
           .partitionBy("cluster_id").parquet(s"$tmp/pq/codes")
       }
@@ -601,6 +611,7 @@ object IvfIndex {
     PqCodec.save(spark, cb, s"$path/pq/codebook")
     PqCodec.encode(index.select(col("vec_id"), col("embedding")), cb)
       .join(index.select(col("cluster_id"), col("vec_id")), "vec_id")
+      .repartition(col("cluster_id"))
       .write.mode(SaveMode.Overwrite)
       .partitionBy("cluster_id")
       .parquet(s"$path/pq/codes")
