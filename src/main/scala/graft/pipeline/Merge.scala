@@ -327,7 +327,11 @@ object Merge {
       val result = merged.filter(!col(del))
         .drop(del, "_graft_src", "_graft_rn", "_graft_had_tgt")
       // ONE write job produces every partition's new contents under a
-      // sibling tmp tree (a stray one is crash garbage — clear it)
+      // sibling tmp tree (a stray one is crash garbage — clear it).
+      // No repartition-by-partCol here (contrast the append-mode index
+      // stores): every dir is swap-REPLACED so files never accumulate
+      // across cycles, and one-task-per-partition would serialize a
+      // large partition's merge output through a single task
       val tmpRoot = new Path(targetPath + "._graft_ptmp")
       if (fs.exists(tmpRoot)) fs.delete(tmpRoot, true)
       result.write.partitionBy(partCol)

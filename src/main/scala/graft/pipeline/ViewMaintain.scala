@@ -191,6 +191,13 @@ object ViewMaintain {
     * FS-copied, never one write job per empty partition); then each
     * partition swaps in with pure METADATA renames under its own
     * lease. Job count is O(1) in touched partitions.
+    *
+    * Deliberately NO repartition-by-partCol before the write (unlike
+    * the append-mode index stores, which would otherwise accumulate
+    * tasks×partitions files per maintain): each swap REPLACES its
+    * directory wholesale, so file counts never accumulate across
+    * cycles, and forcing one task per partition value would serialize
+    * a large partition's rewrite through a single task.
     */
   private def writeAndSwap(spark: SparkSession,
                            fs: org.apache.hadoop.fs.FileSystem,

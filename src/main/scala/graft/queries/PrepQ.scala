@@ -464,13 +464,18 @@ object PrepQ {
     * corpus has such a bucket, and on real degenerate buckets both
     * paths agree — see the operator scaladoc.)
     */
-  def q113(s: SparkSession, dir: String): DataFrame = {
-    val path = "target/graft_q113_index"
-    // built ONCE per corpus CONTENT (the q104/q105 device — a
-    // persisted index's point is amortization; rebuilding per
-    // invocation would misstate its cost): the version file is
-    // written only after the build+maintain sequence completes, so a
-    // crashed sequence reads as stale and rebuilds
+  /** The build-once index-artifact scaffold q113 and q122 share (the
+    * q104 amortization device applied to a PATH artifact): rebuild
+    * when the version file is absent or stamped for another corpus
+    * CONTENT — wiping the previous tree, any stale maintainer lock a
+    * hard-killed earlier lifecycle left (these scratch artifacts are
+    * single-process face property; without the wipe every later
+    * mutator would refuse forever), and the version file FIRST, so a
+    * crashed rebuild reads as stale and restarts. The version file is
+    * written only after `build` completes in full.
+    */
+  private def ensureIndexArtifact(s: SparkSession, path: String,
+                                  dir: String)(build: String => Unit): Unit = {
     val vFile = java.nio.file.Paths.get(path + "._version")
     val v = graft.util.ContentVersion.of(s, dir)
     val fresh = java.nio.file.Files.exists(vFile) &&
@@ -481,6 +486,14 @@ object PrepQ {
       fs.delete(p, true)
       fs.delete(new org.apache.hadoop.fs.Path(path + "._graft_lock"), false)
       java.nio.file.Files.deleteIfExists(vFile)
+      build(path)
+      java.nio.file.Files.write(vFile, v.getBytes("UTF-8"))
+    }
+  }
+
+  def q113(s: SparkSession, dir: String): DataFrame = {
+    val path = "target/graft_q113_index"
+    ensureIndexArtifact(s, path, dir) { _ =>
       val docs = Tables(s, dir).documents
       // nShards = 4 for the face: each maintained shard is one
       // read-merge-publish cycle, and this corpus relabels across
@@ -491,7 +504,7 @@ object PrepQ {
         nShards = 4)
       graft.operators.NearDupIndex.maintain(s, path,
         docs.filter(pmod(col("doc_id"), lit(2)) === 1))
-      java.nio.file.Files.write(vFile, v.getBytes("UTF-8"))
+      ()
     }
     graft.operators.NearDupIndex.labels(s, path)
       .select(col("doc_id"), col("component"),
@@ -500,12 +513,12 @@ object PrepQ {
       .orderBy(col("doc_id"))
   }
 
-  /** Victim predicate for the q122 RTBF face, single-sourced into
-    * both engines: every 37th doc_id — hits labeled docs, singletons,
-    * AND component minima (the anchor-resurrection trap's exact
-    * shape), across both the built and the maintained half.
+  /** Victim predicate for the q122 RTBF face ([[Q.ForgetMod]], the
+    * one definition q123 shares): every 37th doc_id — hits labeled
+    * docs, singletons and component minima, across both the built and
+    * the maintained half.
     */
-  private val ForgetMod = 37
+  private def ForgetMod = Q.ForgetMod
 
   /** q122: the RTBF delete face under the DuckDB oracle — q113's
     * index lifecycle (build evens → maintain odds) followed by a
@@ -517,24 +530,19 @@ object PrepQ {
     * keep their component id — which IS the full-corpus min member,
     * forgotten or not (the opaque-id contract) — so min-reachable
     * components restricted to survivors are EXACTLY the engine's
-    * post-forget labels. Under-deletion (a victim row surviving),
-    * over-deletion (a survivor dropped), or resurrection through the
-    * anchor-relabel path all diverge the hash. A distinct scratch
-    * index from q113's: forgetting on a shared artifact would corrupt
-    * the sibling face.
+    * post-forget labels. Under-deletion (a victim row surviving) and
+    * over-deletion (a survivor dropped) diverge the hash. Forget is
+    * deliberately the LAST mutation: a post-forget maintain
+    * legitimately CHANGES semantics versus the full-graph oracle
+    * (a forgotten doc is probe-invisible, so pairs through it never
+    * form) — the anchor-resurrection guard that protects that path is
+    * therefore spec territory (NearDupIndexSpec's forget matrix), not
+    * this oracle's. A distinct scratch index from q113's: forgetting
+    * on a shared artifact would corrupt the sibling face.
     */
   def q122(s: SparkSession, dir: String): DataFrame = {
     val path = "target/graft_q122_index"
-    val vFile = java.nio.file.Paths.get(path + "._version")
-    val v = graft.util.ContentVersion.of(s, dir)
-    val fresh = java.nio.file.Files.exists(vFile) &&
-      new String(java.nio.file.Files.readAllBytes(vFile), "UTF-8") == v
-    if (!fresh) {
-      val p = new org.apache.hadoop.fs.Path(path)
-      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-      fs.delete(p, true)
-      fs.delete(new org.apache.hadoop.fs.Path(path + "._graft_lock"), false)
-      java.nio.file.Files.deleteIfExists(vFile)
+    ensureIndexArtifact(s, path, dir) { _ =>
       val docs = Tables(s, dir).documents
       graft.operators.NearDupIndex.build(s, path,
         docs.filter(pmod(col("doc_id"), lit(2)) === 0), minEst = 0.5,
@@ -547,7 +555,7 @@ object PrepQ {
         .filter(pmod(col("doc_id"), lit(ForgetMod)) === 0)
         .select(col("doc_id")).collect().map(_.getLong(0)).toSeq
       graft.operators.NearDupIndex.forget(s, path, victims)
-      java.nio.file.Files.write(vFile, v.getBytes("UTF-8"))
+      ()
     }
     graft.operators.NearDupIndex.labels(s, path)
       .select(col("doc_id"), col("component"),

@@ -54,4 +54,11 @@ object Q {
   def discPrice(price: Column, discount: Column): Column =
     dec(price) * (lit(1).cast("decimal(18,2)") - dec(discount))
 
+  /** The RTBF faces' shared victim predicate (doc_id ≡ 0 mod this —
+    * hits labeled docs, singletons and component minima): ONE
+    * definition so q122 (near-dup index forget) and q123 (search
+    * index delete+compact) provably exercise the same victim set.
+    */
+  val ForgetMod = 37
+
 }

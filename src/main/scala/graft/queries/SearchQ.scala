@@ -163,14 +163,38 @@ object SearchQ {
     * reuse; a stale cached table triggers a rebuild, never wrong
     * hits). Returns (table, version).
     */
+  /** The build-once freshness scaffold every SearchQ index face
+    * shares: rebuild when the table is absent or stamped for another
+    * corpus CONTENT. A stale sibling maintainer LOCK from a
+    * hard-killed earlier lifecycle is cleared first (these scratch
+    * tables are single-process face property; buildIndex recreates
+    * the table but deliberately never clears the sibling lock, so a
+    * q123-style delete+compact lifecycle killed mid-mutation would
+    * otherwise refuse forever).
+    */
+  private def ensureTable(s: SparkSession, table: String, v: String)
+                         (build: => Unit): Unit = {
+    val fresh = s.catalog.tableExists(table) &&
+      graft.operators.Search.indexVersion(s, table).contains(v)
+    if (!fresh) {
+      if (s.catalog.tableExists(table)) {
+        val lf = graft.util.PathLock.lockFile(
+          graft.operators.Search.indexLocationOf(s, table))
+        lf.getFileSystem(s.sparkContext.hadoopConfiguration)
+          .delete(lf, false)
+        ()
+      }
+      build
+    }
+  }
+
   private def ensureIndex(s: SparkSession, dir: String): (String, String) = {
     val table = "graft_q104_postings"
     val v = corpusVersion(s, dir)
-    val fresh = s.catalog.tableExists(table) &&
-      graft.operators.Search.indexVersion(s, table).contains(v)
-    if (!fresh)
+    ensureTable(s, table, v) {
       graft.operators.Search.buildIndex(Tables(s, dir).documents, table, 8,
         corpusVersion = Some(v))
+    }
     (table, v)
   }
 
@@ -199,9 +223,7 @@ object SearchQ {
     import org.apache.spark.sql.functions.col
     val table = "graft_q114_postings"
     val v = corpusVersion(s, dir)
-    val fresh = s.catalog.tableExists(table) &&
-      graft.operators.Search.indexVersion(s, table).contains(v)
-    if (!fresh) {
+    ensureTable(s, table, v) {
       val docs = Tables(s, dir).documents
       graft.operators.Search.buildIndex(
         docs.filter(col("doc_id") % 2 === 0), table, 8,
@@ -213,10 +235,10 @@ object SearchQ {
     (table, v)
   }
 
-  /** Victim predicate for the q123 RTBF face, single-sourced into
-    * both engines (every 37th doc — the q122 convention).
+  /** Victim predicate for the q123 RTBF face — [[Q.ForgetMod]], the
+    * ONE definition q122 shares.
     */
-  private val ForgetMod = 37
+  private def ForgetMod = Q.ForgetMod
 
   /** q123: the search index's RTBF path — tombstone THEN physical
     * reclaim — under q99's oracle: build the full-corpus index,
@@ -235,9 +257,7 @@ object SearchQ {
     import org.apache.spark.sql.functions.{col, pmod, lit}
     val table = "graft_q123_postings"
     val v = corpusVersion(s, dir)
-    val fresh = s.catalog.tableExists(table) &&
-      graft.operators.Search.indexVersion(s, table).contains(v)
-    if (!fresh) {
+    ensureTable(s, table, v) {
       val docs = Tables(s, dir).documents
       graft.operators.Search.buildIndex(docs, table, 8,
         corpusVersion = Some(s"$v:pre-delete"))
