@@ -53,6 +53,14 @@ object WarcSource {
   private def isGzip(b: Array[Byte]): Boolean =
     b.length >= 2 && b(0) == 0x1f.toByte && b(1) == 0x8b.toByte
 
+  /** An archive's byte stream, gzip-detected by magic (not extension)
+    * — the ONE opener the batch reader and the streaming ingest
+    * ([[graft.streaming.Streams.warcDocuments]]) share.
+    */
+  private[graft] def openArchive(bytes: Array[Byte]): InputStream =
+    if (isGzip(bytes)) new GZIPInputStream(new ByteArrayInputStream(bytes))
+    else new ByteArrayInputStream(bytes)
+
   /** Buffered byte-stream reader: CRLF header lines + exact-count
     * content reads, both EOF-tolerant (the caller fences).
     */
@@ -215,13 +223,8 @@ object WarcSource {
       .select(col("path"), col("content"))
     import spark.implicits._
     bin.as[(String, Array[Byte])].flatMap { case (path, bytes) =>
-      scala.util.Try {
-        val in: InputStream =
-          if (isGzip(bytes))
-            new GZIPInputStream(new ByteArrayInputStream(bytes))
-          else new ByteArrayInputStream(bytes)
-        parseStream(path, in)
-      }.getOrElse(Iterator.empty) // unreadable archive: fence whole file
+      scala.util.Try(parseStream(path, openArchive(bytes)))
+        .getOrElse(Iterator.empty) // unreadable archive: fence whole file
     }.toDF()
   }
 
@@ -252,20 +255,28 @@ object WarcSource {
   def documents(spark: SparkSession, dir: String): DataFrame =
     documents(spark, dir, None)
 
-  def documents(records: DataFrame): DataFrame =
+  def documents(records: DataFrame): DataFrame = {
+    // a `ts` column on the records frame passes through 1:1 — the
+    // streaming ingest ([[graft.streaming.Streams.warcDocuments]])
+    // carries each archive's file mtime as the docs' event time
+    val extra = if (records.columns.contains("ts")) Seq(col("ts")) else Nil
     records
       .filter(col("warc_type") === "conversion" ||
         (col("warc_type") === "response" &&
           BinarySource.sniffMime(col("body")) === "application/octet-stream"))
-      .select(
+      .select(Seq(
         md5Lower64(concat_ws("#", col("file"), col("record_ix")))
           .as("doc_id"),
         col("target_uri").as("url"),
         expr("make_valid_utf8(cast(body as string))").as("text"),
-        regexp_extract(col("file"), "([^/]+)$", 1).as("source"))
-      .withColumn("lang", TextOps.langId(col("text")))
+        regexp_extract(col("file"), "([^/]+)$", 1).as("source")) ++ extra: _*)
+      // langId returns struct<lang, confidence>; the corpus table's
+      // lang is the plain code string
+      .withColumn("lang", TextOps.langId(col("text")).getField("lang"))
       .withColumn("n_chars", length(col("text")).cast("long"))
-      .select("doc_id", "url", "text", "lang", "source", "n_chars")
+      .select((Seq("doc_id", "url", "text", "lang", "source", "n_chars") ++
+        (if (extra.nonEmpty) Seq("ts") else Nil)).map(col): _*)
+  }
 
   /** The MediaRow face: `response` payloads whose magic bytes are a
     * known media type (regardless of the declared Content-Type — the

@@ -37,6 +37,45 @@ object Streams {
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(path)
 
+  /** CONTINUOUS crawl intake: a watched directory of WARC/WET archives
+    * becomes a documents-shaped stream — the streaming front door to
+    * [[corpusPrep]], completing the crawl-native story end to end
+    * (batch: [[graft.sources.WarcSource.documents]]; here each landed
+    * archive is discovered exactly once by the binaryFile file stream
+    * and parsed by the SAME lazy fenced walker, one archive per task —
+    * the batch parallelism mirrored, truncation/garbage fencing
+    * included). Every doc carries `ts` = its archive's file
+    * modification time (the crawl-landing event time), which is what
+    * downstream [[corpusPrep]]/[[dedupExact]] watermark on.
+    * `maxFilesPerTrigger` bounds micro-batch size so an archive
+    * backlog replays at a controlled rate.
+    */
+  def warcDocuments(spark: SparkSession, dir: String,
+                    glob: Option[String] = None,
+                    maxFilesPerTrigger: Int = 4): DataFrame = {
+    // the binaryFile source's FIXED schema (a streaming source cannot
+    // infer one)
+    val r0 = spark.readStream.format("binaryFile").schema(
+      "path STRING, modificationTime TIMESTAMP, length LONG, content BINARY")
+    val r1 = glob.fold(r0)(g => r0.option("pathGlobFilter", g))
+    val bin = r1.option("recursiveFileLookup", "true")
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .load(dir)
+      .select(col("path"), col("modificationTime").as("ts"), col("content"))
+    import spark.implicits._
+    val recs = bin
+      .as[(String, java.sql.Timestamp, Array[Byte])]
+      .flatMap { case (path, ts, bytes) =>
+        scala.util.Try(
+          graft.sources.WarcSource.parseStream(path,
+            graft.sources.WarcSource.openArchive(bytes)).map(r => (r, ts)))
+          .getOrElse(Iterator.empty) // unreadable archive: fenced whole
+      }
+      .toDF("rec", "ts")
+      .select(col("rec.*"), col("ts"))
+    graft.sources.WarcSource.documents(recs)
+  }
+
   /** Watermarked tumbling-window aggregation — the streaming mirror of
     * batch q23 (count/sum per event_type per window). The watermark
     * bounds state: windows older than `watermark` behind the max seen

@@ -181,6 +181,41 @@ class WarcSourceSpec extends SparkSpec {
     docs.unpersist()
   }
 
+  test("streaming ingest: landed archives become a documents stream, composing with corpusPrep") {
+    val dir = writeDir()
+    val stream = graft.streaming.Streams.warcDocuments(spark, dir)
+    assert(stream.isStreaming)
+    // docs carry the archive mtime as event time (what downstream
+    // watermarks declare on), and the SAME routing/fencing as batch
+    val q = stream.writeStream.format("memory")
+      .queryName("warc_docs_stream").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("warc_docs_stream")
+      val batch = WarcSource.documents(spark, dir)
+      assert(got.count() == batch.count(),
+        "streaming ingest must yield exactly the batch face's docs")
+      assert(got.filter(col("ts").isNull).count() == 0)
+      assert(got.filter(col("url") === "http://a.example/lying").count() == 0,
+        "lying-Content-Type routing must hold in the stream too")
+    } finally q.stop()
+
+    // composed: crawl stream -> the corpusPrep stage chain (exact
+    // dedup watermarking on the carried ts) -> sharded rows
+    val cfg = graft.pipeline.CorpusPrep.Config(
+      langRates = Map.empty, defaultRate = 1.0, nShards = 4)
+    val prepped = graft.streaming.Streams.corpusPrep(
+      graft.streaming.Streams.warcDocuments(spark, dir), cfg)
+    val q2 = prepped.writeStream.format("memory")
+      .queryName("warc_corpus_stream").outputMode("append").start()
+    try {
+      q2.processAllAvailable()
+      val rows = spark.table("warc_corpus_stream")
+      assert(rows.count() > 0, "the crawl must reach the corpus stage")
+      assert(rows.columns.contains("shard"))
+    } finally q2.stop()
+  }
+
   test("CorpusPrep runs end-to-end from a WARC directory") {
     val dir = writeDir()
     val out = Files.createTempDirectory("graft-warc-corpus").toString + "/corpus"
