@@ -83,6 +83,25 @@ object TextExprs {
     */
   def nfcNormalize(s: Column): Column = c(NfcNormalize(x(s)))
 
+  /** Charset-aware binary→string decode with REPLACEMENT semantics
+    * (malformed/unmappable bytes become U+FFFD, never an exception):
+    * the crawl-intake decoder ([[graft.sources.WarcSource.documents]]).
+    * `label` is the declared charset label (the HTTP `charset=` param,
+    * any case, empty/garbage tolerated) resolved through the
+    * [[CharsetDecode.resolve]] allowlist; anything outside it decodes
+    * as UTF-8 — the fail-open path that matches the previous
+    * utf8-with-replacement behavior byte for byte on unlabeled pages.
+    */
+  def charsetDecode(bytes: Column, label: Column): Column =
+    c(CharsetDecode(x(bytes), x(label)))
+
+  /** The canonical name [[charsetDecode]] will actually decode with
+    * for a declared label — "utf-8" for anything outside the
+    * allowlist. Surfaced as the `charset_used` evidence column; the
+    * ONE resolve table both share.
+    */
+  def charsetResolve(label: Column): Column = c(CharsetResolve(x(label)))
+
   /** q43's md5-prefix winnow fingerprints as ONE kernel: normalized
     * text → sorted distinct array of 16-hex-char window minima (char
     * `gram`-grams, window `win`). Value-identical to the composed
@@ -893,4 +912,113 @@ case class CharConcentration(child: Expression)
   }
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Charset-aware decode: bytes + declared label → string, with
+  * CodingErrorAction.REPLACE on both malformed input and unmappable
+  * characters (one bad byte costs one U+FFFD, never a row or a task —
+  * the Netpbm fence discipline applied to text). The label goes
+  * through [[CharsetDecode.resolve]]'s ALLOWLIST: only charsets a
+  * crawl actually declares and the JVM ships decoders for; an unknown,
+  * empty, or null-resolved label falls back to UTF-8, so a lying or
+  * exotic label can neither crash the decode nor route bytes through
+  * a charset that would silently mangle ASCII.
+  *
+  * Null contract: null bytes → null; a null LABEL decodes as UTF-8
+  * (an absent HTTP header must not null out real text), so this
+  * overrides [[BinaryExpression]]'s both-children null gate.
+  */
+case class CharsetDecode(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with CodegenFallback {
+
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = left.nullable
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val bytes = left.eval(input)
+    if (bytes == null) return null
+    val label = right.eval(input)
+    val cs = CharsetDecode.resolve(
+      if (label == null) "" else label.toString)
+    UTF8String.fromString(CharsetDecode.decode(
+      bytes.asInstanceOf[Array[Byte]], cs))
+  }
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): Expression = copy(left = l, right = r)
+}
+
+object CharsetDecode {
+  import java.nio.charset.{Charset, CodingErrorAction, StandardCharsets}
+
+  /** Label → JVM charset allowlist (lowercased HTTP labels and their
+    * common aliases). The list covers what a real crawl declares:
+    * the latin-1/windows-1252 family, the CJK set, cyrillic, and the
+    * ISO-8859 variants; everything else — including multi-byte
+    * charsets the JVM may know but the pipeline has not vetted for
+    * replacement-mode safety — decodes as UTF-8.
+    */
+  private val allow: Map[String, Charset] = {
+    def cs(n: String) = Charset.forName(n)
+    val pairs = Seq(
+      Seq("utf-8", "utf8", "us-ascii", "ascii") -> StandardCharsets.UTF_8,
+      Seq("iso-8859-1", "iso8859-1", "iso_8859-1", "latin-1", "latin1",
+        "l1") -> StandardCharsets.ISO_8859_1,
+      Seq("windows-1252", "cp1252", "win-1252") -> cs("windows-1252"),
+      Seq("windows-1251", "cp1251") -> cs("windows-1251"),
+      Seq("windows-1250", "cp1250") -> cs("windows-1250"),
+      Seq("windows-1256", "cp1256") -> cs("windows-1256"),
+      Seq("iso-8859-2", "iso8859-2", "latin2") -> cs("ISO-8859-2"),
+      Seq("iso-8859-5") -> cs("ISO-8859-5"),
+      Seq("iso-8859-7") -> cs("ISO-8859-7"),
+      Seq("iso-8859-9", "latin5") -> cs("ISO-8859-9"),
+      Seq("iso-8859-15", "latin9") -> cs("ISO-8859-15"),
+      Seq("koi8-r", "koi8") -> cs("KOI8-R"),
+      Seq("shift_jis", "shift-jis", "sjis", "x-sjis", "ms_kanji")
+        -> cs("Shift_JIS"),
+      Seq("euc-jp", "eucjp", "x-euc-jp") -> cs("EUC-JP"),
+      Seq("euc-kr", "euckr", "ks_c_5601-1987", "ksc5601") -> cs("EUC-KR"),
+      Seq("gb2312", "gbk", "x-gbk", "gb_2312-80") -> cs("GBK"),
+      Seq("gb18030") -> cs("GB18030"),
+      Seq("big5", "big-5", "csbig5") -> cs("Big5"))
+    pairs.flatMap { case (labels, c) => labels.map(_ -> c) }.toMap
+  }
+
+  /** The charset a label decodes with (UTF-8 outside the allowlist). */
+  def resolve(label: String): Charset =
+    allow.getOrElse(
+      label.trim.toLowerCase(java.util.Locale.ROOT), StandardCharsets.UTF_8)
+
+  /** Replacement-mode decode: a fresh decoder per call (CharsetDecoder
+    * is stateful and NOT thread-safe; `newDecoder` is cheap — two
+    * small allocations — next to the per-row String it produces).
+    */
+  def decode(bytes: Array[Byte], cs: Charset): String =
+    cs.newDecoder()
+      .onMalformedInput(CodingErrorAction.REPLACE)
+      .onUnmappableCharacter(CodingErrorAction.REPLACE)
+      .decode(java.nio.ByteBuffer.wrap(bytes))
+      .toString
+}
+
+/** [[CharsetDecode.resolve]]'s canonical label as a column: the
+  * `charset_used` evidence ("utf-8" fallback included) — kept as the
+  * charset's own canonical name, lowercased, so audits group cleanly.
+  * Null label resolves like the empty label (utf-8).
+  */
+case class CharsetResolve(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = false
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val label = child.eval(input)
+    val cs = CharsetDecode.resolve(if (label == null) "" else label.toString)
+    UTF8String.fromString(cs.name.toLowerCase(java.util.Locale.ROOT))
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
 }

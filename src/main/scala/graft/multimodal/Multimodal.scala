@@ -43,6 +43,9 @@ object Multimodal {
   /** Mime routed to the real [[Bmp]] codec. */
   val MimeBmp = "image/bmp"
 
+  /** Mime routed to the real [[Png]] codec. */
+  val MimePng = "image/png"
+
   /** Stand-in corpus: wrap each document's text bytes as the opaque
     * payload with typed metadata. In production this is the ingest
     * step for real media files (spark.read.format("binaryFile")).

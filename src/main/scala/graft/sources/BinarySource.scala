@@ -32,19 +32,53 @@ import org.apache.spark.sql.functions._
   */
 object BinarySource {
 
+  /** Route-only mimes: formats the sniffer recognizes so crawl intake
+    * can QUARANTINE them from the text corpus ([[WarcSource.documents]])
+    * and route them to the media face, even though no decoder exists
+    * yet for them (the decode dispatch fences them as ok=false — the
+    * stub arm). Keeping a JPEG out of the documents table does not
+    * require being able to decode it.
+    */
+  val MimeJpeg = "image/jpeg"
+  val MimeGif = "image/gif"
+  val MimeWebp = "image/webp"
+  val MimePdf = "application/pdf"
+  val MimeGzip = "application/gzip"
+  val MimeZstd = "application/zstd"
+  val MimeMp3 = "audio/mpeg"
+
   /** Magic-byte test: payload bytes [off, off+marker.length) equal the
-    * ASCII marker (1-based offset, Spark substring convention).
+    * marker (1-based offset, Spark substring convention). Markers are
+    * ISO-8859-1 strings so non-ASCII magic bytes (0x89, 0xFF, …) map
+    * 1:1 via unicode escapes.
     */
   private def magic(payload: Column, off: Int, marker: String): Column =
     substring(payload, off, marker.length) ===
       lit(marker.getBytes("ISO-8859-1"))
 
-  /** The sniffed mime for a binary payload column. */
+  /** The sniffed mime for a binary payload column — the real-web magic
+    * table (every format a crawl actually serves), not just the three
+    * decodable ones: decodable media route to their codec, recognized-
+    * but-undecodable media route to the media face as evidence-bearing
+    * blobs, and only genuinely unrecognized bytes fall through to
+    * `application/octet-stream`. RIFF is disambiguated by its form tag
+    * (WAVE vs WEBP); GIF87a/GIF89a share the "GIF8" prefix.
+    */
   def sniffMime(payload: Column): Column =
     when(magic(payload, 1, "P6"), lit(graft.multimodal.Multimodal.MimePpm))
       .when(magic(payload, 1, "BM"), lit(graft.multimodal.Multimodal.MimeBmp))
       .when(magic(payload, 1, "RIFF") && magic(payload, 9, "WAVE"),
         lit(graft.multimodal.Multimodal.MimeWav))
+      .when(magic(payload, 1, "\u0089PNG\r\n\u001a\n"),
+        lit(graft.multimodal.Multimodal.MimePng))
+      .when(magic(payload, 1, "\u00ff\u00d8\u00ff"), lit(MimeJpeg))
+      .when(magic(payload, 1, "GIF8"), lit(MimeGif))
+      .when(magic(payload, 1, "RIFF") && magic(payload, 9, "WEBP"),
+        lit(MimeWebp))
+      .when(magic(payload, 1, "%PDF"), lit(MimePdf))
+      .when(magic(payload, 1, "\u001f\u008b"), lit(MimeGzip))
+      .when(magic(payload, 1, "(\u00b5/\u00fd"), lit(MimeZstd))
+      .when(magic(payload, 1, "ID3"), lit(MimeMp3))
       .otherwise(lit("application/octet-stream"))
 
   /** Read `dir` (optionally glob-filtered, recursive by default) as a

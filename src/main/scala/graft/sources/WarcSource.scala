@@ -5,7 +5,7 @@ import java.util.zip.GZIPInputStream
 
 import graft.functions.TextOps
 import graft.functions.expressions.TextExprs.md5Lower64
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** WARC/WET crawl-container ingest — the format a real 100 TB web
@@ -53,12 +53,25 @@ object WarcSource {
   private def isGzip(b: Array[Byte]): Boolean =
     b.length >= 2 && b(0) == 0x1f.toByte && b(1) == 0x8b.toByte
 
-  /** An archive's byte stream, gzip-detected by magic (not extension)
-    * — the ONE opener the batch reader and the streaming ingest
-    * ([[graft.streaming.Streams.warcDocuments]]) share.
+  private def isZstd(b: Array[Byte]): Boolean =
+    b.length >= 4 && b(0) == 0x28.toByte && b(1) == 0xb5.toByte &&
+      b(2) == 0x2f.toByte && b(3) == 0xfd.toByte
+
+  /** An archive's byte stream, compression detected by magic (not
+    * extension) — the ONE opener the batch reader and the streaming
+    * ingest ([[graft.streaming.Streams.warcDocuments]]) share. Gzip
+    * via the JDK (GZIPInputStream walks concatenated members); zstd —
+    * newer crawl tooling's `.warc.zst` — via the zstd-jni stream Spark
+    * already ships for shuffle/parquet compression (frame-concatenated
+    * archives walk the same way; a frame dying mid-stream raises
+    * IOException, which [[parseStream]] fences exactly like a dying
+    * gzip member).
     */
   private[graft] def openArchive(bytes: Array[Byte]): InputStream =
     if (isGzip(bytes)) new GZIPInputStream(new ByteArrayInputStream(bytes))
+    else if (isZstd(bytes))
+      new com.github.luben.zstd.ZstdInputStream(
+        new ByteArrayInputStream(bytes))
     else new ByteArrayInputStream(bytes)
 
   /** Buffered byte-stream reader: CRLF header lines + exact-count
@@ -172,14 +185,26 @@ object WarcSource {
             else if (!l.startsWith("WARC/")) fenced = true
             else {
               val hdrs = scala.collection.mutable.Map.empty[String, String]
+              var lastKey: String = null // for folded continuations
               var h = r.readLine()
               while (!r.overflowed && h.exists(_.nonEmpty)) {
                 val s = h.get
-                val i = s.indexOf(':')
-                if (i > 0)
-                  hdrs(s.substring(0, i).trim
-                    .toLowerCase(java.util.Locale.ROOT)) =
-                    s.substring(i + 1).trim
+                if (s.charAt(0) == ' ' || s.charAt(0) == '\t') {
+                  // WARC header LWS folding: a line starting with
+                  // SP/HT CONTINUES the previous header's value (a
+                  // continuation containing ':' must not mint a fresh
+                  // key). An orphan continuation (no preceding header)
+                  // has nothing to attach to and is dropped.
+                  if (lastKey != null)
+                    hdrs(lastKey) = hdrs(lastKey) + " " + s.trim
+                } else {
+                  val i = s.indexOf(':')
+                  if (i > 0) {
+                    lastKey = s.substring(0, i).trim
+                      .toLowerCase(java.util.Locale.ROOT)
+                    hdrs(lastKey) = s.substring(i + 1).trim
+                  } else lastKey = null // malformed line: not foldable
+                }
                 h = r.readLine()
               }
               if (r.overflowed || h.isEmpty) fenced = true // cut headers
@@ -228,21 +253,44 @@ object WarcSource {
     }.toDF()
   }
 
+  /** The declared charset label (the HTTP `charset=` parameter, any
+    * case/quoting) extracted from a Content-Type string column; ""
+    * when absent — which [[graft.functions.expressions.CharsetDecode]]
+    * resolves to UTF-8.
+    */
+  private def charsetLabel(ct: Column): Column =
+    regexp_extract(coalesce(ct, lit("")),
+      "(?i)charset\\s*=\\s*\"?'?\\s*([A-Za-z0-9_\\-]+)", 1)
+
+  /** Payload is plausibly TEXT: no NUL byte anywhere. Every charset
+    * the decode allowlist carries is NUL-free on real text (UTF-16 is
+    * deliberately outside it), while compressed/encrypted/media bytes
+    * that slipped past the magic table hit a 0x00 within a few bytes
+    * with overwhelming probability — the fence that keeps unsniffable
+    * binary from becoming a mojibake "document".
+    */
+  private def plausiblyText(body: Column): Column =
+    !contains(body, lit(Array[Byte](0)))
+
   /** The documents-table face: `conversion` (WET) records plus
-    * `response` payloads whose BYTES are not a known media type
-    * (magic-sniffed — a media payload behind a lying `text/html`
-    * header routes to [[media]], not here; the declared types stay
-    * available on the [[records]] frame for audits — this face keeps
-    * exactly the corpus-table shape). Columns match what
+    * `response` payloads that are plausibly text — NOT a known media/
+    * container type by magic bytes ([[BinarySource.sniffMime]]'s
+    * real-web table: images, PDF, gzip/zstd, MP3 — a media payload
+    * behind a lying `text/html` header routes to [[media]], not
+    * here), and NUL-free (unrecognized binary is [[quarantine]]d, not
+    * ingested as text; the declared types stay available on the
+    * [[records]] frame for audits — this face keeps exactly the
+    * corpus-table shape). Columns match what
     * [[graft.pipeline.CorpusPrep.run]] ingests: doc_id (md5-64 of
     * file + record index — deterministic, collision-free across
-    * re-crawls of one URI), url, text (UTF-8 with invalid sequences
-    * REPLACED by U+FFFD — a real crawl always carries latin-1 and
-    * truncated-multibyte pages, and Spark 4's `decode` RAISES on
-    * them; binary→string cast is validation-free and
-    * `make_valid_utf8` then repairs, so one bad byte can never fail
-    * the job), lang (n-gram heuristic), source (archive file name),
-    * n_chars.
+    * re-crawls of one URI), url, text (decoded with the DECLARED
+    * charset when it is on the allowlist —
+    * [[graft.functions.expressions.CharsetDecode]]: a latin-1 page's
+    * 0xE9 becomes 'é', not U+FFFD — and UTF-8 otherwise, always with
+    * REPLACEMENT semantics so one bad byte can never fail the job),
+    * charset_used (the canonical name actually decoded with — the
+    * audit evidence), lang (n-gram heuristic), source (archive file
+    * name), n_chars.
     *
     * The `records` overloads let a pipeline consuming BOTH faces
     * parse each archive once (materialize or cache `records(...)`
@@ -260,23 +308,58 @@ object WarcSource {
     // streaming ingest ([[graft.streaming.Streams.warcDocuments]])
     // carries each archive's file mtime as the docs' event time
     val extra = if (records.columns.contains("ts")) Seq(col("ts")) else Nil
+    // conversion (WET) records may declare a charset on the WARC
+    // Content-Type; responses declare it on the HTTP envelope's
+    val label = charsetLabel(
+      coalesce(col("http_content_type"), col("warc_content_type")))
     records
       .filter(col("warc_type") === "conversion" ||
         (col("warc_type") === "response" &&
-          BinarySource.sniffMime(col("body")) === "application/octet-stream"))
+          BinarySource.sniffMime(col("body")) === "application/octet-stream" &&
+          plausiblyText(col("body"))))
       .select(Seq(
         md5Lower64(concat_ws("#", col("file"), col("record_ix")))
           .as("doc_id"),
         col("target_uri").as("url"),
-        expr("make_valid_utf8(cast(body as string))").as("text"),
+        graft.functions.expressions.TextExprs
+          .charsetDecode(col("body"), label).as("text"),
+        graft.functions.expressions.TextExprs
+          .charsetResolve(label).as("charset_used"),
         regexp_extract(col("file"), "([^/]+)$", 1).as("source")) ++ extra: _*)
       // langId returns struct<lang, confidence>; the corpus table's
       // lang is the plain code string
       .withColumn("lang", TextOps.langId(col("text")).getField("lang"))
       .withColumn("n_chars", length(col("text")).cast("long"))
-      .select((Seq("doc_id", "url", "text", "lang", "source", "n_chars") ++
+      .select((Seq("doc_id", "url", "text", "lang", "source", "n_chars",
+        "charset_used") ++
         (if (extra.nonEmpty) Seq("ts") else Nil)).map(col): _*)
   }
+
+  /** The audit face for what BOTH other faces refused: `response`
+    * payloads that are neither sniffable media (no known magic) nor
+    * plausibly text (a NUL byte present) — truncated downloads,
+    * encrypted blobs, exotic containers. At crawl scale this is a
+    * systematic influx; quarantining it HERE (with the declared type
+    * as evidence) is what keeps the corpus clean without the
+    * downstream quality gates paying to re-discover each blob.
+    */
+  def quarantine(spark: SparkSession, dir: String,
+                 glob: Option[String] = None): DataFrame =
+    quarantine(records(spark, dir, glob))
+
+  def quarantine(records: DataFrame): DataFrame =
+    records
+      .filter(col("warc_type") === "response" &&
+        BinarySource.sniffMime(col("body")) === "application/octet-stream" &&
+        !plausiblyText(col("body")))
+      .select(
+        md5Lower64(concat_ws("#", col("file"), col("record_ix")))
+          .as("doc_id"),
+        col("target_uri").as("url"),
+        col("http_content_type").as("declared_mime"),
+        col("n_bytes"),
+        regexp_extract(col("file"), "([^/]+)$", 1).as("source"),
+        lit("nul_bytes").as("reason"))
 
   /** The MediaRow face: `response` payloads whose magic bytes are a
     * known media type (regardless of the declared Content-Type — the

@@ -160,6 +160,127 @@ class WarcSourceSpec extends SparkSpec {
       "the lying declared type rides along as evidence")
   }
 
+  /** A fresh dir of REAL-WEB payload fixtures: JPEG/PNG/gzip magic
+    * responses behind lying text headers, an unrecognized NUL-bearing
+    * blob, a charset-declared latin-1 page, and a folded header.
+    */
+  private def writeWebDir(): String = {
+    val dir = Files.createTempDirectory("graft-warc-web").toString
+    val jpegBody = Array[Byte](0xFF.toByte, 0xD8.toByte, 0xFF.toByte,
+      0xE0.toByte) ++ bytes("JFIFx") ++ Array.tabulate[Byte](64)(_.toByte)
+    val pngBody = Array[Byte](0x89.toByte, 'P', 'N', 'G', '\r', '\n',
+      0x1A.toByte, '\n') ++ Array.tabulate[Byte](32)(i => (i * 3).toByte)
+    val gzipBody = gz(bytes("compressed payload served raw"))
+    // no known magic AND NUL bytes: the quarantine case
+    val nulBody = bytes("BLOB") ++ Array[Byte](0, 1, 2, 0, 9) ++
+      Array.tabulate[Byte](32)(i => (i * 5).toByte)
+    val latinBody = bytes("déjà vu page") // ISO-8859-1: é/à one byte each
+    def resp(uri: String, ct: String, body: Array[Byte]) =
+      rec(Seq("WARC-Type" -> "response", "WARC-Target-URI" -> uri,
+        "Content-Type" -> "application/http; msgtype=response"),
+        httpWrap(ct, body))
+    Files.write(Paths.get(dir, "web.warc"),
+      resp("http://w.example/jpeg", "text/html", jpegBody) ++
+        resp("http://w.example/png", "text/plain", pngBody) ++
+        resp("http://w.example/gzip", "text/html", gzipBody) ++
+        resp("http://w.example/blob", "text/html", nulBody) ++
+        resp("http://w.example/latin",
+          "text/html; charset=ISO-8859-1", latinBody) ++
+        resp("http://w.example/plainutf",
+          "text/html; charset=UTF-8", bytes("plain ascii page")))
+    // folded header: the Content-Type value continues on an LWS line
+    // whose content contains ':' — must EXTEND the value, not mint a
+    // bogus header key
+    val folded = bytes("WARC/1.0\r\nWARC-Type: response\r\n" +
+      "WARC-Target-URI: http://w.example/folded\r\n" +
+      "Content-Type: application/http;\r\n msgtype=response; note=a:b\r\n")
+    val foldedBody = httpWrap("text/html", bytes("folded header page"))
+    Files.write(Paths.get(dir, "folded.warc"),
+      folded ++ bytes(s"Content-Length: ${foldedBody.length}\r\n\r\n") ++
+        foldedBody ++ bytes("\r\n\r\n"))
+    dir
+  }
+
+  test("real-web routing: media magics to media, NUL blobs to quarantine, text stays text") {
+    val dir = writeWebDir()
+    val recs = WarcSource.records(spark, dir).cache()
+    val docs = WarcSource.documents(recs).cache()
+    val urls = docs.select("url").collect().map(_.getString(0)).toSet
+    assert(!urls.contains("http://w.example/jpeg"),
+      "a crawled JPEG must not become a mojibake text document")
+    assert(!urls.contains("http://w.example/png"))
+    assert(!urls.contains("http://w.example/gzip"),
+      "a gzip payload must never reach the documents face")
+    assert(!urls.contains("http://w.example/blob"),
+      "unrecognized NUL-bearing binary must be quarantined, not ingested")
+    assert(urls.contains("http://w.example/latin"))
+    assert(urls.contains("http://w.example/plainutf"))
+    assert(urls.contains("http://w.example/folded"),
+      "a folded WARC header must still frame the record")
+
+    val media = WarcSource.media(recs)
+      .select(col("meta.url"), col("meta.mime"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(media("http://w.example/jpeg") == graft.sources.BinarySource.MimeJpeg)
+    assert(media("http://w.example/png") == graft.multimodal.Multimodal.MimePng)
+    assert(media("http://w.example/gzip") == graft.sources.BinarySource.MimeGzip)
+    val declared = WarcSource.media(recs)
+      .filter(col("meta.url") === "http://w.example/jpeg")
+      .select("meta.declared_mime").collect()(0).getString(0)
+    assert(declared == "text/html",
+      "the lying declared type must ride along as evidence")
+
+    val quar = WarcSource.quarantine(recs).collect()
+    assert(quar.map(_.getAs[String]("url")).toSeq ==
+      Seq("http://w.example/blob"))
+    assert(quar(0).getAs[String]("reason") == "nul_bytes")
+    recs.unpersist(); docs.unpersist()
+  }
+
+  test("charset-aware decode: declared latin-1 decodes é, not U+FFFD; charset_used surfaced") {
+    val dir = writeWebDir()
+    val docs = WarcSource.documents(spark, dir).cache()
+    val latin = docs.filter(col("url") === "http://w.example/latin")
+      .select("text", "charset_used").collect()(0)
+    assert(latin.getString(0) == "déjà vu page",
+      s"declared latin-1 must decode 0xE9 to é, got: ${latin.getString(0)}")
+    assert(latin.getString(1) == "iso-8859-1")
+    val utf = docs.filter(col("url") === "http://w.example/plainutf")
+      .select("charset_used").collect()(0).getString(0)
+    assert(utf == "utf-8")
+    // no declared charset → utf-8 fallback (the pre-charset behavior)
+    val folded = docs.filter(col("url") === "http://w.example/folded")
+      .select("charset_used").collect()(0).getString(0)
+    assert(folded == "utf-8")
+    docs.unpersist()
+  }
+
+  test("zstd archives: frame members walk like gzip members; truncation fences") {
+    val dir = Files.createTempDirectory("graft-warc-zstd").toString
+    def zst(b: Array[Byte]): Array[Byte] =
+      com.github.luben.zstd.Zstd.compress(b, 3)
+    val recA = rec(Seq("WARC-Type" -> "conversion",
+      "WARC-Target-URI" -> "http://z.example/a"),
+      bytes("zstd member record alpha"))
+    val recB = rec(Seq("WARC-Type" -> "conversion",
+      "WARC-Target-URI" -> "http://z.example/b"),
+      bytes("zstd member record beta"))
+    Files.write(Paths.get(dir, "members.warc.zst"), zst(recA) ++ zst(recB))
+    // truncated second frame: first member's records survive, the
+    // dying frame fences — parity with the gzip contract
+    val cut = zst(recB)
+    Files.write(Paths.get(dir, "trunc.warc.zst"),
+      zst(recA) ++ java.util.Arrays.copyOf(cut, cut.length - 8))
+    val recs = WarcSource.records(spark, dir).cache()
+    assert(recs.filter(col("file").endsWith("members.warc.zst")).count() == 2,
+      "both concatenated zstd frames must parse")
+    val trunc = recs.filter(col("file").endsWith("trunc.warc.zst")).collect()
+    assert(trunc.length == 1 &&
+      trunc(0).getAs[String]("target_uri") == "http://z.example/a",
+      "a dying zstd frame must fence, keeping prior records")
+    recs.unpersist()
+  }
+
   test("non-UTF-8 text is REPLACED, never a crash; an over-cap header line fences") {
     val dir = writeDir()
     // a header line past the 1 MB cap: its remainder would mis-frame
