@@ -27,7 +27,9 @@ object SparkEntry {
         Entry("q119_image_neardup", graft.multimodal.Multimodal.q119,
           Some(graft.multimodal.Multimodal.q119Sql)),
         Entry("q120_audio_fingerprint", graft.multimodal.Multimodal.q120,
-          Some(graft.multimodal.Multimodal.q120Sql)))
+          Some(graft.multimodal.Multimodal.q120Sql)),
+        Entry("q124_png_decode", graft.multimodal.Multimodal.q124,
+          Some(graft.multimodal.Multimodal.q124Sql)))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

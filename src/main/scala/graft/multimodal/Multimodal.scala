@@ -129,10 +129,12 @@ object Multimodal {
                 FeatureRow(r.doc_id, r.meta.mime, r.meta.n_bytes,
                   ok = false, features = Array.empty)
             }
-          else if (r.meta.mime == MimeBmp)
-            // REAL codec path #3: BMP decode returns the same
+          else if (r.meta.mime == MimeBmp || r.meta.mime == MimePng) {
+            // REAL codec paths #3/#4: BMP and PNG decode to the same
             // Image type, so the identical histogram kernel applies
-            Bmp.decode(r.payload) match {
+            val dec = if (r.meta.mime == MimeBmp) Bmp.decode(r.payload)
+                      else Png.decode(r.payload)
+            dec match {
               case Some(img) =>
                 FeatureRow(r.doc_id, r.meta.mime, r.meta.n_bytes,
                   ok = true, features = Netpbm.lumaHistogram(img, FeatureDim))
@@ -140,6 +142,7 @@ object Multimodal {
                 FeatureRow(r.doc_id, r.meta.mime, r.meta.n_bytes,
                   ok = false, features = Array.empty)
             }
+          }
           else if (r.meta.mime == MimeWav)
             // REAL audio path: RIFF/PCM16 decode + signal summary
             // (rate, length, peak, rms) padded to the shared dim
@@ -272,6 +275,16 @@ object Multimodal {
           Netpbm.decode(r.payload) match {
             case Some(img) =>
               val out = Netpbm.encodeP6(Netpbm.resizeNearest(img, factor))
+              MediaRow(r.doc_id, out,
+                MediaMeta(r.meta.mime, out.length.toLong, payloadChecksum(out)))
+            case None => r // malformed: downstream fences it
+          }
+        else if (r.meta.mime == MimePng)
+          // real resampling for the crawl-served format too: decode →
+          // nearest-neighbor → re-encode through the real PNG writer
+          Png.decode(r.payload) match {
+            case Some(img) =>
+              val out = Png.encode(Netpbm.resizeNearest(img, factor))
               MediaRow(r.doc_id, out,
                 MediaMeta(r.meta.mime, out.length.toLong, payloadChecksum(out)))
             case None => r // malformed: downstream fences it
@@ -774,6 +787,73 @@ object Multimodal {
       |  ${graft.queries.Q.round4Sql("CAST(lsum AS DOUBLE) / n_px")} AS luma_mean4,
       |  ${graft.queries.Q.round4Sql("CAST(ndark AS DOUBLE) / n_px")} AS dark_frac4
       |FROM agg ORDER BY doc_id""".stripMargin
+
+  /** Documents laid out as WIDTH-10 truecolor PNGs through the REAL
+    * [[Png.encode]] writer — the q91 geometry (30 bytes per row, text
+    * bytes zero-padded to whole rows) behind the fourth codec. The
+    * encoder cycles the per-row filter type `y mod 5`, so every
+    * multi-row document exercises ALL FIVE unfilter paths
+    * (None/Sub/Up/Average/Paeth) plus the zlib inflate and per-chunk
+    * CRC validation on the decode side.
+    */
+  def pngTable(spark: SparkSession, dir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), coalesce(col("text"), lit("")).as("t"))
+      .as[(Long, String)]
+      .map { case (id, t) =>
+        val bytes = t.getBytes("UTF-8")
+        val h = math.max((bytes.length + 29) / 30, 1)
+        val px = java.util.Arrays.copyOf(bytes, 10 * h * 3)
+        val payload = Png.encode(Netpbm.Image(10, h, 255, px))
+        MediaRow(id, payload,
+          MediaMeta(MimePng, payload.length.toLong, payloadChecksum(payload)))
+      }
+  }
+
+  /** q124 entry: the real PNG decode in the oracle-checked path —
+    * [[pngTable]] → [[Png.decode]] (signature + CRC-validated chunk
+    * walk + zlib inflate + all-five-filters unfilter) → the q67/q91
+    * luma stats. Integer state until one final division, the codec-
+    * family recipe on the fourth arm — the one covering a format real
+    * crawls serve ([[graft.sources.WarcSource.media]] routes PNG
+    * responses here by magic).
+    */
+  def q124(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    pngTable(spark, dir)
+      .map { r =>
+        Png.decode(r.payload) match {
+          case Some(img) =>
+            var lsum = 0L; var dark = 0L; var i = 0
+            while (i < img.pixels.length) {
+              val l = Netpbm.luma(img.pixels(i) & 0xff,
+                img.pixels(i + 1) & 0xff, img.pixels(i + 2) & 0xff)
+              lsum += l; if (l < 32) dark += 1; i += 3
+            }
+            (r.doc_id, img.width.toLong, img.height.toLong,
+              (img.width * img.height).toLong, lsum, dark, true)
+          case None => (r.doc_id, 0L, 0L, 0L, 0L, 0L, false)
+        }
+      }
+      .toDF("doc_id", "img_w", "img_h", "n_px", "luma_sum", "n_dark", "ok")
+      .select(col("doc_id"), col("img_w"), col("img_h"), col("n_px"),
+        col("ok"),
+        graft.queries.Q.round4(
+          col("luma_sum").cast("double") / col("n_px")).as("luma_mean4"),
+        graft.queries.Q.round4(
+          col("n_dark").cast("double") / col("n_px")).as("dark_frac4"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB mirror of q124: [[q91Sql]] verbatim — the raster GEOMETRY
+    * (width 10, zero-padded 30-byte rows) is deliberately identical,
+    * and encode∘decode is the identity on the pixel array for BOTH
+    * codecs, so the same closed-form replay of the raw text bytes
+    * checks either round trip. What differs — and what the query
+    * proves — is everything between: filter/unfilter, zlib, CRC.
+    */
+  val q124Sql: String = q91Sql
 
   /** q50 entry: blob table → batched decode-stub → feature summary.
     * Metadata and feature stats only — the binary column never reaches

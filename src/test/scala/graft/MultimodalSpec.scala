@@ -490,4 +490,136 @@ class MultimodalSpec extends SparkSpec {
     assert(out.filter(col("n_px") =!= col("img_h") * 10).count() == 0)
     out.unpersist()
   }
+
+  /** Patch one IHDR byte and RE-FIX the chunk CRC, so the profile
+    * fence under test fires instead of the CRC fence. IHDR layout in
+    * [[graft.multimodal.Png.encode]]'s output: signature 8, length
+    * 8-11, type 12-15, data 16-28, crc 29-32.
+    */
+  private def patchIhdr(png: Array[Byte], off: Int, v: Byte): Array[Byte] = {
+    val out = png.clone()
+    out(off) = v
+    val crc = new java.util.zip.CRC32
+    crc.update(out, 12, 4 + 13)
+    val cb = java.nio.ByteBuffer.allocate(4).putInt(crc.getValue.toInt).array()
+    System.arraycopy(cb, 0, out, 29, 4)
+    out
+  }
+
+  /** Hand-assemble a minimal PNG (filter-0 rows) at any color type —
+    * the fixture maker for the greyscale/alpha arms the repo encoder
+    * (always truecolor) cannot produce.
+    */
+  private def mkPng(w: Int, h: Int, colorType: Int, channels: Int,
+                    samples: Array[Byte]): Array[Byte] = {
+    val stride = w * channels
+    val raw = new Array[Byte](h * (1 + stride))
+    for (y <- 0 until h)
+      System.arraycopy(samples, y * stride, raw, y * (1 + stride) + 1, stride)
+    val defl = new java.util.zip.Deflater()
+    defl.setInput(raw); defl.finish()
+    val idat = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](4096)
+    while (!defl.finished()) idat.write(buf, 0, defl.deflate(buf))
+    defl.end()
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Array(0x89, 'P', 'N', 'G', '\r', '\n', 0x1A, '\n')
+      .map(_.toByte))
+    def chunk(tpe: String, data: Array[Byte]): Unit = {
+      val t = tpe.getBytes("US-ASCII")
+      out.write(java.nio.ByteBuffer.allocate(4).putInt(data.length).array())
+      out.write(t); out.write(data)
+      val crc = new java.util.zip.CRC32
+      crc.update(t); crc.update(data)
+      out.write(java.nio.ByteBuffer.allocate(4)
+        .putInt(crc.getValue.toInt).array())
+    }
+    chunk("IHDR", java.nio.ByteBuffer.allocate(13).putInt(w).putInt(h)
+      .put(8.toByte).put(colorType.toByte)
+      .put(0.toByte).put(0.toByte).put(0.toByte).array())
+    chunk("IDAT", idat.toByteArray)
+    chunk("IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
+  test("Png: round trip exercises all five filters; CRC validation + profile fence matrix") {
+    import graft.multimodal.{Netpbm, Png}
+    // 7 rows: the y%5 filter cycle covers None/Sub/Up/Average/Paeth
+    // and re-enters — every unfilter path runs on real data
+    val px = Array.tabulate(10 * 3 * 7)(i => ((i * 37 + 11) % 256).toByte)
+    val img = Netpbm.Image(10, 7, 255, px)
+    val enc = Png.encode(img)
+    val dec = Png.decode(enc).get
+    assert(dec.width == 10 && dec.height == 7 && dec.maxVal == 255)
+    assert(dec.pixels.toSeq == px.toSeq,
+      "filter/deflate/CRC must all cancel in the round trip")
+
+    // greyscale replicates to RGB; RGBA drops alpha; grey+alpha both
+    val g = mkPng(3, 2, 0, 1, Array.tabulate[Byte](6)(i => (i * 40).toByte))
+    val gDec = Png.decode(g).get
+    assert(gDec.pixels.toSeq == (0 until 6).flatMap(i =>
+      Seq.fill(3)((i * 40).toByte)))
+    val rgbaSamples = Array.tabulate[Byte](2 * 1 * 4)(i => (i * 10).toByte)
+    val rgba = Png.decode(mkPng(2, 1, 6, 4, rgbaSamples)).get
+    assert(rgba.pixels.toSeq ==
+      Seq[Byte](0, 10, 20, 40, 50, 60), "alpha bytes 30/70 dropped")
+    val ga = Png.decode(mkPng(2, 1, 4, 2,
+      Array[Byte](100, 5, 50, 9))).get
+    assert(ga.pixels.toSeq == Seq[Byte](100, 100, 100, 50, 50, 50))
+
+    // fence matrix: profile violations → None (CRC re-fixed so the
+    // profile gate itself is what fires), corruption → None
+    assert(Png.decode("not a png at all".getBytes).isEmpty)
+    assert(Png.decode(patchIhdr(enc, 24, 16)).isEmpty, "16-bit -> None")
+    assert(Png.decode(patchIhdr(enc, 25, 3)).isEmpty, "palette -> None")
+    assert(Png.decode(patchIhdr(enc, 28, 1)).isEmpty, "interlaced -> None")
+    val flipped = enc.clone(); flipped(44) = (flipped(44) ^ 0x20).toByte
+    assert(Png.decode(flipped).isEmpty, "a flipped payload bit must fail CRC")
+    assert(Png.decode(enc.dropRight(6)).isEmpty, "truncated stream -> None")
+    assert(Png.decode(enc.take(enc.length - 12)).isEmpty, "missing IEND -> None")
+    // lying dims: IHDR claims an extra row the inflate cannot supply
+    assert(Png.decode(patchIhdr(enc, 23, 8)).isEmpty, "short raster -> None")
+  }
+
+  test("extractFeatures on PNG mime runs the real decoder; same pixels as PPM give same features") {
+    import spark.implicits._
+    import graft.multimodal.{Netpbm, Png}
+    val px = Array.tabulate(10 * 3 * 2)(i => ((i * 29) % 256).toByte)
+    val img = Netpbm.Image(10, 2, 255, px)
+    val png = Png.encode(img)
+    val ppm = Netpbm.encodeP6(img)
+    val bad = Array[Byte](0x89.toByte, 'P', 'N', 'G', 1, 2, 3)
+    val media = Seq(
+      MediaRow(1L, png, MediaMeta(Multimodal.MimePng, png.length.toLong,
+        Multimodal.payloadChecksum(png))),
+      MediaRow(2L, ppm, MediaMeta(Multimodal.MimePpm, ppm.length.toLong,
+        Multimodal.payloadChecksum(ppm))),
+      MediaRow(3L, bad, MediaMeta(Multimodal.MimePng, bad.length.toLong,
+        Multimodal.payloadChecksum(bad)))).toDS()
+    val out = Multimodal.extractFeatures(media).collect().sortBy(_.doc_id)
+    assert(out(0).ok && out(1).ok && !out(2).ok)
+    assert(out(0).features.toSeq == out(1).features.toSeq,
+      "identical pixels through two containers -> identical histogram")
+    // resize round-trips through the real PNG writer
+    val resized = Multimodal.resize(media.filter(_.doc_id == 1L), 2)
+      .collect()(0)
+    val rImg = Png.decode(resized.payload).get
+    assert(rImg.width == 5 && rImg.height == 1)
+    assert(resized.meta.checksum ==
+      Multimodal.payloadChecksum(resized.payload))
+  }
+
+  test("q124: real PNG decode end-to-end — dims match the 10-wide padded layout") {
+    val out = Multimodal.q124(spark, sf).cache()
+    assert(out.count() == Tables(spark, sf).documents.count())
+    assert(out.filter(!col("ok")).count() == 0,
+      "every encoded PNG must decode")
+    assert(out.filter(col("img_w") =!= 10).count() == 0)
+    assert(out.filter(col("n_px") =!= col("img_h") * 10).count() == 0)
+    // the PNG face must agree with the BMP face row-for-row: same
+    // geometry, same pixels, two real codecs
+    val bmp = Multimodal.q91(spark, sf)
+    assert(out.except(bmp).count() == 0 && bmp.except(out).count() == 0)
+    out.unpersist()
+  }
 }
