@@ -372,11 +372,15 @@ object WarcSource {
   def media(spark: SparkSession, dir: String): DataFrame =
     media(spark, dir, None)
 
-  def media(records: DataFrame): DataFrame =
+  def media(records: DataFrame): DataFrame = {
+    // a `ts` column passes through 1:1, like the documents face — the
+    // streaming mirror ([[graft.streaming.Streams.warcMedia]]) carries
+    // each archive's file mtime as the media rows' event time
+    val extra = if (records.columns.contains("ts")) Seq(col("ts")) else Nil
     records
       .filter(col("warc_type") === "response" &&
         BinarySource.sniffMime(col("body")) =!= "application/octet-stream")
-      .select(
+      .select(Seq(
         concat_ws("#", col("file"), col("record_ix")).as("path"),
         md5Lower64(concat_ws("#", col("file"), col("record_ix")))
           .as("doc_id"),
@@ -386,5 +390,6 @@ object WarcSource {
           col("n_bytes").cast("bigint").as("n_bytes"),
           xxhash64(col("body")).as("checksum"),
           col("http_content_type").as("declared_mime"),
-          col("target_uri").as("url")).as("meta"))
+          col("target_uri").as("url")).as("meta")) ++ extra: _*)
+  }
 }

@@ -52,7 +52,33 @@ object Streams {
     */
   def warcDocuments(spark: SparkSession, dir: String,
                     glob: Option[String] = None,
-                    maxFilesPerTrigger: Int = 4): DataFrame = {
+                    maxFilesPerTrigger: Int = 4): DataFrame =
+    graft.sources.WarcSource.documents(
+      warcRecords(spark, dir, glob, maxFilesPerTrigger))
+
+  /** The continuous MEDIA mirror of [[warcDocuments]] — the other half
+    * of crawl intake, feeding the multimodal stages (decode/feature/
+    * near-dup) the same way the batch `WarcSource.media` face does:
+    * magic-routed media payloads (JPEG/PNG/… even behind lying
+    * declared types) in the MediaRow blob shape, with the archive
+    * mtime as `ts` for downstream watermarks. Same watched-dir device,
+    * same routing and fencing as batch, row for row.
+    */
+  def warcMedia(spark: SparkSession, dir: String,
+                glob: Option[String] = None,
+                maxFilesPerTrigger: Int = 4): DataFrame =
+    graft.sources.WarcSource.media(
+      warcRecords(spark, dir, glob, maxFilesPerTrigger))
+
+  /** Shared watched-dir WARC record stream: one task per landed
+    * archive, the batch parser/opener/fences verbatim (a consumer
+    * needing BOTH faces should start two queries over the same dir —
+    * streaming frames are not cacheable; the archive parse runs per
+    * query, the standard structured-streaming trade).
+    */
+  private def warcRecords(spark: SparkSession, dir: String,
+                          glob: Option[String],
+                          maxFilesPerTrigger: Int): DataFrame = {
     // the binaryFile source's FIXED schema (a streaming source cannot
     // infer one)
     val r0 = spark.readStream.format("binaryFile").schema(
@@ -63,7 +89,7 @@ object Streams {
       .load(dir)
       .select(col("path"), col("modificationTime").as("ts"), col("content"))
     import spark.implicits._
-    val recs = bin
+    bin
       .as[(String, java.sql.Timestamp, Array[Byte])]
       .flatMap { case (path, ts, bytes) =>
         scala.util.Try(
@@ -73,7 +99,6 @@ object Streams {
       }
       .toDF("rec", "ts")
       .select(col("rec.*"), col("ts"))
-    graft.sources.WarcSource.documents(recs)
   }
 
   /** Watermarked tumbling-window aggregation — the streaming mirror of

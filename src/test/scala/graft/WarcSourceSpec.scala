@@ -337,6 +337,28 @@ class WarcSourceSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("streaming media ingest: warcMedia mirrors the batch media face row for row") {
+    val dir = writeWebDir()
+    val stream = graft.streaming.Streams.warcMedia(spark, dir)
+    assert(stream.isStreaming)
+    val q = stream.writeStream.format("memory")
+      .queryName("warc_media_stream").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("warc_media_stream").cache()
+      val batch = WarcSource.media(spark, dir).cache()
+      assert(got.count() == batch.count(),
+        "streaming media must yield exactly the batch face's rows")
+      assert(got.select("doc_id").except(batch.select("doc_id")).count() == 0)
+      assert(got.filter(col("ts").isNull).count() == 0,
+        "media rows must carry the archive mtime as event time")
+      assert(got.filter(col("meta.mime") ===
+        graft.sources.BinarySource.MimeJpeg).count() == 1,
+        "magic routing must hold in the stream too")
+      got.unpersist(); batch.unpersist()
+    } finally q.stop()
+  }
+
   test("CorpusPrep runs end-to-end from a WARC directory") {
     val dir = writeDir()
     val out = Files.createTempDirectory("graft-warc-corpus").toString + "/corpus"
