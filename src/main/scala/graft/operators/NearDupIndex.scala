@@ -214,9 +214,35 @@ object NearDupIndex {
     val upd = labels.select(col("node").as("doc_id"), col("component"))
       .withColumn("shard", pmod(col("doc_id"), lit(nShards.toLong)))
       .withColumn("ver", lit(ver))
+    // delta-sized shard merges: one task/file per touched shard
+    // (clusterWrite), stats discarded
     graft.pipeline.Merge.upsertPartitioned(spark, labelsPath(path), upd,
-      "shard", Seq("doc_id"), "ver")
+      "shard", Seq("doc_id"), "ver", needStats = false,
+      clusterWrite = true)
     ()
+  }
+
+  /** Driver union-find over a collected delta subgraph: component =
+    * min reachable id, exactly [[LabelProp]]'s labels (union by
+    * smaller root keeps every set's root AT its minimum, so find()
+    * IS the component id).
+    */
+  private def unionFindMin(edges: Array[(Long, Long)]): Seq[(Long, Long)] = {
+    val parent = scala.collection.mutable.LongMap.empty[Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val ra = find(a); val rb = find(b)
+      if (ra < rb) parent(rb) = ra
+      else if (rb < ra) parent(ra) = rb
+    }
+    parent.keys.toSeq.map(k => k -> find(k))
   }
 
   /** Build the index from the initial corpus snapshot. `storeParts`
@@ -279,11 +305,23 @@ object NearDupIndex {
     * read only the batch's `pb`/`ps` partitions. A batch carrying a
     * TOMBSTONED id is refused loudly (the tombstone filter would
     * silently hide the re-add forever; [[compactStores]] first).
+    *
+    * The whole cycle runs with AQE scoped OFF ([[graft.util.AqeScope]]
+    * — the q103/Hierarchy rationale): a maintain is a dozen small
+    * delta-sized actions (probe collects, pair count, LabelProp
+    * rounds, label merge, store appends), and AQE's per-exchange
+    * query-stage materialization costs a driver round trip for each —
+    * the r12 profile measured ~94 Spark jobs and ~14 s for a 500-doc
+    * delta at sf0.1, dominated by exactly this fixed overhead, not
+    * data. `keepAqe = true` re-enables it for deployments whose delta
+    * batches are large/skewed enough that runtime re-planning pays.
     */
   def maintain(spark: SparkSession, path: String, newDocs: DataFrame,
-               lockWaitMs: Long = 0L): Stats =
+               lockWaitMs: Long = 0L, keepAqe: Boolean = false,
+               smallGraphEdges: Int = 200000): Stats =
     graft.util.PathLock.withLock(spark, path, lockWaitMs,
       what = "near-dup index maintainer") {
+    graft.util.AqeScope.off(spark, keepAqe = keepAqe) {
       val meta = readMeta(spark, path)
       recoverStores(spark, path)
       val sigsNew = NearDup.signatures(newDocs).cache()
@@ -378,8 +416,25 @@ object NearDupIndex {
             // that member the id is a correct OPAQUE label value but
             // must never be re-published as a doc_id ROW, or RTBF
             // would silently resurrect the forgotten doc in labels
-            val subAll = LabelProp.components(
-              pairs.unionByName(anchors), "doc_a", "doc_b")
+            val edgesAll = pairs.unionByName(anchors)
+            // REGIME SWITCH (the Bpe.trainIndexed size-gate precedent):
+            // a typical maintain's delta subgraph is a few thousand
+            // edges, and the distributed LabelProp loop costs ~3 s of
+            // fixed driver churn (checkpoint, per-round joins,
+            // convergence counts) to label it; a bounded limit-probe
+            // collect decides the regime in ONE job — ≤ smallGraphEdges
+            // edges run a driver union-find (identical min-labels, the
+            // scaladoc on [[unionFindMin]]), anything larger falls to
+            // the same distributed kernel q53 runs. The collect is
+            // bounded by construction: limit(gate+1) caps rows on the
+            // driver whatever the subgraph size.
+            val probe = edgesAll.limit(smallGraphEdges + 1).collect()
+            val subAll =
+              if (probe.length <= smallGraphEdges) {
+                import spark.implicits._
+                unionFindMin(probe.map(r => (r.getLong(0), r.getLong(1))))
+                  .toDF("node", "component")
+              } else LabelProp.components(edgesAll, "doc_a", "doc_b")
             val sub = (deletedIds(spark, path) match {
               case Some(dead) => subAll.join(broadcast(dead),
                 subAll("node") === dead("doc_id"), "left_anti")
@@ -413,6 +468,7 @@ object NearDupIndex {
           pairs.unpersist(); allRows.unpersist(); matched.unpersist(); ()
         }
       } finally { sigsNew.unpersist(); () }
+    }
     }
 
   /** Right-to-be-forgotten for the INDEX — the face that composes
@@ -456,7 +512,8 @@ object NearDupIndex {
           .withColumn("ver", lit(meta.ver + 1))
           .withColumn("del", lit(true))
         graft.pipeline.Merge.upsertPartitioned(spark, labelsPath(path),
-          upd, "shard", Seq("doc_id"), "ver", Some("del"))
+          upd, "shard", Seq("doc_id"), "ver", Some("del"),
+          needStats = false, clusterWrite = true)
         ()
       }
       writeMeta(spark, path, meta.copy(ver = meta.ver + 1))

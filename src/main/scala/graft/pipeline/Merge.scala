@@ -187,11 +187,29 @@ object Merge {
     * cannot move between partitions in one merge — changing the
     * partition value of a key is a delete in one partition plus an
     * insert in another).
+    *
+    * `needStats = false` skips the merge-statistics aggregation (one
+    * full extra pass over the merged output plus its cache) and
+    * returns zeroed [[Stats]] — for maintainer callers that discard
+    * them (NearDupIndex's label publish runs one such merge per
+    * maintain cycle; the pass was ~1 s of its fixed per-cycle cost).
+    *
+    * `clusterWrite = true` repartitions the merged output by partCol
+    * before the partitioned write: one task — one FILE — per touched
+    * partition, instead of (shuffle partitions × dirs) tiny files
+    * whose create/commit renames dominate a small merge (measured
+    * 3.1 s → sub-second on NearDupIndex's 16-shard label publish).
+    * Leave it false when a single partition's merge output is big
+    * enough that serializing it through one task costs more than the
+    * file churn — the caller knows its distribution; the default
+    * preserves write parallelism.
     */
   def upsertPartitioned(spark: SparkSession, targetPath: String,
                         updates: DataFrame, partCol: String,
                         keys: Seq[String], versionCol: String,
-                        deleteCol: Option[String] = None): Stats = {
+                        deleteCol: Option[String] = None,
+                        needStats: Boolean = true,
+                        clusterWrite: Boolean = false): Stats = {
     // resolve the caller's partCol to the frame's OWN attribute case
     // ONCE (per the session's resolution semantics): the partitioned
     // writer names directories after the ATTRIBUTE, so a caller-cased
@@ -248,7 +266,7 @@ object Merge {
           versionCol, deleteCol,
           parts.zip(ls).map { case ((v, dn, p), (lease, exists)) =>
             (v, dn, p, lease, exists)
-          })
+          }, needStats, clusterWrite)
       }
     } finally { upd.unpersist(); () }
   }
@@ -261,18 +279,33 @@ object Merge {
                          targetPath: String, upd: DataFrame, partCol: String,
                          keys: Seq[String], versionCol: String,
                          deleteCol: Option[String],
-                         parts: List[(Any, String, String, Snapshot.Lease, Boolean)])
+                         parts: List[(Any, String, String, Snapshot.Lease, Boolean)],
+                         needStats: Boolean, clusterWrite: Boolean)
       : Stats = {
     val del = deleteCol.getOrElse("_graft_delete")
     val updData = upd.drop(deleteCol.toSeq: _*)
     // target side: each existing partition dir read DIRECTLY (no
     // partition discovery — its value re-attaches as a typed literal,
     // sidestepping discovery's int32 narrowing), united into one scan
-    // set; partitions written before an add-column evolution read null
-    // for the newer columns (allowMissingColumns), exactly as their
-    // standalone merge would
+    // set. The union schema over the touched dirs is inferred in ONE
+    // mergeSchema read (needed for the evolution refusal below — the
+    // update batch's schema cannot stand in for what the target
+    // actually holds); the per-dir reads then carry it EXPLICITLY —
+    // a bare spark.read.parquet(dir) costs a schema-inference footer
+    // JOB per dir (measured: one ~25 ms driver round trip per touched
+    // shard per maintain in the r12 NearDupIndex profile — the serial
+    // cost this fused cycle exists to remove). Partitions written
+    // before an add-column evolution read null for the newer columns
+    // (an explicit schema's missing fields), exactly as their
+    // standalone merge would via allowMissingColumns.
+    val existingDirs = parts.collect { case (_, _, p, _, true) => p }
+    val tgtSchema: Option[org.apache.spark.sql.types.StructType] =
+      if (existingDirs.isEmpty) None
+      else Some(spark.read.option("mergeSchema", "true")
+        .parquet(existingDirs: _*).schema)
     val tgtFrames = parts.collect { case (v, _, p, _, true) =>
-      spark.read.parquet(p).withColumn(partCol, lit(v))
+      spark.read.schema(tgtSchema.get).parquet(p)
+        .withColumn(partCol, lit(v))
     }
     val tgtRaw = if (tgtFrames.isEmpty)
       spark.createDataFrame(
@@ -307,14 +340,16 @@ object Merge {
       .orderBy(col(versionCol).desc, col("_graft_src").desc,
         xxhash64(dataCols.map(col): _*).asc)
     val wKey = Window.partitionBy(grp: _*)
-    val merged = tgt.unionByName(updTagged)
+    val merged0 = tgt.unionByName(updTagged)
       .withColumn("_graft_rn", row_number().over(wRank))
       .withColumn("_graft_had_tgt",
         max(when(col("_graft_src") === 0, 1).otherwise(0)).over(wKey))
       .filter(col("_graft_rn") === 1)
-      .cache()
+    // without the stats pass the write below is merged's ONLY
+    // consumer — caching would just add a materialization job
+    val merged = if (needStats) merged0.cache() else merged0
     try {
-      val a = merged.groupBy().agg(
+      val a = if (!needStats) None else Some(merged.groupBy().agg(
         count(lit(1)).as("winners"),
         count(when(!col(del), 1)).as("kept"),
         count(when(col(del) && col("_graft_had_tgt") === 1, 1)).as("deleted"),
@@ -323,7 +358,7 @@ object Merge {
         count(when(col("_graft_src") === 1 && !col(del) &&
           col("_graft_had_tgt") === 1, 1)).as("updated"),
         count(when(col("_graft_had_tgt") === 1, 1)).as("target_keys"))
-        .collect()(0)
+        .collect()(0))
       val result = merged.filter(!col(del))
         .drop(del, "_graft_src", "_graft_rn", "_graft_had_tgt")
       // ONE write job produces every partition's new contents under a
@@ -334,7 +369,8 @@ object Merge {
       // large partition's merge output through a single task
       val tmpRoot = new Path(targetPath + "._graft_ptmp")
       if (fs.exists(tmpRoot)) fs.delete(tmpRoot, true)
-      result.write.partitionBy(partCol)
+      (if (clusterWrite) result.repartition(col(partCol)) else result)
+        .write.partitionBy(partCol)
         .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(tmpRoot.toString)
       // A partition whose rows were ALL tombstoned gets no tmp dir
       // from the writer — publish a ZERO-ROW parquet snapshot (with
@@ -371,14 +407,17 @@ object Merge {
           new Path(s"$tmpRoot/$partCol=$dirName"), lease)
       }
       fs.delete(tmpRoot, true)
-      Stats(
-        targetRows = a.getLong(5),
-        updateRows = upd.count(),
-        resultRows = a.getLong(1),
-        inserted = a.getLong(3),
-        updated = a.getLong(4),
-        deleted = a.getLong(2))
-    } finally { merged.unpersist(); () }
+      a match {
+        case Some(r) => Stats(
+          targetRows = r.getLong(5),
+          updateRows = upd.count(),
+          resultRows = r.getLong(1),
+          inserted = r.getLong(3),
+          updated = r.getLong(4),
+          deleted = r.getLong(2))
+        case None => Stats(0, 0, 0, 0, 0, 0)
+      }
+    } finally { if (needStats) merged.unpersist(); () }
   }
 
   /** Time travel over an SCD-2 snapshot: the rows as they were AT

@@ -119,6 +119,33 @@ class NearDupIndexSpec extends SparkSpec {
     assert(indexed(path) == after3)
   }
 
+  test("relabel regimes agree: driver union-find (small delta) == distributed LabelProp, step for step") {
+    // the r13 size gate: a maintain whose delta subgraph fits the
+    // limit-probe runs a driver union-find instead of the LabelProp
+    // loop (~3 s of fixed driver churn per cycle). Force the
+    // distributed kernel with smallGraphEdges = 0 on a twin index and
+    // pin label equality after every slice — insert, min-decrease and
+    // component-merge shapes all covered by the same fixture geometry
+    // as the one-shot parity test.
+    val pDrv = Files.createTempDirectory("graft-ndidx-uf").toString + "/idx"
+    val pDist = Files.createTempDirectory("graft-ndidx-lp").toString + "/idx"
+    val minEst = 0.5
+    val s1 = docs(1L -> tX, 2L -> (tX + " extra1"), 5L -> tY,
+      6L -> (tY + " extra2"), 3L -> tD)
+    NearDupIndex.build(spark, pDrv, s1, minEst, nShards = 8)
+    NearDupIndex.build(spark, pDist, s1, minEst, nShards = 8)
+    val slices = Seq(
+      docs(101L -> (tX + " extra4"), 0L -> (tY + " extra5")),
+      docs(100L -> tBridge))
+    slices.zipWithIndex.foreach { case (s, i) =>
+      NearDupIndex.maintain(spark, pDrv, s) // gate: driver union-find
+      NearDupIndex.maintain(spark, pDist, s, smallGraphEdges = 0)
+      assert(indexed(pDrv) == indexed(pDist),
+        s"slice $i: relabel regimes diverged")
+    }
+    assert(indexed(pDrv)(101L) == 0L, "merge must reach the global min")
+  }
+
   test("maintain's store probes read ONLY the probed partitions (corrupt-the-rest pin)") {
     val path = Files.createTempDirectory("graft-ndidx3").toString + "/idx"
     val storeParts = 32
