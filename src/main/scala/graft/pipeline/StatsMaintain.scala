@@ -29,22 +29,45 @@ import org.apache.spark.sql.functions._
   *    concatenated data EXACTLY — same registers, same integer sum,
   *    same one double division.
   *
+  *  - `qs_<c>` — (r13) a bounded deterministic bottom-k row sample
+  *    (array<struct<h,v>> of the k smallest md5-of-row-key hashes
+  *    with their values; [[graft.functions.expressions
+  *    .BottomKSample]]); merge: union → re-bottom-k — exact, so the
+  *    maintained sample quantiles (`p50s_<c>`/`p99s_<c>`, ~1/√k rank
+  *    error) carry the q46 sampled-quantile answer into the
+  *    maintained view, an order of magnitude tighter than the log2
+  *    histogram's factor-2 bound.
+  *
   * What is NOT here, deliberately: non-mergeable aggregates (exact
   * median, exact distinct). Those need the raw data by definition;
-  * the mergeable stand-ins (q46's sampled quantiles, the HLL here)
-  * are the 100 TB answers.
+  * the mergeable stand-ins (the bottom-k sample, the HLL) are the
+  * 100 TB answers.
   */
 object StatsMaintain {
 
   /** What to maintain: group keys, sum columns, min/max columns,
-    * distinct-count (HLL) columns, histogram (quantile) columns.
+    * distinct-count (HLL) columns, histogram (quantile-bound)
+    * columns, and SAMPLED-quantile columns (`quants` — see
+    * [[graft.functions.expressions.BottomKSample]]): a bounded
+    * deterministic bottom-k row sample per group whose sample
+    * quantiles carry ~1/√k rank error (k=1024 ⇒ ~3%), against the
+    * log2 histogram's factor-2 value bound. `quants` requires
+    * `quantKey` — a column UNIQUELY identifying rows (the q46
+    * hash-sampling discipline): the sample keeps the rows whose
+    * md5Lower64(key) is smallest, a pure function of the data, so the
+    * maintained sketch is bit-identical to one-shot and DuckDB
+    * replays it in closed form (`row_number() OVER (ORDER BY
+    * md5_number_lower(key)) <= k`).
     */
   final case class Spec(
       keys: Seq[String],
       sums: Seq[String] = Nil,
       minMax: Seq[String] = Nil,
       distincts: Seq[String] = Nil,
-      hists: Seq[String] = Nil)
+      hists: Seq[String] = Nil,
+      quants: Seq[String] = Nil,
+      quantKey: Option[String] = None,
+      quantK: Int = 1024)
 
   /** Log2-histogram bins: bin 0 holds values ≤ 0, bin k (1 ≤ k ≤ 63)
     * holds [2^(k−1), 2^k) — so a quantile read back off the histogram
@@ -59,6 +82,7 @@ object StatsMaintain {
 
   private def hllCol(c: String) = s"hll_$c"
   private def histCol(c: String) = s"hist_$c"
+  private def quantCol(c: String) = s"qs_$c"
 
   /** The bin of one value: 0 for v ≤ 0, else ⌊log2 v⌋ + 1 — computed
     * as length(bin(v)), the binary-string length (codegen'd, and the
@@ -86,6 +110,9 @@ object StatsMaintain {
     */
   def partials(batch: DataFrame, spec: Spec): DataFrame = {
     require(spec.keys.nonEmpty, "stats need at least one group key")
+    require(spec.quants.isEmpty || spec.quantKey.nonEmpty,
+      "sampled quantiles (quants) need quantKey — the unique row key " +
+        "whose md5 hash drives the deterministic bottom-k sample")
     val prep = batch.select(
       spec.keys.map(col) ++
         spec.sums.map(c => col(c).cast("decimal(38,6)").as(s"_s_$c")) ++
@@ -94,7 +121,18 @@ object StatsMaintain {
           when(col(c).isNotNull, Hll.reg(col(c))).as(s"_reg_$c"),
           when(col(c).isNotNull, Hll.rho(col(c))).as(s"_rho_$c"))) ++
         spec.hists.map(c =>
-          when(col(c).isNotNull, binOf(col(c))).as(s"_bin_$c")): _*)
+          when(col(c).isNotNull, binOf(col(c))).as(s"_bin_$c")) ++
+        // one hash per ROW, shared by every quant column. Ordered by
+        // the UNSIGNED hash via >>> 1 (the q48 convention): Spark's
+        // md5Lower64 is DuckDB's md5_number_lower REINTERPRETED as a
+        // signed long, so signed order would diverge from the oracle's
+        // unsigned order — the logical shift drops the sign bit into
+        // the same non-negative range in both engines, bit for bit
+        (if (spec.quants.isEmpty) Nil
+         else Seq(shiftrightunsigned(graft.functions.expressions.TextExprs
+           .md5Lower64(col(spec.quantKey.get).cast("string")), 1)
+           .as("_qh")) ++
+           spec.quants.map(c => col(c).cast("double").as(s"_qv_$c"))): _*)
     val aggs: Seq[Column] =
       Seq(count(lit(1)).as("n")) ++
         spec.sums.map(c => sum(col(s"_s_$c")).as(s"sum_$c")) ++
@@ -110,6 +148,14 @@ object StatsMaintain {
           array((0 until HistBins).map(j =>
             sum(when(col(s"_bin_$c") === j, 1L).otherwise(0L))): _*)
             .as(histCol(c))
+        } ++
+        spec.quants.map { c =>
+          // the one typed-buffer aggregate: mixing it in switches the
+          // operator to ObjectHashAggregate, still ONE pass and ONE
+          // shuffle with map-side partials for every family at once
+          graft.functions.expressions.SketchAggs
+            .bottomK(col("_qh"), col(s"_qv_$c"), spec.quantK)
+            .as(quantCol(c))
         }
     prep.groupBy(spec.keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
@@ -142,6 +188,13 @@ object StatsMaintain {
             array_repeat(lit(0L), HistBins),
             (acc, x) => zip_with(acc, x, (a, b) => a + b))
             .as(histCol(c))
+        } ++
+        spec.quants.map { c =>
+          // bottom-k of a union IS bottom-k of the parts' bottom-ks:
+          // flatten the (≤ one per snapshot/batch) arrays, sort by
+          // (h, v) — array_sort orders structs field-wise — keep k
+          slice(array_sort(flatten(collect_list(col(quantCol(c))))),
+            1, spec.quantK).as(quantCol(c))
         }
     parts.groupBy(spec.keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
@@ -194,21 +247,51 @@ object StatsMaintain {
       .otherwise(call_function("shiftleft", lit(1L), bin) - 1L)
   }
 
+  /** The q-quantile read off a maintained bottom-k sample: the exact
+    * linearly-interpolated quantile OVER THE SAMPLE's values —
+    * r = q·(n−1) on the ascending values, result = v⌊r⌋ +
+    * (v⌊r⌋₊₁ − v⌊r⌋)·(r − ⌊r⌋), the quantile_cont definition written
+    * out operation-for-operation so the DuckDB oracle can replay the
+    * identical IEEE arithmetic (see q97Sql's smp CTEs). Null for an
+    * empty sample. Within the sample this is exact; as an estimate of
+    * the data quantile it carries the sample's ~1/√k rank error.
+    */
+  def quantileFromSample(s: Column, q: Double): Column = {
+    require(q >= 0.0 && q <= 1.0, s"bad quantile $q")
+    val vals = array_sort(transform(s, x => x.getField("v")))
+    val n = size(vals)
+    val r = lit(q) * (n - 1).cast("double")
+    val lo = floor(r).cast("int")
+    val frac = r - floor(r)
+    val vLo = element_at(vals, lo + 1)
+    val vHi = element_at(vals, least(lo + 2, n))
+    when(n === 0, lit(null).cast("double"))
+      .otherwise(vLo + (vHi - vLo) * frac)
+  }
+
   /** Human-readable view of a maintained snapshot: register vectors
     * finalized to `nd_<c>` distinct estimates, histograms to
-    * `p50_<c>`/`p99_<c>` quantile bounds, everything else passed
-    * through ([[quantileFromHist]] serves other ranks).
+    * `p50_<c>`/`p99_<c>` quantile bounds, bottom-k samples to
+    * `p50s_<c>`/`p99s_<c>` sampled quantiles, everything else passed
+    * through ([[quantileFromHist]]/[[quantileFromSample]] serve other
+    * ranks).
     */
   def report(snapshot: DataFrame, spec: Spec): DataFrame = {
     val withNd = spec.distincts.foldLeft(snapshot) { (acc, c) =>
       acc.withColumn(s"nd_$c", estimateFromVector(col(hllCol(c))))
         .drop(hllCol(c))
     }
-    spec.hists.foldLeft(withNd) { (acc, c) =>
+    val withHist = spec.hists.foldLeft(withNd) { (acc, c) =>
       acc
         .withColumn(s"p50_$c", quantileFromHist(col(histCol(c)), 1, 2))
         .withColumn(s"p99_$c", quantileFromHist(col(histCol(c)), 99, 100))
         .drop(histCol(c))
+    }
+    spec.quants.foldLeft(withHist) { (acc, c) =>
+      acc
+        .withColumn(s"p50s_$c", quantileFromSample(col(quantCol(c)), 0.5))
+        .withColumn(s"p99s_$c", quantileFromSample(col(quantCol(c)), 0.99))
+        .drop(quantCol(c))
     }
   }
 
@@ -284,13 +367,27 @@ object StatsMaintain {
     * stats, not about victim content surviving.
     *
     * Replay: retraction is additive-negative, so a replayed retract
-    * double-subtracts — use [[retractBatch]] (the ledger) under
-    * crash-replay delivery. Ledgered folds and retractions share ONE
-    * id space per snapshot.
+    * double-subtracts — and unlike a replayed fold, the damage is
+    * SILENT whenever the second subtraction happens not to trip the
+    * negative-count/bin guard (large groups absorb it). That hazard
+    * must not be scaladoc-only, so [[retractBatch]] (the in-snapshot
+    * ledger) is the PRIMARY face, and this unledgered face demands
+    * the caller acknowledge at-most-once delivery explicitly:
+    * `deliveredAtMostOnce = true` says "this call site cannot be
+    * crash-replayed" (a driver-side one-shot job, a test). Anything
+    * driven by a retrying scheduler or a streaming sink uses
+    * [[retractBatch]]. Ledgered folds and retractions share ONE id
+    * space per snapshot.
     */
   def retract(spark: SparkSession, targetPath: String,
-              victimRows: DataFrame, spec: Spec): RetractStats =
+              victimRows: DataFrame, spec: Spec,
+              deliveredAtMostOnce: Boolean): RetractStats = {
+    require(deliveredAtMostOnce,
+      "unledgered retraction double-subtracts SILENTLY under " +
+        "crash-replay delivery — pass deliveredAtMostOnce = true only " +
+        "if this call site cannot replay; otherwise use retractBatch")
     retractImpl(spark, targetPath, victimRows, spec, batchId = None).get
+  }
 
   /** [[retract]] with exactly-once replay semantics (the
     * [[maintainBatch]] in-snapshot ledger).
@@ -307,6 +404,11 @@ object StatsMaintain {
       "stats retraction: min/max and HLL register vectors are " +
         "max-folds — irreversible by construction; rebuild the view " +
         "over the surviving corpus for those families")
+    require(spec.quants.isEmpty,
+      "stats retraction: the bottom-k quantile sample is a min-fold — " +
+        "a victim inside the sample cannot be un-sampled (the k+1-th " +
+        "row was deliberately not stored); rebuild the view over the " +
+        "surviving corpus, the min/max contract")
     // a victim set that turns out empty must not pay a full
     // read-merge-publish rewrite — or, against a path never
     // maintained, FABRICATE an empty snapshot out of nothing

@@ -482,18 +482,24 @@ object SketchQ {
     import graft.pipeline.StatsMaintain
     val spec = StatsMaintain.Spec(
       keys = Seq("flag"), sums = Seq("qty"), minMax = Seq("qty"),
-      distincts = Seq("supp"), hists = Seq("pf"))
+      distincts = Seq("supp"), hists = Seq("pf"),
+      // r13: the bottom-k sampled quantiles alongside the log2 bounds
+      // — rk is the q46 unique row key, k the default 1024
+      quants = Seq("pf"), quantKey = Some("rk"))
     val base = Tables(s, dir).lineitem.select(
       col("l_returnflag").as("flag"),
       col("l_quantity").as("qty"),
       col("l_suppkey").cast("string").as("supp"),
-      floor(col("l_extendedprice")).cast("long").as("pf"))
+      floor(col("l_extendedprice")).cast("long").as("pf"),
+      concat_ws("-", col("l_orderkey"), col("l_linenumber")).as("rk"))
     StatsMaintain.report(StatsMaintain.partials(base, spec), spec)
       .select(col("flag"), col("n"),
         col("sum_qty").cast("double").as("sum_qty"),
         col("min_qty").cast("long").as("min_qty"),
         col("max_qty").cast("long").as("max_qty"),
-        col("nd_supp"), col("p50_pf"), col("p99_pf"))
+        col("nd_supp"), col("p50_pf"), col("p99_pf"),
+        round4(col("p50s_pf")).as("p50s_pf4"),
+        round4(col("p99s_pf")).as("p99s_pf4"))
       .orderBy(col("flag"))
   }
 
@@ -553,10 +559,51 @@ object SketchQ {
        |q99 AS (
        |  SELECT flag, CASE WHEN min(bin) <= 0 THEN 0
        |    ELSE (CAST(1 AS BIGINT) << CAST(min(bin) AS INT)) - 1 END AS p99_pf
-       |  FROM cm WHERE cum >= (tot * 99 + 99) // 100 GROUP BY flag)
-       |SELECT sc.flag, n, sum_qty, min_qty, max_qty, nd_supp, p50_pf, p99_pf
+       |  FROM cm WHERE cum >= (tot * 99 + 99) // 100 GROUP BY flag),
+       |${sampledQuantCtes}
+       |SELECT sc.flag, n, sum_qty, min_qty, max_qty, nd_supp, p50_pf, p99_pf,
+       |  p50s_pf4, p99s_pf4
        |FROM sc JOIN nd USING (flag) JOIN q50 USING (flag) JOIN q99 USING (flag)
+       |  JOIN sq USING (flag)
        |ORDER BY sc.flag""".stripMargin
+  }
+
+  /** The bottom-k sampled-quantile replay, closed form — the whole
+    * point of the bottom-k design over a KLL (StatsMaintain scaladoc):
+    * the maintained sample is EXACTLY "the k rows whose
+    * md5_number_lower(row key) sorts first", one window clause in any
+    * engine, and the interpolation mirrors
+    * [[graft.pipeline.StatsMaintain.quantileFromSample]] operation for
+    * operation (r = q·(ns−1), v⌊r⌋ + (v⌊r⌋₊₁ − v⌊r⌋)·(r − ⌊r⌋)) so the
+    * IEEE arithmetic is identical before round4.
+    */
+  private def sampledQuantCtes: String = {
+    def interp(tag: String, q: String): String = {
+      val e = s"""max(CASE WHEN i = CAST(FLOOR($q*(ns-1)) AS BIGINT) THEN v END)
+         |  + (max(CASE WHEN i = LEAST(CAST(FLOOR($q*(ns-1)) AS BIGINT) + 1, ns-1) THEN v END)
+         |     - max(CASE WHEN i = CAST(FLOOR($q*(ns-1)) AS BIGINT) THEN v END))
+         |  * any_value($q*(ns-1) - FLOOR($q*(ns-1)))""".stripMargin
+      s"${round4Sql(e)} AS p${tag}s_pf4"
+    }
+    s"""b2 AS (
+       |  SELECT l_returnflag AS flag,
+       |    CAST(CAST(FLOOR(l_extendedprice) AS BIGINT) AS DOUBLE) AS v,
+       |    md5_number_lower(concat_ws('-', l_orderkey, l_linenumber)) >> 1 AS h
+       |  FROM lineitem),
+       |smp AS (
+       |  SELECT flag, v,
+       |    row_number() OVER (PARTITION BY flag ORDER BY h, v) AS rn
+       |  FROM b2),
+       |sk AS (
+       |  SELECT flag, v,
+       |    row_number() OVER (PARTITION BY flag ORDER BY v) - 1 AS i,
+       |    count(*) OVER (PARTITION BY flag) AS ns
+       |  FROM smp WHERE rn <= 1024),
+       |sq AS (
+       |  SELECT flag,
+       |  ${interp("50", "0.5")},
+       |  ${interp("99", "0.99")}
+       |  FROM sk GROUP BY flag)""".stripMargin
   }
 
   val entries: Seq[Entry] = Seq(

@@ -187,7 +187,8 @@ class StatsMaintainSpec extends SparkSpec {
     // forget u1's rows (one in 'a', one in 'b') — the snapshot must be
     // BIT-IDENTICAL to never having folded them
     val victims = Seq(("a", 10L, "u1"), ("b", 5L, "u1"))
-    val s = StatsMaintain.retract(spark, path, batch(victims: _*), rSpec)
+    val s = StatsMaintain.retract(spark, path, batch(victims: _*), rSpec,
+      deliveredAtMostOnce = true)
     assert(s.victimRows == 2 && s.groupsDropped == 0, s"$s")
     val expectPath = tmpDir()
     StatsMaintain.maintain(spark, expectPath,
@@ -198,7 +199,7 @@ class StatsMaintainSpec extends SparkSpec {
 
     // retract ALL of c's rows: the group row must vanish
     val s2 = StatsMaintain.retract(spark, path,
-      batch(("c", 7L, "u4")), rSpec)
+      batch(("c", 7L, "u4")), rSpec, deliveredAtMostOnce = true)
     assert(s2.groupsDropped == 1, s"$s2")
     assert(snap(path).filter(col("grp") === "c").isEmpty)
 
@@ -209,29 +210,33 @@ class StatsMaintainSpec extends SparkSpec {
     // driven negative (999 lands in a bin group a never populated)
     val e = intercept[IllegalArgumentException] {
       StatsMaintain.retract(spark, path, batch(("b", 999L, "zz"),
-        ("b", 999L, "zz")), rSpec)
+        ("b", 999L, "zz")), rSpec, deliveredAtMostOnce = true)
     }
     assert(e.getMessage.contains("does not match"), e.getMessage)
     val eResidue = intercept[IllegalArgumentException] {
-      StatsMaintain.retract(spark, path, batch(("b", 999L, "zz")), rSpec)
+      StatsMaintain.retract(spark, path, batch(("b", 999L, "zz")), rSpec,
+        deliveredAtMostOnce = true)
     }
     assert(eResidue.getMessage.contains("does not match"), eResidue.getMessage)
     val eBin = intercept[IllegalArgumentException] {
-      StatsMaintain.retract(spark, path, batch(("a", 999L, "zz")), rSpec)
+      StatsMaintain.retract(spark, path, batch(("a", 999L, "zz")), rSpec,
+        deliveredAtMostOnce = true)
     }
     assert(eBin.getMessage.contains("does not match"), eBin.getMessage)
 
     // an empty victim set is a FREE no-op — and against a path never
     // maintained it must not fabricate a snapshot
     val ghost = tmpDir()
-    val s0 = StatsMaintain.retract(spark, ghost, batch(b1: _*).limit(0), rSpec)
+    val s0 = StatsMaintain.retract(spark, ghost, batch(b1: _*).limit(0), rSpec,
+      deliveredAtMostOnce = true)
     assert(s0 == StatsMaintain.RetractStats(0L, 0L, 0L))
     assert(!new java.io.File(ghost).exists(),
       "empty retraction must not fabricate a snapshot")
 
     // a spec carrying max-folds refuses (irreversible by construction)
     val e2 = intercept[IllegalArgumentException] {
-      StatsMaintain.retract(spark, path, batch(("a", 20L, "u2")), spec)
+      StatsMaintain.retract(spark, path, batch(("a", 20L, "u2")), spec,
+        deliveredAtMostOnce = true)
     }
     assert(e2.getMessage.contains("max-folds"), e2.getMessage)
 
@@ -244,6 +249,75 @@ class StatsMaintainSpec extends SparkSpec {
       "replayed retraction must not double-subtract")
     val after = snap(path).collect().map(_.toString).sorted.toSeq
     assert(before != after, "the first ledgered retraction must apply")
+  }
+
+  test("bottom-k quantile sample: fold == one-shot bit-identical, eviction exercised; retraction + un-acked retract refuse") {
+    val qSpec = Spec(keys = Seq("grp"), quants = Seq("amount"),
+      quantKey = Some("rk"), quantK = 4)
+    def qb(rows: (String, Long, String)*): DataFrame =
+      rows.toSeq.toDF("grp", "amount", "rk")
+    // 12 unique row keys in group a (3× the k=4 cap — eviction runs in
+    // every batch AND in the snapshot merges), 3 in group b
+    val rows = (1 to 12).map(i => ("a", i * 10L, f"a-$i%02d")) ++
+      (1 to 3).map(i => ("b", i * 7L, s"b-$i"))
+    val (p1, p2, p3) = (rows.take(5), rows.slice(5, 10), rows.drop(10))
+    val path = tmpDir()
+    StatsMaintain.maintain(spark, path, qb(p1: _*), qSpec)
+    StatsMaintain.maintain(spark, path, qb(p2: _*), qSpec)
+    StatsMaintain.maintain(spark, path, qb(p3: _*), qSpec)
+    val oneShot = StatsMaintain.partials(qb(rows: _*), qSpec)
+    def canon(df: DataFrame) = df
+      .select(col("grp"), col("n"),
+        to_json(col("qs_amount")).as("qs"))
+      .collect().map(_.toSeq).toSet
+    assert(canon(snap(path)) == canon(oneShot),
+      s"maintained sample ${canon(snap(path))} != one-shot ${canon(oneShot)}")
+    // the sample really is the bottom-k BY HASH: k rows, every hash ≤
+    // the max over group a's full hash set would be circular — pin
+    // instead that it is a SUBSET of the group's rows with exactly
+    // qKk entries and ascending h
+    val aSample = snap(path).filter(col("grp") === "a")
+      .select(explode(col("qs_amount")).as("e"))
+      .select(col("e.h"), col("e.v")).collect()
+    assert(aSample.length == 4)
+    assert(aSample.map(_.getLong(0)).toSeq ==
+      aSample.map(_.getLong(0)).sorted.toSeq, "ascending by h")
+    assert(aSample.map(_.getDouble(1)).forall(v =>
+      rows.exists(r => r._1 == "a" && r._2.toDouble == v)),
+      "sampled values must come from the group's rows")
+    // report: sampled quantiles come back, exact over the sample
+    val rep = StatsMaintain.report(snap(path), qSpec)
+      .filter(col("grp") === "a")
+      .select("p50s_amount", "p99s_amount").collect()(0)
+    val vs = aSample.map(_.getDouble(1)).sorted
+    def interp(q: Double): Double = {
+      val r = q * (vs.length - 1); val lo = math.floor(r).toInt
+      val hi = math.min(lo + 1, vs.length - 1)
+      vs(lo) + (vs(hi) - vs(lo)) * (r - math.floor(r))
+    }
+    assert(rep.getDouble(0) == interp(0.5) && rep.getDouble(1) == interp(0.99),
+      s"report ${rep} != driver interpolation ${interp(0.5)}/${interp(0.99)}")
+
+    // a min-fold like min/max: retraction refuses
+    val eQ = intercept[IllegalArgumentException] {
+      StatsMaintain.retract(spark, path, qb(rows.head), qSpec,
+        deliveredAtMostOnce = true)
+    }
+    assert(eQ.getMessage.contains("bottom-k"), eQ.getMessage)
+    // quants without a row key refuse at the partials face
+    val eK = intercept[IllegalArgumentException] {
+      StatsMaintain.partials(qb(rows.head), qSpec.copy(quantKey = None))
+    }
+    assert(eK.getMessage.contains("quantKey"), eK.getMessage)
+    // the unledgered retract face demands the at-most-once ack
+    val rPath = tmpDir()
+    val rSpec = Spec(keys = Seq("grp"), sums = Seq("amount"))
+    StatsMaintain.maintain(spark, rPath, batch(b1: _*), rSpec)
+    val eAck = intercept[IllegalArgumentException] {
+      StatsMaintain.retract(spark, rPath, batch(b1.head), rSpec,
+        deliveredAtMostOnce = false)
+    }
+    assert(eAck.getMessage.contains("retractBatch"), eAck.getMessage)
   }
 
   test("crash between the publish renames is repaired on the next maintain") {
