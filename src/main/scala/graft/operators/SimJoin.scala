@@ -145,6 +145,23 @@ object SimJoin {
     // emits distinct shingles, so distinct-intersection matches the
     // oracle's list_intersect semantics exactly, hash collisions
     // aside as ever).
+    //
+    // Width bound, stated for the skew audit: a candidate row carries
+    // ~8·(|A|+|B|) bytes of hash arrays, and a doc's arrays replicate
+    // once per candidate it appears in — bounded by its ≤(1−t)|s|+1
+    // prefix tokens × each token's collision count among docs the
+    // LENGTH filter admits (t|A| ≤ |B| ≤ |A|/t). On real template-heavy
+    // text that product is small (measured 69k candidates over 300k
+    // docs at sf0.1, ≈0.2/doc); it degenerates only when one prefix
+    // shingle is shared corpus-wide within a length band — the same
+    // boilerplate pathology q31 caps per bucket. A deployment facing
+    // that corpus shape should route docs with |s| (or a prefix
+    // token's df) above a cap through the pre-r12 row-expansion
+    // verify (expand candidate × side-A shingles, join on (idb, h),
+    // count — value-identical, rows instead of width); kept out of
+    // THIS hot path deliberately: the extra branch costs every normal
+    // corpus a join + union for a pathology the synthetic and crawl
+    // corpora never exhibit.
     val lists = sh.groupBy(col("id")).agg(collect_list(col("h")).as("hs"))
     val inter = cand
       .join(lists.select(col("id").as("ida"), col("hs").as("ha")), "ida")
