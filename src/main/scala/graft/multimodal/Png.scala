@@ -146,7 +146,11 @@ object Png {
     while (!sawIend) {
       if (off + 12 > bytes.length) return None // chunk header/CRC cut
       val len = b.getInt(off)
-      if (len < 0 || off + 12 + len > bytes.length) return None // truncated
+      // LONG arithmetic: a crafted len near Int.MaxValue would wrap
+      // `off + 12 + len` negative, slip past this fence, and die in a
+      // 2 GB allocation instead of returning None
+      if (len < 0 || off.toLong + 12L + len > bytes.length)
+        return None // truncated or lying length
       val tpe = new String(bytes, off + 4, 4, "US-ASCII")
       val crcData = new Array[Byte](len)
       System.arraycopy(bytes, off + 8, crcData, 0, len)
@@ -186,7 +190,11 @@ object Png {
       var got = 0
       while (got < expected && !infl.finished()) {
         val n = infl.inflate(raw, got, expected - got)
-        if (n == 0 && infl.needsInput()) return None // stream died short
+        // n == 0 while unfinished covers BOTH stall modes: needsInput
+        // (stream died short) and needsDictionary (FDICT-flagged zlib
+        // header — PNG forbids preset dictionaries, and looping on it
+        // would spin forever, a task hang one crafted crawl image away)
+        if (n == 0) return None
         got += n
       }
       if (got < expected) return None

@@ -56,8 +56,11 @@ object StatsMaintain {
     * hash-sampling discipline): the sample keeps the rows whose
     * md5Lower64(key) is smallest, a pure function of the data, so the
     * maintained sketch is bit-identical to one-shot and DuckDB
-    * replays it in closed form (`row_number() OVER (ORDER BY
-    * md5_number_lower(key)) <= k`).
+    * replays it in closed form (`WHERE v IS NOT NULL` + `row_number()
+    * OVER (ORDER BY md5_number_lower(key) >> 1) <= k` — null values
+    * are SKIPPED by the aggregate, the other families' isNotNull
+    * convention, so the replay must filter them before ranking or a
+    * null-v row would displace a real sample member).
     */
   final case class Spec(
       keys: Seq[String],

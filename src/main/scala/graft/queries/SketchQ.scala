@@ -593,7 +593,7 @@ object SketchQ {
        |smp AS (
        |  SELECT flag, v,
        |    row_number() OVER (PARTITION BY flag ORDER BY h, v) AS rn
-       |  FROM b2),
+       |  FROM b2 WHERE v IS NOT NULL),
        |sk AS (
        |  SELECT flag, v,
        |    row_number() OVER (PARTITION BY flag ORDER BY v) - 1 AS i,

@@ -62,9 +62,24 @@ object BinarySource {
     * but-undecodable media route to the media face as evidence-bearing
     * blobs, and only genuinely unrecognized bytes fall through to
     * `application/octet-stream`. RIFF is disambiguated by its form tag
-    * (WAVE vs WEBP); GIF87a/GIF89a share the "GIF8" prefix.
+    * (WAVE vs WEBP). Printable-ASCII magics are matched at their FULL
+    * discriminating shape, because this table GATES text out of the
+    * documents corpus and a short prefix misroutes real prose: GIF is
+    * the whole 6-byte version block ("GIF87a"/"GIF89a" — the actual
+    * format magic, not the "GIF8" prefix an article can start with),
+    * PDF keeps its version dash ("%PDF-"), and ID3 requires the v2
+    * header shape — major version <= 10 and all four sync-safe size
+    * bytes < 0x80 — so a page beginning "ID3 tags are..." (0x20 =
+    * version 32) stays text.
     */
-  def sniffMime(payload: Column): Column =
+  def sniffMime(payload: Column): Column = {
+    val id3 = magic(payload, 1, "ID3") &&
+      length(payload) >= 10 && // the full ID3v2 header must be present
+      substring(payload, 4, 1) <= lit(Array[Byte](10)) &&
+      substring(payload, 7, 1) < lit(Array[Byte](0x80.toByte)) &&
+      substring(payload, 8, 1) < lit(Array[Byte](0x80.toByte)) &&
+      substring(payload, 9, 1) < lit(Array[Byte](0x80.toByte)) &&
+      substring(payload, 10, 1) < lit(Array[Byte](0x80.toByte))
     when(magic(payload, 1, "P6"), lit(graft.multimodal.Multimodal.MimePpm))
       .when(magic(payload, 1, "BM"), lit(graft.multimodal.Multimodal.MimeBmp))
       .when(magic(payload, 1, "RIFF") && magic(payload, 9, "WAVE"),
@@ -72,14 +87,16 @@ object BinarySource {
       .when(magic(payload, 1, "\u0089PNG\r\n\u001a\n"),
         lit(graft.multimodal.Multimodal.MimePng))
       .when(magic(payload, 1, "\u00ff\u00d8\u00ff"), lit(MimeJpeg))
-      .when(magic(payload, 1, "GIF8"), lit(MimeGif))
+      .when(magic(payload, 1, "GIF87a") || magic(payload, 1, "GIF89a"),
+        lit(MimeGif))
       .when(magic(payload, 1, "RIFF") && magic(payload, 9, "WEBP"),
         lit(MimeWebp))
-      .when(magic(payload, 1, "%PDF"), lit(MimePdf))
+      .when(magic(payload, 1, "%PDF-"), lit(MimePdf))
       .when(magic(payload, 1, "\u001f\u008b"), lit(MimeGzip))
       .when(magic(payload, 1, "(\u00b5/\u00fd"), lit(MimeZstd))
-      .when(magic(payload, 1, "ID3"), lit(MimeMp3))
+      .when(id3, lit(MimeMp3))
       .otherwise(lit("application/octet-stream"))
+  }
 
   /** Read `dir` (optionally glob-filtered, recursive by default) as a
     * MediaRow-shaped frame: (path, doc_id, payload, meta).

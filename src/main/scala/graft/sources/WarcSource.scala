@@ -141,7 +141,13 @@ object WarcSource {
     if (wtype == "response" && startsWithAscii(content, "HTTP/")) {
       val sep = indexOfDoubleCrlf(content)
       if (sep >= 0) {
+        // obs-fold (LWS continuation) unfolds to one space BEFORE the
+        // line split — the same folding rule the WARC header loop
+        // applies; without it a folded `Content-Type: text/html;\r\n
+        //  charset=…` loses its charset parameter and the page decodes
+        // as UTF-8 mojibake with a clean-looking charset_used
         val head = new String(content, 0, sep, "ISO-8859-1")
+          .replaceAll("\r\n[ \t]+", " ")
         val httpCt = head.linesIterator
           .find(_.toLowerCase(java.util.Locale.ROOT).startsWith("content-type:"))
           .map(_.split(":", 2)(1).trim)

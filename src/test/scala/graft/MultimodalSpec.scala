@@ -579,6 +579,32 @@ class MultimodalSpec extends SparkSpec {
     assert(Png.decode(enc.take(enc.length - 12)).isEmpty, "missing IEND -> None")
     // lying dims: IHDR claims an extra row the inflate cannot supply
     assert(Png.decode(patchIhdr(enc, 23, 8)).isEmpty, "short raster -> None")
+    // adversarial-byte fences (review findings): a chunk length near
+    // Int.MaxValue must not wrap the bounds check into an allocation
+    // crash, and an FDICT-flagged zlib header (PNG forbids preset
+    // dictionaries) must fence instead of spinning the inflate loop
+    val hugeLen = enc.clone()
+    hugeLen(8) = 0x7F.toByte; hugeLen(9) = 0xFF.toByte
+    hugeLen(10) = 0xFF.toByte; hugeLen(11) = 0xF8.toByte
+    assert(Png.decode(hugeLen).isEmpty, "wrapping chunk length -> None")
+    // rebuild enc with its IDAT data swapped for an FDICT zlib header
+    // (0x78 0x20: FDICT bit set, FCHECK valid) + padding, CRC re-fixed
+    val fdict = {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(enc, 0, 8 + 25) // signature + IHDR chunk
+      val data = Array[Byte](0x78.toByte, 0x20.toByte, 1, 2, 3, 4, 5, 6)
+      val t = "IDAT".getBytes("US-ASCII")
+      out.write(java.nio.ByteBuffer.allocate(4).putInt(data.length).array())
+      out.write(t); out.write(data)
+      val crc = new java.util.zip.CRC32
+      crc.update(t); crc.update(data)
+      out.write(java.nio.ByteBuffer.allocate(4)
+        .putInt(crc.getValue.toInt).array())
+      out.write(enc, enc.length - 12, 12) // IEND chunk
+      out.toByteArray
+    }
+    assert(Png.decode(fdict).isEmpty,
+      "FDICT zlib stream must fence, not hang the task")
   }
 
   test("extractFeatures on PNG mime runs the real decoder; same pixels as PPM give same features") {

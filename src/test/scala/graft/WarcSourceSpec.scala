@@ -198,6 +198,28 @@ class WarcSourceSpec extends SparkSpec {
     Files.write(Paths.get(dir, "folded.warc"),
       folded ++ bytes(s"Content-Length: ${foldedBody.length}\r\n\r\n") ++
         foldedBody ++ bytes("\r\n\r\n"))
+    // obs-folded HTTP envelope: the charset parameter arrives on an
+    // LWS continuation line INSIDE the HTTP header block
+    val hfBody = bytes("HTTP/1.1 200 OK\r\nContent-Type: text/html;\r\n" +
+      " charset=ISO-8859-1\r\nServer: t\r\n\r\n") ++ bytes("fold é page")
+    Files.write(Paths.get(dir, "httpfold.warc"),
+      rec(Seq("WARC-Type" -> "response",
+        "WARC-Target-URI" -> "http://w.example/httpfold",
+        "Content-Type" -> "application/http; msgtype=response"), hfBody))
+    // weak-prefix TEXT payloads that must STAY text (review finding:
+    // short printable magics misroute prose): pages starting with the
+    // strings "ID3 ", "GIF8 " and "%PDF " are documents, while a real
+    // ID3v2 header (version 4, sync-safe size) routes to audio
+    Files.write(Paths.get(dir, "prefixes.warc"),
+      resp("http://w.example/id3text", "text/plain",
+        bytes("ID3 tags are metadata containers for audio files")) ++
+        resp("http://w.example/gif8text", "text/plain",
+          bytes("GIF8 is how both gif magics begin, in prose")) ++
+        resp("http://w.example/pdftext", "text/plain",
+          bytes("%PDF files start with a version marker")) ++
+        resp("http://w.example/realid3", "text/html",
+          Array[Byte]('I', 'D', '3', 4, 0, 0, 0, 0, 2, 1) ++
+            Array.tabulate[Byte](64)(i => (i * 7).toByte)))
     dir
   }
 
@@ -217,6 +239,13 @@ class WarcSourceSpec extends SparkSpec {
     assert(urls.contains("http://w.example/plainutf"))
     assert(urls.contains("http://w.example/folded"),
       "a folded WARC header must still frame the record")
+    // weak printable prefixes must not misroute prose out of the corpus
+    assert(urls.contains("http://w.example/id3text"),
+      "a page STARTING 'ID3 ' is text, not an MP3")
+    assert(urls.contains("http://w.example/gif8text"))
+    assert(urls.contains("http://w.example/pdftext"))
+    assert(!urls.contains("http://w.example/realid3"),
+      "a real ID3v2 header is media")
 
     val media = WarcSource.media(recs)
       .select(col("meta.url"), col("meta.mime"))
@@ -224,6 +253,8 @@ class WarcSourceSpec extends SparkSpec {
     assert(media("http://w.example/jpeg") == graft.sources.BinarySource.MimeJpeg)
     assert(media("http://w.example/png") == graft.multimodal.Multimodal.MimePng)
     assert(media("http://w.example/gzip") == graft.sources.BinarySource.MimeGzip)
+    assert(media("http://w.example/realid3") ==
+      graft.sources.BinarySource.MimeMp3)
     val declared = WarcSource.media(recs)
       .filter(col("meta.url") === "http://w.example/jpeg")
       .select("meta.declared_mime").collect()(0).getString(0)
@@ -252,6 +283,14 @@ class WarcSourceSpec extends SparkSpec {
     val folded = docs.filter(col("url") === "http://w.example/folded")
       .select("charset_used").collect()(0).getString(0)
     assert(folded == "utf-8")
+    // a charset declared on an obs-folded HTTP Content-Type line is
+    // unfolded and honored (review finding: the r13 folding fix must
+    // cover the HTTP envelope, not just WARC headers)
+    val hf = docs.filter(col("url") === "http://w.example/httpfold")
+      .select("text", "charset_used").collect()(0)
+    assert(hf.getString(0) == "fold é page",
+      s"folded-envelope charset must decode é, got: ${hf.getString(0)}")
+    assert(hf.getString(1) == "iso-8859-1")
     docs.unpersist()
   }
 
