@@ -95,5 +95,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("graft_adc",
         "graft_adc(codes, tbl) - PQ ADC lookup sum: tbl[j][codes[j]] over j"),
       (args: Seq[Expression]) => AdcDist(args(0), args(1))))
+
+    ext.injectFunction((FunctionIdentifier("graft_charset_decode"),
+      info("graft_charset_decode",
+        "graft_charset_decode(bytes, label) - charset-aware binary->string " +
+          "decode with replacement (allowlisted labels; UTF-8 fallback)"),
+      (args: Seq[Expression]) => CharsetDecode(args(0), args(1))))
+
+    // an AGGREGATE function registers the same way — the analyzer
+    // wraps a returned AggregateFunction in its AggregateExpression
+    // exactly as for built-ins, so `SELECT graft_bottom_k(h, v, 1024)
+    // ... GROUP BY g` works in plain SQL
+    ext.injectFunction((FunctionIdentifier("graft_bottom_k"),
+      info("graft_bottom_k",
+        "graft_bottom_k(h, v, k) - deterministic bottom-k (hash, value) " +
+          "sample per group, ascending (the StatsMaintain quantile sketch)"),
+      (args: Seq[Expression]) =>
+        BottomKSample(args(0), args(1), intArg(args(2), "k"))))
   }
 }

@@ -268,6 +268,18 @@ object WarcSource {
     regexp_extract(coalesce(ct, lit("")),
       "(?i)charset\\s*=\\s*\"?'?\\s*([A-Za-z0-9_\\-]+)", 1)
 
+  /** The in-document charset declaration: `<meta charset="…">` or the
+    * http-equiv Content-Type form, scanned in the first KiB of the
+    * payload (the HTML5 pre-scan convention — real crawls declare the
+    * charset in markup far more often than in the HTTP header). The
+    * meta tag itself is ASCII, so it reads identically through the
+    * validation-free UTF-8 cast whatever the page's actual encoding.
+    */
+  private def metaCharsetLabel(body: Column): Column =
+    regexp_extract(
+      lower(substring(body, 1, 1024).cast("string")),
+      "<meta[^>]{0,200}charset\\s*=\\s*[\"']?\\s*([a-z0-9_\\-]+)", 1)
+
   /** Payload is plausibly TEXT: no NUL byte anywhere. Every charset
     * the decode allowlist carries is NUL-free on real text (UTF-16 is
     * deliberately outside it), while compressed/encrypted/media bytes
@@ -315,9 +327,14 @@ object WarcSource {
     // carries each archive's file mtime as the docs' event time
     val extra = if (records.columns.contains("ts")) Seq(col("ts")) else Nil
     // conversion (WET) records may declare a charset on the WARC
-    // Content-Type; responses declare it on the HTTP envelope's
-    val label = charsetLabel(
+    // Content-Type; responses declare it on the HTTP envelope's.
+    // Transport wins over markup (the HTML5 precedence); the in-body
+    // <meta charset> pre-scan fills in when the header is silent —
+    // the dominant real-crawl case
+    val headerLabel = charsetLabel(
       coalesce(col("http_content_type"), col("warc_content_type")))
+    val label = when(headerLabel =!= "", headerLabel)
+      .otherwise(metaCharsetLabel(col("body")))
     records
       .filter(col("warc_type") === "conversion" ||
         (col("warc_type") === "response" &&

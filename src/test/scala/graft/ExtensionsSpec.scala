@@ -57,6 +57,28 @@ class ExtensionsSpec extends SparkSpec {
     assert(row.getDouble(1) == 12.5) // tbl[0][1] + tbl[1][0]
   }
 
+  test("graft_charset_decode and the graft_bottom_k AGGREGATE work from SQL") {
+    val row = spark.sql(
+      """SELECT graft_charset_decode(X'636166E9', 'iso-8859-1') AS latin,
+        |       graft_charset_decode(X'636166E9', 'no-such-charset') AS fb
+        |""".stripMargin).collect()(0)
+    assert(row.getString(0) == "café",
+      "declared latin-1 must decode 0xE9 as é")
+    assert(row.getString(1) == "caf�",
+      "unknown label falls back to utf-8 with replacement")
+    // the aggregate: analyzer wraps the bare AggregateFunction like a
+    // built-in; bottom-2 of 4 rows by (h, v)
+    val agg = spark.sql(
+      """SELECT g, graft_bottom_k(h, v, 2) AS s FROM VALUES
+        |  ('a', 30L, 1.0d), ('a', 10L, 2.0d), ('a', 20L, 3.0d),
+        |  ('b', 5L, 9.0d) AS t(g, h, v)
+        |GROUP BY g ORDER BY g""".stripMargin).collect()
+    val aRows = agg(0).getSeq[org.apache.spark.sql.Row](1)
+    assert(aRows.map(r => (r.getLong(0), r.getDouble(1))) ==
+      Seq((10L, 2.0), (20L, 3.0)), s"got $aRows")
+    assert(agg(1).getSeq[org.apache.spark.sql.Row](1).size == 1)
+  }
+
   test("non-literal size argument is rejected with a clear error") {
     Tables(spark, sf).registerAll()
     val e = intercept[Exception] {

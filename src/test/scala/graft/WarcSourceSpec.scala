@@ -206,6 +206,16 @@ class WarcSourceSpec extends SparkSpec {
       rec(Seq("WARC-Type" -> "response",
         "WARC-Target-URI" -> "http://w.example/httpfold",
         "Content-Type" -> "application/http; msgtype=response"), hfBody))
+    // in-body <meta charset> with a silent HTTP header (the dominant
+    // real-crawl declaration channel): 0x92 is ’ in windows-1252
+    Files.write(Paths.get(dir, "meta.warc"),
+      resp("http://w.example/metacs", "text/html",
+        bytes("<html><head><meta charset=\"windows-1252\"></head>" +
+          "<body>it") ++ Array(0x92.toByte) ++ bytes("s meta</body>")) ++
+        // transport wins over markup: header latin-1 beats meta utf-8
+        resp("http://w.example/precedence",
+          "text/html; charset=ISO-8859-1",
+          bytes("<meta charset=\"utf-8\">caf") ++ Array(0xE9.toByte)))
     // weak-prefix TEXT payloads that must STAY text (review finding:
     // short printable magics misroute prose): pages starting with the
     // strings "ID3 ", "GIF8 " and "%PDF " are documents, while a real
@@ -291,6 +301,17 @@ class WarcSourceSpec extends SparkSpec {
     assert(hf.getString(0) == "fold é page",
       s"folded-envelope charset must decode é, got: ${hf.getString(0)}")
     assert(hf.getString(1) == "iso-8859-1")
+    // in-body <meta charset> fills in when the header is silent
+    val meta = docs.filter(col("url") === "http://w.example/metacs")
+      .select("text", "charset_used").collect()(0)
+    assert(meta.getString(0).contains("it’s meta"),
+      s"meta-declared windows-1252 must decode ’, got: ${meta.getString(0)}")
+    assert(meta.getString(1) == "windows-1252")
+    // transport beats markup (HTML5 precedence)
+    val prec = docs.filter(col("url") === "http://w.example/precedence")
+      .select("text", "charset_used").collect()(0)
+    assert(prec.getString(0).endsWith("café"), prec.getString(0))
+    assert(prec.getString(1) == "iso-8859-1")
     docs.unpersist()
   }
 
