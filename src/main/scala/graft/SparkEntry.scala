@@ -29,7 +29,9 @@ object SparkEntry {
         Entry("q120_audio_fingerprint", graft.multimodal.Multimodal.q120,
           Some(graft.multimodal.Multimodal.q120Sql)),
         Entry("q124_png_decode", graft.multimodal.Multimodal.q124,
-          Some(graft.multimodal.Multimodal.q124Sql)))
+          Some(graft.multimodal.Multimodal.q124Sql)),
+        Entry("q125_gif_decode", graft.multimodal.Multimodal.q125,
+          Some(graft.multimodal.Multimodal.q125Sql)))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -46,6 +46,9 @@ object Multimodal {
   /** Mime routed to the real [[Png]] codec. */
   val MimePng = "image/png"
 
+  /** Mime routed to the real [[Gif]] codec. */
+  val MimeGif = "image/gif"
+
   /** Stand-in corpus: wrap each document's text bytes as the opaque
     * payload with typed metadata. In production this is the ingest
     * step for real media files (spark.read.format("binaryFile")).
@@ -129,11 +132,13 @@ object Multimodal {
                 FeatureRow(r.doc_id, r.meta.mime, r.meta.n_bytes,
                   ok = false, features = Array.empty)
             }
-          else if (r.meta.mime == MimeBmp || r.meta.mime == MimePng) {
-            // REAL codec paths #3/#4: BMP and PNG decode to the same
-            // Image type, so the identical histogram kernel applies
+          else if (r.meta.mime == MimeBmp || r.meta.mime == MimePng ||
+                   r.meta.mime == MimeGif) {
+            // REAL codec paths #3/#4/#5: BMP, PNG and GIF decode to
+            // the same Image type — one histogram kernel for all
             val dec = if (r.meta.mime == MimeBmp) Bmp.decode(r.payload)
-                      else Png.decode(r.payload)
+                      else if (r.meta.mime == MimePng) Png.decode(r.payload)
+                      else Gif.decode(r.payload)
             dec match {
               case Some(img) =>
                 FeatureRow(r.doc_id, r.meta.mime, r.meta.n_bytes,
@@ -285,6 +290,17 @@ object Multimodal {
           Png.decode(r.payload) match {
             case Some(img) =>
               val out = Png.encode(Netpbm.resizeNearest(img, factor))
+              MediaRow(r.doc_id, out,
+                MediaMeta(r.meta.mime, out.length.toLong, payloadChecksum(out)))
+            case None => r // malformed: downstream fences it
+          }
+        else if (r.meta.mime == MimeGif)
+          // nearest-neighbor keeps a SUBSET of the source pixels, so
+          // the resized image stays within the palette ceiling and
+          // re-encodes losslessly
+          Gif.decode(r.payload) match {
+            case Some(img) =>
+              val out = Gif.encode(Netpbm.resizeNearest(img, factor))
               MediaRow(r.doc_id, out,
                 MediaMeta(r.meta.mime, out.length.toLong, payloadChecksum(out)))
             case None => r // malformed: downstream fences it
@@ -854,6 +870,94 @@ object Multimodal {
     * proves — is everything between: filter/unfilter, zlib, CRC.
     */
   val q124Sql: String = q91Sql
+
+  /** Documents laid out as WIDTH-10 GRAYSCALE GIFs through the real
+    * [[Gif.encode]] writer — GIF is palette-based (≤ 256 colors), so
+    * the codec-family layout switches from RGB triples to one
+    * grayscale pixel PER TEXT BYTE: palette entry b = (b, b, b),
+    * height = ceil(nb/10), tail zero-padded. The BT.601 integer luma
+    * of (b, b, b) is exactly b, so the decode stats reduce to plain
+    * byte statistics — the closed form [[q125Sql]] replays. Real LZW
+    * rides the round trip (text's repeated tokens give genuine
+    * dictionary growth; the zero-padded tail is the canonical KwKwK
+    * run).
+    */
+  def gifTable(spark: SparkSession, dir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), coalesce(col("text"), lit("")).as("t"))
+      .as[(Long, String)]
+      .map { case (id, t) =>
+        val bytes = t.getBytes("UTF-8")
+        val h = math.max((bytes.length + 9) / 10, 1)
+        val idx = java.util.Arrays.copyOf(bytes, 10 * h)
+        val px = new Array[Byte](10 * h * 3)
+        var i = 0
+        while (i < idx.length) {
+          px(3 * i) = idx(i); px(3 * i + 1) = idx(i); px(3 * i + 2) = idx(i)
+          i += 1
+        }
+        val payload = Gif.encode(Netpbm.Image(10, h, 255, px))
+        MediaRow(id, payload,
+          MediaMeta(MimeGif, payload.length.toLong, payloadChecksum(payload)))
+      }
+  }
+
+  /** q125 entry: the real GIF decode in the oracle-checked path —
+    * [[gifTable]] → [[Gif.decode]] (header walk, palette, REAL
+    * variable-width LZW with width escalation and KwKwK) → the
+    * codec-family luma stats. The fifth arm, and the second covering
+    * a format real crawls serve ([[graft.sources.WarcSource.media]]
+    * routes GIF responses here by magic).
+    */
+  def q125(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    gifTable(spark, dir)
+      .map { r =>
+        Gif.decode(r.payload) match {
+          case Some(img) =>
+            var lsum = 0L; var dark = 0L; var i = 0
+            while (i < img.pixels.length) {
+              val l = Netpbm.luma(img.pixels(i) & 0xff,
+                img.pixels(i + 1) & 0xff, img.pixels(i + 2) & 0xff)
+              lsum += l; if (l < 32) dark += 1; i += 3
+            }
+            (r.doc_id, img.width.toLong, img.height.toLong,
+              (img.width * img.height).toLong, lsum, dark, true)
+          case None => (r.doc_id, 0L, 0L, 0L, 0L, 0L, false)
+        }
+      }
+      .toDF("doc_id", "img_w", "img_h", "n_px", "luma_sum", "n_dark", "ok")
+      .select(col("doc_id"), col("img_w"), col("img_h"), col("n_px"),
+        col("ok"),
+        graft.queries.Q.round4(
+          col("luma_sum").cast("double") / col("n_px")).as("luma_mean4"),
+        graft.queries.Q.round4(
+          col("n_dark").cast("double") / col("n_px")).as("dark_frac4"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB mirror of q125: grayscale means luma(b,b,b) = b exactly
+    * (299+587+114 = 1000), so the replay is PLAIN BYTE STATISTICS
+    * over the zero-padded 10-wide raster — the whole LZW/palette
+    * machinery must cancel for the hash to match.
+    */
+  val q125Sql: String =
+    s"""WITH $hexBytesCte,
+      |dims AS (
+      |  SELECT doc_id, GREATEST(CAST(ceil(nb / 10.0) AS BIGINT), 1) AS ih
+      |  FROM hx),
+      |agg AS (
+      |  SELECT b.doc_id, d.ih, d.ih * 10 AS n_px,
+      |    coalesce(list_sum(b.bs), 0) AS lsum,
+      |    list_count(list_filter(b.bs, x -> x < 32)) +
+      |      (d.ih * 10 - b.nb) AS ndark
+      |  FROM bts b JOIN dims d ON b.doc_id = d.doc_id)
+      |SELECT doc_id, CAST(10 AS BIGINT) AS img_w, CAST(ih AS BIGINT) AS img_h,
+      |  CAST(n_px AS BIGINT) AS n_px, TRUE AS ok,
+      |  ${graft.queries.Q.round4Sql("CAST(lsum AS DOUBLE) / n_px")} AS luma_mean4,
+      |  ${graft.queries.Q.round4Sql("CAST(ndark AS DOUBLE) / n_px")} AS dark_frac4
+      |FROM agg ORDER BY doc_id""".stripMargin
 
   /** q50 entry: blob table → batched decode-stub → feature summary.
     * Metadata and feature stats only — the binary column never reaches

@@ -40,7 +40,7 @@ object BinarySource {
     * require being able to decode it.
     */
   val MimeJpeg = "image/jpeg"
-  val MimeGif = "image/gif"
+  val MimeGif = graft.multimodal.Multimodal.MimeGif // decodable since r13
   val MimeWebp = "image/webp"
   val MimePdf = "application/pdf"
   val MimeGzip = "application/gzip"

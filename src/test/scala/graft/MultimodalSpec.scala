@@ -635,6 +635,101 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.payloadChecksum(resized.payload))
   }
 
+  test("Gif: LZW round trips — dictionary growth past width boundaries, 4096 reset, KwKwK, multi-sub-block; fences") {
+    import graft.multimodal.{Gif, Netpbm}
+    def gray(idx: Array[Byte], w: Int): Netpbm.Image = {
+      val h = idx.length / w
+      val px = new Array[Byte](idx.length * 3)
+      idx.indices.foreach { i =>
+        px(3 * i) = idx(i); px(3 * i + 1) = idx(i); px(3 * i + 2) = idx(i)
+      }
+      Netpbm.Image(w, h, 255, px)
+    }
+    def rt(img: Netpbm.Image): Unit = {
+      val dec = Gif.decode(Gif.encode(img)).get
+      assert(dec.width == img.width && dec.height == img.height)
+      assert(dec.pixels.toSeq == img.pixels.toSeq,
+        s"${img.width}x${img.height} round trip broke")
+    }
+    // KwKwK canonical run: a constant image is all 'aaaa…'
+    rt(gray(Array.fill[Byte](40)(7), 10))
+    // alternating pattern: repeated dictionary hits
+    rt(gray(Array.tabulate[Byte](100)(i => (i % 2).toByte), 10))
+    // seeded fuzz across the width-escalation boundaries (256→512→…):
+    // 256 distinct values force minCode 8, and random bytes grow the
+    // dictionary ~1/code — 24000 pixels crosses 4096 and RESETS, and
+    // the LZW stream spans many 255-byte sub-blocks
+    val rnd = new scala.util.Random(20260815L)
+    Seq(1, 9, 257, 1000, 24000).foreach { n =>
+      rt(gray(Array.fill[Byte](n * 10)(rnd.nextInt(256).toByte), 10))
+    }
+    // a COLOR image within the palette ceiling round trips too
+    val colored = Netpbm.Image(4, 2, 255,
+      Array.tabulate[Byte](24)(i => ((i / 3) * 40 + i % 3).toByte))
+    rt(colored)
+    // fences
+    assert(Gif.decode("not a gif at all!".getBytes).isEmpty)
+    val enc = Gif.encode(gray(Array.tabulate[Byte](40)(_.toByte), 10))
+    assert(Gif.decode(enc.dropRight(8)).isEmpty, "cut sub-block chain -> None")
+    val noImg = enc.take(13) :+ 0x3B.toByte // screen desc then trailer
+    assert(Gif.decode(noImg).isEmpty, "no image before trailer -> None")
+    // interlace flag: 64 distinct values -> bits 6, table 64 entries,
+    // image descriptor at 13 + 192, its flags byte 9 later
+    val enc64 = Gif.encode(gray(Array.tabulate[Byte](40)(_.toByte), 10))
+    val dIx = 13 + 3 * 64
+    assert(enc64(dIx) == 0x2C.toByte, "descriptor offset arithmetic")
+    val inter = enc64.clone(); inter(dIx + 9) = 0x40.toByte
+    assert(Gif.decode(inter).isEmpty, "interlaced -> None")
+    // palette ceiling refusal on encode: 300 DISTINCT colors (the
+    // (i%256) form tops out at exactly 256 — channels repeat together)
+    val tooMany = Netpbm.Image(300, 1, 255,
+      Array.tabulate[Byte](900) { i =>
+        val p = i / 3
+        (i % 3: @unchecked) match {
+          case 0 => (p >> 8).toByte
+          case 1 => (p & 0xff).toByte
+          case 2 => 0
+        }
+      })
+    intercept[IllegalArgumentException](Gif.encode(tooMany))
+  }
+
+  test("extractFeatures on GIF mime runs the real decoder; resize stays within the palette") {
+    import spark.implicits._
+    import graft.multimodal.{Gif, Netpbm}
+    // grayscale by construction: each pixel's 3 channels share i/3
+    val px = Array.tabulate[Byte](10 * 2 * 3)(i => ((i / 3 * 13) % 256).toByte)
+    val img = Netpbm.Image(10, 2, 255, px)
+    val gif = Gif.encode(img)
+    val ppm = Netpbm.encodeP6(img)
+    val bad = "GIF89a but then garbage".getBytes
+    val media = Seq(
+      MediaRow(1L, gif, MediaMeta(Multimodal.MimeGif, gif.length.toLong,
+        Multimodal.payloadChecksum(gif))),
+      MediaRow(2L, ppm, MediaMeta(Multimodal.MimePpm, ppm.length.toLong,
+        Multimodal.payloadChecksum(ppm))),
+      MediaRow(3L, bad, MediaMeta(Multimodal.MimeGif, bad.length.toLong,
+        Multimodal.payloadChecksum(bad)))).toDS()
+    val out = Multimodal.extractFeatures(media).collect().sortBy(_.doc_id)
+    assert(out(0).ok && out(1).ok && !out(2).ok)
+    assert(out(0).features.toSeq == out(1).features.toSeq,
+      "identical pixels through two containers -> identical histogram")
+    val resized = Multimodal.resize(media.filter(_.doc_id == 1L), 2)
+      .collect()(0)
+    val rImg = Gif.decode(resized.payload).get
+    assert(rImg.width == 5 && rImg.height == 1)
+  }
+
+  test("q125: real GIF decode end-to-end — grayscale layout, stats are byte stats") {
+    val out = Multimodal.q125(spark, sf).cache()
+    assert(out.count() == Tables(spark, sf).documents.count())
+    assert(out.filter(!col("ok")).count() == 0,
+      "every encoded GIF must decode")
+    assert(out.filter(col("img_w") =!= 10).count() == 0)
+    assert(out.filter(col("n_px") =!= col("img_h") * 10).count() == 0)
+    out.unpersist()
+  }
+
   test("q124: real PNG decode end-to-end — dims match the 10-wide padded layout") {
     val out = Multimodal.q124(spark, sf).cache()
     assert(out.count() == Tables(spark, sf).documents.count())
