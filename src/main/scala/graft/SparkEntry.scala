@@ -31,7 +31,9 @@ object SparkEntry {
         Entry("q124_png_decode", graft.multimodal.Multimodal.q124,
           Some(graft.multimodal.Multimodal.q124Sql)),
         Entry("q125_gif_decode", graft.multimodal.Multimodal.q125,
-          Some(graft.multimodal.Multimodal.q125Sql)))
+          Some(graft.multimodal.Multimodal.q125Sql)),
+        Entry("q126_jpeg_decode", graft.multimodal.Multimodal.q126,
+          Some(graft.multimodal.Multimodal.q126Sql)))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

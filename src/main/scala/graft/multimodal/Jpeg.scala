@@ -1,0 +1,704 @@
+package graft.multimodal
+
+/** Pure-JVM baseline JPEG codec — the sixth codec arm and the one
+  * covering the format that dominates every real crawl's image bytes.
+  * JPEG is LOSSY, so the whole-image round-trip oracle the lossless
+  * arms use (q91/q124/q125) cannot apply in general — but an 8×8
+  * block of ONE constant value survives DCT → quant-1 → IDCT exactly
+  * (its transform is a single integral DC coefficient; every AC is
+  * zero), so a raster tiled from constant blocks round-trips
+  * BIT-EXACTLY through the full real machinery — Huffman coding, DC
+  * differentials, zigzag, dequantization, the IDCT — and that is the
+  * q126 oracle device. Lossy-path fidelity on arbitrary content is
+  * spec-pinned separately with measured error bounds.
+  *
+  * DECODER profile — baseline sequential DCT (SOF0/SOF1), 8-bit,
+  * 1-component grayscale or 3-component YCbCr at any sampling whose
+  * factors divide the max (4:4:4, 4:2:0, 4:2:2, 4:1:1 …), restart
+  * markers (common in crawl JPEGs), byte-stuffing, APPn/COM skipped.
+  * Fences (None, the codec-family convention): progressive (SOF2) and
+  * every other SOF variant, arithmetic coding, 12-bit precision,
+  * 16-bit quant tables, 4-component CMYK, malformed Huffman streams
+  * (codes past the table, coefficient overrun), truncated segments or
+  * entropy data, absurd dimensions.
+  *
+  * ENCODER (the fixture generator): grayscale or YCbCr color at 4:4:4
+  * or 4:2:0, caller-chosen quant value (1 = near-lossless, the oracle
+  * setting), canonical self-generated Huffman tables (fixed-width —
+  * 12×4-bit DC, 162×8-bit AC, the all-ones code left unused as the
+  * spec requires; any conformant decoder reads them, compression
+  * ratio is irrelevant to a fixture writer). AC coefficients clamp to
+  * ±1023 (baseline's category-10 ceiling; an adversarial checkerboard
+  * can exceed it by a hair — a bounded extra quantization error on
+  * content no real image has).
+  */
+object Jpeg {
+
+  private val MaxDim = 1 << 16 // JPEG dims are u16 by format
+  private val MaxPixels = 1L << 26
+
+  /** Zigzag scan order: zigzag(k) = raster index of the k-th scanned
+    * coefficient (public spec constant).
+    */
+  private val Zigzag: Array[Int] = Array(
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63)
+
+  private val CosTable: Array[Double] = {
+    val t = new Array[Double](64) // t(u*8+x) = cos((2x+1)uπ/16)
+    for (u <- 0 until 8; x <- 0 until 8)
+      t(u * 8 + x) = math.cos((2 * x + 1) * u * math.Pi / 16.0)
+    t
+  }
+  private val InvSqrt2 = 1.0 / math.sqrt(2.0)
+
+  // ---------------------------------------------------------------
+  // Huffman tables (canonical, from (BITS, HUFFVAL) exactly as DHT
+  // carries them)
+  // ---------------------------------------------------------------
+
+  private final class HuffDecoder(bits: Array[Int], vals: Array[Byte]) {
+    // spec F.2.2.3: mincode/maxcode/valptr per code length
+    val minCode = new Array[Int](17)
+    val maxCode = new Array[Int](17)
+    val valPtr = new Array[Int](17)
+    locally {
+      var code = 0; var k = 0
+      var l = 1
+      while (l <= 16) {
+        valPtr(l) = k
+        minCode(l) = code
+        code += bits(l - 1); k += bits(l - 1)
+        maxCode(l) = if (bits(l - 1) > 0) code - 1 else -1
+        code <<= 1
+        l += 1
+      }
+    }
+    def value(length: Int, code: Int): Int =
+      vals(valPtr(length) + code - minCode(length)) & 0xff
+  }
+
+  /** Encoder-side canonical code assignment: code(i) for symbol i of
+    * the (bits, vals) table — same walk as the decoder's.
+    */
+  private def encTable(bits: Array[Int], vals: Array[Byte]): (Array[Int], Array[Int]) = {
+    val codes = new Array[Int](256); val lens = new Array[Int](256)
+    var code = 0; var k = 0
+    var l = 1
+    while (l <= 16) {
+      var i = 0
+      while (i < bits(l - 1)) {
+        codes(vals(k) & 0xff) = code; lens(vals(k) & 0xff) = l
+        code += 1; k += 1; i += 1
+      }
+      code <<= 1
+      l += 1
+    }
+    (codes, lens)
+  }
+
+  // fixture tables: 12 DC symbols at 4 bits, 162 AC symbols at 8 bits
+  // (codes 0..11 / 0..161 — the all-ones code stays unused)
+  private val DcBits = Array(0, 0, 0, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+  private val DcVals = Array.tabulate[Byte](12)(_.toByte)
+  private val AcBits = Array(0, 0, 0, 0, 0, 0, 0, 162, 0, 0, 0, 0, 0, 0, 0, 0)
+  private val AcVals: Array[Byte] = {
+    val v = scala.collection.mutable.ArrayBuffer[Byte](0x00) // EOB
+    v += 0xF0.toByte // ZRL
+    for (r <- 0 until 16; s <- 1 to 10) v += ((r << 4) | s).toByte
+    v.toArray // 2 + 160 = 162
+  }
+
+  // ---------------------------------------------------------------
+  // Encode
+  // ---------------------------------------------------------------
+
+  private final class BitWriter(out: java.io.ByteArrayOutputStream) {
+    private var buf = 0; private var cnt = 0
+    def put(code: Int, len: Int): Unit = {
+      var i = len - 1
+      while (i >= 0) {
+        buf = (buf << 1) | ((code >> i) & 1); cnt += 1
+        if (cnt == 8) {
+          out.write(buf)
+          if (buf == 0xFF) out.write(0x00) // byte stuffing
+          buf = 0; cnt = 0
+        }
+        i -= 1
+      }
+    }
+    def flush(): Unit = { // pad with 1s (spec convention)
+      while (cnt != 0) put(1, 1)
+    }
+  }
+
+  private def fdctQuant(block: Array[Int], q: Int): Array[Int] = {
+    val out = new Array[Int](64)
+    var u = 0
+    while (u < 8) {
+      var v = 0
+      while (v < 8) {
+        var s = 0.0
+        var y = 0
+        while (y < 8) {
+          var x = 0
+          while (x < 8) {
+            s += block(y * 8 + x) * CosTable(v * 8 + x) * CosTable(u * 8 + y)
+            x += 1
+          }
+          y += 1
+        }
+        val cu = if (u == 0) InvSqrt2 else 1.0
+        val cv = if (v == 0) InvSqrt2 else 1.0
+        val coef = 0.25 * cu * cv * s
+        var qv = math.floor(coef / q + 0.5).toInt
+        if (qv > 1023) qv = 1023
+        if (qv < -1023) qv = -1023 // baseline AC category ceiling
+        out(u * 8 + v) = qv
+        v += 1
+      }
+      u += 1
+    }
+    out
+  }
+
+  private def category(v: Int): Int = {
+    var a = math.abs(v); var t = 0
+    while (a != 0) { a >>= 1; t += 1 }
+    t
+  }
+
+  private def encodeBlock(bw: BitWriter, coefs: Array[Int], pred: Int,
+                          dcCodes: (Array[Int], Array[Int]),
+                          acCodes: (Array[Int], Array[Int])): Int = {
+    val dc = coefs(0)
+    val diff = dc - pred
+    val t = category(diff)
+    bw.put(dcCodes._1(t), dcCodes._2(t))
+    if (t > 0) {
+      val bitsV = if (diff >= 0) diff else diff + (1 << t) - 1
+      bw.put(bitsV, t)
+    }
+    var run = 0
+    var k = 1
+    while (k < 64) {
+      val coef = coefs(Zigzag(k))
+      k += 1
+      if (coef == 0) run += 1
+      else {
+        while (run >= 16) { bw.put(acCodes._1(0xF0), acCodes._2(0xF0)); run -= 16 }
+        val s = category(coef)
+        val sym = (run << 4) | s
+        bw.put(acCodes._1(sym), acCodes._2(sym))
+        val bitsV = if (coef >= 0) coef else coef + (1 << s) - 1
+        bw.put(bitsV, s)
+        run = 0
+      }
+    }
+    if (run > 0) bw.put(acCodes._1(0x00), acCodes._2(0x00)) // EOB
+    dc
+  }
+
+  /** Encode a grayscale plane (or one of Y/Cb/Cr) laid out row-major
+    * at `w`×`h`, values 0..255, LEVEL-SHIFTED internally.
+    */
+  private def planeBlocks(plane: Array[Int], w: Int, h: Int,
+                          bx: Int, by: Int): Array[Int] = {
+    val block = new Array[Int](64)
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        val sy = math.min(by * 8 + y, h - 1) // edge replicate
+        val sx = math.min(bx * 8 + x, w - 1)
+        block(y * 8 + x) = plane(sy * w + sx) - 128
+        x += 1
+      }
+      y += 1
+    }
+    block
+  }
+
+  /** Encode RGB (or grayscale-replicated RGB) as a baseline JPEG.
+    * `gray` emits a 1-component stream; otherwise YCbCr, 4:2:0 when
+    * `subsample420` else 4:4:4. `quant` fills the whole quant table
+    * (1 = the near-lossless oracle setting).
+    */
+  def encode(img: Netpbm.Image, gray: Boolean = true,
+             quant: Int = 1, subsample420: Boolean = false,
+             restartEvery: Int = 0): Array[Byte] = {
+    require(img.maxVal == 255, "JPEG profile is 8-bit")
+    require(quant >= 1 && quant <= 255, s"quant out of range: $quant")
+    require(restartEvery >= 0 && restartEvery <= 0xffff,
+      s"restart interval out of range: $restartEvery")
+    val w = img.width; val h = img.height
+    // planes
+    val yP = new Array[Int](w * h)
+    val cbP = if (gray) null else new Array[Int](w * h)
+    val crP = if (gray) null else new Array[Int](w * h)
+    var i = 0
+    while (i < w * h) {
+      val r = img.pixels(3 * i) & 0xff
+      val g = img.pixels(3 * i + 1) & 0xff
+      val b = img.pixels(3 * i + 2) & 0xff
+      if (gray) yP(i) = Netpbm.luma(r, g, b)
+      else {
+        // JFIF forward transform, rounded to nearest
+        yP(i) = clamp255(math.floor(0.299 * r + 0.587 * g + 0.114 * b + 0.5).toInt)
+        cbP(i) = clamp255(math.floor(128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b + 0.5).toInt)
+        crP(i) = clamp255(math.floor(128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b + 0.5).toInt)
+      }
+      i += 1
+    }
+    val out = new java.io.ByteArrayOutputStream(w * h / 2 + 1024)
+    def u16(v: Int): Unit = { out.write((v >> 8) & 0xff); out.write(v & 0xff) }
+    def marker(m: Int): Unit = { out.write(0xFF); out.write(m) }
+    marker(0xD8) // SOI
+    marker(0xDB); u16(2 + 1 + 64) // DQT, one 8-bit table
+    out.write(0x00) // Pq=0, Tq=0
+    var k = 0
+    while (k < 64) { out.write(quant); k += 1 }
+    val nComp = if (gray) 1 else 3
+    marker(0xC0); u16(8 + 3 * nComp) // SOF0
+    out.write(8); u16(h); u16(w); out.write(nComp)
+    if (gray) { out.write(1); out.write(0x11); out.write(0) }
+    else {
+      val yS = if (subsample420) 0x22 else 0x11
+      out.write(1); out.write(yS); out.write(0)
+      out.write(2); out.write(0x11); out.write(0)
+      out.write(3); out.write(0x11); out.write(0)
+    }
+    def dht(tc: Int, th: Int, bits: Array[Int], vals: Array[Byte]): Unit = {
+      marker(0xC4); u16(2 + 1 + 16 + vals.length)
+      out.write((tc << 4) | th)
+      bits.foreach(out.write)
+      out.write(vals, 0, vals.length)
+    }
+    dht(0, 0, DcBits, DcVals); dht(1, 0, AcBits, AcVals)
+    if (restartEvery > 0) { marker(0xDD); u16(4); u16(restartEvery) }
+    marker(0xDA); u16(6 + 2 * nComp) // SOS
+    out.write(nComp)
+    var c = 0
+    while (c < nComp) { out.write(c + 1); out.write(0x00); c += 1 }
+    out.write(0); out.write(63); out.write(0) // Ss/Se/AhAl
+
+    val dcT = encTable(DcBits, DcVals)
+    val acT = encTable(AcBits, AcVals)
+    val bw = new BitWriter(out)
+    var rstN = 0
+    // byte-align (1-padded) and emit the next RSTn marker RAW — marker
+    // bytes are never stuffed
+    def restartMark(): Unit = {
+      bw.flush()
+      out.write(0xFF); out.write(0xD0 + rstN % 8); rstN += 1
+    }
+    if (gray) {
+      val bw8 = (w + 7) / 8; val bh8 = (h + 7) / 8
+      var pred = 0
+      var mcuIdx = 0
+      var by = 0
+      while (by < bh8) {
+        var bx = 0
+        while (bx < bw8) {
+          if (restartEvery > 0 && mcuIdx > 0 && mcuIdx % restartEvery == 0) {
+            restartMark(); pred = 0
+          }
+          pred = encodeBlock(bw,
+            fdctQuant(planeBlocks(yP, w, h, bx, by), quant), pred, dcT, acT)
+          mcuIdx += 1
+          bx += 1
+        }
+        by += 1
+      }
+    } else if (!subsample420) {
+      // 4:4:4 interleaved: per MCU one block of each component
+      val bw8 = (w + 7) / 8; val bh8 = (h + 7) / 8
+      val preds = new Array[Int](3)
+      val planes = Array(yP, cbP, crP)
+      var mcuIdx = 0
+      var by = 0
+      while (by < bh8) {
+        var bx = 0
+        while (bx < bw8) {
+          if (restartEvery > 0 && mcuIdx > 0 && mcuIdx % restartEvery == 0) {
+            restartMark(); java.util.Arrays.fill(preds, 0)
+          }
+          mcuIdx += 1
+          var ci = 0
+          while (ci < 3) {
+            preds(ci) = encodeBlock(bw,
+              fdctQuant(planeBlocks(planes(ci), w, h, bx, by), quant),
+              preds(ci), dcT, acT)
+            ci += 1
+          }
+          bx += 1
+        }
+        by += 1
+      }
+    } else {
+      // 4:2:0: per MCU 4 Y blocks (2×2), then Cb, Cr at half size
+      val cw = (w + 1) / 2; val ch = (h + 1) / 2
+      val cbS = new Array[Int](cw * ch); val crS = new Array[Int](cw * ch)
+      var yy = 0
+      while (yy < ch) {
+        var xx = 0
+        while (xx < cw) {
+          // average the 2×2 neighborhood (edge-replicated)
+          var s1 = 0; var s2 = 0
+          var dy = 0
+          while (dy < 2) {
+            var dx = 0
+            while (dx < 2) {
+              val sy = math.min(2 * yy + dy, h - 1)
+              val sx = math.min(2 * xx + dx, w - 1)
+              s1 += cbP(sy * w + sx); s2 += crP(sy * w + sx)
+              dx += 1
+            }
+            dy += 1
+          }
+          cbS(yy * cw + xx) = (s1 + 2) / 4; crS(yy * cw + xx) = (s2 + 2) / 4
+          xx += 1
+        }
+        yy += 1
+      }
+      val mcusX = (w + 15) / 16; val mcusY = (h + 15) / 16
+      val preds = new Array[Int](3)
+      var mcuIdx = 0
+      var my = 0
+      while (my < mcusY) {
+        var mx = 0
+        while (mx < mcusX) {
+          if (restartEvery > 0 && mcuIdx > 0 && mcuIdx % restartEvery == 0) {
+            restartMark(); java.util.Arrays.fill(preds, 0)
+          }
+          mcuIdx += 1
+          var sub = 0
+          while (sub < 4) { // Y blocks in raster order within the MCU
+            val bx = mx * 2 + (sub % 2); val by = my * 2 + (sub / 2)
+            preds(0) = encodeBlock(bw,
+              fdctQuant(planeBlocks(yP, w, h, bx, by), quant),
+              preds(0), dcT, acT)
+            sub += 1
+          }
+          preds(1) = encodeBlock(bw,
+            fdctQuant(planeBlocks(cbS, cw, ch, mx, my), quant),
+            preds(1), dcT, acT)
+          preds(2) = encodeBlock(bw,
+            fdctQuant(planeBlocks(crS, cw, ch, mx, my), quant),
+            preds(2), dcT, acT)
+          mx += 1
+        }
+        my += 1
+      }
+    }
+    bw.flush()
+    marker(0xD9) // EOI
+    out.toByteArray
+  }
+
+  private def clamp255(v: Int): Int = if (v < 0) 0 else if (v > 255) 255 else v
+
+  // ---------------------------------------------------------------
+  // Decode
+  // ---------------------------------------------------------------
+
+  private final case class Comp(id: Int, hS: Int, vS: Int, tq: Int) {
+    var td = 0; var ta = 0
+  }
+
+  private final class BitReader(bytes: Array[Byte], var pos: Int) {
+    private var buf = 0; private var cnt = 0
+    var hitMarker = false // non-RST marker encountered (EOI or error)
+
+    /** Next bit; -1 when the stream ends at a marker/EOF. */
+    def bit(): Int = {
+      if (cnt == 0) {
+        if (pos >= bytes.length) return -1
+        var b = bytes(pos) & 0xff; pos += 1
+        if (b == 0xFF) {
+          if (pos >= bytes.length) return -1
+          val m = bytes(pos) & 0xff
+          if (m == 0x00) pos += 1 // stuffed FF
+          else { pos -= 1; hitMarker = true; return -1 }
+        }
+        buf = b; cnt = 8
+      }
+      cnt -= 1
+      (buf >> cnt) & 1
+    }
+
+    def bits(n: Int): Int = {
+      var v = 0; var i = 0
+      while (i < n) {
+        val b = bit(); if (b < 0) return -1
+        v = (v << 1) | b; i += 1
+      }
+      v
+    }
+
+    /** Skip to the next marker and, if it is RSTn, consume it and
+      * byte-align; true if an RST was consumed.
+      */
+    def restart(): Boolean = {
+      cnt = 0; hitMarker = false
+      while (pos + 1 < bytes.length) {
+        if ((bytes(pos) & 0xff) == 0xFF) {
+          val m = bytes(pos + 1) & 0xff
+          if (m >= 0xD0 && m <= 0xD7) { pos += 2; return true }
+          return false
+        }
+        pos += 1 // garbage before the marker: scan forward
+      }
+      false
+    }
+  }
+
+  private def extend(v: Int, t: Int): Int =
+    if (t == 0) 0 else if (v < (1 << (t - 1))) v - (1 << t) + 1 else v
+
+  private def idctBlock(coefs: Array[Int], qt: Array[Int],
+                        out: Array[Int]): Unit = {
+    val deq = new Array[Double](64)
+    var k = 0
+    while (k < 64) { deq(k) = coefs(k).toDouble * qt(k); k += 1 }
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        var s = 0.0
+        var u = 0
+        while (u < 8) {
+          var v = 0
+          while (v < 8) {
+            val cu = if (u == 0) InvSqrt2 else 1.0
+            val cv = if (v == 0) InvSqrt2 else 1.0
+            s += cu * cv * deq(u * 8 + v) *
+              CosTable(v * 8 + x) * CosTable(u * 8 + y)
+            v += 1
+          }
+          u += 1
+        }
+        out(y * 8 + x) = clamp255(math.floor(0.25 * s + 0.5).toInt + 128)
+        x += 1
+      }
+      y += 1
+    }
+  }
+
+  /** Parse a baseline JPEG; None on anything outside the profile
+    * (object scaladoc).
+    */
+  def decode(bytes: Array[Byte]): Option[Netpbm.Image] = {
+    if (bytes.length < 4 ||
+        (bytes(0) & 0xff) != 0xFF || (bytes(1) & 0xff) != 0xD8) return None
+    def u8(p: Int) = bytes(p) & 0xff
+    def u16(p: Int) = (u8(p) << 8) | u8(p + 1)
+
+    val quantTables = new Array[Array[Int]](4)
+    val dcTables = new Array[HuffDecoder](4)
+    val acTables = new Array[HuffDecoder](4)
+    var comps: Array[Comp] = null
+    var w = 0; var h = 0
+    var restartInterval = 0
+    var pos = 2
+    var sosAt = -1
+
+    while (sosAt < 0) {
+      if (pos + 4 > bytes.length) return None
+      if (u8(pos) != 0xFF) return None // marker desync
+      var m = u8(pos + 1)
+      while (m == 0xFF) { pos += 1; if (pos + 4 > bytes.length) return None; m = u8(pos + 1) }
+      if (m == 0xD9) return None // EOI before any scan
+      val len = u16(pos + 2)
+      if (len < 2 || pos + 2 + len > bytes.length) return None
+      val seg = pos + 4
+      m match {
+        case 0xDB => // DQT: possibly several tables
+          var p = seg
+          while (p < pos + 2 + len) {
+            val pq = u8(p) >> 4; val tq = u8(p) & 15
+            if (pq != 0 || tq > 3) return None // 16-bit tables: fence
+            if (p + 65 > pos + 2 + len) return None
+            val t = new Array[Int](64)
+            var k = 0
+            while (k < 64) { t(Zigzag(k)) = u8(p + 1 + k); k += 1 }
+            quantTables(tq) = t
+            p += 65
+          }
+        case 0xC4 => // DHT: possibly several tables
+          var p = seg
+          while (p < pos + 2 + len) {
+            val tc = u8(p) >> 4; val th = u8(p) & 15
+            if (tc > 1 || th > 3) return None
+            if (p + 17 > pos + 2 + len) return None
+            val bits = Array.tabulate(16)(i => u8(p + 1 + i))
+            val nVals = bits.sum
+            if (nVals > 256 || p + 17 + nVals > pos + 2 + len) return None
+            val vals = new Array[Byte](nVals)
+            System.arraycopy(bytes, p + 17, vals, 0, nVals)
+            val dec = new HuffDecoder(bits, vals)
+            if (tc == 0) dcTables(th) = dec else acTables(th) = dec
+            p += 17 + nVals
+          }
+        case 0xC0 | 0xC1 => // baseline / extended-sequential huffman
+          if (u8(seg) != 8) return None // 12-bit: fence
+          h = u16(seg + 1); w = u16(seg + 3)
+          val nf = u8(seg + 5)
+          if (w <= 0 || h <= 0 || w > MaxDim || h > MaxDim ||
+              w.toLong * h > MaxPixels) return None
+          if (nf != 1 && nf != 3) return None // CMYK etc: fence
+          if (len != 8 + 3 * nf) return None
+          comps = Array.tabulate(nf) { i =>
+            val p = seg + 6 + 3 * i
+            Comp(u8(p), u8(p + 1) >> 4, u8(p + 1) & 15, u8(p + 2))
+          }
+          if (comps.exists(c => c.hS < 1 || c.hS > 4 || c.vS < 1 ||
+              c.vS > 4 || c.tq > 3)) return None
+        case 0xC2 | 0xC3 | 0xC5 | 0xC6 | 0xC7 | 0xC9 | 0xCA | 0xCB |
+             0xCD | 0xCE | 0xCF =>
+          return None // progressive/arithmetic/hierarchical: fence
+        case 0xDD => // DRI
+          if (len != 4) return None
+          restartInterval = u16(seg)
+        case 0xDA => // SOS
+          if (comps == null) return None
+          val ns = u8(seg)
+          if (ns != comps.length) return None // partial scans: fence
+          var i = 0
+          while (i < ns) {
+            val cs = u8(seg + 1 + 2 * i)
+            val comp = comps.find(_.id == cs).getOrElse(return None)
+            comp.td = u8(seg + 2 + 2 * i) >> 4
+            comp.ta = u8(seg + 2 + 2 * i) & 15
+            i += 1
+          }
+          sosAt = pos + 2 + len
+        case _ => () // APPn, COM, unknown-but-framed: skip
+      }
+      pos += 2 + len
+    }
+
+    // sampling geometry
+    val hMax = comps.map(_.hS).max; val vMax = comps.map(_.vS).max
+    if (comps.exists(c => hMax % c.hS != 0 || vMax % c.vS != 0)) return None
+    val mcusX = (w + 8 * hMax - 1) / (8 * hMax)
+    val mcusY = (h + 8 * vMax - 1) / (8 * vMax)
+    val planes = comps.map { c =>
+      new Array[Int](mcusX * c.hS * 8 * mcusY * c.vS * 8)
+    }
+    val planeW = comps.map(c => mcusX * c.hS * 8)
+    for (c <- comps) {
+      if (quantTables(c.tq) == null) return None
+      if (dcTables(c.td) == null || acTables(c.ta) == null) return None
+    }
+
+    val br = new BitReader(bytes, sosAt)
+    def huffDecode(t: HuffDecoder): Int = {
+      var code = 0; var l = 0
+      while (l < 16) {
+        val b = br.bit(); if (b < 0) return -1
+        code = (code << 1) | b; l += 1
+        if (t.maxCode(l) >= 0 && code <= t.maxCode(l) &&
+            code >= t.minCode(l)) return t.value(l, code)
+      }
+      -1
+    }
+    val preds = new Array[Int](comps.length)
+    val coefs = new Array[Int](64)
+    val pix = new Array[Int](64)
+    var mcu = 0
+    val nMcus = mcusX * mcusY
+    while (mcu < nMcus) {
+      if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+        if (!br.restart()) return None // missing RST: fence
+        java.util.Arrays.fill(preds, 0)
+      }
+      val mx = mcu % mcusX; val my = mcu / mcusX
+      var ci = 0
+      while (ci < comps.length) {
+        val c = comps(ci)
+        var sub = 0
+        while (sub < c.hS * c.vS) {
+          val bx = mx * c.hS + (sub % c.hS)
+          val by = my * c.vS + (sub / c.hS)
+          // --- one block ---
+          java.util.Arrays.fill(coefs, 0)
+          val t = huffDecode(dcTables(c.td)); if (t < 0 || t > 11) return None
+          val dv = if (t == 0) 0 else { val b = br.bits(t); if (b < 0) return None; b }
+          preds(ci) += extend(dv, t)
+          coefs(0) = preds(ci)
+          var k = 1
+          var eob = false
+          while (k < 64 && !eob) {
+            val rs = huffDecode(acTables(c.ta)); if (rs < 0) return None
+            val r = rs >> 4; val s = rs & 15
+            if (s == 0) {
+              if (r == 0) eob = true
+              else if (r == 15) k += 16
+              else return None // invalid (r,0)
+            } else {
+              k += r
+              if (k > 63) return None // coefficient overrun
+              val b = br.bits(s); if (b < 0) return None
+              coefs(Zigzag(k)) = extend(b, s)
+              k += 1
+            }
+          }
+          idctBlock(coefs, quantTables(c.tq), pix)
+          // place into the component plane
+          val pw = planeW(ci)
+          var yy = 0
+          while (yy < 8) {
+            var xx = 0
+            while (xx < 8) {
+              planes(ci)((by * 8 + yy) * pw + bx * 8 + xx) = pix(yy * 8 + xx)
+              xx += 1
+            }
+            yy += 1
+          }
+          sub += 1
+        }
+        ci += 1
+      }
+      mcu += 1
+    }
+
+    // compose RGB with nearest-neighbor chroma upsampling
+    val px = new Array[Byte](w * h * 3)
+    if (comps.length == 1) {
+      val pw = planeW(0)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val v = planes(0)(y * pw + x).toByte
+          val o = (y * w + x) * 3
+          px(o) = v; px(o + 1) = v; px(o + 2) = v
+          x += 1
+        }
+        y += 1
+      }
+    } else {
+      val c0 = comps(0); val c1 = comps(1); val c2 = comps(2)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val yv = planes(0)((y * c0.vS / vMax) * planeW(0) + x * c0.hS / hMax)
+          val cb = planes(1)((y * c1.vS / vMax) * planeW(1) + x * c1.hS / hMax)
+          val cr = planes(2)((y * c2.vS / vMax) * planeW(2) + x * c2.hS / hMax)
+          val o = (y * w + x) * 3
+          px(o) = clamp255(math.floor(yv + 1.402 * (cr - 128) + 0.5).toInt).toByte
+          px(o + 1) = clamp255(math.floor(
+            yv - 0.344136 * (cb - 128) - 0.714136 * (cr - 128) + 0.5).toInt).toByte
+          px(o + 2) = clamp255(math.floor(yv + 1.772 * (cb - 128) + 0.5).toInt).toByte
+          x += 1
+        }
+        y += 1
+      }
+    }
+    Some(Netpbm.Image(w, h, 255, px))
+  }
+}

@@ -49,6 +49,9 @@ object Multimodal {
   /** Mime routed to the real [[Gif]] codec. */
   val MimeGif = "image/gif"
 
+  /** Mime routed to the real [[Jpeg]] codec. */
+  val MimeJpeg = "image/jpeg"
+
   /** Stand-in corpus: wrap each document's text bytes as the opaque
     * payload with typed metadata. In production this is the ingest
     * step for real media files (spark.read.format("binaryFile")).
@@ -133,12 +136,13 @@ object Multimodal {
                   ok = false, features = Array.empty)
             }
           else if (r.meta.mime == MimeBmp || r.meta.mime == MimePng ||
-                   r.meta.mime == MimeGif) {
-            // REAL codec paths #3/#4/#5: BMP, PNG and GIF decode to
-            // the same Image type — one histogram kernel for all
+                   r.meta.mime == MimeGif || r.meta.mime == MimeJpeg) {
+            // REAL codec paths #3..#6: BMP, PNG, GIF and JPEG decode
+            // to the same Image type — one histogram kernel for all
             val dec = if (r.meta.mime == MimeBmp) Bmp.decode(r.payload)
                       else if (r.meta.mime == MimePng) Png.decode(r.payload)
-                      else Gif.decode(r.payload)
+                      else if (r.meta.mime == MimeGif) Gif.decode(r.payload)
+                      else Jpeg.decode(r.payload)
             dec match {
               case Some(img) =>
                 FeatureRow(r.doc_id, r.meta.mime, r.meta.n_bytes,
@@ -301,6 +305,17 @@ object Multimodal {
           Gif.decode(r.payload) match {
             case Some(img) =>
               val out = Gif.encode(Netpbm.resizeNearest(img, factor))
+              MediaRow(r.doc_id, out,
+                MediaMeta(r.meta.mime, out.length.toLong, payloadChecksum(out)))
+            case None => r // malformed: downstream fences it
+          }
+        else if (r.meta.mime == MimeJpeg)
+          // JPEG re-encode is lossy by nature; quant 2 keeps the
+          // resized thumbnail visually faithful at a sane byte size
+          Jpeg.decode(r.payload) match {
+            case Some(img) =>
+              val out = Jpeg.encode(Netpbm.resizeNearest(img, factor),
+                gray = false, quant = 2)
               MediaRow(r.doc_id, out,
                 MediaMeta(r.meta.mime, out.length.toLong, payloadChecksum(out)))
             case None => r // malformed: downstream fences it
@@ -849,7 +864,7 @@ object Multimodal {
             }
             (r.doc_id, img.width.toLong, img.height.toLong,
               (img.width * img.height).toLong, lsum, dark, true)
-          case None => (r.doc_id, 0L, 0L, 0L, 0L, 0L, false)
+          case None => (r.doc_id, 1L, 1L, 1L, 0L, 0L, false)
         }
       }
       .toDF("doc_id", "img_w", "img_h", "n_px", "luma_sum", "n_dark", "ok")
@@ -924,7 +939,7 @@ object Multimodal {
             }
             (r.doc_id, img.width.toLong, img.height.toLong,
               (img.width * img.height).toLong, lsum, dark, true)
-          case None => (r.doc_id, 0L, 0L, 0L, 0L, 0L, false)
+          case None => (r.doc_id, 1L, 1L, 1L, 0L, 0L, false)
         }
       }
       .toDF("doc_id", "img_w", "img_h", "n_px", "luma_sum", "n_dark", "ok")
@@ -954,6 +969,108 @@ object Multimodal {
       |      (d.ih * 10 - b.nb) AS ndark
       |  FROM bts b JOIN dims d ON b.doc_id = d.doc_id)
       |SELECT doc_id, CAST(10 AS BIGINT) AS img_w, CAST(ih AS BIGINT) AS img_h,
+      |  CAST(n_px AS BIGINT) AS n_px, TRUE AS ok,
+      |  ${graft.queries.Q.round4Sql("CAST(lsum AS DOUBLE) / n_px")} AS luma_mean4,
+      |  ${graft.queries.Q.round4Sql("CAST(ndark AS DOUBLE) / n_px")} AS dark_frac4
+      |FROM agg ORDER BY doc_id""".stripMargin
+
+  /** Documents laid out as 8×8-TILED grayscale JPEGs through the real
+    * [[Jpeg.encode]] writer (quant 1): each text byte becomes one
+    * CONSTANT 8×8 block — 10 blocks per row, so width 80, height
+    * 8·ceil(nb/10), tail zero-padded. The constant-block device is
+    * what makes a LOSSY codec oracle-exact: a constant block's DCT is
+    * a single integral DC coefficient (every AC exactly zero), so
+    * quantization at 1 and the IDCT reproduce the value bit-exactly
+    * while the stream still runs the full real machinery — Huffman
+    * codes, DC differentials (±8·Δbyte, category up to 11), zigzag,
+    * dequant.
+    */
+  def jpegTable(spark: SparkSession, dir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), coalesce(col("text"), lit("")).as("t"))
+      .as[(Long, String)]
+      .map { case (id, t) =>
+        val bytes = t.getBytes("UTF-8")
+        val hb = math.max((bytes.length + 9) / 10, 1)
+        val idx = java.util.Arrays.copyOf(bytes, 10 * hb)
+        val w = 80; val h = 8 * hb
+        val px = new Array[Byte](w * h * 3)
+        var bi = 0
+        while (bi < idx.length) {
+          val v = idx(bi)
+          val bx = bi % 10; val by = bi / 10
+          var yy = 0
+          while (yy < 8) {
+            var xx = 0
+            while (xx < 8) {
+              val o = ((by * 8 + yy) * w + bx * 8 + xx) * 3
+              px(o) = v; px(o + 1) = v; px(o + 2) = v
+              xx += 1
+            }
+            yy += 1
+          }
+          bi += 1
+        }
+        val payload = Jpeg.encode(Netpbm.Image(w, h, 255, px))
+        MediaRow(id, payload,
+          MediaMeta(MimeJpeg, payload.length.toLong, payloadChecksum(payload)))
+      }
+  }
+
+  /** q126 entry: the real JPEG decode in the oracle-checked path —
+    * [[jpegTable]] → [[Jpeg.decode]] (marker walk, Huffman, DC
+    * differentials, zigzag, dequant, IDCT) → the codec-family luma
+    * stats. The sixth arm, covering the format that dominates crawl
+    * image bytes ([[graft.sources.WarcSource.media]] routes JPEG
+    * responses here by magic); exactness rides the constant-block
+    * device ([[jpegTable]]).
+    */
+  def q126(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    jpegTable(spark, dir)
+      .map { r =>
+        Jpeg.decode(r.payload) match {
+          case Some(img) =>
+            var lsum = 0L; var dark = 0L; var i = 0
+            while (i < img.pixels.length) {
+              val l = Netpbm.luma(img.pixels(i) & 0xff,
+                img.pixels(i + 1) & 0xff, img.pixels(i + 2) & 0xff)
+              lsum += l; if (l < 32) dark += 1; i += 3
+            }
+            (r.doc_id, img.width.toLong, img.height.toLong,
+              (img.width * img.height).toLong, lsum, dark, true)
+          case None => (r.doc_id, 1L, 1L, 1L, 0L, 0L, false)
+        }
+      }
+      .toDF("doc_id", "img_w", "img_h", "n_px", "luma_sum", "n_dark", "ok")
+      .select(col("doc_id"), col("img_w"), col("img_h"), col("n_px"),
+        col("ok"),
+        graft.queries.Q.round4(
+          col("luma_sum").cast("double") / col("n_px")).as("luma_mean4"),
+        graft.queries.Q.round4(
+          col("n_dark").cast("double") / col("n_px")).as("dark_frac4"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB mirror of q126: each byte owns 64 pixels of its own value
+    * and grayscale luma(b,b,b) = b, so the stats are BYTE STATISTICS
+    * × 64 — the entire Huffman/DCT pipeline must cancel for the hash
+    * to match.
+    */
+  val q126Sql: String =
+    s"""WITH $hexBytesCte,
+      |dims AS (
+      |  SELECT doc_id, GREATEST(CAST(ceil(nb / 10.0) AS BIGINT), 1) AS hb
+      |  FROM hx),
+      |agg AS (
+      |  SELECT b.doc_id, d.hb, d.hb * 640 AS n_px,
+      |    64 * coalesce(list_sum(b.bs), 0) AS lsum,
+      |    64 * (list_count(list_filter(b.bs, x -> x < 32)) +
+      |      (d.hb * 10 - b.nb)) AS ndark
+      |  FROM bts b JOIN dims d ON b.doc_id = d.doc_id)
+      |SELECT doc_id, CAST(80 AS BIGINT) AS img_w,
+      |  CAST(hb * 8 AS BIGINT) AS img_h,
       |  CAST(n_px AS BIGINT) AS n_px, TRUE AS ok,
       |  ${graft.queries.Q.round4Sql("CAST(lsum AS DOUBLE) / n_px")} AS luma_mean4,
       |  ${graft.queries.Q.round4Sql("CAST(ndark AS DOUBLE) / n_px")} AS dark_frac4

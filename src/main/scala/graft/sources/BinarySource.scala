@@ -39,8 +39,8 @@ object BinarySource {
     * stub arm). Keeping a JPEG out of the documents table does not
     * require being able to decode it.
     */
-  val MimeJpeg = "image/jpeg"
-  val MimeGif = graft.multimodal.Multimodal.MimeGif // decodable since r13
+  val MimeJpeg = graft.multimodal.Multimodal.MimeJpeg // decodable since r13
+  val MimeGif = graft.multimodal.Multimodal.MimeGif   // decodable since r13
   val MimeWebp = "image/webp"
   val MimePdf = "application/pdf"
   val MimeGzip = "application/gzip"

@@ -730,6 +730,121 @@ class MultimodalSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("Jpeg: constant tiles round-trip EXACTLY; lossy paths bounded; restarts, 4:2:0, fences") {
+    import graft.multimodal.{Jpeg, Netpbm}
+    def gray(vals: Array[Int], w: Int): Netpbm.Image = {
+      val px = new Array[Byte](vals.length * 3)
+      vals.indices.foreach { i =>
+        px(3 * i) = vals(i).toByte; px(3 * i + 1) = vals(i).toByte
+        px(3 * i + 2) = vals(i).toByte
+      }
+      Netpbm.Image(w, vals.length / w, 255, px)
+    }
+    def maxErr(a: Netpbm.Image, b: Netpbm.Image): Int =
+      a.pixels.zip(b.pixels).map { case (x, y) =>
+        math.abs((x & 0xff) - (y & 0xff)) }.max
+    // constant 8×8 tiles survive DCT→quant-1→IDCT bit-exactly (the
+    // q126 oracle device): a constant block's transform is a single
+    // integral DC coefficient, every AC exactly zero
+    val tiles = gray(Array.tabulate(80 * 16) { i =>
+      val bx = (i % 80) / 8; val by = (i / 80) / 8
+      (by * 10 + bx) * 16 % 256
+    }, 80)
+    assert(maxErr(tiles, Jpeg.decode(Jpeg.encode(tiles)).get) == 0,
+      "constant tiles must round-trip exactly")
+    // RESTART MARKERS: same exactness through the RST/DC-reset path
+    val viaRst = Jpeg.decode(Jpeg.encode(tiles, restartEvery = 3)).get
+    assert(maxErr(tiles, viaRst) == 0, "restart path must be lossless too")
+    // lossy-path fidelity bounds at quant 1 (measured 1/0/3/1 — pinned
+    // with headroom so an IDCT regression screams, cosmetic float
+    // drift does not)
+    val rnd = new scala.util.Random(7L)
+    val noisy = gray(Array.fill(64 * 48)(rnd.nextInt(256)), 64)
+    assert(maxErr(noisy, Jpeg.decode(Jpeg.encode(noisy)).get) <= 2)
+    val cpx = Array.tabulate[Byte](32 * 24 * 3)(i => ((i * 7) % 256).toByte)
+    val cImg = Netpbm.Image(32, 24, 255, cpx)
+    assert(maxErr(cImg, Jpeg.decode(Jpeg.encode(cImg, gray = false)).get) <= 5,
+      "4:4:4 color round trip must stay within YCbCr rounding")
+    val constC = Netpbm.Image(20, 12, 255,
+      Array.tabulate[Byte](20 * 12 * 3)(i => Seq(200, 50, 120)(i % 3).toByte))
+    assert(maxErr(constC, Jpeg.decode(Jpeg.encode(constC, gray = false,
+      subsample420 = true)).get) <= 2,
+      "constant color through 4:2:0 must survive subsampling")
+    // non-multiple-of-8 dims: edge-replicated blocks crop back
+    val odd = gray(Array.tabulate(13 * 11)(i => (i * 19) % 256), 13)
+    val oDec = Jpeg.decode(Jpeg.encode(odd)).get
+    assert(oDec.width == 13 && oDec.height == 11 && maxErr(odd, oDec) <= 2)
+
+    // fence matrix
+    val enc = Jpeg.encode(tiles)
+    assert(Jpeg.decode("not a jpeg at all!!".getBytes).isEmpty)
+    assert(Jpeg.decode(enc.dropRight(10)).isEmpty, "cut entropy data -> None")
+    def patchMarker(from: Int, to: Int): Array[Byte] = {
+      val c = enc.clone()
+      var i = 0
+      var done = false
+      while (!done && i < c.length - 1) {
+        if ((c(i) & 0xff) == 0xFF && (c(i + 1) & 0xff) == from) {
+          c(i + 1) = to.toByte; done = true
+        }
+        i += 1
+      }
+      assert(done, s"marker $from not found"); c
+    }
+    assert(Jpeg.decode(patchMarker(0xC0, 0xC2)).isEmpty,
+      "progressive SOF2 -> None")
+    assert(Jpeg.decode(patchMarker(0xC0, 0xC9)).isEmpty,
+      "arithmetic coding -> None")
+    // 12-bit precision: SOF0 payload's first byte (find FFC0, +4)
+    val sofAt = enc.indices.find(i => (enc(i) & 0xff) == 0xFF &&
+      i + 1 < enc.length && (enc(i + 1) & 0xff) == 0xC0).get
+    val deep = enc.clone(); deep(sofAt + 4) = 12.toByte
+    assert(Jpeg.decode(deep).isEmpty, "12-bit precision -> None")
+    // garbage entropy bytes: huffman desync must fence, not loop/crash
+    val garbled = enc.clone()
+    (enc.length - 30 until enc.length - 20).foreach(i =>
+      garbled(i) = 0x55.toByte)
+    assert(Jpeg.decode(garbled).isEmpty || true) // must RETURN (no hang)
+  }
+
+  test("extractFeatures on JPEG mime runs the real decoder; resize re-encodes") {
+    import spark.implicits._
+    import graft.multimodal.{Jpeg, Netpbm}
+    // constant tiles so JPEG == PPM features EXACTLY (lossless there)
+    val px = Array.tabulate[Byte](16 * 16 * 3) { i =>
+      val p = i / 3; ((p % 16 / 8 + p / 16 / 8) * 100 + 20).toByte
+    }
+    val img = Netpbm.Image(16, 16, 255, px)
+    val jpg = Jpeg.encode(img)
+    val ppm = Netpbm.encodeP6(img)
+    val bad = Array[Byte](0xFF.toByte, 0xD8.toByte, 1, 2, 3)
+    val media = Seq(
+      MediaRow(1L, jpg, MediaMeta(Multimodal.MimeJpeg, jpg.length.toLong,
+        Multimodal.payloadChecksum(jpg))),
+      MediaRow(2L, ppm, MediaMeta(Multimodal.MimePpm, ppm.length.toLong,
+        Multimodal.payloadChecksum(ppm))),
+      MediaRow(3L, bad, MediaMeta(Multimodal.MimeJpeg, bad.length.toLong,
+        Multimodal.payloadChecksum(bad)))).toDS()
+    val out = Multimodal.extractFeatures(media).collect().sortBy(_.doc_id)
+    assert(out(0).ok && out(1).ok && !out(2).ok)
+    assert(out(0).features.toSeq == out(1).features.toSeq,
+      "constant tiles through JPEG == PPM features exactly")
+    val resized = Multimodal.resize(media.filter(_.doc_id == 1L), 2)
+      .collect()(0)
+    val rImg = Jpeg.decode(resized.payload).get
+    assert(rImg.width == 8 && rImg.height == 8)
+  }
+
+  test("q126: real JPEG decode end-to-end — 8x8-tiled layout, stats are 64x byte stats") {
+    val out = Multimodal.q126(spark, sf).cache()
+    assert(out.count() == Tables(spark, sf).documents.count())
+    assert(out.filter(!col("ok")).count() == 0,
+      "every encoded JPEG must decode")
+    assert(out.filter(col("img_w") =!= 80).count() == 0)
+    assert(out.filter(col("n_px") =!= col("img_h") * 80).count() == 0)
+    out.unpersist()
+  }
+
   test("q124: real PNG decode end-to-end — dims match the 10-wide padded layout") {
     val out = Multimodal.q124(spark, sf).cache()
     assert(out.count() == Tables(spark, sf).documents.count())
