@@ -46,6 +46,8 @@ object Gif {
     */
   def encode(img: Netpbm.Image): Array[Byte] = {
     require(img.maxVal == 255, s"GIF is 8-bit palette, got maxVal=${img.maxVal}")
+    require(img.width <= 0xffff && img.height <= 0xffff,
+      s"GIF dims are 16-bit: ${img.width}x${img.height}")
     // palette: distinct colors in first-appearance order
     val colorIndex = new java.util.LinkedHashMap[Int, Integer]()
     val n = img.nPixels
@@ -226,6 +228,9 @@ object Gif {
     val iFlags = u8(p0 + 8)
     if (w <= 0 || h <= 0 || w > MaxDim || h > MaxDim ||
         w.toLong * h > MaxPixels) return None
+    // a frame exceeding the declared logical screen is malformed (the
+    // first-frame profile ignores left/top offsets, stated)
+    if (w > screenW || h > screenH) return None
     if ((iFlags & 0x40) != 0) return None // interlaced: out of profile
     var pos = p0 + 9
     val table = if ((iFlags & 0x80) != 0) {

@@ -233,6 +233,8 @@ object Jpeg {
     require(quant >= 1 && quant <= 255, s"quant out of range: $quant")
     require(restartEvery >= 0 && restartEvery <= 0xffff,
       s"restart interval out of range: $restartEvery")
+    require(img.width <= 0xffff && img.height <= 0xffff,
+      s"JPEG dims are 16-bit: ${img.width}x${img.height}")
     val w = img.width; val h = img.height
     // planes
     val yP = new Array[Int](w * h)
@@ -410,7 +412,6 @@ object Jpeg {
 
   private final class BitReader(bytes: Array[Byte], var pos: Int) {
     private var buf = 0; private var cnt = 0
-    var hitMarker = false // non-RST marker encountered (EOI or error)
 
     /** Next bit; -1 when the stream ends at a marker/EOF. */
     def bit(): Int = {
@@ -421,7 +422,7 @@ object Jpeg {
           if (pos >= bytes.length) return -1
           val m = bytes(pos) & 0xff
           if (m == 0x00) pos += 1 // stuffed FF
-          else { pos -= 1; hitMarker = true; return -1 }
+          else { pos -= 1; return -1 } // a marker ends the segment
         }
         buf = b; cnt = 8
       }
@@ -442,7 +443,7 @@ object Jpeg {
       * byte-align; true if an RST was consumed.
       */
     def restart(): Boolean = {
-      cnt = 0; hitMarker = false
+      cnt = 0
       while (pos + 1 < bytes.length) {
         if ((bytes(pos) & 0xff) == 0xFF) {
           val m = bytes(pos + 1) & 0xff
@@ -543,6 +544,7 @@ object Jpeg {
             p += 17 + nVals
           }
         case 0xC0 | 0xC1 => // baseline / extended-sequential huffman
+          if (len < 8) return None // short segment: fence BEFORE reads
           if (u8(seg) != 8) return None // 12-bit: fence
           h = u16(seg + 1); w = u16(seg + 3)
           val nf = u8(seg + 5)
@@ -564,14 +566,19 @@ object Jpeg {
           restartInterval = u16(seg)
         case 0xDA => // SOS
           if (comps == null) return None
+          if (len < 3) return None // short segment: fence BEFORE reads
           val ns = u8(seg)
           if (ns != comps.length) return None // partial scans: fence
+          if (len != 6 + 2 * ns) return None // declared vs actual size
           var i = 0
           while (i < ns) {
             val cs = u8(seg + 1 + 2 * i)
             val comp = comps.find(_.id == cs).getOrElse(return None)
             comp.td = u8(seg + 2 + 2 * i) >> 4
             comp.ta = u8(seg + 2 + 2 * i) & 15
+            // table ids are 2-bit in baseline; a corrupt nibble would
+            // index past the 4-slot table arrays (task death, not None)
+            if (comp.td > 3 || comp.ta > 3) return None
             i += 1
           }
           sosAt = pos + 2 + len
@@ -580,7 +587,17 @@ object Jpeg {
       pos += 2 + len
     }
 
-    // sampling geometry
+    // sampling geometry. A single-component scan is NON-INTERLEAVED
+    // (T.81 A.2.3): its MCU is ONE data unit and blocks walk the
+    // component's own raster — declared sampling factors do not shape
+    // the data order, so force 1x1 geometry (a grayscale file written
+    // with 2x2 factors would otherwise decode block-permuted with a
+    // wrong DC chain, silently)
+    if (comps.length == 1) {
+      val c = comps(0)
+      val c1 = Comp(c.id, 1, 1, c.tq); c1.td = c.td; c1.ta = c.ta
+      comps = Array(c1)
+    }
     val hMax = comps.map(_.hS).max; val vMax = comps.map(_.vS).max
     if (comps.exists(c => hMax % c.hS != 0 || vMax % c.vS != 0)) return None
     val mcusX = (w + 8 * hMax - 1) / (8 * hMax)

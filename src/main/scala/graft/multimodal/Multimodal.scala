@@ -819,6 +819,40 @@ object Multimodal {
       |  ${graft.queries.Q.round4Sql("CAST(ndark AS DOUBLE) / n_px")} AS dark_frac4
       |FROM agg ORDER BY doc_id""".stripMargin
 
+  /** The codec-family luma-stats face, shared by q124/q125/q126 (one
+    * kernel, three decoders): decode → integer luma sum + dark count →
+    * one final division, fence rows ok=false with n_px=1 (a malformed
+    * blob must cost one VISIBLE row, never an ANSI divide-by-zero
+    * task death).
+    */
+  private def lumaStatsFace(media: Dataset[MediaRow],
+      decode: Array[Byte] => Option[Netpbm.Image]): DataFrame = {
+    import media.sparkSession.implicits._
+    media
+      .map { r =>
+        decode(r.payload) match {
+          case Some(img) =>
+            var lsum = 0L; var dark = 0L; var i = 0
+            while (i < img.pixels.length) {
+              val l = Netpbm.luma(img.pixels(i) & 0xff,
+                img.pixels(i + 1) & 0xff, img.pixels(i + 2) & 0xff)
+              lsum += l; if (l < 32) dark += 1; i += 3
+            }
+            (r.doc_id, img.width.toLong, img.height.toLong,
+              (img.width * img.height).toLong, lsum, dark, true)
+          case None => (r.doc_id, 1L, 1L, 1L, 0L, 0L, false)
+        }
+      }
+      .toDF("doc_id", "img_w", "img_h", "n_px", "luma_sum", "n_dark", "ok")
+      .select(col("doc_id"), col("img_w"), col("img_h"), col("n_px"),
+        col("ok"),
+        graft.queries.Q.round4(
+          col("luma_sum").cast("double") / col("n_px")).as("luma_mean4"),
+        graft.queries.Q.round4(
+          col("n_dark").cast("double") / col("n_px")).as("dark_frac4"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Documents laid out as WIDTH-10 truecolor PNGs through the REAL
     * [[Png.encode]] writer — the q91 geometry (30 bytes per row, text
     * bytes zero-padded to whole rows) behind the fourth codec. The
@@ -850,32 +884,8 @@ object Multimodal {
     * crawls serve ([[graft.sources.WarcSource.media]] routes PNG
     * responses here by magic).
     */
-  def q124(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    pngTable(spark, dir)
-      .map { r =>
-        Png.decode(r.payload) match {
-          case Some(img) =>
-            var lsum = 0L; var dark = 0L; var i = 0
-            while (i < img.pixels.length) {
-              val l = Netpbm.luma(img.pixels(i) & 0xff,
-                img.pixels(i + 1) & 0xff, img.pixels(i + 2) & 0xff)
-              lsum += l; if (l < 32) dark += 1; i += 3
-            }
-            (r.doc_id, img.width.toLong, img.height.toLong,
-              (img.width * img.height).toLong, lsum, dark, true)
-          case None => (r.doc_id, 1L, 1L, 1L, 0L, 0L, false)
-        }
-      }
-      .toDF("doc_id", "img_w", "img_h", "n_px", "luma_sum", "n_dark", "ok")
-      .select(col("doc_id"), col("img_w"), col("img_h"), col("n_px"),
-        col("ok"),
-        graft.queries.Q.round4(
-          col("luma_sum").cast("double") / col("n_px")).as("luma_mean4"),
-        graft.queries.Q.round4(
-          col("n_dark").cast("double") / col("n_px")).as("dark_frac4"))
-      .orderBy(col("doc_id"))
-  }
+  def q124(spark: SparkSession, dir: String): DataFrame =
+    lumaStatsFace(pngTable(spark, dir), Png.decode)
 
   /** DuckDB mirror of q124: [[q91Sql]] verbatim — the raster GEOMETRY
     * (width 10, zero-padded 30-byte rows) is deliberately identical,
@@ -925,32 +935,8 @@ object Multimodal {
     * a format real crawls serve ([[graft.sources.WarcSource.media]]
     * routes GIF responses here by magic).
     */
-  def q125(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    gifTable(spark, dir)
-      .map { r =>
-        Gif.decode(r.payload) match {
-          case Some(img) =>
-            var lsum = 0L; var dark = 0L; var i = 0
-            while (i < img.pixels.length) {
-              val l = Netpbm.luma(img.pixels(i) & 0xff,
-                img.pixels(i + 1) & 0xff, img.pixels(i + 2) & 0xff)
-              lsum += l; if (l < 32) dark += 1; i += 3
-            }
-            (r.doc_id, img.width.toLong, img.height.toLong,
-              (img.width * img.height).toLong, lsum, dark, true)
-          case None => (r.doc_id, 1L, 1L, 1L, 0L, 0L, false)
-        }
-      }
-      .toDF("doc_id", "img_w", "img_h", "n_px", "luma_sum", "n_dark", "ok")
-      .select(col("doc_id"), col("img_w"), col("img_h"), col("n_px"),
-        col("ok"),
-        graft.queries.Q.round4(
-          col("luma_sum").cast("double") / col("n_px")).as("luma_mean4"),
-        graft.queries.Q.round4(
-          col("n_dark").cast("double") / col("n_px")).as("dark_frac4"))
-      .orderBy(col("doc_id"))
-  }
+  def q125(spark: SparkSession, dir: String): DataFrame =
+    lumaStatsFace(gifTable(spark, dir), Gif.decode)
 
   /** DuckDB mirror of q125: grayscale means luma(b,b,b) = b exactly
     * (299+587+114 = 1000), so the replay is PLAIN BYTE STATISTICS
@@ -1026,32 +1012,8 @@ object Multimodal {
     * responses here by magic); exactness rides the constant-block
     * device ([[jpegTable]]).
     */
-  def q126(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    jpegTable(spark, dir)
-      .map { r =>
-        Jpeg.decode(r.payload) match {
-          case Some(img) =>
-            var lsum = 0L; var dark = 0L; var i = 0
-            while (i < img.pixels.length) {
-              val l = Netpbm.luma(img.pixels(i) & 0xff,
-                img.pixels(i + 1) & 0xff, img.pixels(i + 2) & 0xff)
-              lsum += l; if (l < 32) dark += 1; i += 3
-            }
-            (r.doc_id, img.width.toLong, img.height.toLong,
-              (img.width * img.height).toLong, lsum, dark, true)
-          case None => (r.doc_id, 1L, 1L, 1L, 0L, 0L, false)
-        }
-      }
-      .toDF("doc_id", "img_w", "img_h", "n_px", "luma_sum", "n_dark", "ok")
-      .select(col("doc_id"), col("img_w"), col("img_h"), col("n_px"),
-        col("ok"),
-        graft.queries.Q.round4(
-          col("luma_sum").cast("double") / col("n_px")).as("luma_mean4"),
-        graft.queries.Q.round4(
-          col("n_dark").cast("double") / col("n_px")).as("dark_frac4"))
-      .orderBy(col("doc_id"))
-  }
+  def q126(spark: SparkSession, dir: String): DataFrame =
+    lumaStatsFace(jpegTable(spark, dir), Jpeg.decode)
 
   /** DuckDB mirror of q126: each byte owns 64 pixels of its own value
     * and grayscale luma(b,b,b) = b, so the stats are BYTE STATISTICS

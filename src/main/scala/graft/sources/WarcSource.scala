@@ -274,11 +274,26 @@ object WarcSource {
     * charset in markup far more often than in the HTTP header). The
     * meta tag itself is ASCII, so it reads identically through the
     * validation-free UTF-8 cast whatever the page's actual encoding.
+    *
+    * Two SPECIFIC shapes, not "charset= anywhere near <meta": a bare
+    * `charset=` scan would also match the WORD charset inside an
+    * unrelated attribute value (`<meta name="description"
+    * content="how to set charset=shift_jis">` must not re-decode the
+    * page) — so the label is taken only from the modern
+    * first-attribute form `<meta charset=…` or from a tag that
+    * declares `http-equiv` before its `charset=` parameter. A
+    * charset attribute buried behind other attributes is missed —
+    * the fail-safe direction (utf-8 fallback), stated.
     */
-  private def metaCharsetLabel(body: Column): Column =
-    regexp_extract(
-      lower(substring(body, 1, 1024).cast("string")),
-      "<meta[^>]{0,200}charset\\s*=\\s*[\"']?\\s*([a-z0-9_\\-]+)", 1)
+  private def metaCharsetLabel(body: Column): Column = {
+    val prefix = lower(substring(body, 1, 1024).cast("string"))
+    val direct = regexp_extract(prefix,
+      "<meta\\s+charset\\s*=\\s*[\"']?\\s*([a-z0-9_\\-]+)", 1)
+    val httpEquiv = regexp_extract(prefix,
+      "<meta[^>]{0,100}http-equiv[^>]{0,200}?charset\\s*=\\s*[\"']?\\s*([a-z0-9_\\-]+)",
+      1)
+    when(direct =!= "", direct).otherwise(httpEquiv)
+  }
 
   /** Payload is plausibly TEXT: no NUL byte anywhere. Every charset
     * the decode allowlist carries is NUL-free on real text (UTF-16 is

@@ -805,6 +805,24 @@ class MultimodalSpec extends SparkSpec {
     (enc.length - 30 until enc.length - 20).foreach(i =>
       garbled(i) = 0x55.toByte)
     assert(Jpeg.decode(garbled).isEmpty || true) // must RETURN (no hang)
+    // review-fix pins: a corrupt SOS table id (Td=4) fences, never an
+    // ArrayIndexOutOfBounds task death
+    val sosIx = enc.indices.find(i => (enc(i) & 0xff) == 0xFF &&
+      i + 1 < enc.length && (enc(i + 1) & 0xff) == 0xDA).get
+    val badTd = enc.clone(); badTd(sosIx + 6) = 0x40.toByte // comp 1 TdTa
+    assert(Jpeg.decode(badTd).isEmpty, "table id > 3 -> None, not AIOOBE")
+    // a short SOF segment at EOF fences before any header-byte read
+    assert(Jpeg.decode(Array[Byte](0xFF.toByte, 0xD8.toByte,
+      0xFF.toByte, 0xC0.toByte, 0, 2)).isEmpty)
+    // a 1-component scan is NON-INTERLEAVED whatever the declared
+    // sampling factors (T.81 A.2.3): forcing 2x2 on a grayscale file
+    // must decode pixel-identically, not block-permuted
+    val sof = enc.indices.find(i => (enc(i) & 0xff) == 0xFF &&
+      i + 1 < enc.length && (enc(i + 1) & 0xff) == 0xC0).get
+    val s22 = enc.clone(); s22(sof + 11) = 0x22.toByte // comp 1 HV
+    assert(Jpeg.decode(s22).get.pixels.toSeq ==
+      Jpeg.decode(enc).get.pixels.toSeq,
+      "grayscale sampling factors must not reshape the block walk")
   }
 
   test("extractFeatures on JPEG mime runs the real decoder; resize re-encodes") {

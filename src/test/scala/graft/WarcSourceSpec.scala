@@ -215,7 +215,12 @@ class WarcSourceSpec extends SparkSpec {
         // transport wins over markup: header latin-1 beats meta utf-8
         resp("http://w.example/precedence",
           "text/html; charset=ISO-8859-1",
-          bytes("<meta charset=\"utf-8\">caf") ++ Array(0xE9.toByte)))
+          bytes("<meta charset=\"utf-8\">caf") ++ Array(0xE9.toByte)) ++
+        // the WORD charset inside an unrelated meta attribute value
+        // must NOT re-decode the page (review finding)
+        resp("http://w.example/metaword", "text/html",
+          bytes("<meta name=\"description\" content=\"how to set " +
+            "charset=shift_jis in html\"><body>plain page</body>")))
     // weak-prefix TEXT payloads that must STAY text (review finding:
     // short printable magics misroute prose): pages starting with the
     // strings "ID3 ", "GIF8 " and "%PDF " are documents, while a real
@@ -312,6 +317,12 @@ class WarcSourceSpec extends SparkSpec {
       .select("text", "charset_used").collect()(0)
     assert(prec.getString(0).endsWith("café"), prec.getString(0))
     assert(prec.getString(1) == "iso-8859-1")
+    // 'charset=' mentioned inside a meta description is NOT a
+    // declaration — the page stays utf-8
+    val mw = docs.filter(col("url") === "http://w.example/metaword")
+      .select("charset_used").collect()(0).getString(0)
+    assert(mw == "utf-8",
+      "a charset mention in prose must not re-decode the page")
     docs.unpersist()
   }
 
