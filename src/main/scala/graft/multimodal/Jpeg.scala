@@ -136,24 +136,44 @@ object Jpeg {
 
   private def fdctQuant(block: Array[Int], q: Int): Array[Int] = {
     val out = new Array[Int](64)
+    // CONSTANT-block fast path (the q126 tiles and every flat region):
+    // only the DC survives and it is exactly 8·v — the general
+    // transform's AC terms cancel to float dust that rounds to 0, so
+    // the shortcut is value-identical at any q where 8v/q avoids an
+    // exact half (q = 1, the oracle setting, always qualifies)
+    var const = true
+    var ci = 1
+    while (const && ci < 64) { const = block(ci) == block(0); ci += 1 }
+    if (const) {
+      var dc = math.floor(8.0 * block(0) / q + 0.5).toInt
+      if (dc > 1023) dc = 1023; if (dc < -1023) dc = -1023
+      out(0) = dc
+      return out
+    }
+    // separable two-pass DCT: 2·8 MACs per coefficient, not 64
+    val tmp = new Array[Double](64) // tmp(u*8+x) = Σ_y block(y,x)·cos(u,y)
     var u = 0
+    while (u < 8) {
+      var x = 0
+      while (x < 8) {
+        var t = 0.0
+        var y = 0
+        while (y < 8) { t += block(y * 8 + x) * CosTable(u * 8 + y); y += 1 }
+        tmp(u * 8 + x) = t
+        x += 1
+      }
+      u += 1
+    }
+    u = 0
     while (u < 8) {
       var v = 0
       while (v < 8) {
-        var s = 0.0
-        var y = 0
-        while (y < 8) {
-          var x = 0
-          while (x < 8) {
-            s += block(y * 8 + x) * CosTable(v * 8 + x) * CosTable(u * 8 + y)
-            x += 1
-          }
-          y += 1
-        }
+        var sAcc = 0.0
+        var x = 0
+        while (x < 8) { sAcc += tmp(u * 8 + x) * CosTable(v * 8 + x); x += 1 }
         val cu = if (u == 0) InvSqrt2 else 1.0
         val cv = if (v == 0) InvSqrt2 else 1.0
-        val coef = 0.25 * cu * cv * s
-        var qv = math.floor(coef / q + 0.5).toInt
+        var qv = math.floor(0.25 * cu * cv * sAcc / q + 0.5).toInt
         if (qv > 1023) qv = 1023
         if (qv < -1023) qv = -1023 // baseline AC category ceiling
         out(u * 8 + v) = qv
@@ -461,27 +481,54 @@ object Jpeg {
 
   private def idctBlock(coefs: Array[Int], qt: Array[Int],
                         out: Array[Int]): Unit = {
-    val deq = new Array[Double](64)
-    var k = 0
-    while (k < 64) { deq(k) = coefs(k).toDouble * qt(k); k += 1 }
+    // DC-ONLY fast path — the oracle-exactness path, so it replicates
+    // the general accumulation's float ops BIT for BIT (adding exact
+    // 0.0 terms is the identity; the surviving term's multiply order
+    // matches the loop's cu·cv·deq·cos·cos with cos = 1.0): constant
+    // tiles and every flat region of a real JPEG take it
+    var acZero = true
+    var k = 1
+    while (acZero && k < 64) { acZero = coefs(k) == 0; k += 1 }
+    if (acZero) {
+      val s0 = InvSqrt2 * InvSqrt2 * (coefs(0).toDouble * qt(0)) * 1.0 * 1.0
+      val v0 = clamp255(math.floor(0.25 * s0 + 0.5).toInt + 128)
+      java.util.Arrays.fill(out, v0)
+      return
+    }
+    val deq = new Array[Double](64) // cu·cv folded in for separability
+    var u = 0
+    while (u < 8) {
+      var v = 0
+      while (v < 8) {
+        val cu = if (u == 0) InvSqrt2 else 1.0
+        val cv = if (v == 0) InvSqrt2 else 1.0
+        deq(u * 8 + v) = cu * cv * coefs(u * 8 + v).toDouble * qt(u * 8 + v)
+        v += 1
+      }
+      u += 1
+    }
+    // separable two-pass inverse: tmp(y,v) = Σ_u deq(u,v)·cos(u,y)
+    val tmp = new Array[Double](64)
     var y = 0
+    while (y < 8) {
+      var v = 0
+      while (v < 8) {
+        var t = 0.0
+        var uu = 0
+        while (uu < 8) { t += deq(uu * 8 + v) * CosTable(uu * 8 + y); uu += 1 }
+        tmp(y * 8 + v) = t
+        v += 1
+      }
+      y += 1
+    }
+    y = 0
     while (y < 8) {
       var x = 0
       while (x < 8) {
-        var s = 0.0
-        var u = 0
-        while (u < 8) {
-          var v = 0
-          while (v < 8) {
-            val cu = if (u == 0) InvSqrt2 else 1.0
-            val cv = if (v == 0) InvSqrt2 else 1.0
-            s += cu * cv * deq(u * 8 + v) *
-              CosTable(v * 8 + x) * CosTable(u * 8 + y)
-            v += 1
-          }
-          u += 1
-        }
-        out(y * 8 + x) = clamp255(math.floor(0.25 * s + 0.5).toInt + 128)
+        var sAcc = 0.0
+        var v = 0
+        while (v < 8) { sAcc += tmp(y * 8 + v) * CosTable(v * 8 + x); v += 1 }
+        out(y * 8 + x) = clamp255(math.floor(0.25 * sAcc + 0.5).toInt + 128)
         x += 1
       }
       y += 1
