@@ -33,7 +33,9 @@ object SparkEntry {
         Entry("q125_gif_decode", graft.multimodal.Multimodal.q125,
           Some(graft.multimodal.Multimodal.q125Sql)),
         Entry("q126_jpeg_decode", graft.multimodal.Multimodal.q126,
-          Some(graft.multimodal.Multimodal.q126Sql)))
+          Some(graft.multimodal.Multimodal.q126Sql)),
+        Entry("q127_pdf_extract", graft.multimodal.Multimodal.q127,
+          Some(graft.multimodal.Multimodal.q127Sql)))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

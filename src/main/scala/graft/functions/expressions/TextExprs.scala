@@ -95,6 +95,11 @@ object TextExprs {
   def charsetDecode(bytes: Column, label: Column): Column =
     c(CharsetDecode(x(bytes), x(label)))
 
+  /** PDF payload → show-text, NULL for non-PDF/encrypted bytes (see
+    * [[PdfExtractText]]).
+    */
+  def pdfExtractText(payload: Column): Column = c(PdfExtractText(x(payload)))
+
   /** The canonical name [[charsetDecode]] will actually decode with
     * for a declared label — "utf-8" for anything outside the
     * allowlist. Surfaced as the `charset_used` evidence column; the
@@ -1018,6 +1023,31 @@ case class CharsetResolve(child: Expression)
     val cs = CharsetDecode.resolve(if (label == null) "" else label.toString)
     UTF8String.fromString(cs.name.toLowerCase(java.util.Locale.ROOT))
   }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** Best-effort PDF text extraction as an expression: binary payload →
+  * the document's show-text ([[graft.multimodal.PdfText.extract]] —
+  * Flate streams, BT…ET show operators, the full string-escape
+  * grammar), NULL when the payload is not a PDF or is encrypted
+  * (ciphertext must not reach a text corpus). The expression form is
+  * what lets the crawl face ([[graft.sources.WarcSource.pdfDocuments]])
+  * stay pure Column ops — ts passthrough and the streaming mirror
+  * come for free, the repo's no-UDF convention.
+  */
+case class PdfExtractText(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(input: Any): Any =
+    graft.multimodal.PdfText.extract(input.asInstanceOf[Array[Byte]]) match {
+      case Some(t) => UTF8String.fromString(t)
+      case None => null
+    }
 
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)

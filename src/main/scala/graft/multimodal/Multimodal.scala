@@ -1038,6 +1038,37 @@ object Multimodal {
       |  ${graft.queries.Q.round4Sql("CAST(ndark AS DOUBLE) / n_px")} AS dark_frac4
       |FROM agg ORDER BY doc_id""".stripMargin
 
+  /** q127 entry: PDF TEXT EXTRACTION in the oracle-checked path —
+    * each document written as a REAL single-page PDF
+    * ([[PdfText.write]]: catalog/pages objects, a FlateDecode content
+    * stream, correct xref offsets, the string-escape grammar) and
+    * extracted back ([[PdfText.extract]]: /Length-framed stream walk,
+    * Inflater, BT…ET show-operator tokenizer, unescape). The oracle
+    * is the IDENTITY on the documents table — the entire Flate + PDF
+    * framing + escape machinery must cancel for the hash to match
+    * (the lossless-round-trip device, applied to a document format
+    * instead of a raster).
+    */
+  def q127(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), coalesce(col("text"), lit("")).as("t"))
+      .as[(Long, String)]
+      .map { case (id, t) =>
+        val back = PdfText.extract(PdfText.write(t))
+        (id, back.getOrElse(""), back.isDefined)
+      }
+      .toDF("doc_id", "text", "extract_ok")
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB mirror of q127: the identity — extraction must return the
+    * original text verbatim.
+    */
+  val q127Sql: String =
+    """SELECT doc_id, coalesce(text, '') AS text, TRUE AS extract_ok
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   /** q50 entry: blob table → batched decode-stub → feature summary.
     * Metadata and feature stats only — the binary column never reaches
     * the output (and is pruned from metadata-only branches).

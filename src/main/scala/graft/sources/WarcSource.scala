@@ -373,6 +373,44 @@ object WarcSource {
         (if (extra.nonEmpty) Seq("ts") else Nil)).map(col): _*)
   }
 
+  /** The PDF-text face: `response` payloads whose magic is %PDF-,
+    * their show-text extracted ([[graft.functions.expressions
+    * .PdfExtractText]] — Flate streams, BT…ET operators, the escape
+    * grammar) into the SAME corpus shape as [[documents]] — the PDF
+    * analogue of the markup-strip stage (q76 handles HTML; PDFs
+    * otherwise rot in the media face as opaque blobs, and real crawl
+    * pipelines mine exactly this text). Encrypted or unparsable PDFs
+    * yield NO row (their "text" would be ciphertext/garbage — the
+    * NUL-fence rationale); `charset_used` reports utf-8 (extraction
+    * decodes the string bytes itself). A `ts` column passes through
+    * for the streaming mirror, like the other faces.
+    */
+  def pdfDocuments(spark: SparkSession, dir: String,
+                   glob: Option[String] = None): DataFrame =
+    pdfDocuments(records(spark, dir, glob))
+
+  def pdfDocuments(records: DataFrame): DataFrame = {
+    val extra = if (records.columns.contains("ts")) Seq(col("ts")) else Nil
+    records
+      .filter(col("warc_type") === "response" &&
+        BinarySource.sniffMime(col("body")) === BinarySource.MimePdf)
+      .select(Seq(
+        md5Lower64(concat_ws("#", col("file"), col("record_ix")))
+          .as("doc_id"),
+        col("target_uri").as("url"),
+        graft.functions.expressions.TextExprs
+          .pdfExtractText(col("body")).as("text"),
+        lit("utf-8").as("charset_used"),
+        regexp_extract(col("file"), "([^/]+)$", 1).as("source")) ++
+        extra: _*)
+      .filter(col("text").isNotNull) // encrypted/unparsable: no row
+      .withColumn("lang", TextOps.langId(col("text")).getField("lang"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .select((Seq("doc_id", "url", "text", "lang", "source", "n_chars",
+        "charset_used") ++
+        (if (extra.nonEmpty) Seq("ts") else Nil)).map(col): _*)
+  }
+
   /** The audit face for what BOTH other faces refused: `response`
     * payloads that are neither sniffable media (no known magic) nor
     * plausibly text (a NUL byte present) — truncated downloads,

@@ -863,6 +863,54 @@ class MultimodalSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("PdfText: write/extract identity incl. escapes, Flate, /Length framing; TJ/hex/octal; fences") {
+    import graft.multimodal.PdfText
+    def rt(t: String): Unit =
+      assert(PdfText.extract(PdfText.write(t)) == Some(t),
+        s"round trip broke for: ${t.take(60)}")
+    rt("plain ascii text")
+    rt("")
+    rt("parens (nested (deep)) and \\ backslash and ) stray")
+    rt("newlines\nand\rCR and tabs\tsurvive")
+    rt("unicode: déjà vu — 中文 and ⚡")
+    // the /Length framing protection: text whose COMPRESSED stream or
+    // raw content could collide with the scan keyword
+    rt("endstream endobj stream xref trailer — keywords as prose")
+    rt("x" * 20000) // multi-KB stream
+    // hand-built uncompressed stream with TJ array, hex string, octal
+    // escape, quote operators and positioning newlines
+    val content = "BT (first) Tj (tab\\011end) Tj " +
+      "[(arr) -120 (ay)] TJ <48495f48455821> Tj T* (next line) ' ET"
+    val raw = ("%PDF-1.4\n1 0 obj << /Length " + content.length +
+      " >> stream\n" + content + "\nendstream endobj\ntrailer\n%%EOF")
+      .getBytes("ISO-8859-1")
+    val got = PdfText.extract(raw).get
+    assert(got == "firsttab\tendarrayHI_HEX!\nnext line", s"got: $got")
+    // fences: not a PDF; encrypted
+    assert(PdfText.extract("not a pdf".getBytes).isEmpty)
+    val enc = ("%PDF-1.4\ntrailer << /Encrypt 9 0 R >>\n%%EOF").getBytes
+    assert(PdfText.extract(enc).isEmpty, "encrypted -> None")
+    // a stream that never terminates: prior streams still extract
+    val cut = ("%PDF-1.4\n1 0 obj << /Length 11 >> stream\n" +
+      "BT (ok) Tj ET\nendstream endobj\n2 0 obj stream\nBT (lost")
+      .getBytes("ISO-8859-1")
+    // (the first stream's declared length frames 11 bytes — still
+    // containing its Tj — and the second, never-terminated stream
+    // stops the walk without losing what came before)
+    assert(PdfText.extract(cut).get.contains("ok"))
+  }
+
+  test("q127: PDF extraction end-to-end — identity on the documents table") {
+    val out = Multimodal.q127(spark, sf).cache()
+    assert(out.count() == Tables(spark, sf).documents.count())
+    assert(out.filter(!col("extract_ok")).count() == 0)
+    val orig = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
+    assert(out.select("doc_id", "text").except(orig).count() == 0,
+      "extraction must be the identity on every document")
+    out.unpersist()
+  }
+
   test("q124: real PNG decode end-to-end — dims match the 10-wide padded layout") {
     val out = Multimodal.q124(spark, sf).cache()
     assert(out.count() == Tables(spark, sf).documents.count())

@@ -408,6 +408,36 @@ class WarcSourceSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("pdfDocuments: crawled PDFs yield corpus text; encrypted PDFs yield no row") {
+    val dir = Files.createTempDirectory("graft-warc-pdf").toString
+    def resp(uri: String, body: Array[Byte]) =
+      rec(Seq("WARC-Type" -> "response", "WARC-Target-URI" -> uri,
+        "Content-Type" -> "application/http; msgtype=response"),
+        httpWrap("application/pdf", body))
+    val pdf = graft.multimodal.PdfText.write(
+      "a crawled pdf paragraph about data pipelines")
+    val encd = ("%PDF-1.4\ntrailer << /Encrypt 9 0 R >>\n%%EOF")
+      .getBytes("ISO-8859-1")
+    Files.write(Paths.get(dir, "pdfs.warc"),
+      resp("http://p.example/doc", pdf) ++
+        resp("http://p.example/locked", encd))
+    val recs = WarcSource.records(spark, dir).cache()
+    // PDFs route to media (never mojibake documents)…
+    assert(WarcSource.documents(recs)
+      .filter(col("url").startsWith("http://p.example")).count() == 0)
+    assert(WarcSource.media(recs)
+      .filter(col("meta.mime") === "application/pdf").count() == 2)
+    // …and the pdf face extracts the text into the corpus shape
+    val docs = WarcSource.pdfDocuments(recs).collect()
+    assert(docs.length == 1, "encrypted PDF must yield no row")
+    val d = docs(0)
+    assert(d.getAs[String]("url") == "http://p.example/doc")
+    assert(d.getAs[String]("text") ==
+      "a crawled pdf paragraph about data pipelines")
+    assert(d.getAs[Long]("n_chars") == 44L)
+    recs.unpersist()
+  }
+
   test("streaming media ingest: warcMedia mirrors the batch media face row for row") {
     val dir = writeWebDir()
     val stream = graft.streaming.Streams.warcMedia(spark, dir)
