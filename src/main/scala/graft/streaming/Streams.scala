@@ -70,6 +70,18 @@ object Streams {
     graft.sources.WarcSource.media(
       warcRecords(spark, dir, glob, maxFilesPerTrigger))
 
+  /** The continuous PDF-TEXT mirror — crawled PDFs extracted into the
+    * corpus shape as archives land ([[graft.sources.WarcSource
+    * .pdfDocuments]] is pure Column ops over the records frame, so
+    * the batch face applies to the stream unchanged; composes with
+    * [[corpusPrep]] like [[warcDocuments]]).
+    */
+  def warcPdfDocuments(spark: SparkSession, dir: String,
+                       glob: Option[String] = None,
+                       maxFilesPerTrigger: Int = 4): DataFrame =
+    graft.sources.WarcSource.pdfDocuments(
+      warcRecords(spark, dir, glob, maxFilesPerTrigger))
+
   /** Shared watched-dir WARC record stream: one task per landed
     * archive, the batch parser/opener/fences verbatim (a consumer
     * needing BOTH faces should start two queries over the same dir —

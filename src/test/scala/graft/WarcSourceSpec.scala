@@ -436,6 +436,20 @@ class WarcSourceSpec extends SparkSpec {
       "a crawled pdf paragraph about data pipelines")
     assert(d.getAs[Long]("n_chars") == 44L)
     recs.unpersist()
+
+    // the continuous mirror: same rows, archive mtime as ts
+    val stream = graft.streaming.Streams.warcPdfDocuments(spark, dir)
+    assert(stream.isStreaming)
+    val q = stream.writeStream.format("memory")
+      .queryName("warc_pdf_stream").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("warc_pdf_stream")
+      assert(got.count() == 1)
+      assert(got.collect()(0).getAs[String]("text") ==
+        "a crawled pdf paragraph about data pipelines")
+      assert(got.filter(col("ts").isNull).count() == 0)
+    } finally q.stop()
   }
 
   test("streaming media ingest: warcMedia mirrors the batch media face row for row") {
