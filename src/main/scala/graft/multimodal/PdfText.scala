@@ -106,6 +106,14 @@ object PdfText {
   // Extractor
   // ---------------------------------------------------------------
 
+  private def startsWithAt(b: Array[Byte], s: String, p: Int): Boolean = {
+    val pat = s.getBytes("ISO-8859-1")
+    if (p < 0 || p + pat.length > b.length) return false
+    var j = 0
+    while (j < pat.length && b(p + j) == pat(j)) j += 1
+    j == pat.length
+  }
+
   private def indexOfAscii(b: Array[Byte], s: String, from: Int): Int = {
     val pat = s.getBytes("ISO-8859-1")
     var i = math.max(from, 0)
@@ -123,7 +131,8 @@ object PdfText {
     val inf = new Inflater()
     try {
       inf.setInput(data)
-      val out = new java.io.ByteArrayOutputStream(data.length * 3 + 64)
+      val out = new java.io.ByteArrayOutputStream(
+        math.min(data.length.toLong * 3 + 64, 1L << 20).toInt)
       val buf = new Array[Byte](1 << 14)
       var n = inf.inflate(buf)
       while (n > 0 || (!inf.finished() && !inf.needsInput() &&
@@ -151,15 +160,29 @@ object PdfText {
     var pos = 0
     var going = true
     while (going) {
-      val s = indexOfAscii(bytes, "stream", pos)
+      var s = indexOfAscii(bytes, "stream", pos)
+      // "endstream" CONTAINS "stream": a match whose preceding bytes
+      // are "end" is the previous stream's terminator, not a new
+      // stream — the misframe the multi-stream spec pins
+      while (s >= 3 && startsWithAt(bytes, "end", s - 3))
+        s = indexOfAscii(bytes, "stream", s + 1)
       if (s < 0) going = false
       else {
         // data starts after the keyword's EOL (CRLF or LF per spec)
         var d = s + "stream".length
         if (d < bytes.length && bytes(d) == '\r') d += 1
         if (d < bytes.length && bytes(d) == '\n') d += 1
-        // direct /Length in the ~400 bytes of dict before the keyword
-        val winStart = math.max(0, s - 400)
+        // the stream dict: the ~400 bytes before the keyword — carries
+        // the direct /Length and whether a /Filter is declared. Floored
+        // at this iteration's scan start: a blind s-400 reaches back
+        // into the PREVIOUS object's dict and inherits its /Filter,
+        // which silently skipped the following unfiltered stream (the
+        // multi-stream spec's mixed fixture caught it)
+        val winStart = math.max(pos, s - 400)
+        val filtered = {
+          val fi = indexOfAscii(bytes, "/Filter", winStart)
+          fi >= 0 && fi < s
+        }
         var lenVal = -1
         var li = indexOfAscii(bytes, "/Length", winStart)
         while (li >= 0 && li < s) {
@@ -170,10 +193,12 @@ object PdfText {
             v = v * 10 + (bytes(p) - '0'); p += 1; digits += 1
           }
           // an indirect ref (`12 0 R`) leaves digits>0 but is followed
-          // by ` 0 R` — only accept a length whose framing CHECKS OUT
+          // by ` 0 R` — only accept a length whose framing CHECKS OUT:
+          // "endstream" must start within 4 bytes (EOL allowance) of
+          // d+v. Constant-size window compare, not a scan to EOF.
           if (digits > 0 && d + v <= bytes.length &&
-              indexOfAscii(bytes, "endstream", (d + v).toInt) >= 0 &&
-              indexOfAscii(bytes, "endstream", (d + v).toInt) <= d + v + 4)
+              (0 to 4).exists(k => startsWithAt(bytes, "endstream",
+                (d + v).toInt + k)))
             lenVal = v.toInt
           li = indexOfAscii(bytes, "/Length", li + 1)
         }
@@ -193,7 +218,14 @@ object PdfText {
           }
         if (data == null) going = false
         else {
-          out += inflate(data).getOrElse(data)
+          inflate(data) match {
+            case Some(x) => out += x
+            // a DECLARED-filtered stream whose inflate fails is binary
+            // (DCTDecode image, font program) — running its raw bytes
+            // through the text tokenizer would emit mojibake as corpus
+            // text; only genuinely unfiltered streams read raw
+            case None => if (!filtered) out += data
+          }
           pos = nextPos + 1
         }
       }
@@ -313,6 +345,22 @@ object PdfText {
           case "'" | "\"" => needBreak = true; flush(show = true)
           case "Td" | "TD" | "T*" =>
             pend.clear(); needBreak = true
+          case "BI" =>
+            // inline image: skip to the whitespace-delimited EI token
+            // — an unescaped '(' inside the binary would otherwise
+            // open a phantom string and eat the rest of the stream
+            var j = i
+            var found = -1
+            while (found < 0 && j + 2 < content.length) {
+              if ((content(j) == ' ' || content(j) == '\n' ||
+                   content(j) == '\r' || content(j) == '\t') &&
+                  content(j + 1) == 'E' && content(j + 2) == 'I' &&
+                  (j + 3 >= content.length ||
+                    isDelim(content(j + 3) & 0xff))) found = j + 3
+              j += 1
+            }
+            if (found < 0) return sb.toString // cut image: keep prior
+            i = found
           case _ => pend.clear() // any other operator consumes operands
         }
       } else i += 1
@@ -325,14 +373,35 @@ object PdfText {
       c == 0 || c == '(' || c == ')' || c == '<' || c == '>' ||
       c == '[' || c == ']' || c == '{' || c == '}' || c == '/' || c == '%'
 
+  /** Fallback /Encrypt scan window for documents WITHOUT a `trailer`
+    * keyword (PDF 1.5+ cross-reference streams keep the trailer dict
+    * inside the xref stream at the document tail).
+    */
+  val EncryptWindow = 4096
+
   /** Extract the document's show-text, best effort. None: not a PDF
-    * (magic) or encrypted (strings are ciphertext — emitting them as
-    * text would poison the corpus, the WarcSource NUL-fence rationale).
+    * (magic) or encrypted — /Encrypt in the governing TRAILER dict
+    * (after the LAST `trailer` keyword — a document that merely
+    * MENTIONS "/Encrypt" in its content stays in the corpus; when no
+    * trailer keyword exists, the xref-stream tail window is scanned
+    * instead). Encrypted strings are ciphertext, and emitting
+    * ciphertext as text would poison the corpus (the WarcSource
+    * NUL-fence rationale).
     */
   def extract(bytes: Array[Byte]): Option[String] = {
     if (bytes.length < 5 ||
         !new String(bytes, 0, 5, "ISO-8859-1").startsWith("%PDF-")) return None
-    if (indexOfAscii(bytes, "/Encrypt", 0) >= 0) return None
+    // the /Encrypt key lives in the governing trailer dict: scan after
+    // the LAST `trailer` keyword (incremental updates append trailers;
+    // the last one governs), falling back to the tail window for
+    // xref-stream documents that have none
+    var trailerAt = -1
+    var ti = indexOfAscii(bytes, "trailer", 0)
+    while (ti >= 0) { trailerAt = ti; ti = indexOfAscii(bytes, "trailer", ti + 1) }
+    val scanFrom =
+      if (trailerAt >= 0) trailerAt
+      else math.max(0, bytes.length - EncryptWindow)
+    if (indexOfAscii(bytes, "/Encrypt", scanFrom) >= 0) return None
     val parts = streams(bytes).map(textOf).filter(_.nonEmpty)
     Some(parts.mkString("\n"))
   }

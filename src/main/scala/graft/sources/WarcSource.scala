@@ -336,6 +336,21 @@ object WarcSource {
   def documents(spark: SparkSession, dir: String): DataFrame =
     documents(spark, dir, None)
 
+  /** The shared corpus-shape TAIL (documents + pdfDocuments — one
+    * definition of the contract corpusPrep composes against): input
+    * carries (doc_id, url, text, charset_used, source [, ts]); the
+    * tail adds lang + n_chars and pins the column order.
+    */
+  private def corpusShape(selected: DataFrame, hasTs: Boolean): DataFrame =
+    selected
+      // langId returns struct<lang, confidence>; the corpus table's
+      // lang is the plain code string
+      .withColumn("lang", TextOps.langId(col("text")).getField("lang"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .select((Seq("doc_id", "url", "text", "lang", "source", "n_chars",
+        "charset_used") ++
+        (if (hasTs) Seq("ts") else Nil)).map(col): _*)
+
   def documents(records: DataFrame): DataFrame = {
     // a `ts` column on the records frame passes through 1:1 — the
     // streaming ingest ([[graft.streaming.Streams.warcDocuments]])
@@ -350,7 +365,7 @@ object WarcSource {
       coalesce(col("http_content_type"), col("warc_content_type")))
     val label = when(headerLabel =!= "", headerLabel)
       .otherwise(metaCharsetLabel(col("body")))
-    records
+    corpusShape(records
       .filter(col("warc_type") === "conversion" ||
         (col("warc_type") === "response" &&
           BinarySource.sniffMime(col("body")) === "application/octet-stream" &&
@@ -363,14 +378,8 @@ object WarcSource {
           .charsetDecode(col("body"), label).as("text"),
         graft.functions.expressions.TextExprs
           .charsetResolve(label).as("charset_used"),
-        regexp_extract(col("file"), "([^/]+)$", 1).as("source")) ++ extra: _*)
-      // langId returns struct<lang, confidence>; the corpus table's
-      // lang is the plain code string
-      .withColumn("lang", TextOps.langId(col("text")).getField("lang"))
-      .withColumn("n_chars", length(col("text")).cast("long"))
-      .select((Seq("doc_id", "url", "text", "lang", "source", "n_chars",
-        "charset_used") ++
-        (if (extra.nonEmpty) Seq("ts") else Nil)).map(col): _*)
+        regexp_extract(col("file"), "([^/]+)$", 1).as("source")) ++
+        extra: _*), extra.nonEmpty)
   }
 
   /** The PDF-text face: `response` payloads whose magic is %PDF-,
@@ -391,24 +400,28 @@ object WarcSource {
 
   def pdfDocuments(records: DataFrame): DataFrame = {
     val extra = if (records.columns.contains("ts")) Seq(col("ts")) else Nil
-    records
+    // the extraction runs ONCE per record, guaranteed by a Generate
+    // barrier: a plain `.filter(text.isNotNull)` over the aliased
+    // column gets pushed below the projection by Catalyst (alias
+    // substitution), re-running the full parse+inflate per surviving
+    // row — measured as 2 pdfextracttext nodes in the optimized plan.
+    // Filters do NOT push below a Generate, so explode(array(…))
+    // (one row in, one row out) pins the evaluation while keeping the
+    // face pure Column ops (streaming-legal, unlike a cache)
+    corpusShape(records
       .filter(col("warc_type") === "response" &&
         BinarySource.sniffMime(col("body")) === BinarySource.MimePdf)
       .select(Seq(
         md5Lower64(concat_ws("#", col("file"), col("record_ix")))
           .as("doc_id"),
         col("target_uri").as("url"),
-        graft.functions.expressions.TextExprs
-          .pdfExtractText(col("body")).as("text"),
+        explode(array(graft.functions.expressions.TextExprs
+          .pdfExtractText(col("body")))).as("text"),
         lit("utf-8").as("charset_used"),
         regexp_extract(col("file"), "([^/]+)$", 1).as("source")) ++
         extra: _*)
-      .filter(col("text").isNotNull) // encrypted/unparsable: no row
-      .withColumn("lang", TextOps.langId(col("text")).getField("lang"))
-      .withColumn("n_chars", length(col("text")).cast("long"))
-      .select((Seq("doc_id", "url", "text", "lang", "source", "n_chars",
-        "charset_used") ++
-        (if (extra.nonEmpty) Seq("ts") else Nil)).map(col): _*)
+      .filter(col("text").isNotNull), // encrypted/unparsable: no row
+      extra.nonEmpty)
   }
 
   /** The audit face for what BOTH other faces refused: `response`

@@ -898,6 +898,43 @@ class MultimodalSpec extends SparkSpec {
     // containing its Tj — and the second, never-terminated stream
     // stops the walk without losing what came before)
     assert(PdfText.extract(cut).get.contains("ok"))
+
+    // MULTI-STREAM documents (review finding: nearly every real PDF
+    // has one content stream per page — the "stream" scan must not
+    // re-match the tail of "endstream" and misframe page 2+)
+    def rawStream(c: String): String =
+      s"9 0 obj << /Length ${c.length} >> stream\n" + c +
+        "\nendstream endobj\n"
+    val multi = ("%PDF-1.4\n" + rawStream("BT (page one) Tj ET") +
+      rawStream("BT (page two) Tj ET") +
+      rawStream("BT (page three) Tj ET") + "trailer\n%%EOF")
+      .getBytes("ISO-8859-1")
+    assert(PdfText.extract(multi).get == "page one\npage two\npage three")
+    // a DECLARED-filtered stream that does not inflate is binary (an
+    // embedded image/font) — its raw bytes must NOT reach the corpus
+    val binStream = "8 0 obj << /Length 22 /Filter /DCTDecode >> stream\n" +
+      "BT (mojibake) Tj ET..." + "\nendstream endobj\n"
+    val withBin = ("%PDF-1.4\n" + binStream +
+      rawStream("BT (real text) Tj ET") + "trailer\n%%EOF")
+      .getBytes("ISO-8859-1")
+    assert(PdfText.extract(withBin).get == "real text",
+      "undecodable filtered streams must contribute nothing")
+    // inline image: an unescaped '(' inside BI..ID binary must not
+    // open a phantom string and eat the text after the image
+    val inline = rawStream(
+      "BT (before) Tj ET BI /W 2 /H 1 ID (ÿ  EI " +
+        "BT (after) Tj ET")
+    val withImg = ("%PDF-1.4\n" + inline + "trailer\n%%EOF")
+      .getBytes("ISO-8859-1")
+    assert(PdfText.extract(withImg).get == "beforeafter",
+      "inline-image binary must be skipped to EI")
+    // an unencrypted document MENTIONING /Encrypt in content is kept;
+    // /Encrypt in the TRAILER window fences
+    val mentions = ("%PDF-1.4\n" +
+      rawStream("BT (the /Encrypt key enables security) Tj ET") +
+      "trailer << /Size 2 >>\n%%EOF").getBytes("ISO-8859-1")
+    assert(PdfText.extract(mentions).get.contains("enables security"),
+      "mentioning /Encrypt in content must not drop the doc")
   }
 
   test("q127: PDF extraction end-to-end — identity on the documents table") {
