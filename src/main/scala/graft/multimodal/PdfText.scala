@@ -141,7 +141,13 @@ object PdfText {
         if (out.size() > (1 << 26)) return None // decompression bomb
         n = inf.inflate(buf)
       }
-      if (out.size() == 0) None else Some(out.toByteArray)
+      // a stall (needsInput before the final block) is a TRUNCATED
+      // deflate stream — emitting the partial output as corpus text
+      // would fence inconsistently with a checksum-corrupt stream
+      // (DataFormatException → None); damaged is damaged either way,
+      // mirroring Png.decode's strict got<expected fence
+      if (!inf.finished() || out.size() == 0) None
+      else Some(out.toByteArray)
     } catch {
       case _: java.util.zip.DataFormatException => None
     } finally inf.end()

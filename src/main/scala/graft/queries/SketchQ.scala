@@ -564,7 +564,7 @@ object SketchQ {
        |SELECT sc.flag, n, sum_qty, min_qty, max_qty, nd_supp, p50_pf, p99_pf,
        |  p50s_pf4, p99s_pf4
        |FROM sc JOIN nd USING (flag) JOIN q50 USING (flag) JOIN q99 USING (flag)
-       |  JOIN sq USING (flag)
+       |  LEFT JOIN sq USING (flag)
        |ORDER BY sc.flag""".stripMargin
   }
 
@@ -575,7 +575,11 @@ object SketchQ {
     * engine, and the interpolation mirrors
     * [[graft.pipeline.StatsMaintain.quantileFromSample]] operation for
     * operation (r = q·(ns−1), v⌊r⌋ + (v⌊r⌋₊₁ − v⌊r⌋)·(r − ⌊r⌋)) so the
-    * IEEE arithmetic is identical before round4.
+    * IEEE arithmetic is identical before round4. The final select
+    * joins `sq` with LEFT JOIN: a group whose quantile column is
+    * all-NULL produces no sq row (smp drops NULL v) and must survive
+    * with NULL sampled quantiles — matching quantileFromSample's
+    * n==0 → NULL branch — not vanish from the digest.
     */
   private def sampledQuantCtes: String = {
     def interp(tag: String, q: String): String = {

@@ -310,7 +310,9 @@ object WarcSource {
     * container type by magic bytes ([[BinarySource.sniffMime]]'s
     * real-web table: images, PDF, gzip/zstd, MP3 — a media payload
     * behind a lying `text/html` header routes to [[media]], not
-    * here), and NUL-free (unrecognized binary is [[quarantine]]d, not
+    * here), and NUL-free for BOTH record types (a WET record carrying
+    * binary fences exactly like the identical response payload;
+    * unrecognized binary is [[quarantine]]d, not
     * ingested as text; the declared types stay available on the
     * [[records]] frame for audits — this face keeps exactly the
     * corpus-table shape). Columns match what
@@ -365,11 +367,16 @@ object WarcSource {
       coalesce(col("http_content_type"), col("warc_content_type")))
     val label = when(headerLabel =!= "", headerLabel)
       .otherwise(metaCharsetLabel(col("body")))
+    // the NUL fence applies to conversion (WET) records too: a WET
+    // payload is SUPPOSED to be extracted text, but crawl tooling
+    // occasionally writes binary into conversion records, and the
+    // identical bytes in a response record would quarantine — one
+    // fence, both record types (the r13 asymmetry)
     corpusShape(records
-      .filter(col("warc_type") === "conversion" ||
+      .filter((col("warc_type") === "conversion" ||
         (col("warc_type") === "response" &&
-          BinarySource.sniffMime(col("body")) === "application/octet-stream" &&
-          plausiblyText(col("body"))))
+          BinarySource.sniffMime(col("body")) === "application/octet-stream")) &&
+        plausiblyText(col("body")))
       .select(Seq(
         md5Lower64(concat_ws("#", col("file"), col("record_ix")))
           .as("doc_id"),
@@ -424,13 +431,16 @@ object WarcSource {
       extra.nonEmpty)
   }
 
-  /** The audit face for what BOTH other faces refused: `response`
+  /** The audit face for what the text faces refused: `response`
     * payloads that are neither sniffable media (no known magic) nor
     * plausibly text (a NUL byte present) — truncated downloads,
-    * encrypted blobs, exotic containers. At crawl scale this is a
-    * systematic influx; quarantining it HERE (with the declared type
-    * as evidence) is what keeps the corpus clean without the
-    * downstream quality gates paying to re-discover each blob.
+    * encrypted blobs, exotic containers — plus `conversion` (WET)
+    * records carrying the same NUL-bearing binary (the [[documents]]
+    * fence applies to both record types; what it refuses lands here,
+    * not nowhere). At crawl scale this is a systematic influx;
+    * quarantining it HERE (with the declared type as evidence) is
+    * what keeps the corpus clean without the downstream quality gates
+    * paying to re-discover each blob.
     */
   def quarantine(spark: SparkSession, dir: String,
                  glob: Option[String] = None): DataFrame =
@@ -438,8 +448,9 @@ object WarcSource {
 
   def quarantine(records: DataFrame): DataFrame =
     records
-      .filter(col("warc_type") === "response" &&
-        BinarySource.sniffMime(col("body")) === "application/octet-stream" &&
+      .filter((col("warc_type") === "conversion" ||
+        (col("warc_type") === "response" &&
+          BinarySource.sniffMime(col("body")) === "application/octet-stream")) &&
         !plausiblyText(col("body")))
       .select(
         md5Lower64(concat_ws("#", col("file"), col("record_ix")))

@@ -14,7 +14,18 @@ import org.apache.spark.sql.SparkSession
   * on the closure oracle face at sf0.01). The conf is a SESSION conf:
   * a concurrent query STARTED inside the window runs without AQE — a
   * perf wobble, never a correctness one. The restore runs in a
-  * finally, so no failure path leaves the session altered.
+  * finally, so no failure path leaves the session altered (a hard JVM
+  * kill inside the window dies with the session — nothing persists).
+  *
+  * CONCURRENCY CONTRACT, stated for callers: long-scoped users
+  * (NearDupIndex.maintain scopes a whole delta cycle) must not share
+  * a SparkSession with latency-sensitive concurrent queries — e.g. a
+  * streaming micro-batch planned inside the window silently runs
+  * without AQE's skew handling for that batch. Isolation recipe: run
+  * the maintainer against `spark.newSession()` (shared SparkContext +
+  * cache, private conf) and build its input frames FROM that session
+  * — a DataFrame plans with the conf of the session that created it,
+  * so frames minted outside the clone would not inherit the scope.
   */
 object AqeScope {
 

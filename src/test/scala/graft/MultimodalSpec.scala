@@ -935,6 +935,34 @@ class MultimodalSpec extends SparkSpec {
       "trailer << /Size 2 >>\n%%EOF").getBytes("ISO-8859-1")
     assert(PdfText.extract(mentions).get.contains("enables security"),
       "mentioning /Encrypt in content must not drop the doc")
+
+    // a TRUNCATED FlateDecode stream (deflate data cut mid-stream,
+    // /Length matching the cut bytes) stalls the inflater with partial
+    // output — the fence must treat it like a checksum-corrupt stream
+    // (None), not emit the partial bytes as corpus text: damaged is
+    // damaged whichever way the damage manifests
+    val bigContent = "BT (" + ("truncated page text " * 400) + ") Tj ET"
+    val fullFlate = {
+      val d = new java.util.zip.Deflater()
+      d.setInput(bigContent.getBytes("ISO-8859-1")); d.finish()
+      val bo = new java.io.ByteArrayOutputStream()
+      val b = new Array[Byte](4096)
+      while (!d.finished()) bo.write(b, 0, d.deflate(b))
+      d.end(); bo.toByteArray
+    }
+    val cutFlate = java.util.Arrays.copyOfRange(
+      fullFlate, 0, fullFlate.length / 2)
+    val truncDoc = new java.io.ByteArrayOutputStream()
+    truncDoc.write("%PDF-1.4\n".getBytes("ISO-8859-1"))
+    truncDoc.write((s"7 0 obj << /Length ${cutFlate.length} " +
+      "/Filter /FlateDecode >> stream\n").getBytes("ISO-8859-1"))
+    truncDoc.write(cutFlate)
+    truncDoc.write("\nendstream endobj\n".getBytes("ISO-8859-1"))
+    truncDoc.write(rawStream("BT (kept text) Tj ET")
+      .getBytes("ISO-8859-1"))
+    truncDoc.write("trailer\n%%EOF\n".getBytes("ISO-8859-1"))
+    assert(PdfText.extract(truncDoc.toByteArray) == Some("kept text"),
+      "a stalled (truncated) deflate stream must contribute nothing")
   }
 
   test("q127: PDF extraction end-to-end — identity on the documents table") {

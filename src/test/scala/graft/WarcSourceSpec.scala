@@ -408,6 +408,34 @@ class WarcSourceSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("NUL fence covers conversion (WET) records: binary WET payload quarantines, not ingests") {
+    val dir = Files.createTempDirectory("graft-warc-wetnul").toString
+    // a WET record whose payload is binary (NUL bytes) — crawl tooling
+    // does occasionally write this; the identical bytes in a response
+    // record have always quarantined, and the fence must be symmetric
+    val nulBody = bytes("looks textual until") ++
+      Array[Byte](0, 1, 2, 0) ++ bytes("binary tail")
+    Files.write(Paths.get(dir, "wet.warc"),
+      rec(Seq("WARC-Type" -> "conversion",
+        "WARC-Target-URI" -> "http://n.example/binwet",
+        "Content-Type" -> "text/plain"), nulBody) ++
+        rec(Seq("WARC-Type" -> "conversion",
+          "WARC-Target-URI" -> "http://n.example/okwet",
+          "Content-Type" -> "text/plain"),
+          bytes("a clean wet record that must still ingest")))
+    val recs = WarcSource.records(spark, dir).cache()
+    val docUrls = WarcSource.documents(recs)
+      .select("url").collect().map(_.getString(0)).toSet
+    assert(docUrls == Set("http://n.example/okwet"),
+      "a NUL-bearing WET payload must not become a mojibake document")
+    val quar = WarcSource.quarantine(recs).collect()
+    assert(quar.map(_.getAs[String]("url")).toSeq ==
+      Seq("http://n.example/binwet"),
+      "what the documents fence refuses must land in quarantine, not nowhere")
+    assert(quar(0).getAs[String]("reason") == "nul_bytes")
+    recs.unpersist()
+  }
+
   test("pdfDocuments: crawled PDFs yield corpus text; encrypted PDFs yield no row") {
     val dir = Files.createTempDirectory("graft-warc-pdf").toString
     def resp(uri: String, body: Array[Byte]) =
