@@ -305,6 +305,25 @@ object WarcSource {
   private def plausiblyText(body: Column): Column =
     !contains(body, lit(Array[Byte](0)))
 
+  /** Extracted PDF text is plausibly REAL text, not glyph-id
+    * mojibake: the density of replacement chars (U+FFFD — unmapped
+    * CMap codes, invalid UTF-8 byte runs) plus C0 controls other than
+    * TAB/LF/CR stays under 5% of the first 4 KiB. Subset-embedded
+    * fonts WITHOUT a /ToUnicode CMap — common in real crawls —
+    * extract as glyph-id bytes whose UTF-8 decode is dense in exactly
+    * these characters (2-byte glyph ids put roughly half the output
+    * below 0x20), while genuinely recovered text (simple fonts, or
+    * Type0 through the CMap pass) carries essentially none. Empty
+    * text passes (a scanned-image PDF is a no-text document, not a
+    * corrupted one).
+    */
+  private def printableText(text: Column): Column = {
+    val sample = substring(text, 1, 4096)
+    val bad = regexp_count(sample,
+      lit("[\\uFFFD\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]"))
+    length(sample) === 0 || bad * lit(20) < length(sample)
+  }
+
   /** The documents-table face: `conversion` (WET) records plus
     * `response` payloads that are plausibly text — NOT a known media/
     * container type by magic bytes ([[BinarySource.sniffMime]]'s
@@ -392,14 +411,21 @@ object WarcSource {
   /** The PDF-text face: `response` payloads whose magic is %PDF-,
     * their show-text extracted ([[graft.functions.expressions
     * .PdfExtractText]] — Flate streams, BT…ET operators, the escape
-    * grammar) into the SAME corpus shape as [[documents]] — the PDF
-    * analogue of the markup-strip stage (q76 handles HTML; PDFs
-    * otherwise rot in the media face as opaque blobs, and real crawl
-    * pipelines mine exactly this text). Encrypted or unparsable PDFs
-    * yield NO row (their "text" would be ciphertext/garbage — the
-    * NUL-fence rationale); `charset_used` reports utf-8 (extraction
-    * decodes the string bytes itself). A `ts` column passes through
-    * for the streaming mirror, like the other faces.
+    * grammar, and the /ToUnicode CMap pass that recovers real text
+    * from subset-embedded glyph-id fonts) into the SAME corpus shape
+    * as [[documents]] — the PDF analogue of the markup-strip stage
+    * (q76 handles HTML; PDFs otherwise rot in the media face as
+    * opaque blobs, and real crawl pipelines mine exactly this text).
+    * Encrypted PDFs yield NO row here (their "text" would be
+    * ciphertext — the NUL-fence rationale) and land in [[quarantine]]
+    * as `pdf_encrypted`; extractions that FAIL the printability gate
+    * ([[printableText]] — glyph-id fonts without a usable ToUnicode
+    * CMap decode as replacement/control-dense mojibake) also yield no
+    * row here and quarantine as `pdf_glyph_mojibake`, so systematic
+    * garbage never enters the corpus shape the dedup/search/stats
+    * faces consume. `charset_used` reports utf-8 (extraction decodes
+    * the string bytes itself). A `ts` column passes through for the
+    * streaming mirror, like the other faces.
     */
   def pdfDocuments(spark: SparkSession, dir: String,
                    glob: Option[String] = None): DataFrame =
@@ -427,7 +453,8 @@ object WarcSource {
         lit("utf-8").as("charset_used"),
         regexp_extract(col("file"), "([^/]+)$", 1).as("source")) ++
         extra: _*)
-      .filter(col("text").isNotNull), // encrypted/unparsable: no row
+      // encrypted: no row; mojibake: no row (both quarantine instead)
+      .filter(col("text").isNotNull && printableText(col("text"))),
       extra.nonEmpty)
   }
 
@@ -437,7 +464,11 @@ object WarcSource {
     * encrypted blobs, exotic containers — plus `conversion` (WET)
     * records carrying the same NUL-bearing binary (the [[documents]]
     * fence applies to both record types; what it refuses lands here,
-    * not nowhere). At crawl scale this is a systematic influx;
+    * not nowhere), PLUS the PDFs [[pdfDocuments]] refused — encrypted
+    * documents (`pdf_encrypted`: extraction would emit ciphertext)
+    * and extractions failing the printability gate
+    * (`pdf_glyph_mojibake`: subset-font glyph ids with no usable
+    * ToUnicode CMap). At crawl scale this is a systematic influx;
     * quarantining it HERE (with the declared type as evidence) is
     * what keeps the corpus clean without the downstream quality gates
     * paying to re-discover each blob.
@@ -446,20 +477,38 @@ object WarcSource {
                  glob: Option[String] = None): DataFrame =
     quarantine(records(spark, dir, glob))
 
-  def quarantine(records: DataFrame): DataFrame =
-    records
+  def quarantine(records: DataFrame): DataFrame = {
+    def evidence = Seq(
+      md5Lower64(concat_ws("#", col("file"), col("record_ix")))
+        .as("doc_id"),
+      col("target_uri").as("url"),
+      col("http_content_type").as("declared_mime"),
+      col("n_bytes"),
+      regexp_extract(col("file"), "([^/]+)$", 1).as("source"))
+    val nulArm = records
       .filter((col("warc_type") === "conversion" ||
         (col("warc_type") === "response" &&
           BinarySource.sniffMime(col("body")) === "application/octet-stream")) &&
         !plausiblyText(col("body")))
-      .select(
-        md5Lower64(concat_ws("#", col("file"), col("record_ix")))
-          .as("doc_id"),
-        col("target_uri").as("url"),
-        col("http_content_type").as("declared_mime"),
-        col("n_bytes"),
-        regexp_extract(col("file"), "([^/]+)$", 1).as("source"),
-        lit("nul_bytes").as("reason"))
+      .select(evidence :+ lit("nul_bytes").as("reason"): _*)
+    // what the pdf face refused, with the refusal reason as evidence.
+    // The explode(array(…)) Generate barrier pins ONE extraction per
+    // record (the pdfDocuments rationale — filters cannot push below
+    // a Generate and re-run the parse per surviving row)
+    val pdfArm = records
+      .filter(col("warc_type") === "response" &&
+        BinarySource.sniffMime(col("body")) === BinarySource.MimePdf)
+      .select(evidence :+
+        explode(array(graft.functions.expressions.TextExprs
+          .pdfExtractText(col("body")))).as("pdf_text"): _*)
+      .withColumn("reason",
+        when(col("pdf_text").isNull, lit("pdf_encrypted"))
+          .when(!printableText(col("pdf_text")),
+            lit("pdf_glyph_mojibake")))
+      .filter(col("reason").isNotNull)
+      .drop("pdf_text")
+    nulArm.unionByName(pdfArm)
+  }
 
   /** The MediaRow face: `response` payloads whose magic bytes are a
     * known media type (regardless of the declared Content-Type — the

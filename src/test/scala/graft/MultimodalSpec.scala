@@ -965,6 +965,67 @@ class MultimodalSpec extends SparkSpec {
       "a stalled (truncated) deflate stream must contribute nothing")
   }
 
+  test("PdfText ToUnicode: glyph-id PDFs recover real text through the CMap; without it, mojibake") {
+    import graft.multimodal.PdfText
+    // the subset-embedded-font shape that dominates real crawl PDFs:
+    // 2-byte glyph ids under Identity-H, /ToUnicode carrying the map
+    // (the writer splits entries across bfchar AND lo==hi bfrange, so
+    // one fixture exercises both sections)
+    for (t <- Seq(
+        "a crawled pdf with a subset font",
+        "déjà vu — accents through the CMap",
+        "中文 cjk text via Identity-H",
+        "x"))
+      assert(PdfText.extract(PdfText.writeGlyph(t, withToUnicode = true))
+        == Some(t), s"ToUnicode round trip broke for: $t")
+    // WITHOUT the CMap the same document extracts glyph-id mojibake —
+    // never silently the true text
+    val moji = PdfText.extract(
+      PdfText.writeGlyph("the same subset font text", false)).get
+    assert(moji != "the same subset font text",
+      "glyph ids without ToUnicode cannot decode to the true text")
+    assert(moji.exists(c => c < ' ' || c == '�'),
+      "glyph-id mojibake must carry unprintable evidence for the fence")
+  }
+
+  test("PdfText CMap parser: bfrange increment + array forms, 1-byte codespace, unmapped U+FFFD") {
+    import graft.multimodal.PdfText
+    // increment-base range <01>..<04> -> A..D on a ONE-byte codespace,
+    // array-form range, and a bfchar — hand-built CMap text
+    val cm = PdfText.parseCMap(
+      ("""/CIDInit /ProcSet findresource begin
+        |begincmap
+        |2 begincodespacerange
+        |<00> <7F>
+        |<8000> <80FF>
+        |endcodespacerange
+        |1 beginbfchar
+        |<05> <0058>
+        |endbfchar
+        |2 beginbfrange
+        |<01> <04> <0041>
+        |<8000> <8002> [<005800580059> <005A> <0061>]
+        |endbfrange
+        |endcmap
+        |""").stripMargin.getBytes("ISO-8859-1"))
+    // 1-byte codes through the increment range: 01->A 02->B 04->D
+    assert(cm.decode(Array[Byte](1, 2, 4)) == "ABD")
+    // bfchar: 05 -> X
+    assert(cm.decode(Array[Byte](5)) == "X")
+    // 2-byte codespace arm with an ARRAY dst (multi-char first entry)
+    assert(cm.decode(Array[Byte](0x80.toByte, 0)) == "XXY")
+    assert(cm.decode(Array[Byte](0x80.toByte, 1)) == "Z")
+    assert(cm.decode(Array[Byte](0x80.toByte, 2)) == "a")
+    // mixed widths in ONE string: 1-byte then 2-byte then 1-byte
+    assert(cm.decode(Array[Byte](3, 0x80.toByte, 1, 5)) == "CZX")
+    // a code inside the codespace but unmapped -> U+FFFD (feeds the
+    // printability fence, never invented text)
+    assert(cm.decode(Array[Byte](0x7f)) == "�")
+    // a byte outside every codespace range consumes ONE byte as FFFD
+    // and resyncs (the following 01 still decodes through the range)
+    assert(cm.decode(Array[Byte](0x90.toByte, 1)) == "�A")
+  }
+
   test("q127: PDF extraction end-to-end — identity on the documents table") {
     val out = Multimodal.q127(spark, sf).cache()
     assert(out.count() == Tables(spark, sf).documents.count())

@@ -446,23 +446,44 @@ class WarcSourceSpec extends SparkSpec {
       "a crawled pdf paragraph about data pipelines")
     val encd = ("%PDF-1.4\ntrailer << /Encrypt 9 0 R >>\n%%EOF")
       .getBytes("ISO-8859-1")
+    // the subset-font pair: glyph ids WITH a /ToUnicode CMap recover
+    // real text; the SAME document without it is mojibake and must
+    // fence to quarantine, never into the corpus
+    val glyphOk = graft.multimodal.PdfText.writeGlyph(
+      "subset font text recovered through the cmap", withToUnicode = true)
+    val glyphMoji = graft.multimodal.PdfText.writeGlyph(
+      "glyph ids with no tounicode are mojibake", withToUnicode = false)
     Files.write(Paths.get(dir, "pdfs.warc"),
       resp("http://p.example/doc", pdf) ++
-        resp("http://p.example/locked", encd))
+        resp("http://p.example/locked", encd) ++
+        resp("http://p.example/cmap", glyphOk) ++
+        resp("http://p.example/glyphs", glyphMoji))
     val recs = WarcSource.records(spark, dir).cache()
     // PDFs route to media (never mojibake documents)…
     assert(WarcSource.documents(recs)
       .filter(col("url").startsWith("http://p.example")).count() == 0)
     assert(WarcSource.media(recs)
-      .filter(col("meta.mime") === "application/pdf").count() == 2)
+      .filter(col("meta.mime") === "application/pdf").count() == 4)
     // …and the pdf face extracts the text into the corpus shape
     val docs = WarcSource.pdfDocuments(recs).collect()
-    assert(docs.length == 1, "encrypted PDF must yield no row")
-    val d = docs(0)
-    assert(d.getAs[String]("url") == "http://p.example/doc")
+    assert(docs.length == 2,
+      "encrypted + mojibake PDFs must yield no corpus row")
+    val byUrl = docs.map(r => r.getAs[String]("url") -> r).toMap
+    val d = byUrl("http://p.example/doc")
     assert(d.getAs[String]("text") ==
       "a crawled pdf paragraph about data pipelines")
     assert(d.getAs[Long]("n_chars") == 44L)
+    assert(byUrl("http://p.example/cmap").getAs[String]("text") ==
+      "subset font text recovered through the cmap",
+      "a subset-font PDF WITH ToUnicode must extract its real text")
+    // the refusals are audited, with reasons
+    val quar = WarcSource.quarantine(recs).collect()
+      .map(r => r.getAs[String]("url") -> r.getAs[String]("reason")).toMap
+    assert(quar("http://p.example/locked") == "pdf_encrypted")
+    assert(quar("http://p.example/glyphs") == "pdf_glyph_mojibake",
+      "glyph-id mojibake must land in quarantine, not the corpus")
+    assert(!quar.contains("http://p.example/doc"))
+    assert(!quar.contains("http://p.example/cmap"))
     recs.unpersist()
 
     // the continuous mirror: same rows, archive mtime as ts
@@ -473,9 +494,12 @@ class WarcSourceSpec extends SparkSpec {
     try {
       q.processAllAvailable()
       val got = spark.table("warc_pdf_stream")
-      assert(got.count() == 1)
-      assert(got.collect()(0).getAs[String]("text") ==
-        "a crawled pdf paragraph about data pipelines")
+      assert(got.count() == 2,
+        "the streaming mirror must apply the same fences as batch")
+      assert(got.filter(col("text") ===
+        "a crawled pdf paragraph about data pipelines").count() == 1)
+      assert(got.filter(col("text") ===
+        "subset font text recovered through the cmap").count() == 1)
       assert(got.filter(col("ts").isNull).count() == 0)
     } finally q.stop()
   }
