@@ -12,15 +12,24 @@ package graft.multimodal
   * q126 oracle device. Lossy-path fidelity on arbitrary content is
   * spec-pinned separately with measured error bounds.
   *
-  * DECODER profile — baseline sequential DCT (SOF0/SOF1), 8-bit,
+  * DECODER profile — baseline sequential DCT (SOF0/SOF1) AND
+  * progressive DCT (SOF2, Huffman): spectral selection, successive
+  * approximation (DC and AC first + refinement scans, EOBRUN), 8-bit,
   * 1-component grayscale or 3-component YCbCr at any sampling whose
   * factors divide the max (4:4:4, 4:2:0, 4:2:2, 4:1:1 …), restart
   * markers (common in crawl JPEGs), byte-stuffing, APPn/COM skipped.
-  * Fences (None, the codec-family convention): progressive (SOF2) and
-  * every other SOF variant, arithmetic coding, 12-bit precision,
-  * 16-bit quant tables, 4-component CMYK, malformed Huffman streams
-  * (codes past the table, coefficient overrun), truncated segments or
-  * entropy data, absurd dimensions.
+  * A third or more of crawl JPEGs are progressive — the r13 fence on
+  * SOF2 silently dropped their dHash/features coverage; the
+  * progressive path decodes scans into per-component COEFFICIENT
+  * grids (successive scans refine in place) and runs the shared
+  * dequant/IDCT/compose once at EOI, so both paths produce identical
+  * pixels for identical quantized coefficients (the spec property the
+  * fixture tests pin). Fences (None, the codec-family convention):
+  * arithmetic coding, hierarchical and lossless SOFs, 12-bit
+  * precision, 16-bit quant tables, 4-component CMYK, malformed
+  * Huffman streams (codes past the table, coefficient overrun),
+  * malformed scan scripts (an interleaved AC scan, Se<Ss), truncated
+  * segments or entropy data, absurd dimensions.
   *
   * ENCODER (the fixture generator): grayscale or YCbCr color at 4:4:4
   * or 4:2:0, caller-chosen quant value (1 = near-lossless, the oracle
@@ -30,7 +39,13 @@ package graft.multimodal
   * ratio is irrelevant to a fixture writer). AC coefficients clamp to
   * ±1023 (baseline's category-10 ceiling; an adversarial checkerboard
   * can exceed it by a hair — a bounded extra quantization error on
-  * content no real image has).
+  * content no real image has). [[encodeProgressive]] emits the SAME
+  * quantized coefficients through a real progressive scan script
+  * (interleaved DC first Al=1 + DC refinement, then per component two
+  * spectral bands × first/refinement AC scans with EOBRUN
+  * accumulation and buffered correction bits — the jcphuff shape), so
+  * decode(encodeProgressive(img)) == decode(encode(img)) pixel for
+  * pixel, which is the progressive correctness oracle.
   */
 object Jpeg {
 
@@ -256,24 +271,7 @@ object Jpeg {
     require(img.width <= 0xffff && img.height <= 0xffff,
       s"JPEG dims are 16-bit: ${img.width}x${img.height}")
     val w = img.width; val h = img.height
-    // planes
-    val yP = new Array[Int](w * h)
-    val cbP = if (gray) null else new Array[Int](w * h)
-    val crP = if (gray) null else new Array[Int](w * h)
-    var i = 0
-    while (i < w * h) {
-      val r = img.pixels(3 * i) & 0xff
-      val g = img.pixels(3 * i + 1) & 0xff
-      val b = img.pixels(3 * i + 2) & 0xff
-      if (gray) yP(i) = Netpbm.luma(r, g, b)
-      else {
-        // JFIF forward transform, rounded to nearest
-        yP(i) = clamp255(math.floor(0.299 * r + 0.587 * g + 0.114 * b + 0.5).toInt)
-        cbP(i) = clamp255(math.floor(128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b + 0.5).toInt)
-        crP(i) = clamp255(math.floor(128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b + 0.5).toInt)
-      }
-      i += 1
-    }
+    val (yP, cbP, crP) = colorPlanes(img, gray)
     val out = new java.io.ByteArrayOutputStream(w * h / 2 + 1024)
     def u16(v: Int): Unit = { out.write((v >> 8) & 0xff); out.write(v & 0xff) }
     def marker(m: Int): Unit = { out.write(0xFF); out.write(m) }
@@ -362,29 +360,7 @@ object Jpeg {
     } else {
       // 4:2:0: per MCU 4 Y blocks (2×2), then Cb, Cr at half size
       val cw = (w + 1) / 2; val ch = (h + 1) / 2
-      val cbS = new Array[Int](cw * ch); val crS = new Array[Int](cw * ch)
-      var yy = 0
-      while (yy < ch) {
-        var xx = 0
-        while (xx < cw) {
-          // average the 2×2 neighborhood (edge-replicated)
-          var s1 = 0; var s2 = 0
-          var dy = 0
-          while (dy < 2) {
-            var dx = 0
-            while (dx < 2) {
-              val sy = math.min(2 * yy + dy, h - 1)
-              val sx = math.min(2 * xx + dx, w - 1)
-              s1 += cbP(sy * w + sx); s2 += crP(sy * w + sx)
-              dx += 1
-            }
-            dy += 1
-          }
-          cbS(yy * cw + xx) = (s1 + 2) / 4; crS(yy * cw + xx) = (s2 + 2) / 4
-          xx += 1
-        }
-        yy += 1
-      }
+      val (cbS, crS) = subsampleHalf(cbP, crP, w, h)
       val mcusX = (w + 15) / 16; val mcusY = (h + 15) / 16
       val preds = new Array[Int](3)
       var mcuIdx = 0
@@ -416,6 +392,341 @@ object Jpeg {
       }
     }
     bw.flush()
+    marker(0xD9) // EOI
+    out.toByteArray
+  }
+
+  /** RGB → (Y, Cb, Cr) planes (JFIF forward transform, rounded to
+    * nearest); gray returns (luma, null, null) — shared by both
+    * encoders so the quantized coefficients are identical whichever
+    * scan script carries them.
+    */
+  private def colorPlanes(img: Netpbm.Image,
+                          gray: Boolean): (Array[Int], Array[Int], Array[Int]) = {
+    val w = img.width; val h = img.height
+    val yP = new Array[Int](w * h)
+    val cbP = if (gray) null else new Array[Int](w * h)
+    val crP = if (gray) null else new Array[Int](w * h)
+    var i = 0
+    while (i < w * h) {
+      val r = img.pixels(3 * i) & 0xff
+      val g = img.pixels(3 * i + 1) & 0xff
+      val b = img.pixels(3 * i + 2) & 0xff
+      if (gray) yP(i) = Netpbm.luma(r, g, b)
+      else {
+        yP(i) = clamp255(math.floor(0.299 * r + 0.587 * g + 0.114 * b + 0.5).toInt)
+        cbP(i) = clamp255(math.floor(128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b + 0.5).toInt)
+        crP(i) = clamp255(math.floor(128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b + 0.5).toInt)
+      }
+      i += 1
+    }
+    (yP, cbP, crP)
+  }
+
+  /** 2×2 box-average chroma downsample (edge-replicated) — the 4:2:0
+    * halves, shared by both encoders.
+    */
+  private def subsampleHalf(cbP: Array[Int], crP: Array[Int],
+                            w: Int, h: Int): (Array[Int], Array[Int]) = {
+    val cw = (w + 1) / 2; val ch = (h + 1) / 2
+    val cbS = new Array[Int](cw * ch); val crS = new Array[Int](cw * ch)
+    var yy = 0
+    while (yy < ch) {
+      var xx = 0
+      while (xx < cw) {
+        var s1 = 0; var s2 = 0
+        var dy = 0
+        while (dy < 2) {
+          var dx = 0
+          while (dx < 2) {
+            val sy = math.min(2 * yy + dy, h - 1)
+            val sx = math.min(2 * xx + dx, w - 1)
+            s1 += cbP(sy * w + sx); s2 += crP(sy * w + sx)
+            dx += 1
+          }
+          dy += 1
+        }
+        cbS(yy * cw + xx) = (s1 + 2) / 4; crS(yy * cw + xx) = (s2 + 2) / 4
+        xx += 1
+      }
+      yy += 1
+    }
+    (cbS, crS)
+  }
+
+  // progressive fixture AC table: the 162 sequential symbols PLUS the
+  // EOBRUN symbols (r<<4 | 0) for r = 1..14 — 176 codes at 8 bits,
+  // the all-ones code still unused
+  private val AcBitsProg = Array(0, 0, 0, 0, 0, 0, 0, 176, 0, 0, 0, 0, 0, 0, 0, 0)
+  private val AcValsProg: Array[Byte] =
+    AcVals ++ (1 to 14).map(r => (r << 4).toByte)
+
+  /** Encode the SAME quantized coefficients as [[encode]] through a
+    * real progressive (SOF2) scan script: interleaved DC first scan at
+    * Al=1 + DC refinement, then per component two spectral bands
+    * (1–5, 6–63) × AC first (Al=1) / AC refinement (Ah=1, Al=0) —
+    * successive approximation, EOBRUN accumulation with buffered
+    * correction bits (the jcphuff shape), optional restart markers in
+    * every scan. decode(encodeProgressive(img)) equals
+    * decode(encode(img)) pixel for pixel — the progressive
+    * correctness oracle (identical coefficients, different transport).
+    */
+  def encodeProgressive(img: Netpbm.Image, gray: Boolean = true,
+                        quant: Int = 1, subsample420: Boolean = false,
+                        restartEvery: Int = 0): Array[Byte] = {
+    require(img.maxVal == 255, "JPEG profile is 8-bit")
+    require(quant >= 1 && quant <= 255, s"quant out of range: $quant")
+    require(restartEvery >= 0 && restartEvery <= 0xffff,
+      s"restart interval out of range: $restartEvery")
+    require(img.width <= 0xffff && img.height <= 0xffff,
+      s"JPEG dims are 16-bit: ${img.width}x${img.height}")
+    val w = img.width; val h = img.height
+    val (yP, cbP, crP) = colorPlanes(img, gray)
+    val nComp = if (gray) 1 else 3
+
+    // per-component geometry: plane, dims, sampling factors
+    final case class PComp(plane: Array[Int], pw: Int, ph: Int,
+                           hS: Int, vS: Int)
+    val pcomps: Array[PComp] =
+      if (gray) Array(PComp(yP, w, h, 1, 1))
+      else if (!subsample420)
+        Array(PComp(yP, w, h, 1, 1), PComp(cbP, w, h, 1, 1),
+          PComp(crP, w, h, 1, 1))
+      else {
+        val (cbS, crS) = subsampleHalf(cbP, crP, w, h)
+        val cw = (w + 1) / 2; val ch = (h + 1) / 2
+        Array(PComp(yP, w, h, 2, 2), PComp(cbS, cw, ch, 1, 1),
+          PComp(crS, cw, ch, 1, 1))
+      }
+    val hMax = pcomps.map(_.hS).max; val vMax = pcomps.map(_.vS).max
+    val mcusX = (w + 8 * hMax - 1) / (8 * hMax)
+    val mcusY = (h + 8 * vMax - 1) / (8 * vMax)
+    val padBX = pcomps.map(c => mcusX * c.hS)
+    val padBY = pcomps.map(c => mcusY * c.vS)
+    // the component's own block counts — what AC (non-interleaved)
+    // scans cover; padded blocks beyond them carry DC only, exactly
+    // what the decoder walks
+    val compBX = pcomps.map(c => (c.pw + 7) / 8)
+    val compBY = pcomps.map(c => (c.ph + 7) / 8)
+
+    // all quantized coefficient blocks up front (shared with the
+    // sequential path by construction: same planeBlocks + fdctQuant)
+    val grids: Array[Array[Array[Int]]] = Array.tabulate(nComp) { ci =>
+      val c = pcomps(ci)
+      Array.tabulate(padBX(ci) * padBY(ci)) { bi =>
+        fdctQuant(planeBlocks(c.plane, c.pw, c.ph,
+          bi % padBX(ci), bi / padBX(ci)), quant)
+      }
+    }
+
+    val out = new java.io.ByteArrayOutputStream(w * h / 2 + 2048)
+    def u16(v: Int): Unit = { out.write((v >> 8) & 0xff); out.write(v & 0xff) }
+    def marker(m: Int): Unit = { out.write(0xFF); out.write(m) }
+    marker(0xD8) // SOI
+    marker(0xDB); u16(2 + 1 + 64)
+    out.write(0x00)
+    var k0 = 0
+    while (k0 < 64) { out.write(quant); k0 += 1 }
+    marker(0xC2); u16(8 + 3 * nComp) // SOF2
+    out.write(8); u16(h); u16(w); out.write(nComp)
+    var c0 = 0
+    while (c0 < nComp) {
+      out.write(c0 + 1)
+      out.write((pcomps(c0).hS << 4) | pcomps(c0).vS)
+      out.write(0)
+      c0 += 1
+    }
+    def dht(tc: Int, th: Int, bits: Array[Int], vals: Array[Byte]): Unit = {
+      marker(0xC4); u16(2 + 1 + 16 + vals.length)
+      out.write((tc << 4) | th)
+      bits.foreach(out.write)
+      out.write(vals, 0, vals.length)
+    }
+    dht(0, 0, DcBits, DcVals); dht(1, 0, AcBitsProg, AcValsProg)
+    if (restartEvery > 0) { marker(0xDD); u16(4); u16(restartEvery) }
+
+    val dcT = encTable(DcBits, DcVals)
+    val acT = encTable(AcBitsProg, AcValsProg)
+
+    def sos(compIds: Seq[Int], ss: Int, se: Int, ah: Int, al: Int): Unit = {
+      marker(0xDA); u16(6 + 2 * compIds.length)
+      out.write(compIds.length)
+      compIds.foreach { id => out.write(id + 1); out.write(0x00) }
+      out.write(ss); out.write(se); out.write((ah << 4) | al)
+    }
+
+    // ---- DC scan (first or refinement), interleaved for color ----
+    def dcScan(ah: Int, al: Int): Unit = {
+      sos(0 until nComp, 0, 0, ah, al)
+      val bw = new BitWriter(out)
+      val preds = new Array[Int](nComp)
+      var rstN = 0
+      def restartMark(): Unit = {
+        bw.flush()
+        out.write(0xFF); out.write(0xD0 + rstN % 8); rstN += 1
+        java.util.Arrays.fill(preds, 0)
+      }
+      def emit(ci: Int, off: Int): Unit = {
+        val dc = grids(ci)(off)(0)
+        if (ah == 0) {
+          val v = dc >> al // arithmetic: (x>>1)<<1 | (x&1) == x
+          val diff = v - preds(ci); preds(ci) = v
+          val t = category(diff)
+          bw.put(dcT._1(t), dcT._2(t))
+          if (t > 0)
+            bw.put(if (diff >= 0) diff else diff + (1 << t) - 1, t)
+        } else bw.put((dc >> al) & 1, 1)
+      }
+      if (nComp > 1) {
+        var mcu = 0
+        val nMcus = mcusX * mcusY
+        while (mcu < nMcus) {
+          if (restartEvery > 0 && mcu > 0 && mcu % restartEvery == 0)
+            restartMark()
+          val mx = mcu % mcusX; val my = mcu / mcusX
+          var ci = 0
+          while (ci < nComp) {
+            val c = pcomps(ci)
+            var sub = 0
+            while (sub < c.hS * c.vS) {
+              val bx = mx * c.hS + (sub % c.hS)
+              val by = my * c.vS + (sub / c.hS)
+              emit(ci, by * padBX(ci) + bx)
+              sub += 1
+            }
+            ci += 1
+          }
+          mcu += 1
+        }
+      } else {
+        val nb = compBX(0) * compBY(0)
+        var blk = 0
+        while (blk < nb) {
+          if (restartEvery > 0 && blk > 0 && blk % restartEvery == 0)
+            restartMark()
+          emit(0, (blk / compBX(0)) * padBX(0) + blk % compBX(0))
+          blk += 1
+        }
+      }
+      bw.flush()
+    }
+
+    // ---- AC scans: one component, one band ----
+    def acScan(ci: Int, ss: Int, se: Int, ah: Int, al: Int): Unit = {
+      sos(Seq(ci), ss, se, ah, al)
+      val bw = new BitWriter(out)
+      var eobrun = 0
+      val beBits = scala.collection.mutable.ArrayBuffer.empty[Int]
+      def flushEob(): Unit = {
+        if (eobrun > 0) {
+          var g = 0; var tmp = eobrun
+          while ({ tmp >>= 1; tmp != 0 }) g += 1
+          bw.put(acT._1(g << 4), acT._2(g << 4))
+          if (g > 0) bw.put(eobrun & ((1 << g) - 1), g)
+          eobrun = 0
+        }
+        beBits.foreach(b => bw.put(b, 1)); beBits.clear()
+      }
+      var rstN = 0
+      def restartMark(): Unit = {
+        flushEob(); bw.flush()
+        out.write(0xFF); out.write(0xD0 + rstN % 8); rstN += 1
+      }
+      val nb = compBX(ci) * compBY(ci)
+      var blk = 0
+      while (blk < nb) {
+        if (restartEvery > 0 && blk > 0 && blk % restartEvery == 0)
+          restartMark()
+        val blkCoefs = grids(ci)((blk / compBX(ci)) * padBX(ci) +
+          blk % compBX(ci))
+        if (ah == 0) {
+          // AC first: run-length over the band at this approximation
+          var r = 0
+          var k = ss
+          while (k <= se) {
+            val v = blkCoefs(Zigzag(k))
+            val now = math.abs(v) >> al
+            if (now == 0) r += 1
+            else {
+              flushEob()
+              while (r > 15) {
+                bw.put(acT._1(0xF0), acT._2(0xF0)); r -= 16
+              }
+              val s = category(now)
+              bw.put(acT._1((r << 4) | s), acT._2((r << 4) | s))
+              val c2 = if (v >= 0) now else -now
+              bw.put(if (c2 >= 0) c2 else c2 + (1 << s) - 1, s)
+              r = 0
+            }
+            k += 1
+          }
+          if (r > 0) {
+            eobrun += 1
+            if (eobrun == 0x7FFF) flushEob()
+          }
+        } else {
+          // AC refinement (the jcphuff shape): newly-nonzero (now==1)
+          // get (r,1)+sign, history coefficients buffer a correction
+          // bit, ZRLs fold only up to the last new coefficient, and
+          // whole blocks with nothing new ride the EOB run with their
+          // correction bits buffered behind it
+          var eobPos = ss - 1
+          var k = ss
+          while (k <= se) {
+            val v = blkCoefs(Zigzag(k))
+            if ((math.abs(v) >> al) == 1) eobPos = k
+            k += 1
+          }
+          var r = 0
+          val brBits = scala.collection.mutable.ArrayBuffer.empty[Int]
+          k = ss
+          while (k <= se) {
+            val v = blkCoefs(Zigzag(k))
+            val now = math.abs(v) >> al
+            if (now == 0) r += 1
+            else {
+              while (r > 15 && k <= eobPos) {
+                flushEob()
+                bw.put(acT._1(0xF0), acT._2(0xF0)); r -= 16
+                brBits.foreach(b => bw.put(b, 1)); brBits.clear()
+              }
+              if (now > 1) brBits += (now & 1)
+              else {
+                flushEob()
+                bw.put(acT._1((r << 4) | 1), acT._2((r << 4) | 1))
+                bw.put(if (v < 0) 0 else 1, 1)
+                brBits.foreach(b => bw.put(b, 1)); brBits.clear()
+                r = 0
+              }
+            }
+            k += 1
+          }
+          if (r > 0 || brBits.nonEmpty) {
+            eobrun += 1
+            beBits ++= brBits
+            if (eobrun == 0x7FFF) flushEob()
+          }
+        }
+        blk += 1
+      }
+      flushEob()
+      bw.flush()
+    }
+
+    dcScan(ah = 0, al = 1)
+    dcScan(ah = 1, al = 0)
+    var ci = 0
+    while (ci < nComp) {
+      acScan(ci, 1, 5, ah = 0, al = 1)
+      acScan(ci, 6, 63, ah = 0, al = 1)
+      ci += 1
+    }
+    ci = 0
+    while (ci < nComp) {
+      acScan(ci, 1, 5, ah = 1, al = 0)
+      acScan(ci, 6, 63, ah = 1, al = 0)
+      ci += 1
+    }
     marker(0xD9) // EOI
     out.toByteArray
   }
@@ -535,10 +846,39 @@ object Jpeg {
     }
   }
 
-  /** Parse a baseline JPEG; None on anything outside the profile
-    * (object scaladoc).
+  /** True when the frame header is SOF2 (progressive DCT, Huffman) —
+    * a cheap marker walk over the header segments; frame headers
+    * precede every scan, so the walk stops at SOS/EOI. Malformed
+    * framing returns false and the baseline path produces the fence.
+    */
+  private def hasSof2(bytes: Array[Byte]): Boolean = {
+    var pos = 2
+    while (pos + 4 <= bytes.length) {
+      if ((bytes(pos) & 0xff) != 0xFF) return false
+      val m = bytes(pos + 1) & 0xff
+      if (m == 0xFF) pos += 1 // fill byte
+      else if (m == 0xD9 || m == 0xDA) return false
+      else if (m == 0xC2) return true
+      else {
+        val len = ((bytes(pos + 2) & 0xff) << 8) | (bytes(pos + 3) & 0xff)
+        if (len < 2) return false
+        pos += 2 + len
+      }
+    }
+    false
+  }
+
+  /** Parse a JPEG — baseline sequential or progressive by frame
+    * header; None on anything outside the profile (object scaladoc).
     */
   def decode(bytes: Array[Byte]): Option[Netpbm.Image] = {
+    if (bytes.length < 4 ||
+        (bytes(0) & 0xff) != 0xFF || (bytes(1) & 0xff) != 0xD8) None
+    else if (hasSof2(bytes)) decodeProgressive(bytes)
+    else decodeBaseline(bytes)
+  }
+
+  private def decodeBaseline(bytes: Array[Byte]): Option[Netpbm.Image] = {
     if (bytes.length < 4 ||
         (bytes(0) & 0xff) != 0xFF || (bytes(1) & 0xff) != 0xD8) return None
     def u8(p: Int) = bytes(p) & 0xff
@@ -729,7 +1069,399 @@ object Jpeg {
       mcu += 1
     }
 
-    // compose RGB with nearest-neighbor chroma upsampling
+    Some(composePlanes(comps, planes, planeW, w, h, hMax, vMax))
+  }
+
+  /** Progressive (SOF2, Huffman) decode: every scan accumulates into
+    * per-component COEFFICIENT grids — DC first scans store the
+    * point-transformed differential chain (`pred << Al`), DC
+    * refinements OR in one bit per block, AC first scans run the
+    * band's run-length/EOBRUN grammar, AC refinements apply the
+    * correction-bit algorithm (T.81 G.1.2.3 — newly-nonzero ±1<<Al
+    * insertions plus history-coefficient corrections) — and the
+    * shared dequant/IDCT/compose runs ONCE at EOI. Scan-script
+    * validation per T.81: DC scans are Ss=0/Se=0 and may interleave;
+    * AC scans are single-component with 1≤Ss≤Se≤63; successive
+    * approximation needs Ah=0 or Ah=Al+1. Restart markers reset the
+    * DC chain and EOBRUN exactly like the sequential path.
+    */
+  private def decodeProgressive(bytes: Array[Byte]): Option[Netpbm.Image] = {
+    def u8(p: Int) = bytes(p) & 0xff
+    def u16(p: Int) = (u8(p) << 8) | u8(p + 1)
+
+    val quantTables = new Array[Array[Int]](4)
+    val dcTables = new Array[HuffDecoder](4)
+    val acTables = new Array[HuffDecoder](4)
+    var comps: Array[Comp] = null
+    var w = 0; var h = 0
+    var restartInterval = 0
+    var hMax = 1; var vMax = 1
+    var mcusX = 0; var mcusY = 0
+    var grids: Array[Array[Int]] = null // per comp: padded block grid × 64
+    var gridBW: Array[Int] = null // padded grid width in blocks
+    var compBX: Array[Int] = null // the component's OWN block counts —
+    var compBY: Array[Int] = null // what non-interleaved scans walk
+    var sawScan = false
+
+    /** One scan's entropy-coded segment starting at `dataStart`;
+      * returns the position of the next marker, or -1 on a fence.
+      */
+    def runScan(dataStart: Int, scanComps: Array[Int],
+                ss: Int, se: Int, ah: Int, al: Int): Int = {
+      val br = new BitReader(bytes, dataStart)
+      def huffDecode(t: HuffDecoder): Int = {
+        var code = 0; var l = 0
+        while (l < 16) {
+          val b = br.bit(); if (b < 0) return -1
+          code = (code << 1) | b; l += 1
+          if (t.maxCode(l) >= 0 && code <= t.maxCode(l) &&
+              code >= t.minCode(l)) return t.value(l, code)
+        }
+        -1
+      }
+      val preds = new Array[Int](scanComps.length)
+      var eobrun = 0
+      var fenced = false
+
+      def dcBlock(si: Int, ci: Int, off: Int): Unit = {
+        val g = grids(ci)
+        if (ah == 0) {
+          val t = huffDecode(dcTables(comps(ci).td))
+          if (t < 0 || t > 11) { fenced = true; return }
+          val dv = if (t == 0) 0 else {
+            val b = br.bits(t); if (b < 0) { fenced = true; return }; b
+          }
+          preds(si) += extend(dv, t)
+          g(off) = preds(si) << al
+        } else {
+          val b = br.bit(); if (b < 0) { fenced = true; return }
+          if (b == 1) g(off) |= (1 << al)
+        }
+      }
+
+      def acBlockFirst(ci: Int, off: Int): Unit = {
+        val g = grids(ci)
+        if (eobrun > 0) { eobrun -= 1; return }
+        var k = ss
+        var ended = false
+        while (!ended && k <= se) {
+          val rs = huffDecode(acTables(comps(ci).ta))
+          if (rs < 0) { fenced = true; return }
+          val r = rs >> 4; val s = rs & 15
+          if (s == 0) {
+            if (r == 15) k += 16
+            else {
+              eobrun = (1 << r) - 1
+              if (r > 0) {
+                val b = br.bits(r); if (b < 0) { fenced = true; return }
+                eobrun += b
+              }
+              ended = true
+            }
+          } else {
+            k += r
+            if (k > se) { fenced = true; return } // band overrun
+            val b = br.bits(s); if (b < 0) { fenced = true; return }
+            g(off + Zigzag(k)) = extend(b, s) << al
+            k += 1
+          }
+        }
+      }
+
+      def acBlockRefine(ci: Int, off: Int): Unit = {
+        val g = grids(ci)
+        val p1 = 1 << al; val m1 = -1 << al
+        // correction bit over a history-nonzero coefficient (two's-
+        // complement & p1 test matches the encoder's magnitude bits)
+        def correct(z: Int): Boolean = {
+          val b = br.bit(); if (b < 0) { fenced = true; return false }
+          if (b == 1 && (g(off + z) & p1) == 0)
+            g(off + z) += (if (g(off + z) >= 0) p1 else m1)
+          true
+        }
+        var k = ss
+        if (eobrun == 0) {
+          var ended = false
+          while (!ended && k <= se) {
+            val rs = huffDecode(acTables(comps(ci).ta))
+            if (rs < 0) { fenced = true; return }
+            var r = rs >> 4; val s = rs & 15
+            var newVal = 0
+            if (s == 0) {
+              if (r < 15) {
+                eobrun = 1 << r
+                if (r > 0) {
+                  val b = br.bits(r); if (b < 0) { fenced = true; return }
+                  eobrun += b
+                }
+                ended = true
+              }
+              // r == 15 (ZRL): pass over 16 zero-history coefficients
+            } else {
+              if (s != 1) { fenced = true; return } // refinement sends ±1 only
+              val b = br.bit(); if (b < 0) { fenced = true; return }
+              newVal = if (b == 1) p1 else m1
+            }
+            if (!ended) {
+              var stop = false
+              while (!stop && k <= se) {
+                val z = Zigzag(k)
+                if (g(off + z) != 0) {
+                  if (!correct(z)) return
+                  k += 1
+                } else if (r == 0) stop = true
+                else { r -= 1; k += 1 }
+              }
+              if (newVal != 0 && k <= se) g(off + Zigzag(k)) = newVal
+              k += 1
+            }
+          }
+        }
+        if (eobrun > 0) {
+          // the EOB run still carries correction bits for every
+          // history-nonzero coefficient in the rest of the band
+          while (k <= se) {
+            val z = Zigzag(k)
+            if (g(off + z) != 0) { if (!correct(z)) return }
+            k += 1
+          }
+          eobrun -= 1
+        }
+      }
+
+      def atRestart(unit: Int): Boolean = {
+        if (restartInterval > 0 && unit > 0 && unit % restartInterval == 0) {
+          if (!br.restart()) { fenced = true; return false }
+          java.util.Arrays.fill(preds, 0)
+          eobrun = 0
+        }
+        true
+      }
+
+      if (scanComps.length > 1) {
+        // interleaved (DC scans only — validated by the caller): the
+        // frame MCU walk, each scan component contributing hS×vS blocks
+        var mcu = 0
+        val nMcus = mcusX * mcusY
+        while (mcu < nMcus && !fenced) {
+          if (!atRestart(mcu)) return -1
+          val mx = mcu % mcusX; val my = mcu / mcusX
+          var si = 0
+          while (si < scanComps.length && !fenced) {
+            val ci = scanComps(si)
+            val c = comps(ci)
+            var sub = 0
+            while (sub < c.hS * c.vS && !fenced) {
+              val bx = mx * c.hS + (sub % c.hS)
+              val by = my * c.vS + (sub / c.hS)
+              dcBlock(si, ci, (by * gridBW(ci) + bx) * 64)
+              sub += 1
+            }
+            si += 1
+          }
+          mcu += 1
+        }
+      } else {
+        // non-interleaved: walk the component's own block raster
+        val ci = scanComps(0)
+        val nb = compBX(ci) * compBY(ci)
+        var blk = 0
+        while (blk < nb && !fenced) {
+          if (!atRestart(blk)) return -1
+          val bx = blk % compBX(ci); val by = blk / compBX(ci)
+          val off = (by * gridBW(ci) + bx) * 64
+          if (ss == 0) dcBlock(0, ci, off)
+          else if (ah == 0) acBlockFirst(ci, off)
+          else acBlockRefine(ci, off)
+          blk += 1
+        }
+      }
+      if (fenced) return -1
+      // skip to the next non-RST marker (the scan may end mid-byte;
+      // stray RSTs and stuffed FFs are entropy-layer bytes)
+      var p = br.pos
+      while (p + 1 < bytes.length) {
+        if ((bytes(p) & 0xff) == 0xFF) {
+          val m = bytes(p + 1) & 0xff
+          if (m == 0x00) p += 2
+          else if (m >= 0xD0 && m <= 0xD7) p += 2
+          else return p
+        } else p += 1
+      }
+      -1 // no terminating marker: truncated
+    }
+
+    var pos = 2
+    var eoi = false
+    while (!eoi) {
+      if (pos + 2 > bytes.length) return None
+      if (u8(pos) != 0xFF) return None
+      var m = u8(pos + 1)
+      while (m == 0xFF) {
+        pos += 1; if (pos + 2 > bytes.length) return None; m = u8(pos + 1)
+      }
+      if (m == 0xD9) eoi = true
+      else {
+        if (pos + 4 > bytes.length) return None
+        val len = u16(pos + 2)
+        if (len < 2 || pos + 2 + len > bytes.length) return None
+        val seg = pos + 4
+        var nextPos = pos + 2 + len
+        m match {
+          case 0xDB =>
+            var p = seg
+            while (p < pos + 2 + len) {
+              val pq = u8(p) >> 4; val tq = u8(p) & 15
+              if (pq != 0 || tq > 3) return None
+              if (p + 65 > pos + 2 + len) return None
+              val t = new Array[Int](64)
+              var k = 0
+              while (k < 64) { t(Zigzag(k)) = u8(p + 1 + k); k += 1 }
+              quantTables(tq) = t
+              p += 65
+            }
+          case 0xC4 =>
+            var p = seg
+            while (p < pos + 2 + len) {
+              val tc = u8(p) >> 4; val th = u8(p) & 15
+              if (tc > 1 || th > 3) return None
+              if (p + 17 > pos + 2 + len) return None
+              val bits = Array.tabulate(16)(i => u8(p + 1 + i))
+              val nVals = bits.sum
+              if (nVals > 256 || p + 17 + nVals > pos + 2 + len) return None
+              val vals = new Array[Byte](nVals)
+              System.arraycopy(bytes, p + 17, vals, 0, nVals)
+              val dec = new HuffDecoder(bits, vals)
+              if (tc == 0) dcTables(th) = dec else acTables(th) = dec
+              p += 17 + nVals
+            }
+          case 0xC2 =>
+            if (comps != null) return None // a second frame header
+            if (len < 8) return None
+            if (u8(seg) != 8) return None // 12-bit: fence
+            h = u16(seg + 1); w = u16(seg + 3)
+            val nf = u8(seg + 5)
+            if (w <= 0 || h <= 0 || w > MaxDim || h > MaxDim ||
+                w.toLong * h > MaxPixels) return None
+            if (nf != 1 && nf != 3) return None
+            if (len != 8 + 3 * nf) return None
+            comps = Array.tabulate(nf) { i =>
+              val p = seg + 6 + 3 * i
+              Comp(u8(p), u8(p + 1) >> 4, u8(p + 1) & 15, u8(p + 2))
+            }
+            if (comps.exists(c => c.hS < 1 || c.hS > 4 || c.vS < 1 ||
+                c.vS > 4 || c.tq > 3)) return None
+            // single-component image: every scan is non-interleaved, so
+            // sampling factors never shape the data order (the T.81
+            // A.2.3 rule the baseline path pins)
+            if (comps.length == 1) {
+              val c = comps(0)
+              comps = Array(Comp(c.id, 1, 1, c.tq))
+            }
+            hMax = comps.map(_.hS).max; vMax = comps.map(_.vS).max
+            if (comps.exists(c => hMax % c.hS != 0 || vMax % c.vS != 0))
+              return None
+            mcusX = (w + 8 * hMax - 1) / (8 * hMax)
+            mcusY = (h + 8 * vMax - 1) / (8 * vMax)
+            grids = comps.map(c =>
+              new Array[Int](mcusX * c.hS * mcusY * c.vS * 64))
+            gridBW = comps.map(c => mcusX * c.hS)
+            compBX = comps.map(c => ((w * c.hS + hMax - 1) / hMax + 7) / 8)
+            compBY = comps.map(c => ((h * c.vS + vMax - 1) / vMax + 7) / 8)
+          case 0xC0 | 0xC1 | 0xC3 | 0xC5 | 0xC6 | 0xC7 | 0xC9 | 0xCA |
+               0xCB | 0xCD | 0xCE | 0xCF =>
+            return None // mixed frame types / arithmetic / hierarchical
+          case 0xDD =>
+            if (len != 4) return None
+            restartInterval = u16(seg)
+          case 0xDA =>
+            if (comps == null) return None
+            if (len < 3) return None
+            val ns = u8(seg)
+            if (ns < 1 || ns > comps.length) return None
+            if (len != 6 + 2 * ns) return None
+            val scanComps = new Array[Int](ns)
+            var i = 0
+            while (i < ns) {
+              val cs = u8(seg + 1 + 2 * i)
+              val ci = comps.indexWhere(_.id == cs)
+              if (ci < 0) return None
+              comps(ci).td = u8(seg + 2 + 2 * i) >> 4
+              comps(ci).ta = u8(seg + 2 + 2 * i) & 15
+              if (comps(ci).td > 3 || comps(ci).ta > 3) return None
+              scanComps(i) = ci
+              i += 1
+            }
+            val ss = u8(seg + 1 + 2 * ns); val se = u8(seg + 2 + 2 * ns)
+            val ahal = u8(seg + 3 + 2 * ns)
+            val ah = ahal >> 4; val al = ahal & 15
+            if (ss == 0) { if (se != 0) return None } // DC scan shape
+            else if (ns != 1 || se < ss || se > 63) return None
+            if (al > 13 || (ah != 0 && ah != al + 1)) return None
+            // tables are required only where the scan READS them
+            i = 0
+            while (i < ns) {
+              val c = comps(scanComps(i))
+              if (ss == 0 && ah == 0 && dcTables(c.td) == null) return None
+              if (ss > 0 && acTables(c.ta) == null) return None
+              i += 1
+            }
+            val end = runScan(pos + 2 + len, scanComps, ss, se, ah, al)
+            if (end < 0) return None
+            sawScan = true
+            nextPos = end
+          case _ => () // APPn, COM: skip
+        }
+        pos = nextPos
+      }
+    }
+    if (!sawScan || comps == null) return None
+    for (c <- comps) if (quantTables(c.tq) == null) return None
+
+    // dequant + IDCT every padded block, then the shared compose
+    val planes = comps.map(c =>
+      new Array[Int](mcusX * c.hS * 8 * mcusY * c.vS * 8))
+    val planeW = comps.map(c => mcusX * c.hS * 8)
+    val coefs = new Array[Int](64)
+    val pix = new Array[Int](64)
+    var ci = 0
+    while (ci < comps.length) {
+      val c = comps(ci)
+      val qt = quantTables(c.tq)
+      val bw = gridBW(ci); val bh = mcusY * c.vS
+      val g = grids(ci)
+      var by = 0
+      while (by < bh) {
+        var bx = 0
+        while (bx < bw) {
+          System.arraycopy(g, (by * bw + bx) * 64, coefs, 0, 64)
+          idctBlock(coefs, qt, pix)
+          val pw = planeW(ci)
+          var yy = 0
+          while (yy < 8) {
+            var xx = 0
+            while (xx < 8) {
+              planes(ci)((by * 8 + yy) * pw + bx * 8 + xx) = pix(yy * 8 + xx)
+              xx += 1
+            }
+            yy += 1
+          }
+          bx += 1
+        }
+        by += 1
+      }
+      ci += 1
+    }
+    Some(composePlanes(comps, planes, planeW, w, h, hMax, vMax))
+  }
+
+  /** Compose RGB with nearest-neighbor chroma upsampling — shared by
+    * the baseline and progressive paths (identical coefficients must
+    * yield identical pixels whichever scan script delivered them).
+    */
+  private def composePlanes(comps: Array[Comp], planes: Array[Array[Int]],
+                            planeW: Array[Int], w: Int, h: Int,
+                            hMax: Int, vMax: Int): Netpbm.Image = {
     val px = new Array[Byte](w * h * 3)
     if (comps.length == 1) {
       val pw = planeW(0)
@@ -763,6 +1495,6 @@ object Jpeg {
         y += 1
       }
     }
-    Some(Netpbm.Image(w, h, 255, px))
+    Netpbm.Image(w, h, 255, px)
   }
 }

@@ -792,7 +792,8 @@ class MultimodalSpec extends SparkSpec {
       assert(done, s"marker $from not found"); c
     }
     assert(Jpeg.decode(patchMarker(0xC0, 0xC2)).isEmpty,
-      "progressive SOF2 -> None")
+      "SOF2 with a baseline scan script (Ss=0,Se=63 interleaved) is " +
+        "a malformed progressive file -> None")
     assert(Jpeg.decode(patchMarker(0xC0, 0xC9)).isEmpty,
       "arithmetic coding -> None")
     // 12-bit precision: SOF0 payload's first byte (find FFC0, +4)
@@ -825,6 +826,74 @@ class MultimodalSpec extends SparkSpec {
       "grayscale sampling factors must not reshape the block walk")
   }
 
+  test("Jpeg progressive (SOF2): SA + spectral-selection decode == baseline pixels; exact tiles; restarts") {
+    import graft.multimodal.{Jpeg, Netpbm}
+    def gray(vals: Array[Int], w: Int): Netpbm.Image = {
+      val px = new Array[Byte](vals.length * 3)
+      vals.indices.foreach { i =>
+        px(3 * i) = vals(i).toByte; px(3 * i + 1) = vals(i).toByte
+        px(3 * i + 2) = vals(i).toByte
+      }
+      Netpbm.Image(w, vals.length / w, 255, px)
+    }
+    def maxErr(a: Netpbm.Image, b: Netpbm.Image): Int =
+      a.pixels.zip(b.pixels).map { case (x, y) =>
+        math.abs((x & 0xff) - (y & 0xff)) }.max
+    // the progressive correctness oracle: encodeProgressive carries
+    // the SAME quantized coefficients as encode through a real SOF2
+    // scan script (DC first+refine, two spectral bands × AC
+    // first+refine, EOBRUN) — so decode must be PIXEL-IDENTICAL to
+    // the baseline path, whatever the content
+    def sameAsBaseline(img: Netpbm.Image, isGray: Boolean,
+                       sub420: Boolean, q: Int = 1,
+                       rst: Int = 0): Unit = {
+      val prog = Jpeg.decode(Jpeg.encodeProgressive(img, gray = isGray,
+        quant = q, subsample420 = sub420, restartEvery = rst))
+      val base = Jpeg.decode(Jpeg.encode(img, gray = isGray,
+        quant = q, subsample420 = sub420))
+      assert(prog.isDefined, "progressive fixture must decode")
+      assert(prog.get.pixels.toSeq == base.get.pixels.toSeq,
+        s"progressive != baseline (gray=$isGray sub=$sub420 q=$q rst=$rst)")
+    }
+    val tiles = gray(Array.tabulate(80 * 16) { i =>
+      val bx = (i % 80) / 8; val by = (i / 80) / 8
+      (by * 10 + bx) * 16 % 256
+    }, 80)
+    // constant tiles: AC bands are all-zero -> the whole scan is one
+    // EOBRUN; and the q126 exactness device must hold through SOF2
+    sameAsBaseline(tiles, isGray = true, sub420 = false)
+    assert(maxErr(tiles,
+      Jpeg.decode(Jpeg.encodeProgressive(tiles)).get) == 0,
+      "constant tiles must round-trip exactly through the progressive path")
+    val rnd = new scala.util.Random(7L)
+    val noisy = gray(Array.fill(64 * 48)(rnd.nextInt(256)), 64)
+    sameAsBaseline(noisy, isGray = true, sub420 = false)
+    // smooth gradient at a coarser quant: sparse ACs, real EOBRUNs,
+    // mixed history/new coefficients across the refinement scans
+    val grad = gray(Array.tabulate(48 * 40)(i =>
+      ((i % 48) * 2 + (i / 48) * 3) % 256), 48)
+    sameAsBaseline(grad, isGray = true, sub420 = false, q = 4)
+    val cpx = Array.tabulate[Byte](32 * 24 * 3)(i => ((i * 7) % 256).toByte)
+    val cImg = Netpbm.Image(32, 24, 255, cpx)
+    sameAsBaseline(cImg, isGray = false, sub420 = false)
+    sameAsBaseline(cImg, isGray = false, sub420 = true)
+    // odd dims: the padded MCU grid carries DC-only blocks the AC
+    // scans never visit — crop must still match baseline
+    val odd = gray(Array.tabulate(13 * 11)(i => (i * 19) % 256), 13)
+    sameAsBaseline(odd, isGray = true, sub420 = false)
+    // restart markers inside every progressive scan (DC chain + EOBRUN
+    // reset at each RST)
+    sameAsBaseline(tiles, isGray = true, sub420 = false, rst = 3)
+    sameAsBaseline(cImg, isGray = false, sub420 = true, rst = 2)
+    sameAsBaseline(noisy, isGray = true, sub420 = false, rst = 5)
+    // fences: truncated progressive entropy data; cut before EOI
+    val p = Jpeg.encodeProgressive(tiles)
+    assert(Jpeg.decode(p.dropRight(8)).isEmpty,
+      "truncated progressive stream -> None")
+    // SOF2 must still be sniffed when headers precede it (APPn)
+    assert((p(2) & 0xff) == 0xFF) // marker framing sanity
+  }
+
   test("extractFeatures on JPEG mime runs the real decoder; resize re-encodes") {
     import spark.implicits._
     import graft.multimodal.{Jpeg, Netpbm}
@@ -834,6 +903,7 @@ class MultimodalSpec extends SparkSpec {
     }
     val img = Netpbm.Image(16, 16, 255, px)
     val jpg = Jpeg.encode(img)
+    val prog = Jpeg.encodeProgressive(img) // SOF2, same coefficients
     val ppm = Netpbm.encodeP6(img)
     val bad = Array[Byte](0xFF.toByte, 0xD8.toByte, 1, 2, 3)
     val media = Seq(
@@ -842,11 +912,19 @@ class MultimodalSpec extends SparkSpec {
       MediaRow(2L, ppm, MediaMeta(Multimodal.MimePpm, ppm.length.toLong,
         Multimodal.payloadChecksum(ppm))),
       MediaRow(3L, bad, MediaMeta(Multimodal.MimeJpeg, bad.length.toLong,
-        Multimodal.payloadChecksum(bad)))).toDS()
+        Multimodal.payloadChecksum(bad))),
+      MediaRow(4L, prog, MediaMeta(Multimodal.MimeJpeg, prog.length.toLong,
+        Multimodal.payloadChecksum(prog)))).toDS()
     val out = Multimodal.extractFeatures(media).collect().sortBy(_.doc_id)
     assert(out(0).ok && out(1).ok && !out(2).ok)
     assert(out(0).features.toSeq == out(1).features.toSeq,
       "constant tiles through JPEG == PPM features exactly")
+    // mixed-fixture coverage: a PROGRESSIVE crawl JPEG is decoded, not
+    // silently skipped (the r13 coverage gap), and features match the
+    // baseline encode of the same image exactly
+    assert(out(3).ok, "progressive JPEG must decode in the feature path")
+    assert(out(3).features.toSeq == out(0).features.toSeq,
+      "progressive == baseline features for identical coefficients")
     val resized = Multimodal.resize(media.filter(_.doc_id == 1L), 2)
       .collect()(0)
     val rImg = Jpeg.decode(resized.payload).get
