@@ -246,6 +246,92 @@ object ScaleCheck {
       (buildSec, maintainSec)
     }
 
+    // crawl-intake datapoint (r13 ask #5): WarcSource is the 100 TB
+    // story's front door but had no measured scale line. Generated
+    // multi-archive fixtures — N gzipped archives × M mixed records
+    // (HTML responses, WET conversions, PPM media behind lying
+    // headers, real PDFs) — parsed at 1× and 10× archive counts.
+    // The parallelism contract is one-task-per-archive (binaryFile
+    // packing), so wall should scale ~linearly in archives while
+    // MB/s holds ~flat.
+    def buildWarcDir(dir: String, archives: Int, recsPer: Int): Long = {
+      val root = new java.io.File(dir)
+      val marker = new java.io.File(s"$dir/_gen")
+      val want = s"v1-$archives-$recsPer"
+      if (marker.exists() &&
+          new String(java.nio.file.Files.readAllBytes(marker.toPath),
+            "UTF-8") == want) {
+        return Option(root.listFiles()).map(_.filter(_.isFile)
+          .map(_.length()).sum).getOrElse(0L)
+      }
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(root); root.mkdirs()
+      def rec(headers: Seq[(String, String)],
+              content: Array[Byte]): Array[Byte] = {
+        val sb = new StringBuilder("WARC/1.0\r\n")
+        (headers :+ ("Content-Length" -> content.length.toString))
+          .foreach { case (k, v) => sb.append(s"$k: $v\r\n") }
+        sb.append("\r\n")
+        sb.toString.getBytes("ISO-8859-1") ++ content ++
+          "\r\n\r\n".getBytes("ISO-8859-1")
+      }
+      def resp(uri: String, ct: String, body: Array[Byte]) =
+        rec(Seq("WARC-Type" -> "response", "WARC-Target-URI" -> uri,
+          "Content-Type" -> "application/http; msgtype=response"),
+          s"HTTP/1.1 200 OK\r\nContent-Type: $ct\r\n\r\n"
+            .getBytes("ISO-8859-1") ++ body)
+      var total = 0L
+      var a = 0
+      while (a < archives) {
+        val bo = new java.io.ByteArrayOutputStream(1 << 20)
+        var r = 0
+        while (r < recsPer) {
+          val seed = a * 100000 + r
+          val body = (r % 4) match {
+            case 0 => resp(s"http://s$a.example/p$r", "text/html",
+              (s"<html><body>page $seed " +
+                s"${("lorem ipsum crawl token " + seed + " ") * 40}" +
+                "</body></html>").getBytes("UTF-8"))
+            case 1 => rec(Seq("WARC-Type" -> "conversion",
+              "WARC-Target-URI" -> s"http://s$a.example/w$r",
+              "Content-Type" -> "text/plain"),
+              (s"wet text $seed " + (s"token$seed " * 60)).getBytes("UTF-8"))
+            case 2 => resp(s"http://s$a.example/img$r", "text/html",
+              "P6\n8 8\n255\n".getBytes("ISO-8859-1") ++
+                Array.tabulate[Byte](192)(i => ((i * 7 + seed) % 256).toByte))
+            case _ => resp(s"http://s$a.example/d$r.pdf", "application/pdf",
+              graft.multimodal.PdfText.write(
+                s"pdf document $seed " + (s"para$seed " * 30)))
+          }
+          bo.write(body, 0, body.length)
+          r += 1
+        }
+        val f = new java.io.FileOutputStream(s"$dir/arch-$a.warc.gz")
+        val gz = new java.util.zip.GZIPOutputStream(f)
+        gz.write(bo.toByteArray); gz.close()
+        total += new java.io.File(s"$dir/arch-$a.warc.gz").length()
+        a += 1
+      }
+      val w = new java.io.PrintWriter(marker, "UTF-8")
+      w.print(want); w.close()
+      total
+    }
+    def warcPoint(dir: String, tag: String, archives: Int): Double = {
+      val diskBytes = buildWarcDir(dir, archives, recsPer = 200)
+      val (sec, recs) = time(
+        graft.sources.WarcSource.records(spark, dir), reps)
+      val (docSec, docs) = time(
+        graft.sources.WarcSource.documents(spark, dir), reps)
+      val mb = diskBytes / 1048576.0
+      line(s"""{"scale":"$tag","warc":{"archives":$archives,"records":$recs,"disk_mb":${d3(mb)},"parse_sec":${d3(sec)},"records_per_sec":${d3(recs / math.max(sec, 1e-9))},"mb_per_sec":${d3(mb / math.max(sec, 1e-9))},"documents_sec":${d3(docSec)},"documents":$docs}}""")
+      sec
+    }
+    val w0 = warcPoint("target/scale_warc_1", "warc1x", archives = 4)
+    val w1 = warcPoint("target/scale_warc_10", "warc10x", archives = 40)
+    line(s"""{"scale":"warc_ratio_10x_over_1x","expect":"~10 (one task per archive, wall linear in archives; MB/s flat)","parse":${d3(if (w0 > 0) w1 / w0 else -1.0)}}""")
+
     val base = measure(src, "sf0.1", kSem = 16)
     val big = measure(dst, "sf1", kSem = 160)
     val (b0, m0, f0) = indexPoint(src, "sf01")

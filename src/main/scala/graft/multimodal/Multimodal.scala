@@ -180,6 +180,30 @@ object Multimodal {
                 FeatureRow(r.doc_id, r.meta.mime, r.meta.n_bytes,
                   ok = false, features = Array.empty)
             }
+          else if (r.meta.mime == graft.sources.BinarySource.MimeMp3)
+            // REAL audio path #2: MP3 frame-header walk — duration/
+            // rate/bitrate/CBR-VBR triage evidence WITHOUT PCM decode
+            // (crawl audio is overwhelmingly MP3; a synthesis filter
+            // bank is not what a triage pass should pay for). Feature
+            // layout: rate, frames, durationMs, kbps, channels,
+            // version×10, layer, vbr flag.
+            Mp3.parse(r.payload) match {
+              case Some(info) =>
+                val f = new Array[Float](FeatureDim)
+                f(0) = info.sampleRate.toFloat
+                f(1) = info.frames.toFloat
+                f(2) = info.durationMs.toFloat
+                f(3) = info.bitrateKbps.toFloat
+                f(4) = info.channels.toFloat
+                f(5) = info.version.toFloat
+                f(6) = info.layer.toFloat
+                f(7) = if (info.vbr) 1f else 0f
+                FeatureRow(r.doc_id, r.meta.mime, r.meta.n_bytes,
+                  ok = true, features = f)
+              case None =>
+                FeatureRow(r.doc_id, r.meta.mime, r.meta.n_bytes,
+                  ok = false, features = Array.empty)
+            }
           else
             FeatureRow(r.doc_id, r.meta.mime, r.meta.n_bytes,
               ok = true, features = decodeStub(r.payload))

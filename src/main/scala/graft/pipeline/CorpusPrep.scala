@@ -580,6 +580,48 @@ object CorpusPrep {
     */
   def metaPath(outPath: String): String = s"$outPath/_corpus_meta"
 
+  /** [[runFromWarc]]'s stats: the per-face intake billing on top of
+    * the pipeline's own [[Stats]] (`htmlDocs` + `pdfDocs` ==
+    * `prep.input` by construction — the two faces take disjoint
+    * record sets).
+    */
+  final case class WarcStats(htmlDocs: Long, pdfDocs: Long, prep: Stats)
+
+  /** The batch crawl-intake entry: WARC archives straight into the
+    * standard scrub→dedup→quality→mix pipeline. The HTML/WET
+    * documents face always feeds; `includePdfs` unions in
+    * [[graft.sources.WarcSource.pdfDocuments]] (the /ToUnicode-aware
+    * PDF-text face — already printability-fenced, so only recovered
+    * text arrives) in the SAME corpus shape, with disjoint doc_ids
+    * (both faces hash file#record_ix, over disjoint record sets).
+    * The streaming trio ([[graft.streaming.Streams.warcDocuments]] /
+    * warcPdfDocuments → corpusPrep) already composes this way; this
+    * is the batch mirror.
+    *
+    * Scale note: each face's counts and the pipeline's own passes
+    * re-parse the archives rather than caching them — caching raw
+    * WARC bodies to save a parse would size executor memory to the
+    * crawl, the wrong trade at 100 TB (the pipeline caches the
+    * EXTRACTED corpus-shape frame internally, which is the small
+    * side).
+    */
+  def runFromWarc(spark: org.apache.spark.sql.SparkSession, warcDir: String,
+                  outPath: String, cfg: Config,
+                  includePdfs: Boolean = true,
+                  glob: Option[String] = None,
+                  benchmark: Option[DataFrame] = None): WarcStats = {
+    import graft.sources.WarcSource
+    val recs = WarcSource.records(spark, warcDir, glob)
+    val html = WarcSource.documents(recs)
+    val docs =
+      if (includePdfs) html.unionByName(WarcSource.pdfDocuments(recs))
+      else html
+    val htmlN = html.count()
+    val pdfN =
+      if (includePdfs) WarcSource.pdfDocuments(recs).count() else 0L
+    WarcStats(htmlN, pdfN, run(docs, outPath, cfg, benchmark))
+  }
+
   def run(docs: DataFrame, outPath: String, cfg: Config,
           benchmark: Option[DataFrame] = None): Stats = {
     val m = materialize(docs, cfg, benchmark)

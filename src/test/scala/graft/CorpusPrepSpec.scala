@@ -27,6 +27,57 @@ class CorpusPrepSpec extends SparkSpec {
     }
   }
 
+  test("runFromWarc: crawled HTML + WET + PDF text ride one pipeline; pdfDocs billed; mojibake stays out") {
+    import java.nio.file.{Files, Paths}
+    val dir = Files.createTempDirectory("graft-prep-warc").toString
+    val out = Files.createTempDirectory("graft-prep-out").toString + "/corpus"
+    def rec(headers: Seq[(String, String)], content: Array[Byte]): Array[Byte] = {
+      val sb = new StringBuilder
+      sb.append("WARC/1.0\r\n")
+      (headers :+ ("Content-Length" -> content.length.toString))
+        .foreach { case (k, v) => sb.append(s"$k: $v\r\n") }
+      sb.append("\r\n")
+      sb.toString.getBytes("ISO-8859-1") ++ content ++
+        "\r\n\r\n".getBytes("ISO-8859-1")
+    }
+    def resp(uri: String, ct: String, body: Array[Byte]) =
+      rec(Seq("WARC-Type" -> "response", "WARC-Target-URI" -> uri,
+        "Content-Type" -> "application/http; msgtype=response"),
+        (s"HTTP/1.1 200 OK\r\nContent-Type: $ct\r\n\r\n")
+          .getBytes("ISO-8859-1") ++ body)
+    val pdfText = "a crawled pdf paragraph riding the batch corpus pipeline"
+    Files.write(Paths.get(dir, "crawl.warc"),
+      resp("http://x.example/page", "text/html",
+        "<html><body>an html page of the crawl corpus</body></html>"
+          .getBytes("UTF-8")) ++
+        rec(Seq("WARC-Type" -> "conversion",
+          "WARC-Target-URI" -> "http://x.example/wet",
+          "Content-Type" -> "text/plain"),
+          "a wet conversion record of plain text".getBytes("UTF-8")) ++
+        resp("http://x.example/doc.pdf", "application/pdf",
+          graft.multimodal.PdfText.write(pdfText)) ++
+        resp("http://x.example/glyphs.pdf", "application/pdf",
+          graft.multimodal.PdfText.writeGlyph(
+            "mojibake glyph ids must stay out", withToUnicode = false)))
+    val keep = CorpusPrep.Config(langRates = Map.empty, defaultRate = 1.0,
+      nShards = 2, stripMarkup = true)
+    val stats = CorpusPrep.runFromWarc(spark, dir, out, keep)
+    assert(stats.htmlDocs == 2, "html response + wet conversion")
+    assert(stats.pdfDocs == 1,
+      "one recoverable PDF billed; the mojibake one is quarantined upstream")
+    assert(stats.prep.input == stats.htmlDocs + stats.pdfDocs,
+      "the faces take disjoint record sets")
+    val corpus = spark.read.parquet(out)
+    assert(corpus.count() == 3)
+    assert(corpus.filter(col("text") === pdfText).count() == 1,
+      "the PDF's recovered text must ride the same pipeline to the corpus")
+    assert(corpus.filter(col("text").contains("mojibake")).count() == 0)
+    // the knob OFF: PDFs stay out, billing says so
+    val noPdf = CorpusPrep.runFromWarc(spark, dir, out + "_nopdf", keep,
+      includePdfs = false)
+    assert(noPdf.pdfDocs == 0 && noPdf.prep.input == 2)
+  }
+
   test("qualityWeighted gate: drops exactly the q117-kernel verdicts, flipped once per dedup survivor") {
     import spark.implicits._
     val base = CorpusPrep.Config(langRates = Map.empty, defaultRate = 1.0,

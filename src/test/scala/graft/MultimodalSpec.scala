@@ -894,6 +894,61 @@ class MultimodalSpec extends SparkSpec {
     assert((p(2) & 0xff) == 0xFF) // marker framing sanity
   }
 
+  test("Mp3: frame-header walk — ID3v2 skip, resync, VBR, truncation, version/layer matrix") {
+    import graft.multimodal.Mp3
+    // plain CBR MPEG-1 Layer III at 44100 / 128 kbps mono
+    val cbr = Mp3.write(100)
+    val i1 = Mp3.parse(cbr).get
+    assert(i1.version == 10 && i1.layer == 3 && i1.sampleRate == 44100)
+    assert(i1.bitrateKbps == 128 && i1.channels == 1 && !i1.vbr)
+    assert(i1.frames == 100)
+    assert(i1.durationMs == 100L * 1152 * 1000 / 44100)
+    // ID3v2 prefix whose junk bytes CONTAIN fake sync patterns: the
+    // double-sync resync guard must still find the real first frame
+    val tagged = Mp3.write(40, id3Junk = 300)
+    val i2 = Mp3.parse(tagged).get
+    assert(i2.frames == 40 && i2.sampleRate == 44100)
+    // VBR: alternating bitrate indexes walk frames of different sizes
+    val vbr = Mp3.write(30, bitrateIdxs = Seq(9, 5))
+    val i3 = Mp3.parse(vbr).get
+    assert(i3.vbr && i3.frames == 30)
+    assert(i3.bitrateKbps == 128, "reported bitrate is the first frame's")
+    // truncated final frame drops; the counted frames keep
+    val cut = java.util.Arrays.copyOfRange(cbr, 0, cbr.length - 50)
+    assert(Mp3.parse(cut).get.frames == 99)
+    // version/layer matrix: MPEG-2.5 Layer III (576 samples/frame) and
+    // MPEG-1 Layer I (384 samples/frame, ×4 length arithmetic)
+    val lo = Mp3.parse(Mp3.write(20, versionBits = 0, srIx = 2)).get
+    assert(lo.version == 25 && lo.sampleRate == 8000 && lo.frames == 20)
+    assert(lo.durationMs == 20L * 576 * 1000 / 8000)
+    val l1 = Mp3.parse(Mp3.write(15, layer = 1)).get
+    assert(l1.layer == 1 && l1.frames == 15)
+    assert(l1.durationMs == 15L * 384 * 1000 / 44100)
+    // fences: garbage, empty, a bare ID3 container with no frames
+    assert(Mp3.parse("not an mp3 file at all".getBytes).isEmpty)
+    assert(Mp3.parse(Array.emptyByteArray).isEmpty)
+    assert(Mp3.parse(Mp3.write(1, id3Junk = 64).take(74)).isEmpty,
+      "an ID3 container with no complete frame -> None")
+  }
+
+  test("extractFeatures on MP3 mime yields header-walk evidence, not a stub") {
+    import spark.implicits._
+    import graft.multimodal.Mp3
+    val good = Mp3.write(50, id3Junk = 32)
+    val bad = Array[Byte]('I', 'D', '3', 4, 0, 0, 0, 0, 0, 2, 9, 9)
+    val media = Seq(
+      MediaRow(1L, good, MediaMeta(graft.sources.BinarySource.MimeMp3,
+        good.length.toLong, Multimodal.payloadChecksum(good))),
+      MediaRow(2L, bad, MediaMeta(graft.sources.BinarySource.MimeMp3,
+        bad.length.toLong, Multimodal.payloadChecksum(bad)))).toDS()
+    val out = Multimodal.extractFeatures(media).collect().sortBy(_.doc_id)
+    assert(out(0).ok, "a real MP3 stream must parse")
+    val f = out(0).features
+    assert(f(0) == 44100f && f(1) == 50f && f(3) == 128f && f(7) == 0f)
+    assert(f(2) == (50L * 1152 * 1000 / 44100).toFloat)
+    assert(!out(1).ok, "a frameless blob must fence, not stub")
+  }
+
   test("extractFeatures on JPEG mime runs the real decoder; resize re-encodes") {
     import spark.implicits._
     import graft.multimodal.{Jpeg, Netpbm}

@@ -105,6 +105,45 @@ class SourcesSpec extends SparkSpec {
     assert(sources.OrcSource.read(spark, s"$dir/ten").count() == 10)
   }
 
+  test("AvroSource: distributed round trip incl. arrays + nulls; corrupt container fences per-file") {
+    val dir = Files.createTempDirectory("graft-avro").toString
+    val docs = Tables(spark, sf).documents
+      .withColumn("tags", array(col("source"), col("lang")))
+      .withColumn("maybe", when(col("n_chars") % 2 === 0, col("text")))
+    sources.AvroSource.write(docs, s"$dir/docs")
+    assert(Files.exists(Paths.get(s"$dir/docs/_SUCCESS")))
+    val back = sources.AvroSource.read(spark, s"$dir/docs")
+    assert(back.count() == docs.count())
+    assert(back.schema.fieldNames.toSeq == docs.schema.fieldNames.toSeq)
+    // exact content parity, arrays and injected nulls included
+    val key = (r: org.apache.spark.sql.Row) => r.getAs[Long]("doc_id")
+    val a = docs.select("doc_id", "text", "tags", "maybe").collect()
+      .map(r => key(r) -> (r.getString(1), r.getSeq[String](2),
+        r.getString(3))).toMap
+    val b = back.select("doc_id", "text", "tags", "maybe").collect()
+      .map(r => key(r) -> (r.getString(1), r.getSeq[String](2),
+        r.getString(3))).toMap
+    assert(a == b, "avro round trip must be value-exact")
+    assert(back.filter(col("maybe").isNull).count() ==
+      docs.filter(col("maybe").isNull).count())
+    // embeddings' array<float> — the other interchange shape
+    val emb = Tables(spark, sf).embeddings.limit(50)
+    sources.AvroSource.write(emb, s"$dir/emb")
+    val embBack = sources.AvroSource.read(spark, s"$dir/emb")
+    assert(embBack.count() == 50)
+    assert(embBack.select(sum(size(col("embedding")))).collect()(0).getLong(0) ==
+      emb.select(sum(size(col("embedding")))).collect()(0).getLong(0))
+    // a corrupt container beside good ones: its rows vanish (per-file
+    // fence), the good files' rows survive, nothing crashes
+    Files.write(Paths.get(s"$dir/docs/junk.avro"),
+      "Objnot really avro".getBytes("ISO-8859-1"))
+    assert(sources.AvroSource.read(spark, s"$dir/docs").count() == docs.count(),
+      "a corrupt sibling container must fence, not fail the read")
+    // overwrite semantics: a second write replaces, never appends
+    sources.AvroSource.write(docs.limit(7), s"$dir/docs")
+    assert(sources.AvroSource.read(spark, s"$dir/docs").count() == 7)
+  }
+
   test("ParquetSource: clustered write co-locates keys (one key → one file)") {
     val dir = Files.createTempDirectory("graft-pq2").toString
     val docs = Tables(spark, sf).documents
