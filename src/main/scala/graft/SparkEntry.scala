@@ -35,7 +35,9 @@ object SparkEntry {
         Entry("q126_jpeg_decode", graft.multimodal.Multimodal.q126,
           Some(graft.multimodal.Multimodal.q126Sql)),
         Entry("q127_pdf_extract", graft.multimodal.Multimodal.q127,
-          Some(graft.multimodal.Multimodal.q127Sql)))
+          Some(graft.multimodal.Multimodal.q127Sql)),
+        Entry("q128_webp_decode", graft.multimodal.Multimodal.q128,
+          Some(graft.multimodal.Multimodal.q128Sql)))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

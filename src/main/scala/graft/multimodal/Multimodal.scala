@@ -136,12 +136,17 @@ object Multimodal {
                   ok = false, features = Array.empty)
             }
           else if (r.meta.mime == MimeBmp || r.meta.mime == MimePng ||
-                   r.meta.mime == MimeGif || r.meta.mime == MimeJpeg) {
-            // REAL codec paths #3..#6: BMP, PNG, GIF and JPEG decode
-            // to the same Image type — one histogram kernel for all
+                   r.meta.mime == MimeGif || r.meta.mime == MimeJpeg ||
+                   r.meta.mime == graft.sources.BinarySource.MimeWebp) {
+            // REAL codec paths #3..#7: BMP, PNG, GIF, JPEG and WebP
+            // (VP8L) decode to the same Image type — one histogram
+            // kernel for all
             val dec = if (r.meta.mime == MimeBmp) Bmp.decode(r.payload)
                       else if (r.meta.mime == MimePng) Png.decode(r.payload)
                       else if (r.meta.mime == MimeGif) Gif.decode(r.payload)
+                      else if (r.meta.mime ==
+                        graft.sources.BinarySource.MimeWebp)
+                        Webp.decode(r.payload)
                       else Jpeg.decode(r.payload)
             dec match {
               case Some(img) =>
@@ -983,6 +988,59 @@ object Multimodal {
       |  ${graft.queries.Q.round4Sql("CAST(lsum AS DOUBLE) / n_px")} AS luma_mean4,
       |  ${graft.queries.Q.round4Sql("CAST(ndark AS DOUBLE) / n_px")} AS dark_frac4
       |FROM agg ORDER BY doc_id""".stripMargin
+
+  /** Documents laid out as WIDTH-10 GRAYSCALE WebP (VP8L) images —
+    * [[gifTable]]'s exact raster layout (one pixel per text byte,
+    * palette-free (b,b,b) truecolor, height ceil(nb/10), zero-padded
+    * tail) through the real [[Webp.encode]] writer with the full
+    * option gauntlet ON: subtract-green, the Select predictor
+    * (mode 11, 16×16 blocks with border rules), a 6-bit color cache,
+    * and dist-1 LZ77 run chunks. VP8L is lossless, so decode
+    * reproduces the raster exactly and the decode stats reduce to
+    * plain byte statistics — [[q125Sql]] replays verbatim. What
+    * differs — and what the query proves — is everything between:
+    * prefix codes, the predictor inverse, the cache, the copy loop.
+    */
+  def webpTable(spark: SparkSession, dir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), coalesce(col("text"), lit("")).as("t"))
+      .as[(Long, String)]
+      .map { case (id, t) =>
+        val bytes = t.getBytes("UTF-8")
+        val h = math.max((bytes.length + 9) / 10, 1)
+        val idx = java.util.Arrays.copyOf(bytes, 10 * h)
+        val px = new Array[Byte](10 * h * 3)
+        var i = 0
+        while (i < idx.length) {
+          px(3 * i) = idx(i); px(3 * i + 1) = idx(i); px(3 * i + 2) = idx(i)
+          i += 1
+        }
+        val payload = Webp.encode(Netpbm.Image(10, h, 255, px),
+          subtractGreen = true, predictor = Some(11),
+          cacheBits = 6, runs = true)
+        MediaRow(id, payload,
+          MediaMeta(graft.sources.BinarySource.MimeWebp,
+            payload.length.toLong, payloadChecksum(payload)))
+      }
+  }
+
+  /** q128 entry: the real WebP (VP8L) decode in the oracle-checked
+    * path — [[webpTable]] → [[Webp.decode]] (RIFF walk, prefix codes,
+    * subtract-green + Select-predictor inverses, color cache, LZ77
+    * copies) → the codec-family luma stats. The seventh arm, covering
+    * the third format real crawls serve ([[graft.sources.WarcSource
+    * .media]] routes WebP responses here by magic).
+    */
+  def q128(spark: SparkSession, dir: String): DataFrame =
+    lumaStatsFace(webpTable(spark, dir), Webp.decode)
+
+  /** DuckDB mirror of q128: the [[gifTable]] layout at lossless
+    * fidelity means the closed form is [[q125Sql]] unchanged — the
+    * whole VP8L transform/prefix/cache/LZ77 machinery must cancel
+    * for the hash to match.
+    */
+  val q128Sql: String = q125Sql
 
   /** Documents laid out as 8×8-TILED grayscale JPEGs through the real
     * [[Jpeg.encode]] writer (quant 1): each text byte becomes one

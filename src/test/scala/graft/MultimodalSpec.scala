@@ -720,6 +720,16 @@ class MultimodalSpec extends SparkSpec {
     assert(rImg.width == 5 && rImg.height == 1)
   }
 
+  test("q128: real WebP VP8L decode end-to-end — full option gauntlet, stats are byte stats") {
+    val out = Multimodal.q128(spark, sf).cache()
+    assert(out.count() == Tables(spark, sf).documents.count())
+    assert(out.filter(!col("ok")).count() == 0,
+      "every encoded WebP must decode")
+    assert(out.filter(col("img_w") =!= 10).count() == 0)
+    assert(out.filter(col("n_px") =!= col("img_h") * 10).count() == 0)
+    out.unpersist()
+  }
+
   test("q125: real GIF decode end-to-end — grayscale layout, stats are byte stats") {
     val out = Multimodal.q125(spark, sf).cache()
     assert(out.count() == Tables(spark, sf).documents.count())
@@ -892,6 +902,126 @@ class MultimodalSpec extends SparkSpec {
       "truncated progressive stream -> None")
     // SOF2 must still be sniffed when headers precede it (APPn)
     assert((p(2) & 0xff) == 0xFF) // marker framing sanity
+  }
+
+  test("Webp VP8L: lossless round trips across every transform/cache/run path; fences; DistMap pin") {
+    import graft.multimodal.{Netpbm, Webp}
+    val rnd = new scala.util.Random(11L)
+    def randImg(w: Int, h: Int, colors: Int): Netpbm.Image = {
+      val pal = Array.fill(colors)(
+        Array[Byte](rnd.nextInt(256).toByte, rnd.nextInt(256).toByte,
+          rnd.nextInt(256).toByte))
+      val px = new Array[Byte](w * h * 3)
+      (0 until w * h).foreach { i =>
+        val c = pal(rnd.nextInt(colors))
+        px(3 * i) = c(0); px(3 * i + 1) = c(1); px(3 * i + 2) = c(2)
+      }
+      Netpbm.Image(w, h, 255, px)
+    }
+    def rt(img: Netpbm.Image, tag: String,
+           enc: Netpbm.Image => Array[Byte]): Unit = {
+      val back = Webp.decode(enc(img))
+      assert(back.isDefined, s"$tag must decode")
+      assert(back.get.width == img.width && back.get.height == img.height)
+      assert(back.get.pixels.toSeq == img.pixels.toSeq,
+        s"VP8L is lossless: $tag must round-trip exactly")
+    }
+    // odd dims so 16×16 transform blocks and edge pixels all exercise
+    val img = randImg(37, 23, colors = 1000)
+    rt(img, "plain", i => Webp.encode(i))
+    rt(img, "subtract-green", i => Webp.encode(i, subtractGreen = true))
+    // every predictor mode, incl. the border rules at row 0 / col 0
+    for (mode <- 0 to 13)
+      rt(img, s"predictor-$mode",
+        i => Webp.encode(i, predictor = Some(mode)))
+    rt(img, "cross-color",
+      i => Webp.encode(i, crossColor = Some((23, -40, 115))))
+    rt(img, "sg+predictor-11", i =>
+      Webp.encode(i, subtractGreen = true, predictor = Some(11)))
+    rt(img, "sg+cc+predictor-12", i => Webp.encode(i,
+      subtractGreen = true, crossColor = Some((-7, 9, -128)),
+      predictor = Some(12)))
+    // color cache + LZ77 dist-1 runs want repetitive content
+    val repetitive = {
+      val base = randImg(64, 9, colors = 5)
+      val px = base.pixels.clone()
+      // paint long horizontal runs
+      (2 until 5).foreach { row =>
+        (8 until 60).foreach { x =>
+          val o = (row * 64 + x) * 3
+          px(o) = 7; px(o + 1) = 77; px(o + 2) = 127
+        }
+      }
+      Netpbm.Image(64, 9, 255, px)
+    }
+    rt(repetitive, "cache-4", i => Webp.encode(i, cacheBits = 4))
+    rt(repetitive, "runs", i => Webp.encode(i, runs = true))
+    rt(repetitive, "cache-6+runs",
+      i => Webp.encode(i, cacheBits = 6, runs = true))
+    rt(repetitive, "cache-11", i => Webp.encode(i, cacheBits = 11))
+    // color indexing at every bundling width: 2/4/16/200 colors
+    for (colors <- Seq(2, 4, 13, 200))
+      rt(randImg(41, 17, colors), s"palette-$colors",
+        i => Webp.encode(i, palette = true))
+    // 1×1 and 1×N degenerate shapes
+    rt(randImg(1, 1, 1), "1x1", i => Webp.encode(i))
+    rt(randImg(1, 9, 3), "1x9-pred7", i => Webp.encode(i, predictor = Some(7)))
+
+    // fences: lossy VP8, animation, truncation, garbage, bad version
+    def chunkFile(tag: String): Array[Byte] = {
+      val o = new java.io.ByteArrayOutputStream()
+      def le32(v: Int) = (0 until 4).foreach(i => o.write((v >> (8 * i)) & 0xff))
+      "RIFF".foreach(c => o.write(c)); le32(12 + 8)
+      "WEBP".foreach(c => o.write(c))
+      tag.foreach(c => o.write(c)); le32(4); le32(0)
+      o.toByteArray
+    }
+    assert(Webp.decode(chunkFile("VP8 ")).isEmpty, "lossy VP8 -> None")
+    assert(Webp.decode(chunkFile("ANIM")).isEmpty, "animation -> None")
+    assert(Webp.decode("RIFFxxxxWAVE".getBytes).isEmpty)
+    assert(Webp.decode("not even riff".getBytes).isEmpty)
+    val good = Webp.encode(img)
+    assert(Webp.decode(java.util.Arrays.copyOfRange(good, 0,
+      good.length - 12)).isEmpty, "truncated stream -> None")
+    val badVer = good.clone()
+    // VP8L payload starts at 20: signature byte then dims; version
+    // bits live at bit offset 29 of the stream (byte 20+1+3, bit 5)
+    badVer(24) = (badVer(24) | 0xE0).toByte
+    assert(Webp.decode(badVer).isEmpty, "nonzero version -> None")
+
+    // the 2D distance map's generating rule, pinned against the
+    // RFC 9649 table's literal prefix
+    val rfc = Seq((0, 1), (1, 0), (1, 1), (-1, 1), (0, 2), (2, 0),
+      (1, 2), (-1, 2), (2, 1), (-2, 1), (2, 2), (-2, 2), (0, 3), (3, 0),
+      (1, 3), (-1, 3), (3, 1), (-3, 1), (2, 3), (-2, 3), (3, 2), (-3, 2),
+      (0, 4), (4, 0))
+    assert(Webp.DistMap.take(24).toSeq == rfc,
+      "distance map must match the spec table")
+    assert(Webp.DistMap.length == 120)
+  }
+
+  test("extractFeatures on WebP mime runs the VP8L decoder") {
+    import spark.implicits._
+    import graft.multimodal.{Netpbm, Webp}
+    // constant image → features equal the PPM arm's exactly
+    val px = Array.tabulate[Byte](12 * 8 * 3)(i =>
+      Seq(40, 90, 200)(i % 3).toByte)
+    val img = Netpbm.Image(12, 8, 255, px)
+    val webp = Webp.encode(img, subtractGreen = true)
+    val ppm = Netpbm.encodeP6(img)
+    val mime = graft.sources.BinarySource.MimeWebp
+    val media = Seq(
+      MediaRow(1L, webp, MediaMeta(mime, webp.length.toLong,
+        Multimodal.payloadChecksum(webp))),
+      MediaRow(2L, ppm, MediaMeta(Multimodal.MimePpm, ppm.length.toLong,
+        Multimodal.payloadChecksum(ppm))),
+      MediaRow(3L, "RIFF????WEBPVP8 ".getBytes,
+        MediaMeta(mime, 16L, 0L))).toDS()
+    val out = Multimodal.extractFeatures(media).collect().sortBy(_.doc_id)
+    assert(out(0).ok && out(1).ok)
+    assert(out(0).features.toSeq == out(1).features.toSeq,
+      "WebP and PPM features must match for identical pixels")
+    assert(!out(2).ok, "lossy VP8 must fence in the feature path")
   }
 
   test("Mp3: frame-header walk — ID3v2 skip, resync, VBR, truncation, version/layer matrix") {
