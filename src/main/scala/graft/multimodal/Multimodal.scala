@@ -349,6 +349,17 @@ object Multimodal {
                 MediaMeta(r.meta.mime, out.length.toLong, payloadChecksum(out)))
             case None => r // malformed: downstream fences it
           }
+        else if (r.meta.mime == graft.sources.BinarySource.MimeWebp)
+          // VP8L is lossless: nearest-neighbor keeps source pixels and
+          // the re-encode loses nothing (subtract-green for size)
+          Webp.decode(r.payload) match {
+            case Some(img) =>
+              val out = Webp.encode(Netpbm.resizeNearest(img, factor),
+                subtractGreen = true)
+              MediaRow(r.doc_id, out,
+                MediaMeta(r.meta.mime, out.length.toLong, payloadChecksum(out)))
+            case None => r // malformed/lossy: downstream fences it
+          }
         else {
           val out = new Array[Byte]((r.payload.length + factor - 1) / factor)
           var i = 0

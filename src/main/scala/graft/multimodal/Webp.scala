@@ -742,17 +742,22 @@ object Webp {
     * element ((g2r, g2b, r2b) int8 triple, 16×16 blocks), `palette`
     * (color indexing + bundling — requires ≤256 distinct colors;
     * exclusive with the other transforms here), `cacheBits` (a real
-    * color cache), `runs` (dist-1 LZ77 chunks for repeated pixels).
+    * color cache), `runs` (dist-1 LZ77 chunks for repeated pixels),
+    * `metaGroups` (two alternating 4×4-block prefix-code groups via a
+    * real meta entropy image — the group-dispatch path).
     */
   def encode(img: Netpbm.Image, subtractGreen: Boolean = false,
              predictor: Option[Int] = None,
              crossColor: Option[(Int, Int, Int)] = None,
              palette: Boolean = false,
-             cacheBits: Int = 0, runs: Boolean = false): Array[Byte] = {
+             cacheBits: Int = 0, runs: Boolean = false,
+             metaGroups: Boolean = false): Array[Byte] = {
     require(img.maxVal == 255, "VP8L profile is 8-bit")
     require(img.width <= 16384 && img.height <= 16384, "14-bit dims")
     require(!palette || (!subtractGreen && predictor.isEmpty &&
       crossColor.isEmpty), "palette is exclusive here")
+    require(!metaGroups || (cacheBits == 0 && !runs && !palette),
+      "metaGroups composes with the transforms only")
     require(cacheBits >= 0 && cacheBits <= 11)
     val w = img.width; val h = img.height
     var argb = new Array[Int](w * h)
@@ -869,6 +874,32 @@ object Webp {
     // main entropy image
     if (cacheBits > 0) { wr.writeBit(1); wr.writeBits(cacheBits, 4) }
     else wr.writeBit(0)
+    if (metaGroups) {
+      // META PREFIX CODES: 4×4 blocks alternate between two code
+      // groups (identical flat codes — what the path proves is the
+      // GROUP DISPATCH: the entropy image read, the (red<<8)|green
+      // code extraction, the per-pixel block lookup)
+      wr.writeBit(1)
+      wr.writeBits(0, 3) // size_bits = 2 → 4-pixel blocks
+      val metaW = subSize(codedW, 2); val metaH = subSize(h, 2)
+      writeSmallSub(wr, Array.tabulate(metaW * metaH)(i =>
+        0xff000000 | ((i % 2) << 8)))
+      val fcs = Array(new FlatCodes(wr, 0, false), new FlatCodes(wr, 0, false))
+      fcs(0).writeHeaders(); fcs(1).writeHeaders()
+      var pos = 0
+      while (pos < codedW * h) {
+        val x = pos % codedW; val y = pos / codedW
+        val g = fcs(((y >> 2) * metaW + (x >> 2)) % 2)
+        val v = argb(pos)
+        g.green((v >>> 8) & 0xff)
+        g.byte((v >>> 16) & 0xff)
+        g.byte(v & 0xff)
+        g.byte((v >>> 24) & 0xff)
+        pos += 1
+      }
+      val payload0 = Array[Byte](0x2f) ++ wr.result()
+      return riff(payload0)
+    }
     wr.writeBit(0) // no meta prefix codes
     val fc = new FlatCodes(wr, cacheBits, runs)
     fc.writeHeaders()

@@ -82,6 +82,20 @@ object Streams {
     graft.sources.WarcSource.pdfDocuments(
       warcRecords(spark, dir, glob, maxFilesPerTrigger))
 
+  /** The continuous QUARANTINE mirror — the audit face for what the
+    * text faces refused (NUL-bearing payloads, encrypted PDFs,
+    * glyph-id mojibake), streamed as archives land so the influx is
+    * observable CONTINUOUSLY, not only when someone reruns the batch
+    * audit ([[graft.sources.WarcSource.quarantine]] is pure Column
+    * ops over the records frame, so batch semantics apply verbatim —
+    * the crawl-intake quartet's fourth face, closing the symmetry).
+    */
+  def warcQuarantine(spark: SparkSession, dir: String,
+                     glob: Option[String] = None,
+                     maxFilesPerTrigger: Int = 4): DataFrame =
+    graft.sources.WarcSource.quarantine(
+      warcRecords(spark, dir, glob, maxFilesPerTrigger))
+
   /** Shared watched-dir WARC record stream: one task per landed
     * archive, the batch parser/opener/fences verbatim (a consumer
     * needing BOTH faces should start two queries over the same dir —

@@ -989,6 +989,47 @@ class MultimodalSpec extends SparkSpec {
     badVer(24) = (badVer(24) | 0xE0).toByte
     assert(Webp.decode(badVer).isEmpty, "nonzero version -> None")
 
+    // meta prefix groups: 4×4 blocks alternating between two code
+    // groups — the entropy-image dispatch path
+    rt(img, "meta-groups", i => Webp.encode(i, metaGroups = true))
+    rt(randImg(9, 31, 40), "meta-groups-tall",
+      i => Webp.encode(i, metaGroups = true, subtractGreen = true))
+
+    // a VP8X still wrapping the same VP8L chunk must decode (the
+    // extended container real encoders emit for metadata-bearing
+    // stills); the walk skips to the VP8L chunk
+    val plainFile = Webp.encode(img)
+    val vp8x = {
+      val o = new java.io.ByteArrayOutputStream()
+      def le32(v: Int) = (0 until 4).foreach(i => o.write((v >> (8 * i)) & 0xff))
+      def le24(v: Int) = (0 until 3).foreach(i => o.write((v >> (8 * i)) & 0xff))
+      val inner = java.util.Arrays.copyOfRange(plainFile, 12, plainFile.length)
+      "RIFF".foreach(c => o.write(c)); le32(4 + 18 + inner.length)
+      "WEBP".foreach(c => o.write(c))
+      "VP8X".foreach(c => o.write(c)); le32(10)
+      o.write(0); le24(0) // flags + reserved
+      le24(img.width - 1); le24(img.height - 1)
+      o.write(inner, 0, inner.length)
+      o.toByteArray
+    }
+    val xDec = Webp.decode(vp8x)
+    assert(xDec.isDefined && xDec.get.pixels.toSeq == img.pixels.toSeq,
+      "a VP8X still carrying VP8L must decode identically")
+
+    // the resize stage round-trips WebP losslessly (subset pixels)
+    {
+      import spark.implicits._
+      val mime = graft.sources.BinarySource.MimeWebp
+      val media = Seq(MediaRow(1L, plainFile,
+        MediaMeta(mime, plainFile.length.toLong,
+          Multimodal.payloadChecksum(plainFile)))).toDS()
+      val resized = Multimodal.resize(media, 2).collect()(0)
+      val rImg = Webp.decode(resized.payload).get
+      assert(rImg.width == (img.width + 1) / 2 ||
+        rImg.width == img.width / 2)
+      assert(resized.meta.mime == mime)
+    }
+
     // the 2D distance map's generating rule, pinned against the
     // RFC 9649 table's literal prefix
     val rfc = Seq((0, 1), (1, 0), (1, 1), (-1, 1), (0, 2), (2, 0),

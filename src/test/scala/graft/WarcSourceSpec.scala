@@ -504,6 +504,24 @@ class WarcSourceSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming quarantine: warcQuarantine mirrors the batch audit face row for row") {
+    val dir = writeWebDir()
+    val stream = graft.streaming.Streams.warcQuarantine(spark, dir)
+    assert(stream.isStreaming)
+    val q = stream.writeStream.format("memory")
+      .queryName("warc_quar_stream").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("warc_quar_stream").cache()
+      val batch = WarcSource.quarantine(spark, dir).cache()
+      assert(got.count() == batch.count(),
+        "the streaming audit face must yield exactly the batch rows")
+      assert(got.select("doc_id", "reason")
+        .except(batch.select("doc_id", "reason")).count() == 0)
+      got.unpersist(); batch.unpersist()
+    } finally q.stop()
+  }
+
   test("streaming media ingest: warcMedia mirrors the batch media face row for row") {
     val dir = writeWebDir()
     val stream = graft.streaming.Streams.warcMedia(spark, dir)
