@@ -292,18 +292,18 @@ object ScaleCheck {
           val body = (r % 4) match {
             case 0 => resp(s"http://s$a.example/p$r", "text/html",
               (s"<html><body>page $seed " +
-                s"${("lorem ipsum crawl token " + seed + " ") * 40}" +
+                s"${("lorem ipsum crawl token " + seed + " ") * 200}" +
                 "</body></html>").getBytes("UTF-8"))
             case 1 => rec(Seq("WARC-Type" -> "conversion",
               "WARC-Target-URI" -> s"http://s$a.example/w$r",
               "Content-Type" -> "text/plain"),
-              (s"wet text $seed " + (s"token$seed " * 60)).getBytes("UTF-8"))
+              (s"wet text $seed " + (s"token$seed " * 300)).getBytes("UTF-8"))
             case 2 => resp(s"http://s$a.example/img$r", "text/html",
-              "P6\n8 8\n255\n".getBytes("ISO-8859-1") ++
-                Array.tabulate[Byte](192)(i => ((i * 7 + seed) % 256).toByte))
+              "P6\n32 32\n255\n".getBytes("ISO-8859-1") ++
+                Array.tabulate[Byte](3072)(i => ((i * 7 + seed) % 256).toByte))
             case _ => resp(s"http://s$a.example/d$r.pdf", "application/pdf",
               graft.multimodal.PdfText.write(
-                s"pdf document $seed " + (s"para$seed " * 30)))
+                s"pdf document $seed " + (s"para$seed " * 150)))
           }
           bo.write(body, 0, body.length)
           r += 1
@@ -319,7 +319,7 @@ object ScaleCheck {
       total
     }
     def warcPoint(dir: String, tag: String, archives: Int): Double = {
-      val diskBytes = buildWarcDir(dir, archives, recsPer = 200)
+      val diskBytes = buildWarcDir(dir, archives, recsPer = 400)
       val (sec, recs) = time(
         graft.sources.WarcSource.records(spark, dir), reps)
       val (docSec, docs) = time(
@@ -330,7 +330,11 @@ object ScaleCheck {
     }
     val w0 = warcPoint("target/scale_warc_1", "warc1x", archives = 4)
     val w1 = warcPoint("target/scale_warc_10", "warc10x", archives = 40)
-    line(s"""{"scale":"warc_ratio_10x_over_1x","expect":"~10 (one task per archive, wall linear in archives; MB/s flat)","parse":${d3(if (w0 > 0) w1 / w0 else -1.0)}}""")
+    // the parallelism contract is ONE TASK PER ARCHIVE: with cores ≥
+    // archives the 10× point scales OUT (wall ~flat, records/s ~10×);
+    // past core saturation wall grows ~linearly in archives. Either
+    // shape is healthy; super-linear wall is the red flag.
+    line(s"""{"scale":"warc_ratio_10x_over_1x","expect":"wall flat-to-linear (one task per archive; 10x archives spread over cores), records/s up ~10x at flat wall; super-linear wall is the red flag","parse":${d3(if (w0 > 0) w1 / w0 else -1.0)}}""")
 
     val base = measure(src, "sf0.1", kSem = 16)
     val big = measure(dst, "sf1", kSem = 160)

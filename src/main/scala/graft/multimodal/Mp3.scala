@@ -108,7 +108,8 @@ object Mp3 {
     * DOUBLE-VALIDATED frame sync exists in the resync window.
     */
   def parse(bytes: Array[Byte]): Option[Info] = {
-    var start = skipId3(bytes, 0)
+    val initial = skipId3(bytes, 0)
+    var start = initial
     // resync: first position whose header is valid AND whose declared
     // length lands on another valid header (or clean EOF)
     val limit = math.min(bytes.length, start + ResyncWindow)
@@ -117,8 +118,20 @@ object Mp3 {
       header(bytes, start) match {
         case Some(h) =>
           val next = start + h.length
-          if (next == bytes.length || next + 4 <= bytes.length &&
-              header(bytes, next).isDefined) found = start
+          // double-sync: the next frame must start where this one's
+          // length says — UNLESS the stream plausibly ends there (a
+          // clean EOF, or — only for a frame at the stream's natural
+          // start, where no junk was skipped to find it — a short
+          // trailer window: the classic 128-byte ID3v1 'TAG', a
+          // truncated final frame). Without the window a valid
+          // SINGLE-frame file followed by 'TAG' would parse as
+          // no-frames; restricting it to the natural start keeps a
+          // fake sync inside junk from validating against the window.
+          if (next == bytes.length ||
+              (start == initial && next >= bytes.length - 128 &&
+                next <= bytes.length) ||
+              (next + 4 <= bytes.length && header(bytes, next).isDefined))
+            found = start
           else start += 1
         case None => start += 1
       }

@@ -653,7 +653,7 @@ object Webp {
           s"cache depth must close Kraft exactly (cacheBits=$cacheBits runs=$runs)")
         var c = 0
         while (c < cacheSize) { a(280 + c) = d; c += 1 }
-      } else if (runs) a(256 + 5) = 2
+      }
       a
     }
     private val greenCodes = canonicalCodes(greenLens)

@@ -617,9 +617,12 @@ object CorpusPrep {
       if (includePdfs) html.unionByName(WarcSource.pdfDocuments(recs))
       else html
     val htmlN = html.count()
-    val pdfN =
-      if (includePdfs) WarcSource.pdfDocuments(recs).count() else 0L
-    WarcStats(htmlN, pdfN, run(docs, outPath, cfg, benchmark))
+    val prep = run(docs, outPath, cfg, benchmark)
+    // the pdf billing is DERIVED (input − html), not a second
+    // pdfDocuments pass: the faces take disjoint record sets, and an
+    // extra count would re-parse every archive and re-extract every
+    // PDF — a whole wasted crawl scan at the 100 TB scale
+    WarcStats(htmlN, if (includePdfs) prep.input - htmlN else 0L, prep)
   }
 
   def run(docs: DataFrame, outPath: String, cfg: Config,

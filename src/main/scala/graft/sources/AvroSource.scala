@@ -52,7 +52,15 @@ object AvroSource {
       case DoubleType => Schema.create(Schema.Type.DOUBLE)
       case StringType => Schema.create(Schema.Type.STRING)
       case BinaryType => Schema.create(Schema.Type.BYTES)
-      case ArrayType(et, _) => Schema.createArray(fieldType(et))
+      case ArrayType(et, containsNull) =>
+        // Spark's default array is null-tolerant; dropping that here
+        // would make a null ELEMENT a mid-partition task death at
+        // write time instead of a representable value
+        val e = fieldType(et)
+        Schema.createArray(
+          if (containsNull)
+            Schema.createUnion(Schema.create(Schema.Type.NULL), e)
+          else e)
       case other => throw new IllegalArgumentException(
         s"AvroSource profile does not carry $other — " +
           "cast to a supported interchange type first")
@@ -135,18 +143,28 @@ object AvroSource {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(conf)
     val it = fs.listFiles(p, true)
-    var first: org.apache.hadoop.fs.Path = null
-    while (first == null && it.hasNext) {
+    var schema: Schema = null
+    var sawAny = false
+    // first READABLE header wins — a corrupt container that happens to
+    // sort first must not fail the whole read (it fences per-file in
+    // the data pass like any other damaged sibling)
+    while (schema == null && it.hasNext) {
       val f = it.next()
-      if (f.isFile && f.getPath.getName.endsWith(".avro")) first = f.getPath
+      if (f.isFile && f.getPath.getName.endsWith(".avro")) {
+        sawAny = true
+        try {
+          val in = fs.open(f.getPath)
+          try {
+            val stream = new org.apache.avro.file.DataFileStream(
+              in, new GenericDatumReader[GenericRecord]())
+            try schema = stream.getSchema finally stream.close()
+          } finally scala.util.Try(in.close())
+        } catch { case scala.util.control.NonFatal(_) => () }
+      }
     }
-    require(first != null, s"no .avro files under $path")
-    val in = fs.open(first)
-    try {
-      val stream = new org.apache.avro.file.DataFileStream(
-        in, new GenericDatumReader[GenericRecord]())
-      try stream.getSchema finally stream.close()
-    } finally scala.util.Try(in.close())
+    require(sawAny, s"no .avro files under $path")
+    require(schema != null, s"no readable .avro container under $path")
+    schema
   }
 
   /** All rows of every `.avro` container file under `path`
@@ -210,12 +228,23 @@ object AvroSource {
       if (rows.hasNext) {
         val pid = org.apache.spark.TaskContext.getPartitionId()
         val attempt = org.apache.spark.TaskContext.get().taskAttemptId()
+        // task-commit protocol: write under an attempt-unique
+        // IN-PROGRESS name (invisible to the reader's *.avro glob),
+        // then rename to the DETERMINISTIC per-partition name — a
+        // retried or speculative duplicate attempt that loses the
+        // rename deletes its own file, so exactly one complete
+        // container per partition ever publishes (raw foreachPartition
+        // has no Spark committer; without this, two completed attempts
+        // of one partition would BOTH swap in and read() would return
+        // the partition's rows twice)
+        val inProgress = new org.apache.hadoop.fs.Path(
+          tmp, f"part-$pid%05d-$attempt.inprogress")
         val target = new org.apache.hadoop.fs.Path(
-          tmp, f"part-$pid%05d-$attempt.avro")
-        val pfs = target.getFileSystem(confS.value)
+          tmp, f"part-$pid%05d.avro")
+        val pfs = inProgress.getFileSystem(confS.value)
         val sch = new Schema.Parser().parse(schemaJson)
         val fieldSchemas = sch.getFields.asScala.toSeq.map(_.schema())
-        val out = pfs.create(target, true)
+        val out = pfs.create(inProgress, true)
         val writer = new DataFileWriter[GenericRecord](
           new GenericDatumWriter[GenericRecord](sch))
         writer.setCodec(org.apache.avro.file.CodecFactory.deflateCodec(6))
@@ -231,6 +260,12 @@ object AvroSource {
             writer.append(rec)
           }
         } finally writer.close() // closes the stream too
+        if (!pfs.rename(inProgress, target)) {
+          // another attempt of this partition already published — the
+          // content is deterministic per partition, so drop ours
+          pfs.delete(inProgress, false)
+          ()
+        }
       }
     }
     // atomic-ish publish: retire the old tree, swap the new one in

@@ -1095,6 +1095,18 @@ class MultimodalSpec extends SparkSpec {
     val l1 = Mp3.parse(Mp3.write(15, layer = 1)).get
     assert(l1.layer == 1 && l1.frames == 15)
     assert(l1.durationMs == 15L * 384 * 1000 / 44100)
+    // a SINGLE complete frame followed by the classic ID3v1 'TAG'
+    // trailer: the double-sync guard must not reject the real frame
+    // (the trailer window applies at the stream's natural start)
+    val oneTagged = Mp3.write(1) ++
+      ("TAG" + "x" * 125).getBytes("ISO-8859-1")
+    assert(Mp3.parse(oneTagged).exists(_.frames == 1),
+      "single frame + ID3v1 trailer must parse")
+    // …but a fake sync inside junk near EOF gets NO such window
+    val junkFake = Array.fill[Byte](60)(0x33) ++
+      Mp3.write(1).take(4) ++ Array.fill[Byte](40)(0x44)
+    assert(Mp3.parse(junkFake).isEmpty,
+      "a junk-embedded fake sync must still need the double sync")
     // fences: garbage, empty, a bare ID3 container with no frames
     assert(Mp3.parse("not an mp3 file at all".getBytes).isEmpty)
     assert(Mp3.parse(Array.emptyByteArray).isEmpty)

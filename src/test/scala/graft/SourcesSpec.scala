@@ -108,7 +108,10 @@ class SourcesSpec extends SparkSpec {
   test("AvroSource: distributed round trip incl. arrays + nulls; corrupt container fences per-file") {
     val dir = Files.createTempDirectory("graft-avro").toString
     val docs = Tables(spark, sf).documents
-      .withColumn("tags", array(col("source"), col("lang")))
+      // null ELEMENTS inside the array (Spark arrays default to
+      // containsNull) must survive the round trip, not kill the write
+      .withColumn("tags", array(col("source"),
+        when(col("n_chars") % 3 === 0, col("lang"))))
       .withColumn("maybe", when(col("n_chars") % 2 === 0, col("text")))
     sources.AvroSource.write(docs, s"$dir/docs")
     assert(Files.exists(Paths.get(s"$dir/docs/_SUCCESS")))
