@@ -18,9 +18,15 @@ package graft.multimodal
   * [[Netpbm.Image]]'s RGB via the palette, so every image kernel
   * (lumaHistogram, dHash64, resizeNearest) applies unchanged.
   *
+  * INTERLACED images decode (r14): the stream transmits rows in the
+  * GIF 4-pass order (8-stride from row 0, 8-stride from 4, 4-stride
+  * from 2, 2-stride from 1) and the decoder remaps them to display
+  * order after the LZW pass — the same pass table the encoder's
+  * `interlaced` switch writes, so the round trip pins both sides.
+  *
   * Profile fences (all → None, the codec-family convention):
   * bad magic, truncated screen/image descriptors or sub-blocks,
-  * INTERLACED images, an image with neither local nor global color
+  * an image with neither local nor global color
   * table, palette indices past the table, LZW codes past the next
   * free slot, pixel overflow/shortfall vs the descriptor, absurd
   * dimensions, missing image data before the trailer. Animation is
@@ -44,14 +50,14 @@ object Gif {
     * caller picks a palette-friendly layout, e.g. the q125 grayscale
     * raster); `maxVal` must be 255.
     */
-  def encode(img: Netpbm.Image): Array[Byte] = {
+  def encode(img: Netpbm.Image, interlaced: Boolean = false): Array[Byte] = {
     require(img.maxVal == 255, s"GIF is 8-bit palette, got maxVal=${img.maxVal}")
     require(img.width <= 0xffff && img.height <= 0xffff,
       s"GIF dims are 16-bit: ${img.width}x${img.height}")
     // palette: distinct colors in first-appearance order
     val colorIndex = new java.util.LinkedHashMap[Int, Integer]()
     val n = img.nPixels
-    val indices = new Array[Byte](n)
+    val rowMajor = new Array[Byte](n)
     var i = 0
     while (i < n) {
       val c = ((img.pixels(3 * i) & 0xff) << 16) |
@@ -62,9 +68,26 @@ object Gif {
         require(idx < 256, "GIF palette ceiling: > 256 distinct colors")
         colorIndex.put(c, idx)
       }
-      indices(i) = idx.toByte
+      rowMajor(i) = idx.toByte
       i += 1
     }
+    // interlaced streams transmit rows in the 4-pass order (8-stride
+    // from 0, 8-stride from 4, 4-stride from 2, 2-stride from 1)
+    val indices =
+      if (!interlaced) rowMajor
+      else {
+        val o = new Array[Byte](n)
+        var t = 0
+        for ((start, step) <- Seq((0, 8), (4, 8), (2, 4), (1, 2))) {
+          var y = start
+          while (y < img.height) {
+            System.arraycopy(rowMajor, y * img.width, o, t * img.width,
+              img.width)
+            t += 1; y += step
+          }
+        }
+        o
+      }
     val nColors = math.max(colorIndex.size(), 2)
     // table size = 2^(bits): the smallest power of two ≥ nColors
     var bits = 1
@@ -89,7 +112,7 @@ object Gif {
     }
     out.write(0x2C) // image descriptor
     le16(0); le16(0); le16(img.width); le16(img.height)
-    out.write(0) // no local table, not interlaced
+    out.write(if (interlaced) 0x40 else 0) // no local table
 
     // --- LZW compress the index stream ---
     // WIDTH CONVENTION (the one rule both sides implement, traced in
@@ -231,7 +254,7 @@ object Gif {
     // a frame exceeding the declared logical screen is malformed (the
     // first-frame profile ignores left/top offsets, stated)
     if (w > screenW || h > screenH) return None
-    if ((iFlags & 0x40) != 0) return None // interlaced: out of profile
+    val interlaced = (iFlags & 0x40) != 0
     var pos = p0 + 9
     val table = if ((iFlags & 0x80) != 0) {
       val size = 1 << ((iFlags & 7) + 1)
@@ -338,11 +361,28 @@ object Gif {
     }
     if (outN != nPix) return None // shortfall vs the descriptor
 
+    // interlaced streams transmit rows in the 4-pass order; remap
+    // them back to display order before the palette lookup
+    val ordered =
+      if (!interlaced) out
+      else {
+        val o = new Array[Byte](nPix)
+        var t = 0
+        for ((start, step) <- Seq((0, 8), (4, 8), (2, 4), (1, 2))) {
+          var y = start
+          while (y < h) {
+            System.arraycopy(out, t * w, o, y * w, w)
+            t += 1; y += step
+          }
+        }
+        o
+      }
+
     // palette → RGB
     val px = new Array[Byte](nPix * 3)
     var i = 0
     while (i < nPix) {
-      val idx = out(i) & 0xff
+      val idx = ordered(i) & 0xff
       if (idx >= table.length) return None // index past the palette
       val c = table(idx)
       px(3 * i) = ((c >> 16) & 0xff).toByte

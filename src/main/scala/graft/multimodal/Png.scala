@@ -22,10 +22,16 @@ import java.util.zip.{CRC32, Deflater, Inflater}
   * Profile: bit depth 8, color types 0 (greyscale → replicated to
   * RGB), 2 (truecolor), 4 (grey+alpha) and 6 (RGBA) — alpha is
   * DISCARDED (compositing against a background is a display policy,
-  * not a decode; the pixel samples surface untouched). Profile fences
+  * not a decode; the pixel samples surface untouched). ADAM7
+  * INTERLACED files decode (r14): each of the seven passes is its own
+  * filtered sub-image (empty passes contribute no scanlines), the
+  * expected stream length sums the passes, and the unfiltered samples
+  * scatter back to the lattice positions — the encoder's `interlaced`
+  * switch writes the same seven passes (filter cycling within each),
+  * so the round trip pins both sides. Profile fences
   * (all → None, the codec-family convention — refuse loudly, never
   * misread): bad signature, 16-bit depth, palette (type 3),
-  * interlaced files, non-zero compression/filter methods, CRC
+  * non-zero compression/filter methods, CRC
   * mismatches, truncated chunk streams or missing IEND, inflate
   * errors, scanline streams of the wrong size, unknown per-row filter
   * types, and absurd dimensions (a corrupt IHDR must fail the parse,
@@ -61,7 +67,8 @@ object Png {
     if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
   }
 
-  /** Encode top-down RGB as an 8-bit truecolor non-interlaced PNG.
+  /** Encode top-down RGB as an 8-bit truecolor PNG, sequential or
+    * Adam7-interlaced.
     * The per-row filter type deliberately CYCLES `y mod 5` through
     * None/Sub/Up/Average/Paeth so any raster taller than four rows
     * exercises every unfilter path of a conforming decoder — the
@@ -69,35 +76,69 @@ object Png {
     * and a fixed filter would leave four of the five paths untested.
     * `maxVal` must be 255 (depth-8 profile).
     */
-  def encode(img: Netpbm.Image): Array[Byte] = {
+  def encode(img: Netpbm.Image, interlaced: Boolean = false): Array[Byte] = {
     require(img.maxVal == 255, s"PNG profile is 8-bit, got maxVal=${img.maxVal}")
     val w = img.width; val h = img.height; val bpp = 3
-    val stride = w * bpp
-    val raw = new Array[Byte](h * (1 + stride))
-    var y = 0
-    while (y < h) {
-      val f = y % 5
-      val rowOff = y * (1 + stride)
-      raw(rowOff) = f.toByte
-      var i = 0
-      while (i < stride) {
-        val cur = img.pixels(y * stride + i) & 0xff
-        val left = if (i >= bpp) img.pixels(y * stride + i - bpp) & 0xff else 0
-        val up = if (y > 0) img.pixels((y - 1) * stride + i) & 0xff else 0
-        val ul = if (y > 0 && i >= bpp)
-          img.pixels((y - 1) * stride + i - bpp) & 0xff else 0
-        val pred = f match {
-          case 0 => 0
-          case 1 => left
-          case 2 => up
-          case 3 => (left + up) / 2
-          case 4 => paeth(left, up, ul)
+    // filter one contiguous RGB raster (the whole image, or one Adam7
+    // pass — each pass filters as its own sub-image per spec), the
+    // y mod 5 filter cycling intact within it
+    def filterRaster(pix: Array[Byte], pw: Int, ph: Int): Array[Byte] = {
+      val stride = pw * bpp
+      val out = new Array[Byte](ph * (1 + stride))
+      var y = 0
+      while (y < ph) {
+        val f = y % 5
+        val rowOff = y * (1 + stride)
+        out(rowOff) = f.toByte
+        var i = 0
+        while (i < stride) {
+          val cur = pix(y * stride + i) & 0xff
+          val left = if (i >= bpp) pix(y * stride + i - bpp) & 0xff else 0
+          val up = if (y > 0) pix((y - 1) * stride + i) & 0xff else 0
+          val ul = if (y > 0 && i >= bpp)
+            pix((y - 1) * stride + i - bpp) & 0xff else 0
+          val pred = f match {
+            case 0 => 0
+            case 1 => left
+            case 2 => up
+            case 3 => (left + up) / 2
+            case 4 => paeth(left, up, ul)
+          }
+          out(rowOff + 1 + i) = ((cur - pred) & 0xff).toByte
+          i += 1
         }
-        raw(rowOff + 1 + i) = ((cur - pred) & 0xff).toByte
-        i += 1
+        y += 1
       }
-      y += 1
+      out
     }
+    val raw: Array[Byte] =
+      if (!interlaced) filterRaster(img.pixels, w, h)
+      else {
+        val bo = new java.io.ByteArrayOutputStream(h * (1 + w * bpp) + 64)
+        var p = 0
+        while (p < 7) {
+          val (pw, ph) = passDims(w, h, p)
+          if (pw > 0 && ph > 0) {
+            val sub = new Array[Byte](pw * ph * bpp)
+            var j = 0
+            while (j < ph) {
+              var i = 0
+              while (i < pw) {
+                val sy = Adam7YStart(p) + j * Adam7YStep(p)
+                val sx = Adam7XStart(p) + i * Adam7XStep(p)
+                System.arraycopy(img.pixels, (sy * w + sx) * bpp,
+                  sub, (j * pw + i) * bpp, bpp)
+                i += 1
+              }
+              j += 1
+            }
+            val fd = filterRaster(sub, pw, ph)
+            bo.write(fd, 0, fd.length)
+          }
+          p += 1
+        }
+        bo.toByteArray
+      }
     val defl = new Deflater(Deflater.DEFAULT_COMPRESSION)
     val idat = try {
       defl.setInput(raw); defl.finish()
@@ -111,7 +152,8 @@ object Png {
       .putInt(w).putInt(h)
       .put(8.toByte)  // bit depth
       .put(2.toByte)  // color type: truecolor
-      .put(0.toByte).put(0.toByte).put(0.toByte) // compression/filter/interlace
+      .put(0.toByte).put(0.toByte) // compression/filter
+      .put((if (interlaced) 1 else 0).toByte) // interlace method
       .array()
     val out = new java.io.ByteArrayOutputStream(idat.length + 64)
     out.write(Signature)
@@ -128,8 +170,8 @@ object Png {
     out.toByteArray
   }
 
-  /** Parse a depth-8 non-interlaced non-palette PNG; None on anything
-    * outside the profile (see the object scaladoc for the fences).
+  /** Parse a depth-8 non-palette PNG, sequential or Adam7-interlaced;
+    * None on anything outside the profile (object scaladoc fences).
     */
   def decode(bytes: Array[Byte]): Option[Netpbm.Image] = {
     if (bytes.length < Signature.length + 12) return None
@@ -140,7 +182,7 @@ object Png {
     }
     val b = ByteBuffer.wrap(bytes)
     var off = Signature.length
-    var w = 0; var h = 0; var channels = 0
+    var w = 0; var h = 0; var channels = 0; var interlaced = 0
     var sawIhdr = false; var sawIend = false
     val idat = new java.io.ByteArrayOutputStream(bytes.length)
     while (!sawIend) {
@@ -166,11 +208,11 @@ object Png {
           channels = channelsOf(bytes(off + 17) & 0xff)
           val compression = bytes(off + 18) & 0xff
           val filterMethod = bytes(off + 19) & 0xff
-          val interlace = bytes(off + 20) & 0xff
+          interlaced = bytes(off + 20) & 0xff
           if (w <= 0 || h <= 0 || w > MaxDim || h > MaxDim ||
               w.toLong * h > MaxPixels ||
               depth != 8 || channels < 0 ||
-              compression != 0 || filterMethod != 0 || interlace != 0)
+              compression != 0 || filterMethod != 0 || interlaced > 1)
             return None
         case "IDAT" =>
           if (!sawIhdr) return None // IHDR must precede IDAT
@@ -182,7 +224,12 @@ object Png {
     }
     if (!sawIhdr) return None
     val stride = w * channels
-    val expected = h * (1 + stride)
+    val expected =
+      if (interlaced == 0) h * (1 + stride)
+      else (0 until 7).map { p =>
+        val (pw, ph) = passDims(w, h, p)
+        if (pw == 0 || ph == 0) 0 else ph * (1 + pw * channels)
+      }.sum
     val raw = new Array[Byte](expected)
     val infl = new Inflater()
     try {
@@ -204,12 +251,83 @@ object Png {
       case _: java.util.zip.DataFormatException => return None
     } finally infl.end()
 
-    // unfilter in place, then project to RGB
+    // unfilter (each interlace pass is its own filtered sub-image),
+    // gather the unfiltered samples into one channels-planar raster,
+    // then project to RGB
+    val full = new Array[Byte](w * h * channels)
+    if (interlaced == 0) {
+      if (!unfilterInto(raw, 0, w, h, channels)) return None
+      var y = 0
+      while (y < h) {
+        System.arraycopy(raw, y * (1 + stride) + 1, full, y * stride, stride)
+        y += 1
+      }
+    } else {
+      var base = 0
+      var p = 0
+      while (p < 7) {
+        val (pw, ph) = passDims(w, h, p)
+        if (pw > 0 && ph > 0) {
+          if (!unfilterInto(raw, base, pw, ph, channels)) return None
+          // scatter the pass raster to its Adam7 lattice positions
+          val pStride = pw * channels
+          var j = 0
+          while (j < ph) {
+            val destY = Adam7YStart(p) + j * Adam7YStep(p)
+            var i2 = 0
+            while (i2 < pw) {
+              val destX = Adam7XStart(p) + i2 * Adam7XStep(p)
+              System.arraycopy(raw, base + j * (1 + pStride) + 1 + i2 * channels,
+                full, (destY * w + destX) * channels, channels)
+              i2 += 1
+            }
+            j += 1
+          }
+          base += ph * (1 + pStride)
+        }
+        p += 1
+      }
+    }
+    val px = new Array[Byte](w * h * 3)
+    var p = 0
+    while (p < w * h) {
+      val src = p * channels
+      channels match {
+        case 1 | 2 =>
+          val g = full(src); px(p * 3) = g; px(p * 3 + 1) = g; px(p * 3 + 2) = g
+        case _ =>
+          px(p * 3) = full(src); px(p * 3 + 1) = full(src + 1)
+          px(p * 3 + 2) = full(src + 2)
+      }
+      p += 1
+    }
+    Some(Netpbm.Image(w, h, 255, px))
+  }
+
+  // Adam7 lattice (pass 0..6): starts and steps per the PNG spec
+  private val Adam7XStart = Array(0, 4, 0, 2, 0, 1, 0)
+  private val Adam7YStart = Array(0, 0, 4, 0, 2, 0, 1)
+  private val Adam7XStep = Array(8, 8, 4, 4, 2, 2, 1)
+  private val Adam7YStep = Array(8, 8, 8, 4, 4, 2, 2)
+
+  /** Pass p's sub-image dims; (0, _) or (_, 0) = an empty pass that
+    * contributes NO scanlines (small images skip whole passes).
+    */
+  private def passDims(w: Int, h: Int, p: Int): (Int, Int) = (
+    math.max(0, (w - Adam7XStart(p) + Adam7XStep(p) - 1) / Adam7XStep(p)),
+    math.max(0, (h - Adam7YStart(p) + Adam7YStep(p) - 1) / Adam7YStep(p)))
+
+  /** Unfilter one filtered sub-image in place at `base` (rows of
+    * 1 filter byte + w·channels samples); false on an unknown filter.
+    */
+  private def unfilterInto(raw: Array[Byte], base: Int, w: Int, h: Int,
+                           channels: Int): Boolean = {
+    val stride = w * channels
     var y = 0
     while (y < h) {
-      val rowOff = y * (1 + stride)
+      val rowOff = base + y * (1 + stride)
       val f = raw(rowOff) & 0xff
-      if (f > 4) return None
+      if (f > 4) return false
       var x = 0
       while (x < stride) {
         val cur = raw(rowOff + 1 + x) & 0xff
@@ -229,20 +347,6 @@ object Png {
       }
       y += 1
     }
-    val px = new Array[Byte](w * h * 3)
-    var p = 0
-    while (p < w * h) {
-      val yy = p / w
-      val src = yy * (1 + stride) + 1 + (p % w) * channels
-      channels match {
-        case 1 => val g = raw(src); px(p * 3) = g; px(p * 3 + 1) = g; px(p * 3 + 2) = g
-        case 2 => val g = raw(src); px(p * 3) = g; px(p * 3 + 1) = g; px(p * 3 + 2) = g
-        case 3 | 4 =>
-          px(p * 3) = raw(src); px(p * 3 + 1) = raw(src + 1)
-          px(p * 3 + 2) = raw(src + 2)
-      }
-      p += 1
-    }
-    Some(Netpbm.Image(w, h, 255, px))
+    true
   }
 }

@@ -22,10 +22,12 @@ import org.apache.spark.sql.types._
   * few hundred bytes, not a scan).
   *
   * Type profile (both directions): boolean, int, long, float, double,
-  * string, bytes, arrays of those, and nullable unions `[null, T]` —
-  * the interchange subset every graft table needs (embeddings'
-  * `array<float>` included). Nested records/maps/enums fence loudly
-  * at schema-translation time rather than mis-decoding. Files whose
+  * string, bytes, timestamp (the standard `timestamp-micros` logical
+  * type on long) and date (`date` on int), arrays of those, and
+  * nullable unions `[null, T]` — the interchange subset every graft
+  * table needs (embeddings' `array<float>` and events' `ts`
+  * included). Nested records/maps/enums fence loudly at
+  * schema-translation time rather than mis-decoding. Files whose
   * schema differs from the first file's fence per-file (an
   * unreadable container yields no rows, the WARC archive discipline —
   * never a half-decoded frame).
@@ -52,6 +54,12 @@ object AvroSource {
       case DoubleType => Schema.create(Schema.Type.DOUBLE)
       case StringType => Schema.create(Schema.Type.STRING)
       case BinaryType => Schema.create(Schema.Type.BYTES)
+      case TimestampType => // the standard interchange encoding
+        org.apache.avro.LogicalTypes.timestampMicros()
+          .addToSchema(Schema.create(Schema.Type.LONG))
+      case DateType =>
+        org.apache.avro.LogicalTypes.date()
+          .addToSchema(Schema.create(Schema.Type.INT))
       case ArrayType(et, containsNull) =>
         // Spark's default array is null-tolerant; dropping that here
         // would make a null ELEMENT a mid-partition task death at
@@ -81,8 +89,15 @@ object AvroSource {
   private[graft] def toSparkSchema(schema: Schema): StructType = {
     def dataType(s: Schema): (DataType, Boolean) = s.getType match {
       case Schema.Type.BOOLEAN => (BooleanType, false)
-      case Schema.Type.INT => (IntegerType, false)
-      case Schema.Type.LONG => (LongType, false)
+      case Schema.Type.INT =>
+        (if (s.getLogicalType.isInstanceOf[org.apache.avro.LogicalTypes.Date])
+          DateType
+        else IntegerType, false)
+      case Schema.Type.LONG =>
+        (if (s.getLogicalType
+            .isInstanceOf[org.apache.avro.LogicalTypes.TimestampMicros])
+          TimestampType
+        else LongType, false)
       case Schema.Type.FLOAT => (FloatType, false)
       case Schema.Type.DOUBLE => (DoubleType, false)
       case Schema.Type.STRING => (StringType, false)
@@ -106,25 +121,47 @@ object AvroSource {
     })
   }
 
-  private def fromAvroValue(v: Any): Any = v match {
-    case null => null
-    case u: org.apache.avro.util.Utf8 => u.toString
-    case s: String => s
-    case bb: java.nio.ByteBuffer =>
-      val out = new Array[Byte](bb.remaining()); bb.duplicate().get(out); out
-    case l: java.util.List[_] => l.asScala.toSeq.map(fromAvroValue)
-    case other => other // primitives pass through boxed
+  private def nonNull(s: Schema): Schema =
+    if (s.getType == Schema.Type.UNION)
+      s.getTypes.asScala.find(_.getType != Schema.Type.NULL).get
+    else s
+
+  private def fromAvroValue(v: Any, s: Schema): Any = {
+    val t = nonNull(s)
+    v match {
+      case null => null
+      case u: org.apache.avro.util.Utf8 => u.toString
+      case str: String => str
+      case bb: java.nio.ByteBuffer =>
+        val out = new Array[Byte](bb.remaining()); bb.duplicate().get(out); out
+      case l: java.lang.Long if t.getLogicalType
+          .isInstanceOf[org.apache.avro.LogicalTypes.TimestampMicros] =>
+        // micros → java.sql.Timestamp, negative-safe floor division
+        val micros = l.longValue()
+        java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(
+          Math.floorDiv(micros, 1000000L),
+          Math.floorMod(micros, 1000000L) * 1000L))
+      case i: java.lang.Integer if t.getLogicalType
+          .isInstanceOf[org.apache.avro.LogicalTypes.Date] =>
+        java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(i.longValue()))
+      case l: java.util.List[_] =>
+        l.asScala.toSeq.map(x => fromAvroValue(x, t.getElementType))
+      case other => other // primitives pass through boxed
+    }
   }
 
   private def toAvroValue(v: Any, s: Schema): Any = {
-    val target =
-      if (s.getType == Schema.Type.UNION)
-        s.getTypes.asScala.find(_.getType != Schema.Type.NULL).get
-      else s
+    val target = nonNull(s)
     v match {
       case null => null
       case str: String => str
       case b: Array[Byte] => java.nio.ByteBuffer.wrap(b)
+      case ts: java.sql.Timestamp => // → timestamp-micros
+        val inst = ts.toInstant
+        Math.addExact(Math.multiplyExact(inst.getEpochSecond, 1000000L),
+          inst.getNano / 1000L)
+      case d: java.sql.Date => // → date (epoch days)
+        d.toLocalDate.toEpochDay.toInt
       case seq: scala.collection.Seq[_] =>
         seq.map(x => toAvroValue(x, target.getElementType)).asJava
       case other => other
@@ -190,10 +227,11 @@ object AvroSource {
           new SeekableByteArrayInput(bytes),
           new GenericDatumReader[GenericRecord](expected))
         try {
+          val fields = expected.getFields.asScala.toSeq
           while (reader.hasNext) {
             val rec = reader.next()
-            out += Row.fromSeq(expected.getFields.asScala.toSeq.map(f =>
-              fromAvroValue(rec.get(f.pos()))))
+            out += Row.fromSeq(fields.map(f =>
+              fromAvroValue(rec.get(f.pos()), f.schema())))
           }
         } finally reader.close()
       } catch {

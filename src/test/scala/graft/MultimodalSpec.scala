@@ -572,7 +572,24 @@ class MultimodalSpec extends SparkSpec {
     assert(Png.decode("not a png at all".getBytes).isEmpty)
     assert(Png.decode(patchIhdr(enc, 24, 16)).isEmpty, "16-bit -> None")
     assert(Png.decode(patchIhdr(enc, 25, 3)).isEmpty, "palette -> None")
-    assert(Png.decode(patchIhdr(enc, 28, 1)).isEmpty, "interlaced -> None")
+    // ADAM7: interlaced round trips exactly at sizes that exercise
+    // empty passes (1×1: pass 1 only), partial lattices and all seven
+    for ((iw, ih) <- Seq((1, 1), (3, 2), (8, 8), (10, 7), (13, 21))) {
+      val ipx = Array.tabulate(iw * ih * 3)(i => ((i * 31 + 5) % 256).toByte)
+      val iimg = Netpbm.Image(iw, ih, 255, ipx)
+      val ienc = Png.encode(iimg, interlaced = true)
+      val idec = Png.decode(ienc)
+      assert(idec.isDefined, s"Adam7 ${iw}x$ih must decode")
+      assert(idec.get.pixels.toSeq == ipx.toSeq,
+        s"Adam7 round trip must be exact at ${iw}x$ih")
+    }
+    // the interlace byte is HONORED: flagging a sequential stream as
+    // interlaced changes the expected pass-summed stream length and
+    // must fence, not misread
+    assert(Png.decode(patchIhdr(enc, 28, 1)).isEmpty,
+      "a lying interlace flag -> stream-length fence")
+    assert(Png.decode(patchIhdr(enc, 28, 2)).isEmpty,
+      "interlace methods past Adam7 -> None")
     val flipped = enc.clone(); flipped(44) = (flipped(44) ^ 0x20).toByte
     assert(Png.decode(flipped).isEmpty, "a flipped payload bit must fail CRC")
     assert(Png.decode(enc.dropRight(6)).isEmpty, "truncated stream -> None")
@@ -673,13 +690,30 @@ class MultimodalSpec extends SparkSpec {
     assert(Gif.decode(enc.dropRight(8)).isEmpty, "cut sub-block chain -> None")
     val noImg = enc.take(13) :+ 0x3B.toByte // screen desc then trailer
     assert(Gif.decode(noImg).isEmpty, "no image before trailer -> None")
-    // interlace flag: 64 distinct values -> bits 6, table 64 entries,
-    // image descriptor at 13 + 192, its flags byte 9 later
+    // INTERLACE: the 4-pass row order round-trips exactly at every
+    // height class (h=1 touches only pass 1; h<8 skips pass 2; tall
+    // images exercise all four strides)
+    for (ih <- Seq(1, 3, 7, 8, 9, 40)) {
+      val img = gray(Array.tabulate[Byte](10 * ih)(i =>
+        ((i * 13 + 7) % 256).toByte), 10)
+      val back = Gif.decode(Gif.encode(img, interlaced = true))
+      assert(back.isDefined, s"interlaced h=$ih must decode")
+      assert(back.get.pixels.toSeq == img.pixels.toSeq,
+        s"interlaced round trip must be exact at h=$ih")
+    }
+    // …and the flag is HONORED, not ignored: patching interlace onto
+    // a sequentially-written stream decodes row-PERMUTED, not equal
+    // (64 distinct values -> bits 6, table 64 entries, image
+    // descriptor at 13 + 192, its flags byte 9 later)
     val enc64 = Gif.encode(gray(Array.tabulate[Byte](40)(_.toByte), 10))
     val dIx = 13 + 3 * 64
     assert(enc64(dIx) == 0x2C.toByte, "descriptor offset arithmetic")
     val inter = enc64.clone(); inter(dIx + 9) = 0x40.toByte
-    assert(Gif.decode(inter).isEmpty, "interlaced -> None")
+    val permuted = Gif.decode(inter)
+    assert(permuted.isDefined, "interlaced streams are in profile now")
+    assert(permuted.get.pixels.toSeq !=
+      Gif.decode(enc64).get.pixels.toSeq,
+      "the interlace flag must reorder rows, not be ignored")
     // palette ceiling refusal on encode: 300 DISTINCT colors (the
     // (i%256) form tops out at exactly 256 — channels repeat together)
     val tooMany = Netpbm.Image(300, 1, 255,

@@ -129,6 +129,23 @@ class SourcesSpec extends SparkSpec {
     assert(a == b, "avro round trip must be value-exact")
     assert(back.filter(col("maybe").isNull).count() ==
       docs.filter(col("maybe").isNull).count())
+    // timestamps + dates ride the standard Avro logical types
+    // (timestamp-micros / date) — graft's own events table must
+    // round-trip value-exact, micros included
+    val ev = Tables(spark, sf).events.limit(100)
+      .select(col("user_id"), col("ts"), to_date(col("ts")).as("day"))
+    sources.AvroSource.write(ev, s"$dir/ev")
+    val evBack = sources.AvroSource.read(spark, s"$dir/ev")
+    assert(evBack.schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampType)
+    assert(evBack.schema("day").dataType ==
+      org.apache.spark.sql.types.DateType)
+    val evA = ev.collect().map(r => (r.get(0), r.get(1).toString,
+      r.get(2).toString)).sortBy(_.toString).toSeq
+    val evB = evBack.collect().map(r => (r.get(0), r.get(1).toString,
+      r.get(2).toString)).sortBy(_.toString).toSeq
+    assert(evA == evB, "timestamp/date round trip must be value-exact")
+
     // embeddings' array<float> — the other interchange shape
     val emb = Tables(spark, sf).embeddings.limit(50)
     sources.AvroSource.write(emb, s"$dir/emb")
