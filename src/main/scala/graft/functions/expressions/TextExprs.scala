@@ -88,9 +88,11 @@ object TextExprs {
     * the crawl-intake decoder ([[graft.sources.WarcSource.documents]]).
     * `label` is the declared charset label (the HTTP `charset=` param,
     * any case, empty/garbage tolerated) resolved through the
-    * [[CharsetDecode.resolve]] allowlist; anything outside it decodes
-    * as UTF-8 — the fail-open path that matches the previous
-    * utf8-with-replacement behavior byte for byte on unlabeled pages.
+    * [[CharsetDecode.resolveFor]] allowlist: an unrecognized DECLARED
+    * label decodes as UTF-8 (fail-open, pinned from SQL), while an
+    * ABSENT label SNIFFS — structurally valid UTF-8 decodes as UTF-8,
+    * anything else as windows-1252 (the WHATWG default for unlabeled
+    * content; r14 — unlabeled legacy pages stop mangling to U+FFFD).
     */
   def charsetDecode(bytes: Column, label: Column): Column =
     c(CharsetDecode(x(bytes), x(label)))
@@ -100,12 +102,14 @@ object TextExprs {
     */
   def pdfExtractText(payload: Column): Column = c(PdfExtractText(x(payload)))
 
-  /** The canonical name [[charsetDecode]] will actually decode with
-    * for a declared label — "utf-8" for anything outside the
-    * allowlist. Surfaced as the `charset_used` evidence column; the
-    * ONE resolve table both share.
+  /** The canonical name [[charsetDecode]] will actually decode these
+    * bytes with — "utf-8" for unknown declared labels, the sniffed
+    * charset (utf-8 or windows-1252) for unlabeled payloads. Surfaced
+    * as the `charset_used` evidence column; the ONE resolve table +
+    * sniff both share.
     */
-  def charsetResolve(label: Column): Column = c(CharsetResolve(x(label)))
+  def charsetResolve(bytes: Column, label: Column): Column =
+    c(CharsetResolve(x(bytes), x(label)))
 
   /** q43's md5-prefix winnow fingerprints as ONE kernel: normalized
     * text → sorted distinct array of 16-hex-char window minima (char
@@ -944,7 +948,7 @@ case class CharsetDecode(left: Expression, right: Expression)
     val bytes = left.eval(input)
     if (bytes == null) return null
     val label = right.eval(input)
-    val cs = CharsetDecode.resolve(
+    val cs = CharsetDecode.resolveFor(bytes.asInstanceOf[Array[Byte]],
       if (label == null) "" else label.toString)
     UTF8String.fromString(CharsetDecode.decode(
       bytes.asInstanceOf[Array[Byte]], cs))
@@ -995,6 +999,57 @@ object CharsetDecode {
     allow.getOrElse(
       label.trim.toLowerCase(java.util.Locale.ROOT), StandardCharsets.UTF_8)
 
+  /** STRICT structural UTF-8 validation (overlongs, surrogates, >U+10FFFF
+    * and truncated tails all fail) — allocation-free single pass.
+    */
+  def isValidUtf8(b: Array[Byte]): Boolean = {
+    var i = 0
+    val n = b.length
+    while (i < n) {
+      val c = b(i) & 0xff
+      if (c < 0x80) i += 1
+      else if (c < 0xc2) return false // continuation/overlong lead
+      else {
+        val len = if (c < 0xe0) 2 else if (c < 0xf0) 3
+          else if (c < 0xf5) 4 else return false
+        if (i + len > n) return false // truncated tail
+        var j = 1
+        while (j < len) {
+          if ((b(i + j) & 0xc0) != 0x80) return false
+          j += 1
+        }
+        val c1 = b(i + 1) & 0xff
+        if (c == 0xe0 && c1 < 0xa0) return false // 3-byte overlong
+        if (c == 0xed && c1 > 0x9f) return false // surrogates
+        if (c == 0xf0 && c1 < 0x90) return false // 4-byte overlong
+        if (c == 0xf4 && c1 > 0x8f) return false // > U+10FFFF
+        i += len
+      }
+    }
+    true
+  }
+
+  /** The charset the PAYLOAD decodes with: a recognized declared
+    * label wins; an unrecognized-but-present label keeps the
+    * documented UTF-8 fail-open; an ABSENT label SNIFFS — valid UTF-8
+    * decodes as UTF-8, anything else as windows-1252, the WHATWG
+    * default for unlabeled content (the de-facto web fallback: real
+    * unlabeled pages are overwhelmingly ASCII/UTF-8 or a 1252-family
+    * legacy encoding, and 1252 maps every byte so the decode stays
+    * total). The sniff costs one validation pass over the payload,
+    * only on the unlabeled path.
+    */
+  def resolveFor(bytes: Array[Byte], label: String): Charset = {
+    val l = label.trim.toLowerCase(java.util.Locale.ROOT)
+    allow.get(l) match {
+      case Some(cs) => cs
+      case None if l.nonEmpty => StandardCharsets.UTF_8
+      case None =>
+        if (bytes == null || isValidUtf8(bytes)) StandardCharsets.UTF_8
+        else Charset.forName("windows-1252")
+    }
+  }
+
   /** Replacement-mode decode: a fresh decoder per call (CharsetDecoder
     * is stateful and NOT thread-safe; `newDecoder` is cheap — two
     * small allocations — next to the per-row String it produces).
@@ -1007,25 +1062,32 @@ object CharsetDecode {
       .toString
 }
 
-/** [[CharsetDecode.resolve]]'s canonical label as a column: the
-  * `charset_used` evidence ("utf-8" fallback included) — kept as the
-  * charset's own canonical name, lowercased, so audits group cleanly.
-  * Null label resolves like the empty label (utf-8).
+/** [[CharsetDecode.resolveFor]]'s canonical name as a column — what
+  * [[CharsetDecode]] ACTUALLY decoded these bytes with: the
+  * `charset_used` evidence. Body-aware since r14 (the unlabeled-page
+  * sniff: valid UTF-8 → "utf-8", else "windows-1252"), so the
+  * evidence can never disagree with the decode; both run the ONE
+  * resolve table + sniff. Null label resolves like the empty label;
+  * null bytes report the label-only resolution.
   */
-case class CharsetResolve(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+case class CharsetResolve(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with CodegenFallback {
 
   override def dataType: DataType = StringType
   override def nullable: Boolean = false
 
   override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
-    val label = child.eval(input)
-    val cs = CharsetDecode.resolve(if (label == null) "" else label.toString)
+    val bytes = left.eval(input)
+    val label = right.eval(input)
+    val cs = CharsetDecode.resolveFor(
+      if (bytes == null) null else bytes.asInstanceOf[Array[Byte]],
+      if (label == null) "" else label.toString)
     UTF8String.fromString(cs.name.toLowerCase(java.util.Locale.ROOT))
   }
 
-  override protected def withNewChildInternal(c: Expression): Expression =
-    copy(child = c)
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): Expression = copy(left = l, right = r)
 }
 
 /** Best-effort PDF text extraction as an expression: binary payload →

@@ -340,7 +340,10 @@ object WarcSource {
     * re-crawls of one URI), url, text (decoded with the DECLARED
     * charset when it is on the allowlist —
     * [[graft.functions.expressions.CharsetDecode]]: a latin-1 page's
-    * 0xE9 becomes 'é', not U+FFFD — and UTF-8 otherwise, always with
+    * 0xE9 becomes 'é', not U+FFFD — and SNIFFED otherwise: a payload
+    * that validates as UTF-8 decodes as UTF-8, anything else as
+    * windows-1252, the WHATWG default for unlabeled content (r14 —
+    * the dominant unlabeled-legacy case stops mangling); always with
     * REPLACEMENT semantics so one bad byte can never fail the job),
     * charset_used (the canonical name actually decoded with — the
     * audit evidence), lang (n-gram heuristic), source (archive file
@@ -403,7 +406,7 @@ object WarcSource {
         graft.functions.expressions.TextExprs
           .charsetDecode(col("body"), label).as("text"),
         graft.functions.expressions.TextExprs
-          .charsetResolve(label).as("charset_used"),
+          .charsetResolve(col("body"), label).as("charset_used"),
         regexp_extract(col("file"), "([^/]+)$", 1).as("source")) ++
         extra: _*), extra.nonEmpty)
   }

@@ -306,4 +306,26 @@ class NativeExprSpec extends SparkSpec {
       }
     }
   }
+
+  test("utf-8 validator + unlabeled-charset sniff: strict structural edges") {
+    import graft.functions.expressions.CharsetDecode.{isValidUtf8, resolveFor}
+    assert(isValidUtf8("plain ascii".getBytes("US-ASCII")))
+    assert(isValidUtf8("d\u00e9j\u00e0 \u2014 \u4e2d\u6587 \ud83c\udf89"
+      .getBytes("UTF-8")), "2/3/4-byte sequences are valid")
+    assert(!isValidUtf8(Array(0xE9.toByte)), "bare latin-1 byte")
+    assert(!isValidUtf8(Array(0xC0.toByte, 0xAF.toByte)), "overlong")
+    assert(!isValidUtf8(Array(0xED.toByte, 0xA0.toByte, 0x80.toByte)),
+      "encoded surrogate")
+    assert(!isValidUtf8(Array(0xC3.toByte)), "truncated tail")
+    assert(!isValidUtf8(Array(0xF5.toByte, 0x80.toByte, 0x80.toByte,
+      0x80.toByte)), "past U+10FFFF")
+    // resolveFor: declared label wins; unknown DECLARED label keeps the
+    // utf-8 fail-open (pinned from SQL); an ABSENT label sniffs
+    assert(resolveFor("caf\u00e9 page".getBytes("windows-1252"), "")
+      .name == "windows-1252")
+    assert(resolveFor("plain utf8".getBytes("UTF-8"), "").name == "UTF-8")
+    assert(resolveFor("caf\u00e9".getBytes("windows-1252"), "no-such")
+      .name == "UTF-8")
+    assert(resolveFor(null, "").name == "UTF-8")
+  }
 }

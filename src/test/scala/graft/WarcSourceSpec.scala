@@ -352,7 +352,7 @@ class WarcSourceSpec extends SparkSpec {
     recs.unpersist()
   }
 
-  test("non-UTF-8 text is REPLACED, never a crash; an over-cap header line fences") {
+  test("unlabeled non-UTF-8 text SNIFFS to windows-1252, never a crash; an over-cap header line fences") {
     val dir = writeDir()
     // a header line past the 1 MB cap: its remainder would mis-frame
     // as fresh header lines — the whole walk must fence, dropping the
@@ -362,11 +362,16 @@ class WarcSourceSpec extends SparkSpec {
         wetRec)
     val docs = WarcSource.documents(spark, dir).cache()
     val latin = docs.filter(col("url") === "http://e.example/latin")
-      .select("text").collect()
+      .select("text", "charset_used").collect()
     assert(latin.length == 1, "the latin-1 record must survive as text")
-    assert(latin(0).getString(0).contains("�"),
-      "invalid bytes are replaced with U+FFFD, not raised on")
+    // this record declares NO charset and its 0xE9 is invalid UTF-8:
+    // the WHATWG unlabeled sniff decodes windows-1252 — 'é', not
+    // U+FFFD (the r13 behavior) — and the evidence column says so
+    assert(latin(0).getString(0).contains("café"),
+      "unlabeled legacy bytes must sniff to windows-1252, not mangle")
     assert(latin(0).getString(0).contains("latin one page"))
+    assert(latin(0).getString(1) == "windows-1252",
+      "charset_used must report what the decode actually used")
     assert(WarcSource.records(spark, dir)
       .filter(col("file").endsWith("overflow.warc")).count() == 0,
       "an over-cap header line must fence the whole walk")
