@@ -927,15 +927,16 @@ case class CharConcentration(child: Expression)
   * CodingErrorAction.REPLACE on both malformed input and unmappable
   * characters (one bad byte costs one U+FFFD, never a row or a task —
   * the Netpbm fence discipline applied to text). The label goes
-  * through [[CharsetDecode.resolve]]'s ALLOWLIST: only charsets a
-  * crawl actually declares and the JVM ships decoders for; an unknown,
-  * empty, or null-resolved label falls back to UTF-8, so a lying or
-  * exotic label can neither crash the decode nor route bytes through
-  * a charset that would silently mangle ASCII.
+  * through [[CharsetDecode.resolveFor]]'s ALLOWLIST: only charsets a
+  * crawl actually declares and the JVM ships decoders for. An unknown
+  * DECLARED label falls back to UTF-8 (a lying or exotic label can
+  * neither crash the decode nor route bytes through a charset that
+  * would silently mangle ASCII); an ABSENT label runs the bounded
+  * windows-1252 sniff (resolveFor scaladoc).
   *
-  * Null contract: null bytes → null; a null LABEL decodes as UTF-8
-  * (an absent HTTP header must not null out real text), so this
-  * overrides [[BinaryExpression]]'s both-children null gate.
+  * Null contract: null bytes → null; a null LABEL sniffs like the
+  * empty label (an absent HTTP header must not null out real text),
+  * so this overrides [[BinaryExpression]]'s both-children null gate.
   */
 case class CharsetDecode(left: Expression, right: Expression)
     extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
@@ -994,50 +995,72 @@ object CharsetDecode {
     pairs.flatMap { case (labels, c) => labels.map(_ -> c) }.toMap
   }
 
-  /** The charset a label decodes with (UTF-8 outside the allowlist). */
-  def resolve(label: String): Charset =
-    allow.getOrElse(
-      label.trim.toLowerCase(java.util.Locale.ROOT), StandardCharsets.UTF_8)
+  /** Sniff scan bound: UTF-8 evidence is overwhelming within the
+    * first tens of KiB of any real page; capping also caps the
+    * unlabeled path's extra CPU (the decode and the charset_used
+    * evidence each run the sniff — ≤ 2·64 KiB per doc, not 2·body).
+    */
+  val SniffWindow: Int = 64 * 1024
 
   /** STRICT structural UTF-8 validation (overlongs, surrogates, >U+10FFFF
     * and truncated tails all fail) — allocation-free single pass.
     */
-  def isValidUtf8(b: Array[Byte]): Boolean = {
+  def isValidUtf8(b: Array[Byte]): Boolean = utf8Evidence(b, b.length) match {
+    case (0, _) => true
+    case _ => false
+  }
+
+  /** UTF-8 evidence over the first `limit` bytes: (invalid sequence
+    * count, valid MULTIBYTE sequence count). A sequence cut by the
+    * scan limit is neutral — not evidence either way. Strict rules
+    * (overlongs, surrogates, >U+10FFFF invalid).
+    */
+  def utf8Evidence(b: Array[Byte], limit: Int): (Int, Int) = {
+    var bad = 0; var good = 0
     var i = 0
-    val n = b.length
+    val n = math.min(limit, b.length)
     while (i < n) {
       val c = b(i) & 0xff
       if (c < 0x80) i += 1
-      else if (c < 0xc2) return false // continuation/overlong lead
+      else if (c < 0xc2) { bad += 1; i += 1 } // continuation/overlong lead
       else {
         val len = if (c < 0xe0) 2 else if (c < 0xf0) 3
-          else if (c < 0xf5) 4 else return false
-        if (i + len > n) return false // truncated tail
-        var j = 1
-        while (j < len) {
-          if ((b(i + j) & 0xc0) != 0x80) return false
-          j += 1
+          else if (c < 0xf5) 4 else 0
+        if (len == 0) { bad += 1; i += 1 }
+        else if (i + len > n) {
+          // cut by the window: neutral; cut by real EOF: damaged tail
+          if (n == b.length) bad += 1
+          i = n
+        } else {
+          var ok = true
+          var j = 1
+          while (ok && j < len) {
+            if ((b(i + j) & 0xc0) != 0x80) ok = false
+            j += 1
+          }
+          val c1 = b(i + 1) & 0xff
+          if (c == 0xe0 && c1 < 0xa0) ok = false // 3-byte overlong
+          if (c == 0xed && c1 > 0x9f) ok = false // surrogates
+          if (c == 0xf0 && c1 < 0x90) ok = false // 4-byte overlong
+          if (c == 0xf4 && c1 > 0x8f) ok = false // > U+10FFFF
+          if (ok) { good += 1; i += len }
+          else { bad += 1; i += 1 }
         }
-        val c1 = b(i + 1) & 0xff
-        if (c == 0xe0 && c1 < 0xa0) return false // 3-byte overlong
-        if (c == 0xed && c1 > 0x9f) return false // surrogates
-        if (c == 0xf0 && c1 < 0x90) return false // 4-byte overlong
-        if (c == 0xf4 && c1 > 0x8f) return false // > U+10FFFF
-        i += len
       }
     }
-    true
+    (bad, good)
   }
 
   /** The charset the PAYLOAD decodes with: a recognized declared
     * label wins; an unrecognized-but-present label keeps the
-    * documented UTF-8 fail-open; an ABSENT label SNIFFS — valid UTF-8
-    * decodes as UTF-8, anything else as windows-1252, the WHATWG
-    * default for unlabeled content (the de-facto web fallback: real
-    * unlabeled pages are overwhelmingly ASCII/UTF-8 or a 1252-family
-    * legacy encoding, and 1252 maps every byte so the decode stays
-    * total). The sniff costs one validation pass over the payload,
-    * only on the unlabeled path.
+    * documented UTF-8 fail-open; an ABSENT label SNIFFS the first
+    * [[SniffWindow]] bytes — windows-1252 (the WHATWG default for
+    * unlabeled content; it maps every byte so the decode stays total)
+    * only when INVALID sequences OUTNUMBER valid multibyte ones, so a
+    * genuine UTF-8 page with a few stray corrupt bytes stays UTF-8
+    * (isolated U+FFFDs, the r13 behavior) instead of flipping the
+    * whole page to mangled latin — the sniff needs preponderant
+    * legacy evidence, not a single bad byte.
     */
   def resolveFor(bytes: Array[Byte], label: String): Charset = {
     val l = label.trim.toLowerCase(java.util.Locale.ROOT)
@@ -1045,8 +1068,12 @@ object CharsetDecode {
       case Some(cs) => cs
       case None if l.nonEmpty => StandardCharsets.UTF_8
       case None =>
-        if (bytes == null || isValidUtf8(bytes)) StandardCharsets.UTF_8
-        else Charset.forName("windows-1252")
+        if (bytes == null) StandardCharsets.UTF_8
+        else {
+          val (bad, good) = utf8Evidence(bytes, SniffWindow)
+          if (bad > good) Charset.forName("windows-1252")
+          else StandardCharsets.UTF_8
+        }
     }
   }
 

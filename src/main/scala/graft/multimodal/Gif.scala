@@ -50,6 +50,21 @@ object Gif {
     * caller picks a palette-friendly layout, e.g. the q125 grayscale
     * raster); `maxVal` must be 255.
     */
+  /** GIF 4-pass interlace: display row for each TRANSMIT index
+    * (8-stride from row 0, 8-stride from 4, 4-stride from 2, 2-stride
+    * from 1) — the one definition both the encoder's gather and the
+    * decoder's scatter use, so the passes cannot desynchronize.
+    */
+  private def interlaceRowOrder(h: Int): Array[Int] = {
+    val o = new Array[Int](h)
+    var t = 0
+    for ((start, step) <- Seq((0, 8), (4, 8), (2, 4), (1, 2))) {
+      var y = start
+      while (y < h) { o(t) = y; t += 1; y += step }
+    }
+    o
+  }
+
   def encode(img: Netpbm.Image, interlaced: Boolean = false): Array[Byte] = {
     require(img.maxVal == 255, s"GIF is 8-bit palette, got maxVal=${img.maxVal}")
     require(img.width <= 0xffff && img.height <= 0xffff,
@@ -71,20 +86,18 @@ object Gif {
       rowMajor(i) = idx.toByte
       i += 1
     }
-    // interlaced streams transmit rows in the 4-pass order (8-stride
-    // from 0, 8-stride from 4, 4-stride from 2, 2-stride from 1)
+    // interlaced streams transmit rows in the 4-pass order — the ONE
+    // shared table ([[interlaceRowOrder]]) the decoder inverts
     val indices =
       if (!interlaced) rowMajor
       else {
         val o = new Array[Byte](n)
+        val order = interlaceRowOrder(img.height)
         var t = 0
-        for ((start, step) <- Seq((0, 8), (4, 8), (2, 4), (1, 2))) {
-          var y = start
-          while (y < img.height) {
-            System.arraycopy(rowMajor, y * img.width, o, t * img.width,
-              img.width)
-            t += 1; y += step
-          }
+        while (t < img.height) {
+          System.arraycopy(rowMajor, order(t) * img.width,
+            o, t * img.width, img.width)
+          t += 1
         }
         o
       }
@@ -362,18 +375,18 @@ object Gif {
     if (outN != nPix) return None // shortfall vs the descriptor
 
     // interlaced streams transmit rows in the 4-pass order; remap
-    // them back to display order before the palette lookup
+    // them back to display order before the palette lookup (the ONE
+    // shared table the encoder writes with — [[interlaceRowOrder]] —
+    // so the two directions cannot desynchronize)
     val ordered =
       if (!interlaced) out
       else {
         val o = new Array[Byte](nPix)
+        val order = interlaceRowOrder(h)
         var t = 0
-        for ((start, step) <- Seq((0, 8), (4, 8), (2, 4), (1, 2))) {
-          var y = start
-          while (y < h) {
-            System.arraycopy(out, t * w, o, y * w, w)
-            t += 1; y += step
-          }
+        while (t < h) {
+          System.arraycopy(out, t * w, o, order(t) * w, w)
+          t += 1
         }
         o
       }

@@ -252,17 +252,33 @@ object Png {
     } finally infl.end()
 
     // unfilter (each interlace pass is its own filtered sub-image),
-    // gather the unfiltered samples into one channels-planar raster,
-    // then project to RGB
-    val full = new Array[Byte](w * h * channels)
+    // then project to RGB. The sequential path projects STRAIGHT from
+    // the unfiltered scanlines — an extra full-size raster copy on
+    // the overwhelmingly common case would cost up to hundreds of MB
+    // transient per decode at the MaxPixels fence for nothing; only
+    // the interlaced path gathers into a planar raster (the lattice
+    // scatter has no contiguous source to project from).
     if (interlaced == 0) {
       if (!unfilterInto(raw, 0, w, h, channels)) return None
-      var y = 0
-      while (y < h) {
-        System.arraycopy(raw, y * (1 + stride) + 1, full, y * stride, stride)
-        y += 1
+      val px = new Array[Byte](w * h * 3)
+      var p = 0
+      while (p < w * h) {
+        val yy = p / w
+        val src = yy * (1 + stride) + 1 + (p % w) * channels
+        channels match {
+          case 1 | 2 =>
+            val g = raw(src); px(p * 3) = g; px(p * 3 + 1) = g
+            px(p * 3 + 2) = g
+          case _ =>
+            px(p * 3) = raw(src); px(p * 3 + 1) = raw(src + 1)
+            px(p * 3 + 2) = raw(src + 2)
+        }
+        p += 1
       }
-    } else {
+      return Some(Netpbm.Image(w, h, 255, px))
+    }
+    val full = new Array[Byte](w * h * channels)
+    locally {
       var base = 0
       var p = 0
       while (p < 7) {

@@ -160,8 +160,13 @@ object AvroSource {
         val inst = ts.toInstant
         Math.addExact(Math.multiplyExact(inst.getEpochSecond, 1000000L),
           inst.getNano / 1000L)
+      case inst: java.time.Instant => // java8 datetime API sessions
+        Math.addExact(Math.multiplyExact(inst.getEpochSecond, 1000000L),
+          inst.getNano / 1000L)
       case d: java.sql.Date => // → date (epoch days)
         d.toLocalDate.toEpochDay.toInt
+      case ld: java.time.LocalDate => // java8 datetime API sessions
+        ld.toEpochDay.toInt
       case seq: scala.collection.Seq[_] =>
         seq.map(x => toAvroValue(x, target.getElementType)).asJava
       case other => other

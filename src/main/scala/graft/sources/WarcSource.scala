@@ -262,7 +262,8 @@ object WarcSource {
   /** The declared charset label (the HTTP `charset=` parameter, any
     * case/quoting) extracted from a Content-Type string column; ""
     * when absent — which [[graft.functions.expressions.CharsetDecode]]
-    * resolves to UTF-8.
+    * resolves by SNIFFING the payload (UTF-8 when the evidence holds,
+    * windows-1252 otherwise — the WHATWG unlabeled default).
     */
   private def charsetLabel(ct: Column): Column =
     regexp_extract(coalesce(ct, lit("")),

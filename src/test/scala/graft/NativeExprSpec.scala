@@ -327,5 +327,18 @@ class NativeExprSpec extends SparkSpec {
     assert(resolveFor("caf\u00e9".getBytes("windows-1252"), "no-such")
       .name == "UTF-8")
     assert(resolveFor(null, "").name == "UTF-8")
+    // TOLERANCE (review finding): a genuine UTF-8 page with a few
+    // stray corrupt bytes must stay UTF-8 (isolated U+FFFDs), not
+    // flip the whole page to mangled windows-1252 \u2014 the sniff needs
+    // PREPONDERANT legacy evidence, not a single bad byte
+    val utf8Page = ("d\u00e9j\u00e0 vu \u4e2d\u6587 " * 50).getBytes("UTF-8")
+    val corrupted = utf8Page.clone(); corrupted(37) = 0xE9.toByte
+    assert(resolveFor(corrupted, "").name == "UTF-8",
+      "one corrupt byte in a UTF-8 page must not flip the charset")
+    // \u2026while a genuinely legacy page (invalid sequences dominate)
+    // still sniffs to 1252
+    val legacy = ("caf\u00e9 d\u00e9j\u00e0 vu na\u00efve " * 40)
+      .getBytes("windows-1252")
+    assert(resolveFor(legacy, "").name == "windows-1252")
   }
 }
