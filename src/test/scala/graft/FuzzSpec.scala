@@ -71,6 +71,112 @@ class FuzzSpec extends SparkSpec {
     }
   }
 
+  test("codec mutation fuzz: flipped/truncated/spliced/garbage crawl bytes FENCE — never a throw, never a hang") {
+    import graft.multimodal._
+    val rnd = new scala.util.Random(20260815L)
+    def rgb(w: Int, h: Int): Netpbm.Image =
+      Netpbm.Image(w, h, 255,
+        Array.tabulate(w * h * 3)(i => ((i * 31 + 7) % 256).toByte))
+    // GIF needs a palette-bounded raster (≤ 256 distinct colors)
+    val palImg = {
+      val pal = Array.tabulate(16)(k =>
+        Array[Byte]((k * 17).toByte, (k * 11 + 3).toByte, (k * 5 + 9).toByte))
+      val px = new Array[Byte](24 * 17 * 3)
+      (0 until 24 * 17).foreach { i =>
+        val c = pal((i * 7 + i / 24) % 16)
+        px(3 * i) = c(0); px(3 * i + 1) = c(1); px(3 * i + 2) = c(2)
+      }
+      Netpbm.Image(24, 17, 255, px)
+    }
+    val base = rgb(24, 17)
+    val wav = Wav.encodePcm16(Wav.Audio(8000,
+      Array.tabulate[Short](400)(i => (i * 173 % 9999 - 5000).toShort)))
+    // every crawl-facing decoder with a seed fixture from its own writer
+    val arms: Seq[(String, Array[Byte], Array[Byte] => Unit)] = Seq(
+      ("ppm", Netpbm.encodeP6(base), b => { Netpbm.decode(b); () }),
+      ("bmp", Bmp.encode(base), b => { Bmp.decode(b); () }),
+      ("png", Png.encode(base), b => { Png.decode(b); () }),
+      ("png-adam7", Png.encode(base, interlaced = true),
+        b => { Png.decode(b); () }),
+      ("gif", Gif.encode(palImg), b => { Gif.decode(b); () }),
+      ("gif-interlaced", Gif.encode(palImg, interlaced = true),
+        b => { Gif.decode(b); () }),
+      ("jpeg", Jpeg.encode(base, gray = false), b => { Jpeg.decode(b); () }),
+      ("jpeg-progressive", Jpeg.encodeProgressive(base, gray = false),
+        b => { Jpeg.decode(b); () }),
+      ("webp", Webp.encode(base, subtractGreen = true,
+        predictor = Some(11), cacheBits = 4),
+        b => { Webp.decode(b); () }),
+      ("webp-palette", Webp.encode(palImg, palette = true),
+        b => { Webp.decode(b); () }),
+      ("wav", wav, b => { Wav.decode(b); () }),
+      ("mp3", Mp3.write(20, id3Junk = 40), b => { Mp3.parse(b); () }),
+      ("pdf", PdfText.write("fuzz target paragraph for the pdf walker"),
+        b => { PdfText.extract(b); () }),
+      ("pdf-glyph", PdfText.writeGlyph(
+        "glyph fuzz text through the cmap", withToUnicode = true),
+        b => { PdfText.extract(b); () }))
+    def mutate(b: Array[Byte]): Array[Byte] = rnd.nextInt(4) match {
+      case 0 => // flip 1..8 random bytes
+        val m = b.clone()
+        (0 until 1 + rnd.nextInt(8)).foreach { _ =>
+          if (m.nonEmpty) m(rnd.nextInt(m.length)) = rnd.nextInt(256).toByte
+        }
+        m
+      case 1 => // truncate anywhere
+        java.util.Arrays.copyOfRange(b, 0, rnd.nextInt(b.length + 1))
+      case 2 => // splice a random slice over another position
+        val m = b.clone()
+        if (m.length > 8) {
+          val len = 1 + rnd.nextInt(math.min(32, m.length / 2))
+          val src = rnd.nextInt(m.length - len)
+          val dst = rnd.nextInt(m.length - len)
+          System.arraycopy(b, src, m, dst, len)
+        }
+        m
+      case _ => // zero a random range
+        val m = b.clone()
+        if (m.nonEmpty) {
+          val from = rnd.nextInt(m.length)
+          val to = math.min(m.length, from + 1 + rnd.nextInt(24))
+          java.util.Arrays.fill(m, from, to, 0.toByte)
+        }
+        m
+    }
+    val budgetNs = 10L * 1000 * 1000 * 1000 // no single decode near 10 s
+    for ((name, seed, dec) <- arms) {
+      var trial = 0
+      while (trial < 80) {
+        val m = mutate(seed)
+        val t0 = System.nanoTime()
+        try dec(m)
+        catch {
+          case e: Throwable =>
+            fail(s"$name threw ${e.getClass.getName} on trial $trial " +
+              s"(seed fixture mutated): ${e.getMessage}")
+        }
+        assert(System.nanoTime() - t0 < budgetNs,
+          s"$name took too long on trial $trial — hang risk")
+        trial += 1
+      }
+      // pure garbage buffers, incl. ones starting with the real magic
+      var g = 0
+      while (g < 20) {
+        val junk = Array.fill[Byte](rnd.nextInt(512))(rnd.nextInt(256).toByte)
+        val withMagic =
+          if (seed.length >= 4 && junk.length >= 4) {
+            System.arraycopy(seed, 0, junk, 0, 4); junk
+          } else junk
+        try dec(withMagic)
+        catch {
+          case e: Throwable =>
+            fail(s"$name threw ${e.getClass.getName} on garbage #$g")
+        }
+        g += 1
+      }
+    }
+  }
+
   test("substring strip invariants hold on a random corpus with planted shared runs") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)
