@@ -42,7 +42,12 @@ object WarcSource {
 
   /** One parsed record. `body` is the payload AFTER the HTTP envelope
     * for `response` records (the envelope's Content-Type surfaced as
-    * `http_content_type`), the raw block content otherwise.
+    * `http_content_type`), with TRANSPORT/CONTENT codings undone
+    * best-effort — chunked framing removed, gzip/deflate content
+    * coding inflated (bomb-capped; br/zstd have no JVM decoder and
+    * keep raw bytes, as does any malformed framing — the magic route
+    * and NUL fence govern what could not be decoded). Raw block
+    * content otherwise.
     */
   final case class Record(
       file: String, record_ix: Int, warc_type: String,
@@ -132,6 +137,80 @@ object WarcSource {
     -1
   }
 
+  /** Decompressed-body cap: a crawl response that inflates past this
+    * is a decompression bomb, not a page — keep the RAW bytes (the
+    * NUL fence downstream quarantines them).
+    */
+  private val BodyInflateCap = 64 * 1024 * 1024
+
+  /** Un-frame an HTTP/1.1 chunked body: hex-size lines, chunk bytes,
+    * CRLF separators, a 0-size terminator (trailers ignored). None on
+    * malformed framing — the caller keeps the raw bytes (best effort;
+    * a half-dechunked body would be WORSE than the framed one).
+    */
+  private def unchunk(body: Array[Byte]): Option[Array[Byte]] = {
+    val out = new java.io.ByteArrayOutputStream(body.length)
+    var p = 0
+    while (true) {
+      // hex size up to ';' (chunk extensions) or CR
+      var q = p
+      var size = 0L
+      var digits = 0
+      while (q < body.length && Character.digit(body(q) & 0xff, 16) >= 0 &&
+          digits < 8) {
+        size = size * 16 + Character.digit(body(q) & 0xff, 16)
+        q += 1; digits += 1
+      }
+      if (digits == 0) return None
+      while (q < body.length && body(q) != '\r') q += 1 // extensions
+      if (q + 1 >= body.length || body(q + 1) != '\n') return None
+      q += 2
+      if (size == 0) return Some(out.toByteArray) // terminator (skip trailers)
+      if (q + size > body.length) return None // truncated chunk
+      out.write(body, q.toInt, size.toInt)
+      p = (q + size).toInt
+      // chunk data is followed by CRLF
+      if (p + 1 >= body.length || body(p) != '\r' || body(p + 1) != '\n')
+        return None
+      p += 2
+    }
+    None // unreachable
+  }
+
+  /** Inflate a Content-Encoding-compressed body (gzip by magic;
+    * deflate in both the zlib-wrapped and raw forms real servers
+    * send), bomb-capped. None → keep the raw bytes.
+    */
+  private def inflateBody(body: Array[Byte], coding: String): Option[Array[Byte]] = {
+    def drain(in: java.io.InputStream): Option[Array[Byte]] =
+      try {
+        val out = new java.io.ByteArrayOutputStream(body.length * 3 + 64)
+        val buf = new Array[Byte](1 << 16)
+        var n = in.read(buf)
+        while (n >= 0) {
+          out.write(buf, 0, n)
+          if (out.size() > BodyInflateCap) return None
+          n = in.read(buf)
+        }
+        Some(out.toByteArray)
+      } catch {
+        case _: java.io.IOException => None
+      } finally scala.util.Try(in.close())
+    coding match {
+      case "gzip" | "x-gzip" if isGzip(body) =>
+        drain(new GZIPInputStream(new ByteArrayInputStream(body)))
+      case "deflate" =>
+        // zlib-wrapped first (the spec form), raw-deflate fallback
+        // (what many servers actually send)
+        drain(new java.util.zip.InflaterInputStream(
+          new ByteArrayInputStream(body))).orElse(
+          drain(new java.util.zip.InflaterInputStream(
+            new ByteArrayInputStream(body),
+            new java.util.zip.Inflater(true))))
+      case _ => None // br/zstd/unknown: no JVM decoder — raw bytes stay
+    }
+  }
+
   private def toRecord(file: String, ix: Int,
                        hdrs: Map[String, String],
                        content: Array[Byte]): Record = {
@@ -148,11 +227,28 @@ object WarcSource {
         // as UTF-8 mojibake with a clean-looking charset_used
         val head = new String(content, 0, sep, "ISO-8859-1")
           .replaceAll("\r\n[ \t]+", " ")
-        val httpCt = head.linesIterator
-          .find(_.toLowerCase(java.util.Locale.ROOT).startsWith("content-type:"))
+        def header(name: String): Option[String] = head.linesIterator
+          .find(_.toLowerCase(java.util.Locale.ROOT).startsWith(name + ":"))
           .map(_.split(":", 2)(1).trim)
-        val body =
+        val httpCt = header("content-type")
+        var body =
           java.util.Arrays.copyOfRange(content, sep + 4, content.length)
+        // TRANSPORT framing first: a raw-capture chunked body carries
+        // hex size lines interleaved with the payload — ingesting it
+        // framed poisons the text with chunk-size noise. Then CONTENT
+        // coding: a gzip/deflate-coded page would otherwise route to
+        // media by magic and its text would be lost. Both best-effort:
+        // malformed framing / a dying stream / the bomb cap keep the
+        // RAW bytes (the magic route + NUL fence still govern those).
+        if (header("transfer-encoding")
+            .exists(_.toLowerCase(java.util.Locale.ROOT).contains("chunked")))
+          unchunk(body).foreach(body = _)
+        header("content-encoding")
+          .map(_.trim.toLowerCase(java.util.Locale.ROOT)) match {
+          case Some(ce) if ce != "identity" && ce.nonEmpty =>
+            inflateBody(body, ce).foreach(body = _)
+          case _ => ()
+        }
         Record(file, ix, wtype, uri, wct, httpCt, body.length.toLong, body)
       } else Record(file, ix, wtype, uri, wct, None,
         content.length.toLong, content)

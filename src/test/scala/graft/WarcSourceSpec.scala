@@ -413,6 +413,67 @@ class WarcSourceSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("HTTP transport/content codings undone: chunked framing, gzip/deflate bodies, raw fallback") {
+    val dir = Files.createTempDirectory("graft-warc-codings").toString
+    def respRaw(uri: String, headers: String, body: Array[Byte]) =
+      rec(Seq("WARC-Type" -> "response", "WARC-Target-URI" -> uri,
+        "Content-Type" -> "application/http; msgtype=response"),
+        bytes(s"HTTP/1.1 200 OK\r\n$headers\r\n") ++ body)
+    val text = "a page delivered through http codings must ingest clean"
+    // chunked: two chunks with an extension on the first
+    val chunked = bytes("10;ext=1\r\n") ++ bytes(text.take(16)) ++
+      bytes("\r\n") ++
+      bytes(f"${text.length - 16}%x\r\n") ++ bytes(text.drop(16)) ++
+      bytes("\r\n0\r\n\r\n")
+    // gzip content coding
+    val gzBody = gz(bytes(text))
+    // deflate, RAW form (what many servers actually send)
+    val rawDeflate = {
+      val d = new java.util.zip.Deflater(-1, true)
+      d.setInput(bytes(text)); d.finish()
+      val bo = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](4096)
+      while (!d.finished()) bo.write(buf, 0, d.deflate(buf))
+      d.end(); bo.toByteArray
+    }
+    // chunked + gzip combined (transport framing outside, coding inside)
+    val both = {
+      val inner = gzBody
+      bytes(f"${inner.length}%x\r\n") ++ inner ++ bytes("\r\n0\r\n\r\n")
+    }
+    // malformed chunk framing: hex line lies past the buffer
+    val badChunk = bytes("ffff\r\nonly a few bytes")
+    Files.write(Paths.get(dir, "codings.warc"),
+      respRaw("http://c.example/chunked",
+        "Content-Type: text/plain\r\nTransfer-Encoding: chunked\r\n",
+        chunked) ++
+        respRaw("http://c.example/gzip",
+          "Content-Type: text/plain\r\nContent-Encoding: gzip\r\n", gzBody) ++
+        respRaw("http://c.example/deflate",
+          "Content-Type: text/plain\r\nContent-Encoding: deflate\r\n",
+          rawDeflate) ++
+        respRaw("http://c.example/both",
+          "Content-Type: text/plain\r\nTransfer-Encoding: chunked\r\n" +
+            "Content-Encoding: gzip\r\n", both) ++
+        respRaw("http://c.example/badchunk",
+          "Content-Type: text/plain\r\nTransfer-Encoding: chunked\r\n",
+          badChunk))
+    val docs = WarcSource.documents(spark, dir).cache()
+    val byUrl = docs.collect()
+      .map(r => r.getAs[String]("url") -> r.getAs[String]("text")).toMap
+    assert(byUrl("http://c.example/chunked") == text,
+      "chunk framing must be removed, not ingested as text noise")
+    assert(byUrl("http://c.example/gzip") == text,
+      "a gzip content coding must inflate to the page text, not route to media")
+    assert(byUrl("http://c.example/deflate") == text,
+      "raw-deflate content coding must inflate")
+    assert(byUrl("http://c.example/both") == text,
+      "transport framing then content coding, in that order")
+    // malformed framing keeps the RAW bytes best-effort (still text here)
+    assert(byUrl("http://c.example/badchunk").contains("only a few bytes"))
+    docs.unpersist()
+  }
+
   test("NUL fence covers conversion (WET) records: binary WET payload quarantines, not ingests") {
     val dir = Files.createTempDirectory("graft-warc-wetnul").toString
     // a WET record whose payload is binary (NUL bytes) — crawl tooling
