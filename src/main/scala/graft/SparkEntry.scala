@@ -37,7 +37,11 @@ object SparkEntry {
         Entry("q127_pdf_extract", graft.multimodal.Multimodal.q127,
           Some(graft.multimodal.Multimodal.q127Sql)),
         Entry("q128_webp_decode", graft.multimodal.Multimodal.q128,
-          Some(graft.multimodal.Multimodal.q128Sql)))
+          Some(graft.multimodal.Multimodal.q128Sql)),
+        Entry("q129_docx_extract", graft.multimodal.Multimodal.q129,
+          Some(graft.multimodal.Multimodal.q129Sql)),
+        Entry("q130_video_probe", graft.multimodal.Multimodal.q130,
+          Some(graft.multimodal.Multimodal.q130Sql)))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

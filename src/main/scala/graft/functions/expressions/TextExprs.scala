@@ -102,6 +102,13 @@ object TextExprs {
     */
   def pdfExtractText(payload: Column): Column = c(PdfExtractText(x(payload)))
 
+  /** DOCX (ZIP+WordprocessingML) payload → document text, NULL for
+    * non-ZIP bytes, ZIPs without a main document part, or corrupt/
+    * encrypted members (see [[DocxExtractText]]).
+    */
+  def docxExtractText(payload: Column): Column =
+    c(DocxExtractText(x(payload)))
+
   /** The canonical name [[charsetDecode]] will actually decode these
     * bytes with — "utf-8" for unknown declared labels, the sniffed
     * charset (utf-8 or windows-1252) for unlabeled payloads. Surfaced
@@ -1134,6 +1141,34 @@ case class PdfExtractText(child: Expression)
 
   override def nullSafeEval(input: Any): Any =
     graft.multimodal.PdfText.extract(input.asInstanceOf[Array[Byte]]) match {
+      case Some(t) => UTF8String.fromString(t)
+      case None => null
+    }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** Best-effort DOCX text extraction as an expression: ZIP payload →
+  * the WordprocessingML document text ([[graft.multimodal.Docx
+  * .extractText]] — central-directory walk, `_rels` main-part
+  * resolution, the bounded `w:t`/`w:tab`/`w:br` scan with no entity
+  * resolution), NULL when the bytes are not a ZIP, carry no main
+  * document part (plain archives stay opaque media), or the member
+  * is encrypted/corrupt (ciphertext and partial inflate must not
+  * reach a text corpus — the [[PdfExtractText]] rationale). The
+  * expression form keeps the crawl face ([[graft.sources.WarcSource
+  * .officeDocuments]]) pure Column ops — ts passthrough and the
+  * streaming mirror come for free, the repo's no-UDF convention.
+  */
+case class DocxExtractText(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(input: Any): Any =
+    graft.multimodal.Docx.extractText(input.asInstanceOf[Array[Byte]]) match {
       case Some(t) => UTF8String.fromString(t)
       case None => null
     }

@@ -209,6 +209,48 @@ object Multimodal {
                 FeatureRow(r.doc_id, r.meta.mime, r.meta.n_bytes,
                   ok = false, features = Array.empty)
             }
+          else if (r.meta.mime == graft.sources.BinarySource.MimeMp4)
+            // REAL video path #1: ISO-BMFF box walk — duration/dims/
+            // track-census triage evidence WITHOUT touching a codec
+            // frame (the MP3 rationale, applied to video). Layout:
+            // durationMs, width, height, videoTracks, audioTracks,
+            // audioRate, audioChannels.
+            Mp4.parse(r.payload) match {
+              case Some(info) =>
+                val f = new Array[Float](FeatureDim)
+                f(0) = info.durationMs.toFloat
+                f(1) = info.width.toFloat
+                f(2) = info.height.toFloat
+                f(3) = info.videoTracks.toFloat
+                f(4) = info.audioTracks.toFloat
+                f(5) = info.audioRate.toFloat
+                f(6) = info.audioChannels.toFloat
+                FeatureRow(r.doc_id, r.meta.mime, r.meta.n_bytes,
+                  ok = true, features = f)
+              case None =>
+                FeatureRow(r.doc_id, r.meta.mime, r.meta.n_bytes,
+                  ok = false, features = Array.empty)
+            }
+          else if (r.meta.mime == graft.sources.BinarySource.MimeWebm ||
+                   r.meta.mime == graft.sources.BinarySource.MimeMkv)
+            // REAL video path #2: Matroska/WebM EBML walk, same
+            // evidence layout as the MP4 arm
+            Mkv.parse(r.payload) match {
+              case Some(info) =>
+                val f = new Array[Float](FeatureDim)
+                f(0) = info.durationMs.toFloat
+                f(1) = info.width.toFloat
+                f(2) = info.height.toFloat
+                f(3) = info.videoTracks.toFloat
+                f(4) = info.audioTracks.toFloat
+                f(5) = info.audioRate.toFloat
+                f(6) = info.audioChannels.toFloat
+                FeatureRow(r.doc_id, r.meta.mime, r.meta.n_bytes,
+                  ok = true, features = f)
+              case None =>
+                FeatureRow(r.doc_id, r.meta.mime, r.meta.n_bytes,
+                  ok = false, features = Array.empty)
+            }
           else
             FeatureRow(r.doc_id, r.meta.mime, r.meta.n_bytes,
               ok = true, features = decodeStub(r.payload))
@@ -1161,6 +1203,132 @@ object Multimodal {
   val q127Sql: String =
     """SELECT doc_id, coalesce(text, '') AS text, TRUE AS extract_ok
       |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** q129 entry: DOCX TEXT EXTRACTION in the oracle-checked path —
+    * each document written as a REAL .docx ([[Docx.write]]: the
+    * [Content_Types]/_rels/document.xml container through the real
+    * [[Zip]] writer, one `<w:p>` per line, XML escaping, stored AND
+    * deflated members) and extracted back ([[Docx.extractText]]:
+    * EOCD backward scan, central-directory walk, raw inflate with
+    * CRC check, `_rels` main-part resolution, the `w:t` scan with
+    * entity decode). The oracle is the IDENTITY on the documents
+    * table — the entire ZIP + XML + escape machinery must cancel for
+    * the hash to match (q127's lossless-round-trip device, applied
+    * to the office-document format crawls actually serve).
+    */
+  def q129(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), coalesce(col("text"), lit("")).as("t"))
+      .as[(Long, String)]
+      .map { case (id, t) =>
+        val back = Docx.extractText(Docx.write(t))
+        (id, back.getOrElse(""), back.isDefined)
+      }
+      .toDF("doc_id", "text", "extract_ok")
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB mirror of q129: the identity — extraction must return the
+    * original text verbatim.
+    */
+  val q129Sql: String =
+    """SELECT doc_id, coalesce(text, '') AS text, TRUE AS extract_ok
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** q130 entry: VIDEO-CONTAINER PROBE in the oracle-checked path —
+    * per document, a REAL container built with doc_id-derived
+    * parameters (even ids → ISO-BMFF via [[Mp4.write]], odd →
+    * Matroska/WebM via [[Mkv.write]]; duration/dims/audio presence/
+    * rate/channels all closed-form in doc_id) and probed back
+    * ([[Mp4.parse]] box walk / [[Mkv.parse]] EBML walk). Writer
+    * switches keyed off doc_id exercise every grammar arm IN the
+    * oracle path: 64-bit mvhd times, largesize mdat, moov-last
+    * layout, unknown-size Segment, float64 Duration. The oracle
+    * recomputes every probed field from doc_id arithmetic — the
+    * whole box/vint machinery must cancel for the hash to match
+    * (the q126 closed-form device, applied to container grammars).
+    */
+  def q130(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"))
+      .as[Long]
+      .map { id =>
+        def pmod(k: Long): Long = ((id % k) + k) % k
+        val dur = 1000L + pmod(600000)
+        val w = (16 * (1 + pmod(120))).toInt
+        val h = (16 * (1 + pmod(68))).toInt
+        val hasAudio = pmod(3) == 0
+        val rate = if (pmod(2) == 0) 48000 else 44100
+        val ch = (1 + pmod(2)).toInt
+        if (pmod(2) == 0) {
+          val bytes = Mp4.write("isom", dur,
+            video = Some(("avc1", w, h)),
+            audio = if (hasAudio) Some(("mp4a", rate, ch)) else None,
+            version1 = pmod(5) == 0,
+            largeMdat = pmod(7) == 0,
+            moovLast = pmod(11) == 0)
+          val info = Mp4.parse(bytes).getOrElse(
+            Mp4.Info("", -1, -1, -1, -1, -1, "", "", -1, -1))
+          (id, info.brand, info.durationMs, info.width, info.height,
+            info.videoTracks, info.audioTracks, info.videoCodec,
+            info.audioCodec, info.audioRate, info.audioChannels,
+            info.durationMs >= 0)
+        } else {
+          val doc = if (pmod(13) == 0) "matroska" else "webm"
+          val bytes = Mkv.write(doc, dur,
+            video = Some(("V_VP9", w, h)),
+            audio = if (hasAudio) Some(("A_OPUS", rate, ch)) else None,
+            unknownSegmentSize = pmod(5) == 0,
+            float8 = pmod(7) == 0)
+          val info = Mkv.parse(bytes).getOrElse(
+            Mkv.Info("", -1, -1, -1, -1, -1, "", "", -1, -1))
+          (id, info.docType, info.durationMs, info.width, info.height,
+            info.videoTracks, info.audioTracks, info.videoCodec,
+            info.audioCodec,
+            // absent audio reports the Matroska DEFAULTS (8000 Hz,
+            // 1 channel) only when a track exists; no track → 0s,
+            // aligned with the MP4 arm
+            info.audioRate, info.audioChannels,
+            info.durationMs >= 0)
+        }
+      }
+      .toDF("doc_id", "container", "duration_ms", "width", "height",
+        "v_tracks", "a_tracks", "video_codec", "audio_codec",
+        "audio_rate", "audio_channels", "probe_ok")
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB mirror of q130: every probed field recomputed closed-form
+    * from doc_id (the same pmod arithmetic the builders use).
+    */
+  val q130Sql: String =
+    """WITH p AS (
+      |  SELECT doc_id,
+      |    ((doc_id % 2) + 2) % 2 AS m2,
+      |    ((doc_id % 3) + 3) % 3 AS m3,
+      |    ((doc_id % 13) + 13) % 13 AS m13,
+      |    1000 + ((doc_id % 600000) + 600000) % 600000 AS dur,
+      |    16 * (1 + ((doc_id % 120) + 120) % 120) AS w,
+      |    16 * (1 + ((doc_id % 68) + 68) % 68) AS h
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CASE WHEN m2 = 0 THEN 'isom'
+      |       WHEN m13 = 0 THEN 'matroska' ELSE 'webm' END AS container,
+      |  CAST(dur AS BIGINT) AS duration_ms,
+      |  CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+      |  1 AS v_tracks,
+      |  CAST(CASE WHEN m3 = 0 THEN 1 ELSE 0 END AS INT) AS a_tracks,
+      |  CASE WHEN m2 = 0 THEN 'avc1' ELSE 'V_VP9' END AS video_codec,
+      |  CASE WHEN m3 <> 0 THEN ''
+      |       WHEN m2 = 0 THEN 'mp4a' ELSE 'A_OPUS' END AS audio_codec,
+      |  CAST(CASE WHEN m3 <> 0 THEN 0
+      |       WHEN m2 = 0 THEN 48000 ELSE 44100 END AS INT) AS audio_rate,
+      |  CAST(CASE WHEN m3 <> 0 THEN 0 ELSE 1 + m2 END AS INT)
+      |    AS audio_channels,
+      |  TRUE AS probe_ok
+      |FROM p ORDER BY doc_id""".stripMargin
 
   /** q50 entry: blob table → batched decode-stub → feature summary.
     * Metadata and feature stats only — the binary column never reaches

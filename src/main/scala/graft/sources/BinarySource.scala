@@ -46,6 +46,10 @@ object BinarySource {
   val MimeGzip = "application/gzip"
   val MimeZstd = "application/zstd"
   val MimeMp3 = "audio/mpeg"
+  val MimeZip = "application/zip"   // OOXML/EPUB/JAR live here too
+  val MimeMp4 = "video/mp4"         // the whole ISO-BMFF brand family
+  val MimeWebm = "video/webm"
+  val MimeMkv = "video/x-matroska"
 
   /** Magic-byte test: payload bytes [off, off+marker.length) equal the
     * marker (1-based offset, Spark substring convention). Markers are
@@ -95,6 +99,20 @@ object BinarySource {
       .when(magic(payload, 1, "\u001f\u008b"), lit(MimeGzip))
       .when(magic(payload, 1, "(\u00b5/\u00fd"), lit(MimeZstd))
       .when(id3, lit(MimeMp3))
+      // ZIP local-file magic — DOCX/XLSX/EPUB/JAR all present as this;
+      // the office-text face decides docx-ness by the REAL container
+      // grammar (central directory + _rels), not bytes here
+      .when(magic(payload, 1, "PK\u0003\u0004"), lit(MimeZip))
+      // ISO-BMFF: any box size then 'ftyp' — the whole brand family
+      // (mp4/mov/m4a/3gp) routes here; the probe's `brand` + track
+      // census is the within-family evidence
+      .when(magic(payload, 5, "ftyp"), lit(MimeMp4))
+      // EBML magic = Matroska family; "webm" inside the ~40-byte EBML
+      // header (the DocType element precedes any content) splits the
+      // two mimes — the probe reports the authoritative DocType
+      .when(magic(payload, 1, "\u001aE\u00df\u00a3"),
+        when(decode(substring(payload, 1, 64), "ISO-8859-1")
+          .contains("webm"), lit(MimeWebm)).otherwise(lit(MimeMkv)))
       .otherwise(lit("application/octet-stream"))
   }
 

@@ -558,6 +558,49 @@ object WarcSource {
       extra.nonEmpty)
   }
 
+  /** The OFFICE-document text face: `response` payloads whose magic
+    * is ZIP (OOXML — .docx et al. — presents as ZIP on the wire),
+    * their WordprocessingML text extracted ([[graft.functions
+    * .expressions.DocxExtractText]] — central-directory walk,
+    * `_rels` main-part resolution, the bounded `w:t` scan) into the
+    * SAME corpus shape as [[documents]]/[[pdfDocuments]]. Most ZIPs
+    * are NOT office documents (plain archives, JARs, EPUBs) — those
+    * yield NULL from the extraction and simply produce no row here,
+    * staying opaque blobs in [[media]]; that asymmetry with the PDF
+    * face's quarantine arms is deliberate: an unextractable PDF is a
+    * refused DOCUMENT (noteworthy evidence), an unextractable ZIP is
+    * just an archive. Extractions still pass the [[printableText]]
+    * gate (a malformed part that decodes to control-dense noise must
+    * not enter the corpus). `charset_used` reports utf-8 (OOXML parts
+    * are UTF-8 XML by spec). A `ts` column passes through for the
+    * streaming mirror, like the other faces.
+    */
+  def officeDocuments(spark: SparkSession, dir: String,
+                      glob: Option[String] = None): DataFrame =
+    officeDocuments(records(spark, dir, glob))
+
+  def officeDocuments(records: DataFrame): DataFrame = {
+    val extra = if (records.columns.contains("ts")) Seq(col("ts")) else Nil
+    // explode(array(…)) = the Generate barrier pinning ONE extraction
+    // per record (the pdfDocuments rationale — a plain filter over the
+    // aliased column pushes below the projection and re-runs the
+    // whole ZIP walk + inflate per surviving row)
+    corpusShape(records
+      .filter(col("warc_type") === "response" &&
+        BinarySource.sniffMime(col("body")) === BinarySource.MimeZip)
+      .select(Seq(
+        md5Lower64(concat_ws("#", col("file"), col("record_ix")))
+          .as("doc_id"),
+        col("target_uri").as("url"),
+        explode(array(graft.functions.expressions.TextExprs
+          .docxExtractText(col("body")))).as("text"),
+        lit("utf-8").as("charset_used"),
+        regexp_extract(col("file"), "([^/]+)$", 1).as("source")) ++
+        extra: _*)
+      .filter(col("text").isNotNull && printableText(col("text"))),
+      extra.nonEmpty)
+  }
+
   /** The audit face for what the text faces refused: `response`
     * payloads that are neither sniffable media (no known magic) nor
     * plausibly text (a NUL byte present) — truncated downloads,

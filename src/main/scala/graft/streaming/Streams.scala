@@ -82,6 +82,18 @@ object Streams {
     graft.sources.WarcSource.pdfDocuments(
       warcRecords(spark, dir, glob, maxFilesPerTrigger))
 
+  /** The continuous OFFICE-document mirror — crawled .docx text
+    * streamed into the corpus shape as archives land
+    * ([[graft.sources.WarcSource.officeDocuments]] is pure Column
+    * ops over the records frame, so batch semantics apply verbatim;
+    * composes with [[corpusPrep]] like [[warcDocuments]]).
+    */
+  def warcOfficeDocuments(spark: SparkSession, dir: String,
+                          glob: Option[String] = None,
+                          maxFilesPerTrigger: Int = 4): DataFrame =
+    graft.sources.WarcSource.officeDocuments(
+      warcRecords(spark, dir, glob, maxFilesPerTrigger))
+
   /** The continuous QUARANTINE mirror — the audit face for what the
     * text faces refused (NUL-bearing payloads, encrypted PDFs,
     * glyph-id mojibake), streamed as archives land so the influx is

@@ -115,7 +115,14 @@ class FuzzSpec extends SparkSpec {
         b => { PdfText.extract(b); () }),
       ("pdf-glyph", PdfText.writeGlyph(
         "glyph fuzz text through the cmap", withToUnicode = true),
-        b => { PdfText.extract(b); () }))
+        b => { PdfText.extract(b); () }),
+      ("zip-docx", Docx.write("fuzz docx paragraph\nsecond\tline"),
+        b => { Docx.extractText(b); () }),
+      ("mp4", Mp4.write("isom", 64000L, Some(("avc1", 640, 360)),
+        Some(("mp4a", 48000, 2))), b => { Mp4.parse(b); () }),
+      ("mkv", Mkv.write("webm", 64000L, Some(("V_VP9", 640, 360)),
+        Some(("A_OPUS", 48000, 2)), unknownSegmentSize = true),
+        b => { Mkv.parse(b); () }))
     def mutate(b: Array[Byte]): Array[Byte] = rnd.nextInt(4) match {
       case 0 => // flip 1..8 random bytes
         val m = b.clone()

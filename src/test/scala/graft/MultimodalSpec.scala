@@ -1400,4 +1400,84 @@ class MultimodalSpec extends SparkSpec {
     assert(out.except(bmp).count() == 0 && bmp.except(out).count() == 0)
     out.unpersist()
   }
+
+  test("sniffMime routes ZIP / ISO-BMFF / WebM / Matroska; prose starting 'PK' stays text") {
+    import graft.multimodal.{Docx, Mkv, Mp4}
+    import spark.implicits._
+    val rows = Seq(
+      ("docx", Docx.write("sniff me")),
+      ("mp4", Mp4.write("isom", 1000L, Some(("avc1", 64, 64)), None)),
+      ("webm", Mkv.write("webm", 1000L, Some(("V_VP9", 64, 64)), None)),
+      ("mkv", Mkv.write("matroska", 1000L, Some(("V_VP9", 64, 64)), None)),
+      ("prose", "PK is how pull requests are abbreviated sometimes"
+        .getBytes("UTF-8")))
+      .toDF("name", "payload")
+      .select(col("name"),
+        graft.sources.BinarySource.sniffMime(col("payload")).as("mime"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(rows == Map(
+      "docx" -> graft.sources.BinarySource.MimeZip,
+      "mp4" -> graft.sources.BinarySource.MimeMp4,
+      "webm" -> graft.sources.BinarySource.MimeWebm,
+      "mkv" -> graft.sources.BinarySource.MimeMkv,
+      "prose" -> "application/octet-stream"), s"$rows")
+  }
+
+  test("extractFeatures on MP4/WebM mimes yields container-walk evidence, not a stub") {
+    import graft.multimodal.{Mkv, Mp4}
+    import spark.implicits._
+    val mp4 = Mp4.write("isom", 90500L, Some(("avc1", 1920, 1080)),
+      Some(("mp4a", 48000, 2)))
+    val webm = Mkv.write("webm", 123456L, Some(("V_VP9", 1280, 720)),
+      Some(("A_OPUS", 48000, 2)))
+    val bad = Array[Byte](0, 0, 0, 8, 'f', 't', 'y', 'p') // truncated family
+    val media = Seq(
+      MediaRow(1L, mp4, MediaMeta(graft.sources.BinarySource.MimeMp4,
+        mp4.length.toLong, 0L)),
+      MediaRow(2L, webm, MediaMeta(graft.sources.BinarySource.MimeWebm,
+        webm.length.toLong, 0L)),
+      MediaRow(3L, bad, MediaMeta(graft.sources.BinarySource.MimeMp4,
+        bad.length.toLong, 0L))).toDS()
+    val f = Multimodal.extractFeatures(media).collect()
+      .map(r => r.doc_id -> r).toMap
+    assert(f(1L).ok && f(1L).features(0) == 90500f &&
+      f(1L).features(1) == 1920f && f(1L).features(2) == 1080f &&
+      f(1L).features(3) == 1f && f(1L).features(4) == 1f &&
+      f(1L).features(5) == 48000f && f(1L).features(6) == 2f)
+    assert(f(2L).ok && f(2L).features(0) == 123456f &&
+      f(2L).features(1) == 1280f && f(2L).features(2) == 720f)
+    assert(!f(3L).ok && f(3L).features.isEmpty,
+      "a truncated container fences, not stubs")
+  }
+
+  test("q129: DOCX extraction end-to-end — identity on the documents table") {
+    val out = Multimodal.q129(spark, sf).cache()
+    assert(out.count() == Tables(spark, sf).documents.count())
+    assert(out.filter(!col("extract_ok")).count() == 0)
+    val orig = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
+    assert(out.select("doc_id", "text").except(orig).count() == 0,
+      "extraction must be the identity on every document")
+    out.unpersist()
+  }
+
+  test("q130: video probe end-to-end — every container probes, fields follow the doc_id closed form") {
+    val out = Multimodal.q130(spark, sf).cache()
+    assert(out.count() == Tables(spark, sf).documents.count())
+    assert(out.filter(!col("probe_ok")).count() == 0,
+      "every built container must probe")
+    // the closed form, recomputed in Spark (the DuckDB oracle replays
+    // the same arithmetic independently)
+    def pm(k: Int) = pmod(col("doc_id"), lit(k))
+    assert(out.filter(col("duration_ms") =!=
+      (lit(1000L) + pmod(col("doc_id"), lit(600000)))).count() == 0)
+    assert(out.filter(col("width") =!= (lit(16) * (lit(1) + pm(120))))
+      .count() == 0)
+    assert(out.filter(col("container") =!=
+      when(pm(2) === 0, "isom").when(pm(13) === 0, "matroska")
+        .otherwise("webm")).count() == 0)
+    assert(out.filter(col("a_tracks") =!=
+      when(pm(3) === 0, 1).otherwise(0)).count() == 0)
+    out.unpersist()
+  }
 }

@@ -1,0 +1,162 @@
+package graft
+
+import graft.multimodal.{Docx, Zip}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** ZIP container walk + DOCX text extraction — round trips through
+  * the repo's own writers (the codec-family discipline: the writer IS
+  * the grammar pin), fence matrix for the hostile-byte cases a crawl
+  * serves, and the WordprocessingML element zoo the scanner must
+  * ignore without losing text.
+  */
+class OfficeSpec extends AnyFunSuite {
+
+  private def b(s: String): Array[Byte] = s.getBytes("UTF-8")
+
+  // ---- Zip ----
+
+  test("zip round trip: stored + deflated members, names and bytes exact") {
+    val files = Seq(
+      ("a.txt", b("alpha"), false),
+      ("dir/b.bin", Array.tabulate[Byte](5000)(i => (i * 37).toByte), true),
+      ("empty", Array.emptyByteArray, true),
+      ("unicode/ドキュメント.txt", b("unicode name"), false))
+    val zip = Zip.write(files)
+    val es = Zip.entries(zip).get
+    assert(es.map(_.name) == files.map(_._1).toVector)
+    files.foreach { case (name, data, _) =>
+      assert(Zip.extract(zip, name).get.toSeq == data.toSeq, name)
+    }
+    // methods landed as declared
+    assert(es.map(_.method) == Vector(0, 8, 8, 0))
+  }
+
+  test("zip: EOCD backward scan — comment with embedded fake EOCD bytes cannot spoof") {
+    val real = Seq(("x", b("real content"), true))
+    // a comment containing a full fake EOCD record (PK\5\6 + zeros):
+    // the scanner must pick the REAL one (whose comment length lands
+    // exactly on the tail), not the planted bytes
+    val fake = Array[Byte]('P', 'K', 5, 6) ++ new Array[Byte](18)
+    val zip = Zip.write(real, comment = b("junk ") ++ fake ++ b(" tail"))
+    assert(Zip.extract(zip, "x").get.toSeq == b("real content").toSeq)
+  }
+
+  test("zip fences: truncation, bad CRC, encrypted bit, exotic method, zip64 sentinel, non-zip") {
+    val zip = Zip.write(Seq(("f", b("fence matrix target"), true)))
+    // truncated anywhere before the EOCD end → entries None or
+    // extract None, never a throw
+    Seq(zip.length - 1, zip.length - 22, zip.length / 2, 10, 0).foreach { n =>
+      val t = java.util.Arrays.copyOfRange(zip, 0, n)
+      assert(Zip.extract(t, "f").isEmpty, s"truncate $n")
+    }
+    assert(Zip.entries(b("PK is a common prefix in prose")).isEmpty)
+    assert(Zip.entries(null).isEmpty)
+    // corrupt the member's compressed bytes → CRC fence
+    val corrupt = zip.clone()
+    val dataOff = 30 + 1 // local header + name "f"
+    corrupt(dataOff + 2) = (corrupt(dataOff + 2) ^ 0x41).toByte
+    assert(Zip.extract(corrupt, "f").isEmpty, "crc fence")
+    // flip the central-directory GP encrypted bit (offset: find PK\1\2)
+    val enc = zip.clone()
+    val cd = (0 until enc.length - 4).find(i =>
+      enc(i) == 'P' && enc(i + 1) == 'K' && enc(i + 2) == 1 &&
+        enc(i + 3) == 2).get
+    enc(cd + 8) = (enc(cd + 8) | 1).toByte
+    assert(Zip.extract(enc, "f").isEmpty, "encrypted fence")
+    // exotic method (LZMA = 14)
+    val lzma = zip.clone()
+    lzma(cd + 10) = 14
+    assert(Zip.extract(lzma, "f").isEmpty, "method fence")
+    // zip64 sentinel on the uncompressed size
+    val z64 = zip.clone()
+    (0 until 4).foreach(i => z64(cd + 24 + i) = 0xFF.toByte)
+    assert(Zip.extract(z64, "f").isEmpty, "zip64 fence")
+  }
+
+  test("zip: declared-size lies fence (inflate longer or shorter than the directory claims)") {
+    val zip = Zip.write(Seq(("f", Array.tabulate[Byte](600)(_.toByte), true)))
+    val cd = (0 until zip.length - 4).find(i =>
+      zip(i) == 'P' && zip(i + 1) == 'K' && zip(i + 2) == 1 &&
+        zip(i + 3) == 2).get
+    // shrink the declared uncompressed size: inflate overruns → None
+    val small = zip.clone()
+    small(cd + 24) = 10; small(cd + 25) = 0; small(cd + 26) = 0; small(cd + 27) = 0
+    assert(Zip.extract(small, "f").isEmpty, "undersized declaration")
+    // grow it: stalled inflate (needsInput before filling) → None
+    val big = zip.clone()
+    big(cd + 24) = 0x60.toByte; big(cd + 25) = 0x09 // 2400
+    assert(Zip.extract(big, "f").isEmpty, "oversized declaration")
+  }
+
+  // ---- Docx ----
+
+  test("docx identity: extract(write(t)) == t across newlines, tabs, XML escapes, unicode, empty") {
+    val cases = Seq(
+      "",
+      "plain paragraph",
+      "two\nparagraphs",
+      "trailing newline\n",
+      "\nleading and\n\nblank lines\n",
+      "tabs\there\tand\there",
+      "escapes: a < b && c > d \"quoted\" 'apostrophe'",
+      "unicode: été 中文 ß " + new String(Character.toChars(0x1F600)),
+      "mixed\tline\nwith\ttabs\nand more")
+    cases.foreach { t =>
+      assert(Docx.extractText(Docx.write(t)).contains(t), s"case '$t'")
+    }
+  }
+
+  test("docx: main part resolved through _rels, not the filename convention") {
+    // container whose main part lives at a NON-standard path
+    val doc = b("<?xml version=\"1.0\"?><w:document xmlns:w=\"x\">" +
+      "<w:body><w:p><w:r><w:t>moved part</w:t></w:r></w:p></w:body>" +
+      "</w:document>")
+    val rels = b("<?xml version=\"1.0\"?><Relationships>" +
+      "<Relationship Id=\"rId1\" Type=\"http://schemas.openxmlformats" +
+      ".org/officeDocument/2006/relationships/officeDocument\" " +
+      "Target=\"/custom/main.xml\"/></Relationships>")
+    val zip = Zip.write(Seq(
+      ("_rels/.rels", rels, true),
+      ("custom/main.xml", doc, true)))
+    assert(Docx.extractText(zip).contains("moved part"))
+  }
+
+  test("docx scanner: element zoo ignored, instrText dropped, w:tabs stops are not tabs, w:br/w:cr are breaks, CDATA and char refs decode") {
+    val xml = "<?xml version=\"1.0\"?><w:document><w:body>" +
+      "<w:p><w:pPr><w:tabs><w:tab w:val=\"left\" w:pos=\"720\"/></w:tabs>" +
+      "<w:proofErr w:type=\"spellStart\"/></w:pPr>" +
+      "<w:r><w:t>A</w:t></w:r>" +
+      "<w:r><w:fldChar w:fldCharType=\"begin\"/></w:r>" +
+      "<w:r><w:instrText xml:space=\"preserve\"> PAGE </w:instrText></w:r>" +
+      "<w:r><w:fldChar w:fldCharType=\"end\"/></w:r>" +
+      "<w:r><w:tab/><w:t><![CDATA[cdata <kept> &verbatim;]]></w:t></w:r>" +
+      "<w:r><w:br/><w:t>&#65;&#x42;&amp;</w:t></w:r>" +
+      "</w:p><w:p/></w:body></w:document>"
+    val zip = Zip.write(Seq(("word/document.xml", b(xml), true)))
+    val got = Docx.extractText(zip).get
+    assert(got == "A\tcdata <kept> &verbatim;\nAB&\n")
+  }
+
+  test("docx fences: non-zip, plain archive without a main part, corrupt member, broken XML") {
+    assert(Docx.extractText(b("not a zip at all")).isEmpty)
+    val plain = Zip.write(Seq(("readme.txt", b("just an archive"), true)))
+    assert(Docx.extractText(plain).isEmpty, "plain archive")
+    val docx = Docx.write("target")
+    // corrupt the document.xml member bytes → CRC fence → None
+    val names = Zip.entries(docx).get
+    val main = names.find(_.name == "word/document.xml").get
+    val corrupt = docx.clone()
+    val l = main.offset.toInt
+    val dataOff = l + 30 + 17 // name length "word/document.xml"
+    corrupt(dataOff + 1) = (corrupt(dataOff + 1) ^ 0x20).toByte
+    assert(Docx.extractText(corrupt).isEmpty, "corrupt member")
+    // structurally broken XML: unterminated tag at EOF
+    val broken = Zip.write(Seq(
+      ("word/document.xml", b("<w:document><w:body><w:p><w:t>x"), true)))
+    assert(Docx.extractText(broken).contains("x"),
+      "trailing unclosed text still salvages")
+    val broken2 = Zip.write(Seq(
+      ("word/document.xml", b("<w:document><w:body><w:p><w:t>x</w:t"), true)))
+    assert(Docx.extractText(broken2).isEmpty, "unterminated tag fences")
+  }
+}

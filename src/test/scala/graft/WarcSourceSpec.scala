@@ -570,6 +570,61 @@ class WarcSourceSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("officeDocuments: crawled DOCX yields corpus text; plain ZIP archives stay opaque media") {
+    val dir = Files.createTempDirectory("graft-warc-docx").toString
+    def resp(uri: String, ct: String, body: Array[Byte]) =
+      rec(Seq("WARC-Type" -> "response", "WARC-Target-URI" -> uri,
+        "Content-Type" -> "application/http; msgtype=response"),
+        httpWrap(ct, body))
+    val docx = graft.multimodal.Docx.write(
+      "a crawled office document about quarterly results")
+    val plainZip = graft.multimodal.Zip.write(Seq(
+      ("backup/readme.txt", "just an archive, not a document"
+        .getBytes("UTF-8"), true)))
+    // a corrupt docx: document.xml bytes flipped → extraction None
+    val corrupt = docx.clone()
+    val main = graft.multimodal.Zip.entries(docx).get
+      .find(_.name == "word/document.xml").get
+    corrupt(main.offset.toInt + 30 + 17 + 2) =
+      (corrupt(main.offset.toInt + 30 + 17 + 2) ^ 0x11).toByte
+    Files.write(Paths.get(dir, "office.warc"),
+      resp("http://o.example/report.docx",
+        "application/vnd.openxmlformats-officedocument" +
+          ".wordprocessingml.document", docx) ++
+        // the lying-header case: served as octet-stream, bytes decide
+        resp("http://o.example/nameless", "application/octet-stream",
+          plainZip) ++
+        resp("http://o.example/damaged.docx", "application/zip", corrupt))
+    val recs = WarcSource.records(spark, dir).cache()
+    // ZIPs route to media (never the text corpus) …
+    assert(WarcSource.documents(recs)
+      .filter(col("url").startsWith("http://o.example")).count() == 0)
+    assert(WarcSource.media(recs)
+      .filter(col("meta.mime") === "application/zip").count() == 3)
+    // … and only the REAL office document yields corpus text
+    val docs = WarcSource.officeDocuments(recs).collect()
+    assert(docs.length == 1,
+      "plain archives and corrupt members must yield no corpus row")
+    assert(docs.head.getAs[String]("url") == "http://o.example/report.docx")
+    assert(docs.head.getAs[String]("text") ==
+      "a crawled office document about quarterly results")
+    assert(docs.head.getAs[Long]("n_chars") == 49L)
+    recs.unpersist()
+
+    // the continuous mirror: same rows, archive mtime as ts
+    val stream = graft.streaming.Streams.warcOfficeDocuments(spark, dir)
+    assert(stream.isStreaming)
+    val q = stream.writeStream.format("memory")
+      .queryName("warc_office_stream").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("warc_office_stream")
+      assert(got.count() == 1,
+        "the streaming mirror must apply the same fences as batch")
+      assert(got.filter(col("ts").isNull).count() == 0)
+    } finally q.stop()
+  }
+
   test("streaming quarantine: warcQuarantine mirrors the batch audit face row for row") {
     val dir = writeWebDir()
     val stream = graft.streaming.Streams.warcQuarantine(spark, dir)
