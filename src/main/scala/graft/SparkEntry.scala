@@ -41,7 +41,9 @@ object SparkEntry {
         Entry("q129_docx_extract", graft.multimodal.Multimodal.q129,
           Some(graft.multimodal.Multimodal.q129Sql)),
         Entry("q130_video_probe", graft.multimodal.Multimodal.q130,
-          Some(graft.multimodal.Multimodal.q130Sql)))
+          Some(graft.multimodal.Multimodal.q130Sql)),
+        Entry("q131_epub_extract", graft.multimodal.Multimodal.q131,
+          Some(graft.multimodal.Multimodal.q131Sql)))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

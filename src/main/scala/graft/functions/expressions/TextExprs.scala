@@ -102,12 +102,12 @@ object TextExprs {
     */
   def pdfExtractText(payload: Column): Column = c(PdfExtractText(x(payload)))
 
-  /** DOCX (ZIP+WordprocessingML) payload → document text, NULL for
-    * non-ZIP bytes, ZIPs without a main document part, or corrupt/
-    * encrypted members (see [[DocxExtractText]]).
+  /** ZIP-framed document payload (DOCX or EPUB) → document text,
+    * NULL for non-ZIP bytes, plain archives, or corrupt/encrypted
+    * members (see [[OfficeExtractText]]).
     */
-  def docxExtractText(payload: Column): Column =
-    c(DocxExtractText(x(payload)))
+  def officeExtractText(payload: Column): Column =
+    c(OfficeExtractText(x(payload)))
 
   /** The canonical name [[charsetDecode]] will actually decode these
     * bytes with — "utf-8" for unknown declared labels, the sniffed
@@ -1149,29 +1149,33 @@ case class PdfExtractText(child: Expression)
     copy(child = c)
 }
 
-/** Best-effort DOCX text extraction as an expression: ZIP payload →
-  * the WordprocessingML document text ([[graft.multimodal.Docx
-  * .extractText]] — central-directory walk, `_rels` main-part
-  * resolution, the bounded `w:t`/`w:tab`/`w:br` scan with no entity
-  * resolution), NULL when the bytes are not a ZIP, carry no main
-  * document part (plain archives stay opaque media), or the member
-  * is encrypted/corrupt (ciphertext and partial inflate must not
-  * reach a text corpus — the [[PdfExtractText]] rationale). The
+/** Best-effort ZIP-framed document text extraction as an expression:
+  * DOCX first ([[graft.multimodal.Docx.extractText]] — central-
+  * directory walk, `_rels` main-part resolution, the bounded
+  * `w:t`/`w:tab`/`w:br` scan with no entity resolution), then EPUB
+  * ([[graft.multimodal.Epub.extractText]] — container.xml → OPF
+  * spine → XHTML chapters); NULL when the bytes are not a ZIP, carry
+  * neither document shape (plain archives stay opaque media), or the
+  * member is encrypted/corrupt (ciphertext and partial inflate must
+  * not reach a text corpus — the [[PdfExtractText]] rationale). The
   * expression form keeps the crawl face ([[graft.sources.WarcSource
   * .officeDocuments]]) pure Column ops — ts passthrough and the
   * streaming mirror come for free, the repo's no-UDF convention.
   */
-case class DocxExtractText(child: Expression)
+case class OfficeExtractText(child: Expression)
     extends UnaryExpression with CodegenFallback {
 
   override def dataType: DataType = StringType
   override def nullable: Boolean = true
 
-  override def nullSafeEval(input: Any): Any =
-    graft.multimodal.Docx.extractText(input.asInstanceOf[Array[Byte]]) match {
+  override def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[Array[Byte]]
+    graft.multimodal.Docx.extractText(bytes)
+      .orElse(graft.multimodal.Epub.extractText(bytes)) match {
       case Some(t) => UTF8String.fromString(t)
       case None => null
     }
+  }
 
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)

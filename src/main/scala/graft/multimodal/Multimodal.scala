@@ -1236,6 +1236,33 @@ object Multimodal {
     """SELECT doc_id, coalesce(text, '') AS text, TRUE AS extract_ok
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** q131 entry: EPUB TEXT EXTRACTION in the oracle-checked path —
+    * each document written as a REAL .epub ([[Epub.write]]: stored
+    * `mimetype` first per OCF, container.xml → OPF manifest+spine →
+    * an XHTML chapter with one `<p>` per line, plus a non-spine CSS
+    * member the extraction must ignore) and extracted back
+    * ([[Epub.extractText]]: the container grammar end-to-end, then
+    * the bounded XHTML scan). The oracle is the IDENTITY on the
+    * documents table — q129's device on the book format.
+    */
+  def q131(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), coalesce(col("text"), lit("")).as("t"))
+      .as[(Long, String)]
+      .map { case (id, t) =>
+        val back = Epub.extractText(Epub.write(t))
+        (id, back.getOrElse(""), back.isDefined)
+      }
+      .toDF("doc_id", "text", "extract_ok")
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB mirror of q131: the identity — extraction must return the
+    * original text verbatim.
+    */
+  val q131Sql: String = q129Sql
+
   /** q130 entry: VIDEO-CONTAINER PROBE in the oracle-checked path —
     * per document, a REAL container built with doc_id-derived
     * parameters (even ids → ISO-BMFF via [[Mp4.write]], odd →

@@ -581,22 +581,25 @@ object CorpusPrep {
   def metaPath(outPath: String): String = s"$outPath/_corpus_meta"
 
   /** [[runFromWarc]]'s stats: the per-face intake billing on top of
-    * the pipeline's own [[Stats]] (`htmlDocs` + `pdfDocs` ==
-    * `prep.input` by construction — the two faces take disjoint
-    * record sets).
+    * the pipeline's own [[Stats]] (`htmlDocs` + `pdfDocs` +
+    * `officeDocs` == `prep.input` by construction — the faces take
+    * disjoint record sets).
     */
-  final case class WarcStats(htmlDocs: Long, pdfDocs: Long, prep: Stats)
+  final case class WarcStats(htmlDocs: Long, pdfDocs: Long,
+                             officeDocs: Long, prep: Stats)
 
   /** The batch crawl-intake entry: WARC archives straight into the
     * standard scrub→dedup→quality→mix pipeline. The HTML/WET
     * documents face always feeds; `includePdfs` unions in
     * [[graft.sources.WarcSource.pdfDocuments]] (the /ToUnicode-aware
     * PDF-text face — already printability-fenced, so only recovered
-    * text arrives) in the SAME corpus shape, with disjoint doc_ids
-    * (both faces hash file#record_ix, over disjoint record sets).
-    * The streaming trio ([[graft.streaming.Streams.warcDocuments]] /
-    * warcPdfDocuments → corpusPrep) already composes this way; this
-    * is the batch mirror.
+    * text arrives) and `includeOffice` unions in
+    * [[graft.sources.WarcSource.officeDocuments]] (DOCX text through
+    * the real ZIP walk) in the SAME corpus shape, with disjoint
+    * doc_ids (all faces hash file#record_ix, over disjoint record
+    * sets). The streaming mirrors ([[graft.streaming.Streams
+    * .warcDocuments]] / warcPdfDocuments / warcOfficeDocuments →
+    * corpusPrep) already compose this way; this is the batch mirror.
     *
     * Scale note: each face's counts and the pipeline's own passes
     * re-parse the archives rather than caching them — caching raw
@@ -608,21 +611,28 @@ object CorpusPrep {
   def runFromWarc(spark: org.apache.spark.sql.SparkSession, warcDir: String,
                   outPath: String, cfg: Config,
                   includePdfs: Boolean = true,
+                  includeOffice: Boolean = true,
                   glob: Option[String] = None,
                   benchmark: Option[DataFrame] = None): WarcStats = {
     import graft.sources.WarcSource
     val recs = WarcSource.records(spark, warcDir, glob)
     val html = WarcSource.documents(recs)
-    val docs =
-      if (includePdfs) html.unionByName(WarcSource.pdfDocuments(recs))
-      else html
+    val office =
+      if (includeOffice) Some(WarcSource.officeDocuments(recs)) else None
+    val pdfs = if (includePdfs) Some(WarcSource.pdfDocuments(recs)) else None
+    val docs = (Seq(html) ++ pdfs ++ office).reduce(_ unionByName _)
     val htmlN = html.count()
-    val prep = run(docs, outPath, cfg, benchmark)
-    // the pdf billing is DERIVED (input − html), not a second
+    // office is counted directly (ZIP records are the rare face —
+    // the count's extraction cost prunes to them); the PDF billing
+    // stays DERIVED (input − html − office), not a second
     // pdfDocuments pass: the faces take disjoint record sets, and an
     // extra count would re-parse every archive and re-extract every
     // PDF — a whole wasted crawl scan at the 100 TB scale
-    WarcStats(htmlN, if (includePdfs) prep.input - htmlN else 0L, prep)
+    val officeN = office.map(_.count()).getOrElse(0L)
+    val prep = run(docs, outPath, cfg, benchmark)
+    WarcStats(htmlN,
+      if (includePdfs) prep.input - htmlN - officeN else 0L,
+      officeN, prep)
   }
 
   def run(docs: DataFrame, outPath: String, cfg: Config,

@@ -558,16 +558,16 @@ object WarcSource {
       extra.nonEmpty)
   }
 
-  /** The OFFICE-document text face: `response` payloads whose magic
-    * is ZIP (OOXML — .docx et al. — presents as ZIP on the wire),
-    * their WordprocessingML text extracted ([[graft.functions
-    * .expressions.DocxExtractText]] — central-directory walk,
-    * `_rels` main-part resolution, the bounded `w:t` scan) into the
-    * SAME corpus shape as [[documents]]/[[pdfDocuments]]. Most ZIPs
-    * are NOT office documents (plain archives, JARs, EPUBs) — those
-    * yield NULL from the extraction and simply produce no row here,
-    * staying opaque blobs in [[media]]; that asymmetry with the PDF
-    * face's quarantine arms is deliberate: an unextractable PDF is a
+  /** The OFFICE/BOOK-document text face: `response` payloads whose
+    * magic is ZIP (OOXML .docx and EPUB both present as ZIP on the
+    * wire), their text extracted ([[graft.functions.expressions
+    * .OfficeExtractText]] — one central-directory walk dispatching
+    * WordprocessingML vs OPS/XHTML by the container's own grammar)
+    * into the SAME corpus shape as [[documents]]/[[pdfDocuments]].
+    * Most ZIPs are NEITHER (plain archives, JARs) — those yield NULL
+    * from the extraction and simply produce no row here, staying
+    * opaque blobs in [[media]]; that asymmetry with the PDF face's
+    * quarantine arms is deliberate: an unextractable PDF is a
     * refused DOCUMENT (noteworthy evidence), an unextractable ZIP is
     * just an archive. Extractions still pass the [[printableText]]
     * gate (a malformed part that decodes to control-dense noise must
@@ -593,7 +593,7 @@ object WarcSource {
           .as("doc_id"),
         col("target_uri").as("url"),
         explode(array(graft.functions.expressions.TextExprs
-          .docxExtractText(col("body")))).as("text"),
+          .officeExtractText(col("body")))).as("text"),
         lit("utf-8").as("charset_used"),
         regexp_extract(col("file"), "([^/]+)$", 1).as("source")) ++
         extra: _*)

@@ -27,7 +27,7 @@ class CorpusPrepSpec extends SparkSpec {
     }
   }
 
-  test("runFromWarc: crawled HTML + WET + PDF text ride one pipeline; pdfDocs billed; mojibake stays out") {
+  test("runFromWarc: crawled HTML + WET + PDF + DOCX text ride one pipeline; per-face billing; mojibake stays out") {
     import java.nio.file.{Files, Paths}
     val dir = Files.createTempDirectory("graft-prep-warc").toString
     val out = Files.createTempDirectory("graft-prep-out").toString + "/corpus"
@@ -46,6 +46,7 @@ class CorpusPrepSpec extends SparkSpec {
         (s"HTTP/1.1 200 OK\r\nContent-Type: $ct\r\n\r\n")
           .getBytes("ISO-8859-1") ++ body)
     val pdfText = "a crawled pdf paragraph riding the batch corpus pipeline"
+    val docxText = "a crawled office document riding the batch corpus pipeline"
     Files.write(Paths.get(dir, "crawl.warc"),
       resp("http://x.example/page", "text/html",
         "<html><body>an html page of the crawl corpus</body></html>"
@@ -58,24 +59,37 @@ class CorpusPrepSpec extends SparkSpec {
           graft.multimodal.PdfText.write(pdfText)) ++
         resp("http://x.example/glyphs.pdf", "application/pdf",
           graft.multimodal.PdfText.writeGlyph(
-            "mojibake glyph ids must stay out", withToUnicode = false)))
+            "mojibake glyph ids must stay out", withToUnicode = false)) ++
+        resp("http://x.example/report.docx",
+          "application/vnd.openxmlformats-officedocument" +
+            ".wordprocessingml.document",
+          graft.multimodal.Docx.write(docxText)) ++
+        resp("http://x.example/backup.zip", "application/zip",
+          graft.multimodal.Zip.write(Seq(("readme.txt",
+            "a plain archive is not a document".getBytes("UTF-8"), true)))))
     val keep = CorpusPrep.Config(langRates = Map.empty, defaultRate = 1.0,
       nShards = 2, stripMarkup = true)
     val stats = CorpusPrep.runFromWarc(spark, dir, out, keep)
     assert(stats.htmlDocs == 2, "html response + wet conversion")
     assert(stats.pdfDocs == 1,
       "one recoverable PDF billed; the mojibake one is quarantined upstream")
-    assert(stats.prep.input == stats.htmlDocs + stats.pdfDocs,
+    assert(stats.officeDocs == 1,
+      "the docx billed; the plain archive yields no corpus row")
+    assert(stats.prep.input ==
+      stats.htmlDocs + stats.pdfDocs + stats.officeDocs,
       "the faces take disjoint record sets")
     val corpus = spark.read.parquet(out)
-    assert(corpus.count() == 3)
+    assert(corpus.count() == 4)
     assert(corpus.filter(col("text") === pdfText).count() == 1,
       "the PDF's recovered text must ride the same pipeline to the corpus")
+    assert(corpus.filter(col("text") === docxText).count() == 1,
+      "the DOCX's text must ride the same pipeline to the corpus")
     assert(corpus.filter(col("text").contains("mojibake")).count() == 0)
-    // the knob OFF: PDFs stay out, billing says so
+    // the knobs OFF: PDFs/DOCX stay out, billing says so
     val noPdf = CorpusPrep.runFromWarc(spark, dir, out + "_nopdf", keep,
-      includePdfs = false)
-    assert(noPdf.pdfDocs == 0 && noPdf.prep.input == 2)
+      includePdfs = false, includeOffice = false)
+    assert(noPdf.pdfDocs == 0 && noPdf.officeDocs == 0 &&
+      noPdf.prep.input == 2)
   }
 
   test("qualityWeighted gate: drops exactly the q117-kernel verdicts, flipped once per dedup survivor") {

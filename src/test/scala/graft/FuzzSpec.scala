@@ -118,6 +118,8 @@ class FuzzSpec extends SparkSpec {
         b => { PdfText.extract(b); () }),
       ("zip-docx", Docx.write("fuzz docx paragraph\nsecond\tline"),
         b => { Docx.extractText(b); () }),
+      ("zip-epub", Epub.write("fuzz epub chapter\nsecond line"),
+        b => { Epub.extractText(b); () }),
       ("mp4", Mp4.write("isom", 64000L, Some(("avc1", 640, 360)),
         Some(("mp4a", 48000, 2))), b => { Mp4.parse(b); () }),
       ("mkv", Mkv.write("webm", 64000L, Some(("V_VP9", 640, 360)),

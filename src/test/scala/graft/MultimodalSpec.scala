@@ -1461,6 +1461,17 @@ class MultimodalSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("q131: EPUB extraction end-to-end — identity on the documents table") {
+    val out = Multimodal.q131(spark, sf).cache()
+    assert(out.count() == Tables(spark, sf).documents.count())
+    assert(out.filter(!col("extract_ok")).count() == 0)
+    val orig = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
+    assert(out.select("doc_id", "text").except(orig).count() == 0,
+      "extraction must be the identity on every document")
+    out.unpersist()
+  }
+
   test("q130: video probe end-to-end — every container probes, fields follow the doc_id closed form") {
     val out = Multimodal.q130(spark, sf).cache()
     assert(out.count() == Tables(spark, sf).documents.count())

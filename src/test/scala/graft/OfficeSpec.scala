@@ -1,6 +1,6 @@
 package graft
 
-import graft.multimodal.{Docx, Zip}
+import graft.multimodal.{Docx, Epub, Zip}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** ZIP container walk + DOCX text extraction — round trips through
@@ -158,5 +158,80 @@ class OfficeSpec extends AnyFunSuite {
     val broken2 = Zip.write(Seq(
       ("word/document.xml", b("<w:document><w:body><w:p><w:t>x</w:t"), true)))
     assert(Docx.extractText(broken2).isEmpty, "unterminated tag fences")
+  }
+
+  // ---- Epub ----
+
+  test("epub identity: extract(write(t)) == t across newlines, escapes, unicode, empty") {
+    val cases = Seq(
+      "",
+      "a single paragraph of book text",
+      "chapter line one\nchapter line two",
+      "trailing\n",
+      "\n\nblank paragraphs survive\n",
+      "escapes: a < b && c > d",
+      "unicode: été 中文 " + new String(Character.toChars(0x1F600)))
+    cases.foreach { t =>
+      assert(Epub.extractText(Epub.write(t)).contains(t), s"case '$t'")
+    }
+  }
+
+  test("epub scanner: head/title/style/script die, br breaks, comments skipped, unknown entities literal, numeric refs decode") {
+    val ch = b("<?xml version=\"1.0\"?><!DOCTYPE html>" +
+      "<html><head><title>Chrome Title</title>" +
+      "<style>p { color: red }</style>" +
+      "<script>var x = '<p>not text</p>';</script></head>" +
+      "<body><!-- a comment with <p>bait</p> -->" +
+      "<p>real &amp; true &mdash; yes&#33;</p>" +
+      "<p>line<br/>break &#x41;&nbsp;end</p>" +
+      "</body></html>")
+    val opf = b("<package><manifest>" +
+      "<item id=\"c\" href=\"c.xhtml\" media-type=\"application/xhtml+xml\"/>" +
+      "</manifest><spine><itemref idref=\"c\"/></spine></package>")
+    val container = b("<container><rootfiles>" +
+      "<rootfile full-path=\"book/pkg.opf\" media-type=" +
+      "\"application/oebps-package+xml\"/></rootfiles></container>")
+    val zip = Zip.write(Seq(
+      ("mimetype", b("application/epub+zip"), false),
+      ("META-INF/container.xml", container, true),
+      ("book/pkg.opf", opf, true),
+      ("book/c.xhtml", ch, true)))
+    assert(Epub.extractText(zip).contains(
+      "real & true &mdash; yes!\nline\nbreak A end"))
+  }
+
+  test("epub: spine order governs, non-xhtml items skipped, multi-chapter join") {
+    val mk = (t: String) => b(s"<html><body><p>$t</p></body></html>")
+    val opf = b("<package><manifest>" +
+      "<item id=\"b\" href=\"sub/b.xhtml\" media-type=\"application/xhtml+xml\"/>" +
+      "<item id=\"a\" href=\"a.xhtml\" media-type=\"application/xhtml+xml\"/>" +
+      "<item id=\"css\" href=\"s.css\" media-type=\"text/css\"/>" +
+      "</manifest><spine><itemref idref=\"b\"/><itemref idref=\"a\"/>" +
+      "<itemref idref=\"css\"/></spine></package>")
+    val container = b("<container><rootfiles>" +
+      "<rootfile full-path=\"ops/x.opf\" media-type=" +
+      "\"application/oebps-package+xml\"/></rootfiles></container>")
+    val zip = Zip.write(Seq(
+      ("META-INF/container.xml", container, true),
+      ("ops/x.opf", opf, true),
+      ("ops/a.xhtml", mk("second in spine"), true),
+      ("ops/sub/b.xhtml", mk("first in spine"), true),
+      ("ops/s.css", b("p{}"), true)))
+    assert(Epub.extractText(zip).contains("first in spine\nsecond in spine"))
+  }
+
+  test("epub fences: no container, missing opf, no extractable chapter") {
+    assert(Epub.extractText(Zip.write(Seq(
+      ("readme.txt", b("plain archive"), true)))).isEmpty)
+    val container = b("<container><rootfiles>" +
+      "<rootfile full-path=\"gone.opf\" media-type=" +
+      "\"application/oebps-package+xml\"/></rootfiles></container>")
+    assert(Epub.extractText(Zip.write(Seq(
+      ("META-INF/container.xml", container, true)))).isEmpty,
+      "missing opf")
+    // the office expression's dispatch: a docx is NOT an epub and
+    // vice versa — each extracts through its own grammar only
+    assert(Epub.extractText(Docx.write("wordprocessing")).isEmpty)
+    assert(Docx.extractText(Epub.write("a book")).isEmpty)
   }
 }

@@ -587,6 +587,8 @@ class WarcSourceSpec extends SparkSpec {
       .find(_.name == "word/document.xml").get
     corrupt(main.offset.toInt + 30 + 17 + 2) =
       (corrupt(main.offset.toInt + 30 + 17 + 2) ^ 0x11).toByte
+    val epub = graft.multimodal.Epub.write(
+      "a crawled public domain book chapter")
     Files.write(Paths.get(dir, "office.warc"),
       resp("http://o.example/report.docx",
         "application/vnd.openxmlformats-officedocument" +
@@ -594,21 +596,26 @@ class WarcSourceSpec extends SparkSpec {
         // the lying-header case: served as octet-stream, bytes decide
         resp("http://o.example/nameless", "application/octet-stream",
           plainZip) ++
-        resp("http://o.example/damaged.docx", "application/zip", corrupt))
+        resp("http://o.example/damaged.docx", "application/zip", corrupt) ++
+        resp("http://o.example/book.epub", "application/epub+zip", epub))
     val recs = WarcSource.records(spark, dir).cache()
     // ZIPs route to media (never the text corpus) …
     assert(WarcSource.documents(recs)
       .filter(col("url").startsWith("http://o.example")).count() == 0)
     assert(WarcSource.media(recs)
-      .filter(col("meta.mime") === "application/zip").count() == 3)
-    // … and only the REAL office document yields corpus text
+      .filter(col("meta.mime") === "application/zip").count() == 4)
+    // … and only the REAL documents yield corpus text
     val docs = WarcSource.officeDocuments(recs).collect()
-    assert(docs.length == 1,
+    assert(docs.length == 2,
       "plain archives and corrupt members must yield no corpus row")
-    assert(docs.head.getAs[String]("url") == "http://o.example/report.docx")
-    assert(docs.head.getAs[String]("text") ==
+    val byUrl = docs.map(r => r.getAs[String]("url") -> r).toMap
+    val rep = byUrl("http://o.example/report.docx")
+    assert(rep.getAs[String]("text") ==
       "a crawled office document about quarterly results")
-    assert(docs.head.getAs[Long]("n_chars") == 49L)
+    assert(rep.getAs[Long]("n_chars") == 49L)
+    assert(byUrl("http://o.example/book.epub").getAs[String]("text") ==
+      "a crawled public domain book chapter",
+      "the EPUB arm rides the same face")
     recs.unpersist()
 
     // the continuous mirror: same rows, archive mtime as ts
@@ -619,7 +626,7 @@ class WarcSourceSpec extends SparkSpec {
     try {
       q.processAllAvailable()
       val got = spark.table("warc_office_stream")
-      assert(got.count() == 1,
+      assert(got.count() == 2,
         "the streaming mirror must apply the same fences as batch")
       assert(got.filter(col("ts").isNull).count() == 0)
     } finally q.stop()
