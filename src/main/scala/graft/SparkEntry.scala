@@ -43,7 +43,9 @@ object SparkEntry {
         Entry("q130_video_probe", graft.multimodal.Multimodal.q130,
           Some(graft.multimodal.Multimodal.q130Sql)),
         Entry("q131_epub_extract", graft.multimodal.Multimodal.q131,
-          Some(graft.multimodal.Multimodal.q131Sql)))
+          Some(graft.multimodal.Multimodal.q131Sql)),
+        Entry("q132_audio_probe", graft.multimodal.Multimodal.q132,
+          Some(graft.multimodal.Multimodal.q132Sql)))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -209,6 +209,41 @@ object Multimodal {
                 FeatureRow(r.doc_id, r.meta.mime, r.meta.n_bytes,
                   ok = false, features = Array.empty)
             }
+          else if (r.meta.mime == graft.sources.BinarySource.MimeOgg)
+            // REAL audio path #3: OGG page walk — codec/rate/channels/
+            // duration-from-granule triage. Layout: rate, channels,
+            // durationMs, pages, codec code (1 vorbis / 2 opus).
+            Ogg.parse(r.payload) match {
+              case Some(info) =>
+                val f = new Array[Float](FeatureDim)
+                f(0) = info.sampleRate.toFloat
+                f(1) = info.channels.toFloat
+                f(2) = info.durationMs.toFloat
+                f(3) = info.pages.toFloat
+                f(4) = if (info.codec == "vorbis") 1f else 2f
+                FeatureRow(r.doc_id, r.meta.mime, r.meta.n_bytes,
+                  ok = true, features = f)
+              case None =>
+                FeatureRow(r.doc_id, r.meta.mime, r.meta.n_bytes,
+                  ok = false, features = Array.empty)
+            }
+          else if (r.meta.mime == graft.sources.BinarySource.MimeFlac)
+            // REAL audio path #4: FLAC STREAMINFO — rate, channels,
+            // bits/sample, total samples, durationMs.
+            Flac.parse(r.payload) match {
+              case Some(info) =>
+                val f = new Array[Float](FeatureDim)
+                f(0) = info.sampleRate.toFloat
+                f(1) = info.channels.toFloat
+                f(2) = info.durationMs.toFloat
+                f(3) = info.totalSamples.toFloat
+                f(4) = info.bitsPerSample.toFloat
+                FeatureRow(r.doc_id, r.meta.mime, r.meta.n_bytes,
+                  ok = true, features = f)
+              case None =>
+                FeatureRow(r.doc_id, r.meta.mime, r.meta.n_bytes,
+                  ok = false, features = Array.empty)
+            }
           else if (r.meta.mime == graft.sources.BinarySource.MimeMp4)
             // REAL video path #1: ISO-BMFF box walk — duration/dims/
             // track-census triage evidence WITHOUT touching a codec
@@ -1354,6 +1389,85 @@ object Multimodal {
       |       WHEN m2 = 0 THEN 48000 ELSE 44100 END AS INT) AS audio_rate,
       |  CAST(CASE WHEN m3 <> 0 THEN 0 ELSE 1 + m2 END AS INT)
       |    AS audio_channels,
+      |  TRUE AS probe_ok
+      |FROM p ORDER BY doc_id""".stripMargin
+
+  /** q132 entry: AUDIO-CONTAINER PROBE in the oracle-checked path —
+    * the q130 device on the audio formats: per document, a REAL
+    * container built with doc_id-derived parameters (even ids → FLAC
+    * via [[Flac.write]], odd → OGG via [[Ogg.write]], Vorbis or Opus
+    * by a second residue) and probed back ([[Flac.parse]] STREAMINFO
+    * bits / [[Ogg.parse]] page walk incl. granule-position duration
+    * and the Opus pre-skip + 48 kHz granule-rate rules). The oracle
+    * recomputes every probed field from doc_id arithmetic — the
+    * bit-packing/page-framing machinery must cancel for the hash to
+    * match.
+    */
+  def q132(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"))
+      .as[Long]
+      .map { id =>
+        def pmod(k: Long): Long = ((id % k) + k) % k
+        val samples = 1000L + pmod(100000)
+        val ch = if (pmod(4) >= 2) 2 else 1
+        if (pmod(2) == 0) {
+          val rate = if (pmod(3) == 0) 32000 else if (pmod(3) == 1) 44100
+                     else 48000
+          val info = Flac.parse(Flac.write(rate, ch, 16, samples,
+            withComment = pmod(5) == 0)).getOrElse(
+            Flac.Info(-1, -1, -1, -1, -1))
+          (id, "flac", "flac", info.channels, info.sampleRate,
+            info.durationMs, info.sampleRate >= 0)
+        } else {
+          val vorbis = pmod(3) == 0
+          val rate = if (pmod(5) == 0) 48000 else 44100
+          val preSkip = if (vorbis) 0 else 312
+          val info = Ogg.parse(Ogg.write(
+            if (vorbis) "vorbis" else "opus", ch, rate,
+            granuleEnd = samples + preSkip, preSkip = preSkip))
+            .getOrElse(Ogg.Info("", -1, -1, -1, -1))
+          (id, "ogg", info.codec, info.channels, info.sampleRate,
+            info.durationMs, info.sampleRate >= 0)
+        }
+      }
+      .toDF("doc_id", "container", "codec", "channels", "sample_rate",
+        "duration_ms", "probe_ok")
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB mirror of q132: every probed field recomputed closed-form
+    * from doc_id (durations follow each format's own rule — FLAC
+    * total/rate, Vorbis granule/rate, Opus (granule−preskip)/48000).
+    */
+  val q132Sql: String =
+    """WITH p AS (
+      |  SELECT doc_id,
+      |    ((doc_id % 2) + 2) % 2 AS m2,
+      |    ((doc_id % 3) + 3) % 3 AS m3,
+      |    ((doc_id % 4) + 4) % 4 AS m4,
+      |    ((doc_id % 5) + 5) % 5 AS m5,
+      |    1000 + ((doc_id % 100000) + 100000) % 100000 AS samples
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CASE WHEN m2 = 0 THEN 'flac' ELSE 'ogg' END AS container,
+      |  CASE WHEN m2 = 0 THEN 'flac'
+      |       WHEN m3 = 0 THEN 'vorbis' ELSE 'opus' END AS codec,
+      |  CAST(CASE WHEN m4 >= 2 THEN 2 ELSE 1 END AS INT) AS channels,
+      |  CAST(CASE WHEN m2 = 0 THEN
+      |         CASE WHEN m3 = 0 THEN 32000 WHEN m3 = 1 THEN 44100
+      |              ELSE 48000 END
+      |       ELSE CASE WHEN m5 = 0 THEN 48000 ELSE 44100 END
+      |  END AS INT) AS sample_rate,
+      |  CAST(CASE
+      |    WHEN m2 = 0 THEN samples * 1000 //
+      |      (CASE WHEN m3 = 0 THEN 32000 WHEN m3 = 1 THEN 44100
+      |            ELSE 48000 END)
+      |    WHEN m3 = 0 THEN samples * 1000 //
+      |      (CASE WHEN m5 = 0 THEN 48000 ELSE 44100 END)
+      |    ELSE samples * 1000 // 48000
+      |  END AS BIGINT) AS duration_ms,
       |  TRUE AS probe_ok
       |FROM p ORDER BY doc_id""".stripMargin
 

@@ -50,6 +50,8 @@ object BinarySource {
   val MimeMp4 = "video/mp4"         // the whole ISO-BMFF brand family
   val MimeWebm = "video/webm"
   val MimeMkv = "video/x-matroska"
+  val MimeOgg = "audio/ogg"         // Vorbis/Opus (and rarely Theora)
+  val MimeFlac = "audio/flac"
 
   /** Magic-byte test: payload bytes [off, off+marker.length) equal the
     * marker (1-based offset, Spark substring convention). Markers are
@@ -113,6 +115,15 @@ object BinarySource {
       .when(magic(payload, 1, "\u001aE\u00df\u00a3"),
         when(decode(substring(payload, 1, 64), "ISO-8859-1")
           .contains("webm"), lit(MimeWebm)).otherwise(lit(MimeMkv)))
+      // OGG page capture at its full 5-byte shape ("OggS" + the
+      // version byte, always 0 — prose can open "OggS…" but not
+      // with a NUL); FLAC pins the byte after "fLaC" to the MANDATORY
+      // first metadata-block header (STREAMINFO type 0, with or
+      // without the last-block flag: 0x00/0x80), so prose opening
+      // "fLaC " stays text
+      .when(magic(payload, 1, "OggS\u0000"), lit(MimeOgg))
+      .when(magic(payload, 1, "fLaC\u0000") ||
+        magic(payload, 1, "fLaC\u0080"), lit(MimeFlac))
       .otherwise(lit("application/octet-stream"))
   }
 

@@ -124,7 +124,11 @@ class FuzzSpec extends SparkSpec {
         Some(("mp4a", 48000, 2))), b => { Mp4.parse(b); () }),
       ("mkv", Mkv.write("webm", 64000L, Some(("V_VP9", 640, 360)),
         Some(("A_OPUS", 48000, 2)), unknownSegmentSize = true),
-        b => { Mkv.parse(b); () }))
+        b => { Mkv.parse(b); () }),
+      ("ogg", Ogg.write("opus", 2, 48000, 96312L, preSkip = 312),
+        b => { Ogg.parse(b); () }),
+      ("flac", Flac.write(44100, 2, 16, 441000L),
+        b => { Flac.parse(b); () }))
     def mutate(b: Array[Byte]): Array[Byte] = rnd.nextInt(4) match {
       case 0 => // flip 1..8 random bytes
         val m = b.clone()

@@ -1401,16 +1401,20 @@ class MultimodalSpec extends SparkSpec {
     out.unpersist()
   }
 
-  test("sniffMime routes ZIP / ISO-BMFF / WebM / Matroska; prose starting 'PK' stays text") {
-    import graft.multimodal.{Docx, Mkv, Mp4}
+  test("sniffMime routes ZIP / ISO-BMFF / WebM / Matroska / OGG / FLAC; prose starting 'PK'/'OggS'/'fLaC' stays text") {
+    import graft.multimodal.{Docx, Flac, Mkv, Mp4, Ogg}
     import spark.implicits._
     val rows = Seq(
       ("docx", Docx.write("sniff me")),
       ("mp4", Mp4.write("isom", 1000L, Some(("avc1", 64, 64)), None)),
       ("webm", Mkv.write("webm", 1000L, Some(("V_VP9", 64, 64)), None)),
       ("mkv", Mkv.write("matroska", 1000L, Some(("V_VP9", 64, 64)), None)),
+      ("ogg", Ogg.write("vorbis", 2, 44100, 44100L)),
+      ("flac", Flac.write(44100, 2, 16, 1000L)),
       ("prose", "PK is how pull requests are abbreviated sometimes"
-        .getBytes("UTF-8")))
+        .getBytes("UTF-8")),
+      ("prose2", "OggS is the page capture pattern".getBytes("UTF-8")),
+      ("prose3", "fLaC marks a flac stream".getBytes("UTF-8")))
       .toDF("name", "payload")
       .select(col("name"),
         graft.sources.BinarySource.sniffMime(col("payload")).as("mime"))
@@ -1420,7 +1424,11 @@ class MultimodalSpec extends SparkSpec {
       "mp4" -> graft.sources.BinarySource.MimeMp4,
       "webm" -> graft.sources.BinarySource.MimeWebm,
       "mkv" -> graft.sources.BinarySource.MimeMkv,
-      "prose" -> "application/octet-stream"), s"$rows")
+      "ogg" -> graft.sources.BinarySource.MimeOgg,
+      "flac" -> "audio/flac",
+      "prose" -> "application/octet-stream",
+      "prose2" -> "application/octet-stream",
+      "prose3" -> "application/octet-stream"), s"$rows")
   }
 
   test("extractFeatures on MP4/WebM mimes yields container-walk evidence, not a stub") {
@@ -1448,6 +1456,52 @@ class MultimodalSpec extends SparkSpec {
       f(2L).features(1) == 1280f && f(2L).features(2) == 720f)
     assert(!f(3L).ok && f(3L).features.isEmpty,
       "a truncated container fences, not stubs")
+  }
+
+  test("extractFeatures on OGG/FLAC mimes yields header-walk evidence, not a stub") {
+    import graft.multimodal.{Flac, Ogg}
+    import spark.implicits._
+    val ogg = Ogg.write("opus", 2, 48000, granuleEnd = 48312L, preSkip = 312)
+    val flac = Flac.write(44100, 2, 24, 88200L)
+    val media = Seq(
+      MediaRow(1L, ogg, MediaMeta(graft.sources.BinarySource.MimeOgg,
+        ogg.length.toLong, 0L)),
+      MediaRow(2L, flac, MediaMeta(graft.sources.BinarySource.MimeFlac,
+        flac.length.toLong, 0L)),
+      MediaRow(3L, "not audio".getBytes,
+        MediaMeta(graft.sources.BinarySource.MimeFlac, 9L, 0L)))
+      .toDS()
+    val f = Multimodal.extractFeatures(media).collect()
+      .map(r => r.doc_id -> r).toMap
+    assert(f(1L).ok && f(1L).features(0) == 48000f &&
+      f(1L).features(1) == 2f && f(1L).features(2) == 1000f &&
+      f(1L).features(4) == 2f) // opus code
+    assert(f(2L).ok && f(2L).features(0) == 44100f &&
+      f(2L).features(2) == 2000f && f(2L).features(3) == 88200f &&
+      f(2L).features(4) == 24f)
+    assert(!f(3L).ok && f(3L).features.isEmpty)
+  }
+
+  test("q132: audio probe end-to-end — every container probes, fields follow the doc_id closed form") {
+    val out = Multimodal.q132(spark, sf).cache()
+    assert(out.count() == Tables(spark, sf).documents.count())
+    assert(out.filter(!col("probe_ok")).count() == 0,
+      "every built container must probe")
+    def pm(k: Int) = pmod(col("doc_id"), lit(k))
+    assert(out.filter(col("container") =!=
+      when(pm(2) === 0, "flac").otherwise("ogg")).count() == 0)
+    assert(out.filter(col("codec") =!=
+      when(pm(2) === 0, "flac").when(pm(3) === 0, "vorbis")
+        .otherwise("opus")).count() == 0)
+    assert(out.filter(col("channels") =!=
+      when(pm(4) >= 2, 2).otherwise(1)).count() == 0)
+    // the duration arithmetic is format-specific; spot-pin one row of
+    // each arm (the DuckDB oracle replays every row independently)
+    val flacRow = out.filter(col("container") === "flac").head()
+    val samples = 1000L + flacRow.getAs[Long]("doc_id") % 100000
+    assert(flacRow.getAs[Long]("duration_ms") ==
+      samples * 1000L / flacRow.getAs[Int]("sample_rate"))
+    out.unpersist()
   }
 
   test("q129: DOCX extraction end-to-end — identity on the documents table") {
