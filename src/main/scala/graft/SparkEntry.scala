@@ -45,7 +45,9 @@ object SparkEntry {
         Entry("q131_epub_extract", graft.multimodal.Multimodal.q131,
           Some(graft.multimodal.Multimodal.q131Sql)),
         Entry("q132_audio_probe", graft.multimodal.Multimodal.q132,
-          Some(graft.multimodal.Multimodal.q132Sql)))
+          Some(graft.multimodal.Multimodal.q132Sql)),
+        Entry("q133_tiff_probe", graft.multimodal.Multimodal.q133,
+          Some(graft.multimodal.Multimodal.q133Sql)))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -244,6 +244,27 @@ object Multimodal {
                 FeatureRow(r.doc_id, r.meta.mime, r.meta.n_bytes,
                   ok = false, features = Array.empty)
             }
+          else if (r.meta.mime == graft.sources.BinarySource.MimeTiff)
+            // REAL image-triage path: TIFF IFD walk — dims/compression/
+            // layout/page-census evidence without decoding strips.
+            // Layout: width, height, compression, bitsPerSample,
+            // samplesPerPixel, photometric, pages.
+            Tiff.parse(r.payload) match {
+              case Some(info) =>
+                val f = new Array[Float](FeatureDim)
+                f(0) = info.width.toFloat
+                f(1) = info.height.toFloat
+                f(2) = info.compression.toFloat
+                f(3) = info.bitsPerSample.toFloat
+                f(4) = info.samplesPerPixel.toFloat
+                f(5) = info.photometric.toFloat
+                f(6) = info.pages.toFloat
+                FeatureRow(r.doc_id, r.meta.mime, r.meta.n_bytes,
+                  ok = true, features = f)
+              case None =>
+                FeatureRow(r.doc_id, r.meta.mime, r.meta.n_bytes,
+                  ok = false, features = Array.empty)
+            }
           else if (r.meta.mime == graft.sources.BinarySource.MimeMp4)
             // REAL video path #1: ISO-BMFF box walk — duration/dims/
             // track-census triage evidence WITHOUT touching a codec
@@ -1468,6 +1489,71 @@ object Multimodal {
       |      (CASE WHEN m5 = 0 THEN 48000 ELSE 44100 END)
       |    ELSE samples * 1000 // 48000
       |  END AS BIGINT) AS duration_ms,
+      |  TRUE AS probe_ok
+      |FROM p ORDER BY doc_id""".stripMargin
+
+  /** q133 entry: TIFF STRUCTURE PROBE in the oracle-checked path —
+    * the q130/q132 device on the scanned-document format: per
+    * document, a REAL TIFF built with doc_id-derived parameters
+    * (byte order by parity — BOTH endiannesses in the oracle path —
+    * dims, compression id, bits/sample incl. the out-of-line
+    * 3-element BitsPerSample when RGB, page count) and probed back
+    * ([[Tiff.parse]] IFD walk). The oracle recomputes every field
+    * from doc_id arithmetic — header byte order, inline-vs-offset
+    * values and the next-IFD chain must all cancel for the hash to
+    * match.
+    */
+  def q133(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"))
+      .as[Long]
+      .map { id =>
+        def pmod(k: Long): Long = ((id % k) + k) % k
+        val big = pmod(2) == 0
+        val w = (1 + pmod(40)).toInt
+        val h = (1 + pmod(30)).toInt
+        val comp = if (pmod(3) == 0) 1 else if (pmod(3) == 1) 5 else 7
+        val spp = if (pmod(4) >= 2) 3 else 1
+        val bps = if (pmod(5) == 0) 16 else 8
+        val photo = if (spp == 3) 2 else 1
+        val pages = (1 + pmod(3)).toInt
+        val info = Tiff.parse(Tiff.write(big, w, h, comp, bps, spp,
+          photo, pages)).getOrElse(
+          Tiff.Info(big, -1, -1, -1, -1, -1, -1, -1))
+        (id, info.bigEndian, info.width, info.height, info.compression,
+          info.bitsPerSample, info.samplesPerPixel, info.photometric,
+          info.pages, info.width > 0)
+      }
+      .toDF("doc_id", "big_endian", "width", "height", "compression",
+        "bits_per_sample", "samples_per_pixel", "photometric", "pages",
+        "probe_ok")
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB mirror of q133: every probed field recomputed closed-form
+    * from doc_id.
+    */
+  val q133Sql: String =
+    """WITH p AS (
+      |  SELECT doc_id,
+      |    ((doc_id % 2) + 2) % 2 AS m2,
+      |    ((doc_id % 3) + 3) % 3 AS m3,
+      |    ((doc_id % 4) + 4) % 4 AS m4,
+      |    ((doc_id % 5) + 5) % 5 AS m5
+      |  FROM documents)
+      |SELECT doc_id,
+      |  m2 = 0 AS big_endian,
+      |  CAST(1 + ((doc_id % 40) + 40) % 40 AS INT) AS width,
+      |  CAST(1 + ((doc_id % 30) + 30) % 30 AS INT) AS height,
+      |  CAST(CASE WHEN m3 = 0 THEN 1 WHEN m3 = 1 THEN 5 ELSE 7 END
+      |    AS INT) AS compression,
+      |  CAST(CASE WHEN m5 = 0 THEN 16 ELSE 8 END AS INT)
+      |    AS bits_per_sample,
+      |  CAST(CASE WHEN m4 >= 2 THEN 3 ELSE 1 END AS INT)
+      |    AS samples_per_pixel,
+      |  CAST(CASE WHEN m4 >= 2 THEN 2 ELSE 1 END AS INT) AS photometric,
+      |  CAST(1 + m3 AS INT) AS pages,
       |  TRUE AS probe_ok
       |FROM p ORDER BY doc_id""".stripMargin
 

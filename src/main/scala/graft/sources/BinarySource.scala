@@ -52,6 +52,9 @@ object BinarySource {
   val MimeMkv = "video/x-matroska"
   val MimeOgg = "audio/ogg"         // Vorbis/Opus (and rarely Theora)
   val MimeFlac = "audio/flac"
+  val MimeTiff = "image/tiff"
+  val MimeAvif = "image/avif"       // ISO-BMFF still images: the ftyp
+  val MimeHeic = "image/heic"       // BRAND decides image vs video
 
   /** Magic-byte test: payload bytes [off, off+marker.length) equal the
     * marker (1-based offset, Spark substring convention). Markers are
@@ -105,10 +108,17 @@ object BinarySource {
       // the office-text face decides docx-ness by the REAL container
       // grammar (central directory + _rels), not bytes here
       .when(magic(payload, 1, "PK\u0003\u0004"), lit(MimeZip))
-      // ISO-BMFF: any box size then 'ftyp' — the whole brand family
-      // (mp4/mov/m4a/3gp) routes here; the probe's `brand` + track
-      // census is the within-family evidence
-      .when(magic(payload, 5, "ftyp"), lit(MimeMp4))
+      // ISO-BMFF: any box size then 'ftyp'. The MAJOR BRAND (bytes
+      // 9-12) splits still images (AVIF/HEIC — crawls serve these as
+      // <img>, not video) from the av family; everything else
+      // (mp4/mov/m4a/3gp) routes to the mp4 probe, whose `brand` +
+      // track census is the within-family evidence
+      .when(magic(payload, 5, "ftyp"),
+        when(magic(payload, 9, "avif") || magic(payload, 9, "avis"),
+          lit(MimeAvif))
+          .when(magic(payload, 9, "heic") || magic(payload, 9, "heix") ||
+            magic(payload, 9, "mif1"), lit(MimeHeic))
+          .otherwise(lit(MimeMp4)))
       // EBML magic = Matroska family; "webm" inside the ~40-byte EBML
       // header (the DocType element precedes any content) splits the
       // two mimes — the probe reports the authoritative DocType
@@ -122,6 +132,10 @@ object BinarySource {
       // without the last-block flag: 0x00/0x80), so prose opening
       // "fLaC " stays text
       .when(magic(payload, 1, "OggS\u0000"), lit(MimeOgg))
+      // TIFF's two byte orders; each shape carries a NUL, so prose
+      // can't open with either
+      .when(magic(payload, 1, "II*\u0000") ||
+        magic(payload, 1, "MM\u0000*"), lit(MimeTiff))
       .when(magic(payload, 1, "fLaC\u0000") ||
         magic(payload, 1, "fLaC\u0080"), lit(MimeFlac))
       .otherwise(lit("application/octet-stream"))

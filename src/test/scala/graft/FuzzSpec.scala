@@ -128,7 +128,11 @@ class FuzzSpec extends SparkSpec {
       ("ogg", Ogg.write("opus", 2, 48000, 96312L, preSkip = 312),
         b => { Ogg.parse(b); () }),
       ("flac", Flac.write(44100, 2, 16, 441000L),
-        b => { Flac.parse(b); () }))
+        b => { Flac.parse(b); () }),
+      ("tiff", Tiff.write(big = false, 24, 17, 5, 8, 3, 2, pages = 2),
+        b => { Tiff.parse(b); () }),
+      ("tiff-be", Tiff.write(big = true, 24, 17, 1, 16, 1, 1),
+        b => { Tiff.parse(b); () }))
     def mutate(b: Array[Byte]): Array[Byte] = rnd.nextInt(4) match {
       case 0 => // flip 1..8 random bytes
         val m = b.clone()

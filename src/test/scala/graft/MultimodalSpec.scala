@@ -1411,6 +1411,9 @@ class MultimodalSpec extends SparkSpec {
       ("mkv", Mkv.write("matroska", 1000L, Some(("V_VP9", 64, 64)), None)),
       ("ogg", Ogg.write("vorbis", 2, 44100, 44100L)),
       ("flac", Flac.write(44100, 2, 16, 1000L)),
+      ("tiff", graft.multimodal.Tiff.write(big = true, 8, 8, 1, 8, 1, 1)),
+      ("avif", Mp4.write("avif", 0L, None, None)),
+      ("heic", Mp4.write("heic", 0L, None, None)),
       ("prose", "PK is how pull requests are abbreviated sometimes"
         .getBytes("UTF-8")),
       ("prose2", "OggS is the page capture pattern".getBytes("UTF-8")),
@@ -1426,6 +1429,9 @@ class MultimodalSpec extends SparkSpec {
       "mkv" -> graft.sources.BinarySource.MimeMkv,
       "ogg" -> graft.sources.BinarySource.MimeOgg,
       "flac" -> "audio/flac",
+      "tiff" -> graft.sources.BinarySource.MimeTiff,
+      "avif" -> graft.sources.BinarySource.MimeAvif,
+      "heic" -> graft.sources.BinarySource.MimeHeic,
       "prose" -> "application/octet-stream",
       "prose2" -> "application/octet-stream",
       "prose3" -> "application/octet-stream"), s"$rows")
@@ -1501,6 +1507,18 @@ class MultimodalSpec extends SparkSpec {
     val samples = 1000L + flacRow.getAs[Long]("doc_id") % 100000
     assert(flacRow.getAs[Long]("duration_ms") ==
       samples * 1000L / flacRow.getAs[Int]("sample_rate"))
+    out.unpersist()
+  }
+
+  test("q133: TIFF probe end-to-end — both byte orders in the oracle path, fields follow the closed form") {
+    val out = Multimodal.q133(spark, sf).cache()
+    assert(out.count() == Tables(spark, sf).documents.count())
+    assert(out.filter(!col("probe_ok")).count() == 0)
+    def pm(k: Int) = pmod(col("doc_id"), lit(k))
+    assert(out.filter(col("big_endian") =!= (pm(2) === 0)).count() == 0)
+    assert(out.filter(col("pages") =!= (lit(1) + pm(3))).count() == 0)
+    assert(out.filter(col("samples_per_pixel") =!=
+      when(pm(4) >= 2, 3).otherwise(1)).count() == 0)
     out.unpersist()
   }
 
