@@ -47,7 +47,9 @@ object SparkEntry {
         Entry("q132_audio_probe", graft.multimodal.Multimodal.q132,
           Some(graft.multimodal.Multimodal.q132Sql)),
         Entry("q133_tiff_probe", graft.multimodal.Multimodal.q133,
-          Some(graft.multimodal.Multimodal.q133Sql)))
+          Some(graft.multimodal.Multimodal.q133Sql)),
+        Entry("q134_rtf_extract", graft.multimodal.Multimodal.q134,
+          Some(graft.multimodal.Multimodal.q134Sql)))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

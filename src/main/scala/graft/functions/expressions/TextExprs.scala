@@ -1170,8 +1170,11 @@ case class OfficeExtractText(child: Expression)
 
   override def nullSafeEval(input: Any): Any = {
     val bytes = input.asInstanceOf[Array[Byte]]
+    // each kernel gates on its own prologue/entry, so the chain costs
+    // only the formats the bytes can actually be
     graft.multimodal.Docx.extractText(bytes)
-      .orElse(graft.multimodal.Epub.extractText(bytes)) match {
+      .orElse(graft.multimodal.Epub.extractText(bytes))
+      .orElse(graft.multimodal.RtfText.extract(bytes)) match {
       case Some(t) => UTF8String.fromString(t)
       case None => null
     }

@@ -1319,6 +1319,33 @@ object Multimodal {
     */
   val q131Sql: String = q129Sql
 
+  /** q134 entry: RTF TEXT EXTRACTION in the oracle-checked path —
+    * each document written as REAL RTF ([[RtfText.write]]: header
+    * with fonttbl/colortbl, a `{\*\generator}` starred destination,
+    * `\uc1` + `\uN?` unicode escapes per UTF-16 unit, `\'hh` for the
+    * latin-1 range, escaped specials, `\par` paragraphs) and
+    * extracted back ([[RtfText.extract]]: group tracking,
+    * destination drops, control-word semantics, `\uN` fallback
+    * eating). The oracle is the IDENTITY on the documents table —
+    * q127/q129/q131's device on the legacy office format, and the
+    * route that stops ASCII RTF from polluting the text corpus.
+    */
+  def q134(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), coalesce(col("text"), lit("")).as("t"))
+      .as[(Long, String)]
+      .map { case (id, t) =>
+        val back = RtfText.extract(RtfText.write(t))
+        (id, back.getOrElse(""), back.isDefined)
+      }
+      .toDF("doc_id", "text", "extract_ok")
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB mirror of q134: the identity. */
+  val q134Sql: String = q129Sql
+
   /** q130 entry: VIDEO-CONTAINER PROBE in the oracle-checked path —
     * per document, a REAL container built with doc_id-derived
     * parameters (even ids → ISO-BMFF via [[Mp4.write]], odd →

@@ -53,6 +53,9 @@ object BinarySource {
   val MimeOgg = "audio/ogg"         // Vorbis/Opus (and rarely Theora)
   val MimeFlac = "audio/flac"
   val MimeTiff = "image/tiff"
+  val MimeRtf = "application/rtf" // ASCII, so WITHOUT this route a
+                                  // crawled .rtf passes the NUL fence
+                                  // and ingests as control-word soup
   val MimeAvif = "image/avif"       // ISO-BMFF still images: the ftyp
   val MimeHeic = "image/heic"       // BRAND decides image vs video
 
@@ -136,6 +139,9 @@ object BinarySource {
       // can't open with either
       .when(magic(payload, 1, "II*\u0000") ||
         magic(payload, 1, "MM\u0000*"), lit(MimeTiff))
+      // RTF prologue at its full 5-char shape ("{\rtf" — prose does
+      // not open with a brace-backslash pair)
+      .when(magic(payload, 1, "{\\rtf"), lit(MimeRtf))
       .when(magic(payload, 1, "fLaC\u0000") ||
         magic(payload, 1, "fLaC\u0080"), lit(MimeFlac))
       .otherwise(lit("application/octet-stream"))

@@ -560,9 +560,11 @@ object WarcSource {
 
   /** The OFFICE/BOOK-document text face: `response` payloads whose
     * magic is ZIP (OOXML .docx and EPUB both present as ZIP on the
-    * wire), their text extracted ([[graft.functions.expressions
-    * .OfficeExtractText]] — one central-directory walk dispatching
-    * WordprocessingML vs OPS/XHTML by the container's own grammar)
+    * wire) or RTF (the `{\rtf` prologue — ASCII, so without this
+    * route it would pass the NUL fence and ingest as control-word
+    * soup), their text extracted ([[graft.functions.expressions
+    * .OfficeExtractText]] — docx/epub by the ZIP container's own
+    * grammar, then the RTF group/control-word scan)
     * into the SAME corpus shape as [[documents]]/[[pdfDocuments]].
     * Most ZIPs are NEITHER (plain archives, JARs) — those yield NULL
     * from the extraction and simply produce no row here, staying
@@ -587,7 +589,8 @@ object WarcSource {
     // whole ZIP walk + inflate per surviving row)
     corpusShape(records
       .filter(col("warc_type") === "response" &&
-        BinarySource.sniffMime(col("body")) === BinarySource.MimeZip)
+        BinarySource.sniffMime(col("body"))
+          .isin(BinarySource.MimeZip, BinarySource.MimeRtf))
       .select(Seq(
         md5Lower64(concat_ws("#", col("file"), col("record_ix")))
           .as("doc_id"),

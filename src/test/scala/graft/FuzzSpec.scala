@@ -132,7 +132,9 @@ class FuzzSpec extends SparkSpec {
       ("tiff", Tiff.write(big = false, 24, 17, 5, 8, 3, 2, pages = 2),
         b => { Tiff.parse(b); () }),
       ("tiff-be", Tiff.write(big = true, 24, 17, 1, 16, 1, 1),
-        b => { Tiff.parse(b); () }))
+        b => { Tiff.parse(b); () }),
+      ("rtf", RtfText.write("fuzz rtf text — café\n{second}\tpara"),
+        b => { RtfText.extract(b); () }))
     def mutate(b: Array[Byte]): Array[Byte] = rnd.nextInt(4) match {
       case 0 => // flip 1..8 random bytes
         val m = b.clone()

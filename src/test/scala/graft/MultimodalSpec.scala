@@ -1414,6 +1414,7 @@ class MultimodalSpec extends SparkSpec {
       ("tiff", graft.multimodal.Tiff.write(big = true, 8, 8, 1, 8, 1, 1)),
       ("avif", Mp4.write("avif", 0L, None, None)),
       ("heic", Mp4.write("heic", 0L, None, None)),
+      ("rtf", graft.multimodal.RtfText.write("route me")),
       ("prose", "PK is how pull requests are abbreviated sometimes"
         .getBytes("UTF-8")),
       ("prose2", "OggS is the page capture pattern".getBytes("UTF-8")),
@@ -1432,6 +1433,7 @@ class MultimodalSpec extends SparkSpec {
       "tiff" -> graft.sources.BinarySource.MimeTiff,
       "avif" -> graft.sources.BinarySource.MimeAvif,
       "heic" -> graft.sources.BinarySource.MimeHeic,
+      "rtf" -> graft.sources.BinarySource.MimeRtf,
       "prose" -> "application/octet-stream",
       "prose2" -> "application/octet-stream",
       "prose3" -> "application/octet-stream"), s"$rows")
@@ -1519,6 +1521,17 @@ class MultimodalSpec extends SparkSpec {
     assert(out.filter(col("pages") =!= (lit(1) + pm(3))).count() == 0)
     assert(out.filter(col("samples_per_pixel") =!=
       when(pm(4) >= 2, 3).otherwise(1)).count() == 0)
+    out.unpersist()
+  }
+
+  test("q134: RTF extraction end-to-end — identity on the documents table") {
+    val out = Multimodal.q134(spark, sf).cache()
+    assert(out.count() == Tables(spark, sf).documents.count())
+    assert(out.filter(!col("extract_ok")).count() == 0)
+    val orig = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
+    assert(out.select("doc_id", "text").except(orig).count() == 0,
+      "extraction must be the identity on every document")
     out.unpersist()
   }
 

@@ -1,6 +1,6 @@
 package graft
 
-import graft.multimodal.{Docx, Epub, Zip}
+import graft.multimodal.{Docx, Epub, RtfText, Zip}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** ZIP container walk + DOCX text extraction — round trips through
@@ -233,5 +233,59 @@ class OfficeSpec extends AnyFunSuite {
     // vice versa — each extracts through its own grammar only
     assert(Epub.extractText(Docx.write("wordprocessing")).isEmpty)
     assert(Docx.extractText(Epub.write("a book")).isEmpty)
+  }
+
+  // ---- Rtf ----
+
+  test("rtf identity: extract(write(t)) == t across newlines, tabs, specials, latin-1, unicode incl. astral, empty") {
+    val cases = Seq(
+      "",
+      "plain rtf paragraph",
+      "two\nparagraphs\nhere",
+      "tabs\tand\tmore",
+      "specials: {braces} and \\backslash\\",
+      "latin-1: café naïve émigré ß ÿ",
+      "cp1252 punctuation block: — – ‘ ’ “ ” •",
+      "unicode: 中文 text " + new String(Character.toChars(0x1F600)),
+      "mixed\tline\nwith {every\\thing}\n")
+    cases.foreach { t =>
+      assert(RtfText.extract(RtfText.write(t)).contains(t), s"case '$t'")
+    }
+  }
+
+  test("rtf scanner: destinations drop (fonttbl/info/pict/starred), control semantics, \\uN fallback eating, \\bin raw skip") {
+    def x(rtf: String) = RtfText.extract(rtf.getBytes("ISO-8859-1"))
+    assert(x("{\\rtf1{\\fonttbl{\\f0 Arial;}}{\\info{\\author Hidden Name}}Visible}")
+      .contains("Visible"))
+    assert(x("{\\rtf1{\\*\\unknowndest secret stuff}shown}").contains("shown"))
+    assert(x("{\\rtf1{\\pict 0011AAFF}after}").contains("after"))
+    // \u with uc=2 eats TWO fallback chars (incl. \'hh forms)
+    assert(x("{\\rtf1\\uc2 \\u26085\\'e6\\'97ok}").contains("日ok"))
+    // negative \uN wraps signed-16-bit
+    assert(x("{\\rtf1\\uc1 \\u-10179?\\u-8704?}")
+      .contains(new String(Character.toChars(0x1F600))))
+    // \binN skips raw bytes that contain '}' and '\'
+    assert(x("{\\rtf1\\bin5 }\\a{}text}").contains("text"))
+    // em-dash & friends as control words
+    assert(x("{\\rtf1 a\\emdash b\\endash c\\bullet d}")
+      .contains("a—b–c•d"))
+    // escaped newline ignored; \~ is a true NON-BREAKING space
+    assert(x("{\\rtf1 a\\\nb\\~c}").contains("ab\u00a0c"))
+    // raw newlines in the file are NOT text
+    assert(x("{\\rtf1 line\r\none}").contains("lineone"))
+  }
+
+  test("rtf fences: non-rtf, prose with braces, unbalanced groups, depth bomb") {
+    assert(RtfText.extract(null).isEmpty)
+    assert(RtfText.extract("just prose { with braces }".getBytes).isEmpty)
+    assert(RtfText.extract("{\\rtg1 wrong word}".getBytes).isEmpty)
+    // closing more groups than opened fences
+    assert(RtfText.extract("{\\rtf1 a}}".getBytes).isEmpty)
+    // a depth bomb caps instead of overflowing
+    val bomb = "{\\rtf1 " + "{" * 10000
+    assert(RtfText.extract(bomb.getBytes).isEmpty)
+    // the dispatch chain: RTF is neither a docx nor an epub
+    assert(Docx.extractText(RtfText.write("x")).isEmpty)
+    assert(Epub.extractText(RtfText.write("x")).isEmpty)
   }
 }

@@ -597,17 +597,25 @@ class WarcSourceSpec extends SparkSpec {
         resp("http://o.example/nameless", "application/octet-stream",
           plainZip) ++
         resp("http://o.example/damaged.docx", "application/zip", corrupt) ++
-        resp("http://o.example/book.epub", "application/epub+zip", epub))
+        resp("http://o.example/book.epub", "application/epub+zip", epub) ++
+        // RTF is ASCII: served even as text/plain it must route here
+        // by its prologue, never into documents as control-word soup
+        resp("http://o.example/legacy.rtf", "text/plain",
+          graft.multimodal.RtfText.write("a legacy rtf memo")))
     val recs = WarcSource.records(spark, dir).cache()
-    // ZIPs route to media (never the text corpus) …
+    // ZIPs/RTF route to media (never the raw-text corpus) …
     assert(WarcSource.documents(recs)
       .filter(col("url").startsWith("http://o.example")).count() == 0)
     assert(WarcSource.media(recs)
       .filter(col("meta.mime") === "application/zip").count() == 4)
+    assert(WarcSource.media(recs)
+      .filter(col("meta.mime") === "application/rtf").count() == 1)
     // … and only the REAL documents yield corpus text
     val docs = WarcSource.officeDocuments(recs).collect()
-    assert(docs.length == 2,
+    assert(docs.length == 3,
       "plain archives and corrupt members must yield no corpus row")
+    assert(docs.map(_.getAs[String]("text"))
+      .contains("a legacy rtf memo"), "the RTF arm rides the same face")
     val byUrl = docs.map(r => r.getAs[String]("url") -> r).toMap
     val rep = byUrl("http://o.example/report.docx")
     assert(rep.getAs[String]("text") ==
@@ -626,7 +634,7 @@ class WarcSourceSpec extends SparkSpec {
     try {
       q.processAllAvailable()
       val got = spark.table("warc_office_stream")
-      assert(got.count() == 2,
+      assert(got.count() == 3,
         "the streaming mirror must apply the same fences as batch")
       assert(got.filter(col("ts").isNull).count() == 0)
     } finally q.stop()
