@@ -49,7 +49,9 @@ object SparkEntry {
         Entry("q133_tiff_probe", graft.multimodal.Multimodal.q133,
           Some(graft.multimodal.Multimodal.q133Sql)),
         Entry("q134_rtf_extract", graft.multimodal.Multimodal.q134,
-          Some(graft.multimodal.Multimodal.q134Sql)))
+          Some(graft.multimodal.Multimodal.q134Sql)),
+        Entry("q135_odt_extract", graft.multimodal.Multimodal.q135,
+          Some(graft.multimodal.Multimodal.q135Sql)))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1174,6 +1174,7 @@ case class OfficeExtractText(child: Expression)
     // only the formats the bytes can actually be
     graft.multimodal.Docx.extractText(bytes)
       .orElse(graft.multimodal.Epub.extractText(bytes))
+      .orElse(graft.multimodal.Odt.extractText(bytes))
       .orElse(graft.multimodal.RtfText.extract(bytes)) match {
       case Some(t) => UTF8String.fromString(t)
       case None => null

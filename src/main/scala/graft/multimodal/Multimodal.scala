@@ -1346,6 +1346,32 @@ object Multimodal {
   /** DuckDB mirror of q134: the identity. */
   val q134Sql: String = q129Sql
 
+  /** q135 entry: ODT TEXT EXTRACTION in the oracle-checked path —
+    * each document written as a REAL OpenDocument package
+    * ([[Odt.write]]: stored `mimetype` first per ODF, manifest,
+    * content.xml with real-writer whitespace encoding — first space
+    * literal, runs as `text:s text:c`) and extracted back
+    * ([[Odt.extractText]]: the `content.xml` scan with paragraph
+    * close, `text:tab`/`text:line-break`/`text:s` expansion). The
+    * oracle is the IDENTITY — the fourth document format under the
+    * q127 device, and the LibreOffice half of the office pair.
+    */
+  def q135(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), coalesce(col("text"), lit("")).as("t"))
+      .as[(Long, String)]
+      .map { case (id, t) =>
+        val back = Odt.extractText(Odt.write(t))
+        (id, back.getOrElse(""), back.isDefined)
+      }
+      .toDF("doc_id", "text", "extract_ok")
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB mirror of q135: the identity. */
+  val q135Sql: String = q129Sql
+
   /** q130 entry: VIDEO-CONTAINER PROBE in the oracle-checked path —
     * per document, a REAL container built with doc_id-derived
     * parameters (even ids → ISO-BMFF via [[Mp4.write]], odd →

@@ -134,7 +134,9 @@ class FuzzSpec extends SparkSpec {
       ("tiff-be", Tiff.write(big = true, 24, 17, 1, 16, 1, 1),
         b => { Tiff.parse(b); () }),
       ("rtf", RtfText.write("fuzz rtf text — café\n{second}\tpara"),
-        b => { RtfText.extract(b); () }))
+        b => { RtfText.extract(b); () }),
+      ("zip-odt", Odt.write("fuzz odt line\nwith  spaces\tand tab"),
+        b => { Odt.extractText(b); () }))
     def mutate(b: Array[Byte]): Array[Byte] = rnd.nextInt(4) match {
       case 0 => // flip 1..8 random bytes
         val m = b.clone()

@@ -1,6 +1,6 @@
 package graft
 
-import graft.multimodal.{Docx, Epub, RtfText, Zip}
+import graft.multimodal.{Docx, Epub, Odt, RtfText, Zip}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** ZIP container walk + DOCX text extraction — round trips through
@@ -287,5 +287,52 @@ class OfficeSpec extends AnyFunSuite {
     // the dispatch chain: RTF is neither a docx nor an epub
     assert(Docx.extractText(RtfText.write("x")).isEmpty)
     assert(Epub.extractText(RtfText.write("x")).isEmpty)
+  }
+
+  // ---- Odt ----
+
+  test("odt identity: extract(write(t)) == t across newlines, tabs, SPACE RUNS, escapes, unicode, empty") {
+    val cases = Seq(
+      "",
+      "plain odt paragraph",
+      "two\nparagraphs",
+      "tabs\there",
+      "space  runs   collapse allegedly    not",
+      " leading and trailing  ",
+      "escapes: a < b && c > d",
+      "unicode: été 中文 " + new String(Character.toChars(0x1F600)),
+      "mixed\tline\nwith  runs\n")
+    cases.foreach { t =>
+      assert(Odt.extractText(Odt.write(t)).contains(t), s"case '$t'")
+    }
+  }
+
+  test("odt scanner: spans transparent, annotations drop, text:s expands, line-break breaks") {
+    val xml = b("<?xml version=\"1.0\"?><office:document-content>" +
+      "<office:body><office:text>" +
+      "<text:p>A<text:span text:style-name=\"T1\">B</text:span>" +
+      "<office:annotation><text:p>reviewer note</text:p>" +
+      "</office:annotation>C<text:s text:c=\"3\"/>D" +
+      "<text:line-break/>E</text:p>" +
+      "<text:h text:outline-level=\"1\">Heading</text:h>" +
+      "</office:text></office:body></office:document-content>")
+    val zip = Zip.write(Seq(("content.xml", xml, true)))
+    assert(Odt.extractText(zip).contains("AB" + "C   D\nE\nHeading"))
+  }
+
+  test("odt fences: non-zip, zip without content.xml, no body text, and the dispatch chain") {
+    assert(Odt.extractText(b("not a zip")).isEmpty)
+    assert(Odt.extractText(Zip.write(Seq(
+      ("readme.txt", b("archive"), true)))).isEmpty)
+    val empty = Zip.write(Seq(("content.xml",
+      b("<office:document-content><office:body><office:text>" +
+        "</office:text></office:body></office:document-content>"), true)))
+    assert(Odt.extractText(empty).isEmpty, "no paragraphs -> no row")
+    // an ODT is none of the other formats and vice versa
+    assert(Docx.extractText(Odt.write("odt")).isEmpty)
+    assert(Epub.extractText(Odt.write("odt")).isEmpty)
+    assert(Odt.extractText(Docx.write("docx")).isEmpty)
+    assert(Odt.extractText(Epub.write("epub")).isEmpty,
+      "an EPUB has no top-level content.xml")
   }
 }

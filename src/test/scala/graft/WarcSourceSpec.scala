@@ -601,19 +601,24 @@ class WarcSourceSpec extends SparkSpec {
         // RTF is ASCII: served even as text/plain it must route here
         // by its prologue, never into documents as control-word soup
         resp("http://o.example/legacy.rtf", "text/plain",
-          graft.multimodal.RtfText.write("a legacy rtf memo")))
+          graft.multimodal.RtfText.write("a legacy rtf memo")) ++
+        resp("http://o.example/memo.odt",
+          "application/vnd.oasis.opendocument.text",
+          graft.multimodal.Odt.write("an opendocument memo")))
     val recs = WarcSource.records(spark, dir).cache()
     // ZIPs/RTF route to media (never the raw-text corpus) …
     assert(WarcSource.documents(recs)
       .filter(col("url").startsWith("http://o.example")).count() == 0)
     assert(WarcSource.media(recs)
-      .filter(col("meta.mime") === "application/zip").count() == 4)
+      .filter(col("meta.mime") === "application/zip").count() == 5)
     assert(WarcSource.media(recs)
       .filter(col("meta.mime") === "application/rtf").count() == 1)
     // … and only the REAL documents yield corpus text
     val docs = WarcSource.officeDocuments(recs).collect()
-    assert(docs.length == 3,
+    assert(docs.length == 4,
       "plain archives and corrupt members must yield no corpus row")
+    assert(docs.map(_.getAs[String]("text"))
+      .contains("an opendocument memo"), "the ODT arm rides the same face")
     assert(docs.map(_.getAs[String]("text"))
       .contains("a legacy rtf memo"), "the RTF arm rides the same face")
     val byUrl = docs.map(r => r.getAs[String]("url") -> r).toMap
@@ -634,7 +639,7 @@ class WarcSourceSpec extends SparkSpec {
     try {
       q.processAllAvailable()
       val got = spark.table("warc_office_stream")
-      assert(got.count() == 3,
+      assert(got.count() == 4,
         "the streaming mirror must apply the same fences as batch")
       assert(got.filter(col("ts").isNull).count() == 0)
     } finally q.stop()
