@@ -116,7 +116,10 @@ object BinarySource {
       // <img>, not video) from the av family; everything else
       // (mp4/mov/m4a/3gp) routes to the mp4 probe, whose `brand` +
       // track census is the within-family evidence
-      .when(magic(payload, 5, "ftyp"),
+      // the size pin: a real ftyp box is tens of bytes, so its
+      // 32-bit big-endian size always opens 0x0000 — prose with
+      // "ftyp" at offset 5 stays text
+      .when(magic(payload, 1, "\u0000\u0000") && magic(payload, 5, "ftyp"),
         when(magic(payload, 9, "avif") || magic(payload, 9, "avis"),
           lit(MimeAvif))
           .when(magic(payload, 9, "heic") || magic(payload, 9, "heix") ||

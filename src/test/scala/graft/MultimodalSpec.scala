@@ -1418,7 +1418,9 @@ class MultimodalSpec extends SparkSpec {
       ("prose", "PK is how pull requests are abbreviated sometimes"
         .getBytes("UTF-8")),
       ("prose2", "OggS is the page capture pattern".getBytes("UTF-8")),
-      ("prose3", "fLaC marks a flac stream".getBytes("UTF-8")))
+      ("prose3", "fLaC marks a flac stream".getBytes("UTF-8")),
+      ("prose4", "who ftyped this? a prose trap at offset five"
+        .getBytes("UTF-8")))
       .toDF("name", "payload")
       .select(col("name"),
         graft.sources.BinarySource.sniffMime(col("payload")).as("mime"))
@@ -1436,7 +1438,8 @@ class MultimodalSpec extends SparkSpec {
       "rtf" -> graft.sources.BinarySource.MimeRtf,
       "prose" -> "application/octet-stream",
       "prose2" -> "application/octet-stream",
-      "prose3" -> "application/octet-stream"), s"$rows")
+      "prose3" -> "application/octet-stream",
+      "prose4" -> "application/octet-stream"), s"$rows")
   }
 
   test("extractFeatures on MP4/WebM mimes yields container-walk evidence, not a stub") {
