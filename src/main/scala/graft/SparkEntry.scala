@@ -51,7 +51,9 @@ object SparkEntry {
         Entry("q134_rtf_extract", graft.multimodal.Multimodal.q134,
           Some(graft.multimodal.Multimodal.q134Sql)),
         Entry("q135_odt_extract", graft.multimodal.Multimodal.q135,
-          Some(graft.multimodal.Multimodal.q135Sql)))
+          Some(graft.multimodal.Multimodal.q135Sql)),
+        Entry("q136_xlsx_extract", graft.multimodal.Multimodal.q136,
+          Some(graft.multimodal.Multimodal.q136Sql)))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1173,6 +1173,7 @@ case class OfficeExtractText(child: Expression)
     // each kernel gates on its own prologue/entry, so the chain costs
     // only the formats the bytes can actually be
     graft.multimodal.Docx.extractText(bytes)
+      .orElse(graft.multimodal.Xlsx.extractText(bytes))
       .orElse(graft.multimodal.Epub.extractText(bytes))
       .orElse(graft.multimodal.Odt.extractText(bytes))
       .orElse(graft.multimodal.RtfText.extract(bytes)) match {

@@ -72,6 +72,11 @@ object Docx {
     var inInstr = false  // inside <w:instrText> (field codes: dropped)
     var inTabs = false   // inside <w:tabs> (tab-stop DEFINITIONS in
                          // paragraph properties — not tab characters)
+    var sawW = false     // any WordprocessingML structure at all: the
+                         // dialect gate (an officeDocument rels Target
+                         // can resolve to a WORKBOOK in an .xlsx — that
+                         // XML must not scan to Some("") and block the
+                         // office dispatch chain)
     var i = 0
     val n = xml.length
     while (i < n) {
@@ -94,6 +99,8 @@ object Docx {
                  tag.charAt(e) != '\n' && tag.charAt(e) != '\r') e += 1
           val name = tag.substring(0, e)
           val selfClosed = tag.endsWith("/")
+          if (name == "w:document" || name == "w:body" || name == "w:p" ||
+              name == "w:t") sawW = true
           name match {
             case "w:t" => inT = !selfClosed
             case "/w:t" => inT = false
@@ -145,7 +152,8 @@ object Docx {
         i += 1
       }
     }
-    if (nPara == 0 && sb.length == 0) Some("") // empty body
+    if (!sawW) None // not WordprocessingML: let the next dialect try
+    else if (nPara == 0 && sb.length == 0) Some("") // empty body
     else {
       if (sb.length > 0) { // trailing text outside any closed paragraph
         if (sawPara) paras.append('\n')

@@ -1372,6 +1372,32 @@ object Multimodal {
   /** DuckDB mirror of q135: the identity. */
   val q135Sql: String = q129Sql
 
+  /** q136 entry: XLSX TEXT EXTRACTION in the oracle-checked path —
+    * each document written as a REAL SpreadsheetML package
+    * ([[Xlsx.write]]: workbook + sheet rels, a DEDUPLICATED shared-
+    * string table like real writers, one row per line and one cell
+    * per TAB segment) and extracted back ([[Xlsx.extractText]]:
+    * rels-resolved workbook → sheets in workbook order → cells by
+    * type through the string table, TSV-shaped). The oracle is the
+    * IDENTITY — the tabular member of the office family under the
+    * q127 device.
+    */
+  def q136(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), coalesce(col("text"), lit("")).as("t"))
+      .as[(Long, String)]
+      .map { case (id, t) =>
+        val back = Xlsx.extractText(Xlsx.write(t))
+        (id, back.getOrElse(""), back.isDefined)
+      }
+      .toDF("doc_id", "text", "extract_ok")
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB mirror of q136: the identity. */
+  val q136Sql: String = q129Sql
+
   /** q130 entry: VIDEO-CONTAINER PROBE in the oracle-checked path —
     * per document, a REAL container built with doc_id-derived
     * parameters (even ids → ISO-BMFF via [[Mp4.write]], odd →

@@ -136,7 +136,9 @@ class FuzzSpec extends SparkSpec {
       ("rtf", RtfText.write("fuzz rtf text — café\n{second}\tpara"),
         b => { RtfText.extract(b); () }),
       ("zip-odt", Odt.write("fuzz odt line\nwith  spaces\tand tab"),
-        b => { Odt.extractText(b); () }))
+        b => { Odt.extractText(b); () }),
+      ("zip-xlsx", Xlsx.write("h1\th2\nfuzz\tcells"),
+        b => { Xlsx.extractText(b); () }))
     def mutate(b: Array[Byte]): Array[Byte] = rnd.nextInt(4) match {
       case 0 => // flip 1..8 random bytes
         val m = b.clone()

@@ -1,6 +1,6 @@
 package graft
 
-import graft.multimodal.{Docx, Epub, Odt, RtfText, Zip}
+import graft.multimodal.{Docx, Epub, Odt, RtfText, Xlsx, Zip}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** ZIP container walk + DOCX text extraction — round trips through
@@ -334,5 +334,59 @@ class OfficeSpec extends AnyFunSuite {
     assert(Odt.extractText(Docx.write("docx")).isEmpty)
     assert(Odt.extractText(Epub.write("epub")).isEmpty,
       "an EPUB has no top-level content.xml")
+  }
+
+  // ---- Xlsx ----
+
+  test("xlsx identity: extract(write(t)) == t across rows, cells, escapes, unicode, empty") {
+    val cases = Seq(
+      "",
+      "one cell",
+      "a\tb\tc",
+      "row one\nrow two",
+      "head1\thead2\nv1\tv2\nv3\tv4",
+      "sparse\t\tcells\t",
+      "repeated\trepeated\trepeated", // the shared-string dedup path
+      "escapes: a < b & c > d",
+      "unicode: été 中文 " + new String(Character.toChars(0x1F600)))
+    cases.foreach { t =>
+      assert(Xlsx.extractText(Xlsx.write(t)).contains(t), s"case '$t'")
+    }
+  }
+
+  test("xlsx cells: inline strings, formula results, booleans, raw numbers, empty cells") {
+    val sheet = b("<worksheet><sheetData>" +
+      "<row r=\"1\"><c r=\"A1\" t=\"s\"><v>0</v></c>" +
+      "<c r=\"B1\" t=\"inlineStr\"><is><t>inline &amp; well</t></is></c>" +
+      "<c r=\"C1\" t=\"str\"><v>formula out</v></c></row>" +
+      "<row r=\"2\"><c r=\"A2\"><v>3.14</v></c>" +
+      "<c r=\"B2\" t=\"b\"><v>1</v></c><c r=\"C2\"/></row>" +
+      "</sheetData></worksheet>")
+    val sst = b("<sst><si><t>shared zero</t></si></sst>")
+    val wb = b("<workbook><sheets>" +
+      "<sheet name=\"S\" sheetId=\"1\" r:id=\"rId1\"/></sheets></workbook>")
+    val wbRels = b("<Relationships><Relationship Id=\"rId1\" " +
+      "Type=\"x/worksheet\" Target=\"worksheets/s1.xml\"/></Relationships>")
+    val zip = Zip.write(Seq(
+      ("xl/workbook.xml", wb, true),
+      ("xl/_rels/workbook.xml.rels", wbRels, true),
+      ("xl/sharedStrings.xml", sst, true),
+      ("xl/worksheets/s1.xml", sheet, true)))
+    assert(Xlsx.extractText(zip).contains(
+      "shared zero\tinline & well\tformula out\n3.14\tTRUE\t"))
+  }
+
+  test("xlsx fences and dispatch: non-zip, plain archive, and the family cross-matrix incl. the workbook-blocks-docx trap") {
+    assert(Xlsx.extractText(b("not a zip")).isEmpty)
+    assert(Xlsx.extractText(Zip.write(Seq(
+      ("readme.txt", b("archive"), true)))).isEmpty)
+    // THE TRAP this round actually hit: an xlsx's officeDocument rels
+    // Target resolves for Docx too (to the WORKBOOK xml) — the
+    // dialect gate must return None there, not Some("")
+    assert(Docx.extractText(Xlsx.write("cells\there")).isEmpty,
+      "a workbook part must not scan as an empty WordprocessingML doc")
+    assert(Xlsx.extractText(Docx.write("words")).isEmpty)
+    assert(Xlsx.extractText(Epub.write("book")).isEmpty)
+    assert(Xlsx.extractText(Odt.write("odt")).isEmpty)
   }
 }

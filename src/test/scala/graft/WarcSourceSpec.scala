@@ -604,19 +604,26 @@ class WarcSourceSpec extends SparkSpec {
           graft.multimodal.RtfText.write("a legacy rtf memo")) ++
         resp("http://o.example/memo.odt",
           "application/vnd.oasis.opendocument.text",
-          graft.multimodal.Odt.write("an opendocument memo")))
+          graft.multimodal.Odt.write("an opendocument memo")) ++
+        resp("http://o.example/table.xlsx",
+          "application/vnd.openxmlformats-officedocument" +
+            ".spreadsheetml.sheet",
+          graft.multimodal.Xlsx.write("year\trevenue\n2024\tsteady")))
     val recs = WarcSource.records(spark, dir).cache()
     // ZIPs/RTF route to media (never the raw-text corpus) …
     assert(WarcSource.documents(recs)
       .filter(col("url").startsWith("http://o.example")).count() == 0)
     assert(WarcSource.media(recs)
-      .filter(col("meta.mime") === "application/zip").count() == 5)
+      .filter(col("meta.mime") === "application/zip").count() == 6)
     assert(WarcSource.media(recs)
       .filter(col("meta.mime") === "application/rtf").count() == 1)
     // … and only the REAL documents yield corpus text
     val docs = WarcSource.officeDocuments(recs).collect()
-    assert(docs.length == 4,
+    assert(docs.length == 5,
       "plain archives and corrupt members must yield no corpus row")
+    assert(docs.map(_.getAs[String]("text"))
+      .contains("year\trevenue\n2024\tsteady"),
+      "the XLSX arm rides the same face, TSV-shaped")
     assert(docs.map(_.getAs[String]("text"))
       .contains("an opendocument memo"), "the ODT arm rides the same face")
     assert(docs.map(_.getAs[String]("text"))
@@ -639,7 +646,7 @@ class WarcSourceSpec extends SparkSpec {
     try {
       q.processAllAvailable()
       val got = spark.table("warc_office_stream")
-      assert(got.count() == 4,
+      assert(got.count() == 5,
         "the streaming mirror must apply the same fences as batch")
       assert(got.filter(col("ts").isNull).count() == 0)
     } finally q.stop()
