@@ -1170,13 +1170,19 @@ case class OfficeExtractText(child: Expression)
 
   override def nullSafeEval(input: Any): Any = {
     val bytes = input.asInstanceOf[Array[Byte]]
-    // each kernel gates on its own prologue/entry, so the chain costs
-    // only the formats the bytes can actually be
-    graft.multimodal.Docx.extractText(bytes)
-      .orElse(graft.multimodal.Xlsx.extractText(bytes))
-      .orElse(graft.multimodal.Epub.extractText(bytes))
-      .orElse(graft.multimodal.Odt.extractText(bytes))
-      .orElse(graft.multimodal.RtfText.extract(bytes)) match {
+    // RTF first (a 5-byte prologue check, not a ZIP); the ZIP
+    // dialects then share ONE parsed central directory — without the
+    // view each kernel would repeat the EOCD backward scan and the
+    // full directory walk per member lookup
+    val out = graft.multimodal.RtfText.extract(bytes).orElse {
+      val zip = new graft.multimodal.Zip.View(bytes)
+      if (!zip.isZip) None
+      else graft.multimodal.Docx.extractText(zip)
+        .orElse(graft.multimodal.Xlsx.extractText(zip))
+        .orElse(graft.multimodal.Epub.extractText(zip))
+        .orElse(graft.multimodal.Odt.extractText(zip))
+    }
+    out match {
       case Some(t) => UTF8String.fromString(t)
       case None => null
     }

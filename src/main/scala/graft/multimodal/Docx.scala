@@ -36,16 +36,16 @@ object Docx {
   /** The officeDocument part name from `_rels/.rels`, normalized
     * (leading "/" stripped); the standard path when rels are absent.
     */
-  private[multimodal] def mainPart(zipBytes: Array[Byte]): String =
-    Zip.extract(zipBytes, "_rels/.rels").flatMap { rels =>
+  private[multimodal] def mainPart(zip: Zip.View): String =
+    zip.extract("_rels/.rels").flatMap { rels =>
       val xml = new String(rels, "UTF-8")
       // one Relationship element whose Type ends /officeDocument;
       // attribute order varies, so match per-element
       val rel = "<Relationship\\b[^>]*>".r.findAllIn(xml).find(el =>
-        "Type\\s*=\\s*\"[^\"]*/officeDocument\"".r
+        "\\bType\\s*=\\s*\"[^\"]*/officeDocument\"".r
           .findFirstIn(el).isDefined)
       rel.flatMap(el =>
-        "Target\\s*=\\s*\"([^\"]+)\"".r.findFirstMatchIn(el)
+        "\\bTarget\\s*=\\s*\"([^\"]+)\"".r.findFirstMatchIn(el)
           .map(_.group(1).stripPrefix("/")))
     }.getOrElse(MainFallback)
 
@@ -54,7 +54,13 @@ object Docx {
     * broken (unterminated tag/entity scan overruns).
     */
   def extractText(zipBytes: Array[Byte]): Option[String] =
-    Zip.extract(zipBytes, mainPart(zipBytes)).flatMap(scanXml)
+    extractText(new Zip.View(zipBytes))
+
+  /** Shared-directory form — the office dispatch parses the central
+    * directory once and hands every dialect the same view.
+    */
+  def extractText(zip: Zip.View): Option[String] =
+    zip.extract(mainPart(zip)).flatMap(scanXml)
 
   /** Single-pass WordprocessingML scan. Returns None only on
     * structural breakage (an unterminated `<` at EOF); unknown
@@ -86,6 +92,13 @@ object Docx {
           val end = xml.indexOf("]]>", i + 9)
           if (end < 0) return None
           if (inT && !inInstr) sb.append(xml, i + 9, end)
+          i = end + 3
+        } else if (xml.startsWith("<!--", i)) {
+          // comments are legal XML anywhere; their content is neither
+          // markup nor text (an entity-looking "&" inside one must not
+          // fence the document)
+          val end = xml.indexOf("-->", i + 4)
+          if (end < 0) return None
           i = end + 3
         } else {
           val end = xml.indexOf('>', i)

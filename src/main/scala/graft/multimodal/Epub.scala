@@ -37,20 +37,35 @@ object Epub {
   private val ContainerPath = "META-INF/container.xml"
 
   private def attr(el: String, name: String): Option[String] =
-    (name + "\\s*=\\s*\"([^\"]*)\"").r.findFirstMatchIn(el).map(_.group(1))
+    // \b so `id=` can't leftmost-match inside `uid="…"` etc.
+    ("\\b" + java.util.regex.Pattern.quote(name) + "\\s*=\\s*\"([^\"]*)\"")
+      .r.findFirstMatchIn(el).map(_.group(1))
+
+  /** Resolve `.`/`..` segments against ZIP entry names (real books
+    * keep the OPF in a subdirectory and write parent-relative hrefs).
+    */
+  private def normalize(path: String): String = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    path.split("/", -1).foreach {
+      case "" | "." => ()
+      case ".." => if (out.nonEmpty) out.remove(out.length - 1)
+      case seg => out += seg
+    }
+    out.mkString("/")
+  }
 
   /** The OPF path from container.xml's first rootfile. */
-  private[multimodal] def opfPath(zipBytes: Array[Byte]): Option[String] =
-    Zip.extract(zipBytes, ContainerPath).flatMap { c =>
+  private[multimodal] def opfPath(zip: Zip.View): Option[String] =
+    zip.extract(ContainerPath).flatMap { c =>
       val xml = new String(c, "UTF-8")
       "<rootfile\\b[^>]*>".r.findFirstIn(xml)
         .flatMap(attr(_, "full-path"))
     }
 
   /** Spine chapter paths (XHTML only), resolved against the OPF dir. */
-  private[multimodal] def chapterPaths(zipBytes: Array[Byte],
+  private[multimodal] def chapterPaths(zip: Zip.View,
                                        opf: String): Vector[String] = {
-    Zip.extract(zipBytes, opf) match {
+    zip.extract(opf) match {
       case None => Vector.empty
       case Some(bytes) =>
         val xml = new String(bytes, "UTF-8")
@@ -70,22 +85,25 @@ object Epub {
           .flatMap(items.get)
           .collect { case (href, mt)
             if mt == "application/xhtml+xml" || mt == "text/html" =>
-              // normalize ./ and leading / — corpus paths, not a resolver
-              base + href.stripPrefix("./")
+              // ./, ../ and leading / all occur in real manifests
+              normalize(base + href)
           }
-          .map(_.stripPrefix("/"))
     }
   }
 
   /** Book text, or None when the bytes are not an EPUB (no container
     * entry), the OPF is missing, or no spine chapter extracts.
     */
-  def extractText(zipBytes: Array[Byte]): Option[String] = {
-    opfPath(zipBytes) match {
+  def extractText(zipBytes: Array[Byte]): Option[String] =
+    extractText(new Zip.View(zipBytes))
+
+  /** Shared-directory form (see [[Zip.View]]). */
+  def extractText(zip: Zip.View): Option[String] = {
+    opfPath(zip) match {
       case None => None
       case Some(opf) =>
-        val chapters = chapterPaths(zipBytes, opf)
-          .flatMap(p => Zip.extract(zipBytes, p))
+        val chapters = chapterPaths(zip, opf)
+          .flatMap(zip.extract)
           .flatMap(scanXhtml)
         if (chapters.isEmpty) None else Some(chapters.mkString("\n"))
     }

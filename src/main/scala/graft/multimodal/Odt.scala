@@ -26,11 +26,27 @@ object Odt {
     * `content.xml`, or its XML is structurally broken.
     */
   def extractText(zipBytes: Array[Byte]): Option[String] =
-    Zip.extract(zipBytes, "content.xml").flatMap(scanContent)
+    extractText(new Zip.View(zipBytes))
+
+  /** Shared-directory form (see [[Zip.View]]). */
+  def extractText(zip: Zip.View): Option[String] =
+    zip.extract("content.xml").flatMap(scanContent)
+
+  /** Space runs a single `text:s` may expand to — the amplification
+    * fence: a ~300-byte hostile content.xml declaring text:c in the
+    * billions must neither throw (overflowing toInt) nor OOM the
+    * task. No real document carries runs near this.
+    */
+  private val MaxSpaceRun = 65535
 
   private def attrInt(tag: String, name: String, dflt: Int): Int =
-    (name + "\\s*=\\s*\"(\\d+)\"").r.findFirstMatchIn(tag)
-      .map(_.group(1).toInt).getOrElse(dflt)
+    ("\\b" + java.util.regex.Pattern.quote(name) + "\\s*=\\s*\"(\\d+)\"")
+      .r.findFirstMatchIn(tag)
+      .map { m =>
+        val d = m.group(1)
+        if (d.length > 9) MaxSpaceRun else math.min(d.toInt, MaxSpaceRun)
+      }
+      .getOrElse(dflt)
 
   private[multimodal] def scanContent(xmlBytes: Array[Byte]): Option[String] = {
     val xml = new String(xmlBytes, "UTF-8")

@@ -80,15 +80,28 @@ object RtfText {
           if (i + 1 >= n) i = n
           else {
             val c2 = s.charAt(i + 1)
-            if (c2 == '\'') { // \'hh — one byte in the declared cp
-              if (i + 3 < n) {
-                try {
-                  val b = Integer.parseInt(s.substring(i + 2, i + 4), 16)
-                  if (!skipping)
-                    out.append(new String(Array(b.toByte), cp1252))
-                } catch { case _: NumberFormatException => () }
-                i += 4
-              } else i = n
+            if (c2 == '\'') {
+              // gather the WHOLE run of consecutive \'hh escapes and
+              // decode ONCE through the declared code page — double-
+              // byte pages (\ansicpg936/932/949/950) encode one
+              // character as a lead/trail byte PAIR across two
+              // escapes; per-byte decoding would emit U+FFFD per byte
+              // and the printability gate would drop real documents
+              val buf = new java.io.ByteArrayOutputStream()
+              var halted = false
+              while (!halted && i + 1 < n && s.charAt(i) == '\\' &&
+                     s.charAt(i + 1) == '\'') {
+                if (i + 3 < n) {
+                  try {
+                    buf.write(Integer.parseInt(s.substring(i + 2, i + 4), 16))
+                    i += 4
+                  } catch {
+                    case _: NumberFormatException => i += 2; halted = true
+                  }
+                } else { i = n; halted = true }
+              }
+              if (!skipping && buf.size() > 0)
+                out.append(new String(buf.toByteArray, cp1252))
             } else if (c2.isLetter) {
               var j = i + 1
               while (j < n && s.charAt(j).isLetter) j += 1

@@ -34,9 +34,22 @@ object Xlsx {
     ("\\b" + java.util.regex.Pattern.quote(name) + "\\s*=\\s*\"([^\"]*)\"")
       .r.findFirstMatchIn(el).map(_.group(1))
 
+  /** Total extracted-output cap — the REFERENCE-AMPLIFICATION fence:
+    * [[Zip.MaxEntryBytes]] caps each member, but thousands of cells
+    * referencing one near-cap shared string would reinstate the bomb
+    * one layer up (tiny payload → multi-GB text). A workbook whose
+    * assembled text exceeds this fences whole (None — the payload
+    * stays an opaque media blob).
+    */
+  private val MaxOutputChars: Long = 64L * 1024 * 1024
+
+  private final class Budget(var left: Long) {
+    def take(n: Int): Boolean = { left -= n; left >= 0 }
+  }
+
   /** The workbook part path (rels-resolved, standard fallback). */
-  private def workbookPart(zip: Array[Byte]): String =
-    Zip.extract(zip, "_rels/.rels").flatMap { rels =>
+  private def workbookPart(zip: Zip.View): String =
+    zip.extract("_rels/.rels").flatMap { rels =>
       val xml = new String(rels, "UTF-8")
       "<Relationship\\b[^>]*>".r.findAllIn(xml).find(el =>
         "Type\\s*=\\s*\"[^\"]*/officeDocument\"".r.findFirstIn(el).isDefined)
@@ -44,21 +57,21 @@ object Xlsx {
     }.getOrElse("xl/workbook.xml")
 
   /** Sheet part paths in workbook order. */
-  private def sheetParts(zip: Array[Byte], wb: String): Vector[String] = {
+  private def sheetParts(zip: Zip.View, wb: String): Vector[String] = {
     val base = wb.lastIndexOf('/') match {
       case -1 => ""
       case i => wb.substring(0, i + 1)
     }
     val relsPath = base + "_rels/" + wb.substring(base.length) + ".rels"
     val targets: Map[String, String] =
-      Zip.extract(zip, relsPath).map { rels =>
+      zip.extract(relsPath).map { rels =>
         val xml = new String(rels, "UTF-8")
         "<Relationship\\b[^>]*>".r.findAllIn(xml).flatMap { el =>
           for { id <- attr(el, "Id"); t <- attr(el, "Target") }
             yield id -> t
         }.toMap
       }.getOrElse(Map.empty)
-    Zip.extract(zip, wb) match {
+    zip.extract(wb) match {
       case None => Vector.empty
       case Some(bytes) =>
         val xml = new String(bytes, "UTF-8")
@@ -84,6 +97,10 @@ object Xlsx {
           val end = xml.indexOf("]]>", i + 9)
           if (end < 0 || end > until) return None
           if (inT) sb.append(xml, i + 9, end)
+          i = end + 3
+        } else if (xml.startsWith("<!--", i)) {
+          val end = xml.indexOf("-->", i + 4)
+          if (end < 0 || end >= until) return None
           i = end + 3
         } else {
           val end = xml.indexOf('>', i)
@@ -130,9 +147,9 @@ object Xlsx {
   }
 
   /** Region bounds of each `<si>…</si>` item, in order. */
-  private def sharedStrings(zip: Array[Byte], wbBase: String)
+  private def sharedStrings(zip: Zip.View, wbBase: String)
       : Option[Vector[String]] =
-    Zip.extract(zip, wbBase + "sharedStrings.xml").map { bytes =>
+    zip.extract(wbBase + "sharedStrings.xml").map { bytes =>
       val xml = new String(bytes, "UTF-8")
       val out = Vector.newBuilder[String]
       var i = 0
@@ -158,7 +175,11 @@ object Xlsx {
   /** Spreadsheet text, or None when the bytes are not a ZIP, carry no
     * workbook, or no sheet extracts.
     */
-  def extractText(zip: Array[Byte]): Option[String] = {
+  def extractText(zipBytes: Array[Byte]): Option[String] =
+    extractText(new Zip.View(zipBytes))
+
+  /** Shared-directory form (see [[Zip.View]]). */
+  def extractText(zip: Zip.View): Option[String] = {
     val wb = workbookPart(zip)
     val base = wb.lastIndexOf('/') match {
       case -1 => ""
@@ -167,21 +188,33 @@ object Xlsx {
     val sheets = sheetParts(zip, wb)
     if (sheets.isEmpty) return None
     val shared = sharedStrings(zip, base).getOrElse(Vector.empty)
-    val texts = sheets.flatMap(p => Zip.extract(zip, p))
-      .flatMap(b => sheetText(new String(b, "UTF-8"), shared))
-    if (texts.isEmpty) None else Some(texts.mkString("\n"))
+    val budget = new Budget(MaxOutputChars)
+    val bodies = sheets.flatMap(zip.extract)
+    val texts = Vector.newBuilder[String]
+    var n = 0
+    bodies.foreach { b =>
+      sheetText(new String(b, "UTF-8"), shared, budget) match {
+        case Some(t) => texts += t; n += 1
+        case None => return None // malformed or over-budget: fence whole
+      }
+    }
+    if (n == 0) None else Some(texts.result().mkString("\n"))
   }
 
   /** One worksheet → TSV-shaped text (cells TAB, rows NEWLINE). */
-  private def sheetText(xml: String,
-                        shared: Vector[String]): Option[String] = {
+  private def sheetText(xml: String, shared: Vector[String],
+                        budget: Budget): Option[String] = {
     val rows = Vector.newBuilder[String]
     var i = 0
     var going = true
+    // any XML name delimiter ends the element name (pretty-printed
+    // sheets legally break after "<row"/"<c")
+    def delim(ch: Char) =
+      ch == ' ' || ch == '>' || ch == '/' || ch == '\t' ||
+        ch == '\n' || ch == '\r'
     while (going) {
       val rs = xml.indexOf("<row", i)
-      if (rs < 0 || (xml.length > rs + 4 && xml.charAt(rs + 4) != ' ' &&
-          xml.charAt(rs + 4) != '>' && xml.charAt(rs + 4) != '/')) {
+      if (rs < 0 || (xml.length > rs + 4 && !delim(xml.charAt(rs + 4)))) {
         if (rs < 0) going = false
         else { i = rs + 4 } // "<rowX" — not a row element
       } else {
@@ -191,7 +224,7 @@ object Xlsx {
         else {
           val rowClose = xml.indexOf("</row>", rs)
           if (rowClose < 0) return None
-          rows += rowText(xml, rowOpen + 1, rowClose, shared)
+          rows += rowText(xml, rowOpen + 1, rowClose, shared, budget)
             .getOrElse(return None)
           i = rowClose + 6
         }
@@ -201,17 +234,22 @@ object Xlsx {
     if (v.isEmpty) None else Some(v.mkString("\n"))
   }
 
-  /** One row's cells joined with TAB. */
+  /** One row's cells joined with TAB; None when malformed or the
+    * workbook-wide output budget exhausts.
+    */
   private def rowText(xml: String, from: Int, until: Int,
-                      shared: Vector[String]): Option[String] = {
+                      shared: Vector[String],
+                      budget: Budget): Option[String] = {
     val cells = Vector.newBuilder[String]
     var i = from
     var going = true
+    def delim(ch: Char) =
+      ch == ' ' || ch == '>' || ch == '/' || ch == '\t' ||
+        ch == '\n' || ch == '\r'
     while (going) {
       val cs = xml.indexOf("<c", i)
       val ok = cs >= 0 && cs < until && cs + 2 < xml.length &&
-        (xml.charAt(cs + 2) == ' ' || xml.charAt(cs + 2) == '>' ||
-          xml.charAt(cs + 2) == '/')
+        delim(xml.charAt(cs + 2))
       if (cs < 0 || cs >= until) going = false
       else if (!ok) i = cs + 2
       else {
@@ -240,6 +278,7 @@ object Xlsx {
             case _ => // "str", numbers: the raw <v> verbatim
               vText(body).getOrElse("")
           }
+          if (!budget.take(cell.length + 1)) return None
           cells += cell
           i = close + 4
         }

@@ -157,6 +157,23 @@ object Zip {
   def extract(bytes: Array[Byte], name: String): Option[Array[Byte]] =
     entries(bytes).flatMap(_.find(_.name == name)).flatMap(extract(bytes, _))
 
+  /** One archive, the directory parsed ONCE: the office dispatch
+    * tries several ZIP dialects per crawled payload (docx → xlsx →
+    * epub → odt), and each dialect needs several members — without a
+    * shared view every lookup repeats the EOCD backward scan and the
+    * full central-directory walk (a 100-chapter EPUB would walk it
+    * ~100 times). Member extraction (inflate + CRC) still runs per
+    * request — only the DIRECTORY is cached, so the memory cost is
+    * the entry table, not content.
+    */
+  final class View(bytes: Array[Byte]) {
+    private lazy val es: Option[Vector[Entry]] = entries(bytes)
+    def isZip: Boolean = es.isDefined
+    def has(name: String): Boolean = es.exists(_.exists(_.name == name))
+    def extract(name: String): Option[Array[Byte]] =
+      es.flatMap(_.find(_.name == name)).flatMap(Zip.extract(bytes, _))
+  }
+
   /** Writer (fixture generator + the archive face of [[Docx.write]]):
     * each member stored or deflated per the flag; sizes known up
     * front, so no data descriptors; names written UTF-8 with GP

@@ -559,12 +559,13 @@ object WarcSource {
   }
 
   /** The OFFICE/BOOK-document text face: `response` payloads whose
-    * magic is ZIP (OOXML .docx and EPUB both present as ZIP on the
-    * wire) or RTF (the `{\rtf` prologue — ASCII, so without this
-    * route it would pass the NUL fence and ingest as control-word
-    * soup), their text extracted ([[graft.functions.expressions
-    * .OfficeExtractText]] — docx/epub by the ZIP container's own
-    * grammar, then the RTF group/control-word scan)
+    * magic is ZIP (DOCX, XLSX, ODT and EPUB all present as ZIP on
+    * the wire) or RTF (the `{\rtf` prologue — ASCII, so without
+    * this route it would pass the NUL fence and ingest as
+    * control-word soup), their text extracted ([[graft.functions
+    * .expressions.OfficeExtractText]] — the ZIP dialects dispatched
+    * by each container's own grammar, then the RTF group/control-
+    * word scan)
     * into the SAME corpus shape as [[documents]]/[[pdfDocuments]].
     * Most ZIPs are NEITHER (plain archives, JARs) — those yield NULL
     * from the extraction and simply produce no row here, staying
