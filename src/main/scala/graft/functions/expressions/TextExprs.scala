@@ -109,6 +109,13 @@ object TextExprs {
   def officeExtractText(payload: Column): Column =
     c(OfficeExtractText(x(payload)))
 
+  /** GZIP/zstd payload → the decompressed bytes, NULL for other
+    * bytes, truncated/corrupt streams, or output past the bomb cap
+    * (see [[DecompressBytes]]).
+    */
+  def decompressBytes(payload: Column): Column =
+    c(DecompressBytes(x(payload)))
+
   /** The canonical name [[charsetDecode]] will actually decode these
     * bytes with — "utf-8" for unknown declared labels, the sniffed
     * charset (utf-8 or windows-1252) for unlabeled payloads. Surfaced
@@ -1162,6 +1169,59 @@ case class PdfExtractText(child: Expression)
   * .officeDocuments]]) pure Column ops — ts passthrough and the
   * streaming mirror come for free, the repo's no-UDF convention.
   */
+/** Bounded gzip/zstd decompression as an expression: a crawl serves
+  * REAL compressed FILES as response bodies (sitemap.xml.gz is
+  * ubiquitous; robots/feeds/dumps too, and dataset mirrors serve
+  * `.zst`) — these are not Content-Encoding (the record walk already
+  * undoes transport codings) but entity bytes, and without this
+  * their text rots in the media face as opaque blobs. Dispatches by
+  * magic (gzip 1f8b via the JDK; zstd via the zstd-jni stream Spark
+  * already ships). NULL when the bytes are neither, the stream is
+  * truncated or corrupt (partial output must not become corpus text
+  * — the truncated-Flate rule), or output exceeds the 64 MiB bomb
+  * cap. ONE decompression level: a gz-in-gz stays compressed (the
+  * caller's sniff of the output governs routing).
+  */
+case class DecompressBytes(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = org.apache.spark.sql.types.BinaryType
+  override def nullable: Boolean = true
+
+  private val MaxOut = 64 * 1024 * 1024
+
+  override def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[Array[Byte]]
+    val in: java.io.InputStream =
+      if (bytes.length >= 18 && bytes(0) == 0x1f.toByte &&
+          bytes(1) == 0x8b.toByte)
+        new java.util.zip.GZIPInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+      else if (bytes.length >= 4 && bytes(0) == 0x28.toByte &&
+               bytes(1) == 0xb5.toByte && bytes(2) == 0x2f.toByte &&
+               bytes(3) == 0xfd.toByte)
+        new com.github.luben.zstd.ZstdInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+      else return null
+    try {
+      val out = new java.io.ByteArrayOutputStream(bytes.length * 3 + 64)
+      val buf = new Array[Byte](1 << 16)
+      var n = in.read(buf)
+      while (n >= 0) {
+        out.write(buf, 0, n)
+        if (out.size() > MaxOut) return null
+        n = in.read(buf)
+      }
+      out.toByteArray
+    } catch {
+      case _: java.io.IOException => null // truncated/corrupt: fence
+    } finally scala.util.Try(in.close())
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 case class OfficeExtractText(child: Expression)
     extends UnaryExpression with CodegenFallback {
 

@@ -429,7 +429,12 @@ object WarcSource {
     * here), and NUL-free for BOTH record types (a WET record carrying
     * binary fences exactly like the identical response payload;
     * unrecognized binary is [[quarantine]]d, not
-    * ingested as text; the declared types stay available on the
+    * ingested as text; PLUS the served-compressed-file arm: a gzip/
+    * zstd ENTITY (sitemap.xml.gz, robots.txt.gz, `.zst` dumps —
+    * distinct from transport codings, which the record walk already
+    * undid) decompresses ONCE behind a Generate barrier and its
+    * inner bytes pass the SAME gates — text-by-sniff + the NUL
+    * fence, so a `.tar.gz` or a gz-wrapped PNG stays a media blob; the declared types stay available on the
     * [[records]] frame for audits — this face keeps exactly the
     * corpus-table shape). Columns match what
     * [[graft.pipeline.CorpusPrep.run]] ingests: doc_id (md5-64 of
@@ -491,7 +496,7 @@ object WarcSource {
     // occasionally writes binary into conversion records, and the
     // identical bytes in a response record would quarantine — one
     // fence, both record types (the r13 asymmetry)
-    corpusShape(records
+    val textArm = records
       .filter((col("warc_type") === "conversion" ||
         (col("warc_type") === "response" &&
           BinarySource.sniffMime(col("body")) === "application/octet-stream")) &&
@@ -505,7 +510,47 @@ object WarcSource {
         graft.functions.expressions.TextExprs
           .charsetResolve(col("body"), label).as("charset_used"),
         regexp_extract(col("file"), "([^/]+)$", 1).as("source")) ++
-        extra: _*), extra.nonEmpty)
+        extra: _*)
+    // the SERVED-.gz arm: sitemap.xml.gz / robots.txt.gz / dumps — a
+    // gzip ENTITY (not a transport coding, which the record walk
+    // already undid) whose inner bytes are plain text. One
+    // decompression, pinned by the explode(array(…)) Generate barrier
+    // (the pdfDocuments rationale — four columns would otherwise
+    // re-gunzip per reference); the inner bytes then pass the SAME
+    // gates as raw text (octet-stream sniff — a gz-wrapped PNG or a
+    // .tar.gz stays a media blob — plus the NUL fence), and the
+    // charset comes from the inner content's own evidence (the gzip
+    // envelope's headers say nothing about the text inside)
+    val gz = graft.functions.expressions.TextExprs
+      .decompressBytes(col("body"))
+    val gzArm = records
+      .filter(col("warc_type") === "response" &&
+        BinarySource.sniffMime(col("body"))
+          .isin(BinarySource.MimeGzip, BinarySource.MimeZstd))
+      .select(Seq(
+        md5Lower64(concat_ws("#", col("file"), col("record_ix")))
+          .as("doc_id"),
+        col("target_uri").as("url"),
+        explode(array(gz)).as("inner"),
+        headerLabel.as("hdr_label"),
+        regexp_extract(col("file"), "([^/]+)$", 1).as("source")) ++
+        extra: _*)
+      .filter(col("inner").isNotNull &&
+        BinarySource.sniffMime(col("inner")) === "application/octet-stream" &&
+        plausiblyText(col("inner")))
+      .select(Seq(
+        col("doc_id"), col("url"),
+        graft.functions.expressions.TextExprs
+          .charsetDecode(col("inner"),
+            when(col("hdr_label") =!= "", col("hdr_label"))
+              .otherwise(metaCharsetLabel(col("inner")))).as("text"),
+        graft.functions.expressions.TextExprs
+          .charsetResolve(col("inner"),
+            when(col("hdr_label") =!= "", col("hdr_label"))
+              .otherwise(metaCharsetLabel(col("inner"))))
+          .as("charset_used"),
+        col("source")) ++ extra.map(_ => col("ts")): _*)
+    corpusShape(textArm.unionByName(gzArm), extra.nonEmpty)
   }
 
   /** The PDF-text face: `response` payloads whose magic is %PDF-,

@@ -246,8 +246,12 @@ class WarcSourceSpec extends SparkSpec {
     assert(!urls.contains("http://w.example/jpeg"),
       "a crawled JPEG must not become a mojibake text document")
     assert(!urls.contains("http://w.example/png"))
-    assert(!urls.contains("http://w.example/gzip"),
-      "a gzip payload must never reach the documents face")
+    // a gzip payload's RAW bytes must never ingest as text — but its
+    // DECOMPRESSED text now does (the served-.gz arm, r14): the row
+    // carries the inner document, not compressed mojibake
+    assert(docs.filter(col("url") === "http://w.example/gzip" &&
+      col("text") === "compressed payload served raw").count() == 1,
+      "a served .gz of text must ingest its INNER text")
     assert(!urls.contains("http://w.example/blob"),
       "unrecognized NUL-bearing binary must be quarantined, not ingested")
     assert(urls.contains("http://w.example/latin"))
@@ -650,6 +654,44 @@ class WarcSourceSpec extends SparkSpec {
         "the streaming mirror must apply the same fences as batch")
       assert(got.filter(col("ts").isNull).count() == 0)
     } finally q.stop()
+  }
+
+  test("served .gz/.zst files: inner text joins documents, binary-inside stays a media blob, truncation fences") {
+    val dir = Files.createTempDirectory("graft-warc-gz").toString
+    def resp(uri: String, ct: String, body: Array[Byte]) =
+      rec(Seq("WARC-Type" -> "response", "WARC-Target-URI" -> uri,
+        "Content-Type" -> "application/http; msgtype=response"),
+        httpWrap(ct, body))
+    def gzip(b: Array[Byte]): Array[Byte] = {
+      val bo = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bo)
+      g.write(b); g.close(); bo.toByteArray
+    }
+    def zstd(b: Array[Byte]): Array[Byte] =
+      com.github.luben.zstd.Zstd.compress(b)
+    val sitemap = "<urlset><url><loc>https://g.example/page</loc>" +
+      "</url></urlset>"
+    val png = graft.multimodal.Png.encode(
+      graft.multimodal.Netpbm.Image(2, 2, 255, new Array[Byte](12)))
+    val full = gzip(sitemap.getBytes("UTF-8"))
+    val truncated = java.util.Arrays.copyOfRange(full, 0, full.length - 6)
+    Files.write(Paths.get(dir, "gz.warc"),
+      resp("http://g.example/sitemap.xml.gz", "application/gzip", full) ++
+        resp("http://g.example/dump.zst", "application/zstd",
+          zstd("a zstd served text dump".getBytes("UTF-8"))) ++
+        resp("http://g.example/img.png.gz", "application/gzip",
+          gzip(png)) ++
+        resp("http://g.example/cut.gz", "application/gzip", truncated))
+    val recs = WarcSource.records(spark, dir).cache()
+    val docs = WarcSource.documents(recs).collect()
+      .map(r => r.getAs[String]("url") -> r.getAs[String]("text")).toMap
+    assert(docs.size == 2, s"got ${docs.keySet}")
+    assert(docs("http://g.example/sitemap.xml.gz") == sitemap)
+    assert(docs("http://g.example/dump.zst") == "a zstd served text dump")
+    // the gz-wrapped PNG and the truncated stream: media blobs only
+    assert(WarcSource.media(recs)
+      .filter(col("meta.mime") === "application/gzip").count() == 3)
+    recs.unpersist()
   }
 
   test("streaming quarantine: warcQuarantine mirrors the batch audit face row for row") {
