@@ -116,6 +116,12 @@ object TextExprs {
   def decompressBytes(payload: Column): Column =
     c(DecompressBytes(x(payload)))
 
+  /** TAR payload → array of regular-file members as (name, data)
+    * structs, NULL for non-tar bytes or past-cap archives (see
+    * [[TarMembers]]).
+    */
+  def tarMembers(payload: Column): Column = c(TarMembers(x(payload)))
+
   /** The canonical name [[charsetDecode]] will actually decode these
     * bytes with — "utf-8" for unknown declared labels, the sniffed
     * charset (utf-8 or windows-1252) for unlabeled payloads. Surfaced
@@ -1216,6 +1222,43 @@ case class DecompressBytes(child: Expression)
     } catch {
       case _: java.io.IOException => null // truncated/corrupt: fence
     } finally scala.util.Try(in.close())
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** TAR member listing as an expression: archive payload → ARRAY of
+  * (name, data) structs for the REGULAR-FILE members
+  * ([[graft.multimodal.Tar.entries]] — checksum-validated headers,
+  * ustar prefixes, GNU longnames, the member-count fence), NULL for
+  * non-tar bytes or a past-cap archive. The crawl face explodes the
+  * array — one Generate both pins a single walk per record and
+  * turns the archive into per-member rows the ordinary text gates
+  * then govern (the 1→N analogue of [[DecompressBytes]]).
+  */
+case class TarMembers(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("name", StringType),
+        org.apache.spark.sql.types.StructField("data",
+          org.apache.spark.sql.types.BinaryType))),
+      containsNull = false)
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[Array[Byte]]
+    graft.multimodal.Tar.entries(bytes) match {
+      case Some(es) =>
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(
+          es.map(e => org.apache.spark.sql.catalyst.InternalRow(
+            UTF8String.fromString(e.name),
+            graft.multimodal.Tar.extract(bytes, e))).toArray[Any])
+      case None => null
+    }
   }
 
   override protected def withNewChildInternal(c: Expression): Expression =

@@ -1,0 +1,186 @@
+package graft.multimodal
+
+/** TAR archive walk — the dataset-distribution format: corpora,
+  * dumps and mirrors ship as `.tar` / `.tar.gz`, and each TEXT
+  * member is a document in its own right (the 1→N case of the
+  * served-.gz rule: the archive is the envelope, the members are
+  * the content).
+  *
+  * Profile (POSIX ustar + the GNU extensions a crawl meets):
+  *   - 512-byte headers, CHECKSUM-VALIDATED (unsigned sum with the
+  *     chksum field as spaces — the walk stops at the first block
+  *     that fails, so trailing garbage cannot fabricate members).
+  *   - Octal sizes (NUL/space padded); GNU base-256 (>8 GiB) fences
+  *     the member.
+  *   - Regular files only ('0'/NUL typeflag); ustar `prefix` long
+  *     names joined; GNU 'L' longname blocks applied to the NEXT
+  *     member; pax 'x'/'g' headers skipped by size (their path
+  *     overrides are not honored — stated, not silent).
+  *   - End at two zero blocks or EOF; a truncated final member
+  *     DROPS while complete members keep (the WARC discipline).
+  *   - Member-count cap: an archive past it fences WHOLE (None, not
+  *     a silent prefix — the no-silent-caps rule).
+  */
+object Tar {
+
+  final case class Entry(name: String, offset: Int, size: Int)
+
+  /** Archives with more members than this fence whole. */
+  val MaxMembers = 4096
+
+  private def isZeroBlock(b: Array[Byte], p: Int): Boolean = {
+    var i = p
+    val end = math.min(p + 512, b.length)
+    while (i < end) { if (b(i) != 0) return false; i += 1 }
+    true
+  }
+
+  private def octal(b: Array[Byte], p: Int, len: Int): Long = {
+    var v = 0L
+    var i = p
+    val end = p + len
+    // skip leading spaces/NULs; stop at the first non-octal byte
+    while (i < end && (b(i) == ' ' || b(i) == 0)) i += 1
+    if (i < end && (b(i) & 0x80) != 0) return -1L // GNU base-256: fence
+    var any = false
+    while (i < end && b(i) >= '0' && b(i) <= '7') {
+      v = v * 8 + (b(i) - '0'); i += 1; any = true
+      if (v > Int.MaxValue) return -1L
+    }
+    if (any) v else -1L
+  }
+
+  private def str(b: Array[Byte], p: Int, len: Int): String = {
+    var e = p
+    val end = p + len
+    while (e < end && b(e) != 0) e += 1
+    new String(b, p, e - p, "UTF-8")
+  }
+
+  private def checksumOk(b: Array[Byte], p: Int): Boolean = {
+    val declared = octal(b, p + 148, 8)
+    if (declared < 0) return false
+    var sum = 0L
+    var i = 0
+    while (i < 512) {
+      sum += (if (i >= 148 && i < 156) ' '.toInt else b(p + i) & 0xff)
+      i += 1
+    }
+    sum == declared
+  }
+
+  /** Regular-file members (name, offset, size), walk stopped at the
+    * first invalid header; None when the bytes are not a tar at all
+    * (no valid first header) or the member cap trips.
+    */
+  def entries(bytes: Array[Byte]): Option[Vector[Entry]] = {
+    if (bytes == null || bytes.length < 512) return None
+    val out = Vector.newBuilder[Entry]
+    var p = 0
+    var count = 0
+    var pendingLongName: Option[String] = None
+    var sawAny = false
+    var going = true
+    while (going && p + 512 <= bytes.length) {
+      if (isZeroBlock(bytes, p)) going = false // end-of-archive marker
+      else if (!checksumOk(bytes, p)) {
+        if (!sawAny) return None // not a tar
+        going = false // trailing garbage after valid members: stop
+      } else {
+        val size = octal(bytes, p + 124, 12)
+        if (size < 0) { // base-256 / corrupt size: fence the walk
+          if (!sawAny) return None
+          going = false
+        } else {
+          val typeflag = bytes(p + 156)
+          val dataStart = p + 512
+          val dataEnd = dataStart + size
+          if (dataEnd > bytes.length) going = false // truncated member
+          else {
+            sawAny = true
+            count += 1
+            if (count > MaxMembers) return None // fence WHOLE, not a prefix
+            if (typeflag == 'L') {
+              // GNU longname: the data IS the next member's name
+              pendingLongName =
+                Some(str(bytes, dataStart, math.min(size.toInt, 4096)))
+            } else if (typeflag == '0' || typeflag == 0) {
+              val base = str(bytes, p, 100)
+              val prefix = str(bytes, p + 345, 155)
+              val name = pendingLongName.getOrElse(
+                if (prefix.nonEmpty) prefix + "/" + base else base)
+              pendingLongName = None
+              out += Entry(name, dataStart, size.toInt)
+            } else pendingLongName = None // dirs/links/pax: skipped
+            p = dataStart + ((size.toInt + 511) / 512) * 512
+          }
+        }
+      }
+      if (p + 512 > bytes.length) going = false
+    }
+    if (!sawAny) None else Some(out.result())
+  }
+
+  def extract(bytes: Array[Byte], e: Entry): Array[Byte] =
+    java.util.Arrays.copyOfRange(bytes, e.offset, e.offset + e.size)
+
+  // ---- writer (fixture generator) ----
+
+  private def writeHeader(out: java.io.ByteArrayOutputStream,
+                          name: String, size: Int,
+                          typeflag: Byte): Unit = {
+    val h = new Array[Byte](512)
+    val nb = name.getBytes("UTF-8")
+    System.arraycopy(nb, 0, h, 0, math.min(nb.length, 100))
+    def oct(v: Long, p: Int, len: Int): Unit = {
+      val s = java.lang.Long.toOctalString(v)
+      val padded = ("0" * (len - 1 - s.length)) + s
+      val sb = padded.getBytes("US-ASCII")
+      System.arraycopy(sb, 0, h, p, len - 1)
+      h(p + len - 1) = 0
+    }
+    oct(420, 100, 8) // mode 0644
+    oct(0, 108, 8); oct(0, 116, 8) // uid/gid
+    oct(size.toLong, 124, 12)
+    oct(0, 136, 12) // mtime
+    h(156) = typeflag
+    "ustar".getBytes("US-ASCII").copyToArray(h, 257)
+    h(263) = '0'.toByte; h(264) = '0'.toByte // version "00"
+    // checksum last: field as spaces during the sum
+    java.util.Arrays.fill(h, 148, 156, ' '.toByte)
+    var sum = 0L
+    h.foreach(b => sum += b & 0xff)
+    val cs = java.lang.Long.toOctalString(sum)
+    val csPad = ("0" * (6 - cs.length)) + cs
+    csPad.getBytes("US-ASCII").copyToArray(h, 148)
+    h(154) = 0; h(155) = ' '.toByte
+    out.write(h)
+  }
+
+  /** Real ustar bytes: regular members (+ an optional GNU longname
+    * block and a directory entry the reader must skip), padded data,
+    * two zero end blocks.
+    */
+  def write(files: Seq[(String, Array[Byte])],
+            withDir: Boolean = true,
+            longNameFor: Option[Int] = None): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    if (withDir) {
+      writeHeader(out, "data/", 0, '5'.toByte)
+    }
+    files.zipWithIndex.foreach { case ((name, data), ix) =>
+      if (longNameFor.contains(ix)) {
+        val nb = (name + "\u0000").getBytes("UTF-8")
+        writeHeader(out, "././@LongLink", nb.length, 'L'.toByte)
+        out.write(nb)
+        out.write(new Array[Byte]((512 - nb.length % 512) % 512))
+        // the member's own name field carries a TRUNCATED form
+        writeHeader(out, name.take(99), data.length, '0'.toByte)
+      } else writeHeader(out, name, data.length, '0'.toByte)
+      out.write(data)
+      out.write(new Array[Byte]((512 - data.length % 512) % 512))
+    }
+    out.write(new Array[Byte](1024))
+    out.toByteArray
+  }
+}

@@ -53,6 +53,7 @@ object BinarySource {
   val MimeOgg = "audio/ogg"         // Vorbis/Opus (and rarely Theora)
   val MimeFlac = "audio/flac"
   val MimeTiff = "image/tiff"
+  val MimeTar = "application/x-tar"
   val MimeRtf = "application/rtf" // ASCII, so WITHOUT this route a
                                   // crawled .rtf passes the NUL fence
                                   // and ingests as control-word soup
@@ -142,6 +143,10 @@ object BinarySource {
       // can't open with either
       .when(magic(payload, 1, "II*\u0000") ||
         magic(payload, 1, "MM\u0000*"), lit(MimeTiff))
+      // ustar magic at its fixed header offset (257, 1-based 258) —
+      // the one tar shape modern tools write; pre-POSIX headerless
+      // tars stay octet-stream (no reliable magic exists for them)
+      .when(magic(payload, 258, "ustar"), lit(MimeTar))
       // RTF prologue at its full 5-char shape ("{\rtf" — prose does
       // not open with a brace-backslash pair)
       .when(magic(payload, 1, "{\\rtf"), lit(MimeRtf))

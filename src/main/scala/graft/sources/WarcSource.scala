@@ -523,23 +523,29 @@ object WarcSource {
     // envelope's headers say nothing about the text inside)
     val gz = graft.functions.expressions.TextExprs
       .decompressBytes(col("body"))
-    val gzArm = records
+    // one decompression per gz/zst record, pinned by the Generate;
+    // the (meta + inner) frame then serves BOTH the inner-text arm
+    // and the inner-tar arm
+    val gzInner = records
       .filter(col("warc_type") === "response" &&
         BinarySource.sniffMime(col("body"))
           .isin(BinarySource.MimeGzip, BinarySource.MimeZstd))
       .select(Seq(
-        md5Lower64(concat_ws("#", col("file"), col("record_ix")))
-          .as("doc_id"),
+        col("file"), col("record_ix"),
         col("target_uri").as("url"),
         explode(array(gz)).as("inner"),
         headerLabel.as("hdr_label"),
         regexp_extract(col("file"), "([^/]+)$", 1).as("source")) ++
         extra: _*)
-      .filter(col("inner").isNotNull &&
+      .filter(col("inner").isNotNull)
+    val gzArm = gzInner
+      .filter(
         BinarySource.sniffMime(col("inner")) === "application/octet-stream" &&
         plausiblyText(col("inner")))
       .select(Seq(
-        col("doc_id"), col("url"),
+        md5Lower64(concat_ws("#", col("file"), col("record_ix")))
+          .as("doc_id"),
+        col("url"),
         graft.functions.expressions.TextExprs
           .charsetDecode(col("inner"),
             when(col("hdr_label") =!= "", col("hdr_label"))
@@ -550,7 +556,50 @@ object WarcSource {
               .otherwise(metaCharsetLabel(col("inner"))))
           .as("charset_used"),
         col("source")) ++ extra.map(_ => col("ts")): _*)
-    corpusShape(textArm.unionByName(gzArm), extra.nonEmpty)
+    // the TAR-member arms (the 1→N case: a dataset tarball's TEXT
+    // members are each a document): direct .tar bodies, and tars
+    // found INSIDE a served .tar.gz/.tar.zst. One walk per archive
+    // (the TarMembers Generate); per-member doc_ids hash the member
+    // NAME beside the record (stable across re-crawls), the url
+    // carries a #member fragment for traceability, and every member
+    // passes the same text gates as a raw body — a tarball of PNGs
+    // contributes nothing
+    def tarMemberArm(src: DataFrame, payload: Column): DataFrame = {
+      val m = graft.functions.expressions.TextExprs.tarMembers(payload)
+      src
+        .select(Seq(col("file"), col("record_ix"),
+          col("url"), explode(m).as("m"),
+          col("source")) ++ extra.map(_ => col("ts")): _*)
+        .filter(BinarySource.sniffMime(col("m.data")) ===
+          "application/octet-stream" && plausiblyText(col("m.data")))
+        .select(Seq(
+          md5Lower64(concat_ws("#", col("file"), col("record_ix"),
+            col("m.name"))).as("doc_id"),
+          concat_ws("#", col("url"), col("m.name")).as("url"),
+          graft.functions.expressions.TextExprs
+            .charsetDecode(col("m.data"), metaCharsetLabel(col("m.data")))
+            .as("text"),
+          graft.functions.expressions.TextExprs
+            .charsetResolve(col("m.data"), metaCharsetLabel(col("m.data")))
+            .as("charset_used"),
+          col("source")) ++ extra.map(_ => col("ts")): _*)
+    }
+    val tarArm = tarMemberArm(
+      records
+        .filter(col("warc_type") === "response" &&
+          BinarySource.sniffMime(col("body")) === BinarySource.MimeTar)
+        .select(Seq(col("file"), col("record_ix"),
+          col("target_uri").as("url"), col("body"),
+          regexp_extract(col("file"), "([^/]+)$", 1).as("source")) ++
+          extra: _*),
+      col("body"))
+    val gzTarArm = tarMemberArm(
+      gzInner.filter(
+        BinarySource.sniffMime(col("inner")) === BinarySource.MimeTar),
+      col("inner"))
+    corpusShape(
+      textArm.unionByName(gzArm).unionByName(tarArm).unionByName(gzTarArm),
+      extra.nonEmpty)
   }
 
   /** The PDF-text face: `response` payloads whose magic is %PDF-,

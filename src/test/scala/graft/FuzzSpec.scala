@@ -138,7 +138,11 @@ class FuzzSpec extends SparkSpec {
       ("zip-odt", Odt.write("fuzz odt line\nwith  spaces\tand tab"),
         b => { Odt.extractText(b); () }),
       ("zip-xlsx", Xlsx.write("h1\th2\nfuzz\tcells"),
-        b => { Xlsx.extractText(b); () }))
+        b => { Xlsx.extractText(b); () }),
+      ("tar", Tar.write(Seq(("a.txt", "fuzz tar member".getBytes),
+        ("b/c.txt", "second member".getBytes))),
+        b => { Tar.entries(b).foreach(_.foreach(e =>
+          if (e.offset + e.size <= b.length) Tar.extract(b, e))); () }))
     def mutate(b: Array[Byte]): Array[Byte] = rnd.nextInt(4) match {
       case 0 => // flip 1..8 random bytes
         val m = b.clone()

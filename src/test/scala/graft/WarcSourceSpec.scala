@@ -675,22 +675,49 @@ class WarcSourceSpec extends SparkSpec {
       graft.multimodal.Netpbm.Image(2, 2, 255, new Array[Byte](12)))
     val full = gzip(sitemap.getBytes("UTF-8"))
     val truncated = java.util.Arrays.copyOfRange(full, 0, full.length - 6)
+    // a dataset tarball: two text members, one PNG member (skipped),
+    // one GNU-longname member — and the same tar served as .tar.gz
+    val longName = "corpus/very/deep/path/that/overflows/the/ustar/" +
+      "hundred/byte/name/field/by/quite/a/comfortable/margin/doc3.txt"
+    val tar = graft.multimodal.Tar.write(Seq(
+      ("corpus/doc1.txt", "tar member one text".getBytes("UTF-8")),
+      ("corpus/img.png", png),
+      ("corpus/doc2.txt", "tar member two text".getBytes("UTF-8")),
+      (longName, "long-named member text".getBytes("UTF-8"))),
+      longNameFor = Some(3))
     Files.write(Paths.get(dir, "gz.warc"),
       resp("http://g.example/sitemap.xml.gz", "application/gzip", full) ++
         resp("http://g.example/dump.zst", "application/zstd",
           zstd("a zstd served text dump".getBytes("UTF-8"))) ++
         resp("http://g.example/img.png.gz", "application/gzip",
           gzip(png)) ++
-        resp("http://g.example/cut.gz", "application/gzip", truncated))
+        resp("http://g.example/cut.gz", "application/gzip", truncated) ++
+        resp("http://g.example/data.tar", "application/x-tar", tar) ++
+        resp("http://g.example/data.tar.gz", "application/gzip",
+          gzip(tar)))
     val recs = WarcSource.records(spark, dir).cache()
     val docs = WarcSource.documents(recs).collect()
       .map(r => r.getAs[String]("url") -> r.getAs[String]("text")).toMap
-    assert(docs.size == 2, s"got ${docs.keySet}")
+    assert(docs.size == 8, s"got ${docs.keySet}")
     assert(docs("http://g.example/sitemap.xml.gz") == sitemap)
     assert(docs("http://g.example/dump.zst") == "a zstd served text dump")
+    // tar members: one row PER TEXT member, #member-fragment urls,
+    // the PNG member contributes nothing; .tar and .tar.gz agree
+    assert(docs("http://g.example/data.tar#corpus/doc1.txt") ==
+      "tar member one text")
+    assert(docs("http://g.example/data.tar#corpus/doc2.txt") ==
+      "tar member two text")
+    assert(docs("http://g.example/data.tar#" + longName) ==
+      "long-named member text", "the GNU longname must resolve")
+    assert(docs("http://g.example/data.tar.gz#corpus/doc1.txt") ==
+      "tar member one text")
+    assert(!docs.keys.exists(_.contains("img.png")),
+      "a tarball's binary members must contribute nothing")
     // the gz-wrapped PNG and the truncated stream: media blobs only
     assert(WarcSource.media(recs)
-      .filter(col("meta.mime") === "application/gzip").count() == 3)
+      .filter(col("meta.mime") === "application/gzip").count() == 4)
+    assert(WarcSource.media(recs)
+      .filter(col("meta.mime") === "application/x-tar").count() == 1)
     recs.unpersist()
   }
 
