@@ -122,6 +122,14 @@ object TextExprs {
     */
   def tarMembers(payload: Column): Column = c(TarMembers(x(payload)))
 
+  /** GZIP/zstd payload → decompressed content as a members array
+    * (tar inside → its members; anything else → one null-named
+    * element), NULL for other/corrupt bytes (see
+    * [[DecompressedMembers]]).
+    */
+  def decompressedMembers(payload: Column): Column =
+    c(DecompressedMembers(x(payload)))
+
   /** The canonical name [[charsetDecode]] will actually decode these
     * bytes with — "utf-8" for unknown declared labels, the sniffed
     * charset (utf-8 or windows-1252) for unlabeled payloads. Surfaced
@@ -1194,10 +1202,21 @@ case class DecompressBytes(child: Expression)
   override def dataType: DataType = org.apache.spark.sql.types.BinaryType
   override def nullable: Boolean = true
 
+  override def nullSafeEval(input: Any): Any =
+    DecompressBytes.decompress(input.asInstanceOf[Array[Byte]])
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+object DecompressBytes {
   private val MaxOut = 64 * 1024 * 1024
 
-  override def nullSafeEval(input: Any): Any = {
-    val bytes = input.asInstanceOf[Array[Byte]]
+  /** The one decompression kernel (magic-dispatched, bomb-capped,
+    * truncation → null) — shared by the scalar expression and the
+    * members form.
+    */
+  private[expressions] def decompress(bytes: Array[Byte]): Array[Byte] = {
     val in: java.io.InputStream =
       if (bytes.length >= 18 && bytes(0) == 0x1f.toByte &&
           bytes(1) == 0x8b.toByte)
@@ -1223,6 +1242,36 @@ case class DecompressBytes(child: Expression)
       case _: java.io.IOException => null // truncated/corrupt: fence
     } finally scala.util.Try(in.close())
   }
+}
+
+/** The served-compressed-file MEMBERS form: decompress ONCE, then —
+  * if the inner bytes are a tar (checksum-validated by
+  * [[graft.multimodal.Tar.entries]], no second magic table to
+  * drift) — the archive's regular members; otherwise the inner blob
+  * as ONE (null-named) element. NULL for non-gz/zstd bytes, corrupt
+  * streams, or past-cap archives. This is what lets the documents
+  * face handle body/gz/tar/tar.gz in ONE projection over ONE scan:
+  * every heavy evaluation lives inside this single expression behind
+  * the face's single Generate.
+  */
+case class DecompressedMembers(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = TarMembers.MembersType
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(input: Any): Any = {
+    val inner =
+      DecompressBytes.decompress(input.asInstanceOf[Array[Byte]])
+    if (inner == null) return null
+    graft.multimodal.Tar.entries(inner) match {
+      case Some(es) => TarMembers.toArrayData(inner, es)
+      case None =>
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(
+          Array[Any](org.apache.spark.sql.catalyst.InternalRow(
+            null, inner)))
+    }
+  }
 
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)
@@ -1240,29 +1289,42 @@ case class DecompressBytes(child: Expression)
 case class TarMembers(child: Expression)
     extends UnaryExpression with CodegenFallback {
 
-  override def dataType: DataType =
-    org.apache.spark.sql.types.ArrayType(
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("name", StringType),
-        org.apache.spark.sql.types.StructField("data",
-          org.apache.spark.sql.types.BinaryType))),
-      containsNull = false)
+  override def dataType: DataType = TarMembers.MembersType
   override def nullable: Boolean = true
 
   override def nullSafeEval(input: Any): Any = {
     val bytes = input.asInstanceOf[Array[Byte]]
     graft.multimodal.Tar.entries(bytes) match {
-      case Some(es) =>
-        new org.apache.spark.sql.catalyst.util.GenericArrayData(
-          es.map(e => org.apache.spark.sql.catalyst.InternalRow(
-            UTF8String.fromString(e.name),
-            graft.multimodal.Tar.extract(bytes, e))).toArray[Any])
+      case Some(es) => TarMembers.toArrayData(bytes, es)
       case None => null
     }
   }
 
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)
+}
+
+object TarMembers {
+  /** ARRAY<STRUCT<name STRING, data BINARY>> — the members shape
+    * shared with [[DecompressedMembers]] (name null = "the payload
+    * itself", not an archive member).
+    */
+  val MembersType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("name", StringType),
+        org.apache.spark.sql.types.StructField("data",
+          org.apache.spark.sql.types.BinaryType))),
+      containsNull = false)
+
+  private[expressions] def toArrayData(
+      bytes: Array[Byte],
+      es: Vector[graft.multimodal.Tar.Entry])
+      : org.apache.spark.sql.catalyst.util.GenericArrayData =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      es.map(e => org.apache.spark.sql.catalyst.InternalRow(
+        UTF8String.fromString(e.name),
+        graft.multimodal.Tar.extract(bytes, e))).toArray[Any])
 }
 
 case class OfficeExtractText(child: Expression)

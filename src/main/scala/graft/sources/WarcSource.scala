@@ -489,116 +489,74 @@ object WarcSource {
     // the dominant real-crawl case
     val headerLabel = charsetLabel(
       coalesce(col("http_content_type"), col("warc_content_type")))
-    val label = when(headerLabel =!= "", headerLabel)
-      .otherwise(metaCharsetLabel(col("body")))
     // the NUL fence applies to conversion (WET) records too: a WET
     // payload is SUPPOSED to be extracted text, but crawl tooling
     // occasionally writes binary into conversion records, and the
     // identical bytes in a response record would quarantine — one
     // fence, both record types (the r13 asymmetry)
-    val textArm = records
-      .filter((col("warc_type") === "conversion" ||
+    // ONE SCAN, ONE GENERATE — the 100 TB shape: each record maps to
+    // an array of candidate text payloads and a single explode emits
+    // them, so the crawl is parsed once however many content classes
+    // it carries. The arms:
+    //   - plausibly-text bodies (HTML/WET): the body itself, as one
+    //     null-named element — doc_id/url stay the r12 definitions;
+    //   - served .gz/.zst ENTITIES (sitemap.xml.gz, .zst dumps —
+    //     distinct from the transport codings the record walk
+    //     already undid): DecompressedMembers decompresses ONCE
+    //     (bounded; truncation yields nothing) and yields either the
+    //     inner blob or, when the inner bytes are a tar, its members
+    //     (the .tar.gz dataset case);
+    //   - direct .tar bodies: TarMembers (checksum-validated walk).
+    // Every emitted element then passes the SAME gates — media sniff
+    // + the NUL fence — so a gz-wrapped PNG or a tarball of images
+    // contributes nothing; members get name-hashed doc_ids and a
+    // #member url fragment. All heavy evaluation (decompress, tar
+    // walk) lives INSIDE the array expression behind the Generate,
+    // evaluated once per record (the pdfDocuments barrier rationale).
+    val T = graft.functions.expressions.TextExprs
+    val nullName = lit(null).cast("string")
+    val selfOnly = array(struct(nullName.as("name"), col("body").as("data")))
+    val members =
+      when(col("warc_type") === "conversion" ||
         (col("warc_type") === "response" &&
-          BinarySource.sniffMime(col("body")) === "application/octet-stream")) &&
-        plausiblyText(col("body")))
-      .select(Seq(
-        md5Lower64(concat_ws("#", col("file"), col("record_ix")))
-          .as("doc_id"),
-        col("target_uri").as("url"),
-        graft.functions.expressions.TextExprs
-          .charsetDecode(col("body"), label).as("text"),
-        graft.functions.expressions.TextExprs
-          .charsetResolve(col("body"), label).as("charset_used"),
-        regexp_extract(col("file"), "([^/]+)$", 1).as("source")) ++
-        extra: _*)
-    // the SERVED-.gz arm: sitemap.xml.gz / robots.txt.gz / dumps — a
-    // gzip ENTITY (not a transport coding, which the record walk
-    // already undid) whose inner bytes are plain text. One
-    // decompression, pinned by the explode(array(…)) Generate barrier
-    // (the pdfDocuments rationale — four columns would otherwise
-    // re-gunzip per reference); the inner bytes then pass the SAME
-    // gates as raw text (octet-stream sniff — a gz-wrapped PNG or a
-    // .tar.gz stays a media blob — plus the NUL fence), and the
-    // charset comes from the inner content's own evidence (the gzip
-    // envelope's headers say nothing about the text inside)
-    val gz = graft.functions.expressions.TextExprs
-      .decompressBytes(col("body"))
-    // one decompression per gz/zst record, pinned by the Generate;
-    // the (meta + inner) frame then serves BOTH the inner-text arm
-    // and the inner-tar arm
-    val gzInner = records
-      .filter(col("warc_type") === "response" &&
+          BinarySource.sniffMime(col("body")) === "application/octet-stream"),
+        selfOnly)
+      .when(col("warc_type") === "response" &&
         BinarySource.sniffMime(col("body"))
-          .isin(BinarySource.MimeGzip, BinarySource.MimeZstd))
+          .isin(BinarySource.MimeGzip, BinarySource.MimeZstd),
+        T.decompressedMembers(col("body")))
+      .when(col("warc_type") === "response" &&
+        BinarySource.sniffMime(col("body")) === BinarySource.MimeTar,
+        T.tarMembers(col("body")))
+    val exploded = records
       .select(Seq(
         col("file"), col("record_ix"),
-        col("target_uri").as("url"),
-        explode(array(gz)).as("inner"),
+        col("target_uri"),
+        explode(members).as("m"),
         headerLabel.as("hdr_label"),
         regexp_extract(col("file"), "([^/]+)$", 1).as("source")) ++
         extra: _*)
-      .filter(col("inner").isNotNull)
-    val gzArm = gzInner
-      .filter(
-        BinarySource.sniffMime(col("inner")) === "application/octet-stream" &&
-        plausiblyText(col("inner")))
+      .filter(BinarySource.sniffMime(col("m.data")) ===
+        "application/octet-stream" && plausiblyText(col("m.data")))
+    // the charset chain is unchanged for direct bodies (declared
+    // header, else the in-body meta scan, else the sniff); members
+    // and inner blobs use their OWN bytes' evidence (an archive
+    // envelope's header says nothing about the text inside it), with
+    // the declared header honored when present — same precedence
+    val mLabel = when(col("hdr_label") =!= "", col("hdr_label"))
+      .otherwise(metaCharsetLabel(col("m.data")))
+    corpusShape(exploded
       .select(Seq(
-        md5Lower64(concat_ws("#", col("file"), col("record_ix")))
-          .as("doc_id"),
-        col("url"),
-        graft.functions.expressions.TextExprs
-          .charsetDecode(col("inner"),
-            when(col("hdr_label") =!= "", col("hdr_label"))
-              .otherwise(metaCharsetLabel(col("inner")))).as("text"),
-        graft.functions.expressions.TextExprs
-          .charsetResolve(col("inner"),
-            when(col("hdr_label") =!= "", col("hdr_label"))
-              .otherwise(metaCharsetLabel(col("inner"))))
-          .as("charset_used"),
-        col("source")) ++ extra.map(_ => col("ts")): _*)
-    // the TAR-member arms (the 1→N case: a dataset tarball's TEXT
-    // members are each a document): direct .tar bodies, and tars
-    // found INSIDE a served .tar.gz/.tar.zst. One walk per archive
-    // (the TarMembers Generate); per-member doc_ids hash the member
-    // NAME beside the record (stable across re-crawls), the url
-    // carries a #member fragment for traceability, and every member
-    // passes the same text gates as a raw body — a tarball of PNGs
-    // contributes nothing
-    def tarMemberArm(src: DataFrame, payload: Column): DataFrame = {
-      val m = graft.functions.expressions.TextExprs.tarMembers(payload)
-      src
-        .select(Seq(col("file"), col("record_ix"),
-          col("url"), explode(m).as("m"),
-          col("source")) ++ extra.map(_ => col("ts")): _*)
-        .filter(BinarySource.sniffMime(col("m.data")) ===
-          "application/octet-stream" && plausiblyText(col("m.data")))
-        .select(Seq(
-          md5Lower64(concat_ws("#", col("file"), col("record_ix"),
-            col("m.name"))).as("doc_id"),
-          concat_ws("#", col("url"), col("m.name")).as("url"),
-          graft.functions.expressions.TextExprs
-            .charsetDecode(col("m.data"), metaCharsetLabel(col("m.data")))
-            .as("text"),
-          graft.functions.expressions.TextExprs
-            .charsetResolve(col("m.data"), metaCharsetLabel(col("m.data")))
-            .as("charset_used"),
-          col("source")) ++ extra.map(_ => col("ts")): _*)
-    }
-    val tarArm = tarMemberArm(
-      records
-        .filter(col("warc_type") === "response" &&
-          BinarySource.sniffMime(col("body")) === BinarySource.MimeTar)
-        .select(Seq(col("file"), col("record_ix"),
-          col("target_uri").as("url"), col("body"),
-          regexp_extract(col("file"), "([^/]+)$", 1).as("source")) ++
-          extra: _*),
-      col("body"))
-    val gzTarArm = tarMemberArm(
-      gzInner.filter(
-        BinarySource.sniffMime(col("inner")) === BinarySource.MimeTar),
-      col("inner"))
-    corpusShape(
-      textArm.unionByName(gzArm).unionByName(tarArm).unionByName(gzTarArm),
+        when(col("m.name").isNull,
+          md5Lower64(concat_ws("#", col("file"), col("record_ix"))))
+          .otherwise(md5Lower64(concat_ws("#", col("file"),
+            col("record_ix"), col("m.name")))).as("doc_id"),
+        when(col("m.name").isNull, col("target_uri"))
+          .otherwise(concat_ws("#", col("target_uri"), col("m.name")))
+          .as("url"),
+        T.charsetDecode(col("m.data"), mLabel).as("text"),
+        T.charsetResolve(col("m.data"), mLabel).as("charset_used"),
+        col("source")) ++ extra.map(_ => col("ts")): _*),
       extra.nonEmpty)
   }
 
