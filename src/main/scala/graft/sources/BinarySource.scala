@@ -54,6 +54,13 @@ object BinarySource {
   val MimeFlac = "audio/flac"
   val MimeTiff = "image/tiff"
   val MimeTar = "application/x-tar"
+  // dataset/interchange files a mirror crawl serves — recognized so
+  // they land in media as honest evidence instead of NUL-fence
+  // quarantine noise (no decoder needed to keep the audit clean)
+  val MimeParquet = "application/vnd.apache.parquet"
+  val MimeOrc = "application/vnd.apache.orc"
+  val MimeAvro = "application/avro"
+  val MimeSqlite = "application/vnd.sqlite3"
   val MimeRtf = "application/rtf" // ASCII, so WITHOUT this route a
                                   // crawled .rtf passes the NUL fence
                                   // and ingests as control-word soup
@@ -143,6 +150,21 @@ object BinarySource {
       // can't open with either
       .when(magic(payload, 1, "II*\u0000") ||
         magic(payload, 1, "MM\u0000*"), lit(MimeTiff))
+      // dataset files, pinned so prose cannot misroute: parquet and
+      // ORC carry their magic at BOTH ends (header + footer/postscript
+      // tail — negative substring reads the tail), Avro's "Obj" gains
+      // its \u0001 version byte, SQLite's full 16-byte header string
+      // includes a NUL
+      .when(magic(payload, 1, "PAR1") &&
+        substring(payload, -4, 4) === lit("PAR1".getBytes("ISO-8859-1")),
+        lit(MimeParquet))
+      // ORC's tail is "ORC" + the 1-byte postscript length, so the
+      // magic sits at [-4,-2]
+      .when(magic(payload, 1, "ORC") &&
+        substring(payload, -4, 3) === lit("ORC".getBytes("ISO-8859-1")),
+        lit(MimeOrc))
+      .when(magic(payload, 1, "Obj\u0001"), lit(MimeAvro))
+      .when(magic(payload, 1, "SQLite format 3\u0000"), lit(MimeSqlite))
       // ustar magic at its fixed header offset (257, 1-based 258) —
       // the one tar shape modern tools write; pre-POSIX headerless
       // tars stay octet-stream (no reliable magic exists for them)

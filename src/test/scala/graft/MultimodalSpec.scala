@@ -1469,6 +1469,43 @@ class MultimodalSpec extends SparkSpec {
       "a truncated container fences, not stubs")
   }
 
+  test("sniffMime routes dataset files (parquet/orc/avro/sqlite) by pinned magics; prose stays text") {
+    import spark.implicits._
+    // REAL parquet/orc/avro bytes: written by Spark itself, read back
+    // raw — the strongest possible fixture for a magic table
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ds").toString
+    val one = Seq((1L, "x")).toDF("id", "s").coalesce(1)
+    one.write.mode("overwrite").parquet(s"$tmp/p")
+    one.write.mode("overwrite").orc(s"$tmp/o")
+    graft.sources.AvroSource.write(one, s"$tmp/a")
+    def firstFile(d: String, suffix: String): Array[Byte] = {
+      val f = new java.io.File(d).listFiles()
+        .find(_.getName.endsWith(suffix)).get
+      java.nio.file.Files.readAllBytes(f.toPath)
+    }
+    val sqlite = ("SQLite format 3\u0000" + "x" * 100).getBytes("ISO-8859-1")
+    val rows = Seq(
+      ("parquet", firstFile(s"$tmp/p", ".parquet")),
+      ("orc", firstFile(s"$tmp/o", ".orc")),
+      ("avro", firstFile(s"$tmp/a", ".avro")),
+      ("sqlite", sqlite),
+      ("prose1", "PAR1 is the parquet magic".getBytes("UTF-8")),
+      ("prose2", "ORC is a columnar format".getBytes("UTF-8")),
+      ("prose3", "Obj is short for object".getBytes("UTF-8")))
+      .toDF("name", "payload")
+      .select(col("name"),
+        graft.sources.BinarySource.sniffMime(col("payload")).as("mime"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(rows == Map(
+      "parquet" -> graft.sources.BinarySource.MimeParquet,
+      "orc" -> graft.sources.BinarySource.MimeOrc,
+      "avro" -> graft.sources.BinarySource.MimeAvro,
+      "sqlite" -> graft.sources.BinarySource.MimeSqlite,
+      "prose1" -> "application/octet-stream",
+      "prose2" -> "application/octet-stream",
+      "prose3" -> "application/octet-stream"), s"$rows")
+  }
+
   test("extractFeatures on OGG/FLAC mimes yields header-walk evidence, not a stub") {
     import graft.multimodal.{Flac, Ogg}
     import spark.implicits._
