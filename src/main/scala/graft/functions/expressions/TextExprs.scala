@@ -1214,10 +1214,20 @@ object DecompressBytes {
 
   /** The one decompression kernel (magic-dispatched, bomb-capped,
     * truncation → null) — shared by the scalar expression and the
-    * members form.
+    * members form. Four codings, each through a stream Spark already
+    * ships: gzip/zstd (the dominant pair), bzip2 and xz (the dataset
+    * mirrors' pair — commons-compress and the xz library are on
+    * every Spark classpath).
     */
   private[expressions] def decompress(bytes: Array[Byte]): Array[Byte] = {
-    val in: java.io.InputStream =
+    // every decoder's CONSTRUCTOR reads the stream header and can
+    // itself throw on crafted bytes — construction must sit inside
+    // the same fence as the drain (a 2-byte magic + garbage header
+    // must yield null, never a task death). NOTE: no early `return`
+    // inside the try — scalac emits invalid stackmap frames for a
+    // non-local return crossing this try/finally shape (VerifyError
+    // at task time), so the body is pure expression flow.
+    def open(): java.io.InputStream =
       if (bytes.length >= 18 && bytes(0) == 0x1f.toByte &&
           bytes(1) == 0x8b.toByte)
         new java.util.zip.GZIPInputStream(
@@ -1227,20 +1237,39 @@ object DecompressBytes {
                bytes(3) == 0xfd.toByte)
         new com.github.luben.zstd.ZstdInputStream(
           new java.io.ByteArrayInputStream(bytes))
-      else return null
+      else if (bytes.length >= 10 && bytes(0) == 'B' && bytes(1) == 'Z' &&
+               bytes(2) == 'h' && bytes(3) >= '1' && bytes(3) <= '9' &&
+               bytes(4) == 0x31 && bytes(5) == 0x41 && bytes(6) == 0x59)
+        new org.apache.commons.compress.compressors.bzip2
+          .BZip2CompressorInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+      else if (bytes.length >= 6 && bytes(0) == 0xFD.toByte &&
+               bytes(1) == '7' && bytes(2) == 'z' && bytes(3) == 'X' &&
+               bytes(4) == 'Z' && bytes(5) == 0)
+        new org.apache.commons.compress.compressors.xz
+          .XZCompressorInputStream(new java.io.ByteArrayInputStream(bytes))
+      else null
+    var in: java.io.InputStream = null
     try {
-      val out = new java.io.ByteArrayOutputStream(bytes.length * 3 + 64)
-      val buf = new Array[Byte](1 << 16)
-      var n = in.read(buf)
-      while (n >= 0) {
-        out.write(buf, 0, n)
-        if (out.size() > MaxOut) return null
-        n = in.read(buf)
+      in = open()
+      if (in == null) null
+      else {
+        val out = new java.io.ByteArrayOutputStream(bytes.length * 3 + 64)
+        val buf = new Array[Byte](1 << 16)
+        var over = false
+        var n = in.read(buf)
+        while (n >= 0 && !over) {
+          out.write(buf, 0, n)
+          if (out.size() > MaxOut) over = true
+          else n = in.read(buf)
+        }
+        if (over) null else out.toByteArray
       }
-      out.toByteArray
     } catch {
       case _: java.io.IOException => null // truncated/corrupt: fence
-    } finally scala.util.Try(in.close())
+    } finally {
+      if (in != null) { scala.util.Try(in.close()); () }
+    }
   }
 }
 

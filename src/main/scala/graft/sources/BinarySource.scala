@@ -45,6 +45,8 @@ object BinarySource {
   val MimePdf = "application/pdf"
   val MimeGzip = "application/gzip"
   val MimeZstd = "application/zstd"
+  val MimeBzip2 = "application/x-bzip2"
+  val MimeXz = "application/x-xz"
   val MimeMp3 = "audio/mpeg"
   val MimeZip = "application/zip"   // OOXML/EPUB/JAR live here too
   val MimeMp4 = "video/mp4"         // the whole ISO-BMFF brand family
@@ -114,6 +116,16 @@ object BinarySource {
       .when(magic(payload, 1, "%PDF-"), lit(MimePdf))
       .when(magic(payload, 1, "\u001f\u008b"), lit(MimeGzip))
       .when(magic(payload, 1, "(\u00b5/\u00fd"), lit(MimeZstd))
+      // bzip2 at its full shape ("BZh" + level digit + the pi-block
+      // magic "1AY" — prose can open "BZh" but not this); xz's
+      // 6-byte magic carries 0xFD and a NUL
+      .when((magic(payload, 1, "BZh1") || magic(payload, 1, "BZh2") ||
+        magic(payload, 1, "BZh3") || magic(payload, 1, "BZh4") ||
+        magic(payload, 1, "BZh5") || magic(payload, 1, "BZh6") ||
+        magic(payload, 1, "BZh7") || magic(payload, 1, "BZh8") ||
+        magic(payload, 1, "BZh9")) && magic(payload, 5, "1AY"),
+        lit(MimeBzip2))
+      .when(magic(payload, 1, "\u00fd7zXZ\u0000"), lit(MimeXz))
       .when(id3, lit(MimeMp3))
       // ZIP local-file magic — DOCX/XLSX/EPUB/JAR all present as this;
       // the office-text face decides docx-ness by the REAL container

@@ -523,7 +523,8 @@ object WarcSource {
         selfOnly)
       .when(col("warc_type") === "response" &&
         BinarySource.sniffMime(col("body"))
-          .isin(BinarySource.MimeGzip, BinarySource.MimeZstd),
+          .isin(BinarySource.MimeGzip, BinarySource.MimeZstd,
+            BinarySource.MimeBzip2, BinarySource.MimeXz),
         T.decompressedMembers(col("body")))
       .when(col("warc_type") === "response" &&
         BinarySource.sniffMime(col("body")) === BinarySource.MimeTar,

@@ -694,11 +694,27 @@ class WarcSourceSpec extends SparkSpec {
         resp("http://g.example/cut.gz", "application/gzip", truncated) ++
         resp("http://g.example/data.tar", "application/x-tar", tar) ++
         resp("http://g.example/data.tar.gz", "application/gzip",
-          gzip(tar)))
+          gzip(tar)) ++
+        resp("http://g.example/notes.bz2", "application/x-bzip2", {
+          val bo = new java.io.ByteArrayOutputStream()
+          val z = new org.apache.commons.compress.compressors.bzip2
+            .BZip2CompressorOutputStream(bo)
+          z.write("bzip2 served text notes".getBytes("UTF-8")); z.close()
+          bo.toByteArray
+        }) ++
+        resp("http://g.example/corpus.xz", "application/x-xz", {
+          val bo = new java.io.ByteArrayOutputStream()
+          val z = new org.apache.commons.compress.compressors.xz
+            .XZCompressorOutputStream(bo)
+          z.write("xz served text corpus".getBytes("UTF-8")); z.close()
+          bo.toByteArray
+        }))
     val recs = WarcSource.records(spark, dir).cache()
     val docs = WarcSource.documents(recs).collect()
       .map(r => r.getAs[String]("url") -> r.getAs[String]("text")).toMap
-    assert(docs.size == 8, s"got ${docs.keySet}")
+    assert(docs.size == 10, s"got ${docs.keySet}")
+    assert(docs("http://g.example/notes.bz2") == "bzip2 served text notes")
+    assert(docs("http://g.example/corpus.xz") == "xz served text corpus")
     assert(docs("http://g.example/sitemap.xml.gz") == sitemap)
     assert(docs("http://g.example/dump.zst") == "a zstd served text dump")
     // tar members: one row PER TEXT member, #member-fragment urls,
