@@ -109,23 +109,16 @@ object TextExprs {
   def officeExtractText(payload: Column): Column =
     c(OfficeExtractText(x(payload)))
 
-  /** GZIP/zstd payload → the decompressed bytes, NULL for other
-    * bytes, truncated/corrupt streams, or output past the bomb cap
-    * (see [[DecompressBytes]]).
-    */
-  def decompressBytes(payload: Column): Column =
-    c(DecompressBytes(x(payload)))
-
   /** TAR payload → array of regular-file members as (name, data)
     * structs, NULL for non-tar bytes or past-cap archives (see
     * [[TarMembers]]).
     */
   def tarMembers(payload: Column): Column = c(TarMembers(x(payload)))
 
-  /** GZIP/zstd payload → decompressed content as a members array
-    * (tar inside → its members; anything else → one null-named
-    * element), NULL for other/corrupt bytes (see
-    * [[DecompressedMembers]]).
+  /** Compressed payload (gzip/zstd/bzip2/xz) → decompressed content
+    * as a members array (tar inside → its members; anything else →
+    * one empty-string-named element), NULL for other/corrupt bytes
+    * (see [[DecompressedMembers]]).
     */
   def decompressedMembers(payload: Column): Column =
     c(DecompressedMembers(x(payload)))
@@ -1183,32 +1176,20 @@ case class PdfExtractText(child: Expression)
   * .officeDocuments]]) pure Column ops — ts passthrough and the
   * streaming mirror come for free, the repo's no-UDF convention.
   */
-/** Bounded gzip/zstd decompression as an expression: a crawl serves
-  * REAL compressed FILES as response bodies (sitemap.xml.gz is
-  * ubiquitous; robots/feeds/dumps too, and dataset mirrors serve
-  * `.zst`) — these are not Content-Encoding (the record walk already
-  * undoes transport codings) but entity bytes, and without this
-  * their text rots in the media face as opaque blobs. Dispatches by
-  * magic (gzip 1f8b via the JDK; zstd via the zstd-jni stream Spark
-  * already ships). NULL when the bytes are neither, the stream is
-  * truncated or corrupt (partial output must not become corpus text
-  * — the truncated-Flate rule), or output exceeds the 64 MiB bomb
-  * cap. ONE decompression level: a gz-in-gz stays compressed (the
-  * caller's sniff of the output governs routing).
+/** Bounded decompression for served compressed FILES: a crawl serves
+  * real .gz/.zst/.bz2/.xz response bodies (sitemap.xml.gz is
+  * ubiquitous; dataset mirrors serve the rest) — these are not
+  * Content-Encoding (the record walk already undoes transport
+  * codings) but entity bytes, and without this their text rots in
+  * the media face as opaque blobs. Null when the bytes are none of
+  * the four codings, the stream is truncated or corrupt (partial
+  * output must not become corpus text — the truncated-Flate rule),
+  * or output exceeds the 64 MiB bomb cap. ONE decompression level:
+  * a gz-in-gz stays compressed (the caller's sniff of the output
+  * governs routing). Consumed through [[DecompressedMembers]] (the
+  * expression face); the kernel is an object method so the two stay
+  * one implementation.
   */
-case class DecompressBytes(child: Expression)
-    extends UnaryExpression with CodegenFallback {
-
-  override def dataType: DataType = org.apache.spark.sql.types.BinaryType
-  override def nullable: Boolean = true
-
-  override def nullSafeEval(input: Any): Any =
-    DecompressBytes.decompress(input.asInstanceOf[Array[Byte]])
-
-  override protected def withNewChildInternal(c: Expression): Expression =
-    copy(child = c)
-}
-
 object DecompressBytes {
   private val MaxOut = 64 * 1024 * 1024
 
@@ -1254,7 +1235,13 @@ object DecompressBytes {
       in = open()
       if (in == null) null
       else {
-        val out = new java.io.ByteArrayOutputStream(bytes.length * 3 + 64)
+        // initial capacity bounded by the output cap: bytes.length*3
+        // overflows Int past ~715 MB (IllegalArgumentException the
+        // IOException fence would NOT catch — task death), and even
+        // below that, preallocating 3× a large input for output
+        // capped at 64 MiB is waste
+        val out = new java.io.ByteArrayOutputStream(
+          math.min(bytes.length.toLong * 3 + 64, 1L << 20).toInt)
         val buf = new Array[Byte](1 << 16)
         var over = false
         var n = in.read(buf)
@@ -1273,15 +1260,22 @@ object DecompressBytes {
   }
 }
 
-/** The served-compressed-file MEMBERS form: decompress ONCE, then —
-  * if the inner bytes are a tar (checksum-validated by
-  * [[graft.multimodal.Tar.entries]], no second magic table to
-  * drift) — the archive's regular members; otherwise the inner blob
-  * as ONE (null-named) element. NULL for non-gz/zstd bytes, corrupt
-  * streams, or past-cap archives. This is what lets the documents
-  * face handle body/gz/tar/tar.gz in ONE projection over ONE scan:
-  * every heavy evaluation lives inside this single expression behind
-  * the face's single Generate.
+/** The served-compressed-file MEMBERS form: decompress ONCE
+  * (gzip/zstd/bzip2/xz by magic), then — if the inner bytes are a
+  * tar (checksum-validated by [[graft.multimodal.Tar.entries]], no
+  * second magic table to drift) — the archive's regular members;
+  * otherwise the inner blob as ONE element whose name is the EMPTY
+  * string (not null: the consumer distinguishes "the record's own
+  * body" (null) from "bytes produced by decompression" ("") — the
+  * latter must be sniffed on their own evidence). A tar past the
+  * member-count cap also surfaces as the single blob element
+  * (Tar.entries fences it to None; the consumer's sniff gate then
+  * refuses the x-tar blob — stated, because a bare "NULL on
+  * past-cap" promise here would not match the behavior). NULL for
+  * non-compressed bytes or corrupt/truncated streams. This is what
+  * lets the documents face handle body/gz/tar/tar.gz in ONE
+  * projection over ONE scan: every heavy evaluation lives inside
+  * this single expression behind the face's single Generate.
   */
 case class DecompressedMembers(child: Expression)
     extends UnaryExpression with CodegenFallback {
@@ -1298,7 +1292,7 @@ case class DecompressedMembers(child: Expression)
       case None =>
         new org.apache.spark.sql.catalyst.util.GenericArrayData(
           Array[Any](org.apache.spark.sql.catalyst.InternalRow(
-            null, inner)))
+            UTF8String.fromString(""), inner)))
     }
   }
 

@@ -119,11 +119,10 @@ object BinarySource {
       // bzip2 at its full shape ("BZh" + level digit + the pi-block
       // magic "1AY" — prose can open "BZh" but not this); xz's
       // 6-byte magic carries 0xFD and a NUL
-      .when((magic(payload, 1, "BZh1") || magic(payload, 1, "BZh2") ||
-        magic(payload, 1, "BZh3") || magic(payload, 1, "BZh4") ||
-        magic(payload, 1, "BZh5") || magic(payload, 1, "BZh6") ||
-        magic(payload, 1, "BZh7") || magic(payload, 1, "BZh8") ||
-        magic(payload, 1, "BZh9")) && magic(payload, 5, "1AY"),
+      .when(magic(payload, 1, "BZh") &&
+        substring(payload, 4, 1) >= lit(Array[Byte]('1')) &&
+        substring(payload, 4, 1) <= lit(Array[Byte]('9')) &&
+        magic(payload, 5, "1AY"),
         lit(MimeBzip2))
       .when(magic(payload, 1, "\u00fd7zXZ\u0000"), lit(MimeXz))
       .when(id3, lit(MimeMp3))

@@ -516,43 +516,63 @@ object WarcSource {
     val T = graft.functions.expressions.TextExprs
     val nullName = lit(null).cast("string")
     val selfOnly = array(struct(nullName.as("name"), col("body").as("data")))
+    // the body's mime is PROJECTED ONCE and every branch reads the
+    // column — sniffMime is a ~40-branch CASE over binary substrings
+    // and the when-chain would otherwise re-evaluate it per predicate
+    val sniffed = records.withColumn("body_mime",
+      BinarySource.sniffMime(col("body")))
     val members =
       when(col("warc_type") === "conversion" ||
         (col("warc_type") === "response" &&
-          BinarySource.sniffMime(col("body")) === "application/octet-stream"),
+          col("body_mime") === "application/octet-stream"),
         selfOnly)
       .when(col("warc_type") === "response" &&
-        BinarySource.sniffMime(col("body"))
-          .isin(BinarySource.MimeGzip, BinarySource.MimeZstd,
-            BinarySource.MimeBzip2, BinarySource.MimeXz),
+        col("body_mime").isin(BinarySource.MimeGzip, BinarySource.MimeZstd,
+          BinarySource.MimeBzip2, BinarySource.MimeXz),
         T.decompressedMembers(col("body")))
       .when(col("warc_type") === "response" &&
-        BinarySource.sniffMime(col("body")) === BinarySource.MimeTar,
+        col("body_mime") === BinarySource.MimeTar,
         T.tarMembers(col("body")))
-    val exploded = records
+    // posexplode: the ordinal disambiguates REPEATED member names
+    // (tar append semantics legitimately carry two "data.txt"s —
+    // their doc_ids must differ or downstream dedup/upsert silently
+    // merges two texts)
+    val exploded = sniffed
       .select(Seq(
         col("file"), col("record_ix"),
         col("target_uri"),
-        explode(members).as("m"),
+        posexplode(members).as(Seq("m_pos", "m")),
         headerLabel.as("hdr_label"),
         regexp_extract(col("file"), "([^/]+)$", 1).as("source")) ++
         extra: _*)
-      .filter(BinarySource.sniffMime(col("m.data")) ===
-        "application/octet-stream" && plausiblyText(col("m.data")))
-    // the charset chain is unchanged for direct bodies (declared
-    // header, else the in-body meta scan, else the sniff); members
-    // and inner blobs use their OWN bytes' evidence (an archive
-    // envelope's header says nothing about the text inside it), with
-    // the declared header honored when present — same precedence
-    val mLabel = when(col("hdr_label") =!= "", col("hdr_label"))
+      // gates: a null-named element IS the record's own body, whose
+      // mime its arm already gated — re-sniffing would both waste a
+      // 40-branch CASE per row and WRONGLY apply the media gate to
+      // conversion (WET) records, whose extracted text may open with
+      // a short printable magic ("BM…"/"P6…" prose must not vanish).
+      // Decompressed blobs (name "") and tar members sniff their OWN
+      // bytes; everything passes the NUL fence
+      .filter(plausiblyText(col("m.data")) &&
+        (col("m.name").isNull ||
+          BinarySource.sniffMime(col("m.data")) ===
+            "application/octet-stream"))
+    // charset: direct bodies keep the declared-header precedence
+    // (header, else the in-body meta scan, else the sniff); archive
+    // members and decompressed blobs use their OWN bytes' evidence
+    // ONLY — an envelope's "application/gzip; charset=…" says
+    // nothing about the text inside it
+    val isSelf = col("m.name").isNull
+    val mLabel = when(isSelf && col("hdr_label") =!= "", col("hdr_label"))
       .otherwise(metaCharsetLabel(col("m.data")))
+    val named = col("m.name").isNotNull && col("m.name") =!= ""
     corpusShape(exploded
       .select(Seq(
-        when(col("m.name").isNull,
+        when(!named,
           md5Lower64(concat_ws("#", col("file"), col("record_ix"))))
           .otherwise(md5Lower64(concat_ws("#", col("file"),
-            col("record_ix"), col("m.name")))).as("doc_id"),
-        when(col("m.name").isNull, col("target_uri"))
+            col("record_ix"), col("m_pos"), col("m.name"))))
+          .as("doc_id"),
+        when(!named, col("target_uri"))
           .otherwise(concat_ws("#", col("target_uri"), col("m.name")))
           .as("url"),
         T.charsetDecode(col("m.data"), mLabel).as("text"),

@@ -492,12 +492,21 @@ class WarcSourceSpec extends SparkSpec {
         rec(Seq("WARC-Type" -> "conversion",
           "WARC-Target-URI" -> "http://n.example/okwet",
           "Content-Type" -> "text/plain"),
-          bytes("a clean wet record that must still ingest")))
+          bytes("a clean wet record that must still ingest")) ++
+        // extracted WET text legitimately OPENS with a short printable
+        // magic ("BM…"/"P6…" prose) — conversion records get only the
+        // NUL fence, never the media-sniff gate (review regression)
+        rec(Seq("WARC-Type" -> "conversion",
+          "WARC-Target-URI" -> "http://n.example/bmwet",
+          "Content-Type" -> "text/plain"),
+          bytes("BMW recalls several models this quarter")))
     val recs = WarcSource.records(spark, dir).cache()
     val docUrls = WarcSource.documents(recs)
       .select("url").collect().map(_.getString(0)).toSet
-    assert(docUrls == Set("http://n.example/okwet"),
-      "a NUL-bearing WET payload must not become a mojibake document")
+    assert(docUrls ==
+      Set("http://n.example/okwet", "http://n.example/bmwet"),
+      "a NUL-bearing WET payload must not become a mojibake document, " +
+        "and WET prose opening 'BM' must not vanish")
     val quar = WarcSource.quarantine(recs).collect()
     assert(quar.map(_.getAs[String]("url")).toSeq ==
       Seq("http://n.example/binwet"),
