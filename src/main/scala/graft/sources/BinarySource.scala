@@ -63,6 +63,10 @@ object BinarySource {
   val MimeOrc = "application/vnd.apache.orc"
   val MimeAvro = "application/avro"
   val MimeSqlite = "application/vnd.sqlite3"
+  val MimeOle = "application/x-ole-storage" // legacy .doc/.xls/.ppt
+                                            // (CFB): recognized, not
+                                            // extracted — honest media
+                                            // evidence beats NUL noise
   val MimeRtf = "application/rtf" // ASCII, so WITHOUT this route a
                                   // crawled .rtf passes the NUL fence
                                   // and ingests as control-word soup
@@ -176,6 +180,11 @@ object BinarySource {
         lit(MimeOrc))
       .when(magic(payload, 1, "Obj\u0001"), lit(MimeAvro))
       .when(magic(payload, 1, "SQLite format 3\u0000"), lit(MimeSqlite))
+      // Compound File Binary (OLE2) — the legacy Office container's
+      // 8-byte signature
+      .when(magic(payload, 1,
+        "\u00d0\u00cf\u0011\u00e0\u00a1\u00b1\u001a\u00e1"),
+        lit(MimeOle))
       // ustar magic at its fixed header offset (257, 1-based 258) —
       // the one tar shape modern tools write; pre-POSIX headerless
       // tars stay octet-stream (no reliable magic exists for them)

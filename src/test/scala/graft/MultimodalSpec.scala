@@ -1489,6 +1489,9 @@ class MultimodalSpec extends SparkSpec {
       ("orc", firstFile(s"$tmp/o", ".orc")),
       ("avro", firstFile(s"$tmp/a", ".avro")),
       ("sqlite", sqlite),
+      ("ole", Array[Byte](0xD0.toByte, 0xCF.toByte, 0x11, 0xE0.toByte,
+        0xA1.toByte, 0xB1.toByte, 0x1A, 0xE1.toByte) ++
+        new Array[Byte](120)),
       ("prose1", "PAR1 is the parquet magic".getBytes("UTF-8")),
       ("prose2", "ORC is a columnar format".getBytes("UTF-8")),
       ("prose3", "Obj is short for object".getBytes("UTF-8")))
@@ -1501,6 +1504,7 @@ class MultimodalSpec extends SparkSpec {
       "orc" -> graft.sources.BinarySource.MimeOrc,
       "avro" -> graft.sources.BinarySource.MimeAvro,
       "sqlite" -> graft.sources.BinarySource.MimeSqlite,
+      "ole" -> graft.sources.BinarySource.MimeOle,
       "prose1" -> "application/octet-stream",
       "prose2" -> "application/octet-stream",
       "prose3" -> "application/octet-stream"), s"$rows")
