@@ -53,7 +53,9 @@ object SparkEntry {
         Entry("q135_odt_extract", graft.multimodal.Multimodal.q135,
           Some(graft.multimodal.Multimodal.q135Sql)),
         Entry("q136_xlsx_extract", graft.multimodal.Multimodal.q136,
-          Some(graft.multimodal.Multimodal.q136Sql)))
+          Some(graft.multimodal.Multimodal.q136Sql)),
+        Entry("q137_doc_extract", graft.multimodal.Multimodal.q137,
+          Some(graft.multimodal.Multimodal.q137Sql)))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1358,18 +1358,21 @@ case class OfficeExtractText(child: Expression)
 
   override def nullSafeEval(input: Any): Any = {
     val bytes = input.asInstanceOf[Array[Byte]]
-    // RTF first (a 5-byte prologue check, not a ZIP); the ZIP
-    // dialects then share ONE parsed central directory — without the
-    // view each kernel would repeat the EOCD backward scan and the
-    // full directory walk per member lookup
-    val out = graft.multimodal.RtfText.extract(bytes).orElse {
-      val zip = new graft.multimodal.Zip.View(bytes)
-      if (!zip.isZip) None
-      else graft.multimodal.Docx.extractText(zip)
-        .orElse(graft.multimodal.Xlsx.extractText(zip))
-        .orElse(graft.multimodal.Epub.extractText(zip))
-        .orElse(graft.multimodal.Odt.extractText(zip))
-    }
+    // RTF first (a 5-byte prologue check), then legacy Word (the CFB
+    // signature gates DocText before any ZIP work); the ZIP dialects
+    // then share ONE parsed central directory — without the view each
+    // kernel would repeat the EOCD backward scan and the full
+    // directory walk per member lookup
+    val out = graft.multimodal.RtfText.extract(bytes)
+      .orElse(graft.multimodal.DocText.extract(bytes))
+      .orElse {
+        val zip = new graft.multimodal.Zip.View(bytes)
+        if (!zip.isZip) None
+        else graft.multimodal.Docx.extractText(zip)
+          .orElse(graft.multimodal.Xlsx.extractText(zip))
+          .orElse(graft.multimodal.Epub.extractText(zip))
+          .orElse(graft.multimodal.Odt.extractText(zip))
+      }
     out match {
       case Some(t) => UTF8String.fromString(t)
       case None => null

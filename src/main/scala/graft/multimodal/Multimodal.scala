@@ -1398,6 +1398,35 @@ object Multimodal {
   /** DuckDB mirror of q136: the identity. */
   val q136Sql: String = q129Sql
 
+  /** q137 entry: LEGACY WORD (.doc) TEXT EXTRACTION in the
+    * oracle-checked path — each document written as a REAL Word-97
+    * compound file ([[DocText.write]]: the [[Cfb]] v3 container with
+    * FAT/directory/miniFAT, a structurally-valid FIB, one
+    * uncompressed piece at the canonical 0x0400; the WordDocument
+    * stream rides the REGULAR sector chain and the 1Table Clx rides
+    * the MINI stream, so BOTH container paths sit in every oracle
+    * row) and extracted back ([[DocText.extract]]: CFB walk, FIB
+    * structural walk, Clx/PlcPcd pieces, control-char cleanup). The
+    * oracle is the IDENTITY — the fifth document format under the
+    * q127 device, and the arm that turns the OLE2 media route into
+    * corpus text.
+    */
+  def q137(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), coalesce(col("text"), lit("")).as("t"))
+      .as[(Long, String)]
+      .map { case (id, t) =>
+        val back = DocText.extract(DocText.write(t))
+        (id, back.getOrElse(""), back.isDefined)
+      }
+      .toDF("doc_id", "text", "extract_ok")
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB mirror of q137: the identity. */
+  val q137Sql: String = q129Sql
+
   /** q130 entry: VIDEO-CONTAINER PROBE in the oracle-checked path —
     * per document, a REAL container built with doc_id-derived
     * parameters (even ids → ISO-BMFF via [[Mp4.write]], odd →

@@ -664,7 +664,8 @@ object WarcSource {
     corpusShape(records
       .filter(col("warc_type") === "response" &&
         BinarySource.sniffMime(col("body"))
-          .isin(BinarySource.MimeZip, BinarySource.MimeRtf))
+          .isin(BinarySource.MimeZip, BinarySource.MimeRtf,
+            BinarySource.MimeOle))
       .select(Seq(
         md5Lower64(concat_ws("#", col("file"), col("record_ix")))
           .as("doc_id"),

@@ -142,7 +142,9 @@ class FuzzSpec extends SparkSpec {
       ("tar", Tar.write(Seq(("a.txt", "fuzz tar member".getBytes),
         ("b/c.txt", "second member".getBytes))),
         b => { Tar.entries(b).foreach(_.foreach(e =>
-          if (e.offset + e.size <= b.length) Tar.extract(b, e))); () }))
+          if (e.offset + e.size <= b.length) Tar.extract(b, e))); () }),
+      ("cfb-doc", DocText.write("fuzz legacy word text\nsecond para"),
+        b => { DocText.extract(b); () }))
     def mutate(b: Array[Byte]): Array[Byte] = rnd.nextInt(4) match {
       case 0 => // flip 1..8 random bytes
         val m = b.clone()

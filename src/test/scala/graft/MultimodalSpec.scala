@@ -1601,6 +1601,17 @@ class MultimodalSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("q137: legacy .doc extraction end-to-end — identity on the documents table") {
+    val out = Multimodal.q137(spark, sf).cache()
+    assert(out.count() == Tables(spark, sf).documents.count())
+    assert(out.filter(!col("extract_ok")).count() == 0)
+    val orig = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
+    assert(out.select("doc_id", "text").except(orig).count() == 0,
+      "extraction must be the identity on every document")
+    out.unpersist()
+  }
+
   test("q129: DOCX extraction end-to-end — identity on the documents table") {
     val out = Multimodal.q129(spark, sf).cache()
     assert(out.count() == Tables(spark, sf).documents.count())

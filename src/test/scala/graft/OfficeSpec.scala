@@ -1,6 +1,6 @@
 package graft
 
-import graft.multimodal.{Docx, Epub, Odt, RtfText, Xlsx, Zip}
+import graft.multimodal.{Cfb, DocText, Docx, Epub, Odt, RtfText, Xlsx, Zip}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** ZIP container walk + DOCX text extraction — round trips through
@@ -334,6 +334,79 @@ class OfficeSpec extends AnyFunSuite {
     assert(Odt.extractText(Docx.write("docx")).isEmpty)
     assert(Odt.extractText(Epub.write("epub")).isEmpty,
       "an EPUB has no top-level content.xml")
+  }
+
+  // ---- Cfb / DocText ----
+
+  test("cfb round trip: big stream (regular chain) and small stream (mini stream) by name") {
+    val big = Array.tabulate[Byte](5000)(i => (i * 13).toByte)
+    val small = b("a small stream through the mini path")
+    val cfb = Cfb.write(Seq(("BigStream", big), ("SmallOne", small)))
+    assert(Cfb.stream(cfb, "BigStream").get.toSeq == big.toSeq)
+    assert(Cfb.stream(cfb, "SmallOne").get.toSeq == small.toSeq)
+    assert(Cfb.stream(cfb, "Absent").isEmpty)
+    val names = Cfb.entries(cfb).get.map(_.name).toSet
+    assert(names == Set("Root Entry", "BigStream", "SmallOne"))
+  }
+
+  test("cfb fences: non-cfb, truncation, FAT cycle") {
+    assert(Cfb.entries(b("not a compound file at all, just prose")).isEmpty)
+    assert(Cfb.entries(null).isEmpty)
+    val ok = Cfb.write(Seq(("S", Array.tabulate[Byte](5000)(_.toByte))))
+    // cut inside the big stream's chain → stream None, dir still reads
+    val cut = java.util.Arrays.copyOfRange(ok, 0, ok.length - 600)
+    assert(Cfb.stream(cut, "S").isEmpty, "short chain must not yield bytes")
+    assert(Cfb.entries(cut).isDefined)
+    // FAT cycle: point the big stream's first FAT entry at itself
+    val looped = ok.clone()
+    val fatOff = 512 // FAT is sector 0
+    // find S's start sector from its dir entry (sector 1, entry 1)
+    val dirOff = 512 * 2 + 128
+    val start = (looped(dirOff + 116) & 0xff) |
+      ((looped(dirOff + 117) & 0xff) << 8)
+    looped(fatOff + 4 * start) = start.toByte
+    looped(fatOff + 4 * start + 1) = ((start >> 8) & 0xff).toByte
+    looped(fatOff + 4 * start + 2) = 0; looped(fatOff + 4 * start + 3) = 0
+    assert(Cfb.stream(looped, "S").isEmpty, "a FAT loop must not hang")
+  }
+
+  test("doc identity: extract(write(t)) == t across newlines, tabs, unicode, empty") {
+    val cases = Seq(
+      "",
+      "a legacy word document paragraph",
+      "two\nparagraphs\nof doc",
+      "tabs\tride\tthrough",
+      "unicode: été 中文 " + new String(Character.toChars(0x1F600)),
+      "mixed\tline\nwith more\n")
+    cases.foreach { t =>
+      assert(DocText.extract(DocText.write(t)).contains(t), s"case '$t'")
+    }
+  }
+
+  test("doc cleanup + fences: field instructions drop, marks translate, encrypted/non-word fence") {
+    // hand-build: pieces through the writer, then patch text with
+    // Word's control characters at the byte level
+    val raw = "A\u0013 HYPERLINK x \u0014shown\u0015B\u0007C\u000bD"
+    val got = DocText.extract(DocText.write(raw)).get
+    assert(got == "AshownB\tC\nD",
+      "field instruction text must drop; separator-to-end shows")
+    // the encrypted bit fences closed
+    val doc = DocText.write("secret")
+    val enc = doc.clone()
+    // WordDocument is the big stream: find its content start — the
+    // writer places it after [header][FAT][DIR][miniFAT][mini]; patch
+    // the fEncrypted bit in the FIB flags (offset 10 in the stream)
+    val wdStart = {
+      val e = Cfb.entries(doc).get.find(_.name == "WordDocument").get
+      512L * (e.start + 1)
+    }
+    enc((wdStart + 11).toInt) = (enc((wdStart + 11).toInt) | 0x01).toByte
+    assert(DocText.extract(enc).isEmpty, "fEncrypted must fence")
+    // an XLS-shaped CFB (no WordDocument stream) is not a doc
+    val xls = Cfb.write(Seq(("Workbook", b("not word"))))
+    assert(DocText.extract(xls).isEmpty)
+    // and a doc is not any of the zip dialects
+    assert(Docx.extractText(DocText.write("x")).isEmpty)
   }
 
   // ---- Xlsx ----

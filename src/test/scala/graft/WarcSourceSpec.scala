@@ -621,7 +621,9 @@ class WarcSourceSpec extends SparkSpec {
         resp("http://o.example/table.xlsx",
           "application/vnd.openxmlformats-officedocument" +
             ".spreadsheetml.sheet",
-          graft.multimodal.Xlsx.write("year\trevenue\n2024\tsteady")))
+          graft.multimodal.Xlsx.write("year\trevenue\n2024\tsteady")) ++
+        resp("http://o.example/legacy.doc", "application/msword",
+          graft.multimodal.DocText.write("a legacy word ninety seven file")))
     val recs = WarcSource.records(spark, dir).cache()
     // ZIPs/RTF route to media (never the raw-text corpus) …
     assert(WarcSource.documents(recs)
@@ -632,8 +634,11 @@ class WarcSourceSpec extends SparkSpec {
       .filter(col("meta.mime") === "application/rtf").count() == 1)
     // … and only the REAL documents yield corpus text
     val docs = WarcSource.officeDocuments(recs).collect()
-    assert(docs.length == 5,
+    assert(docs.length == 6,
       "plain archives and corrupt members must yield no corpus row")
+    assert(docs.map(_.getAs[String]("text"))
+      .contains("a legacy word ninety seven file"),
+      "the OLE2 .doc arm rides the same face")
     assert(docs.map(_.getAs[String]("text"))
       .contains("year\trevenue\n2024\tsteady"),
       "the XLSX arm rides the same face, TSV-shaped")
@@ -659,7 +664,7 @@ class WarcSourceSpec extends SparkSpec {
     try {
       q.processAllAvailable()
       val got = spark.table("warc_office_stream")
-      assert(got.count() == 5,
+      assert(got.count() == 6,
         "the streaming mirror must apply the same fences as batch")
       assert(got.filter(col("ts").isNull).count() == 0)
     } finally q.stop()
