@@ -55,7 +55,11 @@ object SparkEntry {
         Entry("q136_xlsx_extract", graft.multimodal.Multimodal.q136,
           Some(graft.multimodal.Multimodal.q136Sql)),
         Entry("q137_doc_extract", graft.multimodal.Multimodal.q137,
-          Some(graft.multimodal.Multimodal.q137Sql)))
+          Some(graft.multimodal.Multimodal.q137Sql)),
+        Entry("q138_xls_extract", graft.multimodal.Multimodal.q138,
+          Some(graft.multimodal.Multimodal.q138Sql)),
+        Entry("q140_ppt_extract", graft.multimodal.Multimodal.q140,
+          Some(graft.multimodal.Multimodal.q140Sql)))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

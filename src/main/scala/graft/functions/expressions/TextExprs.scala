@@ -1358,13 +1358,20 @@ case class OfficeExtractText(child: Expression)
 
   override def nullSafeEval(input: Any): Any = {
     val bytes = input.asInstanceOf[Array[Byte]]
-    // RTF first (a 5-byte prologue check), then legacy Word (the CFB
-    // signature gates DocText before any ZIP work); the ZIP dialects
-    // then share ONE parsed central directory — without the view each
-    // kernel would repeat the EOCD backward scan and the full
-    // directory walk per member lookup
+    // RTF first (a 5-byte prologue check); then the CFB family
+    // sharing ONE parsed FAT + directory ([[Cfb.Doc]] — Word, then
+    // Excel, then PowerPoint, each gating on its own stream name);
+    // the ZIP dialects likewise share ONE parsed central directory —
+    // without the views each kernel would repeat the container walk
+    // per dialect probe
     val out = graft.multimodal.RtfText.extract(bytes)
-      .orElse(graft.multimodal.DocText.extract(bytes))
+      .orElse {
+        val cfb = new graft.multimodal.Cfb.Doc(bytes)
+        if (!cfb.isCfb) None
+        else graft.multimodal.DocText.extract(cfb)
+          .orElse(graft.multimodal.XlsText.extract(cfb))
+          .orElse(graft.multimodal.PptText.extract(cfb))
+      }
       .orElse {
         val zip = new graft.multimodal.Zip.View(bytes)
         if (!zip.isZip) None

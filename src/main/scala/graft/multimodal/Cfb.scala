@@ -136,6 +136,51 @@ object Cfb {
   def entries(bytes: Array[Byte]): Option[Vector[Entry]] =
     openDir(bytes).map(_._2)
 
+  /** A parsed-once handle over one container — the [[Zip.View]]
+    * convention for the CFB family: the office dispatch tries .doc /
+    * .xls / .ppt against ONE FAT + directory walk instead of
+    * re-walking per dialect ([[stream]] re-opens per call).
+    */
+  final class Doc(bytes: Array[Byte]) {
+    private val opened = openDir(bytes)
+    def isCfb: Boolean = opened.isDefined
+    /** Case-insensitive: directory names compare by upcased UTF-16
+      * per MS-CFB, and legacy writers disagree on stream-name case.
+      */
+    def has(name: String): Boolean = opened.exists(_._2.exists(e =>
+      e.typ == 2 && e.name.equalsIgnoreCase(name)))
+    def stream(name: String): Option[Array[Byte]] =
+      opened.flatMap { case (v, es) =>
+        es.find(e => e.typ == 2 && e.name.equalsIgnoreCase(name))
+          .flatMap(e => readStream(v, es, e))
+      }
+  }
+
+  private def readStream(v: View, es: Vector[Entry],
+                         e: Entry): Option[Array[Byte]] =
+    if (e.size >= 4096) v.chain(e.start, e.size)
+    else
+      es.find(_.typ == 5).flatMap { root => // the mini stream
+        v.chain(root.start, root.size).flatMap { mini =>
+          val out = new java.io.ByteArrayOutputStream(e.size.toInt)
+          var s = e.start
+          val seen = new java.util.BitSet(v.miniFat.length)
+          var ok = true
+          while (ok && s != EndOfChain && out.size() < e.size) {
+            if (s < 0 || s >= v.miniFat.length || seen.get(s.toInt) ||
+                64 * (s + 1) > mini.length) ok = false
+            else {
+              seen.set(s.toInt)
+              out.write(mini, 64 * s.toInt, 64)
+              s = v.miniFat(s.toInt)
+            }
+          }
+          if (!ok || out.size() < e.size) None
+          else Some(java.util.Arrays.copyOf(out.toByteArray,
+            e.size.toInt))
+        }
+      }
+
   private def openDir(bytes: Array[Byte])
       : Option[(View, Vector[Entry])] = {
     if (bytes == null || bytes.length < 512 + 512) return None
@@ -181,30 +226,8 @@ object Cfb {
     */
   def stream(bytes: Array[Byte], name: String): Option[Array[Byte]] =
     openDir(bytes).flatMap { case (v, es) =>
-      es.find(e => e.typ == 2 && e.name == name).flatMap { e =>
-        if (e.size >= 4096) v.chain(e.start, e.size)
-        else
-          es.find(_.typ == 5).flatMap { root => // the mini stream
-            v.chain(root.start, root.size).flatMap { mini =>
-              val out = new java.io.ByteArrayOutputStream(e.size.toInt)
-              var s = e.start
-              val seen = new java.util.BitSet(v.miniFat.length)
-              var ok = true
-              while (ok && s != EndOfChain && out.size() < e.size) {
-                if (s < 0 || s >= v.miniFat.length || seen.get(s.toInt) ||
-                    64 * (s + 1) > mini.length) ok = false
-                else {
-                  seen.set(s.toInt)
-                  out.write(mini, 64 * s.toInt, 64)
-                  s = v.miniFat(s.toInt)
-                }
-              }
-              if (!ok || out.size() < e.size) None
-              else Some(java.util.Arrays.copyOf(out.toByteArray,
-                e.size.toInt))
-            }
-          }
-      }
+      es.find(e => e.typ == 2 && e.name == name)
+        .flatMap(e => readStream(v, es, e))
     }
 
   // ---- writer (fixture generator) ----
@@ -215,7 +238,8 @@ object Cfb {
 
   /** A real v3 container for up to a handful of streams: streams
     * under 4096 bytes go through the MINI stream, the rest through
-    * regular chains; one FAT sector (fixture scale), header DIFAT.
+    * regular chains; as many FAT sectors as the payload needs, all
+    * referenced from the header DIFAT.
     */
   def write(streams: Seq[(String, Array[Byte])]): Array[Byte] = {
     val small = streams.filter(_._2.length < 4096)
@@ -238,14 +262,21 @@ object Cfb {
       while (k < count - 1) { miniFat(start + k) = start + k + 1; k += 1 }
       if (count > 0) miniFat(start + count - 1) = EndOfChain
     }
-    // regular sector layout: [FAT][DIR][MINIFAT][miniBytes…][big…];
-    // one 512-byte directory sector holds root + up to 3 streams
+    // regular sector layout: [FAT×nf][DIR][MINIFAT][miniBytes…][big…];
+    // one 512-byte directory sector holds root + up to 3 streams.
+    // nf FAT sectors (found by iteration — each FAT sector is itself
+    // a sector the FAT must map) let fixtures grow past 64 KB; all
+    // nf live in the header DIFAT (109 × 128 entries ≈ 7 MB cap,
+    // far past any fixture)
     require(streams.size <= 3, "fixture writer: at most 3 streams")
-    val fatSector = 0L
-    val dirSector = 1L
-    val miniFatSector = 2L
-    val miniStart = 3L
     val nMiniSectors = miniBytes.length / 512
+    val bigSectors = big.map(d => pad(d._2, 512).length / 512).sum
+    var nf = 1
+    while (nf + 2 + nMiniSectors + bigSectors > nf * 128) nf += 1
+    require(nf <= 109, "fixture writer: header-DIFAT FAT sectors only")
+    val dirSector = nf.toLong
+    val miniFatSector = nf + 1L
+    val miniStart = nf + 2L
     var next = miniStart + nMiniSectors
     val bigStarts = scala.collection.mutable.Map.empty[String, Long]
     val bigPadded = big.map { case (n, d) =>
@@ -254,13 +285,12 @@ object Cfb {
       next += p.length / 512
       (n, p)
     }
-    val totalSectors = next
-    require(totalSectors <= 128, "fixture writer: one FAT sector")
     // FAT
-    val fat = Array.fill[Long](128)(FreeSect)
-    fat(0) = 0xFFFFFFFDL // FATSECT
-    fat(1) = EndOfChain // single dir sector
-    fat(2) = EndOfChain // single miniFAT sector
+    val fat = Array.fill[Long](nf * 128)(FreeSect)
+    var fs = 0
+    while (fs < nf) { fat(fs) = 0xFFFFFFFDL; fs += 1 } // FATSECT marks
+    fat(dirSector.toInt) = EndOfChain // single dir sector
+    fat(miniFatSector.toInt) = EndOfChain // single miniFAT sector
     var ms = miniStart
     while (ms < miniStart + nMiniSectors - 1) { fat(ms.toInt) = ms + 1; ms += 1 }
     if (nMiniSectors > 0) fat((miniStart + nMiniSectors - 1).toInt) = EndOfChain
@@ -317,19 +347,21 @@ object Cfb {
     hw16(24, 0x003E); hw16(26, 0x0003) // minor, major v3
     hw16(28, 0xFFFE) // little-endian marker
     hw16(30, 9); hw16(32, 6) // sector/mini shifts
-    hw32(44, 1) // one FAT sector
+    hw32(44, nf.toLong) // FAT sector count
     hw32(48, dirSector)
     hw32(56, 4096) // mini cutoff
     hw32(60, miniFatSector); hw32(64, 1)
     hw32(68, EndOfChain); hw32(72, 0) // no DIFAT sectors
     var d = 0
-    while (d < 109) { hw32(76 + 4 * d, if (d == 0) fatSector else FreeSect); d += 1 }
+    while (d < 109) {
+      hw32(76 + 4 * d, if (d < nf) d.toLong else FreeSect); d += 1
+    }
     // assemble
     val out = new java.io.ByteArrayOutputStream()
     out.write(h)
-    val fatBytes = new Array[Byte](512)
+    val fatBytes = new Array[Byte](512 * nf)
     var f = 0
-    while (f < 128) {
+    while (f < nf * 128) {
       val v = fat(f)
       fatBytes(4 * f) = (v & 0xff).toByte
       fatBytes(4 * f + 1) = ((v >> 8) & 0xff).toByte

@@ -49,13 +49,19 @@ object DocText {
   /** Document text, or None when the bytes are not a CFB, carry no
     * parseable Word-97+ streams, or the document is encrypted.
     */
-  def extract(bytes: Array[Byte]): Option[String] = {
-    val word = Cfb.stream(bytes, "WordDocument").getOrElse(return None)
+  def extract(bytes: Array[Byte]): Option[String] =
+    extract(new Cfb.Doc(bytes))
+
+  /** Shared-handle form (see [[Cfb.Doc]] — the office dispatch
+    * parses the container once for all three legacy dialects).
+    */
+  def extract(doc: Cfb.Doc): Option[String] = {
+    val word = doc.stream("WordDocument").getOrElse(return None)
     if (word.length < 128 || u16(word, 0) != 0xA5EC) return None
     val flags = u16(word, 10)
     if ((flags & 0x0100) != 0) return None // fEncrypted: fence closed
     val tableName = if ((flags & 0x0200) != 0) "1Table" else "0Table"
-    val table = Cfb.stream(bytes, tableName).getOrElse(return None)
+    val table = doc.stream(tableName).getOrElse(return None)
     // structural FIB walk: base(32) | csw, fibRgW | cslw, fibRgLw |
     // cbRgFcLcb, fibRgFcLcb
     val csw = u16(word, 32)
@@ -64,6 +70,10 @@ object DocText {
     val cslw = u16(word, pLw)
     if (cslw < 4) return None
     val ccpText = u32(word, pLw + 2 + 12) // fibRgLw97.ccpText (4th i32)
+    // a FIB truncated so the ccpText read lands out of bounds reads
+    // -1, and both fences below compare against it VACUOUSLY — the
+    // corrupt doc would extract as Some("") instead of fencing
+    if (ccpText < 0) return None
     val pFcLcb = pLw + 2 + 4 * cslw
     val cbRgFcLcb = u16(word, pFcLcb)
     if (cbRgFcLcb < 34) return None

@@ -1427,6 +1427,62 @@ object Multimodal {
   /** DuckDB mirror of q137: the identity. */
   val q137Sql: String = q129Sql
 
+  /** q138 entry: LEGACY EXCEL (.xls, BIFF8) TEXT EXTRACTION in the
+    * oracle-checked path — each document written as a REAL BIFF8
+    * workbook in a REAL [[Cfb]] container ([[XlsText.write]]:
+    * globals with BOF/CODEPAGE/BOUNDSHEET, an SST with the real
+    * 8224-byte record cap and CONTINUE splits, every third string
+    * forced UTF-16 so BOTH encodings sit in every oracle row, one
+    * LABELSST cell per TAB segment) and extracted back
+    * ([[XlsText.extract]]: CFB walk, record walk, the SST
+    * continuation grammar, BOUNDSHEET-offset sheet walk, cell
+    * records into the [[Xlsx]] TSV shape). The oracle is the
+    * IDENTITY — the tabular member of the LEGACY office family
+    * under the q127 device, and the reference-shaped gap (its own
+    * domain is tabular import).
+    */
+  def q138(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), coalesce(col("text"), lit("")).as("t"))
+      .as[(Long, String)]
+      .map { case (id, t) =>
+        val back = XlsText.extract(XlsText.write(t))
+        (id, back.getOrElse(""), back.isDefined)
+      }
+      .toDF("doc_id", "text", "extract_ok")
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB mirror of q138: the identity. */
+  val q138Sql: String = q129Sql
+
+  /** q140 entry: LEGACY POWERPOINT (.ppt) TEXT EXTRACTION in the
+    * oracle-checked path — each document written as a REAL
+    * PowerPoint-97 record stream in a REAL [[Cfb]] container
+    * ([[PptText.write]]: a text atom nested in a DocumentContainer;
+    * even doc_ids pin the TextCharsAtom UTF-16 arm, odd ones take
+    * the content-chosen TextBytesAtom arm, so BOTH encodings sit in
+    * the oracle) and extracted back ([[PptText.extract]]: the
+    * recursive record walk, CR/VT normalization). The oracle is the
+    * IDENTITY — the slides member of the legacy trio.
+    */
+  def q140(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), coalesce(col("text"), lit("")).as("t"))
+      .as[(Long, String)]
+      .map { case (id, t) =>
+        val back = PptText.extract(PptText.write(t, forceChars = id % 2 == 0))
+        (id, back.getOrElse(""), back.isDefined)
+      }
+      .toDF("doc_id", "text", "extract_ok")
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB mirror of q140: the identity. */
+  val q140Sql: String = q129Sql
+
   /** q130 entry: VIDEO-CONTAINER PROBE in the oracle-checked path —
     * per document, a REAL container built with doc_id-derived
     * parameters (even ids → ISO-BMFF via [[Mp4.write]], odd →

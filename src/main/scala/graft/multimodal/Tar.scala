@@ -14,8 +14,15 @@ package graft.multimodal
   *     the member.
   *   - Regular files only ('0'/NUL typeflag); ustar `prefix` long
   *     names joined; GNU 'L' longname blocks applied to the NEXT
-  *     member; pax 'x'/'g' headers skipped by size (their path
-  *     overrides are not honored — stated, not silent).
+  *     member; pax 'x' extended headers parsed for their `path`
+  *     override ONLY (the keyval grammar: `len key=value\n`), which
+  *     takes precedence over a GNU 'L' name when both precede one
+  *     member (pax is the POSIX standard; bsdtar agrees) — every
+  *     other pax key is skipped by size; pax 'g' GLOBAL headers are
+  *     skipped whole (a global `path` renaming every later member
+  *     is hostile-input territory, stated not silent); a malformed
+  *     keyval block ignores the override and keeps walking (the
+  *     header's own name still frames the member).
   *   - End at two zero blocks or EOF; a truncated final member
   *     DROPS while complete members keep (the WARC discipline).
   *   - Member-count cap: an archive past it fences WHOLE (None, not
@@ -79,6 +86,7 @@ object Tar {
     var p = 0
     var count = 0
     var pendingLongName: Option[String] = None
+    var pendingPaxPath: Option[String] = None
     var sawAny = false
     var going = true
     while (going && p + 512 <= bytes.length) {
@@ -104,14 +112,26 @@ object Tar {
               // GNU longname: the data IS the next member's name
               pendingLongName =
                 Some(str(bytes, dataStart, math.min(size.toInt, 4096)))
+            } else if (typeflag == 'x') {
+              // pax extended header for the NEXT member: `path` only
+              pendingPaxPath =
+                paxPath(bytes, dataStart, math.min(size.toInt, 65536))
+                  .orElse(pendingPaxPath)
             } else if (typeflag == '0' || typeflag == 0) {
               val base = str(bytes, p, 100)
               val prefix = str(bytes, p + 345, 155)
-              val name = pendingLongName.getOrElse(
+              val name = pendingPaxPath.orElse(pendingLongName).getOrElse(
                 if (prefix.nonEmpty) prefix + "/" + base else base)
               pendingLongName = None
+              pendingPaxPath = None
               out += Entry(name, dataStart, size.toInt)
-            } else pendingLongName = None // dirs/links/pax: skipped
+            } else {
+              // dirs/links/'g' globals: skipped, and they consume any
+              // pending overrides (pax/'L' apply to the NEXT header,
+              // whatever its type — they must not leak past it)
+              pendingLongName = None
+              pendingPaxPath = None
+            }
             p = dataStart + ((size.toInt + 511) / 512) * 512
           }
         }
@@ -123,6 +143,39 @@ object Tar {
 
   def extract(bytes: Array[Byte], e: Entry): Array[Byte] =
     java.util.Arrays.copyOfRange(bytes, e.offset, e.offset + e.size)
+
+  /** The `path` value from a pax keyval block (`len key=value\n`,
+    * len = the WHOLE line's byte count including itself), or None
+    * when absent or the block is malformed (override ignored — the
+    * walk keeps the header's own framing).
+    */
+  private def paxPath(b: Array[Byte], off: Int,
+                      size: Int): Option[String] = {
+    var p = off
+    val end = math.min(off + size, b.length)
+    while (p < end) {
+      // decimal length prefix up to the space
+      var len = 0L
+      var q = p
+      while (q < end && b(q) >= '0' && b(q) <= '9') {
+        len = len * 10 + (b(q) - '0'); q += 1
+        if (len > size) return None
+      }
+      if (q >= end || b(q) != ' ' || q == p) return None
+      val lineEnd = p + len.toInt
+      if (len < (q - p) + 2 || lineEnd > end ||
+          b(lineEnd - 1) != '\n') return None
+      val kv = new String(b, q + 1, lineEnd - q - 2, "UTF-8")
+      val eq = kv.indexOf('=')
+      if (eq < 0) return None
+      if (kv.substring(0, eq) == "path") {
+        val v = kv.substring(eq + 1)
+        return if (v.nonEmpty) Some(v) else None
+      }
+      p = lineEnd
+    }
+    None
+  }
 
   // ---- writer (fixture generator) ----
 
@@ -157,18 +210,40 @@ object Tar {
     out.write(h)
   }
 
+  /** One pax keyval line: `len key=value\n` where len counts the
+    * WHOLE line including its own digits (the fixed-point loop).
+    */
+  private def paxLine(key: String, value: String): Array[Byte] = {
+    val base = (" " + key + "=" + value + "\n").getBytes("UTF-8")
+    var len = base.length + 1
+    while (len.toString.length + base.length != len)
+      len = len.toString.length + base.length
+    len.toString.getBytes("US-ASCII") ++ base
+  }
+
   /** Real ustar bytes: regular members (+ an optional GNU longname
-    * block and a directory entry the reader must skip), padded data,
-    * two zero end blocks.
+    * block, a pax 'x' header carrying a `path` override plus a
+    * skipped key, and a directory entry the reader must skip),
+    * padded data, two zero end blocks. `paxPathFor` emits the pax
+    * header BEFORE any 'L' block for the same member — the
+    * precedence fixture.
     */
   def write(files: Seq[(String, Array[Byte])],
             withDir: Boolean = true,
-            longNameFor: Option[Int] = None): Array[Byte] = {
+            longNameFor: Option[Int] = None,
+            paxPathFor: Option[Int] = None): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     if (withDir) {
       writeHeader(out, "data/", 0, '5'.toByte)
     }
     files.zipWithIndex.foreach { case ((name, data), ix) =>
+      if (paxPathFor.contains(ix)) {
+        val kv = paxLine("mtime", "1700000000.5") ++ paxLine("path", name)
+        writeHeader(out, "./PaxHeaders.0/" + name.take(80), kv.length,
+          'x'.toByte)
+        out.write(kv)
+        out.write(new Array[Byte]((512 - kv.length % 512) % 512))
+      }
       if (longNameFor.contains(ix)) {
         val nb = (name + "\u0000").getBytes("UTF-8")
         writeHeader(out, "././@LongLink", nb.length, 'L'.toByte)

@@ -144,7 +144,11 @@ class FuzzSpec extends SparkSpec {
         b => { Tar.entries(b).foreach(_.foreach(e =>
           if (e.offset + e.size <= b.length) Tar.extract(b, e))); () }),
       ("cfb-doc", DocText.write("fuzz legacy word text\nsecond para"),
-        b => { DocText.extract(b); () }))
+        b => { DocText.extract(b); () }),
+      ("cfb-xls", XlsText.write("fuzz\tcells\nsecond\trow"),
+        b => { XlsText.extract(b); () }),
+      ("cfb-ppt", PptText.write("fuzz slide\nsecond slide"),
+        b => { PptText.extract(b); () }))
     def mutate(b: Array[Byte]): Array[Byte] = rnd.nextInt(4) match {
       case 0 => // flip 1..8 random bytes
         val m = b.clone()

@@ -462,4 +462,200 @@ class OfficeSpec extends AnyFunSuite {
     assert(Xlsx.extractText(Epub.write("book")).isEmpty)
     assert(Xlsx.extractText(Odt.write("odt")).isEmpty)
   }
+
+  // ---- XlsText (legacy .xls, BIFF8) ----
+
+  test("xls identity: extract(write(t)) == t across rows, cells, dedup, unicode, empty") {
+    val cases = Seq(
+      "",
+      "one cell",
+      "a\tb\tc",
+      "row one\nrow two",
+      "head1\thead2\nv1\tv2\nv3\tv4",
+      "sparse\t\tcells\t",
+      "repeated\trepeated\trepeated", // the shared-string dedup path
+      "unicode: été 中文 " + new String(Character.toChars(0x1F600)),
+      "mixed\tcells\nsecond\trow\n")
+    cases.foreach { t =>
+      assert(graft.multimodal.XlsText.extract(
+        graft.multimodal.XlsText.write(t)).contains(t), s"case '$t'")
+    }
+  }
+
+  test("xls SST continuation: strings past the 8224-byte record cap split into CONTINUE, both widths, char-boundary splits") {
+    // one cell far past one record: compressed chars split across
+    // CONTINUE with a fresh grbit per fragment
+    val longAscii = ("lorem ipsum " * 900).trim // ~10.7KB > 8224
+    assert(graft.multimodal.XlsText.extract(
+      graft.multimodal.XlsText.write(longAscii)).contains(longAscii))
+    // wide (UTF-16) chars splitting at a character boundary — 2-byte
+    // units must never split mid-unit
+    val longWide = ("中文字符串测试" * 800) // 5600 chars = 11.2KB wide
+    assert(graft.multimodal.XlsText.extract(
+      graft.multimodal.XlsText.write(longWide)).contains(longWide))
+    // a table whose TOTAL crosses the cap even though each string is
+    // small: header-at-boundary splits (headers never split — the
+    // writer flushes before each)
+    val many = (0 until 3000).map(i => s"cell$i").mkString("\n")
+    val got = graft.multimodal.XlsText.extract(
+      graft.multimodal.XlsText.write(many))
+    assert(got.contains(many))
+  }
+
+  test("xls cell-record zoo: NUMBER, RK, MULRK, LABEL, BOOLERR, FORMULA cached results, BLANK") {
+    // hand-built BIFF8 workbook: globals + one sheet of every cell
+    // record the reader claims
+    def le16(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def le32(v: Long) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def rec(t: Int, d: Array[Byte]) = le16(t) ++ le16(d.length) ++ d
+    def f64(v: Double) = {
+      val bits = java.lang.Double.doubleToLongBits(v)
+      le32(bits & 0xFFFFFFFFL) ++ le32(bits >>> 32)
+    }
+    def cellHdr(rw: Int, c: Int) = le16(rw) ++ le16(c) ++ le16(15)
+    val bof8 = le16(0x0600) ++ le16(0x0010) ++ new Array[Byte](12)
+    val sheet =
+      rec(0x0809, bof8) ++
+        // row 0: NUMBER 3.5, RK int 42, RK f64-packed 2.5, RK ×1/100
+        rec(0x0203, cellHdr(0, 0) ++ f64(3.5)) ++
+        rec(0x027E, cellHdr(0, 1) ++ le32((42L << 2) | 0x2)) ++
+        rec(0x027E, cellHdr(0, 2) ++ le32(
+          (java.lang.Double.doubleToLongBits(2.5) >>> 32) & 0xFFFFFFFCL)) ++
+        rec(0x027E, cellHdr(0, 3) ++ le32(((1234L << 2) | 0x3))) ++
+        // row 1: MULRK 7,8 at cols 0-1; LABEL inline; BOOLERR pair
+        rec(0x00BD, le16(1) ++ le16(0) ++
+          le16(15) ++ le32((7L << 2) | 0x2) ++
+          le16(15) ++ le32((8L << 2) | 0x2) ++ le16(1)) ++
+        rec(0x0204, cellHdr(1, 2) ++ le16(6) ++ Array(0.toByte) ++
+          "inline".getBytes("ISO-8859-1")) ++
+        rec(0x0205, cellHdr(1, 3) ++ Array(1.toByte, 0.toByte)) ++
+        rec(0x0205, cellHdr(1, 4) ++ Array(0x17.toByte, 1.toByte)) ++
+        // row 2: FORMULA cached number, cached string (+STRING),
+        // cached bool, BLANK holding the column shape
+        rec(0x0006, cellHdr(2, 0) ++ f64(9.25) ++ le16(0) ++
+          le32(0L) ++ new Array[Byte](4)) ++
+        rec(0x0006, cellHdr(2, 1) ++
+          Array(0.toByte, 0.toByte) ++ le32(0L) ++ le16(0xFFFF) ++
+          le16(0) ++ le32(0L) ++ new Array[Byte](4)) ++
+        rec(0x0207, le16(3) ++ Array(0.toByte) ++
+          "out".getBytes("ISO-8859-1")) ++
+        rec(0x0006, cellHdr(2, 2) ++
+          Array(1.toByte, 0.toByte, 1.toByte, 0.toByte) ++ le16(0) ++
+          le16(0xFFFF) ++ le16(0) ++ le32(0L) ++ new Array[Byte](4)) ++
+        rec(0x0201, cellHdr(2, 3)) ++
+        rec(0x000A, Array.emptyByteArray)
+    val name = "S".getBytes("ISO-8859-1")
+    def globals(sheetOff: Int) =
+      rec(0x0809, le16(0x0600) ++ le16(0x0005) ++ new Array[Byte](12)) ++
+        rec(0x0085, le32(sheetOff.toLong) ++ le16(0) ++
+          Array(name.length.toByte, 0.toByte) ++ name) ++
+        rec(0x000A, Array.emptyByteArray)
+    val gLen = globals(0).length
+    val wb = graft.multimodal.Cfb.write(
+      Seq(("Workbook", globals(gLen) ++ sheet)))
+    val got = graft.multimodal.XlsText.extract(wb).get
+    assert(got ==
+      "3.5\t42\t2.5\t12.34\n7\t8\tinline\tTRUE\t\n9.25\tout\tTRUE\t")
+  }
+
+  test("xls fences: encrypted FILEPASS, BIFF5, truncation, bad SST index, sheet offset OOB, dispatch cross-matrix") {
+    import graft.multimodal.{Cfb, XlsText}
+    def le16(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def rec(t: Int, d: Array[Byte]) = le16(t) ++ le16(d.length) ++ d
+    val good = XlsText.write("fence\ttarget\nrow two")
+    assert(XlsText.extract(good).contains("fence\ttarget\nrow two"))
+    // FILEPASS injected right after the globals BOF → fence closed
+    val wbStream = Cfb.stream(good, "Workbook").get
+    val bofLen = 4 + 16
+    val withPass = wbStream.take(bofLen) ++
+      rec(0x002F, le16(0) ++ le16(0) ++ le16(0)) ++ wbStream.drop(bofLen)
+    assert(XlsText.extract(Cfb.write(Seq(("Workbook", withPass)))).isEmpty,
+      "FILEPASS must fence")
+    // BIFF5: version 0x0500 in BOF, or a Book-only container
+    val biff5 = wbStream.clone(); biff5(4) = 0x00; biff5(5) = 0x05
+    assert(XlsText.extract(Cfb.write(Seq(("Workbook", biff5)))).isEmpty,
+      "BIFF5 BOF version must fence")
+    assert(XlsText.extract(
+      Cfb.write(Seq(("Book", wbStream)))).isEmpty,
+      "a BIFF5-named Book stream is not a BIFF8 workbook")
+    // truncated record stream → fence whole
+    assert(XlsText.extract(Cfb.write(Seq(
+      ("Workbook", wbStream.take(wbStream.length / 2))))).isEmpty)
+    // SST index past the table → fence whole (not a silent blank)
+    val badIx = wbStream.clone()
+    // find the first LABELSST (type 0x00FD) and blow its isst field
+    var p = 0
+    var patched = false
+    while (!patched && p + 4 <= badIx.length) {
+      val t = (badIx(p) & 0xff) | ((badIx(p + 1) & 0xff) << 8)
+      val l = (badIx(p + 2) & 0xff) | ((badIx(p + 3) & 0xff) << 8)
+      if (t == 0x00FD) { badIx(p + 4 + 9) = 0x7F.toByte; patched = true }
+      p += 4 + l
+    }
+    assert(patched)
+    assert(XlsText.extract(Cfb.write(Seq(("Workbook", badIx)))).isEmpty)
+    // dispatch cross-matrix: the legacy trio never cross-extract
+    assert(XlsText.extract(graft.multimodal.DocText.write("w")).isEmpty)
+    assert(graft.multimodal.DocText.extract(good).isEmpty)
+    assert(XlsText.extract(b("not a cfb at all")).isEmpty)
+    assert(Xlsx.extractText(good).isEmpty, "a BIFF8 xls is not an xlsx")
+    assert(XlsText.extract(Xlsx.write("a\tb")).isEmpty,
+      "an xlsx ZIP is not a BIFF8 xls")
+  }
+
+  // ---- PptText (legacy .ppt) ----
+
+  test("ppt identity: extract(write(t)) == t across newlines, tabs, unicode, both atom arms, empty") {
+    import graft.multimodal.PptText
+    val cases = Seq(
+      "",
+      "a slide title",
+      "bullet one\nbullet two\nbullet three",
+      "tabs\tride\tthrough",
+      "unicode: été 中文 " + new String(Character.toChars(0x1F600)))
+    cases.foreach { t =>
+      assert(PptText.extract(PptText.write(t)).contains(t), s"bytes '$t'")
+      assert(PptText.extract(PptText.write(t, forceChars = true))
+        .contains(t), s"chars '$t'")
+    }
+  }
+
+  test("ppt: multi-atom decks join, CR/VT normalize, containers recurse; fences: crypt, cut record, no text, depth bomb") {
+    import graft.multimodal.{Cfb, PptText}
+    def le16(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def le32(v: Long) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def rec(vi: Int, t: Int, d: Array[Byte]) =
+      le16(vi) ++ le16(t) ++ le32(d.length.toLong) ++ d
+    // two atoms at different nesting depths; VT soft break inside
+    val deck = rec(0x000F, 0x03E8,
+      rec(0x0000, 0x0FA8, "title\u000bsoft".getBytes("ISO-8859-1")) ++
+        rec(0x000F, 0x0FF0,
+          rec(0x0000, 0x0FA0, "中文 slide".getBytes("UTF-16LE"))))
+    assert(PptText.extract(Cfb.write(Seq(("PowerPoint Document", deck))))
+      .contains("title\nsoft\n中文 slide"))
+    // CryptSession10Container anywhere fences closed
+    val enc = deck ++ rec(0x000F, 0x2F14, Array.emptyByteArray)
+    assert(PptText.extract(
+      Cfb.write(Seq(("PowerPoint Document", enc)))).isEmpty)
+    // a recLen past the payload fences whole
+    val cut = rec(0x0000, 0x0FA8, "text".getBytes("ISO-8859-1"))
+    val lied = cut.clone(); lied(4) = 99
+    assert(PptText.extract(
+      Cfb.write(Seq(("PowerPoint Document", lied)))).isEmpty)
+    // no text atoms at all → None (image-only decks stay media)
+    assert(PptText.extract(Cfb.write(Seq(("PowerPoint Document",
+      rec(0x0000, 0x0BC1, Array[Byte](1, 2, 3))))))
+      .isEmpty)
+    // depth bomb: 40 nested containers → fence, never a stack death
+    var bomb = rec(0x0000, 0x0FA8, "deep".getBytes("ISO-8859-1"))
+    (0 until 40).foreach(_ => bomb = rec(0x000F, 0x03E8, bomb))
+    assert(PptText.extract(
+      Cfb.write(Seq(("PowerPoint Document", bomb)))).isEmpty)
+    // dispatch cross-matrix
+    assert(PptText.extract(graft.multimodal.DocText.write("w")).isEmpty)
+    assert(PptText.extract(graft.multimodal.XlsText.write("x")).isEmpty)
+    assert(graft.multimodal.XlsText.extract(PptText.write("p")).isEmpty)
+  }
 }

@@ -56,4 +56,41 @@ class TarSpec extends AnyFunSuite {
     val es = Tar.entries(garb).get
     assert(es.map(_.name) == Vector("f"))
   }
+
+  test("pax path override: >100-char paths recover, keyval zoo skipped, next member unaffected") {
+    val long = ("deeply/" * 20) + "nested/final-archive-member-name.txt"
+    assert(long.length > 100)
+    val tar = Tar.write(Seq(
+      (long, b("pax named content")), ("plain.txt", b("unaffected"))),
+      paxPathFor = Some(0))
+    val es = Tar.entries(tar).get
+    assert(es.map(_.name) == Vector(long, "plain.txt"),
+      "pax path must override the truncated header name for exactly " +
+        "its member")
+    assert(new String(Tar.extract(tar, es.head), "UTF-8") ==
+      "pax named content")
+    // a malformed keyval block ignores the override, keeps walking
+    val okTar = Tar.write(Seq(("named.txt", b("x"))), paxPathFor = Some(0))
+    val broken = okTar.clone()
+    // the pax data block follows the dir block + pax header block
+    val paxData = 512 + 512
+    broken(paxData) = 'Z' // length prefix no longer decimal
+    val es2 = Tar.entries(broken).get
+    assert(es2.map(_.name) == Vector("named.txt"),
+      "malformed pax block: the header's own name frames the member")
+  }
+
+  test("pax-then-L precedence: the POSIX pax path wins over a GNU longname for the same member") {
+    val paxName = "pax/authoritative/name.txt"
+    val tar = Tar.write(Seq(
+      (paxName, b("both overrides present")), ("tail.txt", b("t"))),
+      paxPathFor = Some(0), longNameFor = Some(0))
+    val es = Tar.entries(tar).get
+    assert(es.map(_.name) == Vector(paxName, "tail.txt"))
+    // sanity: the 'L' block really is in the stream (header typeflag
+    // 'L' at the block after the pax pair) — precedence was exercised,
+    // not vacuous
+    val flags = tar.grouped(512).map(b => b(156)).toVector
+    assert(flags.contains('L'.toByte) && flags.contains('x'.toByte))
+  }
 }

@@ -623,7 +623,11 @@ class WarcSourceSpec extends SparkSpec {
             ".spreadsheetml.sheet",
           graft.multimodal.Xlsx.write("year\trevenue\n2024\tsteady")) ++
         resp("http://o.example/legacy.doc", "application/msword",
-          graft.multimodal.DocText.write("a legacy word ninety seven file")))
+          graft.multimodal.DocText.write("a legacy word ninety seven file")) ++
+        resp("http://o.example/table.xls", "application/vnd.ms-excel",
+          graft.multimodal.XlsText.write("year\tcost\n1999\tlegacy")) ++
+        resp("http://o.example/deck.ppt", "application/vnd.ms-powerpoint",
+          graft.multimodal.PptText.write("slide one\nslide two")))
     val recs = WarcSource.records(spark, dir).cache()
     // ZIPs/RTF route to media (never the raw-text corpus) …
     assert(WarcSource.documents(recs)
@@ -634,11 +638,17 @@ class WarcSourceSpec extends SparkSpec {
       .filter(col("meta.mime") === "application/rtf").count() == 1)
     // … and only the REAL documents yield corpus text
     val docs = WarcSource.officeDocuments(recs).collect()
-    assert(docs.length == 6,
+    assert(docs.length == 8,
       "plain archives and corrupt members must yield no corpus row")
     assert(docs.map(_.getAs[String]("text"))
       .contains("a legacy word ninety seven file"),
       "the OLE2 .doc arm rides the same face")
+    assert(docs.map(_.getAs[String]("text"))
+      .contains("year\tcost\n1999\tlegacy"),
+      "the BIFF8 .xls arm rides the same face, TSV-shaped")
+    assert(docs.map(_.getAs[String]("text"))
+      .contains("slide one\nslide two"),
+      "the .ppt arm rides the same face")
     assert(docs.map(_.getAs[String]("text"))
       .contains("year\trevenue\n2024\tsteady"),
       "the XLSX arm rides the same face, TSV-shaped")
@@ -664,7 +674,7 @@ class WarcSourceSpec extends SparkSpec {
     try {
       q.processAllAvailable()
       val got = spark.table("warc_office_stream")
-      assert(got.count() == 6,
+      assert(got.count() == 8,
         "the streaming mirror must apply the same fences as batch")
       assert(got.filter(col("ts").isNull).count() == 0)
     } finally q.stop()
