@@ -123,6 +123,13 @@ object TextExprs {
   def decompressedMembers(payload: Column): Column =
     c(DecompressedMembers(x(payload)))
 
+  /** 7z payload → array of regular-file members as (name, data)
+    * structs, NULL for non-7z/encrypted/corrupt bytes or past-cap
+    * archives (see [[SevenZMembers]]).
+    */
+  def sevenZMembers(payload: Column): Column =
+    c(SevenZMembers(x(payload)))
+
   /** The canonical name [[charsetDecode]] will actually decode these
     * bytes with — "utf-8" for unknown declared labels, the sniffed
     * charset (utf-8 or windows-1252) for unlabeled payloads. Surfaced
@@ -1295,6 +1302,34 @@ case class DecompressedMembers(child: Expression)
             UTF8String.fromString(""), inner)))
     }
   }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** 7z member listing as an expression — [[TarMembers]]'s shape over
+  * [[graft.multimodal.SevenZ.members]] (commons-compress walk with
+  * the repo's member/byte caps and whole-archive fences): ARRAY of
+  * (name, data) structs, NULL for non-7z bytes, encrypted/corrupt/
+  * truncated archives, or a tripped cap. Same Generate contract as
+  * the tar arm in the documents face.
+  */
+case class SevenZMembers(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = TarMembers.MembersType
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(input: Any): Any =
+    graft.multimodal.SevenZ.members(input.asInstanceOf[Array[Byte]]) match {
+      case Some(ms) =>
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(
+          ms.map { case (name, data) =>
+            org.apache.spark.sql.catalyst.InternalRow(
+              UTF8String.fromString(name), data)
+          }.toArray[Any])
+      case None => null
+    }
 
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)

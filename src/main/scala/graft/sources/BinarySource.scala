@@ -64,9 +64,10 @@ object BinarySource {
   val MimeAvro = "application/avro"
   val MimeSqlite = "application/vnd.sqlite3"
   val MimeOle = "application/x-ole-storage" // legacy .doc/.xls/.ppt
-                                            // (CFB): recognized, not
-                                            // extracted — honest media
-                                            // evidence beats NUL noise
+                                            // (CFB): the office-text
+                                            // face extracts the trio
+  val MimeSevenZ = "application/x-7z-compressed" // members surface
+                                                 // through documents
   val MimeRtf = "application/rtf" // ASCII, so WITHOUT this route a
                                   // crawled .rtf passes the NUL fence
                                   // and ingests as control-word soup
@@ -189,6 +190,10 @@ object BinarySource {
       // the one tar shape modern tools write; pre-POSIX headerless
       // tars stay octet-stream (no reliable magic exists for them)
       .when(magic(payload, 258, "ustar"), lit(MimeTar))
+      // 7z: "7z" + 0xBC 0xAF 0x27 0x1C — the two control bytes keep
+      // prose that OPENS "7z" (a version string) out of this arm
+      .when(magic(payload, 1, "7z\u00bc\u00af'\u001c"),
+        lit(MimeSevenZ))
       // RTF prologue at its full 5-char shape ("{\rtf" — prose does
       // not open with a brace-backslash pair)
       .when(magic(payload, 1, "{\\rtf"), lit(MimeRtf))

@@ -506,7 +506,9 @@ object WarcSource {
     //     (bounded; truncation yields nothing) and yields either the
     //     inner blob or, when the inner bytes are a tar, its members
     //     (the .tar.gz dataset case);
-    //   - direct .tar bodies: TarMembers (checksum-validated walk).
+    //   - direct .tar bodies: TarMembers (checksum-validated walk);
+    //   - direct .7z bodies: SevenZMembers (commons-compress walk,
+    //     repo caps/fences — the last mainstream archive format).
     // Every emitted element then passes the SAME gates — media sniff
     // + the NUL fence — so a gz-wrapped PNG or a tarball of images
     // contributes nothing; members get name-hashed doc_ids and a
@@ -533,6 +535,9 @@ object WarcSource {
       .when(col("warc_type") === "response" &&
         col("body_mime") === BinarySource.MimeTar,
         T.tarMembers(col("body")))
+      .when(col("warc_type") === "response" &&
+        col("body_mime") === BinarySource.MimeSevenZ,
+        T.sevenZMembers(col("body")))
     // posexplode: the ordinal disambiguates REPEATED member names
     // (tar append semantics legitimately carry two "data.txt"s —
     // their doc_ids must differ or downstream dedup/upsert silently

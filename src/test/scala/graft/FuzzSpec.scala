@@ -147,6 +147,9 @@ class FuzzSpec extends SparkSpec {
         b => { DocText.extract(b); () }),
       ("cfb-xls", XlsText.write("fuzz\tcells\nsecond\trow"),
         b => { XlsText.extract(b); () }),
+      ("sevenz", SevenZ.write(Seq(("a.txt", "fuzz 7z member".getBytes),
+        ("b/c.txt", "second member".getBytes))),
+        b => { SevenZ.members(b); () }),
       ("cfb-ppt", PptText.write("fuzz slide\nsecond slide"),
         b => { PptText.extract(b); () }))
     def mutate(b: Array[Byte]): Array[Byte] = rnd.nextInt(4) match {

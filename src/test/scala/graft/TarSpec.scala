@@ -80,6 +80,35 @@ class TarSpec extends AnyFunSuite {
       "malformed pax block: the header's own name frames the member")
   }
 
+  test("7z round trip: members by name/bytes, dirs skipped; fences: truncation, corrupt header, prose, caps") {
+    import graft.multimodal.SevenZ
+    val files = Seq(
+      ("docs/a.txt", b("seven zip member alpha")),
+      ("docs/b.bin", Array.tabulate[Byte](5000)(i => (i * 37).toByte)),
+      ("empty", Array.emptyByteArray))
+    val sz = SevenZ.write(files)
+    assert(SevenZ.isSevenZ(sz))
+    val ms = SevenZ.members(sz).get
+    assert(ms.map(_._1) == files.map(_._1).toVector,
+      "regular members in order, the directory entry skipped")
+    files.foreach { case (n, d) =>
+      assert(ms.find(_._1 == n).get._2.toSeq == d.toSeq, n)
+    }
+    // 7z keeps its directory machinery at fixed spots — truncation
+    // anywhere fences WHOLE (the zip rationale, not tar's prefix-keep)
+    Seq(sz.length - 1, sz.length / 2, 32, 6).foreach { n =>
+      assert(SevenZ.members(
+        java.util.Arrays.copyOfRange(sz, 0, n)).isEmpty, s"truncate $n")
+    }
+    // corrupt a header byte past the signature → fence, never a throw
+    val bad = sz.clone()
+    bad(13) = (bad(13) ^ 0x5A).toByte
+    assert(SevenZ.members(bad).isEmpty)
+    assert(SevenZ.members(b("7z is a compression format, says prose"))
+      .isEmpty, "prose opening '7z' lacks the control-byte magic")
+    assert(SevenZ.members(null).isEmpty)
+  }
+
   test("pax-then-L precedence: the POSIX pax path wins over a GNU longname for the same member") {
     val paxName = "pax/authoritative/name.txt"
     val tar = Tar.write(Seq(

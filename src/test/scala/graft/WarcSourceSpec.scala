@@ -732,11 +732,18 @@ class WarcSourceSpec extends SparkSpec {
             .XZCompressorOutputStream(bo)
           z.write("xz served text corpus".getBytes("UTF-8")); z.close()
           bo.toByteArray
-        }))
+        }) ++
+        // a 7z dataset archive: text members surface like tar's, the
+        // binary member stays out
+        resp("http://g.example/data.7z", "application/x-7z-compressed",
+          graft.multimodal.SevenZ.write(Seq(
+            ("corpus/s1.txt", "sevenz member one text".getBytes("UTF-8")),
+            ("corpus/pic.png", png),
+            ("corpus/s2.txt", "sevenz member two text".getBytes("UTF-8"))))))
     val recs = WarcSource.records(spark, dir).cache()
     val docs = WarcSource.documents(recs).collect()
       .map(r => r.getAs[String]("url") -> r.getAs[String]("text")).toMap
-    assert(docs.size == 10, s"got ${docs.keySet}")
+    assert(docs.size == 12, s"got ${docs.keySet}")
     assert(docs("http://g.example/notes.bz2") == "bzip2 served text notes")
     assert(docs("http://g.example/corpus.xz") == "xz served text corpus")
     assert(docs("http://g.example/sitemap.xml.gz") == sitemap)
@@ -753,11 +760,21 @@ class WarcSourceSpec extends SparkSpec {
       "tar member one text")
     assert(!docs.keys.exists(_.contains("img.png")),
       "a tarball's binary members must contribute nothing")
+    // 7z members ride the same member contract
+    assert(docs("http://g.example/data.7z#corpus/s1.txt") ==
+      "sevenz member one text")
+    assert(docs("http://g.example/data.7z#corpus/s2.txt") ==
+      "sevenz member two text")
+    assert(!docs.keys.exists(_.contains("pic.png")),
+      "a 7z archive's binary members must contribute nothing")
     // the gz-wrapped PNG and the truncated stream: media blobs only
     assert(WarcSource.media(recs)
       .filter(col("meta.mime") === "application/gzip").count() == 4)
     assert(WarcSource.media(recs)
       .filter(col("meta.mime") === "application/x-tar").count() == 1)
+    assert(WarcSource.media(recs)
+      .filter(col("meta.mime") === "application/x-7z-compressed")
+      .count() == 1)
     recs.unpersist()
   }
 
