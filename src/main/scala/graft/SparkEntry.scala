@@ -58,6 +58,8 @@ object SparkEntry {
           Some(graft.multimodal.Multimodal.q137Sql)),
         Entry("q138_xls_extract", graft.multimodal.Multimodal.q138,
           Some(graft.multimodal.Multimodal.q138Sql)),
+        Entry("q139_media_coverage", graft.multimodal.Multimodal.q139,
+          Some(graft.multimodal.Multimodal.q139Sql)),
         Entry("q140_ppt_extract", graft.multimodal.Multimodal.q140,
           Some(graft.multimodal.Multimodal.q140Sql)))
 

@@ -92,7 +92,8 @@ object Epub {
   }
 
   /** Book text, or None when the bytes are not an EPUB (no container
-    * entry), the OPF is missing, or no spine chapter extracts.
+    * entry), the OPF is missing, the spine is empty, or ANY spine
+    * chapter fails to extract (fence-whole — see extractText).
     */
   def extractText(zipBytes: Array[Byte]): Option[String] =
     extractText(new Zip.View(zipBytes))
@@ -102,10 +103,15 @@ object Epub {
     opfPath(zip) match {
       case None => None
       case Some(opf) =>
-        val chapters = chapterPaths(zip, opf)
-          .flatMap(zip.extract)
-          .flatMap(scanXhtml)
-        if (chapters.isEmpty) None else Some(chapters.mkString("\n"))
+        val paths = chapterPaths(zip, opf)
+        if (paths.isEmpty) return None
+        // a SPINE chapter whose member is missing, fails CRC, or
+        // breaks structurally fences the WHOLE book — the Docx/Xlsx
+        // fence-whole discipline (a book missing a chapter must not
+        // read as a complete shorter book)
+        val chapters = paths.map(p =>
+          zip.extract(p).flatMap(scanXhtml).getOrElse(return None))
+        Some(chapters.mkString("\n"))
     }
   }
 

@@ -272,7 +272,7 @@ object Mp4 {
       val b = new B
       b.w8(0).w8(0).w16(0)
       b.w32(0).tag(kind).zeros(12)
-      b.raw((kind + " ").getBytes("ISO-8859-1"))
+      b.raw((kind + "\u0000").getBytes("ISO-8859-1"))
       boxed("hdlr", b.bytes)
     }
     val entry =

@@ -1483,6 +1483,153 @@ object Multimodal {
   /** DuckDB mirror of q140: the identity. */
   val q140Sql: String = q129Sql
 
+  // ---- q139: the media-coverage AUDIT face ----
+
+  /** The 13 media classes the audit sweeps — index = pmod(doc_id, 13).
+    * 0–6 carry a REAL DECODER (status `decoded`), 7–12 a structural
+    * triage probe (status `triaged`); every class fences truncation
+    * (status `fenced`).
+    */
+  private val CoverageMimes: IndexedSeq[String] = IndexedSeq(
+    MimePpm, MimeBmp, MimePng, MimeGif, MimeJpeg, "image/webp",
+    MimeWav, "image/tiff", "audio/mpeg", "audio/ogg", "audio/flac",
+    "video/mp4", "video/x-matroska")
+
+  /** Truncation prefix per class: long enough to keep the SNIFF
+    * magic (the blob still routes to its class — the lying-content
+    * case a dashboard must count), short enough that the decoder/
+    * probe must fence. Pinned per class because magics sit at
+    * different offsets (WEBP's form tag ends at byte 12, OGG's page
+    * header needs 27).
+    */
+  private val CoverageCut: IndexedSeq[Int] =
+    IndexedSeq(12, 12, 16, 10, 8, 14, 14, 9, 12, 20, 10, 20, 10)
+
+  private def coverageImage(id: Long): Netpbm.Image = {
+    def pmod(k: Long): Long = ((id % k) + k) % k
+    val w = 4 + pmod(5).toInt
+    val h = 4 + pmod(3).toInt
+    val data = Array.tabulate[Byte](w * h * 3)(i =>
+      ((i * 31 + id) % 256).toByte)
+    Netpbm.Image(w, h, 255, data)
+  }
+
+  /** The class-k payload for doc `id` — every parameter closed-form
+    * in id so the oracle can predict the class (never the bytes).
+    */
+  private[graft] def coveragePayload(k: Int, id: Long): Array[Byte] = {
+    def pmod(m: Long): Long = ((id % m) + m) % m
+    k match {
+      case 0 => Netpbm.encodeP6(coverageImage(id))
+      case 1 => Bmp.encode(coverageImage(id))
+      case 2 => Png.encode(coverageImage(id), interlaced = pmod(4) == 0)
+      case 3 => Gif.encode(coverageImage(id), interlaced = pmod(4) == 0)
+      case 4 => // constant color: JPEG's lossy path decodes any size
+        val img = coverageImage(id)
+        Jpeg.encode(Netpbm.Image(img.width, img.height, 255,
+          Array.fill[Byte](img.width * img.height * 3)(
+            (pmod(200) + 20).toByte)))
+      case 5 => Webp.encode(coverageImage(id), subtractGreen = pmod(2) == 0)
+      case 6 =>
+        val samples = Array.tabulate[Short]((64 + pmod(64)).toInt)(i =>
+          ((i * 257 + id) % 4096).toShort)
+        Wav.encodePcm16(Wav.Audio(
+          if (pmod(2) == 0) 44100 else 48000, samples))
+      case 7 => Tiff.write(big = pmod(2) == 0, 24, 17, 5, 8, 3, 2,
+        pages = 1 + pmod(3).toInt)
+      case 8 => Mp3.write((4 + pmod(4)).toInt, id3Junk = 16)
+      case 9 => Ogg.write(if (pmod(2) == 0) "opus" else "vorbis",
+        1 + pmod(2).toInt, 48000, 96000L + pmod(9600))
+      case 10 => Flac.write(44100, 1 + pmod(2).toInt, 16,
+        441000L + pmod(44100))
+      case _ if k == 11 => Mp4.write("isom", 1000L + pmod(60000),
+        Some(("avc1", 320, 240)), None, version1 = pmod(5) == 0)
+      case _ => Mkv.write("matroska", 1000L + pmod(60000),
+        Some(("V_VP9", 320, 240)), None,
+        unknownSegmentSize = pmod(7) == 0)
+    }
+  }
+
+  /** The class-k attempt — the SAME kernels the media pipeline
+    * dispatches, so the audit measures the real thing.
+    */
+  private[graft] def coverageStatus(k: Int,
+                                         payload: Array[Byte]): String =
+    k match {
+      case 0 => if (Netpbm.decode(payload).isDefined) "decoded" else "fenced"
+      case 1 => if (Bmp.decode(payload).isDefined) "decoded" else "fenced"
+      case 2 => if (Png.decode(payload).isDefined) "decoded" else "fenced"
+      case 3 => if (Gif.decode(payload).isDefined) "decoded" else "fenced"
+      case 4 => if (Jpeg.decode(payload).isDefined) "decoded" else "fenced"
+      case 5 => if (Webp.decode(payload).isDefined) "decoded" else "fenced"
+      case 6 => if (Wav.decode(payload).isDefined) "decoded" else "fenced"
+      case 7 => if (Tiff.parse(payload).isDefined) "triaged" else "fenced"
+      case 8 => if (Mp3.parse(payload).isDefined) "triaged" else "fenced"
+      case 9 => if (Ogg.parse(payload).isDefined) "triaged" else "fenced"
+      case 10 => if (Flac.parse(payload).isDefined) "triaged" else "fenced"
+      case 11 => if (Mp4.parse(payload).isDefined) "triaged" else "fenced"
+      case _ => if (Mkv.parse(payload).isDefined) "triaged" else "fenced"
+    }
+
+  /** q139 entry: the MEDIA-COVERAGE AUDIT as a verified query — the
+    * operator a 100 TB crawl deployment dashboards daily ("of the
+    * media the crawl served, what fraction did we decode, what did
+    * we only triage, what fenced, by mime"). Deterministic
+    * mixed-fixture injection: per doc_id a REAL payload of one of 13
+    * classes (7 decodable through the real codecs, 6 triage-only),
+    * every 5th id TRUNCATED to a magic-preserving prefix; the Spark
+    * side then runs the ACTUAL sniff ([[graft.sources.BinarySource
+    * .sniffMime]]) and the ACTUAL decode/probe kernels, and reports
+    * (mime, status) counts. The DuckDB oracle recomputes the counts
+    * closed-form from doc_id arithmetic — so the hash only matches
+    * if every intact payload of every class really decodes/triages
+    * AND every truncated one really fences AND the sniff routes
+    * every class to its mime. A codec regression (a decoder that
+    * starts fencing good payloads, a sniff arm that misroutes)
+    * breaks this query before it silently skews a corpus.
+    */
+  def q139(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val rows = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id")).as[Long]
+      .map { id =>
+        val k = ((id % 13) + 13) % 13
+        val corrupt = ((id % 5) + 5) % 5 == 0
+        val full = coveragePayload(k.toInt, id)
+        val payload =
+          if (corrupt)
+            java.util.Arrays.copyOfRange(full, 0,
+              math.min(CoverageCut(k.toInt), full.length))
+          else full
+        (id, payload, coverageStatus(k.toInt, payload))
+      }
+      .toDF("doc_id", "payload", "status")
+    rows
+      .select(graft.sources.BinarySource.sniffMime(col("payload"))
+        .as("mime"), col("status"))
+      .groupBy(col("mime"), col("status"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("mime"), col("status"))
+  }
+
+  /** DuckDB mirror of q139: the closed-form (mime, status) census
+    * from doc_id arithmetic alone.
+    */
+  val q139Sql: String = {
+    val mimeCase = CoverageMimes.zipWithIndex
+      .map { case (m, i) => s"WHEN $i THEN '$m'" }
+      .mkString(" ")
+    s"""WITH m AS (
+       |  SELECT doc_id,
+       |    CASE ((doc_id % 13) + 13) % 13 $mimeCase END AS mime,
+       |    CASE WHEN ((doc_id % 5) + 5) % 5 = 0 THEN 'fenced'
+       |         WHEN ((doc_id % 13) + 13) % 13 <= 6 THEN 'decoded'
+       |         ELSE 'triaged' END AS status
+       |  FROM documents)
+       |SELECT mime, status, count(*) AS n FROM m
+       |GROUP BY mime, status ORDER BY mime, status""".stripMargin
+  }
+
   /** q130 entry: VIDEO-CONTAINER PROBE in the oracle-checked path —
     * per document, a REAL container built with doc_id-derived
     * parameters (even ids → ISO-BMFF via [[Mp4.write]], odd →

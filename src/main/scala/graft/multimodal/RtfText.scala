@@ -114,6 +114,11 @@ object RtfText {
               while (k < n && s.charAt(k).isDigit && num < 1000000000L) {
                 num = num * 10 + (s.charAt(k) - '0'); k += 1; hasNum = true
               }
+              // past-cap digits are consumed AND DISCARDED: a
+              // hostile control word with a dozen-digit parameter
+              // must not leave its tail digits in the stream to
+              // emit as literal text
+              while (k < n && s.charAt(k).isDigit) k += 1
               val value = if (neg) -num else num
               if (k < n && s.charAt(k) == ' ') k += 1 // delimiter space
               i = k

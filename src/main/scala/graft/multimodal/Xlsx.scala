@@ -189,7 +189,12 @@ object Xlsx {
     if (sheets.isEmpty) return None
     val shared = sharedStrings(zip, base).getOrElse(Vector.empty)
     val budget = new Budget(MaxOutputChars)
-    val bodies = sheets.flatMap(zip.extract)
+    // a LISTED sheet whose part is missing or fails extraction (CRC,
+    // truncation) fences the WHOLE workbook — the same fence-whole
+    // discipline malformed sheet XML gets below; a silent flatMap
+    // here would mark a truncated workbook's partial text as a full
+    // success
+    val bodies = sheets.map(zip.extract(_).getOrElse(return None))
     val texts = Vector.newBuilder[String]
     var n = 0
     bodies.foreach { b =>

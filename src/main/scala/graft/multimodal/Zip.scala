@@ -10,10 +10,15 @@ package graft.multimodal
   *
   * Read profile (the APPNOTE subset a crawl actually serves):
   *   - End-of-central-directory located by a bounded BACKWARD scan
-  *     over the trailing 64 KiB + 22 (the max comment window); the
-  *     EOCD whose comment length exactly reaches the payload tail
-  *     wins, so "PK" bytes INSIDE a comment cannot spoof
-  *     the directory (the PdfText startxref-trailer discipline).
+  *     over the trailing 64 KiB + 22 (the max comment window); a
+  *     candidate wins only when its comment length exactly reaches
+  *     the payload tail AND its central-directory offset points at a
+  *     real PK central-file header (or declares zero entries / a
+  *     ZIP64 sentinel) — a crafted comment embedding a length-
+  *     consistent fake EOCD fails the directory probe and the scan
+  *     continues to the real one (Info-ZIP accepts the nearest-tail
+  *     candidate; this walk holds the stricter line because a
+  *     spoofed directory here picks which bytes become corpus text).
   *   - Central-directory entries are AUTHORITATIVE for sizes/CRC
   *     (local headers lie under the data-descriptor convention,
   *     GP bit 3); the local header is re-walked only to find where
@@ -68,9 +73,21 @@ object Zip {
     while (eocd < 0 && p >= lo) {
       if (bytes(p) == 'P' && bytes(p + 1) == 'K' && bytes(p + 2) == 5 &&
           bytes(p + 3) == 6 &&
-          p + 22 + u16(bytes, p + 20) == bytes.length)
-        eocd = p
-      else p -= 1
+          p + 22 + u16(bytes, p + 20) == bytes.length) {
+        // directory probe: the candidate's cdOff must point at a real
+        // central-file header (PK\1\2), or declare zero entries, or
+        // carry the ZIP64 sentinel (accepted here, fenced below) — a
+        // length-consistent fake EOCD planted in a comment fails this
+        // and the scan continues to the real record
+        val t = u16(bytes, p + 10)
+        val off = u32(bytes, p + 16)
+        val plausible =
+          t == 0xFFFF || off == 0xFFFFFFFFL || t == 0 ||
+            (off + 4 <= bytes.length && bytes(off.toInt) == 'P' &&
+              bytes(off.toInt + 1) == 'K' && bytes(off.toInt + 2) == 1 &&
+              bytes(off.toInt + 3) == 2)
+        if (plausible) eocd = p else p -= 1
+      } else p -= 1
     }
     if (eocd < 0) return None
     val total = u16(bytes, eocd + 10)

@@ -315,13 +315,37 @@ object NearDupIndex {
     * delta at sf0.1, dominated by exactly this fixed overhead, not
     * data. `keepAqe = true` re-enables it for deployments whose delta
     * batches are large/skewed enough that runtime re-planning pays.
+    *
+    * The scope is SESSION-ISOLATED ([[graft.util.AqeScope.isolatedOff]]
+    * — the r14 contract, enforced rather than documented): the whole
+    * cycle runs on a `newSession()` clone, with the caller's `newDocs`
+    * frame re-rooted onto the clone through a global temp view (the
+    * public cross-session bridge — a DataFrame plans with the conf of
+    * the session that created it, so the caller's frame would
+    * otherwise keep AQE). A concurrent query planned on the CALLER's
+    * session mid-maintain still sees `spark.sql.adaptive.enabled=true`
+    * (NearDupIndexSpec pins this).
     */
   def maintain(spark: SparkSession, path: String, newDocs: DataFrame,
                lockWaitMs: Long = 0L, keepAqe: Boolean = false,
                smallGraphEdges: Int = 200000): Stats =
     graft.util.PathLock.withLock(spark, path, lockWaitMs,
       what = "near-dup index maintainer") {
-    graft.util.AqeScope.off(spark, keepAqe = keepAqe) {
+      val db = spark.conf.get("spark.sql.globalTempDatabase", "global_temp")
+      val vname = "graft_ndx_delta_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      newDocs.createOrReplaceGlobalTempView(vname)
+      try
+        graft.util.AqeScope.isolatedOff(spark, keepAqe = keepAqe) { iso =>
+          maintainImpl(iso, path, iso.table(db + "." + vname),
+            smallGraphEdges)
+        }
+      finally { spark.catalog.dropGlobalTempView(vname); () }
+    }
+
+  private def maintainImpl(spark: SparkSession, path: String,
+                           newDocs: DataFrame,
+                           smallGraphEdges: Int): Stats = {
       val meta = readMeta(spark, path)
       recoverStores(spark, path)
       val sigsNew = NearDup.signatures(newDocs).cache()
@@ -468,8 +492,7 @@ object NearDupIndex {
           pairs.unpersist(); allRows.unpersist(); matched.unpersist(); ()
         }
       } finally { sigsNew.unpersist(); () }
-    }
-    }
+  }
 
   /** Right-to-be-forgotten for the INDEX — the face that composes
     * with [[graft.pipeline.CorpusPrep.forget]] so a victim leaves the

@@ -583,10 +583,14 @@ object CorpusPrep {
   /** [[runFromWarc]]'s stats: the per-face intake billing on top of
     * the pipeline's own [[Stats]] (`htmlDocs` + `pdfDocs` +
     * `officeDocs` == `prep.input` by construction — the faces take
-    * disjoint record sets).
+    * disjoint record sets). `codingFenced` bills the responses whose
+    * Content-Encoding could not be undone (brotli and friends —
+    * [[graft.sources.WarcSource.codingFenced]]): the coverage the
+    * intake LOST as a number, per the no-silent-caps rule.
     */
   final case class WarcStats(htmlDocs: Long, pdfDocs: Long,
-                             officeDocs: Long, prep: Stats)
+                             officeDocs: Long, codingFenced: Long,
+                             prep: Stats)
 
   /** The batch crawl-intake entry: WARC archives straight into the
     * standard scrub→dedup→quality→mix pipeline. The HTML/WET
@@ -629,10 +633,13 @@ object CorpusPrep {
     // extra count would re-parse every archive and re-extract every
     // PDF — a whole wasted crawl scan at the 100 TB scale
     val officeN = office.map(_.count()).getOrElse(0L)
+    // the coverage the intake LOST to undecodable content codings
+    // (brotli): a records-level count, no extraction work
+    val codingN = WarcSource.codingFenced(recs).count()
     val prep = run(docs, outPath, cfg, benchmark)
     WarcStats(htmlN,
       if (includePdfs) prep.input - htmlN - officeN else 0L,
-      officeN, prep)
+      officeN, codingN, prep)
   }
 
   def run(docs: DataFrame, outPath: String, cfg: Config,

@@ -44,16 +44,20 @@ object WarcSource {
     * for `response` records (the envelope's Content-Type surfaced as
     * `http_content_type`), with TRANSPORT/CONTENT codings undone
     * best-effort — chunked framing removed, gzip/deflate content
-    * coding inflated (bomb-capped; br/zstd have no JVM decoder and
-    * keep raw bytes, as does any malformed framing — the magic route
-    * and NUL fence govern what could not be decoded). Raw block
-    * content otherwise.
+    * coding inflated (bomb-capped). A Content-Encoding that could NOT
+    * be undone (brotli has no decoder on Spark's classpath; a dying
+    * gzip stream; an unknown token) keeps the RAW bytes and surfaces
+    * the coding in `content_coding` (null when the body is plain or
+    * was successfully decoded) — the magic route + NUL fence govern
+    * what the raw bytes become, and [[quarantine]] counts the
+    * still-coded leftovers as `<coding>_fenced` so the coverage loss
+    * is a NUMBER, not a footnote. Raw block content otherwise.
     */
   final case class Record(
       file: String, record_ix: Int, warc_type: String,
       target_uri: Option[String], warc_content_type: Option[String],
       http_content_type: Option[String], n_bytes: Long,
-      body: Array[Byte])
+      body: Array[Byte], content_coding: Option[String])
 
   private def isGzip(b: Array[Byte]): Boolean =
     b.length >= 2 && b(0) == 0x1f.toByte && b(1) == 0x8b.toByte
@@ -207,7 +211,14 @@ object WarcSource {
           drain(new java.util.zip.InflaterInputStream(
             new ByteArrayInputStream(body),
             new java.util.zip.Inflater(true))))
-      case _ => None // br/zstd/unknown: no JVM decoder — raw bytes stay
+      case "zstd" if isZstd(body) =>
+        // zstd-jni ships on every Spark classpath (shuffle/parquet
+        // codecs) — newer CDNs serve Content-Encoding: zstd
+        drain(new com.github.luben.zstd.ZstdInputStream(
+          new ByteArrayInputStream(body)))
+      case _ => None // br/unknown: no JVM decoder — raw bytes stay,
+                     // the coding surfaces as content_coding and the
+                     // quarantine face bills it as <coding>_fenced
     }
   }
 
@@ -243,17 +254,22 @@ object WarcSource {
         if (header("transfer-encoding")
             .exists(_.toLowerCase(java.util.Locale.ROOT).contains("chunked")))
           unchunk(body).foreach(body = _)
+        var stillCoded: Option[String] = None
         header("content-encoding")
           .map(_.trim.toLowerCase(java.util.Locale.ROOT)) match {
           case Some(ce) if ce != "identity" && ce.nonEmpty =>
-            inflateBody(body, ce).foreach(body = _)
+            inflateBody(body, ce) match {
+              case Some(b2) => body = b2
+              case None => stillCoded = Some(ce) // br/dying stream/unknown
+            }
           case _ => ()
         }
-        Record(file, ix, wtype, uri, wct, httpCt, body.length.toLong, body)
+        Record(file, ix, wtype, uri, wct, httpCt, body.length.toLong,
+          body, stillCoded)
       } else Record(file, ix, wtype, uri, wct, None,
-        content.length.toLong, content)
+        content.length.toLong, content, None)
     } else Record(file, ix, wtype, uri, wct, None,
-      content.length.toLong, content)
+      content.length.toLong, content, None)
   }
 
   /** Walk one archive's record stream LAZILY — one record
@@ -703,17 +719,42 @@ object WarcSource {
                  glob: Option[String] = None): DataFrame =
     quarantine(records(spark, dir, glob))
 
+  private def quarantineEvidence = Seq(
+    md5Lower64(concat_ws("#", col("file"), col("record_ix")))
+      .as("doc_id"),
+    col("target_uri").as("url"),
+    col("http_content_type").as("declared_mime"),
+    col("n_bytes"),
+    regexp_extract(col("file"), "([^/]+)$", 1).as("source"))
+
+  /** Still-content-coded leftovers (brotli; a dying stream): the
+    * record walk could not undo the coding, the bytes have no known
+    * magic to route on, and they are not text — the precise reason
+    * (`br_fenced`, `gzip_fenced`, …) wins over the generic nul_bytes
+    * so the per-coding coverage loss is a dashboardable NUMBER (the
+    * r14 brotli decision: count it, don't vendor a decoder). A
+    * still-coded body whose bytes DO carry a magic (a zstd entity
+    * mislabeled as Content-Encoding) keeps its media/decompress
+    * route and is not quarantined here. Public as its own face so
+    * [[graft.pipeline.CorpusPrep.runFromWarc]] can bill it without
+    * paying [[quarantine]]'s PDF-extraction arm.
+    */
+  def codingFenced(records: DataFrame): DataFrame = records
+    .filter(col("warc_type") === "response" &&
+      col("content_coding").isNotNull &&
+      BinarySource.sniffMime(col("body")) === "application/octet-stream" &&
+      !plausiblyText(col("body")))
+    .select(quarantineEvidence :+
+      concat(regexp_replace(col("content_coding"), "[^a-z0-9]+", "_"),
+        lit("_fenced")).as("reason"): _*)
+
   def quarantine(records: DataFrame): DataFrame = {
-    def evidence = Seq(
-      md5Lower64(concat_ws("#", col("file"), col("record_ix")))
-        .as("doc_id"),
-      col("target_uri").as("url"),
-      col("http_content_type").as("declared_mime"),
-      col("n_bytes"),
-      regexp_extract(col("file"), "([^/]+)$", 1).as("source"))
+    def evidence = quarantineEvidence
+    val codingArm = codingFenced(records)
     val nulArm = records
       .filter((col("warc_type") === "conversion" ||
         (col("warc_type") === "response" &&
+          col("content_coding").isNull &&
           BinarySource.sniffMime(col("body")) === "application/octet-stream")) &&
         !plausiblyText(col("body")))
       .select(evidence :+ lit("nul_bytes").as("reason"): _*)
@@ -733,7 +774,7 @@ object WarcSource {
             lit("pdf_glyph_mojibake")))
       .filter(col("reason").isNotNull)
       .drop("pdf_text")
-    nulArm.unionByName(pdfArm)
+    codingArm.unionByName(nulArm).unionByName(pdfArm)
   }
 
   /** The MediaRow face: `response` payloads whose magic bytes are a

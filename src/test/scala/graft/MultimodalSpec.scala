@@ -1272,7 +1272,7 @@ class MultimodalSpec extends SparkSpec {
     // inline image: an unescaped '(' inside BI..ID binary must not
     // open a phantom string and eat the text after the image
     val inline = rawStream(
-      "BT (before) Tj ET BI /W 2 /H 1 ID (ÿ  EI " +
+      "BT (before) Tj ET BI /W 2 /H 1 ID (ÿ\u0000 EI " +
         "BT (after) Tj ET")
     val withImg = ("%PDF-1.4\n" + inline + "trailer\n%%EOF")
       .getBytes("ISO-8859-1")
@@ -1652,5 +1652,45 @@ class MultimodalSpec extends SparkSpec {
     assert(out.filter(col("a_tracks") =!=
       when(pm(3) === 0, 1).otherwise(0)).count() == 0)
     out.unpersist()
+  }
+  test("q139 coverage kernels: every class decodes/triages intact, fences its truncation, sniffs to its mime") {
+    import org.apache.spark.sql.functions.col
+    val expected = Vector(
+      "image/x-portable-pixmap" -> "decoded", "image/bmp" -> "decoded",
+      "image/png" -> "decoded", "image/gif" -> "decoded",
+      "image/jpeg" -> "decoded", "image/webp" -> "decoded",
+      "audio/x-wav" -> "decoded", "image/tiff" -> "triaged",
+      "audio/mpeg" -> "triaged", "audio/ogg" -> "triaged",
+      "audio/flac" -> "triaged", "video/mp4" -> "triaged",
+      "video/x-matroska" -> "triaged")
+    val cuts = Vector(12, 12, 16, 10, 8, 14, 14, 9, 12, 20, 10, 20, 10)
+    val rows = (0 until 13).flatMap { k =>
+      // several ids per class, all congruent to k mod 13 and NOT
+      // divisible by 5 (the intact population)
+      val ids = Iterator.from(k, 13).filter(_ % 5 != 0).take(3).toVector
+      ids.map { id =>
+        val full = Multimodal.coveragePayload(k, id.toLong)
+        val cut = java.util.Arrays.copyOfRange(full, 0,
+          math.min(cuts(k), full.length))
+        assert(Multimodal.coverageStatus(k, full) == expected(k)._2,
+          s"class $k id $id intact")
+        assert(Multimodal.coverageStatus(k, cut) == "fenced",
+          s"class $k id $id truncated must fence")
+        (k, full, cut)
+      }
+    }
+    // the sniff routes BOTH the intact payload and its magic-
+    // preserving truncation to the class mime
+    import spark.implicits._
+    val df = rows.toDF("k", "full", "cut")
+    val sniffed = df.select(col("k"),
+      graft.sources.BinarySource.sniffMime(col("full")).as("mf"),
+      graft.sources.BinarySource.sniffMime(col("cut")).as("mc"))
+      .collect()
+    sniffed.foreach { r =>
+      val k = r.getInt(0)
+      assert(r.getString(1) == expected(k)._1, s"class $k full sniff")
+      assert(r.getString(2) == expected(k)._1, s"class $k cut sniff")
+    }
   }
 }

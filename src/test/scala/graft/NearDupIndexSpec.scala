@@ -275,4 +275,36 @@ class NearDupIndexSpec extends SparkSpec {
     NearDupIndex.maintain(spark, path, docs(9L -> tY))
     assert(!fs.exists(lock))
   }
+
+  test("AQE isolation: a query planned on the caller session mid-scope keeps adaptive execution; maintain leaves the caller conf untouched") {
+    val Key = "spark.sql.adaptive.enabled"
+    assert(spark.conf.get(Key) == "true", "precondition: session AQE on")
+    graft.util.AqeScope.isolatedOff(spark) { iso =>
+      assert(iso.conf.get(Key) == "false", "the clone runs AQE-off")
+      assert(spark.conf.get(Key) == "true",
+        "the caller session conf must be untouched inside the window")
+      // the r14 ask verbatim: a CONCURRENT query planned on the
+      // caller session mid-scope still plans adaptively
+      val q = spark.range(100).groupBy((org.apache.spark.sql.functions
+        .col("id") % 7).as("k")).count()
+      assert(q.queryExecution.executedPlan.isInstanceOf[
+        org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec],
+        "caller-session query planned mid-scope must keep AQE")
+      // and the clone's plans really drop it (the scope is real)
+      val qi = iso.range(100).groupBy((org.apache.spark.sql.functions
+        .col("id") % 7).as("k")).count()
+      assert(!qi.queryExecution.executedPlan.isInstanceOf[
+        org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec],
+        "clone query must plan without AQE")
+    }
+    // a full maintain cycle (the long-scoped user) through the
+    // isolated path: caller conf stays AQE-on after
+    val path = Files.createTempDirectory("graft-ndidx3").toString + "/idx"
+    NearDupIndex.build(spark, path, docs(1L -> tX, 2L -> (tX + " z")), 0.5)
+    NearDupIndex.maintain(spark, path, docs(9L -> (tX + " y")))
+    assert(spark.conf.get(Key) == "true",
+      "maintain must not leave the caller session AQE-off")
+    assert(indexed(path).keySet == Set(1L, 2L, 9L),
+      "the re-rooted delta frame must fold correctly")
+  }
 }

@@ -39,6 +39,22 @@ class OfficeSpec extends AnyFunSuite {
     val fake = Array[Byte]('P', 'K', 5, 6) ++ new Array[Byte](18)
     val zip = Zip.write(real, comment = b("junk ") ++ fake ++ b(" tail"))
     assert(Zip.extract(zip, "x").get.toSeq == b("real content").toSeq)
+    // the stronger attack: a fake EOCD whose comment-length field is
+    // crafted to land EXACTLY on the tail (length-consistent) but
+    // whose directory offset points at garbage — the directory probe
+    // must reject it and the scan continue to the real record
+    val commentLen = 64
+    val fake2 = new Array[Byte](22)
+    fake2(0) = 'P'; fake2(1) = 'K'; fake2(2) = 5; fake2(3) = 6
+    fake2(8) = 5; fake2(10) = 5 // claims 5 entries
+    fake2(16) = 1 // cdOff = 1: not a PK central header
+    val tailLen = commentLen - 22
+    fake2(20) = (tailLen & 0xff).toByte
+    fake2(21) = ((tailLen >> 8) & 0xff).toByte
+    val zip2 = Zip.write(real,
+      comment = fake2 ++ Array.fill[Byte](tailLen)('.'))
+    assert(Zip.extract(zip2, "x").get.toSeq == b("real content").toSeq,
+      "a length-consistent fake EOCD must fail the directory probe")
   }
 
   test("zip fences: truncation, bad CRC, encrypted bit, exotic method, zip64 sentinel, non-zip") {
@@ -233,6 +249,19 @@ class OfficeSpec extends AnyFunSuite {
     // vice versa — each extracts through its own grammar only
     assert(Epub.extractText(Docx.write("wordprocessing")).isEmpty)
     assert(Docx.extractText(Epub.write("a book")).isEmpty)
+    // fence-whole: ONE corrupt spine chapter fences the whole book
+    // (a book missing a chapter must not read as a shorter book)
+    val book = Epub.write("chapter text that will be damaged")
+    val chap = Zip.entries(book).get
+      .find(_.name.endsWith(".xhtml")).get
+    val corrupt = book.clone()
+    // flip a byte in the middle of the member's DATA (past the local
+    // header + its name), so the CRC check must catch it
+    val dataMid = chap.offset.toInt + 30 + chap.name.length +
+      chap.compSize.toInt / 2
+    corrupt(dataMid) = (corrupt(dataMid) ^ 0x13).toByte
+    assert(Epub.extractText(corrupt).isEmpty,
+      "a corrupt spine chapter must fence the whole book")
   }
 
   // ---- Rtf ----
@@ -459,6 +488,23 @@ class OfficeSpec extends AnyFunSuite {
     assert(Docx.extractText(Xlsx.write("cells\there")).isEmpty,
       "a workbook part must not scan as an empty WordprocessingML doc")
     assert(Xlsx.extractText(Docx.write("words")).isEmpty)
+    // fence-whole: a LISTED sheet whose part is missing fences the
+    // workbook (partial text must not read as a full success)
+    val wbMissing = b("<workbook><sheets>" +
+      "<sheet name=\"S\" sheetId=\"1\" r:id=\"rId1\"/>" +
+      "<sheet name=\"T\" sheetId=\"2\" r:id=\"rId2\"/></sheets></workbook>")
+    val relsMissing = b("<Relationships>" +
+      "<Relationship Id=\"rId1\" Type=\"x/worksheet\" " +
+      "Target=\"worksheets/s1.xml\"/>" +
+      "<Relationship Id=\"rId2\" Type=\"x/worksheet\" " +
+      "Target=\"worksheets/s2.xml\"/></Relationships>")
+    val sheet1 = b("<worksheet><sheetData><row r=\"1\">" +
+      "<c r=\"A1\"><v>1</v></c></row></sheetData></worksheet>")
+    assert(Xlsx.extractText(Zip.write(Seq(
+      ("xl/workbook.xml", wbMissing, true),
+      ("xl/_rels/workbook.xml.rels", relsMissing, true),
+      ("xl/worksheets/s1.xml", sheet1, true)))).isEmpty,
+      "a listed-but-absent sheet part must fence the whole workbook")
     assert(Xlsx.extractText(Epub.write("book")).isEmpty)
     assert(Xlsx.extractText(Odt.write("odt")).isEmpty)
   }

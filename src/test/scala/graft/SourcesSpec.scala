@@ -156,7 +156,7 @@ class SourcesSpec extends SparkSpec {
     // a corrupt container beside good ones: its rows vanish (per-file
     // fence), the good files' rows survive, nothing crashes
     Files.write(Paths.get(s"$dir/docs/junk.avro"),
-      "Objnot really avro".getBytes("ISO-8859-1"))
+      "Obj\u0001not really avro".getBytes("ISO-8859-1"))
     assert(sources.AvroSource.read(spark, s"$dir/docs").count() == docs.count(),
       "a corrupt sibling container must fence, not fail the read")
     // overwrite semantics: a second write replaces, never appends

@@ -478,6 +478,50 @@ class WarcSourceSpec extends SparkSpec {
     docs.unpersist()
   }
 
+  test("undecodable content codings are BILLED: br quarantines as br_fenced (not nul_bytes); zstd coding now inflates") {
+    val dir = Files.createTempDirectory("graft-warc-br").toString
+    def respRaw(uri: String, headers: String, body: Array[Byte]) =
+      rec(Seq("WARC-Type" -> "response", "WARC-Target-URI" -> uri,
+        "Content-Type" -> "application/http; msgtype=response"),
+      bytes(s"HTTP/1.1 200 OK\r\n$headers\r\n") ++ body)
+    val text = "a page served under a modern content coding"
+    // "brotli" bytes: no JVM decoder exists — stand-in binary with
+    // NULs and no known magic (exactly how a real br body presents)
+    val brBody = Array.tabulate[Byte](256)(i =>
+      if (i % 5 == 0) 0 else ((i * 11) % 251).toByte)
+    val zstdBody = com.github.luben.zstd.Zstd.compress(bytes(text))
+    Files.write(Paths.get(dir, "br.warc"),
+      respRaw("http://b.example/page.br",
+        "Content-Type: text/html\r\nContent-Encoding: br\r\n", brBody) ++
+        respRaw("http://b.example/page.zst",
+          "Content-Type: text/plain\r\nContent-Encoding: zstd\r\n",
+          zstdBody) ++
+        respRaw("http://b.example/plain",
+          "Content-Type: text/plain\r\n", bytes(text)))
+    val recs = WarcSource.records(spark, dir).cache()
+    // the records frame carries the evidence column
+    assert(recs.filter(col("content_coding") === "br").count() == 1)
+    assert(recs.filter(col("content_coding").isNotNull).count() == 1,
+      "zstd coding must inflate (zstd-jni is on the classpath), " +
+        "plain bodies carry null")
+    // zstd-coded page ingests as text now
+    val docs = WarcSource.documents(recs).collect()
+      .map(r => r.getAs[String]("url") -> r.getAs[String]("text")).toMap
+    assert(docs("http://b.example/page.zst") == text)
+    assert(!docs.contains("http://b.example/page.br"),
+      "still-coded bytes must not ingest as text")
+    // the billing: exactly one br_fenced row, NOT double-counted as
+    // nul_bytes
+    val quar = WarcSource.quarantine(recs).collect()
+    val reasons = quar.map(r =>
+      r.getAs[String]("url") -> r.getAs[String]("reason")).toMap
+    assert(reasons("http://b.example/page.br") == "br_fenced")
+    assert(quar.count(_.getAs[String]("url") ==
+      "http://b.example/page.br") == 1, "one reason per record")
+    assert(WarcSource.codingFenced(recs).count() == 1)
+    recs.unpersist()
+  }
+
   test("NUL fence covers conversion (WET) records: binary WET payload quarantines, not ingests") {
     val dir = Files.createTempDirectory("graft-warc-wetnul").toString
     // a WET record whose payload is binary (NUL bytes) — crawl tooling
