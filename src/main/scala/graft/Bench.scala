@@ -129,7 +129,16 @@ object Bench {
     // the headline total look faster)
     val total = med.values.filter(_ >= 0).sum
     val failed = med.values.count(_ < 0)
-    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"warmup_sec":$warmupSec,"reps":$reps,"queries":$qs,"queries_min":$qsMin,"queries_max":$qsMax,"sf":"$sfDir"}"""
+    // the durable artifact's spread map: per-query [min,max] as ONE
+    // key (r14 ask #8 — queries_min/queries_max carry the same data,
+    // but drift triage reads a single [lo,hi] pair per query; both
+    // shapes persist so existing consumers keep working)
+    val spreadAll = names.map { n =>
+      val (lo, hi) = if (med(n) < 0) (-1.0, -1.0)
+                     else (samples(n).min, samples(n).max)
+      "\"" + n + "\":[" + d3(lo) + "," + d3(hi) + "]"
+    }.mkString("{", ",", "}")
+    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"warmup_sec":$warmupSec,"reps":$reps,"queries":$qs,"queries_min":$qsMin,"queries_max":$qsMax,"spread":$spreadAll,"sf":"$sfDir"}"""
     // full-precision artifact: on disk (never truncated) + early stdout
     // lines (may truncate; nothing below depends on them surviving).
     // Written TWICE (round 13): target/bench_full.json (the historical

@@ -328,6 +328,104 @@ object ScaleCheck {
       line(s"""{"scale":"$tag","warc":{"archives":$archives,"records":$recs,"disk_mb":${d3(mb)},"parse_sec":${d3(sec)},"records_per_sec":${d3(recs / math.max(sec, 1e-9))},"mb_per_sec":${d3(mb / math.max(sec, 1e-9))},"documents_sec":${d3(docSec)},"documents":$docs}}""")
       sec
     }
+    // office/media intake datapoint (r14 ask #7): the documents face
+    // is measured above; the officeDocuments and media faces were
+    // not. Mixed archives — DOCX/XLS/PPT/ODT office payloads (real
+    // container writers), PNG/JPEG media, and a plain ZIP the office
+    // face must refuse — at 1x/10x archive counts, recording
+    // extraction MB/s for both faces. Same parallelism contract as
+    // the documents point: one task per archive.
+    def buildOfficeDir(dir: String, archives: Int, recsPer: Int): Long = {
+      val root = new java.io.File(dir)
+      val marker = new java.io.File(s"$dir/_gen")
+      val want = s"v1-$archives-$recsPer"
+      if (marker.exists() &&
+          new String(java.nio.file.Files.readAllBytes(marker.toPath),
+            "UTF-8") == want) {
+        return Option(root.listFiles()).map(_.filter(_.isFile)
+          .map(_.length()).sum).getOrElse(0L)
+      }
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(root); root.mkdirs()
+      def rec(headers: Seq[(String, String)],
+              content: Array[Byte]): Array[Byte] = {
+        val sb = new StringBuilder("WARC/1.0\r\n")
+        (headers :+ ("Content-Length" -> content.length.toString))
+          .foreach { case (k, v) => sb.append(s"$k: $v\r\n") }
+        sb.append("\r\n")
+        sb.toString.getBytes("ISO-8859-1") ++ content ++
+          "\r\n\r\n".getBytes("ISO-8859-1")
+      }
+      def resp(uri: String, ct: String, body: Array[Byte]) =
+        rec(Seq("WARC-Type" -> "response", "WARC-Target-URI" -> uri,
+          "Content-Type" -> "application/http; msgtype=response"),
+          s"HTTP/1.1 200 OK\r\nContent-Type: $ct\r\n\r\n"
+            .getBytes("ISO-8859-1") ++ body)
+      import graft.{multimodal => M}
+      var total = 0L
+      var a = 0
+      while (a < archives) {
+        val bo = new java.io.ByteArrayOutputStream(1 << 20)
+        var r = 0
+        while (r < recsPer) {
+          val seed = a * 100000 + r
+          def prose(tag: String) =
+            s"$tag document $seed " + (s"token$seed office text " * 120)
+          val body = (r % 7) match {
+            case 0 => resp(s"http://o$a.example/d$r.docx",
+              "application/msword", M.Docx.write(prose("docx")))
+            case 1 => resp(s"http://o$a.example/t$r.xls",
+              "application/vnd.ms-excel",
+              M.XlsText.write(prose("xls").split(" ").grouped(8)
+                .map(_.mkString("\t")).mkString("\n")))
+            case 2 => resp(s"http://o$a.example/s$r.ppt",
+              "application/vnd.ms-powerpoint",
+              M.PptText.write(prose("ppt")))
+            case 3 => resp(s"http://o$a.example/m$r.odt",
+              "application/vnd.oasis.opendocument.text",
+              M.Odt.write(prose("odt")))
+            case 4 => resp(s"http://o$a.example/p$r.png",
+              "image/png", M.Png.encode(M.Netpbm.Image(24, 16, 255,
+                Array.tabulate[Byte](24 * 16 * 3)(i =>
+                  ((i * 7 + seed) % 256).toByte))))
+            case 5 => resp(s"http://o$a.example/j$r.jpg",
+              "image/jpeg", M.Jpeg.encode(M.Netpbm.Image(16, 16, 255,
+                Array.fill[Byte](16 * 16 * 3)((seed % 200 + 20).toByte))))
+            case _ => resp(s"http://o$a.example/z$r.zip",
+              "application/zip", M.Zip.write(Seq(
+                ("data/notes.txt", prose("zip").getBytes("UTF-8"), true))))
+          }
+          bo.write(body, 0, body.length)
+          r += 1
+        }
+        val f = new java.io.FileOutputStream(s"$dir/office-$a.warc.gz")
+        val gzs = new java.util.zip.GZIPOutputStream(f)
+        gzs.write(bo.toByteArray); gzs.close()
+        total += new java.io.File(s"$dir/office-$a.warc.gz").length()
+        a += 1
+      }
+      val w = new java.io.PrintWriter(marker, "UTF-8")
+      w.print(want); w.close()
+      total
+    }
+    def officePoint(dir: String, tag: String, archives: Int)
+        : (Double, Double) = {
+      val diskBytes = buildOfficeDir(dir, archives, recsPer = 280)
+      val (offSec, offDocs) = time(
+        graft.sources.WarcSource.officeDocuments(spark, dir, None), reps)
+      val (medSec, media) = time(
+        graft.sources.WarcSource.media(
+          graft.sources.WarcSource.records(spark, dir)), reps)
+      val mb = diskBytes / 1048576.0
+      line(s"""{"scale":"$tag","office_media":{"archives":$archives,"disk_mb":${d3(mb)},"office_sec":${d3(offSec)},"office_docs":$offDocs,"office_mb_per_sec":${d3(mb / math.max(offSec, 1e-9))},"media_sec":${d3(medSec)},"media_rows":$media,"media_mb_per_sec":${d3(mb / math.max(medSec, 1e-9))}}}""")
+      (offSec, medSec)
+    }
+    val (o0, me0) = officePoint("target/scale_office_1", "office1x", 4)
+    val (o1, me1) = officePoint("target/scale_office_10", "office10x", 40)
+    line(s"""{"scale":"office_ratio_10x_over_1x","expect":"wall flat-to-linear (one task per archive), super-linear is the red flag","office":${d3(if (o0 > 0) o1 / o0 else -1.0)},"media":${d3(if (me0 > 0) me1 / me0 else -1.0)}}""")
+
     val w0 = warcPoint("target/scale_warc_1", "warc1x", archives = 4)
     val w1 = warcPoint("target/scale_warc_10", "warc10x", archives = 40)
     // the parallelism contract is ONE TASK PER ARCHIVE: with cores ≥

@@ -66,7 +66,15 @@ class CorpusPrepSpec extends SparkSpec {
           graft.multimodal.Docx.write(docxText)) ++
         resp("http://x.example/backup.zip", "application/zip",
           graft.multimodal.Zip.write(Seq(("readme.txt",
-            "a plain archive is not a document".getBytes("UTF-8"), true)))))
+            "a plain archive is not a document".getBytes("UTF-8"), true)))) ++
+        // a brotli-coded page: no JVM decoder — must BILL, not vanish
+        rec(Seq("WARC-Type" -> "response",
+          "WARC-Target-URI" -> "http://x.example/fast.br",
+          "Content-Type" -> "application/http; msgtype=response"),
+          ("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n" +
+            "Content-Encoding: br\r\n\r\n").getBytes("ISO-8859-1") ++
+            Array.tabulate[Byte](96)(i =>
+              if (i % 9 == 0) 0 else ((i * 13) % 250).toByte)))
     val keep = CorpusPrep.Config(langRates = Map.empty, defaultRate = 1.0,
       nShards = 2, stripMarkup = true)
     val stats = CorpusPrep.runFromWarc(spark, dir, out, keep)
@@ -78,6 +86,8 @@ class CorpusPrepSpec extends SparkSpec {
     assert(stats.prep.input ==
       stats.htmlDocs + stats.pdfDocs + stats.officeDocs,
       "the faces take disjoint record sets")
+    assert(stats.codingFenced == 1,
+      "the br-coded response must bill as coverage lost, not vanish")
     val corpus = spark.read.parquet(out)
     assert(corpus.count() == 4)
     assert(corpus.filter(col("text") === pdfText).count() == 1,
