@@ -102,6 +102,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "decode with replacement (allowlisted labels; UTF-8 fallback)"),
       (args: Seq[Expression]) => CharsetDecode(args(0), args(1))))
 
+    ext.injectFunction((FunctionIdentifier("graft_html_meta"),
+      info("graft_html_meta",
+        "graft_html_meta(html) - STRUCT<title, description, canonical, " +
+          "noindex>: the crawl-metadata fields off one page's markup"),
+      (args: Seq[Expression]) => HtmlMetaExtract(args(0))))
+
     // an AGGREGATE function registers the same way — the analyzer
     // wraps a returned AggregateFunction in its AggregateExpression
     // exactly as for built-ins, so `SELECT graft_bottom_k(h, v, 1024)

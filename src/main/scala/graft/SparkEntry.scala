@@ -61,7 +61,9 @@ object SparkEntry {
         Entry("q139_media_coverage", graft.multimodal.Multimodal.q139,
           Some(graft.multimodal.Multimodal.q139Sql)),
         Entry("q140_ppt_extract", graft.multimodal.Multimodal.q140,
-          Some(graft.multimodal.Multimodal.q140Sql)))
+          Some(graft.multimodal.Multimodal.q140Sql)),
+        Entry("q141_exif_scrub", graft.multimodal.Multimodal.q141,
+          Some(graft.multimodal.Multimodal.q141Sql)))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

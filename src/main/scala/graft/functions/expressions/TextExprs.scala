@@ -130,6 +130,12 @@ object TextExprs {
   def sevenZMembers(payload: Column): Column =
     c(SevenZMembers(x(payload)))
 
+  /** HTML string → STRUCT<title, description, canonical, noindex> —
+    * the crawl-metadata fields (see
+    * [[graft.functions.HtmlMeta.extract]] / [[HtmlMetaExtract]]).
+    */
+  def htmlMeta(html: Column): Column = c(HtmlMetaExtract(x(html)))
+
   /** The canonical name [[charsetDecode]] will actually decode these
     * bytes with — "utf-8" for unknown declared labels, the sniffed
     * charset (utf-8 or windows-1252) for unlabeled payloads. Surfaced
@@ -1301,6 +1307,37 @@ case class DecompressedMembers(child: Expression)
           Array[Any](org.apache.spark.sql.catalyst.InternalRow(
             UTF8String.fromString(""), inner)))
     }
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** HTML crawl-metadata extraction as an expression — one pass of the
+  * [[graft.functions.HtmlMeta]] scanner per page returning
+  * STRUCT<title STRING, description STRING, canonical STRING,
+  * noindex BOOLEAN> (nulls where the page declares nothing; noindex
+  * false by default). Column-native so the crawl faces can project
+  * it inside the same scan that gates the text — no second parse.
+  */
+case class HtmlMetaExtract(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("title", StringType),
+      org.apache.spark.sql.types.StructField("description", StringType),
+      org.apache.spark.sql.types.StructField("canonical", StringType),
+      org.apache.spark.sql.types.StructField("noindex",
+        org.apache.spark.sql.types.BooleanType, nullable = false)))
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(input: Any): Any = {
+    val m = graft.functions.HtmlMeta.extract(input.toString)
+    def u(o: Option[String]): Any =
+      o.map(UTF8String.fromString).orNull
+    org.apache.spark.sql.catalyst.InternalRow(
+      u(m.title), u(m.description), u(m.canonical), m.noindex)
   }
 
   override protected def withNewChildInternal(c: Expression): Expression =

@@ -1612,6 +1612,64 @@ object Multimodal {
       .orderBy(col("mime"), col("status"))
   }
 
+  /** q141 entry: EXIF AUDIT + SCRUB in the oracle-checked path — the
+    * image half of the privacy story (q52 scrubs text PII; crawled
+    * photos carry GPS/timestamps/camera identity in EXIF). Per
+    * doc_id: a real JPEG ([[Jpeg.encode]]) gains a REAL EXIF APP1
+    * ([[Exif.write]] — little-endian TIFF block, IFD0 + Exif IFD +
+    * GPS IFD with RATIONAL coordinates, plus a COM segment) with
+    * closed-form parameters; [[Exif.parse]] must read the evidence
+    * back, [[Exif.strip]] must remove EVERY metadata segment
+    * (re-parse → None) while the pixels still decode
+    * ([[Jpeg.decode]] on the scrubbed bytes). The DuckDB oracle
+    * recomputes every field from doc_id arithmetic — the hash only
+    * matches if the parse reads real offsets right AND the scrub is
+    * total AND lossless to pixels.
+    */
+  def q141(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id")).as[Long]
+      .map { id =>
+        def pmod(m: Long): Long = ((id % m) + m) % m
+        val base = Jpeg.encode(Netpbm.Image(16, 16, 255,
+          Array.fill[Byte](16 * 16 * 3)((pmod(200) + 20).toByte)))
+        val orientation = (1 + pmod(8)).toInt
+        val withGps = pmod(3) == 0
+        val withTs = pmod(2) == 0
+        val make = "maker" + pmod(4)
+        val tagged = Exif.write(base, orientation,
+          if (withGps) Some((37.7749 + pmod(10), -122.4194 - pmod(10)))
+          else None,
+          Some(make),
+          if (withTs) Some("2024:01:02 03:04:05") else None,
+          comment = Some("crawl comment " + id))
+        val info = Exif.parse(tagged).getOrElse(Exif.Info(-1, false,
+          false, None))
+        val stripped = Exif.strip(tagged).getOrElse(Array.emptyByteArray)
+        (id, info.orientation, info.hasGps, info.hasTimestamp,
+          info.make.getOrElse(""),
+          Exif.parse(stripped).isEmpty,
+          Jpeg.decode(stripped).isDefined)
+      }
+      .toDF("doc_id", "orientation", "has_gps", "has_ts", "make",
+        "scrub_total", "pixels_survive")
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB mirror of q141: every audited field closed-form in
+    * doc_id; the scrub columns must be uniformly TRUE.
+    */
+  val q141Sql: String =
+    """SELECT doc_id,
+      |  CAST(1 + ((doc_id % 8) + 8) % 8 AS INT) AS orientation,
+      |  ((doc_id % 3) + 3) % 3 = 0 AS has_gps,
+      |  ((doc_id % 2) + 2) % 2 = 0 AS has_ts,
+      |  'maker' || CAST(((doc_id % 4) + 4) % 4 AS VARCHAR) AS make,
+      |  TRUE AS scrub_total,
+      |  TRUE AS pixels_survive
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   /** DuckDB mirror of q139: the closed-form (mime, status) census
     * from doc_id arithmetic alone.
     */

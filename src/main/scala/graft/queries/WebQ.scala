@@ -363,9 +363,61 @@ object WebQ {
       |  nfc_normalize(dirty) AS text_nfc
       |FROM dirtied ORDER BY doc_id""".stripMargin
 
+  /** q142: HTML CRAWL-METADATA extraction in the oracle-checked
+    * path — title / meta description / canonical URL / robots
+    * noindex, the four fields a web pipeline reads off every page
+    * it keeps (canonical is the URL-dedup key when the site
+    * declares one; noindex pages drop from retrieval corpora). Per
+    * doc_id a REAL page is built ([[graft.functions.HtmlMeta
+    * .write]] — comment/SVG/script decoys, entity-escaped values,
+    * attribute order and quote style flipped by parity) with
+    * closed-form fields, then the [[graft.functions.expressions
+    * .TextExprs.htmlMeta]] expression must read them back through
+    * the real scanner. The oracle recomputes the fields from doc_id
+    * arithmetic — decoy-resistance and entity decode are what the
+    * hash actually checks.
+    */
+  def q142(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pages = Tables(s, dir).documents
+      .select(col("doc_id"), coalesce(col("text"), lit("")).as("t"))
+      .as[(Long, String)]
+      .map { case (id, t) =>
+        def pmod(m: Long): Long = ((id % m) + m) % m
+        val html = graft.functions.HtmlMeta.write(
+          title = s"Corpus Document $id",
+          description = s"Summary & overview #$id",
+          canonical = s"https://example.org/docs/${pmod(100)}",
+          noindex = pmod(7) == 0,
+          body = t,
+          variant = pmod(2).toInt)
+        (id, html)
+      }
+      .toDF("doc_id", "html")
+    val m = graft.functions.expressions.TextExprs.htmlMeta(col("html"))
+    pages
+      .select(col("doc_id"), m.as("m"))
+      .select(col("doc_id"),
+        col("m.title").as("title"),
+        col("m.description").as("description"),
+        col("m.canonical").as("canonical"),
+        col("m.noindex").as("noindex"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q142Sql: String =
+    """SELECT doc_id,
+      |  'Corpus Document ' || doc_id AS title,
+      |  'Summary & overview #' || doc_id AS description,
+      |  'https://example.org/docs/' || (((doc_id % 100) + 100) % 100)
+      |    AS canonical,
+      |  ((doc_id % 7) + 7) % 7 = 0 AS noindex
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   val entries: Seq[Entry] = Seq(
     Entry("q84_url_normalize", q84, Some(q84Sql)),
     Entry("q85_badwords", q85, Some(q85Sql)),
     Entry("q89_pagerank", q89, Some(q89Sql)),
-    Entry("q90_unicode_nfc", q90, Some(q90Sql)))
+    Entry("q90_unicode_nfc", q90, Some(q90Sql)),
+    Entry("q142_html_meta", q142, Some(q142Sql)))
 }

@@ -150,6 +150,12 @@ class FuzzSpec extends SparkSpec {
       ("sevenz", SevenZ.write(Seq(("a.txt", "fuzz 7z member".getBytes),
         ("b/c.txt", "second member".getBytes))),
         b => { SevenZ.members(b); () }),
+      ("jpeg-exif", Exif.write(
+        Jpeg.encode(Netpbm.Image(8, 8, 255, Array.fill[Byte](192)(77))),
+        orientation = 6, gps = Some((37.1, -122.2)),
+        make = Some("fuzzcam"), dateTime = Some("2024:01:02 03:04:05"),
+        comment = Some("fuzz comment")),
+        b => { Exif.parse(b); Exif.strip(b); () }),
       ("cfb-ppt", PptText.write("fuzz slide\nsecond slide"),
         b => { PptText.extract(b); () }))
     def mutate(b: Array[Byte]): Array[Byte] = rnd.nextInt(4) match {

