@@ -1,0 +1,147 @@
+package graft.functions
+
+/** robots.txt evaluation (RFC 9309) — the crawl-politeness gate: a
+  * training pipeline that honors robots semantics must be able to
+  * re-evaluate allow/deny for every (agent, url) it kept, both at
+  * intake and RETROACTIVELY (sites change their robots.txt and
+  * takedown requests cite it; the evaluator is what makes the audit
+  * answerable). The reference tool never fetches the web; a 100 TB
+  * crawl pipeline runs exactly this check per kept URL.
+  *
+  * Semantics implemented (the RFC 9309 core):
+  *   - Groups: consecutive `User-agent:` lines share the rule block
+  *     that follows; a crawler matches the group whose agent token
+  *     is the LONGEST token contained in its product name
+  *     (case-insensitive); `*` is the fallback group only when no
+  *     specific token matches. All groups with the winning token
+  *     merge.
+  *   - Rules: `Allow:` / `Disallow:` path patterns with `*`
+  *     wildcards (any octet sequence) and a trailing `$` end
+  *     anchor; an empty Disallow value allows everything.
+  *   - Decision: the MOST SPECIFIC matching rule wins (longest
+  *     pattern in octets); at a tie, Allow wins. No matching rule →
+  *     allowed. No matching group → allowed (robots is opt-out).
+  *   - Lines are `key: value` with `#` comments stripped; unknown
+  *     keys (Crawl-delay, Sitemap) are ignored without breaking the
+  *     group structure (the RFC's tolerance rule).
+  *
+  * Never throws: hostile bytes yield whatever groups parsed.
+  */
+object Robots {
+
+  final case class Group(agents: Vector[String],
+                         rules: Vector[(Boolean, String)])
+
+  /** Parsed groups in file order. */
+  def parse(txt: String): Vector[Group] = {
+    if (txt == null) return Vector.empty
+    val out = Vector.newBuilder[Group]
+    var agents = Vector.empty[String]
+    var rules = Vector.empty[(Boolean, String)]
+    var inAgentRun = false // consecutive User-agent lines accumulate
+    def flush(): Unit = {
+      if (agents.nonEmpty) out += Group(agents, rules)
+      agents = Vector.empty; rules = Vector.empty
+    }
+    txt.linesIterator.foreach { raw =>
+      val noComment = raw.indexOf('#') match {
+        case -1 => raw
+        case i => raw.substring(0, i)
+      }
+      val line = noComment.trim
+      val colon = line.indexOf(':')
+      if (colon > 0) {
+        val key = line.substring(0, colon).trim
+          .toLowerCase(java.util.Locale.ROOT)
+        val value = line.substring(colon + 1).trim
+        key match {
+          case "user-agent" =>
+            if (!inAgentRun) flush()
+            agents :+= value.toLowerCase(java.util.Locale.ROOT)
+            inAgentRun = true
+          case "allow" =>
+            inAgentRun = false
+            if (agents.nonEmpty) rules :+= ((true, value))
+          case "disallow" =>
+            inAgentRun = false
+            if (agents.nonEmpty) rules :+= ((false, value))
+          case _ => inAgentRun = false // Crawl-delay/Sitemap/unknown
+        }
+      }
+    }
+    flush()
+    out.result()
+  }
+
+  /** `pattern` matches `path` under the `*`/`$` grammar: prefix
+    * match by default, `*` spans anything, trailing `$` anchors the
+    * end. Iterative greedy match with one backtrack point per `*`
+    * (the classic wildcard walk — linear in practice, never
+    * exponential: a failed segment RESUMES at the star).
+    */
+  private[functions] def matches(pattern: String, path: String): Boolean = {
+    val anchored = pattern.endsWith("$")
+    val pat = if (anchored) pattern.substring(0, pattern.length - 1)
+              else pattern
+    var p = 0 // pattern cursor
+    var s = 0 // path cursor
+    var starP = -1
+    var starS = -1
+    while (s < path.length) {
+      if (p < pat.length &&
+          (pat.charAt(p) == path.charAt(s))) { p += 1; s += 1 }
+      else if (p < pat.length && pat.charAt(p) == '*') {
+        starP = p; starS = s; p += 1
+      } else if (starP >= 0) {
+        starS += 1; s = starS; p = starP + 1
+      } else {
+        // pattern exhausted without anchor = prefix match satisfied
+        return p >= pat.length && !anchored
+      }
+      // pattern consumed: prefix semantics succeed immediately
+      // unless the $ anchor requires the path end too
+      if (p >= pat.length && !anchored) return true
+    }
+    // path exhausted: remaining pattern must be all '*'
+    var q = p
+    while (q < pat.length && pat.charAt(q) == '*') q += 1
+    q >= pat.length
+  }
+
+  /** allow/deny for `agent` fetching `path` under `groups`. */
+  def allowed(groups: Vector[Group], agent: String,
+              path: String): Boolean = {
+    val a = if (agent == null) "" else
+      agent.toLowerCase(java.util.Locale.ROOT)
+    // the winning agent token: longest specific token contained in
+    // the product name; '*' only when nothing specific matches
+    var bestToken: String = null
+    groups.foreach(_.agents.foreach { t =>
+      if (t != "*" && t.nonEmpty && a.contains(t) &&
+          (bestToken == null || t.length > bestToken.length))
+        bestToken = t
+    })
+    val token = if (bestToken != null) bestToken else "*"
+    val rules = groups.filter(_.agents.contains(token))
+      .flatMap(_.rules)
+    if (rules.isEmpty) return true
+    var bestLen = -1
+    var bestAllow = true
+    rules.foreach { case (allow, pattern) =>
+      if (pattern.isEmpty) {
+        // empty Disallow = allow everything (matches nothing to deny)
+        if (!allow) () else ()
+      } else if (matches(pattern, path)) {
+        val len = pattern.length
+        if (len > bestLen || (len == bestLen && allow && !bestAllow)) {
+          bestLen = len; bestAllow = allow
+        }
+      }
+    }
+    if (bestLen < 0) true else bestAllow
+  }
+
+  /** One-call form over raw robots.txt content. */
+  def allowed(robotsTxt: String, agent: String, path: String): Boolean =
+    allowed(parse(robotsTxt), agent, path)
+}

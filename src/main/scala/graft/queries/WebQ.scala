@@ -414,10 +414,83 @@ object WebQ {
       |  ((doc_id % 7) + 7) % 7 = 0 AS noindex
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** The q143 policy file — every RFC 9309 feature the evaluator
+    * claims, in one fixture: specific-agent group with prefix rules,
+    * a longer Allow overriding a Disallow, a `*`+`$` pattern, an
+    * ignored unknown key inside the group, and a deny-all fallback
+    * group for everyone else.
+    */
+  private[graft] val RobotsFixture: String =
+    """# crawl policy
+      |User-agent: graftbot
+      |Disallow: /private/
+      |Allow: /private/public/
+      |Disallow: /*.tmp$
+      |Crawl-delay: 2
+      |
+      |User-agent: *
+      |Disallow: /
+      |""".stripMargin
+
+  /** q143: ROBOTS.TXT EVALUATION in the oracle-checked path — the
+    * crawl-politeness gate (RFC 9309): a pipeline honoring robots
+    * semantics re-evaluates allow/deny for every (agent, url) it
+    * kept, at intake and RETROACTIVELY (sites change their policy;
+    * takedowns cite it). Per doc_id a (agent, path) pair drawn from
+    * a closed form exercises group selection (specific token vs the
+    * `*` fallback), longest-match specificity (a longer Allow
+    * overriding a Disallow), `*` wildcards, the `$` end anchor
+    * (including the must-NOT-match tail case), and the
+    * prefix-semantics corner (`/private` vs `/private/`). The
+    * oracle recomputes the verdicts from doc_id arithmetic — the
+    * hash only matches if every semantic above is implemented
+    * exactly ([[graft.functions.Robots]]).
+    */
+  def q143(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val groups = graft.functions.Robots.parse(RobotsFixture)
+    Tables(s, dir).documents
+      .select(col("doc_id")).as[Long]
+      .map { id =>
+        def pmod(m: Long): Long = ((id % m) + m) % m
+        val agent =
+          if (pmod(5) == 0) "OtherBot/1.0"
+          else "GraftBot/2.1 (+https://example.org/bot)"
+        val path = pmod(6) match {
+          case 0 => "/private/page"
+          case 1 => "/private/public/x"
+          case 2 => "/cache/f.tmp"
+          case 3 => "/cache/f.tmp.html"
+          case 4 => "/open/page"
+          case _ => "/private"
+        }
+        (id, agent, path,
+          graft.functions.Robots.allowed(groups, agent, path))
+      }
+      .toDF("doc_id", "agent", "path", "allowed")
+      .orderBy(col("doc_id"))
+  }
+
+  val q143Sql: String =
+    """SELECT doc_id,
+      |  CASE WHEN ((doc_id % 5) + 5) % 5 = 0 THEN 'OtherBot/1.0'
+      |    ELSE 'GraftBot/2.1 (+https://example.org/bot)' END AS agent,
+      |  CASE ((doc_id % 6) + 6) % 6
+      |    WHEN 0 THEN '/private/page'
+      |    WHEN 1 THEN '/private/public/x'
+      |    WHEN 2 THEN '/cache/f.tmp'
+      |    WHEN 3 THEN '/cache/f.tmp.html'
+      |    WHEN 4 THEN '/open/page'
+      |    ELSE '/private' END AS path,
+      |  ((doc_id % 5) + 5) % 5 <> 0 AND
+      |    ((doc_id % 6) + 6) % 6 IN (1, 3, 4, 5) AS allowed
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   val entries: Seq[Entry] = Seq(
     Entry("q84_url_normalize", q84, Some(q84Sql)),
     Entry("q85_badwords", q85, Some(q85Sql)),
     Entry("q89_pagerank", q89, Some(q89Sql)),
     Entry("q90_unicode_nfc", q90, Some(q90Sql)),
-    Entry("q142_html_meta", q142, Some(q142Sql)))
+    Entry("q142_html_meta", q142, Some(q142Sql)),
+    Entry("q143_robots_eval", q143, Some(q143Sql)))
 }

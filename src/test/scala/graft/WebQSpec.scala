@@ -187,4 +187,45 @@ class WebQSpec extends SparkSpec {
       assert(row.getAs[Boolean]("noindex") == (((id % 7) + 7) % 7 == 0))
     }
   }
+
+  test("Robots evaluator: group selection, longest-match, wildcards, anchors, merge, tolerance") {
+    import graft.functions.Robots
+    val groups = Robots.parse(WebQ.RobotsFixture)
+    assert(groups.length == 2 && groups(0).rules.length == 3)
+    def g(path: String) = Robots.allowed(groups, "GraftBot/2.1", path)
+    assert(!g("/private/page"), "prefix disallow")
+    assert(g("/private/public/x"), "longer Allow beats shorter Disallow")
+    assert(!g("/cache/f.tmp"), "* wildcard + $ anchor")
+    assert(g("/cache/f.tmp.html"), "$ must not match a longer tail")
+    assert(g("/open/page"), "no rule matches -> allowed")
+    assert(g("/private"), "/private/ is not a prefix of /private")
+    assert(!Robots.allowed(groups, "SomeOther/1.0", "/open/page"),
+      "the * fallback group denies everything")
+    // multi-agent group sharing one rule block; longest token wins
+    val multi = Robots.parse(
+      """User-agent: a
+        |User-agent: graftbot-images
+        |Disallow: /img/
+        |User-agent: graftbot
+        |Disallow: /all/
+        |""".stripMargin)
+    assert(!Robots.allowed(multi, "graftbot-images/2", "/img/x"),
+      "consecutive User-agent lines share the block; longest token wins")
+    assert(Robots.allowed(multi, "graftbot-images/2", "/all/x"),
+      "the shorter token's group must NOT apply once a longer one matched")
+    // same-length tie: Allow wins
+    val tie = Robots.parse(
+      "User-agent: *\nDisallow: /a/\nAllow: /a/\n")
+    assert(Robots.allowed(tie, "x", "/a/page"), "tie -> Allow")
+    // empty Disallow allows everything; hostile input never throws
+    assert(Robots.allowed(
+      Robots.parse("User-agent: *\nDisallow:\n"), "x", "/any"))
+    assert(Robots.allowed(Robots.parse(null), "x", "/any"))
+    assert(Robots.allowed(Robots.parse("::::\n#junk\nDisallow: /"), "x", "/p"),
+      "rules before any User-agent line are ignored (RFC tolerance)")
+    // mid-pattern wildcard
+    val mid = Robots.parse("User-agent: *\nDisallow: /img/*/raw\n")
+    assert(!Robots.allowed(mid, "x", "/img/2024/raw/full.jpg"))
+    assert(Robots.allowed(mid, "x", "/img/2024/cooked.jpg"))
+  }
 }
