@@ -136,6 +136,12 @@ object TextExprs {
     */
   def htmlMeta(html: Column): Column = c(HtmlMetaExtract(x(html)))
 
+  /** Sitemap XML → ARRAY<STRUCT<loc, lastmod, from_index>>, NULL for
+    * non-sitemap text or a past-cap file (see
+    * [[graft.functions.Sitemap.parse]] / [[SitemapEntries]]).
+    */
+  def sitemapEntries(xml: Column): Column = c(SitemapEntries(x(xml)))
+
   /** The canonical name [[charsetDecode]] will actually decode these
     * bytes with — "utf-8" for unknown declared labels, the sniffed
     * charset (utf-8 or windows-1252) for unlabeled payloads. Surfaced
@@ -1339,6 +1345,44 @@ case class HtmlMetaExtract(child: Expression)
     org.apache.spark.sql.catalyst.InternalRow(
       u(m.title), u(m.description), u(m.canonical), m.noindex)
   }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** Sitemap entry listing as an expression — one
+  * [[graft.functions.Sitemap.parse]] pass per document returning
+  * ARRAY<STRUCT<loc STRING, lastmod STRING, from_index BOOLEAN>>,
+  * NULL for non-sitemap text (prose mentioning "urlset" sheds no
+  * fake URLs) or a file lying past the protocol's 50k cap. The
+  * crawl face explodes the array — the [[TarMembers]] Generate
+  * contract on the frontier format.
+  */
+case class SitemapEntries(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("loc", StringType),
+        org.apache.spark.sql.types.StructField("lastmod", StringType),
+        org.apache.spark.sql.types.StructField("from_index",
+          org.apache.spark.sql.types.BooleanType, nullable = false))),
+      containsNull = false)
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(input: Any): Any =
+    graft.functions.Sitemap.parse(input.toString) match {
+      case Some(es) =>
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(
+          es.map { e =>
+            org.apache.spark.sql.catalyst.InternalRow(
+              UTF8String.fromString(e.loc),
+              e.lastmod.map(UTF8String.fromString).orNull,
+              e.fromIndex)
+          }.toArray[Any])
+      case None => null
+    }
 
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)

@@ -486,11 +486,62 @@ object WebQ {
       |    ((doc_id % 6) + 6) % 6 IN (1, 3, 4, 5) AS allowed
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** q144: SITEMAP PARSING in the oracle-checked path — the
+    * crawl-frontier read ([[graft.functions.Sitemap]]): per doc_id a
+    * REAL sitemap (urlset, or a sitemapindex on every 4th id — the
+    * `from_index` flag the scheduler branches on) with 1 + pmod(5)
+    * closed-form entries, lastmod present on even ids, an
+    * entity-escaped `&` in every loc (the protocol requires escaped
+    * URLs — decode is what the hash checks); parsed back through the
+    * [[graft.functions.expressions.TextExprs.sitemapEntries]]
+    * expression and exploded to per-URL rows. The DuckDB oracle
+    * regenerates the rows with a LATERAL range — entry COUNT, order,
+    * decoded loc, optional lastmod and the index flag all must
+    * match.
+    */
+  def q144(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pages = Tables(s, dir).documents
+      .select(col("doc_id")).as[Long]
+      .map { id =>
+        def pmod(m: Long): Long = ((id % m) + m) % m
+        val n = (1 + pmod(5)).toInt
+        val entries = (0 until n).map { i =>
+          (s"https://s.example/${id}/p$i?a=1&b=2",
+            if (pmod(2) == 0) Some(s"2024-03-0${1 + (i % 9)}") else None)
+        }
+        (id, graft.functions.Sitemap.write(entries,
+          asIndex = pmod(4) == 0))
+      }
+      .toDF("doc_id", "xml")
+    pages
+      .select(col("doc_id"),
+        posexplode(graft.functions.expressions.TextExprs
+          .sitemapEntries(col("xml"))).as(Seq("ord", "e")))
+      .select(col("doc_id"), col("ord").cast("long").as("ord"),
+        col("e.loc").as("loc"), col("e.lastmod").as("lastmod"),
+        col("e.from_index").as("from_index"))
+      .orderBy(col("doc_id"), col("ord"))
+  }
+
+  val q144Sql: String =
+    """SELECT d.doc_id, gs.i AS ord,
+      |  'https://s.example/' || d.doc_id || '/p' || gs.i || '?a=1&b=2'
+      |    AS loc,
+      |  CASE WHEN ((d.doc_id % 2) + 2) % 2 = 0
+      |    THEN '2024-03-0' || (1 + gs.i % 9) ELSE NULL END AS lastmod,
+      |  ((d.doc_id % 4) + 4) % 4 = 0 AS from_index
+      |FROM documents d,
+      |  LATERAL (SELECT unnest(generate_series(0,
+      |    CAST(((d.doc_id % 5) + 5) % 5 AS BIGINT))) AS i) gs
+      |ORDER BY doc_id, ord""".stripMargin
+
   val entries: Seq[Entry] = Seq(
     Entry("q84_url_normalize", q84, Some(q84Sql)),
     Entry("q85_badwords", q85, Some(q85Sql)),
     Entry("q89_pagerank", q89, Some(q89Sql)),
     Entry("q90_unicode_nfc", q90, Some(q90Sql)),
     Entry("q142_html_meta", q142, Some(q142Sql)),
-    Entry("q143_robots_eval", q143, Some(q143Sql)))
+    Entry("q143_robots_eval", q143, Some(q143Sql)),
+    Entry("q144_sitemap", q144, Some(q144Sql)))
 }

@@ -602,6 +602,115 @@ object WarcSource {
       extra.nonEmpty)
   }
 
+  /** The PAGE-METADATA face: per HTML/text `response` page the four
+    * crawl-metadata fields ([[graft.functions.HtmlMeta]] through the
+    * [[graft.functions.expressions.HtmlMetaExtract]] expression) —
+    * title, meta description, canonical URL (the URL-dedup key when
+    * the site declares one — it beats syntactic normalization) and
+    * the robots-noindex verdict (pages a retrieval corpus honoring
+    * robots semantics must drop). Gated exactly like the documents
+    * face's own-body arm (plausibly-text, no known media magic, no
+    * leftover content coding) and decoded with the SAME charset
+    * precedence (declared header label, else the in-body meta
+    * pre-scan, else the sniff), so the metadata is read off the same
+    * string the corpus text would be. doc_id matches [[documents]]'
+    * definition — joining the two faces per page is a plain id join.
+    * Pure Column ops: the streaming mirror
+    * ([[graft.streaming.Streams.warcPageMeta]]) inherits verbatim; a
+    * `ts` column passes through.
+    */
+  def pageMeta(spark: SparkSession, dir: String,
+               glob: Option[String] = None): DataFrame =
+    pageMeta(records(spark, dir, glob))
+
+  def pageMeta(records: DataFrame): DataFrame = {
+    val extra = if (records.columns.contains("ts")) Seq(col("ts")) else Nil
+    val T = graft.functions.expressions.TextExprs
+    val hdrLabel = charsetLabel(
+      coalesce(col("http_content_type"), col("warc_content_type")))
+    val label = when(hdrLabel =!= "", hdrLabel)
+      .otherwise(metaCharsetLabel(col("body")))
+    // the Generate barrier pins ONE extraction per record (the
+    // pdfDocuments rationale — a filter over an aliased struct field
+    // pushes below the projection and re-runs the scan per column)
+    corpusMetaShape(records
+      .filter(col("warc_type") === "response" &&
+        col("content_coding").isNull &&
+        BinarySource.sniffMime(col("body")) === "application/octet-stream" &&
+        plausiblyText(col("body")))
+      .select(Seq(
+        md5Lower64(concat_ws("#", col("file"), col("record_ix")))
+          .as("doc_id"),
+        col("target_uri").as("url"),
+        explode(array(T.htmlMeta(T.charsetDecode(col("body"), label))))
+          .as("m"),
+        regexp_extract(col("file"), "([^/]+)$", 1).as("source")) ++
+        extra: _*), extra.nonEmpty)
+  }
+
+  private def corpusMetaShape(selected: DataFrame,
+                              hasTs: Boolean): DataFrame =
+    selected.select((Seq(col("doc_id"), col("url"),
+      col("m.title").as("title"),
+      col("m.description").as("description"),
+      col("m.canonical").as("canonical"),
+      col("m.noindex").as("noindex"),
+      col("source")) ++
+      (if (hasTs) Seq(col("ts")) else Nil)): _*)
+
+  /** The CRAWL-FRONTIER face: per-URL rows out of every sitemap the
+    * crawl served — `<urlset>` pages and `<sitemapindex>` files
+    * ([[graft.functions.Sitemap]]; entries from an index are flagged
+    * `from_index` — the scheduler fetches those, it does not crawl
+    * them). Both serving shapes real sites use: a plain-text
+    * `sitemap.xml` response and the ubiquitous compressed
+    * `sitemap.xml.gz`/`.zst` entity (ONE decompression behind the
+    * same member Generate the documents face uses). Non-sitemap text
+    * sheds no rows (the root-element sniff gates before any entry
+    * scan). Pure Column ops — the streaming mirror
+    * ([[graft.streaming.Streams.warcSitemapUrls]]) inherits
+    * verbatim; `ts` passes through.
+    */
+  def sitemapUrls(spark: SparkSession, dir: String,
+                  glob: Option[String] = None): DataFrame =
+    sitemapUrls(records(spark, dir, glob))
+
+  def sitemapUrls(records: DataFrame): DataFrame = {
+    val extra = if (records.columns.contains("ts")) Seq(col("ts")) else Nil
+    val T = graft.functions.expressions.TextExprs
+    val nullName = lit(null).cast("string")
+    val selfOnly = array(struct(nullName.as("name"), col("body").as("data")))
+    val sniffed = records.withColumn("body_mime",
+      BinarySource.sniffMime(col("body")))
+    val members =
+      when(col("warc_type") === "response" &&
+        col("content_coding").isNull &&
+        col("body_mime") === "application/octet-stream", selfOnly)
+      .when(col("warc_type") === "response" &&
+        col("body_mime").isin(BinarySource.MimeGzip, BinarySource.MimeZstd),
+        T.decompressedMembers(col("body")))
+    val exploded = sniffed
+      .select(Seq(
+        col("file"), col("record_ix"), col("target_uri"),
+        posexplode(members).as(Seq("m_pos", "m")),
+        regexp_extract(col("file"), "([^/]+)$", 1).as("source")) ++
+        extra: _*)
+      .filter(plausiblyText(col("m.data")))
+    exploded
+      .select(Seq(
+        md5Lower64(concat_ws("#", col("file"), col("record_ix")))
+          .as("doc_id"),
+        col("target_uri").as("url"),
+        posexplode(
+          T.sitemapEntries(T.charsetDecode(col("m.data"), lit(""))))
+          .as(Seq("ord", "e")),
+        col("source")) ++ extra: _*)
+      .select(Seq(col("doc_id"), col("url"), col("ord").cast("long"),
+        col("e.loc").as("loc"), col("e.lastmod").as("lastmod"),
+        col("e.from_index").as("from_index"), col("source")) ++
+        extra.map(_ => col("ts")): _*)
+  }
+
   /** The PDF-text face: `response` payloads whose magic is %PDF-,
     * their show-text extracted ([[graft.functions.expressions
     * .PdfExtractText]] — Flate streams, BT…ET operators, the escape

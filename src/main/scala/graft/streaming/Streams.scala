@@ -94,6 +94,30 @@ object Streams {
     graft.sources.WarcSource.officeDocuments(
       warcRecords(spark, dir, glob, maxFilesPerTrigger))
 
+  /** The continuous PAGE-METADATA mirror — title/description/
+    * canonical/noindex per crawled HTML page as archives land
+    * ([[graft.sources.WarcSource.pageMeta]] is pure Column ops over
+    * the records frame, so batch semantics apply verbatim; doc_id
+    * matches the documents face for per-page joins downstream).
+    */
+  def warcPageMeta(spark: SparkSession, dir: String,
+                   glob: Option[String] = None,
+                   maxFilesPerTrigger: Int = 4): DataFrame =
+    graft.sources.WarcSource.pageMeta(
+      warcRecords(spark, dir, glob, maxFilesPerTrigger))
+
+  /** The continuous CRAWL-FRONTIER mirror — per-URL sitemap rows as
+    * archives land ([[graft.sources.WarcSource.sitemapUrls]] is pure
+    * Column ops, so batch semantics apply verbatim): the refresh
+    * scheduler consumes discovery continuously instead of per batch
+    * re-parse.
+    */
+  def warcSitemapUrls(spark: SparkSession, dir: String,
+                      glob: Option[String] = None,
+                      maxFilesPerTrigger: Int = 4): DataFrame =
+    graft.sources.WarcSource.sitemapUrls(
+      warcRecords(spark, dir, glob, maxFilesPerTrigger))
+
   /** The continuous QUARANTINE mirror — the audit face for what the
     * text faces refused (NUL-bearing payloads, encrypted PDFs,
     * glyph-id mojibake), streamed as archives land so the influx is

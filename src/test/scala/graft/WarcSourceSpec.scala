@@ -874,4 +874,127 @@ class WarcSourceSpec extends SparkSpec {
     assert(outDf.filter(col("text").contains("warc ingest parity")).count() >= 1,
       "the crawled HTML page must reach the corpus")
   }
+
+  test("pageMeta face: title/description/canonical/noindex per HTML page, charset-aware; non-pages excluded; streaming mirror") {
+    val dir = Files.createTempDirectory("graft-warc-meta").toString
+    def resp(uri: String, ct: String, body: Array[Byte]) =
+      rec(Seq("WARC-Type" -> "response", "WARC-Target-URI" -> uri,
+        "Content-Type" -> "application/http; msgtype=response"),
+        httpWrap(ct, body))
+    val page = graft.functions.HtmlMeta.write(
+      title = "Caf\u00e9 Chronicle", description = "daily caf\u00e9 news",
+      canonical = "https://m.example/canonical-page",
+      noindex = false, body = "page body text")
+    val noidx = graft.functions.HtmlMeta.write(
+      title = "Hidden", description = "not for retrieval",
+      canonical = "https://m.example/hidden",
+      noindex = true, body = "hidden body")
+    // latin-1 declared page: the title's accent must decode through
+    // the SAME charset path the corpus text takes
+    val latinPage = page.getBytes("ISO-8859-1")
+    Files.write(Paths.get(dir, "meta.warc"),
+      resp("http://m.example/a", "text/html; charset=ISO-8859-1",
+        latinPage) ++
+        resp("http://m.example/b", "text/html",
+          noidx.getBytes("UTF-8")) ++
+        // a bare page with NO metadata: one row, all-null fields
+        resp("http://m.example/bare", "text/html",
+          "<html><body>plain</body></html>".getBytes("UTF-8")) ++
+        // non-pages must contribute nothing: media by magic, a PDF
+        resp("http://m.example/img", "text/html",
+          bytes("P6\n2 2\n255\n") ++ new Array[Byte](12)) ++
+        resp("http://m.example/doc.pdf", "application/pdf",
+          graft.multimodal.PdfText.write("pdf text")))
+    val recs = WarcSource.records(spark, dir).cache()
+    val rows = WarcSource.pageMeta(recs).collect()
+      .map(r => r.getAs[String]("url") -> r).toMap
+    assert(rows.size == 3, s"got ${rows.keySet}")
+    val a = rows("http://m.example/a")
+    assert(a.getAs[String]("title") == "Caf\u00e9 Chronicle",
+      "declared latin-1 must decode before the scan")
+    assert(a.getAs[String]("canonical") ==
+      "https://m.example/canonical-page")
+    assert(!a.getAs[Boolean]("noindex"))
+    assert(rows("http://m.example/b").getAs[Boolean]("noindex"))
+    val bare = rows("http://m.example/bare")
+    assert(bare.getAs[String]("title") == null &&
+      bare.getAs[String]("canonical") == null)
+    // doc_id parity with the documents face: per-page joins are id joins
+    val docIds = WarcSource.documents(recs)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(rows.values.forall(r => docIds.contains(
+      r.getAs[Long]("doc_id"))),
+      "pageMeta doc_ids must match the documents face definition")
+    recs.unpersist()
+    // the continuous mirror: same rows, archive mtime as ts
+    val stream = graft.streaming.Streams.warcPageMeta(spark, dir)
+    assert(stream.isStreaming)
+    val q = stream.writeStream.format("memory")
+      .queryName("warc_meta_stream").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("warc_meta_stream")
+      assert(got.count() == 3)
+      assert(got.filter(col("ts").isNull).count() == 0)
+      assert(got.filter(col("noindex")).count() == 1)
+    } finally q.stop()
+  }
+
+  test("sitemapUrls face: urlset + index + .gz entity parse to per-URL rows; non-sitemaps shed nothing; streaming mirror") {
+    val dir = Files.createTempDirectory("graft-warc-sitemap").toString
+    def resp(uri: String, ct: String, body: Array[Byte]) =
+      rec(Seq("WARC-Type" -> "response", "WARC-Target-URI" -> uri,
+        "Content-Type" -> "application/http; msgtype=response"),
+        httpWrap(ct, body))
+    val urlset = graft.functions.Sitemap.write(Seq(
+      ("https://f.example/a?x=1&y=2", Some("2024-01-02")),
+      ("https://f.example/b", None)))
+    val index = graft.functions.Sitemap.write(Seq(
+      ("https://f.example/sitemap-news.xml.gz", Some("2024-02-03"))),
+      asIndex = true)
+    Files.write(Paths.get(dir, "frontier.warc"),
+      resp("http://f.example/sitemap.xml", "application/xml",
+        urlset.getBytes("UTF-8")) ++
+        resp("http://f.example/sitemap.xml.gz", "application/gzip",
+          gz(urlset.getBytes("UTF-8"))) ++
+        resp("http://f.example/sitemap_index.xml", "text/xml",
+          index.getBytes("UTF-8")) ++
+        // prose and plain pages shed no frontier rows
+        resp("http://f.example/page", "text/html",
+          "<html><body>the urlset element is from sitemaps</body></html>"
+            .getBytes("UTF-8")))
+    val recs = WarcSource.records(spark, dir).cache()
+    val rows = WarcSource.sitemapUrls(recs).collect()
+    assert(rows.length == 5, s"got ${rows.length}")
+    val byUrl = rows.groupBy(_.getAs[String]("url"))
+    val plain = byUrl("http://f.example/sitemap.xml")
+      .sortBy(_.getAs[Long]("ord"))
+    assert(plain.map(_.getAs[String]("loc")).toSeq ==
+      Seq("https://f.example/a?x=1&y=2", "https://f.example/b"),
+      "entity-escaped locs must decode, order preserved")
+    assert(plain(0).getAs[String]("lastmod") == "2024-01-02" &&
+      plain(1).getAs[String]("lastmod") == null)
+    assert(byUrl("http://f.example/sitemap.xml.gz")
+      .map(_.getAs[String]("loc")).toSet ==
+      plain.map(_.getAs[String]("loc")).toSet,
+      "the .gz entity must parse identically")
+    val idx = byUrl("http://f.example/sitemap_index.xml")
+    assert(idx.length == 1 && idx(0).getAs[Boolean]("from_index"),
+      "index entries carry the from_index flag")
+    assert(rows.forall(r => !r.getAs[String]("url").endsWith("/page")))
+    assert(rows.forall(r => r.getAs[Boolean]("from_index") ==
+      r.getAs[String]("url").contains("index")))
+    recs.unpersist()
+    // the continuous mirror
+    val stream = graft.streaming.Streams.warcSitemapUrls(spark, dir)
+    assert(stream.isStreaming)
+    val q = stream.writeStream.format("memory")
+      .queryName("warc_sitemap_stream").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("warc_sitemap_stream")
+      assert(got.count() == 5)
+      assert(got.filter(col("ts").isNull).count() == 0)
+    } finally q.stop()
+  }
 }

@@ -228,4 +228,31 @@ class WebQSpec extends SparkSpec {
     assert(!Robots.allowed(mid, "x", "/img/2024/raw/full.jpg"))
     assert(Robots.allowed(mid, "x", "/img/2024/cooked.jpg"))
   }
+
+  test("Sitemap kernel: detection, namespace prefixes, truncated tail drops, protocol cap fences, decode") {
+    import graft.functions.Sitemap
+    assert(Sitemap.parse("prose mentioning urlset and <url> tags").isEmpty,
+      "no root element in the sniff window -> not a sitemap")
+    assert(Sitemap.parse(null).isEmpty)
+    // namespace-prefixed elements parse (real generators emit them)
+    val ns = """<?xml version="1.0"?><sm:urlset xmlns:sm="http://www.sitemaps.org/schemas/sitemap/0.9">""" +
+      "<sm:url><sm:loc> https://n.example/x </sm:loc></sm:url></sm:urlset>"
+    assert(Sitemap.parse(ns).get.map(_.loc) ==
+      Vector("https://n.example/x"), "prefixes + loc trim")
+    // truncated final entry drops; complete ones keep
+    val cut = Sitemap.write(Seq(("https://a/1", None),
+      ("https://a/2", None)))
+    val truncated = cut.substring(0, cut.lastIndexOf("<url>") + 8)
+    val kept = Sitemap.parse(truncated + "...").get
+    assert(kept.map(_.loc) == Vector("https://a/1"))
+    // the protocol's 50k cap fences WHOLE
+    val big = Sitemap.write((0 until 50001).map(i =>
+      (s"https://b/$i", None)))
+    assert(Sitemap.parse(big).isEmpty, "past-cap file must fence whole")
+    // entries with no loc drop; entity decode in loc
+    val noLoc = "<urlset><url><lastmod>2024-01-01</lastmod></url>" +
+      "<url><loc>https://c/?a=1&amp;b=2</loc></url></urlset>"
+    assert(Sitemap.parse(noLoc).get.map(_.loc) ==
+      Vector("https://c/?a=1&b=2"))
+  }
 }
