@@ -587,10 +587,13 @@ object CorpusPrep {
     * Content-Encoding could not be undone (brotli and friends —
     * [[graft.sources.WarcSource.codingFenced]]): the coverage the
     * intake LOST as a number, per the no-silent-caps rule.
+    * `noindexDropped` bills the pages `honorNoindex` removed (0 when
+    * the knob is off — the drop is a POLICY, so its size must be
+    * auditable whenever it applies).
     */
   final case class WarcStats(htmlDocs: Long, pdfDocs: Long,
                              officeDocs: Long, codingFenced: Long,
-                             prep: Stats)
+                             noindexDropped: Long, prep: Stats)
 
   /** The batch crawl-intake entry: WARC archives straight into the
     * standard scrub→dedup→quality→mix pipeline. The HTML/WET
@@ -616,11 +619,29 @@ object CorpusPrep {
                   outPath: String, cfg: Config,
                   includePdfs: Boolean = true,
                   includeOffice: Boolean = true,
+                  honorNoindex: Boolean = false,
                   glob: Option[String] = None,
                   benchmark: Option[DataFrame] = None): WarcStats = {
     import graft.sources.WarcSource
     val recs = WarcSource.records(spark, warcDir, glob)
-    val html = WarcSource.documents(recs)
+    val htmlAll = WarcSource.documents(recs)
+    // `honorNoindex`: pages whose markup declares robots noindex drop
+    // BEFORE the pipeline (a retrieval corpus honoring robots
+    // semantics must not contain them — the page-metadata face's
+    // doc_id matches the documents face's, so the drop is an id
+    // anti-join, no second parse of the kept side). Off by default:
+    // noindex governs RETRIEVAL corpora; a pure training corpus may
+    // legitimately keep the text, so the policy is the caller's.
+    val noindexIds =
+      if (honorNoindex)
+        Some(WarcSource.pageMeta(recs).filter(col("noindex"))
+          .select(col("doc_id")))
+      else None
+    val html = noindexIds match {
+      case Some(ids) => htmlAll.join(ids, Seq("doc_id"), "left_anti")
+      case None => htmlAll
+    }
+    val noindexN = noindexIds.map(_.count()).getOrElse(0L)
     val office =
       if (includeOffice) Some(WarcSource.officeDocuments(recs)) else None
     val pdfs = if (includePdfs) Some(WarcSource.pdfDocuments(recs)) else None
@@ -639,7 +660,7 @@ object CorpusPrep {
     val prep = run(docs, outPath, cfg, benchmark)
     WarcStats(htmlN,
       if (includePdfs) prep.input - htmlN - officeN else 0L,
-      officeN, codingN, prep)
+      officeN, codingN, noindexN, prep)
   }
 
   def run(docs: DataFrame, outPath: String, cfg: Config,

@@ -67,6 +67,10 @@ class CorpusPrepSpec extends SparkSpec {
         resp("http://x.example/backup.zip", "application/zip",
           graft.multimodal.Zip.write(Seq(("readme.txt",
             "a plain archive is not a document".getBytes("UTF-8"), true)))) ++
+        resp("http://x.example/hidden", "text/html",
+          graft.functions.HtmlMeta.write("Hidden Page", "internal",
+            "https://x.example/hidden", noindex = true,
+            body = "an internal page marked noindex").getBytes("UTF-8")) ++
         // a brotli-coded page: no JVM decoder — must BILL, not vanish
         rec(Seq("WARC-Type" -> "response",
           "WARC-Target-URI" -> "http://x.example/fast.br",
@@ -78,7 +82,10 @@ class CorpusPrepSpec extends SparkSpec {
     val keep = CorpusPrep.Config(langRates = Map.empty, defaultRate = 1.0,
       nShards = 2, stripMarkup = true)
     val stats = CorpusPrep.runFromWarc(spark, dir, out, keep)
-    assert(stats.htmlDocs == 2, "html response + wet conversion")
+    assert(stats.htmlDocs == 3,
+      "html responses + wet conversion; noindex KEPT by default " +
+        "(training corpora may keep the text — the drop is a policy)")
+    assert(stats.noindexDropped == 0)
     assert(stats.pdfDocs == 1,
       "one recoverable PDF billed; the mojibake one is quarantined upstream")
     assert(stats.officeDocs == 1,
@@ -89,7 +96,7 @@ class CorpusPrepSpec extends SparkSpec {
     assert(stats.codingFenced == 1,
       "the br-coded response must bill as coverage lost, not vanish")
     val corpus = spark.read.parquet(out)
-    assert(corpus.count() == 4)
+    assert(corpus.count() == 5)
     assert(corpus.filter(col("text") === pdfText).count() == 1,
       "the PDF's recovered text must ride the same pipeline to the corpus")
     assert(corpus.filter(col("text") === docxText).count() == 1,
@@ -99,7 +106,15 @@ class CorpusPrepSpec extends SparkSpec {
     val noPdf = CorpusPrep.runFromWarc(spark, dir, out + "_nopdf", keep,
       includePdfs = false, includeOffice = false)
     assert(noPdf.pdfDocs == 0 && noPdf.officeDocs == 0 &&
-      noPdf.prep.input == 2)
+      noPdf.prep.input == 3)
+    // honorNoindex: the robots-noindex page drops BEFORE the pipeline
+    // and the drop is billed
+    val noIdx = CorpusPrep.runFromWarc(spark, dir, out + "_noidx", keep,
+      honorNoindex = true)
+    assert(noIdx.noindexDropped == 1 && noIdx.htmlDocs == 2)
+    val idxCorpus = spark.read.parquet(out + "_noidx")
+    assert(idxCorpus.filter(col("text").contains("marked noindex"))
+      .count() == 0, "a noindex page must not reach the corpus")
   }
 
   test("qualityWeighted gate: drops exactly the q117-kernel verdicts, flipped once per dedup survivor") {

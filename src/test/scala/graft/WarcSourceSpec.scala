@@ -997,4 +997,38 @@ class WarcSourceSpec extends SparkSpec {
       assert(got.filter(col("ts").isNull).count() == 0)
     } finally q.stop()
   }
+
+  test("plan shape: pdf/office/pageMeta extractions survive optimization as ONE node each (filters stay above the Generate)") {
+    import graft.functions.expressions.{HtmlMetaExtract, OfficeExtractText, PdfExtractText}
+    val dir = Files.createTempDirectory("graft-warc-planshape").toString
+    def resp(uri: String, ct: String, body: Array[Byte]) =
+      rec(Seq("WARC-Type" -> "response", "WARC-Target-URI" -> uri,
+        "Content-Type" -> "application/http; msgtype=response"),
+        httpWrap(ct, body))
+    Files.write(Paths.get(dir, "one.warc"),
+      resp("http://s.example/d.pdf", "application/pdf",
+        graft.multimodal.PdfText.write("plan shape pdf")) ++
+        resp("http://s.example/d.docx", "application/zip",
+          graft.multimodal.Docx.write("plan shape docx")) ++
+        resp("http://s.example/p", "text/html",
+          graft.functions.HtmlMeta.write("T", "D", "/c",
+            noindex = false, body = "b").getBytes("UTF-8")))
+    val recs = WarcSource.records(spark, dir)
+    def countExpr(df: org.apache.spark.sql.DataFrame,
+                  pf: PartialFunction[
+                    org.apache.spark.sql.catalyst.expressions.Expression,
+                    Unit]): Int =
+      df.queryExecution.optimizedPlan
+        .collect { case p => p.expressions }.flatten
+        .map(_.collect(pf).size).sum
+    assert(countExpr(WarcSource.pdfDocuments(recs),
+      { case _: PdfExtractText => () }) == 1,
+      "a filter pushed below the Generate re-runs the PDF parse per row")
+    assert(countExpr(WarcSource.officeDocuments(recs),
+      { case _: OfficeExtractText => () }) == 1,
+      "a filter pushed below the Generate re-runs the office walk per row")
+    assert(countExpr(WarcSource.pageMeta(recs),
+      { case _: HtmlMetaExtract => () }) == 1,
+      "field accesses after the Generate must not replicate the scan")
+  }
 }
