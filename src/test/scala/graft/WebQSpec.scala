@@ -255,4 +255,43 @@ class WebQSpec extends SparkSpec {
     assert(Sitemap.parse(noLoc).get.map(_.loc) ==
       Vector("https://c/?a=1&b=2"))
   }
+
+  test("string-kernel fuzz: HtmlMeta/Sitemap/Robots never throw on mutated inputs") {
+    val rnd = new scala.util.Random(0x9f15L)
+    val seeds = Seq(
+      graft.functions.HtmlMeta.write("T & T", "d<e>f", "/c?a=1",
+        noindex = true, body = "fuzz body", variant = 1),
+      graft.functions.Sitemap.write(Seq(("https://f/1&amp;", Some("2024-01-01")),
+        ("https://f/2", None)), asIndex = false),
+      WebQ.RobotsFixture)
+    def mutate(s: String): String = rnd.nextInt(4) match {
+      case 0 => // splice random chars (incl. control/unicode)
+        val i = rnd.nextInt(s.length + 1)
+        s.substring(0, i) +
+          new String(Array.fill(1 + rnd.nextInt(8))(
+            rnd.nextInt(0xD7FF).toChar)) + s.substring(i)
+      case 1 => s.substring(0, rnd.nextInt(s.length + 1)) // truncate
+      case 2 => // duplicate a random slice (nesting/repeat stress)
+        val a = rnd.nextInt(s.length + 1); val b = rnd.nextInt(s.length + 1)
+        val (lo, hi) = (math.min(a, b), math.max(a, b))
+        s.substring(0, hi) + s.substring(lo, hi) + s.substring(hi)
+      case _ => // flip chars to grammar-significant ones
+        val chars = s.toCharArray
+        (0 until 1 + rnd.nextInt(6)).foreach { _ =>
+          if (chars.nonEmpty)
+            chars(rnd.nextInt(chars.length)) = {
+              val sig = "<>&;/:*$'=#"
+              sig.charAt(rnd.nextInt(sig.length))
+            }
+        }
+        new String(chars)
+    }
+    (0 until 600).foreach { i =>
+      var x = seeds(i % seeds.length)
+      (0 to rnd.nextInt(3)).foreach(_ => x = mutate(x))
+      graft.functions.HtmlMeta.extract(x)
+      graft.functions.Sitemap.parse(x)
+      graft.functions.Robots.allowed(x, "GraftBot/2.1", "/a/b?c=1")
+    }
+  }
 }
