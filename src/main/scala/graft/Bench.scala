@@ -90,7 +90,16 @@ object Bench {
         "q74_substr_spans", "q86_trigram_backoff", "q84_url_normalize")
       .foreach(q => warm(q) { SparkEntry.queries(q)(spark, sfDir).count(); () })
     val warmupSec = (System.nanoTime() - wu0) / 1e9
+    // SPARK_GRAFT_BENCH_EXCLUDE (a regex over query names): the drift
+    // A/B knob — rerunning with a suspect family excluded separates
+    // "these queries slow their neighbors" (GC pressure, artifact
+    // contention) from "the host drifted" without editing the list.
+    // r15's triage used it to prove a 1.2x official-artifact drift was
+    // host-side: HEAD-minus-new-queries read no faster, and the r14
+    // commit itself re-benched 66->82s within the hour.
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(n => sys.env.get("SPARK_GRAFT_BENCH_EXCLUDE")
+        .exists(x => n.matches(x)))
     // samples(name) = seconds per rep; a failed rep records -1 and the
     // query's reported time becomes -1 (a failure must never report its
     // tiny time-to-failure as a benchmark result)
