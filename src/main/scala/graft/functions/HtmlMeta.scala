@@ -133,6 +133,24 @@ object HtmlMeta {
     out.result()
   }
 
+  /** Case-insensitive indexOf WITHOUT lowercasing the haystack:
+    * `String.toLowerCase` can CHANGE LENGTH (U+0130 'İ' lowers to two
+    * chars), so indices found in a lowered copy misalign against the
+    * original — wrong spans, and an out-of-bounds substring on
+    * pathological pages. regionMatches(ignoreCase) compares in place.
+    * `needle` must be lowercase ASCII (tag names are).
+    */
+  private def indexOfIgnoreCase(s: String, needle: String,
+                                from: Int): Int = {
+    var i = math.max(0, from)
+    val last = s.length - needle.length
+    while (i <= last) {
+      if (s.regionMatches(true, i, needle, 0, needle.length)) return i
+      i += 1
+    }
+    -1
+  }
+
   /** The four fields off one page's markup. Never throws — hostile
     * markup yields whatever evidence parsed cleanly.
     */
@@ -179,8 +197,7 @@ object HtmlMeta {
             skipDepthTag = name; skipDepth = 1; i = gt + 1
           } else if (!closing && name == "title" && title.isEmpty &&
                      !selfClosed) {
-            val close = s.toLowerCase(java.util.Locale.ROOT)
-              .indexOf("</title", gt + 1)
+            val close = indexOfIgnoreCase(s, "</title", gt + 1)
             if (close < 0) i = n
             else {
               val t = collapseWs(decodeEntities(
@@ -214,8 +231,7 @@ object HtmlMeta {
             i = gt + 1
           } else if (!closing && (name == "script" || name == "style")) {
             // raw-text elements: a '<' inside them is content
-            val close = s.toLowerCase(java.util.Locale.ROOT)
-              .indexOf("</" + name, gt + 1)
+            val close = indexOfIgnoreCase(s, "</" + name, gt + 1)
             i = if (close < 0) n else close
           } else i = gt + 1
         }

@@ -65,7 +65,12 @@ object Robots {
           case "disallow" =>
             inAgentRun = false
             if (agents.nonEmpty) rules :+= ((false, value))
-          case _ => inAgentRun = false // Crawl-delay/Sitemap/unknown
+          case _ => () // Crawl-delay/Sitemap/unknown: MUST NOT touch
+                       // the group structure (the RFC tolerance rule)
+                       // — in particular a Sitemap line BETWEEN two
+                       // User-agent lines must not split them into
+                       // separate groups, or the first agent ends up
+                       // with an empty rule set and everything allowed
         }
       }
     }

@@ -102,33 +102,36 @@ object Sitemap {
     * the protocol cap.
     */
   /** Local (prefix-stripped, lowercased) name of the tag at `lt`,
-    * with its '>' position — (-1 close) names prefixed '/'.
+    * with its '>' position — closing names prefixed '/'. Only the
+    * extracted NAME is lowercased: lowering the whole document can
+    * change its length (U+0130 lowers to two chars) and misalign
+    * every index against the original string.
     */
-  private def tagAt(lower: String, lt: Int): Option[(String, Int)] = {
-    val gt = lower.indexOf('>', lt)
+  private def tagAt(s: String, lt: Int): Option[(String, Int)] = {
+    val gt = s.indexOf('>', lt)
     if (gt < 0) return None
-    val closing = lt + 1 < lower.length && lower.charAt(lt + 1) == '/'
+    val closing = lt + 1 < s.length && s.charAt(lt + 1) == '/'
     val from = if (closing) lt + 2 else lt + 1
     var e = from
-    while (e < gt && !" \t\n\r/".contains(lower.charAt(e))) e += 1
-    val name = lower.substring(from, e)
+    while (e < gt && !" \t\n\r/".contains(s.charAt(e))) e += 1
+    val name = s.substring(from, e)
     val local = name.substring(name.indexOf(':') + 1)
+      .toLowerCase(java.util.Locale.ROOT)
     Some(((if (closing) "/" else "") + local, gt))
   }
 
   def parse(xml: String): Option[Vector[Entry]] = {
     if (xml == null) return None
-    val lower = xml.toLowerCase(java.util.Locale.ROOT)
     // root sniff, namespace-prefix tolerant: the first tags of the
     // window must include a urlset/sitemapindex ELEMENT
     var isIndex = false
     var isUrlset = false
     var w = 0
-    val windowEnd = math.min(lower.length, SniffWindow)
+    val windowEnd = math.min(xml.length, SniffWindow)
     while (!isIndex && !isUrlset && w < windowEnd) {
-      val lt = lower.indexOf('<', w)
+      val lt = xml.indexOf('<', w)
       if (lt < 0 || lt >= windowEnd) w = windowEnd
-      else tagAt(lower, lt) match {
+      else tagAt(xml, lt) match {
         case Some((name, gt)) =>
           if (name == "urlset") isUrlset = true
           else if (name == "sitemapindex") isIndex = true
@@ -143,9 +146,9 @@ object Sitemap {
     var n = 0
     var going = true
     while (going) {
-      val lt = lower.indexOf('<', i)
+      val lt = xml.indexOf('<', i)
       if (lt < 0) going = false
-      else tagAt(lower, lt) match {
+      else tagAt(xml, lt) match {
         case None => going = false // cut tag at EOF: drop the tail
         case Some((name, gt)) =>
           if (name != item) i = gt + 1
@@ -155,9 +158,9 @@ object Sitemap {
             var close = -1
             var c = gt + 1
             while (close < 0 && c >= 0) {
-              val nlt = lower.indexOf('<', c)
+              val nlt = xml.indexOf('<', c)
               if (nlt < 0) c = -1
-              else tagAt(lower, nlt) match {
+              else tagAt(xml, nlt) match {
                 case Some((cn, cgt)) =>
                   if (cn == "/" + item) close = nlt else c = cgt + 1
                 case None => c = -1

@@ -147,8 +147,6 @@ object Cfb {
     /** Case-insensitive: directory names compare by upcased UTF-16
       * per MS-CFB, and legacy writers disagree on stream-name case.
       */
-    def has(name: String): Boolean = opened.exists(_._2.exists(e =>
-      e.typ == 2 && e.name.equalsIgnoreCase(name)))
     def stream(name: String): Option[Array[Byte]] =
       opened.flatMap { case (v, es) =>
         es.find(e => e.typ == 2 && e.name.equalsIgnoreCase(name))

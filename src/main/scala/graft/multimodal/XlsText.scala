@@ -353,10 +353,16 @@ object XlsText {
         case REof => going = false
         case RFilePass => return None
         case RLabelSst =>
+          // every fixed-layout record validates its OWN length before
+          // any field read: u16/u32 bounds-check against the STREAM,
+          // so without this a truncated record's reads would graze
+          // into the NEXT record's header bytes instead of fencing
+          if (r.len < 10) return None
           val ix = u32(wb, o + 6)
           if (ix < 0 || ix >= sst.length) return None
           if (!put(u16(wb, o), u16(wb, o + 2), sst(ix.toInt))) return None
         case RLabel =>
+          if (r.len < 9) return None
           val s = inlineString(wb, o + 6, end).getOrElse(return None)
           if (!put(u16(wb, o), u16(wb, o + 2), s)) return None
         case RNumber =>
@@ -387,6 +393,7 @@ object XlsText {
             else if ((wb(o + 6) & 0xff) != 0) "TRUE" else "FALSE"
           if (!put(u16(wb, o), u16(wb, o + 2), s)) return None
         case RBlank =>
+          if (r.len < 6) return None
           if (!put(u16(wb, o), u16(wb, o + 2), "")) return None
         case RMulBlank =>
           if (r.len < 8 || (r.len - 6) % 2 != 0) return None

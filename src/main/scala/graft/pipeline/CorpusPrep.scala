@@ -632,10 +632,15 @@ object CorpusPrep {
     // anti-join, no second parse of the kept side). Off by default:
     // noindex governs RETRIEVAL corpora; a pure training corpus may
     // legitimately keep the text, so the policy is the caller's.
+    // the noindex id set is CACHED for its two consumers (the
+    // anti-join and the billing count) — uncached, each evaluation
+    // would re-parse every archive through pageMeta (the same
+    // wasted-crawl-scan rule the billing comment below applies); the
+    // set itself is tiny (ids only)
     val noindexIds =
       if (honorNoindex)
         Some(WarcSource.pageMeta(recs).filter(col("noindex"))
-          .select(col("doc_id")))
+          .select(col("doc_id")).cache())
       else None
     val html = noindexIds match {
       case Some(ids) => htmlAll.join(ids, Seq("doc_id"), "left_anti")
@@ -657,7 +662,9 @@ object CorpusPrep {
     // the coverage the intake LOST to undecodable content codings
     // (brotli): a records-level count, no extraction work
     val codingN = WarcSource.codingFenced(recs).count()
-    val prep = run(docs, outPath, cfg, benchmark)
+    val prep =
+      try run(docs, outPath, cfg, benchmark)
+      finally { noindexIds.foreach(_.unpersist()); () }
     WarcStats(htmlN,
       if (includePdfs) prep.input - htmlN - officeN else 0L,
       officeN, codingN, noindexN, prep)

@@ -633,9 +633,13 @@ object WarcSource {
     // the Generate barrier pins ONE extraction per record (the
     // pdfDocuments rationale — a filter over an aliased struct field
     // pushes below the projection and re-runs the scan per column)
+    // gate = the documents face's own-body arm VERBATIM (no extra
+    // content_coding term: a mislabeled Content-Encoding over an
+    // identity text body ingests as a document, and the honorNoindex
+    // anti-join relies on this face covering every such page — the
+    // NUL fence already keeps genuinely still-coded bytes out of both)
     corpusMetaShape(records
       .filter(col("warc_type") === "response" &&
-        col("content_coding").isNull &&
         BinarySource.sniffMime(col("body")) === "application/octet-stream" &&
         plausiblyText(col("body")))
       .select(Seq(
@@ -696,11 +700,21 @@ object WarcSource {
         regexp_extract(col("file"), "([^/]+)$", 1).as("source")) ++
         extra: _*)
       .filter(plausiblyText(col("m.data")))
+    // member doc_ids mix position + name (the documents-face
+    // convention): a .tar.gz carrying TWO sitemap members in one
+    // response must yield two distinct doc_ids, not colliding
+    // (doc_id, ord) keys downstream dedup would silently merge
+    val named = col("m.name").isNotNull && col("m.name") =!= ""
     exploded
       .select(Seq(
-        md5Lower64(concat_ws("#", col("file"), col("record_ix")))
+        when(!named,
+          md5Lower64(concat_ws("#", col("file"), col("record_ix"))))
+          .otherwise(md5Lower64(concat_ws("#", col("file"),
+            col("record_ix"), col("m_pos"), col("m.name"))))
           .as("doc_id"),
-        col("target_uri").as("url"),
+        when(!named, col("target_uri"))
+          .otherwise(concat_ws("#", col("target_uri"), col("m.name")))
+          .as("url"),
         posexplode(
           T.sitemapEntries(T.charsetDecode(col("m.data"), lit(""))))
           .as(Seq("ord", "e")),

@@ -704,4 +704,29 @@ class OfficeSpec extends AnyFunSuite {
     assert(PptText.extract(graft.multimodal.XlsText.write("x")).isEmpty)
     assert(graft.multimodal.XlsText.extract(PptText.write("p")).isEmpty)
   }
+
+  test("xls fence: a truncated cell record fences whole instead of grazing the next record's header") {
+    import graft.multimodal.{Cfb, XlsText}
+    def le16(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def rec(t: Int, d: Array[Byte]) = le16(t) ++ le16(d.length) ++ d
+    val name = "S".getBytes("ISO-8859-1")
+    def globals(off: Int) =
+      rec(0x0809, le16(0x0600) ++ le16(0x0005) ++ new Array[Byte](12)) ++
+        rec(0x00FC, Array[Byte](1,0,0,0, 1,0,0,0, 1,0, 0, 'x'.toByte)) ++
+        rec(0x0085, Array[Byte]((off & 0xff).toByte,
+          ((off >> 8) & 0xff).toByte, 0, 0, 0, 0,
+          name.length.toByte, 0) ++ name) ++
+        rec(0x000A, Array.emptyByteArray)
+    val gLen = globals(0).length
+    // a LABELSST with only 4 data bytes: its isst read would land in
+    // the next record's header — must fence, not emit a wrong cell
+    val sheet =
+      rec(0x0809, le16(0x0600) ++ le16(0x0010) ++ new Array[Byte](12)) ++
+        rec(0x00FD, le16(0) ++ le16(0)) ++
+        rec(0x00FD, le16(0) ++ le16(1) ++ le16(15) ++
+          Array[Byte](0, 0, 0, 0)) ++
+        rec(0x000A, Array.emptyByteArray)
+    assert(XlsText.extract(
+      Cfb.write(Seq(("Workbook", globals(gLen) ++ sheet)))).isEmpty)
+  }
 }

@@ -904,11 +904,28 @@ class WarcSourceSpec extends SparkSpec {
         resp("http://m.example/img", "text/html",
           bytes("P6\n2 2\n255\n") ++ new Array[Byte](12)) ++
         resp("http://m.example/doc.pdf", "application/pdf",
-          graft.multimodal.PdfText.write("pdf text")))
+          graft.multimodal.PdfText.write("pdf text")) ++
+        // server misconfig: Content-Encoding: gzip over an IDENTITY
+        // text body — the coding cannot be undone (content_coding
+        // set) but the bytes are a plain page; documents ingests it,
+        // so pageMeta must cover it too (the honorNoindex anti-join
+        // relies on the two faces gating identically)
+        rec(Seq("WARC-Type" -> "response",
+          "WARC-Target-URI" -> "http://m.example/misconfig",
+          "Content-Type" -> "application/http; msgtype=response"),
+          bytes("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n" +
+            "Content-Encoding: gzip\r\n\r\n") ++
+            graft.functions.HtmlMeta.write("Misconfigured", "d",
+              "https://m.example/mc", noindex = true,
+              body = "identity body behind a lying coding")
+              .getBytes("UTF-8")))
     val recs = WarcSource.records(spark, dir).cache()
     val rows = WarcSource.pageMeta(recs).collect()
       .map(r => r.getAs[String]("url") -> r).toMap
-    assert(rows.size == 3, s"got ${rows.keySet}")
+    assert(rows.size == 4, s"got ${rows.keySet}")
+    assert(rows("http://m.example/misconfig").getAs[Boolean]("noindex"),
+      "a mislabeled-coding identity page must reach pageMeta " +
+        "(documents ingests it, so the noindex policy must see it)")
     val a = rows("http://m.example/a")
     assert(a.getAs[String]("title") == "Caf\u00e9 Chronicle",
       "declared latin-1 must decode before the scan")
@@ -934,9 +951,9 @@ class WarcSourceSpec extends SparkSpec {
     try {
       q.processAllAvailable()
       val got = spark.table("warc_meta_stream")
-      assert(got.count() == 3)
+      assert(got.count() == 4)
       assert(got.filter(col("ts").isNull).count() == 0)
-      assert(got.filter(col("noindex")).count() == 1)
+      assert(got.filter(col("noindex")).count() == 2)
     } finally q.stop()
   }
 
@@ -962,10 +979,26 @@ class WarcSourceSpec extends SparkSpec {
         // prose and plain pages shed no frontier rows
         resp("http://f.example/page", "text/html",
           "<html><body>the urlset element is from sitemaps</body></html>"
-            .getBytes("UTF-8")))
+            .getBytes("UTF-8")) ++
+        // TWO sitemap members in ONE served .tar.gz: member rows must
+        // carry DISTINCT doc_ids (the documents-face convention) or
+        // downstream dedup silently merges the frontiers
+        resp("http://f.example/maps.tar.gz", "application/gzip",
+          gz(graft.multimodal.Tar.write(Seq(
+            ("maps/a.xml", graft.functions.Sitemap.write(Seq(
+              ("https://f.example/m1", None))).getBytes("UTF-8")),
+            ("maps/b.xml", graft.functions.Sitemap.write(Seq(
+              ("https://f.example/m2", None))).getBytes("UTF-8")))))))
     val recs = WarcSource.records(spark, dir).cache()
     val rows = WarcSource.sitemapUrls(recs).collect()
-    assert(rows.length == 5, s"got ${rows.length}")
+    assert(rows.length == 7, s"got ${rows.length}")
+    val tarRows = rows.filter(_.getAs[String]("url").contains("maps.tar.gz"))
+    assert(tarRows.length == 2 &&
+      tarRows.map(_.getAs[Long]("doc_id")).distinct.length == 2,
+      "sitemap members of one archive must carry distinct doc_ids")
+    assert(tarRows.map(_.getAs[String]("url")).toSet ==
+      Set("http://f.example/maps.tar.gz#maps/a.xml",
+        "http://f.example/maps.tar.gz#maps/b.xml"))
     val byUrl = rows.groupBy(_.getAs[String]("url"))
     val plain = byUrl("http://f.example/sitemap.xml")
       .sortBy(_.getAs[Long]("ord"))
@@ -993,7 +1026,7 @@ class WarcSourceSpec extends SparkSpec {
     try {
       q.processAllAvailable()
       val got = spark.table("warc_sitemap_stream")
-      assert(got.count() == 5)
+      assert(got.count() == 7)
       assert(got.filter(col("ts").isNull).count() == 0)
     } finally q.stop()
   }

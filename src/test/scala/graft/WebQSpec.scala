@@ -294,4 +294,35 @@ class WebQSpec extends SparkSpec {
       graft.functions.Robots.allowed(x, "GraftBot/2.1", "/a/b?c=1")
     }
   }
+
+  test("review regressions: Turkish-I length hazard (HtmlMeta/Sitemap), Sitemap line must not split robots groups") {
+    // U+0130 lowercases to TWO chars: any index computed in a lowered
+    // copy misaligns against the original. Nine of them near the spans
+    // previously threw StringIndexOutOfBounds / cross-attributed locs.
+    val dotted = "\u0130" * 9
+    val page = s"<html><head><script>var x = 1;</script>" +
+      s"<title>$dotted title</title></head><body>b</body></html>"
+    val m = graft.functions.HtmlMeta.extract(page)
+    assert(m.title.contains(s"$dotted title"))
+    val sm = graft.functions.Sitemap.write(Seq(
+      (s"https://t.example/$dotted/a", None),
+      ("https://t.example/plain", Some("2024-05-06"))))
+    val es = graft.functions.Sitemap.parse(sm).get
+    assert(es.map(_.loc) == Vector(s"https://t.example/$dotted/a",
+      "https://t.example/plain"),
+      "locs must come from the ORIGINAL string's spans")
+    assert(es(1).lastmod.contains("2024-05-06"))
+    // RFC 9309 tolerance: a Sitemap line between two User-agent lines
+    // must NOT split them into separate groups (the first agent would
+    // get an empty rule set = everything allowed)
+    val g = graft.functions.Robots.parse(
+      """User-agent: a
+        |Sitemap: https://x.example/sitemap.xml
+        |User-agent: b
+        |Disallow: /
+        |""".stripMargin)
+    assert(!graft.functions.Robots.allowed(g, "a", "/anything"),
+      "agent a must share the deny-all group despite the Sitemap line")
+    assert(!graft.functions.Robots.allowed(g, "b", "/anything"))
+  }
 }
