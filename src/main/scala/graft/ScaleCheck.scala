@@ -338,7 +338,7 @@ object ScaleCheck {
     def buildOfficeDir(dir: String, archives: Int, recsPer: Int): Long = {
       val root = new java.io.File(dir)
       val marker = new java.io.File(s"$dir/_gen")
-      val want = s"v1-$archives-$recsPer"
+      val want = s"v2-$archives-$recsPer" // v2: + html-meta & sitemap recs
       if (marker.exists() &&
           new String(java.nio.file.Files.readAllBytes(marker.toPath),
             "UTF-8") == want) {
@@ -373,7 +373,23 @@ object ScaleCheck {
           val seed = a * 100000 + r
           def prose(tag: String) =
             s"$tag document $seed " + (s"token$seed office text " * 120)
-          val body = (r % 7) match {
+          val body = (r % 9) match {
+            case 7 => resp(s"http://o$a.example/p$r.html", "text/html",
+              graft.functions.HtmlMeta.write(
+                title = s"Page $seed", description = s"about $seed",
+                canonical = s"https://o$a.example/canon/$r",
+                noindex = r % 14 == 7, body = prose("html"),
+                variant = r % 2).getBytes("UTF-8"))
+            case 8 => resp(s"http://o$a.example/s$r.xml.gz",
+              "application/gzip", {
+                val bo = new java.io.ByteArrayOutputStream()
+                val z = new java.util.zip.GZIPOutputStream(bo)
+                z.write(graft.functions.Sitemap.write(
+                  (0 until 40).map(i =>
+                    (s"https://o$a.example/u$r/$i", None)))
+                  .getBytes("UTF-8"))
+                z.close(); bo.toByteArray
+              })
             case 0 => resp(s"http://o$a.example/d$r.docx",
               "application/msword", M.Docx.write(prose("docx")))
             case 1 => resp(s"http://o$a.example/t$r.xls",
@@ -411,20 +427,25 @@ object ScaleCheck {
       total
     }
     def officePoint(dir: String, tag: String, archives: Int)
-        : (Double, Double) = {
+        : (Double, Double, Double, Double) = {
       val diskBytes = buildOfficeDir(dir, archives, recsPer = 280)
       val (offSec, offDocs) = time(
         graft.sources.WarcSource.officeDocuments(spark, dir, None), reps)
       val (medSec, media) = time(
         graft.sources.WarcSource.media(
           graft.sources.WarcSource.records(spark, dir)), reps)
+      // the r15 faces: page metadata + crawl frontier, same archives
+      val (pmSec, pmRows) = time(
+        graft.sources.WarcSource.pageMeta(spark, dir, None), reps)
+      val (smSec, smRows) = time(
+        graft.sources.WarcSource.sitemapUrls(spark, dir, None), reps)
       val mb = diskBytes / 1048576.0
-      line(s"""{"scale":"$tag","office_media":{"archives":$archives,"disk_mb":${d3(mb)},"office_sec":${d3(offSec)},"office_docs":$offDocs,"office_mb_per_sec":${d3(mb / math.max(offSec, 1e-9))},"media_sec":${d3(medSec)},"media_rows":$media,"media_mb_per_sec":${d3(mb / math.max(medSec, 1e-9))}}}""")
-      (offSec, medSec)
+      line(s"""{"scale":"$tag","office_media":{"archives":$archives,"disk_mb":${d3(mb)},"office_sec":${d3(offSec)},"office_docs":$offDocs,"office_mb_per_sec":${d3(mb / math.max(offSec, 1e-9))},"media_sec":${d3(medSec)},"media_rows":$media,"media_mb_per_sec":${d3(mb / math.max(medSec, 1e-9))},"pagemeta_sec":${d3(pmSec)},"pagemeta_rows":$pmRows,"sitemap_sec":${d3(smSec)},"sitemap_rows":$smRows}}""")
+      (offSec, medSec, pmSec, smSec)
     }
-    val (o0, me0) = officePoint("target/scale_office_1", "office1x", 4)
-    val (o1, me1) = officePoint("target/scale_office_10", "office10x", 40)
-    line(s"""{"scale":"office_ratio_10x_over_1x","expect":"wall flat-to-linear (one task per archive), super-linear is the red flag","office":${d3(if (o0 > 0) o1 / o0 else -1.0)},"media":${d3(if (me0 > 0) me1 / me0 else -1.0)}}""")
+    val (o0, me0, pm0, fr0) = officePoint("target/scale_office_1", "office1x", 4)
+    val (o1, me1, pm1, fr1) = officePoint("target/scale_office_10", "office10x", 40)
+    line(s"""{"scale":"office_ratio_10x_over_1x","expect":"wall flat-to-linear (one task per archive), super-linear is the red flag","office":${d3(if (o0 > 0) o1 / o0 else -1.0)},"media":${d3(if (me0 > 0) me1 / me0 else -1.0)},"pagemeta":${d3(if (pm0 > 0) pm1 / pm0 else -1.0)},"sitemap":${d3(if (fr0 > 0) fr1 / fr0 else -1.0)}}""")
 
     val w0 = warcPoint("target/scale_warc_1", "warc1x", archives = 4)
     val w1 = warcPoint("target/scale_warc_10", "warc10x", archives = 40)
