@@ -536,6 +536,83 @@ object WebQ {
       |    CAST(((d.doc_id % 5) + 5) % 5 AS BIGINT))) AS i) gs
       |ORDER BY doc_id, ord""".stripMargin
 
+  /** q145: the CRAWL-FRONTIER PLAN — the end-to-end composition a
+    * refresh scheduler actually runs, with every stage the REAL
+    * operator: per doc a sitemap ([[graft.functions.Sitemap.write]])
+    * whose entry paths cycle q143's policy table and whose query
+    * strings carry a utm tracking parameter; the
+    * [[graft.functions.expressions.TextExprs.sitemapEntries]]
+    * expression explodes the URLs, [[urlNormalize]] canonicalizes
+    * them (tracking param dropped, real params kept), and
+    * [[graft.functions.Robots]] issues the fetch verdict per
+    * normalized path under the same policy file. One frame:
+    * (doc_id, ord, url_norm, n_tracking, allowed) — discover →
+    * canonicalize → police, each stage verified by the one oracle.
+    */
+  def q145(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val paths = IndexedSeq("/private/page", "/private/public/x",
+      "/cache/f.tmp", "/cache/f.tmp.html", "/open/page", "/private")
+    val groups = graft.functions.Robots.parse(RobotsFixture)
+    val pages = Tables(s, dir).documents
+      .select(col("doc_id")).as[Long]
+      .map { id =>
+        def pmod(m: Long): Long = ((id % m) + m) % m
+        val n = (1 + pmod(5)).toInt
+        val entries = (0 until n).map { i =>
+          // the `$`-anchored policy case (i%6==2) keeps a bare path:
+          // per RFC 9309 the rule matches path INCLUDING query, so a
+          // trailing "?x=2" would defeat the anchor — that behavior
+          // is exercised by the spec; the oracle here pins the anchor
+          val q = if (i % 6 == 2) "" else s"?utm_src=feed&x=$i"
+          (s"https://Site.example${paths(i % 6)}$q", None)
+        }
+        (id, graft.functions.Sitemap.write(entries))
+      }
+      .toDF("doc_id", "xml")
+    val exploded = pages
+      .select(col("doc_id"),
+        posexplode(graft.functions.expressions.TextExprs
+          .sitemapEntries(col("xml"))).as(Seq("ord", "e")))
+      .select(col("doc_id"), col("ord").cast("long").as("ord"),
+        col("e.loc").as("loc"))
+    val u = urlNormalize(col("loc"))
+    exploded
+      .select(col("doc_id"), col("ord"),
+        u.getField("url_norm").as("url_norm"),
+        u.getField("n_tracking").as("n_tracking"))
+      .as[(Long, Long, String, Long)]
+      .map { case (id, ord, urlNorm, nTrack) =>
+        // the verdict runs on the REAL normalized path (the scheduler
+        // contract: police what you would fetch, not what was listed)
+        val path = urlNorm.replaceFirst("^[a-z]+://[^/]+", "")
+        (id, ord, urlNorm, nTrack,
+          graft.functions.Robots.allowed(groups, "GraftBot/2.1", path))
+      }
+      .toDF("doc_id", "ord", "url_norm", "n_tracking", "allowed")
+      .orderBy(col("doc_id"), col("ord"))
+  }
+
+  val q145Sql: String =
+    """SELECT d.doc_id, gs.i AS ord,
+      |  'https://site.example' ||
+      |    (CASE gs.i % 6
+      |      WHEN 0 THEN '/private/page'
+      |      WHEN 1 THEN '/private/public/x'
+      |      WHEN 2 THEN '/cache/f.tmp'
+      |      WHEN 3 THEN '/cache/f.tmp.html'
+      |      WHEN 4 THEN '/open/page'
+      |      ELSE '/private' END) ||
+      |    (CASE WHEN gs.i % 6 = 2 THEN '' ELSE '?x=' || gs.i END)
+      |    AS url_norm,
+      |  CAST(CASE WHEN gs.i % 6 = 2 THEN 0 ELSE 1 END AS BIGINT)
+      |    AS n_tracking,
+      |  gs.i % 6 IN (1, 3, 4, 5) AS allowed
+      |FROM documents d,
+      |  LATERAL (SELECT unnest(generate_series(0,
+      |    CAST(((d.doc_id % 5) + 5) % 5 AS BIGINT))) AS i) gs
+      |ORDER BY doc_id, ord""".stripMargin
+
   val entries: Seq[Entry] = Seq(
     Entry("q84_url_normalize", q84, Some(q84Sql)),
     Entry("q85_badwords", q85, Some(q85Sql)),
@@ -543,5 +620,6 @@ object WebQ {
     Entry("q90_unicode_nfc", q90, Some(q90Sql)),
     Entry("q142_html_meta", q142, Some(q142Sql)),
     Entry("q143_robots_eval", q143, Some(q143Sql)),
-    Entry("q144_sitemap", q144, Some(q144Sql)))
+    Entry("q144_sitemap", q144, Some(q144Sql)),
+    Entry("q145_frontier_plan", q145, Some(q145Sql)))
 }

@@ -227,6 +227,12 @@ class WebQSpec extends SparkSpec {
     val mid = Robots.parse("User-agent: *\nDisallow: /img/*/raw\n")
     assert(!Robots.allowed(mid, "x", "/img/2024/raw/full.jpg"))
     assert(Robots.allowed(mid, "x", "/img/2024/cooked.jpg"))
+    // RFC 9309: rules match the path INCLUDING the query string, so a
+    // $-anchored pattern is defeated by a trailing query (the q145
+    // composition leans on exactly this)
+    assert(!g("/cache/f.tmp"))
+    assert(g("/cache/f.tmp?x=2"),
+      "a query string must defeat the dollar end anchor")
   }
 
   test("Sitemap kernel: detection, namespace prefixes, truncated tail drops, protocol cap fences, decode") {
