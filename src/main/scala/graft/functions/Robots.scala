@@ -93,11 +93,17 @@ object Robots {
     var starP = -1
     var starS = -1
     while (s < path.length) {
-      if (p < pat.length &&
-          (pat.charAt(p) == path.charAt(s))) { p += 1; s += 1 }
-      else if (p < pat.length && pat.charAt(p) == '*') {
+      // the '*' branch MUST be tried before literal equality: a
+      // pattern '*' meeting a literal '*' in the path would otherwise
+      // match as a single char WITHOUT recording a backtrack point,
+      // and a later mismatch would fail the whole walk (wrongly
+      // reporting "allowed" for a Disallow — the compliance-violating
+      // direction for a politeness gate)
+      if (p < pat.length && pat.charAt(p) == '*') {
         starP = p; starS = s; p += 1
-      } else if (starP >= 0) {
+      } else if (p < pat.length &&
+          (pat.charAt(p) == path.charAt(s))) { p += 1; s += 1 }
+      else if (starP >= 0) {
         starS += 1; s = starS; p = starP + 1
       } else {
         // pattern exhausted without anchor = prefix match satisfied

@@ -154,11 +154,17 @@ object Exif {
     Some(Info(orientation, hasGps, hasTs, make))
   }
 
-  /** The scrub: the JPEG minus its APP1(Exif) and COM segments —
-    * pixel segments byte-identical, JFIF APP0 kept. None when the
-    * bytes are not a JPEG (the caller's media route keeps governing
-    * them). A JPEG with no metadata returns unchanged bytes — the
-    * scrub is idempotent.
+  /** The scrub: the JPEG minus its metadata-carrier segments —
+    * EVERY APP1 (Exif, and XMP, which routinely duplicates the same
+    * GPS coordinates and timestamps in RDF form), APP13
+    * (Photoshop/IPTC — location and byline fields), and COM. Pixel
+    * segments byte-identical, JFIF APP0 kept (it carries no PII and
+    * some decoders want it). Dropping ALL APP1 rather than only the
+    * Exif-headed ones is deliberate: a scrub that pattern-matches
+    * headers lets PII survive by mislabeling, and no APP1 variant
+    * carries pixel data. None when the bytes are not a JPEG (the
+    * caller's media route keeps governing them). A JPEG with no
+    * metadata returns unchanged bytes — the scrub is idempotent.
     */
   def strip(bytes: Array[Byte]): Option[Array[Byte]] =
     segments(bytes).map { segs =>
@@ -166,8 +172,7 @@ object Exif {
       out.write(0xFF); out.write(0xD8)
       var tail = -1
       segs.foreach { case (m, s, l) =>
-        val drop =
-          (m == 0xE1 && isExifApp1(bytes, s, l)) || m == 0xFE
+        val drop = m == 0xE1 || m == 0xED || m == 0xFE
         if (!drop) out.write(bytes, s, l)
         if (m == 0xDA) tail = s + l
       }

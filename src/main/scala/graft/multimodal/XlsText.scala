@@ -297,6 +297,11 @@ object XlsText {
               sst = parseSst(wb, frags.result()).getOrElse(return None)
               p = q // main walk resumes past the CONTINUE chain
             case RBoundSheet =>
+              // fixed-layout record: validate length BEFORE reading,
+              // like LABELSST/NUMBER/RK — a truncated BOUNDSHEET must
+              // fence, not graze the next record's header bytes and
+              // treat them as a sheet offset
+              if (r.len < 6) return None
               val off = u32(wb, r.off)
               val grbit = u16(wb, r.off + 4)
               if (off < 0 || grbit < 0) return None
@@ -497,6 +502,9 @@ object XlsText {
     cur.write(le32(refs), 0, 4)
     cur.write(le32(strings.length.toLong), 0, 4)
     strings.zipWithIndex.foreach { case (s, ix) =>
+      require(s.length <= 65535,
+        "BIFF8 caps strings at 65535 chars; cch is a u16 and would " +
+          "silently wrap, breaking the extract(write(t)) == t identity")
       val wide = s.exists(_ >= 0x100) || ix % 3 == 2
       need(3 + (if (wide) 2 else 1)) // header + at least one char
       cur.write(le16(s.length), 0, 2)

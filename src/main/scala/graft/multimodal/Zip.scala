@@ -81,9 +81,16 @@ object Zip {
         // and the scan continues to the real record
         val t = u16(bytes, p + 10)
         val off = u32(bytes, p + 16)
+        // a zero-entry candidate is only plausible when its OWN
+        // fields cohere: cd size 0 and cdOff landing exactly at this
+        // record — otherwise a crafted comment embedding a fake empty
+        // EOCD would win the backward scan and HIDE the real members
+        // (the hole this probe exists to close, in the worse
+        // direction)
+        val emptyOk = t == 0 && u32(bytes, p + 12) == 0L && off == p.toLong
         val plausible =
-          t == 0xFFFF || off == 0xFFFFFFFFL || t == 0 ||
-            (off + 4 <= bytes.length && bytes(off.toInt) == 'P' &&
+          t == 0xFFFF || off == 0xFFFFFFFFL || emptyOk ||
+            (t > 0 && off + 4 <= bytes.length && bytes(off.toInt) == 'P' &&
               bytes(off.toInt + 1) == 'K' && bytes(off.toInt + 2) == 1 &&
               bytes(off.toInt + 3) == 2)
         if (plausible) eocd = p else p -= 1

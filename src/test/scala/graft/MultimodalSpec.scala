@@ -1725,21 +1725,29 @@ class MultimodalSpec extends SparkSpec {
     // fences: truncation mid-segment, non-JPEG
     assert(Exif.parse(java.util.Arrays.copyOfRange(tagged, 0, 40)).isEmpty)
     assert(Exif.strip("not a jpeg at all".getBytes("UTF-8")).isEmpty)
-    // a lying APP1 (non-Exif payload, e.g. XMP) is NOT parsed and NOT
-    // stripped (only Exif APP1 + COM drop)
-    val xmp = {
-      val payload = "http://ns.adobe.com/xap/1.0/".getBytes("ISO-8859-1")
+    // a non-Exif APP1 (XMP — which routinely duplicates GPS + times
+    // in RDF form) and APP13 (Photoshop/IPTC) are NOT parse evidence
+    // but MUST drop under the scrub (ADVICE r15: pattern-matching
+    // headers lets PII survive by mislabeling)
+    def seg(marker: Int, payload: Array[Byte]): Array[Byte] = {
       val out = new java.io.ByteArrayOutputStream()
-      out.write(0xFF); out.write(0xD8)
-      out.write(0xFF); out.write(0xE1)
+      out.write(0xFF); out.write(marker)
       out.write(((payload.length + 2) >> 8) & 0xff)
       out.write((payload.length + 2) & 0xff)
       out.write(payload, 0, payload.length)
-      out.write(base, 2, base.length - 2)
       out.toByteArray
     }
-    assert(Exif.parse(xmp).isEmpty)
-    assert(Exif.strip(xmp).get.length == xmp.length,
-      "a non-Exif APP1 (XMP) must survive the scrub untouched")
+    val xmpSeg = seg(0xE1,
+      ("http://ns.adobe.com/xap/1.0/ <x:xmpmeta>" +
+        "<exif:GPSLatitude>37,46.49N</exif:GPSLatitude></x:xmpmeta>")
+        .getBytes("ISO-8859-1"))
+    val iptcSeg = seg(0xED,
+      "Photoshop 3.0 8BIMlocation byline"
+        .getBytes("ISO-8859-1"))
+    val sidecars = base.take(2) ++ xmpSeg ++ iptcSeg ++ base.drop(2)
+    assert(Exif.parse(sidecars).isEmpty,
+      "XMP/IPTC are not EXIF parse evidence")
+    assert(Exif.strip(sidecars).get.toSeq == base.toSeq,
+      "XMP APP1 and APP13/IPTC must drop under the scrub")
   }
 }

@@ -55,6 +55,25 @@ class OfficeSpec extends AnyFunSuite {
       comment = fake2 ++ Array.fill[Byte](tailLen)('.'))
     assert(Zip.extract(zip2, "x").get.toSeq == b("real content").toSeq,
       "a length-consistent fake EOCD must fail the directory probe")
+    // the HIDE-content attack (ADVICE r15): a length-consistent fake
+    // declaring ZERO entries — without the cd-size/cd-offset
+    // coherence check it reads as Some(empty) and hides the real
+    // members; a zero-entry candidate is only plausible when its cd
+    // size is 0 AND its cd offset lands exactly on the record itself
+    val fake3 = new Array[Byte](22)
+    fake3(0) = 'P'; fake3(1) = 'K'; fake3(2) = 5; fake3(3) = 6
+    // entries = 0, cd size = 0, cdOff = 0 (wrong: the record is not
+    // at position 0), comment length lands exactly on the tail
+    fake3(20) = (tailLen & 0xff).toByte
+    fake3(21) = ((tailLen >> 8) & 0xff).toByte
+    val zip3 = Zip.write(real,
+      comment = fake3 ++ Array.fill[Byte](tailLen)('.'))
+    assert(Zip.entries(zip3).get.nonEmpty,
+      "a zero-entry fake EOCD must not hide the real members")
+    assert(Zip.extract(zip3, "x").get.toSeq == b("real content").toSeq)
+    // a GENUINE empty archive still reads as Some(empty)
+    assert(Zip.entries(Zip.write(Seq.empty)).get.isEmpty,
+      "the coherence check must not reject a real empty archive")
   }
 
   test("zip fences: truncation, bad CRC, encrypted bit, exotic method, zip64 sentinel, non-zip") {
@@ -648,6 +667,19 @@ class OfficeSpec extends AnyFunSuite {
     assert(Xlsx.extractText(good).isEmpty, "a BIFF8 xls is not an xlsx")
     assert(XlsText.extract(Xlsx.write("a\tb")).isEmpty,
       "an xlsx ZIP is not a BIFF8 xls")
+    // truncated BOUNDSHEET (len < 6) must fence whole, not graze the
+    // next record's header bytes as a sheet offset (ADVICE r15)
+    val shortBs =
+      rec(0x0809, le16(0x0600) ++ le16(0x0005) ++ new Array[Byte](12)) ++
+        rec(0x0085, Array(0.toByte, 0.toByte, 0.toByte, 0.toByte)) ++ // 4 < 6
+        rec(0x000A, Array.emptyByteArray)
+    assert(XlsText.extract(Cfb.write(Seq(("Workbook", shortBs)))).isEmpty,
+      "a truncated BOUNDSHEET must fence")
+    // the fixture writer enforces the BIFF8 per-string cch cap (u16)
+    // instead of silently wrapping and breaking the identity oracle
+    assertThrows[IllegalArgumentException] {
+      XlsText.write("x" * 70000)
+    }
   }
 
   // ---- PptText (legacy .ppt) ----

@@ -227,6 +227,16 @@ class WebQSpec extends SparkSpec {
     val mid = Robots.parse("User-agent: *\nDisallow: /img/*/raw\n")
     assert(!Robots.allowed(mid, "x", "/img/2024/raw/full.jpg"))
     assert(Robots.allowed(mid, "x", "/img/2024/cooked.jpg"))
+    // a literal '*' in the path at the star's cursor: the '*' branch
+    // must win over literal equality so the star records its
+    // backtrack point — otherwise the star silently consumes one
+    // char and a later mismatch wrongly reports "allowed" (the
+    // compliance-violating direction; ADVICE r15)
+    val star = Robots.parse("User-agent: *\nDisallow: /*.tmp$\n")
+    assert(!Robots.allowed(star, "x", "/*.tmpX.tmp"),
+      "pattern '*' meeting a literal '*' must still backtrack")
+    assert(!Robots.allowed(star, "x", "/a/b.tmp"))
+    assert(Robots.allowed(star, "x", "/a/b.tmpX"))
     // RFC 9309: rules match the path INCLUDING the query string, so a
     // $-anchored pattern is defeated by a trailing query (the q145
     // composition leans on exactly this)
