@@ -108,6 +108,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "noindex>: the crawl-metadata fields off one page's markup"),
       (args: Seq[Expression]) => HtmlMetaExtract(args(0))))
 
+    ext.injectFunction((FunctionIdentifier("graft_robots_allowed"),
+      info("graft_robots_allowed",
+        "graft_robots_allowed(robots_txt, agent, path) - RFC 9309 " +
+          "allow/deny verdict (parse cached across equal policies)"),
+      (args: Seq[Expression]) =>
+        RobotsAllowed(args(0), args(1), args(2))))
+
     // an AGGREGATE function registers the same way — the analyzer
     // wraps a returned AggregateFunction in its AggregateExpression
     // exactly as for built-ins, so `SELECT graft_bottom_k(h, v, 1024)

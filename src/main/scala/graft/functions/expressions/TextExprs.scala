@@ -142,6 +142,17 @@ object TextExprs {
     */
   def sitemapEntries(xml: Column): Column = c(SitemapEntries(x(xml)))
 
+  /** RFC 9309 allow/deny verdict for (robots.txt, agent, path) — the
+    * crawl-politeness gate as a column expression (see
+    * [[graft.functions.Robots.allowed]] / [[RobotsAllowed]]). The
+    * policy column is typically a literal or a broadcast-joined
+    * per-host value; the expression caches the parse across
+    * consecutive rows with the same policy text.
+    */
+  def robotsAllowed(robots: Column, agent: Column,
+                    path: Column): Column =
+    c(RobotsAllowed(x(robots), x(agent), x(path)))
+
   /** The canonical name [[charsetDecode]] will actually decode these
     * bytes with — "utf-8" for unknown declared labels, the sniffed
     * charset (utf-8 or windows-1252) for unlabeled payloads. Surfaced
@@ -1386,6 +1397,46 @@ case class SitemapEntries(child: Expression)
 
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)
+}
+
+/** RFC 9309 allow/deny as an expression — the crawl-politeness
+  * verdict ([[graft.functions.Robots.allowed]]) per (robots.txt,
+  * agent, path) row, column-native so the frontier face runs as ONE
+  * codegen'd projection instead of a typed `Dataset.map` behind a
+  * serde boundary (the only operator arm that ever deserialized
+  * rows; r15 verdict). The policy text is near-constant per plan — a
+  * literal, or a per-host value off a broadcast join — so the parse
+  * is cached across consecutive rows with identical text: one
+  * [[graft.functions.Robots.parse]] per distinct policy per task,
+  * not per row. The cached key is a DEFENSIVE COPY of the incoming
+  * UTF8String (the evaluator reuses row buffers; caching the
+  * reference would alias whatever bytes the buffer holds next).
+  */
+case class RobotsAllowed(first: Expression, second: Expression,
+                         third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression
+    with CodegenFallback {
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.BooleanType
+
+  @transient private[this] var lastTxt: UTF8String = _
+  @transient private[this] var lastGroups
+      : Vector[graft.functions.Robots.Group] = _
+
+  override def nullSafeEval(robots: Any, agent: Any, path: Any): Any = {
+    val txt = robots.asInstanceOf[UTF8String]
+    if (lastTxt == null || !lastTxt.equals(txt)) {
+      lastTxt = txt.clone()
+      lastGroups = graft.functions.Robots.parse(txt.toString)
+    }
+    graft.functions.Robots.allowed(lastGroups,
+      agent.toString, path.toString)
+  }
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): Expression =
+    copy(first = f, second = s, third = t)
 }
 
 /** 7z member listing as an expression — [[TarMembers]]'s shape over

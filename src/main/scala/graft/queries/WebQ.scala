@@ -22,12 +22,6 @@ object WebQ {
 
   private val Scale = 1000000000L
 
-  /** Tracking-parameter prefix (the `utm_*` family) — matched by plain
-    * substring arithmetic, not LIKE: `_` is a LIKE wildcard and escape
-    * syntax differs across engines, while `substr(p,1,4)` is portable.
-    */
-  private val TrackPrefix = "utm_"
-
   /** Blocklisted registrable domains for q84 — interpolated into both
     * engines from this ONE definition (the SemDedupThreshold pattern).
     */
@@ -41,45 +35,13 @@ object WebQ {
 
   // ---- q84: URL canonicalization + domain blocklist ----
 
-  /** URL normalization chain over a raw URL string column — the
-    * canonical form used for URL-level dedup and domain blocklists:
-    * scheme and host lowercase, a leading `www.` stripped, the
-    * scheme's default port (:80 http / :443 https) dropped while real
-    * ports survive, `utm_*` tracking parameters removed with the
-    * remaining query-string order preserved, and the fragment cut.
-    * Everything is anchored-regex + substring arithmetic; one
-    * codegen'd projection, no join, no shuffle.
-    *
-    * Returns struct(url_norm, host, domain, n_tracking) — domain is
-    * the last two host labels (the registrable-domain convention for
-    * domain-level policy; a production run would consult the public
-    * suffix list, which is a data file, not different plumbing).
+  /** URL normalization chain — moved to [[graft.functions.UrlOps]]
+    * (the production [[graft.sources.WarcSource.frontierPlan]] face
+    * composes it outside the query registry); kept as a forwarder so
+    * the q84/q145 oracle faces read unchanged.
     */
-  def urlNormalize(url: Column): Column = {
-    val scheme = lower(regexp_extract(url, "^([A-Za-z]+)://", 1))
-    val hostport = lower(regexp_extract(url, "^[A-Za-z]+://([^/?#]+)", 1))
-    val path = regexp_extract(url, "^[A-Za-z]+://[^/?#]+([^?#]*)", 1)
-    val qs = regexp_extract(url, "\\?([^#]*)", 1)
-    val host = regexp_replace(
-      regexp_replace(hostport, ":[0-9]+$", ""), "^www\\.", "")
-    val port = regexp_extract(hostport, ":([0-9]+)$", 1)
-    val keepPort = port =!= "" &&
-      !((scheme === "http" && port === "80") ||
-        (scheme === "https" && port === "443"))
-    val params = filter(split(qs, "&"), p => p =!= "")
-    val kept = filter(params, p => substring(p, 1, 4) =!= TrackPrefix)
-    val keptQs = array_join(kept, "&")
-    val urlNorm = concat(
-      scheme, lit("://"), host,
-      when(keepPort, concat(lit(":"), port)).otherwise(lit("")),
-      path,
-      when(keptQs =!= "", concat(lit("?"), keptQs)).otherwise(lit("")))
-    struct(
-      urlNorm.as("url_norm"),
-      host.as("host"),
-      array_join(slice(split(host, "\\."), -2, 2), ".").as("domain"),
-      (size(params) - size(kept)).cast("bigint").as("n_tracking"))
-  }
+  def urlNormalize(url: Column): Column =
+    graft.functions.UrlOps.urlNormalize(url)
 
   /** q84: URL canonicalization + domain blocklist. The synthetic
     * corpus carries no URL column, so (the q52/q76 injection device)
@@ -153,7 +115,7 @@ object WebQ {
        |    regexp_extract(hostport, ':([0-9]+)$$', 1) AS port,
        |    list_filter(string_split(qs, '&'), p -> p <> '') AS params,
        |    list_filter(string_split(qs, '&'),
-       |      p -> p <> '' AND substr(p, 1, 4) <> '$TrackPrefix') AS kept
+       |      p -> p <> '' AND substr(p, 1, 4) <> '${graft.functions.UrlOps.TrackPrefix}') AS kept
        |  FROM parts)
        |SELECT doc_id, url,
        |  scheme || '://' || host
@@ -447,27 +409,25 @@ object WebQ {
     * exactly ([[graft.functions.Robots]]).
     */
   def q143(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val groups = graft.functions.Robots.parse(RobotsFixture)
+    // fully column-native since r16: the fixture (agent, path) pairs
+    // are CASE arithmetic over doc_id and the verdict is the
+    // RobotsAllowed expression — one codegen'd projection, no serde
+    // boundary anywhere in the query
+    val T = graft.functions.expressions.TextExprs
+    def pmod(m: Int): Column =
+      ((col("doc_id") % m) + m) % m
+    val agent = when(pmod(5) === 0, "OtherBot/1.0")
+      .otherwise("GraftBot/2.1 (+https://example.org/bot)")
+    val path = when(pmod(6) === 0, "/private/page")
+      .when(pmod(6) === 1, "/private/public/x")
+      .when(pmod(6) === 2, "/cache/f.tmp")
+      .when(pmod(6) === 3, "/cache/f.tmp.html")
+      .when(pmod(6) === 4, "/open/page")
+      .otherwise("/private")
     Tables(s, dir).documents
-      .select(col("doc_id")).as[Long]
-      .map { id =>
-        def pmod(m: Long): Long = ((id % m) + m) % m
-        val agent =
-          if (pmod(5) == 0) "OtherBot/1.0"
-          else "GraftBot/2.1 (+https://example.org/bot)"
-        val path = pmod(6) match {
-          case 0 => "/private/page"
-          case 1 => "/private/public/x"
-          case 2 => "/cache/f.tmp"
-          case 3 => "/cache/f.tmp.html"
-          case 4 => "/open/page"
-          case _ => "/private"
-        }
-        (id, agent, path,
-          graft.functions.Robots.allowed(groups, agent, path))
-      }
-      .toDF("doc_id", "agent", "path", "allowed")
+      .select(col("doc_id"), agent.as("agent"), path.as("path"))
+      .withColumn("allowed",
+        T.robotsAllowed(lit(RobotsFixture), col("agent"), col("path")))
       .orderBy(col("doc_id"))
   }
 
@@ -553,7 +513,6 @@ object WebQ {
     import s.implicits._
     val paths = IndexedSeq("/private/page", "/private/public/x",
       "/cache/f.tmp", "/cache/f.tmp.html", "/open/page", "/private")
-    val groups = graft.functions.Robots.parse(RobotsFixture)
     val pages = Tables(s, dir).documents
       .select(col("doc_id")).as[Long]
       .map { id =>
@@ -576,20 +535,20 @@ object WebQ {
           .sitemapEntries(col("xml"))).as(Seq("ord", "e")))
       .select(col("doc_id"), col("ord").cast("long").as("ord"),
         col("e.loc").as("loc"))
+    // the verdict runs on the REAL normalized path (the scheduler
+    // contract: police what you would fetch, not what was listed) —
+    // column-native since r16: the RobotsAllowed expression replaces
+    // the typed Dataset.map, so discover → canonicalize → police is
+    // one codegen'd projection end-to-end after the fixture inject
+    val T = graft.functions.expressions.TextExprs
     val u = urlNormalize(col("loc"))
     exploded
       .select(col("doc_id"), col("ord"),
         u.getField("url_norm").as("url_norm"),
         u.getField("n_tracking").as("n_tracking"))
-      .as[(Long, Long, String, Long)]
-      .map { case (id, ord, urlNorm, nTrack) =>
-        // the verdict runs on the REAL normalized path (the scheduler
-        // contract: police what you would fetch, not what was listed)
-        val path = urlNorm.replaceFirst("^[a-z]+://[^/]+", "")
-        (id, ord, urlNorm, nTrack,
-          graft.functions.Robots.allowed(groups, "GraftBot/2.1", path))
-      }
-      .toDF("doc_id", "ord", "url_norm", "n_tracking", "allowed")
+      .withColumn("allowed",
+        T.robotsAllowed(lit(RobotsFixture), lit("GraftBot/2.1"),
+          regexp_replace(col("url_norm"), "^[a-z]+://[^/]+", "")))
       .orderBy(col("doc_id"), col("ord"))
   }
 

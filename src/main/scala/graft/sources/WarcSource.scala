@@ -725,6 +725,72 @@ object WarcSource {
         extra.map(_ => col("ts")): _*)
   }
 
+  /** The FRONTIER-PLAN face: discover → canonicalize → police as ONE
+    * codegen'd plan — what the refresh scheduler actually consumes.
+    * [[sitemapUrls]] explodes every served sitemap to per-URL rows,
+    * [[graft.functions.UrlOps.urlNormalize]] canonicalizes each
+    * discovered URL (tracking params dropped, real params kept —
+    * fetch keys, not listed strings), and the
+    * [[graft.functions.expressions.RobotsAllowed]] expression issues
+    * the RFC 9309 verdict per normalized path (query INCLUDED — the
+    * RFC matches rules against the path+query, so a `$`-anchored
+    * Disallow is defeated by a trailing query exactly as at fetch
+    * time). No typed `Dataset.map` anywhere: the whole face is
+    * column ops, so the streaming mirror
+    * ([[graft.streaming.Streams.warcFrontierPlan]]) inherits
+    * verbatim and the plan carries no serde boundary (pinned by
+    * spec). Two policy shapes:
+    *   - a single `robotsTxt` literal (one host's crawl, the common
+    *     per-site job) — the expression parses it once per task;
+    *   - a `policies` frame (host, robots_txt), broadcast-joined on
+    *     the normalized host — the multi-host form; a host with no
+    *     policy row is allowed (robots is opt-out), and the
+    *     expression's last-policy parse cache amortizes repeated
+    *     hosts within a partition.
+    */
+  def frontierPlan(records: DataFrame, robotsTxt: String,
+                   agent: String): DataFrame =
+    frontierVerdict(frontierNorm(sitemapUrls(records)),
+      lit(robotsTxt), agent)
+
+  def frontierPlan(records: DataFrame, policies: DataFrame,
+                   agent: String): DataFrame = {
+    // stream-static-legal: the policies side is a static broadcast
+    val p = broadcast(policies
+      .select(col("host").as("p_host"), col("robots_txt")))
+    frontierVerdict(
+      frontierNorm(sitemapUrls(records))
+        .join(p, col("host") === col("p_host"), "left")
+        .drop("p_host"),
+      col("robots_txt"), agent).drop("robots_txt")
+  }
+
+  private def frontierNorm(su: DataFrame): DataFrame = {
+    val extra = if (su.columns.contains("ts")) Seq(col("ts")) else Nil
+    val u = graft.functions.UrlOps.urlNormalize(col("loc"))
+    // struct-then-getField collapses under SimplifyExtractValueOps —
+    // each projected field is its own expression, nothing evaluated
+    // twice (the q84 device)
+    su.select(Seq(col("doc_id"), col("url"), col("ord"), col("loc"),
+      col("lastmod"), col("from_index"),
+      u.getField("url_norm").as("url_norm"),
+      u.getField("host").as("host"),
+      u.getField("n_tracking").as("n_tracking"),
+      col("source")) ++ extra: _*)
+  }
+
+  private def frontierVerdict(withNorm: DataFrame, robots: Column,
+                              agent: String): DataFrame = {
+    val T = graft.functions.expressions.TextExprs
+    // null policy (no row for the host) → null verdict → allowed:
+    // robots is opt-out
+    withNorm.withColumn("allowed",
+      coalesce(
+        T.robotsAllowed(robots, lit(agent),
+          regexp_replace(col("url_norm"), "^[a-z]+://[^/]+", "")),
+        lit(true)))
+  }
+
   /** The PDF-text face: `response` payloads whose magic is %PDF-,
     * their show-text extracted ([[graft.functions.expressions
     * .PdfExtractText]] — Flate streams, BT…ET operators, the escape

@@ -118,6 +118,31 @@ object Streams {
     graft.sources.WarcSource.sitemapUrls(
       warcRecords(spark, dir, glob, maxFilesPerTrigger))
 
+  /** The continuous FRONTIER-PLAN mirror — discover → canonicalize →
+    * police per landed archive
+    * ([[graft.sources.WarcSource.frontierPlan]] is pure Column ops —
+    * no typed map, no serde boundary — so batch semantics apply
+    * verbatim; the per-host `policies` overload rides a
+    * stream-static broadcast join, which Structured Streaming
+    * supports natively). The refresh scheduler consumes fetchable
+    * URLs continuously instead of re-planning per batch.
+    */
+  def warcFrontierPlan(spark: SparkSession, dir: String,
+                       robotsTxt: String, agent: String,
+                       glob: Option[String] = None,
+                       maxFilesPerTrigger: Int = 4): DataFrame =
+    graft.sources.WarcSource.frontierPlan(
+      warcRecords(spark, dir, glob, maxFilesPerTrigger),
+      robotsTxt, agent)
+
+  def warcFrontierPlan(spark: SparkSession, dir: String,
+                       policies: DataFrame, agent: String,
+                       glob: Option[String],
+                       maxFilesPerTrigger: Int): DataFrame =
+    graft.sources.WarcSource.frontierPlan(
+      warcRecords(spark, dir, glob, maxFilesPerTrigger),
+      policies, agent)
+
   /** The continuous QUARANTINE mirror — the audit face for what the
     * text faces refused (NUL-bearing payloads, encrypted PDFs,
     * glyph-id mojibake), streamed as archives land so the influx is

@@ -341,4 +341,65 @@ class NativeExprSpec extends SparkSpec {
       .getBytes("windows-1252")
     assert(resolveFor(legacy, "").name == "windows-1252")
   }
+
+  test("native robotsAllowed == Robots.allowed; parse cache survives interleaved policies; null propagates; SQL form registers") {
+    import graft.functions.Robots
+    val policyA =
+      """User-agent: graftbot
+        |Disallow: /private/
+        |Allow: /private/public/
+        |Disallow: /*.tmp$
+        |
+        |User-agent: *
+        |Disallow: /
+        |""".stripMargin
+    val policyB = "User-agent: *\nAllow: /\n"
+    val agents = Seq("GraftBot/2.1 (+https://example.org/bot)",
+      "OtherBot/1.0")
+    val paths = Seq("/private/page", "/private/public/x",
+      "/cache/f.tmp", "/cache/f.tmp.html", "/cache/f.tmp?x=2",
+      "/open/page", "/private", "/*.tmpX.tmp")
+    // interleave the two policies row-by-row: a stale or
+    // buffer-aliased parse cache would hand policy A's groups to
+    // policy B's rows (UTF8String buffers are reused across rows \u2014
+    // the expression must defensively copy its cache key)
+    val rows = for {
+      (pol, pi) <- Seq(policyA, policyB).zipWithIndex
+      a <- agents; p <- paths
+    } yield (pol, pi, a, p)
+    val interleaved = rows.sortBy { case (_, pi, a, p) => (a, p, pi) }
+    val df = spark.createDataFrame(interleaved)
+      .toDF("robots", "pi", "agent", "path")
+      .repartition(1) // one task: consecutive rows really alternate
+    val got = df.select(col("pi"), col("agent"), col("path"),
+      TextExprs.robotsAllowed(col("robots"), col("agent"), col("path"))
+        .as("allowed")).collect()
+    got.foreach { r =>
+      val pol = if (r.getInt(0) == 0) policyA else policyB
+      val want = Robots.allowed(pol, r.getString(1), r.getString(2))
+      assert(r.getBoolean(3) == want,
+        s"policy ${r.getInt(0)} ${r.getString(1)} ${r.getString(2)}")
+    }
+    // sanity on the semantics themselves (not just parity): the
+    // specific-token group, longest-match, anchor-vs-query, and the
+    // star-literal backtrack all flow through the expression
+    val one = df.filter(col("pi") === 0 &&
+        col("agent").startsWith("GraftBot"))
+      .select(col("path"),
+        TextExprs.robotsAllowed(col("robots"), col("agent"),
+          col("path")).as("allowed"))
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    assert(!one("/private/page") && one("/private/public/x"))
+    assert(!one("/cache/f.tmp") && one("/cache/f.tmp.html"))
+    assert(one("/cache/f.tmp?x=2"), "query defeats the $ anchor")
+    assert(!one("/*.tmpX.tmp"), "literal '*' in path must backtrack")
+    // null propagation: any null input \u2192 null verdict (the
+    // frontierPlan face coalesces to true \u2014 robots is opt-out)
+    val nulls = spark.sql(
+      "SELECT graft_robots_allowed(CAST(NULL AS STRING), 'a', '/p') n1, " +
+        "graft_robots_allowed('User-agent: *\\nDisallow: /\\n', 'a', '/p') n2")
+      .collect()(0)
+    assert(nulls.isNullAt(0), "null policy must propagate null")
+    assert(!nulls.getBoolean(1), "SQL form evaluates the policy")
+  }
 }

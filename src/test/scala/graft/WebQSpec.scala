@@ -237,6 +237,13 @@ class WebQSpec extends SparkSpec {
       "pattern '*' meeting a literal '*' must still backtrack")
     assert(!Robots.allowed(star, "x", "/a/b.tmp"))
     assert(Robots.allowed(star, "x", "/a/b.tmpX"))
+    // since r16 the q143/q145 verdict arms ride the RobotsAllowed
+    // expression: q143's whole plan is column-native — ZERO object
+    // serde nodes (q145 keeps one typed map as its fixture injector)
+    val q143Plan = WebQ.q143(spark, sf).queryExecution.optimizedPlan
+    assert(q143Plan.collect {
+      case d: org.apache.spark.sql.catalyst.plans.logical.DeserializeToObject => d
+    }.isEmpty, "q143 must be fully column-native")
     // RFC 9309: rules match the path INCLUDING the query string, so a
     // $-anchored pattern is defeated by a trailing query (the q145
     // composition leans on exactly this)
