@@ -197,6 +197,25 @@ object CorpusPrep {
       substrWindow: Option[Int] = None,
       badWords: Option[Seq[String]] = None,
       statsPath: Option[String] = None,
+      /** CANONICAL-URL dedup, the standard crawl-intake stage
+        * (C4/RefinedWeb convention): keep the LOWEST doc_id per
+        * [[graft.functions.UrlOps.urlNormalize]] canonical form, so
+        * the same page fetched as `?utm_source=a` and `?utm_source=b`
+        * collapses BEFORE any text stage instead of riding to the
+        * text-digest shuffle as two docs. Runs FIRST (it reads only
+        * the `url` column — the cheapest drop in the pipeline; a
+        * url-duplicate never pays markup strip, scrub, Bloom probes
+        * or the dedup shuffle). Requires a `url` column (the crawl
+        * faces all carry one) — fails loudly without it rather than
+        * silently skipping a billed stage. Docs whose URL does not
+        * parse (no scheme://host) are each their OWN group — garbage
+        * URLs must not collapse together. Billed as
+        * [[Stats.urlDupDropped]]; the streaming mirror keys the same
+        * canonical form through the watermark-bounded dedup gate
+        * (keep-first-seen, the [[graft.streaming.Streams.dedupExact]]
+        * deviation, stated there).
+        */
+      dedupByUrl: Boolean = false,
       /** quality-WEIGHTED selection (q117's kernel,
         * [[graft.operators.QualityWeight.gate]]): each surviving doc
         * is kept with probability quality9/10⁹ — the soft form of a
@@ -214,6 +233,7 @@ object CorpusPrep {
       snapshotDropped: Long = 0L, nearSnapshotDropped: Long = 0L,
       substrStripped: Long = 0L,
       badwordsDropped: Long = 0L,
+      urlDupDropped: Long = 0L,
       /** true when a `statsPath` fold was requested but the ledger
         * already held this outPath's batch id — i.e. an IN-PLACE
         * refresh (re-running run() to the same outPath) whose new
@@ -235,6 +255,35 @@ object CorpusPrep {
     */
   private[graft] def shardHash: org.apache.spark.sql.Column =
     TextExprs.md5Lower64(concat(lit("shard:"), col("doc_id").cast("string")))
+
+  /** The canonical-URL dedup key: `url_norm` when the URL parses, a
+    * per-doc sentinel otherwise — a sentinel prefixed `nourl:` cannot
+    * collide with a real canonical form (those always open
+    * `scheme://`), and NULL/garbage URLs must be singleton groups,
+    * not one giant accidental group.
+    */
+  private[graft] def urlKeyCol: org.apache.spark.sql.Column = {
+    val u = graft.functions.UrlOps.urlNormalize(col("url"))
+    when(u.getField("host") =!= "", u.getField("url_norm"))
+      .otherwise(concat(lit("nourl:"), col("doc_id").cast("string")))
+  }
+
+  /** CANONICAL-URL dedup, q146 semantics: keep the LOWEST doc_id per
+    * [[graft.functions.UrlOps.urlNormalize]] canonical form (the q30
+    * keep convention on the URL axis). Public — the q146 oracle face
+    * replays exactly this stage. One shuffle on url_norm; it runs
+    * before every text stage, so at crawl scale the rows it removes
+    * never pay markup strip, scrub, Bloom probes or the text-digest
+    * shuffle.
+    */
+  def urlDedup(docs: DataFrame): DataFrame = {
+    require(docs.columns.contains("url"),
+      "dedupByUrl needs a `url` column (the crawl faces carry one); " +
+        "refusing to silently skip a billed stage")
+    val w = Window.partitionBy(urlKeyCol).orderBy(col("doc_id"))
+    docs.withColumn("_urn", row_number().over(w))
+      .filter(col("_urn") === 1).drop("_urn")
+  }
 
   /** Exact dedup, q30 semantics: keep the LOWEST doc_id per
     * normalized-text digest (deterministic, not "first seen").
@@ -302,7 +351,10 @@ object CorpusPrep {
                    prior: Option[org.apache.spark.util.sketch.BloomFilter],
                    priorNear: Option[org.apache.spark.util.sketch.BloomFilter])
       : DataFrame = {
-    val s = wordGated(scrubbed(demarked(docs, cfg), cfg), cfg)
+    // url dedup first: reads only `url`, so its drops never pay any
+    // text stage (see the Config scaladoc)
+    val docs0 = if (cfg.dedupByUrl) urlDedup(docs) else docs
+    val s = wordGated(scrubbed(demarked(docs0, cfg), cfg), cfg)
     val gated = prior
       .map(bf => graft.operators.SnapshotBloom.gate(s, bf)).getOrElse(s)
     // the NEAR gate sits after the exact gate (a byte-identical
@@ -773,23 +825,38 @@ object CorpusPrep {
       val nearSeenCol = m.priorNear
         .map(bf => graft.operators.SnapshotBands.seen(bf, col("text")))
         .getOrElse(lit(false))
+      // url-dedup survival per row (lit(true) when the stage is off):
+      // the group minimum over the SAME canonical key the stage
+      // partitions on — one window shuffle in the stats pass, exactly
+      // the stage's own cost shape
+      val ukCol =
+        if (cfg.dedupByUrl)
+          col("doc_id") === min(col("doc_id"))
+            .over(Window.partitionBy(urlKeyCol))
+        else lit(true)
       val a = scrubbed(demarked(docs, cfg), cfg)
+        .withColumn("uk", ukCol)
         .select(TextOps.textDigest(col("text")).as("h"), seenCol.as("s"),
-          badCol.as("b"), nearSeenCol.as("ns"))
+          badCol.as("b"), nearSeenCol.as("ns"), col("uk"))
         .agg(count(lit(1)).as("n"),
           // distinct digests among docs ALL gates keep — counting the
           // gated-out ones would overstate the post-dedup frame
           count_distinct(
-            when(!col("s") && !col("b") && !col("ns"), col("h"))).as("nd"),
-          // the wordlist gate runs first, then the exact membership
-          // probe, then the band probe — mirror base()'s precedence so
-          // each drop bills to the gate that actually fired
-          sum(when(!col("b") && col("s"), 1L).otherwise(0L)).as("sdrop"),
-          sum(when(col("b"), 1L).otherwise(0L)).as("bdrop"),
-          sum(when(!col("b") && !col("s") && col("ns"), 1L)
-            .otherwise(0L)).as("nsdrop"))
+            when(col("uk") && !col("s") && !col("b") && !col("ns"),
+              col("h"))).as("nd"),
+          // the url stage runs first, then the wordlist gate, then the
+          // exact membership probe, then the band probe — mirror
+          // base()'s precedence so each drop bills to the gate that
+          // actually fired
+          sum(when(col("uk") && !col("b") && col("s"), 1L)
+            .otherwise(0L)).as("sdrop"),
+          sum(when(col("uk") && col("b"), 1L).otherwise(0L)).as("bdrop"),
+          sum(when(col("uk") && !col("b") && !col("s") && col("ns"), 1L)
+            .otherwise(0L)).as("nsdrop"),
+          sum(when(!col("uk"), 1L).otherwise(0L)).as("udrop"))
         .head()
       Stats(a.getLong(0), a.getLong(1), afterSample,
+        urlDupDropped = a.getLong(5),
         nearDupDropped = drops.map(_.count()).getOrElse(0L),
         contaminatedDropped = contaminated.map(_.count()).getOrElse(0L),
         snapshotDropped = a.getLong(2),

@@ -572,6 +572,58 @@ object WebQ {
       |    CAST(((d.doc_id % 5) + 5) % 5 AS BIGINT))) AS i) gs
       |ORDER BY doc_id, ord""".stripMargin
 
+  /** q146: CANONICAL-URL DEDUP in the oracle-checked path — the
+    * crawl-intake stage [[graft.pipeline.CorpusPrep.urlDedup]] runs
+    * for real (q30's keep-lowest convention on the URL axis). Per
+    * doc_id a deterministically MESSY url variant (the q84 injection
+    * device): doc_ids sharing a group key g carry utm-tracking /
+    * www. / default-port / case variants of ONE canonical URL, so
+    * several docs normalize to the same `url_norm` and the stage
+    * must keep exactly the lowest doc_id of each group. The DuckDB
+    * oracle replays the normalize rule as a closed form and the keep
+    * rule as a window min — the hash only matches if the engine's
+    * normalization produces exactly the canonical string AND the
+    * keep-lowest semantics hold.
+    */
+  def q146(s: SparkSession, dir: String): DataFrame = {
+    // group key and variant are BOTH pmods — no integer division
+    // anywhere (Spark `div` truncates, DuckDB `//` floors: they
+    // disagree on negative ids, and md5-derived ids go negative)
+    val v = ((col("doc_id") % 3) + 3) % 3
+    val gs = (((col("doc_id") % 4096) + 4096) % 4096).cast("string")
+    val url = when(v === 0,
+        concat(lit("https://site"), gs, lit(".example/p?a=1")))
+      .when(v === 1,
+        concat(lit("https://WWW.site"), gs,
+          lit(".example:443/p?utm_s=x&a=1")))
+      .otherwise(
+        concat(lit("https://site"), gs, lit(".example/p?a=1&utm_c=y")))
+    val u = urlNormalize(col("url"))
+    graft.pipeline.CorpusPrep.urlDedup(
+        Tables(s, dir).documents.select(col("doc_id"), url.as("url")))
+      .select(col("doc_id"), col("url"),
+        u.getField("url_norm").as("url_norm"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q146Sql: String =
+    """WITH u AS (
+      |  SELECT doc_id,
+      |    CASE ((doc_id % 3) + 3) % 3
+      |      WHEN 0 THEN 'https://site' || g || '.example/p?a=1'
+      |      WHEN 1 THEN 'https://WWW.site' || g ||
+      |        '.example:443/p?utm_s=x&a=1'
+      |      ELSE 'https://site' || g || '.example/p?a=1&utm_c=y'
+      |    END AS url,
+      |    'https://site' || g || '.example/p?a=1' AS url_norm
+      |  FROM (SELECT doc_id,
+      |          CAST(((doc_id % 4096) + 4096) % 4096 AS BIGINT) AS g
+      |        FROM documents))
+      |SELECT doc_id, url, url_norm FROM (
+      |  SELECT doc_id, url, url_norm,
+      |    MIN(doc_id) OVER (PARTITION BY url_norm) AS lo FROM u)
+      |WHERE doc_id = lo ORDER BY doc_id""".stripMargin
+
   val entries: Seq[Entry] = Seq(
     Entry("q84_url_normalize", q84, Some(q84Sql)),
     Entry("q85_badwords", q85, Some(q85Sql)),
@@ -580,5 +632,6 @@ object WebQ {
     Entry("q142_html_meta", q142, Some(q142Sql)),
     Entry("q143_robots_eval", q143, Some(q143Sql)),
     Entry("q144_sitemap", q144, Some(q144Sql)),
-    Entry("q145_frontier_plan", q145, Some(q145Sql)))
+    Entry("q145_frontier_plan", q145, Some(q145Sql)),
+    Entry("q146_url_dedup", q146, Some(q146Sql)))
 }

@@ -216,17 +216,41 @@ object Streams {
     */
   def dedupExact(docs: DataFrame, tsCol: String = "ts",
                  textCol: String = "text",
-                 watermark: String = "1 hour"): DataFrame =
-    docs
+                 watermark: String = "1 hour",
+                 declareWatermark: Boolean = true): DataFrame = {
+    val marked = if (declareWatermark) docs.withWatermark(tsCol, watermark)
+                 else docs // an upstream stage already declared it —
+                           // a second declaration is a redefinition
+    marked
       // the SAME canonical normalization as batch q30 — if it evolves
       // in TextOps, streaming and batch must keep agreeing on what a
       // duplicate is (the hash function itself is per-engine: xxhash64
       // here for speed, md5 in q30 for oracle portability)
       .withColumn("_graft_norm_hash",
         xxhash64(graft.functions.TextOps.normText(col(textCol))))
-      .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("_graft_norm_hash")
       .drop("_graft_norm_hash")
+  }
+
+  /** Streaming CANONICAL-URL dedup — the continuous mirror of batch
+    * [[graft.pipeline.CorpusPrep.urlDedup]] (q146): emit each
+    * canonical URL once per watermark horizon, keyed by the SAME
+    * [[graft.pipeline.CorpusPrep.urlKeyCol]] canonical form
+    * (unparseable URLs stay singleton groups). Keep-FIRST-SEEN, the
+    * [[dedupExact]] deviation from batch's keep-lowest — stated, not
+    * hidden: a stream cannot know a lower id arrives later.
+    */
+  def dedupByUrl(docs: DataFrame, tsCol: String = "ts",
+                 watermark: String = "1 hour",
+                 declareWatermark: Boolean = true): DataFrame = {
+    val marked = if (declareWatermark) docs.withWatermark(tsCol, watermark)
+                 else docs
+    marked
+      .withColumn("_graft_url_key",
+        graft.pipeline.CorpusPrep.urlKeyCol)
+      .dropDuplicatesWithinWatermark("_graft_url_key")
+      .drop("_graft_url_key")
+  }
 
   // --- streaming near-dup detection (continuous mirror of batch q32) ---
 
@@ -1173,7 +1197,15 @@ object Streams {
         m.withColumn("text", graft.queries.PrepQ.scrub(col("text")))
       else m
     }
-    val scrubbed = rewrite(stream)
+    // canonical-URL dedup first (when on) — the batch position
+    // exactly: a url-duplicate never pays the rewrite chain or any
+    // downstream state. It declares the watermark; the exact-dedup
+    // stage then inherits it (a second declaration is a redefinition)
+    val urlGated =
+      if (cfg.dedupByUrl)
+        dedupByUrl(stream, tsCol = tsCol, watermark = watermark)
+      else stream
+    val scrubbed = rewrite(urlGated)
     // wordlist gate (when on): the identical stateless filter as the
     // batch base lineage, in the identical position — after the
     // rewrite chain, before the membership probe
@@ -1188,7 +1220,8 @@ object Streams {
     val nearGated = cfg.priorNearSnapshot
       .map(p => graft.operators.SnapshotBands.load(spark, p))
       .fold(gated)(bf => nearSnapshotGate(gated, bf))
-    val deduped = dedupExact(nearGated, tsCol = tsCol, watermark = watermark)
+    val deduped = dedupExact(nearGated, tsCol = tsCol,
+      watermark = watermark, declareWatermark = !cfg.dedupByUrl)
     // IN-FEED near-dup drop (when configured) — the batch position
     // exactly: between exact dedup and decontamination, the same
     // kernel ([[minhashNearDupDrop]] mirrors NearDup.dropIds with

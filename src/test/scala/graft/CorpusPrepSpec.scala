@@ -663,6 +663,50 @@ class CorpusPrepSpec extends SparkSpec {
       statsOff.toString)
   }
 
+  test("dedupByUrl stage: utm/www/port variants collapse to the lowest id BEFORE text dedup; billing; garbage URLs stay singletons; no url column fails loudly") {
+    import spark.implicits._
+    val keepAll = CorpusPrep.Config(
+      langRates = Map.empty, defaultRate = 1.0, nShards = 2,
+      dedupByUrl = true)
+    val docs = Seq(
+      // three fetches of ONE canonical page — distinct texts, so the
+      // TEXT dedup alone would keep all three; the url stage must
+      // collapse them to doc 1 before any text stage runs
+      (1L, "first fetch of the page", "https://site.example/p?a=1"),
+      (2L, "second fetch slightly edited",
+        "https://WWW.site.example:443/p?utm_src=x&a=1"),
+      (3L, "third fetch edited again",
+        "https://site.example/p?a=1&utm_c=y"),
+      // a different real param is a DIFFERENT page
+      (4L, "a genuinely different page", "https://site.example/p?a=2"),
+      // unparseable URLs: each its own group — they must NOT collapse
+      (5L, "doc with a garbage url", "not a url"),
+      (6L, "another doc with a garbage url", "also not a url"),
+      // same text as doc 4 under a different url: url stage keeps
+      // both, the TEXT dedup then collapses to the lower id
+      (7L, "a genuinely different page", "https://other.example/q"))
+      .map { case (id, t, u) => (id, t, u, "en", "a") }
+      .toDF("doc_id", "text", "url", "lang", "source")
+    val out = CorpusPrep.plan(docs, keepAll).collect()
+    assert(out.map(_.getAs[Long]("doc_id")).sorted.toSeq ==
+      Seq(1L, 4L, 5L, 6L), s"got ${out.toSeq}")
+    val dir = java.nio.file.Files.createTempDirectory("graft-urldedup").toString
+    val stats = CorpusPrep.run(docs, dir, keepAll)
+    assert(stats.urlDupDropped == 2L, stats.toString)
+    assert(stats.input == 7L && stats.afterDedup == 4L, stats.toString)
+    // knob off: nothing billed, text dedup alone decides
+    val statsOff = CorpusPrep.run(docs,
+      java.nio.file.Files.createTempDirectory("graft-urldedup-off").toString,
+      keepAll.copy(dedupByUrl = false))
+    assert(statsOff.urlDupDropped == 0L && statsOff.afterDedup == 6L,
+      statsOff.toString)
+    // no url column + knob on = loud failure, never a silent skip
+    val noUrl = docs.drop("url")
+    assertThrows[IllegalArgumentException] {
+      CorpusPrep.plan(noUrl, keepAll).collect()
+    }
+  }
+
   test("all stages at once: scrub + snapshot gate + dedup + near-dup + decontaminate + substring strip + weights + BPE packing compose in one run") {
     import spark.implicits._
     val docs = Tables(spark, sf).documents

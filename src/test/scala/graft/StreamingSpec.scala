@@ -395,6 +395,54 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   } }
 
+  test("corpusPrep dedupByUrl: the streaming url gate reproduces batch survivors in id order and chains with the text dedup stage") {
+    implicit val s = spark
+    import s.implicits._
+    // the q146 fixture shape: three fetches of one canonical URL
+    // (distinct texts — only the url stage can collapse them), a
+    // different real param, garbage URLs that must stay singletons,
+    // and a text-dup under a different URL that only the TEXT stage
+    // may collapse — both stateful gates chain in one query
+    val rows = Seq(
+      (1L, "first fetch of the page", "https://site.example/p?a=1"),
+      (2L, "second fetch slightly edited",
+        "https://WWW.site.example:443/p?utm_src=x&a=1"),
+      (3L, "third fetch edited again",
+        "https://site.example/p?a=1&utm_c=y"),
+      (4L, "a genuinely different page", "https://site.example/p?a=2"),
+      (5L, "doc with a garbage url", "not a url"),
+      (6L, "another doc with a garbage url", "also not a url"),
+      (7L, "a genuinely different page", "https://other.example/q"))
+    val cfg = graft.pipeline.CorpusPrep.Config(
+      langRates = Map.empty, defaultRate = 1.0, nShards = 2,
+      dedupByUrl = true)
+    // batch mirror on the same frame (keep-lowest == keep-first-seen
+    // because arrivals are in id order)
+    val batchKept = graft.pipeline.CorpusPrep.plan(
+      rows.map { case (id, t, u) => (id, t, u, "a") }
+        .toDF("doc_id", "text", "url", "source"), cfg)
+      .select("doc_id").as[Long].collect().toSet
+    assert(batchKept == Set(1L, 4L, 5L, 6L), s"batch drifted: $batchKept")
+    val input = MemoryStream[(Long, java.sql.Timestamp, String, String, String)](spark)
+    val out = Streams.corpusPrep(
+      input.toDF().toDF("doc_id", "ts", "text", "url", "source"), cfg)
+    val q = out.writeStream.format("memory").queryName("prep_urldedup")
+      .outputMode("append").start()
+    try {
+      // one micro-batch per row: WITHIN a batch "first seen" is
+      // partition-order arbitrary, so id order must be realized by
+      // arrival order for the keep-first == keep-lowest equivalence
+      rows.foreach { case (id, t, u) =>
+        input.addData(
+          (id, new java.sql.Timestamp(1700000000000L + id * 1000), t, u, "a"))
+        q.processAllAvailable()
+      }
+      val got = spark.table("prep_urldedup").select("doc_id")
+        .as[Long].collect().toSet
+      assert(got == batchKept, s"streaming kept $got != batch $batchKept")
+    } finally q.stop()
+  }
+
   test("ivfAppendSink: streamed embeddings land exactly-once; interrupted appends self-heal on replay; foreign markers refuse") {
     implicit val s = spark
     import s.implicits._
