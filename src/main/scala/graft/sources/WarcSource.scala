@@ -493,7 +493,10 @@ object WarcSource {
         "charset_used") ++
         (if (hasTs) Seq("ts") else Nil)).map(col): _*)
 
-  def documents(records: DataFrame): DataFrame = {
+  def documents(records: DataFrame): DataFrame =
+    documents(records, honorNoindex = false)
+
+  def documents(records: DataFrame, honorNoindex: Boolean): DataFrame = {
     // a `ts` column on the records frame passes through 1:1 — the
     // streaming ingest ([[graft.streaming.Streams.warcDocuments]])
     // carries each archive's file mtime as the docs' event time
@@ -564,6 +567,9 @@ object WarcSource {
         col("target_uri"),
         posexplode(members).as(Seq("m_pos", "m")),
         headerLabel.as("hdr_label"),
+        col("warc_type"), // the noindex gate distinguishes response
+                          // self-bodies from WET conversions; dropped
+                          // by corpusShape's named-column select
         regexp_extract(col("file"), "([^/]+)$", 1).as("source")) ++
         extra: _*)
       // gates: a null-named element IS the record's own body, whose
@@ -586,7 +592,31 @@ object WarcSource {
     val mLabel = when(isSelf && col("hdr_label") =!= "", col("hdr_label"))
       .otherwise(metaCharsetLabel(col("m.data")))
     val named = col("m.name").isNotNull && col("m.name") =!= ""
-    corpusShape(exploded
+    // `honorNoindex`: the robots-noindex verdict INLINE, off the same
+    // decoded string the pageMeta face reads — the noindex evidence
+    // lives in the SAME record as the body, so no cross-record state,
+    // no snapshot artifact (which would go stale the moment a page
+    // flips its noindex between fetches), and no stream-stream join
+    // is ever needed; the gate applies exactly to the rows the
+    // pageMeta face covers (response own-bodies — WET conversions
+    // and archive members carry no page markup authority), so the
+    // drop set equals the batch pageMeta anti-join's doc for doc
+    // (spec-pinned). The per-batch drop count is published as the
+    // `graft_noindex` observed metric — the streaming billing
+    // surface; batch reads WarcStats.noindexDropped instead.
+    val gated =
+      if (!honorNoindex) exploded
+      else exploded
+        .withColumn("_graft_noindex",
+          when(isSelf && col("warc_type") === "response",
+            coalesce(T.htmlMeta(T.charsetDecode(col("m.data"), mLabel))
+              .getField("noindex"), lit(false)))
+            .otherwise(lit(false)))
+        .observe("graft_noindex",
+          sum(col("_graft_noindex").cast("long")).as("noindexDropped"))
+        .filter(!col("_graft_noindex"))
+        .drop("_graft_noindex")
+    corpusShape(gated
       .select(Seq(
         when(!named,
           md5Lower64(concat_ws("#", col("file"), col("record_ix"))))

@@ -52,9 +52,10 @@ object Streams {
     */
   def warcDocuments(spark: SparkSession, dir: String,
                     glob: Option[String] = None,
-                    maxFilesPerTrigger: Int = 4): DataFrame =
+                    maxFilesPerTrigger: Int = 4,
+                    honorNoindex: Boolean = false): DataFrame =
     graft.sources.WarcSource.documents(
-      warcRecords(spark, dir, glob, maxFilesPerTrigger))
+      warcRecords(spark, dir, glob, maxFilesPerTrigger), honorNoindex)
 
   /** The continuous MEDIA mirror of [[warcDocuments]] — the other half
     * of crawl intake, feeding the multimodal stages (decode/feature/

@@ -1127,6 +1127,82 @@ class WarcSourceSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("honorNoindex streaming: inline gate == batch pageMeta anti-join, noindex flip mid-stream honored per fetch, graft_noindex metric bills drops") {
+    val dir = Files.createTempDirectory("graft-warc-noindex").toString
+    def resp(uri: String, ct: String, body: Array[Byte]) =
+      rec(Seq("WARC-Type" -> "response", "WARC-Target-URI" -> uri,
+        "Content-Type" -> "application/http; msgtype=response"),
+        httpWrap(ct, body))
+    def page(noindex: Boolean, text: String) =
+      graft.functions.HtmlMeta.write("T", "D", "/c",
+        noindex = noindex, body = text).getBytes("UTF-8")
+    // archive 1: A declares noindex, B does not; a WET conversion
+    // whose text CONTAINS noindex markup (no page authority — must
+    // survive); a gzip-SERVED page with noindex (sniffs gzip, so the
+    // pageMeta face never covers it — the anti-join keeps it, the
+    // inline gate must too)
+    Files.write(Paths.get(dir, "a1.warc"),
+      resp("http://n.example/A", "text/html",
+        page(noindex = true, "page A first fetch")) ++
+        resp("http://n.example/B", "text/html",
+          page(noindex = false, "page B stays")) ++
+        rec(Seq("WARC-Type" -> "conversion",
+          "WARC-Target-URI" -> "http://n.example/wet",
+          "Content-Type" -> "text/plain"),
+          page(noindex = true, "wet body")) ++
+        resp("http://n.example/gz", "application/gzip",
+          gz(page(noindex = true, "gz-served page"))))
+    // archive 2: A FLIPS to indexable (per-fetch authority — the
+    // batch anti-join keys doc_ids, so only archive 1's A drops);
+    // C is fresh noindex
+    Files.write(Paths.get(dir, "a2.warc"),
+      resp("http://n.example/A", "text/html",
+        page(noindex = false, "page A second fetch")) ++
+        resp("http://n.example/C", "text/html",
+          page(noindex = true, "page C is noindex")))
+    val recs = WarcSource.records(spark, dir)
+    // the batch reference: runFromWarc's device — anti-join against
+    // the pageMeta face's noindex ids
+    val noindexIds = WarcSource.pageMeta(recs).filter(col("noindex"))
+      .select(col("doc_id"))
+    val batchGated = WarcSource.documents(recs)
+      .join(noindexIds, Seq("doc_id"), "left_anti")
+    val wantIds = batchGated.collect().map(_.getAs[Long]("doc_id")).sorted
+    val wantTexts = batchGated.collect()
+      .map(_.getAs[String]("text")).sorted
+    assert(wantTexts.exists(_.contains("page A second fetch")) &&
+      !wantTexts.exists(_ == "page A first fetch"),
+      "the flip must be honored per fetch")
+    assert(wantTexts.exists(_.contains("wet body")),
+      "WET text has no page authority")
+    assert(wantTexts.exists(_.contains("gz-served page")),
+      "gz-served pages are outside the pageMeta face")
+    // the inline gate must reproduce the anti-join doc for doc
+    val inlineGated = WarcSource.documents(recs, honorNoindex = true)
+    assert(inlineGated.collect().map(_.getAs[Long]("doc_id")).sorted
+      .toSeq == wantIds.toSeq,
+      "inline gate != batch anti-join")
+    val droppedN = WarcSource.documents(recs).count() - wantIds.length
+    assert(droppedN == 2L, s"fixture drifted: $droppedN") // A@a1 + C@a2
+    // streaming mirror + the observed billing metric
+    val stream = graft.streaming.Streams.warcDocuments(
+      spark, dir, honorNoindex = true)
+    assert(stream.isStreaming)
+    val q = stream.writeStream.format("memory")
+      .queryName("warc_noindex_stream").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("warc_noindex_stream")
+      assert(got.collect().map(_.getAs[Long]("doc_id")).sorted.toSeq ==
+        wantIds.toSeq, "streaming != batch under honorNoindex")
+      val billed = q.recentProgress
+        .flatMap(p => Option(p.observedMetrics.get("graft_noindex")))
+        .map(_.getAs[Long]("noindexDropped")).sum
+      assert(billed == droppedN,
+        s"graft_noindex billed $billed, dropped $droppedN")
+    } finally q.stop()
+  }
+
   test("plan shape: pdf/office/pageMeta extractions survive optimization as ONE node each (filters stay above the Generate)") {
     import graft.functions.expressions.{HtmlMetaExtract, OfficeExtractText, PdfExtractText}
     val dir = Files.createTempDirectory("graft-warc-planshape").toString
