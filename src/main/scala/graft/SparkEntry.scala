@@ -63,7 +63,9 @@ object SparkEntry {
         Entry("q140_ppt_extract", graft.multimodal.Multimodal.q140,
           Some(graft.multimodal.Multimodal.q140Sql)),
         Entry("q141_exif_scrub", graft.multimodal.Multimodal.q141,
-          Some(graft.multimodal.Multimodal.q141Sql)))
+          Some(graft.multimodal.Multimodal.q141Sql)),
+        Entry("q147_exif_containers", graft.multimodal.Multimodal.q147,
+          Some(graft.multimodal.Multimodal.q147Sql)))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -142,6 +142,16 @@ object TextExprs {
     */
   def sitemapEntries(xml: Column): Column = c(SitemapEntries(x(xml)))
 
+  /** Image-metadata PII scrub over a binary payload — the q147 strip
+    * ([[graft.multimodal.Exif.strip]]: JPEG/PNG/WebP metadata
+    * segments drop whole, standalone-TIFF GPS/DateTime zero in
+    * place) as STRUCT<payload BINARY, scrubbed BOOLEAN>. Containers
+    * the scrub does not govern pass through unchanged with
+    * scrubbed=false — the flag IS the per-row billing the media face
+    * aggregates.
+    */
+  def exifScrub(payload: Column): Column = c(ExifScrub(x(payload)))
+
   /** RFC 9309 allow/deny verdict for (robots.txt, agent, path) — the
     * crawl-politeness gate as a column expression (see
     * [[graft.functions.Robots.allowed]] / [[RobotsAllowed]]). The
@@ -1394,6 +1404,41 @@ case class SitemapEntries(child: Expression)
           }.toArray[Any])
       case None => null
     }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** Image-metadata PII scrub as an expression (see
+  * [[TextExprs.exifScrub]]): one [[graft.multimodal.Exif.strip]]
+  * pass per payload, returning the governed-and-scrubbed bytes plus
+  * whether anything changed — `scrubbed` is true only when bytes
+  * actually differ, so an already-clean JPEG bills nothing. The
+  * struct return (rather than two expressions) keeps the strip to
+  * ONE evaluation per row behind the face's Generate barrier.
+  */
+case class ExifScrub(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("payload",
+        org.apache.spark.sql.types.BinaryType),
+      org.apache.spark.sql.types.StructField("scrubbed",
+        org.apache.spark.sql.types.BooleanType, nullable = false)))
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[Array[Byte]]
+    graft.multimodal.Exif.strip(bytes) match {
+      case Some(s) =>
+        val changed = !java.util.Arrays.equals(s, bytes)
+        org.apache.spark.sql.catalyst.InternalRow(
+          if (changed) s else bytes, changed)
+      case None =>
+        org.apache.spark.sql.catalyst.InternalRow(bytes, false)
+    }
+  }
 
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)

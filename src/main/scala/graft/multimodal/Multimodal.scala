@@ -1670,6 +1670,88 @@ object Multimodal {
       |  TRUE AS pixels_survive
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** q147 entry: EXIF SCRUB ACROSS CONTAINERS in the oracle-checked
+    * path — the same PII (GPS, timestamps, camera identity) rides the
+    * SAME TIFF block in four crawl containers: JPEG APP1, PNG `eXIf`
+    * chunk, WebP `EXIF` chunk, and the standalone TIFF file itself.
+    * Per doc_id the container cycles by pmod(4); each gains a REAL
+    * EXIF block with closed-form parameters ([[Exif.writePng]] /
+    * [[Exif.writeWebp]] — real chunk CRCs, VP8X presence bits — /
+    * [[Exif.writeTiff]]); [[Exif.parse]] must read the evidence back
+    * per container and [[Exif.strip]] must remove it: whole-chunk
+    * drop for JPEG/PNG/WebP (re-parse → None), in-place GPS/DateTime
+    * zeroing for the standalone TIFF (the container IS the pixel
+    * carrier — re-parse shows hasGps/hasTs false, orientation/make
+    * survive). Pixels must still decode after every scrub.
+    */
+  def q147(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id")).as[Long]
+      .map { id =>
+        def pmod(m: Long): Long = ((id % m) + m) % m
+        val container = pmod(4) match {
+          case 0 => "jpeg"; case 1 => "png"; case 2 => "webp"
+          case _ => "tiff"
+        }
+        val orientation = (1 + pmod(8)).toInt
+        val gps =
+          if (pmod(3) == 0) Some((37.0 + pmod(10), -122.0 - pmod(10)))
+          else None
+        val dt =
+          if (pmod(2) == 0) Some("2024:01:02 03:04:05") else None
+        val make = "maker" + pmod(4)
+        val img = Netpbm.Image(8, 8, 255,
+          Array.fill[Byte](192)((pmod(180) + 30).toByte))
+        val tagged = container match {
+          case "jpeg" => Exif.write(Jpeg.encode(img), orientation, gps,
+            Some(make), dt, comment = Some("c" + id))
+          case "png" => Exif.writePng(Png.encode(img), orientation, gps,
+            Some(make), dt, comment = Some("c" + id))
+          case "webp" => Exif.writeWebp(Webp.encode(img), orientation,
+            gps, Some(make), dt,
+            xmp = Some("<x:xmpmeta>gps dup " + id + "</x:xmpmeta>"))
+          case _ => Exif.writeTiff(orientation, gps, Some(make), dt)
+        }
+        val info = Exif.parse(tagged).getOrElse(
+          Exif.Info(-1, false, false, None))
+        val stripped = Exif.strip(tagged).getOrElse(Array.emptyByteArray)
+        val after = Exif.parse(stripped)
+        val scrubTotal = container match {
+          case "tiff" => after.exists(a => !a.hasGps && !a.hasTimestamp)
+          case _ => after.isEmpty
+        }
+        val pixelsSurvive = container match {
+          case "jpeg" => Jpeg.decode(stripped).isDefined
+          case "png" => Png.decode(stripped).isDefined
+          case "webp" => Webp.decode(stripped).isDefined
+          case _ => stripped.length == tagged.length // in-place scrub
+        }
+        (id, container, info.orientation, info.hasGps, info.hasTimestamp,
+          info.make.getOrElse(""), scrubTotal, pixelsSurvive)
+      }
+      .toDF("doc_id", "container", "orientation", "has_gps", "has_ts",
+        "make", "scrub_total", "pixels_survive")
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB mirror of q147: container + audited fields closed-form;
+    * the scrub columns must be uniformly TRUE across all four
+    * containers.
+    */
+  val q147Sql: String =
+    """SELECT doc_id,
+      |  CASE ((doc_id % 4) + 4) % 4 WHEN 0 THEN 'jpeg'
+      |    WHEN 1 THEN 'png' WHEN 2 THEN 'webp' ELSE 'tiff' END
+      |    AS container,
+      |  CAST(1 + ((doc_id % 8) + 8) % 8 AS INT) AS orientation,
+      |  ((doc_id % 3) + 3) % 3 = 0 AS has_gps,
+      |  ((doc_id % 2) + 2) % 2 = 0 AS has_ts,
+      |  'maker' || CAST(((doc_id % 4) + 4) % 4 AS VARCHAR) AS make,
+      |  TRUE AS scrub_total,
+      |  TRUE AS pixels_survive
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   /** DuckDB mirror of q139: the closed-form (mime, status) census
     * from doc_id arithmetic alone.
     */

@@ -1027,4 +1027,32 @@ object WarcSource {
           col("http_content_type").as("declared_mime"),
           col("target_uri").as("url")).as("meta")) ++ extra: _*)
   }
+
+  /** The media face with image-metadata PII scrubbed — [[media]]
+    * rows whose payloads pass through [[graft.multimodal.Exif.strip]]
+    * (JPEG APP1/APP13/COM, PNG eXIf+text chunks, WebP EXIF/XMP
+    * chunks, standalone-TIFF GPS/DateTime zeroing; containers the
+    * scrub does not govern pass through byte-identical) plus a
+    * `scrubbed` BILLING column: true only when bytes changed, so
+    * `sum(scrubbed)` is the per-crawl privacy-scrub count (the
+    * no-silent-policy rule — a scrub whose size nobody can read is a
+    * policy nobody can audit). `meta` keeps the ORIGINAL payload's
+    * checksum/size as intake evidence (the audit trail points at
+    * what was fetched, the payload carries what may be stored). One
+    * strip per row, pinned behind the explode(array(…)) Generate
+    * barrier; pure Column ops, so the streaming mirror
+    * ([[graft.streaming.Streams.warcMediaScrubbed]]) inherits
+    * verbatim.
+    */
+  def mediaScrubbed(records: DataFrame): DataFrame = {
+    val m = media(records)
+    val extra = if (m.columns.contains("ts")) Seq(col("ts")) else Nil
+    m.select(Seq(col("path"), col("doc_id"), col("meta"),
+      explode(array(graft.functions.expressions.TextExprs
+        .exifScrub(col("payload")))).as("s")) ++ extra: _*)
+      .select(Seq(col("path"), col("doc_id"),
+        col("s.payload").as("payload"),
+        col("s.scrubbed").as("scrubbed"),
+        col("meta")) ++ extra.map(_ => col("ts")): _*)
+  }
 }

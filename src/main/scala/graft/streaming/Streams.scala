@@ -71,6 +71,18 @@ object Streams {
     graft.sources.WarcSource.media(
       warcRecords(spark, dir, glob, maxFilesPerTrigger))
 
+  /** The continuous PII-SCRUBBED media mirror — [[warcMedia]] with
+    * image metadata stripped and the per-row `scrubbed` billing flag
+    * ([[graft.sources.WarcSource.mediaScrubbed]] is pure Column ops,
+    * so batch semantics apply verbatim): what a privacy-governed
+    * media store ingests instead of raw fetched bytes.
+    */
+  def warcMediaScrubbed(spark: SparkSession, dir: String,
+                        glob: Option[String] = None,
+                        maxFilesPerTrigger: Int = 4): DataFrame =
+    graft.sources.WarcSource.mediaScrubbed(
+      warcRecords(spark, dir, glob, maxFilesPerTrigger))
+
   /** The continuous PDF-TEXT mirror — crawled PDFs extracted into the
     * corpus shape as archives land ([[graft.sources.WarcSource
     * .pdfDocuments]] is pure Column ops over the records frame, so

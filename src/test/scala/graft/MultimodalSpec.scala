@@ -1750,4 +1750,67 @@ class MultimodalSpec extends SparkSpec {
     assert(Exif.strip(sidecars).get.toSeq == base.toSeq,
       "XMP APP1 and APP13/IPTC must drop under the scrub")
   }
+
+  test("exif containers: PNG eXIf / WebP EXIF+XMP / standalone TIFF all parse and scrub; pixels survive; idempotent; fences") {
+    import graft.multimodal.{Exif, Netpbm, Png, Webp}
+    val img = Netpbm.Image(10, 8, 255,
+      Array.tabulate[Byte](10 * 8 * 3)(i => ((i * 7) % 200).toByte))
+    // --- PNG: eXIf + tEXt drop whole; pixel chunks byte-identical
+    val png = Png.encode(img)
+    val pngTag = Exif.writePng(png, 6, Some((37.0, -122.0)), Some("cam"),
+      Some("2024:01:01 00:00:00"), comment = Some("geotagged"))
+    val pi = Exif.parse(pngTag).get
+    assert(pi.orientation == 6 && pi.hasGps && pi.hasTimestamp &&
+      pi.make.contains("cam"))
+    val pngS = Exif.strip(pngTag).get
+    assert(Exif.parse(pngS).isEmpty, "PNG scrub must be total")
+    assert(pngS.toSeq == png.toSeq,
+      "scrub of writer output must return the base PNG")
+    assert(Png.decode(pngS).get.pixels.toSeq == img.pixels.toSeq)
+    assert(Exif.strip(pngS).get.toSeq == pngS.toSeq, "idempotent")
+    // --- WebP: EXIF + XMP chunks drop, VP8X keeps place with
+    // presence bits cleared, RIFF size rewritten, pixels decode
+    val webp = Webp.encode(img)
+    val webpTag = Exif.writeWebp(webp, 3, Some((1.5, 2.5)), Some("wcam"),
+      None, xmp = Some("<x:xmpmeta>gps rides here</x:xmpmeta>"))
+    val wi = Exif.parse(webpTag).get
+    assert(wi.orientation == 3 && wi.hasGps && !wi.hasTimestamp &&
+      wi.make.contains("wcam"))
+    val webpS = Exif.strip(webpTag).get
+    assert(Exif.parse(webpS).isEmpty, "WebP scrub must be total")
+    assert(!new String(webpS, "ISO-8859-1").contains("xmpmeta"),
+      "XMP bytes must not survive")
+    assert(Webp.decode(webpS).get.pixels.toSeq == img.pixels.toSeq,
+      "pixels must survive the scrub")
+    val vp8xAt = {
+      val s = new String(webpS, "ISO-8859-1"); s.indexOf("VP8X")
+    }
+    assert(vp8xAt >= 0 && (webpS(vp8xAt + 8) & 0x0C) == 0,
+      "VP8X must stay with EXIF/XMP presence bits cleared")
+    assert(Exif.strip(webpS).get.toSeq == webpS.toSeq, "idempotent")
+    // declared RIFF size must match the rebuilt payload
+    val riffSz = (webpS(4) & 0xffL) | ((webpS(5) & 0xffL) << 8) |
+      ((webpS(6) & 0xffL) << 16) | ((webpS(7) & 0xffL) << 24)
+    assert(riffSz == webpS.length - 8L, "RIFF size must be rewritten")
+    // --- standalone TIFF: GPS + DateTime zeroed in place,
+    // orientation/make survive, same length
+    val tif = Exif.writeTiff(7, Some((37.7749, -122.4194)), Some("tcam"),
+      Some("2023:05:06 07:08:09"))
+    val ti = Exif.parse(tif).get
+    assert(ti.orientation == 7 && ti.hasGps && ti.hasTimestamp &&
+      ti.make.contains("tcam"))
+    val tifS = Exif.strip(tif).get
+    val ti2 = Exif.parse(tifS).get
+    assert(!ti2.hasGps && !ti2.hasTimestamp, "GPS/timestamp must scrub")
+    assert(ti2.orientation == 7 && ti2.make.contains("tcam"),
+      "pixel-relevant fields survive")
+    assert(tifS.length == tif.length, "in-place scrub keeps the length")
+    assert(!new String(tifS, "ISO-8859-1").contains("2023:05"),
+      "timestamp BYTES must be zeroed, not just unlinked")
+    assert(Exif.strip(tifS).get.toSeq == tifS.toSeq, "idempotent")
+    // --- fences: truncated containers and garbage are not governable
+    assert(Exif.strip(java.util.Arrays.copyOfRange(pngTag, 0, 20)).isEmpty)
+    assert(Exif.parse(java.util.Arrays.copyOfRange(webpTag, 0, 16)).isEmpty)
+    assert(Exif.strip("no container at all".getBytes("UTF-8")).isEmpty)
+  }
 }

@@ -1127,6 +1127,70 @@ class WarcSourceSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("mediaScrubbed face: EXIF PII strips across containers, ungoverned media pass byte-identical, scrubbed flag bills, streaming mirror") {
+    import graft.multimodal.{Exif, Jpeg, Netpbm, Png}
+    val dir = Files.createTempDirectory("graft-warc-mediascrub").toString
+    def resp(uri: String, ct: String, body: Array[Byte]) =
+      rec(Seq("WARC-Type" -> "response", "WARC-Target-URI" -> uri,
+        "Content-Type" -> "application/http; msgtype=response"),
+        httpWrap(ct, body))
+    val img = Netpbm.Image(8, 8, 255, Array.fill[Byte](192)(77))
+    val jpegTagged = Exif.write(Jpeg.encode(img), 6,
+      Some((37.0, -122.0)), Some("cam"), Some("2024:01:01 00:00:00"))
+    val pngTagged = Exif.writePng(Png.encode(img), 3, Some((1.0, 2.0)),
+      Some("pcam"), None)
+    val cleanJpeg = Jpeg.encode(img) // nothing to scrub — bills false
+    val gif = graft.multimodal.Gif.encode(img) // ungoverned container
+    Files.write(Paths.get(dir, "m.warc"),
+      resp("http://m.example/a.jpg", "image/jpeg", jpegTagged) ++
+        resp("http://m.example/b.png", "image/png", pngTagged) ++
+        resp("http://m.example/c.jpg", "image/jpeg", cleanJpeg) ++
+        resp("http://m.example/d.gif", "image/gif", gif))
+    val recs = WarcSource.records(spark, dir)
+    val rows = WarcSource.mediaScrubbed(recs).collect()
+    assert(rows.length == 4)
+    val byUrl = rows.map(r => r.getAs[org.apache.spark.sql.Row]("meta")
+      .getAs[String]("url") -> r).toMap
+    val scrubbedJpeg = byUrl("http://m.example/a.jpg")
+    assert(scrubbedJpeg.getAs[Boolean]("scrubbed"))
+    assert(Exif.parse(scrubbedJpeg.getAs[Array[Byte]]("payload")).isEmpty,
+      "stored payload must carry no EXIF")
+    assert(byUrl("http://m.example/b.png").getAs[Boolean]("scrubbed"))
+    assert(Exif.parse(
+      byUrl("http://m.example/b.png").getAs[Array[Byte]]("payload")).isEmpty)
+    assert(!byUrl("http://m.example/c.jpg").getAs[Boolean]("scrubbed"),
+      "an already-clean JPEG must bill nothing")
+    assert(byUrl("http://m.example/c.jpg").getAs[Array[Byte]]("payload")
+      .toSeq == cleanJpeg.toSeq)
+    assert(!byUrl("http://m.example/d.gif").getAs[Boolean]("scrubbed"),
+      "an ungoverned container passes through")
+    assert(byUrl("http://m.example/d.gif").getAs[Array[Byte]]("payload")
+      .toSeq == gif.toSeq)
+    // meta stays the ORIGINAL fetch's evidence: checksum of the
+    // tagged bytes, not the scrubbed ones
+    assert(scrubbedJpeg.getAs[org.apache.spark.sql.Row]("meta")
+      .getAs[Long]("n_bytes") == jpegTagged.length.toLong)
+    // one strip per row in the optimized plan (the Generate pin)
+    val lp = WarcSource.mediaScrubbed(recs).queryExecution.optimizedPlan
+    val nStrip = lp.collect { case p => p.expressions }.flatten
+      .map(_.collect {
+        case _: graft.functions.expressions.ExifScrub => () }.size).sum
+    assert(nStrip == 1, s"expected ONE ExifScrub node, got $nStrip")
+    // streaming mirror
+    val stream = graft.streaming.Streams.warcMediaScrubbed(spark, dir)
+    assert(stream.isStreaming)
+    val q = stream.writeStream.format("memory")
+      .queryName("warc_mediascrub_stream").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("warc_mediascrub_stream").collect()
+      assert(got.length == 4)
+      assert(got.count(_.getAs[Boolean]("scrubbed")) == 2,
+        "streaming bills the same two scrubs")
+      assert(got.forall(r => r.getAs[java.sql.Timestamp]("ts") != null))
+    } finally q.stop()
+  }
+
   test("honorNoindex streaming: inline gate == batch pageMeta anti-join, noindex flip mid-stream honored per fetch, graft_noindex metric bills drops") {
     val dir = Files.createTempDirectory("graft-warc-noindex").toString
     def resp(uri: String, ct: String, body: Array[Byte]) =
