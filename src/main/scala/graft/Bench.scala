@@ -104,12 +104,29 @@ object Bench {
     // query's reported time becomes -1 (a failure must never report its
     // tiny time-to-failure as a benchmark result)
     val samples = scala.collection.mutable.Map(names.map(_ -> Vector.empty[Double]): _*)
+    // task-time/GC attribution (round 16): wall time cannot tell "the
+    // code got slower" from "the host stalled between stages" (the
+    // 66-89s A/B/A swings, SURVEY §6). Per rep, the delta of summed
+    // executor task time and JVM GC time brackets each query — the
+    // listener bus is DRAINED at each snapshot so a stage's events
+    // never misattribute to the next query. A drifted round then
+    // reads off the artifact alone: wall up + task flat = host churn;
+    // task up = real regression.
+    import org.apache.spark.graftbench.BenchBridge
+    BenchBridge.install(spark.sparkContext)
+    val taskSamples = scala.collection.mutable.Map(names.map(_ -> Vector.empty[Double]): _*)
+    val gcSamples = scala.collection.mutable.Map(names.map(_ -> Vector.empty[Double]): _*)
     for (_ <- 1 to reps; name <- names) {
+      val (task0, gc0) = BenchBridge.snapshot(spark.sparkContext)
       val t0 = System.nanoTime()
       val ok = try { SparkEntry.queries(name)(spark, sfDir).count(); true }
                catch { case _: Throwable => false }
       val sec = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+      val (task1, gc1) = BenchBridge.snapshot(spark.sparkContext)
       samples(name) = samples(name) :+ sec
+      taskSamples(name) = taskSamples(name) :+
+        (if (ok) task1 - task0 else -1.0)
+      gcSamples(name) = gcSamples(name) :+ (if (ok) gc1 - gc0 else -1.0)
     }
     def median(xs: Vector[Double]): Double = {
       if (xs.exists(_ < 0)) -1.0
@@ -120,6 +137,8 @@ object Bench {
       }
     }
     val med = names.map(n => n -> median(samples(n))).toMap
+    val medTask = names.map(n => n -> median(taskSamples(n))).toMap
+    val medGc = names.map(n => n -> median(gcSamples(n))).toMap
     def jmap(f: String => Double): String =
       names.map(n => s"\"" + n + "\":" + f(n)).mkString("{", ",", "}")
     // compact variant for the tail-surviving final line: 3-decimal
@@ -147,7 +166,9 @@ object Bench {
                      else (samples(n).min, samples(n).max)
       "\"" + n + "\":[" + d3(lo) + "," + d3(hi) + "]"
     }.mkString("{", ",", "}")
-    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"warmup_sec":$warmupSec,"reps":$reps,"queries":$qs,"queries_min":$qsMin,"queries_max":$qsMax,"spread":$spreadAll,"sf":"$sfDir"}"""
+    val taskTotal = medTask.values.filter(_ >= 0).sum
+    val gcTotal = medGc.values.filter(_ >= 0).sum
+    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"warmup_sec":$warmupSec,"reps":$reps,"task_total":${d3(taskTotal)},"gc_total":${d3(gcTotal)},"queries":$qs,"queries_min":$qsMin,"queries_max":$qsMax,"spread":$spreadAll,"task_time":${jmapShort(medTask)},"gc_time":${jmapShort(medGc)},"sf":"$sfDir"}"""
     // full-precision artifact: on disk (never truncated) + early stdout
     // lines (may truncate; nothing below depends on them surviving).
     // Written TWICE (round 13): target/bench_full.json (the historical
@@ -223,8 +244,10 @@ object Bench {
       .mkString("{\"spread\":{", ",", "}}")
     println(spreadTop)
     // FINAL line: HEADLINE ONLY, <300B regardless of query count, so the
-    // driver's tail-capture can never cut it mid-stream again
-    println(s"""{"metric":"total","value":${d3(total)},"unit":"sec","failed":$failed,"warmup_sec":${d3(warmupSec)},"reps":$reps,"n_queries":${names.length},"sf":"$sfDir"}""")
+    // driver's tail-capture can never cut it mid-stream again.
+    // task_total/gc_total (r16): the host-vs-code drift verdict reads
+    // off the headline alone — wall up with task flat is host churn
+    println(s"""{"metric":"total","value":${d3(total)},"unit":"sec","failed":$failed,"warmup_sec":${d3(warmupSec)},"reps":$reps,"n_queries":${names.length},"task_total":${d3(taskTotal)},"gc_total":${d3(gcTotal)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1,0 +1,54 @@
+package org.apache.spark.graftbench
+
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.SparkContext
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+
+/** Task-time / GC-time attribution for the benchmark main (the
+  * `graftbridge.Bridge` approach: the listener bus drain —
+  * `listenerBus.waitUntilEmpty()` — is `private[spark]`, so the one
+  * call lives in an `org.apache.spark` subpackage, exactly like
+  * public Spark test harnesses do).
+  *
+  * Why it exists (r15 verdict ask #7): the official bench host swings
+  * 66–89 s wall for IDENTICAL code (SURVEY §6's A/B/A proof), and
+  * wall time cannot distinguish "the code got slower" from "the host
+  * stalled the driver between stages". Executor TASK time (the sum of
+  * every task's executorRunTime) is the CPU-work number — host stalls
+  * between stages don't inflate it — and jvmGCTime splits memory
+  * churn out of that. A drifted round reads: wall up, task flat →
+  * host; task up → real.
+  */
+object BenchBridge {
+
+  private val taskMs = new AtomicLong(0L)
+  private val gcMs = new AtomicLong(0L)
+
+  private val listener = new SparkListener {
+    override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
+      val m = te.taskMetrics
+      if (m != null) {
+        taskMs.addAndGet(m.executorRunTime)
+        gcMs.addAndGet(m.jvmGCTime)
+        ()
+      }
+    }
+  }
+
+  /** Install the counters on this context (idempotent per process —
+    * the bench main calls it once).
+    */
+  def install(sc: SparkContext): Unit = sc.addSparkListener(listener)
+
+  /** Cumulative (taskSeconds, gcSeconds) across every task ended so
+    * far, AFTER draining the async listener bus — without the drain,
+    * a snapshot taken right after an action can miss the last stage's
+    * events and misattribute them to the NEXT query.
+    */
+  def snapshot(sc: SparkContext): (Double, Double) = {
+    try sc.listenerBus.waitUntilEmpty()
+    catch { case _: Throwable => () } // a stuck bus must not kill the run
+    (taskMs.get() / 1e3, gcMs.get() / 1e3)
+  }
+}
