@@ -65,7 +65,9 @@ object SparkEntry {
         Entry("q141_exif_scrub", graft.multimodal.Multimodal.q141,
           Some(graft.multimodal.Multimodal.q141Sql)),
         Entry("q147_exif_containers", graft.multimodal.Multimodal.q147,
-          Some(graft.multimodal.Multimodal.q147Sql)))
+          Some(graft.multimodal.Multimodal.q147Sql)),
+        Entry("q148_vp8_decode", graft.multimodal.Multimodal.q148,
+          Some(graft.multimodal.Multimodal.q148Sql)))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1229,6 +1229,82 @@ object Multimodal {
       |  ${graft.queries.Q.round4Sql("CAST(ndark AS DOUBLE) / n_px")} AS dark_frac4
       |FROM agg ORDER BY doc_id""".stripMargin
 
+  /** Documents laid out as the q126 geometry behind the LOSSY VP8
+    * codec ([[Vp8.encodeWebp]] — a conforming keyframe whose
+    * bitstreams libwebp itself decodes byte-identically, the
+    * strongest possible writer claim): 80 px wide, each text byte
+    * owning an 8x8 LUMA region of its own value, chroma flat 128.
+    * The per-4x4-uniform layout is exactly what makes the lossy
+    * pipeline exact (see [[Vp8]]): residuals encode as DC levels at
+    * quantizer step 8 and reconstruct to the byte verbatim.
+    */
+  def vp8Table(spark: SparkSession, dir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), coalesce(col("text"), lit("")).as("t"))
+      .as[(Long, String)]
+      .map { case (id, t) =>
+        val bytes = t.getBytes("UTF-8")
+        val hb = math.max((bytes.length + 9) / 10, 1)
+        val idx = java.util.Arrays.copyOf(bytes, 10 * hb)
+        val w = 80; val h = 8 * hb
+        val luma = new Array[Byte](w * h)
+        var bi = 0
+        while (bi < idx.length) {
+          val v = idx(bi)
+          val bx = bi % 10; val by = bi / 10
+          var yy = 0
+          while (yy < 8) {
+            var xx = 0
+            while (xx < 8) {
+              luma((by * 8 + yy) * w + bx * 8 + xx) = v
+              xx += 1
+            }
+            yy += 1
+          }
+          bi += 1
+        }
+        val payload = Vp8.encodeWebp(luma, w, h)
+        MediaRow(id, payload,
+          MediaMeta("image/webp", payload.length.toLong,
+            payloadChecksum(payload)))
+      }
+  }
+
+  /** q148 entry: the LOSSY-VP8 decode in the oracle-checked path —
+    * [[vp8Table]] fixtures through [[Webp.decode]]'s VP8 route (the
+    * full RFC 6386 keyframe machinery: bool decoder, token trees,
+    * dequant, IWHT/IDCT, intra predictors; the q148 fixtures carry
+    * filter level 0, and U=V=128 makes the repo's YUV→RGB exact on
+    * gray). DuckDB recomputes the luma statistics as byte statistics
+    * × 64 — the entire arithmetic-coder + transform pipeline must
+    * cancel for the hash to match, the q126 device on the lossy
+    * codec.
+    */
+  def q148(spark: SparkSession, dir: String): DataFrame =
+    lumaStatsFace(vp8Table(spark, dir), Webp.decode)
+
+  /** DuckDB mirror of q148 — the q126 shape verbatim (same geometry,
+    * different codec underneath).
+    */
+  val q148Sql: String =
+    s"""WITH $hexBytesCte,
+      |dims AS (
+      |  SELECT doc_id, GREATEST(CAST(ceil(nb / 10.0) AS BIGINT), 1) AS hb
+      |  FROM hx),
+      |agg AS (
+      |  SELECT b.doc_id, d.hb, d.hb * 640 AS n_px,
+      |    64 * coalesce(list_sum(b.bs), 0) AS lsum,
+      |    64 * (list_count(list_filter(b.bs, x -> x < 32)) +
+      |      (d.hb * 10 - b.nb)) AS ndark
+      |  FROM bts b JOIN dims d ON b.doc_id = d.doc_id)
+      |SELECT doc_id, CAST(80 AS BIGINT) AS img_w,
+      |  CAST(hb * 8 AS BIGINT) AS img_h,
+      |  CAST(n_px AS BIGINT) AS n_px, TRUE AS ok,
+      |  ${graft.queries.Q.round4Sql("CAST(lsum AS DOUBLE) / n_px")} AS luma_mean4,
+      |  ${graft.queries.Q.round4Sql("CAST(ndark AS DOUBLE) / n_px")} AS dark_frac4
+      |FROM agg ORDER BY doc_id""".stripMargin
+
   /** q127 entry: PDF TEXT EXTRACTION in the oracle-checked path —
     * each document written as a REAL single-page PDF
     * ([[PdfText.write]]: catalog/pages objects, a FlateDecode content

@@ -8,9 +8,16 @@ package graft.multimodal
   * color cache, meta prefix groups, and four spatial transforms
   * (predictor, color/cross-color, subtract-green, color-indexing with
   * pixel bundling) — RFC 9649's lossless bitstream, all implemented
-  * here. Lossy VP8 stays fenced (a full DCT/bool-coder video intra
-  * frame is a different project; the fence is honest and tested), as
-  * do animations (ANIM/ANMF) and VP8X files carrying no VP8L chunk.
+  * here. Since r16 the LOSSY half decodes too: [[Vp8]] is a full
+  * RFC 6386 keyframe decoder (bool coder, token trees, all intra
+  * predictors, both loop filters) proven byte-identical to libwebp's
+  * own output on a 118-vector parity corpus; [[decode]] routes the
+  * `VP8 ` chunk through it and converts YUV 4:2:0 to RGB with the
+  * repo's fixed-point full-range BT.601 (nearest-neighbor chroma
+  * upsampling — the RGB step is presentation; codec parity is pinned
+  * at the YUV planes, and a gray fixture with U=V=128 converts with
+  * R=G=B=Y exactly, the q148 oracle device). Animations (ANIM/ANMF)
+  * stay fenced, as do VP8X files carrying neither pixel chunk.
   *
   * Decoder profile: RIFF walk to the VP8L chunk (plain or inside a
   * VP8X still), 14-bit dims, all four transforms in any legal
@@ -526,6 +533,36 @@ object Webp {
     try decodeImpl(bytes)
     catch { case scala.util.control.NonFatal(_) => None }
 
+  /** YUV 4:2:0 → RGB, fixed-point full-range BT.601 with
+    * nearest-neighbor chroma upsampling — the repo's DEFINED
+    * conversion (deterministic presentation; the codec-correctness
+    * claim lives at the YUV planes, parity-pinned against libwebp).
+    * U=V=128 yields R=G=B=Y exactly.
+    */
+  private def yuvToRgb(f: Vp8.Frame): Netpbm.Image = {
+    val w = f.width; val h = f.height
+    val uw = f.uvWidth
+    val out = new Array[Byte](w * h * 3)
+    def cl(v: Int): Byte =
+      (if (v < 0) 0 else if (v > 255) 255 else v).toByte
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val yy = f.y(y * w + x) & 0xff
+        val cu = (f.u((y >> 1) * uw + (x >> 1)) & 0xff) - 128
+        val cv = (f.v((y >> 1) * uw + (x >> 1)) & 0xff) - 128
+        val o = (y * w + x) * 3
+        out(o) = cl(yy + ((91881 * cv + 32768) >> 16))
+        out(o + 1) = cl(yy - ((22554 * cu + 46802 * cv + 32768) >> 16))
+        out(o + 2) = cl(yy + ((116130 * cu + 32768) >> 16))
+        x += 1
+      }
+      y += 1
+    }
+    Netpbm.Image(w, h, 255, out)
+  }
+
   private def decodeImpl(bytes: Array[Byte]): Option[Netpbm.Image] = {
     def ascii(p: Int, s: String): Boolean =
       p + s.length <= bytes.length &&
@@ -535,17 +572,25 @@ object Webp {
         ((bytes(p + 2) & 0xffL) << 16) | ((bytes(p + 3) & 0xffL) << 24)
     if (bytes.length < 20 || !ascii(0, "RIFF") || !ascii(8, "WEBP"))
       return None
-    // chunk walk to VP8L; lossy VP8 and animations fence
+    // chunk walk to VP8L (lossless) or VP8 (lossy keyframe, r16);
+    // animations fence
     var p = 12
     var vp8lAt = -1
     var vp8lLen = 0
-    while (vp8lAt < 0 && p + 8 <= bytes.length) {
+    var vp8At = -1
+    var vp8Len = 0
+    while (vp8lAt < 0 && vp8At < 0 && p + 8 <= bytes.length) {
       val size = u32(p + 4)
       if (size < 0 || size > Int.MaxValue) return None
       if (ascii(p, "VP8L")) { vp8lAt = p + 8; vp8lLen = size.toInt }
-      else if (ascii(p, "VP8 ") || ascii(p, "ANIM") || ascii(p, "ANMF"))
-        return None // lossy / animation: out of profile
+      else if (ascii(p, "VP8 ")) { vp8At = p + 8; vp8Len = size.toInt }
+      else if (ascii(p, "ANIM") || ascii(p, "ANMF"))
+        return None // animation: out of profile
       else p += 8 + size.toInt + (size.toInt & 1)
+    }
+    if (vp8At >= 0) {
+      if (vp8At + vp8Len > bytes.length) return None
+      return Vp8.decode(bytes, vp8At, vp8Len).map(yuvToRgb)
     }
     if (vp8lAt < 0 || vp8lAt + vp8lLen > bytes.length) return None
     val end = vp8lAt + vp8lLen

@@ -109,6 +109,13 @@ class FuzzSpec extends SparkSpec {
         b => { Webp.decode(b); () }),
       ("webp-palette", Webp.encode(palImg, palette = true),
         b => { Webp.decode(b); () }),
+      ("webp-vp8", {
+        // lossy keyframe seed: per-4x4-uniform 32x16 luma bands
+        val luma = Array.tabulate[Byte](32 * 16) { i =>
+          (((i / 32 / 4) * 4 + (i % 32) / 4) * 16).toByte
+        }
+        Vp8.encodeWebp(luma, 32, 16)
+      }, b => { Webp.decode(b); () }),
       ("wav", wav, b => { Wav.decode(b); () }),
       ("mp3", Mp3.write(20, id3Junk = 40), b => { Mp3.parse(b); () }),
       ("pdf", PdfText.write("fuzz target paragraph for the pdf walker"),

@@ -1738,11 +1738,11 @@ class MultimodalSpec extends SparkSpec {
       out.toByteArray
     }
     val xmpSeg = seg(0xE1,
-      ("http://ns.adobe.com/xap/1.0/ <x:xmpmeta>" +
+      ("http://ns.adobe.com/xap/1.0/\u0000<x:xmpmeta>" +
         "<exif:GPSLatitude>37,46.49N</exif:GPSLatitude></x:xmpmeta>")
         .getBytes("ISO-8859-1"))
     val iptcSeg = seg(0xED,
-      "Photoshop 3.0 8BIMlocation byline"
+      "Photoshop 3.0\u00008BIM\u0004\u0004location byline"
         .getBytes("ISO-8859-1"))
     val sidecars = base.take(2) ++ xmpSeg ++ iptcSeg ++ base.drop(2)
     assert(Exif.parse(sidecars).isEmpty,
