@@ -119,9 +119,18 @@ object Robots {
     q >= pat.length
   }
 
-  /** allow/deny for `agent` fetching `path` under `groups`. */
+  /** allow/deny for `agent` fetching `path` under `groups`. RFC
+    * 9309: an EMPTY path means "/" — a pathless site-root URL is
+    * governed by the same rules as "/" (without this, `Disallow: /`
+    * would not match "" and a deny-all policy would green-light
+    * fetching the host's root — the compliance-violating direction).
+    */
   def allowed(groups: Vector[Group], agent: String,
               path: String): Boolean = {
+    val p0 =
+      if (path == null || path.isEmpty) "/"
+      else if (path.charAt(0) != '/') "/" + path // bare "?x=1" too
+      else path
     val a = if (agent == null) "" else
       agent.toLowerCase(java.util.Locale.ROOT)
     // the winning agent token: longest specific token contained in
@@ -142,7 +151,7 @@ object Robots {
       if (pattern.isEmpty) {
         // empty Disallow = allow everything (matches nothing to deny)
         if (!allow) () else ()
-      } else if (matches(pattern, path)) {
+      } else if (matches(pattern, p0)) {
         val len = pattern.length
         if (len > bestLen || (len == bestLen && allow && !bestAllow)) {
           bestLen = len; bestAllow = allow

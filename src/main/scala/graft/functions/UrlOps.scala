@@ -38,7 +38,10 @@ object UrlOps {
     val scheme = lower(regexp_extract(url, "^([A-Za-z]+)://", 1))
     val hostport = lower(regexp_extract(url, "^[A-Za-z]+://([^/?#]+)", 1))
     val path = regexp_extract(url, "^[A-Za-z]+://[^/?#]+([^?#]*)", 1)
-    val qs = regexp_extract(url, "\\?([^#]*)", 1)
+    // the query must be found BEFORE any '#': an unanchored "\\?"
+    // would match a '?' inside the fragment and fabricate a query
+    // from fragment text (wrong dedup key, wrong robots path)
+    val qs = regexp_extract(url, "^[^#]*?\\?([^#]*)", 1)
     val host = regexp_replace(
       regexp_replace(hostport, ":[0-9]+$", ""), "^www\\.", "")
     val port = regexp_extract(hostport, ":([0-9]+)$", 1)

@@ -145,9 +145,13 @@ object TextExprs {
   /** Image-metadata PII scrub over a binary payload — the q147 strip
     * ([[graft.multimodal.Exif.strip]]: JPEG/PNG/WebP metadata
     * segments drop whole, standalone-TIFF GPS/DateTime zero in
-    * place) as STRUCT<payload BINARY, scrubbed BOOLEAN>. Containers
-    * the scrub does not govern pass through unchanged with
-    * scrubbed=false — the flag IS the per-row billing the media face
+    * place) as STRUCT<payload BINARY, scrubbed BOOLEAN, fenced
+    * BOOLEAN>. Containers the scrub does not govern pass through
+    * unchanged (scrubbed=false, fenced=false); a GOVERNED container
+    * whose grammar broke gets a NULL payload and fenced=true — the
+    * bytes may carry intact EXIF ahead of the breakage, and a
+    * privacy-governed store must not keep what it could not scrub.
+    * The two flags ARE the per-row billing the media face
     * aggregates.
     */
   def exifScrub(payload: Column): Column = c(ExifScrub(x(payload)))
@@ -1425,6 +1429,8 @@ case class ExifScrub(child: Expression)
       org.apache.spark.sql.types.StructField("payload",
         org.apache.spark.sql.types.BinaryType),
       org.apache.spark.sql.types.StructField("scrubbed",
+        org.apache.spark.sql.types.BooleanType, nullable = false),
+      org.apache.spark.sql.types.StructField("fenced",
         org.apache.spark.sql.types.BooleanType, nullable = false)))
   override def nullable: Boolean = true
 
@@ -1434,9 +1440,15 @@ case class ExifScrub(child: Expression)
       case Some(s) =>
         val changed = !java.util.Arrays.equals(s, bytes)
         org.apache.spark.sql.catalyst.InternalRow(
-          if (changed) s else bytes, changed)
+          if (changed) s else bytes, changed, false)
       case None =>
-        org.apache.spark.sql.catalyst.InternalRow(bytes, false)
+        // governed container, broken grammar: a scrub that cannot
+        // run must not let the bytes through (the PII may sit intact
+        // ahead of the breakage)
+        if (graft.multimodal.Exif.governs(bytes))
+          org.apache.spark.sql.catalyst.InternalRow(null, false, true)
+        else
+          org.apache.spark.sql.catalyst.InternalRow(bytes, false, false)
     }
   }
 

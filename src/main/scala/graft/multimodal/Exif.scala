@@ -72,6 +72,18 @@ object Exif {
       (0 until ExifHeader.length).forall(i =>
         b(start + 4 + i) == ExifHeader(i))
 
+  /** Whether the scrub GOVERNS this container (JPEG/PNG/WebP/TIFF
+    * by magic) — distinct from whether [[strip]] succeeded: a
+    * governed container whose grammar breaks returns None from
+    * strip, and a privacy-governed store must treat that as a FENCE
+    * (the bytes may still carry intact EXIF ahead of the breakage —
+    * "hostile metadata must not survive by being malformed"), while
+    * an ungoverned container (GIF, PDF, …) passes through untouched.
+    */
+  def governs(b: Array[Byte]): Boolean =
+    b != null &&
+      (isJpeg(b) || isPng(b) || isWebp(b) || isTiff(b))
+
   private def isJpeg(b: Array[Byte]): Boolean =
     b.length >= 2 && (b(0) & 0xff) == 0xFF && (b(1) & 0xff) == 0xD8
   private def isPng(b: Array[Byte]): Boolean =

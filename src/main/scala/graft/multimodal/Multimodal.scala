@@ -1244,7 +1244,11 @@ object Multimodal {
       .select(col("doc_id"), coalesce(col("text"), lit("")).as("t"))
       .as[(Long, String)]
       .map { case (id, t) =>
-        val bytes = t.getBytes("UTF-8")
+        // VP8 dims are 14-bit: h = 8*ceil(nb/10) <= 16383 caps nb at
+        // 20,470 bytes — capped HERE (and mirrored in the oracle's
+        // hex-slice) instead of throwing inside an executor map on a
+        // long document (the review-caught failure mode)
+        val bytes = t.getBytes("UTF-8").take(20470)
         val hb = math.max((bytes.length + 9) / 10, 1)
         val idx = java.util.Arrays.copyOf(bytes, 10 * hb)
         val w = 80; val h = 8 * hb
@@ -1288,7 +1292,16 @@ object Multimodal {
     * different codec underneath).
     */
   val q148Sql: String =
-    s"""WITH $hexBytesCte,
+    s"""WITH hx AS (
+      |  SELECT doc_id,
+      |    substr(hex(encode(coalesce(text,''))), 1, 40940) AS h,
+      |    LEAST(octet_length(encode(coalesce(text,''))), 20470) AS nb
+      |  FROM documents),
+      |bts AS (
+      |  SELECT doc_id, nb, list_transform(range(1, nb+1), i ->
+      |    CAST(strpos('0123456789ABCDEF', substr(h, CAST(2*i-1 AS INT), 1)) - 1 AS INT) * 16 +
+      |    CAST(strpos('0123456789ABCDEF', substr(h, CAST(2*i AS INT), 1)) - 1 AS INT)) AS bs
+      |  FROM hx),
       |dims AS (
       |  SELECT doc_id, GREATEST(CAST(ceil(nb / 10.0) AS BIGINT), 1) AS hb
       |  FROM hx),

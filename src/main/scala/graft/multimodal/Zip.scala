@@ -86,7 +86,13 @@ object Zip {
         // record — otherwise a crafted comment embedding a fake empty
         // EOCD would win the backward scan and HIDE the real members
         // (the hole this probe exists to close, in the worse
-        // direction)
+        // direction). Stated trade: an EMPTY archive behind a
+        // self-extractor stub (cdOff shifted by the prefix) now reads
+        // None instead of Some(empty) — a tolerance like cdOff <= p
+        // would reopen the hide attack (a planted all-zero EOCD sits
+        // AFTER the real record, so the backward scan hits it first),
+        // and an empty archive carries nothing to lose: both results
+        // yield zero members downstream
         val emptyOk = t == 0 && u32(bytes, p + 12) == 0L && off == p.toLong
         val plausible =
           t == 0xFFFF || off == 0xFFFFFFFFL || emptyOk ||

@@ -106,7 +106,7 @@ object WebQ {
        |    lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) AS scheme,
        |    lower(regexp_extract(url, '^[A-Za-z]+://([^/?#]+)', 1)) AS hostport,
        |    regexp_extract(url, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1) AS pth,
-       |    regexp_extract(url, '\\?([^#]*)', 1) AS qs
+       |    regexp_extract(url, '^[^#]*?\\?([^#]*)', 1) AS qs
        |  FROM dirty),
        |norm AS (
        |  SELECT doc_id, url, scheme, pth,

@@ -592,6 +592,12 @@ object WarcSource {
     val mLabel = when(isSelf && col("hdr_label") =!= "", col("hdr_label"))
       .otherwise(metaCharsetLabel(col("m.data")))
     val named = col("m.name").isNotNull && col("m.name") =!= ""
+    val docId = when(!named,
+        md5Lower64(concat_ws("#", col("file"), col("record_ix"))))
+      .otherwise(md5Lower64(concat_ws("#", col("file"),
+        col("record_ix"), col("m_pos"), col("m.name"))))
+    val urlCol = when(!named, col("target_uri"))
+      .otherwise(concat_ws("#", col("target_uri"), col("m.name")))
     // `honorNoindex`: the robots-noindex verdict INLINE, off the same
     // decoded string the pageMeta face reads — the noindex evidence
     // lives in the SAME record as the body, so no cross-record state,
@@ -604,32 +610,44 @@ object WarcSource {
     // (spec-pinned). The per-batch drop count is published as the
     // `graft_noindex` observed metric — the streaming billing
     // surface; batch reads WarcStats.noindexDropped instead.
-    val gated =
-      if (!honorNoindex) exploded
-      else exploded
+    //
+    // Cost shape (review-caught): the text is DECODED ONCE — the
+    // explode(array(…)) Generate barrier materializes it, the
+    // noindex flag reads the MATERIALIZED column (filters cannot
+    // push below a Generate, and the flag references the generated
+    // attribute, never re-running charsetDecode), and the final
+    // projection reuses the same column. The gate adds one HtmlMeta
+    // scan per own-body page, zero extra decodes.
+    if (!honorNoindex)
+      corpusShape(exploded
+        .select(Seq(
+          docId.as("doc_id"), urlCol.as("url"),
+          T.charsetDecode(col("m.data"), mLabel).as("text"),
+          T.charsetResolve(col("m.data"), mLabel).as("charset_used"),
+          col("source")) ++ extra.map(_ => col("ts")): _*),
+        extra.nonEmpty)
+    else {
+      val withText = exploded
+        .select(Seq(
+          docId.as("doc_id"), urlCol.as("url"),
+          col("m.name").isNull.as("_graft_self"),
+          col("warc_type"),
+          explode(array(T.charsetDecode(col("m.data"), mLabel)))
+            .as("text"),
+          T.charsetResolve(col("m.data"), mLabel).as("charset_used"),
+          col("source")) ++ extra.map(_ => col("ts")): _*)
+      corpusShape(withText
         .withColumn("_graft_noindex",
-          when(isSelf && col("warc_type") === "response",
-            coalesce(T.htmlMeta(T.charsetDecode(col("m.data"), mLabel))
-              .getField("noindex"), lit(false)))
+          when(col("_graft_self") && col("warc_type") === "response",
+            coalesce(T.htmlMeta(col("text")).getField("noindex"),
+              lit(false)))
             .otherwise(lit(false)))
         .observe("graft_noindex",
           sum(col("_graft_noindex").cast("long")).as("noindexDropped"))
         .filter(!col("_graft_noindex"))
-        .drop("_graft_noindex")
-    corpusShape(gated
-      .select(Seq(
-        when(!named,
-          md5Lower64(concat_ws("#", col("file"), col("record_ix"))))
-          .otherwise(md5Lower64(concat_ws("#", col("file"),
-            col("record_ix"), col("m_pos"), col("m.name"))))
-          .as("doc_id"),
-        when(!named, col("target_uri"))
-          .otherwise(concat_ws("#", col("target_uri"), col("m.name")))
-          .as("url"),
-        T.charsetDecode(col("m.data"), mLabel).as("text"),
-        T.charsetResolve(col("m.data"), mLabel).as("charset_used"),
-        col("source")) ++ extra.map(_ => col("ts")): _*),
-      extra.nonEmpty)
+        .drop("_graft_noindex", "_graft_self", "warc_type"),
+        extra.nonEmpty)
+    }
   }
 
   /** The PAGE-METADATA face: per HTML/text `response` page the four
@@ -1032,13 +1050,17 @@ object WarcSource {
     * rows whose payloads pass through [[graft.multimodal.Exif.strip]]
     * (JPEG APP1/APP13/COM, PNG eXIf+text chunks, WebP EXIF/XMP
     * chunks, standalone-TIFF GPS/DateTime zeroing; containers the
-    * scrub does not govern pass through byte-identical) plus a
-    * `scrubbed` BILLING column: true only when bytes changed, so
-    * `sum(scrubbed)` is the per-crawl privacy-scrub count (the
-    * no-silent-policy rule — a scrub whose size nobody can read is a
-    * policy nobody can audit). `meta` keeps the ORIGINAL payload's
-    * checksum/size as intake evidence (the audit trail points at
-    * what was fetched, the payload carries what may be stored). One
+    * scrub does not govern pass through byte-identical) plus TWO
+    * billing columns: `scrubbed` (bytes changed — `sum(scrubbed)` is
+    * the per-crawl privacy-scrub count) and `fenced` (a GOVERNED
+    * container whose grammar broke: its `payload` is NULL, because
+    * the bytes may carry intact EXIF ahead of the breakage and a
+    * privacy-governed store must not keep what it could not scrub —
+    * the review-caught hole where malformed-but-governed media
+    * shipped PII byte-identical). `meta` keeps the ORIGINAL
+    * payload's checksum/size as intake evidence (the audit trail
+    * points at what was fetched, the payload carries what may be
+    * stored). One
     * strip per row, pinned behind the explode(array(…)) Generate
     * barrier; pure Column ops, so the streaming mirror
     * ([[graft.streaming.Streams.warcMediaScrubbed]]) inherits
@@ -1053,6 +1075,7 @@ object WarcSource {
       .select(Seq(col("path"), col("doc_id"),
         col("s.payload").as("payload"),
         col("s.scrubbed").as("scrubbed"),
+        col("s.fenced").as("fenced"),
         col("meta")) ++ extra.map(_ => col("ts")): _*)
   }
 }

@@ -36,10 +36,15 @@ object BenchBridge {
     }
   }
 
-  /** Install the counters on this context (idempotent per process —
-    * the bench main calls it once).
+  private val installed = new java.util.concurrent.atomic.AtomicBoolean(false)
+
+  /** Install the counters on this context — idempotent FOR REAL: a
+    * second call must not register the listener again, or every task
+    * double-counts and the drift-attribution numbers this exists to
+    * make trustworthy read ~2x.
     */
-  def install(sc: SparkContext): Unit = sc.addSparkListener(listener)
+  def install(sc: SparkContext): Unit =
+    if (installed.compareAndSet(false, true)) sc.addSparkListener(listener)
 
   /** Cumulative (taskSeconds, gcSeconds) across every task ended so
     * far, AFTER draining the async listener bus — without the drain,

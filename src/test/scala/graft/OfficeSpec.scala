@@ -74,6 +74,12 @@ class OfficeSpec extends AnyFunSuite {
     // a GENUINE empty archive still reads as Some(empty)
     assert(Zip.entries(Zip.write(Seq.empty)).get.isEmpty,
       "the coherence check must not reject a real empty archive")
+    // the stated trade: an empty archive behind a prefix stub reads
+    // None (cdOff no longer lands on the record) — fence direction,
+    // because tolerating offset drift would reopen the hide attack
+    assert(Zip.entries(
+      b("SFXSTUB") ++ Zip.write(Seq.empty)).isEmpty,
+      "prefixed empty archives fence (documented trade)")
   }
 
   test("zip fences: truncation, bad CRC, encrypted bit, exotic method, zip64 sentinel, non-zip") {

@@ -1057,14 +1057,16 @@ class WarcSourceSpec extends SparkSpec {
       // dropping the tracking param REINSTATES the $ anchor: the
       // listed URL would defeat it, the fetched one does not
       ("https://f.example/cache/g.tmp?utm_z=9", None),
-      ("https://g.example/open/page", None)))
+      ("https://g.example/open/page", None),
+      // PATHLESS site root (review-caught): RFC 9309 reads "" as "/"
+      ("https://site2.example?utm_only=1", None)))
     Files.write(Paths.get(dir, "frontier.warc"),
       resp("http://f.example/sitemap.xml", "application/xml",
         sm.getBytes("UTF-8")))
     val recs = WarcSource.records(spark, dir)
     val fp = WarcSource.frontierPlan(recs, policy, "GraftBot/2.1")
     val rows = fp.collect()
-    assert(rows.length == 5)
+    assert(rows.length == 6)
     val byNorm = rows.map(r => r.getAs[String]("url_norm") ->
       r.getAs[Boolean]("allowed")).toMap
     assert(byNorm == Map(
@@ -1072,12 +1074,19 @@ class WarcSourceSpec extends SparkSpec {
       "https://f.example/private/public/x" -> true,
       "https://f.example/cache/f.tmp" -> false,
       "https://f.example/cache/g.tmp" -> false,
-      "https://g.example/open/page" -> true), s"got $byNorm")
+      "https://g.example/open/page" -> true,
+      // graftbot's group has no rule matching "/" -> allowed here;
+      // the per-host arm below pins the DENY direction
+      "https://site2.example" -> true), s"got $byNorm")
     assert(rows.find(_.getAs[String]("url_norm").endsWith("?x=1"))
       .get.getAs[Long]("n_tracking") == 1L)
-    assert(rows.forall(r => r.getAs[String]("host") ==
-      (if (r.getAs[String]("url_norm").contains("g.example")) "g.example"
-       else "f.example")), "www./port/case must normalize off the host")
+    assert(rows.forall { r =>
+      val n = r.getAs[String]("url_norm")
+      r.getAs[String]("host") ==
+        (if (n.contains("g.example")) "g.example"
+         else if (n.contains("site2.example")) "site2.example"
+         else "f.example")
+    }, "www./port/case must normalize off the host")
     // the r15 verdict's ask: NO serde boundary in the registered
     // face — the verdict arm is a Catalyst expression, not a typed
     // Dataset.map. The shared archive SOURCE necessarily crosses
@@ -1099,15 +1108,19 @@ class WarcSourceSpec extends SparkSpec {
     assert(countExpr({ case _: RobotsAllowed => () }) == 1,
       "one robots verdict per URL row")
     // per-host policies: f.example polices, g.example (no row) is
-    // allowed — robots is opt-out
+    // allowed — robots is opt-out; site2.example carries DENY-ALL,
+    // and its only URL is PATHLESS: the empty fetch path must read
+    // as "/" and DENY (the review-caught compliance hole)
     val policies = spark.createDataFrame(Seq(
-      ("f.example", policy))).toDF("host", "robots_txt")
+      ("f.example", policy),
+      ("site2.example", "User-agent: *\nDisallow: /\n")))
+      .toDF("host", "robots_txt")
     val perHost = WarcSource.frontierPlan(recs, policies, "GraftBot/2.1")
     val phByNorm = perHost.collect().map(r =>
       r.getAs[String]("url_norm") -> r.getAs[Boolean]("allowed")).toMap
-    assert(phByNorm == byNorm,
-      "same policy per host + opt-out default must reproduce the " +
-        "single-policy verdicts here")
+    assert(phByNorm == byNorm + ("https://site2.example" -> false),
+      "pathless site root under deny-all must DENY; the rest match " +
+        s"the single-policy verdicts: $phByNorm")
     assert(perHost.columns.toSeq == fp.columns.toSeq,
       "both overloads present the same face shape")
     // the continuous mirror inherits verbatim (pure column ops)
@@ -1119,7 +1132,7 @@ class WarcSourceSpec extends SparkSpec {
     try {
       q.processAllAvailable()
       val got = spark.table("warc_frontier_stream")
-      assert(got.count() == 5)
+      assert(got.count() == 6)
       assert(got.collect().map(r => r.getAs[String]("url_norm") ->
         r.getAs[Boolean]("allowed")).toMap == byNorm,
         "batch == stream on the frontier face")
@@ -1141,14 +1154,19 @@ class WarcSourceSpec extends SparkSpec {
       Some("pcam"), None)
     val cleanJpeg = Jpeg.encode(img) // nothing to scrub — bills false
     val gif = graft.multimodal.Gif.encode(img) // ungoverned container
+    // GOVERNED but malformed (review-caught hole): JPEG magic with an
+    // intact EXIF block cut mid-grammar — the scrub cannot run, so
+    // the store must NOT keep the bytes (payload nulls, fenced bills)
+    val brokenJpeg = java.util.Arrays.copyOfRange(jpegTagged, 0, 40)
     Files.write(Paths.get(dir, "m.warc"),
       resp("http://m.example/a.jpg", "image/jpeg", jpegTagged) ++
         resp("http://m.example/b.png", "image/png", pngTagged) ++
         resp("http://m.example/c.jpg", "image/jpeg", cleanJpeg) ++
-        resp("http://m.example/d.gif", "image/gif", gif))
+        resp("http://m.example/d.gif", "image/gif", gif) ++
+        resp("http://m.example/e.jpg", "image/jpeg", brokenJpeg))
     val recs = WarcSource.records(spark, dir)
     val rows = WarcSource.mediaScrubbed(recs).collect()
-    assert(rows.length == 4)
+    assert(rows.length == 5)
     val byUrl = rows.map(r => r.getAs[org.apache.spark.sql.Row]("meta")
       .getAs[String]("url") -> r).toMap
     val scrubbedJpeg = byUrl("http://m.example/a.jpg")
@@ -1166,6 +1184,14 @@ class WarcSourceSpec extends SparkSpec {
       "an ungoverned container passes through")
     assert(byUrl("http://m.example/d.gif").getAs[Array[Byte]]("payload")
       .toSeq == gif.toSeq)
+    assert(!byUrl("http://m.example/d.gif").getAs[Boolean]("fenced"))
+    val broken = byUrl("http://m.example/e.jpg")
+    assert(broken.getAs[Boolean]("fenced") &&
+      !broken.getAs[Boolean]("scrubbed"),
+      "governed-but-malformed must bill as fenced")
+    assert(broken.getAs[Array[Byte]]("payload") == null,
+      "a payload the scrub could not govern must not be stored")
+    assert(rows.count(_.getAs[Boolean]("fenced")) == 1)
     // meta stays the ORIGINAL fetch's evidence: checksum of the
     // tagged bytes, not the scrubbed ones
     assert(scrubbedJpeg.getAs[org.apache.spark.sql.Row]("meta")
@@ -1184,9 +1210,11 @@ class WarcSourceSpec extends SparkSpec {
     try {
       q.processAllAvailable()
       val got = spark.table("warc_mediascrub_stream").collect()
-      assert(got.length == 4)
+      assert(got.length == 5)
       assert(got.count(_.getAs[Boolean]("scrubbed")) == 2,
         "streaming bills the same two scrubs")
+      assert(got.count(_.getAs[Boolean]("fenced")) == 1,
+        "streaming bills the same fence")
       assert(got.forall(r => r.getAs[java.sql.Timestamp]("ts") != null))
     } finally q.stop()
   }

@@ -11,6 +11,17 @@ import org.apache.spark.sql.functions._
 class WebQSpec extends SparkSpec {
 
   test("q84: every normalization rule on hand-computed urls") {
+    // review-caught: a '?' INSIDE the fragment must not fabricate a
+    // query (the old unanchored regex matched it) — wrong dedup key
+    // and wrong robots path otherwise
+    import org.apache.spark.sql.functions.{col, lit}
+    val fragQ = spark.range(1)
+      .select(graft.functions.UrlOps
+        .urlNormalize(lit("https://h.example/p#sec?a=2"))
+        .getField("url_norm").as("n"))
+      .collect()(0).getString(0)
+    assert(fragQ == "https://h.example/p",
+      s"fragment text leaked into the query: $fragQ")
     val rows = WebQ.q84(spark, sf).collect()
     val byId = rows.map(r => r.getAs[Long]("doc_id") -> r).toMap
     val nDocs = Tables(spark, sf).documents.count()
@@ -232,6 +243,13 @@ class WebQSpec extends SparkSpec {
     // backtrack point — otherwise the star silently consumes one
     // char and a later mismatch wrongly reports "allowed" (the
     // compliance-violating direction; ADVICE r15)
+    // review-caught: RFC 9309 treats an empty path as "/" — a
+    // pathless site-root URL under a deny-all policy must DENY
+    val denyAll = Robots.parse("User-agent: *\nDisallow: /\n")
+    assert(!Robots.allowed(denyAll, "x", ""),
+      "empty path means '/' (deny-all must deny the site root)")
+    assert(!Robots.allowed(denyAll, "x", "?x=1"),
+      "a bare query is rooted at '/'")
     val star = Robots.parse("User-agent: *\nDisallow: /*.tmp$\n")
     assert(!Robots.allowed(star, "x", "/*.tmpX.tmp"),
       "pattern '*' meeting a literal '*' must still backtrack")
