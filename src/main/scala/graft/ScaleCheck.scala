@@ -427,7 +427,7 @@ object ScaleCheck {
       total
     }
     def officePoint(dir: String, tag: String, archives: Int)
-        : (Double, Double, Double, Double) = {
+        : Map[String, Double] = {
       val diskBytes = buildOfficeDir(dir, archives, recsPer = 280)
       val (offSec, offDocs) = time(
         graft.sources.WarcSource.officeDocuments(spark, dir, None), reps)
@@ -439,13 +439,33 @@ object ScaleCheck {
         graft.sources.WarcSource.pageMeta(spark, dir, None), reps)
       val (smSec, smRows) = time(
         graft.sources.WarcSource.sitemapUrls(spark, dir, None), reps)
+      // the r16 faces over the SAME archives: the one-plan frontier
+      // (discover -> canonicalize -> police), the PII-scrubbed media
+      // store, and canonical-URL dedup over the documents face (its
+      // one url_norm shuffle is the thing to watch at 10x)
+      val policy = "User-agent: *\nDisallow: /private/\n"
+      val (fpSec, fpRows) = time(
+        graft.sources.WarcSource.frontierPlan(
+          graft.sources.WarcSource.records(spark, dir), policy,
+          "GraftBot/2.1"), reps)
+      val (msSec, msRows) = time(
+        graft.sources.WarcSource.mediaScrubbed(
+          graft.sources.WarcSource.records(spark, dir)), reps)
+      val (udSec, udRows) = time(
+        graft.pipeline.CorpusPrep.urlDedup(
+          graft.sources.WarcSource.documents(spark, dir, None)), reps)
       val mb = diskBytes / 1048576.0
-      line(s"""{"scale":"$tag","office_media":{"archives":$archives,"disk_mb":${d3(mb)},"office_sec":${d3(offSec)},"office_docs":$offDocs,"office_mb_per_sec":${d3(mb / math.max(offSec, 1e-9))},"media_sec":${d3(medSec)},"media_rows":$media,"media_mb_per_sec":${d3(mb / math.max(medSec, 1e-9))},"pagemeta_sec":${d3(pmSec)},"pagemeta_rows":$pmRows,"sitemap_sec":${d3(smSec)},"sitemap_rows":$smRows}}""")
-      (offSec, medSec, pmSec, smSec)
+      line(s"""{"scale":"$tag","office_media":{"archives":$archives,"disk_mb":${d3(mb)},"office_sec":${d3(offSec)},"office_docs":$offDocs,"office_mb_per_sec":${d3(mb / math.max(offSec, 1e-9))},"media_sec":${d3(medSec)},"media_rows":$media,"media_mb_per_sec":${d3(mb / math.max(medSec, 1e-9))},"pagemeta_sec":${d3(pmSec)},"pagemeta_rows":$pmRows,"sitemap_sec":${d3(smSec)},"sitemap_rows":$smRows,"frontier_sec":${d3(fpSec)},"frontier_rows":$fpRows,"mediascrub_sec":${d3(msSec)},"mediascrub_rows":$msRows,"urldedup_sec":${d3(udSec)},"urldedup_rows":$udRows}}""")
+      Map("office" -> offSec, "media" -> medSec, "pagemeta" -> pmSec,
+        "sitemap" -> smSec, "frontier" -> fpSec, "mediascrub" -> msSec,
+        "urldedup" -> udSec)
     }
-    val (o0, me0, pm0, fr0) = officePoint("target/scale_office_1", "office1x", 4)
-    val (o1, me1, pm1, fr1) = officePoint("target/scale_office_10", "office10x", 40)
-    line(s"""{"scale":"office_ratio_10x_over_1x","expect":"wall flat-to-linear (one task per archive), super-linear is the red flag","office":${d3(if (o0 > 0) o1 / o0 else -1.0)},"media":${d3(if (me0 > 0) me1 / me0 else -1.0)},"pagemeta":${d3(if (pm0 > 0) pm1 / pm0 else -1.0)},"sitemap":${d3(if (fr0 > 0) fr1 / fr0 else -1.0)}}""")
+    val op0 = officePoint("target/scale_office_1", "office1x", 4)
+    val op1 = officePoint("target/scale_office_10", "office10x", 40)
+    val opRatios = op0.keys.toSeq.sorted.map { k =>
+      s""""$k":${d3(if (op0(k) > 0) op1(k) / op0(k) else -1.0)}"""
+    }.mkString(",")
+    line(s"""{"scale":"office_ratio_10x_over_1x","expect":"wall flat-to-linear (one task per archive), super-linear is the red flag",$opRatios}""")
 
     val w0 = warcPoint("target/scale_warc_1", "warc1x", archives = 4)
     val w1 = warcPoint("target/scale_warc_10", "warc10x", archives = 40)
