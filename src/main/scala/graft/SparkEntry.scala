@@ -67,7 +67,9 @@ object SparkEntry {
         Entry("q147_exif_containers", graft.multimodal.Multimodal.q147,
           Some(graft.multimodal.Multimodal.q147Sql)),
         Entry("q148_vp8_decode", graft.multimodal.Multimodal.q148,
-          Some(graft.multimodal.Multimodal.q148Sql)))
+          Some(graft.multimodal.Multimodal.q148Sql)),
+        Entry("q149_heif_probe", graft.multimodal.Multimodal.q149,
+          Some(graft.multimodal.Multimodal.q149Sql)))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1318,6 +1318,55 @@ object Multimodal {
       |  ${graft.queries.Q.round4Sql("CAST(ndark AS DOUBLE) / n_px")} AS dark_frac4
       |FROM agg ORDER BY doc_id""".stripMargin
 
+  /** q149 entry: HEIF/AVIF PROBE in the oracle-checked path — the
+    * triage arm for the two still-image formats whose pixel decode
+    * stays excluded (AV1/HEVC intra; SURVEY's stated gap): per
+    * doc_id a REAL ISO-BMFF meta tree ([[Heif.write]] — ftyp, meta
+    * FullBox, pitm, iinf/infe census incl. an optional Exif item,
+    * iprp/ipco with a DECOY thumbnail ispe listed first, ipma
+    * associations) with closed-form parameters, probed back
+    * ([[Heif.probe]]). The decoy pins the resolution path: a probe
+    * reading "the first ispe" reports 64x48 and fails the hash.
+    */
+  def q149(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id")).as[Long]
+      .map { id =>
+        def pmod(m: Long): Long = ((id % m) + m) % m
+        val avif = pmod(2) == 0
+        val brand = if (avif) "avif" else "heic"
+        val itemType = if (avif) "av01" else "hvc1"
+        val w = (160 + pmod(41)).toInt
+        val h = (90 + pmod(29)).toInt
+        val rot = (pmod(4) * 90).toInt
+        val exif = pmod(3) == 0
+        val p = Heif.probe(Heif.write(brand, itemType, w, h,
+          rotation = rot, withExif = exif))
+          .getOrElse(Heif.Probe("", "", -1, -1, -1, false, -1))
+        (id, p.brand, p.itemType, p.width.toLong, p.height.toLong,
+          p.nItems.toLong, p.hasExif, p.rotation.toLong)
+      }
+      .toDF("doc_id", "brand", "item_type", "width", "height",
+        "n_items", "has_exif", "rotation")
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB mirror of q149: every probed field closed-form. */
+  val q149Sql: String =
+    """SELECT doc_id,
+      |  CASE WHEN ((doc_id % 2) + 2) % 2 = 0 THEN 'avif' ELSE 'heic'
+      |    END AS brand,
+      |  CASE WHEN ((doc_id % 2) + 2) % 2 = 0 THEN 'av01' ELSE 'hvc1'
+      |    END AS item_type,
+      |  160 + ((doc_id % 41) + 41) % 41 AS width,
+      |  90 + ((doc_id % 29) + 29) % 29 AS height,
+      |  CASE WHEN ((doc_id % 3) + 3) % 3 = 0 THEN 3 ELSE 2 END
+      |    AS n_items,
+      |  ((doc_id % 3) + 3) % 3 = 0 AS has_exif,
+      |  (((doc_id % 4) + 4) % 4) * 90 AS rotation
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   /** q127 entry: PDF TEXT EXTRACTION in the oracle-checked path —
     * each document written as a REAL single-page PDF
     * ([[PdfText.write]]: catalog/pages objects, a FlateDecode content

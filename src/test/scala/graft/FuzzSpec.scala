@@ -109,6 +109,8 @@ class FuzzSpec extends SparkSpec {
         b => { Webp.decode(b); () }),
       ("webp-palette", Webp.encode(palImg, palette = true),
         b => { Webp.decode(b); () }),
+      ("heif", Heif.write("avif", "av01", 48, 32, rotation = 180,
+        withExif = true), b => { Heif.probe(b); () }),
       ("webp-vp8", {
         // lossy keyframe seed: per-4x4-uniform 32x16 luma bands
         val luma = Array.tabulate[Byte](32 * 16) { i =>

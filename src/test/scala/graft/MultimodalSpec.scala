@@ -1751,6 +1751,57 @@ class MultimodalSpec extends SparkSpec {
       "XMP APP1 and APP13/IPTC must drop under the scrub")
   }
 
+  test("heif probe: pitm→ipma→ispe resolution (decoy thumbnail not reported), item census, rotation, largest-ispe fallback, fences") {
+    import graft.multimodal.Heif
+    val avif = Heif.write("avif", "av01", 200, 120,
+      rotation = 90, withExif = true)
+    val p = Heif.probe(avif).get
+    assert(p.brand == "avif" && p.itemType == "av01")
+    assert(p.width == 200 && p.height == 120,
+      s"must resolve the PRIMARY ispe, not the decoy thumbnail: $p")
+    assert(p.rotation == 90 && p.hasExif && p.nItems == 3)
+    val heic = Heif.probe(Heif.write("heic", "hvc1", 640, 480)).get
+    assert(heic.brand == "heic" && heic.itemType == "hvc1" &&
+      heic.width == 640 && heic.height == 480 &&
+      !heic.hasExif && heic.rotation == 0 && heic.nItems == 2)
+    // largest-ispe fallback: break the ipma tag — the probe must
+    // fall back to the LARGEST ispe (the primary's), never the decoy
+    val noIpma = avif.clone()
+    val at = {
+      val s = new String(noIpma, "ISO-8859-1"); s.indexOf("ipma")
+    }
+    assert(at > 0)
+    noIpma(at) = 'x'.toByte
+    val fb = Heif.probe(noIpma).get
+    assert(fb.width == 200 && fb.height == 120,
+      "fallback must pick the largest ispe, not the first")
+    // fences: truncation sweep, non-HEIF brand, garbage, video mp4
+    (1 until avif.length by 7).foreach { n =>
+      Heif.probe(java.util.Arrays.copyOfRange(avif, 0, n)) // no throw
+    }
+    assert(Heif.probe(java.util.Arrays.copyOfRange(avif, 0, 20)).isEmpty)
+    assert(Heif.probe("plain prose with ftyp inside".getBytes("UTF-8")).isEmpty)
+    assert(Heif.probe(graft.multimodal.Mp4.write("isom", 1000,
+      video = Some(("avc1", 320, 240)), audio = None)).isEmpty,
+      "a video mp4 is not a HEIF still")
+    // mutation sweep over the meta region: fence or probe, no throw
+    var i = 0
+    while (i < avif.length) {
+      val m = avif.clone(); m(i) = (m(i) ^ 0x5A).toByte
+      Heif.probe(m)
+      i += 3
+    }
+    // and the sniff routes the writer's bytes to the image mimes
+    val s = TestSpark.spark
+    import org.apache.spark.sql.functions.lit
+    val mimes = s.range(1).select(
+      graft.sources.BinarySource.sniffMime(lit(avif)).as("a"),
+      graft.sources.BinarySource.sniffMime(
+        lit(Heif.write("heic", "hvc1", 8, 8))).as("h")).collect()(0)
+    assert(mimes.getString(0) == "image/avif" &&
+      mimes.getString(1) == "image/heic")
+  }
+
   test("exif containers: PNG eXIf / WebP EXIF+XMP / standalone TIFF all parse and scrub; pixels survive; idempotent; fences") {
     import graft.multimodal.{Exif, Netpbm, Png, Webp}
     val img = Netpbm.Image(10, 8, 255,

@@ -134,6 +134,32 @@ class Vp8Spec extends AnyFunSuite {
     assert(Netpbm.luma(77, 77, 77) == 77)
   }
 
+  test("dHash near-dup coverage now includes lossy WebP: a real libwebp vector decodes to a stable fingerprint, and gray fixtures hash identically across codecs") {
+    // the whole point of the decoder: the image near-dup machinery
+    // (q118/q119 ride Netpbm.dHash64 over decoded pixels) covers the
+    // web's dominant WebP flavor instead of skipping it
+    val webp = res("v_64x48_k1_q75.webp")
+    val img = Webp.decode(webp).getOrElse(fail("lossy vector must decode"))
+    val h1 = Netpbm.dHash64(img)
+    val h2 = Netpbm.dHash64(Webp.decode(webp).get)
+    assert(h1 == h2, "fingerprint must be deterministic")
+    // cross-codec: the same per-4x4-uniform gray image through VP8
+    // (exact round trip) and through PNG (lossless) hashes IDENTICAL
+    val payload = Array.tabulate[Byte](20)(i => ((i * 53 + 7) % 256).toByte)
+    val (luma, w, h) = bandLuma(payload)
+    val rgb = new Array[Byte](w * h * 3)
+    var i = 0
+    while (i < w * h) {
+      rgb(3 * i) = luma(i); rgb(3 * i + 1) = luma(i)
+      rgb(3 * i + 2) = luma(i); i += 1
+    }
+    val viaVp8 = Webp.decode(Vp8.encodeWebp(luma, w, h)).get
+    val viaPng = graft.multimodal.Png.decode(
+      graft.multimodal.Png.encode(Netpbm.Image(w, h, 255, rgb))).get
+    assert(Netpbm.dHash64(viaVp8) == Netpbm.dHash64(viaPng),
+      "the same image must fingerprint identically across codecs")
+  }
+
   test("encoder rejects non-per-4x4-uniform luma (the exactness precondition)") {
     val luma = new Array[Byte](80 * 8)
     luma(1) = 1 // breaks the top-left block's uniformity
