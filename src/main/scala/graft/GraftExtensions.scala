@@ -115,6 +115,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) =>
         RobotsAllowed(args(0), args(1), args(2))))
 
+    ext.injectFunction((FunctionIdentifier("graft_robots_crawl_delay"),
+      info("graft_robots_crawl_delay",
+        "graft_robots_crawl_delay(robots_txt, agent) - Crawl-delay " +
+          "seconds owed the agent (NULL when undeclared)"),
+      (args: Seq[Expression]) => RobotsCrawlDelay(args(0), args(1))))
+
     // an AGGREGATE function registers the same way — the analyzer
     // wraps a returned AggregateFunction in its AggregateExpression
     // exactly as for built-ins, so `SELECT graft_bottom_k(h, v, 1024)

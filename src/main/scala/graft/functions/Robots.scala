@@ -30,7 +30,8 @@ package graft.functions
 object Robots {
 
   final case class Group(agents: Vector[String],
-                         rules: Vector[(Boolean, String)])
+                         rules: Vector[(Boolean, String)],
+                         crawlDelay: Option[Double] = None)
 
   /** Parsed groups in file order. */
   def parse(txt: String): Vector[Group] = {
@@ -38,10 +39,11 @@ object Robots {
     val out = Vector.newBuilder[Group]
     var agents = Vector.empty[String]
     var rules = Vector.empty[(Boolean, String)]
+    var delay: Option[Double] = None
     var inAgentRun = false // consecutive User-agent lines accumulate
     def flush(): Unit = {
-      if (agents.nonEmpty) out += Group(agents, rules)
-      agents = Vector.empty; rules = Vector.empty
+      if (agents.nonEmpty) out += Group(agents, rules, delay)
+      agents = Vector.empty; rules = Vector.empty; delay = None
     }
     txt.linesIterator.foreach { raw =>
       val noComment = raw.indexOf('#') match {
@@ -65,7 +67,15 @@ object Robots {
           case "disallow" =>
             inAgentRun = false
             if (agents.nonEmpty) rules :+= ((false, value))
-          case _ => () // Crawl-delay/Sitemap/unknown: MUST NOT touch
+          case "crawl-delay" =>
+            // nonstandard but widely served (Bing/Yandex honor it);
+            // a member of the group block like allow/disallow —
+            // unparsable values are ignored (tolerance), negative
+            // ones too (a negative delay is nonsense)
+            inAgentRun = false
+            if (agents.nonEmpty)
+              delay = value.toDoubleOption.filter(_ >= 0).orElse(delay)
+          case _ => () // Sitemap/unknown: MUST NOT touch
                        // the group structure (the RFC tolerance rule)
                        // — in particular a Sitemap line BETWEEN two
                        // User-agent lines must not split them into
@@ -164,4 +174,28 @@ object Robots {
   /** One-call form over raw robots.txt content. */
   def allowed(robotsTxt: String, agent: String, path: String): Boolean =
     allowed(parse(robotsTxt), agent, path)
+
+  /** The Crawl-delay the scheduler owes this agent under `groups` —
+    * same group selection as [[allowed]] (longest specific token,
+    * `*` fallback); when several winning groups declare a delay the
+    * MAXIMUM applies (the politeness-conservative merge). None when
+    * no winning group declares one.
+    */
+  def crawlDelay(groups: Vector[Group], agent: String): Option[Double] = {
+    val a = if (agent == null) "" else
+      agent.toLowerCase(java.util.Locale.ROOT)
+    var bestToken: String = null
+    groups.foreach(_.agents.foreach { t =>
+      if (t != "*" && t.nonEmpty && a.contains(t) &&
+          (bestToken == null || t.length > bestToken.length))
+        bestToken = t
+    })
+    val token = if (bestToken != null) bestToken else "*"
+    val delays = groups.filter(_.agents.contains(token))
+      .flatMap(_.crawlDelay)
+    if (delays.isEmpty) None else Some(delays.max)
+  }
+
+  def crawlDelay(robotsTxt: String, agent: String): Option[Double] =
+    crawlDelay(parse(robotsTxt), agent)
 }

@@ -167,6 +167,14 @@ object TextExprs {
                     path: Column): Column =
     c(RobotsAllowed(x(robots), x(agent), x(path)))
 
+  /** The Crawl-delay the scheduler owes `agent` under the policy —
+    * [[graft.functions.Robots.crawlDelay]] as a column (NULL when no
+    * winning group declares one); same parse cache as
+    * [[robotsAllowed]].
+    */
+  def robotsCrawlDelay(robots: Column, agent: Column): Column =
+    c(RobotsCrawlDelay(x(robots), x(agent)))
+
   /** The canonical name [[charsetDecode]] will actually decode these
     * bytes with — "utf-8" for unknown declared labels, the sniffed
     * charset (utf-8 or windows-1252) for unlabeled payloads. Surfaced
@@ -1494,6 +1502,39 @@ case class RobotsAllowed(first: Expression, second: Expression,
   override protected def withNewChildrenInternal(
       f: Expression, s: Expression, t: Expression): Expression =
     copy(first = f, second = s, third = t)
+}
+
+/** Crawl-delay as an expression (see [[TextExprs.robotsCrawlDelay]])
+  * — the politeness-rate half of the frontier verdict: DOUBLE
+  * seconds, NULL when the winning group declares none. Same
+  * last-policy parse cache as [[RobotsAllowed]] (defensive
+  * UTF8String copy — row buffers are reused).
+  */
+case class RobotsCrawlDelay(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with CodegenFallback {
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.DoubleType
+  override def nullable: Boolean = true
+
+  @transient private[this] var lastTxt: UTF8String = _
+  @transient private[this] var lastGroups
+      : Vector[graft.functions.Robots.Group] = _
+
+  override def nullSafeEval(robots: Any, agent: Any): Any = {
+    val txt = robots.asInstanceOf[UTF8String]
+    if (lastTxt == null || !lastTxt.equals(txt)) {
+      lastTxt = txt.clone()
+      lastGroups = graft.functions.Robots.parse(txt.toString)
+    }
+    graft.functions.Robots.crawlDelay(lastGroups, agent.toString)
+      .map(Double.box).orNull
+  }
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
 }
 
 /** 7z member listing as an expression — [[TarMembers]]'s shape over

@@ -831,12 +831,19 @@ object WarcSource {
                               agent: String): DataFrame = {
     val T = graft.functions.expressions.TextExprs
     // null policy (no row for the host) → null verdict → allowed:
-    // robots is opt-out
-    withNorm.withColumn("allowed",
-      coalesce(
-        T.robotsAllowed(robots, lit(agent),
-          regexp_replace(col("url_norm"), "^[a-z]+://[^/]+", "")),
-        lit(true)))
+    // robots is opt-out. crawl_delay is the politeness RATE the
+    // scheduler owes this agent (NULL when the policy declares none
+    // or the host has no policy) — the other half of the verdict: a
+    // frontier plan that says WHETHER to fetch but not HOW FAST is
+    // half a plan
+    withNorm
+      .withColumn("allowed",
+        coalesce(
+          T.robotsAllowed(robots, lit(agent),
+            regexp_replace(col("url_norm"), "^[a-z]+://[^/]+", "")),
+          lit(true)))
+      .withColumn("crawl_delay",
+        T.robotsCrawlDelay(robots, lit(agent)))
   }
 
   /** The PDF-text face: `response` payloads whose magic is %PDF-,

@@ -401,5 +401,12 @@ class NativeExprSpec extends SparkSpec {
       .collect()(0)
     assert(nulls.isNullAt(0), "null policy must propagate null")
     assert(!nulls.getBoolean(1), "SQL form evaluates the policy")
+    // crawl-delay expression: declared -> seconds, undeclared -> NULL
+    val cd = spark.sql(
+      "SELECT graft_robots_crawl_delay(" +
+        "'User-agent: *\nCrawl-delay: 2.5\n', 'a') d1, " +
+        "graft_robots_crawl_delay('User-agent: *\nDisallow: /x\n', 'a') d2")
+      .collect()(0)
+    assert(cd.getDouble(0) == 2.5 && cd.isNullAt(1))
   }
 }

@@ -1044,6 +1044,7 @@ class WarcSourceSpec extends SparkSpec {
         |Disallow: /private/
         |Allow: /private/public/
         |Disallow: /*.tmp$
+        |Crawl-delay: 1.5
         |
         |User-agent: *
         |Disallow: /
@@ -1080,6 +1081,10 @@ class WarcSourceSpec extends SparkSpec {
       "https://site2.example" -> true), s"got $byNorm")
     assert(rows.find(_.getAs[String]("url_norm").endsWith("?x=1"))
       .get.getAs[Long]("n_tracking") == 1L)
+    // the politeness RATE rides the plan: graftbot's group declares
+    // Crawl-delay 1.5 under the single policy
+    assert(rows.forall(r => r.getAs[Double]("crawl_delay") == 1.5),
+      "crawl_delay must surface per frontier row")
     assert(rows.forall { r =>
       val n = r.getAs[String]("url_norm")
       r.getAs[String]("host") ==
@@ -1121,6 +1126,14 @@ class WarcSourceSpec extends SparkSpec {
     assert(phByNorm == byNorm + ("https://site2.example" -> false),
       "pathless site root under deny-all must DENY; the rest match " +
         s"the single-policy verdicts: $phByNorm")
+    // per-host crawl_delay: f.example's policy declares 1.5; the
+    // deny-all and no-policy hosts declare none -> NULL
+    perHost.collect().foreach { r =>
+      val host = r.getAs[String]("host")
+      if (host == "f.example")
+        assert(r.getAs[Double]("crawl_delay") == 1.5, r.toString)
+      else assert(r.isNullAt(r.fieldIndex("crawl_delay")), r.toString)
+    }
     assert(perHost.columns.toSeq == fp.columns.toSeq,
       "both overloads present the same face shape")
     // the continuous mirror inherits verbatim (pure column ops)

@@ -243,6 +243,20 @@ class WebQSpec extends SparkSpec {
     // backtrack point — otherwise the star silently consumes one
     // char and a later mismatch wrongly reports "allowed" (the
     // compliance-violating direction; ADVICE r15)
+    // crawl-delay: the fixture's graftbot group declares 2; the *
+    // fallback group none; unparsable and negative values ignore;
+    // several winning groups merge by MAX (politeness-conservative)
+    assert(Robots.crawlDelay(groups, "GraftBot/2.1").contains(2.0))
+    assert(Robots.crawlDelay(groups, "SomeOther/1.0").isEmpty,
+      "the * group declares no delay")
+    val cd = Robots.parse(
+      "User-agent: alpha\nCrawl-delay: junk\nUser-agent: beta\n" +
+        "Crawl-delay: -3\nUser-agent: gamma\nCrawl-delay: 0.5\n" +
+        "User-agent: gamma\nCrawl-delay: 4\n")
+    assert(Robots.crawlDelay(cd, "alpha/1.0").isEmpty, "junk ignores")
+    assert(Robots.crawlDelay(cd, "beta/1.0").isEmpty, "negative ignores")
+    assert(Robots.crawlDelay(cd, "gamma/1.0").contains(4.0),
+      "winning groups merge by max")
     // review-caught: RFC 9309 treats an empty path as "/" — a
     // pathless site-root URL under a deny-all policy must DENY
     val denyAll = Robots.parse("User-agent: *\nDisallow: /\n")
