@@ -1631,7 +1631,7 @@ object Multimodal {
   private val CoverageMimes: IndexedSeq[String] = IndexedSeq(
     MimePpm, MimeBmp, MimePng, MimeGif, MimeJpeg, "image/webp",
     MimeWav, "image/tiff", "audio/mpeg", "audio/ogg", "audio/flac",
-    "video/mp4", "video/x-matroska")
+    "video/mp4", "video/x-matroska", "image/avif", "image/heic")
 
   /** Truncation prefix per class: long enough to keep the SNIFF
     * magic (the blob still routes to its class — the lying-content
@@ -1641,7 +1641,8 @@ object Multimodal {
     * header needs 27).
     */
   private val CoverageCut: IndexedSeq[Int] =
-    IndexedSeq(12, 12, 16, 10, 8, 14, 14, 9, 12, 20, 10, 20, 10)
+    IndexedSeq(12, 12, 16, 10, 8, 14, 14, 9, 12, 20, 10, 20, 10,
+      16, 16) // HEIF: whole ftyp magic survives, meta box does not
 
   private def coverageImage(id: Long): Netpbm.Image = {
     def pmod(k: Long): Long = ((id % k) + k) % k
@@ -1680,11 +1681,17 @@ object Multimodal {
         1 + pmod(2).toInt, 48000, 96000L + pmod(9600))
       case 10 => Flac.write(44100, 1 + pmod(2).toInt, 16,
         441000L + pmod(44100))
-      case _ if k == 11 => Mp4.write("isom", 1000L + pmod(60000),
+      case 11 => Mp4.write("isom", 1000L + pmod(60000),
         Some(("avc1", 320, 240)), None, version1 = pmod(5) == 0)
-      case _ => Mkv.write("matroska", 1000L + pmod(60000),
+      case 12 => Mkv.write("matroska", 1000L + pmod(60000),
         Some(("V_VP9", 320, 240)), None,
         unknownSegmentSize = pmod(7) == 0)
+      case 13 => Heif.write("avif", "av01", (160 + pmod(41)).toInt,
+        (90 + pmod(29)).toInt, rotation = (pmod(4) * 90).toInt,
+        withExif = pmod(3) == 0)
+      case _ => Heif.write("heic", "hvc1", (160 + pmod(41)).toInt,
+        (90 + pmod(29)).toInt, rotation = (pmod(4) * 90).toInt,
+        withExif = pmod(3) == 0)
     }
   }
 
@@ -1706,16 +1713,22 @@ object Multimodal {
       case 9 => if (Ogg.parse(payload).isDefined) "triaged" else "fenced"
       case 10 => if (Flac.parse(payload).isDefined) "triaged" else "fenced"
       case 11 => if (Mp4.parse(payload).isDefined) "triaged" else "fenced"
-      case _ => if (Mkv.parse(payload).isDefined) "triaged" else "fenced"
+      case 12 => if (Mkv.parse(payload).isDefined) "triaged" else "fenced"
+      case _ => if (Heif.probe(payload).isDefined) "triaged" else "fenced"
     }
 
   /** q139 entry: the MEDIA-COVERAGE AUDIT as a verified query — the
     * operator a 100 TB crawl deployment dashboards daily ("of the
     * media the crawl served, what fraction did we decode, what did
     * we only triage, what fenced, by mime"). Deterministic
-    * mixed-fixture injection: per doc_id a REAL payload of one of 13
-    * classes (7 decodable through the real codecs, 6 triage-only),
-    * every 5th id TRUNCATED to a magic-preserving prefix; the Spark
+    * mixed-fixture injection: per doc_id a REAL payload of one of 15
+    * classes (7 decodable through the real codecs, 8 triage-only —
+    * avif/heic joined in r16 the moment [[Heif.probe]] existed: the
+    * dashboard must absorb a new format the day its walk lands),
+    * every 7th id truncated (7 is coprime with 15, so EVERY class
+    * carries fenced rows — 5 divided the class count and would have
+    * left twelve fences unexercised),
+    * every 7th id TRUNCATED to a magic-preserving prefix; the Spark
     * side then runs the ACTUAL sniff ([[graft.sources.BinarySource
     * .sniffMime]]) and the ACTUAL decode/probe kernels, and reports
     * (mime, status) counts. The DuckDB oracle recomputes the counts
@@ -1731,8 +1744,11 @@ object Multimodal {
     val rows = spark.read.parquet(s"$dir/documents.parquet")
       .select(col("doc_id")).as[Long]
       .map { id =>
-        val k = ((id % 13) + 13) % 13
-        val corrupt = ((id % 5) + 5) % 5 == 0
+        val k = ((id % 15) + 15) % 15
+        // 7 is COPRIME with 15, so every class gets truncated rows
+        // (the old 5 divided 15: truncation would only ever hit
+        // classes 0/5/10 and twelve fences would go unexercised)
+        val corrupt = ((id % 7) + 7) % 7 == 0
         val full = coveragePayload(k.toInt, id)
         val payload =
           if (corrupt)
@@ -1899,9 +1915,9 @@ object Multimodal {
       .mkString(" ")
     s"""WITH m AS (
        |  SELECT doc_id,
-       |    CASE ((doc_id % 13) + 13) % 13 $mimeCase END AS mime,
-       |    CASE WHEN ((doc_id % 5) + 5) % 5 = 0 THEN 'fenced'
-       |         WHEN ((doc_id % 13) + 13) % 13 <= 6 THEN 'decoded'
+       |    CASE ((doc_id % 15) + 15) % 15 $mimeCase END AS mime,
+       |    CASE WHEN ((doc_id % 7) + 7) % 7 = 0 THEN 'fenced'
+       |         WHEN ((doc_id % 15) + 15) % 15 <= 6 THEN 'decoded'
        |         ELSE 'triaged' END AS status
        |  FROM documents)
        |SELECT mime, status, count(*) AS n FROM m

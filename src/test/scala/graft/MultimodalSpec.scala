@@ -1662,12 +1662,14 @@ class MultimodalSpec extends SparkSpec {
       "audio/x-wav" -> "decoded", "image/tiff" -> "triaged",
       "audio/mpeg" -> "triaged", "audio/ogg" -> "triaged",
       "audio/flac" -> "triaged", "video/mp4" -> "triaged",
-      "video/x-matroska" -> "triaged")
-    val cuts = Vector(12, 12, 16, 10, 8, 14, 14, 9, 12, 20, 10, 20, 10)
-    val rows = (0 until 13).flatMap { k =>
-      // several ids per class, all congruent to k mod 13 and NOT
+      "video/x-matroska" -> "triaged",
+      "image/avif" -> "triaged", "image/heic" -> "triaged")
+    val cuts = Vector(12, 12, 16, 10, 8, 14, 14, 9, 12, 20, 10, 20, 10,
+      16, 16)
+    val rows = (0 until 15).flatMap { k =>
+      // several ids per class, all congruent to k mod 15 and NOT
       // divisible by 5 (the intact population)
-      val ids = Iterator.from(k, 13).filter(_ % 5 != 0).take(3).toVector
+      val ids = Iterator.from(k, 15).filter(_ % 5 != 0).take(3).toVector
       ids.map { id =>
         val full = Multimodal.coveragePayload(k, id.toLong)
         val cut = java.util.Arrays.copyOfRange(full, 0,
