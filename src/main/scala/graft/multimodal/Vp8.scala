@@ -20,7 +20,7 @@ package graft.multimodal
   *   - dequantization with the table lookups and the Y2/chroma
   *     special cases (RFC §14), inverse WHT + the 4x4 integer IDCT
   *     (20091/35468 constants), all ten 4x4 intra predictors, the
-  *     四 16x16 and 8x8 predictors with the 127/129 edge conventions.
+  *     four 16x16 and 8x8 predictors with the 127/129 edge conventions.
   *
   *   - BOTH loop filters (normal and simple), applied as the spec's
   *     post-pass: VP8 intra prediction reads UNFILTERED
