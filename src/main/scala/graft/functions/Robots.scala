@@ -71,10 +71,16 @@ object Robots {
             // nonstandard but widely served (Bing/Yandex honor it);
             // a member of the group block like allow/disallow —
             // unparsable values are ignored (tolerance), negative
-            // ones too (a negative delay is nonsense)
+            // ones too (a negative delay is nonsense). Duplicate
+            // declarations inside ONE group merge with max, the same
+            // politeness-conservative direction [[crawlDelay]] uses
+            // across groups (one conflict, one resolution rule)
             inAgentRun = false
             if (agents.nonEmpty)
-              delay = value.toDoubleOption.filter(_ >= 0).orElse(delay)
+              delay = value.toDoubleOption.filter(_ >= 0) match {
+                case Some(d) => Some(delay.fold(d)(math.max(d, _)))
+                case None => delay
+              }
           case _ => () // Sitemap/unknown: MUST NOT touch
                        // the group structure (the RFC tolerance rule)
                        // — in particular a Sitemap line BETWEEN two

@@ -37,7 +37,12 @@ object UrlOps {
   def urlNormalize(url: Column): Column = {
     val scheme = lower(regexp_extract(url, "^([A-Za-z]+)://", 1))
     val hostport = lower(regexp_extract(url, "^[A-Za-z]+://([^/?#]+)", 1))
-    val path = regexp_extract(url, "^[A-Za-z]+://[^/?#]+([^?#]*)", 1)
+    // an empty path canonicalizes to "/": 'https://a.example' and
+    // 'https://a.example/' are the same resource, and without this
+    // the root URL escapes URL-level dedup (robots handling is
+    // unaffected — allowed() already maps "" to "/")
+    val rawPath = regexp_extract(url, "^[A-Za-z]+://[^/?#]+([^?#]*)", 1)
+    val path = when(rawPath === "", lit("/")).otherwise(rawPath)
     // the query must be found BEFORE any '#': an unanchored "\\?"
     // would match a '?' inside the fragment and fabricate a query
     // from fragment text (wrong dedup key, wrong robots path)

@@ -1725,10 +1725,10 @@ object Multimodal {
     * classes (7 decodable through the real codecs, 8 triage-only —
     * avif/heic joined in r16 the moment [[Heif.probe]] existed: the
     * dashboard must absorb a new format the day its walk lands),
-    * every 7th id truncated (7 is coprime with 15, so EVERY class
-    * carries fenced rows — 5 divided the class count and would have
-    * left twelve fences unexercised),
-    * every 7th id TRUNCATED to a magic-preserving prefix; the Spark
+    * every 7th id TRUNCATED to a magic-preserving prefix (7 is
+    * coprime with 15, so EVERY class carries fenced rows — 5 divided
+    * the class count and would have left twelve fences unexercised);
+    * the Spark
     * side then runs the ACTUAL sniff ([[graft.sources.BinarySource
     * .sniffMime]]) and the ACTUAL decode/probe kernels, and reports
     * (mime, status) counts. The DuckDB oracle recomputes the counts

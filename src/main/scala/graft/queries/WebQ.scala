@@ -64,7 +64,10 @@ object WebQ {
       lit("News"), sStr(id % 40), lit(".Example"), sStr(id % 7), lit(".COM"),
       when(id % 5 === 0, ":443").when(id % 5 === 1, ":80")
         .when(id % 5 === 2, ":8080").otherwise(""),
-      lit("/art/"), sStr(id),
+      // every 8th doc is a PATHLESS root URL — the canonicalizer must
+      // emit "/" for it (r16 advice: without this the site root
+      // escapes URL-level dedup)
+      when(id % 8 === 7, "").otherwise(concat(lit("/art/"), sStr(id))),
       lit("?utm_source=feed"),
       when(id % 3 === 0, concat(lit("&id="), sStr(id))).otherwise(""),
       lit("&utm_campaign=x"),
@@ -93,7 +96,8 @@ object WebQ {
        |    || '.Example' || CAST(doc_id % 7 AS VARCHAR) || '.COM'
        |    || (CASE doc_id % 5 WHEN 0 THEN ':443' WHEN 1 THEN ':80'
        |        WHEN 2 THEN ':8080' ELSE '' END)
-       |    || '/art/' || CAST(doc_id AS VARCHAR)
+       |    || (CASE WHEN doc_id % 8 = 7 THEN ''
+       |        ELSE '/art/' || CAST(doc_id AS VARCHAR) END)
        |    || '?utm_source=feed'
        |    || (CASE WHEN doc_id % 3 = 0
        |        THEN '&id=' || CAST(doc_id AS VARCHAR) ELSE '' END)
@@ -122,7 +126,7 @@ object WebQ {
        |    || (CASE WHEN port <> '' AND NOT ((scheme = 'http' AND port = '80')
        |          OR (scheme = 'https' AND port = '443'))
        |        THEN ':' || port ELSE '' END)
-       |    || pth
+       |    || (CASE WHEN pth = '' THEN '/' ELSE pth END)
        |    || (CASE WHEN array_to_string(kept, '&') <> ''
        |        THEN '?' || array_to_string(kept, '&') ELSE '' END) AS url_norm,
        |  host,
@@ -394,6 +398,36 @@ object WebQ {
       |Disallow: /
       |""".stripMargin
 
+  /** The q145 policy file — [[RobotsFixture]]'s rule table plus a
+    * crawl-rate table that exercises every Crawl-delay semantic under
+    * the oracle: a DUPLICATE declaration inside one group (4 then 1.5
+    * — must merge to max 4, not last-wins 1.5), a SECOND group with
+    * the same token (3.5 — cross-group max keeps 4), a specific agent
+    * whose groups declare NO delay (quietbot → NULL), and a delay on
+    * the `*` fallback group (0.5 — fractional, so the ms fixed-point
+    * arm is non-trivial). The extra graftbot group carries no rules,
+    * so the allow/deny table is exactly [[RobotsFixture]]'s.
+    */
+  private[graft] val FrontierRobotsFixture: String =
+    """# crawl policy with rate limits
+      |User-agent: graftbot
+      |Disallow: /private/
+      |Allow: /private/public/
+      |Disallow: /*.tmp$
+      |Crawl-delay: 4
+      |Crawl-delay: 1.5
+      |
+      |User-agent: graftbot
+      |Crawl-delay: 3.5
+      |
+      |User-agent: quietbot
+      |Disallow: /q/
+      |
+      |User-agent: *
+      |Disallow: /
+      |Crawl-delay: 0.5
+      |""".stripMargin
+
   /** q143: ROBOTS.TXT EVALUATION in the oracle-checked path — the
     * crawl-politeness gate (RFC 9309): a pipeline honoring robots
     * semantics re-evaluates allow/deny for every (agent, url) it
@@ -505,9 +539,16 @@ object WebQ {
     * expression explodes the URLs, [[urlNormalize]] canonicalizes
     * them (tracking param dropped, real params kept), and
     * [[graft.functions.Robots]] issues the fetch verdict per
-    * normalized path under the same policy file. One frame:
-    * (doc_id, ord, url_norm, n_tracking, allowed) — discover →
-    * canonicalize → police, each stage verified by the one oracle.
+    * normalized path under the same policy file, and (r16 verdict
+    * ask) the [[graft.functions.expressions.TextExprs.robotsCrawlDelay]]
+    * arm issues the politeness rate — the agent cycles three
+    * identities per doc so the delay column exercises the specific
+    * group (within- and cross-group max-merge → 4 s), the
+    * no-declaration NULL (quietbot) and the `*` fallback (0.5 s),
+    * fixed-pointed to BIGINT milliseconds for an exact hash. One
+    * frame: (doc_id, ord, url_norm, n_tracking, agent, allowed,
+    * crawl_delay_ms) — discover → canonicalize → police → rate-limit,
+    * each stage verified by the one oracle.
     */
   def q145(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -542,13 +583,21 @@ object WebQ {
     // one codegen'd projection end-to-end after the fixture inject
     val T = graft.functions.expressions.TextExprs
     val u = urlNormalize(col("loc"))
+    val pm5 = ((col("doc_id") % 5) + 5) % 5
+    val agent = when(pm5 === 0, "OtherBot/1.0")
+      .when(pm5 === 1, "QuietBot/1.9")
+      .otherwise("GraftBot/2.1")
     exploded
       .select(col("doc_id"), col("ord"),
         u.getField("url_norm").as("url_norm"),
-        u.getField("n_tracking").as("n_tracking"))
+        u.getField("n_tracking").as("n_tracking"),
+        agent.as("agent"))
       .withColumn("allowed",
-        T.robotsAllowed(lit(RobotsFixture), lit("GraftBot/2.1"),
+        T.robotsAllowed(lit(FrontierRobotsFixture), col("agent"),
           regexp_replace(col("url_norm"), "^[a-z]+://[^/]+", "")))
+      .withColumn("crawl_delay_ms",
+        (T.robotsCrawlDelay(lit(FrontierRobotsFixture), col("agent"))
+          * lit(1000)).cast("long"))
       .orderBy(col("doc_id"), col("ord"))
   }
 
@@ -566,7 +615,18 @@ object WebQ {
       |    AS url_norm,
       |  CAST(CASE WHEN gs.i % 6 = 2 THEN 0 ELSE 1 END AS BIGINT)
       |    AS n_tracking,
-      |  gs.i % 6 IN (1, 3, 4, 5) AS allowed
+      |  CASE ((d.doc_id % 5) + 5) % 5
+      |    WHEN 0 THEN 'OtherBot/1.0'
+      |    WHEN 1 THEN 'QuietBot/1.9'
+      |    ELSE 'GraftBot/2.1' END AS agent,
+      |  CASE ((d.doc_id % 5) + 5) % 5
+      |    WHEN 0 THEN FALSE
+      |    WHEN 1 THEN TRUE
+      |    ELSE gs.i % 6 IN (1, 3, 4, 5) END AS allowed,
+      |  CAST(CASE ((d.doc_id % 5) + 5) % 5
+      |    WHEN 0 THEN 500
+      |    WHEN 1 THEN NULL
+      |    ELSE 4000 END AS BIGINT) AS crawl_delay_ms
       |FROM documents d,
       |  LATERAL (SELECT unnest(generate_series(0,
       |    CAST(((d.doc_id % 5) + 5) % 5 AS BIGINT))) AS i) gs

@@ -36,15 +36,26 @@ object BenchBridge {
     }
   }
 
-  private val installed = new java.util.concurrent.atomic.AtomicBoolean(false)
+  @volatile private var installedAppId: String = null
 
   /** Install the counters on this context — idempotent FOR REAL: a
     * second call must not register the listener again, or every task
     * double-counts and the drift-attribution numbers this exists to
-    * make trustworthy read ~2x.
+    * make trustworthy read ~2x. Keyed on the context's applicationId
+    * (r16 advice), not a JVM-global boolean: a NEW SparkContext in
+    * the same JVM (Spark allows one live at a time, so the old one is
+    * stopped and its listener gone with it) re-registers and RESETS
+    * the counters, so the fresh context's deltas start from zero
+    * instead of silently reading 0 forever.
     */
-  def install(sc: SparkContext): Unit =
-    if (installed.compareAndSet(false, true)) sc.addSparkListener(listener)
+  def install(sc: SparkContext): Unit = synchronized {
+    val app = sc.applicationId
+    if (installedAppId != app) {
+      if (installedAppId != null) { taskMs.set(0L); gcMs.set(0L) }
+      sc.addSparkListener(listener)
+      installedAppId = app
+    }
+  }
 
   /** Cumulative (taskSeconds, gcSeconds) across every task ended so
     * far, AFTER draining the async listener bus — without the drain,

@@ -44,10 +44,17 @@ class WebQSpec extends SparkSpec {
     assert(d10.getAs[String]("url_norm") ==
       "https://news10.example3.com/art/10", d10.toString)
 
-    // doc 7: mixed-case host, :8080 survives on https
+    // doc 7: mixed-case host, :8080 survives on https; 7 % 8 = 7 is
+    // the PATHLESS branch — the empty path canonicalizes to "/"
+    // (r16 advice: the site root must not escape URL-level dedup)
     val d7 = byId(7L)
     assert(d7.getAs[String]("url_norm") ==
-      "https://news7.example0.com:8080/art/7?ref=rss", d7.toString)
+      "https://news7.example0.com:8080/?ref=rss", d7.toString)
+    // doc 15: pathless too (15 % 8 = 7), on HTTP with :443 (NOT the
+    // scheme default, survives) and a kept id param after the slash
+    val d15 = byId(15L)
+    assert(d15.getAs[String]("url_norm") ==
+      "http://news15.example1.com:443/?id=15", d15.toString)
 
     // doc 16: :80 on https is NOT the default -> survives; 16 % 6 = 4
     // so no ref param and the all-tracking query vanishes whole; domain
@@ -257,6 +264,11 @@ class WebQSpec extends SparkSpec {
     assert(Robots.crawlDelay(cd, "beta/1.0").isEmpty, "negative ignores")
     assert(Robots.crawlDelay(cd, "gamma/1.0").contains(4.0),
       "winning groups merge by max")
+    assert(Robots.crawlDelay(Robots.parse(
+        "User-agent: delta\nCrawl-delay: 4\nCrawl-delay: 1.5\n"),
+        "delta/1.0").contains(4.0),
+      "duplicate declarations INSIDE one group merge by max too " +
+        "(r16 advice: one conflict, one politeness-conservative rule)")
     // review-caught: RFC 9309 treats an empty path as "/" — a
     // pathless site-root URL under a deny-all policy must DENY
     val denyAll = Robots.parse("User-agent: *\nDisallow: /\n")
