@@ -641,11 +641,20 @@ object CorpusPrep {
     * intake LOST as a number, per the no-silent-caps rule.
     * `noindexDropped` bills the pages `honorNoindex` removed (0 when
     * the knob is off — the drop is a POLICY, so its size must be
-    * auditable whenever it applies).
+    * auditable whenever it applies). The media triple (r16 verdict
+    * ask) bills the `mediaOut` sidecar the same way: `mediaDocs`
+    * rows ingested, `mediaScrubbed` payloads whose EXIF-family
+    * metadata was actually removed, `mediaFenced` governed-but-broken
+    * containers stored as NULL payloads — all 0 when `mediaOut` is
+    * off, so a pipeline operator can read scrub coverage off the run
+    * ledger instead of re-aggregating the sidecar.
     */
   final case class WarcStats(htmlDocs: Long, pdfDocs: Long,
                              officeDocs: Long, codingFenced: Long,
-                             noindexDropped: Long, prep: Stats)
+                             noindexDropped: Long, prep: Stats,
+                             mediaDocs: Long = 0L,
+                             mediaScrubbed: Long = 0L,
+                             mediaFenced: Long = 0L)
 
   /** The batch crawl-intake entry: WARC archives straight into the
     * standard scrub→dedup→quality→mix pipeline. The HTML/WET
@@ -666,6 +675,14 @@ object CorpusPrep {
     * crawl, the wrong trade at 100 TB (the pipeline caches the
     * EXTRACTED corpus-shape frame internally, which is the small
     * side).
+    *
+    * `mediaOut` (r16 verdict ask): when set, the PII-scrubbed media
+    * face ([[graft.sources.WarcSource.mediaScrubbed]]) is written to
+    * that path as a sidecar of the text corpus, and the run ledger
+    * bills its outcome counts (`mediaDocs`/`mediaScrubbed`/
+    * `mediaFenced`) — read back from the WRITTEN parquet's two flag
+    * columns (column-pruned, payload never re-read), never by a
+    * second archive parse.
     */
   def runFromWarc(spark: org.apache.spark.sql.SparkSession, warcDir: String,
                   outPath: String, cfg: Config,
@@ -673,7 +690,8 @@ object CorpusPrep {
                   includeOffice: Boolean = true,
                   honorNoindex: Boolean = false,
                   glob: Option[String] = None,
-                  benchmark: Option[DataFrame] = None): WarcStats = {
+                  benchmark: Option[DataFrame] = None,
+                  mediaOut: Option[String] = None): WarcStats = {
     import graft.sources.WarcSource
     val recs = WarcSource.records(spark, warcDir, glob)
     val htmlAll = WarcSource.documents(recs)
@@ -714,12 +732,33 @@ object CorpusPrep {
     // the coverage the intake LOST to undecodable content codings
     // (brotli): a records-level count, no extraction work
     val codingN = WarcSource.codingFenced(recs).count()
+    // the media sidecar (when requested): the PII-scrubbed media face
+    // written BESIDE the text corpus, then billed from the written
+    // parquet's flag columns — a column-pruned read of two booleans,
+    // never a second archive parse (the wasted-crawl-scan rule; the
+    // flags were computed once, by the write)
+    val (mediaN, mediaScrubN, mediaFenceN) = mediaOut match {
+      case Some(p) =>
+        WarcSource.mediaScrubbed(recs).write
+          .mode(SaveMode.Overwrite).parquet(p)
+        val m = spark.read.parquet(p)
+          .agg(count(lit(1)).cast("long"),
+            sum(col("scrubbed").cast("long")),
+            sum(col("fenced").cast("long")))
+          .collect()(0)
+        (m.getLong(0),
+          if (m.isNullAt(1)) 0L else m.getLong(1),
+          if (m.isNullAt(2)) 0L else m.getLong(2))
+      case None => (0L, 0L, 0L)
+    }
     val prep =
       try run(docs, outPath, cfg, benchmark)
       finally { noindexIds.foreach(_.unpersist()); () }
     WarcStats(htmlN,
       if (includePdfs) prep.input - htmlN - officeN else 0L,
-      officeN, codingN, noindexN, prep)
+      officeN, codingN, noindexN, prep,
+      mediaDocs = mediaN, mediaScrubbed = mediaScrubN,
+      mediaFenced = mediaFenceN)
   }
 
   def run(docs: DataFrame, outPath: String, cfg: Config,

@@ -47,6 +47,15 @@ class CorpusPrepSpec extends SparkSpec {
           .getBytes("ISO-8859-1") ++ body)
     val pdfText = "a crawled pdf paragraph riding the batch corpus pipeline"
     val docxText = "a crawled office document riding the batch corpus pipeline"
+    // media rows for the mediaOut sidecar billing: one payload per
+    // scrub outcome (scrubbed / clean / governed-but-broken = fenced)
+    val img = graft.multimodal.Netpbm.Image(8, 8, 255,
+      Array.fill[Byte](192)(77))
+    val jpegTagged = graft.multimodal.Exif.write(
+      graft.multimodal.Jpeg.encode(img), 6, Some((37.0, -122.0)),
+      Some("cam"), Some("2024:01:01 00:00:00"))
+    val cleanJpeg = graft.multimodal.Jpeg.encode(img)
+    val brokenJpeg = java.util.Arrays.copyOfRange(jpegTagged, 0, 40)
     Files.write(Paths.get(dir, "crawl.warc"),
       resp("http://x.example/page", "text/html",
         "<html><body>an html page of the crawl corpus</body></html>"
@@ -78,7 +87,10 @@ class CorpusPrepSpec extends SparkSpec {
           ("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n" +
             "Content-Encoding: br\r\n\r\n").getBytes("ISO-8859-1") ++
             Array.tabulate[Byte](96)(i =>
-              if (i % 9 == 0) 0 else ((i * 13) % 250).toByte)))
+              if (i % 9 == 0) 0 else ((i * 13) % 250).toByte)) ++
+        resp("http://x.example/tagged.jpg", "image/jpeg", jpegTagged) ++
+        resp("http://x.example/clean.jpg", "image/jpeg", cleanJpeg) ++
+        resp("http://x.example/broken.jpg", "image/jpeg", brokenJpeg))
     val keep = CorpusPrep.Config(langRates = Map.empty, defaultRate = 1.0,
       nShards = 2, stripMarkup = true)
     val stats = CorpusPrep.runFromWarc(spark, dir, out, keep)
@@ -95,6 +107,28 @@ class CorpusPrepSpec extends SparkSpec {
       "the faces take disjoint record sets")
     assert(stats.codingFenced == 1,
       "the br-coded response must bill as coverage lost, not vanish")
+    assert(stats.mediaDocs == 0 && stats.mediaScrubbed == 0 &&
+      stats.mediaFenced == 0,
+      "mediaOut off -> the media ledger reads zero, like noindex")
+    // mediaOut ON (r16 verdict ask): the PII-scrubbed media face
+    // writes beside the corpus and the ledger bills all three
+    // outcomes, equal to the sidecar's own per-row flags
+    val mOut = out + "_mediaside"
+    val withMedia = CorpusPrep.runFromWarc(spark, dir, out + "_m", keep,
+      mediaOut = Some(mOut))
+    val side = spark.read.parquet(mOut)
+    assert(withMedia.mediaDocs == side.count() && withMedia.mediaDocs == 7,
+      "3 jpegs + 2 pdfs + 2 zips sniff as media")
+    assert(withMedia.mediaScrubbed ==
+      side.filter(col("scrubbed")).count() && withMedia.mediaScrubbed == 1,
+      "exactly the EXIF-tagged jpeg bills as scrubbed")
+    assert(withMedia.mediaFenced ==
+      side.filter(col("fenced")).count() && withMedia.mediaFenced == 1,
+      "exactly the governed-but-broken jpeg bills as fenced")
+    assert(side.filter(col("fenced")).filter(col("payload").isNotNull)
+      .count() == 0, "fenced rows must store NULL payloads")
+    assert(withMedia.prep.input == stats.prep.input,
+      "the media sidecar must not perturb the text pipeline")
     val corpus = spark.read.parquet(out)
     assert(corpus.count() == 5)
     assert(corpus.filter(col("text") === pdfText).count() == 1,
