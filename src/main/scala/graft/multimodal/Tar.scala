@@ -14,15 +14,37 @@ package graft.multimodal
   *     the member.
   *   - Regular files only ('0'/NUL typeflag); ustar `prefix` long
   *     names joined; GNU 'L' longname blocks applied to the NEXT
-  *     member; pax 'x' extended headers parsed for their `path`
-  *     override ONLY (the keyval grammar: `len key=value\n`), which
-  *     takes precedence over a GNU 'L' name when both precede one
-  *     member (pax is the POSIX standard; bsdtar agrees) — every
-  *     other pax key is skipped by size; pax 'g' GLOBAL headers are
-  *     skipped whole (a global `path` renaming every later member
-  *     is hostile-input territory, stated not silent); a malformed
-  *     keyval block ignores the override and keeps walking (the
-  *     header's own name still frames the member).
+  *     member; pax 'x' extended headers parsed for their `path` and
+  *     `linkpath` overrides (the keyval grammar: `len key=value\n`),
+  *     `path` taking precedence over a GNU 'L' name when both
+  *     precede one member (pax is the POSIX standard; bsdtar
+  *     agrees) — every other pax key is skipped by size; pax 'g'
+  *     GLOBAL headers are skipped whole (a global `path` renaming
+  *     every later member is hostile-input territory, stated not
+  *     silent); a malformed keyval block ignores the override and
+  *     keeps walking (the header's own name still frames the
+  *     member).
+  *   - HARDLINKS ('1') resolve to their target's bytes: the link
+  *     name (pax `linkpath` override > the header linkname field)
+  *     is looked up among the members already walked (tar writes
+  *     the target before its links; later duplicates shadow
+  *     earlier, the extraction rule) and the link emits an Entry at
+  *     the TARGET's offset/size under the LINK's name — the
+  *     hardlink-duplicated document is real text a corpus intake
+  *     must see (exact dedup downstream collapses it by content,
+  *     which is that stage's job, not this walk's). An unresolvable
+  *     target skips the link (the bytes simply are not in the
+  *     archive). Symlinks ('2') stay skipped: they point, they do
+  *     not duplicate — following one is filesystem semantics, not
+  *     archive framing.
+  *   - GNU SPARSE members fence: old-GNU 'S' members are framed
+  *     past exactly (isextended continuation blocks walked, the
+  *     size field counts the ARCHIVED bytes) but never emitted —
+  *     reassembling hole-punched files is filesystem restore, not
+  *     document extraction, and a half-honored map would emit
+  *     silently corrupt text; pax-sparse members (any `GNU.sparse.*`
+  *     key in the preceding 'x' block) fence the same way while
+  *     their regular-member framing keeps the walk exact.
   *   - End at two zero blocks or EOF; a truncated final member
   *     DROPS while complete members keep (the WARC discipline).
   *   - Member-count cap: an archive past it fences WHOLE (None, not
@@ -83,10 +105,14 @@ object Tar {
   def entries(bytes: Array[Byte]): Option[Vector[Entry]] = {
     if (bytes == null || bytes.length < 512) return None
     val out = Vector.newBuilder[Entry]
+    // members walked so far, by archived name — the hardlink
+    // resolution table (tar writes a target before its links; a
+    // repeated name shadows, matching extraction order)
+    val byName = scala.collection.mutable.HashMap.empty[String, Entry]
     var p = 0
     var count = 0
     var pendingLongName: Option[String] = None
-    var pendingPaxPath: Option[String] = None
+    var pendingPax: Pax = Pax.Empty
     var sawAny = false
     var going = true
     while (going && p + 512 <= bytes.length) {
@@ -101,36 +127,76 @@ object Tar {
           going = false
         } else {
           val typeflag = bytes(p + 156)
-          val dataStart = p + 512
+          var dataStart = p + 512
+          // old-GNU sparse ('S'): isextended continuation blocks sit
+          // BETWEEN the header and the archived data — walk them so
+          // later members stay framed (the size field already counts
+          // only the ARCHIVED bytes, not the logical file)
+          var sparseChainOk = true
+          if (typeflag == 'S') {
+            var ext = bytes(p + 482) != 0
+            while (ext && sparseChainOk) {
+              if (dataStart + 512 > bytes.length) sparseChainOk = false
+              else { ext = bytes(dataStart + 504) != 0; dataStart += 512 }
+            }
+          }
           val dataEnd = dataStart + size
-          if (dataEnd > bytes.length) going = false // truncated member
+          if (!sparseChainOk || dataEnd > bytes.length)
+            going = false // truncated member / continuation chain
           else {
             sawAny = true
             count += 1
             if (count > MaxMembers) return None // fence WHOLE, not a prefix
+            def headerName: String = {
+              val base = str(bytes, p, 100)
+              val prefix = str(bytes, p + 345, 155)
+              pendingPax.path.orElse(pendingLongName).getOrElse(
+                if (prefix.nonEmpty) prefix + "/" + base else base)
+            }
             if (typeflag == 'L') {
               // GNU longname: the data IS the next member's name
               pendingLongName =
                 Some(str(bytes, dataStart, math.min(size.toInt, 4096)))
             } else if (typeflag == 'x') {
-              // pax extended header for the NEXT member: `path` only
-              pendingPaxPath =
-                paxPath(bytes, dataStart, math.min(size.toInt, 65536))
-                  .orElse(pendingPaxPath)
-            } else if (typeflag == '0' || typeflag == 0) {
-              val base = str(bytes, p, 100)
-              val prefix = str(bytes, p + 345, 155)
-              val name = pendingPaxPath.orElse(pendingLongName).getOrElse(
-                if (prefix.nonEmpty) prefix + "/" + base else base)
+              // pax extended header for the NEXT member
+              val pax =
+                paxOverrides(bytes, dataStart, math.min(size.toInt, 65536))
+              pendingPax = Pax(pax.path.orElse(pendingPax.path),
+                pax.linkpath.orElse(pendingPax.linkpath),
+                pax.sparse || pendingPax.sparse)
+            } else if ((typeflag == '0' || typeflag == 0) &&
+                !pendingPax.sparse) {
+              val name = headerName
               pendingLongName = None
-              pendingPaxPath = None
-              out += Entry(name, dataStart, size.toInt)
+              pendingPax = Pax.Empty
+              val e = Entry(name, dataStart, size.toInt)
+              out += e
+              byName(name) = e
+            } else if (typeflag == '1') {
+              // hardlink: the TARGET's bytes under the LINK's name —
+              // pax `linkpath` overrides the header linkname field,
+              // exactly like `path` overrides the name field; an
+              // unresolvable target skips (those bytes are not here)
+              val name = headerName
+              val target = pendingPax.linkpath
+                .getOrElse(str(bytes, p + 157, 100))
+              pendingLongName = None
+              pendingPax = Pax.Empty
+              byName.get(target).foreach { t =>
+                val e = Entry(name, t.offset, t.size)
+                out += e
+                byName(name) = e
+              }
             } else {
-              // dirs/links/'g' globals: skipped, and they consume any
-              // pending overrides (pax/'L' apply to the NEXT header,
-              // whatever its type — they must not leak past it)
+              // dirs/symlinks/'g' globals/sparse members: skipped,
+              // and they consume any pending overrides (pax/'L'
+              // apply to the NEXT header, whatever its type — they
+              // must not leak past it). Sparse members (old-GNU 'S'
+              // or a pax block carrying GNU.sparse.*) FENCE: a
+              // half-honored hole map would emit silently corrupt
+              // text, so the walk frames past them and emits nothing
               pendingLongName = None
-              pendingPaxPath = None
+              pendingPax = Pax.Empty
             }
             p = dataStart + ((size.toInt + 511) / 512) * 512
           }
@@ -144,47 +210,67 @@ object Tar {
   def extract(bytes: Array[Byte], e: Entry): Array[Byte] =
     java.util.Arrays.copyOfRange(bytes, e.offset, e.offset + e.size)
 
-  /** The `path` value from a pax keyval block (`len key=value\n`,
-    * len = the WHOLE line's byte count including itself), or None
-    * when absent or the block is malformed (override ignored — the
-    * walk keeps the header's own framing).
+  /** The overrides one pax 'x' block declares for the next member. */
+  private final case class Pax(path: Option[String],
+                               linkpath: Option[String],
+                               sparse: Boolean)
+  private object Pax { val Empty = Pax(None, None, false) }
+
+  /** `path`/`linkpath` values and the GNU.sparse.* presence flag from
+    * a pax keyval block (`len key=value\n`, len = the WHOLE line's
+    * byte count including itself). A malformed line stops the scan
+    * and keeps whatever parsed before it (override ignored from
+    * there — the header's own framing still carries the member).
     */
-  private def paxPath(b: Array[Byte], off: Int,
-                      size: Int): Option[String] = {
+  private def paxOverrides(b: Array[Byte], off: Int, size: Int): Pax = {
     var p = off
     val end = math.min(off + size, b.length)
-    while (p < end) {
+    var path: Option[String] = None
+    var link: Option[String] = None
+    var sparse = false
+    var ok = true
+    while (ok && p < end) {
       // decimal length prefix up to the space
       var len = 0L
       var q = p
       while (q < end && b(q) >= '0' && b(q) <= '9') {
         len = len * 10 + (b(q) - '0'); q += 1
-        if (len > size) return None
+        if (len > size) { ok = false; q = end }
       }
-      if (q >= end || b(q) != ' ' || q == p) return None
-      val lineEnd = p + len.toInt
-      if (len < (q - p) + 2 || lineEnd > end ||
-          b(lineEnd - 1) != '\n') return None
-      val kv = new String(b, q + 1, lineEnd - q - 2, "UTF-8")
-      val eq = kv.indexOf('=')
-      if (eq < 0) return None
-      if (kv.substring(0, eq) == "path") {
-        val v = kv.substring(eq + 1)
-        return if (v.nonEmpty) Some(v) else None
+      if (!ok || q >= end || b(q) != ' ' || q == p) ok = false
+      else {
+        val lineEnd = p + len.toInt
+        if (len < (q - p) + 2 || lineEnd > end ||
+            b(lineEnd - 1) != '\n') ok = false
+        else {
+          val kv = new String(b, q + 1, lineEnd - q - 2, "UTF-8")
+          val eq = kv.indexOf('=')
+          if (eq < 0) ok = false
+          else {
+            val key = kv.substring(0, eq)
+            val v = kv.substring(eq + 1)
+            if (key == "path") { if (v.nonEmpty) path = Some(v) }
+            else if (key == "linkpath") { if (v.nonEmpty) link = Some(v) }
+            else if (key.startsWith("GNU.sparse.")) sparse = true
+            p = lineEnd
+          }
+        }
       }
-      p = lineEnd
     }
-    None
+    Pax(path, link, sparse)
   }
 
   // ---- writer (fixture generator) ----
 
   private def writeHeader(out: java.io.ByteArrayOutputStream,
                           name: String, size: Int,
-                          typeflag: Byte): Unit = {
+                          typeflag: Byte, link: String = "",
+                          mutate: Array[Byte] => Unit = _ => ()): Unit = {
     val h = new Array[Byte](512)
     val nb = name.getBytes("UTF-8")
     System.arraycopy(nb, 0, h, 0, math.min(nb.length, 100))
+    val lb = link.getBytes("UTF-8")
+    System.arraycopy(lb, 0, h, 157, math.min(lb.length, 100))
     def oct(v: Long, p: Int, len: Int): Unit = {
       val s = java.lang.Long.toOctalString(v)
       val padded = ("0" * (len - 1 - s.length)) + s
@@ -199,6 +285,7 @@ object Tar {
     h(156) = typeflag
     "ustar".getBytes("US-ASCII").copyToArray(h, 257)
     h(263) = '0'.toByte; h(264) = '0'.toByte // version "00"
+    mutate(h) // fixture-specific fields (sparse flags) before the sum
     // checksum last: field as spaces during the sum
     java.util.Arrays.fill(h, 148, 156, ' '.toByte)
     var sum = 0L
@@ -226,13 +313,29 @@ object Tar {
     * skipped key, and a directory entry the reader must skip),
     * padded data, two zero end blocks. `paxPathFor` emits the pax
     * header BEFORE any 'L' block for the same member — the
-    * precedence fixture.
+    * precedence fixture. The link/sparse knobs append AFTER the
+    * regular members, in this order: `hardlinks` ('1' members whose
+    * linkname sits in the header field), `paxLinkHard` (a '1' member
+    * whose target arrives via pax `linkpath` — the header field
+    * carries a decoy), `sparseOldGnu` (an 'S' member with one
+    * isextended continuation block and `sparseData` archived bytes),
+    * `paxSparse` (a '0' member preceded by a GNU.sparse.* pax block —
+    * must fence), then `tailFile` (a final regular member proving
+    * the walk stays framed past all of the above).
     */
   def write(files: Seq[(String, Array[Byte])],
             withDir: Boolean = true,
             longNameFor: Option[Int] = None,
-            paxPathFor: Option[Int] = None): Array[Byte] = {
+            paxPathFor: Option[Int] = None,
+            hardlinks: Seq[(String, String)] = Nil,
+            paxLinkHard: Option[(String, String)] = None,
+            sparseOldGnu: Boolean = false,
+            sparseData: Array[Byte] = Array.emptyByteArray,
+            paxSparse: Option[(String, Array[Byte])] = None,
+            tailFile: Option[(String, Array[Byte])] = None): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
+    def pad(n: Int): Unit =
+      out.write(new Array[Byte]((512 - n % 512) % 512))
     if (withDir) {
       writeHeader(out, "data/", 0, '5'.toByte)
     }
@@ -242,18 +345,55 @@ object Tar {
         writeHeader(out, "./PaxHeaders.0/" + name.take(80), kv.length,
           'x'.toByte)
         out.write(kv)
-        out.write(new Array[Byte]((512 - kv.length % 512) % 512))
+        pad(kv.length)
       }
       if (longNameFor.contains(ix)) {
         val nb = (name + "\u0000").getBytes("UTF-8")
         writeHeader(out, "././@LongLink", nb.length, 'L'.toByte)
         out.write(nb)
-        out.write(new Array[Byte]((512 - nb.length % 512) % 512))
+        pad(nb.length)
         // the member's own name field carries a TRUNCATED form
         writeHeader(out, name.take(99), data.length, '0'.toByte)
       } else writeHeader(out, name, data.length, '0'.toByte)
       out.write(data)
-      out.write(new Array[Byte]((512 - data.length % 512) % 512))
+      pad(data.length)
+    }
+    hardlinks.foreach { case (name, target) =>
+      writeHeader(out, name, 0, '1'.toByte, link = target)
+    }
+    paxLinkHard.foreach { case (name, target) =>
+      val kv = paxLine("linkpath", target)
+      writeHeader(out, "./PaxHeaders.0/" + name.take(80), kv.length,
+        'x'.toByte)
+      out.write(kv)
+      pad(kv.length)
+      writeHeader(out, name, 0, '1'.toByte, link = "decoy-short-name")
+    }
+    if (sparseOldGnu) {
+      // one continuation block between header and data (isextended=1
+      // in the header, 0 in the continuation - the framing the walk
+      // must cross exactly)
+      writeHeader(out, "holes.bin", sparseData.length, 'S'.toByte,
+        mutate = h => h(482) = 1)
+      out.write(new Array[Byte](512))
+      out.write(sparseData)
+      pad(sparseData.length)
+    }
+    paxSparse.foreach { case (name, data) =>
+      val kv = paxLine("GNU.sparse.major", "1") ++
+        paxLine("GNU.sparse.minor", "0") ++ paxLine("path", name)
+      writeHeader(out, "./PaxHeaders.0/" + name.take(80), kv.length,
+        'x'.toByte)
+      out.write(kv)
+      pad(kv.length)
+      writeHeader(out, name.take(99), data.length, '0'.toByte)
+      out.write(data)
+      pad(data.length)
+    }
+    tailFile.foreach { case (name, data) =>
+      writeHeader(out, name, data.length, '0'.toByte)
+      out.write(data)
+      pad(data.length)
     }
     out.write(new Array[Byte](1024))
     out.toByteArray

@@ -109,6 +109,54 @@ class TarSpec extends AnyFunSuite {
     assert(SevenZ.members(null).isEmpty)
   }
 
+  test("hardlinks: header linkname and pax linkpath both resolve to the target's bytes; unresolvable links skip") {
+    val tar = Tar.write(
+      Seq(("orig.txt", b("the duplicated document")),
+        ("other.txt", b("unrelated"))),
+      hardlinks = Seq(
+        ("copy.txt", "orig.txt"),
+        ("ghost.txt", "never-archived.txt")), // unresolvable: skips
+      paxLinkHard = Some(("paxcopy.txt",
+        "orig.txt")), // target rides pax linkpath; header holds a decoy
+      tailFile = Some(("tail.txt", b("after the links"))))
+    val es = Tar.entries(tar).get
+    assert(es.map(_.name) == Vector("orig.txt", "other.txt",
+      "copy.txt", "paxcopy.txt", "tail.txt"),
+      "resolvable links emit under the LINK's name; the ghost skips")
+    assert(new String(Tar.extract(tar, es(2)), "UTF-8") ==
+      "the duplicated document", "header-linkname hardlink")
+    assert(new String(Tar.extract(tar, es(3)), "UTF-8") ==
+      "the duplicated document",
+      "pax linkpath must override the decoy header field")
+    assert(new String(Tar.extract(tar, es(4)), "UTF-8") ==
+      "after the links", "the walk stays framed past the links")
+  }
+
+  test("GNU sparse members fence whole while the walk stays framed: old-GNU 'S' with a continuation block, pax GNU.sparse.*") {
+    val tar = Tar.write(
+      Seq(("head.txt", b("before the holes"))),
+      sparseOldGnu = true,
+      sparseData = Array.tabulate[Byte](700)(i => (i * 31).toByte),
+      paxSparse = Some(("paxholes.bin", b("pax sparse archived region"))),
+      tailFile = Some(("tail.txt", b("after the holes"))))
+    val es = Tar.entries(tar).get
+    assert(es.map(_.name) == Vector("head.txt", "tail.txt"),
+      "both sparse members must fence (never silently-corrupt text); " +
+        "framing must survive the continuation block")
+    assert(new String(Tar.extract(tar, es(1)), "UTF-8") ==
+      "after the holes")
+    // sanity: the 'S' header and the GNU.sparse pax block really are
+    // in the stream — the fences were exercised, not vacuous
+    val flags = tar.grouped(512).map(blk => blk(156)).toVector
+    assert(flags.contains('S'.toByte) && flags.contains('x'.toByte))
+    // a truncated continuation chain (isextended=1 but EOF follows)
+    // fences the walk without throwing; earlier members keep
+    val hdrIx = tar.grouped(512).indexWhere(blk => blk(156) == 'S'.toByte)
+    val cut = java.util.Arrays.copyOfRange(tar, 0, (hdrIx + 1) * 512)
+    assert(Tar.entries(cut).get.map(_.name) == Vector("head.txt"),
+      "sparse header at EOF: chain truncated, walk stops, prefix keeps")
+  }
+
   test("pax-then-L precedence: the POSIX pax path wins over a GNU longname for the same member") {
     val paxName = "pax/authoritative/name.txt"
     val tar = Tar.write(Seq(
