@@ -460,6 +460,45 @@ object ScaleCheck {
         "sitemap" -> smSec, "frontier" -> fpSec, "mediascrub" -> msSec,
         "urldedup" -> udSec)
     }
+    // the r16 verdict's ask #4: CODEC throughput as a tracked number —
+    // q148/q150 are CPU-bound bit-serial decodes (shuffle-free,
+    // embarrassingly parallel), so their 100 TB story is MB/s and
+    // px/s per core, not a plan shape; record both at 1x/10x frames
+    // so a codec regression is a visible artifact, not a bench
+    // residual. Half the frames carry the seg-filter config so the
+    // loop-filter pass is inside the measured number.
+    def vp8Point(tag: String, frames: Int): Double = {
+      import spark.implicits._
+      import graft.{multimodal => M}
+      val w = 320; val h = 240
+      val cfg = M.Vp8.FilterCfg(simple = false, level = 24,
+        sharpness = 0, refDelta = -2, modeDelta = 1, segAbs = false,
+        segLf = Seq(-24, -12, 0, 12),
+        segIdOf = (x, y) => (x + 2 * y) % 4)
+      val payloads = (0 until frames).map { i =>
+        val luma = new Array[Byte](w * h)
+        var p = 0
+        while (p < luma.length) {
+          val bx = (p % w) / 4; val by = (p / w) / 4
+          luma(p) = (40 + ((bx * 3 + by * 5 + i) % 28) * 7).toByte
+          p += 1
+        }
+        M.Vp8.encodeWebp(luma, w, h, if (i % 2 == 0) None else Some(cfg))
+      }
+      val mb = payloads.map(_.length.toLong).sum / 1048576.0
+      val mpx = frames.toDouble * w * h / 1e6
+      val ds = spark.createDataset(payloads)
+      val (sec, ok) = time(
+        ds.map(b => M.Webp.decode(b).map(_.pixels.length.toLong)
+            .getOrElse(-1L))
+          .toDF("n").filter(col("n") > 0), reps)
+      line(s"""{"scale":"$tag","vp8":{"frames":$frames,"decoded":$ok,"payload_mb":${d3(mb)},"sec":${d3(sec)},"mb_per_sec":${d3(mb / math.max(sec, 1e-9))},"mpx_per_sec":${d3(mpx / math.max(sec, 1e-9))}}}""")
+      sec
+    }
+    val v0 = vp8Point("vp81x", 32)
+    val v1 = vp8Point("vp810x", 320)
+    line(s"""{"scale":"vp8_ratio_10x_over_1x","expect":"wall flat-to-linear (pure executor CPU, one task per partition); super-linear is the red flag","decode":${d3(if (v0 > 0) v1 / v0 else -1.0)}}""")
+
     val op0 = officePoint("target/scale_office_1", "office1x", 4)
     val op1 = officePoint("target/scale_office_10", "office10x", 40)
     val opRatios = op0.keys.toSeq.sorted.map { k =>

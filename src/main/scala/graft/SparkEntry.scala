@@ -69,7 +69,9 @@ object SparkEntry {
         Entry("q148_vp8_decode", graft.multimodal.Multimodal.q148,
           Some(graft.multimodal.Multimodal.q148Sql)),
         Entry("q149_heif_probe", graft.multimodal.Multimodal.q149,
-          Some(graft.multimodal.Multimodal.q149Sql)))
+          Some(graft.multimodal.Multimodal.q149Sql)),
+        Entry("q150_vp8_segfilter", graft.multimodal.Multimodal.q150,
+          Some(graft.multimodal.Multimodal.q150Sql)))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

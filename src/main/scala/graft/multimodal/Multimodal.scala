@@ -1367,6 +1367,120 @@ object Multimodal {
       |  (((doc_id % 4) + 4) % 4) * 90 AS rotation
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** q150 entry: the SEGMENTED LOOP-FILTER decode in the
+    * oracle-checked path — the r16 verdict's last VP8 seam (the
+    * seg-delta filter branches were pinned only by the shipped
+    * libwebp vectors, not by a DuckDB oracle). Per doc a 32x16
+    * two-macroblock keyframe: left MB luma 100 in SEGMENT 0 (whose
+    * per-segment level + the ref/mode lf deltas net to exactly 0 —
+    * the clamp-to-zero arm), right MB luma 100+D in SEGMENT 1 at
+    * effective level E, with doc_id arms cycling abs/relative
+    * segment levels, BOTH filter types, sharpness 0/4, E in
+    * {0,3,6,10} and the edge step D in {4..12}. The geometry makes
+    * the filtered plane CLOSED-FORM: only the MB-edge columns can
+    * change, they change iff the RFC's threshold 2D + D/2 <=
+    * (E+2)*2 + iLim(E, sharpness) passes, and the normal
+    * (27w/18w/9w taps) or simple ((2D+4)>>3 / (2D+3)>>3) adjustments
+    * are pure integer arithmetic the oracle replays — so `lsum` and
+    * the column-weighted `colsum` hash-match only if segment-map
+    * decode, abs/rel level resolution, the delta clamps, the
+    * sharpness shift, BOTH filters' taps and the threshold algebra
+    * are all exact. Perturb any branch of the filter pass and some
+    * arm's colsum moves.
+    */
+  def q150(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id")).as[Long]
+      .map { id =>
+        def pmod(m: Long): Long = ((id % m) + m) % m
+        val simple = pmod(2) == 1
+        val segAbs = pmod(3) == 0
+        val e = pmod(4) match {
+          case 0 => 0; case 1 => 3; case 2 => 6; case _ => 10 }
+        val d = pmod(5) match {
+          case 0 => 4; case 1 => 6; case 2 => 8; case 3 => 10
+          case _ => 12 }
+        val sh = if (pmod(7) < 4) 0 else 4
+        val w = 32; val h = 16
+        val luma = new Array[Byte](w * h)
+        var i = 0
+        while (i < luma.length) {
+          luma(i) = (if (i % w < 16) 100 else 100 + d).toByte
+          i += 1
+        }
+        val f = 20
+        val segLf = // +1 cancels the net -1 of refDelta -2 + modeDelta 1
+          if (segAbs) Seq(1, e + 1, 1, 1)
+          else Seq(1 - f, e + 1 - f, 1 - f, 1 - f)
+        val cfg = Vp8.FilterCfg(simple = simple, level = f,
+          sharpness = sh, refDelta = -2, modeDelta = 1,
+          segAbs = segAbs, segLf = segLf, segIdOf = (mbx, _) => mbx)
+        val payload = Vp8.encode(luma, w, h, Some(cfg))
+        val fr = Vp8.decode(payload, 0, payload.length).getOrElse(
+          Vp8.Frame(0, 0, Array.emptyByteArray, Array.emptyByteArray,
+            Array.emptyByteArray, -1))
+        var lsum = 0L; var colsum = 0L
+        var y = 0
+        while (y < fr.height) {
+          var x = 0
+          while (x < fr.width) {
+            val v = fr.y(y * fr.width + x) & 0xff
+            lsum += v; colsum += v.toLong * (x + 1)
+            x += 1
+          }
+          y += 1
+        }
+        (id, fr.width.toLong, fr.height.toLong, lsum, colsum)
+      }
+      .toDF("doc_id", "img_w", "img_h", "lsum", "colsum")
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB mirror of q150: the filter algebra replayed closed-form
+    * (threshold, sharpness-adjusted interior limit, normal taps,
+    * simple taps) over the same doc_id arms.
+    */
+  val q150Sql: String =
+    """WITH arms AS (
+      |  SELECT doc_id,
+      |    ((doc_id % 2) + 2) % 2 = 1 AS simple,
+      |    CASE ((doc_id % 4) + 4) % 4
+      |      WHEN 0 THEN 0 WHEN 1 THEN 3 WHEN 2 THEN 6 ELSE 10 END AS e,
+      |    CASE ((doc_id % 5) + 5) % 5
+      |      WHEN 0 THEN 4 WHEN 1 THEN 6 WHEN 2 THEN 8 WHEN 3 THEN 10
+      |      ELSE 12 END AS d,
+      |    CASE WHEN ((doc_id % 7) + 7) % 7 < 4 THEN 0 ELSE 4 END AS sh
+      |  FROM documents),
+      |lim AS (
+      |  SELECT doc_id, simple, e, d,
+      |    CASE WHEN sh = 0 THEN e
+      |      ELSE GREATEST(LEAST(e // 2, 5), 1) END AS il
+      |  FROM arms),
+      |fil AS (
+      |  SELECT doc_id, simple, d,
+      |    (e > 0 AND 2 * d + d // 2 <= (e + 2) * 2 + il) AS f
+      |  FROM lim),
+      |delt AS (
+      |  SELECT doc_id, d, f, simple,
+      |    (54 * d + 63) // 128 AS a1,
+      |    (36 * d + 63) // 128 AS a2,
+      |    (18 * d + 63) // 128 AS a3,
+      |    (2 * d + 4) // 8 AS f1,
+      |    (2 * d + 3) // 8 AS f2
+      |  FROM fil)
+      |SELECT doc_id, CAST(32 AS BIGINT) AS img_w,
+      |  CAST(16 AS BIGINT) AS img_h,
+      |  CAST(51200 + 256 * d +
+      |    CASE WHEN f AND simple THEN 16 * (f2 - f1) ELSE 0 END
+      |    AS BIGINT) AS lsum,
+      |  CAST(16 * (52800 + 392 * d) +
+      |    CASE WHEN NOT f THEN 0
+      |      WHEN simple THEN 16 * (16 * f2 - 17 * f1)
+      |      ELSE -16 * (a1 + 3 * a2 + 5 * a3) END
+      |    AS BIGINT) AS colsum
+      |FROM delt ORDER BY doc_id""".stripMargin
+
   /** q127 entry: PDF TEXT EXTRACTION in the oracle-checked path —
     * each document written as a REAL single-page PDF
     * ([[PdfText.write]]: catalog/pages objects, a FlateDecode content

@@ -162,6 +162,12 @@ object Vp8 {
       while (i >= 0) { bool(128, (v >> i) & 1); i -= 1 }
     }
 
+    /** Magnitude-then-sign, mirroring [[BoolReader.signed]]. */
+    def signed(n: Int, v: Int): Unit = {
+      literal(n, math.abs(v))
+      bool(128, if (v < 0) 1 else 0)
+    }
+
     def tree(t: Array[Int], probs: Array[Int], pOff: Int, leaf: Int,
              startNode: Int = 0): Unit = {
       def path(node: Int): Option[List[(Int, Int)]] = {
@@ -1108,6 +1114,23 @@ object Vp8 {
 
   // ---- fixture encoder (the q126 device on VP8) ----
 
+  /** Segmentation + loop-filter knobs for [[encode]] — the r16
+    * verdict's oracle-reach ask: a fixture keyframe that EXERCISES
+    * the seg-delta filter branches (segment map, abs/relative
+    * per-segment levels, ref/mode lf deltas, sharpness, both filter
+    * types) while the pre-filter reconstruction stays exact, so a
+    * closed-form oracle (and the libwebp parity pins) can check the
+    * filtered output. `segLf`/`segIdOf` choose per-MB strengths;
+    * when `segAbs` the per-segment QUANTIZER is written as absolute
+    * index 4 too (the identity step — otherwise abs segments would
+    * default to qindex 0 and break the exact round trip).
+    */
+  final case class FilterCfg(simple: Boolean, level: Int,
+                             sharpness: Int, refDelta: Int,
+                             modeDelta: Int, segAbs: Boolean,
+                             segLf: Seq[Int],
+                             segIdOf: (Int, Int) => Int)
+
   /** Encode a luma plane that is UNIFORM PER 4x4 BLOCK (required —
     * that is what makes the lossy pipeline exact, see the object
     * scaladoc) as a conforming single-partition keyframe: B_PRED +
@@ -1115,9 +1138,14 @@ object Vp8 {
     * flat 128 (zero residual), loop filter level 0, skip flags on.
     * Residual r per block encodes as DC level r: dequantizes to 8r
     * and the DC-only IDCT gives (8r+4)>>3 = r back — decode∘encode
-    * is the identity on the visible pixels.
+    * is the identity on the visible pixels (before the loop filter,
+    * when a [[FilterCfg]] switches one on).
     */
-  def encode(luma: Array[Byte], w: Int, h: Int): Array[Byte] = {
+  def encode(luma: Array[Byte], w: Int, h: Int): Array[Byte] =
+    encode(luma, w, h, None)
+
+  def encode(luma: Array[Byte], w: Int, h: Int,
+             filter: Option[FilterCfg]): Array[Byte] = {
     require(w > 0 && h > 0 && w <= 0x3fff && h <= 0x3fff &&
       luma.length == w * h, "bad luma plane")
     val mbW = (w + 15) >> 4; val mbH = (h + 15) >> 4
@@ -1154,11 +1182,43 @@ object Vp8 {
     val hdr = new BoolWriter
     hdr.literal(1, 0) // color space
     hdr.literal(1, 0) // clamping
-    hdr.literal(1, 0) // segmentation off
-    hdr.literal(1, 0) // filter type
-    hdr.literal(6, 0) // filter level 0
-    hdr.literal(3, 0) // sharpness
-    hdr.literal(1, 0) // lf deltas off
+    filter match {
+      case Some(c) =>
+        hdr.literal(1, 1) // segmentation enabled
+        hdr.literal(1, 1) // update map
+        hdr.literal(1, 1) // update feature data
+        hdr.literal(1, if (c.segAbs) 1 else 0)
+        var i = 0
+        while (i < 4) { // quantizer per segment: abs mode must pin
+          // the identity index 4 explicitly (see FilterCfg scaladoc)
+          if (c.segAbs) { hdr.literal(1, 1); hdr.signed(7, 4) }
+          else hdr.literal(1, 0)
+          i += 1
+        }
+        i = 0
+        while (i < 4) { hdr.literal(1, 1); hdr.signed(6, c.segLf(i)); i += 1 }
+        i = 0
+        while (i < 3) { hdr.literal(1, 1); hdr.literal(8, 128); i += 1 }
+        hdr.literal(1, if (c.simple) 1 else 0) // filter type
+        hdr.literal(6, c.level)
+        hdr.literal(3, c.sharpness)
+        hdr.literal(1, 1) // lf delta enabled
+        hdr.literal(1, 1) // update lf deltas
+        i = 0
+        while (i < 8) {
+          val v = if (i == 0) c.refDelta
+                  else if (i == 4) c.modeDelta else 0
+          if (v != 0) { hdr.literal(1, 1); hdr.signed(6, v) }
+          else hdr.literal(1, 0)
+          i += 1
+        }
+      case None =>
+        hdr.literal(1, 0) // segmentation off
+        hdr.literal(1, 0) // filter type
+        hdr.literal(6, 0) // filter level 0
+        hdr.literal(3, 0) // sharpness
+        hdr.literal(1, 0) // lf deltas off
+    }
     hdr.literal(2, 0) // one token partition
     hdr.literal(7, 4) // y_ac_qi = 4 -> luma DC step 8
     var d = 0
@@ -1233,7 +1293,13 @@ object Vp8 {
           b += 1
         }
         val skip = res.forall(_ == 0)
-        // mode-pass bits (header partition): skip, ymode, submodes, uv
+        // mode-pass bits (header partition): [segment id,] skip,
+        // ymode, submodes, uv — the decoder's exact read order
+        filter.foreach { c =>
+          val id = c.segIdOf(mbx, mby)
+          hdr.bool(128, if (id < 2) 0 else 1)
+          hdr.bool(128, id & 1)
+        }
         hdr.bool(128, if (skip) 1 else 0)
         hdr.tree(KfYmodeTree, kfYmodeProbs, 0, 4) // B_PRED
         b = 0
@@ -1312,8 +1378,12 @@ object Vp8 {
   }
 
   /** [[encode]] wrapped as a .webp file (RIFF / VP8 chunk). */
-  def encodeWebp(luma: Array[Byte], w: Int, h: Int): Array[Byte] = {
-    val payload = encode(luma, w, h)
+  def encodeWebp(luma: Array[Byte], w: Int, h: Int): Array[Byte] =
+    encodeWebp(luma, w, h, None)
+
+  def encodeWebp(luma: Array[Byte], w: Int, h: Int,
+                 filter: Option[FilterCfg]): Array[Byte] = {
+    val payload = encode(luma, w, h, filter)
     val padded = payload.length + (payload.length & 1)
     val out = new java.io.ByteArrayOutputStream(20 + padded)
     def w32(v: Int): Unit = {

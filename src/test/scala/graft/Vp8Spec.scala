@@ -83,6 +83,33 @@ class Vp8Spec extends AnyFunSuite {
     }
   }
 
+  test("seg-delta loop-filter parity (r16 verdict ask): OUR encoder's segmentation+filter bitstreams decode to libwebp's own YUV byte for byte — abs/rel levels, ref/mode deltas, both filters, sharpness 0/1/2/4/7, hev levels, clamp extremes") {
+    // the other direction from the v_* vectors: these bitstreams were
+    // WRITTEN by Vp8.encode's FilterCfg arm (graft.tools.GenSegVectors
+    // documents the exact grid) and the .yuv next to each is the
+    // SYSTEM libwebp's decode of them — so this pins (a) the extended
+    // encoder's conformance and (b) every seg-delta branch of the
+    // filter pass: perturb level resolution, the delta clamps, the
+    // sharpness shift or either filter's taps and some plane byte
+    // moves. Re-encode from the documented grid FIRST so the pinned
+    // .webp provably still is our encoder's output (no silent drift).
+    graft.tools.GenSegVectors.grid.foreach { case (name, w, h, cfg) =>
+      val webp = res(s"$name.webp")
+      assert(Vp8.encodeWebp(graft.tools.GenSegVectors.luma(w, h),
+        w, h, Some(cfg)).toSeq == webp.toSeq,
+        s"$name: encoder output drifted from the libwebp-verified bytes")
+      val (at, len) = vp8Chunk(webp)
+      val fr = Vp8.decode(webp, at, len).getOrElse(fail(s"$name fenced"))
+      assert(fr.filterLevel > 0, s"$name must carry an active filter")
+      comparePlanes(name, fr, res(s"$name.yuv"))
+      // non-vacuous: the filter really changed pixels vs the
+      // unfiltered reconstruction (= the input luma, by the encoder's
+      // exactness contract)
+      assert(fr.y.toSeq != graft.tools.GenSegVectors.luma(w, h).toSeq,
+        s"$name: filter pass was a pixel no-op — the pin is vacuous")
+    }
+  }
+
   /** The q148 fixture layout, reproduced here so the conformance pin
     * is self-contained.
     */
