@@ -1,0 +1,101 @@
+package graft
+
+import graft.multimodal.Brotli
+import graft.tools.BrotliVectors
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Brotli decoder — parity-pinned against the system libbrotli (the
+  * Vp8 method): every `v_<kind>_q<q>_w<w>.br` resource under
+  * `brotli/` is the SYSTEM encoder's compression of a payload
+  * [[BrotliVectors]] regenerates deterministically; the decoder must
+  * return the payload byte for byte. The conformance pair goes the
+  * other way: `conform_fixed.br`/`conform_stored.br` are OUR fixture
+  * encoders' bitstreams, verified at pin time by the SYSTEM
+  * libbrotlidec decoding them to the payload — the q151 oracle's
+  * exactness device is conformant brotli, not merely
+  * self-consistent.
+  */
+class BrotliSpec extends AnyFunSuite {
+
+  private def res(name: String): Array[Byte] = {
+    val in = getClass.getResourceAsStream(s"/brotli/$name")
+    require(in != null, s"missing resource $name")
+    try in.readAllBytes()
+    finally in.close()
+  }
+
+  test("decoder parity: system-libbrotli streams across qualities 0-11, windows 10-22, dictionary-rich / markup / repetitive / UTF-8 / binary / mixed / empty / 1-byte / multi-MiB payloads decode byte for byte") {
+    BrotliVectors.Grid.foreach { case (kind, q, w) =>
+      val name = BrotliVectors.name(kind, q, w)
+      val got = Brotli.decode(res(s"$name.br"))
+        .getOrElse(fail(s"$name fenced"))
+      assert(java.util.Arrays.equals(got, BrotliVectors.payload(kind)),
+        s"$name decode mismatch")
+    }
+    // non-vacuous dictionary/copy reach: the q11 dictionary-rich
+    // vector is far smaller than its output, so the stream NEEDS
+    // backward copies and static-dictionary words to reconstruct —
+    // a decoder with a broken dictionary path cannot pass the line
+    // above by luck
+    assert(res("v_dicty_q11_w22.br").length * 5 <
+      BrotliVectors.payload("dicty").length)
+  }
+
+  test("fixture encoders: conformance-pinned bytes (system libbrotlidec verified), identity round trips for every payload kind and all three stream shapes") {
+    // the exact bytes the SYSTEM decoder was verified against at pin
+    // time — drift here would silently invalidate the q151 oracle's
+    // conformance claim (the conform_self.webp device)
+    assert(Brotli.encodeFixed(BrotliVectors.payload("dicty"),
+      split = true).toSeq == res("conform_fixed.br").toSeq,
+      "encodeFixed output drifted from the libbrotli-verified bytes")
+    assert(Brotli.encodeUncompressed(BrotliVectors.payload("utf8"))
+      .toSeq == res("conform_stored.br").toSeq,
+      "encodeUncompressed output drifted")
+    BrotliVectors.Grid.map(_._1).distinct.foreach { kind =>
+      val p = BrotliVectors.payload(kind)
+      Seq(
+        ("fixed", Brotli.encodeFixed(p, split = false)),
+        ("split", Brotli.encodeFixed(p, split = true)),
+        ("stored", Brotli.encodeUncompressed(p))).foreach {
+        case (tag, enc) =>
+          val got = Brotli.decode(enc).getOrElse(fail(s"$tag/$kind fenced"))
+          assert(java.util.Arrays.equals(got, p), s"$tag/$kind")
+      }
+    }
+  }
+
+  test("fences: null/empty/prose/truncation at every byte, random mutations never throw, the bomb cap trips") {
+    assert(Brotli.decode(null).isEmpty)
+    assert(Brotli.decode(Array.emptyByteArray).isEmpty)
+    // truncation: every prefix of a copy-heavy stream either fences
+    // or decodes (brotli has no checksum, so an aligned prefix CAN
+    // be a valid stream) — it must never throw and never return
+    // MORE than the original
+    val full = res("v_rep_q5_w10.br")
+    val want = BrotliVectors.payload("rep")
+    (0 until full.length).foreach { n =>
+      Brotli.decode(java.util.Arrays.copyOfRange(full, 0, n)) match {
+        case Some(got) => assert(got.length <= want.length, s"cut $n")
+        case None => ()
+      }
+    }
+    // deterministic mutation fuzz over three stream shapes
+    val rnd = new scala.util.Random(0xb20171L)
+    val seeds = Seq(res("v_dicty_q11_w22.br"), res("v_long_q4_w18.br"),
+      Brotli.encodeFixed(BrotliVectors.payload("html"), split = true))
+    seeds.foreach { seed =>
+      (0 until 400).foreach { _ =>
+        val b = seed.clone()
+        (0 until 1 + rnd.nextInt(6)).foreach { _ =>
+          b(rnd.nextInt(b.length)) = rnd.nextInt(256).toByte
+        }
+        Brotli.decode(b) // must not throw; value irrelevant
+      }
+    }
+    // the decompression-bomb cap: a stream whose output exceeds the
+    // cap fences whole rather than buffering unboundedly
+    val big = Brotli.encodeUncompressed(new Array[Byte](1 << 16))
+    assert(Brotli.decode(big, cap = 1 << 12).isEmpty, "cap must trip")
+    assert(Brotli.decode(big, cap = 1 << 17).isDefined)
+  }
+}
