@@ -338,7 +338,7 @@ object ScaleCheck {
     def buildOfficeDir(dir: String, archives: Int, recsPer: Int): Long = {
       val root = new java.io.File(dir)
       val marker = new java.io.File(s"$dir/_gen")
-      val want = s"v2-$archives-$recsPer" // v2: + html-meta & sitemap recs
+      val want = s"v3-$archives-$recsPer" // v3: + br-coded pages (r17)
       if (marker.exists() &&
           new String(java.nio.file.Files.readAllBytes(marker.toPath),
             "UTF-8") == want) {
@@ -373,7 +373,19 @@ object ScaleCheck {
           val seed = a * 100000 + r
           def prose(tag: String) =
             s"$tag document $seed " + (s"token$seed office text " * 120)
-          val body = (r % 9) match {
+          val body = (r % 10) match {
+            case 9 =>
+              // the r17 arm: a br-CODED page — the crawl point now
+              // measures the integrated inflateBody -> Brotli path
+              // (the br share of a modern crawl is material; its
+              // decode cost must be a tracked number, not a fence)
+              rec(Seq("WARC-Type" -> "response",
+                "WARC-Target-URI" -> s"http://o$a.example/b$r.html",
+                "Content-Type" -> "application/http; msgtype=response"),
+                ("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n" +
+                  "Content-Encoding: br\r\n\r\n").getBytes("ISO-8859-1") ++
+                  M.Brotli.encodeFixed(
+                    prose("br").getBytes("UTF-8"), split = r % 2 == 0))
             case 7 => resp(s"http://o$a.example/p$r.html", "text/html",
               graft.functions.HtmlMeta.write(
                 title = s"Page $seed", description = s"about $seed",
@@ -455,7 +467,7 @@ object ScaleCheck {
         graft.pipeline.CorpusPrep.urlDedup(
           graft.sources.WarcSource.documents(spark, dir, None)), reps)
       val mb = diskBytes / 1048576.0
-      line(s"""{"scale":"$tag","office_media":{"archives":$archives,"disk_mb":${d3(mb)},"office_sec":${d3(offSec)},"office_docs":$offDocs,"office_mb_per_sec":${d3(mb / math.max(offSec, 1e-9))},"media_sec":${d3(medSec)},"media_rows":$media,"media_mb_per_sec":${d3(mb / math.max(medSec, 1e-9))},"pagemeta_sec":${d3(pmSec)},"pagemeta_rows":$pmRows,"sitemap_sec":${d3(smSec)},"sitemap_rows":$smRows,"frontier_sec":${d3(fpSec)},"frontier_rows":$fpRows,"mediascrub_sec":${d3(msSec)},"mediascrub_rows":$msRows,"urldedup_sec":${d3(udSec)},"urldedup_rows":$udRows}}""")
+      line(s"""{"scale":"$tag","office_media":{"archives":$archives,"br_share":0.1,"disk_mb":${d3(mb)},"office_sec":${d3(offSec)},"office_docs":$offDocs,"office_mb_per_sec":${d3(mb / math.max(offSec, 1e-9))},"media_sec":${d3(medSec)},"media_rows":$media,"media_mb_per_sec":${d3(mb / math.max(medSec, 1e-9))},"pagemeta_sec":${d3(pmSec)},"pagemeta_rows":$pmRows,"sitemap_sec":${d3(smSec)},"sitemap_rows":$smRows,"frontier_sec":${d3(fpSec)},"frontier_rows":$fpRows,"mediascrub_sec":${d3(msSec)},"mediascrub_rows":$msRows,"urldedup_sec":${d3(udSec)},"urldedup_rows":$udRows}}""")
       Map("office" -> offSec, "media" -> medSec, "pagemeta" -> pmSec,
         "sitemap" -> smSec, "frontier" -> fpSec, "mediascrub" -> msSec,
         "urldedup" -> udSec)

@@ -71,7 +71,9 @@ object SparkEntry {
         Entry("q149_heif_probe", graft.multimodal.Multimodal.q149,
           Some(graft.multimodal.Multimodal.q149Sql)),
         Entry("q150_vp8_segfilter", graft.multimodal.Multimodal.q150,
-          Some(graft.multimodal.Multimodal.q150Sql)))
+          Some(graft.multimodal.Multimodal.q150Sql)),
+        Entry("q151_brotli_decode", graft.multimodal.Multimodal.q151,
+          Some(graft.multimodal.Multimodal.q151Sql)))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1481,6 +1481,49 @@ object Multimodal {
       |    AS BIGINT) AS colsum
       |FROM delt ORDER BY doc_id""".stripMargin
 
+  /** q151 entry: BROTLI DECODE in the oracle-checked path — each
+    * document's UTF-8 bytes written as a CONFORMANT RFC 7932 stream
+    * (the fixture encoders are system-libbrotlidec-verified, see
+    * [[Brotli]]/BrotliSpec; doc_id arms cycle the three stream
+    * shapes: one compressed meta-block with the full 256-symbol
+    * 8-bit literal code through the complex code-length path, stored
+    * meta-blocks, and a two-meta-block split) and decoded back
+    * through the FULL decoder. The oracle is the IDENTITY on the
+    * documents table — window-bit parse, meta-block framing, the
+    * repeat-coded prefix-code machinery, command decomposition and
+    * the literal loop must all cancel for the hash to match (q127's
+    * device on the compression format crawls actually serve; the
+    * copy/dictionary/context paths are pinned by the libbrotli
+    * parity corpus, which no SQL engine can replay).
+    */
+  def q151(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), coalesce(col("text"), lit("")).as("t"))
+      .as[(Long, String)]
+      .map { case (id, t) =>
+        def pmod(m: Long): Long = ((id % m) + m) % m
+        val bytes = t.getBytes("UTF-8")
+        val stream = pmod(3) match {
+          case 0 => Brotli.encodeFixed(bytes, split = false)
+          case 1 => Brotli.encodeUncompressed(bytes)
+          case _ => Brotli.encodeFixed(bytes, split = true)
+        }
+        val back = Brotli.decode(stream)
+        (id, back.map(new String(_, "UTF-8")).getOrElse(""),
+          back.isDefined)
+      }
+      .toDF("doc_id", "text", "decode_ok")
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB mirror of q151: the identity — decode must return the
+    * original text verbatim with every stream accepted.
+    */
+  val q151Sql: String =
+    """SELECT doc_id, coalesce(text, '') AS text, TRUE AS decode_ok
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   /** q127 entry: PDF TEXT EXTRACTION in the oracle-checked path —
     * each document written as a REAL single-page PDF
     * ([[PdfText.write]]: catalog/pages objects, a FlateDecode content

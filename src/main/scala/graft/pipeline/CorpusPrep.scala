@@ -636,7 +636,8 @@ object CorpusPrep {
     * the pipeline's own [[Stats]] (`htmlDocs` + `pdfDocs` +
     * `officeDocs` == `prep.input` by construction — the faces take
     * disjoint record sets). `codingFenced` bills the responses whose
-    * Content-Encoding could not be undone (brotli and friends —
+    * Content-Encoding could not be undone (dying streams, hostile or
+    * bomb-sized payloads; healthy brotli DECODES since r17 —
     * [[graft.sources.WarcSource.codingFenced]]): the coverage the
     * intake LOST as a number, per the no-silent-caps rule.
     * `noindexDropped` bills the pages `honorNoindex` removed (0 when
@@ -730,7 +731,7 @@ object CorpusPrep {
     // PDF — a whole wasted crawl scan at the 100 TB scale
     val officeN = office.map(_.count()).getOrElse(0L)
     // the coverage the intake LOST to undecodable content codings
-    // (brotli): a records-level count, no extraction work
+    // (dying/hostile streams): a records-level count, no extraction
     val codingN = WarcSource.codingFenced(recs).count()
     // the media sidecar (when requested): the PII-scrubbed media face
     // written BESIDE the text corpus, then billed from the written

@@ -44,9 +44,10 @@ object WarcSource {
     * for `response` records (the envelope's Content-Type surfaced as
     * `http_content_type`), with TRANSPORT/CONTENT codings undone
     * best-effort — chunked framing removed, gzip/deflate content
-    * coding inflated (bomb-capped). A Content-Encoding that could NOT
-    * be undone (brotli has no decoder on Spark's classpath; a dying
-    * gzip stream; an unknown token) keeps the RAW bytes and surfaces
+    * coding inflated (bomb-capped), brotli decoded through the
+    * in-house RFC 7932 decoder (since r17). A Content-Encoding that
+    * could NOT be undone (a dying stream; the bomb cap; an unknown
+    * token) keeps the RAW bytes and surfaces
     * the coding in `content_coding` (null when the body is plain or
     * was successfully decoded) — the magic route + NUL fence govern
     * what the raw bytes become, and [[quarantine]] counts the
@@ -216,9 +217,16 @@ object WarcSource {
         // codecs) — newer CDNs serve Content-Encoding: zstd
         drain(new com.github.luben.zstd.ZstdInputStream(
           new ByteArrayInputStream(body)))
-      case _ => None // br/unknown: no JVM decoder — raw bytes stay,
-                     // the coding surfaces as content_coding and the
-                     // quarantine face bills it as <coding>_fenced
+      case "br" =>
+        // RFC 7932 through the in-house decoder ([[graft.multimodal
+        // .Brotli]], parity-pinned against libbrotli) — since r17 a
+        // br-preferring CDN's pages are INGESTED, not fenced; None
+        // (dying stream / bomb cap) keeps the raw bytes and still
+        // bills br_fenced
+        graft.multimodal.Brotli.decode(body, BodyInflateCap)
+      case _ => None // unknown codings: raw bytes stay, the coding
+                     // surfaces as content_coding and the quarantine
+                     // face bills it as <coding>_fenced
     }
   }
 
@@ -971,12 +979,12 @@ object WarcSource {
     col("n_bytes"),
     regexp_extract(col("file"), "([^/]+)$", 1).as("source"))
 
-  /** Still-content-coded leftovers (brotli; a dying stream): the
-    * record walk could not undo the coding, the bytes have no known
-    * magic to route on, and they are not text — the precise reason
+  /** Still-content-coded leftovers (a dying stream; hostile or
+    * bomb-sized brotli — HEALTHY br decodes since r17): the record
+    * walk could not undo the coding, the bytes have no known magic
+    * to route on, and they are not text — the precise reason
     * (`br_fenced`, `gzip_fenced`, …) wins over the generic nul_bytes
-    * so the per-coding coverage loss is a dashboardable NUMBER (the
-    * r14 brotli decision: count it, don't vendor a decoder). A
+    * so the per-coding coverage loss is a dashboardable NUMBER. A
     * still-coded body whose bytes DO carry a magic (a zstd entity
     * mislabeled as Content-Encoding) keeps its media/decompress
     * route and is not quarantined here. Public as its own face so

@@ -47,6 +47,7 @@ class CorpusPrepSpec extends SparkSpec {
           .getBytes("ISO-8859-1") ++ body)
     val pdfText = "a crawled pdf paragraph riding the batch corpus pipeline"
     val docxText = "a crawled office document riding the batch corpus pipeline"
+    val brText = "a brotli coded page riding the batch corpus pipeline"
     // media rows for the mediaOut sidecar billing: one payload per
     // scrub outcome (scrubbed / clean / governed-but-broken = fenced)
     val img = graft.multimodal.Netpbm.Image(8, 8, 255,
@@ -80,7 +81,7 @@ class CorpusPrepSpec extends SparkSpec {
           graft.functions.HtmlMeta.write("Hidden Page", "internal",
             "https://x.example/hidden", noindex = true,
             body = "an internal page marked noindex").getBytes("UTF-8")) ++
-        // a brotli-coded page: no JVM decoder — must BILL, not vanish
+        // a DYING brotli stream: undecodable — must BILL, not vanish
         rec(Seq("WARC-Type" -> "response",
           "WARC-Target-URI" -> "http://x.example/fast.br",
           "Content-Type" -> "application/http; msgtype=response"),
@@ -88,15 +89,24 @@ class CorpusPrepSpec extends SparkSpec {
             "Content-Encoding: br\r\n\r\n").getBytes("ISO-8859-1") ++
             Array.tabulate[Byte](96)(i =>
               if (i % 9 == 0) 0 else ((i * 13) % 250).toByte)) ++
+        // a HEALTHY brotli page (r17): decodes and rides the pipeline
+        rec(Seq("WARC-Type" -> "response",
+          "WARC-Target-URI" -> "http://x.example/good.br",
+          "Content-Type" -> "application/http; msgtype=response"),
+          ("HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n" +
+            "Content-Encoding: br\r\n\r\n").getBytes("ISO-8859-1") ++
+            graft.multimodal.Brotli.encodeFixed(
+              brText.getBytes("UTF-8"), split = false)) ++
         resp("http://x.example/tagged.jpg", "image/jpeg", jpegTagged) ++
         resp("http://x.example/clean.jpg", "image/jpeg", cleanJpeg) ++
         resp("http://x.example/broken.jpg", "image/jpeg", brokenJpeg))
     val keep = CorpusPrep.Config(langRates = Map.empty, defaultRate = 1.0,
       nShards = 2, stripMarkup = true)
     val stats = CorpusPrep.runFromWarc(spark, dir, out, keep)
-    assert(stats.htmlDocs == 3,
-      "html responses + wet conversion; noindex KEPT by default " +
-        "(training corpora may keep the text — the drop is a policy)")
+    assert(stats.htmlDocs == 4,
+      "html responses + wet conversion + the DECODED br page; " +
+        "noindex KEPT by default (training corpora may keep the " +
+        "text — the drop is a policy)")
     assert(stats.noindexDropped == 0)
     assert(stats.pdfDocs == 1,
       "one recoverable PDF billed; the mojibake one is quarantined upstream")
@@ -130,7 +140,9 @@ class CorpusPrepSpec extends SparkSpec {
     assert(withMedia.prep.input == stats.prep.input,
       "the media sidecar must not perturb the text pipeline")
     val corpus = spark.read.parquet(out)
-    assert(corpus.count() == 5)
+    assert(corpus.count() == 6)
+    assert(corpus.filter(col("text") === brText).count() == 1,
+      "the healthy br page must decode and ride the pipeline (r17)")
     assert(corpus.filter(col("text") === pdfText).count() == 1,
       "the PDF's recovered text must ride the same pipeline to the corpus")
     assert(corpus.filter(col("text") === docxText).count() == 1,
@@ -140,12 +152,12 @@ class CorpusPrepSpec extends SparkSpec {
     val noPdf = CorpusPrep.runFromWarc(spark, dir, out + "_nopdf", keep,
       includePdfs = false, includeOffice = false)
     assert(noPdf.pdfDocs == 0 && noPdf.officeDocs == 0 &&
-      noPdf.prep.input == 3)
+      noPdf.prep.input == 4)
     // honorNoindex: the robots-noindex page drops BEFORE the pipeline
     // and the drop is billed
     val noIdx = CorpusPrep.runFromWarc(spark, dir, out + "_noidx", keep,
       honorNoindex = true)
-    assert(noIdx.noindexDropped == 1 && noIdx.htmlDocs == 2)
+    assert(noIdx.noindexDropped == 1 && noIdx.htmlDocs == 3)
     val idxCorpus = spark.read.parquet(out + "_noidx")
     assert(idxCorpus.filter(col("text").contains("marked noindex"))
       .count() == 0, "a noindex page must not reach the corpus")

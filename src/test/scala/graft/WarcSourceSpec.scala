@@ -478,44 +478,53 @@ class WarcSourceSpec extends SparkSpec {
     docs.unpersist()
   }
 
-  test("undecodable content codings are BILLED: br quarantines as br_fenced (not nul_bytes); zstd coding now inflates") {
+  test("content codings: healthy br DECODES (r17) and zstd inflates; dying br bills br_fenced (not nul_bytes)") {
     val dir = Files.createTempDirectory("graft-warc-br").toString
     def respRaw(uri: String, headers: String, body: Array[Byte]) =
       rec(Seq("WARC-Type" -> "response", "WARC-Target-URI" -> uri,
         "Content-Type" -> "application/http; msgtype=response"),
       bytes(s"HTTP/1.1 200 OK\r\n$headers\r\n") ++ body)
     val text = "a page served under a modern content coding"
-    // "brotli" bytes: no JVM decoder exists — stand-in binary with
-    // NULs and no known magic (exactly how a real br body presents)
-    val brBody = Array.tabulate[Byte](256)(i =>
+    // hostile "brotli" bytes: binary with NULs that no decoder can
+    // undo — the billed-loss arm keeps working after the r17 decoder
+    val brGarbage = Array.tabulate[Byte](256)(i =>
       if (i % 5 == 0) 0 else ((i * 11) % 251).toByte)
+    // a HEALTHY br page: a conformant stream (the fixture encoder is
+    // libbrotlidec-verified) — must now ingest as text, not bill
+    val brText = "a brotli page the r17 decoder ingests instead of fencing"
+    val brBody = graft.multimodal.Brotli.encodeFixed(
+      brText.getBytes("UTF-8"), split = true)
     val zstdBody = com.github.luben.zstd.Zstd.compress(bytes(text))
     Files.write(Paths.get(dir, "br.warc"),
       respRaw("http://b.example/page.br",
-        "Content-Type: text/html\r\nContent-Encoding: br\r\n", brBody) ++
+        "Content-Type: text/html\r\nContent-Encoding: br\r\n", brGarbage) ++
+        respRaw("http://b.example/good.br",
+          "Content-Type: text/plain\r\nContent-Encoding: br\r\n", brBody) ++
         respRaw("http://b.example/page.zst",
           "Content-Type: text/plain\r\nContent-Encoding: zstd\r\n",
           zstdBody) ++
         respRaw("http://b.example/plain",
           "Content-Type: text/plain\r\n", bytes(text)))
     val recs = WarcSource.records(spark, dir).cache()
-    // the records frame carries the evidence column
+    // the records frame carries the evidence column: ONLY the dying
+    // stream stays coded — healthy br and zstd both decode
     assert(recs.filter(col("content_coding") === "br").count() == 1)
     assert(recs.filter(col("content_coding").isNotNull).count() == 1,
-      "zstd coding must inflate (zstd-jni is on the classpath), " +
-        "plain bodies carry null")
-    // zstd-coded page ingests as text now
+      "healthy br + zstd must inflate; plain bodies carry null")
     val docs = WarcSource.documents(recs).collect()
       .map(r => r.getAs[String]("url") -> r.getAs[String]("text")).toMap
     assert(docs("http://b.example/page.zst") == text)
+    assert(docs("http://b.example/good.br") == brText,
+      "a healthy br page must ingest as text since r17")
     assert(!docs.contains("http://b.example/page.br"),
       "still-coded bytes must not ingest as text")
-    // the billing: exactly one br_fenced row, NOT double-counted as
-    // nul_bytes
+    // the billing: exactly one br_fenced row (the dying stream), NOT
+    // double-counted as nul_bytes, and NOT the healthy page
     val quar = WarcSource.quarantine(recs).collect()
     val reasons = quar.map(r =>
       r.getAs[String]("url") -> r.getAs[String]("reason")).toMap
     assert(reasons("http://b.example/page.br") == "br_fenced")
+    assert(!reasons.contains("http://b.example/good.br"))
     assert(quar.count(_.getAs[String]("url") ==
       "http://b.example/page.br") == 1, "one reason per record")
     assert(WarcSource.codingFenced(recs).count() == 1)
