@@ -424,17 +424,25 @@ object Brotli {
 
   // ---- dictionary word transforms (8, Appendix B) ----
 
-  /** Uppercase step at `i` (the RFC "ferment"): returns consumed. */
-  private def ferment(w: Array[Byte], i: Int): Int = {
+  /** Uppercase step at `i` (the RFC "ferment"): returns consumed.
+    * Writes past `limit` (the word's end) are DISCARDED — a word
+    * ending in a UTF-8 lead byte would otherwise ferment into the
+    * transform's SUFFIX bytes. The reference decoder ferments the
+    * word in place BEFORE appending the suffix, so its out-of-word
+    * writes get overwritten; bounding ours reproduces that net
+    * behavior (review-caught: the shipped dictionary really has such
+    * words — e.g. the length-4 CJK-tagged entries ending 0xE3-0xEC).
+    */
+  private def ferment(w: Array[Byte], i: Int, limit: Int): Int = {
     val c = w(i) & 0xff
     if (c < 192) {
       if (c >= 'a' && c <= 'z') w(i) = (c ^ 32).toByte
       1
     } else if (c < 224) {
-      if (i + 1 < w.length) w(i + 1) = (w(i + 1) ^ 32).toByte
+      if (i + 1 < limit) w(i + 1) = (w(i + 1) ^ 32).toByte
       2
     } else {
-      if (i + 2 < w.length) w(i + 2) = (w(i + 2) ^ 5).toByte
+      if (i + 2 < limit) w(i + 2) = (w(i + 2) ^ 5).toByte
       3
     }
   }
@@ -445,8 +453,8 @@ object Brotli {
     (off + 1, len)
   }
 
-  private def transformWord(off: Int, len: Int,
-                            t: Int): Array[Byte] = {
+  private[graft] def transformWord(off: Int, len: Int,
+                                   t: Int): Array[Byte] = {
     val pIx = Transforms(3 * t)
     val op = Transforms(3 * t + 1)
     val sIx = Transforms(3 * t + 2)
@@ -464,10 +472,10 @@ object Brotli {
     System.arraycopy(PrefixSuffix, pOff, out, 0, pLen)
     System.arraycopy(Dict, start, out, pLen, wl)
     System.arraycopy(PrefixSuffix, sOff, out, pLen + wl, sLen)
-    if (op == 10 && wl > 0) { ferment(out, pLen); () }
+    if (op == 10 && wl > 0) { ferment(out, pLen, pLen + wl); () }
     else if (op == 11) {
       var i = pLen
-      while (i < pLen + wl) i += ferment(out, i)
+      while (i < pLen + wl) i += ferment(out, i, pLen + wl)
     }
     out
   }

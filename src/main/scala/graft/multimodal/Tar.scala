@@ -112,6 +112,7 @@ object Tar {
     var p = 0
     var count = 0
     var pendingLongName: Option[String] = None
+    var pendingLongLink: Option[String] = None
     var pendingPax: Pax = Pax.Empty
     var sawAny = false
     var going = true
@@ -157,6 +158,15 @@ object Tar {
               // GNU longname: the data IS the next member's name
               pendingLongName =
                 Some(str(bytes, dataStart, math.min(size.toInt, 4096)))
+            } else if (typeflag == 'K') {
+              // GNU long LINKNAME: the data is the next member's
+              // link target (review-caught: without this a hardlink
+              // to a >100-char path resolved by the TRUNCATED header
+              // field — a silent drop, or the WRONG member's bytes
+              // on a truncation collision). Pends alongside 'L';
+              // both apply to the same next member
+              pendingLongLink =
+                Some(str(bytes, dataStart, math.min(size.toInt, 4096)))
             } else if (typeflag == 'x') {
               // pax extended header for the NEXT member
               val pax =
@@ -168,19 +178,23 @@ object Tar {
                 !pendingPax.sparse) {
               val name = headerName
               pendingLongName = None
+              pendingLongLink = None
               pendingPax = Pax.Empty
               val e = Entry(name, dataStart, size.toInt)
               out += e
               byName(name) = e
             } else if (typeflag == '1') {
               // hardlink: the TARGET's bytes under the LINK's name —
-              // pax `linkpath` overrides the header linkname field,
-              // exactly like `path` overrides the name field; an
-              // unresolvable target skips (those bytes are not here)
+              // pax `linkpath` > GNU 'K' long linkname > the header
+              // linkname field, the same precedence ladder `path`
+              // rides; an unresolvable target skips (those bytes are
+              // not in the archive)
               val name = headerName
               val target = pendingPax.linkpath
+                .orElse(pendingLongLink)
                 .getOrElse(str(bytes, p + 157, 100))
               pendingLongName = None
+              pendingLongLink = None
               pendingPax = Pax.Empty
               byName.get(target).foreach { t =>
                 val e = Entry(name, t.offset, t.size)
@@ -196,6 +210,7 @@ object Tar {
               // half-honored hole map would emit silently corrupt
               // text, so the walk frames past them and emits nothing
               pendingLongName = None
+              pendingLongLink = None
               pendingPax = Pax.Empty
             }
             p = dataStart + ((size.toInt + 511) / 512) * 512
@@ -329,6 +344,7 @@ object Tar {
             paxPathFor: Option[Int] = None,
             hardlinks: Seq[(String, String)] = Nil,
             paxLinkHard: Option[(String, String)] = None,
+            gnuLinkHard: Option[(String, String)] = None,
             sparseOldGnu: Boolean = false,
             sparseData: Array[Byte] = Array.emptyByteArray,
             paxSparse: Option[(String, Array[Byte])] = None,
@@ -368,6 +384,13 @@ object Tar {
       out.write(kv)
       pad(kv.length)
       writeHeader(out, name, 0, '1'.toByte, link = "decoy-short-name")
+    }
+    gnuLinkHard.foreach { case (name, target) =>
+      val tb = (target + "\u0000").getBytes("UTF-8")
+      writeHeader(out, "././@LongLink", tb.length, 'K'.toByte)
+      out.write(tb)
+      pad(tb.length)
+      writeHeader(out, name, 0, '1'.toByte, link = target.take(100))
     }
     if (sparseOldGnu) {
       // one continuation block between header and data (isextended=1

@@ -64,6 +64,45 @@ class BrotliSpec extends AnyFunSuite {
     }
   }
 
+  test("dictionary ferment at the word edge: out-of-word writes discard (review regression, system-libbrotli verified)") {
+    // Hand-built stream: insert 'x', then a STATIC-DICTIONARY
+    // reference to length-4 word #436 ("zh:" + the 0xE5 lead byte —
+    // the ferment-all walk's last step would write 2 bytes past the
+    // word) under transform #107 (ferment-all + suffix ", "). The
+    // first cut XOR'd the suffix's ',' into ')'; the system
+    // libbrotlidec decodes these exact bytes to 78 5a 48 3a e5 2c 20
+    // ("xZH:å, ") — suffix INTACT — which is what the reference
+    // decoder's ferment-before-suffix order nets out to.
+    val stream = new java.io.ByteArrayOutputStream()
+    var cur = 0; var n = 0
+    def bits(nb: Int, v: Int): Unit = {
+      var i = 0
+      while (i < nb) {
+        cur |= ((v >> i) & 1) << n; n += 1
+        if (n == 8) { stream.write(cur); cur = 0; n = 0 }
+        i += 1
+      }
+    }
+    bits(1, 0) // wbits 16
+    bits(1, 1); bits(1, 0) // last, not empty
+    bits(2, 0); bits(16, 7 - 1) // mlen 7
+    bits(1, 0); bits(1, 0); bits(1, 0) // one block type per category
+    bits(2, 0); bits(4, 0) // npostfix, ndirect
+    bits(2, 0) // LSB6
+    bits(1, 0); bits(1, 0) // ntreesL/D = 1
+    bits(2, 1); bits(2, 0); bits(8, 'x') // literal: 1-symbol code
+    bits(2, 1); bits(2, 0); bits(10, 138) // command: ins 1, cpy 4
+    bits(2, 1); bits(2, 0); bits(6, 45) // distance: 1-symbol dc 45
+    bits(15, 11705) // distance extra -> addr = (107 << 10) | 436
+    if (n > 0) stream.write(cur)
+    val got = Brotli.decode(stream.toByteArray)
+      .getOrElse(fail("ferment stream fenced"))
+    assert(got.toSeq == Seq[Byte](0x78, 0x5a, 0x48, 0x3a,
+      0xe5.toByte, 0x2c, 0x20),
+      "suffix bytes must survive a word-edge ferment " +
+        s"(got ${got.map(b => f"$b%02x").mkString(" ")})")
+  }
+
   test("fences: null/empty/prose/truncation at every byte, random mutations never throw, the bomb cap trips") {
     assert(Brotli.decode(null).isEmpty)
     assert(Brotli.decode(Array.emptyByteArray).isEmpty)

@@ -130,6 +130,22 @@ class TarSpec extends AnyFunSuite {
       "pax linkpath must override the decoy header field")
     assert(new String(Tar.extract(tar, es(4)), "UTF-8") ==
       "after the links", "the walk stays framed past the links")
+    // GNU 'K' long linkname (review regression): a hardlink whose
+    // TARGET path exceeds 100 chars carries the full target in a 'K'
+    // record; resolving by the truncated header field would silently
+    // drop the link (or hit a truncation collision)
+    val longTarget = ("deep/" * 22) + "target-document.txt"
+    assert(longTarget.length > 100)
+    val ktar = Tar.write(
+      Seq((longTarget, b("the long-path duplicated document"))),
+      longNameFor = Some(0),
+      gnuLinkHard = Some(("klink.txt", longTarget)),
+      tailFile = Some(("tail.txt", b("after the K link"))))
+    val kes = Tar.entries(ktar).get
+    assert(kes.map(_.name) == Vector(longTarget, "klink.txt", "tail.txt"))
+    assert(new String(Tar.extract(ktar, kes(1)), "UTF-8") ==
+      "the long-path duplicated document",
+      "the 'K' record's full linkname must resolve the target")
   }
 
   test("GNU sparse members fence whole while the walk stays framed: old-GNU 'S' with a continuation block, pax GNU.sparse.*") {
