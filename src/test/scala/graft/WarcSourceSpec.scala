@@ -529,6 +529,20 @@ class WarcSourceSpec extends SparkSpec {
       "http://b.example/page.br") == 1, "one reason per record")
     assert(WarcSource.codingFenced(recs).count() == 1)
     recs.unpersist()
+    // streaming parity: the br decode lives in the shared record
+    // parser, so the continuous intake must ingest the healthy page
+    // and fence the dying one exactly like batch
+    val stream = graft.streaming.Streams.warcDocuments(spark, dir)
+    val sq = stream.writeStream.format("memory")
+      .queryName("warc_br_stream").outputMode("append").start()
+    try {
+      sq.processAllAvailable()
+      val got = spark.table("warc_br_stream")
+      assert(got.filter(col("text") === brText).count() == 1,
+        "streaming must ingest the healthy br page")
+      assert(got.filter(col("url") === "http://b.example/page.br")
+        .count() == 0, "streaming must fence the dying br stream")
+    } finally sq.stop()
   }
 
   test("NUL fence covers conversion (WET) records: binary WET payload quarantines, not ingests") {
