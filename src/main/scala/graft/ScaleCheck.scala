@@ -511,6 +511,35 @@ object ScaleCheck {
     val v1 = vp8Point("vp810x", 320)
     line(s"""{"scale":"vp8_ratio_10x_over_1x","expect":"wall flat-to-linear (pure executor CPU, one task per partition); super-linear is the red flag","decode":${d3(if (v0 > 0) v1 / v0 else -1.0)}}""")
 
+    // brotli decode throughput (r17): a REAL system-libbrotli q9
+    // stream (copy/dictionary/context-heavy, 15 KB -> 1.7 MB; the
+    // same bytes as the test vector v_long_q9_w22.br) shipped as a
+    // main resource, decoded per task — MB/s of DECODED output
+    // is the number a br-heavy crawl divides by. Same shape contract
+    // as vp8: pure executor CPU, flat-to-linear at 10x.
+    def brPoint(tag: String, streams: Int): Double = {
+      import spark.implicits._
+      val bytes = {
+        val in = getClass.getResourceAsStream("/graft/brotli_bench.br")
+        require(in != null, "missing brotli_bench.br")
+        try in.readAllBytes() finally in.close()
+      }
+      val outLen = graft.multimodal.Brotli.decode(bytes)
+        .map(_.length.toLong).getOrElse(0L)
+      val bc = spark.sparkContext.broadcast(bytes)
+      val (sec, ok) = time(
+        spark.range(streams.toLong)
+          .map(_ => graft.multimodal.Brotli.decode(bc.value)
+            .map(_.length.toLong).getOrElse(-1L))
+          .toDF("n").filter(col("n") > 0), reps)
+      val outMb = streams * outLen / 1048576.0
+      line(s"""{"scale":"$tag","brotli":{"streams":$streams,"decoded":$ok,"out_mb":${d3(outMb)},"sec":${d3(sec)},"out_mb_per_sec":${d3(outMb / math.max(sec, 1e-9))}}}""")
+      sec
+    }
+    val brS0 = brPoint("brotli1x", 32)
+    val brS1 = brPoint("brotli10x", 320)
+    line(s"""{"scale":"brotli_ratio_10x_over_1x","expect":"wall flat-to-linear (pure executor CPU); super-linear is the red flag","decode":${d3(if (brS0 > 0) brS1 / brS0 else -1.0)}}""")
+
     val op0 = officePoint("target/scale_office_1", "office1x", 4)
     val op1 = officePoint("target/scale_office_10", "office10x", 40)
     val opRatios = op0.keys.toSeq.sorted.map { k =>

@@ -106,6 +106,10 @@ class BrotliSpec extends AnyFunSuite {
   test("fences: null/empty/prose/truncation at every byte, random mutations never throw, the bomb cap trips") {
     assert(Brotli.decode(null).isEmpty)
     assert(Brotli.decode(Array.emptyByteArray).isEmpty)
+    // the large-window header shape (WBITS escape 0b1,000,100...) is
+    // a non-standard extension RFC 7932 reserves — must fence whole
+    assert(Brotli.decode(Array[Byte](0x11, 0, 0, 0)).isEmpty,
+      "large-window streams must fence, not misparse")
     // truncation: every prefix of a copy-heavy stream either fences
     // or decodes (brotli has no checksum, so an aligned prefix CAN
     // be a valid stream) — it must never throw and never return
