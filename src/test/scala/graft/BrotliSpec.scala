@@ -110,6 +110,13 @@ class BrotliSpec extends AnyFunSuite {
     // a non-standard extension RFC 7932 reserves — must fence whole
     assert(Brotli.decode(Array[Byte](0x11, 0, 0, 0)).isEmpty,
       "large-window streams must fence, not misparse")
+    // metadata blocks skip whole (hand-built, system-libbrotlidec
+    // verified: these exact bytes decode to "ok" — a 3-byte metadata
+    // block, then a stored block, then the empty last block)
+    val metaStream = Array(0x2c, 0x01, 0xaa, 0xbb, 0xcc, 0x08, 0x00,
+      0x08, 0x6f, 0x6b, 0x03).map(_.toByte)
+    assert(Brotli.decode(metaStream).map(new String(_, "UTF-8"))
+      .contains("ok"), "metadata blocks must skip, not ingest")
     // truncation: every prefix of a copy-heavy stream either fences
     // or decodes (brotli has no checksum, so an aligned prefix CAN
     // be a valid stream) — it must never throw and never return

@@ -529,6 +529,26 @@ class WarcSourceSpec extends SparkSpec {
       "http://b.example/page.br") == 1, "one reason per record")
     assert(WarcSource.codingFenced(recs).count() == 1)
     recs.unpersist()
+    // a br-coded IMAGE: content coding is undone BEFORE magic
+    // routing, so the decoded bytes must route to the media face
+    // like any plain-served image (CDNs br-compress aggressively,
+    // including already-compressed media)
+    val png = graft.multimodal.Png.encode(graft.multimodal.Netpbm
+      .Image(8, 8, 255, Array.fill[Byte](192)(55)))
+    Files.write(Paths.get(dir, "brimg.warc"),
+      respRaw("http://b.example/img.png",
+        "Content-Type: image/png\r\nContent-Encoding: br\r\n",
+        graft.multimodal.Brotli.encodeFixed(png, split = false)))
+    val recs2 = WarcSource.records(spark, dir)
+    val media = WarcSource.media(recs2).collect()
+      .filter(_.getAs[org.apache.spark.sql.Row]("meta")
+        .getAs[String]("url") == "http://b.example/img.png")
+    assert(media.length == 1 &&
+      media(0).getAs[org.apache.spark.sql.Row]("meta")
+        .getAs[String]("mime") == "image/png",
+      "a br-coded image must decode and route to media by magic")
+    assert(media(0).getAs[Array[Byte]]("payload").toSeq == png.toSeq,
+      "the media payload must be the DECODED image bytes")
     // streaming parity: the br decode lives in the shared record
     // parser, so the continuous intake must ingest the healthy page
     // and fence the dying one exactly like batch
