@@ -453,8 +453,8 @@ object Brotli {
     (off + 1, len)
   }
 
-  private[graft] def transformWord(off: Int, len: Int,
-                                   t: Int): Array[Byte] = {
+  private def transformWord(off: Int, len: Int,
+                            t: Int): Array[Byte] = {
     val pIx = Transforms(3 * t)
     val op = Transforms(3 * t + 1)
     val sIx = Transforms(3 * t + 2)

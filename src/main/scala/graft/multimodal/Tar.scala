@@ -167,6 +167,9 @@ object Tar {
               // both apply to the same next member
               pendingLongLink =
                 Some(str(bytes, dataStart, math.min(size.toInt, 4096)))
+                  .filter(_.nonEmpty) // an empty 'K' must not shadow
+                                      // a valid header linkname (the
+                                      // pax linkpath nonEmpty rule)
             } else if (typeflag == 'x') {
               // pax extended header for the NEXT member
               val pax =
