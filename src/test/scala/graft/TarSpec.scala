@@ -173,6 +173,43 @@ class TarSpec extends AnyFunSuite {
       "sparse header at EOF: chain truncated, walk stops, prefix keeps")
   }
 
+  test("REAL GNU tar parity: archives written by system tar (format=gnu/pax) — long names, 'K' hardlinks, sparse members fenced both ways") {
+    // `tar (GNU tar) 1.34 --format=gnu --sparse` over a tree with a
+    // >100-char path, two hardlinks (one to the long path — a real
+    // 'K' record), and a hole-punched file; pinned verbatim. The
+    // walk must recover every document, resolve both links, and
+    // fence ONLY the sparse member while staying framed.
+    def res(name: String): Array[Byte] = {
+      val in = getClass.getResourceAsStream(s"/tar/$name")
+      require(in != null, s"missing resource $name")
+      try in.readAllBytes() finally in.close()
+    }
+    val gnu = res("gnu.tar")
+    val es = Tar.entries(gnu).get
+    val byName = es.map(e => e.name ->
+      new String(Tar.extract(gnu, e), "UTF-8")).toMap
+    val longPath = "./deeply/nested/directory/structure/that/keeps/" +
+      "going/and/going/far/beyond/the/hundred/character/ustar/limit/" +
+      "for/sure/original-target-document.txt"
+    assert(es.length == 4, s"got ${es.map(_.name)}")
+    assert(byName("./short.txt") == "plain short member\n")
+    assert(byName(longPath) == "the original document content\n",
+      "the 'L' long name must recover")
+    assert(byName("./short-link.txt") == "plain short member\n",
+      "the short hardlink must resolve")
+    assert(byName("./link-to-long-target.txt") ==
+      "the original document content\n",
+      "the 'K' long-linkname hardlink must resolve to the long target")
+    assert(!byName.contains("./sparse.bin"),
+      "the old-GNU sparse member must fence")
+    // pax --sparse: the member arrives as a regular '0' header whose
+    // preceding 'x' block carries GNU.sparse.* keys — fence it, keep
+    // the plain member
+    val pax = Tar.entries(res("pax-sparse.tar")).get
+    assert(pax.map(_.name) == Vector("short.txt"),
+      s"pax-sparse must fence the sparse member only, got ${pax.map(_.name)}")
+  }
+
   test("pax-then-L precedence: the POSIX pax path wins over a GNU longname for the same member") {
     val paxName = "pax/authoritative/name.txt"
     val tar = Tar.write(Seq(
