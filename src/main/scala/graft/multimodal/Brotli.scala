@@ -180,6 +180,11 @@ object Brotli {
     def alignZero(): Unit =
       while ((bitPos & 7) != 0) fence(bit() != 0)
 
+    /** Whole input bytes not yet consumed (bitPos rounded up — any
+      * partially-read byte counts as consumed).
+      */
+    def bytesLeft: Long = b.length - ((bitPos + 7) >>> 3)
+
     def copyBytes(dst: Array[Byte], off: Int, n: Int): Unit = {
       val ix = (bitPos >>> 3).toInt
       fence((bitPos & 7) != 0 || ix + n > b.length)
@@ -706,6 +711,13 @@ object Brotli {
         }
       }
     }
+    // one-shot strictness, matching the reference decoder: the final
+    // padding bits must be zero and the input fully consumed — a
+    // truncation/concatenation anomaly must not decode silently as a
+    // valid prefix (libbrotli's BROTLI_DECODER_ERROR on leftover
+    // input, re-expressed)
+    br.alignZero()
+    fence(br.bytesLeft > 0)
     Some(java.util.Arrays.copyOf(buf, pos))
   }
 
@@ -774,6 +786,16 @@ object Brotli {
     * far below.
     */
   def encodeFixed(data: Array[Byte], split: Boolean): Array[Byte] = {
+    // one meta-block per part: MLEN caps a part at 2^24 bytes (and
+    // the insert-code arithmetic below at 22594+2^24-1 — the looser
+    // bound). Exceeding it would silently truncate writeMlen's
+    // nibbles and emit a corrupt stream that surfaces downstream as
+    // a mysterious oracle mismatch — fence loudly instead (fixture
+    // payloads are KiB-scale; a >16 MiB document belongs to
+    // encodeUncompressed's chunking arm).
+    require(data.length <= (1 << 24),
+      s"encodeFixed: payload ${data.length} exceeds one meta-block's " +
+        "2^24-byte MLEN capacity; chunk it or use encodeUncompressed")
     val w = new Bw
     w.bits(1, 0) // wbits = 16
     if (data.isEmpty) {

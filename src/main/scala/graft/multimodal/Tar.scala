@@ -128,6 +128,14 @@ object Tar {
           going = false
         } else {
           val typeflag = bytes(p + 156)
+          // link members ('1' hardlink / '2' symlink) archive NO data
+          // blocks, but pre-POSIX GNU tar and star wrote the TARGET's
+          // size into the size field — honoring it would advance past
+          // phantom blocks and misframe every later member (worst
+          // case the checksum fence stops the walk and tail members
+          // silently drop). libarchive's rule: framing size is 0 for
+          // link types regardless of the header field
+          val frameSize = if (typeflag == '1' || typeflag == '2') 0L else size
           var dataStart = p + 512
           // old-GNU sparse ('S'): isextended continuation blocks sit
           // BETWEEN the header and the archived data — walk them so
@@ -141,7 +149,7 @@ object Tar {
               else { ext = bytes(dataStart + 504) != 0; dataStart += 512 }
             }
           }
-          val dataEnd = dataStart + size
+          val dataEnd = dataStart + frameSize
           if (!sparseChainOk || dataEnd > bytes.length)
             going = false // truncated member / continuation chain
           else {
@@ -216,7 +224,7 @@ object Tar {
               pendingLongLink = None
               pendingPax = Pax.Empty
             }
-            p = dataStart + ((size.toInt + 511) / 512) * 512
+            p = dataStart + ((frameSize.toInt + 511) / 512) * 512
           }
         }
       }
@@ -348,6 +356,7 @@ object Tar {
             hardlinks: Seq[(String, String)] = Nil,
             paxLinkHard: Option[(String, String)] = None,
             gnuLinkHard: Option[(String, String)] = None,
+            legacyLinkSize: Boolean = false,
             sparseOldGnu: Boolean = false,
             sparseData: Array[Byte] = Array.emptyByteArray,
             paxSparse: Option[(String, Array[Byte])] = None,
@@ -378,7 +387,16 @@ object Tar {
       pad(data.length)
     }
     hardlinks.foreach { case (name, target) =>
-      writeHeader(out, name, 0, '1'.toByte, link = target)
+      // `legacyLinkSize`: pre-POSIX GNU tar / star wrote the TARGET's
+      // size into a link header's size field, with NO data blocks
+      // following — the framing trap the walk must survive (frame
+      // size for link types is 0 regardless of the field)
+      val legacySize =
+        if (legacyLinkSize)
+          files.collectFirst { case (n, d) if n == target => d.length }
+            .getOrElse(0)
+        else 0
+      writeHeader(out, name, legacySize, '1'.toByte, link = target)
     }
     paxLinkHard.foreach { case (name, target) =>
       val kv = paxLine("linkpath", target)

@@ -148,6 +148,21 @@ class BrotliSpec extends AnyFunSuite {
         Brotli.decode(b) // must not throw; value irrelevant
       }
     }
+    // one-shot strictness (ADVICE regression): a complete stream
+    // followed by ANY leftover bytes — garbage or zeros — must fence
+    // like the reference decoder, not decode silently as a prefix
+    val clean = Brotli.encodeFixed(BrotliVectors.payload("html"),
+      split = false)
+    assert(Brotli.decode(clean).isDefined)
+    assert(Brotli.decode(clean :+ 0xaa.toByte).isEmpty,
+      "trailing garbage must fence")
+    assert(Brotli.decode(clean :+ 0x00.toByte).isEmpty,
+      "trailing zeros are still leftover input")
+    // the encodeFixed capacity fence: a payload over one meta-block's
+    // 2^24-byte MLEN capacity must refuse loudly, never truncate
+    intercept[IllegalArgumentException] {
+      Brotli.encodeFixed(new Array[Byte]((1 << 24) + 1), split = false)
+    }
     // the decompression-bomb cap: a stream whose output exceeds the
     // cap fences whole rather than buffering unboundedly
     val big = Brotli.encodeUncompressed(new Array[Byte](1 << 16))

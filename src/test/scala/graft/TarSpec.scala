@@ -146,6 +146,24 @@ class TarSpec extends AnyFunSuite {
     assert(new String(Tar.extract(ktar, kes(1)), "UTF-8") ==
       "the long-path duplicated document",
       "the 'K' record's full linkname must resolve the target")
+    // legacy trap (ADVICE regression): pre-POSIX GNU tar / star wrote
+    // the TARGET's size into the hardlink header's size field with NO
+    // data blocks following — honoring the field would advance past
+    // phantom blocks and misframe (drop) every later member
+    val ltar = Tar.write(
+      Seq(("orig.txt", b("the duplicated document")),
+        ("other.txt", b("unrelated"))),
+      hardlinks = Seq(("legacy.txt", "orig.txt")),
+      legacyLinkSize = true,
+      tailFile = Some(("tail.txt", b("after the legacy link"))))
+    val les = Tar.entries(ltar).get
+    assert(les.map(_.name) == Vector("orig.txt", "other.txt",
+      "legacy.txt", "tail.txt"),
+      "a nonzero size field on a '1' member must not eat phantom blocks")
+    assert(new String(Tar.extract(ltar, les(2)), "UTF-8") ==
+      "the duplicated document", "the legacy link still resolves")
+    assert(new String(Tar.extract(ltar, les(3)), "UTF-8") ==
+      "after the legacy link", "the walk stays framed past it")
   }
 
   test("GNU sparse members fence whole while the walk stays framed: old-GNU 'S' with a continuation block, pax GNU.sparse.*") {
