@@ -24,6 +24,7 @@ object BenchBridge {
 
   private val taskMs = new AtomicLong(0L)
   private val gcMs = new AtomicLong(0L)
+  private val cpuNs = new AtomicLong(0L)
 
   private val listener = new SparkListener {
     override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
@@ -31,6 +32,13 @@ object BenchBridge {
       if (m != null) {
         taskMs.addAndGet(m.executorRunTime)
         gcMs.addAndGet(m.jvmGCTime)
+        // executorCpuTime (NANOseconds, unlike the two ms fields): the
+        // contention-robust number (r17 verdict ask #2) — task WALL
+        // time inflates ~uniformly when a noisy host timeslices the
+        // executor threads (the driver's r17 run read 1.7x on
+        // untouched queries), while CPU time bills only cycles this
+        // process actually burned
+        cpuNs.addAndGet(m.executorCpuTime)
         ()
       }
     }
@@ -51,20 +59,20 @@ object BenchBridge {
   def install(sc: SparkContext): Unit = synchronized {
     val app = sc.applicationId
     if (installedAppId != app) {
-      if (installedAppId != null) { taskMs.set(0L); gcMs.set(0L) }
+      if (installedAppId != null) { taskMs.set(0L); gcMs.set(0L); cpuNs.set(0L) }
       sc.addSparkListener(listener)
       installedAppId = app
     }
   }
 
-  /** Cumulative (taskSeconds, gcSeconds) across every task ended so
-    * far, AFTER draining the async listener bus — without the drain,
-    * a snapshot taken right after an action can miss the last stage's
-    * events and misattribute them to the NEXT query.
+  /** Cumulative (taskSeconds, gcSeconds, cpuSeconds) across every task
+    * ended so far, AFTER draining the async listener bus — without the
+    * drain, a snapshot taken right after an action can miss the last
+    * stage's events and misattribute them to the NEXT query.
     */
-  def snapshot(sc: SparkContext): (Double, Double) = {
+  def snapshot(sc: SparkContext): (Double, Double, Double) = {
     try sc.listenerBus.waitUntilEmpty()
     catch { case _: Throwable => () } // a stuck bus must not kill the run
-    (taskMs.get() / 1e3, gcMs.get() / 1e3)
+    (taskMs.get() / 1e3, gcMs.get() / 1e3, cpuNs.get() / 1e9)
   }
 }
