@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.Tables
+import graft.pipeline.CorpusPrep
 import graft.functions.TextOps._
 import graft.functions.expressions.TextExprs
 import graft.operators.NearDup
@@ -584,6 +585,339 @@ object PrepQ {
        |FROM r WHERE node % $ForgetMod <> 0
        |GROUP BY node ORDER BY doc_id""".stripMargin
 
+  // ---- q152: the COMPOSED CorpusPrep pipeline under the oracle ----
+
+  /** Constant dirt wrapper for the q152 face (the q52/q76 injection
+    * device, composed): every corpus doc is wrapped in the SAME HTML
+    * shell with a PII footer, so the markup-strip and scrub stages do
+    * real, oracle-checked work — and because the wrapper is constant
+    * (NOT doc_id-derived like q52/q76's), exact copies in the fixture
+    * remain exact copies after the rewrite, so the dedup stages keep
+    * their semantics. Apostrophe-free by construction (it interpolates
+    * into a single-quoted SQL literal).
+    */
+  private[queries] val DirtyPrefix: String =
+    "<html><head><title>hdr</title><style>p{margin:0}</style>" +
+      "<script type=\"text/javascript\">track(1);</script></head>" +
+      "<body><p class=\"body\">"
+  private[queries] val DirtySuffix: String =
+    "</p><br/><footer>contact ops@example.com or call 555-0199 " +
+      "from 10.1.2.3 &amp; crew</footer></body></html>"
+
+  /** q152's wordlist gate. The fixture vocabulary is bimodal — every
+    * real word sits in ~80% of docs (q85's own list would gate out
+    * 396 of 495 and starve every downstream stage of work), so the
+    * face gates on a token it INJECTS into a deterministic ~3% slice
+    * (doc_id % [[Q152StaleMod]]) instead. Injection is id-derived but
+    * the gated docs exit BEFORE dedup, so the duplicate structure
+    * among survivors — what the dedup/near-dup/substring stages are
+    * being verified on — is untouched by it.
+    */
+  private[queries] val Q152BadWords: Seq[String] = Seq("stale")
+  private[queries] val Q152StaleMod: Int = 31
+
+  /** The fixture corpus carries NO exact duplicates (495 in → 479
+    * distinct texts once the gate slice is out) and no natural
+    * benchmark overlap or ≥16-token shared runs, so without further
+    * injection the dedup/decontamination/substring stages verify
+    * nothing. Three more deterministic id-derived injections give
+    * each stage real, oracle-replayed work:
+    *  - doc_id % [[Q152DupMod]]: text REPLACED by one of three
+    *    constant bodies → exact-dup groups for the q30 stage;
+    *  - doc_id % [[Q152BoilerMod]]: [[Q152Boiler]] (20 tokens)
+    *    appended → a shared verbatim run the substring stage must
+    *    strip from every holder but the lowest-id one;
+    *  - doc_id % [[Q152BenchMod]]: [[Q152BenchPassage]] (10 tokens)
+    *    appended, and the SAME passage appended to the benchmark
+    *    frame → 8-gram contamination hits.
+    * The moduli are pairwise coprime and chosen so no slice overlaps
+    * another within the fixture id range.
+    */
+  private[queries] val Q152DupMod: Int = 13
+  private[queries] val Q152BoilerMod: Int = 11
+  private[queries] val Q152BenchMod: Int = 41
+  private[queries] val Q152Boiler: String =
+    "site navigation home products docs pricing support about " +
+      "careers blog terms privacy status twitter github linkedin " +
+      "rss sitemap search help"
+  private[queries] val Q152BenchPassage: String =
+    "standard held out evaluation riddle concerning distributed " +
+      "relational joins today"
+
+  /** q152's source-mix gate rates (`Config.sourceRates` semantics):
+    * even-numbered fixture sources at 768/1024, odd at 512/1024, and
+    * src19 deliberately ABSENT from the map — rate 0, the Mixer
+    * drop-unlisted convention, so the oracle pins it too.
+    */
+  private[queries] val MixRates: Map[String, Double] =
+    (0 until 19).map(i => s"src$i" -> (if (i % 2 == 0) 0.75 else 0.5)).toMap
+
+  /** q152's deterministic config: every SQL-expressible stage ON —
+    * markup strip → PII scrub → wordlist gate → exact dedup →
+    * MinHash-LSH near-dup drop → 8-gram decontamination → exact
+    * substring strip → quality-weighted gate → langid + stratified
+    * language sample → source-mix gate → shard assignment. The Bloom
+    * snapshot gates and packing stay off (a Bloom probe has no SQL
+    * face; packing is q58's own oracle).
+    */
+  private[queries] def q152Cfg: CorpusPrep.Config = CorpusPrep.Config(
+    langRates = Map("en" -> 0.5),
+    defaultRate = 0.75,
+    nShards = 8,
+    nearDupMinEst = Some(0.5),
+    scrubPii = true,
+    stripMarkup = true,
+    sourceRates = Some(MixRates),
+    substrWindow = Some(SubstrQ.SubstrWindow),
+    badWords = Some(Q152BadWords),
+    qualityWeighted = true)
+
+  /** q152: [[CorpusPrep.run]] driven END TO END under the DuckDB
+    * oracle — the one previously spec-only integration (r17 verdict
+    * ask #1). The face dirt-wraps the fixture corpus (constant
+    * wrapper, see [[DirtyPrefix]]), holds out doc_id % 100 == 0 as
+    * the decontamination benchmark (q54's split), runs the REAL
+    * pipeline (write included) with [[q152Cfg]], and returns one row
+    * per WRITTEN doc — (doc_id, source, lang_detected, shard, pos,
+    * md5(text)) — with the run's LEDGER (`Stats`) broadcast onto
+    * every row as constant columns. The oracle replays the identical
+    * stage chain as CTEs built from the stage kernels' own oracle
+    * faces (q76/q52/q85/q30/q31/q54/q74-75/q117/q40/q47/q63-rates/
+    * q48), then computes the same ledger from its CTEs — so stage
+    * ORDERING, the per-stage drop arithmetic, and the final
+    * shard/interleave layout are all driver-verified, not
+    * spec-trusted. Artifact-cached per corpus content (the q113
+    * device): the run executes once, reps read the written parquet.
+    */
+  def q152(s: SparkSession, dir: String): DataFrame = {
+    val path = "target/graft_q152_corpus"
+    val statsFile = java.nio.file.Paths.get(path + "._stats")
+    ensureIndexArtifact(s, path, dir) { _ =>
+      val docs = Tables(s, dir).documents
+      val id = col("doc_id")
+      val body = when(pmod(id, lit(Q152DupMod)) === 0,
+          concat(lit("shared duplicate body variant "),
+            pmod(id, lit(3)).cast("string")))
+        .otherwise(concat(coalesce(col("text"), lit("")),
+          when(pmod(id, lit(Q152BoilerMod)) === 0, lit(" " + Q152Boiler))
+            .otherwise(lit("")),
+          when(pmod(id, lit(Q152BenchMod)) === 0,
+            lit(" " + Q152BenchPassage)).otherwise(lit(""))))
+      val dirty = concat(lit(DirtyPrefix), body,
+        when(pmod(id, lit(Q152StaleMod)) === 0,
+          lit(" flagged stale material")).otherwise(lit("")),
+        lit(DirtySuffix))
+      val corpus = docs.filter(pmod(id, lit(100)) =!= 0)
+        .select(id, col("source"), dirty.as("text"))
+      val bench = docs.filter(pmod(id, lit(100)) === 0)
+        .select(concat(coalesce(col("text"), lit("")),
+          lit(" " + Q152BenchPassage)).as("text"))
+      val st = CorpusPrep.run(corpus, path, q152Cfg, Some(bench))
+      val lines = Seq(
+        "input" -> st.input, "afterDedup" -> st.afterDedup,
+        "afterSample" -> st.afterSample,
+        "nearDupDropped" -> st.nearDupDropped,
+        "contaminatedDropped" -> st.contaminatedDropped,
+        "badwordsDropped" -> st.badwordsDropped,
+        "substrStripped" -> st.substrStripped)
+        .map { case (k, v) => s"$k=$v" }.mkString("\n")
+      java.nio.file.Files.write(statsFile, lines.getBytes("UTF-8"))
+      ()
+    }
+    // the artifact may have been rebuilt in-place this session: drop
+    // any cached file listing before reading (the componentsArtifact
+    // convention)
+    s.catalog.refreshByPath(path)
+    val st = new String(java.nio.file.Files.readAllBytes(statsFile), "UTF-8")
+      .linesIterator.map(_.split("=", 2)).map(a => a(0) -> a(1).toLong).toMap
+    s.read.parquet(path)
+      .select(col("doc_id"), col("source"), col("lang_detected"),
+        col("shard").cast("bigint").as("shard"), col("pos"),
+        md5(col("text").cast("binary")).as("text_md5"))
+      .withColumn("n_input", lit(st("input")))
+      .withColumn("n_after_dedup", lit(st("afterDedup")))
+      .withColumn("n_kept", lit(st("afterSample")))
+      .withColumn("n_badwords_dropped", lit(st("badwordsDropped")))
+      .withColumn("n_neardup_dropped", lit(st("nearDupDropped")))
+      .withColumn("n_contaminated_dropped", lit(st("contaminatedDropped")))
+      .withColumn("n_substr_stripped", lit(st("substrStripped")))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The q76 markup-strip chain as a DuckDB expression over `text`
+    * (identical nesting/order to [[q76Sql]] — entities decode after
+    * tags die, `&amp;` last).
+    */
+  private def demSqlExpr: String =
+    s"""trim(regexp_replace(
+       |    replace(replace(replace(replace(replace(replace(
+       |      regexp_replace(regexp_replace(regexp_replace(text,
+       |        '$ScriptRe', ' ', 'g'),
+       |        '$StyleRe', ' ', 'g'),
+       |        '$TagRe', ' ', 'g'),
+       |      '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+       |      '&quot;', '"'), '&#39;', chr(39)), '&amp;', '&'),
+       |    '\\s+', ' ', 'g'))""".stripMargin
+
+  /** The q52 scrub chain as a DuckDB expression over `text`. */
+  private def scrSqlExpr: String =
+    s"""regexp_replace(regexp_replace(regexp_replace(text,
+       |    '$EmailRe', '[EMAIL]', 'g'),
+       |    '$PhoneRe', '[PHONE]', 'g'),
+       |    '$IpRe', '[IP]', 'g')""".stripMargin
+
+  /** DuckDB mirror of q152 — the full stage chain as CTEs. Each CTE
+    * is the corresponding kernel's own oracle face re-sourced (the
+    * near-dup and substring chains interpolate the SHARED
+    * [[TextQ.candidateCteFrom]] / [[SubstrQ.spanCteFrom]] templates,
+    * prefixed `nd_`/`ss_`), and the ledger is computed from the same
+    * CTEs — a drifted stage order or a miscounted drop diverges the
+    * hash.
+    */
+  val q152Sql: String = {
+    val badList = Q152BadWords.map(w => s"'$w'").mkString(", ")
+    val mixCase = MixRates.toSeq.sortBy(_._1).map { case (src, r) =>
+      s"WHEN source = '$src' THEN ${math.floor(r * 1024).toLong}"
+    }.mkString("CASE ", " ", " ELSE 0 END")
+    // the language-gate thresholds derive from the CONFIG (Sample's
+    // floor(rate*1024) quantization), so face and oracle cannot drift
+    val langCase = q152Cfg.langRates.toSeq.sortBy(_._1).map {
+      case (l, r) =>
+        s"WHEN lang_detected = '$l' THEN ${math.floor(r * 1024).toLong}"
+    }.mkString("CASE ", " ",
+      s" ELSE ${math.floor(q152Cfg.defaultRate * 1024).toLong} END")
+    val langStructs = graft.functions.TextOps.langProfiles.map {
+      case (lang, words) =>
+        val ws = words.map(w => s"'$w'").mkString(", ")
+        s"{'confidence': CAST(len(list_filter(t, w -> list_contains([$ws], w))) AS DOUBLE) / GREATEST(CAST(len(t) AS DOUBLE), 1.0), 'lang': '$lang'}"
+    }.mkString(",\n      ")
+    val shardHashSql = "md5_number_lower('shard:' || CAST(doc_id AS VARCHAR))"
+    s"""WITH raw AS (
+       |  SELECT doc_id, source,
+       |    '$DirtyPrefix'
+       |      || CASE WHEN doc_id % $Q152DupMod = 0
+       |           THEN 'shared duplicate body variant ' || CAST(doc_id % 3 AS VARCHAR)
+       |           ELSE coalesce(text, '')
+       |             || CASE WHEN doc_id % $Q152BoilerMod = 0
+       |                  THEN ' $Q152Boiler' ELSE '' END
+       |             || CASE WHEN doc_id % $Q152BenchMod = 0
+       |                  THEN ' $Q152BenchPassage' ELSE '' END
+       |         END
+       |      || CASE WHEN doc_id % $Q152StaleMod = 0
+       |           THEN ' flagged stale material' ELSE '' END
+       |      || '$DirtySuffix' AS text
+       |  FROM documents WHERE doc_id % 100 <> 0),
+       |dem AS (SELECT doc_id, source, $demSqlExpr AS text FROM raw),
+       |scr AS (SELECT doc_id, source, $scrSqlExpr AS text FROM dem),
+       |bwv AS (
+       |  SELECT doc_id, source, text,
+       |    len(list_filter(regexp_split_to_array(
+       |      trim(lower(trim(regexp_replace(coalesce(text, ''), '\\s+', ' ', 'g')))), '\\s+'),
+       |      w -> list_contains([$badList], w))) AS n_bad
+       |  FROM scr),
+       |gated AS (SELECT doc_id, source, text FROM bwv WHERE n_bad = 0),
+       |ded AS (
+       |  SELECT doc_id, source, text FROM (
+       |    SELECT doc_id, source, text, ROW_NUMBER() OVER (
+       |      PARTITION BY md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
+       |      ORDER BY doc_id) AS rn
+       |    FROM gated) WHERE rn = 1),
+       |${TextQ.candidateCteFrom("ded", "nd_")},
+       |nd_drop AS (
+       |  SELECT DISTINCT doc_b AS doc_id FROM nd_scored
+       |  WHERE est_jaccard >= 0.5),
+       |bj AS (
+       |  SELECT doc_id, $demSqlExpr AS text
+       |  FROM (SELECT doc_id, coalesce(text, '') || ' $Q152BenchPassage' AS text
+       |        FROM documents WHERE doc_id % 100 = 0)),
+       |bjs AS (SELECT doc_id, $scrSqlExpr AS text FROM bj),
+       |bj_t AS (
+       |  SELECT regexp_split_to_array(
+       |    trim(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))), '\\s+') AS t
+       |  FROM bjs),
+       |bj_s AS (
+       |  SELECT list_distinct(list_transform(range(1, greatest(len(t)-6, 2)),
+       |    i -> array_to_string(t[i:i+7], ' '))) AS sh FROM bj_t),
+       |bj_g AS (SELECT DISTINCT md5_number_lower(unnest(sh)) AS gh FROM bj_s),
+       |cg_t AS (
+       |  SELECT doc_id, regexp_split_to_array(
+       |    trim(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))), '\\s+') AS t
+       |  FROM ded),
+       |cg_s AS (
+       |  SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(t)-6, 2)),
+       |    i -> array_to_string(t[i:i+7], ' '))) AS sh FROM cg_t),
+       |cg_g AS (SELECT doc_id, md5_number_lower(unnest(sh)) AS gh FROM cg_s),
+       |contam AS (SELECT DISTINCT doc_id FROM cg_g JOIN bj_g USING (gh)),
+       |${SubstrQ.spanCteFrom("ded", SubstrQ.SubstrWindow, "ss_")},
+       |ss_docs AS (SELECT DISTINCT doc_id FROM ss_sp),
+       |surv AS (
+       |  SELECT d.doc_id, d.source, d.text FROM ded d
+       |  WHERE d.doc_id NOT IN (SELECT doc_id FROM nd_drop)
+       |    AND d.doc_id NOT IN (SELECT doc_id FROM contam)),
+       |stok AS (
+       |  SELECT doc_id, unnest(a) AS t, unnest(generate_series(1, len(a))) AS i
+       |  FROM (SELECT doc_id,
+       |          string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS a
+       |        FROM surv WHERE doc_id IN (SELECT doc_id FROM ss_docs))),
+       |sk AS (
+       |  SELECT doc_id, i, t FROM stok
+       |  WHERE NOT EXISTS (SELECT 1 FROM ss_sp
+       |    WHERE ss_sp.doc_id = stok.doc_id AND stok.i BETWEEN ss_sp.s AND ss_sp.e)),
+       |srb AS (
+       |  SELECT doc_id, string_agg(t, ' ' ORDER BY i) AS text
+       |  FROM sk GROUP BY doc_id),
+       |stripped AS (
+       |  SELECT surv.doc_id, surv.source,
+       |    CASE WHEN surv.doc_id IN (SELECT doc_id FROM ss_docs)
+       |      THEN coalesce(srb.text, '') ELSE surv.text END AS text
+       |  FROM surv LEFT JOIN srb ON srb.doc_id = surv.doc_id),
+       |qg AS (
+       |  SELECT doc_id, source, text,
+       |    ${graft.operators.QualityWeight.Quality9Sql} AS q9
+       |  FROM stripped),
+       |qkept AS (
+       |  SELECT doc_id, source, text FROM qg
+       |  WHERE CAST(md5_number_lower('wq:' || CAST(doc_id AS VARCHAR)) & 1073741823 AS BIGINT)
+       |    * 1000000000 < q9 * 1073741824),
+       |lt AS (
+       |  SELECT doc_id, source, text, regexp_split_to_array(
+       |    trim(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))), '\\s+') AS t
+       |  FROM qkept),
+       |lb AS (
+       |  SELECT doc_id, source, text,
+       |    list_max([
+       |      $langStructs]).lang AS lang_detected
+       |  FROM lt),
+       |lsamp AS (
+       |  SELECT * FROM lb
+       |  WHERE md5_number_lower(coalesce(CAST(doc_id AS VARCHAR), '')) & 1023 <
+       |    $langCase),
+       |msamp AS (
+       |  SELECT * FROM lsamp
+       |  WHERE md5_number_lower('mix:' || CAST(doc_id AS VARCHAR)) & 1023 <
+       |    $mixCase),
+       |fin AS (
+       |  SELECT doc_id, source, lang_detected,
+       |    CAST($shardHashSql & 7 AS BIGINT) AS shard,
+       |    CAST(ROW_NUMBER() OVER (
+       |      PARTITION BY $shardHashSql & 7
+       |      ORDER BY $shardHashSql >> 1, doc_id) AS BIGINT) AS pos,
+       |    md5(text) AS text_md5
+       |  FROM msamp),
+       |ledger AS (
+       |  SELECT
+       |    CAST((SELECT count(*) FROM raw) AS BIGINT) AS n_input,
+       |    CAST((SELECT count(*) FROM ded) AS BIGINT) AS n_after_dedup,
+       |    CAST((SELECT count(*) FROM fin) AS BIGINT) AS n_kept,
+       |    CAST((SELECT count(*) FROM bwv WHERE n_bad > 0) AS BIGINT) AS n_badwords_dropped,
+       |    CAST((SELECT count(*) FROM nd_drop) AS BIGINT) AS n_neardup_dropped,
+       |    CAST((SELECT count(*) FROM contam) AS BIGINT) AS n_contaminated_dropped,
+       |    CAST((SELECT count(*) FROM ss_docs
+       |          WHERE doc_id IN (SELECT doc_id FROM fin)) AS BIGINT) AS n_substr_stripped)
+       |SELECT fin.*, ledger.* FROM fin CROSS JOIN ledger
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val entries: Seq[Entry] = Seq(
     Entry("q52_pii_scrub", q52, Some(q52Sql)),
     Entry("q53_neardup_components", (s, d) => q53(s, d), Some(q53Sql)),
@@ -593,5 +927,6 @@ object PrepQ {
       (s, d) => q77(s, d, componentsArtifact(s, d)), Some(q77Sql)),
     Entry("q113_components_index", q113, Some(q53Sql)),
     Entry("q122_forget_face", q122, Some(q122Sql)),
+    Entry("q152_corpus_face", q152, Some(q152Sql)),
   )
 }

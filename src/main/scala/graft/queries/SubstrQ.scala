@@ -110,6 +110,41 @@ object SubstrQ {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** The q74/q75 exact span-localization chain over an arbitrary
+    * source relation (doc_id, text), every CTE name prefixed `p` —
+    * the q152 composed-pipeline oracle replays the SAME kernel over
+    * its deduped CTE without name collisions. Ends in `${"${p}"}sp`
+    * (doc_id, s, e): one row per maximal duplicated island, exactly
+    * the `sp` CTE of [[q75Sql]].
+    */
+  private[queries] def spanCteFrom(src: String, w: Int,
+                                   p: String = ""): String =
+    s"""${p}toks AS (
+       |  SELECT doc_id, regexp_split_to_array(
+       |    trim(lower(trim(regexp_replace(coalesce(text, ''), '\\s+', ' ', 'g')))), '\\s+') AS a
+       |  FROM $src),
+       |${p}pos AS (
+       |  SELECT doc_id, a,
+       |    unnest(generate_series(1, len(a) - ${w - 1})) AS p
+       |  FROM ${p}toks WHERE len(a) >= $w),
+       |${p}ph AS (
+       |  SELECT doc_id, p,
+       |    md5_number_lower(array_to_string(list_slice(a, p, p + ${w - 1}), ' ')) AS h
+       |  FROM ${p}pos),
+       |${p}dup AS (
+       |  SELECT h, min(doc_id) AS keeper
+       |  FROM ${p}ph GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+       |${p}mk AS (
+       |  SELECT ${p}ph.doc_id, ${p}ph.p
+       |  FROM ${p}ph JOIN ${p}dup USING (h) WHERE ${p}ph.doc_id <> ${p}dup.keeper),
+       |${p}isl AS (
+       |  SELECT doc_id, p,
+       |    p - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY p) AS grp
+       |  FROM ${p}mk),
+       |${p}sp AS (
+       |  SELECT doc_id, min(p) AS s, max(p) + ${w - 1} AS e
+       |  FROM ${p}isl GROUP BY doc_id, grp)""".stripMargin
+
   /** q78's winnow window (hash positions per selection window) — ONE
     * definition interpolated into both sides. Detection threshold is
     * [[SubstrWindow]] + WinnowWindow − 1 = 23 tokens: any verbatim

@@ -57,15 +57,26 @@ object TextQ {
     * 3-shingles → per-shingle (x1,x2) bases → 64-component signature →
     * 16 band keys → cap-100 buckets → scored in-bucket pairs.
     */
-  private[queries] val candidateCte: String =
-    """toks AS (
+  private[queries] val candidateCte: String = candidateCteFrom("documents")
+
+  /** [[candidateCte]] over an arbitrary source relation (doc_id,
+    * text), with every CTE name prefixed `p` — the q152 composed-
+    * pipeline oracle replays the SAME chain over its deduped CTE
+    * without colliding with its other stage names. `p = ""` and
+    * `src = "documents"` reproduce the classic text byte for byte
+    * (the one-definition rule: q31/q33/q53/q77/q122 all interpolate
+    * the same string).
+    */
+  private[queries] def candidateCteFrom(src: String,
+                                        p: String = ""): String =
+    s"""${p}toks AS (
       |  SELECT doc_id,
-      |    regexp_split_to_array(trim(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))), '\s+') AS t
-      |  FROM documents),
-      |sh AS (
+      |    regexp_split_to_array(trim(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))), '\\s+') AS t
+      |  FROM $src),
+      |${p}sh AS (
       |  SELECT doc_id, list_transform(range(1, greatest(len(t)-1, 2)),
-      |    i -> array_to_string(t[i:i+2], ' ')) AS sh FROM toks),
-      |bases AS (
+      |    i -> array_to_string(t[i:i+2], ' ')) AS sh FROM ${p}toks),
+      |${p}bases AS (
       |  SELECT doc_id, list_transform(sh, s -> [
       |    list_reduce(list_transform(range(1,16),
       |      q -> CAST(strpos('0123456789abcdef', substr(md5(s), CAST(q AS INT), 1)) - 1 AS BIGINT)),
@@ -73,24 +84,24 @@ object TextQ {
       |    list_reduce(list_transform(range(16,31),
       |      q -> CAST(strpos('0123456789abcdef', substr(md5(s), CAST(q AS INT), 1)) - 1 AS BIGINT)),
       |      (a,b) -> a*16+b) % 2147483646 + 1
-      |  ]) AS ps FROM sh),
-      |sig AS (
+      |  ]) AS ps FROM ${p}sh),
+      |${p}sig AS (
       |  SELECT doc_id, list_transform(range(0,64),
       |    j -> list_min(list_transform(ps, p -> (p[1] + j*p[2]) % 2147483647))) AS sig
-      |  FROM bases),
-      |banded AS (
+      |  FROM ${p}bases),
+      |${p}banded AS (
       |  SELECT doc_id, sig, r.j AS band,
       |    list_reduce(sig[CAST(r.j*4+1 AS INT) : CAST(r.j*4+4 AS INT)],
       |      (h,v) -> (h*65539+v) % 2147483647) AS bkey
-      |  FROM sig, range(0,16) r(j)),
-      |capped AS (
+      |  FROM ${p}sig, range(0,16) r(j)),
+      |${p}capped AS (
       |  SELECT doc_id, sig, band, bkey,
       |    COUNT(*) OVER (PARTITION BY band, bkey) AS bn
-      |  FROM banded QUALIFY bn <= 100),
-      |scored AS (
+      |  FROM ${p}banded QUALIFY bn <= 100),
+      |${p}scored AS (
       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
       |    CAST(len(list_filter(range(1,65), i -> a.sig[CAST(i AS INT)] = b.sig[CAST(i AS INT)])) AS DOUBLE) / 64.0 AS est_jaccard
-      |  FROM capped a JOIN capped b
+      |  FROM ${p}capped a JOIN ${p}capped b
       |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)""".stripMargin
 
   val q31Sql: String =
