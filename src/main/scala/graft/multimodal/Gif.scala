@@ -243,6 +243,53 @@ object Gif {
     None // unreachable
   }
 
+  /** True iff the stream declares more than one image frame — the
+    * `is_animated` flag beside [[decode]]'s frame-1 raster (the
+    * [[Webp.isAnimated]] contract). A light structural walk: image
+    * descriptors counted, extension and data sub-block chains
+    * framed past, local color tables skipped; a malformed or
+    * truncated walk reads false (the probe answers "declared
+    * animated", not "valid").
+    */
+  def isAnimated(bytes: Array[Byte]): Boolean = {
+    if (bytes == null || bytes.length < 13) return false
+    val magic = new String(bytes, 0, 6, "US-ASCII")
+    if (magic != "GIF87a" && magic != "GIF89a") return false
+    def u8(p: Int): Int = bytes(p) & 0xff
+    var pos = 13
+    val flags = u8(10)
+    if ((flags & 0x80) != 0) pos += 3 * (1 << ((flags & 7) + 1))
+    var images = 0
+    def skipSubBlocks(): Boolean = {
+      var done = false
+      while (!done) {
+        if (pos >= bytes.length) return false
+        val len = u8(pos); pos += 1 + len
+        if (len == 0) done = true
+      }
+      true
+    }
+    while (pos < bytes.length) {
+      u8(pos) match {
+        case 0x3B => return images >= 2
+        case 0x21 =>
+          pos += 2
+          if (!skipSubBlocks()) return false
+        case 0x2C =>
+          if (pos + 10 > bytes.length) return false
+          val lflags = u8(pos + 9)
+          pos += 10
+          if ((lflags & 0x80) != 0) pos += 3 * (1 << ((lflags & 7) + 1))
+          pos += 1 // LZW min code size
+          if (!skipSubBlocks()) return false
+          images += 1
+          if (images >= 2) return true
+        case _ => return false
+      }
+    }
+    false
+  }
+
   private def readTable(b: Array[Byte], pos: Int, size: Int): Array[Int] = {
     val t = new Array[Int](size)
     var i = 0

@@ -1125,9 +1125,18 @@ object Multimodal {
           px(3 * i) = idx(i); px(3 * i + 1) = idx(i); px(3 * i + 2) = idx(i)
           i += 1
         }
-        val payload = Webp.encode(Netpbm.Image(10, h, 255, px),
-          subtractGreen = true, predictor = Some(11),
-          cacheBits = 6, runs = true)
+        val still = Netpbm.Image(10, h, 255, px)
+        // every 5th doc ships as an ANIMATED container (r18): the
+        // raster rides frame 1 with a deliberately-different second
+        // frame, so the q125Sql closed form only matches if the
+        // POSTER frame — not the last — is what decodes
+        val payload =
+          if (((id % 5) + 5) % 5 == 0)
+            Webp.encodeAnimated(Seq(still,
+              Netpbm.Image(10, h, 255, px.map(b => (~b).toByte))))
+          else Webp.encode(still,
+            subtractGreen = true, predictor = Some(11),
+            cacheBits = 6, runs = true)
         MediaRow(id, payload,
           MediaMeta(graft.sources.BinarySource.MimeWebp,
             payload.length.toLong, payloadChecksum(payload)))
@@ -1780,15 +1789,17 @@ object Multimodal {
 
   // ---- q139: the media-coverage AUDIT face ----
 
-  /** The 13 media classes the audit sweeps — index = pmod(doc_id, 13).
-    * 0–6 carry a REAL DECODER (status `decoded`), 7–12 a structural
+  /** The 16 media classes the audit sweeps — index = pmod(doc_id, 16).
+    * 0–6 and 15 carry a REAL DECODER (status `decoded` — 15 is the
+    * ANIMATED WebP poster-frame route, r18), 7–14 a structural
     * triage probe (status `triaged`); every class fences truncation
     * (status `fenced`).
     */
   private val CoverageMimes: IndexedSeq[String] = IndexedSeq(
     MimePpm, MimeBmp, MimePng, MimeGif, MimeJpeg, "image/webp",
     MimeWav, "image/tiff", "audio/mpeg", "audio/ogg", "audio/flac",
-    "video/mp4", "video/x-matroska", "image/avif", "image/heic")
+    "video/mp4", "video/x-matroska", "image/avif", "image/heic",
+    "image/webp")
 
   /** Truncation prefix per class: long enough to keep the SNIFF
     * magic (the blob still routes to its class — the lying-content
@@ -1799,7 +1810,8 @@ object Multimodal {
     */
   private val CoverageCut: IndexedSeq[Int] =
     IndexedSeq(12, 12, 16, 10, 8, 14, 14, 9, 12, 20, 10, 20, 10,
-      16, 16) // HEIF: whole ftyp magic survives, meta box does not
+      16, 16, // HEIF: whole ftyp magic survives, meta box does not
+      14) // animated WebP: RIFF..WEBP survives, VP8X does not
 
   private def coverageImage(id: Long): Netpbm.Image = {
     def pmod(k: Long): Long = ((id % k) + k) % k
@@ -1846,9 +1858,17 @@ object Multimodal {
       case 13 => Heif.write("avif", "av01", (160 + pmod(41)).toInt,
         (90 + pmod(29)).toInt, rotation = (pmod(4) * 90).toInt,
         withExif = pmod(3) == 0)
-      case _ => Heif.write("heic", "hvc1", (160 + pmod(41)).toInt,
+      case 14 => Heif.write("heic", "hvc1", (160 + pmod(41)).toInt,
         (90 + pmod(29)).toInt, rotation = (pmod(4) * 90).toInt,
         withExif = pmod(3) == 0)
+      case _ =>
+        // ANIMATED WebP (r18): poster frame = the coverage image, a
+        // SECOND deliberately-different frame proves frame 1 (not
+        // last) is the one decoded
+        val f1 = coverageImage(id)
+        val f2 = Netpbm.Image(f1.width, f1.height, 255,
+          f1.pixels.map(b => (~b).toByte))
+        Webp.encodeAnimated(Seq(f1, f2), durationMs = (40 + pmod(60)).toInt)
     }
   }
 
@@ -1871,20 +1891,29 @@ object Multimodal {
       case 10 => if (Flac.parse(payload).isDefined) "triaged" else "fenced"
       case 11 => if (Mp4.parse(payload).isDefined) "triaged" else "fenced"
       case 12 => if (Mkv.parse(payload).isDefined) "triaged" else "fenced"
-      case _ => if (Heif.probe(payload).isDefined) "triaged" else "fenced"
+      case 13 | 14 =>
+        if (Heif.probe(payload).isDefined) "triaged" else "fenced"
+      case _ =>
+        // the poster frame must DECODE and the flag must read true —
+        // an animated container whose flag goes dark is a coverage
+        // regression the same as a fencing decoder
+        if (Webp.decode(payload).isDefined && Webp.isAnimated(payload))
+          "decoded"
+        else "fenced"
     }
 
   /** q139 entry: the MEDIA-COVERAGE AUDIT as a verified query — the
     * operator a 100 TB crawl deployment dashboards daily ("of the
     * media the crawl served, what fraction did we decode, what did
     * we only triage, what fenced, by mime"). Deterministic
-    * mixed-fixture injection: per doc_id a REAL payload of one of 15
-    * classes (7 decodable through the real codecs, 8 triage-only —
-    * avif/heic joined in r16 the moment [[Heif.probe]] existed: the
-    * dashboard must absorb a new format the day its walk lands),
+    * mixed-fixture injection: per doc_id a REAL payload of one of 16
+    * classes (8 decodable through the real codecs — animated WebP's
+    * poster-frame route joined in r18 — 8 triage-only; avif/heic
+    * joined in r16 the moment [[Heif.probe]] existed: the dashboard
+    * must absorb a new format the day its walk lands),
     * every 7th id TRUNCATED to a magic-preserving prefix (7 is
-    * coprime with 15, so EVERY class carries fenced rows — 5 divided
-    * the class count and would have left twelve fences unexercised);
+    * coprime with 16, so EVERY class carries fenced rows — 5 divided
+    * the old count and would have left fences unexercised);
     * the Spark
     * side then runs the ACTUAL sniff ([[graft.sources.BinarySource
     * .sniffMime]]) and the ACTUAL decode/probe kernels, and reports
@@ -1901,8 +1930,8 @@ object Multimodal {
     val rows = spark.read.parquet(s"$dir/documents.parquet")
       .select(col("doc_id")).as[Long]
       .map { id =>
-        val k = ((id % 15) + 15) % 15
-        // 7 is COPRIME with 15, so every class gets truncated rows
+        val k = ((id % 16) + 16) % 16
+        // 7 is COPRIME with 16, so every class gets truncated rows
         // (the old 5 divided 15: truncation would only ever hit
         // classes 0/5/10 and twelve fences would go unexercised)
         val corrupt = ((id % 7) + 7) % 7 == 0
@@ -2072,9 +2101,10 @@ object Multimodal {
       .mkString(" ")
     s"""WITH m AS (
        |  SELECT doc_id,
-       |    CASE ((doc_id % 15) + 15) % 15 $mimeCase END AS mime,
+       |    CASE ((doc_id % 16) + 16) % 16 $mimeCase END AS mime,
        |    CASE WHEN ((doc_id % 7) + 7) % 7 = 0 THEN 'fenced'
-       |         WHEN ((doc_id % 15) + 15) % 15 <= 6 THEN 'decoded'
+       |         WHEN ((doc_id % 16) + 16) % 16 <= 6
+       |           OR ((doc_id % 16) + 16) % 16 = 15 THEN 'decoded'
        |         ELSE 'triaged' END AS status
        |  FROM documents)
        |SELECT mime, status, count(*) AS n FROM m

@@ -16,8 +16,11 @@ package graft.multimodal
   * repo's fixed-point full-range BT.601 (nearest-neighbor chroma
   * upsampling — the RGB step is presentation; codec parity is pinned
   * at the YUV planes, and a gray fixture with U=V=128 converts with
-  * R=G=B=Y exactly, the q148 oracle device). Animations (ANIM/ANMF)
-  * stay fenced, as do VP8X files carrying neither pixel chunk.
+  * R=G=B=Y exactly, the q148 oracle device). Animations (r18): the
+  * FIRST ANMF frame's bitstream decodes as the poster image (the
+  * [[Gif]] frame-1 convention — one raster per blob) with
+  * [[isAnimated]] as the flag; later frames stay out of profile.
+  * VP8X files carrying no pixel chunk at all still fence.
   *
   * Decoder profile: RIFF walk to the VP8L chunk (plain or inside a
   * VP8X still), 14-bit dims, all four transforms in any legal
@@ -25,9 +28,9 @@ package graft.multimodal
   * image), simple (1–2 symbol) and normal (code-length-coded) prefix
   * codes incl. the max_symbol short form, LZ77 with the 120-entry 2D
   * distance map. Alpha is DISCARDED like the PNG arm (compositing is
-  * display policy, not decode). Fences (None): lossy VP8, ANIM,
-  * truncated streams, over-subscribed or incomplete-at-read prefix
-  * codes, bad signature/version, absurd dims.
+  * display policy, not decode). Fences (None): truncated streams,
+  * over-subscribed or incomplete-at-read prefix codes, bad
+  * signature/version, absurd dims, an ANMF frame with no bitstream.
   *
   * The ENCODER is the fixture generator (lossless ⇒ decode∘encode ==
   * identity is the whole-image oracle, the GIF/PNG discipline): flat
@@ -572,8 +575,11 @@ object Webp {
         ((bytes(p + 2) & 0xffL) << 16) | ((bytes(p + 3) & 0xffL) << 24)
     if (bytes.length < 20 || !ascii(0, "RIFF") || !ascii(8, "WEBP"))
       return None
-    // chunk walk to VP8L (lossless) or VP8 (lossy keyframe, r16);
-    // animations fence
+    // chunk walk to VP8L (lossless) or VP8 (lossy keyframe, r16).
+    // Animations (r18): the FIRST ANMF frame's own bitstream decodes
+    // — the poster image the dHash/near-dup/scrub faces should see —
+    // and later frames stay out of profile (one raster per blob, the
+    // Gif frame-1 convention); [[isAnimated]] carries the flag
     var p = 12
     var vp8lAt = -1
     var vp8lLen = 0
@@ -584,9 +590,26 @@ object Webp {
       if (size < 0 || size > Int.MaxValue) return None
       if (ascii(p, "VP8L")) { vp8lAt = p + 8; vp8lLen = size.toInt }
       else if (ascii(p, "VP8 ")) { vp8At = p + 8; vp8Len = size.toInt }
-      else if (ascii(p, "ANIM") || ascii(p, "ANMF"))
-        return None // animation: out of profile
-      else p += 8 + size.toInt + (size.toInt & 1)
+      else if (ascii(p, "ANMF")) {
+        // 16-byte frame header (x/2, y/2, w-1, h-1, duration — 24-bit
+        // each — plus the flags byte), then the frame's own subchunks
+        // (optional ALPH, then VP8/VP8L). A lying inner size that
+        // escapes the ANMF payload fences.
+        val innerEnd = p + 8 + size.toInt
+        if (innerEnd > bytes.length) return None
+        var q = p + 8 + 16
+        while (vp8lAt < 0 && vp8At < 0 && q + 8 <= innerEnd) {
+          val isz = u32(q + 4)
+          if (isz < 0 || isz > Int.MaxValue ||
+            q + 8 + isz > innerEnd) return None
+          if (ascii(q, "VP8L")) { vp8lAt = q + 8; vp8lLen = isz.toInt }
+          else if (ascii(q, "VP8 ")) { vp8At = q + 8; vp8Len = isz.toInt }
+          else q += 8 + isz.toInt + (isz.toInt & 1)
+        }
+        if (vp8lAt < 0 && vp8At < 0)
+          return None // ANMF with no bitstream subchunk
+      }
+      else p += 8 + size.toInt + (size.toInt & 1) // ANIM/VP8X/meta: skip
     }
     if (vp8At >= 0) {
       if (vp8At + vp8Len > bytes.length) return None
@@ -1029,6 +1052,74 @@ object Webp {
       fc.byte(v & 0xff)
       fc.byte((v >>> 24) & 0xff)
     }
+  }
+
+  /** True iff the container declares animation (an ANIM or ANMF
+    * chunk anywhere in the top-level walk) — the `is_animated` flag
+    * beside [[decode]]'s poster frame. Malformed walks read false:
+    * the probe answers "declared animated", not "valid".
+    */
+  def isAnimated(bytes: Array[Byte]): Boolean = {
+    if (bytes == null || bytes.length < 20) return false
+    def ascii(p: Int, s: String): Boolean =
+      p + s.length <= bytes.length &&
+        s.indices.forall(i => bytes(p + i) == s.charAt(i).toByte)
+    if (!ascii(0, "RIFF") || !ascii(8, "WEBP")) return false
+    var p = 12
+    while (p + 8 <= bytes.length) {
+      if (ascii(p, "ANIM") || ascii(p, "ANMF")) return true
+      val size = ((bytes(p + 4) & 0xffL)) | ((bytes(p + 5) & 0xffL) << 8) |
+        ((bytes(p + 6) & 0xffL) << 16) | ((bytes(p + 7) & 0xffL) << 24)
+      if (size < 0 || size > Int.MaxValue) return false
+      p += 8 + size.toInt + (size.toInt & 1)
+    }
+    false
+  }
+
+  /** An ANIMATED WebP fixture: VP8X (animation flag, canvas dims) +
+    * ANIM (background, infinite loop) + one ANMF per frame, each
+    * embedding the frame's own [[encode]] VP8L bitstream at offset
+    * (0,0). [[decode]] of the result must return `frames.head`
+    * exactly (lossless poster-frame identity — the q128 oracle
+    * device extended to the animated container), and [[isAnimated]]
+    * must read true.
+    */
+  def encodeAnimated(frames: Seq[Netpbm.Image],
+                     durationMs: Int = 100): Array[Byte] = {
+    require(frames.nonEmpty, "an animation carries at least one frame")
+    val out = new java.io.ByteArrayOutputStream()
+    def le32(v: Int): Unit = {
+      out.write(v & 0xff); out.write((v >> 8) & 0xff)
+      out.write((v >> 16) & 0xff); out.write((v >> 24) & 0xff)
+    }
+    def tag(s: String): Unit = s.foreach(c => out.write(c))
+    def u24(v: Int): Array[Byte] =
+      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+        ((v >> 16) & 0xff).toByte)
+    def chunk(t: String, payload: Array[Byte]): Unit = {
+      tag(t); le32(payload.length)
+      out.write(payload, 0, payload.length)
+      if ((payload.length & 1) == 1) out.write(0)
+    }
+    val cw = frames.map(_.width).max
+    val ch = frames.map(_.height).max
+    // chunks first (into `out`), RIFF header prepended once the total
+    // size is known
+    chunk("VP8X", Array[Byte](0x02, 0, 0, 0) ++ u24(cw - 1) ++ u24(ch - 1))
+    chunk("ANIM", Array[Byte](0, 0, 0, 0, 0, 0)) // bg ARGB + loop 0
+    frames.foreach { f =>
+      val still = encode(f)
+      // a still is exactly RIFF header (12) + the VP8L chunk (+pad)
+      val inner = java.util.Arrays.copyOfRange(still, 12, still.length)
+      val hdr = u24(0) ++ u24(0) ++ u24(f.width - 1) ++
+        u24(f.height - 1) ++ u24(durationMs) :+ 0.toByte
+      chunk("ANMF", hdr ++ inner)
+    }
+    val chunks = out.toByteArray
+    out.reset()
+    tag("RIFF"); le32(4 + chunks.length); tag("WEBP")
+    out.write(chunks, 0, chunks.length)
+    out.toByteArray
   }
 
   private def riff(vp8l: Array[Byte]): Array[Byte] = {

@@ -1075,6 +1075,89 @@ class MultimodalSpec extends SparkSpec {
     assert(Webp.DistMap.length == 120)
   }
 
+  test("animated WebP/GIF: frame 1 is the poster image, is_animated flags read true, fences hold") {
+    import graft.multimodal.{Gif, Netpbm, Webp}
+    val rnd = new scala.util.Random(1802L)
+    def randImg(w: Int, h: Int): Netpbm.Image =
+      Netpbm.Image(w, h, 255,
+        Array.fill[Byte](w * h * 3)(rnd.nextInt(256).toByte))
+    // WebP: the ANMF poster frame decodes exactly; the second,
+    // deliberately-different frame must NOT be the one returned
+    val f1 = randImg(21, 13)
+    val f2 = Netpbm.Image(21, 13, 255, f1.pixels.map(b => (~b).toByte))
+    val anim = Webp.encodeAnimated(Seq(f1, f2), durationMs = 80)
+    val dec = Webp.decode(anim)
+    assert(dec.isDefined, "animated WebP must decode its poster frame")
+    assert(dec.get.pixels.toSeq == f1.pixels.toSeq,
+      "frame 1, not frame 2, is the poster")
+    assert(Webp.isAnimated(anim), "the animation flag must read true")
+    assert(!Webp.isAnimated(Webp.encode(f1)),
+      "a still must not read animated")
+    // single-frame animation is still an animation (container says so)
+    val one = Webp.encodeAnimated(Seq(f1))
+    assert(Webp.decode(one).exists(_.pixels.toSeq == f1.pixels.toSeq))
+    assert(Webp.isAnimated(one))
+    // fences: an ANMF with no bitstream subchunk; a truncated
+    // container keeping only the RIFF magic; a lying inner size
+    def emptyAnmf: Array[Byte] = {
+      val o = new java.io.ByteArrayOutputStream()
+      def le32(v: Int) = (0 until 4).foreach(i => o.write((v >> (8 * i)) & 0xff))
+      "RIFF".foreach(c => o.write(c)); le32(4 + 8 + 16)
+      "WEBP".foreach(c => o.write(c))
+      "ANMF".foreach(c => o.write(c)); le32(16)
+      (0 until 16).foreach(_ => o.write(0))
+      o.toByteArray
+    }
+    assert(Webp.decode(emptyAnmf).isEmpty, "ANMF with no bitstream fences")
+    assert(Webp.decode(java.util.Arrays.copyOfRange(anim, 0, 14)).isEmpty,
+      "truncated animated container fences")
+    val lying = anim.clone()
+    // the first ANMF sits right after VP8X(10)+ANIM(6) chunks: its
+    // size field at 12+18+14+4; blow it past the file
+    val anmfAt = 12 + 8 + 10 + 8 + 6
+    assert(new String(lying, anmfAt, 4, "US-ASCII") == "ANMF")
+    lying(anmfAt + 4) = 0xff.toByte; lying(anmfAt + 5) = 0xff.toByte
+    lying(anmfAt + 6) = 0xff.toByte
+    assert(Webp.decode(lying).isEmpty, "an ANMF escaping the file fences")
+    // random mutations never throw
+    (0 until 300).foreach { _ =>
+      val b = anim.clone()
+      (0 until 1 + rnd.nextInt(4)).foreach(_ =>
+        b(rnd.nextInt(b.length)) = rnd.nextInt(256).toByte)
+      Webp.decode(b); Webp.isAnimated(b)
+    }
+
+    // GIF: frame 1 already decodes by design; pin the flag via a
+    // spliced two-frame stream (second frame's descriptor+data blocks
+    // inserted before the trailer — its palette indices are never
+    // read, framing is what the probe walks)
+    def gray(w: Int, h: Int, seed: Int): Netpbm.Image = {
+      val px = new Array[Byte](w * h * 3)
+      (0 until w * h).foreach { i =>
+        val v = ((i * 37 + seed) % 256).toByte
+        px(3 * i) = v; px(3 * i + 1) = v; px(3 * i + 2) = v
+      }
+      Netpbm.Image(w, h, 255, px)
+    }
+    val g1 = gray(11, 7, 5)
+    val s1 = Gif.encode(g1)
+    val s2 = Gif.encode(gray(11, 7, 90))
+    def imageBlocksOf(s: Array[Byte]): Array[Byte] = {
+      val gctSize = 3 * (1 << ((s(10) & 7) + 1))
+      val at = 13 + ((if ((s(10) & 0x80) != 0) gctSize else 0))
+      assert((s(at) & 0xff) == 0x2C, "descriptor where expected")
+      java.util.Arrays.copyOfRange(s, at, s.length - 1) // sans trailer
+    }
+    val spliced = java.util.Arrays.copyOfRange(s1, 0, s1.length - 1) ++
+      imageBlocksOf(s2) :+ 0x3B.toByte
+    assert(Gif.decode(spliced).exists(_.pixels.toSeq == g1.pixels.toSeq),
+      "spliced animated GIF still decodes frame 1")
+    assert(Gif.isAnimated(spliced), "two descriptors read animated")
+    assert(!Gif.isAnimated(s1), "a still GIF must not read animated")
+    assert(!Gif.isAnimated(java.util.Arrays.copyOfRange(spliced, 0, 20)),
+      "a truncated walk reads false, never throws")
+  }
+
   test("extractFeatures on WebP mime runs the VP8L decoder") {
     import spark.implicits._
     import graft.multimodal.{Netpbm, Webp}
