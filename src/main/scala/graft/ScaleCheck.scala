@@ -338,7 +338,7 @@ object ScaleCheck {
     def buildOfficeDir(dir: String, archives: Int, recsPer: Int): Long = {
       val root = new java.io.File(dir)
       val marker = new java.io.File(s"$dir/_gen")
-      val want = s"v3-$archives-$recsPer" // v3: + br-coded pages (r17)
+      val want = s"v4-$archives-$recsPer" // v4: + avif/heic (r18)
       if (marker.exists() &&
           new String(java.nio.file.Files.readAllBytes(marker.toPath),
             "UTF-8") == want) {
@@ -421,6 +421,19 @@ object ScaleCheck {
             case 5 => resp(s"http://o$a.example/j$r.jpg",
               "image/jpeg", M.Jpeg.encode(M.Netpbm.Image(16, 16, 255,
                 Array.fill[Byte](16 * 16 * 3)((seed % 200 + 20).toByte))))
+            case 6 if (r / 10) % 2 == 0 =>
+              // the r18 arm: AVIF/HEIC payloads in the crawl mix —
+              // probed-not-decoded (SURVEY §8's largest remaining
+              // media exclusion), so the point BILLS their share
+              // every round instead of leaving the exclusion's cost
+              // unmeasured (the br precedent: measure before any
+              // build-vs-exclude decision)
+              val (brand, codec) =
+                if (seed % 2 == 0) ("avif", "av01") else ("heic", "hvc1")
+              resp(s"http://o$a.example/i$r.$brand", s"image/$brand",
+                M.Heif.write(brand, codec, 160 + seed % 41,
+                  90 + seed % 29, rotation = (seed % 4) * 90,
+                  withExif = seed % 3 == 0))
             case _ => resp(s"http://o$a.example/z$r.zip",
               "application/zip", M.Zip.write(Seq(
                 ("data/notes.txt", prose("zip").getBytes("UTF-8"), true))))
@@ -466,8 +479,25 @@ object ScaleCheck {
       val (udSec, udRows) = time(
         graft.pipeline.CorpusPrep.urlDedup(
           graft.sources.WarcSource.documents(spark, dir, None)), reps)
+      // the r18 exclusion bill: of the media the crawl served, how
+      // much is AVIF/HEIC we only PROBE (q149) instead of decode —
+      // rows and byte share, so each round records what the
+      // exclusion costs on the fixture mix (the no-silent-caps rule
+      // applied to a capability gap)
+      val hv = graft.sources.WarcSource.media(
+          graft.sources.WarcSource.records(spark, dir))
+        .agg(
+          sum(when(col("meta.mime").isin("image/avif", "image/heic"), 1L)
+            .otherwise(0L)).as("hrows"),
+          sum(when(col("meta.mime").isin("image/avif", "image/heic"),
+            length(col("payload")).cast("long")).otherwise(0L))
+            .as("hbytes"),
+          sum(length(col("payload")).cast("long")).as("allbytes"))
+        .head()
+      val (hvRows, hvBytes, mediaBytes) =
+        (hv.getLong(0), hv.getLong(1), hv.getLong(2))
       val mb = diskBytes / 1048576.0
-      line(s"""{"scale":"$tag","office_media":{"archives":$archives,"br_share":0.1,"disk_mb":${d3(mb)},"office_sec":${d3(offSec)},"office_docs":$offDocs,"office_mb_per_sec":${d3(mb / math.max(offSec, 1e-9))},"media_sec":${d3(medSec)},"media_rows":$media,"media_mb_per_sec":${d3(mb / math.max(medSec, 1e-9))},"pagemeta_sec":${d3(pmSec)},"pagemeta_rows":$pmRows,"sitemap_sec":${d3(smSec)},"sitemap_rows":$smRows,"frontier_sec":${d3(fpSec)},"frontier_rows":$fpRows,"mediascrub_sec":${d3(msSec)},"mediascrub_rows":$msRows,"urldedup_sec":${d3(udSec)},"urldedup_rows":$udRows}}""")
+      line(s"""{"scale":"$tag","office_media":{"archives":$archives,"br_share":0.1,"disk_mb":${d3(mb)},"office_sec":${d3(offSec)},"office_docs":$offDocs,"office_mb_per_sec":${d3(mb / math.max(offSec, 1e-9))},"media_sec":${d3(medSec)},"media_rows":$media,"media_mb_per_sec":${d3(mb / math.max(medSec, 1e-9))},"pagemeta_sec":${d3(pmSec)},"pagemeta_rows":$pmRows,"sitemap_sec":${d3(smSec)},"sitemap_rows":$smRows,"frontier_sec":${d3(fpSec)},"frontier_rows":$fpRows,"mediascrub_sec":${d3(msSec)},"mediascrub_rows":$msRows,"urldedup_sec":${d3(udSec)},"urldedup_rows":$udRows,"avif_heic_rows":$hvRows,"avif_heic_mb":${d3(hvBytes / 1048576.0)},"avif_heic_media_byte_share":${d3(if (mediaBytes > 0) hvBytes.toDouble / mediaBytes else 0.0)}}}""")
       Map("office" -> offSec, "media" -> medSec, "pagemeta" -> pmSec,
         "sitemap" -> smSec, "frontier" -> fpSec, "mediascrub" -> msSec,
         "urldedup" -> udSec)
