@@ -109,6 +109,83 @@ class BrotliSpec extends AnyFunSuite {
         s"(got ${got.map(b => f"$b%02x").mkString(" ")})")
   }
 
+  test("data-reach branch checklist: a hand-built pinned stream per branch the vector corpus cannot provably reach (every stream + output system-libbrotlidec verified)") {
+    // The r17 lesson ("corpus breadth is not branch coverage"): a
+    // branch whose reach depends on DATA SHAPE — a context mode real
+    // encoders rarely pick, a distance-parameter combination, a
+    // repeat-chain extreme, a transform-op family — is covered only
+    // as far as the encoder corpus happens to wander. This table
+    // maps each such branch to a hand-built stream (the ferment-edge
+    // pin's method); every stream AND its expected output were
+    // verified against the system libbrotlidec at pin time, so a
+    // divergence here is OUR bug by construction.
+    //
+    // Construction notes (shared skeleton = the ferment pin's:
+    // wbits16 header, one block type per category, simple prefix
+    // codes unless stated):
+    //  msb6      — context MODE 1 with ntreesL=2 and a context map
+    //              sending ctx 24 (p1='a' >> 2) to a second
+    //              single-symbol tree: single-symbol trees read ZERO
+    //              bits, so the output "aBaB" is a pure function of
+    //              the ctx chain (LSB6 would read ctx 33 -> "aaaa").
+    //  signed    — context MODE 3, map sends ctx 8 = Lut2[0x01]<<3
+    //              to tree 'B': output 01 42 01 01 (MSB6 ctx 0 and
+    //              LSB6 ctx 1 both stay on tree 0 -> all-01).
+    //  ndirect   — NDIRECT=8: distance code 17 in the direct range
+    //              [16,24) must mean dist = dc-15 = 2 (copy "xyxyxy").
+    //  npostfix  — NPOSTFIX=2: dc=17 -> hcode=0/lcode=1, 1 extra bit,
+    //              dist=((offset+extra)<<2)+lcode+1 = 2, same copy.
+    //  rep17     — complex LITERAL code whose zero runs ride two
+    //              3-deep ACCUMULATING 17-repeat chains landing
+    //              exactly (3->13->97 and 4->21->157 zeros): one
+    //              mis-accumulated repeat shifts every later length.
+    //  stored_boundary_ring16 — a non-last UNCOMPRESSED block, then
+    //              a compressed block whose copy (initial-ring
+    //              short code dc=3 = distance 16, the MOST-DISTANT
+    //              initial entry) reaches back INTO the stored bytes.
+    //  wbits24   — the 3-bit window escape (1,111 -> 24), the max
+    //              standard window the 10-22 vector grid skips.
+    //  tf_*      — static-dictionary word 0 of the 4-letter bank
+    //              ("time") under one transform per op FAMILY beyond
+    //              the pinned ferment-all: identity+prefix/suffix
+    //              (#2 -> "x time "), omit-first-1 (#3 -> "xime"),
+    //              ferment-first (#4 -> "xTime "), omit-last-1
+    //              (#12 -> "xtim").
+    def hex(s: String): Array[Byte] =
+      s.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    val pins: Seq[(String, String, String)] = Seq(
+      ("msb6 context mode",
+        "6200004071921ddc07222c8402840000", "61426142"),
+      ("signed context mode",
+        "620000c0517204ecee44048450801000", "01420101"),
+      ("ndirect>0 direct distance",
+        "a2000020145e5e48121101", "787978797879"),
+      ("npostfix>0 distance postfix",
+        "a2000002145e5e48121102", "787978797879"),
+      ("accumulating 17-repeat chains",
+        "6200000070005c549b2a0142000a", "61ff61ff"),
+      ("stored-block boundary + initial ring 16",
+        "f00010" + "756e636f6d7072657373656420627974" +
+          "81000000022f1c8901",
+        "756e636f6d7072657373656420627974786e636f6d70726573"),
+      ("window bits 24",
+        "1f030000a0ded60284000a", "6f6b6f6b"),
+      ("transform identity+prefix/suffix (#2)",
+        "c2000000045e28126201", "782074696d6520"),
+      ("transform omit-first-1 (#3)",
+        "62000000045e28126301", "78696d65"),
+      ("transform ferment-first (#4)",
+        "a2000000045e2812640100", "7854696d6520"),
+      ("transform omit-last-1 (#12)",
+        "62000000045e2812670100", "7874696d"))
+    pins.foreach { case (branch, stream, want) =>
+      val got = Brotli.decode(hex(stream))
+        .getOrElse(fail(s"$branch: pinned stream fenced"))
+      assert(got.toSeq == hex(want).toSeq,
+        s"$branch: got ${got.map(b => f"$b%02x").mkString} want $want")
+    }
+  }
+
   test("fences: null/empty/prose/truncation at every byte, random mutations never throw, the bomb cap trips") {
     assert(Brotli.decode(null).isEmpty)
     assert(Brotli.decode(Array.emptyByteArray).isEmpty)
