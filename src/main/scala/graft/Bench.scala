@@ -221,7 +221,7 @@ object Bench {
       "q105_ranked_indexed", "q109_upsert_face", "q110_scd2_face",
       "q112_temporal_face", "q113_components_index",
       "q114_phrase_maintained", "q121_view_face", "q122_forget_face",
-      "q123_search_forget", "q152_corpus_face")
+      "q123_search_forget", "q152_corpus_face", "q153_warc_corpus_face")
     println(amortized.filter(samples.contains)
       .map { n =>
         val r1 = samples(n).headOption.getOrElse(-1.0)

@@ -744,6 +744,300 @@ object PrepQ {
       .orderBy(col("doc_id"))
   }
 
+  // ---- q153: runFromWarc END TO END under the oracle ----
+
+  /** q153's closed-form fixture pieces — ONE definition interpolated
+    * into the archive writer AND the DuckDB oracle (the q152
+    * DirtyPrefix device, applied to a crawl). Every record of the
+    * fixture archive derives from a documents-table row: arm =
+    * pmod(doc_id, 10) — 0..5 an HTML response page wrapping the doc
+    * text, 6 a media image (JPEG+EXIF / broken-governed / clean by
+    * pmod 3 — billing only, never a text doc), 7 a PDF, 8 a DOCX,
+    * 9 a brotli-coded page (healthy at pmod(20)==9, a DYING stream
+    * at 19 → `coding_fenced`). pmod(7)==0 HTML pages carry a robots
+    * noindex meta (the honorNoindex drop), pmod(31)==0 docs carry
+    * the [[Q152BadWords]] token, and pmod(17)==0 HTML pages are
+    * written TWICE — the second under a `?utm_source=x` URL with an
+    * IDENTICAL body, so whichever record the hash-keyed url-dedup
+    * keeps, the output row (keyed by url_norm, not raw url) is
+    * byte-identical and only the LEDGER sees the collapse.
+    */
+  private val P153Head = "<html><head><title>Doc "
+  private val P153Noindex = "<meta name=\"robots\" content=\"noindex\">"
+  private val P153Mid = "</title></head><body><p>"
+  private val P153MidNoindex = "</title>" + P153Noindex + "</head><body><p>"
+  private val P153Stale = " flagged stale material"
+  private val P153Tail = "</p></body></html>"
+  private def p153PdfProse(id: Long) =
+    s"pdf report $id overview tokens alpha beta" +
+      (if (((id % 31) + 31) % 31 == 0) P153Stale else "")
+  private def p153DocxProse(id: Long) =
+    s"office memo $id agenda items gamma delta" +
+      (if (((id % 31) + 31) % 31 == 0) P153Stale else "")
+
+  /** Write the q153 fixture archive (one .warc.gz) from the corpus
+    * dir's documents table — driver-side, fixture-sized (the q113
+    * artifact convention; rebuilt per corpus content).
+    */
+  private def q153WriteWarc(s: SparkSession, dir: String,
+                            warcDir: String): Unit = {
+    import graft.{multimodal => M}
+    val docs = Tables(s, dir).documents
+      .select(col("doc_id"), coalesce(col("text"), lit("")).as("t"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    val bo = new java.io.ByteArrayOutputStream(1 << 20)
+    def rec(headers: Seq[(String, String)],
+            content: Array[Byte]): Unit = {
+      val sb = new StringBuilder("WARC/1.0\r\n")
+      (headers :+ ("Content-Length" -> content.length.toString))
+        .foreach { case (k, v) => sb.append(s"$k: $v\r\n") }
+      sb.append("\r\n")
+      bo.write(sb.toString.getBytes("ISO-8859-1"))
+      bo.write(content)
+      bo.write("\r\n\r\n".getBytes("ISO-8859-1"))
+    }
+    def resp(uri: String, ct: String, body: Array[Byte],
+             coding: Option[String] = None): Unit =
+      rec(Seq("WARC-Type" -> "response", "WARC-Target-URI" -> uri,
+        "Content-Type" -> "application/http; msgtype=response"),
+        (s"HTTP/1.1 200 OK\r\nContent-Type: $ct\r\n" +
+          coding.map(c => s"Content-Encoding: $c\r\n").getOrElse("") +
+          "\r\n").getBytes("ISO-8859-1") ++ body)
+    def page(id: Long, t: String, noindex: Boolean): String =
+      P153Head + id + (if (noindex) P153MidNoindex else P153Mid) + t +
+        (if (((id % 31) + 31) % 31 == 0) P153Stale else "") + P153Tail
+    val img = M.Netpbm.Image(8, 8, 255, Array.fill[Byte](192)(77))
+    docs.foreach { case (id, t) =>
+      def pmod(m: Long): Long = ((id % m) + m) % m
+      pmod(10) match {
+        case sel if sel <= 5 =>
+          val html = page(id, t, noindex = pmod(7) == 0)
+          resp(s"https://w.example/d$id", "text/html",
+            html.getBytes("UTF-8"))
+          if (pmod(17) == 0)
+            resp(s"https://w.example/d$id?utm_source=x", "text/html",
+              html.getBytes("UTF-8"))
+        case 6 => pmod(3) match {
+          case 0 => resp(s"https://w.example/i$id.jpg", "image/jpeg",
+            M.Exif.write(M.Jpeg.encode(img), orientation = 6,
+              gps = Some((37.1, -122.2)), make = Some("cam"),
+              dateTime = Some("2024:01:02 03:04:05"),
+              comment = Some("c")))
+          case 1 => resp(s"https://w.example/i$id.png", "image/png",
+            java.util.Arrays.copyOfRange(M.Png.encode(img), 0, 20))
+          case _ => resp(s"https://w.example/i$id.png", "image/png",
+            M.Png.encode(img))
+        }
+        case 7 => resp(s"https://w.example/p$id.pdf", "application/pdf",
+          M.PdfText.write(p153PdfProse(id)))
+        case 8 => resp(s"https://w.example/o$id.docx",
+          "application/vnd.openxmlformats-officedocument" +
+            ".wordprocessingml.document",
+          M.Docx.write(p153DocxProse(id)))
+        case _ =>
+          if (pmod(20) == 9)
+            resp(s"https://w.example/b$id.html", "text/html",
+              M.Brotli.encodeFixed(
+                page(id, t, noindex = false).getBytes("UTF-8"),
+                split = pmod(2) == 0), coding = Some("br"))
+          else
+            resp(s"https://w.example/x$id.html", "text/html",
+              Array[Byte](0x11, 0, 0, 0), coding = Some("br"))
+      }
+    }
+    new java.io.File(warcDir).mkdirs()
+    val f = new java.io.FileOutputStream(s"$warcDir/corpus-0.warc.gz")
+    val gz = new java.util.zip.GZIPOutputStream(f)
+    gz.write(bo.toByteArray); gz.close()
+  }
+
+  /** q153's pipeline config: the crawl-intake arrangement — url
+    * dedup first, markup strip + scrub, the wordlist gate, exact
+    * dedup; NO hash-keyed sampling/mixing/quality stages (their
+    * decisions key on the archive-position doc_id hash, which no
+    * oracle can recompute — q152 owns those stages) and one shard.
+    */
+  private[queries] def q153Cfg: CorpusPrep.Config = CorpusPrep.Config(
+    langRates = Map.empty,
+    defaultRate = 1.0,
+    nShards = 1,
+    scrubPii = true,
+    stripMarkup = true,
+    badWords = Some(Q152BadWords),
+    dedupByUrl = true)
+
+  /** q153: [[CorpusPrep.runFromWarc]] driven END TO END — real
+    * archives (gz-wrapped WARC with HTML, brotli-coded, dying-
+    * stream, PDF, DOCX and media records) through the full intake:
+    * face extraction, noindex policy, coding fences, media sidecar
+    * billing, then the prep chain and the write. Output: one row per
+    * WRITTEN doc keyed by CANONICAL url (archive-position doc_ids
+    * are hashes no oracle can recompute; url_norm is closed-form),
+    * with the ENTIRE WarcStats ledger as constant columns. The
+    * oracle rebuilds every kept row and every ledger number from
+    * documents-table arithmetic — intake routing, per-face
+    * disjointness, noindex/url-dup/badwords interaction order and
+    * the media billing all sit under the hash.
+    */
+  def q153(s: SparkSession, dir: String): DataFrame = {
+    val path = "target/graft_q153_corpus"
+    val statsFile = java.nio.file.Paths.get(path + "._stats")
+    ensureIndexArtifact(s, path, dir) { _ =>
+      val warcDir = path + "_warc"
+      locally {
+        val p = new org.apache.hadoop.fs.Path(warcDir)
+        val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(p, true); ()
+      }
+      q153WriteWarc(s, dir, warcDir)
+      val st = CorpusPrep.runFromWarc(s, warcDir, path, q153Cfg,
+        honorNoindex = true, mediaOut = Some(path + "_media"))
+      val lines = Seq(
+        "htmlDocs" -> st.htmlDocs, "pdfDocs" -> st.pdfDocs,
+        "officeDocs" -> st.officeDocs,
+        "codingFenced" -> st.codingFenced,
+        "noindexDropped" -> st.noindexDropped,
+        "mediaDocs" -> st.mediaDocs,
+        "mediaScrubbed" -> st.mediaScrubbed,
+        "mediaFenced" -> st.mediaFenced,
+        "input" -> st.prep.input,
+        "afterDedup" -> st.prep.afterDedup,
+        "afterSample" -> st.prep.afterSample,
+        "urlDupDropped" -> st.prep.urlDupDropped,
+        "badwordsDropped" -> st.prep.badwordsDropped)
+        .map { case (k, v) => s"$k=$v" }.mkString("\n")
+      java.nio.file.Files.write(statsFile, lines.getBytes("UTF-8"))
+      ()
+    }
+    s.catalog.refreshByPath(path)
+    val st = new String(java.nio.file.Files.readAllBytes(statsFile), "UTF-8")
+      .linesIterator.map(_.split("=", 2)).map(a => a(0) -> a(1).toLong).toMap
+    s.read.parquet(path)
+      .select(
+        graft.functions.UrlOps.urlNormalize(col("url"))
+          .getField("url_norm").as("url_norm"),
+        col("lang_detected"),
+        md5(col("text").cast("binary")).as("text_md5"))
+      .withColumn("n_html_docs", lit(st("htmlDocs")))
+      .withColumn("n_pdf_docs", lit(st("pdfDocs")))
+      .withColumn("n_office_docs", lit(st("officeDocs")))
+      .withColumn("n_coding_fenced", lit(st("codingFenced")))
+      .withColumn("n_noindex_dropped", lit(st("noindexDropped")))
+      .withColumn("n_media_docs", lit(st("mediaDocs")))
+      .withColumn("n_media_scrubbed", lit(st("mediaScrubbed")))
+      .withColumn("n_media_fenced", lit(st("mediaFenced")))
+      .withColumn("n_input", lit(st("input")))
+      .withColumn("n_after_dedup", lit(st("afterDedup")))
+      .withColumn("n_kept", lit(st("afterSample")))
+      .withColumn("n_url_dup_dropped", lit(st("urlDupDropped")))
+      .withColumn("n_badwords_dropped", lit(st("badwordsDropped")))
+      .orderBy(col("url_norm"))
+  }
+
+  /** DuckDB mirror of q153: every fixture record is derived from a
+    * documents-table row, so the oracle rebuilds each KEPT doc's
+    * (url_norm, rewritten text, lang) and every WarcStats ledger
+    * number from doc_id arithmetic plus the SAME rewrite chain the
+    * q152 oracle uses. The twins (pmod 17 URL duplicates) never
+    * materialize as rows — byte-identical bodies under the same
+    * canonical URL mean the kept row is the base row regardless of
+    * which record the hash-keyed dedup retains; only the LEDGER sees
+    * them, as closed-form counts.
+    */
+  val q153Sql: String = {
+    val badList = Q152BadWords.map(w => s"'$w'").mkString(", ")
+    s"""WITH b AS (
+       |  SELECT doc_id, coalesce(text, '') AS t,
+       |    ((doc_id % 10) + 10) % 10 AS sel,
+       |    ((doc_id % 7) + 7) % 7 = 0 AS noindex,
+       |    ((doc_id % 17) + 17) % 17 = 0 AS twin,
+       |    ((doc_id % 31) + 31) % 31 = 0 AS stale,
+       |    ((doc_id % 20) + 20) % 20 AS s20,
+       |    ((doc_id % 3) + 3) % 3 AS m3
+       |  FROM documents),
+       |rawdocs AS (
+       |  SELECT 'https://w.example/d' || doc_id AS url_norm,
+       |    '$P153Head' || doc_id ||
+       |      CASE WHEN noindex THEN '$P153MidNoindex' ELSE '$P153Mid' END
+       |      || t || CASE WHEN stale THEN '$P153Stale' ELSE '' END
+       |      || '$P153Tail' AS text
+       |  FROM b WHERE sel <= 5 AND NOT noindex
+       |  UNION ALL
+       |  SELECT 'https://w.example/b' || doc_id || '.html',
+       |    '$P153Head' || doc_id || '$P153Mid' || t ||
+       |      CASE WHEN stale THEN '$P153Stale' ELSE '' END || '$P153Tail'
+       |  FROM b WHERE sel = 9 AND s20 = 9
+       |  UNION ALL
+       |  SELECT 'https://w.example/p' || doc_id || '.pdf',
+       |    'pdf report ' || doc_id || ' overview tokens alpha beta' ||
+       |      CASE WHEN stale THEN '$P153Stale' ELSE '' END
+       |  FROM b WHERE sel = 7
+       |  UNION ALL
+       |  SELECT 'https://w.example/o' || doc_id || '.docx',
+       |    'office memo ' || doc_id || ' agenda items gamma delta' ||
+       |      CASE WHEN stale THEN '$P153Stale' ELSE '' END
+       |  FROM b WHERE sel = 8),
+       |dem AS (SELECT url_norm, $demSqlExpr AS text FROM rawdocs),
+       |scr AS (SELECT url_norm, $scrSqlExpr AS text FROM dem),
+       |bwv AS (
+       |  SELECT url_norm, text,
+       |    len(list_filter(regexp_split_to_array(
+       |      trim(lower(trim(regexp_replace(coalesce(text, ''), '\\s+', ' ', 'g')))), '\\s+'),
+       |      w -> list_contains([$badList], w))) AS n_bad
+       |  FROM scr),
+       |kept AS (SELECT url_norm, text FROM bwv WHERE n_bad = 0),
+       |lt AS (
+       |  SELECT url_norm, text, regexp_split_to_array(
+       |    trim(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))), '\\s+') AS t
+       |  FROM kept),
+       |fin AS (
+       |  SELECT url_norm,
+       |    list_max([
+       |      $langStructsSql]).lang AS lang_detected,
+       |    md5(text) AS text_md5
+       |  FROM lt),
+       |ledger AS (
+       |  SELECT
+       |    CAST((SELECT count(*) FROM b WHERE sel <= 5 AND NOT noindex)
+       |      + (SELECT count(*) FROM b WHERE sel <= 5 AND NOT noindex AND twin)
+       |      + (SELECT count(*) FROM b WHERE sel = 9 AND s20 = 9)
+       |      AS BIGINT) AS n_html_docs,
+       |    CAST((SELECT count(*) FROM b WHERE sel = 7) AS BIGINT) AS n_pdf_docs,
+       |    CAST((SELECT count(*) FROM b WHERE sel = 8) AS BIGINT) AS n_office_docs,
+       |    CAST((SELECT count(*) FROM b WHERE sel = 9 AND s20 = 19) AS BIGINT)
+       |      AS n_coding_fenced,
+       |    CAST((SELECT count(*) FROM b WHERE sel <= 5 AND noindex)
+       |      + (SELECT count(*) FROM b WHERE sel <= 5 AND noindex AND twin)
+       |      AS BIGINT) AS n_noindex_dropped,
+       |    CAST((SELECT count(*) FROM b WHERE sel IN (6, 7, 8)) AS BIGINT)
+       |      AS n_media_docs,
+       |    CAST((SELECT count(*) FROM b WHERE sel = 6 AND m3 = 0) AS BIGINT)
+       |      AS n_media_scrubbed,
+       |    CAST((SELECT count(*) FROM b WHERE sel = 6 AND m3 = 1) AS BIGINT)
+       |      AS n_media_fenced,
+       |    CAST((SELECT count(*) FROM b WHERE sel <= 5 AND NOT noindex)
+       |      + (SELECT count(*) FROM b WHERE sel <= 5 AND NOT noindex AND twin)
+       |      + (SELECT count(*) FROM b WHERE sel = 9 AND s20 = 9)
+       |      + (SELECT count(*) FROM b WHERE sel IN (7, 8))
+       |      AS BIGINT) AS n_input,
+       |    CAST((SELECT count(DISTINCT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))))
+       |          FROM kept) AS BIGINT) AS n_after_dedup,
+       |    CAST((SELECT count(*) FROM kept) AS BIGINT) AS n_kept,
+       |    CAST((SELECT count(*) FROM b WHERE sel <= 5 AND NOT noindex AND twin)
+       |      AS BIGINT) AS n_url_dup_dropped,
+       |    CAST((SELECT count(*) FROM bwv WHERE n_bad > 0) AS BIGINT)
+       |      AS n_badwords_dropped)
+       |SELECT fin.url_norm, fin.lang_detected, fin.text_md5,
+       |  ledger.n_html_docs, ledger.n_pdf_docs, ledger.n_office_docs,
+       |  ledger.n_coding_fenced, ledger.n_noindex_dropped,
+       |  ledger.n_media_docs, ledger.n_media_scrubbed,
+       |  ledger.n_media_fenced, ledger.n_input, ledger.n_after_dedup,
+       |  ledger.n_kept, ledger.n_url_dup_dropped,
+       |  ledger.n_badwords_dropped
+       |FROM fin CROSS JOIN ledger
+       |ORDER BY url_norm""".stripMargin
+  }
+
   /** The q76 markup-strip chain as a DuckDB expression over `text`
     * (identical nesting/order to [[q76Sql]] — entities decode after
     * tags die, `&amp;` last).
@@ -758,6 +1052,18 @@ object PrepQ {
        |      '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
        |      '&quot;', '"'), '&#39;', chr(39)), '&amp;', '&'),
        |    '\\s+', ' ', 'g'))""".stripMargin
+
+  /** The q40 language-ID argmax as a struct list over a token array
+    * column `t` — shared by the q152 and q153 oracles (the word
+    * lists interpolate from [[graft.functions.TextOps.langProfiles]],
+    * the one definition).
+    */
+  private def langStructsSql: String =
+    graft.functions.TextOps.langProfiles.map {
+      case (lang, words) =>
+        val ws = words.map(w => s"'$w'").mkString(", ")
+        s"{'confidence': CAST(len(list_filter(t, w -> list_contains([$ws], w))) AS DOUBLE) / GREATEST(CAST(len(t) AS DOUBLE), 1.0), 'lang': '$lang'}"
+    }.mkString(",\n      ")
 
   /** The q52 scrub chain as a DuckDB expression over `text`. */
   private def scrSqlExpr: String =
@@ -786,11 +1092,7 @@ object PrepQ {
         s"WHEN lang_detected = '$l' THEN ${math.floor(r * 1024).toLong}"
     }.mkString("CASE ", " ",
       s" ELSE ${math.floor(q152Cfg.defaultRate * 1024).toLong} END")
-    val langStructs = graft.functions.TextOps.langProfiles.map {
-      case (lang, words) =>
-        val ws = words.map(w => s"'$w'").mkString(", ")
-        s"{'confidence': CAST(len(list_filter(t, w -> list_contains([$ws], w))) AS DOUBLE) / GREATEST(CAST(len(t) AS DOUBLE), 1.0), 'lang': '$lang'}"
-    }.mkString(",\n      ")
+    val langStructs = langStructsSql
     val shardHashSql = "md5_number_lower('shard:' || CAST(doc_id AS VARCHAR))"
     s"""WITH raw AS (
        |  SELECT doc_id, source,
@@ -928,5 +1230,6 @@ object PrepQ {
     Entry("q113_components_index", q113, Some(q53Sql)),
     Entry("q122_forget_face", q122, Some(q122Sql)),
     Entry("q152_corpus_face", q152, Some(q152Sql)),
+    Entry("q153_warc_corpus_face", q153, Some(q153Sql)),
   )
 }
