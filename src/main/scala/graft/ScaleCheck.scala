@@ -494,8 +494,11 @@ object ScaleCheck {
             .as("hbytes"),
           sum(length(col("payload")).cast("long")).as("allbytes"))
         .head()
-      val (hvRows, hvBytes, mediaBytes) =
-        (hv.getLong(0), hv.getLong(1), hv.getLong(2))
+      // null-guarded like the runFromWarc media billing: sum() over an
+      // empty media face returns NULL, and a reconfigured record mix
+      // must yield a zero row, not an NPE
+      def nz(i: Int): Long = if (hv.isNullAt(i)) 0L else hv.getLong(i)
+      val (hvRows, hvBytes, mediaBytes) = (nz(0), nz(1), nz(2))
       val mb = diskBytes / 1048576.0
       line(s"""{"scale":"$tag","office_media":{"archives":$archives,"br_share":0.1,"disk_mb":${d3(mb)},"office_sec":${d3(offSec)},"office_docs":$offDocs,"office_mb_per_sec":${d3(mb / math.max(offSec, 1e-9))},"media_sec":${d3(medSec)},"media_rows":$media,"media_mb_per_sec":${d3(mb / math.max(medSec, 1e-9))},"pagemeta_sec":${d3(pmSec)},"pagemeta_rows":$pmRows,"sitemap_sec":${d3(smSec)},"sitemap_rows":$smRows,"frontier_sec":${d3(fpSec)},"frontier_rows":$fpRows,"mediascrub_sec":${d3(msSec)},"mediascrub_rows":$msRows,"urldedup_sec":${d3(udSec)},"urldedup_rows":$udRows,"avif_heic_rows":$hvRows,"avif_heic_mb":${d3(hvBytes / 1048576.0)},"avif_heic_media_byte_share":${d3(if (mediaBytes > 0) hvBytes.toDouble / mediaBytes else 0.0)}}}""")
       Map("office" -> offSec, "media" -> medSec, "pagemeta" -> pmSec,

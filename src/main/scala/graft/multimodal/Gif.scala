@@ -271,7 +271,9 @@ object Gif {
     }
     while (pos < bytes.length) {
       u8(pos) match {
-        case 0x3B => return images >= 2
+        // a second descriptor returns true below before any trailer
+        // is reached, so a walk that gets here saw at most one frame
+        case 0x3B => return false
         case 0x21 =>
           pos += 2
           if (!skipSubBlocks()) return false

@@ -630,8 +630,14 @@ object PrepQ {
     *  - doc_id % [[Q152BenchMod]]: [[Q152BenchPassage]] (10 tokens)
     *    appended, and the SAME passage appended to the benchmark
     *    frame → 8-gram contamination hits.
-    * The moduli are pairwise coprime and chosen so no slice overlaps
-    * another within the fixture id range.
+    * The moduli are pairwise coprime but their slices DO overlap
+    * inside the fixture id range (143/286/429 sit in both the dup and
+    * boiler slices, 403 in dup∩stale): overlap is resolved by the
+    * injection CASE's precedence — dup-replacement shadows the
+    * boiler/bench appends, and the stale append composes with all of
+    * them — mirrored clause for clause in the oracle, so retuning a
+    * modulus must keep both sides' CASE order aligned, not assume
+    * disjointness.
     */
   private[queries] val Q152DupMod: Int = 13
   private[queries] val Q152BoilerMod: Int = 11
