@@ -27,6 +27,13 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// Heap stays at 8g deliberately (r18, guide §5): an -Xms24g/-Xmx24g
+// experiment on this 128 GiB box made the parallel kernels 20-30×
+// MORE cpu-expensive — a huge G1 eden turns every allocation path
+// into cold-page traffic (first-touch zeroing billed to task CPU) —
+// while at 8g the working set stays cache/TLB-warm. The GC pressure
+// the r18 Spread floor exposed was fixed where it belonged, in the
+// kernels' allocation rate, not by growing the heap.
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",

@@ -40,6 +40,17 @@ final case class EngineConf(
       // surface as long, and Tables.events rebuilds TimestampType from
       // them — without this the vectorized reader rejects such files
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // r18 (guide §2.2): the bypass-merge shuffle writer creates one
+      // physical file PER REDUCER per map task and then concatenates
+      // them — M×R file creates per exchange. Profiled on the widened
+      // text kernels: executor threads spent their "CPU" in
+      // FileOutputStream.open0/copyFileStreamNIO, ~100 ms per task of
+      // pure file churn on 32-reducer exchanges. Below the threshold
+      // Spark picks the serialized (Unsafe) writer: ONE spill file +
+      // index per map task, no concat. At production scale reducer
+      // counts are far above 200, bypass never fires, and this
+      // setting is inert — it only removes the small-R pathology.
+      .config("spark.shuffle.sort.bypassMergeThreshold", "8")
     if (extensionsEnabled)
       b = b.config("spark.sql.extensions", classOf[GraftExtensions].getName)
     extraConf.foreach { case (k, v) => b = b.config(k, v) }

@@ -26,6 +26,18 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
+  /** The documents scan behind every fixture builder, floored to the
+    * session's parallelism ([[graft.util.Spread]], r18): the fixture
+    * file is one parquet row group, so without this every
+    * encode+decode kernel below ran on ONE core (q148 measured at
+    * 5.2 s wall ≈ 5.1 s task-time on 32 cores). The spread exchange
+    * carries only the tiny pre-kernel rows; at production scale the
+    * scan is already wide and the guard makes it a no-op.
+    */
+  private def docsSpread(spark: SparkSession, dir: String): DataFrame =
+    graft.util.Spread.byKey(
+      spark.read.parquet(dir + "/documents.parquet"), col("doc_id"))
+
   final case class MediaMeta(mime: String, n_bytes: Long, checksum: Long)
   final case class MediaRow(doc_id: Long, payload: Array[Byte], meta: MediaMeta)
   final case class FeatureRow(doc_id: Long, mime: String, n_bytes: Long,
@@ -57,7 +69,7 @@ object Multimodal {
     * step for real media files (spark.read.format("binaryFile")).
     */
   def blobTable(spark: SparkSession, dir: String): DataFrame = {
-    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val docs = docsSpread(spark, dir)
     // null text coalesces to empty BEFORE encoding: meta.n_bytes maps
     // to a primitive Long in MediaRow, and a null there kills the
     // encoder before any downstream fence can run
@@ -500,7 +512,7 @@ object Multimodal {
 
   def ppmTable(spark: SparkSession, dir: String): Dataset[MediaRow] = {
     import spark.implicits._
-    spark.read.parquet(s"$dir/documents.parquet")
+    docsSpread(spark, dir)
       .select(col("doc_id"), coalesce(col("text"), lit("")).as("t"))
       .as[(Long, String)]
       .map { case (id, t) =>
@@ -692,7 +704,7 @@ object Multimodal {
     */
   def q119(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val hashes = spark.read.parquet(s"$dir/documents.parquet")
+    val hashes = docsSpread(spark, dir)
       .select(col("doc_id"), coalesce(col("text"), lit("")).as("t"))
       .as[(Long, String)]
       .flatMap { case (id, t) =>
@@ -747,7 +759,7 @@ object Multimodal {
     */
   def wavTable(spark: SparkSession, dir: String): Dataset[MediaRow] = {
     import spark.implicits._
-    spark.read.parquet(s"$dir/documents.parquet")
+    docsSpread(spark, dir)
       .select(col("doc_id"), coalesce(col("text"), lit("")).as("t"))
       .as[(Long, String)]
       .map { case (id, t) =>
@@ -878,7 +890,7 @@ object Multimodal {
     */
   def bmpTable(spark: SparkSession, dir: String): Dataset[MediaRow] = {
     import spark.implicits._
-    spark.read.parquet(s"$dir/documents.parquet")
+    docsSpread(spark, dir)
       .select(col("doc_id"), coalesce(col("text"), lit("")).as("t"))
       .as[(Long, String)]
       .map { case (id, t) =>
@@ -1001,7 +1013,7 @@ object Multimodal {
     */
   def pngTable(spark: SparkSession, dir: String): Dataset[MediaRow] = {
     import spark.implicits._
-    spark.read.parquet(s"$dir/documents.parquet")
+    docsSpread(spark, dir)
       .select(col("doc_id"), coalesce(col("text"), lit("")).as("t"))
       .as[(Long, String)]
       .map { case (id, t) =>
@@ -1047,7 +1059,7 @@ object Multimodal {
     */
   def gifTable(spark: SparkSession, dir: String): Dataset[MediaRow] = {
     import spark.implicits._
-    spark.read.parquet(s"$dir/documents.parquet")
+    docsSpread(spark, dir)
       .select(col("doc_id"), coalesce(col("text"), lit("")).as("t"))
       .as[(Long, String)]
       .map { case (id, t) =>
@@ -1112,7 +1124,7 @@ object Multimodal {
     */
   def webpTable(spark: SparkSession, dir: String): Dataset[MediaRow] = {
     import spark.implicits._
-    spark.read.parquet(s"$dir/documents.parquet")
+    docsSpread(spark, dir)
       .select(col("doc_id"), coalesce(col("text"), lit("")).as("t"))
       .as[(Long, String)]
       .map { case (id, t) =>
@@ -1173,7 +1185,7 @@ object Multimodal {
     */
   def jpegTable(spark: SparkSession, dir: String): Dataset[MediaRow] = {
     import spark.implicits._
-    spark.read.parquet(s"$dir/documents.parquet")
+    docsSpread(spark, dir)
       .select(col("doc_id"), coalesce(col("text"), lit("")).as("t"))
       .as[(Long, String)]
       .map { case (id, t) =>
@@ -1249,7 +1261,7 @@ object Multimodal {
     */
   def vp8Table(spark: SparkSession, dir: String): Dataset[MediaRow] = {
     import spark.implicits._
-    spark.read.parquet(s"$dir/documents.parquet")
+    docsSpread(spark, dir)
       .select(col("doc_id"), coalesce(col("text"), lit("")).as("t"))
       .as[(Long, String)]
       .map { case (id, t) =>
@@ -1339,7 +1351,7 @@ object Multimodal {
     */
   def q149(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    spark.read.parquet(s"$dir/documents.parquet")
+    docsSpread(spark, dir)
       .select(col("doc_id")).as[Long]
       .map { id =>
         def pmod(m: Long): Long = ((id % m) + m) % m
@@ -1399,7 +1411,7 @@ object Multimodal {
     */
   def q150(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    spark.read.parquet(s"$dir/documents.parquet")
+    docsSpread(spark, dir)
       .select(col("doc_id")).as[Long]
       .map { id =>
         def pmod(m: Long): Long = ((id % m) + m) % m
@@ -1507,7 +1519,7 @@ object Multimodal {
     */
   def q151(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    spark.read.parquet(s"$dir/documents.parquet")
+    docsSpread(spark, dir)
       .select(col("doc_id"), coalesce(col("text"), lit("")).as("t"))
       .as[(Long, String)]
       .map { case (id, t) =>
@@ -1546,7 +1558,7 @@ object Multimodal {
     */
   def q127(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    spark.read.parquet(s"$dir/documents.parquet")
+    docsSpread(spark, dir)
       .select(col("doc_id"), coalesce(col("text"), lit("")).as("t"))
       .as[(Long, String)]
       .map { case (id, t) =>
@@ -1578,7 +1590,7 @@ object Multimodal {
     */
   def q129(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    spark.read.parquet(s"$dir/documents.parquet")
+    docsSpread(spark, dir)
       .select(col("doc_id"), coalesce(col("text"), lit("")).as("t"))
       .as[(Long, String)]
       .map { case (id, t) =>
@@ -1607,7 +1619,7 @@ object Multimodal {
     */
   def q131(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    spark.read.parquet(s"$dir/documents.parquet")
+    docsSpread(spark, dir)
       .select(col("doc_id"), coalesce(col("text"), lit("")).as("t"))
       .as[(Long, String)]
       .map { case (id, t) =>
@@ -1636,7 +1648,7 @@ object Multimodal {
     */
   def q134(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    spark.read.parquet(s"$dir/documents.parquet")
+    docsSpread(spark, dir)
       .select(col("doc_id"), coalesce(col("text"), lit("")).as("t"))
       .as[(Long, String)]
       .map { case (id, t) =>
@@ -1662,7 +1674,7 @@ object Multimodal {
     */
   def q135(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    spark.read.parquet(s"$dir/documents.parquet")
+    docsSpread(spark, dir)
       .select(col("doc_id"), coalesce(col("text"), lit("")).as("t"))
       .as[(Long, String)]
       .map { case (id, t) =>
@@ -1688,7 +1700,7 @@ object Multimodal {
     */
   def q136(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    spark.read.parquet(s"$dir/documents.parquet")
+    docsSpread(spark, dir)
       .select(col("doc_id"), coalesce(col("text"), lit("")).as("t"))
       .as[(Long, String)]
       .map { case (id, t) =>
@@ -1717,7 +1729,7 @@ object Multimodal {
     */
   def q137(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    spark.read.parquet(s"$dir/documents.parquet")
+    docsSpread(spark, dir)
       .select(col("doc_id"), coalesce(col("text"), lit("")).as("t"))
       .as[(Long, String)]
       .map { case (id, t) =>
@@ -1747,7 +1759,7 @@ object Multimodal {
     */
   def q138(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    spark.read.parquet(s"$dir/documents.parquet")
+    docsSpread(spark, dir)
       .select(col("doc_id"), coalesce(col("text"), lit("")).as("t"))
       .as[(Long, String)]
       .map { case (id, t) =>
@@ -1773,7 +1785,7 @@ object Multimodal {
     */
   def q140(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    spark.read.parquet(s"$dir/documents.parquet")
+    docsSpread(spark, dir)
       .select(col("doc_id"), coalesce(col("text"), lit("")).as("t"))
       .as[(Long, String)]
       .map { case (id, t) =>
@@ -1927,7 +1939,7 @@ object Multimodal {
     */
   def q139(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val rows = spark.read.parquet(s"$dir/documents.parquet")
+    val rows = docsSpread(spark, dir)
       .select(col("doc_id")).as[Long]
       .map { id =>
         val k = ((id % 16) + 16) % 16
@@ -1968,7 +1980,7 @@ object Multimodal {
     */
   def q141(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    spark.read.parquet(s"$dir/documents.parquet")
+    docsSpread(spark, dir)
       .select(col("doc_id")).as[Long]
       .map { id =>
         def pmod(m: Long): Long = ((id % m) + m) % m
@@ -2026,7 +2038,7 @@ object Multimodal {
     */
   def q147(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    spark.read.parquet(s"$dir/documents.parquet")
+    docsSpread(spark, dir)
       .select(col("doc_id")).as[Long]
       .map { id =>
         def pmod(m: Long): Long = ((id % m) + m) % m
@@ -2126,7 +2138,7 @@ object Multimodal {
     */
   def q130(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    spark.read.parquet(s"$dir/documents.parquet")
+    docsSpread(spark, dir)
       .select(col("doc_id"))
       .as[Long]
       .map { id =>
@@ -2218,7 +2230,7 @@ object Multimodal {
     */
   def q132(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    spark.read.parquet(s"$dir/documents.parquet")
+    docsSpread(spark, dir)
       .select(col("doc_id"))
       .as[Long]
       .map { id =>
@@ -2297,7 +2309,7 @@ object Multimodal {
     */
   def q133(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    spark.read.parquet(s"$dir/documents.parquet")
+    docsSpread(spark, dir)
       .select(col("doc_id"))
       .as[Long]
       .map { id =>

@@ -129,13 +129,18 @@ object Vp8 {
   // ---- boolean encoder (RFC 6386 §7.2 reference, carry walk) ----
 
   final class BoolWriter {
-    private val out = scala.collection.mutable.ArrayBuffer.empty[Byte]
+    // primitive growable buffer (r18): the encoder emits one byte per
+    // ~8 bools and runs per row under 32-way parallelism — a generic
+    // ArrayBuffer[Byte] boxed every append and every carry-walk read,
+    // and that garbage dominated the parallel encode's GC bill
+    private var out = new Array[Byte](1024)
+    private var n = 0
     private var range = 255
     private var bottom = 0L
     private var bitCount = 24
 
     private def carry(): Unit = {
-      var i = out.length - 1
+      var i = n - 1
       while (i >= 0 && out(i) == -1) { out(i) = 0; i -= 1 }
       if (i >= 0) out(i) = (out(i) + 1).toByte
     }
@@ -150,7 +155,9 @@ object Vp8 {
         bottom = (bottom << 1) & 0xFFFFFFFFL
         bitCount -= 1
         if (bitCount == 0) {
-          out += ((bottom >> 24) & 0xff).toByte
+          if (n == out.length) out = java.util.Arrays.copyOf(out, n << 1)
+          out(n) = ((bottom >> 24) & 0xff).toByte
+          n += 1
           bottom &= 0xFFFFFF
           bitCount = 8
         }
@@ -168,32 +175,46 @@ object Vp8 {
       bool(128, if (v < 0) 1 else 0)
     }
 
+    // (probNodeIndex << 1 | bit) per step of the current tree path —
+    // reused across tree() calls; trees are ≤ 22 nodes so depth is
+    // far below 32. The old Option[List[(Int,Int)]] search allocated
+    // a tuple + cons cell per step per SYMBOL (18 tree symbols per
+    // macroblock), the encoder's hottest allocation site.
+    private val pathBuf = new Array[Int](32)
+
+    private def findPath(t: Array[Int], node: Int, leaf: Int,
+                         depth: Int): Int = {
+      var b = 0
+      while (b < 2) {
+        val v = t(node + b)
+        pathBuf(depth) = ((node >> 1) << 1) | b
+        if (v <= 0) {
+          if (-v == leaf) return depth + 1
+        } else {
+          val r = findPath(t, v, leaf, depth + 1)
+          if (r >= 0) return r
+        }
+        b += 1
+      }
+      -1
+    }
+
     def tree(t: Array[Int], probs: Array[Int], pOff: Int, leaf: Int,
              startNode: Int = 0): Unit = {
-      def path(node: Int): Option[List[(Int, Int)]] = {
-        var res: Option[List[(Int, Int)]] = None
-        var b = 0
-        while (b < 2 && res.isEmpty) {
-          val v = t(node + b)
-          if (v <= 0) {
-            if (-v == leaf) res = Some(List((node >> 1, b)))
-          } else path(v) match {
-            case Some(p) => res = Some((node >> 1, b) :: p)
-            case None => ()
-          }
-          b += 1
-        }
-        res
+      val len = findPath(t, startNode, leaf, 0)
+      if (len < 0) throw new IllegalArgumentException(s"no leaf $leaf")
+      var i = 0
+      while (i < len) {
+        val p = pathBuf(i)
+        bool(probs(pOff + (p >>> 1)), p & 1)
+        i += 1
       }
-      path(startNode)
-        .getOrElse(throw new IllegalArgumentException(s"no leaf $leaf"))
-        .foreach { case (p, b) => bool(probs(pOff + p), b) }
     }
 
     def finish(): Array[Byte] = {
       var i = 0
       while (i < 32) { bool(128, 0); i += 1 }
-      out.toArray
+      java.util.Arrays.copyOf(out, n)
     }
   }
 

@@ -33,6 +33,20 @@ object Q {
     */
   def dec(c: Column): Column = c.cast("decimal(18,2)")
 
+  /** The documents table floored to the session's parallelism
+    * ([[graft.util.Spread.byKey]], r18): the sf fixture is one
+    * parquet row group = ONE scan task, so every text kernel below it
+    * ran on one core. Used by the kernel-heavy query entries only;
+    * results are unchanged because every aggregate in those queries
+    * is exact (hash / integer / decimal — the standing convention
+    * above) and thus partition-order independent. At production scale
+    * the guard makes this a no-op, so the "no text on exchanges" scale
+    * rule (PlanShapeSpec q74/q75) still holds where it matters.
+    */
+  def wideDocs(s: SparkSession, dir: String): DataFrame =
+    graft.util.Spread.neutral(
+      graft.Tables(s, dir).documents, col("doc_id"))
+
   /** Portable 4-decimal presentation rounding: floor(x·10⁴ + 0.5)/10⁴
     * in BOTH engines. Builtin ROUND(x, 4) is NOT portable: Spark
     * rounds the double's shortest decimal string (BigDecimal HALF_UP)

@@ -534,7 +534,7 @@ object TextQ {
     */
   def q59(s: SparkSession, dir: String): DataFrame =
     graft.operators.LineDedup.dedupe(
-      Tables(s, dir).documents,
+      Q.wideDocs(s, dir),
       graft.operators.LineDedup.wordWindows(col("text"), 8), minDf = 2)
 
   /** Word-window segmentation CTEs ([[graft.operators.LineDedup
@@ -587,7 +587,7 @@ object TextQ {
     */
   def q61(s: SparkSession, dir: String): DataFrame =
     graft.operators.LineDedup.droppedSpans(
-      Tables(s, dir).documents,
+      Q.wideDocs(s, dir),
       graft.operators.LineDedup.wordWindows(col("text"), 8), minDf = 2)
 
   val q61Sql: String =
@@ -611,7 +611,7 @@ object TextQ {
     */
   def q65(s: SparkSession, dir: String): DataFrame =
     graft.operators.LineDedup.dedupeSpans(
-      Tables(s, dir).documents,
+      Q.wideDocs(s, dir),
       graft.operators.LineDedup.wordWindows(col("text"), 8),
       minDf = 2, minRun = 2)
 
@@ -703,7 +703,7 @@ object TextQ {
     */
   def q62(s: SparkSession, dir: String): DataFrame =
     graft.operators.LineDedup.dedupeWithinDoc(
-      Tables(s, dir).documents,
+      Q.wideDocs(s, dir),
       graft.operators.LineDedup.wordWindows(col("text"), 2))
 
   val q62Sql: String =
