@@ -51,6 +51,17 @@ final case class EngineConf(
       // counts are far above 200, bypass never fires, and this
       // setting is inert — it only removes the small-R pathology.
       .config("spark.shuffle.sort.bypassMergeThreshold", "8")
+      // r18 (guide §2): let AQE coalesce INSIDE cached plans. The
+      // iterative operators (LabelProp, Hierarchy) cache each round's
+      // label frame; with this off (the Spark default) a cached plan
+      // keeps its full static shuffle width, so every round of q53's
+      // loop ran 32-to-64-task stages over ~500-row frames — profiled
+      // at 10+ s of task time for 2 s of wall, nearly all scheduler /
+      // fetch wait. With it on, AQE sizes the cached rounds like any
+      // other exchange (tiny here, wide at 100 TB — the setting is
+      // size-adaptive by construction, not a local constant).
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        "true")
     if (extensionsEnabled)
       b = b.config("spark.sql.extensions", classOf[GraftExtensions].getName)
     extraConf.foreach { case (k, v) => b = b.config(k, v) }

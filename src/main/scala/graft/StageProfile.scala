@@ -36,6 +36,12 @@ object StageProfile {
             .getOrElse(i.name).trim.take(90))
       }
     }
+    // optional 4th arg: comma-separated SIBLING queries to run first —
+    // the JIT-profile-pollution probe (does running q124/q126/q128
+    // through the shared lumaStatsFace call site slow q148?)
+    if (args.length > 3)
+      args(3).split(',').foreach(s =>
+        (1 to 2).foreach(_ => SparkEntry.queries(s)(spark, sfDir).count()))
     val fn = SparkEntry.queries(name)
     (1 until reps).foreach(_ => fn(spark, sfDir).count())
     spark.sparkContext.addSparkListener(listener)

@@ -101,6 +101,15 @@ object SimJoin {
     // shingle-count-sized, far below the corpus. Lifecycle: the
     // returned Scoped.release (see its scaladoc).
     val sh = shingleFrame(docs, n, idCol, textCol).cache()
+    // eager materialization (r18): the five consumer stages launch
+    // CONCURRENTLY under AQE and all race the lazily-built cache —
+    // profiled: seven stages each blocked ~430 ms (run-time with zero
+    // CPU) behind the one computing task's block lock. One count()
+    // builds the entry once, before any consumer exists; every stage
+    // then reads hot cache. Cost: one tiny job over the (id, hash)
+    // frame, ≪ the blocked-stage time it removes — at any scale, the
+    // same single materialization the first consumer would pay anyway.
+    sh.count()
     val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("nsz"))
     val dfreq = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
     // one total order: (document frequency asc, hash asc)
