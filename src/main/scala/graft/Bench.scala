@@ -85,15 +85,22 @@ object Bench {
     // hash kernel + HOF span lambdas are its own codegen units, like
     // the LineDedup family before it
     // q86 warms the n-gram-model join family, q84 the url regex chain
-    // q126/q148 (r18) warm the multimodal decode family: the heavy
-    // Scala codecs (Jpeg, Vp8's 4.5 KB-bytecode decodeImpl) start
-    // interpreted, and with no family representative their C2 compile
-    // billed to rep 1 of each decode query — q148's rep-1 read 6-12x
-    // its warm time, wide enough to pollute the 3-rep median
+    // q126/q148/q128/q150 (r18) warm the multimodal decode family:
+    // the heavy Scala codecs (Jpeg, Vp8's 4.5 KB-bytecode decodeImpl)
+    // start interpreted, and with no family representative their C2
+    // compile billed to rep 1 of each decode query — q148's rep-1
+    // read 6-12x its warm time, wide enough to pollute the 3-rep
+    // median. q128 (VP8L + the webp container) and q150 (the
+    // segmented loop-filter arm) exercise the decode branches q148's
+    // uniform fixtures do not, so the JIT's branch profiles are
+    // trained BEFORE rep 1 instead of deopt-cycling mid-bench
+    // (-XX:+PrintCompilation traced 66 made-not-entrant events on
+    // Vp8 methods when these arms first ran under measurement)
     Seq("q01_agg_pricing", "q22_sessionize", "q31_dedup_minhash",
         "q34_embed_cosine_topk", "q45_hll_distinct", "q59_line_dedup",
         "q74_substr_spans", "q86_trigram_backoff", "q84_url_normalize",
-        "q126_jpeg_decode", "q148_vp8_decode")
+        "q126_jpeg_decode", "q148_vp8_decode", "q128_webp_decode",
+        "q150_vp8_segfilter")
       .foreach(q => warm(q) { SparkEntry.queries(q)(spark, sfDir).count(); () })
     val warmupSec = (System.nanoTime() - wu0) / 1e9
     // SPARK_GRAFT_BENCH_EXCLUDE (a regex over query names): the drift
