@@ -35,7 +35,7 @@ object Hierarchy {
     * taxonomy settles in ~40 doubling rounds; real trees in ≤ 6), but
     * without it a deep chain's plan tree doubles per round.
     */
-  val CheckpointEvery = 8
+  val CheckpointEvery = 2
 
   /** The result frame plus the handle that releases its checkpoint
     * blocks — the SimJoin/Search Scoped convention. `df` is an eager
@@ -99,14 +99,6 @@ object Hierarchy {
                     maxRounds: Int = 64,
                     loopAqe: Boolean = false): Scoped = {
     require(maxRounds >= 1, s"maxRounds must be >= 1, got $maxRounds")
-    // AQE is scoped OFF for the loop by default ([[graft.util
-    // .AqeScope]] has the full rationale — per-exchange stage
-    // re-planning costs a driver round trip per round over a static
-    // co-keyed partitioning; measured 3.7× on the sf0.01 oracle
-    // face). Pass loopAqe = true to keep AQE (e.g. for skew-join
-    // splitting on a celebrity-parent hierarchy, where one anc key
-    // holds a large share of the rows).
-    graft.util.AqeScope.off(nodes.sparkSession, keepAqe = loopAqe) {
     // roots point at themselves with depth 0: the doubling join is
     // then TOTAL (a settled node joins the root's self-row and adds
     // 0) — no null arms, and "moved" is simply "joined a row that
@@ -122,6 +114,19 @@ object Hierarchy {
         when(parentCol.isNull, 0L).otherwise(1L).as("d"))
       .cache()
     var st = pinned
+    // materialize the round-0 cache and size the loop from its row
+    // count (r19, [[graft.util.LoopScope]]): AQE stays scoped OFF as
+    // before (per-exchange driver round trips, measured 3.7× — the
+    // AqeScope rationale), and the loop's static shuffle width is now
+    // derived from |nodes| instead of inherited from the session —
+    // sf0.1's 15 k-row face ran 31 stages × 32 tasks of pure dispatch
+    // (profiled: every executor parked in every jstack sample). The
+    // count doubles as the cache materialization the round-1
+    // row-conservation check re-reads hot. Pass loopAqe = true to
+    // keep AQE (skew-join splitting on a celebrity-parent hierarchy).
+    val nNodes = pinned.count()
+    graft.util.LoopScope.sized(nodes.sparkSession, nNodes,
+      keepAqe = loopAqe) {
     var round = 0
     var moved = 1L
     // the round checkpoint whose blocks are still NEEDED: cached

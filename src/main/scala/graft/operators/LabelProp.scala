@@ -52,7 +52,7 @@ object LabelProp {
     * the plan to name each cache) can exhaust the heap. The
     * checkpoint collapses it to a LogicalRDD.
     */
-  private val CheckpointEvery = 6
+  private val CheckpointEvery = 2
 
   /** The checkpointed RDD backing a localCheckpoint'd frame — what
     * the retire path unpersists (Dataset.unpersist is a no-op on a
@@ -66,7 +66,8 @@ object LabelProp {
 
   def components(pairs: DataFrame, aCol: String, bCol: String,
                  checkpointDir: Option[String] = None,
-                 maxIters: Int = 50): DataFrame = {
+                 maxIters: Int = 50,
+                 loopAqe: Boolean = false): DataFrame = {
     val s = pairs.sparkSession
     val p = pairs.select(col(aCol), col(bCol))
     // EAGER localCheckpoint, not cache: the caller's pair plan can be
@@ -74,12 +75,28 @@ object LabelProp {
     // bucket-join + window + union), and it would otherwise be
     // re-nested 4^rounds times in every round's plan string (see
     // [[CheckpointEvery]]) — the checkpoint bounds every round's plan
-    // at O(4^CheckpointEvery × LogicalRDD)
+    // at O(4^CheckpointEvery × LogicalRDD).
+    // Note the checkpoint runs OUTSIDE the loop scope below: the
+    // caller's candidate plan (LSH bucket joins etc.) keeps AQE and
+    // the session's partitioning.
     val edges = p
       .select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(p.select(col(bCol).as("src"), col(aCol).as("dst")))
       .localCheckpoint(true)
     val edgesRdd = ckRdd(edges)
+    // loop partitioning sized from the MATERIALIZED edge count (r19,
+    // [[graft.util.LoopScope]]): the count is a cheap scan of the
+    // checkpoint blocks just written. r18 kept AQE ON in this loop so
+    // runtime coalescing would size the micro-rounds; that bought the
+    // right widths at the price of a driver re-planning round trip per
+    // exchange per round — the dominant q53 wall cost once the stages
+    // were small (profiled r19: executors parked in every jstack
+    // sample while the driver sequenced 30+ stages). A static count
+    // derived from |edges| gets the same size-adaptivity without the
+    // round trips; `loopAqe = true` restores the r18 posture (e.g. a
+    // celebrity-key graph wanting AQE skew splitting).
+    val nEdges = edges.count()
+    graft.util.LoopScope.sized(s, nEdges, keepAqe = loopAqe) {
     // `pinned` is the frame ACTUALLY cached each round; `labels` may
     // be a projection over it — Dataset.unpersist only uncaches an
     // exact plan match, so retiring the projection would silently
@@ -155,6 +172,7 @@ object LabelProp {
       liveCkRdd.foreach(_.unpersist())
       edgesRdd.foreach(_.unpersist())
       ()
+    }
     }
   }
 }

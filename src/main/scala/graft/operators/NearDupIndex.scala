@@ -256,6 +256,13 @@ object NearDupIndex {
     graft.util.PathLock.withLock(spark, path,
       what = "near-dup index maintainer") {
       val sigs = NearDup.signatures(docs).cache()
+      // eager materialization (r19, the SimJoin r18 lesson applied to
+      // the index build): the LSH candidate chain fans this cache into
+      // concurrent AQE/broadcast stage futures that otherwise all race
+      // the lazily-built entry — profiled on the cold q113 build as
+      // 32-task stages with executorRunTime ≫ executorCpuTime (tasks
+      // blocked on the computing task's block lock, ~0 CPU)
+      sigs.count()
       try {
         val pairs = NearDup.scoredCandidates(sigs, minEst, cap)
           .select(col("doc_a"), col("doc_b")).cache()
@@ -349,6 +356,25 @@ object NearDupIndex {
       val meta = readMeta(spark, path)
       recoverStores(spark, path)
       val sigsNew = NearDup.signatures(newDocs).cache()
+      // eager materialization — the build-path rationale above; the
+      // maintain cycle's probe collects and store appends are separate
+      // actions that would each race this entry
+      val nNew = sigsNew.count()
+      // delta-sized static partitioning (r19, the LoopScope sizing):
+      // this cycle runs on a PRIVATE session with AQE scoped off, so
+      // every exchange inherits the session's static shuffle width —
+      // at sf0.1 that meant ~15 stages × 32 tasks over a ~500-doc
+      // delta, and each task re-deserializes the stage's taskBinary
+      // through Java serialization whose reflection caches serialize
+      // under 32-way concurrency (jstack-profiled on the cold q113
+      // build: task threads in ObjectInputStream.readObject with
+      // executorRunTime ≫ executorCpuTime). Deriving the width from
+      // the MATERIALIZED delta row count keeps micro-deltas on
+      // single-task stages while a production-sized batch still fans
+      // out; the session is private and discarded, so no restore is
+      // needed.
+      spark.conf.set("spark.sql.shuffle.partitions",
+        graft.util.LoopScope.partitionsFor(nNew).toString)
       try {
         deletedIds(spark, path).foreach { dead =>
           val readds = sigsNew.select(col("doc_id"))

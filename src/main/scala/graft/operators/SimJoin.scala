@@ -53,8 +53,11 @@ object SimJoin {
     */
   final case class Scoped(df: DataFrame,
                           private[graft] val cached: DataFrame,
-                          candidates: DataFrame) {
-    def release(): Unit = { cached.unpersist(); () }
+                          candidates: DataFrame,
+                          private[graft] val cachedPref: Option[DataFrame] = None) {
+    def release(): Unit = {
+      cached.unpersist(); cachedPref.foreach(_.unpersist()); ()
+    }
   }
 
   /** The (id, shingle-hash) frame both the join and its cache probe
@@ -110,18 +113,58 @@ object SimJoin {
     // frame, ≪ the blocked-stage time it removes — at any scale, the
     // same single materialization the first consumer would pay anyway.
     sh.count()
+    // width floor for the rank+verify pipeline (r19, guide §2). The
+    // window exchange on id is the LAST exchange before the output
+    // sort: everything downstream — prefix filter, candidate self-join,
+    // distinct, both verify joins and the per-pair array_intersect —
+    // rides its partitioning (every later operator is a broadcast join
+    // or an aggregate whose clustering hashpartitioning(id) already
+    // satisfies). AQE sizes that exchange by BYTES, and the (id, h,
+    // df) rows are a few MB at small SF, so the whole CPU-dense chain
+    // was coalesced onto 3 of 32 cores (profiled r19: two ~1.2 s
+    // 3-task stages = the a- and b-side rank+verify pipelines).
+    // Replacing it with an explicit repartition BY THE SAME KEY keeps
+    // the plan's exchange count identical (EnsureRequirements sees the
+    // window's ClusteredDistribution(id) satisfied) while the
+    // REPARTITION_BY_NUM origin pins the width against byte-based
+    // coalescing. Guarded on the MATERIALIZED shingle-cache width — a
+    // corpus narrow enough to cache under defaultParallelism
+    // partitions is in the regime where byte-sized coalescing
+    // under-parallelizes CPU-dense stages; at production scale the
+    // cache is wide, the guard no-ops, and AQE keeps sizing the
+    // exchange from real bytes. Rows are (id, h, df) longs — the "no
+    // strings on exchanges" pin holds unchanged.
+    val floorParts = {
+      val target = docs.sparkSession.sparkContext.defaultParallelism
+      if (sh.rdd.getNumPartitions < target) Some(target) else None
+    }
     val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("nsz"))
     val dfreq = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
     // one total order: (document frequency asc, hash asc)
     val wDoc = org.apache.spark.sql.expressions.Window
       .partitionBy(col("id")).orderBy(col("df").asc, col("h").asc)
-    val ranked = sh.join(dfreq, "h")
+    val rankSrc = floorParts match {
+      case Some(p) => sh.join(dfreq, "h").repartition(p, col("id"))
+      case None    => sh.join(dfreq, "h")
+    }
+    val ranked = rankSrc
       .withColumn("rn", row_number().over(wDoc))
       .join(sizes, "id")
-    // prefix length |s| - ceil(t|s|) + 1, all-integer ceil
+    // prefix length |s| - ceil(t|s|) + 1, all-integer ceil.
+    // CACHED (r19): the candidate self-join consumes pref TWICE (as
+    // sides a and b), and because the b side feeds a BroadcastExchange
+    // — not a shuffle — exchange reuse cannot deduplicate them, so the
+    // whole rank pipeline (df join + window + prefix filter) executed
+    // twice (profiled: two ~1.4 s-CPU twin stages). The entry is
+    // prefix-rows-sized (4 longs per prefix token, ≲ the shingle cache
+    // above) and builds INSIDE the b-side broadcast job — the a-side
+    // stage cannot start until that broadcast exists, so there is no
+    // lazy-build race (the r18 sh.count() lesson does not recur) and
+    // no extra materialization job. Released with the Scoped handle.
     val pref = ranked.filter(col("rn") <=
       col("nsz") - expr(s"(${tNum}L * nsz + ${tDen - 1}) DIV $tDen") + 1)
       .select(col("id"), col("h"), col("nsz"), col("rn"))
+      .cache()
     // candidates: a prefix shingle in common, canonical orientation,
     // pruned by the LENGTH filter (t·|A| ≤ |B| ≤ |A|/t — a longer
     // partner dilutes the union past reach) and PPJoin's POSITIONAL
@@ -186,6 +229,6 @@ object SimJoin {
         col("n_union").cast("long").as("n_union"),
         expr("n_inter * 1000000000 DIV n_union").cast("long").as("jac9"))
       .orderBy(col("doc_a"), col("doc_b"))
-    Scoped(out, sh, cand)
+    Scoped(out, sh, cand, Some(pref))
   }
 }
