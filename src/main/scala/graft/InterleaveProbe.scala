@@ -36,9 +36,11 @@ object InterleaveProbe {
     if (sys.env.get("PROBE_WARMUP").contains("1")) {
       val t = Tables(spark, sfDir)
       t.lineitem.count(); t.documents.count(); t.embeddings.count()
-      Seq("q01_agg_pricing", "q22_sessionize", "q31_dedup_minhash",
-          "q34_embed_cosine_topk", "q45_hll_distinct", "q59_line_dedup",
-          "q74_substr_spans", "q86_trigram_backoff", "q84_url_normalize")
+      // ONE definition with the bench (r19, the r18 advice): the probe
+      // exists to reproduce the bench environment, so it warms exactly
+      // Bench.WarmupQueries — it had drifted when the r18 decode warms
+      // were added to the bench only
+      Bench.WarmupQueries
         .foreach(q => try SparkEntry.queries(q)(spark, sfDir).count()
                       catch { case _: Throwable => () })
     }

@@ -39,9 +39,31 @@ object Multimodal {
     * per query when spread), so the floor applies only where the
     * kernel dominates.
     */
-  private def docsSpread(spark: SparkSession, dir: String): DataFrame =
+  /** Saturation width for the MID-WEIGHT extract kernels (r19): the
+    * driver's 8-vs-32-core scaling block read ratios of 0.55–0.87 on
+    * the office-extract family (q133/q135–q141) — they ran FASTER on
+    * 8 cores, i.e. the r18 full-width floor over-parallelized kernels
+    * that saturate around 8-way over fixture-sized inputs (dispatch +
+    * per-task taskBinary deserialization + hyperthread contention
+    * exceed the kernel past that). The heavy decode kernels
+    * (jpeg/vp8/webp: ratios 1.86–1.93) keep the full floor. The cap
+    * binds only when the guarded floor fires at all — production-wide
+    * scans are untouched (see [[graft.util.Spread.byKey]]).
+    */
+  private val MidKernelParts = 8
+
+  /** docsSpread is a SINGLE-CONSUMER helper (Spread.byKey): spreading
+    * by the cluster key satisfies downstream ClusteredDistribution and
+    * would silently collapse a diamond's reused exchange (measured
+    * q74: kernel recomputed per consumer, CPU 1.7 s → 11.3 s). Every
+    * current call site feeds one kernel chain; a future multi-consumer
+    * caller must use Spread.neutral instead.
+    */
+  private def docsSpread(spark: SparkSession, dir: String,
+                         maxParts: Int = Int.MaxValue): DataFrame =
     graft.util.Spread.byKey(
-      spark.read.parquet(dir + "/documents.parquet"), col("doc_id"))
+      spark.read.parquet(dir + "/documents.parquet"), col("doc_id"),
+      maxParts)
 
   final case class MediaMeta(mime: String, n_bytes: Long, checksum: Long)
   final case class MediaRow(doc_id: Long, payload: Array[Byte], meta: MediaMeta)
@@ -1679,7 +1701,7 @@ object Multimodal {
     */
   def q135(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    docsSpread(spark, dir)
+    docsSpread(spark, dir, MidKernelParts)
       .select(col("doc_id"), coalesce(col("text"), lit("")).as("t"))
       .as[(Long, String)]
       .map { case (id, t) =>
@@ -1705,7 +1727,7 @@ object Multimodal {
     */
   def q136(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    docsSpread(spark, dir)
+    docsSpread(spark, dir, MidKernelParts)
       .select(col("doc_id"), coalesce(col("text"), lit("")).as("t"))
       .as[(Long, String)]
       .map { case (id, t) =>
@@ -1734,7 +1756,7 @@ object Multimodal {
     */
   def q137(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    docsSpread(spark, dir)
+    docsSpread(spark, dir, MidKernelParts)
       .select(col("doc_id"), coalesce(col("text"), lit("")).as("t"))
       .as[(Long, String)]
       .map { case (id, t) =>
@@ -1764,7 +1786,7 @@ object Multimodal {
     */
   def q138(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    docsSpread(spark, dir)
+    docsSpread(spark, dir, MidKernelParts)
       .select(col("doc_id"), coalesce(col("text"), lit("")).as("t"))
       .as[(Long, String)]
       .map { case (id, t) =>
@@ -1790,7 +1812,7 @@ object Multimodal {
     */
   def q140(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    docsSpread(spark, dir)
+    docsSpread(spark, dir, MidKernelParts)
       .select(col("doc_id"), coalesce(col("text"), lit("")).as("t"))
       .as[(Long, String)]
       .map { case (id, t) =>
@@ -1944,7 +1966,7 @@ object Multimodal {
     */
   def q139(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val rows = docsSpread(spark, dir)
+    val rows = docsSpread(spark, dir, MidKernelParts)
       .select(col("doc_id")).as[Long]
       .map { id =>
         val k = ((id % 16) + 16) % 16
@@ -1985,7 +2007,7 @@ object Multimodal {
     */
   def q141(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    docsSpread(spark, dir)
+    docsSpread(spark, dir, MidKernelParts)
       .select(col("doc_id")).as[Long]
       .map { id =>
         def pmod(m: Long): Long = ((id % m) + m) % m
@@ -2314,7 +2336,7 @@ object Multimodal {
     */
   def q133(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    docsSpread(spark, dir)
+    docsSpread(spark, dir, MidKernelParts)
       .select(col("doc_id"))
       .as[Long]
       .map { id =>

@@ -184,6 +184,10 @@ object Vp8 {
 
     private def findPath(t: Array[Int], node: Int, leaf: Int,
                          depth: Int): Int = {
+      // keep the documented failure mode: a deeper-than-expected tree
+      // reports "no leaf" (IllegalArgumentException in tree()) instead
+      // of an ArrayIndexOutOfBounds on the fixed path buffer
+      if (depth >= pathBuf.length) return -1
       var b = 0
       while (b < 2) {
         val v = t(node + b)

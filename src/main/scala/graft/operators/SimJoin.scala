@@ -113,41 +113,24 @@ object SimJoin {
     // frame, ≪ the blocked-stage time it removes — at any scale, the
     // same single materialization the first consumer would pay anyway.
     sh.count()
-    // width floor for the rank+verify pipeline (r19, guide §2). The
-    // window exchange on id is the LAST exchange before the output
-    // sort: everything downstream — prefix filter, candidate self-join,
-    // distinct, both verify joins and the per-pair array_intersect —
-    // rides its partitioning (every later operator is a broadcast join
-    // or an aggregate whose clustering hashpartitioning(id) already
-    // satisfies). AQE sizes that exchange by BYTES, and the (id, h,
-    // df) rows are a few MB at small SF, so the whole CPU-dense chain
-    // was coalesced onto 3 of 32 cores (profiled r19: two ~1.2 s
-    // 3-task stages = the a- and b-side rank+verify pipelines).
-    // Replacing it with an explicit repartition BY THE SAME KEY keeps
-    // the plan's exchange count identical (EnsureRequirements sees the
-    // window's ClusteredDistribution(id) satisfied) while the
-    // REPARTITION_BY_NUM origin pins the width against byte-based
-    // coalescing. Guarded on the MATERIALIZED shingle-cache width — a
-    // corpus narrow enough to cache under defaultParallelism
-    // partitions is in the regime where byte-sized coalescing
-    // under-parallelizes CPU-dense stages; at production scale the
-    // cache is wide, the guard no-ops, and AQE keeps sizing the
-    // exchange from real bytes. Rows are (id, h, df) longs — the "no
-    // strings on exchanges" pin holds unchanged.
-    val floorParts = {
-      val target = docs.sparkSession.sparkContext.defaultParallelism
-      if (sh.rdd.getNumPartitions < target) Some(target) else None
-    }
+    // Width note (r19, measured so the next round does not re-try it):
+    // the CPU-dense rank+verify chain all rides the window exchange on
+    // id, which AQE coalesces to ~3 tasks at sf0.1. An explicit
+    // REPARTITION_BY_NUM floor there (8/16/32-way) was implemented and
+    // interleave-probed: NO bench-context wall win at any width, and
+    // billed CPU grew LINEARLY at ~0.45 s per added task (32-way read
+    // 24 s CPU vs 3.3 s single-task) — in a 150-query shared JVM the
+    // per-task overhead (task-binary deserialization, page
+    // allocation) dwarfs the kernel. The width answer lives in the
+    // q96 entry instead (LoopScope.sizedForInput: AQE-off scope with
+    // a file-size-derived static width, so production inputs still
+    // fan out).
     val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("nsz"))
     val dfreq = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
     // one total order: (document frequency asc, hash asc)
     val wDoc = org.apache.spark.sql.expressions.Window
       .partitionBy(col("id")).orderBy(col("df").asc, col("h").asc)
-    val rankSrc = floorParts match {
-      case Some(p) => sh.join(dfreq, "h").repartition(p, col("id"))
-      case None    => sh.join(dfreq, "h")
-    }
-    val ranked = rankSrc
+    val ranked = sh.join(dfreq, "h")
       .withColumn("rn", row_number().over(wDoc))
       .join(sizes, "id")
     // prefix length |s| - ceil(t|s|) + 1, all-integer ceil.

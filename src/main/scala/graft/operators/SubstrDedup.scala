@@ -61,15 +61,36 @@ object SubstrDedup {
         tokens(normText(coalesce(textCol, lit("")))).as("arr"))
       .filter(size(col("arr")) >= w)
 
-  /** The exact pass over a pre-tokenized frame — see [[spans]]. */
-  private def spansFromToks(toks: DataFrame, w: Int): DataFrame = {
-    // one row per anchor position; window BYTES die inside the native
-    // kernel (one flatten + n range-digests per doc, no per-position
-    // slice/concat_ws trees) — only (doc_id, p, hash) continues
-    val pos = toks
+  // r19 note, measured so it is not re-tried: the anchor frames below
+  // (pos / anch) are each consumed by TWO subtrees — the duplicate-gram
+  // aggregate and the mark join — and because the aggregate side
+  // becomes a BroadcastExchange, exchange reuse cannot deduplicate
+  // them: the digest kernel runs once per subtree. CACHING the
+  // (doc_id, p, h) frame per call (a Scoped form, the SimJoin pattern)
+  // was implemented and full-bench A/B'd: per-query CPU fell ~30-40%
+  // but wall ROSE (q74 1.97 -> 2.26 s, q72 1.44 -> 2.65 s) and the
+  // per-rep columnar-cache churn pushed bench gc_total 1.4 -> 11.9 s,
+  // regressing a dozen neighbor queries. At 100 TB the same trade
+  // reads differently (a second full corpus digest pass vs one
+  // disk-backed write), so a production deployment should persist the
+  // anchor table explicitly between passes; at query scope the double
+  // kernel stays.
+
+  /** One row per anchor position: window BYTES die inside the native
+    * kernel (one flatten + n range-digests per doc, no per-position
+    * slice/concat_ws trees) — only (doc_id, p, hash) continues.
+    */
+  private def posFrame(toks: DataFrame, w: Int): DataFrame =
+    toks
       .select(col("doc_id"),
         posexplode(windowMd5Hashes(col("arr"), w)).as(Seq("i", "h")))
       .select(col("doc_id"), (col("i") + 1).cast("long").as("p"), col("h"))
+
+  /** The exact pass over a pre-tokenized frame — see [[spans]]. */
+  private def spansFromToks(toks: DataFrame, w: Int): DataFrame =
+    spansFromPos(posFrame(toks, w), w)
+
+  private def spansFromPos(pos: DataFrame, w: Int): DataFrame = {
     // grams seen in >= 2 docs, with their keeper (minimal doc)
     val dup = pos.groupBy(col("h"))
       .agg(count_distinct(col("doc_id")).as("df"), min(col("doc_id")).as("keeper"))
@@ -183,8 +204,11 @@ object SubstrDedup {
                     idCol: Column = col("doc_id"),
                     textCol: Column = col("text")): DataFrame = {
     require(w >= 2, s"window must be >= 2 tokens, got $w")
-    val toks = tokenized(docs, w, idCol, textCol)
-    val anch = winnowAnchors(toks, w, winnow)
+    winnowedSpansFromAnchors(
+      winnowAnchors(tokenized(docs, w, idCol, textCol), w, winnow), w)
+  }
+
+  private def winnowedSpansFromAnchors(anch: DataFrame, w: Int): DataFrame = {
     val dup = anch.groupBy(col("h"))
       .agg(count_distinct(col("doc_id")).as("df"), min(col("doc_id")).as("keeper"))
       .filter(col("df") >= 2)
@@ -321,8 +345,14 @@ object SubstrDedup {
     */
   def strip(docs: DataFrame, w: Int,
             idCol: Column = col("doc_id"),
-            textCol: Column = col("text")): DataFrame = {
-    val sp = spanLists(docs, w, idCol, textCol).withColumnRenamed("_sp", "sp")
+            textCol: Column = col("text")): DataFrame =
+    stripFromSpans(docs, spans(docs, w, idCol, textCol), idCol, textCol)
+
+  private def stripFromSpans(docs: DataFrame, spansDf: DataFrame,
+                             idCol: Column, textCol: Column): DataFrame = {
+    val sp = spansDf
+      .groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("span_start"), col("span_end"))).as("sp"))
     docs
       .select(idCol.as("doc_id"),
         tokens(normText(coalesce(textCol, lit("")))).as("arr"))

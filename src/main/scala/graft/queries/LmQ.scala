@@ -204,18 +204,30 @@ object LmQ {
     * only. Never all-pairs, never strings on the wire; the dup table
     * is shingle-vocabulary-scale, ≪ corpus at 100 TB.
     */
+  // r19 negative result (see q74's note in SubstrQ): the scoped
+  // shingle cache + eager materialization benched q72 1.44 -> 2.65 s
+  // with CPU UP (cache build cost exceeded the deduped kernel) — the
+  // lazy form stays.
   def q72(s: SparkSession, dir: String): DataFrame =
     dupNgrams(Tables(s, dir).documents)
 
-  /** The q72 kernel over any `(doc_id, text)` frame. */
-  def dupNgrams(docs: DataFrame, n: Int = 5): DataFrame = {
-    // native window kernel (one flatten + range-digests per doc);
-    // minOne mirrors the greatest(.., 1) whole-doc shingle for short docs
-    val sh = docs
+  /** (doc_id, h) — one row per overlapping word-n-gram occurrence;
+    * the native window kernel (one flatten + range-digests per doc).
+    * minOne mirrors the greatest(.., 1) whole-doc shingle for short
+    * docs.
+    */
+  private def shingleHashes(docs: DataFrame, n: Int): DataFrame =
+    docs
       .select(col("doc_id"), toks(col("text")).as("arr"))
       .select(col("doc_id"),
         explode(graft.functions.expressions.TextExprs
           .windowMd5Hashes(col("arr"), n, minOne = true)).as("h"))
+
+  /** The q72 kernel over any `(doc_id, text)` frame. */
+  def dupNgrams(docs: DataFrame, n: Int = 5): DataFrame =
+    dupNgramsFromShingles(shingleHashes(docs, n))
+
+  private def dupNgramsFromShingles(sh: DataFrame): DataFrame = {
     val docsPer = sh.groupBy(col("h"))
       .agg(count_distinct(col("doc_id")).as("ndocs"))
     sh.join(docsPer, "h")

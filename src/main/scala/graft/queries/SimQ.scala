@@ -31,10 +31,25 @@ object SimQ {
     * grow session cache per distinct input (spec-pinned). Plan-shape
     * pins use the lazy [[graft.operators.SimJoin.joinPairs]] directly.
     */
+  /** The whole construction + materialization runs inside an AQE-off,
+    * input-byte-sized static-width scope (r19): the operator is a
+    * dozen micro-exchanges at query scale, and AQE's per-exchange
+    * stage materialization made the bench-context wall a sequence of
+    * driver round trips — while every widening attempt (an explicit
+    * 8/16/32-way floor on the rank+verify pipeline) bought no wall and
+    * billed ~0.45 s of bench-context CPU PER ADDED TASK (interleave-
+    * probed r19). With the scope, the sf0.1 run is single-task stages
+    * end to end: probe wall flat-to-better, cpu 24 s → 3.3 s. The
+    * width derives from the planner's file-size estimate of the input
+    * (≈256 MB/partition), so a production corpus still fans out.
+    */
   def q96(s: SparkSession, dir: String): DataFrame = {
-    val sc = graft.operators.SimJoin.joinPairsScoped(
-      Tables(s, dir).documents, SimShingle, SimNum, SimDen)
-    try sc.df.localCheckpoint() finally sc.release()
+    val docs = Tables(s, dir).documents
+    graft.util.LoopScope.sizedForInput(docs) {
+      val sc = graft.operators.SimJoin.joinPairsScoped(
+        docs, SimShingle, SimNum, SimDen)
+      try sc.df.localCheckpoint() finally sc.release()
+    }
   }
 
   val q96Sql: String = {

@@ -24,6 +24,14 @@ object SubstrQ {
   /** q74: verbatim duplicated-run spans ≥ [[SubstrWindow]] tokens
     * shared across documents, keep-lowest-doc.
     */
+  // r19 negative result, measured and kept OUT: caching the shared
+  // (doc_id, p, h) anchor frame (kernel-once instead of once per
+  // consumer subtree) + eager scoped materialization was implemented
+  // for q74/q78/q95/q72 and full-bench A/B'd — per-query CPU fell
+  // (q74 2.25 -> 1.56 s) but WALL rose (q74 1.97 -> 2.26, q72 1.44 ->
+  // 2.65) and the per-rep cache churn pushed bench gc_total 1.4 ->
+  // 11.9 s, regressing a dozen NEIGHBOR queries (q53 +1.25, q61 +0.70,
+  // q57 +0.57). The lazy uncached form stays; see OPTIMIZATION_r19.md.
   def q74(s: SparkSession, dir: String): DataFrame =
     graft.operators.SubstrDedup.spans(Tables(s, dir).documents, SubstrWindow)
 
@@ -61,6 +69,10 @@ object SubstrQ {
   /** q75: the REMOVAL form — duplicated runs stripped from the text,
     * q59's output shape. What the published pass actually ships.
     */
+  // q75 stays LAZY (r19 note): its strip output is a left join that
+  // preserves docs cardinality, so a count-shaped consumer lets the
+  // optimizer eliminate the whole span subtree — an eager checkpoint
+  // (tried r19) forces full materialization and benched 10x slower.
   def q75(s: SparkSession, dir: String): DataFrame =
     graft.operators.SubstrDedup.strip(Tables(s, dir).documents, SubstrWindow)
 

@@ -47,10 +47,29 @@ object LoopScope {
     * sizing still applies — AQE coalesces FROM it.
     */
   def sized[T](spark: SparkSession, rows: Long, keepAqe: Boolean = false)
-              (body: => T): T = {
+              (body: => T): T =
+    withParts(spark, partitionsFor(rows), keepAqe)(body)
+
+  /** Input-BYTES-sized variant for one-shot (non-loop) operators whose
+    * construction AND materialization run inside `body` (the q96
+    * entry shape): partitions from the planner's own size estimate of
+    * the input frame — file-size-based, no action, no local constant.
+    * ~256 MB of input per partition: the guide §2.2 range, applied to
+    * the INPUT because every intermediate of these operators
+    * (shingle/anchor hashes) is within a small factor of it.
+    */
+  def sizedForInput[T](df: org.apache.spark.sql.DataFrame,
+                       keepAqe: Boolean = false)(body: => T): T = {
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val parts = (bytes / (256L << 20)).min(1L << 20).max(1L).toLong.toInt
+    withParts(df.sparkSession, parts, keepAqe)(body)
+  }
+
+  private def withParts[T](spark: SparkSession, parts: Int,
+                           keepAqe: Boolean)(body: => T): T = {
     val key = "spark.sql.shuffle.partitions"
     val prev = spark.conf.getOption(key)
-    spark.conf.set(key, partitionsFor(rows).toString)
+    spark.conf.set(key, parts.toString)
     try AqeScope.off(spark, keepAqe)(body)
     finally prev match {
       case Some(v) => spark.conf.set(key, v)

@@ -54,9 +54,32 @@ object Spread {
     * removed the doc-keyed island exchange and every consumer
     * recomputed the window-hash kernel (CPU 1.7 s → 11.3 s). Diamond
     * pipelines use [[neutral]].
+    *
+    * `maxParts` (r19) caps the floor's TARGET, not any natural width:
+    * the r18 floor spread every narrow scan to the full
+    * defaultParallelism, and the driver's 8-vs-32-core scaling block
+    * showed the MID-WEIGHT kernels (office extract family, q137–q144
+    * class) running FASTER on 8 cores than 32 (ratios 0.55–0.87) —
+    * their per-row work saturates below full width, so the extra
+    * tasks pay dispatch + taskBinary deserialization + hyperthread
+    * contention for nothing. A call site whose kernel is measured to
+    * saturate passes its saturation width; the cap binds ONLY when
+    * the floor fires (a narrow scan), so production-wide scans are
+    * untouched and even a pathological single-file production input
+    * still gets `maxParts`-way parallelism instead of 1.
+    *
+    * Guard cost, stated plainly (r18 advice): `df.rdd` builds a
+    * separate physical plan + RDD lineage at query-CONSTRUCTION time
+    * per call site, and reads the pre-AQE partition count. Both are
+    * acceptable here — the guarded frames are bare scans (planning is
+    * microseconds) and the guard only gates an idempotent repartition,
+    * so a divergent runtime count costs at most one redundant-but-
+    * harmless exchange.
     */
-  def byKey(df: DataFrame, key: Column): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
+  def byKey(df: DataFrame, key: Column,
+            maxParts: Int = Int.MaxValue): DataFrame = {
+    val target =
+      math.min(df.sparkSession.sparkContext.defaultParallelism, maxParts)
     if (df.rdd.getNumPartitions >= target) df
     else df.repartition(target, key)
   }

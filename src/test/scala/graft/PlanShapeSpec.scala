@@ -32,6 +32,29 @@ class PlanShapeSpec extends SparkSpec {
       case p => p
     }
 
+  /** Pin that exempting REPARTITION_BY_NUM exchanges from a payload
+    * assertion exempts ONLY the Spread scan floor (r19, the r18
+    * advice): every such exchange must sit directly above a parquet
+    * scan chain — its subtree holds the file scan and no other
+    * shuffle. (A plan reading the corpus twice may carry one floor per
+    * scan, e.g. q61.) A future explicit repartition that ships
+    * string/array payloads from deeper in a plan then FAILS the host
+    * test instead of riding the blanket exemption.
+    */
+  private def assertSpreadFloorOnly(df: DataFrame): Unit = {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.exchange.{REPARTITION_BY_NUM, ShuffleExchangeExec}
+    val floors = df.queryExecution.sparkPlan.collect {
+      case e: ShuffleExchangeExec if e.shuffleOrigin == REPARTITION_BY_NUM => e
+    }
+    floors.foreach { e =>
+      assert(e.child.collect { case s: FileSourceScanExec => s }.nonEmpty,
+        s"exempted repartition is not above the parquet scan:\n$e")
+      assert(e.child.collect { case x: ShuffleExchangeExec => x }.isEmpty,
+        s"exempted repartition has another exchange below it:\n$e")
+    }
+  }
+
   /** Plan after AQE finalization — for assertions about what AQE chose
     * at runtime (e.g. broadcast conversions).
     */
@@ -183,7 +206,9 @@ class PlanShapeSpec extends SparkSpec {
     // reassembly groups by doc_id, the output sort ranges on doc_id —
     // so every exchange in the plan must be doc-keyed and no join node
     // of any kind may appear
-    val pre = graft.queries.TextQ.q62(spark, sf).queryExecution.sparkPlan.toString
+    val dfq = graft.queries.TextQ.q62(spark, sf)
+    assertSpreadFloorOnly(dfq)
+    val pre = dfq.queryExecution.sparkPlan.toString
     Seq("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
         "CartesianProduct", "BroadcastNestedLoopJoin").foreach(j =>
       assert(!pre.contains(j), s"q62 plans a $j:\n$pre"))
@@ -212,7 +237,9 @@ class PlanShapeSpec extends SparkSpec {
     // partitioning (subset rule), so exactly one hash exchange in the
     // whole plan is doc_id-first — the stats/marking exchanges key on
     // the line hash, never the doc
-    val pre = graft.queries.TextQ.q61(spark, sf).queryExecution.sparkPlan.toString
+    val dfq = graft.queries.TextQ.q61(spark, sf)
+    assertSpreadFloorOnly(dfq)
+    val pre = dfq.queryExecution.sparkPlan.toString
     // the islands window partitions by doc_id, and BOTH downstream
     // aggregations — (doc_id, grp) spans and (doc_id) stats — are
     // satisfied by that same partitioning (hash-subset rule), so the
@@ -333,7 +360,11 @@ class PlanShapeSpec extends SparkSpec {
   test("q78: hash arrays die map-side — no exchange carries a string or array") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     import org.apache.spark.sql.types.{ArrayType, StringType}
-    val exchanges = physicalOf(graft.queries.SubstrQ.q78(spark, sf))
+    // operator form — the registered entry is scoped + eagerly
+    // checkpointed (r19); see the q74 pin note
+    val exchanges = physicalOf(graft.operators.SubstrDedup.winnowedSpans(
+        Tables(spark, sf).documents, graft.queries.SubstrQ.SubstrWindow,
+        graft.queries.SubstrQ.WinnowWindow))
       .collect { case e: ShuffleExchangeExec => e }
     assert(exchanges.nonEmpty)
     exchanges.foreach(e =>
@@ -345,7 +376,10 @@ class PlanShapeSpec extends SparkSpec {
   test("q95: both rounds keep text map-side — no exchange carries a string or array") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     import org.apache.spark.sql.types.{ArrayType, StringType}
-    val exchanges = physicalOf(graft.queries.SubstrQ.q95(spark, sf))
+    // operator form — see the q74 pin note
+    val exchanges = physicalOf(graft.operators.SubstrDedup.refinedSpans(
+        Tables(spark, sf).documents, graft.queries.SubstrQ.SubstrWindow,
+        graft.queries.SubstrQ.WinnowWindow))
       .collect { case e: ShuffleExchangeExec => e }
     assert(exchanges.nonEmpty)
     exchanges.foreach(e =>
@@ -393,7 +427,13 @@ class PlanShapeSpec extends SparkSpec {
   test("q74: window strings stay map-side — exchanges carry hashes/ids only, islands share one doc exchange") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     import org.apache.spark.sql.types.StringType
-    val plan = physicalOf(graft.queries.SubstrQ.q74(spark, sf))
+    // the registered q74 entry is scoped + eagerly checkpointed (r19),
+    // so its plan is an RDD scan; the pin inspects the operator form it
+    // materializes (the SimJoin pin convention)
+    val q74op = graft.operators.SubstrDedup.spans(
+      Tables(spark, sf).documents, graft.queries.SubstrQ.SubstrWindow)
+    assertSpreadFloorOnly(q74op)
+    val plan = physicalOf(q74op)
     // the r18 Spread floor (Q.wideDocs) is an explicit, guarded
     // REPARTITION_BY_NUM exchange of the pre-kernel rows — absent at
     // scale (the guard no-ops on a wide scan), so it is exempt here;
@@ -413,7 +453,11 @@ class PlanShapeSpec extends SparkSpec {
   test("q75: token arrays never shuffle — the span side broadcasts; only the output sort carries text") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     import org.apache.spark.sql.types.{ArrayType, StringType}
-    val plan = physicalOf(graft.queries.SubstrQ.q75(spark, sf))
+    // operator form — the r19 scoped-entry note on the q74 pin above
+    val q75op = graft.operators.SubstrDedup.strip(
+      Tables(spark, sf).documents, graft.queries.SubstrQ.SubstrWindow)
+    assertSpreadFloorOnly(q75op)
+    val plan = physicalOf(q75op)
     // Spread-floor exchange exempt, as in the q74 pin above
     val exchanges = plan.collect { case e: ShuffleExchangeExec => e }
       .filterNot(_.shuffleOrigin ==
